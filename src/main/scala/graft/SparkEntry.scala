@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalQueries.queries("q5_multijoin")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CdcQueries.queries ++
+      RelationalQueries.queries ++
+      TextQueries.queries ++
+      DedupQueries.queries ++
+      VectorQueries.queries ++
+      MultimodalQueries.queries
+
+  /** DuckDB-equivalent SQL per query key (omitted → rows-only check). */
+  def oracleSql: Map[String, String] =
+    CdcQueries.oracles ++
+      RelationalQueries.oracles ++
+      TextQueries.oracles ++
+      DedupQueries.oracles ++
+      VectorQueries.oracles ++
+      MultimodalQueries.oracles
 }

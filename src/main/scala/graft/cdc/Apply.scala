@@ -1,0 +1,78 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch operators that consume the canonical change feed — the computations
+  * a postrack `HandleFunc` consumer typically performs, expressed as single-
+  * shuffle Spark plans.
+  *
+  * Scale notes (100 TB): every operator below shuffles exactly once, on `pk`
+  * (or on the grouping key), and all window specs share that partitioning so
+  * Catalyst reuses the exchange across steps. No collect(), no UDFs.
+  */
+object Apply {
+
+  private val byPk = Window.partitionBy("pk")
+  private val byPkAsc = byPk.orderBy(col("lsn"))
+  private val byPkDesc = byPk.orderBy(col("lsn").desc)
+
+  /** Current state per key: highest-LSN event wins; a key whose last event is
+    * DELETE has no current row (tombstone). One shuffle on pk. */
+  def latestSnapshot(feed: DataFrame): DataFrame =
+    feed
+      .withColumn("rn", row_number().over(byPkDesc))
+      .filter(col("rn") === 1 && col("op") =!= "DELETE")
+      .select("pk", "lsn", "op", "value", "props")
+
+  /** Apply the feed onto a base table: update matched keys, insert new keys,
+    * drop tombstoned keys. Base side stays untouched for keys with no
+    * changes. Full outer join on the key — the merge/upsert a consumer runs
+    * against its materialized copy. */
+  def upsert(base: DataFrame, feed: DataFrame, baseKey: String, baseValue: String): DataFrame = {
+    val latest = feed
+      .withColumn("rn", row_number().over(byPkDesc))
+      .filter(col("rn") === 1)
+      .select(col("pk"), col("op").as("last_op"), col("value").as("new_value"))
+    base.select(col(baseKey).cast("long").as("k"), col(baseValue).as("base_value"))
+      .join(latest, col("k") === col("pk"), "full_outer")
+      .filter(col("last_op").isNull || col("last_op") =!= "DELETE")
+      .select(
+        coalesce(col("k"), col("pk")).as("pk"),
+        coalesce(col("new_value"), col("base_value")).as("value"),
+        when(col("last_op").isNull, "UNCHANGED").otherwise(col("last_op")).as("provenance"))
+  }
+
+  /** SCD-2 history: each change opens a validity interval closed by the next
+    * change to the same key. valid_to is null on the current row. */
+  def scd2(feed: DataFrame): DataFrame =
+    feed.select(
+      col("pk"), col("lsn"), col("op"), col("value"),
+      col("ts_us").as("valid_from_us"),
+      lead(col("ts_us"), 1).over(byPkAsc).as("valid_to_us"),
+      (lead(col("lsn"), 1).over(byPkAsc).isNull).as("is_current"))
+
+  /** Before/after image pairing for UPDATEs: the reference's UpdateMessage
+    * carries OldTuple+NewTuple (postrack.go:381-394); when the upstream only
+    * sends new images, the consumer reconstructs the before-image as the
+    * previous value per key. */
+  def beforeAfter(feed: DataFrame): DataFrame =
+    feed
+      .withColumn("before_value", lag(col("value"), 1).over(byPkAsc))
+      .filter(col("op") === "UPDATE" && col("before_value").isNotNull)
+      .select(col("pk"), col("lsn"), col("before_value"), col("value").as("after_value"))
+
+  /** Offset-based resume: strictly-after semantics, matching the reference's
+    * StartReplication(lsn+1) (postrack.go:285-309). */
+  def resumeFrom(feed: DataFrame, lsn: Long): DataFrame =
+    feed.filter(col("lsn") > lsn)
+
+  /** Per-table/op monitoring counters + LSN high-watermark — what keepAlive
+    * acks upstream (postrack.go:98-109). */
+  def changelogStats(feed: DataFrame): DataFrame =
+    feed.groupBy("table_name", "op").agg(
+      count(lit(1)).as("n_events"),
+      max(col("lsn")).as("watermark_lsn"),
+      round(sum(col("value")), 4).as("sum_value"))
+}

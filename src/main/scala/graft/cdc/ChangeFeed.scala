@@ -1,0 +1,73 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Canonical change-feed schema, mirroring the tuple the reference hands to
+  * `HandleFunc(lsn, table, event, newValues, oldValues)` (postrack.go:35,
+  * postrack.go:372-407):
+  *
+  *   lsn: Long         — monotone offset (reference: pglogrepl.LSN)
+  *   table_name: String
+  *   op: String        — INSERT | UPDATE | DELETE (| TRUNCATE)
+  *   pk: Long          — replica-identity key
+  *   ts_us: Long       — commit time, microseconds since epoch
+  *   value, props      — the row image payload
+  *
+  * The driver's `events` table is the change-stream analog: event_id is the
+  * LSN ordinal, user_id the key, and event_type maps deterministically onto
+  * the reference's event enum (postrack.go:38-42): signup→INSERT,
+  * error→DELETE, click/view/purchase→UPDATE.
+  */
+object ChangeFeed {
+
+  /** events.parquet (with ts read as nanosecond longs) → canonical feed. */
+  def fromEvents(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id").as("lsn"),
+      lit("users").as("table_name"),
+      when(col("event_type") === "signup", "INSERT")
+        .when(col("event_type") === "error", "DELETE")
+        .otherwise("UPDATE").as("op"),
+      col("user_id").as("pk"),
+      expr("ts div 1000").as("ts_us"),
+      col("value"),
+      col("props"))
+
+  /** DuckDB CTE producing the identical feed, for oracle SQL reuse. */
+  val oracleCte: String =
+    """WITH feed AS (
+      |  SELECT event_id AS lsn, 'users' AS table_name,
+      |         CASE WHEN event_type = 'signup' THEN 'INSERT'
+      |              WHEN event_type = 'error' THEN 'DELETE'
+      |              ELSE 'UPDATE' END AS op,
+      |         user_id AS pk, epoch_us(ts) AS ts_us, value, props
+      |  FROM events)""".stripMargin
+}
+
+/** A publication = table + column selector + row condition + event mask —
+  * the reference's `Table`/`WithSelector`/`WithCondition` plus the
+  * `publish='INSERT,UPDATE,...'` event list (postrack.go:27-61, 203-209).
+  *
+  * Spark-first: all three become plain projections/filters declared before
+  * any other logic, so Catalyst pushes them into the parquet scan
+  * (PushedFilters / ReadSchema) — the same "filter at the source" effect the
+  * reference gets from Postgres evaluating the publication predicate.
+  */
+final case class Publication(
+    tableName: String,
+    selector: Seq[String] = Nil,
+    condition: Option[Column] = None,
+    eventMask: Set[String] = Set("INSERT", "UPDATE", "DELETE", "TRUNCATE")) {
+
+  def apply(feed: DataFrame): DataFrame = {
+    var df = feed.filter(col("table_name") === tableName)
+    if (eventMask.size < 4) df = df.filter(col("op").isin(eventMask.toSeq.sorted: _*))
+    condition.foreach(c => df = df.filter(c))
+    if (selector.nonEmpty) {
+      val keep = (Seq("lsn", "table_name", "op", "pk") ++ selector).distinct
+      df = df.select(keep.map(col): _*)
+    }
+    df
+  }
+}

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline, composed
+  * exclusively from `org.apache.spark.sql.functions` so every one of them
+  * stays inside whole-stage codegen (no Scala UDFs in the hot path).
+  */
+object Text {
+
+  /** Whitespace tokens. Trim first so leading/trailing space can't mint
+    * empty tokens. */
+  def wsTokens(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  /** Cast to long: DuckDB len()/length() yield BIGINT, so oracle-facing
+    * counts must be int64 on the Spark side too. */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(wsTokens(text))).cast("long")
+
+  /** BPE-ish subword pieces: letter runs, digits, or single punctuation —
+    * the classic pre-tokenization regex shape. */
+  val bpePattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0))).cast("long")
+
+  /** Small fixed stopword list shared with the DuckDB oracle. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(wsTokens(text), t => t.isin(stopwords.map(x => x: Any): _*)))
+
+  /** Quality-scoring feature columns (all rounded 4dp for oracle parity). */
+  def qualityFeatures(text: Column): Seq[Column] = {
+    val nChars = length(text).cast("long")
+    val nTokens = wsTokenCount(text)
+    val nStop = stopwordCount(text)
+    val nPunct = size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0)))
+    Seq(
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      round(nChars.cast("double") / greatest(nTokens, lit(1)), 4).as("avg_token_len"),
+      round(nStop.cast("double") / greatest(nTokens, lit(1)), 4).as("stopword_ratio"),
+      round(nPunct.cast("double") / greatest(nChars, lit(1)), 4).as("punct_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: long enough, natural stopword density,
+    * low punctuation noise. Deterministic, oracle-expressible. */
+  def qualityScore(text: Column): Column = {
+    val nTokens = wsTokenCount(text).cast("double")
+    val stopRatio = stopwordCount(text).cast("double") / greatest(nTokens, lit(1.0))
+    val punctRatio = size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0)))
+      .cast("double") / greatest(length(text).cast("double"), lit(1.0))
+    round(
+      least(nTokens / lit(100.0), lit(1.0)) * lit(0.4) +
+        least(stopRatio * lit(5.0), lit(1.0)) * lit(0.4) +
+        (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * lit(0.2),
+      4)
+  }
+
+  /** Language-ID by marker-word voting: count hits against tiny per-language
+    * marker sets; highest count wins, 'und' if nothing hits. The n-gram
+    * heuristic degenerates to word-unigram markers, which is what fits a
+    * fixed public word list. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"),
+    "es" -> Seq("el", "la", "los", "de", "que", "es", "una"))
+
+  def langId(text: Column): Column = {
+    val toks = wsTokens(lower(text))
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(
+        size(filter(toks, t => t.isin(markers.map(x => x: Any): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // array_max on (hits, lang) structs = argmax with lexicographic tie-break
+    val best = array_max(array(scores: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Word k-shingles joined with a separator — the unit for MinHash/Jaccard. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = wsTokens(lower(text))
+    val n = size(toks)
+    when(n < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), n - lit(k)),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+  }
+
+  /** Rolling polynomial (Karp-Rabin-style) fingerprint over tokens:
+    * acc = (acc * 31 + h(token)) mod M. Modular so ANSI mode can't overflow
+    * (acc < M ≈ 1e15, so acc*31 + h < 3.3e16 « Long.Max). Order-sensitive,
+    * so permuted documents fingerprint differently (unlike a bag hash). */
+  private val fpMod = 1000000000000037L
+
+  def fingerprint(text: Column): Column =
+    aggregate(wsTokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(fpMod)), lit(fpMod)))
+}

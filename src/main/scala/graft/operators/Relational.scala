@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators Spark lacks as single calls, composed from built-ins
+  * so Catalyst keeps optimizing them (no UDFs, no mapPartitions).
+  */
+object Relational {
+
+  /** As-of join via the union+window trick: tag both sides, union by name,
+    * and for each left row carry forward the latest right-side values
+    * at-or-before it per key.
+    *
+    * Scale: ONE shuffle on the key — unlike a generic non-equi range join,
+    * nothing explodes; this is the sort-merge as-of plan expressed
+    * declaratively, and the window is codegen'd.
+    *
+    * @param key       equi-key column present on both sides
+    * @param leftTs    left ordering column (monotone, e.g. epoch micros)
+    * @param rightTs   right ordering column, same unit
+    * @param tieBreak  unique id column present on both sides (total order)
+    * @param rightVals (rightCol, outputName) values carried from the right
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, tieBreak: String,
+      rightVals: Seq[(String, String)]): DataFrame = {
+    val l = left.withColumn("__t", col(leftTs)).withColumn("__side", lit(1))
+    val r = right.select(
+      Seq(col(key), col(tieBreak), col(rightTs).as("__t"), lit(0).as("__side")) ++
+        rightVals.map { case (c, as) => col(c).as(s"__r_$as") }: _*)
+    // right rows sort before left rows at equal timestamps → "at-or-before"
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"), col(tieBreak))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = rightVals.map { case (_, as) =>
+      last(col(s"__r_$as"), ignoreNulls = true).over(w).as(as)
+    }
+    l.unionByName(r, allowMissingColumns = true)
+      .select(col("*") +: carried: _*)
+      .filter(col("__side") === 1)
+      .drop((Seq("__t", "__side") ++ rightVals.map { case (_, as) => s"__r_$as" }): _*)
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event of the same key exceeds `gap` (same unit as `ts`).
+    * Both windows share one (key)-partitioning → a single shuffle. */
+  def sessionize(df: DataFrame, key: String, ts: String, tieBreak: String, gap: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts), col(tieBreak))
+    df.withColumn("__prev", lag(col(ts), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col(ts) - col("__prev") > gap, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__prev", "__new")
+  }
+
+  /** Top-k rows per group with a fully deterministic ordering (caller must
+    * include a unique tie-break in `order`). */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], order: Seq[Column], k: Int): DataFrame =
+    df.withColumn("rk", row_number().over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)))
+      .filter(col("rk") <= k)
+}

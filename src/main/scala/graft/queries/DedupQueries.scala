@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashes, Text}
+import graft.operators.Relational
+import graft.sources.Tables
+
+/** Deduplication inventory (SURVEY.md §2): exact + the near-dup family.
+  *
+  * Scale shape for every near-dup op: signature in the map phase (per-row,
+  * codegen'd), explode into bucket keys, shuffle ONCE on the bucket key,
+  * compare only within buckets (never a global cross join), emit `a < b`
+  * pairs so each candidate is examined once.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Candidate pairs from exploded bucket keys, dedup'd. `sigged` must carry
+    * (doc_id, sig); `bucketCol` produces an array of bucket-key structs. */
+  private def bucketPairs(sigged: DataFrame, buckets: org.apache.spark.sql.Column): DataFrame = {
+    val b = sigged.select(col("doc_id"), explode(buckets).as("bk"))
+    b.as("a").join(b.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy, lowest doc_id is the canonical survivor.
+    "dedup_exact" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "content_hash", "n_copies")
+        .orderBy("doc_id")),
+
+    // MinHash(64) + LSH(16 bands × 4 rows): candidates share a band bucket;
+    // verify by signature agreement ≥ 0.5 estimated Jaccard.
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val sigged = docs(s, dir).select(col("doc_id"),
+        Hashes.minhash(Text.wordShingles(col("text"), 3), 64).as("sig"))
+      val pairs = bucketPairs(sigged, Hashes.lshBands(col("sig"), 16, 4))
+      pairs
+        .join(sigged.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sigged.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .withColumn("est_jaccard",
+          round(Hashes.minhashSimilarity(col("sig_a"), col("sig_b")), 4))
+        .filter(col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash(64-bit) near-dup: 4×16-bit blocks (pigeonhole: hamming ≤ 3
+    // pairs share a block), verify hamming ≤ 3.
+    "dedup_simhash" -> ((s, dir) => {
+      val sigged = docs(s, dir).select(col("doc_id"),
+        Hashes.simhash(Text.wsTokens(lower(col("text")))).as("sig"))
+      val pairs = bucketPairs(sigged, Hashes.simhashBlocks(col("sig")))
+      pairs
+        .join(sigged.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sigged.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .withColumn("hamming", Hashes.hamming(col("sig_a"), col("sig_b")).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // n-gram Jaccard verify pass: candidates bucketed by source (stand-in
+    // for any cheap blocking key), exact word-3-gram Jaccard ≥ 0.8.
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val g = docs(s, dir).select(col("doc_id"), col("source"),
+        array_distinct(Text.wordShingles(col("text"), 3)).as("grams"))
+      g.as("a").join(g.as("b"),
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .withColumn("jaccard", round(
+          size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+            size(array_union(col("a.grams"), col("b.grams"))), 4))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,22 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.sources.Tables
+
+/** Multimodal-column inventory (SURVEY.md §2): binary payload plumbing with
+  * typed metadata. The decode itself is a clearly-marked deterministic stub
+  * (no image/audio libs in this container); the Spark-side schema,
+  * partition-wise batch shape, and column flow are real.
+  */
+object MultimodalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_metadata" -> ((s, dir) =>
+      Multimodal.extractFeatures(s, Multimodal.asMedia(Tables(s, dir, "documents")))
+        .orderBy("doc_id")))
+
+  val oracles: Map[String, String] = Map.empty
+}

@@ -1,0 +1,395 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+import graft.sources.Tables
+
+/** Relational/analytics operator inventory (SURVEY.md §2, second block).
+  *
+  * Determinism rules shared with every oracle: aggregates rounded to 4dp on
+  * both sides; every ORDER BY is a total order over exact (non-float-
+  * computed) keys or already-rounded values; timestamps leave the plan as
+  * epoch micros/millis (bigint) or DATE, never as raw timestamps.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** events with ts normalized to epoch microseconds (ns parquet → long). */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+
+  private def revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: scan-heavy grouped aggregation, map-side partial aggs.
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("2000-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base_price"),
+          round(sum(revenue), 4).as("sum_disc_price"),
+          round(sum(revenue * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // TPC-H Q3 shape: selective dim filter → fact join → top-k by revenue.
+    "q3_join_agg" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(revenue), 4).as("rev"))
+        .select(col("l_orderkey"), col("rev"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("rev").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: star join; dims broadcast, one fact shuffle.
+    "q5_multijoin" -> ((s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1999-01-01")))
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c),
+          col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(revenue), 4).as("rev"))
+        .orderBy(col("rev").desc, col("n_name"))
+    }),
+
+    // EXISTS → left-semi: no fact-side duplication, build side broadcast.
+    "q_semijoin" -> ((s, dir) => {
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      t(s, dir, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // NOT EXISTS → left-anti.
+    "q_antijoin" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // Window ranking over raw (exact) sort keys.
+    "q_window_rank" -> ((s, dir) => {
+      val wOrd = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      val wRank = Window.partitionBy("l_suppkey").orderBy(col("l_extendedprice").desc)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          row_number().over(wOrd).cast("long").as("rn"),
+          rank().over(wRank).cast("long").as("price_rank"))
+        .filter(col("rn") <= 5)
+        .orderBy("l_suppkey", "rn")
+    }),
+
+    // Running aggregates / lag-lead; one shuffle shared by all three windows.
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("o_totalprice"),
+          round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4)
+            .as("running_spend"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          row_number().over(w).cast("long").as("order_seq"))
+        .orderBy("o_custkey", "order_seq")
+    }),
+
+    // Multi-level aggregation; NULL grouping levels labeled for determinism.
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("rflag", "lstatus")),
+
+    // Pivot with an explicit value list (no driver-side distinct scan).
+    "q_pivot" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum("value"), 4))
+        .orderBy("user_id")),
+
+    "q_topk_per_group" -> ((s, dir) =>
+      Relational.topKPerGroup(
+        t(s, dir, "orders"), Seq("o_orderpriority"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("o_orderpriority", "rk")),
+
+    "q_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    // As-of join: each purchase ← latest signup at-or-before it, per user.
+    "q_asof_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us", "value")
+      val signups = e.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts_us", "value")
+      Relational.asofJoin(purchases, signups, "user_id", "ts_us", "ts_us", "event_id",
+          Seq("ts_us" -> "signup_ts_us", "value" -> "signup_value"))
+        .select("event_id", "user_id", "ts_us", "value", "signup_ts_us", "signup_value")
+        .orderBy("event_id")
+    }),
+
+    // Interval join: purchases within 10 min after a click, same user.
+    "q_range_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts_us").as("click_us"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("b_user"),
+          col("ts_us").as("buy_us"), col("value"))
+      clicks.join(buys,
+          col("user_id") === col("b_user") &&
+            col("buy_us") >= col("click_us") &&
+            col("buy_us") <= col("click_us") + lit(600000000L))
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          (col("buy_us") - col("click_us")).as("delta_us"), col("value"))
+        .orderBy("click_id", "purchase_id")
+    }),
+
+    // Tumbling 1h windows (batch view of the streaming aggregation).
+    "q_tumbling_window" -> ((s, dir) =>
+      ev(s, dir)
+        .withColumn("ts_t", timestamp_micros(col("ts_us")))
+        .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 4).as("sum_value"),
+          round(avg("value"), 4).as("avg_value"))
+        .select(unix_millis(col("w.start")).as("hour_start_ms"),
+          col("event_type"), col("n"), col("sum_value"), col("avg_value"))
+        .orderBy("hour_start_ms", "event_type")),
+
+    // Gap-based sessionization (30 min) + per-session rollup.
+    "q_sessionize" -> ((s, dir) =>
+      Relational.sessionize(ev(s, dir), "user_id", "ts_us", "event_id", 1800000000L)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_us").as("session_start_us"),
+          max("ts_us").as("session_end_us"),
+          round(sum("value"), 4).as("session_value"))
+        .orderBy("user_id", "session_id")),
+
+    // JSON extraction from the props payload.
+    "q_json_extract" -> ((s, dir) =>
+      ev(s, dir)
+        .select(col("event_id"), col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")))
+
+  /** Shared DuckDB prelude for event queries (ns timestamps → epoch micros). */
+  private val evCte =
+    "WITH e AS (SELECT event_id, user_id, event_type, value, props, epoch_us(ts) AS ts_us FROM events)"
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       round(sum(l_extendedprice), 4) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join_agg" ->
+      """SELECT l_orderkey,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY rev DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_multijoin" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name
+        |ORDER BY rev DESC, n_name""".stripMargin,
+
+    "q_semijoin" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn, price_rank
+        |FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_suppkey
+        |             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn,
+        |         rank() OVER (PARTITION BY l_suppkey
+        |             ORDER BY l_extendedprice DESC) AS price_rank
+        |  FROM lineitem)
+        |WHERE rn <= 5
+        |ORDER BY l_suppkey, rn""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 4)
+        |         AS running_spend,
+        |       lag(o_totalprice) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |       row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS order_seq
+        |FROM orders
+        |ORDER BY o_custkey, order_seq""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+        |       COALESCE(l_linestatus, 'ALL') AS lstatus,
+        |       count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |       round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+        |       round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
+        |       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+        |       round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+        |       round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS "view"
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_asof_join" ->
+      s"""$evCte,
+         |u AS (
+         |  SELECT event_id, user_id, ts_us, value, 1 AS side FROM e WHERE event_type = 'purchase'
+         |  UNION ALL
+         |  SELECT event_id, user_id, ts_us, value, 0 AS side FROM e WHERE event_type = 'signup'),
+         |w AS (
+         |  SELECT *,
+         |    last_value(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS) OVER (
+         |      PARTITION BY user_id ORDER BY ts_us, side, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS signup_ts_us,
+         |    last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER (
+         |      PARTITION BY user_id ORDER BY ts_us, side, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS signup_value
+         |  FROM u)
+         |SELECT event_id, user_id, ts_us, value, signup_ts_us, signup_value
+         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    "q_range_join" ->
+      s"""$evCte
+         |SELECT c.event_id AS click_id, b.event_id AS purchase_id, c.user_id,
+         |       b.ts_us - c.ts_us AS delta_us, b.value
+         |FROM e c JOIN e b
+         |  ON c.user_id = b.user_id
+         | AND c.event_type = 'click' AND b.event_type = 'purchase'
+         | AND b.ts_us >= c.ts_us AND b.ts_us <= c.ts_us + 600000000
+         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "q_tumbling_window" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_start_ms, event_type,
+        |       count(*) AS n, round(sum(value), 4) AS sum_value,
+        |       round(avg(value), 4) AS avg_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_start_ms, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      s"""$evCte,
+         |gaps AS (
+         |  SELECT user_id, event_id, ts_us, value,
+         |         CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+         |                OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |                   > 1800000000
+         |              THEN 1 ELSE 0 END AS new_session
+         |  FROM e),
+         |sess AS (
+         |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         |  FROM gaps)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+         |       round(sum(value), 4) AS session_value
+         |FROM sess GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id, user_id,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events
+        |ORDER BY event_id""".stripMargin)
+}
