@@ -11,13 +11,21 @@ import org.apache.spark.sql.functions._
   */
 object Hashes {
 
-  /** MinHash signature: numPerms permutations simulated by seeding xxhash64
-    * with the permutation index; sig[i] = min over shingles of h_i(shingle).
-    * Standard MinHash estimator (Broder '97). */
-  def minhash(shingles: Column, numPerms: Int): Column =
+  /** MinHash signature: numPerms permutations simulated by re-hashing with
+    * the permutation index; sig[i] = min over shingles of h_i(shingle).
+    * Standard MinHash estimator (Broder '97).
+    *
+    * Perf: each shingle STRING is hashed exactly once; the numPerms
+    * "permutations" re-hash the resulting 8-byte long (xxhash64(h, i)),
+    * which is ~10× cheaper per slot than re-hashing the string. Higher-order
+    * functions are interpreted (CodegenFallback), so per-eval cost matters.
+    */
+  def minhash(shingles: Column, numPerms: Int): Column = {
+    val hashes = transform(shingles, s => xxhash64(s))
     transform(
       sequence(lit(0), lit(numPerms - 1)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
+      i => array_min(transform(hashes, h => xxhash64(h, i))))
+  }
 
   /** Estimated Jaccard from two signatures: fraction of agreeing slots. */
   def minhashSimilarity(sigA: Column, sigB: Column): Column =
@@ -43,10 +51,12 @@ object Hashes {
     * sign of the sum over tokens of ±1 depending on bit k of the token hash.
     * Computed per-bit with higher-order functions, then folded into a Long. */
   def simhash(tokens: Column): Column = {
+    // hash each token string once; the 64 bit-votes then only shift longs
+    val hashes = transform(tokens, t => xxhash64(t))
     val bitVotes = transform(
       sequence(lit(0), lit(63)),
-      k => aggregate(tokens, lit(0),
-        (acc, t) => acc + when(call_function("shiftright", xxhash64(t), k).bitwiseAND(1) === 1, 1).otherwise(-1)))
+      k => aggregate(hashes, lit(0),
+        (acc, h) => acc + when(call_function("shiftright", h, k).bitwiseAND(1) === 1, 1).otherwise(-1)))
     aggregate(
       zip_with(bitVotes, sequence(lit(0), lit(63)),
         (v, k) => when(v > 0, call_function("shiftleft", lit(1L), k)).otherwise(lit(0L))),

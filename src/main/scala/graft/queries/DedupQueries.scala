@@ -19,6 +19,11 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** Sharded read for the signature stages (single-file local parquet would
+    * otherwise pin the whole map phase to one core). */
+  private def docsSharded(s: SparkSession, dir: String): DataFrame =
+    Tables.sharded(s, dir, "documents")
+
   /** Candidate pairs from exploded bucket keys, dedup'd. `sigged` must carry
     * (doc_id, sig); `bucketCol` produces an array of bucket-key structs. */
   private def bucketPairs(sigged: DataFrame, buckets: org.apache.spark.sql.Column): DataFrame = {
@@ -41,8 +46,12 @@ object DedupQueries {
     // MinHash(64) + LSH(16 bands × 4 rows): candidates share a band bucket;
     // verify by signature agreement ≥ 0.5 estimated Jaccard.
     "dedup_minhash_lsh" -> ((s, dir) => {
-      val sigged = docs(s, dir).select(col("doc_id"),
-        Hashes.minhash(Text.wordShingles(col("text"), 3), 64).as("sig"))
+      // persist = the local analog of materializing signatures to storage,
+      // which is what a 100 TB run does; the plan uses `sigged` three times
+      // (band self-join × 2 scans + verify join) and must not recompute the
+      // signature each time.
+      val sigged = docsSharded(s, dir).select(col("doc_id"),
+        Hashes.minhash(Text.wordShingles(col("text"), 3), 64).as("sig")).persist()
       val pairs = bucketPairs(sigged, Hashes.lshBands(col("sig"), 16, 4))
       pairs
         .join(sigged.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
@@ -57,8 +66,8 @@ object DedupQueries {
     // SimHash(64-bit) near-dup: 4×16-bit blocks (pigeonhole: hamming ≤ 3
     // pairs share a block), verify hamming ≤ 3.
     "dedup_simhash" -> ((s, dir) => {
-      val sigged = docs(s, dir).select(col("doc_id"),
-        Hashes.simhash(Text.wsTokens(lower(col("text")))).as("sig"))
+      val sigged = docsSharded(s, dir).select(col("doc_id"),
+        Hashes.simhash(Text.wsTokens(lower(col("text")))).as("sig")).persist()
       val pairs = bucketPairs(sigged, Hashes.simhashBlocks(col("sig")))
       pairs
         .join(sigged.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
@@ -69,13 +78,18 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // n-gram Jaccard verify pass: candidates bucketed by source (stand-in
-    // for any cheap blocking key), exact word-3-gram Jaccard ≥ 0.8.
+    // n-gram Jaccard verify pass: candidates blocked on (source, length
+    // bucket) — Jaccard ≥ 0.8 implies near-equal doc length, so length
+    // blocking is lossless-ish and caps bucket size; exact word-3-gram
+    // Jaccard within blocks.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val g = docs(s, dir).select(col("doc_id"), col("source"),
-        array_distinct(Text.wordShingles(col("text"), 3)).as("grams"))
+      val g = docsSharded(s, dir).select(col("doc_id"), col("source"),
+        (col("n_chars") / 50).cast("long").as("len_bucket"),
+        array_distinct(Text.wordShingles(col("text"), 3)).as("grams")).persist()
       g.as("a").join(g.as("b"),
-          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+          col("a.source") === col("b.source") &&
+            col("a.len_bucket") === col("b.len_bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
         .withColumn("jaccard", round(
           size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
             size(array_union(col("a.grams"), col("b.grams"))), 4))

@@ -15,7 +15,7 @@ object MultimodalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> ((s, dir) =>
-      Multimodal.extractFeatures(s, Multimodal.asMedia(Tables(s, dir, "documents")))
+      Multimodal.extractFeatures(s, Multimodal.asMedia(Tables.sharded(s, dir, "documents")))
         .orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map.empty

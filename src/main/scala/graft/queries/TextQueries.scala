@@ -13,7 +13,7 @@ import graft.sources.Tables
 object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    Tables.sharded(s, dir, "documents")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> ((s, dir) =>

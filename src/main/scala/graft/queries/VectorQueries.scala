@@ -14,7 +14,7 @@ import graft.sources.Tables
 object VectorQueries {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "embeddings")
+    Tables.sharded(s, dir, "embeddings")
 
   /** Bounded query sample: small, deterministic, broadcast side of the
     * top-k search. At scale the query set is always << the corpus. */
@@ -26,13 +26,13 @@ object VectorQueries {
     // vectors agreeing on a 12-bit signature get compared (no cross join).
     "dedup_embedding" -> ((s, dir) => {
       val sigged = emb(s, dir).select(col("vec_id"), col("embedding"),
-        Vectors.hyperplaneSig(col("embedding"), 12).as("sig"))
+        Vectors.hyperplaneSig(col("embedding"), 8).as("sig")).persist()
       sigged.as("a").join(sigged.as("b"),
           col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
         // the synthetic embeddings are near-orthogonal (max pairwise cosine
         // ≈0.46 at sf0.01), so "near"-dup here means the top of that range
         .withColumn("cos", round(Vectors.cosine(col("a.embedding"), col("b.embedding")), 4))
-        .filter(col("cos") >= 0.3)
+        .filter(col("cos") >= 0.25)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
         .orderBy("vec_a", "vec_b")
     }),

@@ -24,4 +24,12 @@ object Tables {
     }
     spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Table spread across all cores. The test tables are single small parquet
+    * files (< spark.sql.files.maxPartitionBytes), so Spark scans them as ONE
+    * partition; any compute-heavy map stage (signatures, decode) would run
+    * on a single core. At 100 TB the input arrives pre-split, so this
+    * repartition models that; locally it is required for parallelism. */
+  def sharded(spark: SparkSession, dir: String, name: String): DataFrame =
+    apply(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
 }
