@@ -87,10 +87,12 @@ object RelationalQueries {
         .orderBy("c_custkey")
     }),
 
-    // NOT EXISTS → left-anti.
+    // NOT EXISTS → left-anti (customers who never placed an urgent order —
+    // non-empty at every scale factor, unlike order-less customers).
     "q_antijoin" -> ((s, dir) =>
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
@@ -268,7 +270,8 @@ object RelationalQueries {
 
     "q_antijoin" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
 
     "q_window_rank" ->

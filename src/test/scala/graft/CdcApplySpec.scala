@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.{Apply, ChangeFeed, Publication}
+
+class CdcApplySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  /** Hand-built feed: key 1 insert→update, key 2 insert→delete, key 3 insert. */
+  private def feed: DataFrame =
+    Seq(
+      (1L, "users", "INSERT", 1L, 100L, 10.0, "{}"),
+      (2L, "users", "UPDATE", 1L, 200L, 11.0, "{}"),
+      (3L, "users", "INSERT", 2L, 300L, 20.0, "{}"),
+      (4L, "users", "DELETE", 2L, 400L, 0.0, "{}"),
+      (5L, "users", "INSERT", 3L, 500L, 30.0, "{}"))
+      .toDF("lsn", "table_name", "op", "pk", "ts_us", "value", "props")
+
+  test("latestSnapshot: highest LSN wins, tombstoned keys dropped") {
+    val got = Apply.latestSnapshot(feed).orderBy("pk")
+      .select("pk", "lsn", "value").as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 11.0), (3L, 5L, 30.0)))
+  }
+
+  test("upsert: update, insert, delete, unchanged branches all hit") {
+    val base = Seq((1L, 100.0), (2L, 200.0), (9L, 900.0)).toDF("k", "v")
+    val got = Apply.upsert(base, feed, "k", "v").orderBy("pk")
+      .as[(Long, Double, String)].collect().toSeq
+    // 1: updated, 2: deleted (gone), 3: inserted, 9: untouched base row
+    assert(got == Seq((1L, 11.0, "UPDATE"), (3L, 30.0, "INSERT"), (9L, 900.0, "UNCHANGED")))
+  }
+
+  test("scd2: intervals close at next change; last row open + current") {
+    val rows = Apply.scd2(feed).filter($"pk" === 1L).orderBy("lsn")
+      .select("valid_from_us", "valid_to_us", "is_current")
+      .as[(Long, Option[Long], Boolean)].collect().toSeq
+    assert(rows == Seq((100L, Some(200L), false), (200L, None, true)))
+  }
+
+  test("beforeAfter pairs UPDATE with previous per-key value") {
+    val rows = Apply.beforeAfter(feed)
+      .select("pk", "before_value", "after_value").as[(Long, Double, Double)].collect().toSeq
+    assert(rows == Seq((1L, 10.0, 11.0)))
+  }
+
+  test("resumeFrom is strictly-after, like StartReplication(lsn+1)") {
+    assert(Apply.resumeFrom(feed, 3L).agg(min("lsn")).as[Long].head() == 4L)
+  }
+
+  test("publication event mask + condition + selector") {
+    val pub = Publication("users",
+      selector = Seq("value"),
+      condition = Some(col("value") >= 20.0),
+      eventMask = Set("INSERT"))
+    val got = pub(feed).orderBy("lsn").select("pk", "value").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 20.0), (3L, 30.0)))
+    assert(pub(feed).columns.toSeq == Seq("lsn", "table_name", "op", "pk", "value"))
+  }
+
+  test("publication condition pushes into the parquet scan") {
+    val events = sources.Tables(spark, sf, "events")
+    val plan = Publication("users", condition = Some(col("value") > 150.0))(
+      ChangeFeed.fromEvents(events)).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan.take(2000))
+    assert(plan.contains("GreaterThan(value,150.0)"), plan.take(2000))
+  }
+
+  test("driver-table feed maps the reference event enum deterministically") {
+    val ops = ChangeFeed.fromEvents(sources.Tables(spark, sf, "events"))
+      .select("op").distinct().as[String].collect().toSet
+    assert(ops == Set("INSERT", "UPDATE", "DELETE"))
+  }
+}

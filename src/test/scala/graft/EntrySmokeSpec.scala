@@ -1,0 +1,24 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class EntrySmokeSpec extends AnyFunSuite with SparkTestBase {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("every query runs at sf0.001 and most return rows") {
+    val counts = SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf).count()
+    }
+    val empty = counts.filter(_._2 == 0).keys.toSet
+    // near-dup thresholds may legitimately find nothing at tiny scale for
+    // the random synthetic corpus — but only for these
+    assert(empty.subsetOf(Set("dedup_ngram_jaccard", "dedup_embedding")), s"empty: $empty")
+  }
+}

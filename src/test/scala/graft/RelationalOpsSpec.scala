@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("asofJoin: latest at-or-before per key; equal ts matches (at-OR-before)") {
+    val left = Seq((10L, 1L, 100L, 1.0), (11L, 1L, 250L, 2.0), (12L, 2L, 50L, 3.0))
+      .toDF("event_id", "k", "ts", "v")
+    val right = Seq((1L, 1L, 100L, 7.0), (2L, 1L, 200L, 8.0), (3L, 2L, 60L, 9.0))
+      .toDF("event_id", "k", "ts", "rv")
+    val got = Relational.asofJoin(left, right, "k", "ts", "ts", "event_id",
+        Seq("ts" -> "r_ts", "rv" -> "r_v"))
+      .orderBy("event_id")
+      .select("event_id", "r_ts", "r_v").as[(Long, Option[Long], Option[Double])]
+      .collect().toSeq
+    assert(got == Seq(
+      (10L, Some(100L), Some(7.0)),  // exact tie → matched (at-or-before)
+      (11L, Some(200L), Some(8.0)),  // latest of two earlier rows
+      (12L, None, None)))            // right row is later → no match
+  }
+
+  test("sessionize: gap strictly greater than threshold starts a new session") {
+    val df = Seq((1L, 0L, 1L), (2L, 100L, 1L), (3L, 200L, 1L), (4L, 301L, 1L))
+      .toDF("id", "ts", "k")
+    val got = Relational.sessionize(df, "k", "ts", "id", 100L)
+      .orderBy("id").select("session_id").as[Long].collect().toSeq
+    // gaps: -,100,100,101 → exactly-gap stays, gap+1 splits
+    assert(got == Seq(1L, 1L, 1L, 2L))
+  }
+
+  test("topKPerGroup returns exactly k with deterministic tie-break") {
+    val df = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 5.0), ("b", 4L, 1.0))
+      .toDF("g", "id", "score")
+    val got = Relational.topKPerGroup(df, Seq("g"), Seq($"score".desc, $"id"), 2)
+      .orderBy("g", "rk").select("id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 4L))
+  }
+
+  test("q5 star join broadcasts every dimension") {
+    val plan = queries.RelationalQueries.queries("q5_multijoin")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("q1 scan prunes to the referenced columns only") {
+    val plan = queries.RelationalQueries.queries("q1_agg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan.take(3000))
+    // projection pruning: untouched wide columns must not be read
+    assert(!plan.contains("l_partkey"), plan.take(3000))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Hashes, Text, Vectors}
+
+class TextHashSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("r")).collect().head.getAs[T]("r")
+
+  test("wsTokenCount: empty and whitespace-only → 0") {
+    assert(one[Long](Text.wsTokenCount($"t"), "") == 0L)
+    assert(one[Long](Text.wsTokenCount($"t"), "   ") == 0L)
+    assert(one[Long](Text.wsTokenCount($"t"), " a  b ") == 2L)
+  }
+
+  test("bpe tokens: letter runs + digits + punctuation") {
+    assert(one[Long](Text.bpeTokenCount($"t"), "ab12,cd") == 5L) // ab,1,2,',',cd
+  }
+
+  test("langId votes: english vs german vs no markers") {
+    assert(one[String](Text.langId($"t"), "the cat is in the house") == "en")
+    assert(one[String](Text.langId($"t"), "das ist nicht der hund") == "de")
+    assert(one[String](Text.langId($"t"), "zzz qqq xxx") == "und")
+  }
+
+  test("fingerprint is order-sensitive") {
+    val a = one[Long](Text.fingerprint($"t"), "alpha beta gamma")
+    val b = one[Long](Text.fingerprint($"t"), "gamma beta alpha")
+    assert(a != b)
+  }
+
+  test("wordShingles: short docs collapse to one shingle") {
+    def shingles(text: String, k: Int): Seq[String] =
+      Seq(text).toDF("t").select(Text.wordShingles($"t", k).as("r"))
+        .collect().head.getSeq[String](0).toList
+    assert(shingles("a b", 3) == Seq("a b"))
+    assert(shingles("a b c", 2) == Seq("a b", "b c"))
+  }
+
+  test("minhash: identical docs → identical sigs, est similarity 1.0") {
+    val df = Seq(("x x y z w q r"), ("x x y z w q r")).toDF("t")
+      .select(Hashes.minhash(Text.wordShingles($"t", 2), 32).as("sig"))
+    val sigs = df.collect().map(_.getSeq[Long](0).toSeq)
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("minhash LSH finds a planted near-duplicate") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow")
+    val far = "completely different words nothing shared here at all whatsoever ok ok"
+    val docs = Seq((0L, base), (1L, near), (2L, far)).toDF("doc_id", "text")
+    val sigged = docs.select($"doc_id",
+      Hashes.minhash(Text.wordShingles($"text", 3), 64).as("sig"))
+    val bands = sigged.select($"doc_id", explode(Hashes.lshBands($"sig", 16, 4)).as("bk"))
+    val pairs = bands.as("a").join(bands.as("b"),
+        $"a.bk" === $"b.bk" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id").distinct().as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)))
+  }
+
+  test("simhash: near-identical docs hamming-close, unrelated docs far") {
+    // 1 token changed out of 120: expected flips ≈ 64·P(|vote margin| ≤ 1)/2,
+    // small for long docs; unrelated docs sit near hamming 32
+    val base = (1 to 120).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok60", "changed")
+    val far = (1 to 120).map(i => s"other$i").mkString(" ")
+    val df = Seq((0L, base), (1L, near), (2L, far)).toDF("doc_id", "text")
+      .select($"doc_id", Hashes.simhash(Text.wsTokens($"text")).as("sig"))
+    val sigs = df.orderBy("doc_id").collect().map(_.getLong(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0), sigs(1)) <= 6, s"near pair hamming=${ham(sigs(0), sigs(1))}")
+    assert(ham(sigs(0), sigs(2)) > 15, s"far pair hamming=${ham(sigs(0), sigs(2))}")
+  }
+
+  test("cosine: identity 1.0, orthogonal 0.0") {
+    val df = Seq((Array(1f, 0f), Array(1f, 0f), Array(0f, 1f))).toDF("a", "b", "c")
+    val r = df.select(
+      round(Vectors.cosine($"a", $"b"), 6).as("same"),
+      round(Vectors.cosine($"a", $"c"), 6).as("orth")).collect().head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("hyperplane signature is deterministic and executor-independent") {
+    val v = Array.tabulate(64)(i => (i % 7).toFloat - 3f)
+    val df = Seq(Tuple1(v), Tuple1(v)).toDF("e").repartition(2)
+      .select(Vectors.hyperplaneSig($"e", 12).as("sig"))
+    val sigs = df.collect().map(_.getLong(0))
+    assert(sigs(0) == sigs(1))
+  }
+}
