@@ -1,0 +1,133 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the signature inner loops.
+  *
+  * The higher-order-function formulations in graft.functions.Hashes are
+  * CodegenFallback AND allocate a lambda-dispatched object graph per slot —
+  * ~numPerms × numShingles interpreted evals per row. These expressions do
+  * the same math in one tight JVM loop per row over the unsafe string
+  * bytes: one XXH64 string hash per shingle, then numPerms 8-byte re-hashes
+  * with zero allocation. Same preference tier as the guide's "custom
+  * Expression beats UDF": no SerDe boundary, null-safety and types handled
+  * by Catalyst.
+  */
+final case class MinHashSig(child: Expression, numPerms: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig expects array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numPerms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUTF8String(s, 42L)
+        var p = 0
+        while (p < numPerms) {
+          val hp = XXH64.hashLong(h, p.toLong)
+          if (hp < mins(p)) mins(p) = hp
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** 64-bit SimHash (Charikar '02) over an array<string> of tokens, one pass,
+  * zero allocation beyond the vote array. */
+final case class SimHashSig(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_sig expects array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        var k = 0
+        while (k < 64) {
+          votes(k) += (if (((h >>> k) & 1L) == 1L) 1 else -1)
+          k += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      if (votes(k) > 0) sig |= (1L << k)
+      k += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "simhash_sig"
+}
+
+/** Session registration + Column-facing wrappers. Registration is idempotent
+  * and per-session (Spark 4 removed the public Column-from-Expression
+  * constructor, so the registry + call_function is the supported route). */
+object NativeHashes {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_sig", {
+      case Seq(c, n) => MinHashSig(c, n.eval(null).asInstanceOf[Number].intValue())
+      case other => throw new IllegalArgumentException(
+        s"minhash_sig(arr, numPerms) expects 2 args, got ${other.size}")
+    }, "built-in")
+    reg.createOrReplaceTempFunction("simhash_sig", {
+      case Seq(c) => SimHashSig(c)
+      case other => throw new IllegalArgumentException(
+        s"simhash_sig(arr) expects 1 arg, got ${other.size}")
+    }, "built-in")
+  }
+
+  def minhashSig(spark: SparkSession, shingles: Column, numPerms: Int): Column = {
+    register(spark)
+    call_function("minhash_sig", shingles, org.apache.spark.sql.functions.lit(numPerms))
+  }
+
+  def simhashSig(spark: SparkSession, tokens: Column): Column = {
+    register(spark)
+    call_function("simhash_sig", tokens)
+  }
+}

@@ -51,7 +51,8 @@ object DedupQueries {
       // (band self-join × 2 scans + verify join) and must not recompute the
       // signature each time.
       val sigged = docsSharded(s, dir).select(col("doc_id"),
-        Hashes.minhash(Text.wordShingles(col("text"), 3), 64).as("sig")).persist()
+        graft.plans.NativeHashes.minhashSig(s, Text.wordShingles(col("text"), 3), 64)
+          .as("sig")).persist()
       val pairs = bucketPairs(sigged, Hashes.lshBands(col("sig"), 16, 4))
       pairs
         .join(sigged.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
@@ -67,7 +68,8 @@ object DedupQueries {
     // pairs share a block), verify hamming ≤ 3.
     "dedup_simhash" -> ((s, dir) => {
       val sigged = docsSharded(s, dir).select(col("doc_id"),
-        Hashes.simhash(Text.wsTokens(lower(col("text")))).as("sig")).persist()
+        graft.plans.NativeHashes.simhashSig(s, Text.wsTokens(lower(col("text"))))
+          .as("sig")).persist()
       val pairs = bucketPairs(sigged, Hashes.simhashBlocks(col("sig")))
       pairs
         .join(sigged.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")

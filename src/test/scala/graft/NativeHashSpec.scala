@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Text
+import graft.plans.NativeHashes
+
+class NativeHashSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("native minhash: identical docs → identical sigs; near-dup overlaps; disjoint doesn't") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow")
+    val far = "completely different words nothing shared here at all whatsoever ok ok"
+    val sigs = Seq((0L, base), (1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+      .select($"doc_id",
+        NativeHashes.minhashSig(spark, Text.wordShingles($"text", 3), 64).as("sig"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1).toVector)
+    assert(sigs(0) == sigs(1))
+    val overlapNear = sigs(0).zip(sigs(2)).count { case (a, b) => a == b }
+    val overlapFar = sigs(0).zip(sigs(3)).count { case (a, b) => a == b }
+    assert(overlapNear > 32, s"near overlap $overlapNear/64")
+    assert(overlapFar < 8, s"far overlap $overlapFar/64")
+  }
+
+  test("native simhash matches the HOF reference implementation exactly") {
+    // same hash chain for the per-token hash (xxhash64 = XXH64 seed 42), so
+    // the two implementations must agree bit-for-bit
+    val df = Seq("spark engine table scan join merge", "a b c", "x")
+      .toDF("text")
+    val got = df.select(
+      NativeHashes.simhashSig(spark, Text.wsTokens($"text")).as("native"),
+      graft.functions.Hashes.simhash(Text.wsTokens($"text")).as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("native expressions survive filter pushdown planning on parquet scans") {
+    val d = sources.Tables(spark, sf, "documents")
+    val out = d.filter($"n_chars" > 100)
+      .select($"doc_id", NativeHashes.simhashSig(spark, Text.wsTokens($"text")).as("sig"))
+    assert(out.count() > 0)
+    assert(out.queryExecution.executedPlan.toString.contains("PushedFilters"))
+  }
+}
