@@ -68,6 +68,21 @@ object Apply {
   def resumeFrom(feed: DataFrame, lsn: Long): DataFrame =
     feed.filter(col("lsn") > lsn)
 
+  /** TRUNCATE semantics (reference: TruncateMessage, postrack.go:408-411):
+    * a TRUNCATE at LSN T wipes everything earlier on that table. Returns the
+    * feed with pre-truncate events removed (TRUNCATE markers included), so
+    * any downstream apply operator composes with it. Single window over the
+    * table partitioning — no extra shuffle when followed by per-key ops on
+    * the same exchange. */
+  def applyTruncates(feed: DataFrame): DataFrame = {
+    val byTable = Window.partitionBy("table_name")
+    feed
+      .withColumn("__trunc_lsn",
+        max(when(col("op") === "TRUNCATE", col("lsn"))).over(byTable))
+      .filter(col("__trunc_lsn").isNull || col("lsn") >= col("__trunc_lsn"))
+      .drop("__trunc_lsn")
+  }
+
   /** Per-table/op monitoring counters + LSN high-watermark — what keepAlive
     * acks upstream (postrack.go:98-109). */
   def changelogStats(feed: DataFrame): DataFrame =

@@ -62,4 +62,23 @@ object Relational {
     df.withColumn("rk", row_number().over(
         Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)))
       .filter(col("rk") <= k)
+
+  /** Salted equi-join for skewed keys: the skewed (left) side gets a
+    * deterministic salt derived from a unique column, the right side is
+    * replicated saltFactor× with every salt value, and the join key becomes
+    * (key, salt) — so one hot key fans out over saltFactor reducers instead
+    * of melting a single one. Result is row-identical to the unsalted join.
+    *
+    * AQE's skew-join handles moderate skew at runtime; explicit salting is
+    * for the pathological keys (null bursts, default ids) known in advance.
+    */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftUnique: String, saltFactor: Int): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(col(leftUnique)), lit(saltFactor)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
 }

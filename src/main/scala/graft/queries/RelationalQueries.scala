@@ -158,6 +158,17 @@ object RelationalQueries {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
 
+    // Sketch aggregation: HLL++ approximate distinct next to the exact
+    // count — the 100 TB cardinality path (no oracle: sketch values are
+    // engine-specific; the spec asserts the error envelope instead).
+    "q_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")),
+
     // As-of join: each purchase ← latest signup at-or-before it, per user.
     "q_asof_join" -> ((s, dir) => {
       val e = ev(s, dir)

@@ -58,6 +58,20 @@ object CdcStream {
       .groupBy(window(col("ts_t"), window_), col("tableName"), col("op"))
       .agg(count(lit(1)).as("n_events"), max("lsn").as("watermark_lsn"))
 
+  /** Exactly-once delivery on top of an at-least-once feed: drop replayed
+    * LSNs within the watermark horizon. State is bounded by the watermark —
+    * the same trade the reference's LSN-ack loop makes (an acked LSN can
+    * still be re-sent after a reconnect; consumers must dedup). */
+  def dedupWithinWatermark(changes: Dataset[Change], watermark: String): Dataset[Change] = {
+    import changes.sparkSession.implicits._
+    changes
+      .withColumn("ts_t", timestamp_micros(col("tsUs")))
+      .withWatermark("ts_t", watermark)
+      .dropDuplicatesWithinWatermark("lsn")
+      .drop("ts_t")
+      .as[Change]
+  }
+
   /** File-drop CDC source: a directory where the capture side appends
     * parquet change batches becomes a streaming DataFrame with the Change
     * schema — the simplest durable transport from a postrack-style capture

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.Apply
+import graft.operators.Relational
+import graft.sources.{Bucketing, Tables}
+
+class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("applyTruncates: TRUNCATE wipes earlier events on its table only") {
+    val feed = Seq(
+      (1L, "users", "INSERT", 1L, 100L, 1.0, "{}"),
+      (2L, "users", "INSERT", 2L, 200L, 2.0, "{}"),
+      (3L, "users", "TRUNCATE", -1L, 300L, 0.0, "{}"),
+      (4L, "users", "INSERT", 3L, 400L, 3.0, "{}"),
+      (5L, "accts", "INSERT", 9L, 500L, 9.0, "{}"))
+      .toDF("lsn", "table_name", "op", "pk", "ts_us", "value", "props")
+    val snap = Apply.latestSnapshot(
+        Apply.applyTruncates(feed).filter($"op" =!= "TRUNCATE"))
+      .orderBy("pk").select("pk").as[Long].collect().toSeq
+    assert(snap == Seq(3L, 9L)) // users 1,2 truncated away; accts untouched
+  }
+
+  test("saltedJoin is row-identical to the plain join") {
+    val left = Tables(spark, sf, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    val right = Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = left.join(right, Seq("l_orderkey"))
+    val salted = Relational.saltedJoin(left, right, "l_orderkey", "l_partkey", 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("bucketed co-located join plans without an exchange") {
+    val ev = Tables(spark, sf, "events").select("event_id", "user_id", "value")
+    Bucketing.writeBucketed(ev, "ev_a", "user_id", 4)
+    Bucketing.writeBucketed(ev.withColumnRenamed("value", "value2")
+      .withColumnRenamed("event_id", "event_id2"), "ev_b", "user_id", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = Bucketing.coLocatedJoin(spark, "ev_a", "ev_b", "user_id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(3000))
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("approx_count_distinct stays within its 2% rsd envelope at sf0.001") {
+    val rows = queries.RelationalQueries.queries("q_approx_distinct")(spark, sf)
+      .select("approx_parts", "exact_parts").as[(Long, Long)].collect()
+    rows.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.1,
+        s"approx=$approx exact=$exact")
+    }
+  }
+}

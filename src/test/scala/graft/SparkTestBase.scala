@@ -5,11 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** One shared local session for the whole forked test JVM. */
 object SparkTestBase {
   lazy val spark: SparkSession = {
+    // keep managed-table state (bucketing tests) out of the repo dir
+    System.setProperty("derby.system.home", "/tmp/graft-derby")
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

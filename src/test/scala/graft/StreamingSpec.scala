@@ -58,6 +58,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark drops replayed LSNs across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val q = CdcStream.dedupWithinWatermark(input.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000000L
+      input.addData(
+        Change(1, "users", "INSERT", 1, t0, 1.0),
+        Change(1, "users", "INSERT", 1, t0, 1.0), // dup in-batch
+        Change(2, "users", "UPDATE", 1, t0 + 1000, 2.0))
+      q.processAllAvailable()
+      input.addData(Change(2, "users", "UPDATE", 1, t0 + 1000, 2.0)) // replay
+      q.processAllAvailable()
+      val lsns = spark.table("dedup").select("lsn").as[Long].collect().toSeq.sorted
+      assert(lsns == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("file-drop CDC source streams appended parquet batches") {
     val dir = java.nio.file.Files.createTempDirectory("cdcdrop").toString
     val ck = java.nio.file.Files.createTempDirectory("cdcck").toString
