@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
 
 /** A change event as it arrives on a stream — the reference's
   * HandleFunc tuple (postrack.go:35) with the row images flattened to the
@@ -70,6 +70,63 @@ object CdcStream {
       .dropDuplicatesWithinWatermark("lsn")
       .drop("ts_t")
       .as[Change]
+  }
+
+  /** Continuously materialize the current-state view of a change stream
+    * into a parquet snapshot directory — the complete postrack consumer:
+    * capture feed in, queryable table out.
+    *
+    * Each micro-batch merges (full-outer on pk, highest LSN wins,
+    * tombstones delete) into the stored snapshot. The rewrite-per-batch is
+    * the plain-parquet price; on a real deployment the same foreachBatch
+    * body targets an ACID table format's MERGE and becomes an O(delta)
+    * upsert. Exactly-once: checkpointed source offsets + idempotent
+    * overwrite. */
+  def materializeSnapshot(
+      changes: Dataset[Change], snapshotDir: String, checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: Dataset[Change], _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val incoming = latestOfBatch(batch)
+        val existing =
+          if (new java.io.File(snapshotDir).exists)
+            spark.read.parquet(snapshotDir).as[Snapshot]
+          else spark.emptyDataset[Snapshot]
+        val merged = existing.toDF("e_pk", "e_lsn", "e_op", "e_value", "e_tombstoned")
+          .join(incoming.toDF("i_pk", "i_lsn", "i_op", "i_value", "i_tombstoned"),
+            col("e_pk") === col("i_pk"), "full_outer")
+          .select(
+            coalesce(col("i_pk"), col("e_pk")).as("pk"),
+            when(col("i_lsn").isNotNull && (col("e_lsn").isNull || col("i_lsn") > col("e_lsn")),
+              struct(col("i_lsn").as("lsn"), col("i_op").as("op"),
+                col("i_value").as("value"), col("i_tombstoned").as("tombstoned")))
+              .otherwise(struct(col("e_lsn").as("lsn"), col("e_op").as("op"),
+                col("e_value").as("value"), col("e_tombstoned").as("tombstoned")))
+              .as("r"))
+          .select(col("pk"), col("r.*"))
+          .toDF("pk", "lsn", "op", "value", "tombstoned")
+          .filter(!col("tombstoned"))
+          .as[Snapshot]
+        // plain parquet can't be read and overwritten in one plan: pin the
+        // merged result first (an ACID format's MERGE removes this step)
+        val pinned = merged.persist()
+        pinned.count()
+        pinned.write.mode("overwrite").parquet(snapshotDir)
+        pinned.unpersist()
+        ()
+      }
+      .start()
+
+  /** Batch-local reduction: highest LSN per key within one micro-batch. */
+  private def latestOfBatch(batch: Dataset[Change]): Dataset[Snapshot] = {
+    import batch.sparkSession.implicits._
+    batch.groupByKey(_.pk).mapGroups { (pk, it) =>
+      val c = it.maxBy(_.lsn)
+      Snapshot(pk, c.lsn, c.op, c.value, tombstoned = c.op == "DELETE")
+    }
   }
 
   /** File-drop CDC source: a directory where the capture side appends

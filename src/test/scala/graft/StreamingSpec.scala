@@ -78,6 +78,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("materializeSnapshot: change stream → queryable parquet table") {
+    implicit val sqlCtx = spark.sqlContext
+    val snap = java.nio.file.Files.createTempDirectory("snapdir").toString + "/t"
+    val ck = java.nio.file.Files.createTempDirectory("snapck").toString
+    val input = MemoryStream[Change]
+    val q = CdcStream.materializeSnapshot(input.toDS(), snap, ck)
+    try {
+      input.addData(
+        Change(1, "users", "INSERT", 1, 100, 10.0),
+        Change(2, "users", "INSERT", 2, 200, 20.0))
+      q.processAllAvailable()
+      input.addData(
+        Change(3, "users", "UPDATE", 1, 300, 11.0),
+        Change(4, "users", "DELETE", 2, 400, 0.0),
+        Change(5, "users", "INSERT", 3, 500, 30.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(snap).as[Snapshot].collect()
+        .map(s => s.pk -> s.value).toMap
+      assert(got == Map(1L -> 11.0, 3L -> 30.0)) // 2 tombstoned away
+    } finally q.stop()
+  }
+
   test("file-drop CDC source streams appended parquet batches") {
     val dir = java.nio.file.Files.createTempDirectory("cdcdrop").toString
     val ck = java.nio.file.Files.createTempDirectory("cdcck").toString
