@@ -23,9 +23,19 @@ object Vectors {
     * deterministically from xxhash64(dim, plane) so every executor computes
     * identical planes with zero driver-side state or broadcast. Maps cosine
     * similarity to Hamming proximity on the signature. */
-  def hyperplaneSig(vec: Column, bits: Int): Column = {
+  def hyperplaneSig(vec: Column, bits: Int): Column =
+    hyperplaneSigFrom(vec, bits, lit(0))
+
+  /** L independent signatures (disjoint plane ranges) — multi-table LSH:
+    * candidates agree on ANY table, trading bucket size for recall. */
+  def hyperplaneSigs(vec: Column, bits: Int, tables: Int): Column =
+    transform(sequence(lit(0), lit(tables - 1)),
+      t => hyperplaneSigFrom(vec, bits, t))
+
+  private def hyperplaneSigFrom(vec: Column, bits: Int, table: Column): Column = {
     val planes = sequence(lit(0), lit(bits - 1))
-    val bitsArr = transform(planes, p => {
+    val bitsArr = transform(planes, p0 => {
+      val p = p0 + table * lit(bits)
       // component j of plane p in [-1,1): hash → uniform double
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),

@@ -41,7 +41,23 @@ object TextQueries {
         col("doc_id"),
         Text.fingerprint(col("text")).as("fingerprint"),
         Text.wsTokenCount(col("text")).as("n_ws_tokens"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // End-to-end training-data cleaning pass: quality-gate → exact dedup
+    // (lowest doc_id survives, copies counted). One scan, one shuffle on the
+    // content hash; the same shape runs unchanged over a 100 TB corpus.
+    "pipeline_clean_corpus" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          Text.qualityScore(col("text")).as("quality_score"))
+        .filter(col("quality_score") >= 0.5)
+        .withColumn("rn", row_number().over(w.orderBy("doc_id")))
+        .withColumn("n_copies", count(lit(1)).over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "lang", "source", "quality_score", "n_copies")
+        .orderBy("doc_id")
+    }))
 
   private val stopList = Text.stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -72,5 +88,27 @@ object TextQueries {
          |         least((CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 5.0, 1.0) * 0.4 +
          |         (1.0 - least((CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0)) * 10.0, 1.0)) * 0.2,
          |         4) AS quality_score
-         |FROM f ORDER BY doc_id""".stripMargin)
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "pipeline_clean_corpus" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, source, text,
+         |         round(
+         |           least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) / 100.0, 1.0) * 0.4 +
+         |           least((CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |                 x -> x IN ($stopList))) AS DOUBLE) /
+         |                 greatest(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE), 1.0)) * 5.0, 1.0) * 0.4 +
+         |           (1.0 - least((CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) /
+         |                 greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10.0, 1.0)) * 0.2,
+         |           4) AS quality_score
+         |  FROM documents),
+         |good AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY md5(text)) AS n_copies
+         |  FROM good)
+         |SELECT doc_id, lang, source, quality_score, n_copies
+         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin)
 }

@@ -52,17 +52,27 @@ object VectorQueries {
         .orderBy("q_id", "rk")
     }),
 
-    // LSH-bucketed ANN: compare only within matching 8-bit hyperplane
-    // buckets — the recall/throughput trade the scale path makes.
+    // Multi-table LSH ANN (4 tables × 8 hyperplanes): a vector is a
+    // candidate if it agrees with the query on ANY table — the standard
+    // recall/throughput trade. Corpus side explodes to (table, sig) bucket
+    // keys; query side is broadcast, so candidate generation is a map-side
+    // hash join with no corpus shuffle; distinct + top-k per query after.
     "knn_lsh" -> ((s, dir) => {
       val sigged = emb(s, dir).select(col("vec_id"), col("embedding"),
-        Vectors.hyperplaneSig(col("embedding"), 8).as("sig"))
-      val q = sigged.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("sig").as("q_sig"))
-      val scored = sigged.join(broadcast(q),
-          col("sig") === col("q_sig") && col("vec_id") =!= col("q_id"))
+        Vectors.hyperplaneSigs(col("embedding"), 8, 4).as("sigs"))
+      val buckets = sigged.select(col("vec_id"), col("embedding"),
+        posexplode(col("sigs")).as(Seq("t", "sig")))
+      val q = buckets.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("t").as("q_t"), col("sig").as("q_sig"))
+      val cands = buckets.join(broadcast(q),
+          col("t") === col("q_t") && col("sig") === col("q_sig") &&
+            col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          round(Vectors.cosine(col("q_emb"), col("embedding")), 4).as("cos"))
+          col("q_emb"), col("embedding"))
+        .distinct()
+      val scored = cands.select(col("q_id"), col("neighbor_id"),
+        round(Vectors.cosine(col("q_emb"), col("embedding")), 4).as("cos"))
       Relational.topKPerGroup(scored, Seq("q_id"),
           Seq(col("cos").desc, col("neighbor_id")), topK)
         .select(col("q_id"), col("rk").cast("long").as("rk"), col("neighbor_id"), col("cos"))

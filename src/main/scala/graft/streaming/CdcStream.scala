@@ -58,6 +58,21 @@ object CdcStream {
       .groupBy(window(col("ts_t"), window_), col("tableName"), col("op"))
       .agg(count(lit(1)).as("n_events"), max("lsn").as("watermark_lsn"))
 
+  /** Gap-based session windows over the change stream (the streaming twin
+    * of Relational.sessionize / q_sessionize): sessions close when no event
+    * arrives for `gap`, and are emitted once the watermark passes — bounded
+    * state, exact sessions, no custom state code (`session_window` merges
+    * and times out sessions inside the state store). */
+  def sessionWindows(changes: Dataset[Change], gap: String, watermark: String): DataFrame =
+    changes
+      .withColumn("ts_t", timestamp_micros(col("tsUs")))
+      .withWatermark("ts_t", watermark)
+      .groupBy(session_window(col("ts_t"), gap).as("w"), col("pk"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("pk"), col("n_events"), col("sum_value"))
+
   /** Exactly-once delivery on top of an at-least-once feed: drop replayed
     * LSNs within the watermark horizon. State is bounded by the watermark —
     * the same trade the reference's LSN-ack loop makes (an acked LSN can

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Hashes, Text, Vectors}
+
+class AnnSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("multi-table LSH recovers planted near-duplicate vectors") {
+    // 40 random-ish base vectors; for the first 5, plant a noisy copy
+    // (high cosine). Multi-table LSH must bucket each planted pair together
+    // in at least one of the 4 tables for >= 4/5 queries.
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(32)(j => (((seed * 31 + j) * 2654435761L % 1000) / 500.0 - 1.0).toFloat)
+    def noisy(v: Array[Float]): Array[Float] =
+      v.zipWithIndex.map { case (x, j) => x + (if (j % 7 == 0) 0.05f else 0f) }
+    val base = (0 until 40).map(i => (i.toLong, vec(i + 1)))
+    val planted = (0 until 5).map(i => (100L + i, noisy(vec(i + 1))))
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+      .select($"vec_id", Vectors.hyperplaneSigs($"embedding", 8, 4).as("sigs"))
+    val b = df.select($"vec_id", posexplode($"sigs").as(Seq("t", "sig")))
+    val pairs = b.as("a").join(b.as("b"),
+        $"a.t" === $"b.t" && $"a.sig" === $"b.sig" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id", $"b.vec_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    val recovered = (0 until 5).count(i => pairs.contains((i.toLong, 100L + i)))
+    assert(recovered >= 4, s"recovered only $recovered/5 planted pairs")
+  }
+
+  test("minhash similarity estimates true Jaccard within 0.15 mean abs error") {
+    // 60 doc pairs with known overlap: pair i shares i tokens of 30
+    val rows = (1 until 60).map { i =>
+      val shared = (0 until i % 30).map(k => s"s${i}_$k")
+      val a = shared ++ (0 until 30 - i % 30).map(k => s"a${i}_$k")
+      val bb = shared ++ (0 until 30 - i % 30).map(k => s"b${i}_$k")
+      val trueJ = shared.size.toDouble / (a.size + bb.size - shared.size)
+      (a.mkString(" "), bb.mkString(" "), trueJ)
+    }
+    val df = rows.toDF("ta", "tb", "true_j")
+    // 1-shingles = raw token sets (overlap is token-level here)
+    val est = df.select(
+      Hashes.minhashSimilarity(
+        graft.plans.NativeHashes.minhashSig(spark, Text.wordShingles($"ta", 1), 128),
+        graft.plans.NativeHashes.minhashSig(spark, Text.wordShingles($"tb", 1), 128))
+        .as("est"), $"true_j")
+      .select(abs($"est" - $"true_j").as("err"))
+      .agg(avg("err")).as[Double].head()
+    assert(est < 0.15, s"mean abs error $est")
+  }
+}

@@ -78,6 +78,29 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionWindows: sessions close on gap and emit when watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val q = CdcStream.sessionWindows(input.toDS(), "1 minute", "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000000L
+      input.addData(
+        Change(1, "users", "UPDATE", 1, t0, 1.0),
+        Change(2, "users", "UPDATE", 1, t0 + 30000000L, 2.0),  // same session
+        Change(3, "users", "UPDATE", 1, t0 + 600000000L, 3.0)) // new session
+      q.processAllAvailable()
+      // push the watermark far ahead so both sessions for key 1 close
+      input.addData(Change(4, "users", "UPDATE", 2, t0 + 7200000000L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .filter($"pk" === 1).orderBy("session_start_us")
+        .selectExpr("n_events", "sum_value").as[(Long, Double)].collect().toSeq
+      assert(got == Seq((2L, 3.0), (1L, 3.0)))
+    } finally q.stop()
+  }
+
   test("materializeSnapshot: change stream → queryable parquet table") {
     implicit val sqlCtx = spark.sqlContext
     val snap = java.nio.file.Files.createTempDirectory("snapdir").toString + "/t"
