@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** From near-dup PAIRS to canonical CLUSTERS: connected components by
+  * iterative min-label propagation. Each doc starts labeled with itself;
+  * every iteration each doc adopts the minimum label among itself and its
+  * neighbors; fixpoint = components labeled by their minimum doc_id (the
+  * survivor a dedup pass keeps).
+  *
+  * Scale: this is the standard large-graph CC loop — one equi-join + one
+  * groupBy per iteration, converging in O(component diameter) rounds.
+  * Near-dup components are shallow (dup clusters, not social graphs), so
+  * 3-5 rounds settle real corpora. Each iteration materializes (persist +
+  * count) so the lineage doesn't stack; the driver holds only a changed-row
+  * counter, never data.
+  */
+object Dedup {
+
+  /** pairs: (doc_a, doc_b) undirected near-dup edges.
+    * @return (doc_id, canonical) for every doc appearing in a pair. */
+  def canonicalClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("canonical", col("doc_id")).persist()
+    var i = 0
+    var changed = 1L
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min("canonical").as("nbr_min"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(col("doc_id"),
+          least(col("canonical"), coalesce(col("nbr_min"), col("canonical"))).as("canonical"))
+        .persist()
+      changed = next.as("n").join(labels.as("p"), Seq("doc_id"))
+        .filter(col("n.canonical") =!= col("p.canonical")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+}

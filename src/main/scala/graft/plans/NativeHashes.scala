@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 
@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
   * by Catalyst.
   */
 final case class MinHashSig(child: Expression, numPerms: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -49,8 +49,34 @@ final case class MinHashSig(child: Expression, numPerms: Int)
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
   }
+
+  /** Same loop emitted into generated Java so the surrounding projection
+    * stays one WholeStageCodegen span (CodegenFallback would break it). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val xxh = classOf[XXH64].getName
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val h = ctx.freshName("h")
+      val hp = ctx.freshName("hp")
+      s"""
+         |long[] $mins = new long[$numPerms];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    long $h = $xxh.hashUTF8String($arr.getUTF8String($i), 42L);
+         |    for (int $p = 0; $p < $numPerms; $p++) {
+         |      long $hp = $xxh.hashLong($h, (long) $p);
+         |      if ($hp < $mins[$p]) $mins[$p] = $hp;
+         |    }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
@@ -60,7 +86,7 @@ final case class MinHashSig(child: Expression, numPerms: Int)
 /** 64-bit SimHash (Charikar '02) over an array<string> of tokens, one pass,
   * zero allocation beyond the vote array. */
 final case class SimHashSig(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -96,6 +122,32 @@ final case class SimHashSig(child: Expression)
     }
     java.lang.Long.valueOf(sig)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val xxh = classOf[XXH64].getName
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    long $h = $xxh.hashUTF8String($arr.getUTF8String($i), 42L);
+         |    for (int $k = 0; $k < 64; $k++) {
+         |      $votes[$k] += ((($h >>> $k) & 1L) == 1L) ? 1 : -1;
+         |    }
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $k = 0; $k < 64; $k++) {
+         |  if ($votes[$k] > 0) $sig |= (1L << $k);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SimHashSig =
     copy(child = newChild)

@@ -34,6 +34,26 @@ object DedupQueries {
       .distinct()
   }
 
+  /** Verified MinHash-LSH near-dup pairs (shared by the pair query and the
+    * cluster canonicalization). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // persist = the local analog of materializing signatures to storage,
+    // which is what a 100 TB run does; the plan uses `sigged` three times
+    // (band self-join × 2 scans + verify join) and must not recompute the
+    // signature each time.
+    val sigged = docsSharded(s, dir).select(col("doc_id"),
+      graft.plans.NativeHashes.minhashSig(s, Text.wordShingles(col("text"), 3), 64)
+        .as("sig")).persist()
+    val pairs = bucketPairs(sigged, Hashes.lshBands(col("sig"), 16, 4))
+    pairs
+      .join(sigged.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigged.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard",
+        round(Hashes.minhashSimilarity(col("sig_a"), col("sig_b")), 4))
+      .filter(col("est_jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy, lowest doc_id is the canonical survivor.
     "dedup_exact" -> ((s, dir) =>
@@ -45,24 +65,14 @@ object DedupQueries {
 
     // MinHash(64) + LSH(16 bands × 4 rows): candidates share a band bucket;
     // verify by signature agreement ≥ 0.5 estimated Jaccard.
-    "dedup_minhash_lsh" -> ((s, dir) => {
-      // persist = the local analog of materializing signatures to storage,
-      // which is what a 100 TB run does; the plan uses `sigged` three times
-      // (band self-join × 2 scans + verify join) and must not recompute the
-      // signature each time.
-      val sigged = docsSharded(s, dir).select(col("doc_id"),
-        graft.plans.NativeHashes.minhashSig(s, Text.wordShingles(col("text"), 3), 64)
-          .as("sig")).persist()
-      val pairs = bucketPairs(sigged, Hashes.lshBands(col("sig"), 16, 4))
-      pairs
-        .join(sigged.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-        .join(sigged.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-        .withColumn("est_jaccard",
-          round(Hashes.minhashSimilarity(col("sig_a"), col("sig_b")), 4))
-        .filter(col("est_jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "est_jaccard")
-        .orderBy("doc_a", "doc_b")
-    }),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      minhashPairs(s, dir).orderBy("doc_a", "doc_b")),
+
+    // Pairs → canonical clusters (connected components, min doc_id label):
+    // the form a dedup pass actually consumes ("keep canonical, drop rest").
+    "dedup_clusters" -> ((s, dir) =>
+      graft.operators.Dedup.canonicalClusters(minhashPairs(s, dir))
+        .orderBy("doc_id")),
 
     // SimHash(64-bit) near-dup: 4×16-bit blocks (pigeonhole: hamming ≤ 3
     // pairs share a block), verify hamming ≤ 3.

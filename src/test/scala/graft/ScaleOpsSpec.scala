@@ -24,6 +24,14 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(snap == Seq(3L, 9L)) // users 1,2 truncated away; accts untouched
   }
 
+  test("canonicalClusters: chains collapse to min label, components stay apart") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup.canonicalClusters(pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("saltedJoin is row-identical to the plain join") {
     val left = Tables(spark, sf, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
     val right = Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice")
