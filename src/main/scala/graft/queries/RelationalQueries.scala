@@ -158,6 +158,63 @@ object RelationalQueries {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
 
+    // Correlated scalar subquery shape (customers above their nation's
+    // average balance) — expressed as a shared-window compare, the plan
+    // Catalyst's decorrelation would produce anyway: one shuffle, no
+    // per-row subquery.
+    "q_scalar_subquery" -> ((s, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+      t(s, dir, "customer")
+        .withColumn("nation_avg", avg("c_acctbal").over(w))
+        .filter(col("c_acctbal") > col("nation_avg"))
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          round(col("nation_avg"), 4).as("nation_avg"))
+        .orderBy("c_custkey")
+    }),
+
+    // Set algebra: INTERSECT / UNION / EXCEPT over key sets.
+    "q_setops" -> ((s, dir) => {
+      val building = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+      val bigSpenders = t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("k")).distinct()
+      val auto = t(s, dir, "customer").filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey").as("k"))
+      building.intersect(bigSpenders)
+        .union(auto.exceptAll(bigSpenders))
+        .distinct()
+        .orderBy("k")
+    }),
+
+    // Full CUBE over two grouping columns.
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("rflag", "lstatus")),
+
+    // Exact interpolated percentiles per group.
+    "q_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+        .orderBy("l_returnflag")),
+
+    // Calendar rollup: revenue by month — the partition-pruning shape of a
+    // date-partitioned 100 TB lake.
+    "q_monthly_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 4).as("revenue"))
+        .orderBy("month")),
+
     // Sketch aggregation: HLL++ approximate distinct next to the exact
     // count — the 100 TB cardinality path (no oracle: sketch values are
     // engine-specific; the spec asserts the error envelope instead).
@@ -345,6 +402,49 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |       round(nation_avg, 4) AS nation_avg
+        |FROM (
+        |  SELECT *, avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS nation_avg
+        |  FROM customer)
+        |WHERE c_acctbal > nation_avg
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_setops" ->
+      """SELECT k FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 200000
+        |  UNION
+        |  (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |   EXCEPT
+        |   SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 200000))
+        |ORDER BY k""".stripMargin,
+
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+        |       COALESCE(l_linestatus, 'ALL') AS lstatus,
+        |       count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_monthly_rollup" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |       count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY month""".stripMargin,
 
     "q_asof_join" ->
       s"""$evCte,

@@ -58,6 +58,32 @@ object CdcStream {
       .groupBy(window(col("ts_t"), window_), col("tableName"), col("op"))
       .agg(count(lit(1)).as("n_events"), max("lsn").as("watermark_lsn"))
 
+  /** Stream-stream interval join (the streaming twin of q_range_join):
+    * right events join left events of the same key within (0, `withinUs`]
+    * after them. Watermarks on BOTH sides bound the join state — Spark
+    * retains only rows inside the watermark window, so state is
+    * O(rate × window), not O(stream). */
+  def intervalJoin(
+      left: Dataset[Change], right: Dataset[Change],
+      withinUs: Long, watermark: String): DataFrame = {
+    val l = left.toDF()
+      .withColumn("l_ts", timestamp_micros(col("tsUs")))
+      .withWatermark("l_ts", watermark)
+      .select(col("lsn").as("l_lsn"), col("pk").as("l_pk"),
+        col("l_ts"), col("value").as("l_value"))
+    val r = right.toDF()
+      .withColumn("r_ts", timestamp_micros(col("tsUs")))
+      .withWatermark("r_ts", watermark)
+      .select(col("lsn").as("r_lsn"), col("pk").as("r_pk"),
+        col("r_ts"), col("value").as("r_value"))
+    l.join(r,
+      col("l_pk") === col("r_pk") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL ${withinUs / 1000000} SECONDS"))
+      .select(col("l_lsn"), col("r_lsn"), col("l_pk").as("pk"),
+        col("l_value"), col("r_value"))
+  }
+
   /** Gap-based session windows over the change stream (the streaming twin
     * of Relational.sessionize / q_sessionize): sessions close when no event
     * arrives for `gap`, and are emitted once the watermark passes — bounded

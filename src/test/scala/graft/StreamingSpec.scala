@@ -78,6 +78,27 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("intervalJoin: stream-stream join matches only within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Change]
+    val buys = MemoryStream[Change]
+    val q = CdcStream.intervalJoin(clicks.toDS(), buys.toDS(), 60000000L, "0 seconds")
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000000L
+      clicks.addData(Change(1, "users", "UPDATE", 1, t0, 1.0))
+      buys.addData(
+        Change(10, "users", "UPDATE", 1, t0 + 30000000L, 5.0),  // within 60s
+        Change(11, "users", "UPDATE", 1, t0 + 90000000L, 6.0),  // outside
+        Change(12, "users", "UPDATE", 2, t0 + 10000000L, 7.0))  // other key
+      q.processAllAvailable()
+      val got = spark.table("ssjoin").select("l_lsn", "r_lsn")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L)))
+    } finally q.stop()
+  }
+
   test("sessionWindows: sessions close on gap and emit when watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Change]
