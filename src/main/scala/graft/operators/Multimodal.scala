@@ -23,11 +23,13 @@ final case class MediaFeatures(
 object Multimodal {
 
   /** documents → media records: text payload standing in for an opaque blob
-    * (the container ships no image/audio decoders). */
+    * (the container ships no image/audio decoders). Modality assigned
+    * deterministically so the mix exercises per-modality branches. */
   def asMedia(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      lit("image").as("modality"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
       col("text").cast("binary").as("payload"),
       col("source"))
 
@@ -53,5 +55,24 @@ object Multimodal {
     // partition-wise batch decode: iterator-in/iterator-out, so a real codec
     // could amortize model/codec init once per partition
     ds.mapPartitions { it => it.map(decodeStub) }.toDF()
+  }
+
+  /** STUB FRAME SAMPLER: a real deployment seeks the container format and
+    * decodes ~1 frame/sec here. The stand-in emits a deterministic
+    * payload-derived frame count (1-5) with per-frame pseudo-features, so
+    * the one-to-many shape (media row → frame rows) and its partition
+    * behavior are exercised for real. */
+  def sampleFrames(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord]
+      .filter((r: MediaRecord) => r.modality == "video")
+      .flatMap { r =>
+        val h = java.util.Arrays.hashCode(r.payload).toLong & 0xFFFFFFFFL
+        val nFrames = (h % 5).toInt + 1
+        (0 until nFrames).map { f =>
+          (r.doc_id, f, f * 1000L, (h * 2654435761L) ^ (f * 0x9E3779B97F4A7C15L))
+        }
+      }
+      .toDF("doc_id", "frame_idx", "ts_offset_ms", "frame_phash")
   }
 }

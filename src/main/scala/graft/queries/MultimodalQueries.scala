@@ -16,7 +16,12 @@ object MultimodalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> ((s, dir) =>
       Multimodal.extractFeatures(s, Multimodal.asMedia(Tables.sharded(s, dir, "documents")))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // one-to-many frame sampling over the video slice of the corpus
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(s, Multimodal.asMedia(Tables.sharded(s, dir, "documents")))
+        .orderBy("doc_id", "frame_idx")))
 
   val oracles: Map[String, String] = Map.empty
 }

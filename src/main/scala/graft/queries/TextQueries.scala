@@ -43,6 +43,17 @@ object TextQueries {
         Text.wsTokenCount(col("text")).as("n_ws_tokens"))
         .orderBy("doc_id")),
 
+    // Corpus-wide n-gram frequency: explode → count → top-k. The classic
+    // "vocabulary/statistics over 100 TB" shape: map-side partial counts
+    // absorb the explosion before the single shuffle.
+    "text_top_ngrams" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(Text.wordShingles(col("text"), 2)).as("ngram"))
+        .groupBy("ngram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(20)),
+
     // End-to-end training-data cleaning pass: quality-gate → exact dedup
     // (lowest doc_id survives, copies counted). One scan, one shuffle on the
     // content hash; the same shape runs unchanged over a 100 TB corpus.
@@ -89,6 +100,17 @@ object TextQueries {
          |         (1.0 - least((CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0)) * 10.0, 1.0)) * 0.2,
          |         4) AS quality_score
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    "text_top_ngrams" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |                ELSE list_transform(range(len(t) - 1),
+        |                     i -> t[i + 1] || ' ' || t[i + 2]) END) AS ngram
+        |  FROM toks)
+        |SELECT ngram, count(*) AS n FROM grams
+        |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
 
     "pipeline_clean_corpus" ->
       s"""WITH scored AS (

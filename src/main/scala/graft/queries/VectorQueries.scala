@@ -52,6 +52,27 @@ object VectorQueries {
         .orderBy("q_id", "rk")
     }),
 
+    // Per-cluster centroids + cohesion: element-wise mean via posexplode →
+    // (label, dim) agg — the shape that scales to any dimension/cardinality
+    // because no row ever holds more than one (dim, value) pair in the agg.
+    "emb_centroids" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim").agg(avg("x").as("cx"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
+        .select(col("label"),
+          transform(col("pairs"), p => p.getField("cx")).as("centroid"))
+      e.join(broadcast(centroids), "label")
+        .select(col("label"),
+          Vectors.cosine(col("embedding"), col("centroid")).as("cos"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vectors"),
+          round(avg("cos"), 4).as("mean_cos_to_centroid"))
+        .orderBy("label")
+    }),
+
     // Multi-table LSH ANN (4 tables × 8 hyperplanes): a vector is a
     // candidate if it agrees with the query on ANY table — the standard
     // recall/throughput trade. Corpus side explodes to (table, sig) bucket

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Vectors
+import graft.operators.Multimodal
+import graft.sources.Tables
+
+class MultimodalSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("asMedia assigns a deterministic modality mix; features are total") {
+    val media = Multimodal.asMedia(Tables(spark, sf, "documents"))
+    val mix = media.groupBy("modality").count().as[(String, Long)].collect().toMap
+    assert(mix.keySet == Set("image", "audio", "video"))
+    val feats = Multimodal.extractFeatures(spark, media)
+    assert(feats.count() == media.count())
+    assert(feats.filter($"n_bytes" <= 0 || $"width" <= 0 || $"height" <= 0).count() == 0)
+  }
+
+  test("sampleFrames: only video rows, 1-5 frames each, deterministic") {
+    val media = Multimodal.asMedia(Tables(spark, sf, "documents"))
+    val frames = Multimodal.sampleFrames(spark, media)
+    val perDoc = frames.groupBy("doc_id").count()
+    assert(perDoc.filter($"count" < 1 || $"count" > 5).count() == 0)
+    // every frame doc is a video doc (doc_id % 3 == 2 under the mix rule)
+    assert(frames.filter(pmod($"doc_id", lit(3)) =!= 2).count() == 0)
+    // deterministic across runs
+    val again = Multimodal.sampleFrames(spark, media)
+    assert(frames.exceptAll(again).isEmpty)
+  }
+
+  test("emb_centroids: identical vectors give cohesion 1.0") {
+    val v = Array.tabulate(8)(_.toFloat + 1f)
+    val df = Seq((0L, v, 1), (1L, v, 1), (2L, v.map(-_), 2)).toDF("vec_id", "embedding", "label")
+    val centroids = df.select($"label", posexplode($"embedding").as(Seq("dim", "x")))
+      .groupBy("label", "dim").agg(avg("x").as("cx"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct($"dim", $"cx"))).as("pairs"))
+      .select($"label", transform($"pairs", p => p.getField("cx")).as("centroid"))
+    val cos = df.join(centroids, "label")
+      .select(round(Vectors.cosine($"embedding", $"centroid"), 6).as("c"))
+      .as[Double].collect()
+    assert(cos.forall(_ == 1.0))
+  }
+}
