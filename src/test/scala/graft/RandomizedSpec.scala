@@ -1,0 +1,93 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.Apply
+import graft.operators.Relational
+
+/** Top-level so Spark can derive an Encoder (inner classes can't). */
+case class Ev(id: Long, k: Long, ts: Long, v: Double)
+
+/** Reference-model checks: random inputs (fixed seed), brute-force Scala
+  * oracles, compared row-for-row against the Spark operators. */
+class RandomizedSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val rnd = new Random(20260812)
+  private val events: Seq[Ev] = {
+    val tss = rnd.shuffle((1 to 400).map(_.toLong * 7)).toIndexedSeq
+    (0 until 400).map(i => Ev(i.toLong, rnd.nextInt(12).toLong, tss(i), rnd.nextInt(1000) / 10.0))
+  }
+
+  test("asofJoin matches the brute-force reference on random data") {
+    val left = events.filter(_.id % 2 == 0)
+    val right = events.filter(_.id % 2 == 1)
+    val expected = left.map { l =>
+      val m = right.filter(r => r.k == l.k && r.ts <= l.ts)
+      l.id -> (if (m.isEmpty) None else Some(m.maxBy(r => (r.ts, r.id)).v))
+    }.toMap
+    val got = Relational.asofJoin(
+        left.toDF("event_id", "k", "ts", "v"),
+        right.toDF("event_id", "k", "ts", "v"),
+        "k", "ts", "ts", "event_id", Seq("v" -> "r_v"))
+      .select("event_id", "r_v").as[(Long, Option[Double])].collect().toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (id, exp) => assert(got(id) == exp, s"id=$id") }
+  }
+
+  test("sessionize matches the brute-force reference on random data") {
+    val gap = 40L
+    val expected = events.groupBy(_.k).flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e.ts, e.id))
+      var sid = 0L
+      var prev = Long.MinValue
+      sorted.map { e =>
+        if (prev == Long.MinValue || e.ts - prev > gap) sid += 1
+        prev = e.ts
+        e.id -> sid
+      }
+    }
+    val got = Relational.sessionize(
+        events.toDF("id", "k", "ts", "v"), "k", "ts", "id", gap)
+      .select("id", "session_id").as[(Long, Long)].collect().toMap
+    expected.foreach { case (id, sid) => assert(got(id) == sid, s"id=$id") }
+  }
+
+  test("latestSnapshot + upsert match the brute-force reference on random data") {
+    val ops = Seq("INSERT", "UPDATE", "DELETE")
+    val feed = events.map(e => (e.id, "users", ops(rnd.nextInt(3)), e.k, e.ts, e.v, "{}"))
+    val df = feed.toDF("lsn", "table_name", "op", "pk", "ts_us", "value", "props")
+
+    val lastPerKey = feed.groupBy(_._4).map { case (k, es) => k -> es.maxBy(_._1) }
+    val expSnap = lastPerKey.filter(_._2._3 != "DELETE").map { case (k, e) => k -> e._6 }
+    val gotSnap = Apply.latestSnapshot(df)
+      .select("pk", "value").as[(Long, Double)].collect().toMap
+    assert(gotSnap == expSnap)
+
+    val base = (0L until 20L).map(k => (k, k * 100.0))
+    val expUpsert = (base.map(_._1) ++ lastPerKey.keys).distinct.flatMap { k =>
+      lastPerKey.get(k) match {
+        case Some(e) if e._3 == "DELETE" => None
+        case Some(e) => Some(k -> e._6)
+        case None => Some(k -> base.find(_._1 == k).get._2)
+      }
+    }.toMap
+    val gotUpsert = Apply.upsert(base.toDF("k", "v"), df, "k", "v")
+      .select("pk", "value").as[(Long, Double)].collect().toMap
+    assert(gotUpsert == expUpsert)
+  }
+
+  test("topKPerGroup matches the brute-force reference on random data") {
+    val k = 3
+    val expected = events.groupBy(_.k).flatMap { case (_, es) =>
+      es.sortBy(e => (-e.v, e.id)).take(k).map(_.id)
+    }.toSet
+    val got = Relational.topKPerGroup(
+        events.toDF("id", "k", "ts", "v"), Seq("k"), Seq($"v".desc, $"id"), k)
+      .select("id").as[Long].collect().toSet
+    assert(got == expected)
+  }
+}
