@@ -100,5 +100,23 @@ object VectorQueries {
         .orderBy("q_id", "rk")
     }))
 
-  val oracles: Map[String, String] = Map.empty
+  /** knn_bruteforce is oracle-checkable because ranking happens on the
+    * ALREADY-ROUNDED cosine (4dp) with an id tie-break — double-precision
+    * accumulation on both engines agrees to ~1e-15, far from the rounding
+    * boundary. */
+  val oracles: Map[String, String] = Map(
+    "knn_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |           WHERE vec_id < $nQueries),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(
+         |           CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cos
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, neighbor_id, cos FROM ranked WHERE rk <= $topK
+         |ORDER BY q_id, rk""".stripMargin)
 }

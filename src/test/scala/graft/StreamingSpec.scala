@@ -78,6 +78,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming corpus cleaning: quality gate + content dedup on a doc stream") {
+    // the batch pipeline_clean_corpus shape, driven as a stream: the same
+    // column expressions run unchanged; dedup keys on the content hash
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)] // doc_id, text, event_us
+    val good = "the data is in the table and it is a good long row of words " * 3
+    val df = input.toDS().toDF("doc_id", "text", "event_us")
+      .withColumn("ts_t", org.apache.spark.sql.functions.timestamp_micros($"event_us"))
+      .withWatermark("ts_t", "10 minutes")
+      .withColumn("quality_score", graft.functions.Text.qualityScore($"text"))
+      .filter($"quality_score" >= 0.5)
+      .withColumn("content_hash", org.apache.spark.sql.functions.md5($"text"))
+      .dropDuplicatesWithinWatermark("content_hash")
+    val q = df.writeStream.format("memory").queryName("cleandocs")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000000L
+      input.addData((1L, good, t0), (2L, "x!!", t0 + 1), (3L, good, t0 + 2))
+      q.processAllAvailable()
+      input.addData((4L, good, t0 + 3), (5L, good + "different tail", t0 + 4))
+      q.processAllAvailable()
+      val ids = spark.table("cleandocs").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 5L)) // 2 fails quality; 3,4 are dup content
+    } finally q.stop()
+  }
+
   test("intervalJoin: stream-stream join matches only within the time bound") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Change]
