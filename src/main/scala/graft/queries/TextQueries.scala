@@ -54,6 +54,22 @@ object TextQueries {
         .orderBy(col("n").desc, col("ngram"))
         .limit(20)),
 
+    // Deterministic content-hash train/val/test split: assignment depends
+    // only on the text (not row order, partitioning, or ids), so re-runs,
+    // re-shards, and near-dup handling can't leak val/test into train.
+    // First md5 hex nibble: 0-b train (75%), c-d val, e-f test.
+    "pipeline_train_split" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          substring(md5(col("text")), 1, 1).as("nibble"))
+        .select(col("doc_id"),
+          when(col("nibble") < "c", "train")
+            .when(col("nibble") < "e", "val")
+            .otherwise("test").as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+        .orderBy("split")),
+
     // End-to-end training-data cleaning pass: quality-gate → exact dedup
     // (lowest doc_id survives, copies counted). One scan, one shuffle on the
     // content hash; the same shape runs unchanged over a 100 TB corpus.
@@ -111,6 +127,16 @@ object TextQueries {
         |  FROM toks)
         |SELECT ngram, count(*) AS n FROM grams
         |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+
+    "pipeline_train_split" ->
+      """WITH assigned AS (
+        |  SELECT doc_id,
+        |         CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train'
+        |              WHEN substr(md5(text), 1, 1) < 'e' THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM assigned GROUP BY split ORDER BY split""".stripMargin,
 
     "pipeline_clean_corpus" ->
       s"""WITH scored AS (
