@@ -171,6 +171,16 @@ object NativeHashes {
       case other => throw new IllegalArgumentException(
         s"simhash_sig(arr) expects 1 arg, got ${other.size}")
     }, "built-in")
+    reg.createOrReplaceTempFunction("minhash_merge", {
+      case Seq(c) => MinHashMerge(c).toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        s"minhash_merge(sig) expects 1 arg, got ${other.size}")
+    }, "built-in")
+  }
+
+  def minhashMerge(spark: SparkSession, sig: Column): Column = {
+    register(spark)
+    call_function("minhash_merge", sig)
   }
 
   def minhashSig(spark: SparkSession, shingles: Column, numPerms: Int): Column = {

@@ -74,6 +74,28 @@ object DedupQueries {
       graft.operators.Dedup.canonicalClusters(minhashPairs(s, dir))
         .orderBy("doc_id")),
 
+    // Group-level signatures via the minhash_merge aggregate: element-wise
+    // min of member sigs = the signature of the group's UNION of shingles,
+    // so cross-source similarity is estimated from 20 tiny sketches instead
+    // of re-scanning text. Partial-agg (map-side combine) applies as with
+    // any built-in aggregate.
+    "dedup_source_sigs" -> ((s, dir) => {
+      val sigged = docsSharded(s, dir).select(col("source"),
+        graft.plans.NativeHashes.minhashSig(s, Text.wordShingles(col("text"), 3), 64)
+          .as("sig"))
+      val bySource = sigged.groupBy("source")
+        .agg(graft.plans.NativeHashes.minhashMerge(s, col("sig")).as("source_sig"),
+          count(lit(1)).as("n_docs"))
+      bySource.select(col("source").as("source_a"), col("source_sig").as("sig_a"),
+          col("n_docs").as("n_docs_a"))
+        .join(bySource.select(col("source").as("source_b"), col("source_sig").as("sig_b")),
+          col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_docs_a"),
+          round(Hashes.minhashSimilarity(col("sig_a"), col("sig_b")), 4)
+            .as("est_union_jaccard"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // SimHash(64-bit) near-dup: 4×16-bit blocks (pigeonhole: hamming ≤ 3
     // pairs share a block), verify hamming ≤ 3.
     "dedup_simhash" -> ((s, dir) => {

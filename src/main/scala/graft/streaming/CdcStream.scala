@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** A change event as it arrives on a stream — the reference's
   * HandleFunc tuple (postrack.go:35) with the row images flattened to the
@@ -15,6 +15,10 @@ final case class Change(
 /** Current materialized row per key. */
 final case class Snapshot(
     pk: Long, lsn: Long, op: String, value: Double, tombstoned: Boolean)
+
+/** A closed SCD-2 validity interval. */
+final case class Scd2Closed(
+    pk: Long, value: Double, validFromUs: Long, validToUs: Long, openedByLsn: Long)
 
 /** Structured Streaming operators over a CDC feed — the continuous versions
   * of graft.cdc.Apply. State is strictly per-key and O(1) per key (one
@@ -57,6 +61,26 @@ object CdcStream {
       .withWatermark("ts_t", watermark)
       .groupBy(window(col("ts_t"), window_), col("tableName"), col("op"))
       .agg(count(lit(1)).as("n_events"), max("lsn").as("watermark_lsn"))
+
+  /** Continuous SCD-2: each change CLOSES the previous interval of its key;
+    * closed intervals are emitted exactly once (append mode), the open
+    * interval lives only in state (query the latest-snapshot view for
+    * current rows). State per key = one Change — same O(live keys) bound as
+    * latestSnapshot. */
+  def scd2Stream(changes: Dataset[Change]): Dataset[Scd2Closed] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.pk)
+      .flatMapGroupsWithState[Change, Scd2Closed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (pk: Long, it: Iterator[Change], state: GroupState[Change]) =>
+          val ordered = (state.getOption.toSeq ++ it.toSeq).sortBy(_.lsn).distinct
+          state.update(ordered.last)
+          ordered.sliding(2).collect {
+            case Seq(a, b) => Scd2Closed(pk, a.value, a.tsUs, b.tsUs, a.lsn)
+          }
+      }
+  }
 
   /** Stream-stream interval join (the streaming twin of q_range_join):
     * right events join left events of the same key within (0, `withinUs`]

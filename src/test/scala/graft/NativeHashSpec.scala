@@ -36,6 +36,22 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
     got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("minhash_merge(sigs) == sig of the union of the token sets") {
+    // with 1-shingles the shingle set is the token set, and min-wise sigs
+    // compose: elementwise-min of member sigs = sig of the union
+    val a = "alpha beta gamma delta"
+    val b = "gamma delta epsilon zeta"
+    val c = "eta theta"
+    val merged = Seq(a, b, c).toDF("text")
+      .select(NativeHashes.minhashSig(spark, Text.wordShingles($"text", 1), 64).as("sig"))
+      .agg(NativeHashes.minhashMerge(spark, $"sig").as("m"))
+      .collect().head.getSeq[Long](0).toVector
+    val unionSig = Seq(s"$a $b $c").toDF("text")
+      .select(NativeHashes.minhashSig(spark, Text.wordShingles($"text", 1), 64).as("sig"))
+      .collect().head.getSeq[Long](0).toVector
+    assert(merged == unionSig)
+  }
+
   test("native expressions survive filter pushdown planning on parquet scans") {
     val d = sources.Tables(spark, sf, "documents")
     val out = d.filter($"n_chars" > 100)

@@ -170,6 +170,49 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("scd2Stream emits each closed interval exactly once, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val q = CdcStream.scd2Stream(input.toDS())
+      .writeStream.format("memory").queryName("scd2s")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Change(1, "users", "INSERT", 1, 100, 10.0),
+        Change(2, "users", "UPDATE", 1, 200, 11.0))
+      q.processAllAvailable()
+      input.addData(Change(3, "users", "UPDATE", 1, 300, 12.0))
+      q.processAllAvailable()
+      val got = spark.table("scd2s")
+        .orderBy("openedByLsn")
+        .as[graft.streaming.Scd2Closed].collect().toSeq
+      assert(got == Seq(
+        graft.streaming.Scd2Closed(1L, 10.0, 100L, 200L, 1L),
+        graft.streaming.Scd2Closed(1L, 11.0, 200L, 300L, 2L)))
+    } finally q.stop()
+  }
+
+  test("checkpoint recovery: a restarted query resumes offsets and state result") {
+    val src = java.nio.file.Files.createTempDirectory("ckpsrc").toString
+    val snap = java.nio.file.Files.createTempDirectory("ckpsnap").toString + "/t"
+    val ck = java.nio.file.Files.createTempDirectory("ckpck").toString
+    Seq(Change(1, "users", "INSERT", 1, 100, 1.0)).toDS()
+      .write.mode("append").parquet(src)
+    val q1 = CdcStream.materializeSnapshot(CdcStream.fileSource(spark, src), snap, ck)
+    try { q1.processAllAvailable() } finally q1.stop()
+    // second incarnation, same checkpoint: must pick up only the new batch
+    Seq(Change(2, "users", "UPDATE", 1, 200, 2.0)).toDS()
+      .write.mode("append").parquet(src)
+    val q2 = CdcStream.materializeSnapshot(CdcStream.fileSource(spark, src), snap, ck)
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(snap).as[Snapshot].collect().toSeq
+      assert(got == Seq(Snapshot(1L, 2L, "UPDATE", 2.0, false)))
+      // offsets resumed: the restarted run processed exactly the delta batch
+      assert(q2.recentProgress.map(_.numInputRows).sum == 1L)
+    } finally q2.stop()
+  }
+
   test("file-drop CDC source streams appended parquet batches") {
     val dir = java.nio.file.Files.createTempDirectory("cdcdrop").toString
     val ck = java.nio.file.Files.createTempDirectory("cdcck").toString
