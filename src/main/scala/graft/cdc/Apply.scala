@@ -70,16 +70,18 @@ object Apply {
 
   /** TRUNCATE semantics (reference: TruncateMessage, postrack.go:408-411):
     * a TRUNCATE at LSN T wipes everything earlier on that table. Returns the
-    * feed with pre-truncate events removed (TRUNCATE markers included), so
-    * any downstream apply operator composes with it. Single window over the
-    * table partitioning — no extra shuffle when followed by per-key ops on
-    * the same exchange. */
+    * feed with pre-truncate events AND the consumed TRUNCATE markers removed
+    * (a marker is not a row event — leaving it in would surface phantom keys
+    * downstream), so any apply operator composes directly. Single window
+    * over the table partitioning — no extra shuffle when followed by per-key
+    * ops on the same exchange. */
   def applyTruncates(feed: DataFrame): DataFrame = {
     val byTable = Window.partitionBy("table_name")
     feed
       .withColumn("__trunc_lsn",
         max(when(col("op") === "TRUNCATE", col("lsn"))).over(byTable))
-      .filter(col("__trunc_lsn").isNull || col("lsn") >= col("__trunc_lsn"))
+      .filter((col("__trunc_lsn").isNull || col("lsn") >= col("__trunc_lsn")) &&
+        col("op") =!= "TRUNCATE")
       .drop("__trunc_lsn")
   }
 

@@ -20,28 +20,49 @@ object Dedup {
 
   /** pairs: (doc_a, doc_b) undirected near-dup edges.
     * @return (doc_id, canonical) for every doc appearing in a pair. */
-  def canonicalClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def canonicalClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().persist()
+    // localCheckpoint (not persist): the loop builds each generation on top
+    // of the previous one AND self-joins it for pointer jumping, so without
+    // lineage truncation the logical plan doubles per round and planning
+    // itself OOMs after ~8 iterations. On a cluster with executor churn use
+    // reliable checkpoint(dir) instead.
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("canonical", col("doc_id")).persist()
+      .withColumn("canonical", col("doc_id")).localCheckpoint(true)
     var i = 0
     var changed = 1L
     while (changed > 0 && i < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min("canonical").as("nbr_min"))
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+      val stepped = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(col("doc_id"),
           least(col("canonical"), coalesce(col("nbr_min"), col("canonical"))).as("canonical"))
-        .persist()
+      // pointer jumping (canonical -> canonical-of-canonical) doubles
+      // propagation distance per round, turning deep-chain convergence into
+      // O(log diameter) — but it costs an extra join, so only engage it
+      // after plain propagation has had the two rounds that settle the
+      // common star/pair-shaped dup clusters
+      val next = (if (i < 2) stepped
+        else stepped.as("l")
+          .join(stepped.as("m").select(col("doc_id").as("m_id"), col("canonical").as("m_can")),
+            col("l.canonical") === col("m_id"), "left")
+          .select(col("l.doc_id").as("doc_id"),
+            least(col("l.canonical"), coalesce(col("m_can"), col("l.canonical"))).as("canonical"))
+        ).localCheckpoint(true)
       changed = next.as("n").join(labels.as("p"), Seq("doc_id"))
         .filter(col("n.canonical") =!= col("p.canonical")).count()
-      labels.unpersist()
       labels = next
       i += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"canonicalClusters did not converge in $maxIter iterations; " +
+          "labels may split components — raise maxIter")
+    // checkpointed generations are reclaimed by the ContextCleaner as their
+    // DataFrames go out of scope; the returned frame is the live result
     labels
   }
 }

@@ -37,6 +37,9 @@ final case class MinHashMerge(
   private def minInto(buf: Array[Long], arr: ArrayData): Array[Long] = {
     val n = arr.numElements()
     val b = if (buf.isEmpty) Array.fill(n)(Long.MaxValue) else buf
+    require(b.length == n,
+      s"minhash_merge: mixed signature lengths (${b.length} vs $n) — all rows " +
+        "in a group must use the same numPerms")
     var i = 0
     while (i < n && i < b.length) {
       val v = arr.getLong(i)
@@ -55,6 +58,8 @@ final case class MinHashMerge(
     if (b1.isEmpty) b2
     else if (b2.isEmpty) b1
     else {
+      require(b1.length == b2.length,
+        s"minhash_merge: mixed signature lengths (${b1.length} vs ${b2.length})")
       var i = 0
       while (i < b1.length) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
       b1

@@ -181,7 +181,7 @@ object RelationalQueries {
       val auto = t(s, dir, "customer").filter(col("c_mktsegment") === "AUTOMOBILE")
         .select(col("c_custkey").as("k"))
       building.intersect(bigSpenders)
-        .union(auto.exceptAll(bigSpenders))
+        .union(auto.except(bigSpenders))
         .distinct()
         .orderBy("k")
     }),

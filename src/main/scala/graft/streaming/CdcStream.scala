@@ -74,10 +74,20 @@ object CdcStream {
       .flatMapGroupsWithState[Change, Scd2Closed](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (pk: Long, it: Iterator[Change], state: GroupState[Change]) =>
-          val ordered = (state.getOption.toSeq ++ it.toSeq).sortBy(_.lsn).distinct
-          state.update(ordered.last)
-          ordered.sliding(2).collect {
-            case Seq(a, b) => Scd2Closed(pk, a.value, a.tsUs, b.tsUs, a.lsn)
+          // replay/late guard: events at or below the state's LSN would emit
+          // overlapping or duplicate closed intervals into the append sink,
+          // so they are dropped — same LSN-monotone resolution as
+          // latestSnapshot (an acked LSN can be re-sent after reconnect)
+          val floor = state.getOption.map(_.lsn).getOrElse(Long.MinValue)
+          val fresh = it.toSeq.filter(_.lsn > floor)
+            .groupBy(_.lsn).map(_._2.head).toSeq.sortBy(_.lsn)
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            val ordered = state.getOption.toSeq ++ fresh
+            state.update(ordered.last)
+            ordered.sliding(2).collect {
+              case Seq(a, b) => Scd2Closed(pk, a.value, a.tsUs, b.tsUs, a.lsn)
+            }
           }
       }
   }
@@ -103,7 +113,7 @@ object CdcStream {
     l.join(r,
       col("l_pk") === col("r_pk") &&
         col("r_ts") > col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL ${withinUs / 1000000} SECONDS"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinUs MICROSECOND"))
       .select(col("l_lsn"), col("r_lsn"), col("l_pk").as("pk"),
         col("l_value"), col("r_value"))
   }
@@ -139,10 +149,11 @@ object CdcStream {
 
   /** Continuously materialize the current-state view of a change stream
     * into a parquet snapshot directory — the complete postrack consumer:
-    * capture feed in, queryable table out.
+    * capture feed in, queryable table out (read via `readSnapshot`).
     *
-    * Each micro-batch merges (full-outer on pk, highest LSN wins,
-    * tombstones delete) into the stored snapshot. The rewrite-per-batch is
+    * Each micro-batch merges (full-outer on pk, highest LSN wins) into the
+    * stored snapshot. Tombstoned keys stay in storage as tombstone rows —
+    * replay-safe deletes — and are hidden by the `readSnapshot` view. The rewrite-per-batch is
     * the plain-parquet price; on a real deployment the same foreachBatch
     * body targets an ACID table format's MERGE and becomes an O(delta)
     * upsert. Exactly-once: checkpointed source offsets + idempotent
@@ -156,9 +167,12 @@ object CdcStream {
         val spark = batch.sparkSession
         import spark.implicits._
         val incoming = latestOfBatch(batch)
+        // existence via the Hadoop FS API so object-store / HDFS snapshot
+        // dirs work, not just the local filesystem
+        val hPath = new org.apache.hadoop.fs.Path(snapshotDir)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val existing =
-          if (new java.io.File(snapshotDir).exists)
-            spark.read.parquet(snapshotDir).as[Snapshot]
+          if (fs.exists(hPath)) spark.read.parquet(snapshotDir).as[Snapshot]
           else spark.emptyDataset[Snapshot]
         val merged = existing.toDF("e_pk", "e_lsn", "e_op", "e_value", "e_tombstoned")
           .join(incoming.toDF("i_pk", "i_lsn", "i_op", "i_value", "i_tombstoned"),
@@ -173,7 +187,6 @@ object CdcStream {
               .as("r"))
           .select(col("pk"), col("r.*"))
           .toDF("pk", "lsn", "op", "value", "tombstoned")
-          .filter(!col("tombstoned"))
           .as[Snapshot]
         // plain parquet can't be read and overwritten in one plan: pin the
         // merged result first (an ACID format's MERGE removes this step)
@@ -184,6 +197,15 @@ object CdcStream {
         ()
       }
       .start()
+
+  /** Live (non-tombstoned) view of a materialized snapshot directory.
+    * Tombstones are RETAINED in storage so that an at-least-once replay of
+    * a pre-delete event can never win the LSN merge and resurrect a deleted
+    * row; this is the read path that hides them. */
+  def readSnapshot(spark: SparkSession, snapshotDir: String): Dataset[Snapshot] = {
+    import spark.implicits._
+    spark.read.parquet(snapshotDir).as[Snapshot].filter((s: Snapshot) => !s.tombstoned)
+  }
 
   /** Batch-local reduction: highest LSN per key within one micro-batch. */
   private def latestOfBatch(batch: Dataset[Change]): Dataset[Snapshot] = {

@@ -18,8 +18,7 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
       (4L, "users", "INSERT", 3L, 400L, 3.0, "{}"),
       (5L, "accts", "INSERT", 9L, 500L, 9.0, "{}"))
       .toDF("lsn", "table_name", "op", "pk", "ts_us", "value", "props")
-    val snap = Apply.latestSnapshot(
-        Apply.applyTruncates(feed).filter($"op" =!= "TRUNCATE"))
+    val snap = Apply.latestSnapshot(Apply.applyTruncates(feed))
       .orderBy("pk").select("pk").as[Long].collect().toSeq
     assert(snap == Seq(3L, 9L)) // users 1,2 truncated away; accts untouched
   }
@@ -30,6 +29,15 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     val got = graft.operators.Dedup.canonicalClusters(pairs)
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("canonicalClusters converges on a deep chain via pointer jumping") {
+    // 41-node chain: plain min-label propagation needs 40 rounds; pointer
+    // jumping must settle it within the default iteration budget
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup.canonicalClusters(chain)
+      .select("canonical").distinct().as[Long].collect().toSeq
+    assert(got == Seq(0L))
   }
 
   test("saltedJoin is row-identical to the plain join") {

@@ -125,6 +125,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("intervalJoin honors sub-second windows (no whole-second truncation)") {
+    implicit val sqlCtx = spark.sqlContext
+    val a = MemoryStream[Change]
+    val b = MemoryStream[Change]
+    val q = CdcStream.intervalJoin(a.toDS(), b.toDS(), 500000L, "0 seconds") // 0.5s
+      .writeStream.format("memory").queryName("subsec")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000000L
+      a.addData(Change(1, "users", "UPDATE", 1, t0, 1.0))
+      b.addData(
+        Change(10, "users", "UPDATE", 1, t0 + 300000L, 2.0), // 0.3s → in
+        Change(11, "users", "UPDATE", 1, t0 + 700000L, 3.0)) // 0.7s → out
+      q.processAllAvailable()
+      val got = spark.table("subsec").select("r_lsn").as[Long].collect().toSet
+      assert(got == Set(10L))
+    } finally q.stop()
+  }
+
+  test("scd2Stream drops cross-batch replays and late events (no overlap/dup)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val q = CdcStream.scd2Stream(input.toDS())
+      .writeStream.format("memory").queryName("scd2replay")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Change(1, "users", "INSERT", 1, 100, 10.0),
+        Change(3, "users", "UPDATE", 1, 300, 12.0))
+      q.processAllAvailable()
+      // replay of lsn 1 and a late lsn 2 — both must be ignored
+      input.addData(
+        Change(1, "users", "INSERT", 1, 100, 10.0),
+        Change(2, "users", "UPDATE", 1, 200, 11.0))
+      q.processAllAvailable()
+      val got = spark.table("scd2replay").as[graft.streaming.Scd2Closed].collect().toSeq
+      assert(got == Seq(graft.streaming.Scd2Closed(1L, 10.0, 100L, 300L, 1L)))
+    } finally q.stop()
+  }
+
   test("sessionWindows: sessions close on gap and emit when watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Change]
@@ -164,9 +204,12 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         Change(4, "users", "DELETE", 2, 400, 0.0),
         Change(5, "users", "INSERT", 3, 500, 30.0))
       q.processAllAvailable()
-      val got = spark.read.parquet(snap).as[Snapshot].collect()
+      val got = CdcStream.readSnapshot(spark, snap).collect()
         .map(s => s.pk -> s.value).toMap
-      assert(got == Map(1L -> 11.0, 3L -> 30.0)) // 2 tombstoned away
+      assert(got == Map(1L -> 11.0, 3L -> 30.0)) // 2 hidden by tombstone
+      // the tombstone row itself is RETAINED in storage (replay safety)
+      val stored = spark.read.parquet(snap).as[Snapshot].collect()
+      assert(stored.exists(s => s.pk == 2L && s.tombstoned))
     } finally q.stop()
   }
 
@@ -206,7 +249,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val q2 = CdcStream.materializeSnapshot(CdcStream.fileSource(spark, src), snap, ck)
     try {
       q2.processAllAvailable()
-      val got = spark.read.parquet(snap).as[Snapshot].collect().toSeq
+      val got = CdcStream.readSnapshot(spark, snap).collect().toSeq
       assert(got == Seq(Snapshot(1L, 2L, "UPDATE", 2.0, false)))
       // offsets resumed: the restarted run processed exactly the delta batch
       assert(q2.recentProgress.map(_.numInputRows).sum == 1L)
