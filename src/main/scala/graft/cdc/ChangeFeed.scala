@@ -62,7 +62,9 @@ final case class Publication(
 
   def apply(feed: DataFrame): DataFrame = {
     var df = feed.filter(col("table_name") === tableName)
-    if (eventMask.size < 4) df = df.filter(col("op").isin(eventMask.toSeq.sorted: _*))
+    // always applied: a size heuristic would silently skip 4+-element masks
+    // that still exclude an op; the predicate pushes to the scan anyway
+    df = df.filter(col("op").isin(eventMask.toSeq.sorted: _*))
     condition.foreach(c => df = df.filter(c))
     if (selector.nonEmpty) {
       val keep = (Seq("lsn", "table_name", "op", "pk") ++ selector).distinct

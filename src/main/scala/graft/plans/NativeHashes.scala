@@ -39,10 +39,14 @@ final case class MinHashSig(child: Expression, numPerms: Int)
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val s = arr.getUTF8String(i)
+        // identical chain to the HOF formulation xxhash64(xxhash64(s), p):
+        // string hashed once, then per-perm hashLong(seed 42) + hashInt —
+        // the two implementations are interchangeable (parity spec'd)
         val h = XXH64.hashUTF8String(s, 42L)
+        val hSeeded = XXH64.hashLong(h, 42L)
         var p = 0
         while (p < numPerms) {
-          val hp = XXH64.hashLong(h, p.toLong)
+          val hp = XXH64.hashInt(p, hSeeded)
           if (hp < mins(p)) mins(p) = hp
           p += 1
         }
@@ -67,9 +71,9 @@ final case class MinHashSig(child: Expression, numPerms: Int)
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |for (int $i = 0; $i < $arr.numElements(); $i++) {
          |  if (!$arr.isNullAt($i)) {
-         |    long $h = $xxh.hashUTF8String($arr.getUTF8String($i), 42L);
+         |    long $h = $xxh.hashLong($xxh.hashUTF8String($arr.getUTF8String($i), 42L), 42L);
          |    for (int $p = 0; $p < $numPerms; $p++) {
-         |      long $hp = $xxh.hashLong($h, (long) $p);
+         |      long $hp = $xxh.hashInt($p, $h);
          |      if ($hp < $mins[$p]) $mins[$p] = $hp;
          |    }
          |  }

@@ -34,24 +34,34 @@ object DedupQueries {
       .distinct()
   }
 
-  /** Verified MinHash-LSH near-dup pairs (shared by the pair query and the
-    * cluster canonicalization). */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // persist = the local analog of materializing signatures to storage,
-    // which is what a 100 TB run does; the plan uses `sigged` three times
-    // (band self-join × 2 scans + verify join) and must not recompute the
-    // signature each time.
-    val sigged = docsSharded(s, dir).select(col("doc_id"),
-      graft.plans.NativeHashes.minhashSig(s, Text.wordShingles(col("text"), 3), 64)
-        .as("sig")).persist()
-    val pairs = bucketPairs(sigged, Hashes.lshBands(col("sig"), 16, 4))
+  /** Join candidate pairs back to their signatures and score them — the
+    * verify stage shared by every signature-bucketing dedup pipeline. */
+  private def verifyPairs(
+      sigged: DataFrame, pairs: DataFrame,
+      score: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      scoreName: String, keep: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
     pairs
       .join(sigged.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigged.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .withColumn("est_jaccard",
-        round(Hashes.minhashSimilarity(col("sig_a"), col("sig_b")), 4))
-      .filter(col("est_jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "est_jaccard")
+      .withColumn(scoreName, score(col("sig_a"), col("sig_b")))
+      .filter(keep(col(scoreName)))
+      .select(col("doc_a"), col("doc_b"), col(scoreName))
+
+  /** Verified MinHash-LSH near-dup pairs (shared by the pair query and the
+    * cluster canonicalization). localCheckpoint = the local analog of
+    * materializing signatures to storage (what a 100 TB run does): the plan
+    * uses `sigged` three times and must not recompute it — and unlike
+    * persist(), checkpointed storage is reclaimed by the ContextCleaner
+    * when the frame goes out of scope, so repeated query invocations in a
+    * long session don't leak cache entries. */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigged = docsSharded(s, dir).select(col("doc_id"),
+      graft.plans.NativeHashes.minhashSig(s, Text.wordShingles(col("text"), 3), 64)
+        .as("sig")).localCheckpoint(true)
+    val pairs = bucketPairs(sigged, Hashes.lshBands(col("sig"), 16, 4))
+    verifyPairs(sigged, pairs,
+      (a, b) => round(Hashes.minhashSimilarity(a, b), 4),
+      "est_jaccard", _ >= 0.5)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -101,14 +111,11 @@ object DedupQueries {
     "dedup_simhash" -> ((s, dir) => {
       val sigged = docsSharded(s, dir).select(col("doc_id"),
         graft.plans.NativeHashes.simhashSig(s, Text.wsTokens(lower(col("text"))))
-          .as("sig")).persist()
+          .as("sig")).localCheckpoint(true)
       val pairs = bucketPairs(sigged, Hashes.simhashBlocks(col("sig")))
-      pairs
-        .join(sigged.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-        .join(sigged.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-        .withColumn("hamming", Hashes.hamming(col("sig_a"), col("sig_b")).cast("long"))
-        .filter(col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
+      verifyPairs(sigged, pairs,
+        (a, b) => Hashes.hamming(a, b).cast("long"),
+        "hamming", _ <= 3)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -119,7 +126,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val g = docsSharded(s, dir).select(col("doc_id"), col("source"),
         (col("n_chars") / 50).cast("long").as("len_bucket"),
-        array_distinct(Text.wordShingles(col("text"), 3)).as("grams")).persist()
+        array_distinct(Text.wordShingles(col("text"), 3)).as("grams")).localCheckpoint(true)
       g.as("a").join(g.as("b"),
           col("a.source") === col("b.source") &&
             col("a.len_bucket") === col("b.len_bucket") &&

@@ -26,7 +26,7 @@ object VectorQueries {
     // vectors agreeing on a 12-bit signature get compared (no cross join).
     "dedup_embedding" -> ((s, dir) => {
       val sigged = emb(s, dir).select(col("vec_id"), col("embedding"),
-        Vectors.hyperplaneSig(col("embedding"), 8).as("sig")).persist()
+        Vectors.hyperplaneSig(col("embedding"), 8).as("sig")).localCheckpoint(true)
       sigged.as("a").join(sigged.as("b"),
           col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
         // the synthetic embeddings are near-orthogonal (max pairwise cosine

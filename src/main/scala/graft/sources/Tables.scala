@@ -15,11 +15,16 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Pin the session settings every query's oracle parity depends on.
+    // Deliberately session-global and sticky (both are runtime-settable, so
+    // this also fixes up driver-provided sessions, cf. GraftSession):
+    //  - UTC: timestamp literals / date_format must not shift with the
+    //    host timezone or every date-filtered oracle diverges;
+    //  - nanosAsLong: events.parquet stores INT64 TIMESTAMP(NANOS), which
+    //    the vectorized reader otherwise rejects — queries derive
+    //    micro/milli/timestamp views from the raw long.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if (name == "events") {
-      // events.parquet stores INT64 TIMESTAMP(NANOS) which Spark's vectorized
-      // parquet reader rejects; read it as raw nanosecond longs instead.
-      // Runtime-settable legacy conf, so this works even on a driver-provided
-      // session. Queries derive micro/milli/timestamp views from the long.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
     spark.read.parquet(s"$dir/$name.parquet")

@@ -29,25 +29,47 @@ final case class Scd2Closed(
 object CdcStream {
 
   /** Continuous latest-snapshot: per-key state keeps the highest-LSN change
-    * seen; each micro-batch emits the new current row for every touched key
-    * (update semantics; tombstoned=true marks a deletion for the sink).
+    * seen; each micro-batch emits the new current row for every key whose
+    * state actually advanced (update semantics; tombstoned=true marks a
+    * deletion for the sink — batches carrying only stale LSNs emit nothing).
     * Out-of-order events within/across batches resolve by LSN, mirroring the
-    * batch operator (Apply.latestSnapshot). */
-  def latestSnapshot(changes: Dataset[Change]): Dataset[Snapshot] = {
+    * batch operator (Apply.latestSnapshot).
+    *
+    * State bound: live keys stay forever; with `tombstoneRetention` set,
+    * TOMBSTONED keys get a processing-time timeout after which their state
+    * is removed — they only exist to beat late replays of pre-delete
+    * events, and the retention window is how long that protection lasts.
+    * Without eviction, insert→delete churn grows state with keys-ever-seen,
+    * so production deployments should set it. Default is None because the
+    * timeout machinery schedules continuous empty micro-batches, which a
+    * synchronous test harness (processAllAvailable) cannot drain. */
+  def latestSnapshot(
+      changes: Dataset[Change],
+      tombstoneRetention: Option[String] = None): Dataset[Snapshot] = {
     import changes.sparkSession.implicits._
+    val timeoutConf = if (tombstoneRetention.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     changes
       .groupByKey(_.pk)
-      .mapGroupsWithState[Snapshot, Snapshot](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[Snapshot, Snapshot](OutputMode.Update, timeoutConf) {
         (pk: Long, it: Iterator[Change], state: GroupState[Snapshot]) =>
-          val incoming = it.maxBy(_.lsn)
-          val best = state.getOption match {
-            case Some(prev) if prev.lsn >= incoming.lsn => prev
-            case _ =>
-              Snapshot(pk, incoming.lsn, incoming.op, incoming.value,
-                tombstoned = incoming.op == "DELETE")
+          if (tombstoneRetention.isDefined && state.hasTimedOut) {
+            state.remove() // expired tombstone
+            Iterator.empty
+          } else {
+            val incoming = it.maxBy(_.lsn)
+            state.getOption match {
+              case Some(prev) if prev.lsn >= incoming.lsn =>
+                Iterator.empty // stale replay: no state change, no output
+              case _ =>
+                val best = Snapshot(pk, incoming.lsn, incoming.op, incoming.value,
+                  tombstoned = incoming.op == "DELETE")
+                state.update(best)
+                if (best.tombstoned)
+                  tombstoneRetention.foreach(state.setTimeoutDuration)
+                Iterator.single(best)
+            }
           }
-          state.update(best)
-          best
       }
   }
 

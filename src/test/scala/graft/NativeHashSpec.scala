@@ -24,6 +24,18 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
     assert(overlapFar < 8, s"far overlap $overlapFar/64")
   }
 
+  test("native minhash matches the HOF reference implementation exactly") {
+    // same chain: xxhash64(s) once, then xxhash64(h, permIndex) — signatures
+    // from the two implementations must be interchangeable
+    val df = Seq("the quick brown fox jumps over it", "a b c d e", "solo")
+      .toDF("text")
+    val got = df.select(
+      NativeHashes.minhashSig(spark, Text.wordShingles($"text", 2), 32).as("native"),
+      graft.functions.Hashes.minhash(Text.wordShingles($"text", 2), 32).as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("native simhash matches the HOF reference implementation exactly") {
     // same hash chain for the per-token hash (xxhash64 = XXH64 seed 42), so
     // the two implementations must agree bit-for-bit

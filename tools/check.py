@@ -35,7 +35,8 @@ for d in sorted(glob.glob(f"{OUT}/*/")):
         results[name] = f"SPARK-READ-FAIL {e}"
         continue
     if name not in oracle:
-        results[name] = f"rows-only rows={len(got)}" + (" EMPTY!" if len(got) == 0 else "")
+        results[name] = ("EMPTY rows-only rows=0" if len(got) == 0
+                         else f"rows-only rows={len(got)}")
         continue
     try:
         exp = con.sql(oracle[name]).df()
@@ -69,6 +70,8 @@ for d in sorted(glob.glob(f"{OUT}/*/")):
 npass = sum(1 for v in results.values() if v == "OK" or v.startswith("rows-only rows=")
             and "EMPTY" not in v)
 for k in sorted(results):
-    flag = "PASS" if results[k] == "OK" else ("ROWS" if results[k].startswith("rows-only") else "FAIL")
+    flag = ("PASS" if results[k] == "OK"
+            else "ROWS" if results[k].startswith("rows-only")
+            else "FAIL")
     print(f"{flag:4} {k:24} {results[k]}")
 print(f"\n{npass}/{len(results)} ok")
