@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Hashes, Text}
-import graft.operators.Relational
 import graft.sources.Tables
 
 /** Deduplication inventory (SURVEY.md §2): exact + the near-dup family.
