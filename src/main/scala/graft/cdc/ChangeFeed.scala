@@ -34,6 +34,28 @@ object ChangeFeed {
       col("value"),
       col("props"))
 
+  /** The feed with the reference's exact image shape: map-typed before/after
+    * row images per op (postrack.go:372-407) — INSERT carries only `after`,
+    * DELETE only `before`, UPDATE both (before = previous image per key).
+    * Null maps where the reference passes nil. */
+  def withImages(feed: DataFrame): DataFrame = {
+    val byPkAsc = org.apache.spark.sql.expressions.Window
+      .partitionBy("pk").orderBy("lsn")
+    val image = map(
+      lit("value"), col("value").cast("string"),
+      lit("props"), col("props"))
+    feed
+      .withColumn("__img", image)
+      .withColumn("__prev", lag(col("__img"), 1).over(byPkAsc))
+      .select(
+        col("lsn"), col("table_name"), col("op"), col("pk"), col("ts_us"),
+        when(col("op") === "DELETE", col("__prev"))
+          .when(col("op") === "UPDATE", col("__prev"))
+          .otherwise(lit(null)).as("before"),
+        when(col("op") =!= "DELETE", col("__img"))
+          .otherwise(lit(null)).as("after"))
+  }
+
   /** DuckDB CTE producing the identical feed, for oracle SQL reuse. */
   val oracleCte: String =
     """WITH feed AS (

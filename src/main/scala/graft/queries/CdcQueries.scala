@@ -49,7 +49,19 @@ object CdcQueries {
       Apply.latestSnapshot(Apply.resumeFrom(feed(s, dir), 500L)).orderBy("pk")),
 
     "cdc_changelog_stats" -> ((s, dir) =>
-      Apply.changelogStats(feed(s, dir)).orderBy("table_name", "op")))
+      Apply.changelogStats(feed(s, dir)).orderBy("table_name", "op")),
+
+    // The reference's exact HandleFunc shape: map-typed before/after images
+    // (nil rules per op, postrack.go:372-407). Rows-only: DuckDB's MAP
+    // comparison semantics don't round-trip through the parquet gate.
+    "cdc_images" -> ((s, dir) =>
+      ChangeFeed.withImages(feed(s, dir))
+        .select(col("lsn"), col("op"), col("pk"),
+          col("before").getItem("value").as("before_value"),
+          col("after").getItem("value").as("after_value"),
+          col("before").isNull.as("before_nil"),
+          col("after").isNull.as("after_nil"))
+        .orderBy("lsn")))
 
   val oracles: Map[String, String] = Map(
     "cdc_event_mask" ->

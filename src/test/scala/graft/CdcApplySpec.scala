@@ -68,6 +68,25 @@ class CdcApplySpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("GreaterThan(value,150.0)"), plan.take(2000))
   }
 
+  test("withImages: nil rules match the reference handler per op") {
+    val rows = graft.cdc.ChangeFeed.withImages(feed)
+      .orderBy("lsn")
+      .select("op", "before", "after")
+      .collect()
+    rows.foreach { r =>
+      val (op, before, after) = (r.getString(0), r.get(1), r.get(2))
+      op match {
+        case "INSERT" => assert(before == null && after != null)
+        case "DELETE" => assert(after == null)
+        case "UPDATE" => assert(after != null) // before nullable (first-seen key)
+      }
+    }
+    // UPDATE after an INSERT carries the previous image
+    val upd = graft.cdc.ChangeFeed.withImages(feed)
+      .filter($"lsn" === 2L).select("before").collect().head.getMap[String, String](0)
+    assert(upd("value") == "10.0")
+  }
+
   test("driver-table feed maps the reference event enum deterministically") {
     val ops = ChangeFeed.fromEvents(sources.Tables(spark, sf, "events"))
       .select("op").distinct().as[String].collect().toSet
