@@ -54,6 +54,23 @@ object TextQueries {
         .orderBy(col("n").desc, col("ngram"))
         .limit(20)),
 
+    // Gopher-style repetition/quality signals (Rae et al. '21 heuristics):
+    // duplicate-3gram mass, alphabetic-word fraction, mean word length —
+    // the per-document filters a pretraining pipeline applies corpus-wide.
+    "text_repetition" -> ((s, dir) => {
+      val grams = Text.wordShingles(col("text"), 3)
+      val toks = Text.wsTokens(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        round((size(grams) - size(array_distinct(grams))).cast("double") /
+          greatest(size(grams), lit(1)), 4).as("dup_3gram_ratio"),
+        round(size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") /
+          greatest(size(toks), lit(1)), 4).as("frac_alpha_words"),
+        round((length(col("text")) - (size(toks) - lit(1))).cast("double") /
+          greatest(size(toks), lit(1)), 4).as("mean_word_len"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic content-hash train/val/test split: assignment depends
     // only on the text (not row order, partitioning, or ids), so re-runs,
     // re-shards, and near-dup handling can't leak val/test into train.
@@ -127,6 +144,28 @@ object TextQueries {
         |  FROM toks)
         |SELECT ngram, count(*) AS n FROM grams
         |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+
+    "text_repetition" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks,
+        |         length(text) AS n_chars
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks, n_chars,
+        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_transform(range(len(t) - 2),
+        |                   i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]) END AS grams
+        |  FROM f)
+        |SELECT doc_id,
+        |       round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) /
+        |             greatest(len(grams), 1), 4) AS dup_3gram_ratio,
+        |       round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) /
+        |             greatest(len(toks), 1), 4) AS frac_alpha_words,
+        |       round(CAST(n_chars - (len(toks) - 1) AS DOUBLE) /
+        |             greatest(len(toks), 1), 4) AS mean_word_len
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "pipeline_train_split" ->
       """WITH assigned AS (

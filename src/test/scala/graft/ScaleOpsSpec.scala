@@ -65,6 +65,20 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned lake: day filter prunes partitions at the scan") {
+    val path = java.nio.file.Files.createTempDirectory("lake").toString + "/events"
+    val ev = Tables(spark, sf, "events").withColumn("ts_us", expr("ts div 1000"))
+    graft.sources.PartitionedLake.writeByDay(ev, "ts_us", path)
+    val nDays = spark.read.parquet(path).select("day").distinct().count()
+    assert(nDays > 1, s"need multiple day partitions, got $nDays")
+    val oneDay = graft.sources.PartitionedLake.readDays(
+      spark, path, "2024-01-01", "2024-01-01")
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    // pruned scan must read strictly fewer rows than the full lake
+    assert(oneDay.count() > 0 && oneDay.count() < ev.count())
+  }
+
   test("approx_count_distinct stays within its 2% rsd envelope at sf0.001") {
     val rows = queries.RelationalQueries.queries("q_approx_distinct")(spark, sf)
       .select("approx_parts", "exact_parts").as[(Long, Long)].collect()
