@@ -54,11 +54,14 @@ object Text {
     val stopRatio = stopwordCount(text).cast("double") / greatest(nTokens, lit(1.0))
     val punctRatio = size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0)))
       .cast("double") / greatest(length(text).cast("double"), lit(1.0))
-    round(
-      least(nTokens / lit(100.0), lit(1.0)) * lit(0.4) +
-        least(stopRatio * lit(5.0), lit(1.0)) * lit(0.4) +
-        (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * lit(0.2),
-      4)
+    // least/greatest SKIP nulls in Spark, so a null text would otherwise
+    // produce a garbage partial score instead of propagating null
+    when(text.isNull, lit(null).cast("double")).otherwise(
+      round(
+        least(nTokens / lit(100.0), lit(1.0)) * lit(0.4) +
+          least(stopRatio * lit(5.0), lit(1.0)) * lit(0.4) +
+          (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * lit(0.2),
+        4))
   }
 
   /** Language-ID by marker-word voting: count hits against tiny per-language
@@ -80,7 +83,9 @@ object Text {
     }
     // array_max on (hits, lang) structs = argmax with lexicographic tie-break
     val best = array_max(array(scores: _*))
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+    when(text.isNull, lit(null).cast("string"))
+      .when(best.getField("hits") > 0, best.getField("lang"))
+      .otherwise("und")
   }
 
   /** Word k-shingles joined with a separator — the unit for MinHash/Jaccard. */
