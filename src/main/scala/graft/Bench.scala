@@ -5,8 +5,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
     // Warm the session (codegen, parquet reader, shuffle, broadcast paths)
-    // so the first measured query isn't charged one-time setup.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // so the first measured query isn't charged one-time setup. Warm against
+    // the benchmarked sfDir itself — a fixed path might not exist wherever
+    // Bench runs, silently skipping the warmup.
+    try SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

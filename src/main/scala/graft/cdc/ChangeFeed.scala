@@ -39,14 +39,18 @@ object ChangeFeed {
     * DELETE only `before`, UPDATE both (before = previous image per key).
     * Null maps where the reference passes nil. */
   def withImages(feed: DataFrame): DataFrame = {
-    val byPkAsc = org.apache.spark.sql.expressions.Window
-      .partitionBy("pk").orderBy("lsn")
+    // key identity is (table, pk) — pk alone would pair images across
+    // tables; TRUNCATE markers carry no row images (reference:
+    // TruncateMessage) and must not enter the lag chain either
+    val byKeyAsc = org.apache.spark.sql.expressions.Window
+      .partitionBy("table_name", "pk").orderBy("lsn")
     val image = map(
       lit("value"), col("value").cast("string"),
       lit("props"), col("props"))
-    feed
+    val outCols = Seq("lsn", "table_name", "op", "pk", "ts_us", "before", "after")
+    val rows = feed.filter(col("op") =!= "TRUNCATE")
       .withColumn("__img", image)
-      .withColumn("__prev", lag(col("__img"), 1).over(byPkAsc))
+      .withColumn("__prev", lag(col("__img"), 1).over(byKeyAsc))
       .select(
         col("lsn"), col("table_name"), col("op"), col("pk"), col("ts_us"),
         when(col("op") === "DELETE", col("__prev"))
@@ -54,6 +58,11 @@ object ChangeFeed {
           .otherwise(lit(null)).as("before"),
         when(col("op") =!= "DELETE", col("__img"))
           .otherwise(lit(null)).as("after"))
+    val markers = feed.filter(col("op") === "TRUNCATE")
+      .select(col("lsn"), col("table_name"), col("op"), col("pk"), col("ts_us"),
+        lit(null).cast(rows.schema("before").dataType).as("before"),
+        lit(null).cast(rows.schema("after").dataType).as("after"))
+    rows.select(outCols.map(col): _*).unionByName(markers)
   }
 
   /** DuckDB CTE producing the identical feed, for oracle SQL reuse. */

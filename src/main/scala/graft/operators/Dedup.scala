@@ -36,21 +36,24 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min("canonical").as("nbr_min"))
-      val stepped = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+      val stepped0 = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(col("doc_id"),
           least(col("canonical"), coalesce(col("nbr_min"), col("canonical"))).as("canonical"))
       // pointer jumping (canonical -> canonical-of-canonical) doubles
       // propagation distance per round, turning deep-chain convergence into
       // O(log diameter) — but it costs an extra join, so only engage it
       // after plain propagation has had the two rounds that settle the
-      // common star/pair-shaped dup clusters
-      val next = (if (i < 2) stepped
-        else stepped.as("l")
-          .join(stepped.as("m").select(col("doc_id").as("m_id"), col("canonical").as("m_can")),
-            col("l.canonical") === col("m_id"), "left")
-          .select(col("l.doc_id").as("doc_id"),
-            least(col("l.canonical"), coalesce(col("m_can"), col("l.canonical"))).as("canonical"))
-        ).localCheckpoint(true)
+      // common star/pair-shaped dup clusters. The jump self-joins stepped,
+      // so checkpoint it first or the propagate join runs twice.
+      val next = (if (i < 2) stepped0
+        else {
+          val stepped = stepped0.localCheckpoint(true)
+          stepped.as("l")
+            .join(stepped.as("m").select(col("doc_id").as("m_id"), col("canonical").as("m_can")),
+              col("l.canonical") === col("m_id"), "left")
+            .select(col("l.doc_id").as("doc_id"),
+              least(col("l.canonical"), coalesce(col("m_can"), col("l.canonical"))).as("canonical"))
+        }).localCheckpoint(true)
       changed = next.as("n").join(labels.as("p"), Seq("doc_id"))
         .filter(col("n.canonical") =!= col("p.canonical")).count()
       labels = next

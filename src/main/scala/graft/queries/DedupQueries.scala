@@ -92,9 +92,12 @@ object DedupQueries {
       val sigged = docsSharded(s, dir).select(col("source"),
         graft.plans.NativeHashes.minhashSig(s, Text.wordShingles(col("text"), 3), 64)
           .as("sig"))
+      // checkpoint before the self-join or the full-corpus signature scan
+      // underneath the aggregate runs twice
       val bySource = sigged.groupBy("source")
         .agg(graft.plans.NativeHashes.minhashMerge(s, col("sig")).as("source_sig"),
           count(lit(1)).as("n_docs"))
+        .localCheckpoint(true)
       bySource.select(col("source").as("source_a"), col("source_sig").as("sig_a"),
           col("n_docs").as("n_docs_a"))
         .join(bySource.select(col("source").as("source_b"), col("source_sig").as("sig_b")),

@@ -52,18 +52,11 @@ object VectorQueries {
         .orderBy("q_id", "rk")
     }),
 
-    // Per-cluster centroids + cohesion: element-wise mean via posexplode →
-    // (label, dim) agg — the shape that scales to any dimension/cardinality
-    // because no row ever holds more than one (dim, value) pair in the agg.
+    // Per-cluster centroids + cohesion (see Embeddings.labelCentroids for
+    // the scale shape).
     "emb_centroids" -> ((s, dir) => {
       val e = emb(s, dir)
-      val centroids = e
-        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy("label", "dim").agg(avg("x").as("cx"))
-        .groupBy("label")
-        .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
-        .select(col("label"),
-          transform(col("pairs"), p => p.getField("cx")).as("centroid"))
+      val centroids = graft.operators.Embeddings.labelCentroids(e, "label", "embedding")
       e.join(broadcast(centroids), "label")
         .select(col("label"),
           Vectors.cosine(col("embedding"), col("centroid")).as("cos"))

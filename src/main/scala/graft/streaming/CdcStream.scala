@@ -60,7 +60,12 @@ object CdcStream {
             val incoming = it.maxBy(_.lsn)
             state.getOption match {
               case Some(prev) if prev.lsn >= incoming.lsn =>
-                Iterator.empty // stale replay: no state change, no output
+                // stale replay: no state change, no output — but every
+                // invocation CLEARS a pending GroupState timeout, so a
+                // tombstone hit by a replay must re-arm its eviction or it
+                // leaks forever
+                if (prev.tombstoned) tombstoneRetention.foreach(state.setTimeoutDuration)
+                Iterator.empty
               case _ =>
                 val best = Snapshot(pk, incoming.lsn, incoming.op, incoming.value,
                   tombstoned = incoming.op == "DELETE")

@@ -31,17 +31,20 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(frames.exceptAll(again).isEmpty)
   }
 
-  test("emb_centroids: identical vectors give cohesion 1.0") {
+  test("labelCentroids: identical vectors give cohesion 1.0 (production op)") {
     val v = Array.tabulate(8)(_.toFloat + 1f)
     val df = Seq((0L, v, 1), (1L, v, 1), (2L, v.map(-_), 2)).toDF("vec_id", "embedding", "label")
-    val centroids = df.select($"label", posexplode($"embedding").as(Seq("dim", "x")))
-      .groupBy("label", "dim").agg(avg("x").as("cx"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct($"dim", $"cx"))).as("pairs"))
-      .select($"label", transform($"pairs", p => p.getField("cx")).as("centroid"))
+    val centroids = graft.operators.Embeddings.labelCentroids(df, "label", "embedding")
     val cos = df.join(centroids, "label")
       .select(round(Vectors.cosine($"embedding", $"centroid"), 6).as("c"))
       .as[Double].collect()
     assert(cos.forall(_ == 1.0))
+  }
+
+  test("emb_centroids query: cohesion bounded, vector counts total") {
+    val out = queries.VectorQueries.queries("emb_centroids")(spark, sf)
+      .selectExpr("n_vectors", "mean_cos_to_centroid").as[(Long, Double)].collect()
+    assert(out.map(_._1).sum == sources.Tables(spark, sf, "embeddings").count())
+    assert(out.forall { case (_, c) => c > -1.0 && c <= 1.0 })
   }
 }
