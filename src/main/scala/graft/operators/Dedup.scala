@@ -38,25 +38,31 @@ object Dedup {
         .groupBy(col("src")).agg(min("canonical").as("nbr_min"))
       val stepped0 = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(col("doc_id"),
-          least(col("canonical"), coalesce(col("nbr_min"), col("canonical"))).as("canonical"))
+          least(col("canonical"), coalesce(col("nbr_min"), col("canonical"))).as("canonical"),
+          col("canonical").as("__old"))
       // pointer jumping (canonical -> canonical-of-canonical) doubles
       // propagation distance per round, turning deep-chain convergence into
       // O(log diameter) — but it costs an extra join, so only engage it
       // after plain propagation has had the two rounds that settle the
       // common star/pair-shaped dup clusters. The jump self-joins stepped,
       // so checkpoint it first or the propagate join runs twice.
-      val next = (if (i < 2) stepped0
+      // the change flag rides along with the propagation, so convergence
+      // detection is a cheap aggregate over the checkpointed generation
+      // instead of an extra labels↔next join per round
+      val nextFlagged = (if (i < 2) stepped0
         else {
           val stepped = stepped0.localCheckpoint(true)
           stepped.as("l")
             .join(stepped.as("m").select(col("doc_id").as("m_id"), col("canonical").as("m_can")),
               col("l.canonical") === col("m_id"), "left")
             .select(col("l.doc_id").as("doc_id"),
-              least(col("l.canonical"), coalesce(col("m_can"), col("l.canonical"))).as("canonical"))
-        }).localCheckpoint(true)
-      changed = next.as("n").join(labels.as("p"), Seq("doc_id"))
-        .filter(col("n.canonical") =!= col("p.canonical")).count()
-      labels = next
+              least(col("l.canonical"), coalesce(col("m_can"), col("l.canonical"))).as("canonical"),
+              col("l.__old").as("__old"))
+        })
+        .withColumn("__chg", when(col("canonical") =!= col("__old"), 1L).otherwise(0L))
+        .localCheckpoint(true)
+      changed = nextFlagged.agg(coalesce(sum("__chg"), lit(0L))).head().getLong(0)
+      labels = nextFlagged.drop("__old", "__chg")
       i += 1
     }
     edges.unpersist()
