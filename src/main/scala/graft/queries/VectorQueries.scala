@@ -26,7 +26,7 @@ object VectorQueries {
     // vectors agreeing on a 12-bit signature get compared (no cross join).
     "dedup_embedding" -> ((s, dir) => {
       val sigged = emb(s, dir).select(col("vec_id"), col("embedding"),
-        Vectors.hyperplaneSig(col("embedding"), 8).as("sig")).localCheckpoint(true)
+        graft.plans.HyperplaneSigs.sig(s, col("embedding"), 8).as("sig")).localCheckpoint(true)
       sigged.as("a").join(sigged.as("b"),
           col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
         // the synthetic embeddings are near-orthogonal (max pairwise cosine
@@ -73,7 +73,7 @@ object VectorQueries {
     // hash join with no corpus shuffle; distinct + top-k per query after.
     "knn_lsh" -> ((s, dir) => {
       val sigged = emb(s, dir).select(col("vec_id"), col("embedding"),
-        Vectors.hyperplaneSigs(col("embedding"), 8, 4).as("sigs"))
+        graft.plans.HyperplaneSigs.sigs(s, col("embedding"), 8, 4).as("sigs"))
       val buckets = sigged.select(col("vec_id"), col("embedding"),
         posexplode(col("sigs")).as(Seq("t", "sig")))
       val q = buckets.filter(col("vec_id") < nQueries)

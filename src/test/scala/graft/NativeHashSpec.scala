@@ -64,6 +64,22 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
     assert(merged == unionSig)
   }
 
+  test("native hyperplane sigs match the HOF reference implementation exactly") {
+    val vecs = (0 until 20).map(i =>
+      Tuple1(Array.tabulate(16)(j => ((i * 31 + j * 7) % 13).toFloat - 6f)))
+    val df = vecs.toDF("e")
+    val got = df.select(
+      graft.plans.HyperplaneSigs.sigs(spark, $"e", 8, 4).as("native"),
+      graft.functions.Vectors.hyperplaneSigs($"e", 8, 4).as("hof"),
+      graft.plans.HyperplaneSigs.sig(spark, $"e", 12).as("native1"),
+      graft.functions.Vectors.hyperplaneSig($"e", 12).as("hof1"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getLong(2) == r.getLong(3))
+    }
+  }
+
   test("native expressions survive filter pushdown planning on parquet scans") {
     val d = sources.Tables(spark, sf, "documents")
     val out = d.filter($"n_chars" > 100)
