@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native cosine similarity over two float/double array columns —
+  * bit-identical to `graft.functions.Vectors.cosine` (same left-to-right
+  * double accumulation for dot and norms, parity spec'd, so the
+  * oracle-checked knn_bruteforce stays byte-stable), executed as one tight
+  * loop instead of three interpreted zip_with/aggregate chains per pair. */
+final case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects two array<float|double>, got ${left.dataType}, ${right.dataType}")
+  }
+
+  private def isFloat(e: Expression) = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private val lFloat = isFloat(left)
+  private val rFloat = isFloat(right)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (lFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+object CosineSim {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("cosine_sim", {
+      case Seq(a, b) => CosineSim(a, b)
+      case other => throw new IllegalArgumentException(
+        s"cosine_sim(a, b) expects 2 args, got ${other.size}")
+    }, "built-in")
+
+  def cosine(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("cosine_sim", a, b)
+  }
+}

@@ -31,7 +31,7 @@ object VectorQueries {
           col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
         // the synthetic embeddings are near-orthogonal (max pairwise cosine
         // ≈0.46 at sf0.01), so "near"-dup here means the top of that range
-        .withColumn("cos", round(Vectors.cosine(col("a.embedding"), col("b.embedding")), 4))
+        .withColumn("cos", round(graft.plans.CosineSim.cosine(s, col("a.embedding"), col("b.embedding")), 4))
         .filter(col("cos") >= 0.25)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
         .orderBy("vec_a", "vec_b")
@@ -45,7 +45,7 @@ object VectorQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val scored = base.join(broadcast(q), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          round(Vectors.cosine(col("q_emb"), col("embedding")), 4).as("cos"))
+          round(graft.plans.CosineSim.cosine(s, col("q_emb"), col("embedding")), 4).as("cos"))
       Relational.topKPerGroup(scored, Seq("q_id"),
           Seq(col("cos").desc, col("neighbor_id")), topK)
         .select(col("q_id"), col("rk").cast("long").as("rk"), col("neighbor_id"), col("cos"))
@@ -59,7 +59,7 @@ object VectorQueries {
       val centroids = graft.operators.Embeddings.labelCentroids(e, "label", "embedding")
       e.join(broadcast(centroids), "label")
         .select(col("label"),
-          Vectors.cosine(col("embedding"), col("centroid")).as("cos"))
+          graft.plans.CosineSim.cosine(s, col("embedding"), col("centroid")).as("cos"))
         .groupBy("label")
         .agg(count(lit(1)).as("n_vectors"),
           round(avg("cos"), 4).as("mean_cos_to_centroid"))
@@ -86,7 +86,7 @@ object VectorQueries {
           col("q_emb"), col("embedding"))
         .distinct()
       val scored = cands.select(col("q_id"), col("neighbor_id"),
-        round(Vectors.cosine(col("q_emb"), col("embedding")), 4).as("cos"))
+        round(graft.plans.CosineSim.cosine(s, col("q_emb"), col("embedding")), 4).as("cos"))
       Relational.topKPerGroup(scored, Seq("q_id"),
           Seq(col("cos").desc, col("neighbor_id")), topK)
         .select(col("q_id"), col("rk").cast("long").as("rk"), col("neighbor_id"), col("cos"))

@@ -80,6 +80,21 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("native cosine matches the HOF reference bit-for-bit") {
+    val rows = (0 until 25).map { i =>
+      (Array.tabulate(32)(j => ((i + j * 3) % 11).toFloat - 5f),
+        Array.tabulate(32)(j => ((i * 7 + j) % 9).toFloat - 4f))
+    }
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      graft.plans.CosineSim.cosine(spark, $"a", $"b").as("native"),
+      graft.functions.Vectors.cosine($"a", $"b").as("hof"))
+      .collect()
+    got.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+  }
+
   test("native expressions survive filter pushdown planning on parquet scans") {
     val d = sources.Tables(spark, sf, "documents")
     val out = d.filter($"n_chars" > 100)
