@@ -14,25 +14,31 @@ import org.apache.spark.sql.functions._
   */
 object Apply {
 
-  private val byPk = Window.partitionBy("pk")
-  private val byPkAsc = byPk.orderBy(col("lsn"))
-  private val byPkDesc = byPk.orderBy(col("lsn").desc)
+  // key identity on a multi-table slot is (table, pk) — pk alone would pair
+  // events across tables (the reference feeds any number of tables per slot,
+  // postrack.go:369-376); same partitioning as ChangeFeed.withImages
+  private val byKey = Window.partitionBy("table_name", "pk")
+  private val byKeyAsc = byKey.orderBy(col("lsn"))
+  private val byKeyDesc = byKey.orderBy(col("lsn").desc)
 
   /** Current state per key: highest-LSN event wins; a key whose last event is
-    * DELETE has no current row (tombstone). One shuffle on pk. */
+    * DELETE has no current row (tombstone). One shuffle on (table, pk). */
   def latestSnapshot(feed: DataFrame): DataFrame =
     feed
-      .withColumn("rn", row_number().over(byPkDesc))
+      .withColumn("rn", row_number().over(byKeyDesc))
       .filter(col("rn") === 1 && col("op") =!= "DELETE")
-      .select("pk", "lsn", "op", "value", "props")
+      .select("table_name", "pk", "lsn", "op", "value", "props")
 
-  /** Apply the feed onto a base table: update matched keys, insert new keys,
-    * drop tombstoned keys. Base side stays untouched for keys with no
-    * changes. Full outer join on the key — the merge/upsert a consumer runs
-    * against its materialized copy. */
+  /** Apply a PUBLICATION-SCOPED (single-table) feed onto a base table: update
+    * matched keys, insert new keys, drop tombstoned keys. Base side stays
+    * untouched for keys with no changes. Full outer join on the key — the
+    * merge/upsert a consumer runs against its materialized copy. The caller
+    * scopes the feed to one table (`Publication(...)(feed)`) because the base
+    * join key is the bare pk; latest-change resolution still keys on
+    * (table, pk) so an unscoped feed fails loudly in review, not silently. */
   def upsert(base: DataFrame, feed: DataFrame, baseKey: String, baseValue: String): DataFrame = {
     val latest = feed
-      .withColumn("rn", row_number().over(byPkDesc))
+      .withColumn("rn", row_number().over(byKeyDesc))
       .filter(col("rn") === 1)
       .select(col("pk"), col("op").as("last_op"), col("value").as("new_value"))
     base.select(col(baseKey).cast("long").as("k"), col(baseValue).as("base_value"))
@@ -48,10 +54,10 @@ object Apply {
     * change to the same key. valid_to is null on the current row. */
   def scd2(feed: DataFrame): DataFrame =
     feed.select(
-      col("pk"), col("lsn"), col("op"), col("value"),
+      col("table_name"), col("pk"), col("lsn"), col("op"), col("value"),
       col("ts_us").as("valid_from_us"),
-      lead(col("ts_us"), 1).over(byPkAsc).as("valid_to_us"),
-      (lead(col("lsn"), 1).over(byPkAsc).isNull).as("is_current"))
+      lead(col("ts_us"), 1).over(byKeyAsc).as("valid_to_us"),
+      (lead(col("lsn"), 1).over(byKeyAsc).isNull).as("is_current"))
 
   /** Before/after image pairing for UPDATEs: the reference's UpdateMessage
     * carries OldTuple+NewTuple (postrack.go:381-394); when the upstream only
@@ -59,9 +65,10 @@ object Apply {
     * previous value per key. */
   def beforeAfter(feed: DataFrame): DataFrame =
     feed
-      .withColumn("before_value", lag(col("value"), 1).over(byPkAsc))
+      .withColumn("before_value", lag(col("value"), 1).over(byKeyAsc))
       .filter(col("op") === "UPDATE" && col("before_value").isNotNull)
-      .select(col("pk"), col("lsn"), col("before_value"), col("value").as("after_value"))
+      .select(col("table_name"), col("pk"), col("lsn"),
+        col("before_value"), col("value").as("after_value"))
 
   /** Offset-based resume: strictly-after semantics, matching the reference's
     * StartReplication(lsn+1) (postrack.go:285-309). */

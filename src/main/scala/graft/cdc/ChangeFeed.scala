@@ -21,11 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object ChangeFeed {
 
-  /** events.parquet (with ts read as nanosecond longs) → canonical feed. */
+  /** Relation OIDs + relation-frame LSNs for the synthetic pgoutput capture
+    * side (PgOutput.framesFromEvents). Relation frames sort before every
+    * event frame (driver event_ids start at 1), mirroring a WAL stream where
+    * RelationMessages precede the data messages that reference them. */
+  val usersRelId = 1001
+  val accountsRelId = 1002
+  def relationLsn(i: Int): Long = -2L + i
+
+  /** events.parquet (with ts read as nanosecond longs) → canonical feed.
+    * Routed across TWO tables (the reference tracks any number of tables per
+    * slot via RelationMessage, postrack.go:369-376): even keys → users, odd
+    * keys → accounts. Must stay in lockstep with `oracleCte` and
+    * `PgOutput.framesFromEvents`. */
   def fromEvents(events: DataFrame): DataFrame =
     events.select(
       col("event_id").as("lsn"),
-      lit("users").as("table_name"),
+      when(pmod(col("user_id"), lit(2)) === 0, "users")
+        .otherwise("accounts").as("table_name"),
       when(col("event_type") === "signup", "INSERT")
         .when(col("event_type") === "error", "DELETE")
         .otherwise("UPDATE").as("op"),
@@ -68,7 +81,8 @@ object ChangeFeed {
   /** DuckDB CTE producing the identical feed, for oracle SQL reuse. */
   val oracleCte: String =
     """WITH feed AS (
-      |  SELECT event_id AS lsn, 'users' AS table_name,
+      |  SELECT event_id AS lsn,
+      |         CASE WHEN user_id % 2 = 0 THEN 'users' ELSE 'accounts' END AS table_name,
       |         CASE WHEN event_type = 'signup' THEN 'INSERT'
       |              WHEN event_type = 'error' THEN 'DELETE'
       |              ELSE 'UPDATE' END AS op,
@@ -89,7 +103,13 @@ final case class Publication(
     tableName: String,
     selector: Seq[String] = Nil,
     condition: Option[Column] = None,
-    eventMask: Set[String] = Set("INSERT", "UPDATE", "DELETE", "TRUNCATE")) {
+    eventMask: Set[String] = Set("INSERT", "UPDATE", "DELETE", "TRUNCATE"),
+    /** The reference's WithOverride idempotency flag (postrack.go:57-61,
+      * 213-227): when set, (re-)registering this publication over an
+      * existing one for the same table KEEPS the existing definition; when
+      * unset, the existing definition is dropped and replaced. Consumed by
+      * PublicationCatalog.set. */
+    overrideExisting: Boolean = false) {
 
   def apply(feed: DataFrame): DataFrame = {
     var df = feed.filter(col("table_name") === tableName)

@@ -3,12 +3,14 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.cdc.{Apply, ChangeFeed, Publication}
+import graft.cdc.{Apply, ChangeFeed, PgOutput, Publication, PublicationCatalog, SlotStore}
 import graft.sources.Tables
 
 /** CDC operator inventory (SURVEY.md §2, first block): the reference's
   * publication/slot/change-stream surface re-expressed as Spark plans over
-  * the canonical change feed, each with a byte-matching DuckDB oracle.
+  * the canonical TWO-TABLE change feed (the reference tracks any number of
+  * tables per slot via RelationMessage), each with a byte-matching DuckDB
+  * oracle.
   */
 object CdcQueries {
 
@@ -32,21 +34,63 @@ object CdcQueries {
         .select("lsn", "pk", "value")
         .orderBy("lsn")),
 
+    // The full publication lifecycle in one plan (postrack.go:188-256):
+    // set registers, set+override keeps the existing definition (the
+    // WithOverride idempotency flag), replace swaps it. The surviving
+    // catalog applied to the two-table feed is the subscription union.
+    "cdc_publication_catalog" -> ((s, dir) => {
+      val cat = new PublicationCatalog
+      cat.set(Publication("users", condition = Some(col("value") > 100)))
+      cat.set(Publication("accounts", eventMask = Set("INSERT", "DELETE")))
+      // idempotent re-registration: the original users definition survives
+      cat.set(Publication("users", condition = Some(col("value") > 99999),
+        overrideExisting = true))
+      // replace: the accounts definition is swapped for UPDATE-only
+      cat.replace(Publication("accounts", eventMask = Set("UPDATE")))
+      cat(feed(s, dir))
+        .select("lsn", "table_name", "op", "pk", "value")
+        .orderBy("lsn")
+    }),
+
+    // Raw pgoutput frames (synthesized from the events table — no live
+    // Postgres in the sandbox) decoded back into the canonical feed: the
+    // reference's entire handler loop (postrack.go:340-413) as a
+    // broadcast-registry + mapPartitions plan, oracle-checked end-to-end.
+    "cdc_pgoutput_decode" -> ((s, dir) => {
+      val frames = PgOutput.framesFromEvents(s, Tables(s, dir, "events"))
+      PgOutput.toCanonicalFeed(PgOutput.decodeFeed(s, frames))
+        .select("lsn", "table_name", "op", "pk", "ts_us", "value")
+        .orderBy("lsn")
+    }),
+
     "cdc_latest_snapshot" -> ((s, dir) =>
-      Apply.latestSnapshot(feed(s, dir)).orderBy("pk")),
+      Apply.latestSnapshot(feed(s, dir)).orderBy("table_name", "pk")),
 
     "cdc_upsert_apply" -> ((s, dir) =>
-      Apply.upsert(Tables(s, dir, "customer"), feed(s, dir), "c_custkey", "c_acctbal")
+      Apply.upsert(Tables(s, dir, "customer"),
+          Publication("users")(feed(s, dir)), "c_custkey", "c_acctbal")
         .orderBy("pk")),
 
     "cdc_scd2_history" -> ((s, dir) =>
-      Apply.scd2(feed(s, dir)).orderBy("pk", "lsn")),
+      Apply.scd2(feed(s, dir)).orderBy("table_name", "pk", "lsn")),
 
     "cdc_before_after" -> ((s, dir) =>
-      Apply.beforeAfter(feed(s, dir)).orderBy("pk", "lsn")),
+      Apply.beforeAfter(feed(s, dir)).orderBy("table_name", "pk", "lsn")),
 
-    "cdc_resume_lsn" -> ((s, dir) =>
-      Apply.latestSnapshot(Apply.resumeFrom(feed(s, dir), 500L)).orderBy("pk")),
+    // Resume driven from the DURABLE slot store — the consumer-side
+    // confirmed_flush_lsn (postrack.go:107-117): ack 500, then a stale
+    // re-ack that must not move the watermark back, then restart
+    // strictly-after the stored offset (StartReplication(lsn+1)).
+    "cdc_resume_lsn" -> ((s, dir) => {
+      val store = new SlotStore(
+        java.nio.file.Files.createTempDirectory("graft-slots").toString)
+      store.setSlot("graft")
+      store.ack("graft", 500L)
+      store.ack("graft", 450L)
+      Apply.latestSnapshot(
+          Apply.resumeFrom(feed(s, dir), store.confirmedFlushLsn("graft")))
+        .orderBy("table_name", "pk")
+    }),
 
     "cdc_changelog_stats" -> ((s, dir) =>
       Apply.changelogStats(feed(s, dir)).orderBy("table_name", "op")),
@@ -56,7 +100,7 @@ object CdcQueries {
     // comparison semantics don't round-trip through the parquet gate.
     "cdc_images" -> ((s, dir) =>
       ChangeFeed.withImages(feed(s, dir))
-        .select(col("lsn"), col("op"), col("pk"),
+        .select(col("lsn"), col("table_name"), col("op"), col("pk"),
           col("before").getItem("value").as("before_value"),
           col("after").getItem("value").as("after_value"),
           col("before").isNull.as("before_nil"),
@@ -67,23 +111,38 @@ object CdcQueries {
     "cdc_event_mask" ->
       s"""$cte
          |SELECT lsn, op, pk, value FROM feed
-         |WHERE op IN ('DELETE', 'INSERT') ORDER BY lsn""".stripMargin,
+         |WHERE table_name = 'users' AND op IN ('DELETE', 'INSERT')
+         |ORDER BY lsn""".stripMargin,
 
     "cdc_selector" ->
       s"""$cte
-         |SELECT lsn, table_name, op, pk, value FROM feed ORDER BY lsn""".stripMargin,
+         |SELECT lsn, table_name, op, pk, value FROM feed
+         |WHERE table_name = 'users' ORDER BY lsn""".stripMargin,
 
     "cdc_condition" ->
       s"""$cte
          |SELECT lsn, pk, value FROM feed
-         |WHERE value > 150 AND op = 'UPDATE' ORDER BY lsn""".stripMargin,
+         |WHERE table_name = 'users' AND value > 150 AND op = 'UPDATE'
+         |ORDER BY lsn""".stripMargin,
+
+    "cdc_publication_catalog" ->
+      s"""$cte
+         |SELECT lsn, table_name, op, pk, value FROM feed
+         |WHERE (table_name = 'users' AND value > 100)
+         |   OR (table_name = 'accounts' AND op = 'UPDATE')
+         |ORDER BY lsn""".stripMargin,
+
+    "cdc_pgoutput_decode" ->
+      s"""$cte
+         |SELECT lsn, table_name, op, pk, ts_us, value FROM feed
+         |ORDER BY lsn""".stripMargin,
 
     "cdc_latest_snapshot" ->
       s"""$cte
-         |SELECT pk, lsn, op, value, props FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) AS rn
+         |SELECT table_name, pk, lsn, op, value, props FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY table_name, pk ORDER BY lsn DESC) AS rn
          |  FROM feed)
-         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY pk""".stripMargin,
+         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY table_name, pk""".stripMargin,
 
     "cdc_upsert_apply" ->
       s"""$cte,
@@ -91,7 +150,7 @@ object CdcQueries {
          |  SELECT pk, op AS last_op, value AS new_value FROM (
          |    SELECT pk, op, value,
          |           row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) AS rn
-         |    FROM feed)
+         |    FROM feed WHERE table_name = 'users')
          |  WHERE rn = 1)
          |SELECT COALESCE(b.c_custkey, l.pk) AS pk,
          |       COALESCE(l.new_value, b.c_acctbal) AS value,
@@ -102,28 +161,28 @@ object CdcQueries {
 
     "cdc_scd2_history" ->
       s"""$cte
-         |SELECT pk, lsn, op, value,
+         |SELECT table_name, pk, lsn, op, value,
          |       ts_us AS valid_from_us,
-         |       lead(ts_us) OVER (PARTITION BY pk ORDER BY lsn) AS valid_to_us,
-         |       (lead(lsn) OVER (PARTITION BY pk ORDER BY lsn) IS NULL) AS is_current
-         |FROM feed ORDER BY pk, lsn""".stripMargin,
+         |       lead(ts_us) OVER (PARTITION BY table_name, pk ORDER BY lsn) AS valid_to_us,
+         |       (lead(lsn) OVER (PARTITION BY table_name, pk ORDER BY lsn) IS NULL) AS is_current
+         |FROM feed ORDER BY table_name, pk, lsn""".stripMargin,
 
     "cdc_before_after" ->
       s"""$cte
-         |SELECT pk, lsn, before_value, after_value FROM (
-         |  SELECT pk, lsn, op,
-         |         lag(value) OVER (PARTITION BY pk ORDER BY lsn) AS before_value,
+         |SELECT table_name, pk, lsn, before_value, after_value FROM (
+         |  SELECT table_name, pk, lsn, op,
+         |         lag(value) OVER (PARTITION BY table_name, pk ORDER BY lsn) AS before_value,
          |         value AS after_value
          |  FROM feed)
          |WHERE op = 'UPDATE' AND before_value IS NOT NULL
-         |ORDER BY pk, lsn""".stripMargin,
+         |ORDER BY table_name, pk, lsn""".stripMargin,
 
     "cdc_resume_lsn" ->
       s"""$cte
-         |SELECT pk, lsn, op, value, props FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY pk ORDER BY lsn DESC) AS rn
+         |SELECT table_name, pk, lsn, op, value, props FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY table_name, pk ORDER BY lsn DESC) AS rn
          |  FROM feed WHERE lsn > 500)
-         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY pk""".stripMargin,
+         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY table_name, pk""".stripMargin,
 
     "cdc_changelog_stats" ->
       s"""$cte

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc._
+
+/** pgoutput wire-format decoder/encoder + the reference handler-loop
+  * semantics (postrack.go:340-413), verified over synthetic byte messages —
+  * no live Postgres required. */
+class PgOutputSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val usersRel = RelationMsg(16385, "public", "users", 'd'.toByte, Seq(
+    PgColumn(1, "id", 20, -1), PgColumn(0, "name", 25, -1), PgColumn(0, "bio", 25, -1)))
+
+  test("every message type round-trips encode → decode bit-exactly") {
+    val msgs: Seq[PgMessage] = Seq(
+      usersRel,
+      InsertMsg(16385, PgTuple(Seq(Some("1"), Some("ann"), None))),
+      UpdateMsg(16385, None, None, PgTuple(Seq(Some("1"), Some("ann2"), Some("x")))),
+      UpdateMsg(16385, Some('O'.toByte),
+        Some(PgTuple(Seq(Some("1"), Some("ann"), None))),
+        PgTuple(Seq(Some("1"), Some("ann2"), Some("héllo ünïcode")))),
+      DeleteMsg(16385, 'K'.toByte, PgTuple(Seq(Some("1"), None, None))),
+      TruncateMsg(1.toByte, Seq(16385, 16390)),
+      BeginMsg(123456789L, 777L, 42),
+      CommitMsg(0.toByte, 123456789L, 123456790L, 778L))
+    msgs.foreach { m =>
+      assert(PgOutput.decode(PgOutput.encode(m)) == m, s"round-trip failed for $m")
+    }
+  }
+
+  test("handler semantics match the reference switch: nil/empty-map rules per op") {
+    val reg = RelationRegistry.build(Seq((0L, usersRel)))
+    def one(lsn: Long, m: PgMessage) = PgOutput.toEvents(reg, lsn, PgOutput.encode(m)).toSeq
+
+    // INSERT: (after, nil) — postrack.go:377-384
+    val ins = one(1L, InsertMsg(16385, PgTuple(Seq(Some("1"), Some("ann"), None))))
+    assert(ins == Seq(ChangeEvent(1L, "users", "INSERT", null,
+      Map("id" -> "1", "name" -> "ann", "bio" -> "")))) // null column → "" (string(nil))
+
+    // UPDATE without old tuple: before is an EMPTY map, not nil — postrack.go:385-397
+    val updNoOld = one(2L, UpdateMsg(16385, None, None, PgTuple(Seq(Some("1"), Some("b"), Some("x")))))
+    assert(updNoOld.head.before == Map.empty[String, String])
+    assert(updNoOld.head.after("name") == "b")
+
+    // UPDATE with old tuple carries both images
+    val upd = one(3L, UpdateMsg(16385, Some('O'.toByte),
+      Some(PgTuple(Seq(Some("1"), Some("b"), Some("x")))),
+      PgTuple(Seq(Some("1"), Some("c"), Some("x")))))
+    assert(upd.head.before("name") == "b" && upd.head.after("name") == "c")
+
+    // DELETE: (nil, before) — postrack.go:399-405
+    val del = one(4L, DeleteMsg(16385, 'K'.toByte, PgTuple(Seq(Some("1"), None, None))))
+    assert(del.head.after == null && del.head.before("id") == "1")
+
+    // TRUNCATE: one event per relation, (nil, nil) — postrack.go:407-410
+    val reg2 = RelationRegistry.build(Seq((0L, usersRel),
+      (0L, usersRel.copy(relationId = 16390, name = "accounts"))))
+    val tr = PgOutput.toEvents(reg2, 5L, PgOutput.encode(TruncateMsg(0.toByte, Seq(16385, 16390)))).toSeq
+    assert(tr.map(_.table_name) == Seq("users", "accounts"))
+    assert(tr.forall(e => e.op == "TRUNCATE" && e.before == null && e.after == null))
+
+    // Begin/Commit produce no events
+    assert(one(6L, BeginMsg(1L, 2L, 3)).isEmpty)
+    assert(one(7L, CommitMsg(0.toByte, 1L, 2L, 3L)).isEmpty)
+  }
+
+  test("registry versions relation schemas by LSN (mid-stream schema change)") {
+    val v2 = usersRel.copy(columns = usersRel.columns :+ PgColumn(0, "added", 25, -1))
+    val reg = RelationRegistry.build(Seq((0L, usersRel), (100L, v2)))
+    val tupleV1 = PgTuple(Seq(Some("1"), Some("a"), Some("b")))
+    val tupleV2 = PgTuple(Seq(Some("1"), Some("a"), Some("b"), Some("new")))
+    val before = PgOutput.toEvents(reg, 50L, PgOutput.encode(InsertMsg(16385, tupleV1))).next()
+    val after = PgOutput.toEvents(reg, 150L, PgOutput.encode(InsertMsg(16385, tupleV2))).next()
+    assert(!before.after.contains("added"))
+    assert(after.after("added") == "new")
+  }
+
+  test("distributed decode of a synthetic frame lake matches the logical feed") {
+    val events = sources.Tables(spark, sf, "events")
+    val decoded = PgOutput.toCanonicalFeed(
+      PgOutput.decodeFeed(spark, PgOutput.framesFromEvents(spark, events)))
+      .select("lsn", "table_name", "op", "pk", "ts_us", "value")
+    val logical = ChangeFeed.fromEvents(events)
+      .select("lsn", "table_name", "op", "pk", "ts_us", "value")
+    assert(decoded.count() == logical.count() && decoded.count() > 0)
+    assert(decoded.exceptAll(logical).isEmpty && logical.exceptAll(decoded).isEmpty)
+    // two tables actually present
+    val tables = decoded.select("table_name").distinct().as[String].collect().toSet
+    assert(tables == Set("users", "accounts"))
+  }
+
+  test("decode fails loudly on a data message with no relation registration") {
+    val reg = RelationRegistry.build(Nil)
+    val bytes = PgOutput.encode(InsertMsg(999, PgTuple(Seq(Some("1")))))
+    assertThrows[IllegalStateException](PgOutput.toEvents(reg, 1L, bytes).toSeq)
+  }
+}
+
+/** Publication catalog + slot store lifecycle (postrack.go:188-285). */
+class CatalogSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def feed = Seq(
+    (1L, "users", "INSERT", 1L, 100L, 10.0, "{}"),
+    (2L, "accounts", "INSERT", 2L, 200L, 20.0, "{}"),
+    (3L, "users", "UPDATE", 1L, 300L, 30.0, "{}"),
+    (4L, "accounts", "UPDATE", 2L, 400L, 40.0, "{}"))
+    .toDF("lsn", "table_name", "op", "pk", "ts_us", "value", "props")
+
+  test("set/add/alter/drop/replace mirror the reference DDL semantics") {
+    val cat = new PublicationCatalog
+    cat.set(Publication("users", condition = Some(col("value") > 5)))
+    assert(cat.exists("users"))
+    // add on existing errors (CREATE PUBLICATION does too)
+    assertThrows[IllegalArgumentException](cat.add(Publication("users")))
+    // WithOverride: re-set keeps the existing definition
+    cat.set(Publication("users", condition = Some(col("value") > 99999), overrideExisting = true))
+    assert(cat(feed).filter(col("table_name") === "users").count() == 2)
+    // no override: re-set replaces the definition
+    cat.set(Publication("users", condition = Some(col("value") > 15)))
+    assert(cat(feed).filter(col("table_name") === "users").count() == 1)
+    // replace = drop + add
+    cat.replace(Publication("users"))
+    assert(cat(feed).filter(col("table_name") === "users").count() == 2)
+    cat.drop("users")
+    assert(!cat.exists("users"))
+    cat.drop("users") // IF EXISTS: dropping a missing publication is a no-op
+  }
+
+  test("catalog union covers exactly the subscribed slices") {
+    val cat = new PublicationCatalog
+    cat.set(Publication("users"))
+    cat.set(Publication("accounts", eventMask = Set("UPDATE")))
+    val got = cat(feed).select("lsn").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 3L, 4L))
+  }
+
+  test("slot store: lifecycle + durable monotone confirmed_flush_lsn") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-slot-spec").toString
+    val store = new SlotStore(dir)
+    store.setSlot("s1") // creates
+    assert(store.exists("s1") && store.confirmedFlushLsn("s1") == 0L)
+    assertThrows[IllegalArgumentException](store.addSlot("s1"))
+    store.ack("s1", 500L)
+    store.ack("s1", 450L) // stale ack: watermark must not regress
+    assert(store.confirmedFlushLsn("s1") == 500L)
+    // durability: a fresh store instance (new consumer process) reads it back
+    val reopened = new SlotStore(dir)
+    reopened.setSlot("s1") // selects, does not reset
+    assert(reopened.confirmedFlushLsn("s1") == 500L)
+    reopened.dropSlot("s1")
+    assert(!reopened.exists("s1") && reopened.confirmedFlushLsn("s1") == 0L)
+  }
+
+  test("resume strictly-after the stored offset, like StartReplication(lsn+1)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-slot-spec2").toString
+    val store = new SlotStore(dir)
+    store.setSlot("s")
+    store.ack("s", 2L)
+    val got = graft.cdc.Apply.resumeFrom(feed, store.confirmedFlushLsn("s"))
+      .select("lsn").as[Long].collect().sorted.toSeq
+    assert(got == Seq(3L, 4L))
+  }
+}
