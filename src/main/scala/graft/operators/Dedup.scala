@@ -18,6 +18,58 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Exact set-similarity join: all (doc_a < doc_b) pairs with
+    * Jaccard(grams_a, grams_b) ≥ tNum/tDen, by prefix filtering
+    * (AllPairs/PPJoin, Bayardo et al. WWW'07).
+    *
+    * Each doc's distinct gram set is ordered rarest-first by global document
+    * frequency; only the first n - ceil(t·n) + 1 grams are indexed. Two sets
+    * with Jaccard ≥ t must share a prefix gram under ANY common total order,
+    * so candidate generation is lossless — and rare-first ordering keeps the
+    * per-gram buckets small (the frequent grams that would blow up a bucket
+    * join are exactly the ones the prefix skips). Size-ratio pruning
+    * (tDen·min ≥ tNum·max) rides the join condition. Prefix math is
+    * integral end-to-end so FP rounding can never shave a prefix and drop a
+    * true pair.
+    *
+    * Scale: shuffles are all linear — one groupBy(gram) for frequencies,
+    * one groupBy(doc) to order, one join on rare prefix grams, one verify
+    * join. No block self-join anywhere, so a source with millions of
+    * similar-length docs costs |candidates|, not O(m²).
+    *
+    * @param docGrams (doc_id, grams) with grams already distinct
+    * @return (doc_a, doc_b, jaccard) with jaccard rounded to 4dp ≥ tNum/tDen */
+  def jaccardPairs(docGrams: DataFrame, tNum: Int = 4, tDen: Int = 5): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
+    val tok = docGrams.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val dfreq = tok.groupBy("gram").agg(count(lit(1)).as("df"))
+    val ordered = tok.join(dfreq, "gram")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("ranked"))
+      .select(col("doc_id"),
+        transform(col("ranked"), r => r.getField("gram")).as("grams"),
+        size(col("ranked")).as("n"))
+      .localCheckpoint(true)
+    val prefix = ordered.select(col("doc_id"), col("n"),
+      explode(slice(col("grams"), lit(1),
+        col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + lit(1))).as("gram"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * tNum <= col("b.n") * tDen &&
+          col("b.n") * tNum <= col("a.n") * tDen)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val thr = tNum.toDouble / tDen
+    cand
+      .join(ordered.select(col("doc_id").as("doc_a"), col("grams").as("g_a")), "doc_a")
+      .join(ordered.select(col("doc_id").as("doc_b"), col("grams").as("g_b")), "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))), 4))
+      .filter(col("jaccard") >= thr)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** pairs: (doc_a, doc_b) undirected near-dup edges.
     * @return (doc_id, canonical) for every doc appearing in a pair. */
   def canonicalClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {

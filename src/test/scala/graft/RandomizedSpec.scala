@@ -80,6 +80,33 @@ class RandomizedSpec extends AnyFunSuite with SparkTestBase {
     assert(gotUpsert == expUpsert)
   }
 
+  test("jaccardPairs prefix-filter join matches brute-force all-pairs") {
+    // Random gram sets with planted overlap structure: docs come in families
+    // of 3 drawing from a shared pool, so thresholds land above AND below
+    // 0.8 — a lossy prefix would show up as a missing pair.
+    val docs: Seq[(Long, Seq[String])] = (0 until 90).map { i =>
+      val fam = i / 3
+      val shared = (0 until 12 + fam % 5).map(k => s"f${fam}_$k")
+      val own = (0 until rnd.nextInt(4)).map(k => s"d${i}_$k")
+      (i.toLong, rnd.shuffle(shared ++ own).distinct)
+    }
+    for ((tNum, tDen) <- Seq((4, 5), (1, 2))) {
+      val thr = tNum.toDouble / tDen
+      val expected = (for {
+        (ia, ga) <- docs; (ib, gb) <- docs if ia < ib
+        inter = ga.toSet.intersect(gb.toSet).size
+        j = BigDecimal(inter.toDouble / (ga.size + gb.size - inter))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if j >= thr
+      } yield (ia, ib, j)).toSet
+      val got = graft.operators.Dedup.jaccardPairs(
+          docs.toDF("doc_id", "grams"), tNum, tDen)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expected,
+        s"t=$tNum/$tDen missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    }
+  }
+
   test("topKPerGroup matches the brute-force reference on random data") {
     val k = 3
     val expected = events.groupBy(_.k).flatMap { case (_, es) =>
