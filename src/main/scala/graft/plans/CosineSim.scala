@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -10,9 +10,12 @@ import org.apache.spark.sql.types._
   * bit-identical to `graft.functions.Vectors.cosine` (same left-to-right
   * double accumulation for dot and norms, parity spec'd, so the
   * oracle-checked knn_bruteforce stays byte-stable), executed as one tight
-  * loop instead of three interpreted zip_with/aggregate chains per pair. */
+  * loop instead of three interpreted zip_with/aggregate chains per pair.
+  * Codegen'd: this sits inside the hottest loop of every scored join
+  * (knn, embedding dedup), so it must not break the surrounding
+  * whole-stage-codegen span the way a CodegenFallback would. */
 final case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -51,6 +54,33 @@ final case class CosineSim(left: Expression, right: Expression)
     }
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
+
+  /** Identical loop in generated Java — same op order, so results stay
+    * bit-equal to nullSafeEval (and to the HOF reference). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val getX = if (lFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (rFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $getX;
+         |  double $y = $getY;
+         |  $dot += $x * $y;
+         |  $na += $x * $x;
+         |  $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
   * materializes an identical matrix with no driver state or broadcast.
   */
 final case class HyperplaneSigsExpr(child: Expression, bits: Int, tables: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -36,13 +36,19 @@ final case class HyperplaneSigsExpr(child: Expression, bits: Int, tables: Int)
     case _ => false
   }
 
-  // planes(p)(j), built lazily for the first-seen dimensionality; benign
-  // race (recomputation yields identical data)
-  @transient private var planeDims: Int = -1
-  @transient private var planes: Array[Array[Double]] = _
+  // planes(p)(j), built lazily for the first-seen dimensionality. The
+  // (dims, matrix) pair lives in ONE immutable reference so a concurrent
+  // rebuild (shared instance across threads, or interleaved dims) can never
+  // hand a caller a matrix of the wrong shape: each call validates + returns
+  // its own local, and Tuple2's final fields give safe publication. A lost
+  // race just rebuilds identical data.
+  @transient private var cached: (Int, Array[Array[Double]]) = _
 
-  private def planeMatrix(dims: Int): Array[Array[Double]] = {
-    if (planeDims != dims) {
+  /** Public: the generated code calls this through a reference object. */
+  def planeMatrix(dims: Int): Array[Array[Double]] = {
+    val c = cached
+    if (c != null && c._1 == dims) c._2
+    else {
       val nPlanes = bits * tables
       val m = Array.ofDim[Double](nPlanes, dims)
       var p = 0
@@ -57,10 +63,9 @@ final case class HyperplaneSigsExpr(child: Expression, bits: Int, tables: Int)
         }
         p += 1
       }
-      planes = m
-      planeDims = dims
+      cached = (dims, m)
+      m
     }
-    planes
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -91,6 +96,45 @@ final case class HyperplaneSigsExpr(child: Expression, bits: Int, tables: Int)
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sigs)
   }
+
+  /** Same loops in generated Java; the cached plane matrix is reached via a
+    * reference object to this instance (the standard route for per-instance
+    * state in whole-stage codegen). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val self = ctx.addReferenceObj("hyperplaneSigs", this,
+        classOf[HyperplaneSigsExpr].getName)
+      val dims = ctx.freshName("dims")
+      val m = ctx.freshName("m")
+      val vec = ctx.freshName("vec")
+      val sigs = ctx.freshName("sigs")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val k = ctx.freshName("k")
+      val sig = ctx.freshName("sig")
+      val proj = ctx.freshName("proj")
+      val plane = ctx.freshName("plane")
+      val get = if (isFloat) s"(double) $arr.getFloat($j)" else s"$arr.getDouble($j)"
+      s"""
+         |int $dims = $arr.numElements();
+         |double[][] $m = $self.planeMatrix($dims);
+         |double[] $vec = new double[$dims];
+         |for (int $j = 0; $j < $dims; $j++) $vec[$j] = $get;
+         |long[] $sigs = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $sig = 0L;
+         |  for (int $p = 0; $p < $bits; $p++) {
+         |    double[] $plane = $m[$t * $bits + $p];
+         |    double $proj = 0.0;
+         |    for (int $k = 0; $k < $dims; $k++) $proj += $vec[$k] * $plane[$k];
+         |    if ($proj >= 0) $sig |= (1L << $p);
+         |  }
+         |  $sigs[$t] = $sig;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sigs);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSigsExpr =
     copy(child = newChild)

@@ -95,6 +95,38 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
         java.lang.Double.doubleToLongBits(r.getDouble(1))))
   }
 
+  test("all native expressions compile under CODEGEN_ONLY (no silent fallback)") {
+    // Spark silently falls back to interpreted eval when generated code
+    // fails to compile — which would erase the whole point of doGenCode and
+    // break the surrounding whole-stage span. Force codegen-only so a broken
+    // generator fails the suite instead.
+    val conf = spark.conf
+    val oldFactory = conf.getOption("spark.sql.codegen.factoryMode")
+    val oldFallback = conf.getOption("spark.sql.codegen.fallback")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = (0 until 8).map { i =>
+        ("alpha beta gamma delta epsilon zeta",
+          Array.tabulate(16)(j => ((i + j) % 7).toFloat - 3f),
+          Array.tabulate(16)(j => ((i * 3 + j) % 5).toFloat - 2f))
+      }
+      val df = rows.toDF("text", "a", "b")
+      val out = df.select(
+        NativeHashes.minhashSig(spark, Text.wordShingles($"text", 2), 16).as("mh"),
+        NativeHashes.simhashSig(spark, Text.wsTokens($"text")).as("sh"),
+        graft.plans.HyperplaneSigs.sigs(spark, $"a", 8, 4).as("hp"),
+        graft.plans.CosineSim.cosine(spark, $"a", $"b").as("cos"))
+        .collect()
+      assert(out.length == 8 && out.forall(r => !r.anyNull))
+    } finally {
+      oldFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(
+        conf.set("spark.sql.codegen.factoryMode", _))
+      oldFallback.fold(conf.unset("spark.sql.codegen.fallback"))(
+        conf.set("spark.sql.codegen.fallback", _))
+    }
+  }
+
   test("native expressions survive filter pushdown planning on parquet scans") {
     val d = sources.Tables(spark, sf, "documents")
     val out = d.filter($"n_chars" > 100)
