@@ -1,0 +1,24 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage truncation with a cluster-safe escape hatch.
+  *
+  * `localCheckpoint` stores blocks on executors — fast, zero config, fine on
+  * local[32] and for tests, but an executor loss mid-job discards the only
+  * copy and kills iterative jobs (connected components) that can no longer
+  * recompute from lineage. On a real cluster the job should set
+  * `sc.setCheckpointDir(...)` (HDFS/S3); every operator that cuts lineage
+  * routes through here, so configuring the dir flips the whole library to
+  * reliable checkpoints with no code change.
+  */
+object Checkpointing {
+
+  /** Eagerly materialize `df` and truncate its lineage: reliable
+    * `checkpoint` when the session has a checkpoint dir, `localCheckpoint`
+    * otherwise. */
+  def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(true)
+}

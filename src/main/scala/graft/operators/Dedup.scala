@@ -49,7 +49,7 @@ object Dedup {
       .select(col("doc_id"),
         transform(col("ranked"), r => r.getField("gram")).as("grams"),
         size(col("ranked")).as("n"))
-      .localCheckpoint(true)
+      .transform(Checkpointing.cut)
     val prefix = ordered.select(col("doc_id"), col("n"),
       explode(slice(col("grams"), lit(1),
         col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + lit(1))).as("gram"))
@@ -76,13 +76,15 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().persist()
-    // localCheckpoint (not persist): the loop builds each generation on top
-    // of the previous one AND self-joins it for pointer jumping, so without
+    // Checkpoint (not persist): the loop builds each generation on top of
+    // the previous one AND self-joins it for pointer jumping, so without
     // lineage truncation the logical plan doubles per round and planning
-    // itself OOMs after ~8 iterations. On a cluster with executor churn use
-    // reliable checkpoint(dir) instead.
+    // itself OOMs after ~8 iterations. Checkpointing.cut picks
+    // executor-local blocks on local mode and reliable checkpoint(dir) when
+    // the session configured one — set sc.setCheckpointDir on clusters so
+    // executor churn can't kill the loop mid-iteration.
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("canonical", col("doc_id")).localCheckpoint(true)
+      .withColumn("canonical", col("doc_id")).transform(Checkpointing.cut)
     var i = 0
     var changed = 1L
     while (changed > 0 && i < maxIter) {
@@ -103,7 +105,7 @@ object Dedup {
       // instead of an extra labels↔next join per round
       val nextFlagged = (if (i < 2) stepped0
         else {
-          val stepped = stepped0.localCheckpoint(true)
+          val stepped = Checkpointing.cut(stepped0)
           stepped.as("l")
             .join(stepped.as("m").select(col("doc_id").as("m_id"), col("canonical").as("m_can")),
               col("l.canonical") === col("m_id"), "left")
@@ -112,7 +114,7 @@ object Dedup {
               col("l.__old").as("__old"))
         })
         .withColumn("__chg", when(col("canonical") =!= col("__old"), 1L).otherwise(0L))
-        .localCheckpoint(true)
+        .transform(Checkpointing.cut)
       changed = nextFlagged.agg(coalesce(sum("__chg"), lit(0L))).head().getLong(0)
       labels = nextFlagged.drop("__old", "__chg")
       i += 1

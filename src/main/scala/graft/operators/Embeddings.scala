@@ -16,4 +16,53 @@ object Embeddings {
       .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
       .select(col("label"),
         transform(col("pairs"), p => p.getField("cx")).as("centroid"))
+
+  /** Signature width that keeps the expected LSH bucket at ~targetBucket
+    * rows regardless of corpus size: 2^bits ≈ n / targetBucket, clamped to
+    * [8, 24]. A fixed 8-bit table caps at 256 buckets, so the within-bucket
+    * self-join turns quadratic in n/256 as the corpus grows; adapting bits
+    * keeps per-bucket work ~targetBucket²/2 at any n (500 rows → 8 bits,
+    * 10⁹ rows → 24 bits = 16.7M buckets/table). */
+  def adaptiveBits(n: Long, targetBucket: Int): Int = {
+    val ideal = math.ceil(
+      math.log(math.max(n, 1L).toDouble / targetBucket) / math.log(2.0)).toInt
+    math.min(24, math.max(8, ideal))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, scale path: multi-table
+    * hyperplane LSH candidates + exact-cosine verify.
+    *
+    * Finer buckets cost recall per table (a pair must agree on every one of
+    * `bits` hyperplane signs to share a bucket), so recall is bought back
+    * with `tables` independent signature tables — a pair is a candidate if
+    * it agrees in ANY table. Every candidate is then verified with exact
+    * cosine ≥ threshold, so extra tables never change which pairs qualify,
+    * only how many are found. Corpus never shuffles before bucketing: the
+    * signature is a map-phase codegen'd expression and the bucket join keys
+    * on (table, sig).
+    */
+  def nearDupPairs(e: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tables: Int = 4, targetBucket: Int = 32): DataFrame = {
+    val s = e.sparkSession
+    val bits = adaptiveBits(e.count(), targetBucket)
+    val sigged = e.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+        graft.plans.HyperplaneSigs.sigs(s, col(vecCol), bits, tables).as("sigs"))
+      .transform(Checkpointing.cut) // compute sigs once for both sides of the self-join
+    val buckets = sigged.select(col("vec_id"), col("embedding"),
+      posexplode(col("sigs")).as(Seq("t", "sig")))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"))
+      // same pair can collide in several tables; groupBy the id pair (not
+      // distinct over fat array rows) so the shuffle hashes 16 bytes, not
+      // two embeddings
+      .groupBy("vec_a", "vec_b")
+      .agg(first("emb_a").as("emb_a"), first("emb_b").as("emb_b"))
+      .withColumn("cos", round(
+        graft.plans.CosineSim.cosine(s, col("emb_a"), col("emb_b")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
 }

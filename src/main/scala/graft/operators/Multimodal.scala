@@ -15,6 +15,11 @@ final case class MediaFeatures(
     doc_id: Long, modality: String, n_bytes: Long,
     width: Int, height: Int, channels: Int, phash: Long)
 
+/** The columns the decoders actually consume. Narrower than MediaRecord on
+  * purpose: deserializing only (doc_id, modality, payload) lets Catalyst
+  * prune every other column out of the scan before the typed boundary. */
+final case class DecodeInput(doc_id: Long, modality: String, payload: Array[Byte])
+
 /** Multimodal column plumbing. Decode/feature-extract runs partition-wise
   * over the binary payload (`mapPartitions`) — the Scala analog of an
   * arrow-batched decode UDF: one iterator per partition, vectorizable batch
@@ -37,7 +42,7 @@ object Multimodal {
     * `payload` here. This stand-in derives deterministic pseudo-features
     * from the bytes so the full pipeline (schema in → partition-wise batch
     * decode → typed features out) is exercised end-to-end. */
-  private def decodeStub(r: MediaRecord): MediaFeatures = {
+  private def decodeStub(r: DecodeInput): MediaFeatures = {
     val h = java.util.Arrays.hashCode(r.payload).toLong & 0xFFFFFFFFL
     MediaFeatures(
       doc_id = r.doc_id,
@@ -51,7 +56,11 @@ object Multimodal {
 
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    val ds: Dataset[MediaRecord] = media.as[MediaRecord]
+    // project to the decode columns BEFORE the typed boundary so column
+    // pruning reaches the scan (a MediaRecord encoder would force `source`
+    // and anything else in the lake schema to be read just to be dropped)
+    val ds: Dataset[DecodeInput] =
+      media.select(col("doc_id"), col("modality"), col("payload")).as[DecodeInput]
     // partition-wise batch decode: iterator-in/iterator-out, so a real codec
     // could amortize model/codec init once per partition
     ds.mapPartitions { it => it.map(decodeStub) }.toDF()
@@ -64,8 +73,12 @@ object Multimodal {
     * behavior are exercised for real. */
   def sampleFrames(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    media.as[MediaRecord]
-      .filter((r: MediaRecord) => r.modality == "video")
+    // filter + prune as Columns BEFORE deserialization: a typed
+    // filter(r => r.modality == "video") would deserialize every row of
+    // every modality only to drop 2/3 of them, and block pushdown to the
+    // scan entirely
+    media.filter(col("modality") === "video")
+      .select(col("doc_id"), col("modality"), col("payload")).as[DecodeInput]
       .flatMap { r =>
         val h = java.util.Arrays.hashCode(r.payload).toLong & 0xFFFFFFFFL
         val nFrames = (h % 5).toInt + 1

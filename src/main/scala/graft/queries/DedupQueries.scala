@@ -47,7 +47,7 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col(scoreName))
 
   /** Verified MinHash-LSH near-dup pairs (shared by the pair query and the
-    * cluster canonicalization). localCheckpoint = the local analog of
+    * cluster canonicalization). Checkpointing.cut = the analog of
     * materializing signatures to storage (what a 100 TB run does): the plan
     * uses `sigged` three times and must not recompute it — and unlike
     * persist(), checkpointed storage is reclaimed by the ContextCleaner
@@ -66,12 +66,12 @@ object DedupQueries {
     pairsMemo.computeIfAbsent((s, dir), { _ =>
       val sigged = docsSharded(s, dir).select(col("doc_id"),
         graft.plans.NativeHashes.minhashSig(s, Text.wordShingles(col("text"), 3), 64)
-          .as("sig")).localCheckpoint(true)
+          .as("sig")).transform(graft.operators.Checkpointing.cut)
       val pairs = bucketPairs(sigged, Hashes.lshBands(col("sig"), 16, 4))
       verifyPairs(sigged, pairs,
         (a, b) => round(Hashes.minhashSimilarity(a, b), 4),
         "est_jaccard", _ >= 0.5)
-        .localCheckpoint(true)
+        .transform(graft.operators.Checkpointing.cut)
     })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -108,7 +108,7 @@ object DedupQueries {
       val bySource = sigged.groupBy("source")
         .agg(graft.plans.NativeHashes.minhashMerge(s, col("sig")).as("source_sig"),
           count(lit(1)).as("n_docs"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Checkpointing.cut)
       bySource.select(col("source").as("source_a"), col("source_sig").as("sig_a"),
           col("n_docs").as("n_docs_a"))
         .join(bySource.select(col("source").as("source_b"), col("source_sig").as("sig_b")),
@@ -124,7 +124,7 @@ object DedupQueries {
     "dedup_simhash" -> ((s, dir) => {
       val sigged = docsSharded(s, dir).select(col("doc_id"),
         graft.plans.NativeHashes.simhashSig(s, Text.wsTokens(lower(col("text"))))
-          .as("sig")).localCheckpoint(true)
+          .as("sig")).transform(graft.operators.Checkpointing.cut)
       val pairs = bucketPairs(sigged, Hashes.simhashBlocks(col("sig")))
       verifyPairs(sigged, pairs,
         (a, b) => Hashes.hamming(a, b).cast("long"),

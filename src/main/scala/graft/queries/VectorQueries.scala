@@ -22,20 +22,17 @@ object VectorQueries {
   private val topK = 10
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Embedding-cosine near-dup pairs via hyperplane-LSH buckets: only
-    // vectors agreeing on a 12-bit signature get compared (no cross join).
-    "dedup_embedding" -> ((s, dir) => {
-      val sigged = emb(s, dir).select(col("vec_id"), col("embedding"),
-        graft.plans.HyperplaneSigs.sig(s, col("embedding"), 8).as("sig")).localCheckpoint(true)
-      sigged.as("a").join(sigged.as("b"),
-          col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-        // the synthetic embeddings are near-orthogonal (max pairwise cosine
-        // ≈0.46 at sf0.01), so "near"-dup here means the top of that range
-        .withColumn("cos", round(graft.plans.CosineSim.cosine(s, col("a.embedding"), col("b.embedding")), 4))
-        .filter(col("cos") >= 0.25)
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
-        .orderBy("vec_a", "vec_b")
-    }),
+    // Embedding-cosine near-dup pairs via multi-table hyperplane-LSH
+    // buckets + exact verify: only vectors agreeing on a full signature in
+    // some table get compared (no cross join), and the signature width
+    // adapts to corpus size so buckets never grow with n (Embeddings
+    // .nearDupPairs). The synthetic embeddings are near-orthogonal (max
+    // pairwise cosine ≈0.46 at sf0.01), so "near"-dup here means the top of
+    // that range.
+    "dedup_embedding" -> ((s, dir) =>
+      graft.operators.Embeddings.nearDupPairs(
+          emb(s, dir), "vec_id", "embedding", threshold = 0.25)
+        .orderBy("vec_a", "vec_b")),
 
     // Brute-force cosine top-k: exact baseline; query side broadcast so the
     // corpus is scanned once with no shuffle before the per-query top-k.

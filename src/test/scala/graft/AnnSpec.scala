@@ -29,6 +29,34 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(recovered >= 4, s"recovered only $recovered/5 planted pairs")
   }
 
+  test("nearDupPairs recovers planted near-duplicates and verifies with exact cosine") {
+    // Same planted-pair setup as the LSH spec, but through the full dedup
+    // operator: adaptive-bits bucketing, multi-table union, cosine verify.
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(32)(j => (((seed * 31 + j) * 2654435761L % 1000) / 500.0 - 1.0).toFloat)
+    def noisy(v: Array[Float]): Array[Float] =
+      v.zipWithIndex.map { case (x, j) => x + (if (j % 7 == 0) 0.05f else 0f) }
+    val base = (0 until 40).map(i => (i.toLong, vec(i + 1)))
+    val planted = (0 until 5).map(i => (100L + i, noisy(vec(i + 1))))
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val out = graft.operators.Embeddings
+      .nearDupPairs(df, "vec_id", "embedding", threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    val pairs = out.map(r => (r._1, r._2)).toSet
+    val recovered = (0 until 5).count(i => pairs.contains((i.toLong, 100L + i)))
+    assert(recovered >= 4, s"recovered only $recovered/5 planted pairs")
+    // verify stage is real: every emitted pair clears the exact threshold
+    assert(out.forall(_._3 >= 0.9), "pair below cosine threshold leaked through verify")
+  }
+
+  test("adaptive signature bits track corpus size, clamped to [8, 24]") {
+    import graft.operators.Embeddings.adaptiveBits
+    assert(adaptiveBits(500L, 32) == 8)          // small corpus floors at 8
+    assert(adaptiveBits(1L << 20, 32) == 15)     // 1M rows / 32 = 2^15 buckets
+    assert(adaptiveBits(1_000_000_000L, 32) == 24) // billions cap at 24
+    assert(adaptiveBits(0L, 32) == 8)            // empty corpus: no log(0)
+  }
+
   test("minhash similarity estimates true Jaccard within 0.15 mean abs error") {
     // 60 doc pairs with known overlap: pair i shares i tokens of 30
     val rows = (1 until 60).map { i =>

@@ -31,6 +31,20 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(frames.exceptAll(again).isEmpty)
   }
 
+  test("sampleFrames pushes the modality filter into the parquet scan") {
+    // Over a real media lake (modality materialized as a column, as the
+    // 100 TB layout stores it) the video filter must reach the scan — not
+    // run as a typed filter after deserializing every modality.
+    val dir = java.nio.file.Files.createTempDirectory("media_lake").toString
+    Multimodal.asMedia(Tables(spark, sf, "documents"))
+      .write.mode("overwrite").parquet(dir)
+    val lake = spark.read.parquet(dir)
+    val plan = Multimodal.sampleFrames(spark, lake)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(modality,video)"),
+      s"modality filter not pushed into the scan:\n$plan")
+  }
+
   test("labelCentroids: identical vectors give cohesion 1.0 (production op)") {
     val v = Array.tabulate(8)(_.toFloat + 1f)
     val df = Seq((0L, v, 1), (1L, v, 1), (2L, v.map(-_), 2)).toDF("vec_id", "embedding", "label")

@@ -40,6 +40,26 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq(0L))
   }
 
+  test("canonicalClusters under a reliable checkpoint dir matches local mode") {
+    // Checkpointing.cut flips from executor-local blocks to reliable
+    // checkpoint(dir) when the context has a checkpoint dir — the cluster
+    // configuration where executor churn must not kill the CC loop.
+    val sc = spark.sparkContext
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val local = graft.operators.Dedup.canonicalClusters(pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      assert(sc.getCheckpointDir.isDefined)
+      val reliable = graft.operators.Dedup.canonicalClusters(pairs)
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+      assert(reliable == local)
+    } finally sc.setCheckpointDir(null)
+    assert(sc.getCheckpointDir.isEmpty)
+  }
+
   test("saltedJoin is row-identical to the plain join") {
     val left = Tables(spark, sf, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
     val right = Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice")
