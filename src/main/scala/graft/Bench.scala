@@ -3,6 +3,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // Run-to-run variance on local[n] is ±20% (SURVEY §6b), so each query is
+    // timed over N full passes and reported as the median. Passes iterate the
+    // whole suite (not N back-to-back runs of one query) so session-level
+    // caches behave the way a real pipeline session's would.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = GraftSession.local(cpus)
     // Warm the session (codegen, parquet reader, shuffle, broadcast paths)
     // so the first measured query isn't charged one-time setup. Warm against
@@ -10,15 +15,41 @@ object Bench {
     // Bench runs, silently skipping the warmup.
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val times = scala.collection.mutable.Map[String, Vector[Double]]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    for (_ <- 1 to runs; name <- names if !errors.contains(name)) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        times(name) = times.getOrElse(name, Vector()) :+ (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // lower median: an actually-observed time, not an interpolation
+    def median(v: Vector[Double]): Double = v.sorted.apply((v.size - 1) / 2)
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // A failed query must be unmistakable: -1 in the queries map AND its
+    // message in "errors" AND a non-zero exit — never a plausible-looking
+    // fast time folded into the total.
+    val qs = names.map { n =>
+      val v = if (errors.contains(n)) "-1" else median(times(n)).toString
+      s"${jstr(n)}:$v"
+    }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(200))}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = names.filterNot(errors.contains).map(n => median(times(n))).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -105,7 +105,38 @@ object TextQueries {
 
   private val stopList = Text.stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** `(lang, markers)` VALUES rows generated from the same map the Spark
+    * side votes with, so the two can't drift. */
+  private val markerRows = Text.langMarkers.toSeq.sortBy(_._1)
+    .map { case (lang, ms) =>
+      s"('$lang', [${ms.map(m => s"'$m'").mkString(", ")}])"
+    }.mkString(",\n        |      ")
+
   val oracles: Map[String, String] = Map(
+    // Marker-word voting is pure list arithmetic, so the oracle replays it:
+    // per-language hit counts, then Spark's array_max over (hits, lang)
+    // structs = row_number ordered by hits DESC, lang DESC.
+    "text_langid" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang AS lang_actual,
+         |         regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+         |  FROM documents),
+         |hits AS (
+         |  SELECT doc_id, lang_actual, l.lang,
+         |         len(list_filter(t, x -> list_contains(l.markers, x))) AS hits
+         |  FROM toks CROSS JOIN (
+         |    SELECT * FROM (VALUES
+         |      $markerRows) v(lang, markers)) l),
+         |best AS (
+         |  SELECT doc_id, lang_actual, lang, hits,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY hits DESC, lang DESC) AS rn
+         |  FROM hits)
+         |SELECT doc_id,
+         |       CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred,
+         |       lang_actual
+         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "text_tokens" ->
       """SELECT doc_id,
         |       CASE WHEN length(trim(text)) = 0 THEN 0

@@ -95,6 +95,28 @@ object VectorQueries {
     * accumulation on both engines agrees to ~1e-15, far from the rounding
     * boundary. */
   val oracles: Map[String, String] = Map(
+    // Element-wise centroid via lockstep unnest/generate_subscripts, then
+    // the same cosine+avg+round pipeline as the Spark side. Both engines
+    // accumulate in double, so 4dp rounding is far from any boundary (same
+    // argument as knn_bruteforce below).
+    "emb_centroids" ->
+      """WITH d AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, list(cx ORDER BY dim) AS centroid
+        |  FROM (SELECT label, dim, avg(x) AS cx FROM d GROUP BY label, dim)
+        |  GROUP BY label),
+        |cos AS (
+        |  SELECT e.label,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                c.centroid) AS cos
+        |  FROM embeddings e JOIN cent c USING (label))
+        |SELECT label, count(*) AS n_vectors,
+        |       round(avg(cos), 4) AS mean_cos_to_centroid
+        |FROM cos GROUP BY label ORDER BY label""".stripMargin,
+
     "knn_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
          |           WHERE vec_id < $nQueries),

@@ -180,27 +180,42 @@ object CdcStream {
     *
     * Each micro-batch merges (full-outer on pk, highest LSN wins) into the
     * stored snapshot. Tombstoned keys stay in storage as tombstone rows —
-    * replay-safe deletes — and are hidden by the `readSnapshot` view. The rewrite-per-batch is
-    * the plain-parquet price; on a real deployment the same foreachBatch
-    * body targets an ACID table format's MERGE and becomes an O(delta)
+    * replay-safe deletes — and are hidden by the `readSnapshot` view.
+    *
+    * Layout: versioned subdirs (`v<batchId>`) under `snapshotDir` with a
+    * `_current` pointer file naming the live one. The merge WRITES A FRESH
+    * version dir and only then swaps the pointer (file rename with
+    * OVERWRITE — atomic on HDFS and local FS), so the batch never
+    * overwrites the data it is reading: a lost cached block, a lineage
+    * recompute, or a crash mid-write can at worst leave an orphan version
+    * dir — the previous snapshot stays intact and readable throughout.
+    * Superseded versions are deleted after the swap. The
+    * rewrite-per-batch is the plain-parquet price; on a real deployment the
+    * same foreachBatch body targets an ACID table format's MERGE (which
+    * owns the same version-and-pointer discipline) and becomes an O(delta)
     * upsert. Exactly-once: checkpointed source offsets + idempotent
-    * overwrite. */
+    * per-batchId version dirs. */
   def materializeSnapshot(
       changes: Dataset[Change], snapshotDir: String, checkpointDir: String): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(0))
-      .foreachBatch { (batch: Dataset[Change], _: Long) =>
+      .foreachBatch { (batch: Dataset[Change], batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
         val incoming = latestOfBatch(batch)
-        // existence via the Hadoop FS API so object-store / HDFS snapshot
+        // all paths via the Hadoop FS API so object-store / HDFS snapshot
         // dirs work, not just the local filesystem
-        val hPath = new org.apache.hadoop.fs.Path(snapshotDir)
-        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val existing =
-          if (fs.exists(hPath)) spark.read.parquet(snapshotDir).as[Snapshot]
-          else spark.emptyDataset[Snapshot]
+        val base = new org.apache.hadoop.fs.Path(snapshotDir)
+        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // explicit schema: a version dir written from an empty batch has no
+        // part files, so inference would fail where "empty snapshot" is meant
+        val existing = currentVersion(fs, base) match {
+          case Some(dir) => spark.read
+            .schema(implicitly[org.apache.spark.sql.Encoder[Snapshot]].schema)
+            .parquet(dir.toString).as[Snapshot]
+          case None => spark.emptyDataset[Snapshot]
+        }
         val merged = existing.toDF("e_pk", "e_lsn", "e_op", "e_value", "e_tombstoned")
           .join(incoming.toDF("i_pk", "i_lsn", "i_op", "i_value", "i_tombstoned"),
             col("e_pk") === col("i_pk"), "full_outer")
@@ -215,15 +230,62 @@ object CdcStream {
           .select(col("pk"), col("r.*"))
           .toDF("pk", "lsn", "op", "value", "tombstoned")
           .as[Snapshot]
-        // plain parquet can't be read and overwritten in one plan: pin the
-        // merged result first (an ACID format's MERGE removes this step)
-        val pinned = merged.persist()
-        pinned.count()
-        pinned.write.mode("overwrite").parquet(snapshotDir)
-        pinned.unpersist()
+        // write the merged state to a FRESH version dir (overwrite handles
+        // a partial dir left by a crashed run of this same batchId), then
+        // swap the pointer and drop superseded versions
+        val next = new org.apache.hadoop.fs.Path(base, s"v$batchId")
+        merged.write.mode("overwrite").parquet(next.toString)
+        swapPointer(spark, fs, base, next.getName)
         ()
       }
       .start()
+
+  private val PointerFile = "_current"
+
+  /** The live version dir, resolved through the pointer file. */
+  private def currentVersion(
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
+    val ptr = new org.apache.hadoop.fs.Path(base, PointerFile)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      Some(new org.apache.hadoop.fs.Path(base, name)).filter(fs.exists)
+    }
+  }
+
+  /** Atomically point `_current` at `versionName`, then delete superseded
+    * version dirs. The pointer swap is a file rename with OVERWRITE —
+    * atomic on HDFS and local FS — so readers resolve either the old or the
+    * new version, never a partial state. */
+  private def swapPointer(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, base: org.apache.hadoop.fs.Path,
+      versionName: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(base, PointerFile + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(versionName.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      base.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(base, PointerFile),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.listStatus(base).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("v") && n != versionName)
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Resolve the live version dir under a snapshot base dir — bare-storage
+    * access for operations that must see tombstone rows too. */
+  def currentSnapshotDir(spark: SparkSession, snapshotDir: String): String = {
+    val base = new org.apache.hadoop.fs.Path(snapshotDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    currentVersion(fs, base).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no materialized snapshot version under $snapshotDir")).toString
+  }
 
   /** Live (non-tombstoned) view of a materialized snapshot directory.
     * Tombstones are RETAINED in storage so that an at-least-once replay of
@@ -231,7 +293,13 @@ object CdcStream {
     * row; this is the read path that hides them. */
   def readSnapshot(spark: SparkSession, snapshotDir: String): Dataset[Snapshot] = {
     import spark.implicits._
-    spark.read.parquet(snapshotDir).as[Snapshot].filter((s: Snapshot) => !s.tombstoned)
+    val base = new org.apache.hadoop.fs.Path(snapshotDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = currentVersion(fs, base).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no materialized snapshot version under $snapshotDir"))
+    spark.read.schema(implicitly[org.apache.spark.sql.Encoder[Snapshot]].schema)
+      .parquet(dir.toString).as[Snapshot].filter((s: Snapshot) => !s.tombstoned)
   }
 
   /** Batch-local reduction: highest LSN per key within one micro-batch. */

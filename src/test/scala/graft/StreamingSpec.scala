@@ -208,8 +208,14 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         .map(s => s.pk -> s.value).toMap
       assert(got == Map(1L -> 11.0, 3L -> 30.0)) // 2 hidden by tombstone
       // the tombstone row itself is RETAINED in storage (replay safety)
-      val stored = spark.read.parquet(snap).as[Snapshot].collect()
+      val stored = spark.read
+        .parquet(CdcStream.currentSnapshotDir(spark, snap)).as[Snapshot].collect()
       assert(stored.exists(s => s.pk == 2L && s.tombstoned))
+      // version-and-pointer layout: exactly one live version dir remains
+      // after the second batch (superseded ones deleted post-swap)
+      val vdirs = new java.io.File(snap).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      assert(vdirs.length == 1, s"expected 1 version dir, got ${vdirs.mkString(", ")}")
     } finally q.stop()
   }
 
