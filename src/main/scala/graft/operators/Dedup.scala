@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType}
 
 /** From near-dup PAIRS to canonical CLUSTERS: connected components by
   * iterative min-label propagation. Each doc starts labeled with itself;
@@ -41,7 +42,22 @@ object Dedup {
     * @return (doc_a, doc_b, jaccard) with jaccard rounded to 4dp ≥ tNum/tDen */
   def jaccardPairs(docGrams: DataFrame, tNum: Int = 4, tDen: Int = 5): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
-    val tok = docGrams.select(col("doc_id"), explode(col("grams")).as("gram"))
+    // Hash each gram to a long first: every downstream stage (frequency
+    // groupBy, prefix bucket join, ranked arrays in the verify join) then
+    // shuffles 8-byte keys instead of multi-word strings — the prefix
+    // theorem only needs SOME common total order, and (df, hash) is one.
+    // xxhash64 collisions (~n²/2⁶⁴) are the standard set-similarity-join
+    // trade and cannot create false NEGATIVES in candidate generation (a
+    // collision only merges two grams, never separates shared ones).
+    // array<long> input (e.g. from the native NgramHashesExpr, which is the
+    // fast path — the HOF hash chain below is interpreted per element) is
+    // taken as already-hashed-and-distinct.
+    val hashed = docGrams.schema("grams").dataType match {
+      case ArrayType(LongType, _) => docGrams.select(col("doc_id"), col("grams"))
+      case _ => docGrams.select(col("doc_id"),
+        array_distinct(transform(col("grams"), g => xxhash64(g))).as("grams"))
+    }
+    val tok = hashed.select(col("doc_id"), explode(col("grams")).as("gram"))
     val dfreq = tok.groupBy("gram").agg(count(lit(1)).as("df"))
     val ordered = tok.join(dfreq, "gram")
       .groupBy("doc_id")

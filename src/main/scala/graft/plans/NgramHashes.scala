@@ -1,0 +1,117 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** text → DISTINCT XXH64-hashed word k-grams, one native pass.
+  *
+  * Bit-equal to `array_distinct(transform(Text.wordShingles(text, k),
+  * xxhash64))` (parity spec'd), but that formulation is three interpreted
+  * higher-order functions back to back — per-element lambda dispatch for the
+  * shingle build AND the hash AND an O(n²)-ish string `array_distinct` —
+  * which measured ~8 s of the sf0.1 set-similarity join. This expression
+  * tokenizes the string once, hashes each k-window from a reusable scratch
+  * buffer, and dedupes longs, with `doGenCode` delegating to one static call
+  * so the surrounding whole-stage span stays intact.
+  */
+final case class NgramHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, s"ngram_hashes needs k >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_hashes expects string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NgramHashes.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.plans.NgramHashes.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "ngram_hashes"
+}
+
+object NgramHashes {
+
+  /** Mirrors lower → trim(' ') → split("\\s+") → k-windows joined with ' '
+    * → xxhash64(seed 42) → first-occurrence distinct, so values (not just
+    * set semantics) match the HOF reference chain. Split semantics are
+    * Spark SQL's (limit -1): a leading OR trailing whitespace run yields an
+    * empty token at that end (unlike Java's String.split, which drops
+    * trailing empties), and an empty string yields one empty token. */
+  def compute(text: UTF8String, k: Int): UnsafeArrayData = {
+    val b = text.toLowerCase.trim().getBytes
+    @inline def isWs(c: Byte): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+    // token boundaries (byte offsets; \s chars are ASCII so multi-byte UTF-8
+    // sequences can never be split)
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    if (b.length == 0) { starts.add(0); ends.add(0) }
+    else {
+      if (isWs(b(0))) { starts.add(0); ends.add(0) }
+      var i = 0
+      while (i < b.length) {
+        while (i < b.length && isWs(b(i))) i += 1
+        if (i < b.length) {
+          val s = i
+          while (i < b.length && !isWs(b(i))) i += 1
+          starts.add(s); ends.add(i)
+        }
+      }
+      if (isWs(b(b.length - 1))) { starts.add(b.length); ends.add(b.length) }
+    }
+    val n = starts.size()
+    val nGrams = if (n < k) 1 else n - k + 1
+    val window = math.min(k, n)
+    val scratch = new Array[Byte](b.length + n) // upper bound incl. joiners
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](nGrams)
+    var nOut = 0
+    var w = 0
+    while (w < nGrams) {
+      var len = 0
+      var t = w
+      while (t < w + window) {
+        if (t > w) { scratch(len) = ' '; len += 1 }
+        val s = starts.get(t); val e = ends.get(t)
+        System.arraycopy(b, s, scratch, len, e - s)
+        len += e - s
+        t += 1
+      }
+      val h = XXH64.hashUnsafeBytes(scratch, Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      if (seen.add(h)) { out(nOut) = h; nOut += 1 }
+      w += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (nOut == nGrams) out else java.util.Arrays.copyOf(out, nOut))
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("ngram_hashes", {
+      case Seq(c, kk) => NgramHashesExpr(c, kk.eval(null).asInstanceOf[Number].intValue())
+      case other => throw new IllegalArgumentException(
+        s"ngram_hashes(text, k) expects 2 args, got ${other.size}")
+    }, "built-in")
+
+  def hashes(spark: SparkSession, text: Column, k: Int): Column = {
+    register(spark)
+    call_function("ngram_hashes", text, org.apache.spark.sql.functions.lit(k))
+  }
+}

@@ -144,7 +144,10 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       graft.operators.Dedup.jaccardPairs(
         docsSharded(s, dir).select(col("doc_id"),
-          array_distinct(Text.wordShingles(col("text"), 3)).as("grams")),
+          // native one-pass shingle+hash+distinct (bit-equal to
+          // array_distinct(transform(wordShingles(text,3), xxhash64)),
+          // which costs 3 interpreted HOFs per row)
+          graft.plans.NgramHashes.hashes(s, col("text"), 3).as("grams")),
         tNum = 4, tDen = 5)
         .orderBy("doc_a", "doc_b")))
 

@@ -95,6 +95,30 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
         java.lang.Double.doubleToLongBits(r.getDouble(1))))
   }
 
+  test("native ngram hashes match the HOF chain bit-for-bit on edge cases") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "",                       // empty → one empty token → one gram
+      "   ",                    // spaces only → trims to empty
+      "one",                    // fewer tokens than k → single joined gram
+      "one two",                // still fewer than k=3
+      "a  b\t\tc\nd",           // mixed whitespace runs collapse
+      "\tleading tab token",    // leading \s run → empty first token
+      "trailing ws  \t ",       // trailing runs dropped
+      "Ünïcode ÜPPER case über straße", // unicode lowercasing
+      "dup dup dup dup dup")    // repeated grams → distinct
+    val df = texts.toDF("text")
+    val hof = array_distinct(transform(
+      graft.functions.Text.wordShingles($"text", 3), g => xxhash64(g)))
+    val rows = df.select(
+      graft.plans.NgramHashes.hashes(spark, $"text", 3).as("native"),
+      hof.as("ref")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"ngram hash mismatch for input '$t'")
+    }
+  }
+
   test("all native expressions compile under CODEGEN_ONLY (no silent fallback)") {
     // Spark silently falls back to interpreted eval when generated code
     // fails to compile — which would erase the whole point of doGenCode and
@@ -115,6 +139,7 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
       val out = df.select(
         NativeHashes.minhashSig(spark, Text.wordShingles($"text", 2), 16).as("mh"),
         NativeHashes.simhashSig(spark, Text.wsTokens($"text")).as("sh"),
+        graft.plans.NgramHashes.hashes(spark, $"text", 3).as("ng"),
         graft.plans.HyperplaneSigs.sigs(spark, $"a", 8, 4).as("hp"),
         graft.plans.CosineSim.cosine(spark, $"a", $"b").as("cos"))
         .collect()
