@@ -97,6 +97,70 @@ class PgOutputSpec extends AnyFunSuite with SparkTestBase {
     val bytes = PgOutput.encode(InsertMsg(999, PgTuple(Seq(Some("1")))))
     assertThrows[IllegalStateException](PgOutput.toEvents(reg, 1L, bytes).toSeq)
   }
+
+  test("streaming decode: registry state survives batches, schema change applies mid-stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.PgOutputStream.decodeStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("pgdecode")
+      .outputMode("append").start()
+    try {
+      // batch 1: register users, insert — plus Begin/Commit, which decode to
+      // nothing
+      input.addData(Seq(
+        10L -> PgOutput.encode(BeginMsg(10L, 1L, 1)),
+        11L -> PgOutput.encode(usersRel),
+        12L -> PgOutput.encode(InsertMsg(16385, PgTuple(Seq(Some("1"), Some("ann"), None)))),
+        13L -> PgOutput.encode(CommitMsg(0.toByte, 13L, 14L, 2L))): _*)
+      q.processAllAvailable()
+      // batch 2: NO RelationMessage — the insert must decode against the
+      // registry checkpointed from batch 1; then a schema change (v2 adds a
+      // column) takes effect from its LSN; then a two-relation TRUNCATE
+      val accountsRel = usersRel.copy(relationId = 16390, name = "accounts")
+      val usersV2 = usersRel.copy(columns = usersRel.columns :+ PgColumn(0, "added", 25, -1))
+      input.addData(Seq(
+        20L -> PgOutput.encode(InsertMsg(16385, PgTuple(Seq(Some("2"), Some("bob"), None)))),
+        21L -> PgOutput.encode(accountsRel),
+        22L -> PgOutput.encode(usersV2),
+        23L -> PgOutput.encode(InsertMsg(16385,
+          PgTuple(Seq(Some("3"), Some("cat"), None, Some("extra"))))),
+        24L -> PgOutput.encode(TruncateMsg(0.toByte, Seq(16385, 16390)))): _*)
+      q.processAllAvailable()
+      val got = spark.table("pgdecode").as[ChangeEvent].collect()
+        .sortBy(e => (e.lsn, e.table_name)).toSeq
+      assert(got.map(e => (e.lsn, e.table_name, e.op)) == Seq(
+        (12L, "users", "INSERT"),
+        (20L, "users", "INSERT"),   // cross-batch registry state
+        (23L, "users", "INSERT"),   // decoded against v2
+        (24L, "accounts", "TRUNCATE"), // multi-relation frame split per table
+        (24L, "users", "TRUNCATE")))
+      assert(!got.find(_.lsn == 20L).get.after.contains("added"))
+      assert(got.find(_.lsn == 23L).get.after("added") == "extra")
+    } finally q.stop()
+  }
+
+  test("streaming decode of the synthetic frame lake matches the batch decode") {
+    val events = sources.Tables(spark, sf, "events").limit(200)
+    val frames = PgOutput.framesFromEvents(spark, events)
+      .select(col("lsn").cast("long"), col("data")).as[(Long, Array[Byte])].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("pgframes").toString
+    frames.toDF("lsn", "data").write.mode("append").parquet(dir)
+    val q = graft.streaming.PgOutputStream.decodeStream(spark,
+        graft.streaming.PgOutputStream.frameSource(spark, dir))
+      .writeStream.format("memory").queryName("pglake")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // compare via the canonical typed projection: MAP columns don't
+      // support set operations
+      val streamed = PgOutput.toCanonicalFeed(spark.table("pglake"))
+      val batch = PgOutput.toCanonicalFeed(
+        PgOutput.decodeFeed(spark, frames.toDF("lsn", "data")))
+      assert(streamed.count() == batch.count() && streamed.count() > 0)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
 }
 
 /** Publication catalog + slot store lifecycle (postrack.go:188-285). */
