@@ -63,6 +63,21 @@ object VectorQueries {
         .orderBy("label")
     }),
 
+    // IVF-flat ANN: spherical k-means coarse quantizer (deterministic
+    // init), inverted lists by cluster, nprobe=2 probe + exact-cosine
+    // rerank — the second classic ANN scale path next to knn_lsh. At 100 TB
+    // the index is the corpus written bucketed by cluster; a query reads
+    // nprobe/k of it.
+    "knn_ivf" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val centroids = graft.operators.Ivf.kmeansCentroids(e, "vec_id", "embedding", k = 16, iters = 2)
+      val index = graft.operators.Ivf.assign(e, centroids)
+      val q = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      graft.operators.Ivf.knn(index, centroids, q, nprobe = 2, topK = topK)
+        .orderBy("q_id", "rk")
+    }),
+
     // Multi-table LSH ANN (4 tables × 8 hyperplanes): a vector is a
     // candidate if it agrees with the query on ANY table — the standard
     // recall/throughput trade. Corpus side explodes to (table, sig) bucket

@@ -57,6 +57,27 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(adaptiveBits(0L, 32) == 8)            // empty corpus: no log(0)
   }
 
+  test("IVF probe-and-rerank recovers planted near-duplicates") {
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(32)(j => (((seed * 31 + j) * 2654435761L % 1000) / 500.0 - 1.0).toFloat)
+    def noisy(v: Array[Float]): Array[Float] =
+      v.zipWithIndex.map { case (x, j) => x + (if (j % 7 == 0) 0.05f else 0f) }
+    val base = (0 until 40).map(i => (i.toLong, vec(i + 1)))
+    val planted = (0 until 5).map(i => (100L + i, noisy(vec(i + 1))))
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val centroids = graft.operators.Ivf.kmeansCentroids(corpus, "vec_id", "embedding", k = 8, iters = 2)
+    val index = graft.operators.Ivf.assign(corpus, centroids)
+    // quantizer partitions the corpus completely and deterministically
+    assert(index.count() == 45)
+    val q = planted.toDF("q_id", "q_emb")
+    val top = graft.operators.Ivf.knn(index, centroids, q, nprobe = 2, topK = 5)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the noisy copy's nearest list almost always holds its base vector
+    val recovered = (0 until 5).count(i => top.getOrElse(100L + i, Set.empty).contains(i.toLong))
+    assert(recovered >= 4, s"IVF recovered only $recovered/5 planted pairs")
+  }
+
   test("minhash similarity estimates true Jaccard within 0.15 mean abs error") {
     // 60 doc pairs with known overlap: pair i shares i tokens of 30
     val rows = (1 until 60).map { i =>
