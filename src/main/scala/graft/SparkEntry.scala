@@ -18,7 +18,8 @@ object SparkEntry {
       TextQueries.queries ++
       DedupQueries.queries ++
       VectorQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++
+      PipelineQueries.queries
 
   /** DuckDB-equivalent SQL per query key (omitted → rows-only check). */
   def oracleSql: Map[String, String] =
@@ -27,5 +28,6 @@ object SparkEntry {
       TextQueries.oracles ++
       DedupQueries.oracles ++
       VectorQueries.oracles ++
-      MultimodalQueries.oracles
+      MultimodalQueries.oracles ++
+      PipelineQueries.oracles
 }

@@ -98,6 +98,19 @@ object Text {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
   }
 
+  /** PII patterns kept to a dialect-neutral subset (plain character
+    * classes) so Java regex (Spark) and RE2 (DuckDB oracle) agree. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Email/phone/IPv4 redaction — the corpus-wide PII scrub pass. Order
+    * matters: emails first so their domain dots can't be half-eaten by the
+    * IP pattern. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>")
+
   /** Rolling polynomial (Karp-Rabin-style) fingerprint over tokens:
     * acc = (acc * 31 + h(token)) mod M. Modular so ANSI mode can't overflow
     * (acc < M ≈ 1e15, so acc*31 + h < 3.3e16 « Long.Max). Order-sensitive,

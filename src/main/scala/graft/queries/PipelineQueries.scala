@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Corpus-preparation operators a pretraining pipeline runs corpus-wide
+  * beyond cleaning/dedup (SURVEY.md §2): PII redaction, benchmark
+  * decontamination, source mixing, sequence packing. Every one is
+  * deterministic and DuckDB-oracle-able.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.sharded(s, dir, "documents")
+
+  private val emailRe = graft.functions.Text.emailRe
+  private val phoneRe = graft.functions.Text.phoneRe
+  private val ipRe = graft.functions.Text.ipRe
+
+  /** Benchmark stand-in: every 97th doc is the "held-out eval set". */
+  private val benchMod = 97
+
+  /** Packing budget in characters. */
+  private val packBudget = 2000
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PII redaction: emails → <EMAIL>, phones → <PHONE>, IPv4 → <IP>,
+    // map-only over the corpus. Redacted text is compared by md5 so the
+    // oracle proves regex-dialect parity without shipping full text.
+    "pipeline_redact_pii" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        size(regexp_extract_all(col("text"), lit(ipRe), lit(0))).cast("long").as("n_ips"),
+        md5(graft.functions.Text.redactPii(col("text"))).as("redacted_md5"))
+        .orderBy("doc_id")),
+
+    // Benchmark decontamination (the 13-gram-overlap idea at 8 grams, sized
+    // to the corpus): a training doc is contaminated if it shares any
+    // 8-gram with a benchmark doc. The benchmark gram set is tiny next to
+    // the corpus, so it BROADCASTS: contamination is a map-side semi join —
+    // the 100 TB corpus never shuffles. Gram identity via the native
+    // one-pass hash (collision odds ~n²/2⁶⁴).
+    "pipeline_decontaminate" -> ((s, dir) => {
+      val grams = docs(s, dir).select(col("doc_id"),
+        graft.plans.NgramHashes.hashes(s, col("text"), 8).as("grams"))
+      val bench = grams.filter(pmod(col("doc_id"), lit(benchMod)) === 0)
+        .select(explode(col("grams")).as("gram")).distinct()
+      grams.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
+        .select(col("doc_id"), explode(col("grams")).as("gram"))
+        .join(broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared_8grams")) // grams pre-distinct per doc
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic source mixing: even-numbered sources keep all docs,
+    // odd-numbered keep ~50% by a content-hash coin (md5 prefix < "8000"),
+    // so re-runs and re-shards keep exactly the same docs (no RNG state).
+    "pipeline_source_mix" -> ((s, dir) =>
+      docs(s, dir).select(col("source"),
+        (substring(col("source"), 4, 10).cast("int") % 2 === 0 ||
+          substring(md5(concat(col("text"), lit(":mix"))), 1, 4) < "8000").as("keep"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("source")),
+
+    // Sequence packing: per source, docs in doc_id order fill fixed
+    // character-budget sequences; a doc belongs to the sequence where it
+    // starts (floor of the preceding cumulative length / budget) — the
+    // deterministic distributed packing shape (one window per source, no
+    // sequential driver loop).
+    "pipeline_pack_sequences" -> ((s, dir) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      docs(s, dir).select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("start_offset", sum("n_chars").over(w) - col("n_chars"))
+        .withColumn("seq_id", floor(col("start_offset") / packBudget))
+        .groupBy("source", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("seq_chars"))
+        .orderBy("source", "seq_id")
+    }))
+
+  /** DuckDB 8-gram construction matching Text.wordShingles(_, 8). */
+  private val gramsSql =
+    """SELECT doc_id,
+      |       unnest(list_distinct(CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+      |              ELSE list_transform(range(len(t) - 7),
+      |                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] ||
+      |                        ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] || ' ' || t[i+8]) END)) AS gram
+      |FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |      FROM documents)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_redact_pii" ->
+      s"""SELECT doc_id,
+         |       len(regexp_extract_all(text, '$emailRe')) AS n_emails,
+         |       len(regexp_extract_all(text, '$phoneRe')) AS n_phones,
+         |       len(regexp_extract_all(text, '$ipRe')) AS n_ips,
+         |       md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |         '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g'),
+         |         '$ipRe', '<IP>', 'g')) AS redacted_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipeline_decontaminate" ->
+      s"""WITH g AS ($gramsSql),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % $benchMod = 0)
+         |SELECT g.doc_id, count(*) AS n_shared_8grams
+         |FROM g JOIN bench USING (gram)
+         |WHERE g.doc_id % $benchMod <> 0
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "pipeline_source_mix" ->
+      """WITH k AS (
+        |  SELECT source,
+        |         (CAST(substr(source, 4) AS INT) % 2 = 0 OR
+        |          substr(md5(text || ':mix'), 1, 4) < '8000') AS keep
+        |  FROM documents)
+        |SELECT source, count(*) AS n_total,
+        |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    "pipeline_pack_sequences" ->
+      s"""WITH o AS (
+         |  SELECT source, doc_id, n_chars,
+         |         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) - n_chars
+         |           AS start_offset
+         |  FROM documents)
+         |SELECT source, CAST(floor(start_offset / $packBudget) AS BIGINT) AS seq_id,
+         |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS seq_chars
+         |FROM o GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin)
+}

@@ -92,4 +92,24 @@ class TextHashSpec extends AnyFunSuite with SparkTestBase {
     val sigs = df.collect().map(_.getLong(0))
     assert(sigs(0) == sigs(1))
   }
+
+  test("redactPii scrubs planted emails/phones/IPs and leaves clean text alone") {
+    val rows = Seq(
+      ("mail me at jo.doe+x@sub.example.co.uk thanks",
+        "mail me at <EMAIL> thanks"),
+      ("call 555-867-5309 or 111-222-3333 now",
+        "call <PHONE> or <PHONE> now"),
+      ("server at 192.168.0.1 and 10.0.0.255.",
+        "server at <IP> and <IP>."),
+      ("a@b.io then 10.0.0.1 then 999-999-9999",
+        "<EMAIL> then <IP> then <PHONE>"),
+      // untouched: no-PII text, bare digits, version-ish dotted string with
+      // an alpha segment, @handle without a domain dot
+      ("plain text 12345 v1.2.3.beta @handle stays",
+        "plain text 12345 v1.2.3.beta @handle stays"))
+    val got = rows.toDF("text", "expected")
+      .select(graft.functions.Text.redactPii($"text").as("got"), $"expected")
+      .as[(String, String)].collect()
+    got.foreach { case (g, e) => assert(g == e, s"redaction mismatch: $g") }
+  }
 }
