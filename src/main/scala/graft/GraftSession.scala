@@ -23,6 +23,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // reliable checkpoint files (Checkpointing.cut when a checkpoint dir
+      // is configured) are only garbage-collected by the ContextCleaner
+      // when this is on — default false would leak a dir per lineage cut
+      // for the life of the deployment
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
 
   /** Local session on `cores` threads (test/bench harnesses). */

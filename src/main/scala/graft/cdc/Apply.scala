@@ -29,15 +29,18 @@ object Apply {
       .filter(col("rn") === 1 && col("op") =!= "DELETE")
       .select("table_name", "pk", "lsn", "op", "value", "props")
 
-  /** Apply a PUBLICATION-SCOPED (single-table) feed onto a base table: update
-    * matched keys, insert new keys, drop tombstoned keys. Base side stays
-    * untouched for keys with no changes. Full outer join on the key — the
-    * merge/upsert a consumer runs against its materialized copy. The caller
-    * scopes the feed to one table (`Publication(...)(feed)`) because the base
-    * join key is the bare pk; latest-change resolution still keys on
-    * (table, pk) so an unscoped feed fails loudly in review, not silently. */
-  def upsert(base: DataFrame, feed: DataFrame, baseKey: String, baseValue: String): DataFrame = {
+  /** Apply one table's changes onto a base table: update matched keys,
+    * insert new keys, drop tombstoned keys. Base side stays untouched for
+    * keys with no changes. Full outer join on the key — the merge/upsert a
+    * consumer runs against its materialized copy. The `table` argument
+    * scopes the feed INSIDE the operator: a base table maps to exactly one
+    * feed table, and scoping here (rather than trusting the caller to
+    * pre-filter) means a multi-table feed can never silently join the base
+    * row against two tables' rn=1 rows and emit duplicate keys. */
+  def upsert(base: DataFrame, feed: DataFrame, table: String,
+      baseKey: String, baseValue: String): DataFrame = {
     val latest = feed
+      .filter(col("table_name") === table)
       .withColumn("rn", row_number().over(byKeyDesc))
       .filter(col("rn") === 1)
       .select(col("pk"), col("op").as("last_op"), col("value").as("new_value"))

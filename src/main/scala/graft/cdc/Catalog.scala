@@ -55,11 +55,15 @@ final class PublicationCatalog {
   /** The catalog applied to a multi-table feed: each registered publication
     * filters its own table slice (selector/condition/mask push into the
     * scan, see Publication.apply); slices are disjoint by table, so the
-    * union is exactly "what this consumer subscribed to". Selector-less
-    * publications keep the full schema so the union is well-typed. */
+    * union is exactly "what this consumer subscribed to". Publications with
+    * a column selector produce a NARROWER slice; allowMissingColumns pads
+    * the unpublished columns with null in the union, which is exactly what
+    * "this table doesn't publish that column" means downstream (a strict
+    * unionByName would refuse to mix selector widths at plan time). */
   def apply(feed: DataFrame): DataFrame = {
     require(pubs.nonEmpty, "no publications registered")
-    pubs.values.map(_(feed)).reduce(_.unionByName(_))
+    pubs.values.map(_(feed))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 }
 

@@ -249,8 +249,12 @@ object PgOutput {
       .collect() // O(#tables): the only driver-side collect, by design
       .map { case (lsn, b) => (lsn, decode(b).asInstanceOf[RelationMsg]) }
     val bc = spark.sparkContext.broadcast(RelationRegistry.build(rels.toSeq))
+    // only data frames decode to events; Begin/Commit and the benign
+    // metadata types a real publication emits (Type 'Y', Origin 'O',
+    // logical Message 'M') are ignored, as in the reference's switch
+    val dataTypes = Set('I'.toByte, 'U'.toByte, 'D'.toByte, 'T'.toByte)
     typed
-      .filter((r: (Long, Array[Byte])) => r._2.nonEmpty && r._2(0) != 'R'.toByte)
+      .filter((r: (Long, Array[Byte])) => r._2.nonEmpty && dataTypes.contains(r._2(0)))
       .mapPartitions(it => it.flatMap { case (lsn, b) => toEvents(bc.value, lsn, b) })
       .toDF()
   }

@@ -11,6 +11,11 @@ import org.apache.spark.sql.DataFrame
   * `sc.setCheckpointDir(...)` (HDFS/S3); every operator that cuts lineage
   * routes through here, so configuring the dir flips the whole library to
   * reliable checkpoints with no code change.
+  *
+  * Cleanup: reliable checkpoint files are reclaimed by the ContextCleaner
+  * only when `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+  * (GraftSession sets it; deployments building their own session must too),
+  * otherwise every cut leaks a checkpoint dir for the life of the app.
   */
 object Checkpointing {
 

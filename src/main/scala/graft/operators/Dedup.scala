@@ -75,15 +75,20 @@ object Dedup {
           col("b.n") * tNum <= col("a.n") * tDen)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val thr = tNum.toDouble / tDen
+    // verify on the EXACT integral ratio (|∩|·tDen ≥ |∪|·tNum) and round
+    // only for display: filtering on the rounded value would admit pairs
+    // with true Jaccard in [t − 5e-5, t) that the prefix filter and the
+    // size-ratio pruning above (both exact-threshold) never generate —
+    // an FP-boundary disagreement waiting for a corpus with
+    // multi-thousand-gram docs. Oracle filters identically.
     cand
       .join(ordered.select(col("doc_id").as("doc_a"), col("grams").as("g_a")), "doc_a")
       .join(ordered.select(col("doc_id").as("doc_b"), col("grams").as("g_b")), "doc_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b"))), 4))
-      .filter(col("jaccard") >= thr)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .withColumn("n_inter", size(array_intersect(col("g_a"), col("g_b"))))
+      .withColumn("n_union", size(array_union(col("g_a"), col("g_b"))))
+      .filter(col("n_inter") * tDen >= col("n_union") * tNum)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter").cast("double") / col("n_union"), 4).as("jaccard"))
   }
 
   /** pairs: (doc_a, doc_b) undirected near-dup edges.

@@ -41,10 +41,15 @@ object Embeddings {
     * signature is a map-phase codegen'd expression and the bucket join keys
     * on (table, sig).
     */
+  /** @param rowCount corpus size if the caller already knows it (catalog
+    *                  stats, a prior count) — skips the sizing scan. When
+    *                  absent, the count prunes every column, so on parquet
+    *                  it reads footers/row-group counts, not data pages. */
   def nearDupPairs(e: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, tables: Int = 4, targetBucket: Int = 32): DataFrame = {
+      threshold: Double, tables: Int = 4, targetBucket: Int = 32,
+      rowCount: Option[Long] = None): DataFrame = {
     val s = e.sparkSession
-    val bits = adaptiveBits(e.count(), targetBucket)
+    val bits = adaptiveBits(rowCount.getOrElse(e.count()), targetBucket)
     val sigged = e.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
         graft.plans.HyperplaneSigs.sigs(s, col(vecCol), bits, tables).as("sigs"))
       .transform(Checkpointing.cut) // compute sigs once for both sides of the self-join

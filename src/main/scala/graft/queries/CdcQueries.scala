@@ -68,7 +68,7 @@ object CdcQueries {
 
     "cdc_upsert_apply" -> ((s, dir) =>
       Apply.upsert(Tables(s, dir, "customer"),
-          Publication("users")(feed(s, dir)), "c_custkey", "c_acctbal")
+          Publication("users")(feed(s, dir)), "users", "c_custkey", "c_acctbal")
         .orderBy("pk")),
 
     "cdc_scd2_history" -> ((s, dir) =>

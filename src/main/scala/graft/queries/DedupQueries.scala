@@ -62,7 +62,11 @@ object DedupQueries {
   private val pairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // evict entries whose session has stopped: a strong-keyed memo would
+    // otherwise pin dead sessions and their checkpointed frames for the
+    // life of the JVM (test suites, notebooks, multi-tenant drivers)
+    pairsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     pairsMemo.computeIfAbsent((s, dir), { _ =>
       val sigged = docsSharded(s, dir).select(col("doc_id"),
         graft.plans.NativeHashes.minhashSig(s, Text.wordShingles(col("text"), 3), 64)
@@ -73,6 +77,7 @@ object DedupQueries {
         "est_jaccard", _ >= 0.5)
         .transform(graft.operators.Checkpointing.cut)
     })
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy, lowest doc_id is the canonical survivor.
@@ -173,10 +178,11 @@ object DedupQueries {
         |  FROM toks),
         |scored AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |               (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
-        |               4) AS jaccard
+        |         len(list_intersect(a.grams, b.grams)) AS n_inter,
+        |         len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS n_union
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, jaccard FROM scored
-        |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin)
+        |SELECT doc_a, doc_b,
+        |       round(CAST(n_inter AS DOUBLE) / n_union, 4) AS jaccard
+        |FROM scored
+        |WHERE n_inter * 5 >= n_union * 4 ORDER BY doc_a, doc_b""".stripMargin)
 }

@@ -12,13 +12,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 final case class Change(
     lsn: Long, tableName: String, op: String, pk: Long, tsUs: Long, value: Double)
 
-/** Current materialized row per key. */
+/** Current materialized row per (table, pk) key — like the batch Apply
+  * operators, streaming state keys on the pair so a multi-table feed can
+  * never pair or override keys across tables. */
 final case class Snapshot(
-    pk: Long, lsn: Long, op: String, value: Double, tombstoned: Boolean)
+    table: String, pk: Long, lsn: Long, op: String, value: Double, tombstoned: Boolean)
 
 /** A closed SCD-2 validity interval. */
 final case class Scd2Closed(
-    pk: Long, value: Double, validFromUs: Long, validToUs: Long, openedByLsn: Long)
+    table: String, pk: Long, value: Double,
+    validFromUs: Long, validToUs: Long, openedByLsn: Long)
 
 /** Structured Streaming operators over a CDC feed — the continuous versions
   * of graft.cdc.Apply. State is strictly per-key and O(1) per key (one
@@ -50,9 +53,9 @@ object CdcStream {
     val timeoutConf = if (tombstoneRetention.isDefined)
       GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     changes
-      .groupByKey(_.pk)
+      .groupByKey(c => (c.tableName, c.pk))
       .flatMapGroupsWithState[Snapshot, Snapshot](OutputMode.Update, timeoutConf) {
-        (pk: Long, it: Iterator[Change], state: GroupState[Snapshot]) =>
+        (key: (String, Long), it: Iterator[Change], state: GroupState[Snapshot]) =>
           if (tombstoneRetention.isDefined && state.hasTimedOut) {
             state.remove() // expired tombstone
             Iterator.empty
@@ -67,8 +70,8 @@ object CdcStream {
                 if (prev.tombstoned) tombstoneRetention.foreach(state.setTimeoutDuration)
                 Iterator.empty
               case _ =>
-                val best = Snapshot(pk, incoming.lsn, incoming.op, incoming.value,
-                  tombstoned = incoming.op == "DELETE")
+                val best = Snapshot(key._1, key._2, incoming.lsn, incoming.op,
+                  incoming.value, tombstoned = incoming.op == "DELETE")
                 state.update(best)
                 if (best.tombstoned)
                   tombstoneRetention.foreach(state.setTimeoutDuration)
@@ -97,10 +100,10 @@ object CdcStream {
   def scd2Stream(changes: Dataset[Change]): Dataset[Scd2Closed] = {
     import changes.sparkSession.implicits._
     changes
-      .groupByKey(_.pk)
+      .groupByKey(c => (c.tableName, c.pk))
       .flatMapGroupsWithState[Change, Scd2Closed](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (pk: Long, it: Iterator[Change], state: GroupState[Change]) =>
+        (key: (String, Long), it: Iterator[Change], state: GroupState[Change]) =>
           // replay/late guard: events at or below the state's LSN would emit
           // overlapping or duplicate closed intervals into the append sink,
           // so they are dropped — same LSN-monotone resolution as
@@ -113,7 +116,7 @@ object CdcStream {
             val ordered = state.getOption.toSeq ++ fresh
             state.update(ordered.last)
             ordered.sliding(2).collect {
-              case Seq(a, b) => Scd2Closed(pk, a.value, a.tsUs, b.tsUs, a.lsn)
+              case Seq(a, b) => Scd2Closed(key._1, key._2, a.value, a.tsUs, b.tsUs, a.lsn)
             }
           }
       }
@@ -130,19 +133,19 @@ object CdcStream {
     val l = left.toDF()
       .withColumn("l_ts", timestamp_micros(col("tsUs")))
       .withWatermark("l_ts", watermark)
-      .select(col("lsn").as("l_lsn"), col("pk").as("l_pk"),
-        col("l_ts"), col("value").as("l_value"))
+      .select(col("lsn").as("l_lsn"), col("tableName").as("l_table"),
+        col("pk").as("l_pk"), col("l_ts"), col("value").as("l_value"))
     val r = right.toDF()
       .withColumn("r_ts", timestamp_micros(col("tsUs")))
       .withWatermark("r_ts", watermark)
-      .select(col("lsn").as("r_lsn"), col("pk").as("r_pk"),
-        col("r_ts"), col("value").as("r_value"))
+      .select(col("lsn").as("r_lsn"), col("tableName").as("r_table"),
+        col("pk").as("r_pk"), col("r_ts"), col("value").as("r_value"))
     l.join(r,
-      col("l_pk") === col("r_pk") &&
+      col("l_table") === col("r_table") && col("l_pk") === col("r_pk") &&
         col("r_ts") > col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinUs MICROSECOND"))
-      .select(col("l_lsn"), col("r_lsn"), col("l_pk").as("pk"),
-        col("l_value"), col("r_value"))
+      .select(col("l_lsn"), col("r_lsn"), col("l_table").as("table"),
+        col("l_pk").as("pk"), col("l_value"), col("r_value"))
   }
 
   /** Gap-based session windows over the change stream (the streaming twin
@@ -154,11 +157,11 @@ object CdcStream {
     changes
       .withColumn("ts_t", timestamp_micros(col("tsUs")))
       .withWatermark("ts_t", watermark)
-      .groupBy(session_window(col("ts_t"), gap).as("w"), col("pk"))
+      .groupBy(session_window(col("ts_t"), gap).as("w"), col("tableName"), col("pk"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
       .select(unix_micros(col("w.start")).as("session_start_us"),
         unix_micros(col("w.end")).as("session_end_us"),
-        col("pk"), col("n_events"), col("sum_value"))
+        col("tableName").as("table"), col("pk"), col("n_events"), col("sum_value"))
 
   /** Exactly-once delivery on top of an at-least-once feed: drop replayed
     * LSNs within the watermark horizon. State is bounded by the watermark —
@@ -208,18 +211,27 @@ object CdcStream {
         // dirs work, not just the local filesystem
         val base = new org.apache.hadoop.fs.Path(snapshotDir)
         val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val current = currentVersion(fs, base)
+        // Replay guard: if the pointer already names THIS batch's version,
+        // a previous run crashed after the swap but before the streaming
+        // commit log recorded the batch. The merge is already fully applied
+        // — and re-running it would read and overwrite the same dir — so
+        // the replay is a no-op.
+        if (current.exists(_.getName == s"v$batchId")) ()
+        else {
         // explicit schema: a version dir written from an empty batch has no
         // part files, so inference would fail where "empty snapshot" is meant
-        val existing = currentVersion(fs, base) match {
+        val existing = current match {
           case Some(dir) => spark.read
             .schema(implicitly[org.apache.spark.sql.Encoder[Snapshot]].schema)
             .parquet(dir.toString).as[Snapshot]
           case None => spark.emptyDataset[Snapshot]
         }
-        val merged = existing.toDF("e_pk", "e_lsn", "e_op", "e_value", "e_tombstoned")
-          .join(incoming.toDF("i_pk", "i_lsn", "i_op", "i_value", "i_tombstoned"),
-            col("e_pk") === col("i_pk"), "full_outer")
+        val merged = existing.toDF("e_table", "e_pk", "e_lsn", "e_op", "e_value", "e_tombstoned")
+          .join(incoming.toDF("i_table", "i_pk", "i_lsn", "i_op", "i_value", "i_tombstoned"),
+            col("e_table") === col("i_table") && col("e_pk") === col("i_pk"), "full_outer")
           .select(
+            coalesce(col("i_table"), col("e_table")).as("table"),
             coalesce(col("i_pk"), col("e_pk")).as("pk"),
             when(col("i_lsn").isNotNull && (col("e_lsn").isNull || col("i_lsn") > col("e_lsn")),
               struct(col("i_lsn").as("lsn"), col("i_op").as("op"),
@@ -227,8 +239,8 @@ object CdcStream {
               .otherwise(struct(col("e_lsn").as("lsn"), col("e_op").as("op"),
                 col("e_value").as("value"), col("e_tombstoned").as("tombstoned")))
               .as("r"))
-          .select(col("pk"), col("r.*"))
-          .toDF("pk", "lsn", "op", "value", "tombstoned")
+          .select(col("table"), col("pk"), col("r.*"))
+          .toDF("table", "pk", "lsn", "op", "value", "tombstoned")
           .as[Snapshot]
         // write the merged state to a FRESH version dir (overwrite handles
         // a partial dir left by a crashed run of this same batchId), then
@@ -236,13 +248,18 @@ object CdcStream {
         val next = new org.apache.hadoop.fs.Path(base, s"v$batchId")
         merged.write.mode("overwrite").parquet(next.toString)
         swapPointer(spark, fs, base, next.getName)
+        }
         ()
       }
       .start()
 
   private val PointerFile = "_current"
 
-  /** The live version dir, resolved through the pointer file. */
+  /** The live version dir, resolved through the pointer file. A pointer
+    * naming a MISSING dir is corruption (eventual-consistency lag, manual
+    * cleanup) and throws loudly — treating it as "no snapshot yet" would
+    * make the next merge silently reset state to empty, discarding every
+    * materialized key and tombstone. */
   private def currentVersion(
       fs: org.apache.hadoop.fs.FileSystem,
       base: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
@@ -252,7 +269,11 @@ object CdcStream {
       val in = fs.open(ptr)
       val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-      Some(new org.apache.hadoop.fs.Path(base, name)).filter(fs.exists)
+      val dir = new org.apache.hadoop.fs.Path(base, name)
+      if (!fs.exists(dir)) throw new java.io.FileNotFoundException(
+        s"snapshot pointer $ptr names missing version dir $dir — refusing to " +
+          "treat a corrupted snapshot as empty")
+      Some(dir)
     }
   }
 
@@ -302,12 +323,13 @@ object CdcStream {
       .parquet(dir.toString).as[Snapshot].filter((s: Snapshot) => !s.tombstoned)
   }
 
-  /** Batch-local reduction: highest LSN per key within one micro-batch. */
+  /** Batch-local reduction: highest LSN per (table, pk) within one
+    * micro-batch. */
   private def latestOfBatch(batch: Dataset[Change]): Dataset[Snapshot] = {
     import batch.sparkSession.implicits._
-    batch.groupByKey(_.pk).mapGroups { (pk, it) =>
+    batch.groupByKey(c => (c.tableName, c.pk)).mapGroups { (key, it) =>
       val c = it.maxBy(_.lsn)
-      Snapshot(pk, c.lsn, c.op, c.value, tombstoned = c.op == "DELETE")
+      Snapshot(key._1, key._2, c.lsn, c.op, c.value, tombstoned = c.op == "DELETE")
     }
   }
 

@@ -27,7 +27,7 @@ class CdcApplySpec extends AnyFunSuite with SparkTestBase {
 
   test("upsert: update, insert, delete, unchanged branches all hit") {
     val base = Seq((1L, 100.0), (2L, 200.0), (9L, 900.0)).toDF("k", "v")
-    val got = Apply.upsert(base, feed, "k", "v").orderBy("pk")
+    val got = Apply.upsert(base, feed, "users", "k", "v").orderBy("pk")
       .as[(Long, Double, String)].collect().toSeq
     // 1: updated, 2: deleted (gone), 3: inserted, 9: untouched base row
     assert(got == Seq((1L, 11.0, "UPDATE"), (3L, 30.0, "INSERT"), (9L, 900.0, "UNCHANGED")))

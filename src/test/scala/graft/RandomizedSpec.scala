@@ -75,7 +75,7 @@ class RandomizedSpec extends AnyFunSuite with SparkTestBase {
         case None => Some(k -> base.find(_._1 == k).get._2)
       }
     }.toMap
-    val gotUpsert = Apply.upsert(base.toDF("k", "v"), df, "k", "v")
+    val gotUpsert = Apply.upsert(base.toDF("k", "v"), df, "users", "k", "v")
       .select("pk", "value").as[(Long, Double)].collect().toMap
     assert(gotUpsert == expUpsert)
   }

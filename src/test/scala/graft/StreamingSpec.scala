@@ -32,8 +32,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
       val rows = spark.table("snap").as[Snapshot].collect()
       val lastPerKey = rows.groupBy(_.pk).map { case (k, v) => k -> v.maxBy(_.lsn) }
-      assert(lastPerKey(1L) == Snapshot(1L, 4L, "UPDATE", 11.0, false))
-      assert(lastPerKey(2L) == Snapshot(2L, 5L, "DELETE", 0.0, true))
+      assert(lastPerKey(1L) == Snapshot("users", 1L, 4L, "UPDATE", 11.0, false))
+      assert(lastPerKey(2L) == Snapshot("users", 2L, 5L, "DELETE", 0.0, true))
+    } finally q.stop()
+  }
+
+  test("streaming latestSnapshot keys on (table, pk): same pk across tables stays distinct") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val q = CdcStream.latestSnapshot(input.toDS())
+      .writeStream.format("memory").queryName("snapmt").outputMode(OutputMode.Update)
+      .start()
+    try {
+      input.addData(
+        Change(10, "users", "INSERT", 5, 100, 1.0),
+        Change(12, "accounts", "INSERT", 5, 200, 2.0),
+        // a DELETE on accounts.5 must not tombstone users.5
+        Change(14, "accounts", "DELETE", 5, 300, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("snapmt").as[Snapshot].collect()
+        .groupBy(s => (s.table, s.pk)).map { case (k, v) => k -> v.maxBy(_.lsn) }
+      assert(rows(("users", 5L)) == Snapshot("users", 5L, 10L, "INSERT", 1.0, false))
+      assert(rows(("accounts", 5L)).tombstoned)
     } finally q.stop()
   }
 
@@ -161,7 +181,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         Change(2, "users", "UPDATE", 1, 200, 11.0))
       q.processAllAvailable()
       val got = spark.table("scd2replay").as[graft.streaming.Scd2Closed].collect().toSeq
-      assert(got == Seq(graft.streaming.Scd2Closed(1L, 10.0, 100L, 300L, 1L)))
+      assert(got == Seq(graft.streaming.Scd2Closed("users", 1L, 10.0, 100L, 300L, 1L)))
     } finally q.stop()
   }
 
@@ -236,8 +256,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         .orderBy("openedByLsn")
         .as[graft.streaming.Scd2Closed].collect().toSeq
       assert(got == Seq(
-        graft.streaming.Scd2Closed(1L, 10.0, 100L, 200L, 1L),
-        graft.streaming.Scd2Closed(1L, 11.0, 200L, 300L, 2L)))
+        graft.streaming.Scd2Closed("users", 1L, 10.0, 100L, 200L, 1L),
+        graft.streaming.Scd2Closed("users", 1L, 11.0, 200L, 300L, 2L)))
     } finally q.stop()
   }
 
@@ -256,10 +276,49 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     try {
       q2.processAllAvailable()
       val got = CdcStream.readSnapshot(spark, snap).collect().toSeq
-      assert(got == Seq(Snapshot(1L, 2L, "UPDATE", 2.0, false)))
+      assert(got == Seq(Snapshot("users", 1L, 2L, "UPDATE", 2.0, false)))
       // offsets resumed: the restarted run processed exactly the delta batch
       assert(q2.recentProgress.map(_.numInputRows).sum == 1L)
     } finally q2.stop()
+  }
+
+  test("end-to-end: pgoutput frame drops → streaming decode → live snapshot") {
+    import graft.cdc.{PgColumn, PgOutput, PgTuple, RelationMsg, InsertMsg, UpdateMsg, DeleteMsg}
+    import graft.streaming.PgOutputStream
+    val framesDir = java.nio.file.Files.createTempDirectory("e2eframes").toString
+    val snap = java.nio.file.Files.createTempDirectory("e2esnap").toString + "/t"
+    val ck = java.nio.file.Files.createTempDirectory("e2eck").toString
+    val rel = RelationMsg(500, "public", "users", 'd'.toByte,
+      Seq("pk", "ts_us", "value", "props").map(c => PgColumn(0, c, 25, -1)))
+    def tup(pk: Long, ts: Long, v: Double) =
+      PgTuple(Seq(Some(pk.toString), Some(ts.toString), Some(v.toString), Some("{}")))
+    // batch 1: register the relation, insert two rows
+    Seq(
+      1L -> PgOutput.encode(rel),
+      2L -> PgOutput.encode(InsertMsg(500, tup(1, 100, 10.0))),
+      3L -> PgOutput.encode(InsertMsg(500, tup(2, 200, 20.0))))
+      .toDF("lsn", "data").write.mode("append").parquet(framesDir)
+    // wire: frame drops → stateful decode → canonical feed → snapshot merge
+    val changes = PgOutput.toCanonicalFeed(
+        PgOutputStream.decodeStream(spark,
+          PgOutputStream.frameSource(spark, framesDir)).toDF())
+      .select($"lsn", $"table_name".as("tableName"), $"op", $"pk",
+        $"ts_us".as("tsUs"), $"value").as[Change]
+    val q = CdcStream.materializeSnapshot(changes, snap, ck)
+    try {
+      q.processAllAvailable()
+      assert(CdcStream.readSnapshot(spark, snap).collect()
+        .map(s => s.pk -> s.value).toMap == Map(1L -> 10.0, 2L -> 20.0))
+      // batch 2: update pk 1, delete pk 2 — decoded against the registry
+      // checkpointed from batch 1
+      Seq(
+        4L -> PgOutput.encode(UpdateMsg(500, None, None, tup(1, 300, 11.0))),
+        5L -> PgOutput.encode(DeleteMsg(500, 'O'.toByte, tup(2, 400, 0.0))))
+        .toDF("lsn", "data").write.mode("append").parquet(framesDir)
+      q.processAllAvailable()
+      assert(CdcStream.readSnapshot(spark, snap).collect()
+        .map(s => s.pk -> s.value).toMap == Map(1L -> 11.0))
+    } finally q.stop()
   }
 
   test("file-drop CDC source streams appended parquet batches") {
@@ -276,7 +335,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       Seq(Change(3, "users", "UPDATE", 1, 300, 3.0)).toDS().write.mode("append").parquet(dir)
       q.processAllAvailable()
       val last = spark.table("filesnap").as[Snapshot].collect().maxBy(_.lsn)
-      assert(last == Snapshot(1L, 3L, "UPDATE", 3.0, false))
+      assert(last == Snapshot("users", 1L, 3L, "UPDATE", 3.0, false))
     } finally q.stop()
   }
 }
