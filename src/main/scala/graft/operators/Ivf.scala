@@ -69,9 +69,8 @@ object Ivf {
         index("cluster") === probes("cluster") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(graft.plans.CosineSim.cosine(s, col("q_emb"), col("embedding")), 4).as("cos"))
-    Relational.topKPerGroup(scored, Seq("q_id"),
-        Seq(col("cos").desc, col("neighbor_id")), topK)
-      .select(col("q_id"), col("rk").cast("long").as("rk"),
-        col("neighbor_id"), col("cos"))
+    // bounded-heap rerank: the probed lists' scored rows partial-aggregate
+    // map-side, so only ≤ k per query per partition reach the shuffle
+    Relational.topKByScore(scored, "q_id", "cos", "neighbor_id", topK)
   }
 }

@@ -57,11 +57,29 @@ object Relational {
   }
 
   /** Top-k rows per group with a fully deterministic ordering (caller must
-    * include a unique tie-break in `order`). */
+    * include a unique tie-break in `order`). Window form: shuffles and
+    * sorts EVERY row of the group — fine when the input is already small
+    * or the ordering is arbitrary-typed; for large scored candidate sets
+    * prefer `topKByScore`. */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], order: Seq[Column], k: Int): DataFrame =
     df.withColumn("rk", row_number().over(
         Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)))
       .filter(col("rk") <= k)
+
+  /** Top-k by (score DESC, id ASC) per group via the bounded-heap TopKAgg
+    * aggregate: map-side partial aggregation reduces every partition to
+    * ≤ k rows per group BEFORE the shuffle, so the exchange carries
+    * O(groups × k) rows instead of every scored candidate — the form that
+    * survives a 100 TB candidate set. Emits (group, rk, idCol, scoreCol),
+    * byte-identical to the window form with order (score desc, id). */
+  def topKByScore(df: DataFrame, groupCol: String,
+      scoreCol: String, idCol: String, k: Int): DataFrame =
+    df.groupBy(groupCol)
+      .agg(graft.plans.TopKAgg.topk(df.sparkSession,
+        struct(col(scoreCol), col(idCol).cast("long")), k).as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("rk0", "item")))
+      .select(col(groupCol), (col("rk0") + 1).cast("long").as("rk"),
+        col("item.id").as(idCol), col("item.score").as(scoreCol))
 
   /** Salted equi-join for skewed keys: the skewed (left) side gets a
     * deterministic salt derived from a unique column, the right side is

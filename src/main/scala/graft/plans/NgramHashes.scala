@@ -47,6 +47,43 @@ final case class NgramHashesExpr(child: Expression, k: Int)
   override def prettyName: String = "ngram_hashes"
 }
 
+/** text → MinHash signature in one native pass: the gram hashes from
+  * `NgramHashes.compute` are exactly the `XXH64.hashUTF8String(gram, 42)`
+  * value MinHashSig computes per shingle, so chaining the per-permutation
+  * re-hash onto them is BIT-IDENTICAL to
+  * `minhash_sig(Text.wordShingles(text, k), numPerms)` (parity spec'd) —
+  * while skipping the interpreted shingle-building HOF chain entirely.
+  * Duplicate grams can't change a min, so NgramHashes' dedup is free
+  * candidate pruning. This is the signature map phase — the dominant
+  * linear cost of every near-dup pass at corpus scale — as one codegen'd
+  * static call. */
+final case class MinHashSigFromText(child: Expression, k: Int, numPerms: Int)
+    extends UnaryExpression {
+
+  require(k >= 1 && numPerms >= 1, s"ngram_minhash needs k,perms >= 1, got $k/$numPerms")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_minhash expects string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NgramHashes.minhashFromText(input.asInstanceOf[UTF8String], k, numPerms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.plans.NgramHashes.minhashFromText($c, $k, $numPerms);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigFromText =
+    copy(child = newChild)
+  override def prettyName: String = "ngram_minhash"
+}
+
 object NgramHashes {
 
   /** Mirrors lower → trim(' ') → split("\\s+") → k-windows joined with ' '
@@ -103,15 +140,50 @@ object NgramHashes {
       if (nOut == nGrams) out else java.util.Arrays.copyOf(out, nOut))
   }
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction("ngram_hashes", {
+  /** Gram hashes → MinHash mins, same per-permutation chain as MinHashSig
+    * (hashLong(h, 42) seed, then hashInt(p, ·) per permutation). */
+  def minhashFromText(text: UTF8String, k: Int, numPerms: Int): UnsafeArrayData = {
+    val grams = compute(text, k)
+    val n = grams.numElements()
+    val mins = Array.fill(numPerms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val hSeeded = XXH64.hashLong(grams.getLong(i), 42L)
+      var p = 0
+      while (p < numPerms) {
+        val hp = XXH64.hashInt(p, hSeeded)
+        if (hp < mins(p)) mins(p) = hp
+        p += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("ngram_hashes", {
       case Seq(c, kk) => NgramHashesExpr(c, kk.eval(null).asInstanceOf[Number].intValue())
       case other => throw new IllegalArgumentException(
         s"ngram_hashes(text, k) expects 2 args, got ${other.size}")
     }, "built-in")
+    reg.createOrReplaceTempFunction("ngram_minhash", {
+      case Seq(c, kk, pp) => MinHashSigFromText(c,
+        kk.eval(null).asInstanceOf[Number].intValue(),
+        pp.eval(null).asInstanceOf[Number].intValue())
+      case other => throw new IllegalArgumentException(
+        s"ngram_minhash(text, k, numPerms) expects 3 args, got ${other.size}")
+    }, "built-in")
+  }
 
   def hashes(spark: SparkSession, text: Column, k: Int): Column = {
     register(spark)
     call_function("ngram_hashes", text, org.apache.spark.sql.functions.lit(k))
+  }
+
+  def minhash(spark: SparkSession, text: Column, k: Int, numPerms: Int): Column = {
+    register(spark)
+    call_function("ngram_minhash", text,
+      org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(numPerms))
   }
 }

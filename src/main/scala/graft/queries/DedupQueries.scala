@@ -69,7 +69,9 @@ object DedupQueries {
     pairsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     pairsMemo.computeIfAbsent((s, dir), { _ =>
       val sigged = docsSharded(s, dir).select(col("doc_id"),
-        graft.plans.NativeHashes.minhashSig(s, Text.wordShingles(col("text"), 3), 64)
+        // one-pass text→minhash (bit-equal to minhashSig∘wordShingles,
+        // without the interpreted shingle HOF in the map phase)
+        graft.plans.NgramHashes.minhash(s, col("text"), 3, 64)
           .as("sig")).transform(graft.operators.Checkpointing.cut)
       val pairs = bucketPairs(sigged, Hashes.lshBands(col("sig"), 16, 4))
       verifyPairs(sigged, pairs,
@@ -106,8 +108,7 @@ object DedupQueries {
     // any built-in aggregate.
     "dedup_source_sigs" -> ((s, dir) => {
       val sigged = docsSharded(s, dir).select(col("source"),
-        graft.plans.NativeHashes.minhashSig(s, Text.wordShingles(col("text"), 3), 64)
-          .as("sig"))
+        graft.plans.NgramHashes.minhash(s, col("text"), 3, 64).as("sig"))
       // checkpoint before the self-join or the full-corpus signature scan
       // underneath the aggregate runs twice
       val bySource = sigged.groupBy("source")

@@ -43,9 +43,10 @@ object VectorQueries {
       val scored = base.join(broadcast(q), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
           round(graft.plans.CosineSim.cosine(s, col("q_emb"), col("embedding")), 4).as("cos"))
-      Relational.topKPerGroup(scored, Seq("q_id"),
-          Seq(col("cos").desc, col("neighbor_id")), topK)
-        .select(col("q_id"), col("rk").cast("long").as("rk"), col("neighbor_id"), col("cos"))
+      // bounded-heap top-k: map-side partial aggregation, so the full
+      // scored corpus never reaches a shuffle (only ≤ k per query per
+      // partition do)
+      Relational.topKByScore(scored, "q_id", "cos", "neighbor_id", topK)
         .orderBy("q_id", "rk")
     }),
 
@@ -69,7 +70,10 @@ object VectorQueries {
     // the index is the corpus written bucketed by cluster; a query reads
     // nprobe/k of it.
     "knn_ivf" -> ((s, dir) => {
+      // cut once: the corpus feeds two Lloyd assigns + the index build —
+      // without it each pass re-reads and re-projects the parquet
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+        .transform(graft.operators.Checkpointing.cut)
       val centroids = graft.operators.Ivf.kmeansCentroids(e, "vec_id", "embedding", k = 16, iters = 2)
       val index = graft.operators.Ivf.assign(e, centroids)
       val q = e.filter(col("vec_id") < nQueries)
@@ -99,9 +103,7 @@ object VectorQueries {
         .distinct()
       val scored = cands.select(col("q_id"), col("neighbor_id"),
         round(graft.plans.CosineSim.cosine(s, col("q_emb"), col("embedding")), 4).as("cos"))
-      Relational.topKPerGroup(scored, Seq("q_id"),
-          Seq(col("cos").desc, col("neighbor_id")), topK)
-        .select(col("q_id"), col("rk").cast("long").as("rk"), col("neighbor_id"), col("cos"))
+      Relational.topKByScore(scored, "q_id", "cos", "neighbor_id", topK)
         .orderBy("q_id", "rk")
     }))
 

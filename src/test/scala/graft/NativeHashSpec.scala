@@ -119,6 +119,22 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("text-direct minhash matches minhashSig over wordShingles bit-for-bit") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and more words here",
+      "", "   ", "one", "one two",
+      "a  b\t\tc\nd", "\tleading tab", "trailing ws  \t ",
+      "Ünïcode ÜPPER case über straße",
+      "dup dup dup dup dup")
+    val rows = texts.toDF("text").select(
+      graft.plans.NgramHashes.minhash(spark, $"text", 3, 64).as("direct"),
+      NativeHashes.minhashSig(spark, Text.wordShingles($"text", 3), 64).as("ref"))
+      .collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"minhash mismatch for '$t'")
+    }
+  }
+
   test("all native expressions compile under CODEGEN_ONLY (no silent fallback)") {
     // Spark silently falls back to interpreted eval when generated code
     // fails to compile — which would erase the whole point of doGenCode and
@@ -140,6 +156,7 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
         NativeHashes.minhashSig(spark, Text.wordShingles($"text", 2), 16).as("mh"),
         NativeHashes.simhashSig(spark, Text.wsTokens($"text")).as("sh"),
         graft.plans.NgramHashes.hashes(spark, $"text", 3).as("ng"),
+        graft.plans.NgramHashes.minhash(spark, $"text", 3, 16).as("ngmh"),
         graft.plans.HyperplaneSigs.sigs(spark, $"a", 8, 4).as("hp"),
         graft.plans.CosineSim.cosine(spark, $"a", $"b").as("cos"))
         .collect()

@@ -41,6 +41,35 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq(1L, 2L, 4L))
   }
 
+  test("topKByScore (bounded-heap agg) matches the window form on random data with ties") {
+    val rnd = new scala.util.Random(7)
+    // 12 groups × ~200 rows, scores rounded to 1dp so ties are common and
+    // the id tie-break actually decides rows
+    val rows = (0 until 2500).map { i =>
+      (i % 12, i.toLong, math.floor(rnd.nextDouble() * 10) / 10.0)
+    }
+    val df = rows.toDF("g", "id", "score").repartition(8) // force partial merges
+    val viaWindow = Relational.topKPerGroup(df, Seq("g"), Seq($"score".desc, $"id"), 7)
+      .select($"g", $"rk".cast("long").as("rk"), $"id", $"score")
+      .orderBy("g", "rk").as[(Int, Long, Long, Double)].collect().toSeq
+    val viaAgg = Relational.topKByScore(df, "g", "score", "id", 7)
+      .select($"g", $"rk", $"id", $"score")
+      .orderBy("g", "rk").as[(Int, Long, Long, Double)].collect().toSeq
+    assert(viaAgg == viaWindow)
+  }
+
+  test("topKByScore shuffles partial heaps, not the scored input") {
+    val df = (0 until 1000).map(i => (i % 4, i.toLong, i / 7.0)).toDF("g", "id", "score")
+      .repartition(8)
+    val plan = Relational.topKByScore(df, "g", "score", "id", 5)
+      .queryExecution.executedPlan.toString
+    // partial aggregation before the exchange is the whole point: the
+    // HashAggregate pair (partial below, final above the shuffle) must
+    // carry the topk buffer, not raw rows through a window sort
+    assert(plan.contains("topk"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
   test("q5 star join broadcasts every dimension") {
     val plan = queries.RelationalQueries.queries("q5_multijoin")(spark, sf)
       .queryExecution.executedPlan.toString
