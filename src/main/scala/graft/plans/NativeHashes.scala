@@ -37,45 +37,30 @@ final case class MinHashSig(child: Expression, numPerms: Int)
     val mins = Array.fill(numPerms)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
+      if (!arr.isNullAt(i))
         // identical chain to the HOF formulation xxhash64(xxhash64(s), p):
-        // string hashed once, then per-perm hashLong(seed 42) + hashInt —
+        // string hashed once, then the shared per-perm chain (minUpdate) —
         // the two implementations are interchangeable (parity spec'd)
-        val h = XXH64.hashUTF8String(s, 42L)
-        val hSeeded = XXH64.hashLong(h, 42L)
-        var p = 0
-        while (p < numPerms) {
-          val hp = XXH64.hashInt(p, hSeeded)
-          if (hp < mins(p)) mins(p) = hp
-          p += 1
-        }
-      }
+        NativeHashes.minUpdate(mins, XXH64.hashUTF8String(arr.getUTF8String(i), 42L))
       i += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
-  /** Same loop emitted into generated Java so the surrounding projection
-    * stays one WholeStageCodegen span (CodegenFallback would break it). */
+  /** Same loop in generated Java via the shared static chain, so the
+    * surrounding projection stays one WholeStageCodegen span
+    * (CodegenFallback would break it). */
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr => {
       val xxh = classOf[XXH64].getName
       val mins = ctx.freshName("mins")
       val i = ctx.freshName("i")
-      val p = ctx.freshName("p")
-      val h = ctx.freshName("h")
-      val hp = ctx.freshName("hp")
       s"""
          |long[] $mins = new long[$numPerms];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |for (int $i = 0; $i < $arr.numElements(); $i++) {
          |  if (!$arr.isNullAt($i)) {
-         |    long $h = $xxh.hashLong($xxh.hashUTF8String($arr.getUTF8String($i), 42L), 42L);
-         |    for (int $p = 0; $p < $numPerms; $p++) {
-         |      long $hp = $xxh.hashInt($p, $h);
-         |      if ($hp < $mins[$p]) $mins[$p] = $hp;
-         |    }
+         |    graft.plans.NativeHashes.minUpdate($mins, $xxh.hashUTF8String($arr.getUTF8String($i), 42L));
          |  }
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
@@ -162,6 +147,22 @@ final case class SimHashSig(child: Expression)
   * and per-session (Spark 4 removed the public Column-from-Expression
   * constructor, so the registry + call_function is the supported route). */
 object NativeHashes {
+
+  /** THE per-gram minhash permutation chain — seed the gram hash
+    * (hashLong(h, 42)), then fold hashInt(p, seeded) into each
+    * permutation's running min. Single-sourced here because three call
+    * sites must stay bit-identical for LSH banding and the memoized
+    * near-dup pipeline to agree: MinHashSig's interpreted eval, its
+    * generated Java (static call), and MinHashSigFromText. */
+  def minUpdate(mins: Array[Long], gramHash: Long): Unit = {
+    val hSeeded = XXH64.hashLong(gramHash, 42L)
+    var p = 0
+    while (p < mins.length) {
+      val hp = XXH64.hashInt(p, hSeeded)
+      if (hp < mins(p)) mins(p) = hp
+      p += 1
+    }
+  }
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -140,21 +140,15 @@ object NgramHashes {
       if (nOut == nGrams) out else java.util.Arrays.copyOf(out, nOut))
   }
 
-  /** Gram hashes → MinHash mins, same per-permutation chain as MinHashSig
-    * (hashLong(h, 42) seed, then hashInt(p, ·) per permutation). */
+  /** Gram hashes → MinHash mins via the single-sourced permutation chain
+    * (NativeHashes.minUpdate). */
   def minhashFromText(text: UTF8String, k: Int, numPerms: Int): UnsafeArrayData = {
     val grams = compute(text, k)
     val n = grams.numElements()
     val mins = Array.fill(numPerms)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val hSeeded = XXH64.hashLong(grams.getLong(i), 42L)
-      var p = 0
-      while (p < numPerms) {
-        val hp = XXH64.hashInt(p, hSeeded)
-        if (hp < mins(p)) mins(p) = hp
-        p += 1
-      }
+      NativeHashes.minUpdate(mins, grams.getLong(i))
       i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(mins)

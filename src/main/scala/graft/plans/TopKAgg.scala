@@ -55,8 +55,13 @@ final case class TopKAgg(
     if (v == null) buf
     else {
       val row = v.asInstanceOf[InternalRow]
-      buf.offer(row.getDouble(0), row.getLong(1))
-      buf
+      // a null score is an unscorable candidate (e.g. cosine of a null
+      // embedding): dropped, where the window form would rank it last
+      // (desc_nulls_last) — for a top-k this only differs when a group has
+      // fewer than k scorable rows, and "absent" beats "present with a
+      // made-up rank" there
+      if (row.isNullAt(0) || row.isNullAt(1)) buf
+      else { buf.offer(row.getDouble(0), row.getLong(1)); buf }
     }
   }
 
@@ -103,9 +108,14 @@ final class TopKBuf(val k: Int) {
   val ids = new Array[Long](k)
   var size = 0
 
-  /** true if (s1, id1) ranks ahead of (s2, id2). */
-  @inline private def beats(s1: Double, id1: Long, s2: Double, id2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && id1 < id2)
+  /** true if (s1, id1) ranks ahead of (s2, id2). Double.compare, not `>`:
+    * it totally orders NaN (greater than everything, matching Spark's desc
+    * window ordering) and -0.0 < 0.0, so the buffer can never strand a NaN
+    * row nor hand sort a non-transitive comparator. */
+  @inline private def beats(s1: Double, id1: Long, s2: Double, id2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && id1 < id2)
+  }
 
   def offer(s: Double, id: Long): Unit =
     if (size < k) { scores(size) = s; ids(size) = id; size += 1 }
@@ -127,7 +137,7 @@ final class TopKBuf(val k: Int) {
 
   def sorted: Array[(Double, Long)] =
     Array.tabulate(size)(i => (scores(i), ids(i)))
-      .sortWith { case ((s1, i1), (s2, i2)) => s1 > s2 || (s1 == s2 && i1 < i2) }
+      .sortWith { case ((s1, i1), (s2, i2)) => beats(s1, i1, s2, i2) }
 }
 
 object TopKBuf {

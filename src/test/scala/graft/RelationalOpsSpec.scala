@@ -58,6 +58,18 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(viaAgg == viaWindow)
   }
 
+  test("topKByScore: NaN ranks first (Double.compare order), null scores dropped") {
+    val rows: Seq[(Int, Long, Option[Double])] =
+      Seq((1, 1L, Some(0.5)), (1, 2L, Some(Double.NaN)), (1, 3L, None),
+        (1, 4L, Some(0.9)), (1, 5L, Some(0.9))) ++
+        // enough NaN/real churn to exercise eviction with NaN in the buffer
+        (10L until 40L).map(i => (1, i, Some(if (i % 5 == 0) Double.NaN else i / 100.0)))
+    val got = Relational.topKByScore(rows.toDF("g", "id", "score"), "g", "score", "id", 3)
+      .orderBy("rk").select("id").as[Long].collect().toSeq
+    // NaN sorts above every real score, ties among NaNs break by id asc
+    assert(got == Seq(2L, 10L, 15L))
+  }
+
   test("topKByScore shuffles partial heaps, not the scored input") {
     val df = (0 until 1000).map(i => (i % 4, i.toLong, i / 7.0)).toDF("g", "id", "score")
       .repartition(8)
