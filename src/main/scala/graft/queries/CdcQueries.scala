@@ -101,13 +101,38 @@ object CdcQueries {
     "cdc_images" -> ((s, dir) =>
       ChangeFeed.withImages(feed(s, dir))
         .select(col("lsn"), col("table_name"), col("op"), col("pk"),
-          col("before").getItem("value").as("before_value"),
-          col("after").getItem("value").as("after_value"),
+          // doubles, not the map's string rendering: engines format floats
+          // differently, values compare exactly
+          col("before").getItem("value").cast("double").as("before_value"),
+          col("after").getItem("value").cast("double").as("after_value"),
           col("before").isNull.as("before_nil"),
           col("after").isNull.as("after_nil"))
         .orderBy("lsn")))
 
   val oracles: Map[String, String] = Map(
+    // the reference's per-op nil rules replayed relationally: before =
+    // previous image per (table, pk) for UPDATE/DELETE (null if none),
+    // nil for INSERT/TRUNCATE; after = current image except DELETE/TRUNCATE
+    "cdc_images" ->
+      s"""$cte,
+         |rows AS (
+         |  SELECT lsn, table_name, op, pk, value,
+         |         lag(value) OVER (PARTITION BY table_name, pk ORDER BY lsn)
+         |           AS prev_value
+         |  FROM feed WHERE op <> 'TRUNCATE')
+         |SELECT lsn, table_name, op, pk,
+         |       CASE WHEN op IN ('UPDATE', 'DELETE') THEN prev_value END AS before_value,
+         |       CASE WHEN op <> 'DELETE' THEN value END AS after_value,
+         |       (op NOT IN ('UPDATE', 'DELETE') OR prev_value IS NULL) AS before_nil,
+         |       op = 'DELETE' AS after_nil
+         |FROM rows
+         |UNION ALL
+         |SELECT lsn, table_name, op, pk,
+         |       NULL AS before_value, NULL AS after_value,
+         |       TRUE AS before_nil, TRUE AS after_nil
+         |FROM feed WHERE op = 'TRUNCATE'
+         |ORDER BY lsn""".stripMargin,
+
     "cdc_event_mask" ->
       s"""$cte
          |SELECT lsn, op, pk, value FROM feed
