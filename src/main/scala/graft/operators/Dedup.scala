@@ -91,6 +91,31 @@ object Dedup {
         round(col("n_inter").cast("double") / col("n_union"), 4).as("jaccard"))
   }
 
+  /** Incremental near-dup: candidate pairs between a NEW ingestion batch
+    * and the full corpus (index + the batch itself), without re-pairing
+    * the existing corpus against itself — the shape a production pipeline
+    * runs on every ingest. `sigged` must carry (doc_id, sig, is_new);
+    * `buckets` produces the bucket-key array (e.g. LSH bands) from `sig`.
+    *
+    * Scale: the existing corpus' signatures are a stored table in
+    * production (computed once at their own ingest); only the new side is
+    * signature-hashed fresh. The join probes corpus buckets with new-doc
+    * bucket keys, so work is O(|batch| × bucket-collision rate), not
+    * O(|corpus|²) — and corpus-corpus pairs (already found at their own
+    * ingest time) are excluded by construction.
+    *
+    * @return (doc_a, doc_b) candidate pairs, a < b, at least one side new */
+  def incrementalPairs(sigged: DataFrame, buckets: org.apache.spark.sql.Column): DataFrame = {
+    val b = sigged.select(col("doc_id"), col("is_new"), explode(buckets).as("bk"))
+    val newSide = b.filter(col("is_new"))
+    newSide.as("a").join(b.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+  }
+
   /** pairs: (doc_a, doc_b) undirected near-dup edges.
     * @return (doc_id, canonical) for every doc appearing in a pair. */
   def canonicalClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {

@@ -138,6 +138,25 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Incremental ingest dedup: docs in the "newest batch" (doc_id % 10 ==
+    // 9 stands in for the ingest increment) are checked against the whole
+    // corpus via LSH buckets — corpus-vs-corpus pairs are excluded by
+    // construction because they were found at their own ingest time. In
+    // production the corpus side reads its STORED signature table; here
+    // both sides come off the same scan.
+    "dedup_incremental" -> ((s, dir) => {
+      val sigged = docsSharded(s, dir).select(col("doc_id"),
+          graft.plans.NgramHashes.minhash(s, col("text"), 3, 64).as("sig"),
+          (pmod(col("doc_id"), lit(10)) === 9).as("is_new"))
+        .transform(graft.operators.Checkpointing.cut)
+      val pairs = graft.operators.Dedup.incrementalPairs(
+        sigged, Hashes.lshBands(col("sig"), 16, 4))
+      verifyPairs(sigged.drop("is_new"), pairs,
+        (a, b) => round(Hashes.minhashSimilarity(a, b), 4),
+        "est_jaccard", _ >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Exact n-gram Jaccard ≥ 0.8 via prefix-filtering set-similarity join
     // (AllPairs/PPJoin shape, Bayardo et al. WWW'07): order each doc's
     // distinct 3-gram set rarest-gram-first (global document frequency),

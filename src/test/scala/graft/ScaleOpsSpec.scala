@@ -40,6 +40,27 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq(0L))
   }
 
+  test("incrementalPairs finds new-vs-corpus dups, never corpus-vs-corpus") {
+    def doc(seed: Int) =
+      (0 until 30).map(t => s"w${seed}_${t} common${t % 3}").mkString(" ")
+    // corpus: docs 0-19, where 5 and 6 are EXACT dups of each other
+    // (found at their own ingest — must not reappear); new batch: doc 100
+    // duplicates corpus doc 3, doc 101 is unique
+    val rows =
+      (0 until 20).map(i => (i.toLong, if (i == 6) doc(5) else doc(i), false)) ++
+        Seq((100L, doc(3), true), (101L, doc(999), true))
+    val sigged = rows.toDF("doc_id", "text", "is_new")
+      .select($"doc_id", $"is_new",
+        graft.plans.NgramHashes.minhash(spark, $"text", 3, 64).as("sig"))
+    val pairs = graft.operators.Dedup.incrementalPairs(
+        sigged, graft.functions.Hashes.lshBands($"sig", 16, 4))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 100L)), s"planted new-vs-corpus dup missed: $pairs")
+    assert(!pairs.contains((5L, 6L)), "corpus-vs-corpus pair must be excluded")
+    assert(!pairs.exists(p => p._1 == 101L || p._2 == 101L),
+      "unique new doc produced a candidate")
+  }
+
   test("canonicalClusters under a reliable checkpoint dir matches local mode") {
     // Checkpointing.cut flips from executor-local blocks to reliable
     // checkpoint(dir) when the context has a checkpoint dir — the cluster
