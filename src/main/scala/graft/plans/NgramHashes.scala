@@ -84,6 +84,42 @@ final case class MinHashSigFromText(child: Expression, k: Int, numPerms: Int)
   override def prettyName: String = "ngram_minhash"
 }
 
+/** MinHash signature → LSH band-bucket keys, natively: bucket b = an XXH64
+  * fold of band index + the band's `rowsPerBand` signature slots. Replaces
+  * the interpreted per-band transform/concat/string-hash chain — two docs
+  * share bucket b iff their signatures agree on every slot of band b
+  * (modulo 64-bit collisions), which is the only property LSH banding
+  * needs, so the hash need not (and does not) match the HOF formulation's
+  * string-concat hash. */
+final case class LshBandsExpr(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+
+  require(bands >= 1 && rowsPerBand >= 1,
+    s"lsh_bands needs bands,rowsPerBand >= 1, got $bands/$rowsPerBand")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_bands expects array<long>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NgramHashes.lshBands(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.plans.NgramHashes.lshBands($c, $bands, $rowsPerBand);")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBandsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "lsh_bands"
+}
+
 object NgramHashes {
 
   /** Mirrors lower → trim(' ') → split("\\s+") → k-windows joined with ' '
@@ -154,8 +190,36 @@ object NgramHashes {
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
+  /** Band b folds its slots left-to-right: acc = hashLong(slot, acc),
+    * seeded with hashInt(b, 42) so identical content in DIFFERENT bands
+    * lands in different buckets. */
+  def lshBands(sig: org.apache.spark.sql.catalyst.util.ArrayData,
+      bands: Int, rowsPerBand: Int): UnsafeArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = XXH64.hashInt(b, 42L)
+      var r = 0
+      while (r < rowsPerBand) {
+        val i = b * rowsPerBand + r
+        if (i < sig.numElements()) acc = XXH64.hashLong(sig.getLong(i), acc)
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("lsh_bands", {
+      case Seq(c, bb, rr) => LshBandsExpr(c,
+        bb.eval(null).asInstanceOf[Number].intValue(),
+        rr.eval(null).asInstanceOf[Number].intValue())
+      case other => throw new IllegalArgumentException(
+        s"lsh_bands(sig, bands, rowsPerBand) expects 3 args, got ${other.size}")
+    }, "built-in")
     reg.createOrReplaceTempFunction("ngram_hashes", {
       case Seq(c, kk) => NgramHashesExpr(c, kk.eval(null).asInstanceOf[Number].intValue())
       case other => throw new IllegalArgumentException(
@@ -179,5 +243,11 @@ object NgramHashes {
     register(spark)
     call_function("ngram_minhash", text,
       org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(numPerms))
+  }
+
+  def bands(spark: SparkSession, sig: Column, bands: Int, rowsPerBand: Int): Column = {
+    register(spark)
+    call_function("lsh_bands", sig,
+      org.apache.spark.sql.functions.lit(bands), org.apache.spark.sql.functions.lit(rowsPerBand))
   }
 }

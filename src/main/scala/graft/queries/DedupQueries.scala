@@ -73,7 +73,8 @@ object DedupQueries {
         // without the interpreted shingle HOF in the map phase)
         graft.plans.NgramHashes.minhash(s, col("text"), 3, 64)
           .as("sig")).transform(graft.operators.Checkpointing.cut)
-      val pairs = bucketPairs(sigged, Hashes.lshBands(col("sig"), 16, 4))
+      val pairs = bucketPairs(sigged,
+        graft.plans.NgramHashes.bands(s, col("sig"), 16, 4))
       verifyPairs(sigged, pairs,
         (a, b) => round(Hashes.minhashSimilarity(a, b), 4),
         "est_jaccard", _ >= 0.5)
@@ -150,7 +151,7 @@ object DedupQueries {
           (pmod(col("doc_id"), lit(10)) === 9).as("is_new"))
         .transform(graft.operators.Checkpointing.cut)
       val pairs = graft.operators.Dedup.incrementalPairs(
-        sigged, Hashes.lshBands(col("sig"), 16, 4))
+        sigged, graft.plans.NgramHashes.bands(s, col("sig"), 16, 4))
       verifyPairs(sigged.drop("is_new"), pairs,
         (a, b) => round(Hashes.minhashSimilarity(a, b), 4),
         "est_jaccard", _ >= 0.5)

@@ -135,6 +135,20 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("native lsh bands: equal buckets iff the band's signature slots agree") {
+    // sigA and sigB share bands 0 and 2 exactly, differ in 1 and 3; sigC
+    // has band 1's CONTENT at band 0 — the band-index seed must separate it
+    val sigA = Array(1L, 2L, 3L, 4L, 10L, 20L, 30L, 40L, 5L, 6L, 7L, 8L, 9L, 9L, 9L, 9L)
+    val sigB = Array(1L, 2L, 3L, 4L, 11L, 21L, 31L, 41L, 5L, 6L, 7L, 8L, 8L, 8L, 8L, 8L)
+    val sigC = Array(10L, 20L, 30L, 40L) ++ sigA.drop(4)
+    val rows = Seq(sigA, sigB, sigC).toDF("sig")
+      .select(graft.plans.NgramHashes.bands(spark, $"sig", 4, 4).as("b"))
+      .as[Array[Long]].collect()
+    assert(rows(0)(0) == rows(1)(0) && rows(0)(2) == rows(1)(2))
+    assert(rows(0)(1) != rows(1)(1) && rows(0)(3) != rows(1)(3))
+    assert(rows(0)(0) != rows(2)(0), "band-index seed failed to separate shifted content")
+  }
+
   test("all native expressions compile under CODEGEN_ONLY (no silent fallback)") {
     // Spark silently falls back to interpreted eval when generated code
     // fails to compile — which would erase the whole point of doGenCode and
