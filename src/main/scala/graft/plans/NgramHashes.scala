@@ -195,14 +195,19 @@ object NgramHashes {
     * lands in different buckets. */
   def lshBands(sig: org.apache.spark.sql.catalyst.util.ArrayData,
       bands: Int, rowsPerBand: Int): UnsafeArrayData = {
+    // loud, not lenient: a short signature would make the out-of-range
+    // bands fold nothing and emit ONE GLOBAL bucket shared by the whole
+    // corpus — the bucket join then degenerates to an O(n²) self-join
+    require(sig.numElements() >= bands * rowsPerBand,
+      s"lsh_bands: signature has ${sig.numElements()} slots, " +
+        s"need bands*rowsPerBand = ${bands * rowsPerBand}")
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
       var acc = XXH64.hashInt(b, 42L)
       var r = 0
       while (r < rowsPerBand) {
-        val i = b * rowsPerBand + r
-        if (i < sig.numElements()) acc = XXH64.hashLong(sig.getLong(i), acc)
+        acc = XXH64.hashLong(sig.getLong(b * rowsPerBand + r), acc)
         r += 1
       }
       out(b) = acc

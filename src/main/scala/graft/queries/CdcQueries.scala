@@ -96,8 +96,9 @@ object CdcQueries {
       Apply.changelogStats(feed(s, dir)).orderBy("table_name", "op")),
 
     // The reference's exact HandleFunc shape: map-typed before/after images
-    // (nil rules per op, postrack.go:372-407). Rows-only: DuckDB's MAP
-    // comparison semantics don't round-trip through the parquet gate.
+    // (nil rules per op, postrack.go:372-407), projected to scalar image
+    // values + nil flags so the DuckDB oracle below can replay the rules
+    // (MAP columns themselves wouldn't round-trip the parquet gate).
     "cdc_images" -> ((s, dir) =>
       ChangeFeed.withImages(feed(s, dir))
         .select(col("lsn"), col("table_name"), col("op"), col("pk"),
@@ -118,12 +119,16 @@ object CdcQueries {
          |rows AS (
          |  SELECT lsn, table_name, op, pk, value,
          |         lag(value) OVER (PARTITION BY table_name, pk ORDER BY lsn)
-         |           AS prev_value
+         |           AS prev_value,
+         |         -- row-PRESENCE marker, distinct from prev_value: a
+         |         -- previous event whose value is NULL still has an image
+         |         lag(lsn) OVER (PARTITION BY table_name, pk ORDER BY lsn)
+         |           AS prev_lsn
          |  FROM feed WHERE op <> 'TRUNCATE')
          |SELECT lsn, table_name, op, pk,
          |       CASE WHEN op IN ('UPDATE', 'DELETE') THEN prev_value END AS before_value,
          |       CASE WHEN op <> 'DELETE' THEN value END AS after_value,
-         |       (op NOT IN ('UPDATE', 'DELETE') OR prev_value IS NULL) AS before_nil,
+         |       (op NOT IN ('UPDATE', 'DELETE') OR prev_lsn IS NULL) AS before_nil,
          |       op = 'DELETE' AS after_nil
          |FROM rows
          |UNION ALL

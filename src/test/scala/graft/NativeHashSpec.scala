@@ -146,7 +146,9 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
       .as[Array[Long]].collect()
     assert(rows(0)(0) == rows(1)(0) && rows(0)(2) == rows(1)(2))
     assert(rows(0)(1) != rows(1)(1) && rows(0)(3) != rows(1)(3))
-    assert(rows(0)(0) != rows(2)(0), "band-index seed failed to separate shifted content")
+    // sigA band 1 and sigC band 0 hold the SAME content (10,20,30,40) at
+    // different band indices — only the band-index seed separates them
+    assert(rows(0)(1) != rows(2)(0), "band-index seed failed to separate shifted content")
   }
 
   test("all native expressions compile under CODEGEN_ONLY (no silent fallback)") {
@@ -171,6 +173,8 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
         NativeHashes.simhashSig(spark, Text.wsTokens($"text")).as("sh"),
         graft.plans.NgramHashes.hashes(spark, $"text", 3).as("ng"),
         graft.plans.NgramHashes.minhash(spark, $"text", 3, 16).as("ngmh"),
+        graft.plans.NgramHashes.bands(spark,
+          graft.plans.NgramHashes.minhash(spark, $"text", 3, 16), 4, 4).as("ngb"),
         graft.plans.HyperplaneSigs.sigs(spark, $"a", 8, 4).as("hp"),
         graft.plans.CosineSim.cosine(spark, $"a", $"b").as("cos"))
         .collect()
