@@ -226,6 +226,21 @@ object RelationalQueries {
           countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag")),
 
+    // Quantile SKETCH next to the exact percentiles (q_percentiles): the
+    // mergeable-summary shape that replaces an exact global sort at 100 TB —
+    // per-partition sketches merge map-side like any aggregate. Rows-only:
+    // sketch internals are engine-specific; the envelope spec bounds the
+    // error against exact.
+    "q_approx_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 4).as("ap50"),
+          round(expr("approx_percentile(l_extendedprice, 0.95, 1000)"), 4).as("ap95"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+        .orderBy("l_returnflag")),
+
     // As-of join: each purchase ← latest signup at-or-before it, per user.
     "q_asof_join" -> ((s, dir) => {
       val e = ev(s, dir)

@@ -40,6 +40,17 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq(0L))
   }
 
+  test("approx percentiles stay within 2% of exact at sf0.001") {
+    val rows = queries.RelationalQueries.queries("q_approx_percentiles")(spark, sf)
+      .selectExpr("ap50", "p50", "ap95", "p95")
+      .as[(Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (ap50, p50, ap95, p95) =>
+      assert(math.abs(ap50 - p50) <= 0.02 * p50, s"p50 sketch off: $ap50 vs $p50")
+      assert(math.abs(ap95 - p95) <= 0.02 * p95, s"p95 sketch off: $ap95 vs $p95")
+    }
+  }
+
   test("incrementalPairs finds new-vs-corpus dups, never corpus-vs-corpus") {
     def doc(seed: Int) =
       (0 until 30).map(t => s"w${seed}_${t} common${t % 3}").mkString(" ")
