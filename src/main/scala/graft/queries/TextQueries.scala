@@ -43,6 +43,21 @@ object TextQueries {
         Text.wsTokenCount(col("text")).as("n_ws_tokens"))
         .orderBy("doc_id")),
 
+    // Character-entropy quality signal (low entropy = repetitive/boilerplate
+    // text, a standard pretraining filter): H = log2(N) − (1/N)·Σ n·log2(n)
+    // over per-char counts — the identity avoids a per-row probability
+    // column and matches the oracle's summation term-for-term.
+    "text_entropy" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "") // empty text explodes to one "" pseudo-char
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(round(
+          log2(sum("n")) - sum(col("n") * log2(col("n"))) / sum("n"), 4)
+          .as("char_entropy"))
+        .orderBy("doc_id")),
+
     // Corpus-wide n-gram frequency: explode → count → top-k. The classic
     // "vocabulary/statistics over 100 TB" shape: map-side partial counts
     // absorb the explosion before the single shuffle.
@@ -164,6 +179,19 @@ object TextQueries {
          |         (1.0 - least((CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0)) * 10.0, 1.0)) * 0.2,
          |         4) AS quality_score
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    "text_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(length(text)),
+        |                i -> substr(text, i + 1, 1))) AS ch
+        |  FROM documents),
+        |counts AS (SELECT doc_id, ch, count(*) AS n FROM chars GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       round(log2(CAST(sum(n) AS DOUBLE)) -
+        |             sum(n * log2(CAST(n AS DOUBLE))) / CAST(sum(n) AS DOUBLE),
+        |             4) AS char_entropy
+        |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_top_ngrams" ->
       """WITH toks AS (
