@@ -234,11 +234,16 @@ object RelationalQueries {
     "q_approx_percentiles" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
+        // array form: ONE sketch / ONE value buffer per group computes both
+        // quantiles, instead of an independent aggregate per quantile
         .agg(
-          round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 4).as("ap50"),
-          round(expr("approx_percentile(l_extendedprice, 0.95, 1000)"), 4).as("ap95"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("ap"),
+          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("p"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ap"), 1), 4).as("ap50"),
+          round(element_at(col("ap"), 2), 4).as("ap95"),
+          round(element_at(col("p"), 1), 4).as("p50"),
+          round(element_at(col("p"), 2), 4).as("p95"))
         .orderBy("l_returnflag")),
 
     // As-of join: each purchase ← latest signup at-or-before it, per user.

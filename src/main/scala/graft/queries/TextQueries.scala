@@ -7,8 +7,10 @@ import graft.functions.Text
 import graft.sources.Tables
 
 /** Text-analysis inventory (SURVEY.md §2): token counting, quality scoring,
-  * language ID, document fingerprinting over `documents`. All map-only plans
-  * — no shuffle except the final presentation sort.
+  * language ID, entropy, document fingerprinting over `documents`. The
+  * per-document scorers are map-only; the corpus-level ones (top-ngrams,
+  * entropy, the pipeline passes) shuffle once on their aggregation key with
+  * map-side partial aggregation absorbing the explode.
   */
 object TextQueries {
 
@@ -47,8 +49,9 @@ object TextQueries {
     // text, a standard pretraining filter): H = log2(N) − (1/N)·Σ n·log2(n)
     // over per-char counts — the identity avoids a per-row probability
     // column and matches the oracle's summation term-for-term.
-    "text_entropy" -> ((s, dir) =>
-      docs(s, dir)
+    "text_entropy" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ent = d
         .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
         .filter(col("ch") =!= "") // empty text explodes to one "" pseudo-char
         .groupBy("doc_id", "ch").agg(count(lit(1)).as("n"))
@@ -56,7 +59,13 @@ object TextQueries {
         .agg(round(
           log2(sum("n")) - sum(col("n") * log2(col("n"))) / sum("n"), 4)
           .as("char_entropy"))
-        .orderBy("doc_id")),
+      // empty-text docs have no char rows; for a quality-filter signal the
+      // most degenerate doc must still get a row (entropy 0), not vanish
+      d.select(col("doc_id")).join(ent, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("char_entropy"), lit(0.0)).as("char_entropy"))
+        .orderBy("doc_id")
+    }),
 
     // Corpus-wide n-gram frequency: explode → count → top-k. The classic
     // "vocabulary/statistics over 100 TB" shape: map-side partial counts
@@ -186,12 +195,16 @@ object TextQueries {
         |         unnest(list_transform(range(length(text)),
         |                i -> substr(text, i + 1, 1))) AS ch
         |  FROM documents),
-        |counts AS (SELECT doc_id, ch, count(*) AS n FROM chars GROUP BY 1, 2)
-        |SELECT doc_id,
-        |       round(log2(CAST(sum(n) AS DOUBLE)) -
-        |             sum(n * log2(CAST(n AS DOUBLE))) / CAST(sum(n) AS DOUBLE),
-        |             4) AS char_entropy
-        |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |counts AS (SELECT doc_id, ch, count(*) AS n FROM chars GROUP BY 1, 2),
+        |ent AS (
+        |  SELECT doc_id,
+        |         round(log2(CAST(sum(n) AS DOUBLE)) -
+        |               sum(n * log2(CAST(n AS DOUBLE))) / CAST(sum(n) AS DOUBLE),
+        |               4) AS char_entropy
+        |  FROM counts GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(ent.char_entropy, 0.0) AS char_entropy
+        |FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "text_top_ngrams" ->
       """WITH toks AS (
