@@ -120,20 +120,50 @@ final case class LshBandsExpr(child: Expression, bands: Int, rowsPerBand: Int)
   override def prettyName: String = "lsh_bands"
 }
 
+/** text → ALL word k-grams as STRINGS, one native pass — the
+  * frequency-counting sibling of [[NgramHashesExpr]] (duplicates kept,
+  * document order preserved, values bit-equal to `Text.wordShingles`).
+  * Serves corpus n-gram statistics (`text_top_ngrams`), where counts need
+  * per-occurrence multiplicity and the top-k tie-break needs the gram
+  * string itself. */
+final case class WordShinglesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, s"word_shingles needs k >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_shingles expects string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NgramHashes.gramStrings(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.plans.NgramHashes.gramStrings($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingles"
+}
+
 object NgramHashes {
 
-  /** Mirrors lower → trim(' ') → split("\\s+") → k-windows joined with ' '
-    * → xxhash64(seed 42) → first-occurrence distinct, so values (not just
-    * set semantics) match the HOF reference chain. Split semantics are
-    * Spark SQL's (limit -1): a leading OR trailing whitespace run yields an
-    * empty token at that end (unlike Java's String.split, which drops
-    * trailing empties), and an empty string yields one empty token. */
-  def compute(text: UTF8String, k: Int): UnsafeArrayData = {
-    val b = text.toLowerCase.trim().getBytes
+  /** Token byte boundaries of a lowered+trimmed text, with Spark SQL
+    * `split("\\s+", -1)` semantics: a leading OR trailing whitespace run
+    * yields an empty token at that end (unlike Java's String.split, which
+    * drops trailing empties), and an empty string yields one empty token.
+    * \s chars are ASCII, so multi-byte UTF-8 sequences can never be split. */
+  private def tokenBounds(b: Array[Byte])
+      : (java.util.ArrayList[Integer], java.util.ArrayList[Integer]) = {
     @inline def isWs(c: Byte): Boolean =
       c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
-    // token boundaries (byte offsets; \s chars are ASCII so multi-byte UTF-8
-    // sequences can never be split)
     val starts = new java.util.ArrayList[Integer]()
     val ends = new java.util.ArrayList[Integer]()
     if (b.length == 0) { starts.add(0); ends.add(0) }
@@ -150,6 +180,15 @@ object NgramHashes {
       }
       if (isWs(b(b.length - 1))) { starts.add(b.length); ends.add(b.length) }
     }
+    (starts, ends)
+  }
+
+  /** Mirrors lower → trim(' ') → split("\\s+") → k-windows joined with ' '
+    * → xxhash64(seed 42) → first-occurrence distinct, so values (not just
+    * set semantics) match the HOF reference chain. */
+  def compute(text: UTF8String, k: Int): UnsafeArrayData = {
+    val b = text.toLowerCase.trim().getBytes
+    val (starts, ends) = tokenBounds(b)
     val n = starts.size()
     val nGrams = if (n < k) 1 else n - k + 1
     val window = math.min(k, n)
@@ -174,6 +213,39 @@ object NgramHashes {
     }
     UnsafeArrayData.fromPrimitiveArray(
       if (nOut == nGrams) out else java.util.Arrays.copyOf(out, nOut))
+  }
+
+  /** text → ALL word k-grams as strings — duplicates kept, document order
+    * preserved — bit-equal to `Text.wordShingles(text, k)` (parity spec'd)
+    * but one native pass instead of the interpreted
+    * sequence/transform/slice/concat_ws chain (~µs per ELEMENT). This is
+    * the frequency-counting sibling of [[compute]]: counting needs
+    * multiplicity, and top-k tie-breaks need the gram STRING, so the
+    * distinct-hash form can't serve corpus n-gram statistics. */
+  def gramStrings(text: UTF8String, k: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val b = text.toLowerCase.trim().getBytes
+    val (starts, ends) = tokenBounds(b)
+    val n = starts.size()
+    val nGrams = if (n < k) 1 else n - k + 1
+    val window = math.min(k, n)
+    val scratch = new Array[Byte](b.length + n)
+    val out = new Array[AnyRef](nGrams)
+    var w = 0
+    while (w < nGrams) {
+      var len = 0
+      var t = w
+      while (t < w + window) {
+        if (t > w) { scratch(len) = ' '; len += 1 }
+        val s = starts.get(t); val e = ends.get(t)
+        System.arraycopy(b, s, scratch, len, e - s)
+        len += e - s
+        t += 1
+      }
+      out(w) = UTF8String.fromBytes(java.util.Arrays.copyOf(scratch, len))
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** Gram hashes → MinHash mins via the single-sourced permutation chain
@@ -230,6 +302,11 @@ object NgramHashes {
       case other => throw new IllegalArgumentException(
         s"ngram_hashes(text, k) expects 2 args, got ${other.size}")
     }, "built-in")
+    reg.createOrReplaceTempFunction("word_shingles", {
+      case Seq(c, kk) => WordShinglesExpr(c, kk.eval(null).asInstanceOf[Number].intValue())
+      case other => throw new IllegalArgumentException(
+        s"word_shingles(text, k) expects 2 args, got ${other.size}")
+    }, "built-in")
     reg.createOrReplaceTempFunction("ngram_minhash", {
       case Seq(c, kk, pp) => MinHashSigFromText(c,
         kk.eval(null).asInstanceOf[Number].intValue(),
@@ -242,6 +319,11 @@ object NgramHashes {
   def hashes(spark: SparkSession, text: Column, k: Int): Column = {
     register(spark)
     call_function("ngram_hashes", text, org.apache.spark.sql.functions.lit(k))
+  }
+
+  def shingles(spark: SparkSession, text: Column, k: Int): Column = {
+    register(spark)
+    call_function("word_shingles", text, org.apache.spark.sql.functions.lit(k))
   }
 
   def minhash(spark: SparkSession, text: Column, k: Int, numPerms: Int): Column = {

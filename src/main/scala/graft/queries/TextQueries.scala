@@ -69,10 +69,13 @@ object TextQueries {
 
     // Corpus-wide n-gram frequency: explode → count → top-k. The classic
     // "vocabulary/statistics over 100 TB" shape: map-side partial counts
-    // absorb the explosion before the single shuffle.
+    // absorb the explosion before the single shuffle, and the shingle map
+    // phase is one native codegen'd pass (WordShinglesExpr) — the
+    // interpreted sequence/transform/concat_ws chain it replaced was the
+    // corpus-dominant cost (~µs per gram).
     "text_top_ngrams" -> ((s, dir) =>
       docs(s, dir)
-        .select(explode(Text.wordShingles(col("text"), 2)).as("ngram"))
+        .select(explode(graft.plans.NgramHashes.shingles(s, col("text"), 2)).as("ngram"))
         .groupBy("ngram")
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram"))

@@ -78,6 +78,37 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(recovered >= 4, s"IVF recovered only $recovered/5 planted pairs")
   }
 
+  test("map-side IVF assign matches the reference crossJoin argmax plan") {
+    // Ivf.assign must be a drop-in for the join+max_by plan it replaced:
+    // same winning cluster per vector (incl. lowest-cluster-id tie-breaks),
+    // computed from bit-identical cosine scores.
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(32)(j => (((seed * 31 + j) * 2654435761L % 1000) / 500.0 - 1.0).toFloat)
+    val corpus = (0 until 60).map(i => (i.toLong, vec(i + 1))).toDF("vec_id", "embedding")
+    val centroids = graft.operators.Ivf.kmeansCentroids(corpus, "vec_id", "embedding", k = 8, iters = 1)
+    val fast = graft.operators.Ivf.assign(corpus, centroids)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    val ref = corpus.crossJoin(broadcast(centroids))
+      .withColumn("sim",
+        graft.plans.CosineSim.cosine(spark, $"embedding", $"centroid"))
+      .groupBy("vec_id")
+      .agg(max_by($"cluster", struct($"sim", -$"cluster")).as("cluster"))
+      .as[(Long, Int)].collect().toMap
+    assert(fast == ref)
+  }
+
+  test("IVF assign plans with no Exchange between scan and cluster column") {
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(16)(j => (((seed * 31 + j) * 2654435761L % 1000) / 500.0 - 1.0).toFloat)
+    val corpus = (0 until 30).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val centroids = (0 until 4)
+      .map(c => (c, Array.tabulate(16)(j => vec(c * 7 + 1)(j).toDouble)))
+      .toDF("cluster", "centroid")
+    val plan = graft.operators.Ivf.assign(corpus, centroids)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment shuffled:\n$plan")
+  }
+
   test("minhash similarity estimates true Jaccard within 0.15 mean abs error") {
     // 60 doc pairs with known overlap: pair i shares i tokens of 30
     val rows = (1 until 60).map { i =>

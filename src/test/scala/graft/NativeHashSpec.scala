@@ -135,6 +135,28 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("native word shingles match Text.wordShingles bit-for-bit") {
+    // duplicates kept + document order preserved — the properties the
+    // distinct-hash form deliberately drops — across the same boundary
+    // cases the hash parity spec uses
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and more words here",
+      "", "   ", "one", "one two",
+      "a  b\t\tc\nd", "\tleading tab", "trailing ws  \t ",
+      "Ünïcode ÜPPER case über straße",
+      "dup dup dup dup dup")
+    for (k <- Seq(1, 2, 3)) {
+      val rows = texts.toDF("text").select(
+        graft.plans.NgramHashes.shingles(spark, $"text", k).as("native"),
+        Text.wordShingles($"text", k).as("ref"))
+        .collect()
+      rows.zip(texts).foreach { case (r, t) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"shingle mismatch for k=$k '$t'")
+      }
+    }
+  }
+
   test("native lsh bands: equal buckets iff the band's signature slots agree") {
     // sigA and sigB share bands 0 and 2 exactly, differ in 1 and 3; sigC
     // has band 1's CONTENT at band 0 — the band-index seed must separate it
@@ -172,11 +194,14 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
         NativeHashes.minhashSig(spark, Text.wordShingles($"text", 2), 16).as("mh"),
         NativeHashes.simhashSig(spark, Text.wsTokens($"text")).as("sh"),
         graft.plans.NgramHashes.hashes(spark, $"text", 3).as("ng"),
+        graft.plans.NgramHashes.shingles(spark, $"text", 2).as("ws"),
         graft.plans.NgramHashes.minhash(spark, $"text", 3, 16).as("ngmh"),
         graft.plans.NgramHashes.bands(spark,
           graft.plans.NgramHashes.minhash(spark, $"text", 3, 16), 4, 4).as("ngb"),
         graft.plans.HyperplaneSigs.sigs(spark, $"a", 8, 4).as("hp"),
-        graft.plans.CosineSim.cosine(spark, $"a", $"b").as("cos"))
+        graft.plans.CosineSim.cosine(spark, $"a", $"b").as("cos"),
+        graft.plans.NearestCentroid.nearest(spark, $"a",
+          typedLit(Seq(Seq.fill(16)(0.5), Seq.fill(16)(-0.5)))).as("nc"))
         .collect()
       assert(out.length == 8 && out.forall(r => !r.anyNull))
     } finally {
