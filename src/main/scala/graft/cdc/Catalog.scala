@@ -77,12 +77,16 @@ final class PublicationCatalog {
   *
   * Storage is one tiny file per slot under `dir` (next to the streaming
   * checkpoint in a real deployment), written temp-file + atomic rename so a
-  * crash mid-ack can never leave a torn offset.
+  * crash mid-ack can never leave a torn offset. The SELECTED slot name is
+  * durable too (`_current` file, same write discipline), so a restarted
+  * process resumes the same slot it was acking before the crash without
+  * re-running its bootstrap/setSlot sequence.
   */
 final class SlotStore(dir: String) {
 
   Files.createDirectories(Paths.get(dir))
-  private var current: Option[String] = None
+
+  private def currentPath: Path = Paths.get(dir, "_current.slot")
 
   private def path(slot: String): Path = Paths.get(dir, s"$slot.lsn")
 
@@ -90,23 +94,37 @@ final class SlotStore(dir: String) {
 
   /** SetSlot (postrack.go:258-268): select if present, create otherwise. */
   def setSlot(slot: String): Unit = {
-    if (!exists(slot)) addSlot(slot) else current = Some(slot)
+    if (!exists(slot)) addSlot(slot) else writeCurrent(slot)
   }
 
   /** AddSlot (postrack.go:270-277): create; errors if the slot exists. */
   def addSlot(slot: String): Unit = {
     require(!exists(slot), s"slot '$slot' already exists")
-    current = Some(slot)
+    writeCurrent(slot)
     write(slot, 0L)
   }
 
   /** DropSlot (postrack.go:279-285). */
   def dropSlot(slot: String): Unit = {
     Files.deleteIfExists(path(slot))
-    if (current.contains(slot)) current = None
+    if (currentSlot.contains(slot)) Files.deleteIfExists(currentPath)
   }
 
-  def currentSlot: Option[String] = current
+  /** The selected slot, surviving restarts: read from the `_current` file,
+    * so a fresh SlotStore over the same dir resumes where setSlot left
+    * off. A dangling name (slot dropped by another process) reads as None
+    * rather than resuming a deleted slot. */
+  def currentSlot: Option[String] =
+    if (!Files.exists(currentPath)) None
+    else Some(new String(Files.readAllBytes(currentPath), StandardCharsets.UTF_8).trim)
+      .filter(exists)
+
+  private def writeCurrent(slot: String): Unit = {
+    val tmp = Paths.get(dir, "._current.slot.tmp")
+    Files.write(tmp, slot.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, currentPath, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** Ack progress (keepAlive analog). Monotone: an out-of-order ack (a
     * reconnect replaying an older LSN) can never move the watermark back. */

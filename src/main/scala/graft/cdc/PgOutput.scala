@@ -33,10 +33,16 @@ final case class InsertMsg(relationId: Int, newTuple: PgTuple) extends PgMessage
 
 /** `oldKind` is 'K' (replica-identity key) or 'O' (full old row) when the
   * old tuple is present — the reference's `data.OldTuple != nil` branch
-  * (postrack.go:387-392). */
+  * (postrack.go:387-392). The two options travel together: kind-without-
+  * tuple (or vice versa) is unrepresentable on the wire, so it fails here
+  * with a clear message instead of an opaque `oldTuple.get` inside encode. */
 final case class UpdateMsg(
     relationId: Int, oldKind: Option[Byte], oldTuple: Option[PgTuple],
-    newTuple: PgTuple) extends PgMessage
+    newTuple: PgTuple) extends PgMessage {
+  require(oldKind.isDefined == oldTuple.isDefined,
+    s"UpdateMsg: oldKind and oldTuple must be both present or both absent " +
+      s"(got oldKind=$oldKind, oldTuple ${if (oldTuple.isDefined) "present" else "absent"})")
+}
 
 final case class DeleteMsg(relationId: Int, oldKind: Byte, oldTuple: PgTuple) extends PgMessage
 
@@ -85,6 +91,7 @@ object PgOutput {
     * XLogData, postrack.go:358-362). Throws on malformed input — a capture
     * pipeline wants loud failure, not silent row loss. */
   def decode(bytes: Array[Byte]): PgMessage = {
+    require(bytes.nonEmpty, "empty pgoutput frame")
     val buf = ByteBuffer.wrap(bytes) // network byte order (big-endian)
     (buf.get(): @unchecked) match {
       case 'R' =>
@@ -244,17 +251,25 @@ object PgOutput {
   def decodeFeed(spark: SparkSession, frames: DataFrame): DataFrame = {
     import spark.implicits._
     val typed = frames.select(col("lsn").cast("long"), col("data")).as[(Long, Array[Byte])]
+    // first-byte dispatch is COLUMNAR (substring on the binary column, no
+    // typed deserialization), so neither pass decodes rows it won't keep:
+    // the relation pass reads frame type bytes, not a deserialized lake
+    def firstByteIs(types: Seq[Char]) = substring(col("data"), 1, 1)
+      .isin(types.map(c => lit(Array(c.toByte))): _*)
     val rels = typed
-      .filter((r: (Long, Array[Byte])) => r._2.nonEmpty && r._2(0) == 'R'.toByte)
+      .filter(firstByteIs(Seq('R')))
       .collect() // O(#tables): the only driver-side collect, by design
       .map { case (lsn, b) => (lsn, decode(b).asInstanceOf[RelationMsg]) }
     val bc = spark.sparkContext.broadcast(RelationRegistry.build(rels.toSeq))
-    // only data frames decode to events; Begin/Commit and the benign
-    // metadata types a real publication emits (Type 'Y', Origin 'O',
-    // logical Message 'M') are ignored, as in the reference's switch
-    val dataTypes = Set('I'.toByte, 'U'.toByte, 'D'.toByte, 'T'.toByte)
+    // Begin/Commit and the benign metadata types a real publication emits
+    // (Type 'Y', Origin 'O', logical Message 'M') carry no events and are
+    // ignored, as in the reference's switch. Everything else — the data
+    // types AND any unknown/corrupt type byte (or empty frame) — flows into
+    // the decode pass, where an unknown type fails loudly (PgOutput.decode),
+    // matching the streaming route()'s posture instead of silently dropping
+    // frames.
     typed
-      .filter((r: (Long, Array[Byte])) => r._2.nonEmpty && dataTypes.contains(r._2(0)))
+      .filter(!firstByteIs(Seq('R', 'B', 'C', 'Y', 'O', 'M')))
       .mapPartitions(it => it.flatMap { case (lsn, b) => toEvents(bc.value, lsn, b) })
       .toDF()
   }

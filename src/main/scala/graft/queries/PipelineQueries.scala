@@ -114,10 +114,13 @@ object PipelineQueries {
          |WHERE g.doc_id % $benchMod <> 0
          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
 
+    // TRY_CAST mirrors Spark's cast-to-null on a non-numeric source suffix
+    // (DuckDB's plain CAST would error), so future corpora whose source
+    // names aren't 'src<digits>' keep both engines in agreement
     "pipeline_source_mix" ->
       """WITH k AS (
         |  SELECT source,
-        |         (CAST(substr(source, 4) AS INT) % 2 = 0 OR
+        |         (coalesce(TRY_CAST(substr(source, 4) AS INT) % 2 = 0, FALSE) OR
         |          substr(md5(text || ':mix'), 1, 4) < '8000') AS keep
         |  FROM documents)
         |SELECT source, count(*) AS n_total,

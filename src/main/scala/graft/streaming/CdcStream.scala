@@ -277,10 +277,21 @@ object CdcStream {
     }
   }
 
+  /** How many superseded snapshot versions to retain after a pointer swap.
+    * A reader that resolved `_current` just before the swap may still be
+    * mid-scan on the previous version; keeping a grace window of old
+    * versions lets it finish instead of failing on a deleted dir. Bounded,
+    * so storage stays O(retained × snapshot) — the same retention idea an
+    * ACID table format's VACUUM window provides. */
+  private val RetainedVersions = 2
+
   /** Atomically point `_current` at `versionName`, then delete superseded
-    * version dirs. The pointer swap is a file rename with OVERWRITE —
-    * atomic on HDFS and local FS — so readers resolve either the old or the
-    * new version, never a partial state. */
+    * version dirs beyond a retention window. The pointer swap is a file
+    * rename with OVERWRITE — atomic on HDFS and local FS — so readers
+    * resolve either the old or the new version, never a partial state; a
+    * reader mid-scan on the previous version survives the swap because the
+    * last [[RetainedVersions]] dirs outlive it (readers lagging more than
+    * that behind the writer must re-resolve the pointer). */
   private def swapPointer(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, base: org.apache.hadoop.fs.Path,
       versionName: String): Unit = {
@@ -291,11 +302,13 @@ object CdcStream {
       base.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, new org.apache.hadoop.fs.Path(base, PointerFile),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    fs.listStatus(base).foreach { st =>
-      val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith("v") && n != versionName)
-        fs.delete(st.getPath, true)
-    }
+    // versions are v<batchId>: retain the numerically-latest few (the live
+    // one included), delete the rest
+    val versions = fs.listStatus(base).filter(st =>
+        st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .sortBy(st => -st.getPath.getName.drop(1).toLong)
+    versions.drop(RetainedVersions).foreach(st =>
+      if (st.getPath.getName != versionName) fs.delete(st.getPath, true))
   }
 
   /** Resolve the live version dir under a snapshot base dir — bare-storage

@@ -4,9 +4,9 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
-import graft.cdc.{ChangeEvent, PgOutput, RelationMsg, RelationRegistry, TruncateMsg}
+import graft.cdc.{ChangeEvent, PgOutput, RelationMsg, RelationRegistry, SlotStore, TruncateMsg}
 
 /** Streaming pgoutput decode — the reference's live capture loop
   * (postrack.go:343-413: read XLogData, parse, dispatch) re-expressed as a
@@ -89,4 +89,48 @@ object PgOutputStream {
       .parquet(dir)
       .as[(Long, Array[Byte])]
   }
+
+  /** Frame source resuming from a slot's durable watermark: only frames
+    * STRICTLY AFTER `confirmedFlushLsn` enter the decode — the
+    * `Changes(lsn+1)` / StartReplication contract (postrack.go:285-309).
+    * The watermark is read ONCE, at query build: resume position is a
+    * start-of-stream decision (as in the reference, which sends it in
+    * START_REPLICATION), not a per-batch filter. */
+  def resumeFrames(spark: SparkSession, dir: String,
+      slots: SlotStore, slot: String): Dataset[(Long, Array[Byte])] = {
+    val watermark = slots.confirmedFlushLsn(slot)
+    frameSource(spark, dir).filter(col("lsn") > watermark)
+  }
+
+  /** The reference's keepAlive/ack loop (postrack.go:98-117) as a streaming
+    * sink: every micro-batch is handed to `handle` (the HandleFunc analog —
+    * write to a lake table, feed a snapshot merge, ...) and then the batch's
+    * max decoded LSN is acked into the durable [[SlotStore]], exactly like
+    * the capture loop acking `confirmed_flush_lsn` while streaming.
+    *
+    * Ack strictly AFTER a successful handle — the reference dispatches the
+    * change before the watermark moves, so a crash between the two replays
+    * the batch (at-least-once into `handle`) rather than losing it; the
+    * monotone store makes the re-ack a no-op. A restart that builds its
+    * frames with [[resumeFrames]] then sees only un-acked LSNs: no loss, no
+    * duplication (spec'd in StreamingSpec). */
+  def captureTo(events: Dataset[ChangeEvent], checkpointDir: String,
+      slots: SlotStore, slot: String)(
+      handle: Dataset[ChangeEvent] => Unit): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: Dataset[ChangeEvent], _: Long) =>
+        // one action for both the delivery and the ack watermark: cache the
+        // micro-batch (bounded by trigger size) instead of recomputing the
+        // decode for the max()
+        batch.persist()
+        try {
+          handle(batch)
+          val maxLsn = batch.agg(max(col("lsn"))).head()
+          if (!maxLsn.isNullAt(0)) slots.ack(slot, maxLsn.getLong(0))
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
 }

@@ -92,6 +92,35 @@ class PgOutputSpec extends AnyFunSuite with SparkTestBase {
     assert(tables == Set("users", "accounts"))
   }
 
+  test("decodeFeed fails loudly on unknown frame types instead of dropping them") {
+    // matches the streaming route()'s posture: benign metadata (B/C/Y/O/M)
+    // is ignored, anything unrecognized is a protocol error
+    val rel = RelationMsg(7, "public", "t", 'd'.toByte, Seq(PgColumn(0, "pk", 25, -1)))
+    val good = Seq(
+      1L -> PgOutput.encode(rel),
+      2L -> PgOutput.encode(InsertMsg(7, PgTuple(Seq(Some("1"))))))
+    val bad = good :+ (3L -> Array[Byte]('X'.toByte, 0, 0, 0))
+    assert(PgOutput.decodeFeed(spark, good.toDF("lsn", "data")).count() == 1)
+    val e = intercept[org.apache.spark.SparkException](
+      PgOutput.decodeFeed(spark, bad.toDF("lsn", "data")).count())
+    assert(e.getMessage.contains("unknown pgoutput message type") ||
+      Option(e.getCause).exists(_.getMessage.contains("unknown pgoutput message type")))
+    // empty frames are protocol errors too, not silent drops
+    val empty = good :+ (3L -> Array.emptyByteArray)
+    assertThrows[org.apache.spark.SparkException](
+      PgOutput.decodeFeed(spark, empty.toDF("lsn", "data")).count())
+    // the frame-type dispatch is columnar — the filter sits between scan
+    // and typed deserialize, not inside a deserialized lambda (a
+    // LocalRelation would fold the filter away, so assert on parquet)
+    val lake = java.nio.file.Files.createTempDirectory("framelake").toString
+    good.toDF("lsn", "data").write.mode("overwrite").parquet(lake)
+    val plan = PgOutput.decodeFeed(spark, spark.read.parquet(lake))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("substring"), s"expected columnar first-byte filter:\n$plan")
+    assert(!plan.contains("DeserializeToObject\n   +- Filter"),
+      "filter must run before typed deserialization")
+  }
+
   test("decode fails loudly on a data message with no relation registration") {
     val reg = RelationRegistry.build(Nil)
     val bytes = PgOutput.encode(InsertMsg(999, PgTuple(Seq(Some("1")))))
@@ -211,12 +240,17 @@ class CatalogSpec extends AnyFunSuite with SparkTestBase {
     store.ack("s1", 500L)
     store.ack("s1", 450L) // stale ack: watermark must not regress
     assert(store.confirmedFlushLsn("s1") == 500L)
-    // durability: a fresh store instance (new consumer process) reads it back
+    // durability: a fresh store instance (new consumer process) reads both
+    // the watermark AND the selected slot back — no re-bootstrap needed
     val reopened = new SlotStore(dir)
-    reopened.setSlot("s1") // selects, does not reset
+    assert(reopened.currentSlot.contains("s1"), "selected slot must survive restart")
     assert(reopened.confirmedFlushLsn("s1") == 500L)
     reopened.dropSlot("s1")
     assert(!reopened.exists("s1") && reopened.confirmedFlushLsn("s1") == 0L)
+    // dropping the selected slot clears the durable selection; a dangling
+    // pointer never resumes a deleted slot
+    assert(reopened.currentSlot.isEmpty)
+    assert(new SlotStore(dir).currentSlot.isEmpty)
   }
 
   test("resume strictly-after the stored offset, like StartReplication(lsn+1)") {

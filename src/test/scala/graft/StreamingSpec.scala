@@ -231,11 +231,17 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       val stored = spark.read
         .parquet(CdcStream.currentSnapshotDir(spark, snap)).as[Snapshot].collect()
       assert(stored.exists(s => s.pk == 2L && s.tombstoned))
-      // version-and-pointer layout: exactly one live version dir remains
-      // after the second batch (superseded ones deleted post-swap)
+      // version-and-pointer layout: a bounded retention window of version
+      // dirs survives each swap (a reader mid-scan on the previous version
+      // must not fail on a deleted dir), and the pointer names the newest
+      input.addData(Change(6, "users", "UPDATE", 3, 600, 31.0))
+      q.processAllAvailable()
       val vdirs = new java.io.File(snap).listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("v"))
-      assert(vdirs.length == 1, s"expected 1 version dir, got ${vdirs.mkString(", ")}")
+        .map(_.getName).sortBy(_.drop(1).toLong)
+      assert(vdirs.length == 2, // RetainedVersions
+        s"expected a 2-version retention window, got ${vdirs.mkString(", ")}")
+      assert(CdcStream.currentSnapshotDir(spark, snap).endsWith("/" + vdirs.last))
     } finally q.stop()
   }
 
@@ -319,6 +325,60 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(CdcStream.readSnapshot(spark, snap).collect()
         .map(s => s.pk -> s.value).toMap == Map(1L -> 11.0))
     } finally q.stop()
+  }
+
+  test("capture loop acks decoded LSNs into the SlotStore; restart resumes, no loss/dup") {
+    // The keepAlive analog (postrack.go:98-117): stream decode → handler →
+    // per-batch ack of the max decoded LSN into the durable slot store.
+    // Then the hard part: kill the query, LOSE the Spark checkpoint, and
+    // restart from confirmedFlushLsn + 1 — the reference's
+    // StartReplication(lsn+1) contract. Nothing may be lost or re-handled.
+    import graft.cdc.{PgColumn, PgOutput, PgTuple, RelationMsg, InsertMsg, UpdateMsg, SlotStore}
+    import graft.streaming.PgOutputStream
+    val framesDir = java.nio.file.Files.createTempDirectory("capframes").toString
+    val slotsDir = java.nio.file.Files.createTempDirectory("capslots").toString
+    val ck1 = java.nio.file.Files.createTempDirectory("capck1").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("capck2").toString
+    val rel = RelationMsg(600, "public", "users", 'd'.toByte,
+      Seq("pk", "v").map(c => PgColumn(0, c, 25, -1)))
+    def ins(pk: Long, v: String) = InsertMsg(600, PgTuple(Seq(Some(pk.toString), Some(v))))
+    val slots = new SlotStore(slotsDir)
+    slots.setSlot("s1")
+    val handled = scala.collection.mutable.ArrayBuffer[Long]()
+    Seq(
+      1L -> PgOutput.encode(rel),
+      2L -> PgOutput.encode(ins(1, "a")),
+      3L -> PgOutput.encode(ins(2, "b")))
+      .toDF("lsn", "data").write.mode("append").parquet(framesDir)
+    val q1 = PgOutputStream.captureTo(
+      PgOutputStream.decodeStream(spark,
+        PgOutputStream.resumeFrames(spark, framesDir, slots, "s1")),
+      ck1, slots, "s1") { b => handled ++= b.collect().map(_.lsn) }
+    try q1.processAllAvailable() finally q1.stop()
+    assert(handled.sorted == Seq(2L, 3L))
+    assert(slots.confirmedFlushLsn("s1") == 3L)
+
+    // ---- restart: fresh SlotStore over the same dir (process died), fresh
+    // checkpoint (worst case). The capture side re-sends the relation frame
+    // on reconnect — pgoutput re-sends Relation per session — at a new LSN,
+    // and REPLAYS an already-acked frame (lsn 2): resume must filter it.
+    val slots2 = new SlotStore(slotsDir)
+    assert(slots2.currentSlot.contains("s1"), "selected slot must survive restart")
+    assert(slots2.confirmedFlushLsn("s1") == 3L)
+    Seq(
+      2L -> PgOutput.encode(ins(1, "a")), // replay below the watermark
+      10L -> PgOutput.encode(rel), // reconnect re-send
+      11L -> PgOutput.encode(UpdateMsg(600, None, None,
+        PgTuple(Seq(Some("1"), Some("a2"))))))
+      .toDF("lsn", "data").write.mode("append").parquet(framesDir)
+    val q2 = PgOutputStream.captureTo(
+      PgOutputStream.decodeStream(spark,
+        PgOutputStream.resumeFrames(spark, framesDir, slots2, "s1")),
+      ck2, slots2, "s1") { b => handled ++= b.collect().map(_.lsn) }
+    try q2.processAllAvailable() finally q2.stop()
+    // exactly the un-acked event arrived; the replayed lsn 2 did not re-fire
+    assert(handled.sorted == Seq(2L, 3L, 11L))
+    assert(slots2.confirmedFlushLsn("s1") == 11L)
   }
 
   test("file-drop CDC source streams appended parquet batches") {
