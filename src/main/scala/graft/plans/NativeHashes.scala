@@ -143,10 +143,93 @@ final case class SimHashSig(child: Expression)
   override def prettyName: String = "simhash_sig"
 }
 
+/** 60-bit SimHash whose per-token hash is the first 15 hex chars of
+  * `md5(token)` — a hash BOTH engines implement identically, which is what
+  * lets `dedup_simhash` graduate from rows-only to an exact DuckDB oracle
+  * match (`('0x' || substr(md5(tok), 1, 15))::BIGINT`, then the same ±1
+  * bit votes). 60 bits (not 64) so the value is always a non-negative
+  * BIGINT on both sides — no sign-bit divergence between engines. One
+  * native pass per row (thread-local MessageDigest, no per-token lambda
+  * dispatch); the XXH64 [[SimHashSig]] stays the cheaper choice where no
+  * cross-engine replay is needed. */
+final case class Md5SimHashSig(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"md5_simhash expects array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(NativeHashes.md5Simhash(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      arr => s"${ev.value} = graft.plans.NativeHashes.md5Simhash($arr);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5SimHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "md5_simhash"
+}
+
 /** Session registration + Column-facing wrappers. Registration is idempotent
   * and per-session (Spark 4 removed the public Column-from-Expression
   * constructor, so the registry + call_function is the supported route). */
 object NativeHashes {
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit md5-prefix token hash: the value DuckDB reads as
+    * `('0x' || substr(md5(tok), 1, 15))::BIGINT` — 15 hex nibbles,
+    * big-endian, built from the digest's first 8 bytes. */
+  def md5Token60(md: java.security.MessageDigest, tok: org.apache.spark.unsafe.types.UTF8String): Long = {
+    md.reset()
+    val d = md.digest(tok.getBytes)
+    var v = 0L
+    var j = 0
+    while (j < 15) {
+      val b = d(j / 2) & 0xFF
+      v = (v << 4) | (if (j % 2 == 0) b >>> 4 else b & 0xF)
+      j += 1
+    }
+    v
+  }
+
+  /** See [[Md5SimHashSig]]. Vote rule: bit b of the signature is 1 iff
+    * strictly more tokens have bit b set than clear (`sum(±1) > 0`) —
+    * mirrored verbatim by the oracle's `CASE WHEN s > 0`. */
+  def md5Simhash(arr: ArrayData): Long = {
+    val md = md5Local.get()
+    val n = arr.numElements()
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = md5Token60(md, arr.getUTF8String(i))
+        var k = 0
+        while (k < 60) {
+          votes(k) += (if (((h >>> k) & 1L) == 1L) 1 else -1)
+          k += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 60) {
+      if (votes(k) > 0) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
 
   /** THE per-gram minhash permutation chain — seed the gram hash
     * (hashLong(h, 42)), then fold hashInt(p, seeded) into each
@@ -176,6 +259,11 @@ object NativeHashes {
       case other => throw new IllegalArgumentException(
         s"simhash_sig(arr) expects 1 arg, got ${other.size}")
     }, "built-in")
+    reg.createOrReplaceTempFunction("md5_simhash", {
+      case Seq(c) => Md5SimHashSig(c)
+      case other => throw new IllegalArgumentException(
+        s"md5_simhash(arr) expects 1 arg, got ${other.size}")
+    }, "built-in")
     reg.createOrReplaceTempFunction("minhash_merge", {
       case Seq(c) => MinHashMerge(c).toAggregateExpression()
       case other => throw new IllegalArgumentException(
@@ -196,5 +284,10 @@ object NativeHashes {
   def simhashSig(spark: SparkSession, tokens: Column): Column = {
     register(spark)
     call_function("simhash_sig", tokens)
+  }
+
+  def md5SimhashSig(spark: SparkSession, tokens: Column): Column = {
+    register(spark)
+    call_function("md5_simhash", tokens)
   }
 }

@@ -144,15 +144,20 @@ object DedupQueries {
         .orderBy("source_a", "source_b")
     }),
 
-    // SimHash(64-bit) near-dup: 4×16-bit blocks (pigeonhole: hamming ≤ 3
-    // pairs share a block), verify hamming ≤ 3.
+    // SimHash near-dup: 4×15-bit blocks (pigeonhole: hamming ≤ 3 pairs
+    // share a block), verify hamming ≤ 3. The signature is the 60-bit
+    // md5-prefix SimHash (NativeHashes.md5SimhashSig) — same one-native-pass
+    // scale shape as the XXH64 variant, but the token hash is replayable in
+    // DuckDB, so this query is exact-oracle-checked instead of rows-only.
     "dedup_simhash" -> ((s, dir) => {
       val sigged = docsSharded(s, dir).select(col("doc_id"),
-        graft.plans.NativeHashes.simhashSig(s, Text.wsTokens(lower(col("text"))))
+        graft.plans.NativeHashes.md5SimhashSig(s, Text.wsTokens(lower(col("text"))))
           .as("sig")).transform(graft.operators.Checkpointing.cut)
-      val pairs = bucketPairs(sigged, Hashes.simhashBlocks(col("sig")))
+      val blocks = array((0 until 4).map(b => struct(lit(b).as("blk"),
+        shiftright(col("sig"), b * 15).bitwiseAND(lit(32767L)).as("bval"))): _*)
+      val pairs = bucketPairs(sigged, blocks)
       verifyPairs(sigged, pairs,
-        (a, b) => Hashes.hamming(a, b).cast("long"),
+        (a, b) => bit_count(a.bitwiseXOR(b)).cast("long"),
         "hamming", _ <= 3)
         .orderBy("doc_a", "doc_b")
     }),
@@ -197,6 +202,39 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")))
 
   val oracles: Map[String, String] = Map(
+    // Replays the full 60-bit md5-prefix SimHash pipeline in SQL: per-token
+    // hash = first 15 md5 hex chars as a BIGINT (identical on both
+    // engines), ±1 bit votes with the same strict `> 0` rule, 4×15-bit
+    // pigeonhole candidate blocks, hamming ≤ 3 verify on bit_count(xor).
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) bs
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS sig
+        |  FROM votes GROUP BY doc_id),
+        |blocks AS (
+        |  SELECT doc_id, blk, (sig >> (blk * 15)) & 32767 AS bval
+        |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS blk) bb),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM blocks a JOIN blocks b
+        |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        |SELECT c.doc_a, c.doc_b,
+        |       CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+        |FROM cand c
+        |JOIN sig sa ON sa.doc_id = c.doc_a
+        |JOIN sig sb ON sb.doc_id = c.doc_b
+        |WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash, count(*) AS n_copies
         |FROM documents

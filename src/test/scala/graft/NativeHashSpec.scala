@@ -135,6 +135,27 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("md5 simhash: token hash matches the oracle's hex-prefix read, votes are strict") {
+    // the cross-engine contract: md5Token60 must equal DuckDB's
+    // ('0x' || substr(md5(tok), 1, 15))::BIGINT — pin it on a known digest
+    // (md5('hello') = 5d41402abc4b2a76..., first 15 nibbles = 0x5d41402abc4b2a7)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(graft.plans.NativeHashes.md5Token60(md,
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello")) == 0x5d41402abc4b2a7L)
+    assert(graft.plans.NativeHashes.md5Token60(md,
+      org.apache.spark.unsafe.types.UTF8String.fromString("")) ==
+      java.lang.Long.parseLong("d41d8cd98f00b20", 16)) // md5('') prefix
+    // signature stays within 60 bits, deterministic, single-token sig = its hash
+    val rows = Seq(Seq("hello"), Seq("hello", "hello"), Seq.empty[String])
+      .toDF("toks")
+      .select(graft.plans.NativeHashes.md5SimhashSig(spark, $"toks").as("sig"))
+      .as[Long].collect()
+    assert(rows(0) == 0x5d41402abc4b2a7L) // one token: every set bit wins its vote
+    assert(rows(1) == rows(0)) // duplicate tokens don't flip votes
+    assert(rows(2) == 0L) // no tokens, no votes: strict > 0 leaves all bits clear
+    assert(rows.forall(s => s >= 0L && s < (1L << 60)))
+  }
+
   test("native word shingles match Text.wordShingles bit-for-bit") {
     // duplicates kept + document order preserved — the properties the
     // distinct-hash form deliberately drops — across the same boundary
@@ -193,6 +214,7 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
       val out = df.select(
         NativeHashes.minhashSig(spark, Text.wordShingles($"text", 2), 16).as("mh"),
         NativeHashes.simhashSig(spark, Text.wsTokens($"text")).as("sh"),
+        NativeHashes.md5SimhashSig(spark, Text.wsTokens($"text")).as("m5"),
         graft.plans.NgramHashes.hashes(spark, $"text", 3).as("ng"),
         graft.plans.NgramHashes.shingles(spark, $"text", 2).as("ws"),
         graft.plans.NgramHashes.minhash(spark, $"text", 3, 16).as("ngmh"),
