@@ -1,0 +1,172 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM codecs for the two container formats whose headers are simple
+  * enough to handle without native libraries: BMP (BITMAPINFOHEADER) and
+  * WAV (RIFF/fmt ). These are REAL decoders — `mm_metadata`'s image and
+  * audio features come from parsing actual bytes laid out per the public
+  * format specs, not from a pseudo-hash. The encoders exist for the
+  * synthesis side (the sandbox has no media files) and for golden specs;
+  * the parsers never assume the encoder produced the input (chunk-walking
+  * WAV parse, explicit magic/bounds checks, loud failure on corrupt data).
+  */
+object MediaCodecs {
+
+  // ------------------------------------------------------------------ BMP
+
+  /** Encode an 8-bit grayscale BMP (BITMAPINFOHEADER + 256-entry palette),
+    * rows padded to 4 bytes, bottom-up. `pixels` is row-major
+    * width × height bytes. */
+  def encodeBmp(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length == width * height,
+      s"encodeBmp: need width*height=${width * height} pixels, got ${pixels.length}")
+    val rowSize = (width + 3) / 4 * 4
+    val pixelOffset = 14 + 40 + 256 * 4
+    val fileSize = pixelOffset + rowSize * height
+    val b = ByteBuffer.allocate(fileSize).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(pixelOffset)
+    b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(8)
+      .putInt(0).putInt(rowSize * height).putInt(2835).putInt(2835)
+      .putInt(256).putInt(0)
+    var i = 0
+    while (i < 256) { // grayscale palette BGRA
+      b.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte); i += 1
+    }
+    var row = height - 1 // bottom-up storage
+    while (row >= 0) {
+      b.put(pixels, row * width, width)
+      var pad = width
+      while (pad < rowSize) { b.put(0.toByte); pad += 1 }
+      row -= 1
+    }
+    b.array()
+  }
+
+  /** `(width, height, channels)` from a BMP header. Handles the common
+    * BITMAPINFOHEADER family (header size ≥ 40), top-down (negative
+    * height) images, and 8/24/32 bpp. Fails loudly on anything else —
+    * corrupt media must surface, not decode to garbage features. */
+  def parseBmp(bytes: Array[Byte]): (Int, Int, Int) = {
+    require(bytes.length >= 54, s"BMP too short: ${bytes.length} bytes")
+    require(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+      "BMP magic 'BM' missing")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val headerSize = b.getInt(14)
+    require(headerSize >= 40, s"unsupported BMP header size $headerSize")
+    val width = b.getInt(18)
+    val height = math.abs(b.getInt(22)) // negative = top-down
+    val bpp = b.getShort(28).toInt
+    require(width > 0 && height > 0, s"bad BMP dimensions ${width}x$height")
+    require(bpp == 8 || bpp == 24 || bpp == 32, s"unsupported BMP bpp $bpp")
+    (width, height, bpp / 8)
+  }
+
+  /** Row-major 8-bit pixels of an 8bpp BMP (palette ignored — index IS the
+    * gray level for the grayscale palette [[encodeBmp]] writes). Undoes the
+    * bottom-up row order and the 4-byte row padding. */
+  def bmpPixels(bytes: Array[Byte]): Array[Byte] = {
+    val (width, height, channels) = parseBmp(bytes)
+    require(channels == 1, s"bmpPixels expects 8bpp, got ${channels * 8}")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val pixelOffset = b.getInt(10)
+    val topDown = b.getInt(22) < 0
+    val rowSize = (width + 3) / 4 * 4
+    require(bytes.length >= pixelOffset + rowSize * height,
+      "BMP pixel data truncated")
+    val out = new Array[Byte](width * height)
+    var row = 0
+    while (row < height) {
+      val srcRow = if (topDown) row else height - 1 - row
+      System.arraycopy(bytes, pixelOffset + srcRow * rowSize, out, row * width, width)
+      row += 1
+    }
+    out
+  }
+
+  /** 64-bit average hash (aHash), the classic perceptual fingerprint: mean
+    * of each cell of an 8×8 downsample, bit set where the cell is at or
+    * above the global mean. Real algorithm over real pixels — near-identical
+    * images (small brightness shifts, minor crops) land within small
+    * hamming distance. */
+  def averageHash(pixels: Array[Byte], width: Int, height: Int): Long = {
+    require(width > 0 && height > 0 && pixels.length == width * height,
+      "averageHash: pixels must be width*height")
+    val cell = new Array[Long](64)
+    val cnt = new Array[Long](64)
+    var y = 0
+    while (y < height) {
+      val cy = y * 8 / height
+      var x = 0
+      while (x < width) {
+        val cx = x * 8 / width
+        cell(cy * 8 + cx) += pixels(y * width + x) & 0xFF
+        cnt(cy * 8 + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var total = 0L
+    var n = 0L
+    var i = 0
+    while (i < 64) { total += cell(i); n += cnt(i); i += 1 }
+    val mean = if (n == 0) 0.0 else total.toDouble / n
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (cnt(i) > 0 && cell(i).toDouble / cnt(i) >= mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  // ------------------------------------------------------------------ WAV
+
+  /** Encode a PCM WAV: RIFF header, `fmt ` chunk, `data` chunk. */
+  def encodeWav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      pcm: Array[Byte]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && bitsPerSample % 8 == 0,
+      s"encodeWav: bad format $sampleRate/$channels/$bitsPerSample")
+    val blockAlign = channels * bitsPerSample / 8
+    val b = ByteBuffer.allocate(44 + pcm.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + pcm.length).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1 /* PCM */)
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+      .putShort(bitsPerSample.toShort)
+    b.put("data".getBytes).putInt(pcm.length).put(pcm)
+    b.array()
+  }
+
+  /** `(sampleRate, channels, bitsPerSample, dataLength)` from a WAV. Walks
+    * the RIFF chunk list for `fmt ` and `data` (chunks may appear in any
+    * order, with strangers like LIST in between), rather than trusting
+    * fixed offsets. Loud on missing magic or chunks. */
+  def parseWav(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+    require(bytes.length >= 44, s"WAV too short: ${bytes.length} bytes")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def fourCC(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    require(fourCC(0) == "RIFF" && fourCC(8) == "WAVE",
+      "WAV RIFF/WAVE magic missing")
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var dataLen = -1
+    while (off + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
+      val id = fourCC(off)
+      val size = b.getInt(off + 4)
+      require(size >= 0, s"negative chunk size in '$id'")
+      if (id == "fmt ") {
+        require(size >= 16 && off + 8 + 16 <= bytes.length, "fmt chunk truncated")
+        fmt = Some((b.getInt(off + 12), b.getShort(off + 10).toInt,
+          b.getShort(off + 22).toInt))
+      } else if (id == "data") dataLen = size
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    val (rate, channels, bits) = fmt.getOrElse(
+      throw new IllegalArgumentException("WAV has no fmt chunk"))
+    require(dataLen >= 0, "WAV has no data chunk")
+    (rate, channels, bits, dataLen)
+  }
+}

@@ -3,17 +3,22 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.MediaCodecs
+
 /** A multimodal record: opaque binary payload + typed metadata — the schema
   * a 100 TB image/audio/video lake uses (payload stays opaque to Catalyst;
   * metadata columns prune/filter normally). */
 final case class MediaRecord(
     doc_id: Long, modality: String, payload: Array[Byte], source: String)
 
-/** Decoded per-item features. At scale these come from a real decoder; the
-  * decode body below is a STUB. */
+/** Decoded per-item features. Image and audio come from REAL header/pixel
+  * decoding (BMP + WAV, [[graft.functions.MediaCodecs]]); video is a STUB
+  * (no container/codec library ships in this sandbox). Fields not meaningful
+  * for a modality are 0 (e.g. sample_rate for images, width/height for
+  * audio). */
 final case class MediaFeatures(
     doc_id: Long, modality: String, n_bytes: Long,
-    width: Int, height: Int, channels: Int, phash: Long)
+    width: Int, height: Int, channels: Int, sample_rate: Int, phash: Long)
 
 /** The columns the decoders actually consume. Narrower than MediaRecord on
   * purpose: deserializing only (doc_id, modality, payload) lets Catalyst
@@ -27,31 +32,66 @@ final case class DecodeInput(doc_id: Long, modality: String, payload: Array[Byte
   */
 object Multimodal {
 
-  /** documents → media records: text payload standing in for an opaque blob
-    * (the container ships no image/audio decoders). Modality assigned
-    * deterministically so the mix exercises per-modality branches. */
-  def asMedia(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
-      col("text").cast("binary").as("payload"),
-      col("source"))
+  /** documents → media records. The sandbox ships no media files, so the
+    * capture side is synthesized — but with REAL container bytes: image
+    * rows carry an actual 8-bit BMP (text bytes as pixels, content-derived
+    * dimensions) and audio rows an actual PCM WAV (text bytes as samples),
+    * so the decode stage downstream parses genuine formats. Video rows keep
+    * the raw bytes (decode for them is the remaining stub). Deterministic
+    * in doc content/id only — re-runs and re-shards build identical lakes. */
+  def asMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (docId, text, source) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (docId % 3) match {
+          case 0 =>
+            val width = (docId % 13).toInt + 4
+            val height = (docId % 7).toInt + 2
+            val pixels = java.util.Arrays.copyOf(bytes, width * height)
+            MediaRecord(docId, "image",
+              MediaCodecs.encodeBmp(width, height, pixels), source)
+          case 1 =>
+            val rate = 8000 * ((docId % 3).toInt + 1)
+            val channels = (docId % 2).toInt + 1
+            MediaRecord(docId, "audio",
+              MediaCodecs.encodeWav(rate, channels, 8, bytes), source)
+          case _ =>
+            MediaRecord(docId, "video", bytes, source)
+        }
+      })
+      .toDF()
+  }
 
-  /** STUB DECODE: a real deployment calls an image/audio codec on
-    * `payload` here. This stand-in derives deterministic pseudo-features
-    * from the bytes so the full pipeline (schema in → partition-wise batch
-    * decode → typed features out) is exercised end-to-end. */
-  private def decodeStub(r: DecodeInput): MediaFeatures = {
-    val h = java.util.Arrays.hashCode(r.payload).toLong & 0xFFFFFFFFL
-    MediaFeatures(
-      doc_id = r.doc_id,
-      modality = r.modality,
-      n_bytes = r.payload.length.toLong,
-      width = (h % 640).toInt + 1,
-      height = ((h / 640) % 480).toInt + 1,
-      channels = 3,
-      phash = h * 2654435761L) // Knuth multiplicative mix
+  /** Per-modality decode. Image and audio are REAL: BMP header + pixel
+    * parse with a genuine 64-bit average-hash perceptual fingerprint, WAV
+    * RIFF chunk walk for rate/channels/bits. Video is the remaining STUB
+    * (deterministic pseudo-features) until a container parser is
+    * available. Corrupt payloads fail loudly — a decode error must surface,
+    * not become garbage features. */
+  private def decodeOne(r: DecodeInput): MediaFeatures = r.modality match {
+    case "image" =>
+      val (width, height, channels) = MediaCodecs.parseBmp(r.payload)
+      val phash =
+        if (channels == 1)
+          MediaCodecs.averageHash(MediaCodecs.bmpPixels(r.payload), width, height)
+        else 0L // palette-less truecolor pixels: no fingerprint, not a fake one
+      MediaFeatures(r.doc_id, r.modality, r.payload.length.toLong,
+        width, height, channels, 0, phash)
+    case "audio" =>
+      val (rate, channels, bits, dataLen) = MediaCodecs.parseWav(r.payload)
+      MediaFeatures(r.doc_id, r.modality, r.payload.length.toLong,
+        0, 0, channels, rate,
+        // content fingerprint over the sample data: mixed length+bits view
+        (dataLen.toLong << 8 | bits.toLong) * 2654435761L)
+    case _ =>
+      // STUB: a real deployment seeks the video container here
+      val h = java.util.Arrays.hashCode(r.payload).toLong & 0xFFFFFFFFL
+      MediaFeatures(r.doc_id, r.modality, r.payload.length.toLong,
+        (h % 640).toInt + 1, ((h / 640) % 480).toInt + 1, 3, 0,
+        h * 2654435761L) // Knuth multiplicative mix
   }
 
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
@@ -63,7 +103,7 @@ object Multimodal {
       media.select(col("doc_id"), col("modality"), col("payload")).as[DecodeInput]
     // partition-wise batch decode: iterator-in/iterator-out, so a real codec
     // could amortize model/codec init once per partition
-    ds.mapPartitions { it => it.map(decodeStub) }.toDF()
+    ds.mapPartitions { it => it.map(decodeOne) }.toDF()
   }
 
   /** STUB FRAME SAMPLER: a real deployment seeks the container format and

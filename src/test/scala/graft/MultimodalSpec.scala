@@ -16,7 +16,59 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(mix.keySet == Set("image", "audio", "video"))
     val feats = Multimodal.extractFeatures(spark, media)
     assert(feats.count() == media.count())
-    assert(feats.filter($"n_bytes" <= 0 || $"width" <= 0 || $"height" <= 0).count() == 0)
+    assert(feats.filter($"n_bytes" <= 0).count() == 0)
+    // real image decode: positive dimensions, 8bpp grayscale
+    assert(feats.filter($"modality" === "image" &&
+      ($"width" <= 0 || $"height" <= 0 || $"channels" =!= 1)).count() == 0)
+    // real audio decode: positive sample rate, 1-2 channels
+    assert(feats.filter($"modality" === "audio" &&
+      ($"sample_rate" <= 0 || $"channels" < 1 || $"channels" > 2)).count() == 0)
+    assert(feats.filter($"modality" === "video" &&
+      ($"width" <= 0 || $"height" <= 0)).count() == 0)
+  }
+
+  test("BMP decode: golden header bytes parse to known dimensions and pixels") {
+    import graft.functions.MediaCodecs
+    // round-trip through the encoder
+    val px = Array.tabulate[Byte](8)(i => (i * 30).toByte)
+    val bmp = MediaCodecs.encodeBmp(4, 2, px)
+    assert(MediaCodecs.parseBmp(bmp) == ((4, 2, 1)))
+    assert(MediaCodecs.bmpPixels(bmp).toSeq == px.toSeq)
+    // golden: a hand-built 24bpp 2x1 header the encoder never produced —
+    // the parser must not depend on the encoder's layout choices
+    val b = java.nio.ByteBuffer.allocate(62)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(62).putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(2).putInt(-1 /* top-down */).putShort(1).putShort(24)
+    b.putInt(0).putInt(8).putInt(0).putInt(0).putInt(0).putInt(0)
+    assert(MediaCodecs.parseBmp(b.array()) == ((2, 1, 3)))
+    // corrupt media fails loudly, never decodes to garbage features
+    assertThrows[IllegalArgumentException](
+      MediaCodecs.parseBmp("not a bitmap at all, just text".getBytes))
+    // average hash: constant image hashes all-ones; a half-dark image differs
+    val flat = MediaCodecs.averageHash(Array.fill[Byte](64)(100.toByte), 8, 8)
+    assert(flat == -1L) // every cell >= mean
+    val split = MediaCodecs.averageHash(
+      Array.tabulate[Byte](64)(i => if (i < 32) 0 else 200.toByte), 8, 8)
+    assert(java.lang.Long.bitCount(split) == 32)
+  }
+
+  test("WAV decode: chunk walk finds fmt/data regardless of stranger chunks") {
+    import graft.functions.MediaCodecs
+    val pcm = Array.tabulate[Byte](100)(_.toByte)
+    val wav = MediaCodecs.encodeWav(16000, 2, 8, pcm)
+    assert(MediaCodecs.parseWav(wav) == ((16000, 2, 8, 100)))
+    // golden: insert a LIST chunk between WAVE and fmt — real files do this
+    val b = java.nio.ByteBuffer.allocate(12 + 12 + 24 + 8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(52).put("WAVE".getBytes)
+    b.put("LIST".getBytes).putInt(4).put("INFO".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(44100).putInt(44100).putShort(1).putShort(8)
+    b.put("data".getBytes).putInt(4).putInt(0)
+    assert(MediaCodecs.parseWav(b.array()) == ((44100, 1, 8, 4)))
+    assertThrows[IllegalArgumentException](
+      MediaCodecs.parseWav("definitely not RIFF data here at all...".getBytes))
   }
 
   test("sampleFrames: only video rows, 1-5 frames each, deterministic") {
