@@ -104,10 +104,13 @@ final class SlotStore(dir: String) {
     write(slot, 0L)
   }
 
-  /** DropSlot (postrack.go:279-285). */
+  /** DropSlot (postrack.go:279-285). The selection check runs BEFORE the
+    * slot file is deleted (currentSlot filters by exists, so checking after
+    * would always see None and leave a dangling `_current` file behind). */
   def dropSlot(slot: String): Unit = {
+    val wasCurrent = currentSlot.contains(slot)
     Files.deleteIfExists(path(slot))
-    if (currentSlot.contains(slot)) Files.deleteIfExists(currentPath)
+    if (wasCurrent) Files.deleteIfExists(currentPath)
   }
 
   /** The selected slot, surviving restarts: read from the `_current` file,
@@ -129,6 +132,11 @@ final class SlotStore(dir: String) {
   /** Ack progress (keepAlive analog). Monotone: an out-of-order ack (a
     * reconnect replaying an older LSN) can never move the watermark back. */
   def ack(slot: String, lsn: Long): Unit = {
+    // acking a non-existent slot would silently re-CREATE it (a capture
+    // loop racing a dropSlot could resurrect a slot the operator removed) —
+    // fail loudly instead, like Postgres rejecting a status update for an
+    // unknown slot
+    require(exists(slot), s"cannot ack unknown slot '$slot' (dropped?)")
     val prev = confirmedFlushLsn(slot)
     if (lsn > prev) write(slot, lsn)
   }

@@ -91,6 +91,7 @@ object PgOutput {
     * XLogData, postrack.go:358-362). Throws on malformed input — a capture
     * pipeline wants loud failure, not silent row loss. */
   def decode(bytes: Array[Byte]): PgMessage = {
+    require(bytes != null, "null pgoutput frame")
     require(bytes.nonEmpty, "empty pgoutput frame")
     val buf = ByteBuffer.wrap(bytes) // network byte order (big-endian)
     (buf.get(): @unchecked) match {
@@ -268,8 +269,11 @@ object PgOutput {
     // the decode pass, where an unknown type fails loudly (PgOutput.decode),
     // matching the streaming route()'s posture instead of silently dropping
     // frames.
+    // coalesce: a NULL data cell makes the predicate NULL, which a bare
+    // Filter would silently DROP — route it into decode instead, where the
+    // null/empty guard produces the loud failure this pipeline promises
     typed
-      .filter(!firstByteIs(Seq('R', 'B', 'C', 'Y', 'O', 'M')))
+      .filter(coalesce(!firstByteIs(Seq('R', 'B', 'C', 'Y', 'O', 'M')), lit(true)))
       .mapPartitions(it => it.flatMap { case (lsn, b) => toEvents(bc.value, lsn, b) })
       .toDF()
   }

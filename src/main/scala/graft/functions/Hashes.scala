@@ -64,17 +64,4 @@ object Hashes {
       (acc, b) => acc.bitwiseOR(b))
   }
 
-  /** Hamming distance between two 64-bit signatures. */
-  def hamming(a: Column, b: Column): Column =
-    bit_count(a.bitwiseXOR(b))
-
-  /** SimHash block keys for near-dup search: split the 64-bit signature into
-    * 4 × 16-bit blocks; by pigeonhole, any pair within hamming distance 3
-    * shares at least one block exactly. */
-  def simhashBlocks(sig: Column): Column =
-    transform(
-      sequence(lit(0), lit(3)),
-      b => struct(
-        b.as("block"),
-        call_function("shiftright", sig, b * 16).bitwiseAND(0xFFFFL).as("bits")))
 }

@@ -161,12 +161,20 @@ object MediaCodecs {
         require(size >= 16 && off + 8 + 16 <= bytes.length, "fmt chunk truncated")
         fmt = Some((b.getInt(off + 12), b.getShort(off + 10).toInt,
           b.getShort(off + 22).toInt))
-      } else if (id == "data") dataLen = size
+      } else if (id == "data") {
+        // a data header claiming more bytes than the payload holds is a
+        // truncated/corrupt file — parseBmp's 'pixel data truncated' analog
+        require(off + 8 + size <= bytes.length,
+          s"WAV data chunk claims $size bytes, payload ends at ${bytes.length}")
+        dataLen = size
+      }
       off += 8 + size + (size & 1) // chunks are word-aligned
     }
     val (rate, channels, bits) = fmt.getOrElse(
       throw new IllegalArgumentException("WAV has no fmt chunk"))
     require(dataLen >= 0, "WAV has no data chunk")
+    require(rate > 0 && channels > 0 && bits > 0,
+      s"corrupt WAV fmt: rate=$rate channels=$channels bits=$bits")
     (rate, channels, bits, dataLen)
   }
 }

@@ -54,7 +54,9 @@ object Multimodal {
             MediaRecord(docId, "image",
               MediaCodecs.encodeBmp(width, height, pixels), source)
           case 1 =>
-            val rate = 8000 * ((docId % 3).toInt + 1)
+            // docId % 3 == 1 in this branch, so the rate variation must key
+            // on a coprime residue: docId % 9 ∈ {1, 4, 7} → 8/16/24 kHz
+            val rate = 8000 * ((docId % 9).toInt / 3 + 1)
             val channels = (docId % 2).toInt + 1
             MediaRecord(docId, "audio",
               MediaCodecs.encodeWav(rate, channels, 8, bytes), source)
