@@ -114,10 +114,18 @@ object Text {
   /** Rolling polynomial (Karp-Rabin-style) fingerprint over tokens:
     * acc = (acc * 31 + h(token)) mod M. Modular so ANSI mode can't overflow
     * (acc < M ≈ 1e15, so acc*31 + h < 3.3e16 « Long.Max). Order-sensitive,
-    * so permuted documents fingerprint differently (unlike a bag hash). */
-  private val fpMod = 1000000000000037L
+    * so permuted documents fingerprint differently (unlike a bag hash).
+    *
+    * h(token) is the 60-bit md5-prefix (the same value DuckDB reads as
+    * `('0x' || substr(md5(tok), 1, 15))::BIGINT`), so the whole chain is
+    * replayable in the oracle. This HOF form is the slow reference the
+    * native `Md5FingerprintExpr` is parity-spec'd against — queries use
+    * the native one. */
+  private val fpMod = graft.plans.NativeHashes.FpMod
 
   def fingerprint(text: Column): Column =
     aggregate(wsTokens(text), lit(0L),
-      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(fpMod)), lit(fpMod)))
+      (acc, t) => pmod(acc * lit(31L) +
+        pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(fpMod)),
+        lit(fpMod)))
 }

@@ -177,10 +177,65 @@ final case class Md5SimHashSig(child: Expression)
   override def prettyName: String = "md5_simhash"
 }
 
+/** Rolling polynomial (Karp-Rabin-style) document fingerprint over an
+  * array<string> of tokens: `acc = (acc * 31 + md5prefix(token) mod M) mod M`
+  * with M ≈ 1e15, order-sensitive (permuted docs fingerprint differently).
+  * The md5-prefix token hash makes the whole chain replayable in DuckDB
+  * (`list_reduce` over the same recurrence), so `text_fingerprint` is
+  * exact-oracle-checked; bounds: acc < M ≈ 2^50, acc*31 + h < 3.3e16 —
+  * no overflow on either engine's BIGINT. One native pass per row
+  * (bit-equal to the HOF reference `Text.fingerprint`, parity spec'd). */
+final case class Md5FingerprintExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"md5_fingerprint expects array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(NativeHashes.md5Fingerprint(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      arr => s"${ev.value} = graft.plans.NativeHashes.md5Fingerprint($arr);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5FingerprintExpr =
+    copy(child = newChild)
+  override def prettyName: String = "md5_fingerprint"
+}
+
 /** Session registration + Column-facing wrappers. Registration is idempotent
   * and per-session (Spark 4 removed the public Column-from-Expression
   * constructor, so the registry + call_function is the supported route). */
 object NativeHashes {
+
+  /** The fingerprint modulus — shared with the HOF reference
+    * (`Text.fpMod`) and embedded in the DuckDB oracle. */
+  val FpMod = 1000000000000037L
+
+  /** See [[Md5FingerprintExpr]]. Null tokens contribute nothing (skipped),
+    * matching Spark's `aggregate` HOF semantics where the lambda output for
+    * a null element would poison the whole accumulator otherwise. */
+  def md5Fingerprint(arr: ArrayData): Long = {
+    val md = md5Local.get()
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = md5Token60(md, arr.getUTF8String(i)) % FpMod
+        acc = (acc * 31L + h) % FpMod
+      }
+      i += 1
+    }
+    acc
+  }
 
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
@@ -259,6 +314,11 @@ object NativeHashes {
       case other => throw new IllegalArgumentException(
         s"simhash_sig(arr) expects 1 arg, got ${other.size}")
     }, "built-in")
+    reg.createOrReplaceTempFunction("md5_fingerprint", {
+      case Seq(c) => Md5FingerprintExpr(c)
+      case other => throw new IllegalArgumentException(
+        s"md5_fingerprint(arr) expects 1 arg, got ${other.size}")
+    }, "built-in")
     reg.createOrReplaceTempFunction("md5_simhash", {
       case Seq(c) => Md5SimHashSig(c)
       case other => throw new IllegalArgumentException(
@@ -289,5 +349,10 @@ object NativeHashes {
   def md5SimhashSig(spark: SparkSession, tokens: Column): Column = {
     register(spark)
     call_function("md5_simhash", tokens)
+  }
+
+  def md5Fingerprint(spark: SparkSession, tokens: Column): Column = {
+    register(spark)
+    call_function("md5_fingerprint", tokens)
   }
 }

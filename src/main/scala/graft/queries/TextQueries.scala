@@ -38,10 +38,14 @@ object TextQueries {
         col("lang").as("lang_actual"))
         .orderBy("doc_id")),
 
+    // Rolling md5-prefix polynomial fingerprint (order-sensitive): native
+    // one-pass expression; the identical recurrence replays in the oracle
+    // via list_reduce, so this is exact-checked, not rows-only.
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
-        Text.fingerprint(col("text")).as("fingerprint"),
+        graft.plans.NativeHashes.md5Fingerprint(s, Text.wsTokens(col("text")))
+          .as("fingerprint"),
         Text.wsTokenCount(col("text")).as("n_ws_tokens"))
         .orderBy("doc_id")),
 
@@ -163,6 +167,21 @@ object TextQueries {
          |       CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred,
          |       lang_actual
          |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // Same recurrence as Md5FingerprintExpr: left fold of
+    // (acc*31 + md5prefix(tok) mod M) mod M over the whitespace tokens,
+    // seeded by the prepended 0. Bounds: acc < M ≈ 2^50, so acc*31 + h
+    // never leaves BIGINT on either engine.
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce(
+        |         list_prepend(0::BIGINT,
+        |           list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |             t -> (('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000000000037))),
+        |         (acc, h) -> (acc * 31 + h) % 1000000000000037) AS fingerprint,
+        |       CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

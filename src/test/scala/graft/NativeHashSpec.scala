@@ -156,6 +156,22 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall(s => s >= 0L && s < (1L << 60)))
   }
 
+  test("md5 fingerprint: native matches the HOF reference and DuckDB goldens") {
+    val texts = Seq("hello world  x", "", "x world hello", "hello hello",
+      "  pad  ", "Ünïcode straße")
+    val rows = texts.toDF("text").select(
+      graft.plans.NativeHashes.md5Fingerprint(spark, Text.wsTokens($"text")).as("native"),
+      Text.fingerprint($"text").as("ref"))
+      .as[(Long, Long)].collect()
+    rows.zip(texts).foreach { case ((n, r), t) =>
+      assert(n == r, s"fingerprint mismatch for '$t'") }
+    // goldens computed by DuckDB's list_reduce replay — the cross-engine contract
+    assert(rows(0)._1 == 692887712196623L) // "hello world  x"
+    assert(rows(1)._1 == 282973524984089L) // "" → one empty token
+    // order sensitivity: same bag of tokens, different fingerprint
+    assert(rows(0)._1 != rows(2)._1)
+  }
+
   test("native word shingles match Text.wordShingles bit-for-bit") {
     // duplicates kept + document order preserved — the properties the
     // distinct-hash form deliberately drops — across the same boundary
@@ -215,6 +231,7 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
         NativeHashes.minhashSig(spark, Text.wordShingles($"text", 2), 16).as("mh"),
         NativeHashes.simhashSig(spark, Text.wsTokens($"text")).as("sh"),
         NativeHashes.md5SimhashSig(spark, Text.wsTokens($"text")).as("m5"),
+        NativeHashes.md5Fingerprint(spark, Text.wsTokens($"text")).as("fp"),
         graft.plans.NgramHashes.hashes(spark, $"text", 3).as("ng"),
         graft.plans.NgramHashes.shingles(spark, $"text", 2).as("ws"),
         graft.plans.NgramHashes.minhash(spark, $"text", 3, 16).as("ngmh"),
