@@ -242,12 +242,24 @@ object NativeHashes {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Thread-local MD5 instance for sibling native expressions (NgramHashes'
+    * gram walk) — one digest per executor thread, zero per-row allocation. */
+  private[plans] def md5Digest: java.security.MessageDigest = md5Local.get()
+
   /** 60-bit md5-prefix token hash: the value DuckDB reads as
     * `('0x' || substr(md5(tok), 1, 15))::BIGINT` — 15 hex nibbles,
     * big-endian, built from the digest's first 8 bytes. */
   def md5Token60(md: java.security.MessageDigest, tok: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val b = tok.getBytes
+    md5Prefix60(md, b, b.length)
+  }
+
+  /** [[md5Token60]] over a raw byte range — the form the native gram walk
+    * uses so a reusable scratch buffer never has to become a UTF8String. */
+  def md5Prefix60(md: java.security.MessageDigest, bytes: Array[Byte], len: Int): Long = {
     md.reset()
-    val d = md.digest(tok.getBytes)
+    md.update(bytes, 0, len)
+    val d = md.digest()
     var v = 0L
     var j = 0
     while (j < 15) {
@@ -257,6 +269,44 @@ object NativeHashes {
     }
     v
   }
+
+  /** Mersenne prime 2^61 - 1 — the modulus of the replayable MinHash
+    * permutation family. DuckDB replays `(a * g + b) mod p` exactly in
+    * HUGEINT (128-bit) arithmetic; the JVM side uses [[mulmodP61]]. */
+  val MersenneP61: Long = (1L << 61) - 1
+
+  /** (a * b) mod (2^61 - 1) for 0 <= a, b < 2^61, exact, no allocation:
+    * split the 128-bit product at bit 61 (product = q·2^61 + r) and use
+    * 2^61 ≡ 1 (mod p), so product ≡ q + r. `multiplyHigh` gives the
+    * product's high 64 bits (signed == unsigned here since both operands
+    * are < 2^61). */
+  def mulmodP61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // q = product >>> 61 = (hi << 3) | (lo >>> 61); disjoint bit ranges
+    var s = ((hi << 3) | (lo >>> 61)) + (lo & MersenneP61)
+    if (s >= MersenneP61) s -= MersenneP61
+    if (s >= MersenneP61) s -= MersenneP61
+    s
+  }
+
+  /** Deterministic affine-permutation tables (a_i, b_i) for the replayable
+    * MinHash family, derived from md5 so DuckDB can derive the IDENTICAL
+    * table in SQL: a_i = md5prefix60("minhash-a:i") + 1 (non-zero, < p),
+    * b_i = md5prefix60("minhash-b:i"). Cached per size. */
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  def minhashPerms(numPerms: Int): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent(numPerms, { _ =>
+      val md = md5Local.get()
+      val a = Array.tabulate(numPerms) { i =>
+        md5Token60(md, org.apache.spark.unsafe.types.UTF8String.fromString(s"minhash-a:$i")) + 1L
+      }
+      val b = Array.tabulate(numPerms) { i =>
+        md5Token60(md, org.apache.spark.unsafe.types.UTF8String.fromString(s"minhash-b:$i"))
+      }
+      (a, b)
+    })
 
   /** See [[Md5SimHashSig]]. Vote rule: bit b of the signature is 1 iff
     * strictly more tokens have bit b set than clear (`sum(±1) > 0`) —

@@ -120,6 +120,45 @@ final case class LshBandsExpr(child: Expression, bands: Int, rowsPerBand: Int)
   override def prettyName: String = "lsh_bands"
 }
 
+/** text → MinHash signature whose whole chain is replayable in DuckDB:
+  * gram hash = 60-bit md5 prefix of the k-word shingle (the value DuckDB
+  * reads as `('0x' || substr(md5(gram), 1, 15))::BIGINT`), permutation i =
+  * `(a_i · g + b_i) mod (2^61 − 1)` with md5-derived (a_i, b_i)
+  * ([[NativeHashes.minhashPerms]]) — all exact integer math both engines
+  * implement identically (HUGEINT on the DuckDB side), which is what lets
+  * the minhash-family queries graduate from rows-only to exact oracle
+  * checks. Same one-native-pass scale shape as [[MinHashSigFromText]];
+  * the XXH64 variant stays the cheaper choice where no cross-engine
+  * replay is needed. Affine-mod-prime is the textbook MinHash permutation
+  * family, so estimator quality is unchanged. */
+final case class Md5MinHashFromText(child: Expression, k: Int, numPerms: Int)
+    extends UnaryExpression {
+
+  require(k >= 1 && numPerms >= 1,
+    s"ngram_minhash_md5 needs k,perms >= 1, got $k/$numPerms")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_minhash_md5 expects string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NgramHashes.md5MinhashFromText(input.asInstanceOf[UTF8String], k, numPerms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.plans.NgramHashes.md5MinhashFromText($c, $k, $numPerms);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5MinHashFromText =
+    copy(child = newChild)
+  override def prettyName: String = "ngram_minhash_md5"
+}
+
 /** text → ALL word k-grams as STRINGS, one native pass — the
   * frequency-counting sibling of [[NgramHashesExpr]] (duplicates kept,
   * document order preserved, values bit-equal to `Text.wordShingles`).
@@ -262,6 +301,48 @@ object NgramHashes {
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
+  /** See [[Md5MinHashFromText]]. Same gram walk as [[compute]] (identical
+    * tokenization + k-window join, so the DuckDB shingle replay used by the
+    * jaccard oracle applies verbatim), but the gram hash is the 60-bit md5
+    * prefix and the permutations are affine mod 2^61−1. Duplicate grams are
+    * NOT dedup'd — a duplicate can never change a min, so the HashSet the
+    * XXH64 path needs for its distinct-array contract is pure overhead
+    * here. Every doc yields ≥ 1 gram (empty text → one empty token), so no
+    * Long.MaxValue sentinel ever escapes. */
+  def md5MinhashFromText(text: UTF8String, k: Int, numPerms: Int): UnsafeArrayData = {
+    val (pa, pb) = NativeHashes.minhashPerms(numPerms)
+    val md = NativeHashes.md5Digest
+    val b = text.toLowerCase.trim().getBytes
+    val (starts, ends) = tokenBounds(b)
+    val n = starts.size()
+    val nGrams = if (n < k) 1 else n - k + 1
+    val window = math.min(k, n)
+    val scratch = new Array[Byte](b.length + n)
+    val mins = Array.fill(numPerms)(Long.MaxValue)
+    var w = 0
+    while (w < nGrams) {
+      var len = 0
+      var t = w
+      while (t < w + window) {
+        if (t > w) { scratch(len) = ' '; len += 1 }
+        val s = starts.get(t); val e = ends.get(t)
+        System.arraycopy(b, s, scratch, len, e - s)
+        len += e - s
+        t += 1
+      }
+      val g = NativeHashes.md5Prefix60(md, scratch, len)
+      var i = 0
+      while (i < numPerms) {
+        var v = NativeHashes.mulmodP61(pa(i), g) + pb(i)
+        if (v >= NativeHashes.MersenneP61) v -= NativeHashes.MersenneP61
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      w += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
   /** Band b folds its slots left-to-right: acc = hashLong(slot, acc),
     * seeded with hashInt(b, 42) so identical content in DIFFERENT bands
     * lands in different buckets. */
@@ -314,6 +395,13 @@ object NgramHashes {
       case other => throw new IllegalArgumentException(
         s"ngram_minhash(text, k, numPerms) expects 3 args, got ${other.size}")
     }, "built-in")
+    reg.createOrReplaceTempFunction("ngram_minhash_md5", {
+      case Seq(c, kk, pp) => Md5MinHashFromText(c,
+        kk.eval(null).asInstanceOf[Number].intValue(),
+        pp.eval(null).asInstanceOf[Number].intValue())
+      case other => throw new IllegalArgumentException(
+        s"ngram_minhash_md5(text, k, numPerms) expects 3 args, got ${other.size}")
+    }, "built-in")
   }
 
   def hashes(spark: SparkSession, text: Column, k: Int): Column = {
@@ -329,6 +417,12 @@ object NgramHashes {
   def minhash(spark: SparkSession, text: Column, k: Int, numPerms: Int): Column = {
     register(spark)
     call_function("ngram_minhash", text,
+      org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(numPerms))
+  }
+
+  def minhashMd5(spark: SparkSession, text: Column, k: Int, numPerms: Int): Column = {
+    register(spark)
+    call_function("ngram_minhash_md5", text,
       org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(numPerms))
   }
 

@@ -80,9 +80,11 @@ object DedupQueries {
     purgeStopped()
     sigsMemo.computeIfAbsent((s, dir), { _ =>
       docsSharded(s, dir).select(col("doc_id"),
-        // one-pass text→minhash (bit-equal to minhashSig∘wordShingles,
-        // without the interpreted shingle HOF in the map phase)
-        graft.plans.NgramHashes.minhash(s, col("text"), 3, 64)
+        // one-pass text→minhash; the md5+affine-mod-(2^61−1) family so the
+        // ENTIRE near-dup pipeline (sigs → bands → candidates → estimate)
+        // replays exactly in DuckDB — dedup_minhash_lsh / _clusters /
+        // _incremental are exact-oracle-checked, not rows-only
+        graft.plans.NgramHashes.minhashMd5(s, col("text"), 3, 64)
           .as("sig")).transform(graft.operators.Checkpointing.cut)
     })
   }
@@ -127,7 +129,8 @@ object DedupQueries {
     // any built-in aggregate.
     "dedup_source_sigs" -> ((s, dir) => {
       val sigged = docsSharded(s, dir).select(col("source"),
-        graft.plans.NgramHashes.minhash(s, col("text"), 3, 64).as("sig"))
+        // replayable md5+affine family (see minhashSigs) → exact oracle
+        graft.plans.NgramHashes.minhashMd5(s, col("text"), 3, 64).as("sig"))
       // checkpoint before the self-join or the full-corpus signature scan
       // underneath the aggregate runs twice
       val bySource = sigged.groupBy("source")
@@ -201,7 +204,137 @@ object DedupQueries {
         tNum = 4, tDen = 5)
         .orderBy("doc_a", "doc_b")))
 
+  /** Shared DuckDB replay of the minhash signature pipeline (the exact math
+    * of `Md5MinHashFromText` + `LshBandsExpr` semantics): same lower/trim/
+    * \s+ tokenization and k=3 word shingles as the jaccard oracle, gram
+    * hash = 60-bit md5 prefix, permutation i = (a_i·g + b_i) mod (2^61−1)
+    * in HUGEINT (exact), signature slot = min over grams. `bands` groups
+    * slots 4-at-a-time; two docs share a Spark LSH bucket iff a band's
+    * slot list is equal (the XXH64 bucket fold is injective-in-practice —
+    * a cross-doc fold collision, ~n²·bands/2^64, is the only way the
+    * engines could disagree, and it would also need the colliding pair to
+    * agree on ≥32/64 slots to survive the verify filter). */
+  private val sigCtes =
+    """toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |       ELSE list_transform(range(len(t) - 2),
+      |            i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]) END AS grams
+      |  FROM toks),
+      |gh AS (
+      |  SELECT DISTINCT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS ghash
+      |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g)),
+      |perm AS (
+      |  SELECT i, ('0x' || substr(md5('minhash-a:' || i), 1, 15))::BIGINT + 1 AS pa,
+      |         ('0x' || substr(md5('minhash-b:' || i), 1, 15))::BIGINT AS pb
+      |  FROM (SELECT unnest(range(64)) AS i)),
+      |sig AS (
+      |  SELECT doc_id, i,
+      |         min(CAST(((pa::HUGEINT * ghash) % 2305843009213693951 + pb)
+      |                  % 2305843009213693951 AS BIGINT)) AS s
+      |  FROM gh CROSS JOIN perm GROUP BY doc_id, i),
+      |bands AS (
+      |  SELECT doc_id, i // 4 AS blk, list(s ORDER BY i) AS bs
+      |  FROM sig GROUP BY doc_id, i // 4)""".stripMargin
+
+  /** Candidate pairs + slot-agreement estimate, shared by the pair-style
+    * minhash oracles (cand CTE differs per query). */
+  private val agreeCte =
+    """agree AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |         sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS n_eq
+      |  FROM cand c
+      |  JOIN sig sa ON sa.doc_id = c.doc_a
+      |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+      |  GROUP BY c.doc_a, c.doc_b)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // Full replay of the MinHash-LSH pipeline (see sigCtes). est ≥ 0.5 on
+    // the rounded value ⟺ n_eq ≥ 32 since k/64 is exact in binary.
+    "dedup_minhash_lsh" ->
+      s"""WITH $sigCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.blk = b.blk AND a.bs = b.bs AND a.doc_id < b.doc_id),
+         |$agreeCte
+         |SELECT doc_a, doc_b, round(CAST(n_eq AS DOUBLE) / 64, 4) AS est_jaccard
+         |FROM agree WHERE n_eq >= 32 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Same pipeline, but candidates must touch the ingest batch
+    // (doc_id % 10 = 9 is the new side, mirroring the Spark query):
+    // new-vs-anything via least/greatest, corpus-vs-corpus excluded.
+    "dedup_incremental" ->
+      s"""WITH $sigCtes,
+         |cand AS (
+         |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+         |                  greatest(a.doc_id, b.doc_id) AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.blk = b.blk AND a.bs = b.bs AND a.doc_id <> b.doc_id
+         |  WHERE a.doc_id % 10 = 9),
+         |$agreeCte
+         |SELECT doc_a, doc_b, round(CAST(n_eq AS DOUBLE) / 64, 4) AS est_jaccard
+         |FROM agree WHERE n_eq >= 32 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Pairs → connected components with min-doc_id labels, replayed as a
+    // recursive label-reachability CTE: cc holds every (doc, label) where
+    // label's doc reaches doc along verified-pair edges; min per doc = the
+    // component's minimum doc_id — exactly canonicalClusters' fixpoint.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $sigCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.blk = b.blk AND a.bs = b.bs AND a.doc_id < b.doc_id),
+         |$agreeCte,
+         |pairs AS (SELECT doc_a, doc_b FROM agree WHERE n_eq >= 32),
+         |nodes AS (SELECT DISTINCT doc_id FROM
+         |  (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b AS doc_id FROM pairs)),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |cc AS (
+         |  SELECT doc_id, doc_id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.dst AS doc_id, c.lbl FROM cc c JOIN edges e ON e.src = c.doc_id)
+         |SELECT doc_id, min(lbl) AS canonical FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Source-level union sketches: a group's signature slot is the min over
+    // the UNION of member gram hashes (elementwise-min merge ≡ min over
+    // union), so the oracle takes the min directly over (source, gram).
+    "dedup_source_sigs" ->
+      """WITH toks AS (
+        |  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |       ELSE list_transform(range(len(t) - 2),
+        |            i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]) END AS grams
+        |  FROM toks),
+        |sgh AS (
+        |  SELECT DISTINCT source, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS ghash
+        |  FROM (SELECT source, unnest(grams) AS gram FROM g)),
+        |perm AS (
+        |  SELECT i, ('0x' || substr(md5('minhash-a:' || i), 1, 15))::BIGINT + 1 AS pa,
+        |         ('0x' || substr(md5('minhash-b:' || i), 1, 15))::BIGINT AS pb
+        |  FROM (SELECT unnest(range(64)) AS i)),
+        |ssig AS (
+        |  SELECT source, i,
+        |         min(CAST(((pa::HUGEINT * ghash) % 2305843009213693951 + pb)
+        |                  % 2305843009213693951 AS BIGINT)) AS s
+        |  FROM sgh CROSS JOIN perm GROUP BY source, i),
+        |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |agree AS (
+        |  SELECT sa.source AS source_a, sb.source AS source_b,
+        |         sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS n_eq
+        |  FROM ssig sa JOIN ssig sb ON sa.i = sb.i AND sa.source < sb.source
+        |  GROUP BY sa.source, sb.source)
+        |SELECT a.source_a, a.source_b, nd.n_docs AS n_docs_a,
+        |       round(CAST(a.n_eq AS DOUBLE) / 64, 4) AS est_union_jaccard
+        |FROM agree a JOIN nd ON nd.source = a.source_a
+        |ORDER BY source_a, source_b""".stripMargin,
+
     // Replays the full 60-bit md5-prefix SimHash pipeline in SQL: per-token
     // hash = first 15 md5 hex chars as a BIGINT (identical on both
     // engines), ±1 bit votes with the same strict `> 0` rule, 4×15-bit

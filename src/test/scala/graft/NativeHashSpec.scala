@@ -210,6 +210,49 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(0)(1) != rows(2)(0), "band-index seed failed to separate shifted content")
   }
 
+  test("mulmodP61 matches BigInteger modular multiplication") {
+    val p = java.math.BigInteger.valueOf(NativeHashes.MersenneP61)
+    val rnd = new scala.util.Random(7)
+    val edge = Seq(0L, 1L, NativeHashes.MersenneP61 - 1, NativeHashes.MersenneP61,
+      (1L << 60) - 1, 1L << 60)
+    val samples = edge.flatMap(a => edge.map(a -> _)) ++
+      Seq.fill(2000)((rnd.nextLong() >>> 3, rnd.nextLong() >>> 3))
+    samples.foreach { case (a, b) =>
+      val expect = java.math.BigInteger.valueOf(a)
+        .multiply(java.math.BigInteger.valueOf(b)).mod(p).longValueExact()
+      assert(NativeHashes.mulmodP61(a, b) == expect, s"mulmod($a, $b)")
+    }
+  }
+
+  test("md5 affine minhash matches the DuckDB replay goldens") {
+    // goldens from DuckDB: min over grams of
+    // ((md5p60('minhash-a:i')+1) * md5p60(gram) + md5p60('minhash-b:i'))
+    // mod 2^61-1 — the cross-engine contract behind the minhash-family
+    // oracles (k=3 word shingles; '' → one empty token → one gram)
+    val rows = Seq("hello world foo bar", "", "hello world foo bar")
+      .toDF("text")
+      .select(graft.plans.NgramHashes.minhashMd5(spark, $"text", 3, 64).as("sig"))
+      .as[Array[Long]].collect()
+    assert(rows(0).take(4).sameElements(Array(
+      1752949636433043825L, 801808260001346020L, 954226664265791715L, 1023276470896444867L)))
+    assert(rows(1).take(4).sameElements(Array(
+      835270611853338558L, 1421297784239637416L, 1784337467693709537L, 1894019179635369449L)))
+    assert(rows(0).sameElements(rows(2)), "same text must sign identically")
+    assert(rows(0).length == 64 && rows(0).forall(s => s >= 0L && s < NativeHashes.MersenneP61))
+    // independent JVM-path cross-check of one slot: gram hashes via
+    // md5Token60 on the two shingles of the 4-token doc, affine via
+    // BigInteger — must equal slot 0 of the native walk
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def m60(s: String) = NativeHashes.md5Token60(md, org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    val (pa, pb) = NativeHashes.minhashPerms(64)
+    val p = java.math.BigInteger.valueOf(NativeHashes.MersenneP61)
+    val slot0 = Seq("hello world foo", "world foo bar").map { gram =>
+      java.math.BigInteger.valueOf(pa(0)).multiply(java.math.BigInteger.valueOf(m60(gram)))
+        .add(java.math.BigInteger.valueOf(pb(0))).mod(p).longValueExact()
+    }.min
+    assert(rows(0)(0) == slot0)
+  }
+
   test("all native expressions compile under CODEGEN_ONLY (no silent fallback)") {
     // Spark silently falls back to interpreted eval when generated code
     // fails to compile — which would erase the whole point of doGenCode and
@@ -235,6 +278,7 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
         graft.plans.NgramHashes.hashes(spark, $"text", 3).as("ng"),
         graft.plans.NgramHashes.shingles(spark, $"text", 2).as("ws"),
         graft.plans.NgramHashes.minhash(spark, $"text", 3, 16).as("ngmh"),
+        graft.plans.NgramHashes.minhashMd5(spark, $"text", 3, 16).as("ngm5"),
         graft.plans.NgramHashes.bands(spark,
           graft.plans.NgramHashes.minhash(spark, $"text", 3, 16), 4, 4).as("ngb"),
         graft.plans.HyperplaneSigs.sigs(spark, $"a", 8, 4).as("hp"),
