@@ -6,9 +6,14 @@ import graft.operators.Multimodal
 import graft.sources.Tables
 
 /** Multimodal-column inventory (SURVEY.md §2): binary payload plumbing with
-  * typed metadata. The decode itself is a clearly-marked deterministic stub
-  * (no image/audio libs in this container); the Spark-side schema,
-  * partition-wise batch shape, and column flow are real.
+  * typed metadata. Image (BMP) and audio (WAV) decode are REAL pure-JVM
+  * parsers; video decode is the one remaining stub (no codec library in
+  * this container). The whole chain — synthesis, container layout, header
+  * parse, average-hash, and the stub's arithmetic — is deterministic in
+  * (doc_id, text bytes), so BOTH queries are exact-oracle-checked: the
+  * DuckDB replay re-derives every feature from the parquet text (BMP
+  * geometry + aHash cell math, WAV field formulas, Java Arrays.hashCode as
+  * a 32-bit wrapping list_reduce, 64-bit wrap-around mixes in HUGEINT).
   */
 object MultimodalQueries {
 
@@ -22,5 +27,114 @@ object MultimodalQueries {
       Multimodal.sampleFrames(s, Multimodal.asMedia(Tables.sharded(s, dir, "documents")))
         .orderBy("doc_id", "frame_idx")))
 
-  val oracles: Map[String, String] = Map.empty
+  /** Shared replay pieces. Byte i of the UTF-8 text is read from the hex
+    * dump (`('0x' || substr(hex, 2i+1, 2))::BIGINT`); Java
+    * `Arrays.hashCode` (the video stub's seed) is a 31-multiplier fold
+    * over SIGNED bytes in wrapping 32-bit arithmetic, seeded with 1 via
+    * list_prepend so empty payloads reduce to 1 exactly like the JVM. */
+  private val videoAccCtes =
+    """vacc AS (
+      |  SELECT doc_id, blen,
+      |         list_reduce(
+      |           list_prepend(1::BIGINT,
+      |             list_transform(range(blen),
+      |               i -> ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
+      |           (acc, ub) -> ((31 * acc + CASE WHEN ub >= 128 THEN ub - 256 ELSE ub END)
+      |                         % 4294967296 + 4294967296 + 2147483648) % 4294967296
+      |                        - 2147483648) AS acc
+      |  FROM b2 WHERE doc_id % 3 = 2),
+      |vh AS (
+      |  SELECT doc_id, blen, CASE WHEN acc < 0 THEN acc + 4294967296 ELSE acc END AS h
+      |  FROM vacc)""".stripMargin
+
+  /** h * 2654435761 with Java Long wrap-around semantics (HUGEINT product,
+    * reduce mod 2^64, map to signed). h is always non-negative here. */
+  private val knuthMix =
+    """CAST(CASE WHEN (h::HUGEINT * 2654435761) % 18446744073709551616 >= 9223372036854775808
+      |          THEN (h::HUGEINT * 2654435761) % 18446744073709551616 - 18446744073709551616
+      |          ELSE (h::HUGEINT * 2654435761) % 18446744073709551616 END AS BIGINT)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // Replays the full decode surface: BMP geometry ((doc_id mod 13)+4 ×
+    // (doc_id mod 7)+2, 8bpp + 1078-byte header/palette, rows padded to 4),
+    // the aHash over the pixel bytes (text bytes zero-padded to w·h; cell
+    // means vs global mean compared in IEEE doubles — bit-identical on both
+    // engines), WAV fields (44-byte container, rate/channels formulas,
+    // (dataLen<<8 | 8)·2654435761 fits BIGINT exactly), and the video stub
+    // (Arrays.hashCode fold + Knuth mix with 64-bit wrap).
+    "mm_metadata" ->
+      s"""WITH b2 AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS blen
+         |  FROM documents),
+         |img AS (
+         |  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 2 AS h, hx, blen
+         |  FROM b2 WHERE doc_id % 3 = 0),
+         |px0 AS (
+         |  SELECT doc_id, w, h, blen, hx, unnest(range(w * h)) AS i FROM img),
+         |px AS (
+         |  SELECT doc_id,
+         |         ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS cell,
+         |         CASE WHEN i < blen
+         |              THEN ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT
+         |              ELSE 0 END AS p
+         |  FROM px0),
+         |cells AS (
+         |  SELECT doc_id, cell, sum(p) AS cs, count(*) AS cc FROM px GROUP BY doc_id, cell),
+         |tot AS (
+         |  SELECT doc_id, sum(p) AS total, count(*) AS n FROM px GROUP BY doc_id),
+         |ihash AS (
+         |  SELECT c.doc_id,
+         |         CAST(sum(CASE WHEN CAST(c.cs AS DOUBLE) / c.cc >= CAST(t.total AS DOUBLE) / t.n
+         |                  THEN CASE WHEN c.cell = 63 THEN (-9223372036854775807 - 1)
+         |                            ELSE (1::BIGINT << CAST(c.cell AS INT)) END
+         |                  ELSE 0 END) AS BIGINT) AS phash
+         |  FROM cells c JOIN tot t ON t.doc_id = c.doc_id GROUP BY c.doc_id),
+         |imeta AS (
+         |  SELECT i.doc_id, 'image' AS modality,
+         |         CAST(1078 + ((i.w + 3) // 4 * 4) * i.h AS BIGINT) AS n_bytes,
+         |         CAST(i.w AS INTEGER) AS width, CAST(i.h AS INTEGER) AS height,
+         |         1::INTEGER AS channels, 0::INTEGER AS sample_rate, ih.phash
+         |  FROM img i JOIN ihash ih ON ih.doc_id = i.doc_id),
+         |ameta AS (
+         |  SELECT doc_id, 'audio' AS modality, CAST(44 + blen AS BIGINT) AS n_bytes,
+         |         0::INTEGER AS width, 0::INTEGER AS height,
+         |         CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+         |         CAST(8000 * ((doc_id % 9) // 3 + 1) AS INTEGER) AS sample_rate,
+         |         CAST((blen * 256 + 8) * 2654435761 AS BIGINT) AS phash
+         |  FROM b2 WHERE doc_id % 3 = 1),
+         |$videoAccCtes,
+         |vmeta AS (
+         |  SELECT doc_id, 'video' AS modality, CAST(blen AS BIGINT) AS n_bytes,
+         |         CAST(h % 640 + 1 AS INTEGER) AS width,
+         |         CAST((h // 640) % 480 + 1 AS INTEGER) AS height,
+         |         3::INTEGER AS channels, 0::INTEGER AS sample_rate,
+         |         $knuthMix AS phash
+         |  FROM vh)
+         |SELECT * FROM (SELECT * FROM imeta UNION ALL SELECT * FROM ameta
+         |               UNION ALL SELECT * FROM vmeta)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Frame fan-out replay: n_frames = h mod 5 + 1, frame_phash =
+    // knuth-mix(h) XOR (f · 0x9E3779B97F4A7C15) with both 64-bit products
+    // wrapped in HUGEINT before the signed xor.
+    "mm_frames" ->
+      s"""WITH b2 AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS blen
+         |  FROM documents),
+         |$videoAccCtes,
+         |ph AS (SELECT doc_id, h, $knuthMix AS hmix FROM vh),
+         |fr AS (SELECT doc_id, hmix, unnest(range(h % 5 + 1)) AS f FROM ph),
+         |ft AS (
+         |  SELECT doc_id, f, hmix,
+         |         CAST(CASE WHEN ((f::HUGEINT * (-7046029254386353131)) % 18446744073709551616
+         |                         + 18446744073709551616) % 18446744073709551616 >= 9223372036854775808
+         |                   THEN ((f::HUGEINT * (-7046029254386353131)) % 18446744073709551616
+         |                         + 18446744073709551616) % 18446744073709551616 - 18446744073709551616
+         |                   ELSE ((f::HUGEINT * (-7046029254386353131)) % 18446744073709551616
+         |                         + 18446744073709551616) % 18446744073709551616 END AS BIGINT) AS fterm
+         |  FROM fr)
+         |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+         |       CAST(f * 1000 AS BIGINT) AS ts_offset_ms,
+         |       xor(hmix, fterm) AS frame_phash
+         |FROM ft ORDER BY doc_id, frame_idx""".stripMargin)
 }
