@@ -24,9 +24,13 @@ object Embeddings {
     * keeps per-bucket work ~targetBucket²/2 at any n (500 rows → 8 bits,
     * 10⁹ rows → 24 bits = 16.7M buckets/table). */
   def adaptiveBits(n: Long, targetBucket: Int): Int = {
-    val ideal = math.ceil(
-      math.log(math.max(n, 1L).toDouble / targetBucket) / math.log(2.0)).toInt
-    math.min(24, math.max(8, ideal))
+    // smallest b with targetBucket·2^b ≥ n, integer-exact: the float
+    // ceil(log2(n/target)) form could flip by one at exact powers of two
+    // (last-ulp log differences), which would silently diverge from the
+    // oracle's SQL replay of the same sizing rule
+    var b = 0
+    while (b < 24 && (targetBucket.toLong << b) < math.max(n, 1L)) b += 1
+    math.max(8, b)
   }
 
   /** Embedding-cosine near-duplicate pairs, scale path: multi-table
@@ -51,7 +55,9 @@ object Embeddings {
     val s = e.sparkSession
     val bits = adaptiveBits(rowCount.getOrElse(e.count()), targetBucket)
     val sigged = e.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
-        graft.plans.HyperplaneSigs.sigs(s, col(vecCol), bits, tables).as("sigs"))
+        // md5-derived planes: the signature (and so the whole candidate +
+        // verify pipeline) replays exactly in the DuckDB oracle
+        graft.plans.HyperplaneSigs.sigsMd5(s, col(vecCol), bits, tables).as("sigs"))
       .transform(Checkpointing.cut) // compute sigs once for both sides of the self-join
     val buckets = sigged.select(col("vec_id"), col("embedding"),
       posexplode(col("sigs")).as(Seq("t", "sig")))

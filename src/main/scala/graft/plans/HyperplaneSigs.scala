@@ -18,7 +18,8 @@ import org.apache.spark.sql.types._
   * deterministic hash-derived pseudo-randomness, so every executor
   * materializes an identical matrix with no driver state or broadcast.
   */
-final case class HyperplaneSigsExpr(child: Expression, bits: Int, tables: Int)
+final case class HyperplaneSigsExpr(child: Expression, bits: Int, tables: Int,
+    md5Planes: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -51,12 +52,19 @@ final case class HyperplaneSigsExpr(child: Expression, bits: Int, tables: Int)
     else {
       val nPlanes = bits * tables
       val m = Array.ofDim[Double](nPlanes, dims)
+      val md = if (md5Planes) NativeHashes.md5Digest else null
       var p = 0
       while (p < nPlanes) {
         var j = 0
         while (j < dims) {
-          // = xxhash64(j, p) in Spark's multi-arg chain (seed 42)
-          val h = XXH64.hashInt(p, XXH64.hashInt(j, 42L))
+          // md5 family: the value DuckDB derives as
+          // ('0x' || substr(md5('plane:p:j'), 1, 15))::BIGINT — what lets
+          // the LSH queries replay exactly in the oracle. XXH64 family:
+          // = xxhash64(j, p) in Spark's multi-arg chain (seed 42).
+          val h =
+            if (md5Planes) NativeHashes.md5Token60(md,
+              org.apache.spark.unsafe.types.UTF8String.fromString(s"plane:$p:$j"))
+            else XXH64.hashInt(p, XXH64.hashInt(j, 42L))
           val mod = ((h % 1000000L) + 1000000L) % 1000000L
           m(p)(j) = mod.toDouble / 500000.0 - 1.0
           j += 1
@@ -143,7 +151,7 @@ final case class HyperplaneSigsExpr(child: Expression, bits: Int, tables: Int)
 
 object HyperplaneSigs {
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("hyperplane_sigs", {
       case Seq(c, b, t) => HyperplaneSigsExpr(c,
         b.eval(null).asInstanceOf[Number].intValue(),
@@ -151,11 +159,28 @@ object HyperplaneSigs {
       case other => throw new IllegalArgumentException(
         s"hyperplane_sigs(vec, bits, tables) expects 3 args, got ${other.size}")
     }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("hyperplane_sigs_md5", {
+      case Seq(c, b, t) => HyperplaneSigsExpr(c,
+        b.eval(null).asInstanceOf[Number].intValue(),
+        t.eval(null).asInstanceOf[Number].intValue(), md5Planes = true)
+      case other => throw new IllegalArgumentException(
+        s"hyperplane_sigs_md5(vec, bits, tables) expects 3 args, got ${other.size}")
+    }, "built-in")
+  }
 
   /** Array of `tables` signatures (multi-table LSH). */
   def sigs(spark: SparkSession, vec: Column, bits: Int, tables: Int): Column = {
     register(spark)
     call_function("hyperplane_sigs", vec,
+      org.apache.spark.sql.functions.lit(bits), org.apache.spark.sql.functions.lit(tables))
+  }
+
+  /** The DuckDB-replayable plane family (md5-derived components, identical
+    * double math on both engines) — what the oracle-checked LSH queries
+    * use. Projection/sign/signature layout is the same as [[sigs]]. */
+  def sigsMd5(spark: SparkSession, vec: Column, bits: Int, tables: Int): Column = {
+    register(spark)
+    call_function("hyperplane_sigs_md5", vec,
       org.apache.spark.sql.functions.lit(bits), org.apache.spark.sql.functions.lit(tables))
   }
 

@@ -89,7 +89,8 @@ object VectorQueries {
     // hash join with no corpus shuffle; distinct + top-k per query after.
     "knn_lsh" -> ((s, dir) => {
       val sigged = emb(s, dir).select(col("vec_id"), col("embedding"),
-        graft.plans.HyperplaneSigs.sigs(s, col("embedding"), 8, 4).as("sigs"))
+        // md5-derived planes → the signature replays exactly in the oracle
+        graft.plans.HyperplaneSigs.sigsMd5(s, col("embedding"), 8, 4).as("sigs"))
       val buckets = sigged.select(col("vec_id"), col("embedding"),
         posexplode(col("sigs")).as(Seq("t", "sig")))
       val q = buckets.filter(col("vec_id") < nQueries)
@@ -110,8 +111,83 @@ object VectorQueries {
   /** knn_bruteforce is oracle-checkable because ranking happens on the
     * ALREADY-ROUNDED cosine (4dp) with an id tie-break — double-precision
     * accumulation on both engines agrees to ~1e-15, far from the rounding
-    * boundary. */
+    * boundary.
+    *
+    * knn_lsh and dedup_embedding additionally replay the hyperplane
+    * SIGNATURES bit-exactly: plane component (p, j) =
+    * md5prefix60("plane:p:j") mod 1e6 / 5e5 − 1 (same integer → same
+    * double on both engines), projection = the same left-fold of
+    * float→double products in array order — IEEE doubles make identical
+    * op sequences identical bits, so even the sign decision at proj ≥ 0
+    * cannot diverge. */
+  private val planeCtes =
+    """dims AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1),
+      |pl AS (
+      |  SELECT p, list(('0x' || substr(md5('plane:' || p || ':' || j), 1, 15))::BIGINT
+      |                 % 1000000 / 500000.0 - 1.0 ORDER BY j) AS plane
+      |  FROM (SELECT unnest(range((SELECT nb FROM nbits) * 4)) AS p),
+      |       (SELECT unnest(range((SELECT d FROM dims))) AS j)
+      |  GROUP BY p),
+      |proj AS (
+      |  SELECT e.vec_id, pl.p // (SELECT nb FROM nbits) AS t,
+      |         pl.p % (SELECT nb FROM nbits) AS p0,
+      |         list_reduce(list_prepend(0.0,
+      |           list_transform(range((SELECT d FROM dims)),
+      |             k -> e.embedding[k + 1]::DOUBLE * pl.plane[k + 1])),
+      |           (a, x) -> a + x) AS proj
+      |  FROM embeddings e, pl),
+      |sig AS (
+      |  SELECT vec_id, t,
+      |         CAST(sum(CASE WHEN proj >= 0 THEN (1::BIGINT << CAST(p0 AS INT)) ELSE 0 END)
+      |              AS BIGINT) AS sig
+      |  FROM proj GROUP BY vec_id, t)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // Bit-exact signature replay (see above), then the same candidate rule
+    // (agree on any table, self excluded), cosine rerank and ranked top-k
+    // as the knn_bruteforce oracle.
+    "knn_lsh" ->
+      s"""WITH nbits AS (SELECT 8 AS nb),
+         |$planeCtes,
+         |q AS (SELECT vec_id AS q_id, t, sig FROM sig WHERE vec_id < $nQueries),
+         |cand AS (
+         |  SELECT DISTINCT q.q_id, s.vec_id AS neighbor_id
+         |  FROM sig s JOIN q ON s.t = q.t AND s.sig = q.sig AND s.vec_id <> q.q_id),
+         |scored AS (
+         |  SELECT c.q_id, c.neighbor_id,
+         |         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |                                      CAST(e.embedding AS DOUBLE[])), 4) AS cos
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.neighbor_id
+         |  JOIN embeddings qe ON qe.vec_id = c.q_id),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, neighbor_id, cos FROM ranked WHERE rk <= $topK
+         |ORDER BY q_id, rk""".stripMargin,
+
+    // Adaptive bits replayed integer-exactly (smallest b with 32·2^b ≥ n,
+    // clamped to [8, 24] — the same rule as Embeddings.adaptiveBits), then
+    // bucket-agreement candidates and the exact-cosine ≥ 0.25 verify.
+    "dedup_embedding" ->
+      s"""WITH cnt AS (SELECT count(*) AS n FROM embeddings),
+         |nbits AS (
+         |  SELECT LEAST(24, GREATEST(8, coalesce(min(b), 24))) AS nb
+         |  FROM (SELECT unnest(range(25)) AS b), cnt WHERE (32::BIGINT << b) >= n),
+         |$planeCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM sig a JOIN sig b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
+         |out AS (
+         |  SELECT c.vec_a, c.vec_b,
+         |         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |                                      CAST(eb.embedding AS DOUBLE[])), 4) AS cos
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+         |  JOIN embeddings eb ON eb.vec_id = c.vec_b)
+         |SELECT vec_a, vec_b, cos FROM out WHERE cos >= 0.25 ORDER BY vec_a, vec_b""".stripMargin,
+
     // Element-wise centroid via lockstep unnest/generate_subscripts, then
     // the same cosine+avg+round pipeline as the Spark side. Both engines
     // accumulate in double, so 4dp rounding is far from any boundary (same

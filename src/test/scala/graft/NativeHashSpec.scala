@@ -253,6 +253,27 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(0)(0) == slot0)
   }
 
+  test("md5 hyperplane family: plane components match the oracle's derivation") {
+    // plane(p, j) = md5prefix60("plane:p:j") % 1e6 / 5e5 - 1, the value the
+    // DuckDB replay derives; check the expression's cached matrix against
+    // an independent recomputation through md5Token60
+    val expr = graft.plans.HyperplaneSigsExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(null,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      8, 4, md5Planes = true)
+    val m = expr.planeMatrix(16)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (p <- Seq(0, 7, 31); j <- Seq(0, 15)) {
+      val h = NativeHashes.md5Token60(md,
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"plane:$p:$j"))
+      assert(m(p)(j) == (h % 1000000L).toDouble / 500000.0 - 1.0, s"plane($p)($j)")
+    }
+    assert(m.length == 32 && m.forall(row => row.forall(v => v >= -1.0 && v <= 1.0)))
+    // distinct from the XXH64 family (different pseudo-randomness source)
+    val xxh = graft.plans.HyperplaneSigsExpr(expr.child, 8, 4).planeMatrix(16)
+    assert(!m(0).sameElements(xxh(0)))
+  }
+
   test("all native expressions compile under CODEGEN_ONLY (no silent fallback)") {
     // Spark silently falls back to interpreted eval when generated code
     // fails to compile — which would erase the whole point of doGenCode and
@@ -282,6 +303,7 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
         graft.plans.NgramHashes.bands(spark,
           graft.plans.NgramHashes.minhash(spark, $"text", 3, 16), 4, 4).as("ngb"),
         graft.plans.HyperplaneSigs.sigs(spark, $"a", 8, 4).as("hp"),
+        graft.plans.HyperplaneSigs.sigsMd5(spark, $"a", 8, 4).as("hp5"),
         graft.plans.CosineSim.cosine(spark, $"a", $"b").as("cos"),
         graft.plans.NearestCentroid.nearest(spark, $"a",
           typedLit(Seq(Seq.fill(16)(0.5), Seq.fill(16)(-0.5)))).as("nc"))
