@@ -88,12 +88,7 @@ final case class CosineSim(left: Expression, right: Expression)
 }
 
 object CosineSim {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction("cosine_sim", {
-      case Seq(a, b) => CosineSim(a, b)
-      case other => throw new IllegalArgumentException(
-        s"cosine_sim(a, b) expects 2 args, got ${other.size}")
-    }, "built-in")
+  def register(spark: SparkSession): Unit = NativeFunctions.register(spark)
 
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)

@@ -151,22 +151,7 @@ final case class HyperplaneSigsExpr(child: Expression, bits: Int, tables: Int,
 
 object HyperplaneSigs {
 
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction("hyperplane_sigs", {
-      case Seq(c, b, t) => HyperplaneSigsExpr(c,
-        b.eval(null).asInstanceOf[Number].intValue(),
-        t.eval(null).asInstanceOf[Number].intValue())
-      case other => throw new IllegalArgumentException(
-        s"hyperplane_sigs(vec, bits, tables) expects 3 args, got ${other.size}")
-    }, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction("hyperplane_sigs_md5", {
-      case Seq(c, b, t) => HyperplaneSigsExpr(c,
-        b.eval(null).asInstanceOf[Number].intValue(),
-        t.eval(null).asInstanceOf[Number].intValue(), md5Planes = true)
-      case other => throw new IllegalArgumentException(
-        s"hyperplane_sigs_md5(vec, bits, tables) expects 3 args, got ${other.size}")
-    }, "built-in")
-  }
+  def register(spark: SparkSession): Unit = NativeFunctions.register(spark)
 
   /** Array of `tables` signatures (multi-table LSH). */
   def sigs(spark: SparkSession, vec: Column, bits: Int, tables: Int): Column = {

@@ -1,0 +1,104 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Single source of truth for every native function the library ships:
+  * name → Catalyst builder. Consumed two ways —
+  *  - [[register]] puts them in a session's FunctionRegistry (the route the
+  *    Column wrappers use, idempotent per call), and
+  *  - [[graft.GraftExtensions]] injects them at session BUILD time via
+  *    `SparkSessionExtensions`, so a `spark-submit --conf
+  *    spark.sql.extensions=graft.GraftExtensions` deployment gets the whole
+  *    surface in `spark.sql(...)` without touching library code.
+  *
+  * Builders live here (not in each expression's companion) so the two
+  * routes can never drift apart.
+  */
+object NativeFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e.eval(null) match {
+    case n: Number => n.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal int, got $other")
+  }
+
+  private def bad(name: String, want: String, got: Int): Nothing =
+    throw new IllegalArgumentException(s"$name($want) expects arity mismatch: got $got args")
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "minhash_sig" -> {
+      case Seq(c, n) => MinHashSig(c, intArg(n, "numPerms"))
+      case other => bad("minhash_sig", "arr, numPerms", other.size)
+    },
+    "simhash_sig" -> {
+      case Seq(c) => SimHashSig(c)
+      case other => bad("simhash_sig", "arr", other.size)
+    },
+    "md5_simhash" -> {
+      case Seq(c) => Md5SimHashSig(c)
+      case other => bad("md5_simhash", "arr", other.size)
+    },
+    "md5_fingerprint" -> {
+      case Seq(c) => Md5FingerprintExpr(c)
+      case other => bad("md5_fingerprint", "arr", other.size)
+    },
+    "minhash_merge" -> {
+      case Seq(c) => MinHashMerge(c).toAggregateExpression()
+      case other => bad("minhash_merge", "sig", other.size)
+    },
+    "ngram_hashes" -> {
+      case Seq(c, kk) => NgramHashesExpr(c, intArg(kk, "k"))
+      case other => bad("ngram_hashes", "text, k", other.size)
+    },
+    "word_shingles" -> {
+      case Seq(c, kk) => WordShinglesExpr(c, intArg(kk, "k"))
+      case other => bad("word_shingles", "text, k", other.size)
+    },
+    "ngram_minhash" -> {
+      case Seq(c, kk, pp) => MinHashSigFromText(c, intArg(kk, "k"), intArg(pp, "numPerms"))
+      case other => bad("ngram_minhash", "text, k, numPerms", other.size)
+    },
+    "ngram_minhash_md5" -> {
+      case Seq(c, kk, pp) => Md5MinHashFromText(c, intArg(kk, "k"), intArg(pp, "numPerms"))
+      case other => bad("ngram_minhash_md5", "text, k, numPerms", other.size)
+    },
+    "lsh_bands" -> {
+      case Seq(c, bb, rr) => LshBandsExpr(c, intArg(bb, "bands"), intArg(rr, "rowsPerBand"))
+      case other => bad("lsh_bands", "sig, bands, rowsPerBand", other.size)
+    },
+    "hyperplane_sigs" -> {
+      case Seq(c, b, t) => HyperplaneSigsExpr(c, intArg(b, "bits"), intArg(t, "tables"))
+      case other => bad("hyperplane_sigs", "vec, bits, tables", other.size)
+    },
+    "hyperplane_sigs_md5" -> {
+      case Seq(c, b, t) =>
+        HyperplaneSigsExpr(c, intArg(b, "bits"), intArg(t, "tables"), md5Planes = true)
+      case other => bad("hyperplane_sigs_md5", "vec, bits, tables", other.size)
+    },
+    "cosine_sim" -> {
+      case Seq(a, b) => CosineSim(a, b)
+      case other => bad("cosine_sim", "a, b", other.size)
+    },
+    "nearest_centroid" -> {
+      case Seq(a, b) => NearestCentroid(a, b)
+      case other => bad("nearest_centroid", "emb, centroids", other.size)
+    },
+    "vector_mean" -> {
+      case Seq(c) => VectorMeanAgg(c).toAggregateExpression()
+      case other => bad("vector_mean", "vec", other.size)
+    },
+    "topk" -> {
+      case Seq(c, kk) => TopKAgg(c, intArg(kk, "k")).toAggregateExpression()
+      case other => bad("topk", "struct(score, id), k", other.size)
+    })
+
+  /** Put every native function in the session's registry (idempotent —
+    * createOrReplace semantics, cheap map puts). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    all.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}

@@ -352,34 +352,7 @@ object NativeHashes {
     }
   }
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("minhash_sig", {
-      case Seq(c, n) => MinHashSig(c, n.eval(null).asInstanceOf[Number].intValue())
-      case other => throw new IllegalArgumentException(
-        s"minhash_sig(arr, numPerms) expects 2 args, got ${other.size}")
-    }, "built-in")
-    reg.createOrReplaceTempFunction("simhash_sig", {
-      case Seq(c) => SimHashSig(c)
-      case other => throw new IllegalArgumentException(
-        s"simhash_sig(arr) expects 1 arg, got ${other.size}")
-    }, "built-in")
-    reg.createOrReplaceTempFunction("md5_fingerprint", {
-      case Seq(c) => Md5FingerprintExpr(c)
-      case other => throw new IllegalArgumentException(
-        s"md5_fingerprint(arr) expects 1 arg, got ${other.size}")
-    }, "built-in")
-    reg.createOrReplaceTempFunction("md5_simhash", {
-      case Seq(c) => Md5SimHashSig(c)
-      case other => throw new IllegalArgumentException(
-        s"md5_simhash(arr) expects 1 arg, got ${other.size}")
-    }, "built-in")
-    reg.createOrReplaceTempFunction("minhash_merge", {
-      case Seq(c) => MinHashMerge(c).toAggregateExpression()
-      case other => throw new IllegalArgumentException(
-        s"minhash_merge(sig) expects 1 arg, got ${other.size}")
-    }, "built-in")
-  }
+  def register(spark: SparkSession): Unit = NativeFunctions.register(spark)
 
   def minhashMerge(spark: SparkSession, sig: Column): Column = {
     register(spark)

@@ -133,12 +133,7 @@ final case class NearestCentroid(left: Expression, right: Expression)
 }
 
 object NearestCentroid {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction("nearest_centroid", {
-      case Seq(a, b) => NearestCentroid(a, b)
-      case other => throw new IllegalArgumentException(
-        s"nearest_centroid(emb, centroids) expects 2 args, got ${other.size}")
-    }, "built-in")
+  def register(spark: SparkSession): Unit = NativeFunctions.register(spark)
 
   def nearest(spark: SparkSession, emb: Column, centroids: Column): Column = {
     register(spark)

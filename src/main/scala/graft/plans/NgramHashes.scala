@@ -369,40 +369,7 @@ object NgramHashes {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("lsh_bands", {
-      case Seq(c, bb, rr) => LshBandsExpr(c,
-        bb.eval(null).asInstanceOf[Number].intValue(),
-        rr.eval(null).asInstanceOf[Number].intValue())
-      case other => throw new IllegalArgumentException(
-        s"lsh_bands(sig, bands, rowsPerBand) expects 3 args, got ${other.size}")
-    }, "built-in")
-    reg.createOrReplaceTempFunction("ngram_hashes", {
-      case Seq(c, kk) => NgramHashesExpr(c, kk.eval(null).asInstanceOf[Number].intValue())
-      case other => throw new IllegalArgumentException(
-        s"ngram_hashes(text, k) expects 2 args, got ${other.size}")
-    }, "built-in")
-    reg.createOrReplaceTempFunction("word_shingles", {
-      case Seq(c, kk) => WordShinglesExpr(c, kk.eval(null).asInstanceOf[Number].intValue())
-      case other => throw new IllegalArgumentException(
-        s"word_shingles(text, k) expects 2 args, got ${other.size}")
-    }, "built-in")
-    reg.createOrReplaceTempFunction("ngram_minhash", {
-      case Seq(c, kk, pp) => MinHashSigFromText(c,
-        kk.eval(null).asInstanceOf[Number].intValue(),
-        pp.eval(null).asInstanceOf[Number].intValue())
-      case other => throw new IllegalArgumentException(
-        s"ngram_minhash(text, k, numPerms) expects 3 args, got ${other.size}")
-    }, "built-in")
-    reg.createOrReplaceTempFunction("ngram_minhash_md5", {
-      case Seq(c, kk, pp) => Md5MinHashFromText(c,
-        kk.eval(null).asInstanceOf[Number].intValue(),
-        pp.eval(null).asInstanceOf[Number].intValue())
-      case other => throw new IllegalArgumentException(
-        s"ngram_minhash_md5(text, k, numPerms) expects 3 args, got ${other.size}")
-    }, "built-in")
-  }
+  def register(spark: SparkSession): Unit = NativeFunctions.register(spark)
 
   def hashes(spark: SparkSession, text: Column, k: Int): Column = {
     register(spark)

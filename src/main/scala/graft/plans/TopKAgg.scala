@@ -146,13 +146,7 @@ object TopKBuf {
 
 object TopKAgg {
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction("topk", {
-      case Seq(c, kk) =>
-        TopKAgg(c, kk.eval(null).asInstanceOf[Number].intValue()).toAggregateExpression()
-      case other => throw new IllegalArgumentException(
-        s"topk(struct(score, id), k) expects 2 args, got ${other.size}")
-    }, "built-in")
+  def register(spark: SparkSession): Unit = NativeFunctions.register(spark)
 
   /** Aggregate column: array<struct<score,id>> of the group's top k. */
   def topk(spark: SparkSession, scoreAndId: Column, k: Int): Column = {

@@ -108,12 +108,7 @@ final case class VectorMeanAgg(
 object VectorMeanAgg {
   final case class Buf(sums: Array[Double], n: Long)
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction("vector_mean", {
-      case Seq(c) => VectorMeanAgg(c).toAggregateExpression()
-      case other => throw new IllegalArgumentException(
-        s"vector_mean(vec) expects 1 arg, got ${other.size}")
-    }, "built-in")
+  def register(spark: SparkSession): Unit = NativeFunctions.register(spark)
 
   def mean(spark: SparkSession, vec: Column): Column = {
     register(spark)
