@@ -126,7 +126,8 @@ object MediaCodecs {
   /** Encode a PCM WAV: RIFF header, `fmt ` chunk, `data` chunk. */
   def encodeWav(sampleRate: Int, channels: Int, bitsPerSample: Int,
       pcm: Array[Byte]): Array[Byte] = {
-    require(sampleRate > 0 && channels > 0 && bitsPerSample % 8 == 0,
+    require(sampleRate > 0 && channels > 0 &&
+      bitsPerSample > 0 && bitsPerSample % 8 == 0,
       s"encodeWav: bad format $sampleRate/$channels/$bitsPerSample")
     val blockAlign = channels * bitsPerSample / 8
     val b = ByteBuffer.allocate(44 + pcm.length).order(ByteOrder.LITTLE_ENDIAN)
@@ -163,12 +164,17 @@ object MediaCodecs {
           b.getShort(off + 22).toInt))
       } else if (id == "data") {
         // a data header claiming more bytes than the payload holds is a
-        // truncated/corrupt file — parseBmp's 'pixel data truncated' analog
-        require(off + 8 + size <= bytes.length,
+        // truncated/corrupt file — parseBmp's 'pixel data truncated' analog.
+        // Bounds math in Long: a near-Int.MaxValue declared size would wrap
+        // `off + 8 + size` negative and slip past an Int compare.
+        require(off.toLong + 8 + size <= bytes.length,
           s"WAV data chunk claims $size bytes, payload ends at ${bytes.length}")
         dataLen = size
       }
-      off += 8 + size + (size & 1) // chunks are word-aligned
+      // Long for the same reason; a skipped chunk's size is attacker data
+      val next = off.toLong + 8 + size + (size & 1) // chunks are word-aligned
+      require(next <= Int.MaxValue, s"chunk '$id' size $size overflows offset")
+      off = next.toInt
     }
     val (rate, channels, bits) = fmt.getOrElse(
       throw new IllegalArgumentException("WAV has no fmt chunk"))

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
@@ -39,7 +38,7 @@ object Ivf {
       .orderBy("vec_id").limit(k).collect()
       .toIndexedSeq.zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }
-    val s0 = e.sparkSession
+    val s = e.sparkSession
     var i = 0
     while (i < iters) {
       // one shuffle per iteration: VectorMeanAgg partial-aggregates each
@@ -49,13 +48,12 @@ object Ivf {
       // float-stability matters)
       cents = assignLiteral(corpus, cents)
         .groupBy("cluster")
-        .agg(graft.plans.VectorMeanAgg.mean(s0, col("embedding")).as("centroid"))
+        .agg(graft.plans.VectorMeanAgg.mean(s, col("embedding")).as("centroid"))
         .collect().toIndexedSeq
         .map(r => (r.getInt(0), r.getSeq[Double](1)))
         .sortBy(_._1)
       i += 1
     }
-    val s = e.sparkSession
     import s.implicits._
     cents.toDF("cluster", "centroid")
   }

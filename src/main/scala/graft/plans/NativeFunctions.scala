@@ -24,7 +24,8 @@ object NativeFunctions {
   }
 
   private def bad(name: String, want: String, got: Int): Nothing =
-    throw new IllegalArgumentException(s"$name($want) expects arity mismatch: got $got args")
+    throw new IllegalArgumentException(
+      s"$name expects ($want) — got $got args")
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "minhash_sig" -> {

@@ -100,7 +100,15 @@ object MultimodalQueries {
          |         0::INTEGER AS width, 0::INTEGER AS height,
          |         CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
          |         CAST(8000 * ((doc_id % 9) // 3 + 1) AS INTEGER) AS sample_rate,
-         |         CAST((blen * 256 + 8) * 2654435761 AS BIGINT) AS phash
+         |         -- HUGEINT product + mod-2^64 signed map: the JVM wraps this
+         |         -- Long multiply silently, so the replay must wrap too (a
+         |         -- plain BIGINT multiply would ERROR past ~13.4 MB of text)
+         |         CAST(CASE WHEN ((blen * 256 + 8)::HUGEINT * 2654435761)
+         |                        % 18446744073709551616 >= 9223372036854775808
+         |                   THEN ((blen * 256 + 8)::HUGEINT * 2654435761)
+         |                        % 18446744073709551616 - 18446744073709551616
+         |                   ELSE ((blen * 256 + 8)::HUGEINT * 2654435761)
+         |                        % 18446744073709551616 END AS BIGINT) AS phash
          |  FROM b2 WHERE doc_id % 3 = 1),
          |$videoAccCtes,
          |vmeta AS (

@@ -69,6 +69,19 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(MediaCodecs.parseWav(b.array()) == ((44100, 1, 8, 4)))
     assertThrows[IllegalArgumentException](
       MediaCodecs.parseWav("definitely not RIFF data here at all...".getBytes))
+    // a data chunk declaring near-Int.MaxValue bytes must fail the bounds
+    // require LOUDLY, not wrap the Int compare and return garbage dataLen
+    val huge = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    huge.put("RIFF".getBytes).putInt(36).put("WAVE".getBytes)
+    huge.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(8000).putShort(1).putShort(8)
+    huge.put("data".getBytes).putInt(Int.MaxValue - 16)
+    val e = intercept[IllegalArgumentException](MediaCodecs.parseWav(huge.array()))
+    assert(e.getMessage.contains("claims"), s"wrong failure: ${e.getMessage}")
+    // the encoder must refuse formats its own parser rejects
+    assertThrows[IllegalArgumentException](
+      MediaCodecs.encodeWav(8000, 1, 0, pcm))
   }
 
   test("sampleFrames: only video rows, 1-5 frames each, deterministic") {
