@@ -30,6 +30,21 @@ object VectorQueries {
   private val ivfMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
 
+  /** Verified embedding near-dup pairs, memoized per (session, sf-dir) —
+    * the stored near-dup table every downstream pass reads, same pattern
+    * as DedupQueries.pairsMemo. */
+  private val embPairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def embPairs(s: SparkSession, dir: String): DataFrame = {
+    embPairsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    embPairsMemo.computeIfAbsent((s, dir), { _ =>
+      graft.operators.Embeddings.nearDupPairs(
+          emb(s, dir), "vec_id", "embedding", threshold = 0.25)
+        .transform(graft.operators.Checkpointing.cut)
+    })
+  }
+
   private def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     ivfMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     ivfMemo.computeIfAbsent((s, dir), { _ =>
@@ -54,9 +69,7 @@ object VectorQueries {
     // pairwise cosine ≈0.46 at sf0.01), so "near"-dup here means the top of
     // that range.
     "dedup_embedding" -> ((s, dir) =>
-      graft.operators.Embeddings.nearDupPairs(
-          emb(s, dir), "vec_id", "embedding", threshold = 0.25)
-        .orderBy("vec_a", "vec_b")),
+      embPairs(s, dir).orderBy("vec_a", "vec_b")),
 
     // Brute-force cosine top-k: exact baseline; query side broadcast so the
     // corpus is scanned once with no shuffle before the per-query top-k.

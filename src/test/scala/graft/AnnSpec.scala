@@ -109,6 +109,16 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"), s"assignment shuffled:\n$plan")
   }
 
+  test("knn_lsh candidate join broadcasts the query side (no corpus shuffle)") {
+    // the scale contract of the LSH probe: the tiny query bucket set rides
+    // a broadcast hash join, so candidate generation never exchanges the
+    // exploded corpus buckets
+    val df = graft.SparkEntry.queries("knn_lsh")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("minhash similarity estimates true Jaccard within 0.15 mean abs error") {
     // 60 doc pairs with known overlap: pair i shares i tokens of 30
     val rows = (1 until 60).map { i =>
