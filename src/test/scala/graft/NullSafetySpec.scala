@@ -42,9 +42,20 @@ class NullSafetySpec extends AnyFunSuite with SparkTestBase {
   test("native signatures propagate null input") {
     val rows = df.select(
       NativeHashes.minhashSig(spark, Text.wordShingles($"text", 2), 8).as("mh"),
-      NativeHashes.simhashSig(spark, Text.wsTokens($"text")).as("sh")).collect()
-    assert(!rows(0).isNullAt(0) && !rows(0).isNullAt(1))
-    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
+      NativeHashes.simhashSig(spark, Text.wsTokens($"text")).as("sh"),
+      NativeHashes.md5SimhashSig(spark, Text.wsTokens($"text")).as("m5"),
+      NativeHashes.md5Fingerprint(spark, Text.wsTokens($"text")).as("fp"),
+      graft.plans.NgramHashes.minhashMd5(spark, $"text", 3, 8).as("mm5")).collect()
+    (0 until 5).foreach(i => assert(!rows(0).isNullAt(i), s"col $i null for text"))
+    (0 until 5).foreach(i => assert(rows(2).isNullAt(i), s"col $i not null for null text"))
+  }
+
+  test("md5 hyperplane sigs propagate null vectors") {
+    val vdf = Seq(Some(Array(1f, 2f, 3f, 4f)), None).toDF("v")
+    val rows = vdf.select(
+      graft.plans.HyperplaneSigs.sigsMd5(spark, $"v", 4, 2).as("s")).collect()
+    assert(!rows(0).isNullAt(0) && rows(0).getSeq[Long](0).length == 2)
+    assert(rows(1).isNullAt(0))
   }
 
   test("cosine with null vector is null, not an exception") {
