@@ -151,30 +151,30 @@ object MediaCodecs {
       new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
     require(fourCC(0) == "RIFF" && fourCC(8) == "WAVE",
       "WAV RIFF/WAVE magic missing")
-    var off = 12
+    // ALL offset math in Long: chunk sizes are attacker data, and any Int
+    // sum (`off + 8`, `off + 8 + size`) can wrap negative and slip past a
+    // bounds compare. The loop guard keeps `off` within Int range whenever
+    // the body runs, so the Int-typed ByteBuffer reads below are safe.
+    var off = 12L
     var fmt: Option[(Int, Int, Int)] = None
     var dataLen = -1
     while (off + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
-      val id = fourCC(off)
-      val size = b.getInt(off + 4)
+      val o = off.toInt
+      val id = fourCC(o)
+      val size = b.getInt(o + 4)
       require(size >= 0, s"negative chunk size in '$id'")
       if (id == "fmt ") {
         require(size >= 16 && off + 8 + 16 <= bytes.length, "fmt chunk truncated")
-        fmt = Some((b.getInt(off + 12), b.getShort(off + 10).toInt,
-          b.getShort(off + 22).toInt))
+        fmt = Some((b.getInt(o + 12), b.getShort(o + 10).toInt,
+          b.getShort(o + 22).toInt))
       } else if (id == "data") {
         // a data header claiming more bytes than the payload holds is a
-        // truncated/corrupt file — parseBmp's 'pixel data truncated' analog.
-        // Bounds math in Long: a near-Int.MaxValue declared size would wrap
-        // `off + 8 + size` negative and slip past an Int compare.
-        require(off.toLong + 8 + size <= bytes.length,
+        // truncated/corrupt file — parseBmp's 'pixel data truncated' analog
+        require(off + 8 + size <= bytes.length,
           s"WAV data chunk claims $size bytes, payload ends at ${bytes.length}")
         dataLen = size
       }
-      // Long for the same reason; a skipped chunk's size is attacker data
-      val next = off.toLong + 8 + size + (size & 1) // chunks are word-aligned
-      require(next <= Int.MaxValue, s"chunk '$id' size $size overflows offset")
-      off = next.toInt
+      off += 8L + size + (size & 1) // chunks are word-aligned
     }
     val (rate, channels, bits) = fmt.getOrElse(
       throw new IllegalArgumentException("WAV has no fmt chunk"))

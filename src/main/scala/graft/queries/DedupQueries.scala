@@ -59,26 +59,15 @@ object DedupQueries {
     * downstream pass (pair report, clustering, verify joins) reads it, so
     * `dedup_minhash_lsh` and `dedup_clusters` in one session must not pay
     * signatures + banding twice. */
-  private val pairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private val sigsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  /** Evict memo entries whose session has stopped: a strong-keyed memo
-    * would otherwise pin dead sessions and their checkpointed frames for
-    * the life of the JVM (test suites, notebooks, multi-tenant drivers). */
-  private def purgeStopped(): Unit = {
-    pairsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    sigsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-  }
+  private val pairsMemo = new graft.operators.SessionMemo[DataFrame]
+  private val sigsMemo = new graft.operators.SessionMemo[DataFrame]
 
   /** The corpus minhash signature table — the dominant linear map phase,
     * computed once per (session, sf-dir) and shared by the pair pipeline
     * AND the incremental-ingest query (in production this IS the stored
     * signature table each ingest reads). */
-  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
-    purgeStopped()
-    sigsMemo.computeIfAbsent((s, dir), { _ =>
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    sigsMemo.get(s, dir) {
       docsSharded(s, dir).select(col("doc_id"),
         // one-pass text→minhash; the md5+affine-mod-(2^61−1) family so the
         // ENTIRE near-dup pipeline (sigs → bands → candidates → estimate)
@@ -86,12 +75,10 @@ object DedupQueries {
         // _incremental are exact-oracle-checked, not rows-only
         graft.plans.NgramHashes.minhashMd5(s, col("text"), 3, 64)
           .as("sig")).transform(graft.operators.Checkpointing.cut)
-    })
-  }
+    }
 
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    purgeStopped()
-    pairsMemo.computeIfAbsent((s, dir), { _ =>
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    pairsMemo.get(s, dir) {
       val sigged = minhashSigs(s, dir)
       val pairs = bucketPairs(sigged,
         graft.plans.NgramHashes.bands(s, col("sig"), 16, 4))
@@ -99,8 +86,7 @@ object DedupQueries {
         (a, b) => round(Hashes.minhashSimilarity(a, b), 4),
         "est_jaccard", _ >= 0.5)
         .transform(graft.operators.Checkpointing.cut)
-    })
-  }
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy, lowest doc_id is the canonical survivor.

@@ -47,21 +47,29 @@ object MultimodalQueries {
       |  SELECT doc_id, blen, CASE WHEN acc < 0 THEN acc + 4294967296 ELSE acc END AS h
       |  FROM vacc)""".stripMargin
 
-  /** h * 2654435761 with Java Long wrap-around semantics (HUGEINT product,
-    * reduce mod 2^64, map to signed). h is always non-negative here. */
-  private val knuthMix =
-    """CAST(CASE WHEN (h::HUGEINT * 2654435761) % 18446744073709551616 >= 9223372036854775808
-      |          THEN (h::HUGEINT * 2654435761) % 18446744073709551616 - 18446744073709551616
-      |          ELSE (h::HUGEINT * 2654435761) % 18446744073709551616 END AS BIGINT)""".stripMargin
+  /** Java Long wrap-around semantics for a HUGEINT product: reduce mod
+    * 2^64 (normalized for negative dividends — DuckDB's % keeps the sign),
+    * then map to signed 64-bit. One definition for every oracle multiply
+    * that the JVM wraps silently. */
+  private def wrap64(e: String): String = {
+    val m = s"(($e) % 18446744073709551616 + 18446744073709551616) % 18446744073709551616"
+    s"""CAST(CASE WHEN $m >= 9223372036854775808
+       |          THEN $m - 18446744073709551616
+       |          ELSE $m END AS BIGINT)""".stripMargin
+  }
+
+  /** The video stub's Knuth multiplicative mix, replayed with wrap. */
+  private val knuthMix = wrap64("h::HUGEINT * 2654435761")
 
   val oracles: Map[String, String] = Map(
     // Replays the full decode surface: BMP geometry ((doc_id mod 13)+4 ×
     // (doc_id mod 7)+2, 8bpp + 1078-byte header/palette, rows padded to 4),
     // the aHash over the pixel bytes (text bytes zero-padded to w·h; cell
     // means vs global mean compared in IEEE doubles — bit-identical on both
-    // engines), WAV fields (44-byte container, rate/channels formulas,
-    // (dataLen<<8 | 8)·2654435761 fits BIGINT exactly), and the video stub
-    // (Arrays.hashCode fold + Knuth mix with 64-bit wrap).
+    // engines), WAV fields (44-byte container, rate/channels formulas, the
+    // (dataLen<<8 | 8)·2654435761 phash wrapped mod 2^64 like the JVM's
+    // silent Long wrap), and the video stub (Arrays.hashCode fold + Knuth
+    // mix with 64-bit wrap).
     "mm_metadata" ->
       s"""WITH b2 AS (
          |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS blen
@@ -100,15 +108,9 @@ object MultimodalQueries {
          |         0::INTEGER AS width, 0::INTEGER AS height,
          |         CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
          |         CAST(8000 * ((doc_id % 9) // 3 + 1) AS INTEGER) AS sample_rate,
-         |         -- HUGEINT product + mod-2^64 signed map: the JVM wraps this
-         |         -- Long multiply silently, so the replay must wrap too (a
-         |         -- plain BIGINT multiply would ERROR past ~13.4 MB of text)
-         |         CAST(CASE WHEN ((blen * 256 + 8)::HUGEINT * 2654435761)
-         |                        % 18446744073709551616 >= 9223372036854775808
-         |                   THEN ((blen * 256 + 8)::HUGEINT * 2654435761)
-         |                        % 18446744073709551616 - 18446744073709551616
-         |                   ELSE ((blen * 256 + 8)::HUGEINT * 2654435761)
-         |                        % 18446744073709551616 END AS BIGINT) AS phash
+         |         -- wrapped like the JVM's silent Long multiply (a plain
+         |         -- BIGINT multiply would ERROR past ~13.4 MB of text)
+         |         ${wrap64("(blen * 256 + 8)::HUGEINT * 2654435761")} AS phash
          |  FROM b2 WHERE doc_id % 3 = 1),
          |$videoAccCtes,
          |vmeta AS (
@@ -134,12 +136,7 @@ object MultimodalQueries {
          |fr AS (SELECT doc_id, hmix, unnest(range(h % 5 + 1)) AS f FROM ph),
          |ft AS (
          |  SELECT doc_id, f, hmix,
-         |         CAST(CASE WHEN ((f::HUGEINT * (-7046029254386353131)) % 18446744073709551616
-         |                         + 18446744073709551616) % 18446744073709551616 >= 9223372036854775808
-         |                   THEN ((f::HUGEINT * (-7046029254386353131)) % 18446744073709551616
-         |                         + 18446744073709551616) % 18446744073709551616 - 18446744073709551616
-         |                   ELSE ((f::HUGEINT * (-7046029254386353131)) % 18446744073709551616
-         |                         + 18446744073709551616) % 18446744073709551616 END AS BIGINT) AS fterm
+         |         ${wrap64("f::HUGEINT * (-7046029254386353131)")} AS fterm
          |  FROM fr)
          |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
          |       CAST(f * 1000 AS BIGINT) AS ts_offset_ms,

@@ -25,29 +25,22 @@ object VectorQueries {
     * per (session, sf-dir): in production the index is BUILT ONCE and
     * stored (the corpus written bucketed by cluster); every query probes
     * the stored index rather than re-running Lloyd. Same stored-artifact
-    * pattern as DedupQueries' signature/pair memos, with the same
-    * dead-session eviction. */
-  private val ivfMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+    * pattern as DedupQueries' signature/pair memos. */
+  private val ivfMemo = new graft.operators.SessionMemo[(DataFrame, DataFrame)]
 
-  /** Verified embedding near-dup pairs, memoized per (session, sf-dir) —
-    * the stored near-dup table every downstream pass reads, same pattern
-    * as DedupQueries.pairsMemo. */
-  private val embPairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** Verified embedding near-dup pairs — the stored near-dup table every
+    * downstream pass reads. */
+  private val embPairsMemo = new graft.operators.SessionMemo[DataFrame]
 
-  private def embPairs(s: SparkSession, dir: String): DataFrame = {
-    embPairsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    embPairsMemo.computeIfAbsent((s, dir), { _ =>
+  private def embPairs(s: SparkSession, dir: String): DataFrame =
+    embPairsMemo.get(s, dir) {
       graft.operators.Embeddings.nearDupPairs(
           emb(s, dir), "vec_id", "embedding", threshold = 0.25)
         .transform(graft.operators.Checkpointing.cut)
-    })
-  }
+    }
 
-  private def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    ivfMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    ivfMemo.computeIfAbsent((s, dir), { _ =>
+  private def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    ivfMemo.get(s, dir) {
       // cut once: the corpus feeds two Lloyd assigns + the index build —
       // without it each pass re-reads and re-projects the parquet
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
@@ -57,8 +50,7 @@ object VectorQueries {
       val index = graft.operators.Ivf.assign(e, centroids)
         .transform(graft.operators.Checkpointing.cut)
       (centroids, index)
-    })
-  }
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Embedding-cosine near-dup pairs via multi-table hyperplane-LSH
@@ -108,7 +100,9 @@ object VectorQueries {
     // nprobe/k of it.
     "knn_ivf" -> ((s, dir) => {
       val (centroids, index) = ivfIndex(s, dir)
-      val q = emb(s, dir).filter(col("vec_id") < nQueries)
+      // probe vectors come off the STORED index too (it carries the
+      // embeddings) — no redundant parquet re-scan per query
+      val q = index.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       graft.operators.Ivf.knn(index, centroids, q, nprobe = 2, topK = topK)
         .orderBy("q_id", "rk")

@@ -116,6 +116,10 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     val df = graft.SparkEntry.queries("knn_lsh")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    // the contract is that NO join shuffles the corpus side — a lost
+    // broadcast hint shows up as a sort-merge or shuffled-hash join
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"candidate join shuffled the corpus:\n$plan")
     assert(df.count() > 0)
   }
 
