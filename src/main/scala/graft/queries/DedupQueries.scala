@@ -171,6 +171,24 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Cross-source duplication matrix (the curation signal "how much of
+    // source A near-duplicates source B"): the memoized verified near-dup
+    // pair table joined to each side's source, counted per unordered
+    // source pair (same-source rows included — intra-source dup mass is a
+    // curation signal too). Reads the stored pair artifact; the only new
+    // work is two id→source joins and a ≤ sources² aggregation.
+    "dedup_cross_source" -> ((s, dir) => {
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      minhashPairs(s, dir)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+        .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .agg(count(lit(1)).as("n_near_dup_pairs"),
+          round(avg("est_jaccard"), 4).as("mean_est_jaccard"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // Exact n-gram Jaccard ≥ 0.8 via prefix-filtering set-similarity join
     // (AllPairs/PPJoin shape, Bayardo et al. WWW'07): order each doc's
     // distinct 3-gram set rarest-gram-first (global document frequency),
@@ -359,6 +377,31 @@ object DedupQueries {
         |FROM documents
         |GROUP BY md5(text)
         |ORDER BY doc_id""".stripMargin,
+
+    // The minhash pipeline replay (sigCtes/agree) + two id→source joins.
+    // mean_est_jaccard averages the already-4dp-rounded per-pair estimates
+    // (exact k/64 doubles), re-rounded at 4dp — same accepted class as the
+    // other averaged-rounded oracles.
+    "dedup_cross_source" ->
+      s"""WITH $sigCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.blk = b.blk AND a.bs = b.bs AND a.doc_id < b.doc_id),
+         |$agreeCte,
+         |pairs AS (
+         |  SELECT doc_a, doc_b, round(CAST(n_eq AS DOUBLE) / 64, 4) AS est_jaccard
+         |  FROM agree WHERE n_eq >= 32),
+         |srcs AS (SELECT doc_id, source FROM documents)
+         |SELECT least(sa.source, sb.source) AS source_a,
+         |       greatest(sa.source, sb.source) AS source_b,
+         |       count(*) AS n_near_dup_pairs,
+         |       round(avg(est_jaccard), 4) AS mean_est_jaccard
+         |FROM pairs p
+         |JOIN srcs sa ON sa.doc_id = p.doc_a
+         |JOIN srcs sb ON sb.doc_id = p.doc_b
+         |GROUP BY least(sa.source, sb.source), greatest(sa.source, sb.source)
+         |ORDER BY source_a, source_b""".stripMargin,
 
     // The prefix filter is lossless, so the oracle is the brute-force
     // all-pairs definition of the same query (fine at oracle scale; the
