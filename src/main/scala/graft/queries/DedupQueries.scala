@@ -180,12 +180,17 @@ object DedupQueries {
     "dedup_cross_source" -> ((s, dir) => {
       val src = docs(s, dir).select(col("doc_id"), col("source"))
       minhashPairs(s, dir)
+        // recover the integer slot-agreement count from the 4dp estimate
+        // (round(est·64) is exact: est is within 5e-5 of k/64) so the mean
+        // is sum-of-ints / (64·count) — ONE division, ONE rounding, no
+        // summation-order FP sensitivity on either engine
+        .withColumn("n_eq", round(col("est_jaccard") * 64).cast("long"))
         .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
         .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
         .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
           greatest(col("src_a"), col("src_b")).as("source_b"))
         .agg(count(lit(1)).as("n_near_dup_pairs"),
-          round(avg("est_jaccard"), 4).as("mean_est_jaccard"))
+          round(sum("n_eq").cast("double") / (count(lit(1)) * 64), 4).as("mean_est_jaccard"))
         .orderBy("source_a", "source_b")
     }),
 
@@ -220,7 +225,7 @@ object DedupQueries {
     * agree on ≥32/64 slots to survive the verify filter). */
   private val sigCtes =
     """toks AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t
       |  FROM documents),
       |g AS (
       |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
@@ -254,18 +259,30 @@ object DedupQueries {
       |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
       |  GROUP BY c.doc_a, c.doc_b)""".stripMargin
 
+  /** The a<b band-agreement candidate CTE shared by every same-corpus
+    * minhash oracle (incremental uses its own new-vs-all variant). */
+  private val candCte =
+    """cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.blk = b.blk AND a.bs = b.bs AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Verified pairs (est ≥ 0.5 ⟺ n_eq ≥ 32) with the n_eq kept for
+    * downstream exact math. */
+  private val pairsCte =
+    """pairs AS (
+      |  SELECT doc_a, doc_b, n_eq, round(CAST(n_eq AS DOUBLE) / 64, 4) AS est_jaccard
+      |  FROM agree WHERE n_eq >= 32)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Full replay of the MinHash-LSH pipeline (see sigCtes). est ≥ 0.5 on
     // the rounded value ⟺ n_eq ≥ 32 since k/64 is exact in binary.
     "dedup_minhash_lsh" ->
       s"""WITH $sigCtes,
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.blk = b.blk AND a.bs = b.bs AND a.doc_id < b.doc_id),
-         |$agreeCte
-         |SELECT doc_a, doc_b, round(CAST(n_eq AS DOUBLE) / 64, 4) AS est_jaccard
-         |FROM agree WHERE n_eq >= 32 ORDER BY doc_a, doc_b""".stripMargin,
+         |$candCte,
+         |$agreeCte,
+         |$pairsCte
+         |SELECT doc_a, doc_b, est_jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
 
     // Same pipeline, but candidates must touch the ingest batch
     // (doc_id % 10 = 9 is the new side, mirroring the Spark query):
@@ -288,12 +305,9 @@ object DedupQueries {
     // component's minimum doc_id — exactly canonicalClusters' fixpoint.
     "dedup_clusters" ->
       s"""WITH RECURSIVE $sigCtes,
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.blk = b.blk AND a.bs = b.bs AND a.doc_id < b.doc_id),
+         |$candCte,
          |$agreeCte,
-         |pairs AS (SELECT doc_a, doc_b FROM agree WHERE n_eq >= 32),
+         |$pairsCte,
          |nodes AS (SELECT DISTINCT doc_id FROM
          |  (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b AS doc_id FROM pairs)),
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -309,7 +323,7 @@ object DedupQueries {
     // union), so the oracle takes the min directly over (source, gram).
     "dedup_source_sigs" ->
       """WITH toks AS (
-        |  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  SELECT source, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t
         |  FROM documents),
         |g AS (
         |  SELECT source, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
@@ -345,7 +359,7 @@ object DedupQueries {
     // pigeonhole candidate blocks, hamming ≤ 3 verify on bit_count(xor).
     "dedup_simhash" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
         |  FROM documents),
         |h AS (
         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
@@ -378,25 +392,21 @@ object DedupQueries {
         |GROUP BY md5(text)
         |ORDER BY doc_id""".stripMargin,
 
-    // The minhash pipeline replay (sigCtes/agree) + two id→source joins.
-    // mean_est_jaccard averages the already-4dp-rounded per-pair estimates
-    // (exact k/64 doubles), re-rounded at 4dp — same accepted class as the
-    // other averaged-rounded oracles.
+    // The minhash pipeline replay (sigCtes/cand/agree/pairs) + two
+    // id→source joins. mean_est_jaccard = sum(n_eq)/(64·count): integer
+    // slot-agreement counts sum exactly in any order, then ONE division and
+    // ONE rounding — deterministic on both engines (averaging the rounded
+    // per-pair estimates would re-introduce summation-order FP risk).
     "dedup_cross_source" ->
       s"""WITH $sigCtes,
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.blk = b.blk AND a.bs = b.bs AND a.doc_id < b.doc_id),
+         |$candCte,
          |$agreeCte,
-         |pairs AS (
-         |  SELECT doc_a, doc_b, round(CAST(n_eq AS DOUBLE) / 64, 4) AS est_jaccard
-         |  FROM agree WHERE n_eq >= 32),
+         |$pairsCte,
          |srcs AS (SELECT doc_id, source FROM documents)
          |SELECT least(sa.source, sb.source) AS source_a,
          |       greatest(sa.source, sb.source) AS source_b,
          |       count(*) AS n_near_dup_pairs,
-         |       round(avg(est_jaccard), 4) AS mean_est_jaccard
+         |       round(CAST(sum(p.n_eq) AS DOUBLE) / (count(*) * 64), 4) AS mean_est_jaccard
          |FROM pairs p
          |JOIN srcs sa ON sa.doc_id = p.doc_a
          |JOIN srcs sb ON sb.doc_id = p.doc_b
@@ -408,7 +418,7 @@ object DedupQueries {
     // Spark side is the shape that survives 100 TB).
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t
         |  FROM documents),
         |g AS (
         |  SELECT doc_id,

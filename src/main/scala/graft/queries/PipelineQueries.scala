@@ -92,7 +92,7 @@ object PipelineQueries {
       |              ELSE list_transform(range(len(t) - 7),
       |                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] ||
       |                        ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] || ' ' || t[i+8]) END)) AS gram
-      |FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t
       |      FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(

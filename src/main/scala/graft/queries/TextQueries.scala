@@ -57,14 +57,22 @@ object TextQueries {
     // broadcast at corpus scale), one groupBy(doc) — all linear; the corpus
     // total rides a broadcast 1-row aggregate, never a driver collect.
     "text_lm_score" -> ((s, dir) => {
+      // empty/whitespace-only docs tokenize to one "" pseudo-token — filter
+      // it so degenerate docs can't become a high-frequency vocabulary
+      // entry that scores them ABOVE real prose (they get n_tokens = 0 and
+      // a null score instead, consistent with wsTokenCount/text_entropy)
       val tok = docs(s, dir).select(col("doc_id"),
         explode(Text.wsTokens(lower(col("text")))).as("tok"))
+        .filter(col("tok") =!= "")
       val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
       val total = freq.agg(sum("cnt").as("total"))
-      tok.join(freq, "tok").crossJoin(broadcast(total))
+      val scored = tok.join(freq, "tok").crossJoin(broadcast(total))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           round(avg(log(col("cnt").cast("double") / col("total"))), 4).as("lm_score"))
+      docs(s, dir).select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("lm_score"))
         .orderBy("doc_id")
     }),
 
@@ -169,7 +177,7 @@ object TextQueries {
     "text_langid" ->
       s"""WITH toks AS (
          |  SELECT doc_id, lang AS lang_actual,
-         |         regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+         |         regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
          |  FROM documents),
          |hits AS (
          |  SELECT doc_id, lang_actual, l.lang,
@@ -189,17 +197,24 @@ object TextQueries {
 
     // Same unigram model: freq/total in double, natural log, 4dp-rounded
     // mean (ln and summation order agree to ~1e-14 — far from the rounding
-    // boundary, the same accepted class as emb_centroids' avg(cos)).
+    // boundary, the same accepted class as emb_centroids' avg(cos)). The
+    // "" pseudo-token of empty docs is filtered on both sides; empty docs
+    // come back via the left join with n_tokens 0 and a null score.
     "text_lm_score" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
-        |  FROM documents),
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
         |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
-        |tot AS (SELECT count(*) AS total FROM toks)
-        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |       round(avg(ln(CAST(f.cnt AS DOUBLE) / tt.total)), 4) AS lm_score
-        |FROM toks t JOIN freq f USING (tok) CROSS JOIN tot tt
-        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+        |tot AS (SELECT count(*) AS total FROM toks),
+        |scored AS (
+        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         round(avg(ln(CAST(f.cnt AS DOUBLE) / tt.total)), 4) AS lm_score
+        |  FROM toks t JOIN freq f USING (tok) CROSS JOIN tot tt
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, s.lm_score
+        |FROM documents d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Same recurrence as Md5FingerprintExpr: left fold of
     // (acc*31 + md5prefix(tok) mod M) mod M over the whitespace tokens,
@@ -209,18 +224,18 @@ object TextQueries {
       """SELECT doc_id,
         |       list_reduce(
         |         list_prepend(0::BIGINT,
-        |           list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |           list_transform(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
         |             t -> (('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000000000037))),
         |         (acc, h) -> (acc * 31 + h) % 1000000000000037) AS fingerprint,
         |       CASE WHEN length(trim(text)) = 0 THEN 0
-        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens
+        |            ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_ws_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,
         |       CASE WHEN length(trim(text)) = 0 THEN 0
-        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
-        |       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
+        |            ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_ws_tokens,
+        |       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \t\n\x0b\f\r]')) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
@@ -228,10 +243,10 @@ object TextQueries {
          |  SELECT doc_id,
          |         length(text) AS n_chars,
          |         CASE WHEN length(trim(text)) = 0 THEN 0
-         |              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-         |         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |              ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS n_tokens,
+         |         len(list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
          |             x -> x IN ($stopList))) AS n_stop,
-         |         len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct
+         |         len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r]')) AS n_punct
          |  FROM documents)
          |SELECT doc_id, n_chars, n_tokens,
          |       round(CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1), 4) AS avg_token_len,
@@ -263,7 +278,7 @@ object TextQueries {
 
     "text_top_ngrams" ->
       """WITH toks AS (
-        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |  SELECT regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t FROM documents),
         |grams AS (
         |  SELECT unnest(CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
         |                ELSE list_transform(range(len(t) - 1),
@@ -275,8 +290,8 @@ object TextQueries {
     "text_repetition" ->
       """WITH f AS (
         |  SELECT doc_id,
-        |         regexp_split_to_array(trim(lower(text)), '\s+') AS t,
-        |         regexp_split_to_array(trim(text), '\s+') AS toks,
+        |         regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t,
+        |         regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+') AS toks,
         |         length(text) AS n_chars
         |  FROM documents),
         |g AS (
@@ -309,12 +324,12 @@ object TextQueries {
          |  SELECT doc_id, lang, source, text,
          |         round(
          |           least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-         |                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) / 100.0, 1.0) * 0.4 +
-         |           least((CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |                 ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS DOUBLE) / 100.0, 1.0) * 0.4 +
+         |           least((CAST(len(list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
          |                 x -> x IN ($stopList))) AS DOUBLE) /
          |                 greatest(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-         |                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE), 1.0)) * 5.0, 1.0) * 0.4 +
-         |           (1.0 - least((CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) /
+         |                 ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS DOUBLE), 1.0)) * 5.0, 1.0) * 0.4 +
+         |           (1.0 - least((CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r]')) AS DOUBLE) /
          |                 greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10.0, 1.0)) * 0.2,
          |           4) AS quality_score
          |  FROM documents),

@@ -42,16 +42,31 @@ class TextHashSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("lm score ranks common-token docs above rare-token docs") {
-    // a doc made of the corpus' dominant tokens must score higher (closer
-    // to 0) than one made of hapax tokens — the quality-filter contract
     val lm = graft.SparkEntry.queries("text_lm_score")(spark, sf)
       .select("doc_id", "lm_score", "n_tokens")
-      .as[(Long, Double, Long)].collect()
-    assert(lm.nonEmpty && lm.forall(_._2 <= 0.0), "log-probs must be <= 0")
-    assert(lm.forall(_._3 >= 1L), "every doc tokenizes to >= 1 token")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getLong(2)))
+    assert(lm.nonEmpty && lm.forall(_._2.forall(_ <= 0.0)), "log-probs must be <= 0")
     val docs = sources.Tables(spark, sf, "documents")
       .select("doc_id").as[Long].collect().toSet
-    assert(lm.map(_._1).toSet == docs, "one score per document")
+    assert(lm.map(_._1).toSet == docs, "one row per document")
+    // the RANKING contract (not just sign): recompute one doc's expected
+    // score independently — collect its tokens and the corpus frequency
+    // table, fold in plain Scala — and require 4dp equality
+    val texts = sources.Tables(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val tokensOf: Map[Long, Seq[String]] = texts.map { case (id, t) =>
+      id -> t.toLowerCase.trim.split("\\s+", -1).toSeq.filter(_.nonEmpty)
+    }.toMap
+    val freqs = tokensOf.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val total = freqs.values.map(_.toLong).sum.toDouble
+    val (someDoc, someTokens) = tokensOf.find(_._2.nonEmpty).get
+    val expect = BigDecimal(someTokens.map(t => math.log(freqs(t) / total)).sum / someTokens.size)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = lm.find(_._1 == someDoc).get._2.get
+    assert(math.abs(got - expect) < 1.5e-4, s"doc $someDoc: got $got expected $expect")
+    // empty docs (if any) carry n_tokens 0 and a null score
+    lm.filter(_._3 == 0L).foreach { case (_, s, _) => assert(s.isEmpty) }
   }
 
   test("minhash: identical docs → identical sigs, est similarity 1.0") {
