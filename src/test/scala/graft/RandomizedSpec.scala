@@ -107,6 +107,47 @@ class RandomizedSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("md5 minhash matches an independent slow reference on random texts") {
+    // independent path: Java-regex tokenization + MessageDigest + BigInteger
+    // affine mod p — shares NO code with the native gram walk, so it
+    // catches tokenization drift (empties, multi-byte, \x0B) and modmul
+    // bugs alike
+    val p = java.math.BigInteger.valueOf(graft.plans.NativeHashes.MersenneP61)
+    val (pa, pb) = graft.plans.NativeHashes.minhashPerms(16)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5p60(s: String): Long = {
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def refSig(text: String, k: Int): Array[Long] = {
+      // Spark's trim strips ONLY 0x20 spaces (unlike Java String.trim,
+      // which also strips \t and friends — a real divergence this spec
+      // caught on first run)
+      val lowered = text.toLowerCase
+      val sparkTrimmed = lowered.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val toks = sparkTrimmed.split("\\s+", -1).toSeq
+      val grams = if (toks.size < k) Seq(toks.mkString(" "))
+        else toks.sliding(k).map(_.mkString(" ")).toSeq
+      Array.tabulate(16) { i =>
+        grams.map { g =>
+          java.math.BigInteger.valueOf(pa(i)).multiply(java.math.BigInteger.valueOf(md5p60(g)))
+            .add(java.math.BigInteger.valueOf(pb(i))).mod(p).longValueExact()
+        }.min
+      }
+    }
+    val alphabet = "ab c\tdé\n 日本 x!"
+    val texts = (0 until 60).map { i =>
+      val len = rnd.nextInt(40)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    } :+ "" :+ "   " :+ "one"
+    val got = texts.toDF("text")
+      .select(graft.plans.NgramHashes.minhashMd5(spark, $"text", 3, 16).as("sig"))
+      .as[Array[Long]].collect()
+    got.zip(texts).foreach { case (sig, t) =>
+      assert(sig.sameElements(refSig(t, 3)), s"sig mismatch for ${t.take(30).mkString}")
+    }
+  }
+
   test("topKPerGroup matches the brute-force reference on random data") {
     val k = 3
     val expected = events.groupBy(_.k).flatMap { case (_, es) =>
