@@ -124,6 +124,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup: new docs match history across micro-batches, never re-pair it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val matches = graft.streaming.DedupStream
+      .nearDupMatches(spark, input.toDS().toDF("doc_id", "text"))
+    val q = matches.writeStream.format("memory").queryName("neardup")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      // batch 1: two unrelated docs + one near-dup pair INSIDE the batch
+      input.addData((1L, base), (2L, "completely different content here entirely"),
+        (3L, base + " extra"))
+      q.processAllAvailable()
+      val m1 = spark.table("neardup").select("doc_a", "doc_b")
+        .distinct().as[(Long, Long)].collect().toSet
+      assert(m1 == Set((1L, 3L)), s"got $m1")
+      // batch 2: a new near-dup of doc 1 — must match HISTORY (1 and 3),
+      // and the historical pair (1,3) must NOT be re-emitted
+      val before = spark.table("neardup").count()
+      input.addData((4L, base + " more"))
+      q.processAllAvailable()
+      val m2 = spark.table("neardup").select("doc_a", "doc_b")
+        .distinct().as[(Long, Long)].collect().toSet
+      assert(m2 == Set((1L, 3L), (1L, 4L), (3L, 4L)), s"got $m2")
+      // every new emission involves doc 4 (no history re-pairing)
+      val newRows = spark.table("neardup").as[graft.streaming.DedupStream.Match]
+        .collect().drop(before.toInt)
+      assert(newRows.nonEmpty && newRows.forall(m => m.doc_a == 4L || m.doc_b == 4L))
+      // estimates are the batch family's values: pairs of near-identical
+      // docs agree on most slots
+      assert(newRows.forall(m => m.est_jaccard >= 0.5 && m.est_jaccard <= 1.0))
+    } finally q.stop()
+  }
+
   test("intervalJoin: stream-stream join matches only within the time bound") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Change]
