@@ -57,10 +57,15 @@ object DedupStream {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, rows, state: GroupState[BucketState]) =>
           val seen = state.getOption.getOrElse(BucketState(Nil)).docs
+          val seenIds = seen.iterator.map(_.doc_id).toSet
           // microbatch iterator order is not deterministic — process in
-          // doc_id order so restarts and re-executions emit identical pairs
+          // doc_id order so restarts and re-executions emit identical
+          // pairs. Drop ids already in state too: an at-least-once source
+          // redelivering a doc must not duplicate its state entry (and
+          // with it every future match emission).
           val batch = rows.map(r => SigDoc(r._1, r._2)).toSeq
-            .distinctBy(_.doc_id).sortBy(_.doc_id)
+            .distinctBy(_.doc_id).filterNot(d => seenIds(d.doc_id))
+            .sortBy(_.doc_id)
           val out = Seq.newBuilder[Match]
           var members = seen
           batch.foreach { d =>

@@ -155,6 +155,13 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       // estimates are the batch family's values: pairs of near-identical
       // docs agree on most slots
       assert(newRows.forall(m => m.est_jaccard >= 0.5 && m.est_jaccard <= 1.0))
+      // at-least-once redelivery: replaying doc 1 must add NO state entry
+      // and emit NO new matches (its pairs were emitted at first arrival)
+      val beforeReplay = spark.table("neardup").count()
+      input.addData((1L, base))
+      q.processAllAvailable()
+      assert(spark.table("neardup").count() == beforeReplay,
+        "redelivered doc re-emitted matches")
     } finally q.stop()
   }
 
