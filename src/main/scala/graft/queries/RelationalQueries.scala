@@ -133,6 +133,22 @@ object RelationalQueries {
           col("n"), col("sum_qty"))
         .orderBy("rflag", "lstatus")),
 
+    // Explicit GROUPING SETS (the third multi-level-agg form next to
+    // rollup/cube): per-flag totals, per-status totals, and the grand
+    // total in ONE pass — Spark expands the sets map-side, so the input
+    // is scanned once, not once per set.
+    "q_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("rflag", "lstatus")),
+
     // Pivot with an explicit value list (no driver-side distinct scan).
     "q_pivot" -> ((s, dir) =>
       ev(s, dir)
@@ -392,6 +408,14 @@ object RelationalQueries {
         |       count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+        |       COALESCE(l_linestatus, 'ALL') AS lstatus,
+        |       count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY rflag, lstatus""".stripMargin,
 
     "q_pivot" ->

@@ -96,6 +96,23 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(sc.getCheckpointDir.isEmpty)
   }
 
+  test("SessionMemo builds once per (session, key) and separates keys") {
+    val memo = new graft.operators.SessionMemo[java.lang.Integer]
+    var builds = 0
+    def build(v: Int): java.lang.Integer = { builds += 1; Integer.valueOf(v) }
+    assert(memo.get(spark, "a")(build(1)) == 1)
+    assert(memo.get(spark, "a")(build(99)) == 1, "second get must reuse, not rebuild")
+    assert(builds == 1)
+    assert(memo.get(spark, "b")(build(2)) == 2, "distinct keys build separately")
+    assert(builds == 2)
+    // purge with a LIVE session is a no-op: entries survive other memos'
+    // accesses (the dead-session path needs a stopped context, which the
+    // shared-suite JVM cannot exercise)
+    val other = new graft.operators.SessionMemo[java.lang.Integer]
+    other.get(spark, "x")(Integer.valueOf(7))
+    assert(memo.get(spark, "a")(build(5)) == 1 && builds == 2)
+  }
+
   test("saltedJoin is row-identical to the plain join") {
     val left = Tables(spark, sf, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
     val right = Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice")
