@@ -174,4 +174,39 @@ object Dedup {
     // DataFrames go out of scope; the returned frame is the live result
     labels
   }
+
+  /** Per-document duplicated-span mass: the fraction of a doc's k-token
+    * spans (one per position, duplicates kept) that occur in ≥ 2 distinct
+    * documents — the fixed-k, hash-based form of the substring-dedup signal
+    * (Lee et al. '22, "Deduplicating Training Data Makes Language Models
+    * Better"): where suffix-array dedup finds arbitrary repeated substrings,
+    * counting repeated fixed-k spans is the linear, shuffle-friendly
+    * approximation a distributed pipeline actually runs.
+    *
+    * Scale: spans never shuffle as strings — each is reduced map-side to its
+    * 60-bit md5-prefix hash (8 bytes on the wire, replayable in DuckDB so
+    * the query is exact-oracle-checked, not rows-only). Every shuffle is
+    * linear and pre-aggregated: groupBy(span_h, doc_id) collapses intra-doc
+    * repeats with map-side partials, the ndocs pass and the back-join move
+    * only distinct (span, doc) pairs, and the final groupBy(doc_id) carries
+    * two longs per doc.
+    *
+    * @param spans (doc_id, span) with one row per span position
+    * @return (doc_id, n_spans, dup_spans, dup_span_ratio) for docs with any
+    *         cross-doc duplicated span */
+  def duplicatedSpanMass(spans: DataFrame): DataFrame = {
+    val hashed = spans.select(col("doc_id"),
+      conv(substring(md5(col("span")), 1, 15), 16, 10).cast("long").as("span_h"))
+    val occ = hashed.groupBy("span_h", "doc_id").agg(count(lit(1)).as("occ"))
+    val shared = occ.groupBy("span_h").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+    occ.join(shared, Seq("span_h"), "left")
+      .groupBy("doc_id")
+      .agg(sum("occ").as("n_spans"),
+        sum(when(col("ndocs").isNotNull, col("occ")).otherwise(lit(0L))).as("dup_spans"))
+      .filter(col("dup_spans") > 0)
+      .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+        round(col("dup_spans").cast("double") / col("n_spans").cast("double"), 4)
+          .as("dup_span_ratio"))
+  }
 }

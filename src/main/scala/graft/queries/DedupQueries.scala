@@ -211,7 +211,18 @@ object DedupQueries {
           // which costs 3 interpreted HOFs per row)
           graft.plans.NgramHashes.hashes(s, col("text"), 3).as("grams")),
         tNum = 4, tDen = 5)
-        .orderBy("doc_a", "doc_b")))
+        .orderBy("doc_a", "doc_b")),
+
+    // Duplicated-span mass (the Lee et al. '22 substring-dedup signal):
+    // fraction of each doc's 8-token spans that appear in ≥ 2 distinct
+    // docs. Spans come off the native WordShinglesExpr (duplicates kept —
+    // every position counts) and are hashed map-side to the replayable
+    // 60-bit md5 prefix, so the pipeline is exact-oracle-checked.
+    "dedup_span_exact" -> ((s, dir) =>
+      graft.operators.Dedup.duplicatedSpanMass(
+        docsSharded(s, dir).select(col("doc_id"),
+          explode(graft.plans.NgramHashes.shingles(s, col("text"), 8)).as("span")))
+        .orderBy(col("dup_span_ratio").desc, col("doc_id"))))
 
   /** Shared DuckDB replay of the minhash signature pipeline (the exact math
     * of `Md5MinHashFromText` + `LshBandsExpr` semantics): same lower/trim/
@@ -434,5 +445,33 @@ object DedupQueries {
         |SELECT doc_a, doc_b,
         |       round(CAST(n_inter AS DOUBLE) / n_union, 4) AS jaccard
         |FROM scored
-        |WHERE n_inter * 5 >= n_union * 4 ORDER BY doc_a, doc_b""".stripMargin)
+        |WHERE n_inter * 5 >= n_union * 4 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Full replay of the span pipeline: same tokenize/shingle CTEs as the
+    // other gram oracles (k=8, positional duplicates kept), span hash =
+    // 60-bit md5 prefix, then the identical occ/ndocs/left-join/ratio
+    // algebra. All counts integral; ONE division, ONE rounding.
+    "dedup_span_exact" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |                 ELSE list_transform(range(len(t) - 7),
+        |                      i -> array_to_string(t[i + 1:i + 8], ' ')) END) AS span
+        |  FROM toks),
+        |h AS (
+        |  SELECT doc_id, ('0x' || substr(md5(span), 1, 15))::BIGINT AS span_h FROM spans),
+        |occ AS (SELECT span_h, doc_id, count(*) AS occ FROM h GROUP BY 1, 2),
+        |dup AS (SELECT span_h FROM occ GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT occ.doc_id,
+        |       CAST(sum(occ.occ) AS BIGINT) AS n_spans,
+        |       CAST(sum(CASE WHEN dup.span_h IS NOT NULL THEN occ.occ ELSE 0 END) AS BIGINT)
+        |         AS dup_spans,
+        |       round(CAST(sum(CASE WHEN dup.span_h IS NOT NULL THEN occ.occ ELSE 0 END) AS DOUBLE) /
+        |             CAST(sum(occ.occ) AS DOUBLE), 4) AS dup_span_ratio
+        |FROM occ LEFT JOIN dup USING (span_h)
+        |GROUP BY occ.doc_id
+        |HAVING sum(CASE WHEN dup.span_h IS NOT NULL THEN occ.occ ELSE 0 END) > 0
+        |ORDER BY dup_span_ratio DESC, doc_id""".stripMargin)
 }

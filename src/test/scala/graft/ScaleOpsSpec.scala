@@ -160,4 +160,26 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
         s"approx=$approx exact=$exact")
     }
   }
+
+  test("duplicatedSpanMass scores cross-doc overlap, ignores intra-doc repeats") {
+    // docs 1 and 2 share a 20-token block (13 of each doc's 25 8-token
+    // spans lie fully inside it); doc 3 is unique; doc 4 repeats a block
+    // INTERNALLY only — cross-doc dup requires ≥ 2 distinct docs, so it
+    // must not appear.
+    val shared = (0 until 20).map(i => s"s$i").mkString(" ")
+    val doc1 = shared + " " + (0 until 12).map(i => s"b$i").mkString(" ")
+    val doc2 = shared + " " + (0 until 12).map(i => s"c$i").mkString(" ")
+    val doc3 = (0 until 30).map(i => s"u$i").mkString(" ")
+    val rep = (0 until 10).map(i => s"r$i").mkString(" ")
+    val spans = Seq((1L, doc1), (2L, doc2), (3L, doc3), (4L, rep + " " + rep))
+      .toDF("doc_id", "text")
+      .select($"doc_id",
+        explode(graft.plans.NgramHashes.shingles(spark, $"text", 8)).as("span"))
+    val rows = graft.operators.Dedup.duplicatedSpanMass(spans)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows.map(_._1) == Seq(1L, 2L), s"wrong docs flagged: $rows")
+    rows.foreach { case (_, n, d, r) =>
+      assert(n == 25 && d == 13 && r == 0.52, s"unexpected span mass: ($n,$d,$r)")
+    }
+  }
 }
