@@ -319,7 +319,70 @@ object RelationalQueries {
       ev(s, dir)
         .select(col("event_id"), col("user_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k"))
-        .orderBy("event_id")))
+        .orderBy("event_id")),
+
+    // Correlation / regression-slope statistics per group, computed from
+    // EXACT integer sums: values are 2dp currency/quantity, so cents-scaled
+    // longs make every sum exact in any partition order; the corr/beta
+    // formulas then run ONCE per group in doubles with the identical
+    // operand order as the oracle (bit-identical IEEE) — the built-in
+    // `corr()` aggregate accumulates FLOAT co-moments in partition order
+    // and could not hash-match. Products are summed as decimal(38,0): the
+    // per-row long product is safe (< 2^63) but a group's sum is not.
+    "q_corr_stats" -> ((s, dir) => {
+      val qc = round(col("l_quantity") * 100).cast("long")
+      val pc = round(col("l_extendedprice") * 100).cast("long")
+      val g = t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(qc).as("sx"), sum(pc).as("sy"),
+          sum((qc * pc).cast("decimal(38,0)")).as("sxy"),
+          sum((qc * qc).cast("decimal(38,0)")).as("sx2"),
+          sum((pc * pc).cast("decimal(38,0)")).as("sy2"))
+      val (nD, sxD, syD) =
+        (col("n").cast("double"), col("sx").cast("double"), col("sy").cast("double"))
+      val (sxyD, sx2D, sy2D) =
+        (col("sxy").cast("double"), col("sx2").cast("double"), col("sy2").cast("double"))
+      g.select(col("l_returnflag"), col("n"),
+          round((nD * sxyD - sxD * syD) /
+            (sqrt(nD * sx2D - sxD * sxD) * sqrt(nD * sy2D - syD * syD)), 4)
+            .as("corr_qty_price"),
+          // cents scaling cancels in the slope (numerator and denominator
+          // both carry the 1e4 factor)
+          round((nD * sxyD - sxD * syD) / (nD * sx2D - sxD * sxD), 4)
+            .as("beta_price_per_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Fixed-width histogram over order totals. Bucket assignment is pure
+    // integer math on cents (cents div width), so no float boundary can
+    // disagree between engines; the per-bucket revenue sums exact cents
+    // (decimal — a 100 TB bucket's cents exceed a long) with one division
+    // + one rounding at the end.
+    "q_histogram" -> ((s, dir) => {
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      t(s, dir, "orders")
+        .select(least(expr("CAST(round(o_totalprice * 100) AS BIGINT) div 5000000"), lit(9L))
+            .as("bucket"),
+          cents.as("cents"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("cents").cast("decimal(38,0)")).cast("double") / 100, 4)
+            .as("total_price"))
+        .orderBy("bucket")
+    }),
+
+    // Ordered string aggregation (LISTAGG/string_agg): the collect is
+    // per-group bounded (nations per region) and sorted before the join so
+    // collect_list's partition-order nondeterminism can't leak into the
+    // output. Both sides broadcast — dims only.
+    "q_string_agg" -> ((s, dir) =>
+      t(s, dir, "region")
+        .join(t(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_nations"),
+          array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+        .orderBy("r_name")))
 
   /** Shared DuckDB prelude for event queries (ns timestamps → epoch micros). */
   private val evCte =
@@ -549,5 +612,43 @@ object RelationalQueries {
       """SELECT event_id, user_id,
         |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+
+    // Exact cents-scaled sums (HUGEINT, any order), then corr/beta in
+    // doubles with the same operand order as the Spark side.
+    "q_corr_stats" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sx,
+        |         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sy,
+        |         CAST(sum(CAST(round(l_quantity*100) AS BIGINT)
+        |                  * CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(round(l_quantity*100) AS BIGINT)
+        |                  * CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE) AS sx2,
+        |         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |                  * CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) AS sy2
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+        |             (sqrt(CAST(n AS DOUBLE)*sx2 - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+        |              sqrt(CAST(n AS DOUBLE)*sy2 - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 4)
+        |         AS corr_qty_price,
+        |       round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+        |             (CAST(n AS DOUBLE)*sx2 - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 4)
+        |         AS beta_price_per_qty
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    // Integral cents bucketing + exact cents revenue (HUGEINT sum).
+    "q_histogram" ->
+      """SELECT least(CAST(round(o_totalprice * 100) AS BIGINT) // 5000000, 9) AS bucket,
+        |       count(*) AS n_orders,
+        |       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 4)
+        |         AS total_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT r_name, count(*) AS n_nations,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
 }

@@ -95,4 +95,21 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     // projection pruning: untouched wide columns must not be read
     assert(!plan.contains("l_partkey"), plan.take(3000))
   }
+
+  test("exact-sum correlation agrees with the built-in corr aggregate") {
+    // q_corr_stats rebuilds corr from exact cents-scaled integer sums (for
+    // cross-engine determinism); it must still be the same statistic the
+    // float co-moment aggregate computes, up to the cents quantization.
+    val ours = queries.RelationalQueries.queries("q_corr_stats")(spark, sf)
+      .select("l_returnflag", "corr_qty_price")
+      .as[(String, Double)].collect().toMap
+    val ref = sources.Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .as[(String, Double)].collect().toMap
+    assert(ours.keySet == ref.keySet)
+    ours.foreach { case (k, v) =>
+      assert(math.abs(v - ref(k)) < 1e-4, s"$k: exact-sum $v vs builtin ${ref(k)}")
+    }
+  }
 }
