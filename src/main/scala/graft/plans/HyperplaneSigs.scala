@@ -149,6 +149,111 @@ final case class HyperplaneSigsExpr(child: Expression, bits: Int, tables: Int,
   override def prettyName: String = "hyperplane_sigs"
 }
 
+/** Native Johnson–Lindenstrauss random projection: the same md5-derived
+  * plane family as [[HyperplaneSigsExpr]] (`md5Planes = true`), but
+  * returning the raw projection VALUES — proj(p) = Σ_k vec(k)·plane(p)(k)
+  * in array order — instead of sign bits. The left-fold of float→double
+  * products is the identical IEEE op sequence DuckDB's `list_reduce`
+  * replay runs, so projections are bit-identical cross-engine and the
+  * query hash-matches its oracle.
+  */
+final case class ProjectPlanesExpr(child: Expression, nPlanes: Int)
+    extends UnaryExpression {
+
+  require(nPlanes >= 1, s"project_planes needs nPlanes >= 1, got $nPlanes")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"project_planes expects array<float|double>, got $other")
+    }
+
+  private val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  // same single-reference publication discipline as HyperplaneSigsExpr
+  @transient private var cached: (Int, Array[Array[Double]]) = _
+
+  /** Public: the generated code calls this through a reference object. */
+  def planeMatrix(dims: Int): Array[Array[Double]] = {
+    val c = cached
+    if (c != null && c._1 == dims) c._2
+    else {
+      val m = Array.ofDim[Double](nPlanes, dims)
+      val md = NativeHashes.md5Digest
+      var p = 0
+      while (p < nPlanes) {
+        var j = 0
+        while (j < dims) {
+          val h = NativeHashes.md5Token60(md,
+            org.apache.spark.unsafe.types.UTF8String.fromString(s"plane:$p:$j"))
+          m(p)(j) = (h % 1000000L).toDouble / 500000.0 - 1.0
+          j += 1
+        }
+        p += 1
+      }
+      cached = (dims, m)
+      m
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dims = arr.numElements()
+    val m = planeMatrix(dims)
+    val out = new Array[Double](nPlanes)
+    var p = 0
+    while (p < nPlanes) {
+      val plane = m(p)
+      var proj = 0.0
+      var k = 0
+      while (k < dims) {
+        proj += (if (isFloat) arr.getFloat(k).toDouble else arr.getDouble(k)) * plane(k)
+        k += 1
+      }
+      out(p) = proj
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val self = ctx.addReferenceObj("projectPlanes", this,
+        classOf[ProjectPlanesExpr].getName)
+      val dims = ctx.freshName("dims")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val p = ctx.freshName("p")
+      val k = ctx.freshName("k")
+      val proj = ctx.freshName("proj")
+      val plane = ctx.freshName("plane")
+      val get = if (isFloat) s"(double) $arr.getFloat($k)" else s"$arr.getDouble($k)"
+      s"""
+         |int $dims = $arr.numElements();
+         |double[][] $m = $self.planeMatrix($dims);
+         |double[] $out = new double[$nPlanes];
+         |for (int $p = 0; $p < $nPlanes; $p++) {
+         |  double[] $plane = $m[$p];
+         |  double $proj = 0.0;
+         |  for (int $k = 0; $k < $dims; $k++) $proj += $get * $plane[$k];
+         |  $out[$p] = $proj;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ProjectPlanesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "project_planes"
+}
+
 object HyperplaneSigs {
 
   def register(spark: SparkSession): Unit = NativeFunctions.register(spark)
@@ -172,4 +277,11 @@ object HyperplaneSigs {
   /** Single-table signature (element 0 of the one-table variant). */
   def sig(spark: SparkSession, vec: Column, bits: Int): Column =
     org.apache.spark.sql.functions.element_at(sigs(spark, vec, bits, 1), 1)
+
+  /** Raw md5-plane projection values (JL dimensionality reduction) — the
+    * un-signed form of [[sigsMd5]]'s projections, DuckDB-replayable. */
+  def project(spark: SparkSession, vec: Column, nPlanes: Int): Column = {
+    register(spark)
+    call_function("project_planes", vec, org.apache.spark.sql.functions.lit(nPlanes))
+  }
 }

@@ -81,6 +81,10 @@ object NativeFunctions {
       case Seq(a, b) => CosineSim(a, b)
       case other => bad("cosine_sim", "a, b", other.size)
     },
+    "project_planes" -> {
+      case Seq(c, n) => ProjectPlanesExpr(c, intArg(n, "nPlanes"))
+      case other => bad("project_planes", "vec, nPlanes", other.size)
+    },
     "nearest_centroid" -> {
       case Seq(a, b) => NearestCentroid(a, b)
       case other => bad("nearest_centroid", "emb, centroids", other.size)

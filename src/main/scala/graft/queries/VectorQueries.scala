@@ -132,7 +132,21 @@ object VectorQueries {
         round(graft.plans.CosineSim.cosine(s, col("q_emb"), col("embedding")), 4).as("cos"))
       Relational.topKByScore(scored, "q_id", "cos", "neighbor_id", topK)
         .orderBy("q_id", "rk")
-    }))
+    }),
+
+    // Johnson–Lindenstrauss random projection (dimensionality reduction
+    // ahead of ANN/clustering): 64-dim float embeddings → 8 projection
+    // values against the md5-derived plane family. Map-only — one native
+    // codegen'd expression per row, no shuffle at any scale; the identical
+    // IEEE double fold replays bit-exactly in DuckDB (same argument as the
+    // knn_lsh signature replay, without even a sign decision involved).
+    "emb_project" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("vec_id"),
+          posexplode(graft.plans.HyperplaneSigs.project(s, col("embedding"), 8)))
+        .select(col("vec_id"), col("pos").cast("long").as("p"),
+          round(col("col"), 4).as("proj"))
+        .orderBy("vec_id", "p")))
 
   /** knn_bruteforce is oracle-checkable because ranking happens on the
     * ALREADY-ROUNDED cosine (4dp) with an id tie-break — double-precision
@@ -249,5 +263,25 @@ object VectorQueries {
          |             ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
          |  FROM scored)
          |SELECT q_id, rk, neighbor_id, cos FROM ranked WHERE rk <= $topK
-         |ORDER BY q_id, rk""".stripMargin)
+         |ORDER BY q_id, rk""".stripMargin,
+
+    // The JL projection replay: same md5-derived plane components as the
+    // LSH oracles, same left-fold order — identical IEEE double sequences
+    // are bit-identical, so the 4dp rounding can never straddle a boundary
+    // differently across engines.
+    "emb_project" ->
+      """WITH dims AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1),
+        |pl AS (
+        |  SELECT p, list(('0x' || substr(md5('plane:' || p || ':' || j), 1, 15))::BIGINT
+        |                 % 1000000 / 500000.0 - 1.0 ORDER BY j) AS plane
+        |  FROM (SELECT unnest(range(8)) AS p),
+        |       (SELECT unnest(range((SELECT d FROM dims))) AS j)
+        |  GROUP BY p)
+        |SELECT e.vec_id, pl.p,
+        |       round(list_reduce(list_prepend(0.0,
+        |         list_transform(range((SELECT d FROM dims)),
+        |           k -> e.embedding[k + 1]::DOUBLE * pl.plane[k + 1])),
+        |         (a, x) -> a + x), 4) AS proj
+        |FROM embeddings e, pl
+        |ORDER BY vec_id, p""".stripMargin)
 }

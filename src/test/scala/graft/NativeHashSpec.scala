@@ -274,6 +274,35 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
     assert(!m(0).sameElements(xxh(0)))
   }
 
+  test("project_planes matches an independent matrix multiply and the sig signs") {
+    // the JL projection must be the exact fold the signature expression
+    // signs: recompute proj through the spec's own matrix walk, and check
+    // sign-consistency against hyperplane_sigs_md5 table 0
+    val vecs = (0 until 6).map(i =>
+      (i.toLong, Array.tabulate(16)(j => ((i * 5 + j * 3) % 11).toFloat - 5f)))
+    val df = vecs.toDF("vec_id", "emb")
+    val out = df.select($"vec_id",
+        graft.plans.HyperplaneSigs.project(spark, $"emb", 8).as("proj"),
+        graft.plans.HyperplaneSigs.sigsMd5(spark, $"emb", 8, 1).as("sigs"))
+      .as[(Long, Seq[Double], Seq[Long])].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val m = Array.tabulate(8, 16) { (p, j) =>
+      val h = NativeHashes.md5Token60(md,
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"plane:$p:$j"))
+      (h % 1000000L).toDouble / 500000.0 - 1.0
+    }
+    out.foreach { case (id, proj, sigs) =>
+      val vec = vecs(id.toInt)._2
+      (0 until 8).foreach { p =>
+        var expect = 0.0
+        (0 until 16).foreach(k => expect += vec(k).toDouble * m(p)(k))
+        assert(proj(p) == expect, s"vec $id plane $p: ${proj(p)} vs $expect")
+        assert(((sigs.head >> p) & 1L) == (if (proj(p) >= 0) 1L else 0L),
+          s"vec $id plane $p sign mismatch")
+      }
+    }
+  }
+
   test("all native expressions compile under CODEGEN_ONLY (no silent fallback)") {
     // Spark silently falls back to interpreted eval when generated code
     // fails to compile — which would erase the whole point of doGenCode and
@@ -304,6 +333,7 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
           graft.plans.NgramHashes.minhash(spark, $"text", 3, 16), 4, 4).as("ngb"),
         graft.plans.HyperplaneSigs.sigs(spark, $"a", 8, 4).as("hp"),
         graft.plans.HyperplaneSigs.sigsMd5(spark, $"a", 8, 4).as("hp5"),
+        graft.plans.HyperplaneSigs.project(spark, $"a", 8).as("pj"),
         graft.plans.CosineSim.cosine(spark, $"a", $"b").as("cos"),
         graft.plans.NearestCentroid.nearest(spark, $"a",
           typedLit(Seq(Seq.fill(16)(0.5), Seq.fill(16)(-0.5)))).as("nc"))
