@@ -85,6 +85,14 @@ object NativeFunctions {
       case Seq(c, n) => ProjectPlanesExpr(c, intArg(n, "nPlanes"))
       case other => bad("project_planes", "vec, nPlanes", other.size)
     },
+    "pq_encode" -> {
+      case Seq(v, cb, mm) => PqEncodeExpr(v, cb, intArg(mm, "m"))
+      case other => bad("pq_encode", "vec, codebook, m", other.size)
+    },
+    "pq_adc" -> {
+      case Seq(q, cs, cb, mm) => PqAdcExpr(q, cs, cb, intArg(mm, "m"))
+      case other => bad("pq_adc", "qvec, codes, codebook, m", other.size)
+    },
     "nearest_centroid" -> {
       case Seq(a, b) => NearestCentroid(a, b)
       case other => bad("nearest_centroid", "emb, centroids", other.size)

@@ -123,6 +123,54 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(df.count() > 0)
   }
 
+  test("PQ encode/ADC: donors code to themselves, near-dups score closest") {
+    // codebook = subvectors of the 4 lowest-id vectors (m=4 subspaces of
+    // 4 dims, K=4); a donor's nearest sub-centroid in every subspace is its
+    // own subvector (distance exactly 0), and ADC against its own codes is
+    // exactly 0. A planted noisy copy of vector 1 must beat every other
+    // vector's ADC for query 1 — the compressed-domain scan preserves the
+    // near-dup ranking the exact rerank then confirms.
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(16)(j => (((seed * 37 + j) * 2654435761L % 1000) / 500.0 - 1.0).toFloat)
+    val m = 4
+    val base = (0 until 12).map(i => (i.toLong, vec(i + 1)))
+    val planted = Seq((30L, vec(2).zipWithIndex.map { case (x, j) =>
+      x + (if (j % 5 == 0) 0.03f else 0f) }))
+    val cbVecs = base.take(4).map(_._2.map(_.toDouble))
+    val cb: Seq[Seq[Double]] = for {
+      s <- 0 until m
+      c <- 0 until 4
+    } yield cbVecs(c).slice(s * 4, (s + 1) * 4).toSeq
+    val cbLit = typedLit(cb)
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val codes = df.select($"vec_id", $"embedding",
+      graft.plans.Pq.encode(spark, $"embedding", cbLit, m).as("codes"))
+    val donors = codes.filter($"vec_id" < 4)
+      .select($"vec_id", $"codes").as[(Long, Seq[Int])].collect()
+    donors.foreach { case (id, cs) =>
+      assert(cs.forall(_ == id.toInt), s"donor $id coded as $cs, not itself")
+    }
+    val q1 = df.filter($"vec_id" === 1L).select($"embedding".as("q_emb"))
+    val adcs = codes.crossJoin(q1)
+      .select($"vec_id",
+        graft.plans.Pq.adc(spark, $"q_emb", $"codes", cbLit, m).as("adc"))
+      .as[(Long, Double)].collect().toMap
+    assert(adcs(1L) == 0.0, s"self-ADC must be exactly 0, got ${adcs(1L)}")
+    // quantized ties are legal PQ behavior (any vector coded like the query
+    // scores 0) — the compressed scan must put the planted copy AT the
+    // front, and the exact rerank then separates it from tied coarse codes
+    val others = adcs.filter { case (id, _) => id != 1L && id != 30L }.values
+    assert(others.forall(_ >= adcs(30L)),
+      s"planted copy adc=${adcs(30L)} beaten: ${adcs.toSeq.sortBy(_._2).take(3)}")
+    val cosines = df.crossJoin(q1)
+      .select($"vec_id",
+        graft.plans.CosineSim.cosine(spark, $"q_emb", $"embedding").as("cos"))
+      .as[(Long, Double)].collect().toMap
+    val bestOther = cosines.filter { case (id, _) => id != 1L && id != 30L }.values.max
+    assert(cosines(30L) > bestOther,
+      s"exact rerank would not surface the planted copy: ${cosines(30L)} vs $bestOther")
+  }
+
   test("minhash similarity estimates true Jaccard within 0.15 mean abs error") {
     // 60 doc pairs with known overlap: pair i shares i tokens of 30
     val rows = (1 until 60).map { i =>

@@ -334,6 +334,13 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
         graft.plans.HyperplaneSigs.sigs(spark, $"a", 8, 4).as("hp"),
         graft.plans.HyperplaneSigs.sigsMd5(spark, $"a", 8, 4).as("hp5"),
         graft.plans.HyperplaneSigs.project(spark, $"a", 8).as("pj"),
+        // m=2 subspaces of 8 dims over the 16-dim vectors, K=2 centroids each
+        graft.plans.Pq.encode(spark, $"a",
+          typedLit(Seq(Seq.fill(8)(0.5), Seq.fill(8)(-0.5),
+            Seq.fill(8)(0.25), Seq.fill(8)(-0.25))), 2).as("pqc"),
+        graft.plans.Pq.adc(spark, $"a", typedLit(Seq(0, 1)),
+          typedLit(Seq(Seq.fill(8)(0.5), Seq.fill(8)(-0.5),
+            Seq.fill(8)(0.25), Seq.fill(8)(-0.25))), 2).as("pqd"),
         graft.plans.CosineSim.cosine(spark, $"a", $"b").as("cos"),
         graft.plans.NearestCentroid.nearest(spark, $"a",
           typedLit(Seq(Seq.fill(16)(0.5), Seq.fill(16)(-0.5)))).as("nc"))
