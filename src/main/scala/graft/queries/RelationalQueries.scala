@@ -372,6 +372,23 @@ object RelationalQueries {
         .orderBy("bucket")
     }),
 
+    // Value-RANGE window frame (vs the ROWS frames elsewhere): each order
+    // aggregates its customer's orders within 10 000.00 of its own total.
+    // Ordering AND frame bounds are integral cents, so peer membership is
+    // exact set algebra on both engines — no float frame boundary exists —
+    // and the in-frame sum is exact longs in any order.
+    "q_window_range" -> ((s, dir) => {
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("cents").rangeBetween(-1000000L, 0L)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), cents.as("cents"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          count(lit(1)).over(w).as("n_near"),
+          round(sum(col("cents")).over(w).cast("double") / 100, 4).as("near_revenue"))
+        .orderBy("o_orderkey")
+    }),
+
     // Ordered string aggregation (LISTAGG/string_agg): the collect is
     // per-group bounded (nations per region) and sorted before the join so
     // collect_list's partition-order nondeterminism can't leak into the
@@ -650,5 +667,19 @@ object RelationalQueries {
       """SELECT r_name, count(*) AS n_nations,
         |       string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM region JOIN nation ON n_regionkey = r_regionkey
-        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    // Integral cents ordering + frame bounds; exact long sums in frame.
+    "q_window_range" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |       count(*) OVER w AS n_near,
+        |       round(CAST(sum(cents) OVER w AS DOUBLE) / 100, 4) AS near_revenue
+        |FROM c
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY cents
+        |             RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin)
 }
