@@ -51,26 +51,25 @@ final case class HyperplaneSigsExpr(child: Expression, bits: Int, tables: Int,
     if (c != null && c._1 == dims) c._2
     else {
       val nPlanes = bits * tables
-      val m = Array.ofDim[Double](nPlanes, dims)
-      val md = if (md5Planes) NativeHashes.md5Digest else null
-      var p = 0
-      while (p < nPlanes) {
-        var j = 0
-        while (j < dims) {
-          // md5 family: the value DuckDB derives as
-          // ('0x' || substr(md5('plane:p:j'), 1, 15))::BIGINT — what lets
-          // the LSH queries replay exactly in the oracle. XXH64 family:
-          // = xxhash64(j, p) in Spark's multi-arg chain (seed 42).
-          val h =
-            if (md5Planes) NativeHashes.md5Token60(md,
-              org.apache.spark.unsafe.types.UTF8String.fromString(s"plane:$p:$j"))
-            else XXH64.hashInt(p, XXH64.hashInt(j, 42L))
-          val mod = ((h % 1000000L) + 1000000L) % 1000000L
-          m(p)(j) = mod.toDouble / 500000.0 - 1.0
-          j += 1
+      val m =
+        if (md5Planes) HyperplaneSigs.md5PlaneMatrix(nPlanes, dims)
+        else {
+          // XXH64 family: component (p, j) = xxhash64(j, p) in Spark's
+          // multi-arg chain (seed 42); signed hash, so the double mod.
+          val x = Array.ofDim[Double](nPlanes, dims)
+          var p = 0
+          while (p < nPlanes) {
+            var j = 0
+            while (j < dims) {
+              val h = XXH64.hashInt(p, XXH64.hashInt(j, 42L))
+              val mod = ((h % 1000000L) + 1000000L) % 1000000L
+              x(p)(j) = mod.toDouble / 500000.0 - 1.0
+              j += 1
+            }
+            p += 1
+          }
+          x
         }
-        p += 1
-      }
       cached = (dims, m)
       m
     }
@@ -180,24 +179,14 @@ final case class ProjectPlanesExpr(child: Expression, nPlanes: Int)
   // same single-reference publication discipline as HyperplaneSigsExpr
   @transient private var cached: (Int, Array[Array[Double]]) = _
 
-  /** Public: the generated code calls this through a reference object. */
+  /** Public: the generated code calls this through a reference object.
+    * Delegates to the ONE shared md5 builder — the sign-consistency
+    * invariant with hyperplane_sigs_md5 requires bit-identical planes. */
   def planeMatrix(dims: Int): Array[Array[Double]] = {
     val c = cached
     if (c != null && c._1 == dims) c._2
     else {
-      val m = Array.ofDim[Double](nPlanes, dims)
-      val md = NativeHashes.md5Digest
-      var p = 0
-      while (p < nPlanes) {
-        var j = 0
-        while (j < dims) {
-          val h = NativeHashes.md5Token60(md,
-            org.apache.spark.unsafe.types.UTF8String.fromString(s"plane:$p:$j"))
-          m(p)(j) = (h % 1000000L).toDouble / 500000.0 - 1.0
-          j += 1
-        }
-        p += 1
-      }
+      val m = HyperplaneSigs.md5PlaneMatrix(nPlanes, dims)
       cached = (dims, m)
       m
     }
@@ -257,6 +246,29 @@ final case class ProjectPlanesExpr(child: Expression, nPlanes: Int)
 object HyperplaneSigs {
 
   def register(spark: SparkSession): Unit = NativeFunctions.register(spark)
+
+  /** The md5-derived plane matrix — the ONE builder both
+    * [[HyperplaneSigsExpr]] (`md5Planes = true`) and [[ProjectPlanesExpr]]
+    * materialize, so the cross-expression sign-consistency invariant and
+    * the cross-engine oracle replay can never drift between copies:
+    * component (p, j) = md5prefix60("plane:p:j") mod 1e6 / 5e5 − 1
+    * (md5Token60 is 60-bit non-negative, so the plain mod suffices). */
+  def md5PlaneMatrix(nPlanes: Int, dims: Int): Array[Array[Double]] = {
+    val m = Array.ofDim[Double](nPlanes, dims)
+    val md = NativeHashes.md5Digest
+    var p = 0
+    while (p < nPlanes) {
+      var j = 0
+      while (j < dims) {
+        val h = NativeHashes.md5Token60(md,
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"plane:$p:$j"))
+        m(p)(j) = (h % 1000000L).toDouble / 500000.0 - 1.0
+        j += 1
+      }
+      p += 1
+    }
+    m
+  }
 
   /** Array of `tables` signatures (multi-table LSH). */
   def sigs(spark: SparkSession, vec: Column, bits: Int, tables: Int): Column = {

@@ -55,6 +55,7 @@ final case class PqEncodeExpr(left: Expression, right: Expression, m: Int)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val vec = l.asInstanceOf[ArrayData]
     val cb = r.asInstanceOf[ArrayData]
+    Pq.checkShape(vec.numElements(), cb.numElements(), m)
     val sub = vec.numElements() / m
     val k = cb.numElements() / m
     val codes = new Array[Int](m)
@@ -103,6 +104,7 @@ final case class PqEncodeExpr(left: Expression, right: Expression, m: Int)
       val getX = if (lFloat) s"(double) $vec.getFloat($s * $sub + $i)"
         else s"$vec.getDouble($s * $sub + $i)"
       s"""
+         |graft.plans.Pq.checkShape($vec.numElements(), $cb.numElements(), $m);
          |int $sub = $vec.numElements() / $m;
          |int $k = $cb.numElements() / $m;
          |int[] $codes = new int[$m];
@@ -172,12 +174,14 @@ final case class PqAdcExpr(first: Expression, second: Expression, third: Express
     val vec = q.asInstanceOf[ArrayData]
     val codes = cs.asInstanceOf[ArrayData]
     val cb = cbv.asInstanceOf[ArrayData]
+    Pq.checkShape(vec.numElements(), cb.numElements(), m)
+    Pq.checkCodes(codes.numElements(), m)
     val sub = vec.numElements() / m
     val k = cb.numElements() / m
     var total = 0.0
     var s = 0
     while (s < m) {
-      val cent = cb.getArray(s * k + codes.getInt(s))
+      val cent = cb.getArray(s * k + Pq.checkCode(codes.getInt(s), k))
       var d = 0.0
       var i = 0
       while (i < sub) {
@@ -207,12 +211,14 @@ final case class PqAdcExpr(first: Expression, second: Expression, third: Express
       val getX = if (qFloat) s"(double) $vec.getFloat($s * $sub + $i)"
         else s"$vec.getDouble($s * $sub + $i)"
       s"""
+         |graft.plans.Pq.checkShape($vec.numElements(), $cb.numElements(), $m);
+         |graft.plans.Pq.checkCodes($codes.numElements(), $m);
          |int $sub = $vec.numElements() / $m;
          |int $k = $cb.numElements() / $m;
          |double $total = 0.0;
          |for (int $s = 0; $s < $m; $s++) {
          |  org.apache.spark.sql.catalyst.util.ArrayData $cent =
-         |    $cb.getArray($s * $k + $codes.getInt($s));
+         |    $cb.getArray($s * $k + graft.plans.Pq.checkCode($codes.getInt($s), $k));
          |  double $d = 0.0;
          |  for (int $i = 0; $i < $sub; $i++) {
          |    double $x = $getX;
@@ -233,6 +239,31 @@ final case class PqAdcExpr(first: Expression, second: Expression, third: Express
 
 object Pq {
   def register(spark: SparkSession): Unit = NativeFunctions.register(spark)
+
+  /** Loud shape validation shared by eval and generated code: pq_encode /
+    * pq_adc are user-callable SQL functions (GraftExtensions), and a
+    * malformed-but-well-typed call must error instead of reading unchecked
+    * UnsafeArrayData offsets (which has no bounds check — garbage results
+    * or worse). Called per row; a handful of branches next to the ~1k-flop
+    * distance loops. */
+  def checkShape(dims: Int, cbLen: Int, m: Int): Unit = {
+    if (dims == 0 || dims % m != 0) throw new IllegalArgumentException(
+      s"pq: vector of $dims dims is not a positive multiple of m=$m")
+    if (cbLen == 0 || cbLen % m != 0) throw new IllegalArgumentException(
+      s"pq: codebook of $cbLen entries is not a positive multiple of m=$m")
+  }
+
+  /** The codes array must carry exactly one entry per subspace. */
+  def checkCodes(nCodes: Int, m: Int): Unit =
+    if (nCodes != m) throw new IllegalArgumentException(
+      s"pq: codes array has $nCodes entries, expected m=$m")
+
+  /** Range-checked centroid index within a subspace. */
+  def checkCode(code: Int, k: Int): Int = {
+    if (code < 0 || code >= k) throw new IllegalArgumentException(
+      s"pq: code $code out of range [0, $k)")
+    code
+  }
 
   /** PQ codes: array<int> of length m (centroid index per subspace). */
   def encode(spark: SparkSession, vec: Column, codebook: Column, m: Int): Column = {

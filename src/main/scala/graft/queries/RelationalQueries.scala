@@ -360,11 +360,13 @@ object RelationalQueries {
     // (decimal — a 100 TB bucket's cents exceed a long) with one division
     // + one rounding at the end.
     "q_histogram" -> ((s, dir) => {
+      // ONE copy of the cents formula: bucket and revenue must agree about
+      // which cents a row has, or a boundary value silently lands in one
+      // bucket and sums into another
       val cents = round(col("o_totalprice") * 100).cast("long")
       t(s, dir, "orders")
-        .select(least(expr("CAST(round(o_totalprice * 100) AS BIGINT) div 5000000"), lit(9L))
-            .as("bucket"),
-          cents.as("cents"))
+        .select(cents.as("cents"))
+        .select(least(expr("cents div 5000000"), lit(9L)).as("bucket"), col("cents"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("cents").cast("decimal(38,0)")).cast("double") / 100, 4)

@@ -169,6 +169,13 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     val bestOther = cosines.filter { case (id, _) => id != 1L && id != 30L }.values.max
     assert(cosines(30L) > bestOther,
       s"exact rerank would not surface the planted copy: ${cosines(30L)} vs $bestOther")
+    // malformed-but-well-typed args must fail loudly, not read unchecked
+    // UnsafeArrayData offsets: code 9 is out of range for K=4
+    val bad = df.limit(1).select(
+      graft.plans.Pq.adc(spark, $"embedding", typedLit(Seq(0, 0, 0, 9)), cbLit, m).as("d"))
+    val err = intercept[Exception](bad.collect())
+    assert(err.toString.contains("out of range") ||
+      (err.getCause != null && err.getCause.toString.contains("out of range")), err.toString)
   }
 
   test("minhash similarity estimates true Jaccard within 0.15 mean abs error") {
