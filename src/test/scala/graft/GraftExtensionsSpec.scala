@@ -31,13 +31,19 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
           |       md5_fingerprint(array('a', 'b')) AS fp,
           |       cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS cos,
           |       nearest_centroid(array(1.0F, 0.0F),
-          |         array(array(1.0D, 0.0D), array(0.0D, 1.0D))) AS nc
+          |         array(array(1.0D, 0.0D), array(0.0D, 1.0D))) AS nc,
+          |       project_planes(array(1.0F, 0.0F), 2) AS pj,
+          |       pq_encode(array(1.0F, 0.0F),
+          |         array(array(1.0D, 0.0D), array(0.0D, 1.0D)), 1) AS pqc
           |""".stripMargin).head()
       // slot 0 matches the Md5MinHashFromText golden (NativeHashSpec)
       assert(row.getSeq[Long](0).head == 1752949636433043825L)
       assert(row.getLong(1) > 0L)
       assert(row.getDouble(2) == 1.0)
       assert(row.getInt(3) == 0)
+      assert(row.getSeq[Double](4).length == 2)
+      // (1,0) is exactly sub-centroid 0, not (0,1)
+      assert(row.getSeq[Int](5) == Seq(0))
       // aggregates route through the same injection
       val agg = s.sql(
         """SELECT topk(struct(CAST(id AS DOUBLE), CAST(id AS BIGINT)), 2) AS top

@@ -65,4 +65,18 @@ class NullSafetySpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-9)
     assert(rows(1).isNullAt(0))
   }
+
+  test("projection and PQ expressions propagate null vectors") {
+    val cb = typedLit(Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)))
+    val vdf = Seq(Some(Array(1f, 2f, 3f, 4f)), None).toDF("v")
+    val rows = vdf.select(
+      graft.plans.HyperplaneSigs.project(spark, $"v", 4).as("pj"),
+      graft.plans.Pq.encode(spark, $"v", cb, 2).as("pqc"),
+      // m=2 over the 2-entry codebook → K=1 per subspace, codes all 0
+      graft.plans.Pq.adc(spark, $"v", typedLit(Seq(0, 0)), cb, 2).as("pqd")).collect()
+    assert(!rows(0).isNullAt(0) && rows(0).getSeq[Double](0).length == 4)
+    assert(!rows(0).isNullAt(1) && rows(0).getSeq[Int](1).length == 2)
+    assert(!rows(0).isNullAt(2))
+    (0 until 3).foreach(i => assert(rows(1).isNullAt(i), s"col $i not null for null vec"))
+  }
 }
