@@ -52,23 +52,8 @@ object Dedup {
     // array<long> input (e.g. from the native NgramHashesExpr, which is the
     // fast path — the HOF hash chain below is interpreted per element) is
     // taken as already-hashed-and-distinct.
-    val hashed = docGrams.schema("grams").dataType match {
-      case ArrayType(LongType, _) => docGrams.select(col("doc_id"), col("grams"))
-      case _ => docGrams.select(col("doc_id"),
-        array_distinct(transform(col("grams"), g => xxhash64(g))).as("grams"))
-    }
-    val tok = hashed.select(col("doc_id"), explode(col("grams")).as("gram"))
-    val dfreq = tok.groupBy("gram").agg(count(lit(1)).as("df"))
-    val ordered = tok.join(dfreq, "gram")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("ranked"))
-      .select(col("doc_id"),
-        transform(col("ranked"), r => r.getField("gram")).as("grams"),
-        size(col("ranked")).as("n"))
-      .transform(Checkpointing.cut)
-    val prefix = ordered.select(col("doc_id"), col("n"),
-      explode(slice(col("grams"), lit(1),
-        col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + lit(1))).as("gram"))
+    val ordered = rankedByRarity(docGrams)
+    val prefix = prefixGrams(ordered, tNum, tDen)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * tNum <= col("b.n") * tDen &&
@@ -89,6 +74,77 @@ object Dedup {
       .filter(col("n_inter") * tDen >= col("n_union") * tNum)
       .select(col("doc_a"), col("doc_b"),
         round(col("n_inter").cast("double") / col("n_union"), 4).as("jaccard"))
+  }
+
+  /** (doc_id, grams, n) with each doc's DISTINCT gram hashes ordered
+    * rarest-first by global document frequency — the shared front end of
+    * the prefix-filter joins. String grams are hashed to longs first (see
+    * [[jaccardPairs]] for the collision argument); array<long> input is
+    * taken as already-hashed-and-distinct. */
+  private def rankedByRarity(docGrams: DataFrame): DataFrame = {
+    val hashed = docGrams.schema("grams").dataType match {
+      case ArrayType(LongType, _) => docGrams.select(col("doc_id"), col("grams"))
+      case _ => docGrams.select(col("doc_id"),
+        array_distinct(transform(col("grams"), g => xxhash64(g))).as("grams"))
+    }
+    val tok = hashed.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val dfreq = tok.groupBy("gram").agg(count(lit(1)).as("df"))
+    tok.join(dfreq, "gram")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("ranked"))
+      .select(col("doc_id"),
+        transform(col("ranked"), r => r.getField("gram")).as("grams"),
+        size(col("ranked")).as("n"))
+      .transform(Checkpointing.cut)
+  }
+
+  /** The first n − ceil(t·n) + 1 ranked grams of each doc (integral prefix
+    * math — FP rounding can never shave a prefix). */
+  private def prefixGrams(ordered: DataFrame, tNum: Int, tDen: Int): DataFrame =
+    ordered.select(col("doc_id"), col("n"),
+      explode(slice(col("grams"), lit(1),
+        col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + lit(1))).as("gram"))
+
+  /** Asymmetric set-containment join: all ORDERED pairs (doc_a, doc_b),
+    * a ≠ b, with |A∩B| / |A| ≥ tNum/tDen — "A's grams are mostly inside
+    * B" (quotation / subset / boilerplate detection, the signal Jaccard
+    * misses whenever the container is much larger than the contained doc).
+    *
+    * Prefix filter for containment: if |A∩B| ≥ ceil(t·|A|), then under ANY
+    * common total order B must share one of A's first
+    * |A| − ceil(t·|A|) + 1 grams (were all shared grams outside that
+    * prefix, the overlap would be < ceil(t·|A|)). So only the PROBE side
+    * (A) is cut to a prefix; the indexed side keeps full gram lists, and
+    * there is NO size-ratio prune — a tiny doc can be contained in a huge
+    * one; that asymmetry is inherent to containment, not a missed
+    * optimization. Rarest-first ordering keeps probe prefix grams rare, so
+    * per-gram buckets stay bounded even against big sources.
+    *
+    * Scale: the same linear shuffles as [[jaccardPairs]] (gram frequency,
+    * per-doc ordering, prefix-to-full bucket join, verify join) — no block
+    * self-join, candidates bounded by Σ_{prefix grams} df(gram).
+    *
+    * @param docGrams (doc_id, grams) with grams already distinct
+    * @return (doc_a, doc_b, containment ≥ tNum/tDen) rounded to 4dp,
+    *         containment of A's grams within B's */
+  def containmentPairs(docGrams: DataFrame, tNum: Int = 9, tDen: Int = 10): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
+    val ordered = rankedByRarity(docGrams)
+    val probe = prefixGrams(ordered, tNum, tDen)
+    val full = ordered.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val cand = probe.as("a").join(full.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify on the exact integral ratio (|∩|·tDen ≥ |A|·tNum); rounding
+    // is display-only — same FP-boundary discipline as jaccardPairs
+    cand
+      .join(ordered.select(col("doc_id").as("doc_a"), col("grams").as("g_a")), "doc_a")
+      .join(ordered.select(col("doc_id").as("doc_b"), col("grams").as("g_b")), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("g_a"), col("g_b"))))
+      .filter(col("n_inter") * tDen >= size(col("g_a")) * tNum)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter").cast("double") / size(col("g_a")), 4).as("containment"))
   }
 
   /** Incremental near-dup: candidate pairs between a NEW ingestion batch

@@ -213,6 +213,17 @@ object DedupQueries {
         tNum = 4, tDen = 5)
         .orderBy("doc_a", "doc_b")),
 
+    // Asymmetric containment ≥ 0.9 (quotation/subset/boilerplate signal —
+    // what Jaccard misses when the container dwarfs the contained doc):
+    // prefix-filtered probe-to-full join, ordered pairs, no size-ratio
+    // prune (inherent to containment). Native one-pass gram hashing.
+    "dedup_containment" -> ((s, dir) =>
+      graft.operators.Dedup.containmentPairs(
+        docsSharded(s, dir).select(col("doc_id"),
+          graft.plans.NgramHashes.hashes(s, col("text"), 3).as("grams")),
+        tNum = 9, tDen = 10)
+        .orderBy("doc_a", "doc_b")),
+
     // Duplicated-span mass (the Lee et al. '22 substring-dedup signal):
     // fraction of each doc's 8-token spans that appear in ≥ 2 distinct
     // docs. Spans come off the native WordShinglesExpr (duplicates kept —
@@ -446,6 +457,29 @@ object DedupQueries {
         |       round(CAST(n_inter AS DOUBLE) / n_union, 4) AS jaccard
         |FROM scored
         |WHERE n_inter * 5 >= n_union * 4 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // The containment prefix filter is lossless, so the oracle is the
+    // brute-force ordered-pair definition (same pattern as the jaccard
+    // oracle; exact integral filter, one division + one rounding).
+    "dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_transform(range(len(t) - 2),
+        |                   i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]) END) AS grams
+        |  FROM toks),
+        |scored AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         len(list_intersect(a.grams, b.grams)) AS n_inter,
+        |         len(a.grams) AS n_a
+        |  FROM g a JOIN g b ON a.doc_id <> b.doc_id)
+        |SELECT doc_a, doc_b,
+        |       round(CAST(n_inter AS DOUBLE) / n_a, 4) AS containment
+        |FROM scored
+        |WHERE n_inter * 10 >= n_a * 9 ORDER BY doc_a, doc_b""".stripMargin,
 
     // Full replay of the span pipeline: same tokenize/shingle CTEs as the
     // other gram oracles (k=8, positional duplicates kept), span hash =

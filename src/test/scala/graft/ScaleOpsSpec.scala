@@ -161,6 +161,26 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("containmentPairs finds the quote-in-container pair Jaccard misses") {
+    // doc 1 = a 12-token quote; doc 2 = the quote embedded inside 60 other
+    // tokens. Containment(1→2) = 1.0 (ordered pair), while the reverse
+    // direction and plain Jaccard ≥ 0.8 must both stay silent — the
+    // container dwarfs the quote.
+    val quote = (0 until 12).map(i => s"q$i").mkString(" ")
+    val container = (0 until 30).map(i => s"x$i").mkString(" ") + " " + quote +
+      " " + (30 until 60).map(i => s"x$i").mkString(" ")
+    val other = (0 until 40).map(i => s"z$i").mkString(" ")
+    val grams = Seq((1L, quote), (2L, container), (3L, other))
+      .toDF("doc_id", "text")
+      .select($"doc_id", graft.plans.NgramHashes.hashes(spark, $"text", 3).as("grams"))
+    val pairs = graft.operators.Dedup.containmentPairs(grams, 9, 10)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)), pairs.mkString(","))
+    assert(pairs.head._3 == 1.0, s"full quote containment, got ${pairs.head._3}")
+    assert(graft.operators.Dedup.jaccardPairs(grams, 4, 5).isEmpty,
+      "jaccard >= 0.8 must miss the quote-in-container pair")
+  }
+
   test("duplicatedSpanMass scores cross-doc overlap, ignores intra-doc repeats") {
     // docs 1 and 2 share a 20-token block (13 of each doc's 25 8-token
     // spans lie fully inside it); doc 3 is unique; doc 4 repeats a block
