@@ -40,19 +40,14 @@ object Dedup {
     *
     * @param docGrams (doc_id, grams) with grams already distinct
     * @return (doc_a, doc_b, jaccard) with jaccard rounded to 4dp ≥ tNum/tDen */
-  def jaccardPairs(docGrams: DataFrame, tNum: Int = 4, tDen: Int = 5): DataFrame = {
+  def jaccardPairs(docGrams: DataFrame, tNum: Int = 4, tDen: Int = 5): DataFrame =
+    jaccardPairsFromRanked(rankedByRarity(docGrams), tNum, tDen)
+
+  /** [[jaccardPairs]] over a prebuilt [[rankedByRarity]] table — for
+    * callers sharing the ranked-gram artifact across several gram joins
+    * (a production pipeline stores it once per corpus). */
+  def jaccardPairsFromRanked(ordered: DataFrame, tNum: Int = 4, tDen: Int = 5): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
-    // Hash each gram to a long first: every downstream stage (frequency
-    // groupBy, prefix bucket join, ranked arrays in the verify join) then
-    // shuffles 8-byte keys instead of multi-word strings — the prefix
-    // theorem only needs SOME common total order, and (df, hash) is one.
-    // xxhash64 collisions (~n²/2⁶⁴) are the standard set-similarity-join
-    // trade and cannot create false NEGATIVES in candidate generation (a
-    // collision only merges two grams, never separates shared ones).
-    // array<long> input (e.g. from the native NgramHashesExpr, which is the
-    // fast path — the HOF hash chain below is interpreted per element) is
-    // taken as already-hashed-and-distinct.
-    val ordered = rankedByRarity(docGrams)
     val prefix = prefixGrams(ordered, tNum, tDen)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id") &&
@@ -78,10 +73,17 @@ object Dedup {
 
   /** (doc_id, grams, n) with each doc's DISTINCT gram hashes ordered
     * rarest-first by global document frequency — the shared front end of
-    * the prefix-filter joins. String grams are hashed to longs first (see
-    * [[jaccardPairs]] for the collision argument); array<long> input is
-    * taken as already-hashed-and-distinct. */
-  private def rankedByRarity(docGrams: DataFrame): DataFrame = {
+    * the prefix-filter joins. Hash each gram to a long first: every
+    * downstream stage (frequency groupBy, prefix bucket join, ranked
+    * arrays in the verify join) then shuffles 8-byte keys instead of
+    * multi-word strings — the prefix theorem only needs SOME common total
+    * order, and (df, hash) is one. xxhash64 collisions (~n²/2⁶⁴) are the
+    * standard set-similarity-join trade and cannot create false NEGATIVES
+    * in candidate generation (a collision only merges two grams, never
+    * separates shared ones). array<long> input (e.g. from the native
+    * NgramHashesExpr, the fast path — the HOF hash chain below is
+    * interpreted per element) is taken as already-hashed-and-distinct. */
+  def rankedByRarity(docGrams: DataFrame): DataFrame = {
     val hashed = docGrams.schema("grams").dataType match {
       case ArrayType(LongType, _) => docGrams.select(col("doc_id"), col("grams"))
       case _ => docGrams.select(col("doc_id"),
@@ -127,9 +129,13 @@ object Dedup {
     * @param docGrams (doc_id, grams) with grams already distinct
     * @return (doc_a, doc_b, containment ≥ tNum/tDen) rounded to 4dp,
     *         containment of A's grams within B's */
-  def containmentPairs(docGrams: DataFrame, tNum: Int = 9, tDen: Int = 10): DataFrame = {
+  def containmentPairs(docGrams: DataFrame, tNum: Int = 9, tDen: Int = 10): DataFrame =
+    containmentPairsFromRanked(rankedByRarity(docGrams), tNum, tDen)
+
+  /** [[containmentPairs]] over a prebuilt [[rankedByRarity]] table. */
+  def containmentPairsFromRanked(
+      ordered: DataFrame, tNum: Int = 9, tDen: Int = 10): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
-    val ordered = rankedByRarity(docGrams)
     val probe = prefixGrams(ordered, tNum, tDen)
     val full = ordered.select(col("doc_id"), explode(col("grams")).as("gram"))
     val cand = probe.as("a").join(full.as("b"),

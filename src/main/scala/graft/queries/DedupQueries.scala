@@ -61,6 +61,21 @@ object DedupQueries {
     * signatures + banding twice. */
   private val pairsMemo = new graft.operators.SessionMemo[DataFrame]
   private val sigsMemo = new graft.operators.SessionMemo[DataFrame]
+  private val rankedMemo = new graft.operators.SessionMemo[DataFrame]
+
+  /** The rarest-first ranked distinct-gram table (checkpointed inside
+    * `rankedByRarity`) — the stored corpus artifact BOTH prefix-filter
+    * joins (exact Jaccard and containment) read, built once per
+    * (session, sf-dir) like the signature tables. */
+  private def rankedGrams(s: SparkSession, dir: String): DataFrame =
+    rankedMemo.get(s, dir) {
+      graft.operators.Dedup.rankedByRarity(
+        docsSharded(s, dir).select(col("doc_id"),
+          // native one-pass shingle+hash+distinct (bit-equal to
+          // array_distinct(transform(wordShingles(text,3), xxhash64)),
+          // which costs 3 interpreted HOFs per row)
+          graft.plans.NgramHashes.hashes(s, col("text"), 3).as("grams")))
+    }
 
   /** The corpus minhash signature table — the dominant linear map phase,
     * computed once per (session, sf-dir) and shared by the pair pipeline
@@ -204,24 +219,18 @@ object DedupQueries {
     // (4·max ≤ 5·min) rides the join condition; exact Jaccard verifies.
     // All prefix math is integral so FP rounding can't shave the prefix.
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      graft.operators.Dedup.jaccardPairs(
-        docsSharded(s, dir).select(col("doc_id"),
-          // native one-pass shingle+hash+distinct (bit-equal to
-          // array_distinct(transform(wordShingles(text,3), xxhash64)),
-          // which costs 3 interpreted HOFs per row)
-          graft.plans.NgramHashes.hashes(s, col("text"), 3).as("grams")),
-        tNum = 4, tDen = 5)
+      graft.operators.Dedup.jaccardPairsFromRanked(
+        rankedGrams(s, dir), tNum = 4, tDen = 5)
         .orderBy("doc_a", "doc_b")),
 
     // Asymmetric containment ≥ 0.9 (quotation/subset/boilerplate signal —
     // what Jaccard misses when the container dwarfs the contained doc):
     // prefix-filtered probe-to-full join, ordered pairs, no size-ratio
-    // prune (inherent to containment). Native one-pass gram hashing.
+    // prune (inherent to containment). Shares the memoized ranked-gram
+    // artifact with the Jaccard join.
     "dedup_containment" -> ((s, dir) =>
-      graft.operators.Dedup.containmentPairs(
-        docsSharded(s, dir).select(col("doc_id"),
-          graft.plans.NgramHashes.hashes(s, col("text"), 3).as("grams")),
-        tNum = 9, tDen = 10)
+      graft.operators.Dedup.containmentPairsFromRanked(
+        rankedGrams(s, dir), tNum = 9, tDen = 10)
         .orderBy("doc_a", "doc_b")),
 
     // Duplicated-span mass (the Lee et al. '22 substring-dedup signal):
