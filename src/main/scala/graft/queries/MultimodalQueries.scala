@@ -25,7 +25,44 @@ object MultimodalQueries {
     // one-to-many frame sampling over the video slice of the corpus
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(s, Multimodal.asMedia(Tables.sharded(s, dir, "documents")))
-        .orderBy("doc_id", "frame_idx")))
+        .orderBy("doc_id", "frame_idx")),
+
+    // Perceptual near-duplicate images: pairs of decoded images whose
+    // 64-bit average-hashes differ in ≤ 4 bits — the image-side analog of
+    // dedup_simhash, closing the loop between the multimodal decode tier
+    // and the dedup tier (a training pipeline dedups images exactly this
+    // way). Pigeonhole: 5 blocks (4×13 + 12 bits), hamming ≤ 4 pairs must
+    // agree on ≥ 1 block, so candidates come from a bucket join on block
+    // values — never an image×image cross join. Real-BMP aHash → the
+    // whole pipeline replays in the oracle.
+    "mm_near_dup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val imgs = Multimodal.extractFeatures(s,
+          Multimodal.asMedia(Tables.sharded(s, dir, "documents")))
+        .filter(col("modality") === "image")
+        .select(col("doc_id"), col("phash"))
+        .transform(graft.operators.Checkpointing.cut)
+      // arithmetic-shift-then-mask is engine-agnostic: the mask never
+      // reaches the sign-fill bits (widths 13/13/13/13/12)
+      val blocks = array((0 until 5).map { b =>
+        struct(lit(b).as("blk"),
+          shiftright(col("phash"), b * 13)
+            .bitwiseAND(lit(if (b == 4) 4095L else 8191L)).as("bval"))
+      }: _*)
+      val bk = imgs.select(col("doc_id"), explode(blocks).as("bk"))
+      val cand = bk.as("a").join(bk.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(imgs.select(col("doc_id").as("doc_a"), col("phash").as("ph_a")), "doc_a")
+        .join(imgs.select(col("doc_id").as("doc_b"), col("phash").as("ph_b")), "doc_b")
+        .withColumn("hamming",
+          bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
+        .filter(col("hamming") <= 4)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    }))
 
   /** Shared replay pieces. Byte i of the UTF-8 text is read from the hex
     * dump (`('0x' || substr(hex, 2i+1, 2))::BIGINT`); Java
@@ -61,6 +98,37 @@ object MultimodalQueries {
   /** The video stub's Knuth multiplicative mix, replayed with wrap. */
   private val knuthMix = wrap64("h::HUGEINT * 2654435761")
 
+  /** BMP image aHash replay — b2 (hex dump) → img (geometry) → per-pixel
+    * cells → ihash (the 64-bit average-hash). Shared by the mm_metadata
+    * feature replay and the mm_near_dup pair oracle. */
+  private val imgHashCtes =
+    """b2 AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS blen
+      |  FROM documents),
+      |img AS (
+      |  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 2 AS h, hx, blen
+      |  FROM b2 WHERE doc_id % 3 = 0),
+      |px0 AS (
+      |  SELECT doc_id, w, h, blen, hx, unnest(range(w * h)) AS i FROM img),
+      |px AS (
+      |  SELECT doc_id,
+      |         ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS cell,
+      |         CASE WHEN i < blen
+      |              THEN ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT
+      |              ELSE 0 END AS p
+      |  FROM px0),
+      |cells AS (
+      |  SELECT doc_id, cell, sum(p) AS cs, count(*) AS cc FROM px GROUP BY doc_id, cell),
+      |tot AS (
+      |  SELECT doc_id, sum(p) AS total, count(*) AS n FROM px GROUP BY doc_id),
+      |ihash AS (
+      |  SELECT c.doc_id,
+      |         CAST(sum(CASE WHEN CAST(c.cs AS DOUBLE) / c.cc >= CAST(t.total AS DOUBLE) / t.n
+      |                  THEN CASE WHEN c.cell = 63 THEN (-9223372036854775807 - 1)
+      |                            ELSE (1::BIGINT << CAST(c.cell AS INT)) END
+      |                  ELSE 0 END) AS BIGINT) AS phash
+      |  FROM cells c JOIN tot t ON t.doc_id = c.doc_id GROUP BY c.doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Replays the full decode surface: BMP geometry ((doc_id mod 13)+4 ×
     // (doc_id mod 7)+2, 8bpp + 1078-byte header/palette, rows padded to 4),
@@ -71,32 +139,7 @@ object MultimodalQueries {
     // silent Long wrap), and the video stub (Arrays.hashCode fold + Knuth
     // mix with 64-bit wrap).
     "mm_metadata" ->
-      s"""WITH b2 AS (
-         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS blen
-         |  FROM documents),
-         |img AS (
-         |  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 2 AS h, hx, blen
-         |  FROM b2 WHERE doc_id % 3 = 0),
-         |px0 AS (
-         |  SELECT doc_id, w, h, blen, hx, unnest(range(w * h)) AS i FROM img),
-         |px AS (
-         |  SELECT doc_id,
-         |         ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS cell,
-         |         CASE WHEN i < blen
-         |              THEN ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT
-         |              ELSE 0 END AS p
-         |  FROM px0),
-         |cells AS (
-         |  SELECT doc_id, cell, sum(p) AS cs, count(*) AS cc FROM px GROUP BY doc_id, cell),
-         |tot AS (
-         |  SELECT doc_id, sum(p) AS total, count(*) AS n FROM px GROUP BY doc_id),
-         |ihash AS (
-         |  SELECT c.doc_id,
-         |         CAST(sum(CASE WHEN CAST(c.cs AS DOUBLE) / c.cc >= CAST(t.total AS DOUBLE) / t.n
-         |                  THEN CASE WHEN c.cell = 63 THEN (-9223372036854775807 - 1)
-         |                            ELSE (1::BIGINT << CAST(c.cell AS INT)) END
-         |                  ELSE 0 END) AS BIGINT) AS phash
-         |  FROM cells c JOIN tot t ON t.doc_id = c.doc_id GROUP BY c.doc_id),
+      s"""WITH $imgHashCtes,
          |imeta AS (
          |  SELECT i.doc_id, 'image' AS modality,
          |         CAST(1078 + ((i.w + 3) // 4 * 4) * i.h AS BIGINT) AS n_bytes,
@@ -141,5 +184,27 @@ object MultimodalQueries {
          |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
          |       CAST(f * 1000 AS BIGINT) AS ts_offset_ms,
          |       xor(hmix, fterm) AS frame_phash
-         |FROM ft ORDER BY doc_id, frame_idx""".stripMargin)
+         |FROM ft ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // aHash replay (shared CTEs) + the same 5-block pigeonhole candidates
+    // and hamming ≤ 4 verify; shift-then-mask is identical on both engines
+    // (the masks never reach the arithmetic-shift fill bits).
+    "mm_near_dup" ->
+      s"""WITH $imgHashCtes,
+         |blocks AS (
+         |  SELECT doc_id, blk,
+         |         (phash >> CAST(blk * 13 AS INT)) &
+         |         CASE WHEN blk = 4 THEN 4095 ELSE 8191 END AS bval
+         |  FROM ihash CROSS JOIN (SELECT unnest(range(5)) AS blk) bb),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |       CAST(bit_count(xor(ha.phash, hb.phash)) AS BIGINT) AS hamming
+         |FROM cand c
+         |JOIN ihash ha ON ha.doc_id = c.doc_a
+         |JOIN ihash hb ON hb.doc_id = c.doc_b
+         |WHERE bit_count(xor(ha.phash, hb.phash)) <= 4
+         |ORDER BY doc_a, doc_b""".stripMargin)
 }

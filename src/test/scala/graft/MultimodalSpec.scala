@@ -126,4 +126,22 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(_._1).sum == sources.Tables(spark, sf, "embeddings").count())
     assert(out.forall { case (_, c) => c > -1.0 && c <= 1.0 })
   }
+
+  test("mm_near_dup pigeonhole candidates are lossless vs brute force") {
+    // 5 blocks over 64 bits guarantee every hamming ≤ 4 pair shares a
+    // block — the bucket join must therefore return EXACTLY the brute-force
+    // pair set, not an approximation of it.
+    val out = queries.MultimodalQueries.queries("mm_near_dup")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val hashes = queries.MultimodalQueries.queries("mm_metadata")(spark, sf)
+      .filter($"modality" === "image").select($"doc_id", $"phash")
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- hashes
+      (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 4
+    } yield (a, b, d.toLong)).toSet
+    assert(out == brute, s"bucketed=${out.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "test lake must contain near-dup images")
+  }
 }
