@@ -117,10 +117,13 @@ object Dedup {
     * |A| − ceil(t·|A|) + 1 grams (were all shared grams outside that
     * prefix, the overlap would be < ceil(t·|A|)). So only the PROBE side
     * (A) is cut to a prefix; the indexed side keeps full gram lists, and
-    * there is NO size-ratio prune — a tiny doc can be contained in a huge
-    * one; that asymmetry is inherent to containment, not a missed
-    * optimization. Rarest-first ordering keeps probe prefix grams rare, so
-    * per-gram buckets stay bounded even against big sources.
+    * there is no UPPER size bound — a tiny doc can be contained in a huge
+    * one; that asymmetry is inherent to containment. The LOWER bound does
+    * prune losslessly: |A∩B| ≤ |B| forces |B| ≥ ceil(t·|A|), an integral
+    * conjunct on the candidate join that drops can-never-verify
+    * (big A, tiny B) pairs before the verify join pays for them.
+    * Rarest-first ordering keeps probe prefix grams rare, so per-gram
+    * buckets stay bounded even against big sources.
     *
     * Scale: the same linear shuffles as [[jaccardPairs]] (gram frequency,
     * per-doc ordering, prefix-to-full bucket join, verify join) — no block
@@ -137,9 +140,12 @@ object Dedup {
       ordered: DataFrame, tNum: Int = 9, tDen: Int = 10): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
     val probe = prefixGrams(ordered, tNum, tDen)
-    val full = ordered.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val full = ordered.select(col("doc_id"), col("n"), explode(col("grams")).as("gram"))
     val cand = probe.as("a").join(full.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") =!= col("b.doc_id"))
+        col("a.gram") === col("b.gram") && col("a.doc_id") =!= col("b.doc_id") &&
+          // lower bound only (|B| ≥ ceil(t·|A|) ⟸ |A∩B| ≤ |B|): integral,
+          // lossless; there is deliberately no upper bound
+          col("b.n") * tDen >= col("a.n") * tNum)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // verify on the exact integral ratio (|∩|·tDen ≥ |A|·tNum); rounding

@@ -65,7 +65,7 @@ final case class PqEncodeExpr(left: Expression, right: Expression, m: Int)
       var bestD = Double.PositiveInfinity
       var c = 0
       while (c < k) {
-        val cent = cb.getArray(s * k + c)
+        val cent = Pq.centroid(cb, s * k + c, sub)
         var d = 0.0
         var i = 0
         while (i < sub) {
@@ -112,7 +112,8 @@ final case class PqEncodeExpr(left: Expression, right: Expression, m: Int)
          |  int $best = -1;
          |  double $bestD = Double.POSITIVE_INFINITY;
          |  for (int $c = 0; $c < $k; $c++) {
-         |    org.apache.spark.sql.catalyst.util.ArrayData $cent = $cb.getArray($s * $k + $c);
+         |    org.apache.spark.sql.catalyst.util.ArrayData $cent =
+         |      graft.plans.Pq.centroid($cb, $s * $k + $c, $sub);
          |    double $d = 0.0;
          |    for (int $i = 0; $i < $sub; $i++) {
          |      double $x = $getX;
@@ -181,7 +182,7 @@ final case class PqAdcExpr(first: Expression, second: Expression, third: Express
     var total = 0.0
     var s = 0
     while (s < m) {
-      val cent = cb.getArray(s * k + Pq.checkCode(codes.getInt(s), k))
+      val cent = Pq.centroid(cb, s * k + Pq.code(codes, s, k), sub)
       var d = 0.0
       var i = 0
       while (i < sub) {
@@ -218,7 +219,7 @@ final case class PqAdcExpr(first: Expression, second: Expression, third: Express
          |double $total = 0.0;
          |for (int $s = 0; $s < $m; $s++) {
          |  org.apache.spark.sql.catalyst.util.ArrayData $cent =
-         |    $cb.getArray($s * $k + graft.plans.Pq.checkCode($codes.getInt($s), $k));
+         |    graft.plans.Pq.centroid($cb, $s * $k + graft.plans.Pq.code($codes, $s, $k), $sub);
          |  double $d = 0.0;
          |  for (int $i = 0; $i < $sub; $i++) {
          |    double $x = $getX;
@@ -263,6 +264,25 @@ object Pq {
     if (code < 0 || code >= k) throw new IllegalArgumentException(
       s"pq: code $code out of range [0, $k)")
     code
+  }
+
+  /** Null- and dimension-checked sub-centroid fetch: UnsafeArrayData reads
+    * past a short centroid would return garbage, and a null entry would
+    * NPE without context. */
+  def centroid(cb: ArrayData, idx: Int, sub: Int): ArrayData = {
+    val cent = cb.getArray(idx)
+    if (cent == null) throw new IllegalArgumentException(
+      s"pq: null codebook centroid at index $idx")
+    if (cent.numElements() != sub) throw new IllegalArgumentException(
+      s"pq: centroid $idx has ${cent.numElements()} dims, expected $sub")
+    cent
+  }
+
+  /** Null-checked code fetch (a null element would silently read as 0). */
+  def code(codes: ArrayData, s: Int, k: Int): Int = {
+    if (codes.isNullAt(s)) throw new IllegalArgumentException(
+      s"pq: null code at subspace $s")
+    checkCode(codes.getInt(s), k)
   }
 
   /** PQ codes: array<int> of length m (centroid index per subspace). */

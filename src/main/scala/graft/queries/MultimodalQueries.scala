@@ -17,10 +17,21 @@ import graft.sources.Tables
   */
 object MultimodalQueries {
 
+  /** The decoded feature table — the stored artifact both the metadata
+    * report and the image near-dup pass read; built once per (session,
+    * sf-dir) like the dedup-side signature/gram memos so the BMP/WAV
+    * payloads aren't synthesized and parsed once per query. */
+  private val featMemo = new graft.operators.SessionMemo[DataFrame]
+
+  private def features(s: SparkSession, dir: String): DataFrame =
+    featMemo.get(s, dir) {
+      Multimodal.extractFeatures(s,
+          Multimodal.asMedia(Tables.sharded(s, dir, "documents")))
+        .transform(graft.operators.Checkpointing.cut)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_metadata" -> ((s, dir) =>
-      Multimodal.extractFeatures(s, Multimodal.asMedia(Tables.sharded(s, dir, "documents")))
-        .orderBy("doc_id")),
+    "mm_metadata" -> ((s, dir) => features(s, dir).orderBy("doc_id")),
 
     // one-to-many frame sampling over the video slice of the corpus
     "mm_frames" -> ((s, dir) =>
@@ -37,11 +48,13 @@ object MultimodalQueries {
     // whole pipeline replays in the oracle.
     "mm_near_dup" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val imgs = Multimodal.extractFeatures(s,
-          Multimodal.asMedia(Tables.sharded(s, dir, "documents")))
-        .filter(col("modality") === "image")
+      // phash = 0 is the decoder's "no fingerprint" sentinel (non-8-bit
+      // images); a REAL aHash is never 0 — the maximum cell is always ≥
+      // the global mean — so the filter drops exactly the un-hashed
+      // images, which must not pair with each other as hamming-0 dups.
+      val imgs = features(s, dir)
+        .filter(col("modality") === "image" && col("phash") =!= 0L)
         .select(col("doc_id"), col("phash"))
-        .transform(graft.operators.Checkpointing.cut)
       // arithmetic-shift-then-mask is engine-agnostic: the mask never
       // reaches the sign-fill bits (widths 13/13/13/13/12)
       val blocks = array((0 until 5).map { b =>
