@@ -104,6 +104,10 @@ object NativeFunctions {
     "topk" -> {
       case Seq(c, kk) => TopKAgg(c, intArg(kk, "k")).toAggregateExpression()
       case other => bad("topk", "struct(score, id), k", other.size)
+    },
+    "freq_items" -> {
+      case Seq(c, cap) => FreqItemsAgg(c, intArg(cap, "capacity")).toAggregateExpression()
+      case other => bad("freq_items", "item, capacity", other.size)
     })
 
   /** Put every native function in the session's registry (idempotent —

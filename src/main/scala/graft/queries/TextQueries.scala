@@ -76,6 +76,27 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-source heavy hitters via the Misra–Gries FreqItemsAgg — the
+    // bounded-memory frequent-items aggregate Spark lacks as a groupBy
+    // aggregate. One pass, O(capacity) state per group, map-side partial
+    // sketches cross the exchange (tokens never shuffle raw). Capacity 128
+    // exceeds this corpus' per-source vocabulary, so the summary is
+    // provably exact and the query hash-matches an exact-count oracle; at
+    // web scale the SAME operator runs approximate with the n/capacity
+    // error bound (spec'd in both regimes).
+    "text_heavy_hitters" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("source"),
+        explode(Text.wsTokens(lower(col("text")))).as("tok"))
+        .filter(col("tok") =!= "")
+      tok.groupBy("source")
+        .agg(graft.plans.FreqItems.freqItems(s, col("tok"), 128).as("hh"))
+        .select(col("source"), posexplode(col("hh")).as(Seq("pos", "e")))
+        .filter(col("pos") < 5)
+        .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+          col("e.item").as("token"), col("e.count").as("n"))
+        .orderBy("source", "rk")
+    }),
+
     // Character-entropy quality signal (low entropy = repetitive/boilerplate
     // text, a standard pretraining filter): H = log2(N) − (1/N)·Σ n·log2(n)
     // over per-char counts — the identity avoids a per-row probability
@@ -215,6 +236,23 @@ object TextQueries {
         |SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, s.lm_score
         |FROM documents d LEFT JOIN scored s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Exact-count replay of the heavy-hitter summary: with capacity ≥ the
+    // per-source vocabulary the Misra–Gries sketch never decrements, so
+    // its counters ARE the exact counts; rank by (count desc, token asc),
+    // the aggregate's own output order.
+    "text_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |cnt AS (SELECT source, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS BIGINT)
+        |         AS rk
+        |  FROM cnt)
+        |SELECT source, rk, tok AS token, n FROM rk WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin,
 
     // Same recurrence as Md5FingerprintExpr: left fold of
     // (acc*31 + md5prefix(tok) mod M) mod M over the whitespace tokens,

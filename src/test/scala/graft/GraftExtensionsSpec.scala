@@ -49,6 +49,11 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
         """SELECT topk(struct(CAST(id AS DOUBLE), CAST(id AS BIGINT)), 2) AS top
           |FROM (SELECT explode(sequence(1, 5)) AS id)""".stripMargin).head()
       assert(agg.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1)) == Seq(5L, 4L))
+      val hh = s.sql(
+        """SELECT freq_items(t, 4) AS hh
+          |FROM (SELECT explode(array('a', 'a', 'b', 'c', 'a')) AS t)""".stripMargin).head()
+      val top = hh.getSeq[org.apache.spark.sql.Row](0).head
+      assert(top.getString(0) == "a" && top.getLong(1) == 3L)
     } finally {
       // do NOT s.stop(): that stops the SHARED SparkContext and every
       // later suite with it. Just reinstate the original default session;

@@ -161,6 +161,34 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("FreqItemsAgg is exact when capacity covers the vocabulary") {
+    // partial buffers merge across 8 partitions; with capacity ≥ distinct
+    // items no decrement ever fires, so the sketch IS the count table
+    val rows = (0 until 1000).map(i => s"w${i % 20}")
+    val hh = rows.toDF("tok").repartition(8)
+      .agg(graft.plans.FreqItems.freqItems(spark, $"tok", 64).as("hh"))
+      .select(explode($"hh").as("e")).select($"e.item", $"e.count")
+      .as[(String, Long)].collect().toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(hh == exact, s"sketch diverged: $hh")
+  }
+
+  test("FreqItemsAgg approximate regime keeps heavy hitters within n/capacity") {
+    // 500 distinct cold tokens vs capacity 50 forces decrements: the hot
+    // token must survive with its count under-reported by at most n/cap
+    val rows = Seq.fill(3000)("hot") ++ (0 until 7000).map(i => s"cold${i % 500}")
+    val cap = 50
+    val hh = scala.util.Random.shuffle(rows).toDF("tok").repartition(8)
+      .agg(graft.plans.FreqItems.freqItems(spark, $"tok", cap).as("hh"))
+      .select(explode($"hh").as("e")).select($"e.item", $"e.count")
+      .as[(String, Long)].collect().toMap
+    assert(hh.size <= cap, s"sketch exceeded capacity: ${hh.size}")
+    assert(hh.contains("hot"), s"heavy hitter lost: ${hh.keySet.take(5)}")
+    val err = rows.size.toLong / cap
+    assert(hh("hot") <= 3000 && hh("hot") >= 3000 - err,
+      s"count ${hh("hot")} outside [${3000 - err}, 3000]")
+  }
+
   test("containmentPairs finds the quote-in-container pair Jaccard misses") {
     // doc 1 = a 12-token quote; doc 2 = the quote embedded inside 60 other
     // tokens. Containment(1→2) = 1.0 (ordered pair), while the reverse
