@@ -15,6 +15,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++
       RelationalQueries.queries ++
+      BehaviorQueries.queries ++
       TextQueries.queries ++
       DedupQueries.queries ++
       VectorQueries.queries ++
@@ -25,6 +26,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++
       RelationalQueries.oracles ++
+      BehaviorQueries.oracles ++
       TextQueries.oracles ++
       DedupQueries.oracles ++
       VectorQueries.oracles ++

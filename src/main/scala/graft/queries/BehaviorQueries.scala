@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Ordered-behavior analytics over the `events` stream (SURVEY.md §2):
+  * conversion funnels and cohort retention — the session/user-journey
+  * queries an events warehouse runs next to the relational core. Both are
+  * pure integer arithmetic (epoch-microsecond timestamps, epoch-week
+  * buckets) so the DuckDB oracle matches bit-for-bit.
+  *
+  * Scale shape: every stage is a linear shuffle keyed on `user_id` — the
+  * per-user reductions happen map-side, no window over the full event log,
+  * and the per-stage user tables that chain the funnel are one row per
+  * converted user (monotonically shrinking).
+  */
+object BehaviorQueries {
+
+  /** events with ts normalized to epoch microseconds (ns parquet → long). */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+
+  /** Epoch-week bucket size in microseconds. */
+  private val weekUs = 604800000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Conversion funnel view → click → purchase with STRICT ordering: a
+    // click only counts after the user's first view, a purchase only after
+    // that qualifying click. Each stage is min-per-user over a filtered
+    // event subset joined to the previous stage's one-row-per-user table —
+    // three linear user_id shuffles, reusable exchange, no self-join of the
+    // raw log. sum_delta_us carries the exact integer stage-transition mass.
+    "q_funnel" -> ((s, dir) => {
+      val e = ev(s, dir).select("user_id", "event_type", "ts_us")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("v_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts_us") > col("v_ts"))
+        .groupBy("user_id").agg(min("ts_us").as("c_ts"), max("v_ts").as("v_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts_us") > col("c_ts"))
+        .groupBy("user_id").agg(min("ts_us").as("p_ts"), max("c_ts").as("c_ts"))
+      val nullDelta = lit(null).cast("long")
+      v.agg(count(lit(1)).as("n_users"), nullDelta.as("sum_delta_us"))
+        .select(lit("1_view").as("stage"), col("n_users"), col("sum_delta_us"))
+        .unionAll(
+          c.agg(count(lit(1)).as("n_users"),
+            sum(col("c_ts") - col("v_ts")).as("sum_delta_us"))
+            .select(lit("2_click").as("stage"), col("n_users"), col("sum_delta_us")))
+        .unionAll(
+          p.agg(count(lit(1)).as("n_users"),
+            sum(col("p_ts") - col("c_ts")).as("sum_delta_us"))
+            .select(lit("3_purchase").as("stage"), col("n_users"), col("sum_delta_us")))
+        .orderBy("stage")
+    }),
+
+    // Cohort retention matrix: cohort = epoch-week of the user's first
+    // signup, activity = distinct (user, week) pairs at or after the
+    // cohort week. Integer `div` week bucketing keeps both engines in
+    // exact agreement (no calendar/week-start dialect). The distinct
+    // collapses the log to one row per user-week BEFORE the cohort join.
+    "q_retention" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(expr(s"min(ts_us) div $weekUs").as("cohort_wk"))
+      val act = e.select(col("user_id"), expr(s"ts_us div $weekUs").as("wk"))
+        .distinct()
+      act.join(su, "user_id")
+        .filter(col("wk") >= col("cohort_wk"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort_wk", "week_offset")
+    }))
+
+  private val evCte =
+    "WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events)"
+
+  val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      s"""$evCte,
+         |v AS (SELECT user_id, min(ts_us) AS v_ts FROM e
+         |      WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, min(e.ts_us) AS c_ts, max(v.v_ts) AS v_ts
+         |      FROM e JOIN v ON e.user_id = v.user_id
+         |      WHERE e.event_type = 'click' AND e.ts_us > v.v_ts
+         |      GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, min(e.ts_us) AS p_ts, max(c.c_ts) AS c_ts
+         |      FROM e JOIN c ON e.user_id = c.user_id
+         |      WHERE e.event_type = 'purchase' AND e.ts_us > c.c_ts
+         |      GROUP BY e.user_id)
+         |SELECT '1_view' AS stage, count(*) AS n_users,
+         |       CAST(NULL AS BIGINT) AS sum_delta_us FROM v
+         |UNION ALL
+         |SELECT '2_click', count(*), CAST(sum(c_ts - v_ts) AS BIGINT) FROM c
+         |UNION ALL
+         |SELECT '3_purchase', count(*), CAST(sum(p_ts - c_ts) AS BIGINT) FROM p
+         |ORDER BY stage""".stripMargin,
+
+    "q_retention" ->
+      s"""$evCte,
+         |su AS (SELECT user_id, min(ts_us) // $weekUs AS cohort_wk FROM e
+         |       WHERE event_type = 'signup' GROUP BY user_id),
+         |act AS (SELECT DISTINCT user_id, ts_us // $weekUs AS wk FROM e)
+         |SELECT su.cohort_wk, act.wk - su.cohort_wk AS week_offset,
+         |       count(*) AS n_active
+         |FROM act JOIN su ON act.user_id = su.user_id
+         |WHERE act.wk >= su.cohort_wk
+         |GROUP BY su.cohort_wk, week_offset
+         |ORDER BY cohort_wk, week_offset""".stripMargin)
+}

@@ -26,6 +26,9 @@ object PipelineQueries {
   /** Packing budget in characters. */
   private val packBudget = 2000
 
+  /** Token-budget selection: per-source whitespace-token allowance. */
+  private val tokenBudget = 500
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PII redaction: emails → <EMAIL>, phones → <PHONE>, IPv4 → <IP>,
     // map-only over the corpus. Redacted text is compared by md5 so the
@@ -70,6 +73,46 @@ object PipelineQueries {
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
         .orderBy("source")),
 
+    // Deterministic EXACT-COUNT stratified sampling: per source, keep
+    // exactly ceil(n/5) docs — the ones with the smallest content hash
+    // (md5, tie-broken by doc_id). Unlike a Bernoulli coin this hits the
+    // stratum quota exactly, and unlike RNG sampling it is reshard- and
+    // rerun-stable (membership depends only on the bytes). One window
+    // shuffle per stratum; k is integer math ((n+4) div 5, no float rate).
+    "pipeline_stratified_sample" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+      docs(s, dir)
+        .select(col("source"), col("doc_id"), md5(col("text")).as("h"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(w.orderBy("h", "doc_id")))
+        .filter(col("rn") <= expr("(n + 4) div 5"))
+        .select(col("source"), col("rn").cast("long").as("rk"), col("doc_id"))
+        .orderBy("source", "rk")
+    }),
+
+    // Token-budget selection (the "best data under a fixed token budget"
+    // curation pass): per source, admit docs in quality order (highest
+    // first, doc_id tie-break) while the running token total stays within
+    // budget. One cumulative-sum window per source over exact integer
+    // token counts; the quality key is the replayable 4dp-rounded score,
+    // so both engines order identically.
+    "pipeline_token_budget" -> ((s, dir) => {
+      val q = graft.functions.Text.qualityScore(col("text"))
+      val toks = graft.functions.Text.wsTokenCount(col("text"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      docs(s, dir)
+        .select(col("source"), col("doc_id"), toks.as("n_tokens"),
+          q.as("quality_score"))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .filter(col("cum_tokens") <= tokenBudget)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_selected"),
+          max("cum_tokens").as("tokens_used"),
+          min("quality_score").as("worst_quality"))
+        .orderBy("source")
+    }),
+
     // Sequence packing: per source, docs in doc_id order fill fixed
     // character-budget sequences; a doc belongs to the sequence where it
     // starts (floor of the preceding cumulative length / budget) — the
@@ -84,6 +127,9 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("seq_chars"))
         .orderBy("source", "seq_id")
     }))
+
+  private val stopList =
+    graft.functions.Text.stopwords.map(w => s"'$w'").mkString(", ")
 
   /** DuckDB 8-gram construction matching Text.wordShingles(_, 8). */
   private val gramsSql =
@@ -126,6 +172,45 @@ object PipelineQueries {
         |SELECT source, count(*) AS n_total,
         |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    "pipeline_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |         count(*) OVER (PARTITION BY source) AS n,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY md5(text), doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, CAST(rn AS BIGINT) AS rk, doc_id
+        |FROM r WHERE rn <= (n + 4) // 5
+        |ORDER BY source, rk""".stripMargin,
+
+    // same replayable 4dp quality score as the text_quality oracle; the
+    // cumulative window runs over exact BIGINT token counts
+    "pipeline_token_budget" ->
+      s"""WITH scored AS (
+         |  SELECT source, doc_id,
+         |         CASE WHEN length(trim(text)) = 0 THEN 0
+         |              ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS n_tokens,
+         |         round(
+         |           least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |                 ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS DOUBLE) / 100.0, 1.0) * 0.4 +
+         |           least((CAST(len(list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
+         |                 x -> x IN ($stopList))) AS DOUBLE) /
+         |                 greatest(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |                 ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS DOUBLE), 1.0)) * 5.0, 1.0) * 0.4 +
+         |           (1.0 - least((CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r]')) AS DOUBLE) /
+         |                 greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10.0, 1.0)) * 0.2,
+         |           4) AS quality_score
+         |  FROM documents),
+         |cum AS (
+         |  SELECT *, sum(n_tokens) OVER (PARTITION BY source
+         |              ORDER BY quality_score DESC, doc_id) AS cum_tokens
+         |  FROM scored)
+         |SELECT source, count(*) AS n_selected,
+         |       CAST(max(cum_tokens) AS BIGINT) AS tokens_used,
+         |       min(quality_score) AS worst_quality
+         |FROM cum WHERE cum_tokens <= $tokenBudget
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "pipeline_pack_sequences" ->
       s"""WITH o AS (

@@ -76,6 +76,34 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF keywords: top-3 terms per doc by tf·idf. The idf uses the
+    // RATIONAL form (N+1)/(df+1) instead of its log — log is monotone, so
+    // ranks are identical, and the score stays a quotient of exact
+    // integers computed with single correctly-rounded IEEE ops (* then /),
+    // which both engines reproduce bit-for-bit (libm log would not be).
+    // Scale shape: tf is one (doc,term) groupBy absorbing the explode
+    // map-side; df reduces tf (already one row per doc-term); the
+    // term→df join shuffles on the term key (vocab too big to broadcast
+    // at corpus scale); the corpus doc count rides a broadcast 1-row agg.
+    "text_tfidf" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id"),
+        explode(Text.wsTokens(lower(col("text")))).as("term"))
+        .filter(col("term") =!= "")
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nd = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df, "term").crossJoin(broadcast(nd))
+        .withColumn("score",
+          col("tf") * (col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
+          col("tf"), col("df"), round(col("score"), 4).as("tfidf"))
+        .orderBy("doc_id", "rk")
+    }),
+
     // Per-source heavy hitters via the Misra–Gries FreqItemsAgg — the
     // bounded-memory frequent-items aggregate Spark lacks as a groupBy
     // aggregate. One pass, O(capacity) state per group, map-side partial
@@ -236,6 +264,27 @@ object TextQueries {
         |SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, s.lm_score
         |FROM documents d LEFT JOIN scored s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // identical rational tf·idf: integers into one * and one /, both
+    // correctly-rounded IEEE — rank comparisons see identical doubles
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS term
+        |    FROM documents) WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         tf.tf * (nd.n_docs + 1.0) / (df.df + 1.0) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN nd),
+        |rk AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |              ORDER BY score DESC, term) AS BIGINT) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, term, tf, df, round(score, 4) AS tfidf
+        |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     // Exact-count replay of the heavy-hitter summary: with capacity ≥ the
     // per-source vocabulary the Misra–Gries sketch never decrements, so

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property specs for the behavior-analytics (funnel/retention) and
+  * corpus-curation (stratified sample / token budget / tf-idf) queries —
+  * exactness is the DuckDB oracle's job; these pin the semantic invariants
+  * that survive data changes.
+  */
+class BehaviorPipelineSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("q_funnel: stages shrink monotonically, deltas are positive sums") {
+    val rows = SparkEntry.queries("q_funnel")(spark, sf)
+      .orderBy("stage")
+      .as[(String, Long, Option[Long])].collect().toSeq
+    assert(rows.map(_._1) == Seq("1_view", "2_click", "3_purchase"))
+    val counts = rows.map(_._2)
+    assert(counts == counts.sorted.reverse, s"funnel must shrink: $counts")
+    assert(counts.head > 0)
+    assert(rows.head._3.isEmpty) // first stage has no previous stage
+    // strict ordering ⇒ every per-user delta > 0 ⇒ positive sums
+    rows.tail.filter(_._2 > 0).foreach(r => assert(r._3.exists(_ > 0)))
+  }
+
+  test("q_retention: offset-0 activity equals cohort size (signup itself counts)") {
+    val weekUs = 604800000000L
+    val got = SparkEntry.queries("q_retention")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.forall(_._2 >= 0))
+    val cohortSizes = sources.Tables(spark, sf, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .filter($"event_type" === "signup")
+      .groupBy("user_id").agg(expr(s"min(ts_us) div $weekUs").as("cohort_wk"))
+      .groupBy("cohort_wk").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val atZero = got.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    assert(atZero == cohortSizes)
+    // no offset can exceed its cohort's size
+    got.foreach { case (wk, _, n) => assert(n <= cohortSizes(wk)) }
+  }
+
+  test("pipeline_stratified_sample: exact ceil(n/5) quota per source, rerun-stable") {
+    val got = SparkEntry.queries("pipeline_stratified_sample")(spark, sf)
+    val perSource = got.groupBy("source").agg(count(lit(1)).as("k"))
+      .as[(String, Long)].collect().toMap
+    val totals = sources.Tables(spark, sf, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(perSource.keySet == totals.keySet)
+    totals.foreach { case (src, n) =>
+      assert(perSource(src) == (n + 4) / 5, s"$src: n=$n")
+    }
+    // determinism: a second evaluation selects the identical doc set
+    val a = got.select("doc_id").as[Long].collect().toSet
+    val b = SparkEntry.queries("pipeline_stratified_sample")(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("pipeline_token_budget: selections respect the budget and are non-empty") {
+    val got = SparkEntry.queries("pipeline_token_budget")(spark, sf)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (src, k, toks, worst) =>
+      assert(k > 0, src)
+      assert(toks <= 500, s"$src used $toks > budget")
+      assert(worst >= 0.0 && worst <= 1.0)
+    }
+  }
+
+  test("text_tfidf: ranks 1..3 per doc ordered by the recomputed score") {
+    val nDocs = sources.Tables(spark, sf, "documents").count()
+    val rows = SparkEntry.queries("text_tfidf")(spark, sf)
+      .select("doc_id", "rk", "term", "tf", "df")
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+    rows.foreach { case (_, rk, _, tf, df) =>
+      assert(rk >= 1 && rk <= 3); assert(tf >= 1); assert(df >= 1 && df <= nDocs)
+    }
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      assert(rs.map(_._2).sorted == (1L to rs.size).toSeq, s"doc $doc ranks")
+      val keyed = rs.sortBy(_._2).map { case (_, _, term, tf, df) =>
+        (tf * (nDocs + 1.0) / (df + 1.0), term)
+      }
+      // rank order = (score desc, term asc)
+      val expected = keyed.sortBy { case (sc, t) => (-sc, t) }
+      assert(keyed == expected, s"doc $doc out of order")
+    }
+  }
+}
