@@ -108,6 +108,16 @@ object NativeFunctions {
     "freq_items" -> {
       case Seq(c, cap) => FreqItemsAgg(c, intArg(cap, "capacity")).toAggregateExpression()
       case other => bad("freq_items", "item, capacity", other.size)
+    },
+    "bloom_agg" -> {
+      case Seq(c, bits, k) =>
+        BloomFilterAgg(c, intArg(bits, "numBits"), intArg(k, "numHashes"))
+          .toAggregateExpression()
+      case other => bad("bloom_agg", "key, numBits, numHashes", other.size)
+    },
+    "bloom_contains" -> {
+      case Seq(b, v, k) => BloomMightContain(b, v, intArg(k, "numHashes"))
+      case other => bad("bloom_contains", "bloom, key, numHashes", other.size)
     })
 
   /** Put every native function in the session's registry (idempotent —

@@ -224,6 +224,28 @@ object RelationalQueries {
 
     // Calendar rollup: revenue by month — the partition-pruning shape of a
     // date-partitioned 100 TB lake.
+    // Bloom-pruned big-big join: a selective predicate on orders leaves a
+    // key set too big to broadcast exactly at scale but cheap to summarize;
+    // the Bloom of qualifying orderkeys rides a broadcast 1-row aggregate
+    // and prunes lineitem BEFORE its join shuffle (~90% of probe rows never
+    // exchange here). False positives are removed by the exact join, so the
+    // result — and the oracle — is the plain join's, bit for bit.
+    "q_bloom_join" -> ((s, dir) => {
+      val sel = t(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+      val bloom = graft.plans.Bloom.build(
+        s, sel.select("o_orderkey"), "o_orderkey", 1 << 17, 5)
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .crossJoin(broadcast(bloom))
+        .filter(graft.plans.Bloom.contains(s, col("bloom"), col("l_orderkey"), 5))
+        .drop("bloom")
+        .join(sel.select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), round(sum(revenue), 4).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q_monthly_rollup" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
@@ -564,6 +586,16 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // the bloom prefilter is invisible to results — plain join replay
+    "q_bloom_join" ->
+      """SELECT o.o_orderpriority,
+        |       count(*) AS n_items,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 450000.0
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin,
 
     "q_monthly_rollup" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,

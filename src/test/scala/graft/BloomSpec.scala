@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.Bloom
+
+/** Bloom-filter semi-join pruning: no false negatives ever, a sane false-
+  * positive rate at the designed load, partition-order-independent merge,
+  * and result parity between the bloom-pruned join and the plain join.
+  */
+class BloomSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val numBits = 1 << 14
+  private val k = 5
+
+  test("no false negatives: every inserted key passes, FP rate is sane") {
+    val rnd = new scala.util.Random(11)
+    val keys = Seq.fill(500)(rnd.nextLong()).distinct
+    val bloomBytes = Bloom.build(spark, keys.toDF("key"), "key", numBits, k)
+      .as[Array[Byte]].head()
+    keys.foreach(key => assert(Bloom.mightContain(bloomBytes, key, k)))
+    // ~500 keys in 16384 bits, k=5 → theoretical FP ≈ (1-e^(-5·500/16384))^5
+    // ≈ 5e-5; assert a generous 1% over a disjoint probe set
+    val probes = Seq.fill(20000)(rnd.nextLong()).filterNot(keys.contains)
+    val fp = probes.count(Bloom.mightContain(bloomBytes, _, k))
+    assert(fp.toDouble / probes.size < 0.01, s"$fp/${probes.size} false positives")
+  }
+
+  test("merge is partition-independent: sharded build equals 1-partition build") {
+    val keys = (1L to 3000L).map(i => i * 2654435761L).toDF("key")
+    val one = Bloom.build(spark, keys.repartition(1), "key", numBits, k)
+      .as[Array[Byte]].head()
+    val many = Bloom.build(spark, keys.repartition(13), "key", numBits, k)
+      .as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(one, many))
+  }
+
+  test("pure SQL surface: bloom_agg + bloom_contains") {
+    Bloom.register(spark)
+    Seq(1L, 2L, 3L).toDF("key").createOrReplaceTempView("bloom_keys")
+    val got = spark.sql(
+      s"""WITH b AS (SELECT bloom_agg(key, $numBits, $k) AS bloom FROM bloom_keys)
+         |SELECT probe, bloom_contains(b.bloom, probe, $k) AS hit
+         |FROM b CROSS JOIN (SELECT explode(sequence(1L, 4L)) AS probe)
+         |ORDER BY probe""".stripMargin)
+      .as[(Long, Boolean)].collect().toSeq
+    assert(got.take(3).forall(_._2))
+    // key 4 was never inserted; with 3 keys in 16k bits a FP is ~impossible
+    assert(!got(3)._2)
+  }
+
+  test("q_bloom_join equals the plain (unpruned) join") {
+    val sel = sources.Tables(spark, sf, "orders")
+      .filter($"o_totalprice" > 450000.0)
+      .select("o_orderkey", "o_orderpriority")
+    val plain = sources.Tables(spark, sf, "lineitem")
+      .join(sel, $"l_orderkey" === $"o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"))
+      .orderBy("o_orderpriority")
+      .as[(String, Long, Double)].collect().toSeq
+    val pruned = SparkEntry.queries("q_bloom_join")(spark, sf)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(pruned == plain)
+    assert(pruned.nonEmpty)
+  }
+
+  test("the bloom prefilter actually prunes probe rows at the designed load") {
+    val li = sources.Tables(spark, sf, "lineitem")
+    val sel = sources.Tables(spark, sf, "orders")
+      .filter($"o_totalprice" > 450000.0)
+    val bloom = Bloom.build(spark, sel.select("o_orderkey"), "o_orderkey",
+      1 << 17, k)
+    val kept = li.crossJoin(broadcast(bloom))
+      .filter(Bloom.contains(spark, $"bloom", $"l_orderkey", k)).count()
+    val total = li.count()
+    val trueMatches = li.join(sel, $"l_orderkey" === $"o_orderkey").count()
+    assert(kept >= trueMatches) // never loses a matching row
+    assert(kept < total / 2, s"pruned only ${total - kept} of $total")
+  }
+}
