@@ -140,11 +140,59 @@ object MediaCodecs {
     b.array()
   }
 
+  /** The PCM payload of the `data` chunk — same loud chunk walk as
+    * [[parseWav]] (shared via [[walkWav]]). */
+  def wavSamples(bytes: Array[Byte]): Array[Byte] = {
+    val (_, _, _, dataOff, dataLen) = walkWav(bytes)
+    java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + dataLen)
+  }
+
+  /** 64-bit energy-envelope fingerprint over unsigned 8-bit samples: sample
+    * i lands in window (i·64)/n, bit w is set iff window w's mean amplitude
+    * is at or above the global mean — [[averageHash]]'s audio analog (the
+    * classic coarse loudness-contour fingerprint). Like aHash, a real hash
+    * is never 0 (the loudest window's mean is always ≥ the global mean), so
+    * 0 is the "no samples" sentinel. Integer window assignment and sums;
+    * the only float op is the final IEEE-double mean compare, which DuckDB
+    * reproduces bit-for-bit. */
+  def energyHash(samples: Array[Byte]): Long = {
+    val n = samples.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val w = ((i.toLong * 64) / n).toInt
+      val v = samples(i) & 0xFF
+      sums(w) += v
+      counts(w) += 1
+      total += v
+      i += 1
+    }
+    val gmean = total.toDouble / n
+    var hash = 0L
+    var w = 0
+    while (w < 64) {
+      if (counts(w) > 0 && sums(w).toDouble / counts(w) >= gmean)
+        hash |= (1L << w)
+      w += 1
+    }
+    hash
+  }
+
   /** `(sampleRate, channels, bitsPerSample, dataLength)` from a WAV. Walks
     * the RIFF chunk list for `fmt ` and `data` (chunks may appear in any
     * order, with strangers like LIST in between), rather than trusting
     * fixed offsets. Loud on missing magic or chunks. */
   def parseWav(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+    val (rate, channels, bits, _, dataLen) = walkWav(bytes)
+    (rate, channels, bits, dataLen)
+  }
+
+  /** The RIFF chunk walk both WAV readers share:
+    * `(rate, channels, bits, dataOffset, dataLength)`. */
+  private def walkWav(bytes: Array[Byte]): (Int, Int, Int, Int, Int) = {
     require(bytes.length >= 44, s"WAV too short: ${bytes.length} bytes")
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def fourCC(off: Int): String =
@@ -157,6 +205,7 @@ object MediaCodecs {
     // the body runs, so the Int-typed ByteBuffer reads below are safe.
     var off = 12L
     var fmt: Option[(Int, Int, Int)] = None
+    var dataOff = -1
     var dataLen = -1
     while (off + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
       val o = off.toInt
@@ -172,6 +221,7 @@ object MediaCodecs {
         // truncated/corrupt file — parseBmp's 'pixel data truncated' analog
         require(off + 8 + size <= bytes.length,
           s"WAV data chunk claims $size bytes, payload ends at ${bytes.length}")
+        dataOff = o + 8
         dataLen = size
       }
       off += 8L + size + (size & 1) // chunks are word-aligned
@@ -181,6 +231,6 @@ object MediaCodecs {
     require(dataLen >= 0, "WAV has no data chunk")
     require(rate > 0 && channels > 0 && bits > 0,
       s"corrupt WAV fmt: rate=$rate channels=$channels bits=$bits")
-    (rate, channels, bits, dataLen)
+    (rate, channels, bits, dataOff, dataLen)
   }
 }

@@ -108,6 +108,20 @@ object Multimodal {
     ds.mapPartitions { it => it.map(decodeOne) }.toDF()
   }
 
+  /** Audio content fingerprints: (doc_id, ehash) over the audio slice —
+    * the WAV data chunk's energy-envelope hash ([[MediaCodecs.energyHash]]).
+    * Filter + projection stay Columns before the typed boundary so only
+    * audio rows deserialize and the scan prunes to the decode columns. */
+  def audioEnergyHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.filter(col("modality") === "audio")
+      .select(col("doc_id"), col("modality"), col("payload")).as[DecodeInput]
+      .mapPartitions(_.map { r =>
+        (r.doc_id, MediaCodecs.energyHash(MediaCodecs.wavSamples(r.payload)))
+      })
+      .toDF("doc_id", "ehash")
+  }
+
   /** STUB FRAME SAMPLER: a real deployment seeks the container format and
     * decodes ~1 frame/sec here. The stand-in emits a deterministic
     * payload-derived frame count (1-5) with per-frame pseudo-features, so

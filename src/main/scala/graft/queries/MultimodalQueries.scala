@@ -54,28 +54,52 @@ object MultimodalQueries {
       // images, which must not pair with each other as hamming-0 dups.
       val imgs = features(s, dir)
         .filter(col("modality") === "image" && col("phash") =!= 0L)
-        .select(col("doc_id"), col("phash"))
-      // arithmetic-shift-then-mask is engine-agnostic: the mask never
-      // reaches the sign-fill bits (widths 13/13/13/13/12)
-      val blocks = array((0 until 5).map { b =>
-        struct(lit(b).as("blk"),
-          shiftright(col("phash"), b * 13)
-            .bitwiseAND(lit(if (b == 4) 4095L else 8191L)).as("bval"))
-      }: _*)
-      val bk = imgs.select(col("doc_id"), explode(blocks).as("bk"))
-      val cand = bk.as("a").join(bk.as("b"),
-          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(imgs.select(col("doc_id").as("doc_a"), col("phash").as("ph_a")), "doc_a")
-        .join(imgs.select(col("doc_id").as("doc_b"), col("phash").as("ph_b")), "doc_b")
-        .withColumn("hamming",
-          bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
-        .filter(col("hamming") <= 4)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
+        .select(col("doc_id"), col("phash").as("fp"))
+      pigeonholePairs(imgs)
+    }),
+
+    // Perceptual near-duplicate AUDIO: same pigeonhole bucket join over
+    // the WAV data chunk's energy-envelope hash (the loudness-contour
+    // fingerprint) — the audio-side analog of mm_near_dup, so every
+    // decoded modality has a first-class dedup path. ehash = 0 is the
+    // "no samples" sentinel (a real envelope hash is never 0: the loudest
+    // window is always at or above the global mean).
+    "mm_audio_near_dup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val aud = Multimodal.audioEnergyHashes(s,
+          Multimodal.asMedia(Tables.sharded(s, dir, "documents")))
+        .filter(col("ehash") =!= 0L)
+        .select(col("doc_id"), col("ehash").as("fp"))
+      pigeonholePairs(aud)
     }))
+
+  /** Hamming ≤ 4 pairs over a 64-bit fingerprint column `fp` via the
+    * 5-block pigeonhole (4×13 + 12 bits): pairs within the radius must
+    * agree on ≥ 1 block, so candidates come from a bucket join on block
+    * values — never a fingerprint×fingerprint cross join. Shared by the
+    * image and audio near-dup passes. Arithmetic-shift-then-mask is
+    * engine-agnostic: the masks never reach the sign-fill bits. */
+  private def pigeonholePairs(items: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val blocks = array((0 until 5).map { b =>
+      struct(lit(b).as("blk"),
+        shiftright(col("fp"), b * 13)
+          .bitwiseAND(lit(if (b == 4) 4095L else 8191L)).as("bval"))
+    }: _*)
+    val bk = items.select(col("doc_id"), explode(blocks).as("bk"))
+    val cand = bk.as("a").join(bk.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(items.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
+      .join(items.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .filter(col("hamming") <= 4)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** Shared replay pieces. Byte i of the UTF-8 text is read from the hex
     * dump (`('0x' || substr(hex, 2i+1, 2))::BIGINT`); Java
@@ -142,7 +166,52 @@ object MultimodalQueries {
       |                  ELSE 0 END) AS BIGINT) AS phash
       |  FROM cells c JOIN tot t ON t.doc_id = c.doc_id GROUP BY c.doc_id)""".stripMargin
 
+  /** WAV energy-envelope hash replay: audio docs (doc_id mod 3 = 1), data
+    * chunk = the UTF-8 text bytes, sample i → window (i·64)//n, bit w set
+    * iff window mean ≥ global mean (IEEE double compare, identical on both
+    * engines). Same shape as [[imgHashCtes]]. */
+  private val audioHashCtes =
+    """b2 AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS blen
+      |  FROM documents),
+      |sm AS (
+      |  SELECT doc_id, (i * 64) // blen AS w,
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT AS v
+      |  FROM (SELECT doc_id, hx, blen, unnest(range(blen)) AS i
+      |        FROM b2 WHERE doc_id % 3 = 1 AND blen > 0)),
+      |wsum AS (
+      |  SELECT doc_id, w, sum(v) AS ws, count(*) AS wc FROM sm GROUP BY doc_id, w),
+      |gtot AS (
+      |  SELECT doc_id, sum(v) AS total, count(*) AS n FROM sm GROUP BY doc_id),
+      |ehash AS (
+      |  SELECT w.doc_id,
+      |         CAST(sum(CASE WHEN CAST(w.ws AS DOUBLE) / w.wc >= CAST(g.total AS DOUBLE) / g.n
+      |                  THEN CASE WHEN w.w = 63 THEN (-9223372036854775807 - 1)
+      |                            ELSE (1::BIGINT << CAST(w.w AS INT)) END
+      |                  ELSE 0 END) AS BIGINT) AS fp
+      |  FROM wsum w JOIN gtot g ON g.doc_id = w.doc_id GROUP BY w.doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // energy-hash replay + the same 5-block pigeonhole candidates and
+    // hamming ≤ 4 verify as the image pass
+    "mm_audio_near_dup" ->
+      s"""WITH $audioHashCtes,
+         |blocks AS (
+         |  SELECT doc_id, blk,
+         |         (fp >> CAST(blk * 13 AS INT)) &
+         |         CASE WHEN blk = 4 THEN 4095 ELSE 8191 END AS bval
+         |  FROM ehash CROSS JOIN (SELECT unnest(range(5)) AS blk) bb),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |       CAST(bit_count(xor(ha.fp, hb.fp)) AS BIGINT) AS hamming
+         |FROM cand c
+         |JOIN ehash ha ON ha.doc_id = c.doc_a
+         |JOIN ehash hb ON hb.doc_id = c.doc_b
+         |WHERE bit_count(xor(ha.fp, hb.fp)) <= 4
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // Replays the full decode surface: BMP geometry ((doc_id mod 13)+4 ×
     // (doc_id mod 7)+2, 8bpp + 1078-byte header/palette, rows padded to 4),
     // the aHash over the pixel bytes (text bytes zero-padded to w·h; cell

@@ -144,4 +144,44 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(out == brute, s"bucketed=${out.size} brute=${brute.size}")
     assert(brute.nonEmpty, "test lake must contain near-dup images")
   }
+
+  test("energyHash: golden envelopes, sentinel, and window mapping") {
+    import graft.functions.MediaCodecs
+    // loud second half → upper 32 windows at/above the mean, lower below
+    val halfLoud = Array.fill(64)(0.toByte) ++ Array.fill(64)(200.toByte)
+    assert(MediaCodecs.energyHash(halfLoud) == 0xFFFFFFFF00000000L)
+    // constant signal (all 64 windows populated): every window mean equals
+    // the global mean → all bits set
+    assert(MediaCodecs.energyHash(Array.fill(64)(7.toByte)) == -1L)
+    assert(MediaCodecs.energyHash(Array.emptyByteArray) == 0L) // sentinel
+    // fewer samples than windows: sample i → window (i*64)/n, empty
+    // windows stay 0 — a 2-sample signal sets exactly windows 0 and 32
+    val twoSamples = Array(0.toByte, 100.toByte)
+    assert(MediaCodecs.energyHash(twoSamples) == (1L << 32))
+    // single sample: window 0 mean == global mean → bit 0 only
+    assert(MediaCodecs.energyHash(Array(42.toByte)) == 1L)
+  }
+
+  test("energyHash survives the WAV container round trip") {
+    import graft.functions.MediaCodecs
+    val pcm = Array.tabulate(1000)(i => ((i * 37) % 256).toByte)
+    val wav = MediaCodecs.encodeWav(8000, 1, 8, pcm)
+    assert(java.util.Arrays.equals(MediaCodecs.wavSamples(wav), pcm))
+    assert(MediaCodecs.energyHash(MediaCodecs.wavSamples(wav)) ==
+      MediaCodecs.energyHash(pcm))
+  }
+
+  test("mm_audio_near_dup pigeonhole candidates are lossless vs brute force") {
+    val out = queries.MultimodalQueries.queries("mm_audio_near_dup")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val media = operators.Multimodal.asMedia(sources.Tables(spark, sf, "documents"))
+    val hashes = operators.Multimodal.audioEnergyHashes(spark, media)
+      .filter($"ehash" =!= 0L).as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- hashes
+      (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 4
+    } yield (a, b, d.toLong)).toSet
+    assert(out == brute, s"bucketed=${out.size} brute=${brute.size}")
+  }
 }
