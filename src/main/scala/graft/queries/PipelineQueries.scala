@@ -73,6 +73,34 @@ object PipelineQueries {
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
         .orderBy("source")),
 
+    // Filter-funnel attrition report — the observability pass every
+    // production cleaning pipeline runs next to the pipeline itself: how
+    // many docs survive each gate IN ORDER (a doc reaches gate i only if
+    // it passed gates 1..i-1). One corpus scan computes all gate flags;
+    // the funnel is a single 1-row aggregate stacked into per-stage rows.
+    // The repetition gate compares exact integers ((dups·10) ≤ (3·grams) ⟺
+    // ratio ≤ 0.3) so no float boundary can split the engines.
+    "pipeline_attrition" -> ((s, dir) => {
+      val toks = graft.functions.Text.wsTokenCount(col("text"))
+      val q = graft.functions.Text.qualityScore(col("text"))
+      val grams = graft.functions.Text.wordShingles(col("text"), 3)
+      val dupsOk = (size(grams) - size(array_distinct(grams))) * 10 <=
+        greatest(size(grams), lit(1)) * 3
+      docs(s, dir)
+        .select((toks >= 10).as("g1"), (q >= 0.5).as("g2"), dupsOk.as("g3"))
+        .agg(count(lit(1)).as("n0"),
+          sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("g1") && col("g2"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("g1") && col("g2") && col("g3"), 1L).otherwise(0L)).as("n3"))
+        .selectExpr(
+          """stack(3,
+            |  '1_min_tokens', n0, n1,
+            |  '2_quality',    n1, n2,
+            |  '3_repetition', n2, n3) AS (stage, n_in, n_out)""".stripMargin)
+        .withColumn("n_dropped", col("n_in") - col("n_out"))
+        .orderBy("stage")
+    }),
+
     // Deterministic EXACT-COUNT stratified sampling: per source, keep
     // exactly ceil(n/5) docs — the ones with the smallest content hash
     // (md5, tie-broken by doc_id). Unlike a Bernoulli coin this hits the
@@ -172,6 +200,47 @@ object PipelineQueries {
         |SELECT source, count(*) AS n_total,
         |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    // gate flags replayed (token floor, 4dp quality, integral dup-gram
+    // compare), then the same ordered funnel stacked via UNION ALL
+    "pipeline_attrition" ->
+      s"""WITH f AS (
+         |  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+         |              ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS n_tokens,
+         |         round(
+         |           least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |                 ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS DOUBLE) / 100.0, 1.0) * 0.4 +
+         |           least((CAST(len(list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
+         |                 x -> x IN ($stopList))) AS DOUBLE) /
+         |                 greatest(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |                 ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS DOUBLE), 1.0)) * 5.0, 1.0) * 0.4 +
+         |           (1.0 - least((CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r]')) AS DOUBLE) /
+         |                 greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10.0, 1.0)) * 0.2,
+         |           4) AS q,
+         |         regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
+         |  FROM documents),
+         |g AS (
+         |  SELECT n_tokens, q,
+         |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |              ELSE list_transform(range(len(t) - 2),
+         |                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) END AS grams
+         |  FROM f),
+         |flags AS (
+         |  SELECT (n_tokens >= 10) AS g1, (q >= 0.5) AS g2,
+         |         ((len(grams) - len(list_distinct(grams))) * 10 <=
+         |          greatest(len(grams), 1) * 3) AS g3
+         |  FROM g),
+         |a AS (
+         |  SELECT count(*) AS n0,
+         |         CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |         CAST(sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |         CAST(sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+         |  FROM flags)
+         |SELECT stage, n_in, n_out, n_in - n_out AS n_dropped FROM (
+         |  SELECT '1_min_tokens' AS stage, n0 AS n_in, n1 AS n_out FROM a
+         |  UNION ALL SELECT '2_quality', n1, n2 FROM a
+         |  UNION ALL SELECT '3_repetition', n2, n3 FROM a)
+         |ORDER BY stage""".stripMargin,
 
     "pipeline_stratified_sample" ->
       """WITH r AS (

@@ -161,6 +161,34 @@ object TextQueries {
         .orderBy(col("n").desc, col("ngram"))
         .limit(20)),
 
+    // Content novelty: the fraction of a doc's distinct 3-gram set that
+    // FIRST occurs in this doc (ingest order = doc_id) — the "how much new
+    // content does each doc contribute" curation signal, the per-doc view
+    // of the span-dedup idea. First-occurrence is min(doc_id) per gram:
+    // one groupBy on the (hashed) gram, one join back, one groupBy doc —
+    // all linear shuffles; the gram map phase is the native one-pass
+    // expression. The oracle counts STRING grams (hash-collision-free at
+    // n²/2⁶⁴ odds, same accepted equivalence as pipeline_decontaminate).
+    "text_novelty" -> ((s, dir) => {
+      val grams = docs(s, dir).select(col("doc_id"),
+        explode(graft.plans.NgramHashes.hashes(s, col("text"), 3)).as("gram"))
+      val firstSeen = grams.groupBy("gram").agg(min("doc_id").as("first_doc"))
+      val nov = grams.join(firstSeen, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_grams"), 4))
+      // empty docs have no grams but must keep a row (novelty 0 of 0)
+      docs(s, dir).select(col("doc_id")).join(nov, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          coalesce(col("novelty"), lit(0.0)).as("novelty"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition/quality signals (Rae et al. '21 heuristics):
     // duplicate-3gram mass, alphabetic-word fraction, mean word length —
     // the per-document filters a pretraining pipeline applies corpus-wide.
@@ -373,6 +401,27 @@ object TextQueries {
         |  FROM toks)
         |SELECT ngram, count(*) AS n FROM grams
         |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+
+    // string-gram replay of the hashed-gram novelty pass (same accepted
+    // hash-vs-string equivalence as pipeline_decontaminate)
+    "text_novelty" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |                ELSE list_transform(range(len(t) - 2),
+        |                     i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) END)) AS gram
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t
+        |        FROM documents)),
+        |fs AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+        |nov AS (
+        |  SELECT g.doc_id, count(*) AS n_grams,
+        |         CAST(sum(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM g JOIN fs USING (gram) GROUP BY g.doc_id)
+        |SELECT d.doc_id, coalesce(nov.n_grams, 0) AS n_grams,
+        |       coalesce(nov.n_novel, 0) AS n_novel,
+        |       coalesce(round(CAST(nov.n_novel AS DOUBLE) / nov.n_grams, 4), 0.0) AS novelty
+        |FROM documents d LEFT JOIN nov USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH f AS (

@@ -70,6 +70,36 @@ class BehaviorPipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("text_novelty: earliest doc is fully novel, counts are coherent") {
+    val rows = SparkEntry.queries("text_novelty")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nGrams, nNovel, nov) =>
+      assert(nNovel <= nGrams)
+      assert(nov >= 0.0 && nov <= 1.0)
+      if (nGrams > 0)
+        assert(math.abs(nov - nNovel.toDouble / nGrams) < 1e-3)
+    }
+    // min doc_id can't share grams with any earlier doc
+    val first = rows.minBy(_._1)
+    assert(first._2 == 0 || first._4 == 1.0)
+  }
+
+  test("pipeline_attrition: ordered funnel stages chain and shrink") {
+    val rows = SparkEntry.queries("pipeline_attrition")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) == Seq("1_min_tokens", "2_quality", "3_repetition"))
+    rows.foreach { case (_, in, out, dropped) =>
+      assert(out <= in); assert(dropped == in - out)
+    }
+    // each stage's survivors feed the next stage
+    rows.sliding(2).foreach {
+      case Seq(a, b) => assert(a._3 == b._2)
+      case _ =>
+    }
+    assert(rows.head._2 == sources.Tables(spark, sf, "documents").count())
+  }
+
   test("text_tfidf: ranks 1..3 per doc ordered by the recomputed score") {
     val nDocs = sources.Tables(spark, sf, "documents").count()
     val rows = SparkEntry.queries("text_tfidf")(spark, sf)
