@@ -118,6 +118,11 @@ object NativeFunctions {
     "bloom_contains" -> {
       case Seq(b, v, k) => BloomMightContain(b, v, intArg(k, "numHashes"))
       case other => bad("bloom_contains", "bloom, key, numHashes", other.size)
+    },
+    "bitmap_distinct" -> {
+      case Seq(c, m) =>
+        BitmapDistinctAgg(c, intArg(m, "maxId")).toAggregateExpression()
+      case other => bad("bitmap_distinct", "key, maxId", other.size)
     })
 
   /** Put every native function in the session's registry (idempotent —

@@ -224,6 +224,20 @@ object RelationalQueries {
 
     // Calendar rollup: revenue by month — the partition-pruning shape of a
     // date-partitioned 100 TB lake.
+    // Exact distinct counts from fixed-width mergeable bitmaps: keys are
+    // dense integer ids (l_partkey), so a maxId/8-byte bitmap per group
+    // OR-merges map-side and the exchange never carries the distinct key
+    // set (what countDistinct's exact path shuffles) — exact AND fixed
+    // state, the dense-id fast path next to q_approx_distinct's HLL.
+    "q_bitmap_distinct" -> ((s, dir) => {
+      graft.plans.NativeFunctions.register(s)
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(call_function("bitmap_distinct", col("l_partkey"), lit(1 << 16))
+          .as("n_parts"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // Bloom-pruned big-big join: a selective predicate on orders leaves a
     // key set too big to broadcast exactly at scale but cheap to summarize;
     // the Bloom of qualifying orderkeys rides a broadcast 1-row aggregate
@@ -586,6 +600,14 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // a correct bitmap IS an exact distinct count — plain replay
+    "q_bitmap_distinct" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     // the bloom prefilter is invisible to results — plain join replay
     "q_bloom_join" ->

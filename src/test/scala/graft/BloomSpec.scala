@@ -68,6 +68,33 @@ class BloomSpec extends AnyFunSuite with SparkTestBase {
     assert(pruned.nonEmpty)
   }
 
+  test("bitmap_distinct equals exact countDistinct under forced partial merges") {
+    graft.plans.NativeFunctions.register(spark)
+    val rnd = new scala.util.Random(3)
+    val df = Seq.fill(5000)((rnd.nextInt(4), rnd.nextInt(700).toLong))
+      .toDF("g", "id").repartition(11)
+    val viaBitmap = df.groupBy("g")
+      .agg(call_function("bitmap_distinct", $"id", lit(1024)).as("n"))
+      .orderBy("g").as[(Int, Long)].collect().toSeq
+    val exact = df.groupBy("g").agg(countDistinct($"id").as("n"))
+      .orderBy("g").as[(Int, Long)].collect().toSeq
+    assert(viaBitmap == exact)
+  }
+
+  test("bitmap_distinct fails loudly on keys outside the declared domain") {
+    graft.plans.NativeFunctions.register(spark)
+    val err = intercept[Exception] {
+      Seq(5L, 2000L).toDF("id")
+        .agg(call_function("bitmap_distinct", $"id", lit(1024))).collect()
+    }
+    assert(err.getMessage != null)
+    // nulls are skipped (SQL aggregate semantics), not range-checked
+    val ok = Seq(Some(5L), None, Some(6L)).toDF("id")
+      .agg(call_function("bitmap_distinct", $"id", lit(1024)))
+      .as[Long].head()
+    assert(ok == 2L)
+  }
+
   test("the bloom prefilter actually prunes probe rows at the designed load") {
     val li = sources.Tables(spark, sf, "lineitem")
     val sel = sources.Tables(spark, sf, "orders")
