@@ -95,6 +95,35 @@ object CdcQueries {
     "cdc_changelog_stats" -> ((s, dir) =>
       Apply.changelogStats(feed(s, dir)).orderBy("table_name", "op")),
 
+    // Changelog COMPACTION (the Kafka-compacted-topic / snapshot-merge
+    // prepass): collapse each key's change run into its net effect —
+    // INSERT…DELETE cancels entirely, INSERT…x nets to INSERT with the
+    // final value, pre-existing-key runs net to UPDATE or DELETE. One
+    // shuffle on (table, pk); min_by/max_by are exact because LSNs are
+    // unique. Downstream appliers then touch each key once instead of
+    // once per change.
+    "cdc_compaction" -> ((s, dir) =>
+      feed(s, dir)
+        .groupBy("table_name", "pk")
+        .agg(
+          min_by(col("op"), col("lsn")).as("first_op"),
+          max_by(col("op"), col("lsn")).as("last_op"),
+          max_by(col("value"), col("lsn")).as("last_value"),
+          min("lsn").as("first_lsn"), max("lsn").as("last_lsn"),
+          count(lit(1)).as("n_changes"))
+        .withColumn("net_op",
+          when(col("first_op") === "INSERT" && col("last_op") === "DELETE",
+            lit(null).cast("string"))
+            .when(col("first_op") === "INSERT", lit("INSERT"))
+            .when(col("last_op") === "DELETE", lit("DELETE"))
+            .otherwise(lit("UPDATE")))
+        .filter(col("net_op").isNotNull)
+        .select(col("table_name"), col("pk"), col("net_op"),
+          when(col("net_op") === "DELETE", lit(null).cast("double"))
+            .otherwise(col("last_value")).as("value"),
+          col("first_lsn"), col("last_lsn"), col("n_changes"))
+        .orderBy("table_name", "pk")),
+
     // The reference's exact HandleFunc shape: map-typed before/after images
     // (nil rules per op, postrack.go:372-407), projected to scalar image
     // values + nil flags so the DuckDB oracle below can replay the rules
@@ -188,6 +217,29 @@ object CdcQueries {
          |FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.pk
          |WHERE l.last_op IS NULL OR l.last_op <> 'DELETE'
          |ORDER BY pk""".stripMargin,
+
+    // arg_min/arg_max mirror min_by/max_by (unique LSNs ⇒ deterministic)
+    "cdc_compaction" ->
+      s"""$cte,
+         |runs AS (
+         |  SELECT table_name, pk,
+         |         arg_min(op, lsn) AS first_op, arg_max(op, lsn) AS last_op,
+         |         arg_max(value, lsn) AS last_value,
+         |         min(lsn) AS first_lsn, max(lsn) AS last_lsn,
+         |         count(*) AS n_changes
+         |  FROM feed GROUP BY table_name, pk),
+         |net AS (
+         |  SELECT *,
+         |         CASE WHEN first_op = 'INSERT' AND last_op = 'DELETE' THEN NULL
+         |              WHEN first_op = 'INSERT' THEN 'INSERT'
+         |              WHEN last_op = 'DELETE' THEN 'DELETE'
+         |              ELSE 'UPDATE' END AS net_op
+         |  FROM runs)
+         |SELECT table_name, pk, net_op,
+         |       CASE WHEN net_op = 'DELETE' THEN NULL ELSE last_value END AS value,
+         |       first_lsn, last_lsn, n_changes
+         |FROM net WHERE net_op IS NOT NULL
+         |ORDER BY table_name, pk""".stripMargin,
 
     "cdc_scd2_history" ->
       s"""$cte

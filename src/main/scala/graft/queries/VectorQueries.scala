@@ -125,6 +125,28 @@ object VectorQueries {
         .orderBy("label")
     }),
 
+    // Embedding OUTLIERS — the label-quality pass next to emb_centroids:
+    // the 3 least-cohesive members of each label cluster (lowest cosine to
+    // the label centroid) are the mislabeled/noise candidates a curation
+    // pipeline reviews. Ranking happens on the 4dp-ROUNDED cosine (the
+    // knn_bruteforce determinism argument), and bottom-k goes through the
+    // bounded-heap TopKAgg — partitions reduce to ≤ k rows per label
+    // BEFORE the exchange, so the shuffle carries O(labels × k) at any
+    // corpus size.
+    "emb_outliers" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = graft.operators.Embeddings.labelCentroids(e, "label", "embedding")
+      val scored = e.join(broadcast(centroids), "label")
+        .select(col("label"), col("vec_id"),
+          round(graft.plans.CosineSim.cosine(s, col("embedding"), col("centroid")), 4)
+            .as("cos"))
+        .withColumn("neg_cos", -col("cos"))
+      graft.operators.Relational.topKByScore(scored, "label", "neg_cos", "vec_id", 3)
+        .select(col("label"), col("rk"), col("vec_id"),
+          (-col("neg_cos")).as("cos"))
+        .orderBy("label", "rk")
+    }),
+
     // IVF-flat ANN: spherical k-means coarse quantizer (deterministic
     // init), inverted lists by cluster, nprobe=2 probe + exact-cosine
     // rerank — the second classic ANN scale path next to knn_lsh. At 100 TB
@@ -310,6 +332,29 @@ object VectorQueries {
         |SELECT label, count(*) AS n_vectors,
         |       round(avg(cos), 4) AS mean_cos_to_centroid
         |FROM cos GROUP BY label ORDER BY label""".stripMargin,
+
+    // same centroid replay as emb_centroids; bottom-3 by (rounded cos,
+    // vec_id) — the TopKAgg path is window-equivalent (spec'd)
+    "emb_outliers" ->
+      """WITH d AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, list(cx ORDER BY dim) AS centroid
+        |  FROM (SELECT label, dim, avg(x) AS cx FROM d GROUP BY label, dim)
+        |  GROUP BY label),
+        |cos AS (
+        |  SELECT e.label, e.vec_id,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      c.centroid), 4) AS cos
+        |  FROM embeddings e JOIN cent c USING (label)),
+        |rk AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY label
+        |              ORDER BY cos, vec_id) AS BIGINT) AS rk
+        |  FROM cos)
+        |SELECT label, rk, vec_id, cos FROM rk WHERE rk <= 3
+        |ORDER BY label, rk""".stripMargin,
 
     "knn_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings

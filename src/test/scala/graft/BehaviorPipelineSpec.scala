@@ -100,6 +100,39 @@ class BehaviorPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.head._2 == sources.Tables(spark, sf, "documents").count())
   }
 
+  test("cdc_compaction: applying the net ops reproduces the latest snapshot") {
+    val feed = cdc.ChangeFeed.fromEvents(sources.Tables(spark, sf, "events"))
+    // live keys per the compacted log: everything except net deletes and
+    // cancelled INSERT…DELETE runs, valued at the run's final value
+    val live = SparkEntry.queries("cdc_compaction")(spark, sf)
+      .filter($"net_op" =!= "DELETE")
+      .select($"table_name", $"pk", $"value")
+      .as[(String, Long, Double)].collect().toSet
+    val snapshot = cdc.Apply.latestSnapshot(feed)
+      .select($"table_name", $"pk", $"value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(live == snapshot)
+    assert(live.nonEmpty)
+    // net DELETEs are exactly the pre-existing keys whose last op deletes
+    val netDeletes = SparkEntry.queries("cdc_compaction")(spark, sf)
+      .filter($"net_op" === "DELETE").select($"table_name", $"pk")
+      .as[(String, Long)].collect().toSet
+    netDeletes.foreach(k => assert(!live.exists(r => (r._1, r._2) == k)))
+  }
+
+  test("emb_outliers: 3 per label, ordered ascending by rounded cosine") {
+    val rows = SparkEntry.queries("emb_outliers")(spark, sf)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    val byLabel = rows.groupBy(_._1)
+    assert(byLabel.nonEmpty)
+    byLabel.foreach { case (label, rs) =>
+      assert(rs.map(_._2).sorted == Seq(1L, 2L, 3L), s"label $label")
+      val cosInRankOrder = rs.sortBy(_._2).map(_._4)
+      assert(cosInRankOrder == cosInRankOrder.sorted, s"label $label order")
+      cosInRankOrder.foreach(c => assert(c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
   test("text_tfidf: ranks 1..3 per doc ordered by the recomputed score") {
     val nDocs = sources.Tables(spark, sf, "documents").count()
     val rows = SparkEntry.queries("text_tfidf")(spark, sf)
