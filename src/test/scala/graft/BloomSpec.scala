@@ -95,6 +95,22 @@ class BloomSpec extends AnyFunSuite with SparkTestBase {
     assert(ok == 2L)
   }
 
+  test("q_bloom_join plans the prefilter BELOW the equi-join (pre-shuffle)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val lp = SparkEntry.queries("q_bloom_join")(spark, sf)
+      .queryExecution.optimizedPlan
+    val equiJoins = lp.collect {
+      case j: Join if j.condition.exists(_.toString.contains("l_orderkey")) => j
+    }
+    assert(equiJoins.nonEmpty, s"no equi-join in:\n${lp.toString.take(2000)}")
+    // the probe-side subtree of the key join must carry the bloom filter —
+    // i.e. pruning happens before rows reach the join's exchange
+    assert(equiJoins.exists(j =>
+      j.left.toString.contains("bloom_contains") ||
+        j.right.toString.contains("bloom_contains")),
+      s"bloom_contains not under the join:\n${lp.toString.take(3000)}")
+  }
+
   test("the bloom prefilter actually prunes probe rows at the designed load") {
     val li = sources.Tables(spark, sf, "lineitem")
     val sel = sources.Tables(spark, sf, "orders")

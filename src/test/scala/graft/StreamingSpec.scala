@@ -439,4 +439,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(last == Snapshot("users", 1L, 3L, "UPDATE", 3.0, false))
     } finally q.stop()
   }
+
+  test("streaming trending tokens: windowed freq_items matches the batch sketch") {
+    // the Misra–Gries aggregate composes with Structured Streaming's
+    // windowed aggregation (its binary buffer lives in the state store
+    // like any agg buffer) — the "trending topics over a token stream"
+    // shape, incremental across micro-batches
+    import org.apache.spark.sql.functions._
+    graft.plans.NativeFunctions.register(spark)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)] // (epoch s, token)
+    val trend = input.toDF().toDF("ts_s", "tok")
+      .withColumn("ts", timestamp_seconds($"ts_s"))
+      .groupBy(window($"ts", "60 seconds").as("w"))
+      .agg(call_function("freq_items", $"tok", lit(8)).as("hh"))
+    val q = trend.writeStream.format("memory").queryName("trending")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData((0L, "a"), (1L, "a"), (2L, "b"), (65L, "c"))
+      q.processAllAvailable()
+      input.addData((3L, "a"), (4L, "b"), (66L, "c"), (67L, "d"))
+      q.processAllAvailable()
+      val streamed = spark.table("trending").collect().map(_.toString).sorted.toSeq
+      val batch = Seq((0L, "a"), (1L, "a"), (2L, "b"), (65L, "c"),
+          (3L, "a"), (4L, "b"), (66L, "c"), (67L, "d"))
+        .toDF("ts_s", "tok")
+        .withColumn("ts", timestamp_seconds($"ts_s"))
+        .groupBy(window($"ts", "60 seconds").as("w"))
+        .agg(call_function("freq_items", $"tok", lit(8)).as("hh"))
+        .collect().map(_.toString).sorted.toSeq
+      // capacity ≥ vocabulary ⇒ both sketches are exact ⇒ identical rows
+      assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+      assert(streamed.size == 2) // two 60s windows
+    } finally q.stop()
+  }
 }
