@@ -19,6 +19,8 @@ class EntrySmokeSpec extends AnyFunSuite with SparkTestBase {
     val empty = counts.filter(_._2 == 0).keys.toSet
     // near-dup thresholds may legitimately find nothing at tiny scale for
     // the random synthetic corpus — but only for these
-    assert(empty.subsetOf(Set("dedup_ngram_jaccard", "dedup_embedding")), s"empty: $empty")
+    assert(empty.subsetOf(
+      Set("dedup_ngram_jaccard", "dedup_embedding", "mm_audio_near_dup")),
+      s"empty: $empty")
   }
 }
