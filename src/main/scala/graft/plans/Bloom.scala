@@ -104,6 +104,18 @@ object Bloom {
     org.apache.spark.sql.functions.call_function(
       "bloom_contains", bloom, value, org.apache.spark.sql.functions.lit(numHashes))
   }
+
+  /** The bloom as a driver-held byte array — O(numBits/8), bounded by
+    * construction like the IVF centroids and PQ codebooks, and embedded
+    * the same way: as a plan LITERAL. The literal matters for throughput:
+    * a bloom riding a broadcast ROW is re-copied out of its UnsafeRow by
+    * every probe row's getBinary (measured ~3× on the probe scan at 16
+    * KiB), while a literal is one object reference in the generated code. */
+  def buildBytes(spark: SparkSession, keys: DataFrame, keyCol: String,
+      numBits: Int, numHashes: Int): Array[Byte] = {
+    import spark.implicits._
+    build(spark, keys, keyCol, numBits, numHashes).as[Array[Byte]].head()
+  }
 }
 
 /** Builds a Bloom filter over a LongType key column. Buffer is the word

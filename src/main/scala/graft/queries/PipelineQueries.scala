@@ -29,6 +29,9 @@ object PipelineQueries {
   /** Token-budget selection: per-source whitespace-token allowance. */
   private val tokenBudget = 500
 
+  /** Output sharding fan-out. */
+  private val nShards = 8
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PII redaction: emails → <EMAIL>, phones → <PHONE>, IPv4 → <IP>,
     // map-only over the corpus. Redacted text is compared by md5 so the
@@ -140,6 +143,23 @@ object PipelineQueries {
           min("quality_score").as("worst_quality"))
         .orderBy("source")
     }),
+
+    // Output-shard manifest — the write-planning pass before a corpus
+    // lands on disk: docs route to a fixed shard count by content hash
+    // (reshard-stable, no RNG, near-dup copies of a doc land in the same
+    // shard), and the manifest row per shard carries the counts/sizes a
+    // writer needs to validate the materialized output. The md5-prefix
+    // shard key is the same replayable hash family as the signature tier.
+    "pipeline_shard_manifest" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          expr(s"conv(substring(md5(text), 1, 6), 16, 10) % $nShards")
+            .cast("long").as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard")),
 
     // Sequence packing: per source, docs in doc_id order fill fixed
     // character-budget sequences; a doc belongs to the sequence where it
@@ -280,6 +300,17 @@ object PipelineQueries {
          |       min(quality_score) AS worst_quality
          |FROM cum WHERE cum_tokens <= $tokenBudget
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    // same 24-bit md5-prefix shard key: hex → BIGINT mod nShards
+    "pipeline_shard_manifest" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, n_chars,
+         |         ('0x' || substr(md5(text), 1, 6))::BIGINT % $nShards AS shard
+         |  FROM documents)
+         |SELECT shard, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
 
     "pipeline_pack_sequences" ->
       s"""WITH o AS (

@@ -246,13 +246,14 @@ object RelationalQueries {
     // result — and the oracle — is the plain join's, bit for bit.
     "q_bloom_join" -> ((s, dir) => {
       val sel = t(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
-      val bloom = graft.plans.Bloom.build(
+      // the filter is a bounded driver-held artifact (16 KiB) embedded as
+      // a plan literal — one object in codegen, not a per-row broadcast-
+      // row getBinary copy (the centroid/codebook pattern)
+      val bloom = graft.plans.Bloom.buildBytes(
         s, sel.select("o_orderkey"), "o_orderkey", 1 << 17, 5)
       t(s, dir, "lineitem")
         .select("l_orderkey", "l_extendedprice", "l_discount")
-        .crossJoin(broadcast(bloom))
-        .filter(graft.plans.Bloom.contains(s, col("bloom"), col("l_orderkey"), 5))
-        .drop("bloom")
+        .filter(graft.plans.Bloom.contains(s, lit(bloom), col("l_orderkey"), 5))
         .join(sel.select("o_orderkey", "o_orderpriority"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
