@@ -95,6 +95,28 @@ object CdcQueries {
     "cdc_changelog_stats" -> ((s, dir) =>
       Apply.changelogStats(feed(s, dir)).orderBy("table_name", "op")),
 
+    // LSN continuity audit — the operational monitor a capture pipeline
+    // runs against its landed feed: per table, count sequence gaps and
+    // duplicate LSNs and report the widest hole. A gap means frames were
+    // lost (or another table's traffic interleaved — expected here, which
+    // is exactly what makes the numbers non-trivial); a duplicate means a
+    // replay was not deduped. One lag window per table, exact integers.
+    "cdc_gap_detect" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("table_name").orderBy("lsn")
+      feed(s, dir)
+        .select(col("table_name"), col("lsn"),
+          (col("lsn") - lag("lsn", 1).over(w)).as("delta"))
+        .groupBy("table_name")
+        .agg(count(lit(1)).as("n_events"),
+          min("lsn").as("min_lsn"), max("lsn").as("max_lsn"),
+          sum(when(col("delta") > 1, 1L).otherwise(0L)).as("n_gaps"),
+          coalesce(max(when(col("delta") > 1, col("delta") - 1)), lit(0L))
+            .as("max_gap_len"),
+          sum(when(col("delta") === 0, 1L).otherwise(0L)).as("n_dup_lsn"))
+        .orderBy("table_name")
+    }),
+
     // Changelog COMPACTION (the Kafka-compacted-topic / snapshot-merge
     // prepass): collapse each key's change run into its net effect —
     // INSERT…DELETE cancels entirely, INSERT…x nets to INSERT with the
@@ -217,6 +239,19 @@ object CdcQueries {
          |FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.pk
          |WHERE l.last_op IS NULL OR l.last_op <> 'DELETE'
          |ORDER BY pk""".stripMargin,
+
+    "cdc_gap_detect" ->
+      s"""$cte,
+         |d AS (
+         |  SELECT table_name, lsn,
+         |         lsn - lag(lsn) OVER (PARTITION BY table_name ORDER BY lsn) AS delta
+         |  FROM feed)
+         |SELECT table_name, count(*) AS n_events,
+         |       min(lsn) AS min_lsn, max(lsn) AS max_lsn,
+         |       CAST(sum(CASE WHEN delta > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+         |       coalesce(max(CASE WHEN delta > 1 THEN delta - 1 END), 0) AS max_gap_len,
+         |       CAST(sum(CASE WHEN delta = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lsn
+         |FROM d GROUP BY table_name ORDER BY table_name""".stripMargin,
 
     // arg_min/arg_max mirror min_by/max_by (unique LSNs ⇒ deterministic)
     "cdc_compaction" ->

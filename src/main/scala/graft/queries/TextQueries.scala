@@ -161,6 +161,33 @@ object TextQueries {
         .orderBy(col("n").desc, col("ngram"))
         .limit(20)),
 
+    // Vocabulary-health stats per source — the corpus diagnostics a data
+    // team watches across ingests: token/type counts, type-token ratio,
+    // and head-mass (the fraction of all tokens covered by the source's
+    // 10 most frequent types — high head-mass = templated/boilerplate
+    // source). One (source, token) groupBy absorbs the explode map-side;
+    // the head rank is a window over the (small) per-source vocabulary,
+    // not the token stream. Exact integers + 4dp ratios.
+    "text_vocab_stats" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(col("cnt").desc, col("tok"))
+      val cnt = docs(s, dir).select(col("source"),
+        explode(Text.wsTokens(lower(col("text")))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+      cnt.groupBy("source")
+        .agg(sum("cnt").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("rk") <= 10, col("cnt")).otherwise(0L)).as("head_tokens"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          round(col("n_types").cast("double") / col("n_tokens"), 4)
+            .as("type_token_ratio"),
+          round(col("head_tokens").cast("double") / col("n_tokens"), 4)
+            .as("head_mass"))
+        .orderBy("source")
+    }),
+
     // Content novelty: the fraction of a doc's distinct 3-gram set that
     // FIRST occurs in this doc (ingest order = doc_id) — the "how much new
     // content does each doc contribute" curation signal, the per-doc view
@@ -401,6 +428,24 @@ object TextQueries {
         |  FROM toks)
         |SELECT ngram, count(*) AS n FROM grams
         |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+
+    "text_vocab_stats" ->
+      """WITH toks AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |cnt AS (
+        |  SELECT source, tok, count(*) AS cnt,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY count(*) DESC, tok) AS rk
+        |  FROM toks GROUP BY source, tok)
+        |SELECT source,
+        |       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |       count(*) AS n_types,
+        |       round(CAST(count(*) AS DOUBLE) / sum(cnt), 4) AS type_token_ratio,
+        |       round(CAST(sum(CASE WHEN rk <= 10 THEN cnt ELSE 0 END) AS DOUBLE) /
+        |             sum(cnt), 4) AS head_mass
+        |FROM cnt GROUP BY source ORDER BY source""".stripMargin,
 
     // string-gram replay of the hashed-gram novelty pass (same accepted
     // hash-vs-string equivalence as pipeline_decontaminate)
