@@ -90,11 +90,16 @@ object TextQueries {
         explode(Text.wsTokens(lower(col("text")))).as("term"))
         .filter(col("term") =!= "")
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // df as a count-over-window ON the tf table (one row per doc-term,
+      // so the count IS the document frequency): one term-keyed exchange
+      // total, where a separate groupBy(term) + join back would shuffle
+      // the tf table on the term key twice
+      val wDf = org.apache.spark.sql.expressions.Window.partitionBy("term")
       val nd = docs(s, dir).agg(count(lit(1)).as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("term"))
-      tf.join(df, "term").crossJoin(broadcast(nd))
+      tf.withColumn("df", count(lit(1)).over(wDf))
+        .crossJoin(broadcast(nd))
         .withColumn("score",
           col("tf") * (col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
         .withColumn("rk", row_number().over(w))

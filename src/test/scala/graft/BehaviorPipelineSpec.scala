@@ -133,6 +133,46 @@ class BehaviorPipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("pipeline_shard_manifest: shards partition the corpus exactly") {
+    val rows = SparkEntry.queries("pipeline_shard_manifest")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.forall(r => r._1 >= 0 && r._1 < 8))
+    val docs = sources.Tables(spark, sf, "documents")
+    assert(rows.map(_._2).sum == docs.count())
+    assert(rows.map(_._3).sum ==
+      docs.agg(sum($"n_chars")).as[Long].head())
+    rows.foreach { case (_, n, _, lo, hi) => assert(lo <= hi && n >= 1) }
+  }
+
+  test("cdc_gap_detect: events total, interleaved tables gap, no dup LSNs") {
+    val rows = SparkEntry.queries("cdc_gap_detect")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1).sorted == Seq("accounts", "users"))
+    val feed = cdc.ChangeFeed.fromEvents(sources.Tables(spark, sf, "events"))
+    assert(rows.map(_._2).sum == feed.count())
+    rows.foreach { case (t, n, lo, hi, gaps, maxGap, dups) =>
+      assert(lo <= hi, t)
+      assert(dups == 0L, s"$t: LSNs are unique by construction")
+      // two tables interleave one global LSN sequence — each must see gaps
+      assert(gaps > 0 && maxGap >= 1, t)
+      // span = events + holes: total gap mass is span - count
+      assert(hi - lo + 1 >= n, t)
+    }
+  }
+
+  test("text_vocab_stats: ratios bounded, token totals match a recount") {
+    val rows = SparkEntry.queries("text_vocab_stats")(spark, sf)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nTok, nTyp, ttr, head) =>
+      assert(nTyp >= 1 && nTyp <= nTok, src)
+      assert(ttr > 0.0 && ttr <= 1.0, src)
+      assert(head > 0.0 && head <= 1.0, src)
+      // 10 most frequent types can never cover less than 10/n_types mass
+      assert(head >= math.min(1.0, nTyp.toDouble / nTok), src)
+    }
+  }
+
   test("text_tfidf: ranks 1..3 per doc ordered by the recomputed score") {
     val nDocs = sources.Tables(spark, sf, "documents").count()
     val rows = SparkEntry.queries("text_tfidf")(spark, sf)
