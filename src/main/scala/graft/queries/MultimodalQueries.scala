@@ -66,12 +66,25 @@ object MultimodalQueries {
     // window is always at or above the global mean).
     "mm_audio_near_dup" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val aud = Multimodal.audioEnergyHashes(s,
-          Multimodal.asMedia(Tables.sharded(s, dir, "documents")))
+      val aud = audioHashes(s, dir)
         .filter(col("ehash") =!= 0L)
         .select(col("doc_id"), col("ehash").as("fp"))
       pigeonholePairs(aud)
     }))
+
+  /** Memoized audio fingerprints, lineage-cut like [[features]]: the
+    * pigeonhole join references its input four times (self-join + two fp
+    * lookups), and without the cut each reference would re-encode the
+    * whole corpus inside asMedia's typed mapPartitions and re-decode the
+    * WAVs. */
+  private val audioMemo = new graft.operators.SessionMemo[DataFrame]
+
+  private def audioHashes(s: SparkSession, dir: String): DataFrame =
+    audioMemo.get(s, dir) {
+      Multimodal.audioEnergyHashes(s,
+          Multimodal.asMedia(Tables.sharded(s, dir, "documents")))
+        .transform(graft.operators.Checkpointing.cut)
+    }
 
   /** Hamming ≤ 4 pairs over a 64-bit fingerprint column `fp` via the
     * 5-block pigeonhole (4×13 + 12 bits): pairs within the radius must

@@ -176,9 +176,6 @@ object PipelineQueries {
         .orderBy("source", "seq_id")
     }))
 
-  private val stopList =
-    graft.functions.Text.stopwords.map(w => s"'$w'").mkString(", ")
-
   /** DuckDB 8-gram construction matching Text.wordShingles(_, 8). */
   private val gramsSql =
     """SELECT doc_id,
@@ -227,16 +224,7 @@ object PipelineQueries {
       s"""WITH f AS (
          |  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
          |              ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS n_tokens,
-         |         round(
-         |           least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-         |                 ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS DOUBLE) / 100.0, 1.0) * 0.4 +
-         |           least((CAST(len(list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
-         |                 x -> x IN ($stopList))) AS DOUBLE) /
-         |                 greatest(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-         |                 ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS DOUBLE), 1.0)) * 5.0, 1.0) * 0.4 +
-         |           (1.0 - least((CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r]')) AS DOUBLE) /
-         |                 greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10.0, 1.0)) * 0.2,
-         |           4) AS q,
+         |         ${TextQueries.qualityScoreSql} AS q,
          |         regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
          |  FROM documents),
          |g AS (
@@ -280,16 +268,7 @@ object PipelineQueries {
          |  SELECT source, doc_id,
          |         CASE WHEN length(trim(text)) = 0 THEN 0
          |              ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS n_tokens,
-         |         round(
-         |           least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-         |                 ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS DOUBLE) / 100.0, 1.0) * 0.4 +
-         |           least((CAST(len(list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
-         |                 x -> x IN ($stopList))) AS DOUBLE) /
-         |                 greatest(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-         |                 ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS DOUBLE), 1.0)) * 5.0, 1.0) * 0.4 +
-         |           (1.0 - least((CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r]')) AS DOUBLE) /
-         |                 greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10.0, 1.0)) * 0.2,
-         |           4) AS quality_score
+         |         ${TextQueries.qualityScoreSql} AS quality_score
          |  FROM documents),
          |cum AS (
          |  SELECT *, sum(n_tokens) OVER (PARTITION BY source

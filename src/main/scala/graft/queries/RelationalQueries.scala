@@ -231,9 +231,14 @@ object RelationalQueries {
     // state, the dense-id fast path next to q_approx_distinct's HLL.
     "q_bitmap_distinct" -> ((s, dir) => {
       graft.plans.NativeFunctions.register(s)
+      // the key domain is the part dimension's surrogate range, so size
+      // the bitmap FROM that dimension (a metadata-cheap dim-table count)
+      // instead of a fixed constant that would trip the loud out-of-range
+      // guard at a bigger scale factor
+      val maxId = t(s, dir, "part").count().toInt
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(call_function("bitmap_distinct", col("l_partkey"), lit(1 << 16))
+        .agg(call_function("bitmap_distinct", col("l_partkey"), lit(maxId))
           .as("n_parts"))
         .orderBy("l_returnflag", "l_linestatus")
     }),

@@ -272,6 +272,24 @@ object TextQueries {
 
   private val stopList = Text.stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** The 4dp quality-score formula over a raw `text` column, as DuckDB
+    * SQL — the ONE copy every quality-gating oracle embeds
+    * (pipeline_clean_corpus here; pipeline_attrition and
+    * pipeline_token_budget in PipelineQueries). Must mirror
+    * Text.qualityScore term-for-term; a tweak applied to fewer than all
+    * users would desynchronize engines confusingly. */
+  private[queries] val qualityScoreSql: String =
+    s"""round(
+       |  least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |        ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS DOUBLE) / 100.0, 1.0) * 0.4 +
+       |  least((CAST(len(list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
+       |        x -> x IN ($stopList))) AS DOUBLE) /
+       |        greatest(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |        ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS DOUBLE), 1.0)) * 5.0, 1.0) * 0.4 +
+       |  (1.0 - least((CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r]')) AS DOUBLE) /
+       |        greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10.0, 1.0)) * 0.2,
+       |  4)""".stripMargin
+
   /** `(lang, markers)` VALUES rows generated from the same map the Spark
     * side votes with, so the two can't drift. */
   private val markerRows = Text.langMarkers.toSeq.sortBy(_._1)
@@ -508,16 +526,7 @@ object TextQueries {
     "pipeline_clean_corpus" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang, source, text,
-         |         round(
-         |           least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-         |                 ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS DOUBLE) / 100.0, 1.0) * 0.4 +
-         |           least((CAST(len(list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
-         |                 x -> x IN ($stopList))) AS DOUBLE) /
-         |                 greatest(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-         |                 ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS DOUBLE), 1.0)) * 5.0, 1.0) * 0.4 +
-         |           (1.0 - least((CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r]')) AS DOUBLE) /
-         |                 greatest(CAST(length(text) AS DOUBLE), 1.0)) * 10.0, 1.0)) * 0.2,
-         |           4) AS quality_score
+         |         $qualityScoreSql AS quality_score
          |  FROM documents),
          |good AS (SELECT * FROM scored WHERE quality_score >= 0.5),
          |ranked AS (

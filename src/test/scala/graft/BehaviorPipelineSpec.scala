@@ -168,8 +168,10 @@ class BehaviorPipelineSpec extends AnyFunSuite with SparkTestBase {
       assert(nTyp >= 1 && nTyp <= nTok, src)
       assert(ttr > 0.0 && ttr <= 1.0, src)
       assert(head > 0.0 && head <= 1.0, src)
-      // 10 most frequent types can never cover less than 10/n_types mass
-      assert(head >= math.min(1.0, nTyp.toDouble / nTok), src)
+      // the top-10 types' mean count is >= the overall mean count, so
+      // head mass >= 10/n_types (1.0 when fewer than 10 types); 1e-3
+      // slack for the 4dp rounding
+      assert(head >= math.min(1.0, 10.0 / nTyp) - 1e-3, src)
     }
   }
 
