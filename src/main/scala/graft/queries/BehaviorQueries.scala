@@ -34,11 +34,17 @@ object BehaviorQueries {
     // raw log. sum_delta_us carries the exact integer stage-transition mass.
     "q_funnel" -> ((s, dir) => {
       val e = ev(s, dir).select("user_id", "event_type", "ts_us")
-      val v = e.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts_us").as("v_ts"))
-      val c = e.filter(col("event_type") === "click")
+      // each stage table is one row per converted user and feeds BOTH the
+      // next stage's join and its own count row — without a lineage cut
+      // Spark re-derives the whole upstream subtree at every reference
+      // (plan-audited: v rebuilt inside c, c inside p — 6 scans), so cut
+      // the small per-stage tables instead of recomputing the log
+      val cut = graft.operators.Checkpointing.cut _
+      val v = cut(e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("v_ts")))
+      val c = cut(e.filter(col("event_type") === "click")
         .join(v, "user_id").filter(col("ts_us") > col("v_ts"))
-        .groupBy("user_id").agg(min("ts_us").as("c_ts"), max("v_ts").as("v_ts"))
+        .groupBy("user_id").agg(min("ts_us").as("c_ts"), max("v_ts").as("v_ts")))
       val p = e.filter(col("event_type") === "purchase")
         .join(c, "user_id").filter(col("ts_us") > col("c_ts"))
         .groupBy("user_id").agg(min("ts_us").as("p_ts"), max("c_ts").as("c_ts"))
