@@ -32,54 +32,18 @@ object BehaviorQueries {
     // event subset joined to the previous stage's one-row-per-user table —
     // three linear user_id shuffles, reusable exchange, no self-join of the
     // raw log. sum_delta_us carries the exact integer stage-transition mass.
-    "q_funnel" -> ((s, dir) => {
-      val e = ev(s, dir).select("user_id", "event_type", "ts_us")
-      // each stage table is one row per converted user and feeds BOTH the
-      // next stage's join and its own count row — without a lineage cut
-      // Spark re-derives the whole upstream subtree at every reference
-      // (plan-audited: v rebuilt inside c, c inside p — 6 scans), so cut
-      // the small per-stage tables instead of recomputing the log
-      val cut = graft.operators.Checkpointing.cut _
-      val v = cut(e.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts_us").as("v_ts")))
-      val c = cut(e.filter(col("event_type") === "click")
-        .join(v, "user_id").filter(col("ts_us") > col("v_ts"))
-        .groupBy("user_id").agg(min("ts_us").as("c_ts"), max("v_ts").as("v_ts")))
-      val p = e.filter(col("event_type") === "purchase")
-        .join(c, "user_id").filter(col("ts_us") > col("c_ts"))
-        .groupBy("user_id").agg(min("ts_us").as("p_ts"), max("c_ts").as("c_ts"))
-      val nullDelta = lit(null).cast("long")
-      v.agg(count(lit(1)).as("n_users"), nullDelta.as("sum_delta_us"))
-        .select(lit("1_view").as("stage"), col("n_users"), col("sum_delta_us"))
-        .unionAll(
-          c.agg(count(lit(1)).as("n_users"),
-            sum(col("c_ts") - col("v_ts")).as("sum_delta_us"))
-            .select(lit("2_click").as("stage"), col("n_users"), col("sum_delta_us")))
-        .unionAll(
-          p.agg(count(lit(1)).as("n_users"),
-            sum(col("p_ts") - col("c_ts")).as("sum_delta_us"))
-            .select(lit("3_purchase").as("stage"), col("n_users"), col("sum_delta_us")))
-        .orderBy("stage")
-    }),
+    "q_funnel" -> ((s, dir) =>
+      graft.operators.Behavior.funnel(ev(s, dir), "user_id", "event_type",
+        "ts_us", Seq("view", "click", "purchase"))),
 
     // Cohort retention matrix: cohort = epoch-week of the user's first
     // signup, activity = distinct (user, week) pairs at or after the
     // cohort week. Integer `div` week bucketing keeps both engines in
     // exact agreement (no calendar/week-start dialect). The distinct
     // collapses the log to one row per user-week BEFORE the cohort join.
-    "q_retention" -> ((s, dir) => {
-      val e = ev(s, dir)
-      val su = e.filter(col("event_type") === "signup")
-        .groupBy("user_id")
-        .agg(expr(s"min(ts_us) div $weekUs").as("cohort_wk"))
-      val act = e.select(col("user_id"), expr(s"ts_us div $weekUs").as("wk"))
-        .distinct()
-      act.join(su, "user_id")
-        .filter(col("wk") >= col("cohort_wk"))
-        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
-        .agg(count(lit(1)).as("n_active"))
-        .orderBy("cohort_wk", "week_offset")
-    }))
+    "q_retention" -> ((s, dir) =>
+      graft.operators.Behavior.retention(ev(s, dir), "user_id", "event_type",
+        "ts_us", "signup", weekUs)))
 
   private val evCte =
     "WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events)"

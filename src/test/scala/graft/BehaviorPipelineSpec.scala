@@ -11,6 +11,43 @@ import org.scalatest.funsuite.AnyFunSuite
 class BehaviorPipelineSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
+  test("Behavior.funnel on crafted journeys: strict order, first event wins") {
+    val events = Seq(
+      // u1: complete journey in order
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      // u2: click BEFORE the first view never qualifies; the purchase
+      // cannot count without a qualifying click
+      (2L, "click", 50L), (2L, "view", 100L), (2L, "purchase", 200L),
+      // u3: earliest view wins (50); a click AT that instant is not
+      // strictly after it
+      (3L, "view", 100L), (3L, "view", 50L), (3L, "click", 50L),
+      // u4: stalls after click
+      (4L, "view", 10L), (4L, "click", 20L))
+      .toDF("user_id", "event_type", "ts_us")
+    val got = operators.Behavior
+      .funnel(events, "user_id", "event_type", "ts_us",
+        Seq("view", "click", "purchase"))
+      .as[(String, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      ("1_view", 4L, None),
+      ("2_click", 2L, Some(110L)),     // u1: 200-100, u4: 20-10
+      ("3_purchase", 1L, Some(100L)))) // u1: 300-200
+  }
+
+  test("Behavior.retention on crafted cohorts: offsets from first signup bucket") {
+    val events = Seq(
+      (1L, "signup", 0L), (1L, "view", 150L), (1L, "view", 250L),
+      (2L, "signup", 120L), (2L, "view", 130L), (2L, "view", 350L),
+      (3L, "view", 500L)) // never signed up → excluded
+      .toDF("user_id", "event_type", "ts_us")
+    val got = operators.Behavior
+      .retention(events, "user_id", "event_type", "ts_us", "signup", 100L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 1L), (0L, 1L, 1L), (0L, 2L, 1L), // u1: wk0, wk1, wk2
+      (1L, 0L, 1L), (1L, 2L, 1L)))              // u2: wk1 (dedup), wk3
+  }
+
   test("q_funnel: stages shrink monotonically, deltas are positive sums") {
     val rows = SparkEntry.queries("q_funnel")(spark, sf)
       .orderBy("stage")
