@@ -54,6 +54,14 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
           |FROM (SELECT explode(array('a', 'a', 'b', 'c', 'a')) AS t)""".stripMargin).head()
       val top = hh.getSeq[org.apache.spark.sql.Row](0).head
       assert(top.getString(0) == "a" && top.getLong(1) == 3L)
+      val bb = s.sql(
+        """WITH k AS (SELECT CAST(id AS BIGINT) AS id
+          |           FROM (SELECT explode(sequence(1, 5)) AS id)),
+          |b AS (SELECT bloom_agg(id, 64, 3) AS bloom,
+          |             bitmap_distinct(id, 64) AS nd FROM k)
+          |SELECT nd, bloom_contains(bloom, 3L, 3) AS hit FROM b""".stripMargin)
+        .head()
+      assert(bb.getLong(0) == 5L && bb.getBoolean(1))
     } finally {
       // do NOT s.stop(): that stops the SHARED SparkContext and every
       // later suite with it. Just reinstate the original default session;
