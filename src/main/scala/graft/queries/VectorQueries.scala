@@ -125,6 +125,24 @@ object VectorQueries {
         .orderBy("label")
     }),
 
+    // Per-dimension embedding health — the dead/degenerate-dimension
+    // detector an embedding pipeline watches across model versions: mean,
+    // variance, range, and near-zero mass per coordinate. One
+    // (dim)-keyed aggregation over the posexploded matrix; 4dp rounding
+    // absorbs the var_pop implementation difference (Welford vs naive)
+    // while min/max are arithmetic-free and compare exactly.
+    "emb_dim_stats" -> ((s, dir) =>
+      emb(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
+        .groupBy("dim")
+        .agg(round(avg("x"), 4).as("mean"),
+          round(var_pop("x"), 4).as("variance"),
+          min("x").as("lo"), max("x").as("hi"),
+          round(sum(when(abs(col("x")) < 0.01, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 4).as("small_frac"))
+        .orderBy("dim")),
+
     // Embedding OUTLIERS — the label-quality pass next to emb_centroids:
     // the 3 least-cohesive members of each label cluster (lowest cosine to
     // the label centroid) are the mislabeled/noise candidates a curation
@@ -332,6 +350,19 @@ object VectorQueries {
         |SELECT label, count(*) AS n_vectors,
         |       round(avg(cos), 4) AS mean_cos_to_centroid
         |FROM cos GROUP BY label ORDER BY label""".stripMargin,
+
+    "emb_dim_stats" ->
+      """WITH d AS (
+        |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings)
+        |SELECT CAST(dim AS BIGINT) AS dim,
+        |       round(avg(x), 4) AS mean,
+        |       round(var_pop(x), 4) AS variance,
+        |       min(x) AS lo, max(x) AS hi,
+        |       round(CAST(sum(CASE WHEN abs(x) < 0.01 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |             count(*), 4) AS small_frac
+        |FROM d GROUP BY dim ORDER BY dim""".stripMargin,
 
     // same centroid replay as emb_centroids; bottom-3 by (rounded cos,
     // vec_id) — the TopKAgg path is window-equivalent (spec'd)
