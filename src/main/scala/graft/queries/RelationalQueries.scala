@@ -266,6 +266,28 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // TIME-range rolling aggregate (trailing 30-day revenue): the daily
+    // pre-aggregation happens FIRST (map-side partials over the fact
+    // table), so the RANGE window sorts only the tiny per-day table —
+    // never the raw orders. Exact integer cents make the rolling sums
+    // partition-order-free; epoch-day integers make the frame bounds
+    // engine-neutral (no calendar arithmetic in the window).
+    "q_rolling_30d" -> ((s, dir) => {
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val daily = t(s, dir, "orders")
+        .select(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("epoch_day"), cents.as("cents"))
+        .groupBy("epoch_day")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("day_cents"))
+      val w = Window.orderBy("epoch_day").rangeBetween(-29, 0)
+      daily
+        .withColumn("rolling_cents", sum("day_cents").over(w))
+        .select(col("epoch_day"), col("n_orders"),
+          round(col("day_cents") / 100.0, 4).as("day_revenue"),
+          round(col("rolling_cents") / 100.0, 4).as("rolling_30d_revenue"))
+        .orderBy("epoch_day")
+    }),
+
     "q_monthly_rollup" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
@@ -624,6 +646,21 @@ object RelationalQueries {
         |WHERE o.o_totalprice > 450000.0
         |GROUP BY o.o_orderpriority
         |ORDER BY o.o_orderpriority""".stripMargin,
+
+    // same integral cents + epoch-day RANGE frame; DuckDB's RANGE over an
+    // integer ORDER BY matches Spark's rangeBetween(-29, 0)
+    "q_rolling_30d" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS epoch_day,
+        |         count(*) AS n_orders,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT epoch_day, n_orders,
+        |       round(day_cents / 100.0, 4) AS day_revenue,
+        |       round(sum(day_cents) OVER (ORDER BY epoch_day
+        |               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) / 100.0, 4)
+        |         AS rolling_30d_revenue
+        |FROM daily ORDER BY epoch_day""".stripMargin,
 
     "q_monthly_rollup" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,

@@ -148,6 +148,40 @@ class RandomizedSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("Behavior.funnel matches a brute-force reference on random journeys") {
+    val rnd = new scala.util.Random(23)
+    val types = Vector("view", "click", "purchase", "other")
+    // many users, few events each, unique timestamps so strict-order
+    // semantics are unambiguous
+    val evs = new scala.util.Random(7)
+      .shuffle((0 until 3000).map { i =>
+        (rnd.nextInt(300).toLong, types(rnd.nextInt(types.size)), i.toLong)
+      }.toVector)
+    // sequential per-user reference model
+    val stages = Seq("view", "click", "purchase")
+    val byUser = evs.groupBy(_._1)
+    var expected = Vector.empty[(String, Long, Option[Long])]
+    var reach = byUser.flatMap { case (u, es) =>
+      es.filter(_._2 == stages.head).map(_._3).sorted.headOption.map(u -> _)
+    }
+    expected :+= (("1_view", reach.size.toLong, None: Option[Long]))
+    for ((st, i) <- stages.tail.zipWithIndex) {
+      val next = reach.flatMap { case (u, prevTs) =>
+        byUser(u).filter(e => e._2 == st && e._3 > prevTs)
+          .map(_._3).sorted.headOption.map(ts => u -> (ts, prevTs))
+      }
+      val sum = next.values.map { case (ts, prev) => ts - prev }.sum
+      expected :+= ((s"${i + 2}_$st", next.size.toLong,
+        if (next.isEmpty) None else Some(sum)))
+      reach = next.map { case (u, (ts, _)) => u -> ts }
+    }
+    val got = operators.Behavior.funnel(
+        evs.toDF("user_id", "event_type", "ts_us").repartition(7),
+        "user_id", "event_type", "ts_us", stages)
+      .as[(String, Long, Option[Long])].collect().toSeq
+    assert(got == expected, s"got=$got\nexpected=$expected")
+  }
+
   test("topKPerGroup matches the brute-force reference on random data") {
     val k = 3
     val expected = events.groupBy(_.k).flatMap { case (_, es) =>
