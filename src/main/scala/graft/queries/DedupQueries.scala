@@ -123,6 +123,27 @@ object DedupQueries {
       graft.operators.Dedup.canonicalClusters(minhashPairs(s, dir))
         .orderBy("doc_id")),
 
+    // The final dedup DECISION list — where the near-dup machinery meets
+    // the quality tier: within each near-dup cluster keep exactly one
+    // member, the highest-quality one (doc_id tie-break), and mark the
+    // rest as drops pointing at their kept representative. Shares the
+    // memoized pair table and the replayable quality score, so the whole
+    // decision replays in DuckDB (recursive cluster CTE + quality
+    // formula + rank).
+    "dedup_keep_list" -> ((s, dir) => {
+      val clusters = graft.operators.Dedup.canonicalClusters(minhashPairs(s, dir))
+      val quality = docsSharded(s, dir).select(col("doc_id"),
+        graft.functions.Text.qualityScore(col("text")).as("quality_score"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("canonical")
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      clusters.join(quality, "doc_id")
+        .withColumn("kept_doc", first("doc_id").over(w))
+        .select(col("doc_id"), col("canonical").as("cluster"),
+          col("quality_score"), (col("doc_id") === col("kept_doc")).as("keep"),
+          col("kept_doc"))
+        .orderBy("doc_id")
+    }),
+
     // Group-level signatures via the minhash_merge aggregate: element-wise
     // min of member sigs = the signature of the group's UNION of shingles,
     // so cross-source similarity is estimated from 20 tiny sketches instead
@@ -348,6 +369,33 @@ object DedupQueries {
          |  UNION
          |  SELECT e.dst AS doc_id, c.lbl FROM cc c JOIN edges e ON e.src = c.doc_id)
          |SELECT doc_id, min(lbl) AS canonical FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // cluster CTE + the shared quality formula + rank: keep = rk 1
+    "dedup_keep_list" ->
+      s"""WITH RECURSIVE $sigCtes,
+         |$candCte,
+         |$agreeCte,
+         |$pairsCte,
+         |nodes AS (SELECT DISTINCT doc_id FROM
+         |  (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b AS doc_id FROM pairs)),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |cc AS (
+         |  SELECT doc_id, doc_id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e.dst AS doc_id, c.lbl FROM cc c JOIN edges e ON e.src = c.doc_id),
+         |clusters AS (SELECT doc_id, min(lbl) AS cluster FROM cc GROUP BY doc_id),
+         |scored AS (
+         |  SELECT c.doc_id, c.cluster,
+         |         ${TextQueries.qualityScoreSql} AS quality_score
+         |  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
+         |ranked AS (
+         |  SELECT *, first_value(doc_id) OVER (PARTITION BY cluster
+         |            ORDER BY quality_score DESC, doc_id) AS kept_doc
+         |  FROM scored)
+         |SELECT doc_id, cluster, quality_score,
+         |       doc_id = kept_doc AS keep, kept_doc
+         |FROM ranked ORDER BY doc_id""".stripMargin,
 
     // Source-level union sketches: a group's signature slot is the min over
     // the UNION of member gram hashes (elementwise-min merge ≡ min over

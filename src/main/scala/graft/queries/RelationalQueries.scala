@@ -222,6 +222,24 @@ object RelationalQueries {
           round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
         .orderBy("l_returnflag")),
 
+    // Robust spread: median absolute deviation per group — the
+    // outlier-resistant dispersion stat next to q_percentiles' quantiles.
+    // Two exact interpolated-percentile passes (median, then median of
+    // |x − median| after a broadcast join of the tiny per-group medians);
+    // both engines share the interpolation formula (q_percentiles parity).
+    "q_mad" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice")
+      val med = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+      li.join(broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(max("med"), 4).as("median"),
+          round(expr("percentile(abs(l_extendedprice - med), 0.5)"), 4)
+            .as("mad"))
+        .orderBy("l_returnflag")
+    }),
+
     // Calendar rollup: revenue by month — the partition-pruning shape of a
     // date-partitioned 100 TB lake.
     // Exact distinct counts from fixed-width mergeable bitmaps: keys are
@@ -628,6 +646,17 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_mad" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |       round(max(m.med), 4) AS median,
+        |       round(quantile_cont(abs(l.l_extendedprice - m.med), 0.5), 4) AS mad
+        |FROM lineitem l JOIN med m USING (l_returnflag)
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""".stripMargin,
 
     // a correct bitmap IS an exact distinct count — plain replay
     "q_bitmap_distinct" ->

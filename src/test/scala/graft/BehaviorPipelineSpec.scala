@@ -170,6 +170,24 @@ class BehaviorPipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dedup_keep_list: one keep per cluster, and it has the best quality") {
+    val rows = SparkEntry.queries("dedup_keep_list")(spark, sf)
+      .as[(Long, Long, Double, Boolean, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (cluster, members) =>
+      assert(members.size >= 2, s"cluster $cluster: singletons never cluster")
+      val kept = members.filter(_._4)
+      assert(kept.size == 1, s"cluster $cluster keeps ${kept.size}")
+      val winner = kept.head
+      assert(members.forall(_._5 == winner._1), s"cluster $cluster pointer")
+      // winner quality is maximal; doc_id breaks ties
+      members.foreach { m =>
+        assert(m._3 < winner._3 ||
+          (m._3 == winner._3 && m._1 >= winner._1), s"cluster $cluster order")
+      }
+    }
+  }
+
   test("pipeline_shard_manifest: shards partition the corpus exactly") {
     val rows = SparkEntry.queries("pipeline_shard_manifest")(spark, sf)
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
