@@ -46,7 +46,10 @@ object Behavior {
       tbl.agg(count(lit(1)).as("n_users"), delta.as("sum_delta_us"))
         .select(lit(s"${i + 1}_${stages(i)}").as("stage"),
           col("n_users"), col("sum_delta_us"))
-    }.reduce(_ unionAll _).orderBy("stage")
+    }.reduce(_ unionAll _)
+      // order on the NUMERIC stage index — a lexicographic sort of the
+      // label would file stage 10 between 1 and 2 in a ≥10-stage funnel
+      .orderBy(expr("CAST(split(stage, '_')[0] AS INT)"))
   }
 
   /** Cohort retention: cohort = epoch-week (integer `div` — no calendar

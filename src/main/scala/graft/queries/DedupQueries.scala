@@ -132,11 +132,14 @@ object DedupQueries {
     // formula + rank).
     "dedup_keep_list" -> ((s, dir) => {
       val clusters = graft.operators.Dedup.canonicalClusters(minhashPairs(s, dir))
-      val quality = docsSharded(s, dir).select(col("doc_id"),
-        graft.functions.Text.qualityScore(col("text")).as("quality_score"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy("canonical")
         .orderBy(col("quality_score").desc, col("doc_id"))
-      clusters.join(quality, "doc_id")
+      // join FIRST, score after: the regex-heavy quality score then runs
+      // only over cluster members (a sliver of the corpus), not every doc
+      clusters.join(docsSharded(s, dir).select("doc_id", "text"), "doc_id")
+        .withColumn("quality_score",
+          graft.functions.Text.qualityScore(col("text")))
+        .drop("text")
         .withColumn("kept_doc", first("doc_id").over(w))
         .select(col("doc_id"), col("canonical").as("cluster"),
           col("quality_score"), (col("doc_id") === col("kept_doc")).as("keep"),
@@ -326,6 +329,20 @@ object DedupQueries {
       |  SELECT doc_a, doc_b, n_eq, round(CAST(n_eq AS DOUBLE) / 64, 4) AS est_jaccard
       |  FROM agree WHERE n_eq >= 32)""".stripMargin
 
+  /** Pairs → connected components with min-doc_id labels as a recursive
+    * label-reachability fixpoint — ONE copy shared by dedup_clusters and
+    * dedup_keep_list so the replay logic cannot drift between them. */
+  private val clusterCtes =
+    """nodes AS (SELECT DISTINCT doc_id FROM
+      |  (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b AS doc_id FROM pairs)),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+      |cc AS (
+      |  SELECT doc_id, doc_id AS lbl FROM nodes
+      |  UNION
+      |  SELECT e.dst AS doc_id, c.lbl FROM cc c JOIN edges e ON e.src = c.doc_id),
+      |clusters AS (SELECT doc_id, min(lbl) AS cluster FROM cc GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Full replay of the MinHash-LSH pipeline (see sigCtes). est ≥ 0.5 on
     // the rounded value ⟺ n_eq ≥ 32 since k/64 is exact in binary.
@@ -360,15 +377,8 @@ object DedupQueries {
          |$candCte,
          |$agreeCte,
          |$pairsCte,
-         |nodes AS (SELECT DISTINCT doc_id FROM
-         |  (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b AS doc_id FROM pairs)),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
-         |cc AS (
-         |  SELECT doc_id, doc_id AS lbl FROM nodes
-         |  UNION
-         |  SELECT e.dst AS doc_id, c.lbl FROM cc c JOIN edges e ON e.src = c.doc_id)
-         |SELECT doc_id, min(lbl) AS canonical FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |$clusterCtes
+         |SELECT doc_id, cluster AS canonical FROM clusters ORDER BY doc_id""".stripMargin,
 
     // cluster CTE + the shared quality formula + rank: keep = rk 1
     "dedup_keep_list" ->
@@ -376,15 +386,7 @@ object DedupQueries {
          |$candCte,
          |$agreeCte,
          |$pairsCte,
-         |nodes AS (SELECT DISTINCT doc_id FROM
-         |  (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b AS doc_id FROM pairs)),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
-         |cc AS (
-         |  SELECT doc_id, doc_id AS lbl FROM nodes
-         |  UNION
-         |  SELECT e.dst AS doc_id, c.lbl FROM cc c JOIN edges e ON e.src = c.doc_id),
-         |clusters AS (SELECT doc_id, min(lbl) AS cluster FROM cc GROUP BY doc_id),
+         |$clusterCtes,
          |scored AS (
          |  SELECT c.doc_id, c.cluster,
          |         ${TextQueries.qualityScoreSql} AS quality_score
