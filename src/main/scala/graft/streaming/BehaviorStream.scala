@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event of a user journey on the stream. */
+final case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
+
+/** A user reaching funnel stage `stage` (1-based) at `ts_us`;
+  * `delta_us` = time since the previous stage (None for stage 1). */
+final case class StageReach(
+    user_id: Long, stage: Int, stage_name: String, ts_us: Long,
+    delta_us: Option[Long])
+
+/** Per-user funnel progress: the next stage index awaited and the
+  * timestamp of the last reached stage. */
+final case class FunnelProgress(stage: Int, ts: Long)
+
+/** Streaming conversion funnel — the incremental analog of
+  * [[graft.operators.Behavior.funnel]]: per-user stage progress lives in
+  * `flatMapGroupsWithState` (state is one (int, long) per ACTIVE user,
+  * independent of event volume), and a stage-reach row is emitted the
+  * moment a user advances — the live dashboard shape, vs the batch
+  * operator's end-of-corpus totals.
+  *
+  * Ordering contract: events are processed in event-time order WITHIN a
+  * micro-batch (sorted here) and batches are assumed event-time monotone
+  * per user across batches (the capture-feed guarantee an LSN-ordered CDC
+  * source provides). A strictly out-of-order stage event arriving in a
+  * LATER batch is ignored rather than retroactively re-funneled —
+  * retroactive correction would require unbounded event retention.
+  */
+object BehaviorStream {
+
+  implicit private val reachEnc: Encoder[StageReach] = Encoders.product[StageReach]
+
+  def funnel(events: Dataset[FunnelEvent], stages: Seq[String]): Dataset[StageReach] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, StageReach](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelProgress]) =>
+          var st = state.getOption.getOrElse(FunnelProgress(0, 0L))
+          val out = Vector.newBuilder[StageReach]
+          // event-time order inside the batch; a stage advances on the
+          // FIRST qualifying event strictly after the previous stage
+          it.toVector.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+            if (st.stage < stages.size && e.event_type == stages(st.stage) &&
+                (st.stage == 0 || e.ts_us > st.ts)) {
+              out += StageReach(user, st.stage + 1, stages(st.stage), e.ts_us,
+                if (st.stage == 0) None else Some(e.ts_us - st.ts))
+              st = FunnelProgress(st.stage + 1, e.ts_us)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{CdcStream, Change, Snapshot}
+import graft.streaming.{CdcStream, Change, FunnelEvent, Snapshot, StageReach}
 
 class StreamingSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
@@ -437,6 +437,56 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       q.processAllAvailable()
       val last = spark.table("filesnap").as[Snapshot].collect().maxBy(_.lsn)
       assert(last == Snapshot("users", 1L, 3L, "UPDATE", 3.0, false))
+    } finally q.stop()
+  }
+
+  test("streaming funnel: cross-batch stage advances match the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val q = streaming.BehaviorStream
+      .funnel(input.toDS(), Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: u1 views; u2 clicks BEFORE viewing (never qualifies)
+      input.addData(
+        FunnelEvent(1, "view", 100), FunnelEvent(2, "click", 50),
+        FunnelEvent(2, "view", 80))
+      q.processAllAvailable()
+      // batch 2: u1 clicks (advance), u2 clicks after its view (advance);
+      // u1's second view is ignored (already past that stage)
+      input.addData(
+        FunnelEvent(1, "click", 200), FunnelEvent(1, "view", 150),
+        FunnelEvent(2, "click", 90))
+      q.processAllAvailable()
+      // batch 3: u1 completes; u2 purchase at the SAME ts as its click
+      // is not strictly after → no advance
+      input.addData(
+        FunnelEvent(1, "purchase", 300), FunnelEvent(2, "purchase", 90))
+      q.processAllAvailable()
+
+      val got = spark.table("funnel")
+        .as[StageReach].collect().toSet
+      assert(got == Set(
+        StageReach(1, 1, "view", 100, None),
+        StageReach(2, 1, "view", 80, None),
+        StageReach(1, 2, "click", 200, Some(100L)),
+        StageReach(2, 2, "click", 90, Some(10L)),
+        StageReach(1, 3, "purchase", 300, Some(100L))))
+      // stage totals equal the batch operator over the same event union
+      val batch = operators.Behavior.funnel(
+        Seq((1L, "view", 100L), (2L, "click", 50L), (2L, "view", 80L),
+          (1L, "click", 200L), (1L, "view", 150L), (2L, "click", 90L),
+          (1L, "purchase", 300L), (2L, "purchase", 90L))
+          .toDF("user_id", "event_type", "ts_us"),
+        "user_id", "event_type", "ts_us", Seq("view", "click", "purchase"))
+        .as[(String, Long, Option[Long])].collect().toSeq
+      val streamTotals = got.groupBy(_.stage).view
+        .mapValues(rs => (rs.size.toLong, rs.flatMap(_.delta_us).reduceOption(_ + _)))
+        .toMap
+      batch.zipWithIndex.foreach { case ((_, n, sum), i) =>
+        assert(streamTotals(i + 1) == ((n, sum)), s"stage ${i + 1}")
+      }
     } finally q.stop()
   }
 
