@@ -306,6 +306,25 @@ object RelationalQueries {
         .orderBy("epoch_day")
     }),
 
+    // Year-over-year growth: monthly cents rollup (map-side partials over
+    // the fact table), then lag(12) on the tiny month table. Growth is a
+    // ratio of exact integer cents — engine-neutral division, 4dp.
+    "q_yoy" -> ((s, dir) => {
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val monthly = t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(sum(cents).as("cents"))
+      val w = Window.orderBy("month") // yyyy-MM sorts chronologically
+      monthly
+        .withColumn("prev_cents", lag("cents", 12).over(w))
+        .select(col("month"),
+          round(col("cents") / 100.0, 4).as("revenue"),
+          round(col("prev_cents") / 100.0, 4).as("revenue_last_year"),
+          round((col("cents") - col("prev_cents")) * 100.0 / col("prev_cents"), 4)
+            .as("yoy_growth_pct"))
+        .orderBy("month")
+    }),
+
     "q_monthly_rollup" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
@@ -690,6 +709,20 @@ object RelationalQueries {
         |               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) / 100.0, 4)
         |         AS rolling_30d_revenue
         |FROM daily ORDER BY epoch_day""".stripMargin,
+
+    "q_yoy" ->
+      """WITH monthly AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |lagged AS (
+        |  SELECT month, cents, lag(cents, 12) OVER (ORDER BY month) AS prev_cents
+        |  FROM monthly)
+        |SELECT month,
+        |       round(cents / 100.0, 4) AS revenue,
+        |       round(prev_cents / 100.0, 4) AS revenue_last_year,
+        |       round((cents - prev_cents) * 100.0 / prev_cents, 4) AS yoy_growth_pct
+        |FROM lagged ORDER BY month""".stripMargin,
 
     "q_monthly_rollup" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
