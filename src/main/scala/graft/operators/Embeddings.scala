@@ -58,19 +58,22 @@ object Embeddings {
         // md5-derived planes: the signature (and so the whole candidate +
         // verify pipeline) replays exactly in the DuckDB oracle
         graft.plans.HyperplaneSigs.sigsMd5(s, col(vecCol), bits, tables).as("sigs"))
-      .transform(Checkpointing.cut) // compute sigs once for both sides of the self-join
-    val buckets = sigged.select(col("vec_id"), col("embedding"),
+      .transform(Checkpointing.cut) // compute sigs once for every reference below
+    // the bucket join and the multi-table dedup carry ONLY 8-byte ids — the
+    // same id-only exchange discipline as the jaccard and pigeonhole joins;
+    // embeddings rejoin by id afterwards, once per SURVIVING pair side,
+    // so no exchange row ever carries a vector payload
+    val buckets = sigged.select(col("vec_id"),
       posexplode(col("sigs")).as(Seq("t", "sig")))
-    buckets.as("a").join(buckets.as("b"),
+    val cand = buckets.as("a").join(buckets.as("b"),
         col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"))
-      // same pair can collide in several tables; groupBy the id pair (not
-      // distinct over fat array rows) so the shuffle hashes 16 bytes, not
-      // two embeddings
-      .groupBy("vec_a", "vec_b")
-      .agg(first("emb_a").as("emb_a"), first("emb_b").as("emb_b"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct() // a pair colliding in several tables verifies once
+    val vecs = sigged.select(col("vec_id"), col("embedding"))
+    cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
       .withColumn("cos", round(
         graft.plans.CosineSim.cosine(s, col("emb_a"), col("emb_b")), 4))
       .filter(col("cos") >= threshold)

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-level distributed prefix sums — the scale-safe replacement for
+  * `sum(x).over(Window.partitionBy(grp).orderBy(...))` when groups are few
+  * and huge (per-source strata of a corpus).
+  *
+  * The single-window form funnels every row of a group through one reducer
+  * for the ordered scan. Here the global (grp, order) sequence is instead
+  * RANGE-partitioned across the cluster, so each task owns a contiguous
+  * slice of some group's order, and the running sum decomposes exactly:
+  *
+  *   cum(row) = (sum of the group's slices in earlier partitions)  — offset
+  *            + (running sum within this partition's slice)        — local
+  *
+  * The offsets come from a per-(partition, group) partial-sum aggregate —
+  * the only thing that crosses the wire for them is O(partitions × groups)
+  * partials, never rows — scanned with a window over that tiny table and
+  * broadcast-joined back. The local running sum is a window over
+  * (grp, partition id): every such window group is at most one range
+  * partition's worth of rows, bounded by n/numPartitions at any corpus
+  * size, and fully parallel.
+  *
+  * Cost shape: two row exchanges (the range partitioning that establishes
+  * global order, and the bounded local window's hash exchange) — both
+  * spread over all tasks — plus the O(partitions × groups) partials
+  * exchange. The anti-pattern this replaces has one row exchange but a
+  * single-task sort per group; at 100 TB the extra parallel exchange is
+  * noise next to a terabyte single-reducer sort.
+  *
+  * Output rows are exactly the input rows plus `outCol`; values are
+  * identical to the single-window form (the decomposition is exact integer
+  * arithmetic; partition boundaries never change the sum, only where it is
+  * computed).
+  */
+object PrefixSum {
+
+  /** Per-group running sum of `valueCol` in (grpCol, orderCols) order.
+    * `orderCols` may carry sort directions (e.g. `col("q").desc`) and must
+    * totally order rows within a group (include a unique tie-break) — ties
+    * split across a range-partition boundary would otherwise make the
+    * local/offset decomposition ambiguous. */
+  def cumSum(df: DataFrame, grpCol: String, orderCols: Seq[Column],
+      valueCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    // cut: the ranged table feeds the partials agg AND the final join; the
+    // cut also freezes partition ids so both consumers see the same layout
+    val ranged = Checkpointing.cut(
+      df.repartitionByRange(nParts, (col(grpCol) +: orderCols): _*)
+        .withColumn("__pid", spark_partition_id()))
+
+    // per-(group, partition) partials: map-side combine reduces each task to
+    // one row per group it touches before the exchange — partials, not rows
+    val partials = ranged.groupBy(col(grpCol), col("__pid"))
+      .agg(sum(col(valueCol)).as("__psum"))
+    val offsets = partials
+      .withColumn("__off", coalesce(
+        sum("__psum").over(Window.partitionBy(grpCol).orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(grpCol), col("__pid"), col("__off"))
+
+    // local running sum: each (grp, pid) window group is one range slice —
+    // bounded by the partition size, never the group size
+    val local = Window.partitionBy(col(grpCol), col("__pid"))
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsets), Seq(grpCol, "__pid"))
+      .withColumn(outCol, sum(col(valueCol)).over(local) + col("__off"))
+      .drop("__pid")
+  }
+}

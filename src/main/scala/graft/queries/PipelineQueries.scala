@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -108,34 +107,37 @@ object PipelineQueries {
     // exactly ceil(n/5) docs — the ones with the smallest content hash
     // (md5, tie-broken by doc_id). Unlike a Bernoulli coin this hits the
     // stratum quota exactly, and unlike RNG sampling it is reshard- and
-    // rerun-stable (membership depends only on the bytes). One window
-    // shuffle per stratum; k is integer math ((n+4) div 5, no float rate).
-    "pipeline_stratified_sample" -> ((s, dir) => {
-      val w = Window.partitionBy("source")
-      docs(s, dir)
-        .select(col("source"), col("doc_id"), md5(col("text")).as("h"))
-        .withColumn("n", count(lit(1)).over(w))
-        .withColumn("rn", row_number().over(w.orderBy("h", "doc_id")))
-        .filter(col("rn") <= expr("(n + 4) div 5"))
-        .select(col("source"), col("rn").cast("long").as("rk"), col("doc_id"))
-        .orderBy("source", "rk")
-    }),
+    // rerun-stable (membership depends only on the bytes). Selection runs
+    // as a distributed hash-threshold select (histogram → map-side bucket
+    // filter → bounded boundary-bucket rank), NOT a per-source window sort:
+    // with O(10) sources at 100 TB a full-stratum window is one task
+    // sorting terabytes; here no task ever sorts more than one 1/4096
+    // hash bucket of a stratum. k is integer math ((n+4) div 5).
+    "pipeline_stratified_sample" -> ((s, dir) =>
+      graft.operators.ThresholdSelect.smallestByHash(
+          docs(s, dir).select(col("source"), col("doc_id"),
+            md5(col("text")).as("h")),
+          "source", "h", "doc_id", n => (n + 4) / 5)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")),
 
     // Token-budget selection (the "best data under a fixed token budget"
     // curation pass): per source, admit docs in quality order (highest
     // first, doc_id tie-break) while the running token total stays within
-    // budget. One cumulative-sum window per source over exact integer
-    // token counts; the quality key is the replayable 4dp-rounded score,
-    // so both engines order identically.
+    // budget. The running sum is a two-level distributed prefix sum
+    // (range-partition the (source, quality, id) order, per-slice partials
+    // + broadcast offsets, bounded local windows) — never a full-stratum
+    // ordered window in one reducer. Exact integer token counts; the
+    // quality key is the replayable 4dp-rounded score, so both engines
+    // order identically.
     "pipeline_token_budget" -> ((s, dir) => {
       val q = graft.functions.Text.qualityScore(col("text"))
       val toks = graft.functions.Text.wsTokenCount(col("text"))
-      val w = Window.partitionBy("source")
-        .orderBy(col("quality_score").desc, col("doc_id"))
-      docs(s, dir)
-        .select(col("source"), col("doc_id"), toks.as("n_tokens"),
-          q.as("quality_score"))
-        .withColumn("cum_tokens", sum("n_tokens").over(w))
+      graft.operators.PrefixSum.cumSum(
+          docs(s, dir).select(col("source"), col("doc_id"),
+            toks.as("n_tokens"), q.as("quality_score")),
+          "source", Seq(col("quality_score").desc, col("doc_id")),
+          "n_tokens", "cum_tokens")
         .filter(col("cum_tokens") <= tokenBudget)
         .groupBy("source")
         .agg(count(lit(1)).as("n_selected"),
@@ -164,17 +166,18 @@ object PipelineQueries {
     // Sequence packing: per source, docs in doc_id order fill fixed
     // character-budget sequences; a doc belongs to the sequence where it
     // starts (floor of the preceding cumulative length / budget) — the
-    // deterministic distributed packing shape (one window per source, no
-    // sequential driver loop).
-    "pipeline_pack_sequences" -> ((s, dir) => {
-      val w = Window.partitionBy("source").orderBy("doc_id")
-      docs(s, dir).select(col("source"), col("doc_id"), col("n_chars"))
-        .withColumn("start_offset", sum("n_chars").over(w) - col("n_chars"))
+    // deterministic distributed packing shape. The cumulative length is
+    // the same two-level prefix sum as pipeline_token_budget (partials +
+    // offsets), so no stratum is ever sorted inside one task.
+    "pipeline_pack_sequences" -> ((s, dir) =>
+      graft.operators.PrefixSum.cumSum(
+          docs(s, dir).select(col("source"), col("doc_id"), col("n_chars")),
+          "source", Seq(col("doc_id")), "n_chars", "__cum")
+        .withColumn("start_offset", col("__cum") - col("n_chars"))
         .withColumn("seq_id", floor(col("start_offset") / packBudget))
         .groupBy("source", "seq_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("seq_chars"))
-        .orderBy("source", "seq_id")
-    }))
+        .orderBy("source", "seq_id")))
 
   /** DuckDB 8-gram construction matching Text.wordShingles(_, 8). */
   private val gramsSql =
@@ -250,6 +253,9 @@ object PipelineQueries {
          |  UNION ALL SELECT '3_repetition', n2, n3 FROM a)
          |ORDER BY stage""".stripMargin,
 
+    // the oracle states the SPEC (rank under (md5, doc_id) ≤ ceil(n/5));
+    // the Spark side selects the identical row set via the distributed
+    // hash-threshold select — membership is what's checked, and it's exact
     "pipeline_stratified_sample" ->
       """WITH r AS (
         |  SELECT source, doc_id,
@@ -257,9 +263,9 @@ object PipelineQueries {
         |         row_number() OVER (PARTITION BY source
         |                            ORDER BY md5(text), doc_id) AS rn
         |  FROM documents)
-        |SELECT source, CAST(rn AS BIGINT) AS rk, doc_id
+        |SELECT source, doc_id
         |FROM r WHERE rn <= (n + 4) // 5
-        |ORDER BY source, rk""".stripMargin,
+        |ORDER BY source, doc_id""".stripMargin,
 
     // same replayable 4dp quality score as the text_quality oracle; the
     // cumulative window runs over exact BIGINT token counts

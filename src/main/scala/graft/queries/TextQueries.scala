@@ -171,24 +171,34 @@ object TextQueries {
     // and head-mass (the fraction of all tokens covered by the source's
     // 10 most frequent types — high head-mass = templated/boilerplate
     // source). One (source, token) groupBy absorbs the explode map-side;
-    // the head rank is a window over the (small) per-source vocabulary,
-    // not the token stream. Exact integers + 4dp ratios.
+    // the head-10 mass comes from the bounded-heap `topk` aggregate in the
+    // SAME per-source aggregate — each map task pre-reduces its slice of a
+    // source's vocabulary to ≤ 10 candidates before the exchange — instead
+    // of ranking the entire vocabulary of a source inside one window
+    // reducer (a single-task terabyte sort at corpus scale). The heap
+    // tie-break (hashed token) differs from the window's lexicographic one,
+    // but head-MASS is tie-free: rows tied at the k-th rank have equal
+    // counts, so the sum of the top 10 counts is the same multiset sum
+    // under any tie-break. Exact integers + 4dp ratios.
     "text_vocab_stats" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
-        .orderBy(col("cnt").desc, col("tok"))
       val cnt = docs(s, dir).select(col("source"),
         explode(Text.wsTokens(lower(col("text")))).as("tok"))
         .filter(col("tok") =!= "")
         .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
-        .withColumn("rk", row_number().over(w))
       cnt.groupBy("source")
         .agg(sum("cnt").as("n_tokens"),
           count(lit(1)).as("n_types"),
-          sum(when(col("rk") <= 10, col("cnt")).otherwise(0L)).as("head_tokens"))
+          graft.plans.TopKAgg.topk(s,
+            struct(col("cnt").cast("double").as("score"),
+              xxhash64(col("tok")).as("id")), 10).as("top"))
         .select(col("source"), col("n_tokens"), col("n_types"),
           round(col("n_types").cast("double") / col("n_tokens"), 4)
             .as("type_token_ratio"),
-          round(col("head_tokens").cast("double") / col("n_tokens"), 4)
+          // counts are exact integers ≤ 2^53: the double round-trip through
+          // the (score, id) heap slot is lossless
+          round(aggregate(col("top"), lit(0L),
+              (acc, x) => acc + x.getField("score").cast("long"))
+              .cast("double") / col("n_tokens"), 4)
             .as("head_mass"))
         .orderBy("source")
     }),
