@@ -44,12 +44,16 @@ object Behavior {
         if (i == 0) lit(null).cast("long")
         else sum(col("cur_ts") - col("prev_ts"))
       tbl.agg(count(lit(1)).as("n_users"), delta.as("sum_delta_us"))
-        .select(lit(s"${i + 1}_${stages(i)}").as("stage"),
+        .select(lit(i + 1).as("stage_idx"),
+          lit(s"${i + 1}_${stages(i)}").as("stage"),
           col("n_users"), col("sum_delta_us"))
-    }.reduce(_ unionAll _)
-      // order on the NUMERIC stage index — a lexicographic sort of the
-      // label would file stage 10 between 1 and 2 in a ≥10-stage funnel
-      .orderBy(expr("CAST(split(stage, '_')[0] AS INT)"))
+    }.reduce(_ union _)
+      // order on the NUMERIC stage index carried as its own column — a
+      // lexicographic sort of the label would file stage 10 between 1 and
+      // 2 in a ≥10-stage funnel, and re-parsing the index out of the label
+      // would break on any future label scheme
+      .orderBy("stage_idx")
+      .select("stage", "n_users", "sum_delta_us")
   }
 
   /** Cohort retention: cohort = epoch-week (integer `div` — no calendar

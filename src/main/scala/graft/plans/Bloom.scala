@@ -29,12 +29,24 @@ import org.apache.spark.sql.types._
   * probe queries (the "stored semi-join filter" shape), independent of
   * optimizer heuristics.
   *
-  * Layout: bit i lives in byte(i >>> 3), bit (i & 7) — words are written
+  * Layout: the serialized ARTIFACT is an 8-byte header (magic "GBF1" +
+  * numHashes, both little-endian ints) followed by the bit words; bit i
+  * lives in byte(8 + (i >>> 3)), bit (i & 7) — words are written
   * little-endian so the aggregate's long[] view and the probe's byte[]
   * view agree. k probe positions come from double hashing with two
-  * splitmix64-finalized streams (h2 forced odd).
+  * splitmix64-finalized streams (h2 forced odd). Carrying k INSIDE the
+  * artifact means a probe can never run with a different hash count than
+  * the build (a larger k would silently produce false negatives — rows
+  * wrongly pruned); the probe reads k from the header and validates the
+  * magic, failing loudly on anything that isn't a bloom artifact.
   */
 object Bloom {
+
+  /** "GBF1" little-endian. */
+  val Magic: Int = 0x31464247
+
+  /** Header: int magic, int numHashes. */
+  val HeaderBytes: Int = 8
 
   /** splitmix64 finalizer — full-avalanche 64-bit mix (public constant
     * set; same family as the xxh64 mixes used across plans). */
@@ -45,23 +57,35 @@ object Bloom {
     z ^ (z >>> 31)
   }
 
-  /** Membership probe against the aggregate's byte layout. Called from
-    * interpreted eval AND from generated code (static call keeps the
-    * surrounding whole-stage-codegen span alive). */
-  def mightContain(bloom: Array[Byte], value: Long, numHashes: Int): Boolean = {
-    val numBits = bloom.length.toLong << 3
+  /** Membership probe against a HEADERED bloom artifact: k comes from the
+    * artifact itself, so the probe cannot disagree with the build. Called
+    * from interpreted eval AND from generated code (static call keeps the
+    * surrounding whole-stage-codegen span alive). Loud on a missing magic
+    * or an out-of-range k — corrupt filters must surface, not silently
+    * prune (k too large ⇒ false negatives) or no-op (k = 0 ⇒ always true). */
+  def mightContain(bloom: Array[Byte], value: Long): Boolean = {
+    require(bloom.length > HeaderBytes && readIntLE(bloom, 0) == Magic,
+      s"not a bloom artifact: ${bloom.length} bytes, bad magic")
+    val numHashes = readIntLE(bloom, 4)
+    require(numHashes >= 1 && numHashes <= 16,
+      s"bloom artifact carries numHashes=$numHashes, expected 1..16")
+    val numBits = (bloom.length - HeaderBytes).toLong << 3
     val h1 = mix(value)
     val h2 = mix(value ^ 0x9e3779b97f4a7c15L) | 1L
     var i = 0
     var h = h1
     while (i < numHashes) {
       val bit = ((h % numBits) + numBits) % numBits
-      if ((bloom((bit >>> 3).toInt) & (1 << (bit & 7))) == 0) return false
+      if ((bloom(HeaderBytes + (bit >>> 3).toInt) & (1 << (bit & 7).toInt)) == 0) return false
       h += h2
       i += 1
     }
     true
   }
+
+  @inline private def readIntLE(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
 
   /** Set the k bits for `value` in the aggregate's long[] word buffer
     * (same positions mightContain probes — little-endian word bytes). */
@@ -85,6 +109,15 @@ object Bloom {
     bb.array()
   }
 
+  /** The final artifact the aggregate evals: header + bit words. */
+  def toArtifact(words: Array[Long], numHashes: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(HeaderBytes + words.length * 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(Magic).putInt(numHashes)
+    words.foreach(bb.putLong)
+    bb.array()
+  }
+
   def register(spark: SparkSession): Unit = NativeFunctions.register(spark)
 
   /** One-row DataFrame holding the bloom of `keys` — crossJoin(broadcast(_))
@@ -98,11 +131,9 @@ object Bloom {
       lit(numHashes)).as("bloom"))
   }
 
-  def contains(spark: SparkSession, bloom: Column, value: Column,
-      numHashes: Int): Column = {
+  def contains(spark: SparkSession, bloom: Column, value: Column): Column = {
     register(spark)
-    org.apache.spark.sql.functions.call_function(
-      "bloom_contains", bloom, value, org.apache.spark.sql.functions.lit(numHashes))
+    org.apache.spark.sql.functions.call_function("bloom_contains", bloom, value)
   }
 
   /** The bloom as a driver-held byte array — O(numBits/8), bounded by
@@ -157,7 +188,10 @@ final case class BloomFilterAgg(
     b1
   }
 
-  override def eval(buf: Array[Long]): Any = Bloom.wordsToBytes(buf)
+  // the RESULT carries the header (k rides the artifact to every probe);
+  // serialize stays raw words — it's only the partial-buffer shuffle format
+  // and round-trips through deserialize below
+  override def eval(buf: Array[Long]): Any = Bloom.toArtifact(buf, numHashes)
 
   override def serialize(buf: Array[Long]): Array[Byte] = Bloom.wordsToBytes(buf)
 
@@ -175,11 +209,13 @@ final case class BloomFilterAgg(
   override def prettyName: String = "bloom_agg"
 }
 
-/** `bloom_contains(bloom, key)` probe predicate. Lives in the probe scan's
-  * filter — directly in the hottest per-row path — so it generates a
-  * static call instead of falling back to interpreted eval. */
-final case class BloomMightContain(left: Expression, right: Expression,
-    numHashes: Int) extends BinaryExpression {
+/** `bloom_contains(bloom, key)` probe predicate. The hash count comes from
+  * the bloom artifact's header, so a probe can never run with a k the build
+  * didn't use. Lives in the probe scan's filter — directly in the hottest
+  * per-row path — so it generates a static call instead of falling back to
+  * interpreted eval. */
+final case class BloomMightContain(left: Expression, right: Expression)
+  extends BinaryExpression {
 
   override def dataType: DataType = BooleanType
 
@@ -191,11 +227,11 @@ final case class BloomMightContain(left: Expression, right: Expression,
 
   override def nullSafeEval(bloom: Any, value: Any): Any =
     java.lang.Boolean.valueOf(Bloom.mightContain(
-      bloom.asInstanceOf[Array[Byte]], value.asInstanceOf[Long], numHashes))
+      bloom.asInstanceOf[Array[Byte]], value.asInstanceOf[Long]))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (b, v) =>
-      s"${ev.value} = graft.plans.Bloom.mightContain($b, $v, $numHashes);")
+      s"${ev.value} = graft.plans.Bloom.mightContain($b, $v);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMightContain =
     copy(left = l, right = r)

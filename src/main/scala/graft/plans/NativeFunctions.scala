@@ -116,8 +116,9 @@ object NativeFunctions {
       case other => bad("bloom_agg", "key, numBits, numHashes", other.size)
     },
     "bloom_contains" -> {
-      case Seq(b, v, k) => BloomMightContain(b, v, intArg(k, "numHashes"))
-      case other => bad("bloom_contains", "bloom, key, numHashes", other.size)
+      // k lives in the bloom artifact's header — no separate arg to get wrong
+      case Seq(b, v) => BloomMightContain(b, v)
+      case other => bad("bloom_contains", "bloom, key", other.size)
     },
     "bitmap_distinct" -> {
       case Seq(c, m) =>
@@ -125,12 +126,16 @@ object NativeFunctions {
       case other => bad("bitmap_distinct", "key, maxId", other.size)
     })
 
-  /** Put every native function in the session's registry (idempotent —
-    * createOrReplace semantics, cheap map puts). */
+  /** Put every native function in the session's registry. Idempotent AND
+    * quiet: an already-registered name is skipped — createOrReplace on a
+    * present name logs a "replaced a previously registered function"
+    * warning per call site, which a real deployment would see five times
+    * per session (every Column-wrapper entry point re-registers). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     all.foreach { case (name, builder) =>
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }
 }

@@ -250,10 +250,12 @@ object RelationalQueries {
     "q_bitmap_distinct" -> ((s, dir) => {
       graft.plans.NativeFunctions.register(s)
       // the key domain is the part dimension's surrogate range, so size
-      // the bitmap FROM that dimension (a metadata-cheap dim-table count)
-      // instead of a fixed constant that would trip the loud out-of-range
-      // guard at a bigger scale factor
-      val maxId = t(s, dir, "part").count().toInt
+      // the bitmap FROM the ACTUAL key range (max+1, a metadata-cheap
+      // dim-table scan) — a count() would assume 0-based dense keys and
+      // trip the loud out-of-range guard on a 1-based generator
+      // (classic TPC-H numbers partkeys from 1)
+      val maxId = t(s, dir, "part")
+        .agg(max(col("p_partkey")).cast("long")).head().getLong(0).toInt + 1
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(call_function("bitmap_distinct", col("l_partkey"), lit(maxId))
@@ -276,7 +278,7 @@ object RelationalQueries {
         s, sel.select("o_orderkey"), "o_orderkey", 1 << 17, 5)
       t(s, dir, "lineitem")
         .select("l_orderkey", "l_extendedprice", "l_discount")
-        .filter(graft.plans.Bloom.contains(s, lit(bloom), col("l_orderkey"), 5))
+        .filter(graft.plans.Bloom.contains(s, lit(bloom), col("l_orderkey")))
         .join(sel.select("o_orderkey", "o_orderpriority"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")

@@ -18,10 +18,21 @@ final case class FunnelProgress(stage: Int, ts: Long)
 
 /** Streaming conversion funnel — the incremental analog of
   * [[graft.operators.Behavior.funnel]]: per-user stage progress lives in
-  * `flatMapGroupsWithState` (state is one (int, long) per ACTIVE user,
-  * independent of event volume), and a stage-reach row is emitted the
-  * moment a user advances — the live dashboard shape, vs the batch
-  * operator's end-of-corpus totals.
+  * `flatMapGroupsWithState` (one (int, long) entry per user), and a
+  * stage-reach row is emitted the moment a user advances — the live
+  * dashboard shape, vs the batch operator's end-of-corpus totals.
+  *
+  * State growth contract: by default (`completedTtlMs = None`) an entry is
+  * retained for EVERY user ever seen, completed or not — state grows with
+  * total user cardinality, not active users. That retention is what makes
+  * the funnel correct under late events: dropping a user's entry would let
+  * a later event re-enter them at stage 1 and re-emit reaches. Deployments
+  * where that trade is wrong (unbounded user id space, bounded state store)
+  * pass `completedTtlMs = Some(ttl)`: users who have COMPLETED the funnel —
+  * the only users whose entry can no longer change any emission unless
+  * they re-appear — are evicted after `ttl` ms without activity, accepting
+  * that a completed user re-appearing after the TTL re-funnels from
+  * stage 1. In-flight users are never evicted under either setting.
   *
   * Ordering contract: events are processed in event-time order WITHIN a
   * micro-batch (sorted here) and batches are assumed event-time monotone
@@ -34,27 +45,40 @@ object BehaviorStream {
 
   implicit private val reachEnc: Encoder[StageReach] = Encoders.product[StageReach]
 
-  def funnel(events: Dataset[FunnelEvent], stages: Seq[String]): Dataset[StageReach] = {
+  def funnel(events: Dataset[FunnelEvent], stages: Seq[String],
+      completedTtlMs: Option[Long] = None): Dataset[StageReach] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (completedTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelProgress, StageReach](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (user: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelProgress]) =>
-          var st = state.getOption.getOrElse(FunnelProgress(0, 0L))
-          val out = Vector.newBuilder[StageReach]
-          // event-time order inside the batch; a stage advances on the
-          // FIRST qualifying event strictly after the previous stage
-          it.toVector.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
-            if (st.stage < stages.size && e.event_type == stages(st.stage) &&
-                (st.stage == 0 || e.ts_us > st.ts)) {
-              out += StageReach(user, st.stage + 1, stages(st.stage), e.ts_us,
-                if (st.stage == 0) None else Some(e.ts_us - st.ts))
-              st = FunnelProgress(st.stage + 1, e.ts_us)
+          if (state.hasTimedOut) {
+            // only completed-funnel users ever arm a timeout (below)
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelProgress(0, 0L))
+            val out = Vector.newBuilder[StageReach]
+            // event-time order inside the batch; a stage advances on the
+            // FIRST qualifying event strictly after the previous stage
+            it.toVector.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+              if (st.stage < stages.size && e.event_type == stages(st.stage) &&
+                  (st.stage == 0 || e.ts_us > st.ts)) {
+                out += StageReach(user, st.stage + 1, stages(st.stage), e.ts_us,
+                  if (st.stage == 0) None else Some(e.ts_us - st.ts))
+                st = FunnelProgress(st.stage + 1, e.ts_us)
+              }
             }
+            state.update(st)
+            completedTtlMs.foreach { ttl =>
+              if (st.stage >= stages.size) state.setTimeoutDuration(ttl)
+            }
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 }

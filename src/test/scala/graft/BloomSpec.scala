@@ -20,12 +20,29 @@ class BloomSpec extends AnyFunSuite with SparkTestBase {
     val keys = Seq.fill(500)(rnd.nextLong()).distinct
     val bloomBytes = Bloom.build(spark, keys.toDF("key"), "key", numBits, k)
       .as[Array[Byte]].head()
-    keys.foreach(key => assert(Bloom.mightContain(bloomBytes, key, k)))
+    keys.foreach(key => assert(Bloom.mightContain(bloomBytes, key)))
     // ~500 keys in 16384 bits, k=5 → theoretical FP ≈ (1-e^(-5·500/16384))^5
     // ≈ 5e-5; assert a generous 1% over a disjoint probe set
     val probes = Seq.fill(20000)(rnd.nextLong()).filterNot(keys.contains)
-    val fp = probes.count(Bloom.mightContain(bloomBytes, _, k))
+    val fp = probes.count(Bloom.mightContain(bloomBytes, _))
     assert(fp.toDouble / probes.size < 0.01, s"$fp/${probes.size} false positives")
+  }
+
+  test("the artifact carries its hash count; probing non-artifacts fails loudly") {
+    val art = Bloom.build(spark, Seq(7L).toDF("key"), "key", numBits, k)
+      .as[Array[Byte]].head()
+    // header = magic + k, then the bit words — k can never drift from the
+    // build (a larger probe-side k would silently false-negative)
+    assert(art.length == Bloom.HeaderBytes + numBits / 8)
+    assert(Bloom.mightContain(art, 7L))
+    val headerless = java.util.Arrays.copyOfRange(art, Bloom.HeaderBytes, art.length)
+    val e1 = intercept[IllegalArgumentException](Bloom.mightContain(headerless, 7L))
+    assert(e1.getMessage.contains("magic"))
+    // a corrupted k in an otherwise-valid header must not no-op (k=0 is
+    // "always true" — silent non-pruning)
+    val zeroK = art.clone(); zeroK(4) = 0
+    val e2 = intercept[IllegalArgumentException](Bloom.mightContain(zeroK, 7L))
+    assert(e2.getMessage.contains("numHashes"))
   }
 
   test("merge is partition-independent: sharded build equals 1-partition build") {
@@ -42,7 +59,7 @@ class BloomSpec extends AnyFunSuite with SparkTestBase {
     Seq(1L, 2L, 3L).toDF("key").createOrReplaceTempView("bloom_keys")
     val got = spark.sql(
       s"""WITH b AS (SELECT bloom_agg(key, $numBits, $k) AS bloom FROM bloom_keys)
-         |SELECT probe, bloom_contains(b.bloom, probe, $k) AS hit
+         |SELECT probe, bloom_contains(b.bloom, probe) AS hit
          |FROM b CROSS JOIN (SELECT explode(sequence(1L, 4L)) AS probe)
          |ORDER BY probe""".stripMargin)
       .as[(Long, Boolean)].collect().toSeq
@@ -118,7 +135,7 @@ class BloomSpec extends AnyFunSuite with SparkTestBase {
     val bloom = Bloom.build(spark, sel.select("o_orderkey"), "o_orderkey",
       1 << 17, k)
     val kept = li.crossJoin(broadcast(bloom))
-      .filter(Bloom.contains(spark, $"bloom", $"l_orderkey", k)).count()
+      .filter(Bloom.contains(spark, $"bloom", $"l_orderkey")).count()
     val total = li.count()
     val trueMatches = li.join(sel, $"l_orderkey" === $"o_orderkey").count()
     assert(kept >= trueMatches) // never loses a matching row

@@ -59,7 +59,7 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
           |           FROM (SELECT explode(sequence(1, 5)) AS id)),
           |b AS (SELECT bloom_agg(id, 64, 3) AS bloom,
           |             bitmap_distinct(id, 64) AS nd FROM k)
-          |SELECT nd, bloom_contains(bloom, 3L, 3) AS hit FROM b""".stripMargin)
+          |SELECT nd, bloom_contains(bloom, 3L) AS hit FROM b""".stripMargin)
         .head()
       assert(bb.getLong(0) == 5L && bb.getBoolean(1))
     } finally {

@@ -490,6 +490,48 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("funnel completedTtl evicts only completed users; default retains them") {
+    // with a 1 ms TTL, a COMPLETED user's state is evicted once the clock
+    // passes; a re-appearing event then re-funnels them from stage 1 (the
+    // documented trade-off). An IN-FLIGHT user is never evicted: their late
+    // stage-2 event still advances normally. NOTE: processAllAvailable
+    // cannot be used here — with ProcessingTimeTimeout the engine always
+    // schedules another batch (it must scan state for due timeouts), so
+    // `noNewData` is never reached; the sink is POLLED instead, which also
+    // matches how a real dashboard consumes this stream.
+    implicit val sqlCtx = spark.sqlContext
+    def reaches = spark.table("funnelttl").as[StageReach].collect().toSeq
+    def eventually(what: String)(f: => Boolean): Unit = {
+      val end = System.currentTimeMillis + 30000
+      while (System.currentTimeMillis < end && !f) Thread.sleep(50)
+      assert(f, s"condition not reached: $what; got $reaches")
+    }
+    val input = MemoryStream[FunnelEvent]
+    val q = streaming.BehaviorStream
+      .funnel(input.toDS(), Seq("view", "click"), completedTtlMs = Some(1L))
+      .writeStream.format("memory").queryName("funnelttl")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // u1 completes the funnel; u2 stops at stage 1
+      input.addData(
+        FunnelEvent(1, "view", 100), FunnelEvent(1, "click", 200),
+        FunnelEvent(2, "view", 100))
+      eventually("u1 completes, u2 at stage 1")(
+        reaches.exists(r => r.user_id == 1 && r.stage == 2) &&
+          reaches.exists(r => r.user_id == 2 && r.stage == 1))
+      // the engine triggers continuously; well after the 1 ms TTL, u1's
+      // state is evicted by a timeout batch while in-flight u2 survives
+      Thread.sleep(500)
+      input.addData(FunnelEvent(2, "click", 300), FunnelEvent(1, "view", 400))
+      // u2 (in-flight across the TTL window) still advances; u1 re-enters
+      // at stage 1 because its completed-state entry was evicted
+      eventually("u2 advances, u1 re-funnels")(
+        reaches.exists(r => r.user_id == 2 && r.stage == 2 && r.ts_us == 300) &&
+          reaches.filter(r => r.user_id == 1 && r.stage == 1)
+            .map(_.ts_us).sorted == Seq(100L, 400L))
+    } finally q.stop()
+  }
+
   test("streaming trending tokens: windowed freq_items matches the batch sketch") {
     // the Misra–Gries aggregate composes with Structured Streaming's
     // windowed aggregation (its binary buffer lives in the state store
