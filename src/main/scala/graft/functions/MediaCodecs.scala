@@ -2,14 +2,15 @@ package graft.functions
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Pure-JVM codecs for the two container formats whose headers are simple
-  * enough to handle without native libraries: BMP (BITMAPINFOHEADER) and
-  * WAV (RIFF/fmt ). These are REAL decoders — `mm_metadata`'s image and
-  * audio features come from parsing actual bytes laid out per the public
-  * format specs, not from a pseudo-hash. The encoders exist for the
-  * synthesis side (the sandbox has no media files) and for golden specs;
-  * the parsers never assume the encoder produced the input (chunk-walking
-  * WAV parse, explicit magic/bounds checks, loud failure on corrupt data).
+/** Pure-JVM codecs for the three container formats whose layouts are simple
+  * enough to handle without native libraries: BMP (BITMAPINFOHEADER),
+  * WAV (RIFF/fmt ), and uncompressed-DIB AVI (RIFF/hdrl/movi). These are
+  * REAL decoders — `mm_metadata`'s image/audio/video features come from
+  * parsing actual bytes laid out per the public format specs, not from a
+  * pseudo-hash. The encoders exist for the synthesis side (the sandbox has
+  * no media files) and for golden specs; the parsers never assume the
+  * encoder produced the input (chunk-walking RIFF parses, explicit
+  * magic/bounds checks, loud failure on corrupt data).
   */
 object MediaCodecs {
 
@@ -232,5 +233,162 @@ object MediaCodecs {
     require(rate > 0 && channels > 0 && bits > 0,
       s"corrupt WAV fmt: rate=$rate channels=$channels bits=$bits")
     (rate, channels, bits, dataOff, dataLen)
+  }
+
+  // ------------------------------------------------------------------ AVI
+
+  /** Encode an uncompressed 8-bit grayscale AVI (the RIFF 'AVI ' layout:
+    * hdrl LIST with avih + one vids strl whose strf is the same
+    * BITMAPINFOHEADER + 256-entry palette as [[encodeBmp]]; movi LIST with
+    * one '00db' raw-DIB chunk per frame — bottom-up rows padded to 4
+    * bytes, exactly a BMP's pixel block). `frames` are row-major top-down
+    * width × height bytes each; `usPerFrame` is the frame interval in
+    * microseconds (avih dwMicroSecPerFrame, also strh scale over a 1 MHz
+    * rate). */
+  def encodeAvi(width: Int, height: Int, usPerFrame: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && usPerFrame > 0 && frames.nonEmpty,
+      s"encodeAvi: bad geometry ${width}x$height us=$usPerFrame n=${frames.size}")
+    frames.foreach(f => require(f.length == width * height,
+      s"encodeAvi: frame must be width*height=${width * height} bytes, got ${f.length}"))
+    val rowSize = (width + 3) / 4 * 4
+    val frameBytes = rowSize * height
+    val strfSize = 40 + 256 * 4
+    val strlBody = 4 + (8 + 56) + (8 + strfSize)
+    val hdrlBody = 4 + (8 + 56) + (8 + strlBody)
+    val moviBody = 4 + frames.size * (8 + frameBytes)
+    val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody)
+    val b = ByteBuffer.allocate(8 + riffBody).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(riffBody).put("AVI ".getBytes)
+    b.put("LIST".getBytes).putInt(hdrlBody).put("hdrl".getBytes)
+    // avih (MainAVIHeader): usPerFrame, maxBytesPerSec, padding, flags,
+    // totalFrames, initialFrames, streams, suggestedBufferSize, w, h, rsvd×4
+    b.put("avih".getBytes).putInt(56)
+      .putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+      .putInt(frames.size).putInt(0).putInt(1).putInt(frameBytes)
+      .putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    b.put("LIST".getBytes).putInt(strlBody).put("strl".getBytes)
+    // strh (AVIStreamHeader): 'vids'/'DIB ', flags, prio, lang,
+    // initialFrames, scale, rate (fps = rate/scale), start, length,
+    // suggestedBufferSize, quality, sampleSize, rcFrame
+    b.put("strh".getBytes).putInt(56)
+      .put("vids".getBytes).put("DIB ".getBytes)
+      .putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(usPerFrame).putInt(1000000)
+      .putInt(0).putInt(frames.size).putInt(frameBytes).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+    b.put("strf".getBytes).putInt(strfSize)
+      .putInt(40).putInt(width).putInt(height).putShort(1).putShort(8)
+      .putInt(0).putInt(frameBytes).putInt(0).putInt(0).putInt(256).putInt(0)
+    var i = 0
+    while (i < 256) { // grayscale palette BGRA, as in encodeBmp
+      b.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte); i += 1
+    }
+    b.put("LIST".getBytes).putInt(moviBody).put("movi".getBytes)
+    frames.foreach { f =>
+      b.put("00db".getBytes).putInt(frameBytes)
+      var row = height - 1 // bottom-up storage, padded rows (DIB convention)
+      while (row >= 0) {
+        b.put(f, row * width, width)
+        var pad = width
+        while (pad < rowSize) { b.put(0.toByte); pad += 1 }
+        row -= 1
+      }
+    }
+    b.array()
+  }
+
+  /** `(width, height, usPerFrame, totalFrames)` from an AVI's avih header.
+    * Walks the top-level RIFF chunks for the hdrl LIST and the hdrl LIST
+    * for avih (stranger chunks like JUNK/idx1 in between are legal and
+    * skipped). Loud on missing magic/chunks or degenerate geometry. */
+  def parseAvi(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+    val (hdrlOff, hdrlEnd) = findList(bytes, "hdrl")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var off = hdrlOff
+    while (off + 8 <= hdrlEnd) {
+      val o = off.toInt
+      val size = b.getInt(o + 4)
+      require(size >= 0, s"negative chunk size in AVI '${fourCC(bytes, o)}'")
+      if (fourCC(bytes, o) == "avih") {
+        require(size >= 40 && off + 8 + 40 <= bytes.length, "avih chunk truncated")
+        val usPerFrame = b.getInt(o + 8)
+        val totalFrames = b.getInt(o + 24)
+        val width = b.getInt(o + 40)
+        val height = b.getInt(o + 44)
+        require(width > 0 && height > 0, s"bad AVI dimensions ${width}x$height")
+        require(usPerFrame > 0, s"bad AVI frame interval $usPerFrame us")
+        require(totalFrames > 0, s"bad AVI frame count $totalFrames")
+        return (width, height, usPerFrame, totalFrames)
+      }
+      off += 8L + size + (size & 1)
+    }
+    throw new IllegalArgumentException("AVI has no avih header chunk")
+  }
+
+  /** The decoded frames of an uncompressed-DIB AVI: one row-major top-down
+    * width × height byte array per '00db'/'00dc' movi chunk (bottom-up rows
+    * un-padded like [[bmpPixels]]). Frame count must match the avih header
+    * — a container whose index lies about its content is corrupt. */
+  def aviFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val (width, height, _, totalFrames) = parseAvi(bytes)
+    val rowSize = (width + 3) / 4 * 4
+    val (moviOff, moviEnd) = findList(bytes, "movi")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val out = Vector.newBuilder[Array[Byte]]
+    var n = 0
+    var off = moviOff
+    while (off + 8 <= moviEnd) {
+      val o = off.toInt
+      val id = fourCC(bytes, o)
+      val size = b.getInt(o + 4)
+      require(size >= 0, s"negative chunk size in AVI movi '$id'")
+      require(off + 8 + size <= bytes.length,
+        s"AVI movi chunk '$id' claims $size bytes, payload ends at ${bytes.length}")
+      if (id.endsWith("db") || id.endsWith("dc")) {
+        require(size == rowSize * height,
+          s"AVI frame chunk is $size bytes, expected ${rowSize * height}")
+        val px = new Array[Byte](width * height)
+        var row = 0
+        while (row < height) {
+          System.arraycopy(bytes, o + 8 + (height - 1 - row) * rowSize,
+            px, row * width, width)
+          row += 1
+        }
+        out += px
+        n += 1
+      }
+      off += 8L + size + (size & 1)
+    }
+    require(n == totalFrames,
+      s"AVI header declares $totalFrames frames, movi holds $n")
+    out.result()
+  }
+
+  @inline private def fourCC(bytes: Array[Byte], off: Int): String =
+    new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Byte range (start, end) of the named LIST's content (after its type
+    * fourcc) in a RIFF AVI — the chunk walk [[parseAvi]] and [[aviFrames]]
+    * share. Long offset math for the same wrap-safety as [[walkWav]]. */
+  private def findList(bytes: Array[Byte], listType: String): (Long, Long) = {
+    require(bytes.length >= 12, s"AVI too short: ${bytes.length} bytes")
+    require(fourCC(bytes, 0) == "RIFF" && fourCC(bytes, 8) == "AVI ",
+      "AVI RIFF magic missing")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 12L
+    while (off + 12 <= bytes.length) {
+      val o = off.toInt
+      val id = fourCC(bytes, o)
+      val size = b.getInt(o + 4)
+      require(size >= 0, s"negative chunk size in AVI '$id'")
+      require(off + 8 + size <= bytes.length,
+        s"AVI chunk '$id' claims $size bytes, payload ends at ${bytes.length}")
+      if (id == "LIST" && fourCC(bytes, o + 8) == listType)
+        return (off + 12, off + 8 + size)
+      off += 8L + size + (size & 1)
+    }
+    throw new IllegalArgumentException(s"AVI has no $listType LIST")
   }
 }

@@ -11,11 +11,11 @@ import graft.functions.MediaCodecs
 final case class MediaRecord(
     doc_id: Long, modality: String, payload: Array[Byte], source: String)
 
-/** Decoded per-item features. Image and audio come from REAL header/pixel
-  * decoding (BMP + WAV, [[graft.functions.MediaCodecs]]); video is a STUB
-  * (no container/codec library ships in this sandbox). Fields not meaningful
-  * for a modality are 0 (e.g. sample_rate for images, width/height for
-  * audio). */
+/** Decoded per-item features. ALL modalities come from REAL container
+  * decoding ([[graft.functions.MediaCodecs]]): BMP header+pixel parse for
+  * images, WAV RIFF chunk walk for audio, AVI RIFF hdrl/movi walk with
+  * per-frame DIB decode for video. Fields not meaningful for a modality
+  * are 0 (e.g. sample_rate for images, width/height for audio). */
 final case class MediaFeatures(
     doc_id: Long, modality: String, n_bytes: Long,
     width: Int, height: Int, channels: Int, sample_rate: Int, phash: Long)
@@ -35,9 +35,10 @@ object Multimodal {
   /** documents → media records. The sandbox ships no media files, so the
     * capture side is synthesized — but with REAL container bytes: image
     * rows carry an actual 8-bit BMP (text bytes as pixels, content-derived
-    * dimensions) and audio rows an actual PCM WAV (text bytes as samples),
-    * so the decode stage downstream parses genuine formats. Video rows keep
-    * the raw bytes (decode for them is the remaining stub). Deterministic
+    * dimensions), audio rows an actual PCM WAV (text bytes as samples),
+    * and video rows an actual uncompressed-DIB AVI (consecutive text-byte
+    * slices as frames, zero-padded past the end), so the decode stage
+    * downstream parses genuine formats for every modality. Deterministic
     * in doc content/id only — re-runs and re-shards build identical lakes. */
   def asMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -61,18 +62,31 @@ object Multimodal {
             MediaRecord(docId, "audio",
               MediaCodecs.encodeWav(rate, channels, 8, bytes), source)
           case _ =>
-            MediaRecord(docId, "video", bytes, source)
+            // 4 fps (250 ms/frame); frame f's pixels are the text bytes
+            // from offset f·w·h, zero-padded — every frame differs, so the
+            // per-frame perceptual hashes downstream are genuinely distinct
+            val w = (docId % 11).toInt + 4
+            val h = (docId % 5).toInt + 3
+            val nFrames = (docId % 4).toInt + 2
+            val frames = (0 until nFrames).map { f =>
+              val px = new Array[Byte](w * h)
+              val start = f * w * h
+              val avail = math.max(0, math.min(bytes.length - start, w * h))
+              if (avail > 0) System.arraycopy(bytes, start, px, 0, avail)
+              px
+            }
+            MediaRecord(docId, "video",
+              MediaCodecs.encodeAvi(w, h, 250000, frames), source)
         }
       })
       .toDF()
   }
 
-  /** Per-modality decode. Image and audio are REAL: BMP header + pixel
-    * parse with a genuine 64-bit average-hash perceptual fingerprint, WAV
-    * RIFF chunk walk for rate/channels/bits. Video is the remaining STUB
-    * (deterministic pseudo-features) until a container parser is
-    * available. Corrupt payloads fail loudly — a decode error must surface,
-    * not become garbage features. */
+  /** Per-modality decode, all REAL: BMP header + pixel parse with a genuine
+    * 64-bit average-hash perceptual fingerprint; WAV RIFF chunk walk for
+    * rate/channels/bits; AVI RIFF hdrl parse + first-frame DIB decode with
+    * the same average-hash over the frame pixels. Corrupt payloads fail
+    * loudly — a decode error must surface, not become garbage features. */
   private def decodeOne(r: DecodeInput): MediaFeatures = r.modality match {
     case "image" =>
       val (width, height, channels) = MediaCodecs.parseBmp(r.payload)
@@ -89,11 +103,12 @@ object Multimodal {
         // content fingerprint over the sample data: mixed length+bits view
         (dataLen.toLong << 8 | bits.toLong) * 2654435761L)
     case _ =>
-      // STUB: a real deployment seeks the video container here
-      val h = java.util.Arrays.hashCode(r.payload).toLong & 0xFFFFFFFFL
+      // real container decode: the representative fingerprint is the first
+      // frame's average-hash (the thumbnail convention)
+      val (w, h, _, _) = MediaCodecs.parseAvi(r.payload)
+      val frame0 = MediaCodecs.aviFrames(r.payload).head
       MediaFeatures(r.doc_id, r.modality, r.payload.length.toLong,
-        (h % 640).toInt + 1, ((h / 640) % 480).toInt + 1, 3, 0,
-        h * 2654435761L) // Knuth multiplicative mix
+        w, h, 1, 0, MediaCodecs.averageHash(frame0, w, h))
   }
 
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
@@ -122,11 +137,10 @@ object Multimodal {
       .toDF("doc_id", "ehash")
   }
 
-  /** STUB FRAME SAMPLER: a real deployment seeks the container format and
-    * decodes ~1 frame/sec here. The stand-in emits a deterministic
-    * payload-derived frame count (1-5) with per-frame pseudo-features, so
-    * the one-to-many shape (media row → frame rows) and its partition
-    * behavior are exercised for real. */
+  /** REAL frame sampler: walks each video's AVI container, decodes every
+    * movi DIB frame, and emits (frame index, timestamp from the header's
+    * frame interval, per-frame average-hash) — the one-to-many media-row →
+    * frame-rows shape a video curation pipeline fans out on. */
   def sampleFrames(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     // filter + prune as Columns BEFORE deserialization: a typed
@@ -136,10 +150,10 @@ object Multimodal {
     media.filter(col("modality") === "video")
       .select(col("doc_id"), col("modality"), col("payload")).as[DecodeInput]
       .flatMap { r =>
-        val h = java.util.Arrays.hashCode(r.payload).toLong & 0xFFFFFFFFL
-        val nFrames = (h % 5).toInt + 1
-        (0 until nFrames).map { f =>
-          (r.doc_id, f, f * 1000L, (h * 2654435761L) ^ (f * 0x9E3779B97F4A7C15L))
+        val (w, h, usPerFrame, _) = MediaCodecs.parseAvi(r.payload)
+        MediaCodecs.aviFrames(r.payload).zipWithIndex.map { case (px, f) =>
+          (r.doc_id, f, f.toLong * (usPerFrame / 1000),
+            MediaCodecs.averageHash(px, w, h))
         }
       }
       .toDF("doc_id", "frame_idx", "ts_offset_ms", "frame_phash")

@@ -6,14 +6,14 @@ import graft.operators.Multimodal
 import graft.sources.Tables
 
 /** Multimodal-column inventory (SURVEY.md §2): binary payload plumbing with
-  * typed metadata. Image (BMP) and audio (WAV) decode are REAL pure-JVM
-  * parsers; video decode is the one remaining stub (no codec library in
-  * this container). The whole chain — synthesis, container layout, header
-  * parse, average-hash, and the stub's arithmetic — is deterministic in
-  * (doc_id, text bytes), so BOTH queries are exact-oracle-checked: the
-  * DuckDB replay re-derives every feature from the parquet text (BMP
-  * geometry + aHash cell math, WAV field formulas, Java Arrays.hashCode as
-  * a 32-bit wrapping list_reduce, 64-bit wrap-around mixes in HUGEINT).
+  * typed metadata. Image (BMP), audio (WAV), and video (uncompressed-DIB
+  * AVI) decode are ALL real pure-JVM parsers. The whole chain — synthesis,
+  * container layout, header parse, per-frame average-hash — is
+  * deterministic in (doc_id, text bytes), so every query is
+  * exact-oracle-checked: the DuckDB replay re-derives every feature from
+  * the parquet text (BMP geometry + aHash cell math, WAV field formulas,
+  * AVI container size arithmetic + the per-frame aHash over the text-slice
+  * frames, 64-bit wrap-around mixes in HUGEINT).
   */
 object MultimodalQueries {
 
@@ -114,26 +114,6 @@ object MultimodalQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Shared replay pieces. Byte i of the UTF-8 text is read from the hex
-    * dump (`('0x' || substr(hex, 2i+1, 2))::BIGINT`); Java
-    * `Arrays.hashCode` (the video stub's seed) is a 31-multiplier fold
-    * over SIGNED bytes in wrapping 32-bit arithmetic, seeded with 1 via
-    * list_prepend so empty payloads reduce to 1 exactly like the JVM. */
-  private val videoAccCtes =
-    """vacc AS (
-      |  SELECT doc_id, blen,
-      |         list_reduce(
-      |           list_prepend(1::BIGINT,
-      |             list_transform(range(blen),
-      |               i -> ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT)),
-      |           (acc, ub) -> ((31 * acc + CASE WHEN ub >= 128 THEN ub - 256 ELSE ub END)
-      |                         % 4294967296 + 4294967296 + 2147483648) % 4294967296
-      |                        - 2147483648) AS acc
-      |  FROM b2 WHERE doc_id % 3 = 2),
-      |vh AS (
-      |  SELECT doc_id, blen, CASE WHEN acc < 0 THEN acc + 4294967296 ELSE acc END AS h
-      |  FROM vacc)""".stripMargin
-
   /** Java Long wrap-around semantics for a HUGEINT product: reduce mod
     * 2^64 (normalized for negative dividends — DuckDB's % keeps the sign),
     * then map to signed 64-bit. One definition for every oracle multiply
@@ -145,8 +125,40 @@ object MultimodalQueries {
        |          ELSE $m END AS BIGINT)""".stripMargin
   }
 
-  /** The video stub's Knuth multiplicative mix, replayed with wrap. */
-  private val knuthMix = wrap64("h::HUGEINT * 2654435761")
+  /** AVI replay — geometry/frame-count formulas of the synthesized video
+    * lake (w = id%11+4, h = id%5+3, nf = id%4+2), then the per-(doc, frame)
+    * average-hash over the frame's pixels: frame f's pixel i is text byte
+    * f·w·h+i (zero past the end) — the same aHash cell math as
+    * [[imgHashCtes]], keyed by (doc_id, f). Requires the b2 hex-dump CTE. */
+  private val videoFrameCtes =
+    """v AS (
+      |  SELECT doc_id, hx, blen, doc_id % 11 + 4 AS w, doc_id % 5 + 3 AS h,
+      |         doc_id % 4 + 2 AS nf
+      |  FROM b2 WHERE doc_id % 3 = 2),
+      |vfr AS (SELECT doc_id, hx, blen, w, h, unnest(range(nf)) AS f FROM v),
+      |vpx0 AS (
+      |  SELECT doc_id, f, w, h, blen, hx, unnest(range(w * h)) AS i FROM vfr),
+      |vpx AS (
+      |  SELECT doc_id, f,
+      |         ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS cell,
+      |         CASE WHEN f * w * h + i < blen
+      |              THEN ('0x' || substr(hx, CAST(2 * (f * w * h + i) + 1 AS INT), 2))::BIGINT
+      |              ELSE 0 END AS p
+      |  FROM vpx0),
+      |vcells AS (
+      |  SELECT doc_id, f, cell, sum(p) AS cs, count(*) AS cc
+      |  FROM vpx GROUP BY doc_id, f, cell),
+      |vtot AS (
+      |  SELECT doc_id, f, sum(p) AS total, count(*) AS n
+      |  FROM vpx GROUP BY doc_id, f),
+      |vhash AS (
+      |  SELECT c.doc_id, c.f,
+      |         CAST(sum(CASE WHEN CAST(c.cs AS DOUBLE) / c.cc >= CAST(t.total AS DOUBLE) / t.n
+      |                  THEN CASE WHEN c.cell = 63 THEN (-9223372036854775807 - 1)
+      |                            ELSE (1::BIGINT << CAST(c.cell AS INT)) END
+      |                  ELSE 0 END) AS BIGINT) AS fhash
+      |  FROM vcells c JOIN vtot t ON t.doc_id = c.doc_id AND t.f = c.f
+      |  GROUP BY c.doc_id, c.f)""".stripMargin
 
   /** BMP image aHash replay — b2 (hex dump) → img (geometry) → per-pixel
     * cells → ihash (the 64-bit average-hash). Shared by the mm_metadata
@@ -231,8 +243,8 @@ object MultimodalQueries {
     // means vs global mean compared in IEEE doubles — bit-identical on both
     // engines), WAV fields (44-byte container, rate/channels formulas, the
     // (dataLen<<8 | 8)·2654435761 phash wrapped mod 2^64 like the JVM's
-    // silent Long wrap), and the video stub (Arrays.hashCode fold + Knuth
-    // mix with 64-bit wrap).
+    // silent Long wrap), and the AVI container (1248-byte fixed skeleton +
+    // nf·(8 + paddedRow·h) movi bytes, phash = frame 0's aHash).
     "mm_metadata" ->
       s"""WITH $imgHashCtes,
          |imeta AS (
@@ -250,36 +262,29 @@ object MultimodalQueries {
          |         -- BIGINT multiply would ERROR past ~13.4 MB of text)
          |         ${wrap64("(blen * 256 + 8)::HUGEINT * 2654435761")} AS phash
          |  FROM b2 WHERE doc_id % 3 = 1),
-         |$videoAccCtes,
+         |$videoFrameCtes,
          |vmeta AS (
-         |  SELECT doc_id, 'video' AS modality, CAST(blen AS BIGINT) AS n_bytes,
-         |         CAST(h % 640 + 1 AS INTEGER) AS width,
-         |         CAST((h // 640) % 480 + 1 AS INTEGER) AS height,
-         |         3::INTEGER AS channels, 0::INTEGER AS sample_rate,
-         |         $knuthMix AS phash
-         |  FROM vh)
+         |  SELECT v.doc_id, 'video' AS modality,
+         |         CAST(1248 + v.nf * (8 + ((v.w + 3) // 4 * 4) * v.h) AS BIGINT) AS n_bytes,
+         |         CAST(v.w AS INTEGER) AS width, CAST(v.h AS INTEGER) AS height,
+         |         1::INTEGER AS channels, 0::INTEGER AS sample_rate,
+         |         vh.fhash AS phash
+         |  FROM v JOIN vhash vh ON vh.doc_id = v.doc_id AND vh.f = 0)
          |SELECT * FROM (SELECT * FROM imeta UNION ALL SELECT * FROM ameta
          |               UNION ALL SELECT * FROM vmeta)
          |ORDER BY doc_id""".stripMargin,
 
-    // Frame fan-out replay: n_frames = h mod 5 + 1, frame_phash =
-    // knuth-mix(h) XOR (f · 0x9E3779B97F4A7C15) with both 64-bit products
-    // wrapped in HUGEINT before the signed xor.
+    // Frame fan-out replay: nf = id%4+2 frames per video, ts from the
+    // 250000 us/frame header interval, frame_phash = the frame's aHash.
     "mm_frames" ->
       s"""WITH b2 AS (
          |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS blen
          |  FROM documents),
-         |$videoAccCtes,
-         |ph AS (SELECT doc_id, h, $knuthMix AS hmix FROM vh),
-         |fr AS (SELECT doc_id, hmix, unnest(range(h % 5 + 1)) AS f FROM ph),
-         |ft AS (
-         |  SELECT doc_id, f, hmix,
-         |         ${wrap64("f::HUGEINT * (-7046029254386353131)")} AS fterm
-         |  FROM fr)
+         |$videoFrameCtes
          |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
-         |       CAST(f * 1000 AS BIGINT) AS ts_offset_ms,
-         |       xor(hmix, fterm) AS frame_phash
-         |FROM ft ORDER BY doc_id, frame_idx""".stripMargin,
+         |       CAST(f * 250 AS BIGINT) AS ts_offset_ms,
+         |       fhash AS frame_phash
+         |FROM vhash ORDER BY doc_id, frame_idx""".stripMargin,
 
     // aHash replay (shared CTEs) + the same 5-block pigeonhole candidates
     // and hamming ≤ 4 verify; shift-then-mask is identical on both engines

@@ -84,16 +84,78 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       MediaCodecs.encodeWav(8000, 1, 0, pcm))
   }
 
-  test("sampleFrames: only video rows, 1-5 frames each, deterministic") {
+  test("sampleFrames: only video rows, 2-5 container frames each, deterministic") {
     val media = Multimodal.asMedia(Tables(spark, sf, "documents"))
     val frames = Multimodal.sampleFrames(spark, media)
     val perDoc = frames.groupBy("doc_id").count()
-    assert(perDoc.filter($"count" < 1 || $"count" > 5).count() == 0)
+    assert(perDoc.filter($"count" < 2 || $"count" > 5).count() == 0)
     // every frame doc is a video doc (doc_id % 3 == 2 under the mix rule)
     assert(frames.filter(pmod($"doc_id", lit(3)) =!= 2).count() == 0)
     // deterministic across runs
     val again = Multimodal.sampleFrames(spark, media)
     assert(frames.exceptAll(again).isEmpty)
+  }
+
+  test("AVI codec: round trip, golden walk over stranger chunks, loud corruption") {
+    import graft.functions.MediaCodecs
+    // round-trip through the encoder: geometry, header timing, exact pixels
+    val f0 = Array.tabulate[Byte](15)(i => (i * 16).toByte)
+    val f1 = Array.tabulate[Byte](15)(i => (200 - i * 9).toByte)
+    val avi = MediaCodecs.encodeAvi(5, 3, 250000, Seq(f0, f1))
+    assert(MediaCodecs.parseAvi(avi) == ((5, 3, 250000, 2)))
+    val back = MediaCodecs.aviFrames(avi)
+    assert(back.size == 2)
+    assert(back(0).toSeq == f0.toSeq && back(1).toSeq == f1.toSeq)
+    // the byte-size formula the oracle replays: 1248 + nf*(8 + paddedRow*h)
+    assert(avi.length == 1248 + 2 * (8 + 8 * 3))
+    // golden walk: a JUNK chunk before hdrl and an idx1 after movi — real
+    // muxers emit both; the parser must skip strangers, not assume the
+    // encoder's layout
+    val raw = MediaCodecs.encodeAvi(4, 2, 100000, Seq(Array.fill[Byte](8)(5)))
+    val inner = java.util.Arrays.copyOfRange(raw, 12, raw.length)
+    val b = java.nio.ByteBuffer
+      .allocate(12 + 16 + inner.length + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(4 + 16 + inner.length + 16).put("AVI ".getBytes)
+    b.put("JUNK".getBytes).putInt(8).putLong(0L)
+    b.put(inner)
+    b.put("idx1".getBytes).putInt(8).putLong(0L)
+    assert(MediaCodecs.parseAvi(b.array()) == ((4, 2, 100000, 1)))
+    assert(MediaCodecs.aviFrames(b.array()).head.toSeq == Seq.fill(8)(5.toByte))
+    // corruption is loud: wrong magic, truncated movi frame, frame-count lie
+    assertThrows[IllegalArgumentException](
+      MediaCodecs.parseAvi("this is not an avi container at all....".getBytes))
+    val lying = raw.clone()
+    // avih dwTotalFrames lives at top-level 12 + hdrl header 12 + avih header 8 + 16
+    val tfOff = 12 + 12 + 8 + 16
+    lying(tfOff) = 9
+    val e = intercept[IllegalArgumentException](MediaCodecs.aviFrames(lying))
+    assert(e.getMessage.contains("declares"), s"wrong failure: ${e.getMessage}")
+    // the encoder refuses geometry its parser rejects
+    assertThrows[IllegalArgumentException](
+      MediaCodecs.encodeAvi(0, 2, 100000, Seq(Array.emptyByteArray)))
+    assertThrows[IllegalArgumentException](
+      MediaCodecs.encodeAvi(4, 2, 100000, Seq(Array.fill[Byte](3)(1))))
+  }
+
+  test("video features come from the container: header fields + frame-0 aHash") {
+    import graft.functions.MediaCodecs
+    val media = Multimodal.asMedia(Tables(spark, sf, "documents"))
+    val vids = media.filter($"modality" === "video")
+      .select($"doc_id", $"payload").as[(Long, Array[Byte])].collect()
+    assert(vids.nonEmpty)
+    val feats = Multimodal.extractFeatures(spark, media)
+      .filter($"modality" === "video")
+      .select($"doc_id", $"width", $"height", $"channels", $"phash")
+      .as[(Long, Int, Int, Int, Long)].collect().map(r => r._1 -> r).toMap
+    vids.take(20).foreach { case (id, payload) =>
+      val (w, h, us, nf) = MediaCodecs.parseAvi(payload)
+      assert(w == (id % 11 + 4) && h == (id % 5 + 3) && us == 250000 &&
+        nf == (id % 4 + 2))
+      val (_, fw, fh, ch, phash) = feats(id)
+      assert(fw == w && fh == h && ch == 1)
+      assert(phash == MediaCodecs.averageHash(MediaCodecs.aviFrames(payload).head, w, h))
+    }
   }
 
   test("sampleFrames pushes the modality filter into the parquet scan") {
