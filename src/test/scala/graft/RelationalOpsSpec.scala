@@ -88,6 +88,19 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("q_string_agg and q_mad keep their tiny-side joins broadcast") {
+    // insurance that stats drift never silently flips these to sort-merge:
+    // q_string_agg joins two dims (region × nation), q_mad joins the fact
+    // table against a per-group median table of a handful of rows — a
+    // sort-merge there would shuffle the whole fact side for nothing
+    Seq("q_string_agg", "q_mad").foreach { name =>
+      val plan = queries.RelationalQueries.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$name:\n${plan.take(3000)}")
+      assert(!plan.contains("SortMergeJoin"), s"$name:\n${plan.take(3000)}")
+    }
+  }
+
   test("q1 scan prunes to the referenced columns only") {
     val plan = queries.RelationalQueries.queries("q1_agg")(spark, sf)
       .queryExecution.executedPlan.toString
