@@ -422,6 +422,104 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(slots2.confirmedFlushLsn("s1") == 11L)
   }
 
+  test("full bootstrap: snapshot seed + slot resume + mid-stream schema change + restart") {
+    // The complete consumer lifecycle the reference enables
+    // (postrack.go:285-309 StartReplication(lsn+1) + snapshot bootstrap):
+    //   1. snapshot the table (graft.sources.Jdbc.snapshot's output shape —
+    //      a batch DataFrame of rows at capture time; no database ships in
+    //      this sandbox, so the stand-in IS that DataFrame),
+    //   2. note the slot's confirmed LSN at snapshot time,
+    //   3. stream-apply the decoded pgoutput feed strictly after it —
+    //      across a replayed frame, a reconnect Relation re-send, a
+    //      MID-STREAM SCHEMA CHANGE (new column), a kill with a LOST
+    //      checkpoint, and a restart —
+    // and the result must equal a batch replay of the FULL frame history
+    // from empty (the cdc_latest_snapshot convergence property).
+    import graft.cdc.{DeleteMsg, InsertMsg, PgColumn, PgOutput, PgTuple, RelationMsg, SlotStore, UpdateMsg}
+    import graft.streaming.PgOutputStream
+    val framesDir = java.nio.file.Files.createTempDirectory("bootframes").toString
+    val slotsDir = java.nio.file.Files.createTempDirectory("bootslots").toString
+    val ck1 = java.nio.file.Files.createTempDirectory("bootck1").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("bootck2").toString
+    def rel(cols: String*) = RelationMsg(700, "public", "accounts", 'd'.toByte,
+      cols.map(c => PgColumn(0, c, 25, -1)))
+    def tup(vs: String*) = PgTuple(vs.map(Option(_)))
+
+    // ---- history BEFORE the bootstrap (already reflected in the snapshot)
+    Seq(
+      1L -> PgOutput.encode(rel("pk", "v")),
+      2L -> PgOutput.encode(InsertMsg(700, tup("1", "a"))),
+      3L -> PgOutput.encode(InsertMsg(700, tup("2", "b"))),
+      4L -> PgOutput.encode(UpdateMsg(700, None, None, tup("1", "a1"))),
+      5L -> PgOutput.encode(InsertMsg(700, tup("3", "c"))))
+      .toDF("lsn", "data").write.mode("append").parquet(framesDir)
+
+    // step 1+2: the snapshot stand-in and the slot watermark it was taken at
+    val snapshotDf = Seq((1L, "a1"), (2L, "b"), (3L, "c")).toDF("pk", "v")
+    val slots = new SlotStore(slotsDir)
+    slots.setSlot("boot")
+    slots.ack("boot", 5L)
+    // the consumer's materialized state, seeded from the snapshot
+    var state = snapshotDf.as[(Long, String)].collect()
+      .map { case (pk, v) => pk -> Map("pk" -> pk.toString, "v" -> v) }.toMap
+    def applyEvents(evs: Seq[graft.cdc.ChangeEvent]): Unit =
+      evs.sortBy(_.lsn).foreach { e =>
+        if (e.op == "DELETE") state -= e.before("pk").toLong
+        else state += (e.after("pk").toLong -> e.after)
+      }
+
+    // ---- step 3, first incarnation: replayed frame below the watermark,
+    // reconnect Relation re-send at a fresh LSN, one update
+    Seq(
+      4L -> PgOutput.encode(UpdateMsg(700, None, None, tup("1", "a1"))), // replay
+      6L -> PgOutput.encode(rel("pk", "v")), // reconnect re-send
+      7L -> PgOutput.encode(UpdateMsg(700, None, None, tup("2", "b2"))))
+      .toDF("lsn", "data").write.mode("append").parquet(framesDir)
+    val q1 = PgOutputStream.captureTo(
+      PgOutputStream.decodeStream(spark,
+        PgOutputStream.resumeFrames(spark, framesDir, slots, "boot")),
+      ck1, slots, "boot") { b => applyEvents(b.collect().toSeq) }
+    try q1.processAllAvailable() finally q1.stop()
+    assert(state(2)("v") == "b2")
+    assert(slots.confirmedFlushLsn("boot") == 7L)
+
+    // ---- kill: process died, checkpoint LOST; second incarnation resumes
+    // from the durable slot alone. The feed replays an acked frame (7) and
+    // then CHANGES THE SCHEMA mid-stream: Relation v2 adds a column; the
+    // insert after it decodes against v2, the delete (replica identity
+    // full) carries all three columns.
+    Seq(
+      7L -> PgOutput.encode(UpdateMsg(700, None, None, tup("2", "b2"))), // replay
+      8L -> PgOutput.encode(rel("pk", "v", "extra")), // schema change
+      9L -> PgOutput.encode(InsertMsg(700, tup("4", "d", "x"))),
+      10L -> PgOutput.encode(DeleteMsg(700, 'O'.toByte, tup("3", "c", ""))))
+      .toDF("lsn", "data").write.mode("append").parquet(framesDir)
+    val slots2 = new SlotStore(slotsDir)
+    assert(slots2.confirmedFlushLsn("boot") == 7L, "watermark must survive the crash")
+    val q2 = PgOutputStream.captureTo(
+      PgOutputStream.decodeStream(spark,
+        PgOutputStream.resumeFrames(spark, framesDir, slots2, "boot")),
+      ck2, slots2, "boot") { b => applyEvents(b.collect().toSeq) }
+    try q2.processAllAvailable() finally q2.stop()
+    assert(slots2.confirmedFlushLsn("boot") == 10L)
+
+    // ---- convergence: bootstrap(snapshot@5) ⊕ stream(6..10) must equal a
+    // batch replay of the ENTIRE history from empty — including the new
+    // schema's column on the post-change row
+    val batchEvents = PgOutput.decodeFeed(spark, spark.read.parquet(framesDir))
+      .as[graft.cdc.ChangeEvent].collect().toSeq
+    var replay = Map[Long, Map[String, String]]()
+    batchEvents.sortBy(_.lsn).foreach { e =>
+      if (e.op == "DELETE") replay -= e.before("pk").toLong
+      else replay += (e.after("pk").toLong -> e.after)
+    }
+    assert(state == replay, s"stream state $state != batch replay $replay")
+    assert(state == Map(
+      1L -> Map("pk" -> "1", "v" -> "a1"),
+      2L -> Map("pk" -> "2", "v" -> "b2"),
+      4L -> Map("pk" -> "4", "v" -> "d", "extra" -> "x")))
+  }
+
   test("file-drop CDC source streams appended parquet batches") {
     val dir = java.nio.file.Files.createTempDirectory("cdcdrop").toString
     val ck = java.nio.file.Files.createTempDirectory("cdcck").toString
