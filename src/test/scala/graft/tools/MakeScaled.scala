@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-audit corpus builder: replicates the sf0.1 fact tables K times
+  * into a scratch dir (≈ sf1) so Bench can produce an empirical point one
+  * order of magnitude above the driver gate's largest SF.
+  *
+  * Replicas shift every id family by k·(max+1) and PERTURB content
+  * (documents get a per-replica suffix token, embeddings a per-replica
+  * epsilon on dim 0) so duplicate/collision RATES stay at the original
+  * corpus's level — naive x10 copies would put 10 identical texts in every
+  * signature bucket and measure a 100x-denser pair workload instead of a
+  * 10x-larger corpus. Dimensions (region/nation/customer/supplier/part)
+  * keep their real-world behavior and stay unscaled, which also keeps
+  * bounded-domain operators (bitmap_distinct over p_partkey) meaningful.
+  *
+  * Run: `sbt "Test/runMain graft.tools.MakeScaled [K] [srcDir] [outDir]"`.
+  */
+object MakeScaled {
+  def main(args: Array[String]): Unit = {
+    val k = if (args.length > 0) args(0).toInt else 10
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val out = if (args.length > 2) args(2) else "/root/repo/target/sfscale"
+    val spark = graft.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
+
+    def read(t: String): DataFrame = {
+      // events carries INT64 TIMESTAMP(NANOS) — same flag Tables sets
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$src/$t.parquet")
+    }
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    // dims: copied, not scaled
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(t => write(read(t), t))
+
+    def maxPlus1(df: DataFrame, c: String): Long =
+      df.agg(max(col(c)).cast("long")).head().getLong(0) + 1L
+
+    /** K replicas of `df` with the listed id columns shifted by k·stride and
+      * optional per-replica column overrides. */
+    def replicate(df: DataFrame, idCols: Seq[String],
+        mutate: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
+      val strides = idCols.map(c => c -> maxPlus1(df, c)).toMap
+      (0 until k).map { rep =>
+        val shifted = idCols.foldLeft(df) { (d, c) =>
+          d.withColumn(c, col(c) + lit(rep * strides(c))) }
+        mutate(shifted, rep)
+      }.reduce(_ union _)
+    }
+
+    val orders = read("orders")
+    val okStride = maxPlus1(orders, "o_orderkey")
+    write((0 until k).map(rep =>
+      orders.withColumn("o_orderkey", col("o_orderkey") + lit(rep * okStride)))
+      .reduce(_ union _), "orders")
+    val li = read("lineitem")
+    write((0 until k).map(rep =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(rep * okStride)))
+      .reduce(_ union _), "lineitem")
+
+    write(replicate(read("events"), Seq("event_id", "user_id")), "events")
+
+    write(replicate(read("documents"), Seq("doc_id"),
+      (d, rep) => if (rep == 0) d
+        else d.withColumn("text", concat(col("text"), lit(s" r$rep")))), "documents")
+
+    write(replicate(read("embeddings"), Seq("vec_id"),
+      (d, rep) => if (rep == 0) d
+        else d.withColumn("embedding", expr(
+          s"transform(embedding, (x, i) -> CASE WHEN i = 0 THEN CAST(x + $rep * 0.001 AS FLOAT) ELSE x END)"))),
+      "embeddings")
+
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      println(s"[scaled] $t rows=" + spark.read.parquet(s"$out/$t.parquet").count())
+    }
+    spark.stop()
+  }
+}
