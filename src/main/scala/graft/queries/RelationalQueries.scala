@@ -175,13 +175,17 @@ object RelationalQueries {
         .orderBy("l_returnflag")),
 
     // Correlated scalar subquery shape (customers above their nation's
-    // average balance) — expressed as a shared-window compare, the plan
-    // Catalyst's decorrelation would produce anyway: one shuffle, no
-    // per-row subquery.
+    // average balance), decorrelated to an aggregate + broadcast join: the
+    // per-nation averages reduce map-side to 25 rows and broadcast back
+    // onto the fact scan. The window formulation (avg().over(partitionBy
+    // nation)) would hash every customer of a nation into ONE task — with
+    // O(25) nations that's the per-source stratum anti-pattern again, just
+    // without the sort.
     "q_scalar_subquery" -> ((s, dir) => {
-      val w = Window.partitionBy("c_nationkey")
-      t(s, dir, "customer")
-        .withColumn("nation_avg", avg("c_acctbal").over(w))
+      val c = t(s, dir, "customer")
+      val avgs = c.groupBy("c_nationkey")
+        .agg(avg("c_acctbal").as("nation_avg"))
+      c.join(broadcast(avgs), "c_nationkey")
         .filter(col("c_acctbal") > col("nation_avg"))
         .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
           round(col("nation_avg"), 4).as("nation_avg"))

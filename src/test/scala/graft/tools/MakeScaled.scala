@@ -7,14 +7,19 @@ import org.apache.spark.sql.functions._
   * into a scratch dir (≈ sf1) so Bench can produce an empirical point one
   * order of magnitude above the driver gate's largest SF.
   *
-  * Replicas shift every id family by k·(max+1) and PERTURB content
-  * (documents get a per-replica suffix token, embeddings a per-replica
-  * epsilon on dim 0) so duplicate/collision RATES stay at the original
-  * corpus's level — naive x10 copies would put 10 identical texts in every
-  * signature bucket and measure a 100x-denser pair workload instead of a
-  * 10x-larger corpus. Dimensions (region/nation/customer/supplier/part)
-  * keep their real-world behavior and stay unscaled, which also keeps
-  * bounded-domain operators (bitmap_distinct over p_partkey) meaningful.
+  * Replicas shift every id family by k·(max+1) and REWRITE content so that
+  * duplicate/collision RATES stay at the original corpus's density: naive
+  * x10 copies would put 10 identical texts in every signature bucket (and a
+  * suffix-only tweak still leaves every replica a NEAR-dup of its original,
+  * inflating the true pair workload ~45x). Documents instead pass through a
+  * per-replica `translate` rotation of the 10 most frequent letters —
+  * structurally identical (same lengths, whitespace, token boundaries,
+  * quality-score shape) but gram-disjoint across replicas; embeddings are
+  * rotated by k positions — same norm and dimension stats, uncorrelated
+  * directions. Within-replica dup structure is preserved exactly.
+  * Dimensions (region/nation/customer/supplier/part) stay unscaled, which
+  * also keeps bounded-domain operators (bitmap_distinct over p_partkey)
+  * meaningful.
   *
   * Run: `sbt "Test/runMain graft.tools.MakeScaled [K] [srcDir] [outDir]"`.
   */
@@ -65,14 +70,19 @@ object MakeScaled {
 
     write(replicate(read("events"), Seq("event_id", "user_id")), "events")
 
+    // rotate the 10 highest-frequency letters by rep: every word changes,
+    // no gram survives across replicas, text structure is untouched
+    val alpha = "etaoinshrd"
     write(replicate(read("documents"), Seq("doc_id"),
       (d, rep) => if (rep == 0) d
-        else d.withColumn("text", concat(col("text"), lit(s" r$rep")))), "documents")
+        else d.withColumn("text",
+          translate(col("text"), alpha, alpha.drop(rep) + alpha.take(rep)))),
+      "documents")
 
     write(replicate(read("embeddings"), Seq("vec_id"),
       (d, rep) => if (rep == 0) d
         else d.withColumn("embedding", expr(
-          s"transform(embedding, (x, i) -> CASE WHEN i = 0 THEN CAST(x + $rep * 0.001 AS FLOAT) ELSE x END)"))),
+          s"concat(slice(embedding, ${rep + 1}, size(embedding) - $rep), slice(embedding, 1, $rep))"))),
       "embeddings")
 
     Seq("region", "nation", "customer", "supplier", "part", "orders",
