@@ -47,11 +47,18 @@ object PrefixSum {
       valueCol: String, outCol: String): DataFrame = {
     val spark = df.sparkSession
     val nParts = spark.sessionState.conf.numShufflePartitions
-    // cut: the ranged table feeds the partials agg AND the final join; the
-    // cut also freezes partition ids so both consumers see the same layout
-    val ranged = Checkpointing.cut(
-      df.repartitionByRange(nParts, (col(grpCol) +: orderCols): _*)
-        .withColumn("__pid", spark_partition_id()))
+    // LAZY persist, not an eager checkpoint: the ranged table feeds the
+    // partials agg AND the final join, so the first consumer computes and
+    // caches in one pass and the second reads the cache — an eager cut
+    // would add a third full pass just to materialize. Consistency of
+    // spark_partition_id across consumers (and across a cache-eviction
+    // recompute) holds because repartitionByRange is deterministic: its
+    // boundary sampling seeds from the partition index, not wall-clock
+    // randomness.
+    val ranged = df
+      .repartitionByRange(nParts, (col(grpCol) +: orderCols): _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
 
     // per-(group, partition) partials: map-side combine reduces each task to
     // one row per group it touches before the exchange — partials, not rows

@@ -42,10 +42,12 @@ object ThresholdSelect {
       s"bucketHexChars must be in 1..7, got $bucketHexChars")
     val spark = df.sparkSession
     val nBuckets = 1 << (4 * bucketHexChars)
-    // cut: the bucketed table feeds the histogram AND both keep branches —
-    // without it each reference recomputes the upstream scan
-    val withB = Checkpointing.cut(df.withColumn("__b",
-      conv(substring(col(hexCol), 1, bucketHexChars), 16, 10).cast("int")))
+    // lazy persist: the bucketed table feeds the histogram AND both keep
+    // branches; the histogram collect (an action) populates the cache in
+    // the same pass, the branches read it — no eager materialization pass
+    val withB = df.withColumn("__b",
+      conv(substring(col(hexCol), 1, bucketHexChars), 16, 10).cast("int"))
+      .persist()
 
     // per-(group, bucket) histogram: bounded by groups × nBuckets, collected
     // like the IVF centroids (a deliberate driver-held artifact, documented
