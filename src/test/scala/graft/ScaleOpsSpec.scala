@@ -138,6 +138,81 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("z-order write: footer envelopes prune BOTH dims; single-dim sort can't") {
+    // events queried by user AND by time. A layout sorted on one column
+    // skips files only for that column: every user-sorted file spans the
+    // full ts range, so a time predicate overlaps all of them. The z-curve
+    // gives every clustered column tight per-file envelopes at once. The
+    // assertion uses the reader-agnostic skipping proxy: count files whose
+    // per-file [min, max] envelope intersects the predicate — exactly what
+    // parquet footer pruning consults.
+    val ev = Tables(spark, sf, "events").select("event_id", "user_id", "value", "ts")
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val nFiles = 16
+    ev.repartitionByRange(nFiles, $"user_id")
+      .write.mode("overwrite").parquet(s"$base/byuser")
+    graft.sources.ZOrder.writeZOrdered(ev, Seq("user_id", "ts"), s"$base/zorder", nFiles)
+
+    val (uLo, uHi, tLo, tHi) = ev.agg(min("user_id"), max("user_id"), min("ts"), max("ts"))
+      .as[(Long, Long, Long, Long)].head()
+    // 10% slices in the middle of each range
+    val (bu1, bu2) = (uLo + (uHi - uLo) * 45 / 100, uLo + (uHi - uLo) * 55 / 100)
+    val (bt1, bt2) = (tLo + (tHi - tLo) * 45 / 100, tLo + (tHi - tLo) * 55 / 100)
+    def envelopes(path: String) =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
+          min("ts").as("tlo"), max("ts").as("thi"))
+    def tsOverlap(path: String): Long =
+      envelopes(path).filter($"tlo" <= bt2 && $"thi" >= bt1).count()
+    def userOverlap(path: String): Long =
+      envelopes(path).filter($"ulo" <= bu2 && $"uhi" >= bu1).count()
+
+    // the single-dim layout is blind on the other dim (allow a couple of
+    // sparse edge files to miss the slice by chance at this tiny SF)...
+    assert(tsOverlap(s"$base/byuser") >= nFiles - 2,
+      s"user-sorted layout should overlap ~every file on a time predicate, " +
+        s"got ${tsOverlap(s"$base/byuser")}")
+    // ...while the z-curve prunes on BOTH clustered columns. At 16 files
+    // the curve is a 4×4 block grid; a middle 10% slab straddles 2 of 4
+    // block columns = 8 cells, plus a file whose range slice straddles a
+    // block boundary — so the tight bound here is ~9, against 14-16 for
+    // the blind layout.
+    assert(tsOverlap(s"$base/zorder") <= nFiles * 5 / 8,
+      s"ts slice still overlaps ${tsOverlap(s"$base/zorder")} of $nFiles z-files")
+    assert(userOverlap(s"$base/zorder") <= nFiles * 5 / 8,
+      s"user slice still overlaps ${userOverlap(s"$base/zorder")} of $nFiles z-files")
+    // the layout change is invisible to results
+    def box(path: String) = spark.read.parquet(path)
+      .filter($"user_id".between(bu1, bu2) && $"ts".between(bt1, bt2))
+      .select("event_id").as[Long].collect().toSet
+    assert(box(s"$base/zorder") == box(s"$base/byuser"))
+    assert(box(s"$base/zorder").nonEmpty)
+  }
+
+  test("zValue interleaves deterministically and orders the curve") {
+    import graft.sources.ZOrder
+    val df = Seq((0L, 0L), (255L, 255L), (0L, 255L), (255L, 0L), (128L, 128L))
+      .toDF("x", "y")
+    val z = df.select(ZOrder.zValue(
+      Seq(($"x", 0.0, 255.0), ($"y", 0.0, 255.0)), 8).as("z"))
+      .as[Long].collect().toSeq
+    // corners: origin is 0; (255,255) is all 16 low bits set; x owns even
+    // bit positions, y odd
+    assert(z(0) == 0L)
+    assert(z(1) == 0xFFFF)
+    assert(z(2) == 0xAAAA) // y bits only
+    assert(z(3) == 0x5555) // x bits only
+    // nulls rank at the curve origin rather than failing
+    val zn = Seq((Some(5L), Option.empty[Long])).toDF("x", "y")
+      .select(ZOrder.zValue(Seq(($"x", 0.0, 255.0), ($"y", 0.0, 255.0)), 8).as("z"))
+      .as[Long].head()
+    assert((zn & 0xAAAA) == 0, "null column must contribute 0 bits")
+    // bits budget is enforced loudly
+    assertThrows[IllegalArgumentException](
+      ZOrder.zValue(Seq(($"x", 0.0, 1.0), ($"y", 0.0, 1.0)), 32))
+  }
+
   test("partitioned lake: day filter prunes partitions at the scan") {
     val path = java.nio.file.Files.createTempDirectory("lake").toString + "/events"
     val ev = Tables(spark, sf, "events").withColumn("ts_us", expr("ts div 1000"))
