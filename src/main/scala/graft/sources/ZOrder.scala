@@ -56,6 +56,7 @@ object ZOrder {
     val aggs = orderCols.flatMap(c =>
       Seq(min(col(c).cast("double")).as(s"lo_$c"), max(col(c).cast("double")).as(s"hi_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
+    require(!r.isNullAt(0), "writeZOrdered: input has no rows (no ranges to cluster)")
     val ranges = orderCols.zipWithIndex.map { case (c, i) =>
       (col(c), r.getDouble(2 * i), r.getDouble(2 * i + 1)) }
     df.withColumn("__z", zValue(ranges, bits))

@@ -618,8 +618,12 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         reaches.exists(r => r.user_id == 1 && r.stage == 2) &&
           reaches.exists(r => r.user_id == 2 && r.stage == 1))
       // the engine triggers continuously; well after the 1 ms TTL, u1's
-      // state is evicted by a timeout batch while in-flight u2 survives
-      Thread.sleep(500)
+      // state is evicted by a timeout batch while in-flight u2 survives.
+      // The margin is generous: eviction requires only ONE engine batch
+      // after the deadline, and the continuous trigger runs them every few
+      // ms — but a machine-stall shorter than this sleep must not let u1's
+      // re-appearing event land in the same batch as its timeout.
+      Thread.sleep(2000)
       input.addData(FunnelEvent(2, "click", 300), FunnelEvent(1, "view", 400))
       // u2 (in-flight across the TTL window) still advances; u1 re-enters
       // at stage 1 because its completed-state entry was evicted
