@@ -70,6 +70,20 @@ object MultimodalQueries {
         .filter(col("ehash") =!= 0L)
         .select(col("doc_id"), col("ehash").as("fp"))
       pigeonholePairs(aud)
+    }),
+
+    // Perceptual near-duplicate VIDEO: the same pigeonhole bucket join
+    // over the container decode's representative fingerprint (frame 0's
+    // average-hash) — with the AVI walker real, every modality now has a
+    // first-class dedup path (image aHash, audio energy envelope, video
+    // frame hash). A real aHash is never 0, so no sentinel filter is
+    // needed: every decoded video carries a genuine fingerprint.
+    "mm_video_near_dup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val vids = features(s, dir)
+        .filter(col("modality") === "video")
+        .select(col("doc_id"), col("phash").as("fp"))
+      pigeonholePairs(vids)
     }))
 
   /** Memoized audio fingerprints, lineage-cut like [[features]]: the
@@ -285,6 +299,31 @@ object MultimodalQueries {
          |       CAST(f * 250 AS BIGINT) AS ts_offset_ms,
          |       fhash AS frame_phash
          |FROM vhash ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // per-frame aHash replay at f=0 + the same 5-block pigeonhole
+    // candidates and hamming ≤ 4 verify as the image/audio passes
+    "mm_video_near_dup" ->
+      s"""WITH b2 AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS blen
+         |  FROM documents),
+         |$videoFrameCtes,
+         |vfp AS (SELECT doc_id, fhash AS fp FROM vhash WHERE f = 0),
+         |blocks AS (
+         |  SELECT doc_id, blk,
+         |         (fp >> CAST(blk * 13 AS INT)) &
+         |         CASE WHEN blk = 4 THEN 4095 ELSE 8191 END AS bval
+         |  FROM vfp CROSS JOIN (SELECT unnest(range(5)) AS blk) bb),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |       CAST(bit_count(xor(ha.fp, hb.fp)) AS BIGINT) AS hamming
+         |FROM cand c
+         |JOIN vfp ha ON ha.doc_id = c.doc_a
+         |JOIN vfp hb ON hb.doc_id = c.doc_b
+         |WHERE bit_count(xor(ha.fp, hb.fp)) <= 4
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // aHash replay (shared CTEs) + the same 5-block pigeonhole candidates
     // and hamming ≤ 4 verify; shift-then-mask is identical on both engines

@@ -247,7 +247,33 @@ object VectorQueries {
           posexplode(graft.plans.HyperplaneSigs.project(s, col("embedding"), 8)))
         .select(col("vec_id"), col("pos").cast("long").as("p"),
           round(col("col"), 4).as("proj"))
-        .orderBy("vec_id", "p")))
+        .orderBy("vec_id", "p")),
+
+    // Int8 scalar quantization — the storage-compression pass a 100 TB
+    // vector lake applies before ANN (4x smaller than float32, the
+    // standard SQ8 layout): per-dimension corpus (lo, hi) from one bounded
+    // aggregate broadcast back, code = clamp(floor((x−lo)/span·256), 255),
+    // midpoint decode. Per-dim audit row: range, codes actually used
+    // (exact integers), reconstruction MSE in ppm — the code math is
+    // exact integer arithmetic on both engines; the error stat rounds far
+    // above summation-order ulp noise (~1e-15 relative vs 2dp of ppm).
+    "emb_quantize" -> ((s, dir) => {
+      val px = emb(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .select(col("dim").cast("long").as("dim"), col("xf").cast("double").as("x"))
+      val stats = px.groupBy("dim").agg(min("x").as("lo"), max("x").as("hi"))
+      px.join(broadcast(stats), "dim")
+        .withColumn("span", greatest(col("hi") - col("lo"), lit(1e-30)))
+        .withColumn("code", least(
+          floor((col("x") - col("lo")) / col("span") * 256).cast("long"), lit(255L)))
+        .withColumn("err",
+          col("x") - (col("lo") + (col("code").cast("double") + 0.5) * col("span") / 256.0))
+        .groupBy("dim")
+        .agg(round(min("lo"), 4).as("lo"), round(max("hi"), 4).as("hi"),
+          countDistinct("code").as("n_codes"),
+          round(avg(col("err") * col("err")) * 1e6, 2).as("mse_ppm"))
+        .orderBy("dim")
+    }))
 
   /** knn_bruteforce is oracle-checkable because ranking happens on the
     * ALREADY-ROUNDED cosine (4dp) with an id tie-break — double-precision
@@ -350,6 +376,27 @@ object VectorQueries {
         |SELECT label, count(*) AS n_vectors,
         |       round(avg(cos), 4) AS mean_cos_to_centroid
         |FROM cos GROUP BY label ORDER BY label""".stripMargin,
+
+    // same subscripted explode; code arithmetic is the identical double
+    // op sequence, the ppm rounding absorbs sum-order ulp
+    "emb_quantize" ->
+      """WITH px AS (
+        |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings),
+        |st AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM px GROUP BY dim),
+        |q AS (
+        |  SELECT px.dim, px.x, st.lo, st.hi,
+        |         greatest(st.hi - st.lo, 1e-30) AS span,
+        |         least(CAST(floor((px.x - st.lo) / greatest(st.hi - st.lo, 1e-30) * 256)
+        |               AS BIGINT), 255) AS code
+        |  FROM px JOIN st ON st.dim = px.dim)
+        |SELECT CAST(dim AS BIGINT) AS dim,
+        |       round(min(lo), 4) AS lo, round(max(hi), 4) AS hi,
+        |       count(DISTINCT code) AS n_codes,
+        |       round(avg((x - (lo + (code + 0.5) * span / 256.0)) *
+        |                 (x - (lo + (code + 0.5) * span / 256.0))) * 1e6, 2) AS mse_ppm
+        |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
 
     "emb_dim_stats" ->
       """WITH d AS (

@@ -207,6 +207,35 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(brute.nonEmpty, "test lake must contain near-dup images")
   }
 
+  test("mm_video_near_dup pigeonhole candidates are lossless vs brute force") {
+    val out = queries.MultimodalQueries.queries("mm_video_near_dup")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val hashes = queries.MultimodalQueries.queries("mm_metadata")(spark, sf)
+      .filter($"modality" === "video").select($"doc_id", $"phash")
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- hashes
+      (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 4
+    } yield (a, b, d.toLong)).toSet
+    assert(out == brute, s"bucketed=${out.size} brute=${brute.size}")
+  }
+
+  test("emb_quantize codes reconstruct within the quantization-step bound") {
+    val rows = queries.VectorQueries.queries("emb_quantize")(spark, sf)
+      .selectExpr("dim", "lo", "hi", "n_codes", "mse_ppm")
+      .as[(Long, Double, Double, Long, Double)].collect()
+    assert(rows.length == 64) // one audit row per dimension
+    rows.foreach { case (dim, lo, hi, nCodes, msePpm) =>
+      assert(nCodes >= 1 && nCodes <= 256, s"dim $dim used $nCodes codes")
+      assert(msePpm >= 0.0)
+      // worst-case per-value error is one step (span/256): mse ≤ step²
+      val step = (hi - lo) / 256.0
+      assert(msePpm <= step * step * 1e6 + 0.01,
+        s"dim $dim mse $msePpm ppm exceeds step bound ${step * step * 1e6}")
+    }
+  }
+
   test("energyHash: golden envelopes, sentinel, and window mapping") {
     import graft.functions.MediaCodecs
     // loud second half → upper 32 windows at/above the mean, lower below
