@@ -192,4 +192,43 @@ class RandomizedSpec extends AnyFunSuite with SparkTestBase {
       .select("id").as[Long].collect().toSet
     assert(got == expected)
   }
+
+  test("ThresholdSelect matches the brute-force rank on random hashes, many k rules") {
+    // random md5-like hex incl. DUPLICATE hashes (tie-break path), skewed
+    // group sizes incl. a singleton group; several k rules per dataset
+    val groups = Seq("a", "b", "c", "single")
+    val rows = (0 until 600).map { i =>
+      val g = if (i == 599) "single" else groups(rnd.nextInt(3))
+      // 1-in-4 rows reuse a shared hash to force (h, id) tie-breaks
+      val h = if (rnd.nextInt(4) == 0) f"00dup${rnd.nextInt(5)}%02d" + "0" * 24
+        else (1 to 32).map(_ => "0123456789abcdef" (rnd.nextInt(16))).mkString
+      (g, i.toLong, h)
+    }
+    val df = rows.toDF("g", "id", "h")
+    for ((name, kf) <- Seq[(String, Long => Long)](
+        ("ceil n/5", n => (n + 4) / 5), ("1", _ => 1L),
+        ("n/2", n => n / 2), ("all", n => n), ("none", _ => 0L))) {
+      val expected = rows.groupBy(_._1).flatMap { case (_, rs) =>
+        rs.sortBy(r => (r._3, r._2)).take(kf(rs.size.toLong).toInt).map(_._2)
+      }.toSet
+      val got = graft.operators.ThresholdSelect
+        .smallestByHash(df, "g", "h", "id", kf, bucketHexChars = 2)
+        .select("id").as[Long].collect().toSet
+      assert(got == expected, s"k rule '$name': got ${got.size}, want ${expected.size}")
+    }
+  }
+
+  test("PrefixSum matches the brute-force running sum on random data incl. negatives") {
+    val rows = (0 until 500).map { i =>
+      (s"g${rnd.nextInt(4)}", i.toLong, (rnd.nextInt(200) - 80).toLong)
+    }
+    val expected = rows.groupBy(_._1).flatMap { case (_, rs) =>
+      var acc = 0L
+      rs.sortBy(_._2).map { r => acc += r._3; r._2 -> acc }
+    }.toMap
+    val got = graft.operators.PrefixSum
+      .cumSum(rows.toDF("g", "id", "v"), "g", Seq($"id"), "v", "cum")
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
 }
