@@ -266,7 +266,35 @@ object DedupQueries {
       graft.operators.Dedup.duplicatedSpanMass(
         docsSharded(s, dir).select(col("doc_id"),
           explode(graft.plans.NgramHashes.shingles(s, col("text"), 8)).as("span")))
-        .orderBy(col("dup_span_ratio").desc, col("doc_id"))))
+        .orderBy(col("dup_span_ratio").desc, col("doc_id"))),
+
+    // LSH quality audit — the tuning diagnostic a data team runs before
+    // trusting a band configuration: the minhash pipeline's verified
+    // pairs (est ≥ 0.5) against EXACT Jaccard ≥ 0.5 over the same 3-gram
+    // family, as one precision/recall row. Both sides are the stored
+    // memoized artifacts (signature table, ranked-gram table); the exact
+    // side's prefix filter is lossless at any threshold, so this measures
+    // the SKETCH's error, not candidate-generation loss. In production
+    // this runs on a sampled stratum — the audit's cost is the exact
+    // join's, which is why one audits instead of always running exact.
+    "dedup_lsh_audit" -> ((s, dir) => {
+      val est = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val exact = graft.operators.Dedup.jaccardPairsFromRanked(
+          rankedGrams(s, dir), tNum = 1, tDen = 2)
+        .select(col("doc_a"), col("doc_b"))
+      est.withColumn("in_est", lit(1L))
+        .join(exact.withColumn("in_ex", lit(1L)), Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          sum(coalesce(col("in_est"), lit(0L))).as("n_lsh"),
+          sum(coalesce(col("in_ex"), lit(0L))).as("n_exact"),
+          sum(when(col("in_est").isNotNull && col("in_ex").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"))
+        .select(col("n_lsh"), col("n_exact"), col("n_both"),
+          round(col("n_both").cast("double") / greatest(col("n_lsh"), lit(1L)), 4)
+            .as("lsh_precision"),
+          round(col("n_both").cast("double") / greatest(col("n_exact"), lit(1L)), 4)
+            .as("lsh_recall"))
+    }))
 
   /** Shared DuckDB replay of the minhash signature pipeline (the exact math
     * of `Md5MinHashFromText` + `LshBandsExpr` semantics): same lower/trim/
@@ -539,6 +567,37 @@ object DedupQueries {
         |       round(CAST(n_inter AS DOUBLE) / n_a, 4) AS containment
         |FROM scored
         |WHERE n_inter * 10 >= n_a * 9 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // LSH side = the shared sig/cand/agree/pairs replay; exact side =
+    // brute-force intersection over the same distinct gram hashes (gh)
+    // with the integral jaccard ≥ 1/2 test (2·inter ≥ union). Counts are
+    // exact integers; the two ratios are the only divisions.
+    "dedup_lsh_audit" ->
+      s"""WITH $sigCtes,
+         |$candCte,
+         |$agreeCte,
+         |$pairsCte,
+         |sz AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM gh a JOIN gh b ON b.ghash = a.ghash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |expairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter
+         |  JOIN sz sa ON sa.doc_id = inter.doc_a
+         |  JOIN sz sb ON sb.doc_id = inter.doc_b
+         |  WHERE 2 * i >= sa.n + sb.n - i),
+         |audit AS (
+         |  SELECT (SELECT count(*) FROM pairs) AS n_lsh,
+         |         (SELECT count(*) FROM expairs) AS n_exact,
+         |         (SELECT count(*) FROM pairs p JOIN expairs e
+         |            ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b) AS n_both)
+         |SELECT CAST(n_lsh AS BIGINT) AS n_lsh, CAST(n_exact AS BIGINT) AS n_exact,
+         |       CAST(n_both AS BIGINT) AS n_both,
+         |       round(CAST(n_both AS DOUBLE) / greatest(n_lsh, 1), 4) AS lsh_precision,
+         |       round(CAST(n_both AS DOUBLE) / greatest(n_exact, 1), 4) AS lsh_recall
+         |FROM audit""".stripMargin,
 
     // Full replay of the span pipeline: same tokenize/shingle CTEs as the
     // other gram oracles (k=8, positional duplicates kept), span hash =

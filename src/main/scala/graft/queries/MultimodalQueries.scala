@@ -84,6 +84,26 @@ object MultimodalQueries {
         .filter(col("modality") === "video")
         .select(col("doc_id"), col("phash").as("fp"))
       pigeonholePairs(vids)
+    }),
+
+    // Scene-cut detection over the decoded frame stream: consecutive-frame
+    // perceptual-hash distance per video, flagged at hamming > 16 of 64 —
+    // the shot-boundary signal a video curation pipeline samples keyframes
+    // by. The lag window partitions by doc_id (high cardinality, ≤ 5 rows
+    // per partition — bounded at any corpus size).
+    "mm_scene_cuts" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("frame_idx")
+      Multimodal.sampleFrames(s,
+          Multimodal.asMedia(Tables.sharded(s, dir, "documents")))
+        .withColumn("prev", lag("frame_phash", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("doc_id"), col("frame_idx"),
+          bit_count(col("frame_phash").bitwiseXOR(col("prev"))).cast("long")
+            .as("hamming"))
+        .withColumn("is_cut", col("hamming") > 16)
+        .orderBy("doc_id", "frame_idx")
     }))
 
   /** Memoized audio fingerprints, lineage-cut like [[features]]: the
@@ -299,6 +319,22 @@ object MultimodalQueries {
          |       CAST(f * 250 AS BIGINT) AS ts_offset_ms,
          |       fhash AS frame_phash
          |FROM vhash ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // per-frame aHash replay + lag over frame order per video
+    "mm_scene_cuts" ->
+      s"""WITH b2 AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS blen
+         |  FROM documents),
+         |$videoFrameCtes,
+         |lagd AS (
+         |  SELECT doc_id, f, fhash,
+         |         lag(fhash) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+         |  FROM vhash)
+         |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+         |       CAST(bit_count(xor(fhash, prev)) AS BIGINT) AS hamming,
+         |       bit_count(xor(fhash, prev)) > 16 AS is_cut
+         |FROM lagd WHERE prev IS NOT NULL
+         |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // per-frame aHash replay at f=0 + the same 5-block pigeonhole
     // candidates and hamming ≤ 4 verify as the image/audio passes

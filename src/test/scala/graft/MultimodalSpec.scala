@@ -236,6 +236,40 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("mm_scene_cuts: one transition row per consecutive frame pair, exact hamming") {
+    import graft.functions.MediaCodecs
+    val cuts = queries.MultimodalQueries.queries("mm_scene_cuts")(spark, sf)
+      .as[(Long, Int, Long, Boolean)].collect()
+    assert(cuts.nonEmpty)
+    // transitions per video = frames - 1 (nf = id%4+2 → 1..4 transitions)
+    val perDoc = cuts.groupBy(_._1).view.mapValues(_.length).toMap
+    perDoc.foreach { case (id, n) =>
+      assert(n == (id % 4 + 2 - 1), s"doc $id has $n transitions")
+    }
+    // spot-check the hamming against a direct container decode
+    val media = Multimodal.asMedia(Tables(spark, sf, "documents"))
+    val (id, payload) = media.filter($"modality" === "video")
+      .select($"doc_id", $"payload").as[(Long, Array[Byte])].head()
+    val (w, h, _, _) = MediaCodecs.parseAvi(payload)
+    val hs = MediaCodecs.aviFrames(payload).map(MediaCodecs.averageHash(_, w, h))
+    val expected = hs.sliding(2).map { case Seq(a, b) =>
+      java.lang.Long.bitCount(a ^ b).toLong }.toSeq
+    val got = cuts.filter(_._1 == id).sortBy(_._2).map(_._3).toSeq
+    assert(got == expected, s"doc $id: $got vs $expected")
+    cuts.foreach { case (_, _, d, isCut) => assert(isCut == (d > 16)) }
+  }
+
+  test("dedup_lsh_audit: counts are consistent and ratios bounded") {
+    val Array((nLsh, nExact, nBoth, p, r)) =
+      queries.DedupQueries.queries("dedup_lsh_audit")(spark, sf)
+        .as[(Long, Long, Long, Double, Double)].collect()
+    assert(nBoth <= math.min(nLsh, nExact))
+    assert(p >= 0.0 && p <= 1.0 && r >= 0.0 && r <= 1.0)
+    // the test corpus's planted dups are exact copies: the sketch must
+    // find them all (recall 1.0 at est ≥ 0.5 for identical signatures)
+    assert(nExact > 0 && r == 1.0, s"recall $r over $nExact exact pairs")
+  }
+
   test("energyHash: golden envelopes, sentinel, and window mapping") {
     import graft.functions.MediaCodecs
     // loud second half → upper 32 windows at/above the mean, lower below
