@@ -498,6 +498,25 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // The skew-join mechanic inside the oracle gate: the salted join's
+    // whole point is being ROW-IDENTICAL to the plain join while a hot key
+    // fans out over saltFactor reducers, so its aggregate replays as the
+    // PLAIN join in DuckDB — every round re-proves the salt is invisible
+    // to results (the spec checks row identity once; this checks it
+    // against an independent engine continuously).
+    "q_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+      val ords = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Relational
+        .saltedJoin(li, ords, "l_orderkey", "l_partkey", 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_quantity"), 4).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Ordered string aggregation (LISTAGG/string_agg): the collect is
     // per-group bounded (nations per region) and sorted before the join so
     // collect_list's partition-order nondeterminism can't leak into the
@@ -835,6 +854,13 @@ object RelationalQueries {
         |       string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM region JOIN nation ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    // the PLAIN join — the salt must be invisible to results
+    "q_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // Integral cents ordering + frame bounds; exact long sums in frame.
     "q_window_range" ->
