@@ -132,15 +132,26 @@ object DedupQueries {
     // formula + rank).
     "dedup_keep_list" -> ((s, dir) => {
       val clusters = graft.operators.Dedup.canonicalClusters(minhashPairs(s, dir))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("canonical")
-        .orderBy(col("quality_score").desc, col("doc_id"))
       // join FIRST, score after: the regex-heavy quality score then runs
-      // only over cluster members (a sliver of the corpus), not every doc
-      clusters.join(docsSharded(s, dir).select("doc_id", "text"), "doc_id")
+      // only over cluster members (a sliver of the corpus), not every doc;
+      // lazily persisted because it feeds the argmax AND the final join
+      val scored = clusters
+        .join(docsSharded(s, dir).select("doc_id", "text"), "doc_id")
         .withColumn("quality_score",
           graft.functions.Text.qualityScore(col("text")))
         .drop("text")
-        .withColumn("kept_doc", first("doc_id").over(w))
+        .persist()
+      // per-cluster winner as a max_by AGGREGATE (map-side partial argmax,
+      // exchange carries one row per cluster) + a co-hashed join back —
+      // the window form (first over partitionBy(canonical) ordered by
+      // quality) sorts every member of a cluster in one task, which a
+      // viral-boilerplate cluster of millions would single-reduce.
+      // Maximizing (quality_score, -doc_id) = quality desc, doc_id asc —
+      // the same total order the window used; doc_id uniqueness makes the
+      // argmax tie-free.
+      val kept = scored.groupBy("canonical")
+        .agg(expr("max_by(doc_id, struct(quality_score, -doc_id))").as("kept_doc"))
+      scored.join(kept, "canonical")
         .select(col("doc_id"), col("canonical").as("cluster"),
           col("quality_score"), (col("doc_id") === col("kept_doc")).as("keep"),
           col("kept_doc"))

@@ -101,6 +101,14 @@ class DeskewSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dedup_keep_list plans with no window (max_by argmax, not a cluster sort)") {
+    val out = queries.DedupQueries.queries("dedup_keep_list")(spark, sf)
+    val wins = out.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.isEmpty,
+      s"keep-list must pick winners by aggregate, not a per-cluster sort: $wins")
+    assert(out.queryExecution.optimizedPlan.toString.contains("max_by"))
+  }
+
   test("text_vocab_stats plans with no window at all (topk head-mass)") {
     val out = queries.TextQueries.queries("text_vocab_stats")(spark, sf)
     val wins = out.queryExecution.optimizedPlan.collect { case w: LWindow => w }
