@@ -157,12 +157,19 @@ object RelationalQueries {
         .agg(round(sum("value"), 4))
         .orderBy("user_id")),
 
+    // top-k per group through the bounded-heap aggregate: with O(5)
+    // priority groups, the window form would sort every order of a
+    // priority inside one reducer; the heap pre-reduces each map task to
+    // ≤ k rows per group before the exchange. The heap's (score desc,
+    // id asc) order is exactly the window's (o_totalprice desc,
+    // o_orderkey) — output is identical.
     "q_topk_per_group" -> ((s, dir) =>
-      Relational.topKPerGroup(
-        t(s, dir, "orders"), Seq("o_orderpriority"),
-        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+      Relational.topKByScore(
+        t(s, dir, "orders")
+          .select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        "o_orderpriority", "o_totalprice", "o_orderkey", 3)
         .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
-          col("rk").cast("long").as("rk"))
+          col("rk"))
         .orderBy("o_orderpriority", "rk")),
 
     "q_distinct_agg" -> ((s, dir) =>
