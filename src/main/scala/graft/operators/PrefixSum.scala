@@ -80,4 +80,40 @@ object PrefixSum {
       .withColumn(outCol, sum(col(valueCol)).over(local) + col("__off"))
       .drop("__pid")
   }
+
+  /** Per-group consecutive-neighbor delta of a numeric `orderCol` — the
+    * two-level form of `orderCol − lag(orderCol).over(partitionBy(grp)
+    * .orderBy(orderCol))`, for the same reason as [[cumSum]]: a lag window
+    * over a handful of groups funnels each group through one reducer.
+    *
+    * Decomposition: after range-partitioning on (grp, order), every
+    * consecutive pair is either INSIDE one slice (a bounded local lag) or
+    * spans exactly one slice boundary — and the boundary predecessor of a
+    * slice's first row is simply the PREVIOUS slice's max, an
+    * O(partitions × groups) partial. Duplicate order values straddling a
+    * boundary stay exact: the previous slice's max IS the duplicate, so
+    * the delta is 0 exactly as the single-window form computes.
+    * `outCol` is null on each group's first row (no predecessor), matching
+    * the window form. */
+  def orderedDeltas(df: DataFrame, grpCol: String, orderCol: String,
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(nParts, col(grpCol), col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val local = Window.partitionBy(col(grpCol), col("__pid")).orderBy(col(orderCol))
+    val prevSliceMax = ranged.groupBy(col(grpCol), col("__pid"))
+      .agg(max(col(orderCol)).as("__pmax"))
+      .withColumn("__prev_pmax",
+        lag("__pmax", 1).over(Window.partitionBy(grpCol).orderBy("__pid")))
+      .select(col(grpCol), col("__pid"), col("__prev_pmax"))
+    ranged
+      .withColumn("__prev_local", lag(col(orderCol), 1).over(local))
+      .join(broadcast(prevSliceMax), Seq(grpCol, "__pid"))
+      .withColumn(outCol,
+        col(orderCol) - coalesce(col("__prev_local"), col("__prev_pmax")))
+      .drop("__pid", "__prev_local", "__prev_pmax")
+  }
 }

@@ -100,13 +100,14 @@ object CdcQueries {
     // duplicate LSNs and report the widest hole. A gap means frames were
     // lost (or another table's traffic interleaved — expected here, which
     // is exactly what makes the numbers non-trivial); a duplicate means a
-    // replay was not deduped. One lag window per table, exact integers.
-    "cdc_gap_detect" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("table_name").orderBy("lsn")
-      feed(s, dir)
-        .select(col("table_name"), col("lsn"),
-          (col("lsn") - lag("lsn", 1).over(w)).as("delta"))
+    // replay was not deduped. Neighbor deltas come from the two-level
+    // orderedDeltas (range slices + previous-slice-max boundary fix) — a
+    // per-table lag window would funnel each of O(2) tables' entire LSN
+    // history through one reducer at scale. Exact integers.
+    "cdc_gap_detect" -> ((s, dir) =>
+      graft.operators.PrefixSum.orderedDeltas(
+          feed(s, dir).select(col("table_name"), col("lsn")),
+          "table_name", "lsn", "delta")
         .groupBy("table_name")
         .agg(count(lit(1)).as("n_events"),
           min("lsn").as("min_lsn"), max("lsn").as("max_lsn"),
@@ -114,8 +115,7 @@ object CdcQueries {
           coalesce(max(when(col("delta") > 1, col("delta") - 1)), lit(0L))
             .as("max_gap_len"),
           sum(when(col("delta") === 0, 1L).otherwise(0L)).as("n_dup_lsn"))
-        .orderBy("table_name")
-    }),
+        .orderBy("table_name")),
 
     // Changelog COMPACTION (the Kafka-compacted-topic / snapshot-merge
     // prepass): collapse each key's change run into its net effect —

@@ -218,6 +218,26 @@ class RandomizedSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("orderedDeltas matches the window lag on random data with heavy duplicates") {
+    // values drawn from a small range so duplicates are common — including
+    // duplicates that straddle range-slice boundaries (the boundary-fix
+    // path must yield delta 0 for them, exactly like the window form)
+    val rows = (0 until 500).map(_ => (s"t${rnd.nextInt(3)}", rnd.nextInt(120).toLong))
+    val expected = rows.groupBy(_._1).view.mapValues { rs =>
+      val s = rs.map(_._2).sorted
+      s.zip(s.drop(1)).map { case (a, b) => b - a }.sorted
+    }.toMap
+    val out = graft.operators.PrefixSum
+      .orderedDeltas(rows.toDF("g", "v"), "g", "v", "d")
+      .select("g", "d").as[(String, Option[Long])].collect()
+    // exactly one null (first row) per group; delta multisets identical
+    val nulls = out.filter(_._2.isEmpty).groupBy(_._1).view.mapValues(_.length)
+    assert(nulls.toMap == rows.map(_._1).distinct.map(_ -> 1).toMap)
+    val got = out.collect { case (g, Some(d)) => (g, d) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(got == expected.view.mapValues(_.toSeq).toMap)
+  }
+
   test("PrefixSum matches the brute-force running sum on random data incl. negatives") {
     val rows = (0 until 500).map { i =>
       (s"g${rnd.nextInt(4)}", i.toLong, (rnd.nextInt(200) - 80).toLong)
