@@ -1,0 +1,191 @@
+package graft.tools
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket, SocketTimeoutException}
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.streaming.PgWire
+import graft.streaming.PgWire._
+
+/** In-test primary: a TCP server speaking the replication-relevant subset of
+  * the Postgres v3 wire protocol — startup with `replication=database`,
+  * `START_REPLICATION ... LOGICAL` → CopyBothResponse, CopyData-wrapped
+  * XLogData frames and keepalives, standby status collection, and the
+  * Postgres reconnect behaviors the reference's loop depends on
+  * (postrack.go:287-341): honoring the client's requested start LSN and
+  * re-sending RelationMessages at the head of every session.
+  *
+  * The feed: `relations` are encoded RelationMsg payloads WITHOUT fixed
+  * LSNs — like the real primary, the server assigns them session-local
+  * positions at the head of the stream (startLsn, startLsn+1, ...);
+  * `data` frames have fixed (lsn, payload) the same in every session, so
+  * a resumed session replays exactly the suffix the client asks for.
+  *
+  * `dropAfterFrames`: the FIRST session hard-closes the socket (no
+  * CopyDone) after that many data frames — the mid-stream disconnect.
+  * Subsequent sessions stream to the end and finish with CopyDone.
+  */
+final class LoopbackPgServer(
+    relations: Seq[Array[Byte]],
+    data: Seq[(Long, Array[Byte])],
+    dropAfterFrames: Int,
+    keepaliveEvery: Int = 3) {
+
+  import LoopbackPgServer.SessionRecord
+
+  val sessions = ArrayBuffer.empty[SessionRecord]
+  @volatile var failure: Option[Throwable] = None
+
+  private val server = new ServerSocket(0)
+  def port: Int = server.getLocalPort
+
+  private val LsnRe = """LOGICAL ([0-9A-Fa-f]+)/([0-9A-Fa-f]+)""".r.unanchored
+
+  private def drainStatuses(in: DataInputStream, rec: SessionRecord): Unit =
+    PgWire.drainAvailable(in).foreach {
+      case ('d', payload) if payload.nonEmpty && payload(0) == 'r'.toByte =>
+        rec.statuses += parseStandbyStatus(payload)
+      case _ => () // client CopyDone / anything else
+    }
+
+  /** Poll the input up to `ms` until the session has at least `atLeast`
+    * standby statuses recorded. */
+  private def awaitStatus(in: DataInputStream, rec: SessionRecord, ms: Int, atLeast: Int): Unit = {
+    val deadline = System.currentTimeMillis() + ms
+    while (rec.statuses.size < atLeast && System.currentTimeMillis() < deadline) {
+      drainStatuses(in, rec)
+      if (rec.statuses.size < atLeast) Thread.sleep(10)
+    }
+  }
+
+  private def handle(sock: Socket): Boolean = {
+    sock.setTcpNoDelay(true)
+    sock.setSoTimeout(10000)
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+
+    val params = readStartup(in)
+    require(params.get("replication").contains("database"),
+      s"client did not request a replication session: $params")
+    writeMessage(out, 'R', authOkBody)
+    writeMessage(out, 'Z', readyBody)
+
+    val sql = readMessage(in) match {
+      case ('Q', body) => parseQuery(body)
+      case (t, _) => throw new IllegalStateException(s"expected Query, got '$t'")
+    }
+    require(sql.startsWith("START_REPLICATION SLOT"), s"unexpected query: $sql")
+    val startLsn = sql match {
+      case LsnRe(hi, lo) => (java.lang.Long.parseLong(hi, 16) << 32) | java.lang.Long.parseLong(lo, 16)
+      case _ => throw new IllegalStateException(s"no LSN in: $sql")
+    }
+    val rec = SessionRecord(params, sql, startLsn)
+    sessions.synchronized { sessions += rec }
+    writeMessage(out, 'W', copyBothBody)
+
+    def sendFrame(lsn: Long, payload: Array[Byte]): Unit =
+      writeMessage(out, 'd', encodeXLogData(XLogData(lsn, lsn, nowMicros(), payload)))
+
+    // an immediate reply-requested keepalive, as primaries do on connect
+    writeMessage(out, 'd', encodeKeepalive(Keepalive(startLsn, nowMicros(), replyRequested = true)))
+
+    // Relation re-send at the head of every session (fresh, session-local
+    // LSNs just above the client's watermark — never colliding with data
+    // frames, which sit on a coarser grid)
+    relations.zipWithIndex.foreach { case (r, i) => sendFrame(startLsn + i, r) }
+
+    val firstSession = sessions.synchronized { sessions.size == 1 }
+    val toSend = data.filter(_._1 >= startLsn)
+    var sent = 0
+    var dropped = false
+    val frames = toSend.iterator
+    while (!dropped && frames.hasNext) {
+      val (lsn, payload) = frames.next()
+      sendFrame(lsn, payload)
+      sent += 1
+      if (sent % keepaliveEvery == 0)
+        writeMessage(out, 'd', encodeKeepalive(Keepalive(lsn, nowMicros(), replyRequested = true)))
+      drainStatuses(in, rec)
+      if (firstSession && sent >= dropAfterFrames) {
+        // mid-stream disconnect: make sure at least one ack landed so the
+        // spec can observe a pre-drop status, then end the session with NO
+        // CopyDone. Half-close (FIN) rather than close(): a close() with
+        // client statuses still unread in our receive buffer would RST and
+        // discard queued frames, making the delivered prefix nondeterministic
+        // — shutdownOutput delivers everything sent, then EOFs the client.
+        awaitStatus(in, rec, 5000, atLeast = 1)
+        sock.shutdownOutput()
+        // hold our receive side open until the CLIENT closes: a close() here
+        // while it is still flushing would RST and discard queued frames
+        try {
+          while (true) readMessage(in) match {
+            case ('d', p) if p.nonEmpty && p(0) == 'r'.toByte =>
+              rec.statuses += parseStandbyStatus(p)
+            case _ => ()
+          }
+        } catch {
+          case t: Throwable if PgWire.isDisconnect(t) || t.isInstanceOf[SocketTimeoutException] => ()
+        }
+        rec.droppedDirty = true
+        dropped = true
+        sock.close()
+      }
+    }
+    if (dropped) return false
+
+    // end of stream: final reply-requested keepalive, collect the ack,
+    // CopyDone, then drain the client's trailer until it closes
+    writeMessage(out, 'd', encodeKeepalive(Keepalive(data.last._1, nowMicros(), replyRequested = true)))
+    awaitStatus(in, rec, 5000, atLeast = rec.statuses.size + 1)
+    writeMessage(out, 'c', Array.emptyByteArray)
+    try {
+      var open = true
+      while (open) readMessage(in) match {
+        case ('d', payload) if payload.nonEmpty && payload(0) == 'r'.toByte =>
+          rec.statuses += parseStandbyStatus(payload)
+        case ('c', _) => () // client CopyDone
+        case _ => ()
+      }
+    } catch {
+      case t: Throwable if PgWire.isDisconnect(t) || t.isInstanceOf[SocketTimeoutException] => ()
+    }
+    sock.close()
+    true
+  }
+
+  private val thread = new Thread(() => {
+    try {
+      var finished = false
+      while (!finished) {
+        val sock = server.accept()
+        finished =
+          try handle(sock)
+          catch { case t: Throwable if PgWire.isDisconnect(t) => false }
+      }
+    } catch {
+      case _: java.net.SocketException => () // server.close() during accept
+      case t: Throwable => failure = Some(t)
+    } finally server.close()
+  }, "loopback-pg-server")
+  thread.setDaemon(true)
+
+  def start(): this.type = { thread.start(); this }
+
+  def awaitFinished(ms: Int = 60000): Unit = {
+    thread.join(ms)
+    failure.foreach(throw _)
+    require(!thread.isAlive, "loopback server did not finish in time")
+  }
+
+  def close(): Unit = server.close()
+}
+
+object LoopbackPgServer {
+  final case class SessionRecord(
+      startupParams: Map[String, String],
+      startReplicationSql: String,
+      startLsn: Long,
+      statuses: ArrayBuffer[StandbyStatus] = ArrayBuffer.empty,
+      var droppedDirty: Boolean = false)
+}
