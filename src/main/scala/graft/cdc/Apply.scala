@@ -82,14 +82,21 @@ object Apply {
     * a TRUNCATE at LSN T wipes everything earlier on that table. Returns the
     * feed with pre-truncate events AND the consumed TRUNCATE markers removed
     * (a marker is not a row event — leaving it in would surface phantom keys
-    * downstream), so any apply operator composes directly. Single window
-    * over the table partitioning — no extra shuffle when followed by per-key
-    * ops on the same exchange. */
+    * downstream), so any apply operator composes directly.
+    *
+    * Scale shape: the cutoff per table is an O(tables)-row aggregate
+    * broadcast back onto the feed — the decorrelated-scalar-subquery form.
+    * A `Window.partitionBy(table_name)` here would funnel each table's
+    * ENTIRE history through one reducer (O(tables) partitions on a 100 TB
+    * feed); the groupBy pre-aggregates map-side, and the broadcast join
+    * adds no exchange on the feed at all. */
   def applyTruncates(feed: DataFrame): DataFrame = {
-    val byTable = Window.partitionBy("table_name")
+    val cutoffs = feed
+      .filter(col("op") === "TRUNCATE")
+      .groupBy("table_name")
+      .agg(max(col("lsn")).as("__trunc_lsn"))
     feed
-      .withColumn("__trunc_lsn",
-        max(when(col("op") === "TRUNCATE", col("lsn"))).over(byTable))
+      .join(broadcast(cutoffs), Seq("table_name"), "left_outer")
       .filter((col("__trunc_lsn").isNull || col("lsn") >= col("__trunc_lsn")) &&
         col("op") =!= "TRUNCATE")
       .drop("__trunc_lsn")

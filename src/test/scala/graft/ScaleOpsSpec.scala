@@ -21,6 +21,16 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     val snap = Apply.latestSnapshot(Apply.applyTruncates(feed))
       .orderBy("pk").select("pk").as[Long].collect().toSeq
     assert(snap == Seq(3L, 9L)) // users 1,2 truncated away; accts untouched
+
+    // plan shape: the per-table cutoff must be a broadcast-joined aggregate,
+    // NOT a Window.partitionBy(table_name) — O(tables) partitions would
+    // funnel each table's whole history through one reducer at scale
+    val plan = Apply.applyTruncates(feed).queryExecution.optimizedPlan
+    val wins = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(wins.isEmpty, s"applyTruncates must not plan a window:\n$plan")
+    assert(plan.toString.contains("ResolvedHint") || plan.toString.contains("broadcast"),
+      s"truncate cutoffs should broadcast:\n$plan")
   }
 
   test("canonicalClusters: chains collapse to min label, components stay apart") {
