@@ -47,18 +47,18 @@ object PrefixSum {
       valueCol: String, outCol: String): DataFrame = {
     val spark = df.sparkSession
     val nParts = spark.sessionState.conf.numShufflePartitions
-    // LAZY persist, not an eager checkpoint: the ranged table feeds the
-    // partials agg AND the final join, so the first consumer computes and
-    // caches in one pass and the second reads the cache — an eager cut
-    // would add a third full pass just to materialize. Consistency of
+    // LAZY persist (via CacheLease, which bounds how many such internal
+    // caches outlive their query), not an eager checkpoint: the ranged
+    // table feeds the partials agg AND the final join, so the first
+    // consumer computes and caches in one pass and the second reads the
+    // cache — an eager cut would add a third full pass. Consistency of
     // spark_partition_id across consumers (and across a cache-eviction
     // recompute) holds because repartitionByRange is deterministic: its
     // boundary sampling seeds from the partition index, not wall-clock
     // randomness.
-    val ranged = df
+    val ranged = CacheLease.lease(df
       .repartitionByRange(nParts, (col(grpCol) +: orderCols): _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist()
+      .withColumn("__pid", spark_partition_id()))
 
     // per-(group, partition) partials: map-side combine reduces each task to
     // one row per group it touches before the exchange — partials, not rows
@@ -99,10 +99,9 @@ object PrefixSum {
       outCol: String): DataFrame = {
     val spark = df.sparkSession
     val nParts = spark.sessionState.conf.numShufflePartitions
-    val ranged = df
+    val ranged = CacheLease.lease(df
       .repartitionByRange(nParts, col(grpCol), col(orderCol))
-      .withColumn("__pid", spark_partition_id())
-      .persist()
+      .withColumn("__pid", spark_partition_id()))
     val local = Window.partitionBy(col(grpCol), col("__pid")).orderBy(col(orderCol))
     val prevSliceMax = ranged.groupBy(col(grpCol), col("__pid"))
       .agg(max(col(orderCol)).as("__pmax"))

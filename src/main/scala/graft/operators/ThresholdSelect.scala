@@ -37,7 +37,8 @@ object ThresholdSelect {
     * `md5`): its lexicographic order equals its numeric order, which is what
     * lets a prefix bucket stand in for a range of the sort key. */
   def smallestByHash(df: DataFrame, grpCol: String, hexCol: String,
-      tieCol: String, k: Long => Long, bucketHexChars: Int = 3): DataFrame = {
+      tieCol: String, k: Long => Long, bucketHexChars: Int = 3,
+      maxDriverHistRows: Int = 1 << 20): DataFrame = {
     require(bucketHexChars >= 1 && bucketHexChars <= 7,
       s"bucketHexChars must be in 1..7, got $bucketHexChars")
     val spark = df.sparkSession
@@ -45,15 +46,28 @@ object ThresholdSelect {
     // lazy persist: the bucketed table feeds the histogram AND both keep
     // branches; the histogram collect (an action) populates the cache in
     // the same pass, the branches read it — no eager materialization pass
-    val withB = df.withColumn("__b",
-      conv(substring(col(hexCol), 1, bucketHexChars), 16, 10).cast("int"))
-      .persist()
+    val withB = CacheLease.lease(df.withColumn("__b",
+      conv(substring(col(hexCol), 1, bucketHexChars), 16, 10).cast("int")))
 
     // per-(group, bucket) histogram: bounded by groups × nBuckets, collected
     // like the IVF centroids (a deliberate driver-held artifact, documented
     // contract: grpCol has bounded cardinality — strata, sources, shards)
     val hist = withB.groupBy(col(grpCol), col("__b"))
       .agg(count(lit(1)).as("__cnt")).collect()
+    // the documented contract, ENFORCED: grpCol must have bounded
+    // cardinality (strata/sources/shards) — the histogram is a driver-held
+    // artifact, and a high-cardinality group key would turn a silent
+    // driver-OOM risk into this error instead
+    require(hist.length <= maxDriverHistRows,
+      s"smallestByHash: histogram has ${hist.length} (group, bucket) rows, " +
+        s"over the $maxDriverHistRows driver limit — grpCol '$grpCol' must " +
+        "have bounded cardinality (the bounded-group contract); use a " +
+        "hash-threshold selection per group instead")
+    // null group keys would silently vanish in the inner join below (the
+    // window form this replaces ranks them in a null partition) — refuse
+    require(!hist.exists(_.isNullAt(0)),
+      s"smallestByHash: grpCol '$grpCol' contains null group keys; null " +
+        "groups are not selectable — filter or coalesce them first")
 
     val thrRows: Seq[Row] = hist.groupBy(_.get(0)).map { case (g, rows) =>
       val byBucket = rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)

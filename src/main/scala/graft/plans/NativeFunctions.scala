@@ -126,16 +126,29 @@ object NativeFunctions {
       case other => bad("bitmap_distinct", "key, maxId", other.size)
     })
 
+  // names THIS object registered, per session: distinguishes "ours, skip
+  // quietly" from "foreign temp function squatting on our name, replace" —
+  // existence alone can't tell them apart (ADVICE r4). Stopped sessions are
+  // purged on every call (the SessionMemo posture).
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]())
+
   /** Put every native function in the session's registry. Idempotent AND
-    * quiet: an already-registered name is skipped — createOrReplace on a
-    * present name logs a "replaced a previously registered function"
-    * warning per call site, which a real deployment would see five times
-    * per session (every Column-wrapper entry point re-registers). */
+    * quiet for OUR entries — re-registering logs a "replaced a previously
+    * registered function" warning per call site, which a real deployment
+    * would see five times per session (every Column-wrapper entry point
+    * re-registers). A name that exists but was NOT registered here (a
+    * stale or foreign temp function — say an old 3-arg `bloom_contains`
+    * from a notebook session) is REPLACED, never silently shadowed. */
   def register(spark: SparkSession): Unit = {
+    registered.removeIf(_._1.sparkContext.isStopped)
     val reg = spark.sessionState.functionRegistry
     all.foreach { case (name, builder) =>
-      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      val exists = reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+      if (!exists || !registered.contains((spark, name))) {
         reg.createOrReplaceTempFunction(name, builder, "built-in")
+        registered.add((spark, name))
+      }
     }
   }
 }

@@ -134,13 +134,13 @@ object DedupQueries {
       val clusters = graft.operators.Dedup.canonicalClusters(minhashPairs(s, dir))
       // join FIRST, score after: the regex-heavy quality score then runs
       // only over cluster members (a sliver of the corpus), not every doc;
-      // lazily persisted because it feeds the argmax AND the final join
-      val scored = clusters
+      // lazily persisted (CacheLease-bounded) because it feeds the argmax
+      // AND the final join
+      val scored = graft.operators.CacheLease.lease(clusters
         .join(docsSharded(s, dir).select("doc_id", "text"), "doc_id")
         .withColumn("quality_score",
           graft.functions.Text.qualityScore(col("text")))
-        .drop("text")
-        .persist()
+        .drop("text"))
       // per-cluster winner as a max_by AGGREGATE (map-side partial argmax,
       // exchange carries one row per cluster) + a co-hashed join back —
       // the window form (first over partitionBy(canonical) ordered by
@@ -288,24 +288,56 @@ object DedupQueries {
     // the SKETCH's error, not candidate-generation loss. In production
     // this runs on a sampled stratum — the audit's cost is the exact
     // join's, which is why one audits instead of always running exact.
-    "dedup_lsh_audit" -> ((s, dir) => {
-      val est = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
-      val exact = graft.operators.Dedup.jaccardPairsFromRanked(
-          rankedGrams(s, dir), tNum = 1, tDen = 2)
-        .select(col("doc_a"), col("doc_b"))
-      est.withColumn("in_est", lit(1L))
-        .join(exact.withColumn("in_ex", lit(1L)), Seq("doc_a", "doc_b"), "full_outer")
-        .agg(
-          sum(coalesce(col("in_est"), lit(0L))).as("n_lsh"),
-          sum(coalesce(col("in_ex"), lit(0L))).as("n_exact"),
-          sum(when(col("in_est").isNotNull && col("in_ex").isNotNull, 1L)
-            .otherwise(0L)).as("n_both"))
-        .select(col("n_lsh"), col("n_exact"), col("n_both"),
-          round(col("n_both").cast("double") / greatest(col("n_lsh"), lit(1L)), 4)
-            .as("lsh_precision"),
-          round(col("n_both").cast("double") / greatest(col("n_exact"), lit(1L)), 4)
-            .as("lsh_recall"))
+    "dedup_lsh_audit" -> ((s, dir) =>
+      auditRow(
+        minhashPairs(s, dir).select(col("doc_a"), col("doc_b")),
+        graft.operators.Dedup.jaccardPairsFromRanked(
+            rankedGrams(s, dir), tNum = 1, tDen = 2)
+          .select(col("doc_a"), col("doc_b")))),
+
+    // The PRODUCTION form of the audit: grade the sketch on a deterministic
+    // md5 hash-stratum instead of the whole corpus. Membership depends only
+    // on the content bytes (first hex char of md5(text) < '8' — half the
+    // docs; at 100 TB narrow it to '0'..'1' or a single char for 1/16), so
+    // the stratum replays bit-identically across engines, reruns and
+    // reshards — the same determinism argument as stratified sampling. The
+    // audit's entire cost is the exact join, and that join's INPUT is
+    // filtered here (stratum docs only, a semi-join on 8-byte ids before
+    // any pair generation), so pair work falls by the stratum fraction
+    // squared; the full-corpus form above stays as the small-SF oracle of
+    // record. Restricting exact Jaccard to stratum endpoints commutes with
+    // computing it on the stratum (pair membership is a property of the
+    // pair alone; the prefix filter is per-pair lossless), which is what
+    // makes the sampled estimate unbiased for pairs-within-stratum.
+    "dedup_lsh_audit_sampled" -> ((s, dir) => {
+      val stratum = docs(s, dir)
+        .filter(substring(md5(col("text")), 1, 1) < lit("8"))
+        .select("doc_id")
+      def inStratum(df: DataFrame, c: String) =
+        df.join(stratum.withColumnRenamed("doc_id", c), Seq(c), "left_semi")
+      auditRow(
+        inStratum(inStratum(
+          minhashPairs(s, dir).select(col("doc_a"), col("doc_b")), "doc_a"), "doc_b"),
+        graft.operators.Dedup.jaccardPairsFromRanked(
+            inStratum(rankedGrams(s, dir), "doc_id"), tNum = 1, tDen = 2)
+          .select(col("doc_a"), col("doc_b")))
     }))
+
+  /** One precision/recall row from an estimated and an exact pair set —
+    * the shared tail of both audit forms. */
+  private def auditRow(est: DataFrame, exact: DataFrame): DataFrame =
+    est.withColumn("in_est", lit(1L))
+      .join(exact.withColumn("in_ex", lit(1L)), Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_est"), lit(0L))).as("n_lsh"),
+        sum(coalesce(col("in_ex"), lit(0L))).as("n_exact"),
+        sum(when(col("in_est").isNotNull && col("in_ex").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"))
+      .select(col("n_lsh"), col("n_exact"), col("n_both"),
+        round(col("n_both").cast("double") / greatest(col("n_lsh"), lit(1L)), 4)
+          .as("lsh_precision"),
+        round(col("n_both").cast("double") / greatest(col("n_exact"), lit(1L)), 4)
+          .as("lsh_recall"))
 
   /** Shared DuckDB replay of the minhash signature pipeline (the exact math
     * of `Md5MinHashFromText` + `LshBandsExpr` semantics): same lower/trim/
@@ -603,6 +635,43 @@ object DedupQueries {
          |  SELECT (SELECT count(*) FROM pairs) AS n_lsh,
          |         (SELECT count(*) FROM expairs) AS n_exact,
          |         (SELECT count(*) FROM pairs p JOIN expairs e
+         |            ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b) AS n_both)
+         |SELECT CAST(n_lsh AS BIGINT) AS n_lsh, CAST(n_exact AS BIGINT) AS n_exact,
+         |       CAST(n_both AS BIGINT) AS n_both,
+         |       round(CAST(n_both AS DOUBLE) / greatest(n_lsh, 1), 4) AS lsh_precision,
+         |       round(CAST(n_both AS DOUBLE) / greatest(n_exact, 1), 4) AS lsh_recall
+         |FROM audit""".stripMargin,
+
+    // Same audit algebra restricted to the deterministic md5 stratum:
+    // LSH pairs need BOTH endpoints in the stratum; the exact side runs
+    // over stratum docs' gram sets only (equivalent to filtering the
+    // full exact pair set — pair membership is per-pair).
+    "dedup_lsh_audit_sampled" ->
+      s"""WITH $sigCtes,
+         |$candCte,
+         |$agreeCte,
+         |$pairsCte,
+         |strat AS (SELECT doc_id FROM documents WHERE substr(md5(text), 1, 1) < '8'),
+         |spairs AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  WHERE doc_a IN (SELECT doc_id FROM strat)
+         |    AND doc_b IN (SELECT doc_id FROM strat)),
+         |sgh AS (SELECT * FROM gh WHERE doc_id IN (SELECT doc_id FROM strat)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sgh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sgh a JOIN sgh b ON b.ghash = a.ghash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |expairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter
+         |  JOIN sz sa ON sa.doc_id = inter.doc_a
+         |  JOIN sz sb ON sb.doc_id = inter.doc_b
+         |  WHERE 2 * i >= sa.n + sb.n - i),
+         |audit AS (
+         |  SELECT (SELECT count(*) FROM spairs) AS n_lsh,
+         |         (SELECT count(*) FROM expairs) AS n_exact,
+         |         (SELECT count(*) FROM spairs p JOIN expairs e
          |            ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b) AS n_both)
          |SELECT CAST(n_lsh AS BIGINT) AS n_lsh, CAST(n_exact AS BIGINT) AS n_exact,
          |       CAST(n_both AS BIGINT) AS n_both,

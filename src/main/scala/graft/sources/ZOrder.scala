@@ -56,7 +56,12 @@ object ZOrder {
     val aggs = orderCols.flatMap(c =>
       Seq(min(col(c).cast("double")).as(s"lo_$c"), max(col(c).cast("double")).as(s"hi_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
-    require(!r.isNullAt(0), "writeZOrdered: input has no rows (no ranges to cluster)")
+    // validate every lo/hi cell: a min/max over zero rows OR over an
+    // entirely-null column is null, and either way there is no range to
+    // cluster that column on — fail with the column named, not an NPE
+    orderCols.zipWithIndex.foreach { case (c, i) =>
+      require(!r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1),
+        s"writeZOrdered: column '$c' has no non-null values (or input has no rows)") }
     val ranges = orderCols.zipWithIndex.map { case (c, i) =>
       (col(c), r.getDouble(2 * i), r.getDouble(2 * i + 1)) }
     df.withColumn("__z", zValue(ranges, bits))

@@ -46,6 +46,27 @@ class DeskewSpec extends AnyFunSuite with SparkTestBase {
     assert(one == Set(1L, 3L))
   }
 
+  test("ThresholdSelect enforces the bounded-group contract and refuses null groups") {
+    // a group key that explodes the driver histogram must trip the loud
+    // require, not a silent driver OOM — doc_id as the "group" gives one
+    // histogram row per doc, far over a tiny cap
+    val perDoc = docs.select($"doc_id".as("g"), $"doc_id", md5($"text").as("h"))
+    val tripped = intercept[IllegalArgumentException] {
+      ThresholdSelect.smallestByHash(perDoc, "g", "h", "doc_id",
+        n => n, maxDriverHistRows = 8)
+    }
+    assert(tripped.getMessage.contains("bounded-group contract"))
+
+    // null group keys would be dropped by the inner join (where the window
+    // form ranks them in a null partition) — refuse loudly instead
+    val withNull = Seq((Some("a"), 1L, "0a"), (None, 2L, "ff"))
+      .toDF("source", "doc_id", "h")
+    val nullTrip = intercept[IllegalArgumentException] {
+      ThresholdSelect.smallestByHash(withNull, "source", "h", "doc_id", n => n)
+    }
+    assert(nullTrip.getMessage.contains("null group keys"))
+  }
+
   test("ThresholdSelect window only ever ranks the boundary bucket") {
     val hashed = docs.select($"source", $"doc_id", md5($"text").as("h"))
     val out = ThresholdSelect

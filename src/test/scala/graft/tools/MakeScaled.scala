@@ -70,13 +70,27 @@ object MakeScaled {
 
     write(replicate(read("events"), Seq("event_id", "user_id")), "events")
 
-    // rotate the 10 highest-frequency letters by rep: every word changes,
-    // no gram survives across replicas, text structure is untouched
-    val alpha = "etaoinshrd"
+    // two-level letter rotation: rep%10 rotates the 10 highest-frequency
+    // letters, rep/10 rotates the next 10 — a distinct combined mapping for
+    // every rep < 100 (a single-level rotation aliases rep and rep+10 into
+    // identical texts, seeding cross-replica exact dups at K>10). Every
+    // word changes, no gram survives across replicas, text structure is
+    // untouched. Texts the rotation leaves byte-identical (short/numeric/
+    // empty — containing none of the 20 letters) get a replica-salted token
+    // appended instead, so they can't seed size-K cross-replica exact-dup
+    // clusters that the content-disjoint design excludes from the slope.
+    val alpha1 = "etaoinshrd"
+    val alpha2 = "lucmfwypvb"
+    def rot(a: String, r: Int) = a.drop(r) + a.take(r)
     write(replicate(read("documents"), Seq("doc_id"),
       (d, rep) => if (rep == 0) d
-        else d.withColumn("text",
-          translate(col("text"), alpha, alpha.drop(rep) + alpha.take(rep)))),
+        else {
+          val rotated = translate(col("text"),
+            alpha1 + alpha2, rot(alpha1, rep % 10) + rot(alpha2, rep / 10))
+          d.withColumn("text",
+            when(rotated === col("text"), concat(col("text"), lit(s" q${rep}z")))
+              .otherwise(rotated))
+        }),
       "documents")
 
     write(replicate(read("embeddings"), Seq("vec_id"),
