@@ -15,9 +15,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * state holds the (doc_id, signature) list of its members, so an arriving
   * doc compares only against its bucket's members (the LSH candidate set),
   * never the corpus. State per key is bounded by bucket occupancy, which
-  * LSH keeps small by construction; for unbounded streams configure the
-  * state-TTL variant of the same pattern (CdcStream's
-  * ProcessingTimeTimeout) to age out cold buckets.
+  * LSH keeps small by construction; for unbounded streams pass
+  * `bucketTtlMs` to age out COLD buckets (no arrivals within the TTL):
+  * the timeout re-arms on every arrival, so hot buckets are never evicted,
+  * and an evicted bucket's re-arrival starts an empty member list — new
+  * docs no longer match against pre-eviction history through that bucket
+  * (the documented trade for bounded state; the default `None` retains
+  * everything and is exactly batch-equivalent).
   *
   * A pair agreeing in SEVERAL bands is emitted once per agreeing band
   * (bucket-local state cannot see other buckets); the sink dedupes pairs
@@ -43,10 +47,14 @@ object DedupStream {
   }
 
   /** docs(doc_id, text) stream → Match stream (append). `threshold` is the
-    * estimated-Jaccard verify bar (0.5 like the batch pipeline). */
+    * estimated-Jaccard verify bar (0.5 like the batch pipeline);
+    * `bucketTtlMs` opts in to cold-bucket eviction (see object doc). */
   def nearDupMatches(spark: SparkSession, docs: DataFrame,
-      threshold: Double = 0.5): Dataset[Match] = {
+      threshold: Double = 0.5, bucketTtlMs: Option[Long] = None): Dataset[Match] = {
     import spark.implicits._
+    val timeoutConf =
+      if (bucketTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     val sigged = docs.select(col("doc_id"),
       graft.plans.NgramHashes.minhashMd5(spark, col("text"), 3, 64).as("sig"))
     val bucketed = sigged.select(col("doc_id"), col("sig"),
@@ -54,34 +62,43 @@ object DedupStream {
       .as[(Long, Seq[Long], Long)]
     bucketed.groupByKey(_._3)
       .flatMapGroupsWithState[BucketState, Match](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         case (_, rows, state: GroupState[BucketState]) =>
-          val seen = state.getOption.getOrElse(BucketState(Nil)).docs
-          val seenIds = seen.iterator.map(_.doc_id).toSet
-          // microbatch iterator order is not deterministic — process in
-          // doc_id order so restarts and re-executions emit identical
-          // pairs. Drop ids already in state too: an at-least-once source
-          // redelivering a doc must not duplicate its state entry (and
-          // with it every future match emission).
-          val batch = rows.map(r => SigDoc(r._1, r._2)).toSeq
-            .distinctBy(_.doc_id).filterNot(d => seenIds(d.doc_id))
-            .sortBy(_.doc_id)
-          val out = Seq.newBuilder[Match]
-          var members = seen
-          batch.foreach { d =>
-            members.foreach { m =>
-              if (m.doc_id != d.doc_id) {
-                val est = agreement(m.sig, d.sig)
-                if (est >= threshold)
-                  out += Match(math.min(m.doc_id, d.doc_id),
-                    math.max(m.doc_id, d.doc_id),
-                    math.round(est * 10000).toDouble / 10000)
+          if (state.hasTimedOut) {
+            // cold bucket: no arrivals within the TTL — drop its members
+            state.remove()
+            Iterator.empty
+          } else {
+            val seen = state.getOption.getOrElse(BucketState(Nil)).docs
+            val seenIds = seen.iterator.map(_.doc_id).toSet
+            // microbatch iterator order is not deterministic — process in
+            // doc_id order so restarts and re-executions emit identical
+            // pairs. Drop ids already in state too: an at-least-once source
+            // redelivering a doc must not duplicate its state entry (and
+            // with it every future match emission).
+            val batch = rows.map(r => SigDoc(r._1, r._2)).toSeq
+              .distinctBy(_.doc_id).filterNot(d => seenIds(d.doc_id))
+              .sortBy(_.doc_id)
+            val out = Seq.newBuilder[Match]
+            var members = seen
+            batch.foreach { d =>
+              members.foreach { m =>
+                if (m.doc_id != d.doc_id) {
+                  val est = agreement(m.sig, d.sig)
+                  if (est >= threshold)
+                    out += Match(math.min(m.doc_id, d.doc_id),
+                      math.max(m.doc_id, d.doc_id),
+                      math.round(est * 10000).toDouble / 10000)
+                }
               }
+              members = members :+ d
             }
-            members = members :+ d
+            state.update(BucketState(members))
+            // re-armed on every arrival: only buckets with NO arrivals for
+            // a full TTL window go cold
+            bucketTtlMs.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          state.update(BucketState(members))
-          out.result().iterator
       }
   }
 }

@@ -165,6 +165,51 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup bucketTtl evicts cold buckets; default retains history") {
+    // with a 1 ms TTL, a bucket with no arrivals for a full TTL window is
+    // evicted: a later near-dup of the evicted member finds an EMPTY bucket
+    // (no match — the documented bounded-state trade), then matches
+    // against the post-eviction history normally. NOTE the funnel-TTL
+    // caveat applies: with ProcessingTimeTimeout the engine always
+    // schedules another batch, so processAllAvailable never returns —
+    // the sink is POLLED instead.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.OutputMode
+    def matches = spark.table("neardupttl")
+      .select("doc_a", "doc_b").distinct()
+      .as[(Long, Long)].collect().toSet
+    def eventually(what: String)(f: => Boolean): Unit = {
+      val end = System.currentTimeMillis + 30000
+      while (System.currentTimeMillis < end && !f) Thread.sleep(50)
+      assert(f, s"condition not reached: $what; got $matches")
+    }
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.DedupStream
+      .nearDupMatches(spark, input.toDS().toDF("doc_id", "text"),
+        bucketTtlMs = Some(1L))
+      .writeStream.format("memory").queryName("neardupttl")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: a near-dup pair lands in shared buckets and matches
+      input.addData((1L, base), (2L, base + " extra"))
+      eventually("in-flight pair matches before any eviction")(
+        matches.contains((1L, 2L)))
+      // well after the TTL, the buckets go cold and are evicted by a
+      // timeout batch (same generous margin as the funnel TTL spec)
+      Thread.sleep(2000)
+      // docs 3+4 are near-dups of 1 and 2 — but that bucket state is gone,
+      // so NO (1,3)/(2,3) match can appear; 3 and 4 arrive in ONE batch
+      // (in-batch pairing is TTL-immune) and match each other, proving the
+      // stream is still live after the eviction
+      input.addData((3L, base + " more"), (4L, base + " more still"))
+      eventually("evicted history silent; post-eviction pair matches")(
+        matches.contains((3L, 4L)))
+      assert(!matches.contains((1L, 3L)) && !matches.contains((2L, 3L)),
+        s"matches against evicted bucket members must not appear; got $matches")
+    } finally q.stop()
+  }
+
   test("intervalJoin: stream-stream join matches only within the time bound") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Change]
