@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, EqualNullSafe, EqualTo}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LocalRelation, LogicalPlan, Project, Window => LWindow}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Automated plan audit over EVERY gated query — the r3 anti-pattern class
+  * (single-reducer stratum windows) and the classic scale-killers
+  * (cartesian/nested-loop joins over two unbounded sides), pinned
+  * permanently so neither can regress.
+  *
+  * Rules, per query plan at sf0.001:
+  *  1. a join with NO equi-key (cartesian / pure-theta — planned as
+  *     CartesianProduct or BroadcastNestedLoopJoin) must have at least one
+  *     side bounded by construction: an aggregated subtree (global 1-row
+  *     aggs like corpus totals, or O(groups) per-group tables) or a plan
+  *     literal (LocalRelation — driver-held centroids/codebooks). The ANN
+  *     query-sample baselines, whose bounded side is a sampled Filter
+  *     instead, are listed by name;
+  *  2. every logical Window either partitions on a per-key column family
+  *     (doc/pk/cluster/content-hash/... — group size bounded by the key's
+  *     fan-in, not the corpus), or is one of the two audited two-level
+  *     shapes (boundary-bucket rank gated by a `__b` filter; offsets scan
+  *     over a `__psum`/`__pmax` partials table), or runs over an already
+  *     aggregated table (months, stages — O(groups) rows). Stratum-only
+  *     partition specs (source/table_name/...) over raw rows are exactly
+  *     the r3 single-reducer sort and fail the build.
+  */
+class PlanLintSpec extends AnyFunSuite with SparkTestBase {
+
+  // per-key families: group size is the key's fan-in (docs per id, rows per
+  // order, members per cluster, copies per content hash...), independent of
+  // corpus row count. "text" covers content-hash partition expressions
+  // (md5(text) groups = duplicate multiplicity).
+  private val perKeyCols = Set(
+    "doc_id", "doc_a", "doc_b", "pk", "canonical", "cluster", "user_id",
+    "vec_id", "q_id", "query_id", "media_id", "o_orderkey", "l_orderkey",
+    "o_custkey", "c_custkey", "s_suppkey", "p_partkey", "l_suppkey",
+    "l_partkey", "relation_id", "term", "token", "gram", "span_h", "bucket",
+    "band", "month", "window", "session_id", "shard", "__b", "__pid",
+    "centroid", "cell", "text")
+
+  /** Queries whose loop join's bounded side is a query SAMPLE (a literal-
+    * bounded Filter, not an aggregate — invisible to the structural rule). */
+  private val sampledLoopJoins = Set("knn_bruteforce", "knn_lsh", "knn_pq", "knn_ivf",
+    // per-source signature table: O(sources) rows by construction, but the
+    // memoized artifact is lineage-cut (LogicalRDD) so the aggregate that
+    // bounds it is invisible to the structural rule
+    "dedup_source_sigs")
+
+  private def hasBoundedSubtree(p: LogicalPlan): Boolean = p.collectFirst {
+    case _: Aggregate => ()
+    case _: LocalRelation => ()
+  }.nonEmpty
+
+  private def hasEquiKey(j: Join): Boolean = j.condition.exists(_.exists {
+    case _: EqualTo | _: EqualNullSafe => true
+    case _ => false
+  })
+
+  /** A window partition attribute's names: itself PLUS base columns
+    * resolved through child Project aliases (`_w0` = md5(text) → {text}) —
+    * union, not replacement, so a genuine `doc_id` stays recognizable even
+    * when some child Project re-aliases it from a tuple field. */
+  private def baseNames(w: LWindow, name: String): Set[String] = {
+    val aliases = w.child.collect { case p: Project =>
+      p.projectList.collect { case a: Alias => a.name -> a.child.references.map(_.name).toSet }
+    }.flatten.toMap
+    aliases.getOrElse(name, Set.empty) + name
+  }
+
+  private def windowOk(w: LWindow): Boolean = {
+    val parts = w.partitionSpec.flatMap(_.references.map(_.name))
+      .flatMap(n => baseNames(w, n)).toSet
+    def childHas(p: PartialFunction[LogicalPlan, Boolean]): Boolean =
+      w.child.collectFirst(p).getOrElse(false)
+    val boundaryGated = childHas {
+      case f: Filter => f.condition.references.exists(_.name == "__b") }
+    val overPartials = childHas {
+      case a: Aggregate => a.aggregateExpressions.exists(e =>
+        e.toString.contains("__psum") || e.toString.contains("__pmax")) }
+    val overAggregate = childHas { case _: Aggregate => true }
+    if (parts.exists(perKeyCols)) true // any per-key column bounds the group
+    else if (boundaryGated || overPartials) true // audited two-level shapes
+    // stratum-only or global window: bounded only over an aggregated table
+    else overAggregate
+  }
+
+  for ((name, build) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"plan lint: $name") {
+      val df = build(spark, sf)
+      val plan = df.queryExecution.optimizedPlan
+      if (!sampledLoopJoins(name)) {
+        plan.foreach {
+          case j: Join if !hasEquiKey(j) =>
+            assert(hasBoundedSubtree(j.left) || hasBoundedSubtree(j.right),
+              s"$name plans a loop join with no bounded side:\n$j")
+          case _ => ()
+        }
+      }
+      plan.collect { case w: LWindow => w }.foreach { w =>
+        assert(windowOk(w),
+          s"$name window partitions only on strata columns with an " +
+            s"unbounded child — the single-reducer sort class:\n$w")
+      }
+    }
+  }
+}
