@@ -299,6 +299,126 @@ object MediaCodecs {
     b.array()
   }
 
+  /** Encode an MJPEG AVI: same RIFF layout as [[encodeAvi]] but the stream
+    * is compressed — strh handler and strf biCompression are 'MJPG', there
+    * is no palette, and each '00dc' movi chunk holds one frame's JPEG bytes
+    * verbatim (variable length, odd sizes padded to even per RIFF). The
+    * JPEG payloads are opaque here: the container layer frames them, a
+    * decoder (not shipped — no image libs in this environment) would decode
+    * them. Each frame must carry the JPEG SOI/EOI markers so the walker can
+    * validate it is framing actual JPEG streams. */
+  def encodeAviMjpeg(width: Int, height: Int, usPerFrame: Int,
+      jpegFrames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && usPerFrame > 0 && jpegFrames.nonEmpty,
+      s"encodeAviMjpeg: bad geometry ${width}x$height us=$usPerFrame n=${jpegFrames.size}")
+    jpegFrames.foreach(f => require(isJpeg(f),
+      "encodeAviMjpeg: frame payload missing JPEG SOI/EOI markers"))
+    val maxFrame = jpegFrames.map(_.length).max
+    val strlBody = 4 + (8 + 56) + (8 + 40) // strh + bare BITMAPINFOHEADER
+    val hdrlBody = 4 + (8 + 56) + (8 + strlBody)
+    val moviBody = 4 + jpegFrames.map(f => 8 + f.length + (f.length & 1)).sum
+    val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody)
+    val b = ByteBuffer.allocate(8 + riffBody).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(riffBody).put("AVI ".getBytes)
+    b.put("LIST".getBytes).putInt(hdrlBody).put("hdrl".getBytes)
+    b.put("avih".getBytes).putInt(56)
+      .putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+      .putInt(jpegFrames.size).putInt(0).putInt(1).putInt(maxFrame)
+      .putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    b.put("LIST".getBytes).putInt(strlBody).put("strl".getBytes)
+    b.put("strh".getBytes).putInt(56)
+      .put("vids".getBytes).put("MJPG".getBytes)
+      .putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(usPerFrame).putInt(1000000)
+      .putInt(0).putInt(jpegFrames.size).putInt(maxFrame).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+    b.put("strf".getBytes).putInt(40)
+      .putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .put("MJPG".getBytes).putInt(width * height * 3).putInt(0).putInt(0)
+      .putInt(0).putInt(0)
+    b.put("LIST".getBytes).putInt(moviBody).put("movi".getBytes)
+    jpegFrames.foreach { f =>
+      b.put("00dc".getBytes).putInt(f.length).put(f)
+      if ((f.length & 1) == 1) b.put(0.toByte) // RIFF even-byte padding
+    }
+    b.array()
+  }
+
+  @inline private def isJpeg(f: Array[Byte]): Boolean =
+    f.length >= 4 && f(0) == 0xff.toByte && f(1) == 0xd8.toByte &&
+      f(f.length - 2) == 0xff.toByte && f(f.length - 1) == 0xd9.toByte
+
+  /** The video stream's compression fourcc from the strl strf
+    * BITMAPINFOHEADER: "DIB" for uncompressed (biCompression 0), otherwise
+    * the fourcc as text (e.g. "MJPG"). */
+  def aviCompression(bytes: Array[Byte]): String = {
+    // strl nests inside the hdrl LIST (not top-level): walk hdrl's content
+    val (hdrlOff, hdrlEnd) = findList(bytes, "hdrl")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var strl = -1L
+    var strlEnd = -1L
+    var scan = hdrlOff
+    while (strl < 0 && scan + 12 <= hdrlEnd) {
+      val o = scan.toInt
+      val size = b.getInt(o + 4)
+      require(size >= 0, s"negative chunk size in AVI '${fourCC(bytes, o)}'")
+      if (fourCC(bytes, o) == "LIST" && fourCC(bytes, o + 8) == "strl") {
+        strl = scan + 12; strlEnd = scan + 8 + size
+      }
+      scan += 8L + size + (size & 1)
+    }
+    require(strl >= 0, "AVI hdrl has no strl LIST")
+    var off = strl
+    while (off + 8 <= strlEnd) {
+      val o = off.toInt
+      val size = b.getInt(o + 4)
+      require(size >= 0, s"negative chunk size in AVI '${fourCC(bytes, o)}'")
+      if (fourCC(bytes, o) == "strf") {
+        require(size >= 40 && off + 8 + 40 <= bytes.length, "strf chunk truncated")
+        val compression = b.getInt(o + 8 + 16) // BITMAPINFOHEADER.biCompression
+        return if (compression == 0) "DIB" else fourCC(bytes, o + 8 + 16)
+      }
+      off += 8L + size + (size & 1)
+    }
+    throw new IllegalArgumentException("AVI strl has no strf chunk")
+  }
+
+  /** The RAW movi frame chunk payloads ('00db'/'00dc'), compression-
+    * agnostic: for a DIB stream these are padded bottom-up pixel blocks,
+    * for MJPEG they are whole JPEG streams (validated by SOI/EOI markers —
+    * the container walk is real, the JPEG entropy decode is out of scope
+    * here and belongs to an image library). Frame count must match the
+    * avih header, as in [[aviFrames]]. */
+  def aviFrameChunks(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val (_, _, _, totalFrames) = parseAvi(bytes)
+    val mjpeg = aviCompression(bytes) == "MJPG"
+    val (moviOff, moviEnd) = findList(bytes, "movi")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val out = Vector.newBuilder[Array[Byte]]
+    var n = 0
+    var off = moviOff
+    while (off + 8 <= moviEnd) {
+      val o = off.toInt
+      val id = fourCC(bytes, o)
+      val size = b.getInt(o + 4)
+      require(size >= 0, s"negative chunk size in AVI movi '$id'")
+      require(off + 8 + size <= bytes.length,
+        s"AVI movi chunk '$id' claims $size bytes, payload ends at ${bytes.length}")
+      if (id.endsWith("db") || id.endsWith("dc")) {
+        val payload = java.util.Arrays.copyOfRange(bytes, o + 8, o + 8 + size)
+        if (mjpeg) require(isJpeg(payload),
+          s"MJPG movi chunk '$id' is not a JPEG stream (SOI/EOI markers missing)")
+        out += payload
+        n += 1
+      }
+      off += 8L + size + (size & 1)
+    }
+    require(n == totalFrames,
+      s"AVI header declares $totalFrames frames, movi holds $n")
+    out.result()
+  }
+
   /** `(width, height, usPerFrame, totalFrames)` from an AVI's avih header.
     * Walks the top-level RIFF chunks for the hdrl LIST and the hdrl LIST
     * for avih (stranger chunks like JUNK/idx1 in between are legal and
@@ -332,6 +452,10 @@ object MediaCodecs {
     * un-padded like [[bmpPixels]]). Frame count must match the avih header
     * — a container whose index lies about its content is corrupt. */
   def aviFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val comp = aviCompression(bytes)
+    require(comp == "DIB",
+      s"aviFrames decodes uncompressed-DIB streams only; this AVI is " +
+        s"'$comp' — use aviFrameChunks for container-level access")
     val (width, height, _, totalFrames) = parseAvi(bytes)
     val rowSize = (width + 3) / 4 * 4
     val (moviOff, moviEnd) = findList(bytes, "movi")

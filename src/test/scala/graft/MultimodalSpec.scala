@@ -138,6 +138,42 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       MediaCodecs.encodeAvi(4, 2, 100000, Seq(Array.fill[Byte](3)(1))))
   }
 
+  test("MJPEG AVI: container walk frames JPEG chunks verbatim; DIB decode refuses") {
+    import graft.functions.MediaCodecs
+    // synthetic JPEG streams: real SOI/EOI markers around arbitrary entropy
+    // bytes — the container layer frames them, it never entropy-decodes
+    def jpeg(seed: Int, n: Int): Array[Byte] = {
+      val body = Array.tabulate[Byte](n)(i => ((seed * 31 + i * 7) & 0x7f).toByte)
+      Array[Byte](0xff.toByte, 0xd8.toByte) ++ body ++
+        Array[Byte](0xff.toByte, 0xd9.toByte)
+    }
+    val frames = Seq(jpeg(1, 33), jpeg(2, 50), jpeg(3, 21)) // odd sizes too
+    val avi = MediaCodecs.encodeAviMjpeg(16, 9, 40000, frames)
+    // geometry comes from the same avih header as DIB containers
+    assert(MediaCodecs.parseAvi(avi) == ((16, 9, 40000, 3)))
+    assert(MediaCodecs.aviCompression(avi) == "MJPG")
+    // chunk walk returns the exact JPEG byte streams (RIFF odd-size padding
+    // must not leak into the payloads)
+    val chunks = MediaCodecs.aviFrameChunks(avi)
+    assert(chunks.map(_.toSeq) == frames.map(_.toSeq))
+    // the pixel decoder refuses compressed streams loudly, pointing at the
+    // container-level accessor
+    val e = intercept[IllegalArgumentException](MediaCodecs.aviFrames(avi))
+    assert(e.getMessage.contains("MJPG") && e.getMessage.contains("aviFrameChunks"))
+    // DIB containers report DIB and the chunk accessor works there too
+    val dib = MediaCodecs.encodeAvi(4, 2, 100000, Seq(Array.fill[Byte](8)(5)))
+    assert(MediaCodecs.aviCompression(dib) == "DIB")
+    assert(MediaCodecs.aviFrameChunks(dib).size == 1)
+    // a movi chunk that is not a JPEG stream in an MJPG container is loud
+    val broken = avi.clone()
+    val moviFirst = new String(broken).indexOf("00dc")
+    broken(moviFirst + 8) = 0 // clobber the SOI marker
+    assertThrows[IllegalArgumentException](MediaCodecs.aviFrameChunks(broken))
+    // and the encoder refuses payloads without JPEG markers up front
+    assertThrows[IllegalArgumentException](
+      MediaCodecs.encodeAviMjpeg(4, 2, 100000, Seq(Array.fill[Byte](10)(1))))
+  }
+
   test("video features come from the container: header fields + frame-0 aHash") {
     import graft.functions.MediaCodecs
     val media = Multimodal.asMedia(Tables(spark, sf, "documents"))
