@@ -97,6 +97,10 @@ object NativeFunctions {
       case Seq(a, b) => NearestCentroid(a, b)
       case other => bad("nearest_centroid", "emb, centroids", other.size)
     },
+    "vec_sub" -> {
+      case Seq(a, b) => VecSub(a, b)
+      case other => bad("vec_sub", "a, b", other.size)
+    },
     "vector_mean" -> {
       case Seq(c) => VectorMeanAgg(c).toAggregateExpression()
       case other => bad("vector_mean", "vec", other.size)

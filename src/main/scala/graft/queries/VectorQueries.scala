@@ -71,6 +71,63 @@ object VectorQueries {
       (cb, codes)
     }
 
+  /** IVF-PQ parameters: ivfpqC coarse cells, nprobe=ivfpqProbe, residuals
+    * PQ-coded with the shared (pqM, pqK) geometry. */
+  private val ivfpqC = 8
+  private val ivfpqProbe = 2
+
+  /** The IVF-PQ index — (coarse codebook, residual codebook, coded
+    * inverted lists) — memoized per (session, sf-dir) like the flat-PQ
+    * index: production encodes once and stores cluster id + m code bytes
+    * per vector, bucketed by cluster. */
+  private val ivfpqMemo =
+    new graft.operators.SessionMemo[(Seq[Seq[Double]], Seq[Seq[Double]], DataFrame)]
+
+  private def ivfpqIndex(s: SparkSession, dir: String): (Seq[Seq[Double]], Seq[Seq[Double]], DataFrame) =
+    ivfpqMemo.get(s, dir) {
+      val e = emb(s, dir)
+      // coarse quantizer: the ivfpqC lowest-vec_id vectors (the k-means
+      // init step, no Lloyd refinement — iterated means would reintroduce
+      // partition-order float sums and the quantizer could no longer be
+      // replayed in the oracle; knn_ivf keeps the iterated variant and
+      // pays the rows-only gate for it). Bounded collect: ivfpqC × dim.
+      val coarse: Seq[Seq[Double]] = e.filter(col("vec_id") < ivfpqC).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq).toIndexedSeq
+      require(coarse.length == ivfpqC,
+        s"coarse codebook needs $ivfpqC vectors, got ${coarse.length}")
+      val coarseLit = typedLit(coarse)
+      // coarse assignment IS pq_encode with m = 1: argmin full-vector L2²
+      // against the coarse codebook with strict-compare/lowest-cluster
+      // ties — one already-proven codegen'd lockstep fold, map-side, no
+      // join or exchange between the scan and the cluster column.
+      def assign(df: DataFrame): DataFrame = df
+        .select(col("vec_id"), col("embedding"),
+          element_at(graft.plans.Pq.encode(s, col("embedding"), coarseLit, 1), 1)
+            .as("cluster"))
+        .withColumn("resid", graft.plans.VecSub.sub(s, col("embedding"),
+          element_at(coarseLit, col("cluster") + 1)))
+      // residual codebook donors: vec_ids [ivfpqC, ivfpqC+pqK) — disjoint
+      // from the coarse sample, so no donor's residual is identically
+      // zero. Bounded collect: pqK × dim doubles.
+      val donors = assign(
+          e.filter(col("vec_id") >= ivfpqC && col("vec_id") < ivfpqC + pqK))
+        .orderBy("vec_id").select("resid").collect()
+        .map(_.getSeq[Double](0).toIndexedSeq)
+      require(donors.length == pqK,
+        s"residual codebook needs $pqK donors, got ${donors.length}")
+      val sub = donors.head.length / pqM
+      val cb: Seq[Seq[Double]] = for {
+        ss <- 0 until pqM
+        c <- 0 until pqK
+      } yield donors(c).slice(ss * sub, (ss + 1) * sub)
+      val index = assign(e)
+        .select(col("vec_id"), col("embedding"), col("cluster"),
+          graft.plans.Pq.encode(s, col("resid"), typedLit(cb), pqM).as("codes"))
+        .transform(graft.operators.Checkpointing.cut)
+      (coarse, cb, index)
+    }
+
   private def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     ivfMemo.get(s, dir) {
       // cut once: the corpus feeds two Lloyd assigns + the index build —
@@ -228,6 +285,47 @@ object VectorQueries {
       val short = Relational.topKByScore(scored, "q_id", "neg_adc", "neighbor_id", pqShortlist)
       val rer = short
         .join(codes.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+        .join(broadcast(q), "q_id")
+        .select(col("q_id"), col("neighbor_id"),
+          round(graft.plans.CosineSim.cosine(s, col("q_emb"), col("embedding")), 4).as("cos"))
+      Relational.topKByScore(rer, "q_id", "cos", "neighbor_id", topK)
+        .orderBy("q_id", "rk")
+    }),
+
+    // IVF-PQ ANN (Jégou et al. '11 §III): coarse quantizer + PQ over
+    // RESIDUALS + per-probe ADC — the layout every billion-scale vector
+    // index ships. A query ranks the ivfpqC coarse cells (pq_adc, m=1,
+    // over a posexploded literal of cluster ids — map-side, no join),
+    // probes its nprobe nearest, re-expresses itself as a residual
+    // against each probed centroid, and ADC-scans ONLY those cells'
+    // codes; the shortlist reranks by exact cosine on originals. At
+    // 100 TB the index is m bytes + a cluster id per vector, written
+    // bucketed by cluster: a query reads nprobe/ivfpqC of the CODES
+    // (m/dim·(4 bytes) of the raw size), never the full vectors.
+    "knn_ivfpq" -> ((s, dir) => {
+      val (coarse, cb, index) = ivfpqIndex(s, dir)
+      val coarseLit = typedLit(coarse)
+      val q = index.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val probed = Relational.topKPerGroup(
+          q.select(col("q_id"), col("q_emb"),
+            posexplode(typedLit((0 until ivfpqC).toArray)).as(Seq("__p", "cluster")))
+            .withColumn("d2", graft.plans.Pq.adc(s, col("q_emb"),
+              array(col("cluster")), coarseLit, 1)),
+          Seq("q_id"), Seq(col("d2").asc, col("cluster")), ivfpqProbe)
+        .select(col("q_id"), col("cluster"),
+          graft.plans.VecSub.sub(s, col("q_emb"),
+            element_at(coarseLit, col("cluster") + 1)).as("q_res"))
+      val scored = index.join(broadcast(probed),
+          index("cluster") === probed("cluster") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          // negated rounded ADC so the shared desc-order top-k heap yields
+          // ascending-ADC, neighbor_id tie-break (the knn_pq shape)
+          negate(round(graft.plans.Pq.adc(s, col("q_res"), col("codes"),
+            typedLit(cb), pqM), 4)).as("neg_adc"))
+      val short = Relational.topKByScore(scored, "q_id", "neg_adc", "neighbor_id", pqShortlist)
+      val rer = short
+        .join(index.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
         .join(broadcast(q), "q_id")
         .select(col("q_id"), col("neighbor_id"),
           round(graft.plans.CosineSim.cosine(s, col("q_emb"), col("embedding")), 4).as("cos"))
@@ -484,6 +582,94 @@ object VectorQueries {
          |  FROM codes n JOIN dist dq ON dq.s = n.s AND dq.c = n.code
          |  WHERE dq.vec_id < $nQueries AND n.vec_id <> dq.vec_id
          |  GROUP BY dq.vec_id, n.vec_id),
+         |short AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT q_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY adc, neighbor_id) AS srn
+         |    FROM adc)
+         |  WHERE srn <= $pqShortlist),
+         |rer AS (
+         |  SELECT c.q_id, c.neighbor_id,
+         |         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |                                      CAST(ne.embedding AS DOUBLE[])), 4) AS cos
+         |  FROM short c
+         |  JOIN embeddings qe ON qe.vec_id = c.q_id
+         |  JOIN embeddings ne ON ne.vec_id = c.neighbor_id),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+         |  FROM rer)
+         |SELECT q_id, rk, neighbor_id, cos FROM ranked WHERE rk <= $topK
+         |ORDER BY q_id, rk""".stripMargin,
+
+    // The IVF-PQ replay extends the knn_pq argument one stage down: the
+    // coarse assignment is the SAME lockstep (diff² left-fold, argmin with
+    // (d2, c) ordering) over the full vector — pq_encode with m=1 on the
+    // Spark side — the residual is one exact IEEE subtraction per element
+    // (no fold, no order sensitivity), and everything after (codes, ADC,
+    // shortlist, rerank) is the knn_pq machinery verbatim on residuals.
+    "knn_ivfpq" ->
+      s"""WITH cents AS (
+         |  SELECT CAST(vec_id AS INT) AS cl, CAST(embedding AS DOUBLE[]) AS cent
+         |  FROM embeddings WHERE vec_id < $ivfpqC),
+         |sv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cdist AS (
+         |  SELECT sv.vec_id, cents.cl,
+         |         list_reduce(list_prepend(0.0, list_transform(range(64),
+         |           i -> (sv.v[i + 1] - cents.cent[i + 1])
+         |              * (sv.v[i + 1] - cents.cent[i + 1]))),
+         |           (a, x) -> a + x) AS d2
+         |  FROM sv, cents),
+         |assign AS (
+         |  SELECT vec_id, cl AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+         |    FROM cdist)
+         |  WHERE rn = 1),
+         |resid AS (
+         |  SELECT sv.vec_id, a.cluster,
+         |         list_transform(range(64), i -> sv.v[i + 1] - c.cent[i + 1]) AS r
+         |  FROM sv JOIN assign a USING (vec_id) JOIN cents c ON c.cl = a.cluster),
+         |cb AS (
+         |  SELECT s, CAST(vec_id - $ivfpqC AS INT) AS c, r[s*8 + 1 : s*8 + 8] AS cent
+         |  FROM resid, (SELECT unnest(range($pqM)) AS s)
+         |  WHERE vec_id >= $ivfpqC AND vec_id < ${ivfpqC + pqK}),
+         |ndist AS (
+         |  SELECT re.vec_id, cb.s, cb.c,
+         |         list_reduce(list_prepend(0.0, list_transform(range(8),
+         |           i -> (re.r[cb.s*8 + i + 1] - cb.cent[i + 1])
+         |              * (re.r[cb.s*8 + i + 1] - cb.cent[i + 1]))),
+         |           (a, x) -> a + x) AS d2
+         |  FROM resid re, cb),
+         |codes AS (
+         |  SELECT vec_id, s, c AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+         |    FROM ndist)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS q_id, cl AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+         |    FROM cdist WHERE vec_id < $nQueries)
+         |  WHERE rn <= $ivfpqProbe),
+         |qres AS (
+         |  SELECT p.q_id, p.cluster,
+         |         list_transform(range(64), i -> sv.v[i + 1] - c.cent[i + 1]) AS qr
+         |  FROM probes p JOIN sv ON sv.vec_id = p.q_id JOIN cents c ON c.cl = p.cluster),
+         |qdist AS (
+         |  SELECT q.q_id, q.cluster, cb.s, cb.c,
+         |         list_reduce(list_prepend(0.0, list_transform(range(8),
+         |           i -> (q.qr[cb.s*8 + i + 1] - cb.cent[i + 1])
+         |              * (q.qr[cb.s*8 + i + 1] - cb.cent[i + 1]))),
+         |           (a, x) -> a + x) AS d2
+         |  FROM qres q, cb),
+         |adc AS (
+         |  SELECT dq.q_id, n.vec_id AS neighbor_id,
+         |         round(list_reduce(list_prepend(0.0, list(dq.d2 ORDER BY dq.s)),
+         |           (a, x) -> a + x), 4) AS adc
+         |  FROM codes n
+         |  JOIN assign an ON an.vec_id = n.vec_id
+         |  JOIN qdist dq ON dq.cluster = an.cluster AND dq.s = n.s AND dq.c = n.code
+         |  WHERE n.vec_id <> dq.q_id
+         |  GROUP BY dq.q_id, n.vec_id),
          |short AS (
          |  SELECT q_id, neighbor_id FROM (
          |    SELECT q_id, neighbor_id,

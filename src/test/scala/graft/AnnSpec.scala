@@ -178,6 +178,58 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
       (err.getCause != null && err.getCause.toString.contains("out of range")), err.toString)
   }
 
+  test("vec_sub subtracts elementwise and rejects length mismatches") {
+    val df = Seq((Array(1.0f, 2.5f, -3.0f), Seq(0.5, 2.5, 1.0))).toDF("a", "b")
+    val out = df.select(graft.plans.VecSub.sub(spark, $"a", $"b").as("d"))
+      .as[Seq[Double]].head()
+    assert(out == Seq(0.5, 0.0, -4.0))
+    // a length mismatch must fail loudly, not silently truncate the residual
+    val bad = Seq((Array(1.0f, 2.0f), Seq(1.0))).toDF("a", "b")
+    val err = intercept[Exception](
+      bad.select(graft.plans.VecSub.sub(spark, $"a", $"b")).collect())
+    assert(err.toString.contains("length mismatch") ||
+      (err.getCause != null && err.getCause.toString.contains("length mismatch")),
+      err.toString)
+  }
+
+  test("pq_encode with m=1 IS nearest-centroid-by-L2 (driver argmin parity)") {
+    // the knn_ivfpq coarse stage: one-subspace PQ encode ≡ argmin of the
+    // full-vector squared L2 distance with lowest-cluster ties — checked
+    // against a driver-side left-fold replay on a synthetic corpus
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(16)(j => (((seed * 41 + j) * 2654435761L % 1000) / 500.0 - 1.0).toFloat)
+    val cents: Seq[Seq[Double]] = (0 until 8).map(i => vec(i + 50).map(_.toDouble).toSeq)
+    val df = (0 until 60).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val got = df.select($"vec_id",
+        element_at(graft.plans.Pq.encode(spark, $"embedding", typedLit(cents), 1), 1)
+          .as("cluster"))
+      .as[(Long, Int)].collect().toMap
+    val exp = (0 until 60).map { i =>
+      val v = vec(i).map(_.toDouble)
+      val d2 = cents.map(c => v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+      i.toLong -> d2.zipWithIndex.minBy { case (d, c) => (d, c) }._2
+    }.toMap
+    assert(got == exp)
+  }
+
+  test("knn_ivfpq recall against the exact bruteforce top-k at sf0.001") {
+    // nprobe=2 of 8 cells: the ANN answer must still recover a solid
+    // fraction of the true top-10 — and every query must return rows
+    val approx = SparkEntry.queries("knn_ivfpq")(spark, sf)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().groupBy(_._1)
+    val exact = SparkEntry.queries("knn_bruteforce")(spark, sf)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().groupBy(_._1)
+    assert(exact.keySet == approx.keySet, "query sets differ")
+    val recalls = exact.map { case (q, rows) =>
+      val truth = rows.map(_._2).toSet
+      val got = approx(q).map(_._2).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean top-10 recall: $mean%.2f")
+    assert(mean >= 0.6, f"mean recall $mean%.2f below floor (0.78 at authoring)")
+  }
+
   test("minhash similarity estimates true Jaccard within 0.15 mean abs error") {
     // 60 doc pairs with known overlap: pair i shares i tokens of 30
     val rows = (1 until 60).map { i =>
