@@ -52,7 +52,10 @@ object Dedup {
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * tNum <= col("b.n") * tDen &&
-          col("b.n") * tNum <= col("a.n") * tDen)
+          col("b.n") * tNum <= col("a.n") * tDen &&
+          // positional filter: required overlap o satisfies
+          // o·(tNum+tDen) ≥ (n_a+n_b)·tNum (from o·tDen ≥ (n_a+n_b−o)·tNum)
+          overlapUpperBound * (tNum + tDen) >= (col("a.n") + col("b.n")) * tNum)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // verify on the EXACT integral ratio (|∩|·tDen ≥ |∪|·tNum) and round
@@ -101,11 +104,29 @@ object Dedup {
   }
 
   /** The first n − ceil(t·n) + 1 ranked grams of each doc (integral prefix
-    * math — FP rounding can never shave a prefix). */
+    * math — FP rounding can never shave a prefix), with each gram's
+    * 0-based POSITION in the doc's ranked list for the positional filter. */
   private def prefixGrams(ordered: DataFrame, tNum: Int, tDen: Int): DataFrame =
     ordered.select(col("doc_id"), col("n"),
-      explode(slice(col("grams"), lit(1),
-        col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + lit(1))).as("gram"))
+      posexplode(slice(col("grams"), lit(1),
+        col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + lit(1)))
+        .as(Seq("pos", "gram")))
+
+  /** PPJoin-style positional upper bound on overlap (Xiao et al. '08):
+    * both gram lists are sorted by the SAME global total order
+    * (rankedByRarity's rarest-first rank), so for a common gram at 0-based
+    * positions (i, j), the common grams strictly before it form one set
+    * appearing before position i in A AND before j in B — at most
+    * min(i, j) of them — and the common grams from it on are at most
+    * min(n_a − i, n_b − j). A pair whose TRUE overlap meets the threshold
+    * satisfies the bound at EVERY common gram, so filtering matched rows
+    * on it before the pair-distinct is lossless while cutting both the
+    * distinct's shuffle and the verify join's gram-array work. Pure
+    * integer arithmetic — no FP boundary to disagree with the oracle. */
+  private def overlapUpperBound = {
+    least(col("a.pos"), col("b.pos")) +
+      least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))
+  }
 
   /** Asymmetric set-containment join: all ORDERED pairs (doc_a, doc_b),
     * a ≠ b, with |A∩B| / |A| ≥ tNum/tDen — "A's grams are mostly inside
@@ -140,12 +161,16 @@ object Dedup {
       ordered: DataFrame, tNum: Int = 9, tDen: Int = 10): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
     val probe = prefixGrams(ordered, tNum, tDen)
-    val full = ordered.select(col("doc_id"), col("n"), explode(col("grams")).as("gram"))
+    val full = ordered.select(col("doc_id"), col("n"),
+      posexplode(col("grams")).as(Seq("pos", "gram")))
     val cand = probe.as("a").join(full.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") =!= col("b.doc_id") &&
           // lower bound only (|B| ≥ ceil(t·|A|) ⟸ |A∩B| ≤ |B|): integral,
           // lossless; there is deliberately no upper bound
-          col("b.n") * tDen >= col("a.n") * tNum)
+          col("b.n") * tDen >= col("a.n") * tNum &&
+          // positional filter against the containment requirement
+          // o·tDen ≥ n_a·tNum — same consistent-order bound as jaccard
+          overlapUpperBound * tDen >= col("a.n") * tNum)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // verify on the exact integral ratio (|∩|·tDen ≥ |A|·tNum); rounding
