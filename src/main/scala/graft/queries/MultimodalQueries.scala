@@ -147,6 +147,18 @@ object MultimodalQueries {
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
+  // Probed alternatives for corpora with dense fingerprint clusters
+  // (graft.tools.PigeonProbe, 30× scaled corpus, 50 k videos / 200 M
+  // block-join candidates): (a) distinct-fp collapse before the block
+  // join — no help, the degenerate corpus has near-UNIQUE fps that
+  // cluster within hamming 4 (49 667 distinct of 50 000), and the
+  // doc-level re-expansion costs 2-3×; (b) C(8,4)=70-combination
+  // 32-bit-key pigeonhole — WORSE (319 M candidates): the synthetic
+  // aHashes carry ~16 bits of corpus-wide entropy, so stronger exact
+  // keys cannot separate what the data does not distinguish. When the
+  // near-dup graph is this dense the pair relation itself is quadratic;
+  // the production move is clustering to canonical representatives
+  // (Dedup.canonicalClusters) or a tighter radius, not a cleverer join.
 
   /** Java Long wrap-around semantics for a HUGEINT product: reduce mod
     * 2^64 (normalized for negative dividends — DuckDB's % keeps the sign),

@@ -141,6 +141,44 @@ object VectorQueries {
       (centroids, index)
     }
 
+  /** Exact brute-force cosine top-k for the bounded query sample: the
+    * query side is broadcast so the corpus is scanned once with no
+    * shuffle before the bounded-heap per-query top-k (map-side partial
+    * aggregation — the full scored corpus never reaches an exchange).
+    * Shared by `knn_bruteforce` and the recall audit. */
+  private def bruteTopK(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir)
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = base.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(graft.plans.CosineSim.cosine(s, col("q_emb"), col("embedding")), 4).as("cos"))
+    Relational.topKByScore(scored, "q_id", "cos", "neighbor_id", topK)
+  }
+
+  /** Multi-table hyperplane-LSH top-k (md5-derived planes → the signature
+    * replays exactly in the oracle): candidate if the vector agrees with
+    * the query on a full signature in ANY table, then exact-cosine rerank.
+    * Shared by `knn_lsh` and the recall audit. */
+  private def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    val sigged = emb(s, dir).select(col("vec_id"), col("embedding"),
+      graft.plans.HyperplaneSigs.sigsMd5(s, col("embedding"), 8, 4).as("sigs"))
+    val buckets = sigged.select(col("vec_id"), col("embedding"),
+      posexplode(col("sigs")).as(Seq("t", "sig")))
+    val q = buckets.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("t").as("q_t"), col("sig").as("q_sig"))
+    val cands = buckets.join(broadcast(q),
+        col("t") === col("q_t") && col("sig") === col("q_sig") &&
+          col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("q_emb"), col("embedding"))
+      .distinct()
+    val scored = cands.select(col("q_id"), col("neighbor_id"),
+      round(graft.plans.CosineSim.cosine(s, col("q_emb"), col("embedding")), 4).as("cos"))
+    Relational.topKByScore(scored, "q_id", "cos", "neighbor_id", topK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Embedding-cosine near-dup pairs via multi-table hyperplane-LSH
     // buckets + exact verify: only vectors agreeing on a full signature in
@@ -154,19 +192,7 @@ object VectorQueries {
 
     // Brute-force cosine top-k: exact baseline; query side broadcast so the
     // corpus is scanned once with no shuffle before the per-query top-k.
-    "knn_bruteforce" -> ((s, dir) => {
-      val base = emb(s, dir)
-      val q = base.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val scored = base.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          round(graft.plans.CosineSim.cosine(s, col("q_emb"), col("embedding")), 4).as("cos"))
-      // bounded-heap top-k: map-side partial aggregation, so the full
-      // scored corpus never reaches a shuffle (only ≤ k per query per
-      // partition do)
-      Relational.topKByScore(scored, "q_id", "cos", "neighbor_id", topK)
-        .orderBy("q_id", "rk")
-    }),
+    "knn_bruteforce" -> ((s, dir) => bruteTopK(s, dir).orderBy("q_id", "rk")),
 
     // Per-cluster centroids + cohesion (see Embeddings.labelCentroids for
     // the scale shape).
@@ -242,25 +268,26 @@ object VectorQueries {
     // recall/throughput trade. Corpus side explodes to (table, sig) bucket
     // keys; query side is broadcast, so candidate generation is a map-side
     // hash join with no corpus shuffle; distinct + top-k per query after.
-    "knn_lsh" -> ((s, dir) => {
-      val sigged = emb(s, dir).select(col("vec_id"), col("embedding"),
-        // md5-derived planes → the signature replays exactly in the oracle
-        graft.plans.HyperplaneSigs.sigsMd5(s, col("embedding"), 8, 4).as("sigs"))
-      val buckets = sigged.select(col("vec_id"), col("embedding"),
-        posexplode(col("sigs")).as(Seq("t", "sig")))
-      val q = buckets.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("t").as("q_t"), col("sig").as("q_sig"))
-      val cands = buckets.join(broadcast(q),
-          col("t") === col("q_t") && col("sig") === col("q_sig") &&
-            col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          col("q_emb"), col("embedding"))
-        .distinct()
-      val scored = cands.select(col("q_id"), col("neighbor_id"),
-        round(graft.plans.CosineSim.cosine(s, col("q_emb"), col("embedding")), 4).as("cos"))
-      Relational.topKByScore(scored, "q_id", "cos", "neighbor_id", topK)
-        .orderBy("q_id", "rk")
+    "knn_lsh" -> ((s, dir) => lshTopK(s, dir).orderBy("q_id", "rk")),
+
+    // ANN quality instrumentation, the vector-tier sibling of
+    // dedup_lsh_audit: recall@k of the LSH top-k against the exact
+    // brute-force top-k, per query. Unlike the dedup audit (whose exact
+    // side spans the corpus and needs the sampled-stratum form at scale),
+    // the exact side here is ALREADY bounded by the query sample — grading
+    // recall on a bounded query set is exactly how a production ANN index
+    // is audited at 100 TB, so this form IS the production form.
+    "knn_recall_audit" -> ((s, dir) => {
+      val ann = lshTopK(s, dir)
+        .select(col("q_id"), col("neighbor_id")).withColumn("in_ann", lit(1L))
+      val ex = bruteTopK(s, dir).select(col("q_id"), col("neighbor_id"))
+      ex.join(ann, Seq("q_id", "neighbor_id"), "left_outer")
+        .groupBy("q_id")
+        .agg(count(lit(1)).cast("long").as("n_exact"),
+          coalesce(sum(col("in_ann")), lit(0L)).as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_exact"), 4))
+        .orderBy("q_id")
     }),
 
     // Product-quantization ANN (Jégou et al. '11): the corpus is scanned in
@@ -601,6 +628,52 @@ object VectorQueries {
          |  FROM rer)
          |SELECT q_id, rk, neighbor_id, cos FROM ranked WHERE rk <= $topK
          |ORDER BY q_id, rk""".stripMargin,
+
+    // The audit replay is the knn_lsh and knn_bruteforce oracles as CTE
+    // chains feeding one grouped left join — no new float compares beyond
+    // the two already-replayable rank stages (recall rounds an exact
+    // small-integer ratio).
+    "knn_recall_audit" ->
+      s"""WITH nbits AS (SELECT 8 AS nb),
+         |$planeCtes,
+         |q AS (SELECT vec_id AS q_id, t, sig FROM sig WHERE vec_id < $nQueries),
+         |cand AS (
+         |  SELECT DISTINCT q.q_id, s.vec_id AS neighbor_id
+         |  FROM sig s JOIN q ON s.t = q.t AND s.sig = q.sig AND s.vec_id <> q.q_id),
+         |lscored AS (
+         |  SELECT c.q_id, c.neighbor_id,
+         |         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |                                      CAST(e.embedding AS DOUBLE[])), 4) AS cos
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.neighbor_id
+         |  JOIN embeddings qe ON qe.vec_id = c.q_id),
+         |ann AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos DESC, neighbor_id) AS rk
+         |    FROM lscored)
+         |  WHERE rk <= $topK),
+         |bq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |       WHERE vec_id < $nQueries),
+         |bscored AS (
+         |  SELECT bq.q_id, e.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(
+         |           CAST(bq.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cos
+         |  FROM embeddings e JOIN bq ON e.vec_id <> bq.q_id),
+         |ex AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos DESC, neighbor_id) AS rk
+         |    FROM bscored)
+         |  WHERE rk <= $topK)
+         |SELECT ex.q_id AS q_id,
+         |       CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(count(ann.neighbor_id) AS BIGINT) AS n_hit,
+         |       round(CAST(count(ann.neighbor_id) AS DOUBLE) / count(*), 4) AS recall
+         |FROM ex LEFT JOIN ann
+         |  ON ann.q_id = ex.q_id AND ann.neighbor_id = ex.neighbor_id
+         |GROUP BY ex.q_id
+         |ORDER BY ex.q_id""".stripMargin,
 
     // The IVF-PQ replay extends the knn_pq argument one stage down: the
     // coarse assignment is the SAME lockstep (diff² left-fold, argmin with

@@ -230,6 +230,17 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(mean >= 0.6, f"mean recall $mean%.2f below floor (0.78 at authoring)")
   }
 
+  test("knn_recall_audit: full exact denominator, consistent ratio per query") {
+    val rows = SparkEntry.queries("knn_recall_audit")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty, "audit returned no query rows")
+    rows.foreach { case (q, nEx, nHit, rec) =>
+      assert(nEx == 10L, s"q=$q graded against $nEx rows, expected the full top-10")
+      assert(nHit >= 0L && nHit <= nEx, s"q=$q n_hit=$nHit out of range")
+      assert(math.abs(rec - nHit.toDouble / nEx) < 1e-9, s"q=$q recall/$nHit mismatch")
+    }
+  }
+
   test("minhash similarity estimates true Jaccard within 0.15 mean abs error") {
     // 60 doc pairs with known overlap: pair i shares i tokens of 30
     val rows = (1 until 60).map { i =>

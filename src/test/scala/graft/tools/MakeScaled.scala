@@ -82,14 +82,29 @@ object MakeScaled {
     val alpha1 = "etaoinshrd"
     val alpha2 = "lucmfwypvb"
     def rot(a: String, r: Int) = a.drop(r) + a.take(r)
+    // per-replica CASE toggle on top of the rotation: the dedup/text gram
+    // pipelines lowercase, so case carries no gram signal — but the
+    // multimodal tier builds pixel/sample bytes from the RAW text, and a
+    // letter rotation is exactly the small perturbation perceptual hashes
+    // are designed to absorb (measured: 30 replicas collapsed into
+    // Hamming≤4 image families, making mm_near_dup output quadratic in K —
+    // pair density, not corpus size). Uppercasing a replica-dependent
+    // 9-letter subset shifts those bytes by −32, far past any aHash cell
+    // threshold, so media content is replica-disjoint while gram content
+    // and text structure are untouched.
+    val lets = "abcdefghijklmnopqrstuvwxyz"
+    def caseSel(rep: Int): String =
+      lets.filter(c => (lets.indexOf(c) * 7 + rep * 11) % 26 < 9)
     write(replicate(read("documents"), Seq("doc_id"),
       (d, rep) => if (rep == 0) d
         else {
           val rotated = translate(col("text"),
             alpha1 + alpha2, rot(alpha1, rep % 10) + rot(alpha2, rep / 10))
-          d.withColumn("text",
+          val salted =
             when(rotated === col("text"), concat(col("text"), lit(s" q${rep}z")))
-              .otherwise(rotated))
+              .otherwise(rotated)
+          val sel = caseSel(rep)
+          d.withColumn("text", translate(salted, sel, sel.toUpperCase))
         }),
       "documents")
 
