@@ -403,7 +403,10 @@ object DedupQueries {
   /** Pairs → connected components with min-doc_id labels as a recursive
     * label-reachability fixpoint — ONE copy shared by dedup_clusters and
     * dedup_keep_list so the replay logic cannot drift between them. */
-  private val clusterCtes =
+  /** Connected components over a `pairs(doc_a, doc_b)` CTE as recursive
+    * label propagation to the min id — shared with the multimodal cluster
+    * oracle (package-visible for that reason). */
+  private[queries] val clusterCtes =
     """nodes AS (SELECT DISTINCT doc_id FROM
       |  (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b AS doc_id FROM pairs)),
       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs

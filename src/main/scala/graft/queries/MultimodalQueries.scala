@@ -46,16 +46,20 @@ object MultimodalQueries {
     // agree on ≥ 1 block, so candidates come from a bucket join on block
     // values — never an image×image cross join. Real-BMP aHash → the
     // whole pipeline replays in the oracle.
-    "mm_near_dup" -> ((s, dir) => {
+    "mm_near_dup" -> ((s, dir) => imagePairs(s, dir).orderBy("doc_a", "doc_b")),
+
+    // The pair graph's PRODUCTION consumption (the lesson the 30× scaling
+    // audit recorded next to pigeonholePairs): when the near-dup relation
+    // is dense, pair materialization is quadratic in family size, but the
+    // canonical-cluster table is LINEAR in corpus size — one (doc,
+    // canonical) row per clustered doc via the same pointer-jumping
+    // connected components the text tier ships (Dedup.canonicalClusters).
+    // This is what a media curation pass actually stores and joins on.
+    "mm_dedup_clusters" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      // phash = 0 is the decoder's "no fingerprint" sentinel (non-8-bit
-      // images); a REAL aHash is never 0 — the maximum cell is always ≥
-      // the global mean — so the filter drops exactly the un-hashed
-      // images, which must not pair with each other as hamming-0 dups.
-      val imgs = features(s, dir)
-        .filter(col("modality") === "image" && col("phash") =!= 0L)
-        .select(col("doc_id"), col("phash").as("fp"))
-      pigeonholePairs(imgs)
+      graft.operators.Dedup.canonicalClusters(
+          imagePairs(s, dir).select("doc_a", "doc_b"))
+        .orderBy("doc_id")
     }),
 
     // Perceptual near-duplicate AUDIO: same pigeonhole bucket join over
@@ -126,6 +130,25 @@ object MultimodalQueries {
     * values — never a fingerprint×fingerprint cross join. Shared by the
     * image and audio near-dup passes. Arithmetic-shift-then-mask is
     * engine-agnostic: the masks never reach the sign-fill bits. */
+  /** The image near-dup pair table, memoized like the dedup-side pair
+    * memos: both the pair report (mm_near_dup) and the cluster pass
+    * (mm_dedup_clusters) read it, and the stored-artifact posture is the
+    * production shape anyway (pairs are computed once per corpus build).
+    * phash = 0 is the decoder's "no fingerprint" sentinel (non-8-bit
+    * images); a REAL aHash is never 0 — the maximum cell is always ≥ the
+    * global mean — so the filter drops exactly the un-hashed images,
+    * which must not pair with each other as hamming-0 dups. */
+  private val imgPairsMemo = new graft.operators.SessionMemo[DataFrame]
+
+  private def imagePairs(s: SparkSession, dir: String): DataFrame =
+    imgPairsMemo.get(s, dir) {
+      import org.apache.spark.sql.functions._
+      val imgs = features(s, dir)
+        .filter(col("modality") === "image" && col("phash") =!= 0L)
+        .select(col("doc_id"), col("phash").as("fp"))
+      pigeonholePairs(imgs).transform(graft.operators.Checkpointing.cut)
+    }
+
   private def pigeonholePairs(items: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     val blocks = array((0 until 5).map { b =>
@@ -393,5 +416,29 @@ object MultimodalQueries {
          |JOIN ihash ha ON ha.doc_id = c.doc_a
          |JOIN ihash hb ON hb.doc_id = c.doc_b
          |WHERE bit_count(xor(ha.phash, hb.phash)) <= 4
-         |ORDER BY doc_a, doc_b""".stripMargin)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Same aHash + pigeonhole pair chain, then the shared recursive
+    // connected-components CTEs (DedupQueries.clusterCtes) over it —
+    // min-id label propagation, the exact semantics of
+    // Dedup.canonicalClusters' pointer jumping.
+    "mm_dedup_clusters" ->
+      s"""WITH RECURSIVE $imgHashCtes,
+         |blocks AS (
+         |  SELECT doc_id, blk,
+         |         (phash >> CAST(blk * 13 AS INT)) &
+         |         CASE WHEN blk = 4 THEN 4095 ELSE 8191 END AS bval
+         |  FROM ihash CROSS JOIN (SELECT unnest(range(5)) AS blk) bb),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c
+         |  JOIN ihash ha ON ha.doc_id = c.doc_a
+         |  JOIN ihash hb ON hb.doc_id = c.doc_b
+         |  WHERE bit_count(xor(ha.phash, hb.phash)) <= 4),
+         |${DedupQueries.clusterCtes}
+         |SELECT doc_id, cluster AS canonical FROM clusters ORDER BY doc_id""".stripMargin)
 }
