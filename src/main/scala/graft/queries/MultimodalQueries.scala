@@ -55,10 +55,28 @@ object MultimodalQueries {
     // canonical) row per clustered doc via the same pointer-jumping
     // connected components the text tier ships (Dedup.canonicalClusters).
     // This is what a media curation pass actually stores and joins on.
-    "mm_dedup_clusters" -> ((s, dir) => {
+    "mm_dedup_clusters" -> ((s, dir) => imageClusters(s, dir).orderBy("doc_id")),
+
+    // The media KEEP/DROP decision — the multimodal mirror of
+    // dedup_keep_list: within each image near-dup cluster keep exactly
+    // one member, the highest-RESOLUTION one (pixel count, doc_id
+    // tie-break), and mark the rest as drops pointing at their kept
+    // representative. Same de-skewed shape as the text tier: per-cluster
+    // winner via the max_by aggregate (map-side partial argmax — no
+    // window sorts a viral thumbnail cluster in one task), co-hashed
+    // join back. Resolution comes from the REAL BMP header decode; the
+    // oracle replays it from the synthesis geometry formulas.
+    "mm_keep_list" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      graft.operators.Dedup.canonicalClusters(
-          imagePairs(s, dir).select("doc_a", "doc_b"))
+      val scored = graft.operators.CacheLease.lease(imageClusters(s, dir)
+        .join(features(s, dir).filter(col("modality") === "image")
+          .select(col("doc_id"),
+            (col("width") * col("height")).cast("long").as("pixels")), "doc_id"))
+      val kept = scored.groupBy("canonical")
+        .agg(expr("max_by(doc_id, struct(pixels, -doc_id))").as("kept_doc"))
+      scored.join(kept, "canonical")
+        .select(col("doc_id"), col("canonical").as("cluster"), col("pixels"),
+          (col("doc_id") === col("kept_doc")).as("keep"), col("kept_doc"))
         .orderBy("doc_id")
     }),
 
@@ -147,6 +165,18 @@ object MultimodalQueries {
         .filter(col("modality") === "image" && col("phash") =!= 0L)
         .select(col("doc_id"), col("phash").as("fp"))
       pigeonholePairs(imgs).transform(graft.operators.Checkpointing.cut)
+    }
+
+  /** Canonical image near-dup clusters, memoized: both the cluster report
+    * and the keep-list decision read them, and the iterative CC loop is
+    * the expensive part (pointer jumping over the pair graph). */
+  private val imgClustersMemo = new graft.operators.SessionMemo[DataFrame]
+
+  private def imageClusters(s: SparkSession, dir: String): DataFrame =
+    imgClustersMemo.get(s, dir) {
+      graft.operators.Dedup.canonicalClusters(
+          imagePairs(s, dir).select("doc_a", "doc_b"))
+        .transform(graft.operators.Checkpointing.cut)
     }
 
   private def pigeonholePairs(items: DataFrame): DataFrame = {
@@ -440,5 +470,37 @@ object MultimodalQueries {
          |  JOIN ihash hb ON hb.doc_id = c.doc_b
          |  WHERE bit_count(xor(ha.phash, hb.phash)) <= 4),
          |${DedupQueries.clusterCtes}
-         |SELECT doc_id, cluster AS canonical FROM clusters ORDER BY doc_id""".stripMargin)
+         |SELECT doc_id, cluster AS canonical FROM clusters ORDER BY doc_id""".stripMargin,
+
+    // Cluster chain + the synthesis geometry formulas (w = id%13+4,
+    // h = id%7+2 — the decode round-trips them, mm_metadata proves it),
+    // then the keep rank exactly as dedup_keep_list's oracle.
+    "mm_keep_list" ->
+      s"""WITH RECURSIVE $imgHashCtes,
+         |blocks AS (
+         |  SELECT doc_id, blk,
+         |         (phash >> CAST(blk * 13 AS INT)) &
+         |         CASE WHEN blk = 4 THEN 4095 ELSE 8191 END AS bval
+         |  FROM ihash CROSS JOIN (SELECT unnest(range(5)) AS blk) bb),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c
+         |  JOIN ihash ha ON ha.doc_id = c.doc_a
+         |  JOIN ihash hb ON hb.doc_id = c.doc_b
+         |  WHERE bit_count(xor(ha.phash, hb.phash)) <= 4),
+         |${DedupQueries.clusterCtes},
+         |scored AS (
+         |  SELECT doc_id, cluster,
+         |         CAST(((doc_id % 13) + 4) * ((doc_id % 7) + 2) AS BIGINT) AS pixels
+         |  FROM clusters),
+         |ranked AS (
+         |  SELECT *, first_value(doc_id) OVER (PARTITION BY cluster
+         |            ORDER BY pixels DESC, doc_id) AS kept_doc
+         |  FROM scored)
+         |SELECT doc_id, cluster, pixels, doc_id = kept_doc AS keep, kept_doc
+         |FROM ranked ORDER BY doc_id""".stripMargin)
 }
