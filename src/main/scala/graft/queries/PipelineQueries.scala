@@ -163,6 +163,40 @@ object PipelineQueries {
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .orderBy("shard")),
 
+    // Epoch mixing — the UPSAMPLING counterpart of pipeline_source_mix
+    // (which only downsamples): each source carries a target epoch factor
+    // f ∈ {0.5, 1.0, 1.5, 2.0, 2.5} (derived from the source name so no
+    // config table is needed), and each doc is emitted floor(f) times plus
+    // one more on a content-hash coin with P = frac(f) — the standard
+    // data-mixing move (high-quality sources see >1 epoch, low-quality
+    // see <1). The coin is deterministic (md5 of the bytes), so re-runs
+    // and re-shards replicate EXACTLY the same copies; the report is
+    // token-weighted (mixed_tokens) because mixing budgets are token
+    // budgets, not doc budgets. Map-only flags + one O(sources) groupBy —
+    // the 100 TB corpus crosses no shuffle. All copy counts are exact
+    // integers; only the final achieved-factor ratio rounds.
+    "pipeline_epoch_mix" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"),
+          (lit(1) + coalesce(substring(col("source"), 4, 10).cast("int") % 5,
+            lit(0))).as("u"),
+          graft.functions.Text.wsTokenCount(col("text")).as("toks"),
+          (substring(md5(concat(col("text"), lit(":epoch"))), 1, 4) < "8000")
+            .as("coin"))
+        .withColumn("n_copies",
+          expr("CAST(u DIV 2 AS BIGINT)") +
+            when(col("u") % 2 === 1 && col("coin"), 1L).otherwise(0L))
+        .groupBy("source", "u")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_copies").as("n_copies"),
+          sum(col("n_copies") * col("toks")).as("mixed_tokens"))
+        .select(col("source"),
+          (col("u") / lit(2.0)).as("epoch_factor"),
+          col("n_docs"), col("n_copies"), col("mixed_tokens"),
+          round(col("n_copies").cast("double") / col("n_docs"), 4)
+            .as("achieved_factor"))
+        .orderBy("source")),
+
     // Sequence packing: per source, docs in doc_id order fill fixed
     // character-budget sequences; a doc belongs to the sequence where it
     // starts (floor of the preceding cumulative length / budget) — the
@@ -220,6 +254,26 @@ object PipelineQueries {
         |SELECT source, count(*) AS n_total,
         |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    // same TRY_CAST guard as source_mix; u//2 is DuckDB integral division
+    // (exact, like Spark's DIV); the coin replays the md5-prefix compare
+    "pipeline_epoch_mix" ->
+      """WITH b AS (
+        |  SELECT source,
+        |         1 + coalesce(TRY_CAST(substr(source, 4) AS INT) % 5, 0) AS u,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS toks,
+        |         (substr(md5(text || ':epoch'), 1, 4) < '8000') AS coin
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, u, toks,
+        |         (u // 2) + CASE WHEN u % 2 = 1 AND coin THEN 1 ELSE 0 END AS n_copies
+        |  FROM b)
+        |SELECT source, CAST(u AS DOUBLE) / 2 AS epoch_factor, count(*) AS n_docs,
+        |       CAST(sum(n_copies) AS BIGINT) AS n_copies,
+        |       CAST(sum(n_copies * toks) AS BIGINT) AS mixed_tokens,
+        |       round(CAST(sum(n_copies) AS DOUBLE) / count(*), 4) AS achieved_factor
+        |FROM c GROUP BY source, u ORDER BY source""".stripMargin,
 
     // gate flags replayed (token floor, 4dp quality, integral dup-gram
     // compare), then the same ordered funnel stacked via UNION ALL

@@ -17,6 +17,10 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.sharded(s, dir, "documents")
 
+  /** Zipf-fit head size: the regression runs over each source's top-k
+    * token frequencies (bounded — never the whole vocabulary). */
+  private val zipfK = 100
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> ((s, dir) =>
       docs(s, dir).select(
@@ -200,6 +204,49 @@ object TextQueries {
               (acc, x) => acc + x.getField("score").cast("long"))
               .cast("double") / col("n_tokens"), 4)
             .as("head_mass"))
+        .orderBy("source")
+    }),
+
+    // Zipf fit — the templated/synthetic-source detector at the
+    // distribution level (vocab_stats' head-mass sees only the top-10
+    // mass; this sees the SHAPE): regress ln(freq) on ln(rank) over each
+    // source's top-100 tokens. Natural text gives slope ≈ −1 with high
+    // r²; templates/boilerplate flatten or break the line. The top-100
+    // head rides the bounded-heap TopKAgg (map-side partial heaps — no
+    // vocabulary-wide window sort), ranks come free from the returned
+    // array's order, and the regression runs on round(ln·1e6) integer
+    // sums so both engines do EXACT integer algebra until one final
+    // double division (safe to ~10^17-token corpora; ln is the only
+    // float step and its 1e-6 grid sits ~9 orders above the ulp).
+    // Rank/boundary ties are freq-equal by definition, so the (rank,
+    // freq) multiset — and therefore the fit — is tie-break-invariant.
+    "text_zipf_fit" -> ((s, dir) => {
+      val cnt = docs(s, dir).select(col("source"),
+          explode(Text.wsTokens(lower(col("text")))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      val pts = cnt.groupBy("source")
+        .agg(graft.plans.TopKAgg.topk(s,
+          struct(col("cnt").cast("double").as("score"),
+            xxhash64(col("tok")).as("id")), zipfK).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"),
+          round(log(col("pos") + lit(1.0)) * 1e6).cast("long").as("x"),
+          round(log(col("col").getField("score")) * 1e6).cast("long").as("y"))
+      val a = pts.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+      val cov = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val vx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val vy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      a.select(col("source"), col("n").as("n_terms"),
+          round(cov / when(vx === 0, lit(null)).otherwise(vx), 4)
+            .as("zipf_slope"),
+          round(cov * cov /
+            when(vx * vy === 0, lit(null)).otherwise(vx * vy), 4)
+            .as("fit_r2"))
         .orderBy("source")
     }),
 
@@ -479,6 +526,32 @@ object TextQueries {
         |       round(CAST(sum(CASE WHEN rk <= 10 THEN cnt ELSE 0 END) AS DOUBLE) /
         |             sum(cnt), 4) AS head_mass
         |FROM cnt GROUP BY source ORDER BY source""".stripMargin,
+
+    // any tie-break works (ties are freq-equal → same (rank, freq)
+    // multiset); sums are exact (DuckDB HUGEINT ⊇ Spark's in-range longs)
+    "text_zipf_fit" ->
+      s"""WITH toks AS (
+         |  SELECT source, tok FROM (
+         |    SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
+         |    FROM documents) WHERE tok <> ''),
+         |cnt AS (SELECT source, tok, count(*) AS cnt FROM toks GROUP BY source, tok),
+         |r AS (SELECT source, cnt,
+         |             row_number() OVER (PARTITION BY source ORDER BY cnt DESC, tok) AS rk
+         |      FROM cnt),
+         |i AS (SELECT source,
+         |             CAST(round(ln(rk) * 1e6) AS BIGINT) AS x,
+         |             CAST(round(ln(cnt) * 1e6) AS BIGINT) AS y
+         |      FROM r WHERE rk <= $zipfK),
+         |a AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |             sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+         |      FROM i GROUP BY source)
+         |SELECT source, n AS n_terms,
+         |       round(CAST(n*sxy - sx*sy AS DOUBLE) /
+         |             nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0), 4) AS zipf_slope,
+         |       round(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE) /
+         |             nullif(CAST(n*sxx - sx*sx AS DOUBLE) *
+         |                    CAST(n*syy - sy*sy AS DOUBLE), 0), 4) AS fit_r2
+         |FROM a ORDER BY source""".stripMargin,
 
     // string-gram replay of the hashed-gram novelty pass (same accepted
     // hash-vs-string equivalence as pipeline_decontaminate)

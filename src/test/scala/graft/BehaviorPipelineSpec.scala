@@ -248,4 +248,71 @@ class BehaviorPipelineSpec extends AnyFunSuite with SparkTestBase {
       assert(keyed == expected, s"doc $doc out of order")
     }
   }
+
+  test("text_zipf_fit: matches a driver-side reference regression") {
+    val rows = SparkEntry.queries("text_zipf_fit")(spark, sf)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    // independent reference model: token counts per source in plain Spark,
+    // top-100 + regression re-derived in Scala doubles (no integer-grid
+    // trick, no TopKAgg) — the query must land within rounding distance
+    val ref = sources.Tables(spark, sf, "documents")
+      .select($"source", explode(split(trim(lower($"text")), "\\s+")).as("tok"))
+      .filter($"tok" =!= "").groupBy("source", "tok").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (src, ts) =>
+        val top = ts.map(_._3).sortBy(-_).take(100)
+        val xy = top.zipWithIndex.map { case (c, i) =>
+          (math.log(i + 1.0), math.log(c.toDouble)) }
+        val n = xy.length.toDouble
+        val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+        val sxx = xy.map(p => p._1 * p._1).sum
+        val sxy = xy.map(p => p._1 * p._2).sum
+        val syy = xy.map(p => p._2 * p._2).sum
+        val (cov, vx, vy) = (n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+        (src, (top.length, cov / vx, cov * cov / (vx * vy)))
+      }
+    rows.foreach { case (src, nTerms, slope, r2) =>
+      val (refN, refSlope, refR2) = ref(src)
+      assert(nTerms == refN, src)
+      // ties and the ln(·)·1e6 grid move the fit by far less than 1e-3
+      assert(math.abs(slope - refSlope) < 1e-3, s"$src slope $slope vs $refSlope")
+      assert(math.abs(r2 - refR2) < 1e-3, s"$src r2 $r2 vs $refR2")
+      assert(slope <= 0.0, s"$src: freq non-increasing in rank")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, src)
+    }
+  }
+
+  test("pipeline_epoch_mix: exact copy counts vs a driver-side md5 replay") {
+    val rows = SparkEntry.queries("pipeline_epoch_mix")(spark, sf)
+      .as[(String, Double, Long, Long, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ref = sources.Tables(spark, sf, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+      .groupBy(_._1).map { case (src, ds) =>
+        val u = 1 + (scala.util.Try(src.drop(3).toInt).toOption.map(_ % 5).getOrElse(0))
+        val stats = ds.map { case (_, text) =>
+          val hex = md.synchronized {
+            md.reset(); md.digest((text + ":epoch").getBytes("UTF-8"))
+              .take(2).map(b => f"$b%02x").mkString
+          }
+          val copies = u / 2 + (if (u % 2 == 1 && hex < "8000") 1 else 0)
+          val toks = { val t = text.trim
+            if (t.isEmpty) 0L else t.split("\\s+").length.toLong }
+          (copies.toLong, copies * toks)
+        }
+        (src, (u / 2.0, ds.length.toLong, stats.map(_._1).sum, stats.map(_._2).sum))
+      }
+    rows.foreach { case (src, f, nDocs, nCopies, mixedToks, achieved) =>
+      val (refF, refN, refCopies, refToks) = ref(src)
+      assert(f == refF && nDocs == refN, src)
+      assert(nCopies == refCopies, s"$src copies")
+      assert(mixedToks == refToks, s"$src tokens")
+      // hard bounds: floor(f)·n ≤ copies ≤ floor(f)·n + n
+      val base = (f * 2).toLong / 2 * nDocs
+      assert(nCopies >= base && nCopies <= base + nDocs, src)
+      assert(math.abs(achieved - nCopies.toDouble / nDocs) < 1e-4, src)
+    }
+  }
 }
