@@ -21,6 +21,23 @@ object TextQueries {
     * token frequencies (bounded — never the whole vocabulary). */
   private val zipfK = 100
 
+  /** The per-(source, token) frequency table — the corpus tokenization
+    * artifact BOTH vocabulary-health passes (vocab_stats, zipf_fit) read.
+    * A production pipeline materializes this once (it is vocabulary-sized,
+    * orders of magnitude smaller than the corpus) and every distribution
+    * diagnostic reads it — the 100 TB corpus is tokenized ONCE per
+    * session, not once per query. */
+  private val cntMemo = new graft.operators.SessionMemo[DataFrame]
+
+  private def sourceTokenCounts(s: SparkSession, dir: String): DataFrame =
+    cntMemo.get(s, dir) {
+      docs(s, dir).select(col("source"),
+          explode(Text.wsTokens(lower(col("text")))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+        .transform(graft.operators.Checkpointing.cut)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> ((s, dir) =>
       docs(s, dir).select(
@@ -185,11 +202,7 @@ object TextQueries {
     // counts, so the sum of the top 10 counts is the same multiset sum
     // under any tie-break. Exact integers + 4dp ratios.
     "text_vocab_stats" -> ((s, dir) => {
-      val cnt = docs(s, dir).select(col("source"),
-        explode(Text.wsTokens(lower(col("text")))).as("tok"))
-        .filter(col("tok") =!= "")
-        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
-      cnt.groupBy("source")
+      sourceTokenCounts(s, dir).groupBy("source")
         .agg(sum("cnt").as("n_tokens"),
           count(lit(1)).as("n_types"),
           graft.plans.TopKAgg.topk(s,
@@ -221,11 +234,7 @@ object TextQueries {
     // Rank/boundary ties are freq-equal by definition, so the (rank,
     // freq) multiset — and therefore the fit — is tie-break-invariant.
     "text_zipf_fit" -> ((s, dir) => {
-      val cnt = docs(s, dir).select(col("source"),
-          explode(Text.wsTokens(lower(col("text")))).as("tok"))
-        .filter(col("tok") =!= "")
-        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
-      val pts = cnt.groupBy("source")
+      val pts = sourceTokenCounts(s, dir).groupBy("source")
         .agg(graft.plans.TopKAgg.topk(s,
           struct(col("cnt").cast("double").as("score"),
             xxhash64(col("tok")).as("id")), zipfK).as("top"))
