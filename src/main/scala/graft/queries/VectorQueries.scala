@@ -190,6 +190,20 @@ object VectorQueries {
     "dedup_embedding" -> ((s, dir) =>
       embPairs(s, dir).orderBy("vec_a", "vec_b")),
 
+    // Semantic dedup's consumption form (the SemDeDup idea, Abbas et al.
+    // '23): the embedding near-dup pair graph collapsed to canonical
+    // clusters — completing the modality symmetry (text and images already
+    // have their cluster path). Shares the memoized pair artifact with
+    // dedup_embedding and the SAME pointer-jumping components operator as
+    // the text/image tiers; output is linear in vectors even where the
+    // pair graph is dense (the 30× multimodal lesson).
+    "emb_dedup_clusters" -> ((s, dir) =>
+      graft.operators.Dedup.canonicalClusters(
+          embPairs(s, dir).select(col("vec_a").as("doc_a"),
+            col("vec_b").as("doc_b")))
+        .select(col("doc_id").as("vec_id"), col("canonical"))
+        .orderBy("vec_id")),
+
     // Brute-force cosine top-k: exact baseline; query side broadcast so the
     // corpus is scanned once with no shuffle before the per-query top-k.
     "knn_bruteforce" -> ((s, dir) => bruteTopK(s, dir).orderBy("q_id", "rk")),
@@ -434,6 +448,28 @@ object VectorQueries {
       |              AS BIGINT) AS sig
       |  FROM proj GROUP BY vec_id, t)""".stripMargin
 
+  /** The dedup_embedding pair replay (adaptive bits → bit-exact signature
+    * → bucket-agreement candidates → exact-cosine verify) as a CTE chain —
+    * ONE copy shared by the pair oracle and the cluster oracle so the
+    * replay cannot drift between them (the sigCtes pattern from the text
+    * tier). Ends in `out(vec_a, vec_b, cos)`; consumers filter ≥ 0.25. */
+  private val embPairCtes =
+    s"""cnt AS (SELECT count(*) AS n FROM embeddings),
+       |nbits AS (
+       |  SELECT LEAST(24, GREATEST(8, coalesce(min(b), 24))) AS nb
+       |  FROM (SELECT unnest(range(25)) AS b), cnt WHERE (32::BIGINT << b) >= n),
+       |$planeCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM sig a JOIN sig b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
+       |out AS (
+       |  SELECT c.vec_a, c.vec_b,
+       |         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                      CAST(eb.embedding AS DOUBLE[])), 4) AS cos
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+       |  JOIN embeddings eb ON eb.vec_id = c.vec_b)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Bit-exact signature replay (see above), then the same candidate rule
     // (agree on any table, self excluded), cosine rerank and ranked top-k
@@ -463,22 +499,16 @@ object VectorQueries {
     // clamped to [8, 24] — the same rule as Embeddings.adaptiveBits), then
     // bucket-agreement candidates and the exact-cosine ≥ 0.25 verify.
     "dedup_embedding" ->
-      s"""WITH cnt AS (SELECT count(*) AS n FROM embeddings),
-         |nbits AS (
-         |  SELECT LEAST(24, GREATEST(8, coalesce(min(b), 24))) AS nb
-         |  FROM (SELECT unnest(range(25)) AS b), cnt WHERE (32::BIGINT << b) >= n),
-         |$planeCtes,
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM sig a JOIN sig b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
-         |out AS (
-         |  SELECT c.vec_a, c.vec_b,
-         |         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-         |                                      CAST(eb.embedding AS DOUBLE[])), 4) AS cos
-         |  FROM cand c
-         |  JOIN embeddings ea ON ea.vec_id = c.vec_a
-         |  JOIN embeddings eb ON eb.vec_id = c.vec_b)
+      s"""WITH $embPairCtes
          |SELECT vec_a, vec_b, cos FROM out WHERE cos >= 0.25 ORDER BY vec_a, vec_b""".stripMargin,
+
+    // the pair replay above + the shared recursive components CTE (one
+    // copy in DedupQueries so the cluster replay cannot drift per tier)
+    "emb_dedup_clusters" ->
+      s"""WITH RECURSIVE $embPairCtes,
+         |pairs AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM out WHERE cos >= 0.25),
+         |${DedupQueries.clusterCtes}
+         |SELECT doc_id AS vec_id, cluster AS canonical FROM clusters ORDER BY vec_id""".stripMargin,
 
     // Element-wise centroid via lockstep unnest/generate_subscripts, then
     // the same cosine+avg+round pipeline as the Spark side. Both engines

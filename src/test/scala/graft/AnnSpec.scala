@@ -261,4 +261,28 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
       .agg(avg("err")).as[Double].head()
     assert(est < 0.15, s"mean abs error $est")
   }
+
+  test("emb_dedup_clusters: matches union-find over the pair relation") {
+    val pairs = SparkEntry.queries("dedup_embedding")(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSeq
+    val got = SparkEntry.queries("emb_dedup_clusters")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    // reference: plain union-find with min-id representatives
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+        parent(hi) = lo }
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    assert(got.keySet == members.toSet, "every paired vector, nothing else")
+    members.foreach { v =>
+      val comp = members.filter(m => find(m) == find(v))
+      assert(got(v) == comp.min, s"vec $v: canonical must be component min")
+    }
+  }
 }
