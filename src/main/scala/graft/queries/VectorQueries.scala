@@ -39,6 +39,20 @@ object VectorQueries {
         .transform(graft.operators.Checkpointing.cut)
     }
 
+  /** Canonical clusters over the embedding pair graph — the stored
+    * artifact BOTH semantic-dedup consumers (cluster report, keep list)
+    * read; iterative components run once per (session, sf-dir). */
+  private val embClustersMemo = new graft.operators.SessionMemo[DataFrame]
+
+  private def embClusters(s: SparkSession, dir: String): DataFrame =
+    embClustersMemo.get(s, dir) {
+      graft.operators.Dedup.canonicalClusters(
+          embPairs(s, dir).select(col("vec_a").as("doc_a"),
+            col("vec_b").as("doc_b")))
+        .select(col("doc_id").as("vec_id"), col("canonical"))
+        .transform(graft.operators.Checkpointing.cut)
+    }
+
   private val pqM = 8
   private val pqK = 16
   private val pqShortlist = 50
@@ -198,11 +212,35 @@ object VectorQueries {
     // the text/image tiers; output is linear in vectors even where the
     // pair graph is dense (the 30× multimodal lesson).
     "emb_dedup_clusters" -> ((s, dir) =>
-      graft.operators.Dedup.canonicalClusters(
-          embPairs(s, dir).select(col("vec_a").as("doc_a"),
-            col("vec_b").as("doc_b")))
-        .select(col("doc_id").as("vec_id"), col("canonical"))
-        .orderBy("vec_id")),
+      embClusters(s, dir).orderBy("vec_id")),
+
+    // The semantic-dedup DECISION (SemDeDup's keep rule): within each
+    // embedding cluster keep the member with the LOWEST cosine to the
+    // cluster centroid (the least-redundant example — retaining it
+    // maximizes what the cluster contributes post-dedup), vec_id
+    // tie-break on the 4dp-rounded score (the emb_outliers determinism
+    // pattern). Centroids are one bounded aggregate over cluster members
+    // only (a sliver of the corpus) broadcast back; the winner is a
+    // map-side min_by argmin + co-hashed join — no per-cluster window, a
+    // viral semantic cluster can't single-reduce.
+    "emb_keep_list" -> ((s, dir) => {
+      val mem = embClusters(s, dir).join(emb(s, dir), "vec_id")
+      val cents = graft.operators.Embeddings.labelCentroids(
+        mem, "canonical", "embedding")
+      val scored = graft.operators.CacheLease.lease(
+        mem.join(broadcast(cents), mem("canonical") === cents("label"))
+          .select(col("vec_id"), col("canonical"),
+            round(graft.plans.CosineSim.cosine(s, col("embedding"),
+              col("centroid")), 4).as("cos_to_centroid")))
+      val kept = scored.groupBy("canonical")
+        .agg(expr("min_by(vec_id, struct(cos_to_centroid, vec_id))")
+          .as("kept_vec"))
+      scored.join(kept, "canonical")
+        .select(col("vec_id"), col("canonical").as("cluster"),
+          col("cos_to_centroid"),
+          (col("vec_id") === col("kept_vec")).as("keep"), col("kept_vec"))
+        .orderBy("vec_id")
+    }),
 
     // Brute-force cosine top-k: exact baseline; query side broadcast so the
     // corpus is scanned once with no shuffle before the per-query top-k.
@@ -509,6 +547,40 @@ object VectorQueries {
          |pairs AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM out WHERE cos >= 0.25),
          |${DedupQueries.clusterCtes}
          |SELECT doc_id AS vec_id, cluster AS canonical FROM clusters ORDER BY vec_id""".stripMargin,
+
+    // cluster replay + lockstep-unnest centroids (the emb_centroids
+    // arithmetic) + the same 4dp-rounded (cos, vec_id) keep rank; the
+    // oracle states the rank-1 SPEC with a window, the Spark side selects
+    // the identical winner via the distributed min_by argmin
+    "emb_keep_list" ->
+      s"""WITH RECURSIVE $embPairCtes,
+         |pairs AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM out WHERE cos >= 0.25),
+         |${DedupQueries.clusterCtes},
+         |mem AS (
+         |  SELECT c.doc_id AS vec_id, c.cluster, e.embedding
+         |  FROM clusters c JOIN embeddings e ON e.vec_id = c.doc_id),
+         |cd AS (
+         |  SELECT cluster, generate_subscripts(embedding, 1) AS dim,
+         |         unnest(CAST(embedding AS DOUBLE[])) AS x
+         |  FROM mem),
+         |cent AS (
+         |  SELECT cluster, list(cx ORDER BY dim) AS centroid
+         |  FROM (SELECT cluster, dim, avg(x) AS cx FROM cd GROUP BY cluster, dim)
+         |  GROUP BY cluster),
+         |scored AS (
+         |  SELECT m.vec_id, m.cluster,
+         |         round(list_cosine_similarity(CAST(m.embedding AS DOUBLE[]),
+         |                                      c.centroid), 4) AS cos_to_centroid
+         |  FROM mem m JOIN cent c USING (cluster)),
+         |kept AS (
+         |  SELECT cluster, vec_id AS kept_vec FROM (
+         |    SELECT cluster, vec_id,
+         |           row_number() OVER (PARTITION BY cluster
+         |                              ORDER BY cos_to_centroid, vec_id) AS rk
+         |    FROM scored) WHERE rk = 1)
+         |SELECT s.vec_id, s.cluster, s.cos_to_centroid,
+         |       (s.vec_id = k.kept_vec) AS keep, k.kept_vec
+         |FROM scored s JOIN kept k USING (cluster) ORDER BY s.vec_id""".stripMargin,
 
     // Element-wise centroid via lockstep unnest/generate_subscripts, then
     // the same cosine+avg+round pipeline as the Spark side. Both engines

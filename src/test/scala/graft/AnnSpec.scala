@@ -285,4 +285,24 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
       assert(got(v) == comp.min, s"vec $v: canonical must be component min")
     }
   }
+
+  test("emb_keep_list: one keeper per cluster, lowest (cos, vec_id) wins, no per-cluster window") {
+    val df = SparkEntry.queries("emb_keep_list")(spark, sf)
+    val rows = df.select($"vec_id", $"cluster", $"cos_to_centroid", $"keep")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (c, mem) =>
+      val kept = mem.filter(_._4)
+      assert(kept.size == 1, s"cluster $c: exactly one keeper, got ${kept.size}")
+      // SemDeDup keep rule: the member closest to "least redundant" —
+      // lowest rounded cosine to centroid, vec_id tie-break
+      val want = mem.minBy(r => (r._3, r._1))
+      assert(kept.head._1 == want._1,
+        s"cluster $c: keeper ${kept.head._1} != argmin ${want._1}")
+    }
+    // the decision must come from the distributed argmin, not a window sort
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("windowspecdefinition"),
+      "emb_keep_list must not plan a per-cluster window")
+  }
 }
