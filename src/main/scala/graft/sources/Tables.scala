@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loader for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -28,6 +30,18 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
     spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** The events table's `ts` → microseconds-since-epoch LONG, robust to the
+    * lake's physical timestamp encoding (the driver has shipped both):
+    * INT64 TIMESTAMP(NANOS) reads raw as longs under nanosAsLong → div 1000;
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false reads as TIMESTAMP_NTZ →
+    * cast under the pinned UTC session preserves the stored wall-clock
+    * value, so unix_micros equals the oracle's epoch_us(ts) exactly. */
+  def tsMicros(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType => expr("ts div 1000")
+    case TimestampNTZType => unix_micros(col("ts").cast("timestamp"))
+    case _ => unix_micros(col("ts"))
   }
 
   /** Table spread across all cores. The test tables are single small parquet
