@@ -43,7 +43,7 @@ object ChangeFeed {
         .when(col("event_type") === "error", "DELETE")
         .otherwise("UPDATE").as("op"),
       col("user_id").as("pk"),
-      expr("ts div 1000").as("ts_us"),
+      graft.sources.Tables.tsMicros(events).as("ts_us"),
       col("value"),
       col("props"))
 

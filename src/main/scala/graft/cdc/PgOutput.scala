@@ -310,7 +310,7 @@ object PgOutput {
       (ChangeFeed.relationLsn(1), PgOutput.encode(rel(ChangeFeed.accountsRelId, "accounts"))))
     val ev = events.select(
         col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000").as("ts_us"), col("value"), col("props"))
+        graft.sources.Tables.tsMicros(events).as("ts_us"), col("value"), col("props"))
       .as[(Long, Long, String, Long, Double, String)]
     val dataFrames = ev.mapPartitions { it =>
       it.map { case (eid, uid, etype, tsUs, value, props) =>

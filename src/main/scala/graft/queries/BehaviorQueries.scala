@@ -19,8 +19,10 @@ import graft.sources.Tables
 object BehaviorQueries {
 
   /** events with ts normalized to epoch microseconds (ns parquet → long). */
-  private def ev(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    e.withColumn("ts_us", Tables.tsMicros(e))
+  }
 
   /** Epoch-week bucket size in microseconds. */
   private val weekUs = 604800000000L

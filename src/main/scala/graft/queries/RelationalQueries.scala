@@ -20,8 +20,10 @@ object RelationalQueries {
     Tables(s, dir, name)
 
   /** events with ts normalized to epoch microseconds (ns parquet → long). */
-  private def ev(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.withColumn("ts_us", Tables.tsMicros(e))
+  }
 
   private def revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
 

@@ -34,14 +34,24 @@ object Tables {
 
   /** The events table's `ts` → microseconds-since-epoch LONG, robust to the
     * lake's physical timestamp encoding (the driver has shipped both):
-    * INT64 TIMESTAMP(NANOS) reads raw as longs under nanosAsLong → div 1000;
-    * TIMESTAMP(MICROS) with isAdjustedToUTC=false reads as TIMESTAMP_NTZ →
-    * cast under the pinned UTC session preserves the stored wall-clock
-    * value, so unix_micros equals the oracle's epoch_us(ts) exactly. */
-  def tsMicros(df: DataFrame): Column = df.schema("ts").dataType match {
-    case LongType => expr("ts div 1000")
-    case TimestampNTZType => unix_micros(col("ts").cast("timestamp"))
-    case _ => unix_micros(col("ts"))
+    * INT64 TIMESTAMP(NANOS) reads raw as longs under nanosAsLong → floor
+    * div 1000 (floor, not `div`, so pre-epoch nanos round the same way the
+    * unix_micros branches do); TIMESTAMP(MICROS) with isAdjustedToUTC=false
+    * reads as TIMESTAMP_NTZ → cast under a UTC session preserves the stored
+    * wall-clock value, so unix_micros equals the oracle's epoch_us(ts)
+    * exactly. The UTC pin is re-asserted here so the NTZ branch stays
+    * correct even if a caller reset the session timezone after load. */
+  def tsMicros(df: DataFrame): Column = {
+    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    df.schema("ts").dataType match {
+      // ts div 1000 truncates toward zero; subtract 1 when a negative value
+      // has a remainder so the result is floor(ts / 1000) without the
+      // precision loss of a double-typed division at ~1e18 nanos.
+      case LongType =>
+        expr("ts div 1000 + (CASE WHEN ts < 0 AND ts % 1000 != 0 THEN -1 ELSE 0 END)")
+      case TimestampNTZType => unix_micros(col("ts").cast("timestamp"))
+      case _ => unix_micros(col("ts"))
+    }
   }
 
   /** Table spread across all cores. The test tables are single small parquet

@@ -66,8 +66,9 @@ class BehaviorPipelineSpec extends AnyFunSuite with SparkTestBase {
     val got = SparkEntry.queries("q_retention")(spark, sf)
       .as[(Long, Long, Long)].collect().toSeq
     assert(got.forall(_._2 >= 0))
-    val cohortSizes = sources.Tables(spark, sf, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val evBase = sources.Tables(spark, sf, "events")
+    val cohortSizes = evBase
+      .withColumn("ts_us", sources.Tables.tsMicros(evBase))
       .filter($"event_type" === "signup")
       .groupBy("user_id").agg(expr(s"min(ts_us) div $weekUs").as("cohort_wk"))
       .groupBy("cohort_wk").agg(count(lit(1)).as("n"))

@@ -156,7 +156,9 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     // assertion uses the reader-agnostic skipping proxy: count files whose
     // per-file [min, max] envelope intersects the predicate — exactly what
     // parquet footer pruning consults.
-    val ev = Tables(spark, sf, "events").select("event_id", "user_id", "value", "ts")
+    val evBase = Tables(spark, sf, "events")
+    val ev = evBase.select(col("event_id"), col("user_id"), col("value"),
+      Tables.tsMicros(evBase).as("ts"))
     val base = java.nio.file.Files.createTempDirectory("zorder").toString
     val nFiles = 16
     ev.repartitionByRange(nFiles, $"user_id")
@@ -225,7 +227,8 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
 
   test("partitioned lake: day filter prunes partitions at the scan") {
     val path = java.nio.file.Files.createTempDirectory("lake").toString + "/events"
-    val ev = Tables(spark, sf, "events").withColumn("ts_us", expr("ts div 1000"))
+    val evBase = Tables(spark, sf, "events")
+    val ev = evBase.withColumn("ts_us", Tables.tsMicros(evBase))
     graft.sources.PartitionedLake.writeByDay(ev, "ts_us", path)
     val nDays = spark.read.parquet(path).select("day").distinct().count()
     assert(nDays > 1, s"need multiple day partitions, got $nDays")
