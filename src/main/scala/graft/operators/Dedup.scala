@@ -302,4 +302,69 @@ object Dedup {
         round(col("dup_spans").cast("double") / col("n_spans").cast("double"), 4)
           .as("dup_span_ratio"))
   }
+
+  /** LSH quality audit: the sketch's verified pair set graded against exact
+    * Jaccard ≥ tNum/tDen over the same gram family, as one
+    * (n_lsh, n_exact, n_both, precision, recall) row.
+    *
+    * The audit's entire cost is the exact join, which is why one audits
+    * instead of always running exact — so the DEFAULT posture is the one
+    * that survives 100 TB: grade on a deterministic md5 content-hash
+    * stratum (`substr(md5(text),1,1) < stratumBound`; membership depends
+    * only on the content bytes, so the stratum replays bit-identically
+    * across engines, reruns and reshards). Both pair endpoints must land
+    * in the stratum and the exact side's gram INPUT is semi-joined down
+    * before any pair generation, so pair work falls by the stratum
+    * fraction squared. Restricting exact Jaccard to stratum endpoints
+    * commutes with computing it on the stratum (pair membership is a
+    * property of the pair alone; the prefix filter is per-pair lossless),
+    * which makes the sampled estimate unbiased for pairs-within-stratum.
+    *
+    * The full-corpus exact join — inherently quadratic in near-dup mass —
+    * requires the explicit `fullCorpus = true` opt-in and exists as the
+    * small-SF oracle of record and for one-off forensics, never as the
+    * default plan.
+    *
+    * @param estPairs    sketch-verified pairs (doc_a, doc_b)
+    * @param rankedGrams [[rankedByRarity]] artifact for the exact side
+    * @param docTexts    (doc_id, text) — stratum membership source
+    * @param stratumBound first-hex-char bound: "8" = half the corpus;
+    *                     narrow to "1" (1/16) or lower as corpus grows */
+  def lshAudit(
+      estPairs: DataFrame,
+      rankedGrams: DataFrame,
+      docTexts: DataFrame,
+      tNum: Int = 1, tDen: Int = 2,
+      fullCorpus: Boolean = false,
+      stratumBound: String = "8"): DataFrame = {
+    val (est, grams) =
+      if (fullCorpus) (estPairs, rankedGrams)
+      else {
+        val stratum = docTexts
+          .filter(substring(md5(col("text")), 1, 1) < lit(stratumBound))
+          .select("doc_id")
+        def inStratum(df: DataFrame, c: String) =
+          df.join(stratum.withColumnRenamed("doc_id", c), Seq(c), "left_semi")
+        (inStratum(inStratum(estPairs, "doc_a"), "doc_b"),
+          inStratum(rankedGrams, "doc_id"))
+      }
+    auditRow(
+      est.select(col("doc_a"), col("doc_b")),
+      jaccardPairsFromRanked(grams, tNum, tDen).select(col("doc_a"), col("doc_b")))
+  }
+
+  /** One precision/recall row from an estimated and an exact pair set. */
+  private def auditRow(est: DataFrame, exact: DataFrame): DataFrame =
+    est.withColumn("in_est", lit(1L))
+      .join(exact.withColumn("in_ex", lit(1L)), Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_est"), lit(0L))).as("n_lsh"),
+        sum(coalesce(col("in_ex"), lit(0L))).as("n_exact"),
+        sum(when(col("in_est").isNotNull && col("in_ex").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"))
+      .select(col("n_lsh"), col("n_exact"), col("n_both"),
+        round(col("n_both").cast("double") / greatest(col("n_lsh"), lit(1L)), 4)
+          .as("lsh_precision"),
+        round(col("n_both").cast("double") / greatest(col("n_exact"), lit(1L)), 4)
+          .as("lsh_recall"))
 }

@@ -282,62 +282,27 @@ object DedupQueries {
     // LSH quality audit — the tuning diagnostic a data team runs before
     // trusting a band configuration: the minhash pipeline's verified
     // pairs (est ≥ 0.5) against EXACT Jaccard ≥ 0.5 over the same 3-gram
-    // family, as one precision/recall row. Both sides are the stored
-    // memoized artifacts (signature table, ranked-gram table); the exact
-    // side's prefix filter is lossless at any threshold, so this measures
-    // the SKETCH's error, not candidate-generation loss. In production
-    // this runs on a sampled stratum — the audit's cost is the exact
-    // join's, which is why one audits instead of always running exact.
+    // family, as one precision/recall row (operators/Dedup.lshAudit).
+    // Both sides are the stored memoized artifacts (signature table,
+    // ranked-gram table); the exact side's prefix filter is lossless at
+    // any threshold, so this measures the SKETCH's error, not
+    // candidate-generation loss. This key is the `fullCorpus = true`
+    // opt-in form — the small-SF oracle of record; the operator's DEFAULT
+    // is the sampled stratum below, which is the plan that runs at 100 TB.
     "dedup_lsh_audit" -> ((s, dir) =>
-      auditRow(
-        minhashPairs(s, dir).select(col("doc_a"), col("doc_b")),
-        graft.operators.Dedup.jaccardPairsFromRanked(
-            rankedGrams(s, dir), tNum = 1, tDen = 2)
-          .select(col("doc_a"), col("doc_b")))),
+      graft.operators.Dedup.lshAudit(
+        minhashPairs(s, dir), rankedGrams(s, dir), docs(s, dir),
+        tNum = 1, tDen = 2, fullCorpus = true)),
 
-    // The PRODUCTION form of the audit: grade the sketch on a deterministic
-    // md5 hash-stratum instead of the whole corpus. Membership depends only
-    // on the content bytes (first hex char of md5(text) < '8' — half the
-    // docs; at 100 TB narrow it to '0'..'1' or a single char for 1/16), so
-    // the stratum replays bit-identically across engines, reruns and
-    // reshards — the same determinism argument as stratified sampling. The
-    // audit's entire cost is the exact join, and that join's INPUT is
-    // filtered here (stratum docs only, a semi-join on 8-byte ids before
-    // any pair generation), so pair work falls by the stratum fraction
-    // squared; the full-corpus form above stays as the small-SF oracle of
-    // record. Restricting exact Jaccard to stratum endpoints commutes with
-    // computing it on the stratum (pair membership is a property of the
-    // pair alone; the prefix filter is per-pair lossless), which is what
-    // makes the sampled estimate unbiased for pairs-within-stratum.
-    "dedup_lsh_audit_sampled" -> ((s, dir) => {
-      val stratum = docs(s, dir)
-        .filter(substring(md5(col("text")), 1, 1) < lit("8"))
-        .select("doc_id")
-      def inStratum(df: DataFrame, c: String) =
-        df.join(stratum.withColumnRenamed("doc_id", c), Seq(c), "left_semi")
-      auditRow(
-        inStratum(inStratum(
-          minhashPairs(s, dir).select(col("doc_a"), col("doc_b")), "doc_a"), "doc_b"),
-        graft.operators.Dedup.jaccardPairsFromRanked(
-            inStratum(rankedGrams(s, dir), "doc_id"), tNum = 1, tDen = 2)
-          .select(col("doc_a"), col("doc_b")))
-    }))
-
-  /** One precision/recall row from an estimated and an exact pair set —
-    * the shared tail of both audit forms. */
-  private def auditRow(est: DataFrame, exact: DataFrame): DataFrame =
-    est.withColumn("in_est", lit(1L))
-      .join(exact.withColumn("in_ex", lit(1L)), Seq("doc_a", "doc_b"), "full_outer")
-      .agg(
-        sum(coalesce(col("in_est"), lit(0L))).as("n_lsh"),
-        sum(coalesce(col("in_ex"), lit(0L))).as("n_exact"),
-        sum(when(col("in_est").isNotNull && col("in_ex").isNotNull, 1L)
-          .otherwise(0L)).as("n_both"))
-      .select(col("n_lsh"), col("n_exact"), col("n_both"),
-        round(col("n_both").cast("double") / greatest(col("n_lsh"), lit(1L)), 4)
-          .as("lsh_precision"),
-        round(col("n_both").cast("double") / greatest(col("n_exact"), lit(1L)), 4)
-          .as("lsh_recall"))
+    // The PRODUCTION form of the audit — Dedup.lshAudit's default posture:
+    // grade the sketch on a deterministic md5 hash-stratum (first hex char
+    // of md5(text) < '8' — half the docs; at 100 TB narrow to "1" for
+    // 1/16). Pair work falls by the stratum fraction squared; see the
+    // operator's scaladoc for the unbiasedness argument.
+    "dedup_lsh_audit_sampled" -> ((s, dir) =>
+      graft.operators.Dedup.lshAudit(
+        minhashPairs(s, dir), rankedGrams(s, dir), docs(s, dir),
+        tNum = 1, tDen = 2)))
 
   /** Shared DuckDB replay of the minhash signature pipeline (the exact math
     * of `Md5MinHashFromText` + `LshBandsExpr` semantics): same lower/trim/

@@ -106,4 +106,20 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("lsh audit posture: the DEFAULT operator path is the stratum-filtered join") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    def semiJoins(name: String): Int =
+      SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+        .collect { case j: Join if j.joinType == LeftSemi => j }.size
+    // Dedup.lshAudit without fullCorpus=true must gate BOTH pair endpoints
+    // and the exact side's gram input through the stratum semi-join — three
+    // LeftSemi joins — so the quadratic exact join never sees the full
+    // corpus unless explicitly asked to
+    assert(semiJoins("dedup_lsh_audit_sampled") >= 3,
+      "sampled audit must stratum-filter est pairs (both endpoints) and exact grams")
+    // and the opt-in full form is the only path with no stratum gate
+    assert(semiJoins("dedup_lsh_audit") == 0,
+      "full audit is the explicit fullCorpus=true opt-in; no hidden sampling")
+  }
 }
