@@ -1,6 +1,6 @@
 package graft.cdc
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -109,4 +109,38 @@ object Apply {
       count(lit(1)).as("n_events"),
       max(col("lsn")).as("watermark_lsn"),
       round(sum(col("value")), 4).as("sum_value"))
+
+  /** Point-in-time (time-travel) state: [[latestSnapshot]] as of WAL
+    * position `lsn` — the table a consumer that stopped acking at `lsn`
+    * would have materialized. The LSN filter sits under the per-key window,
+    * so it pushes into the scan and the shuffle carries only the prefix. */
+  def asOf(feed: DataFrame, lsn: Long): DataFrame =
+    latestSnapshot(feed.filter(col("lsn") <= lsn))
+
+  /** State diff between two WAL positions: per key, its `lsnA`-state vs
+    * `lsnB`-state, classified ADDED / REMOVED / MODIFIED (keys whose state
+    * is identical at both positions are absent — a diff, not a join dump).
+    *
+    * Scale shape: ONE groupBy(table, pk) computes both states via
+    * conditional max_by (null ordering keys are skipped, so the `lsn ≤ A`
+    * branch simply ignores later events) — map-side partials, a single
+    * shuffle, no window, no self-join of two snapshots. A tombstoned state
+    * (last op DELETE) counts as absent, matching [[latestSnapshot]]. */
+  def snapshotDiff(feed: DataFrame, lsnA: Long, lsnB: Long): DataFrame = {
+    require(lsnA < lsnB, s"diff wants lsnA < lsnB, got $lsnA >= $lsnB")
+    def state(bound: Long) = max_by(
+      struct(col("op"), col("value")),
+      when(col("lsn") <= bound, col("lsn")))
+    def live(s: Column) = s.isNotNull && s.getField("op") =!= "DELETE"
+    feed.groupBy("table_name", "pk")
+      .agg(state(lsnA).as("sa"), state(lsnB).as("sb"))
+      .select(col("table_name"), col("pk"),
+        when(live(col("sa")), col("sa").getField("value")).as("value_a"),
+        when(live(col("sb")), col("sb").getField("value")).as("value_b"))
+      .withColumn("change",
+        when(col("value_a").isNull && col("value_b").isNotNull, "ADDED")
+          .when(col("value_a").isNotNull && col("value_b").isNull, "REMOVED")
+          .when(col("value_a") =!= col("value_b"), "MODIFIED"))
+      .filter(col("change").isNotNull)
+  }
 }

@@ -45,7 +45,26 @@ object BehaviorQueries {
     // collapses the log to one row per user-week BEFORE the cohort join.
     "q_retention" -> ((s, dir) =>
       graft.operators.Behavior.retention(ev(s, dir), "user_id", "event_type",
-        "ts_us", "signup", weekUs)))
+        "ts_us", "signup", weekUs)),
+
+    // Event-type Markov transition matrix: per-user next-event pairing
+    // (lead over the per-user stream — per-key window, bounded by a user's
+    // fan-in), then one groupBy on the O(types²) pair space; the row
+    // probability normalizes over the aggregated table, so no second pass
+    // over the log. (event_id breaks ts ties deterministically.)
+    "q_transition_matrix" -> ((s, dir) => {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val trans = ev(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      val byFrom = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+      trans.withColumn("p_trans",
+          round(col("n_trans").cast("double") / sum("n_trans").over(byFrom), 4))
+        .orderBy("from_type", "to_type")
+    }))
 
   private val evCte =
     "WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events)"
@@ -81,5 +100,17 @@ object BehaviorQueries {
          |FROM act JOIN su ON act.user_id = su.user_id
          |WHERE act.wk >= su.cohort_wk
          |GROUP BY su.cohort_wk, week_offset
-         |ORDER BY cohort_wk, week_offset""".stripMargin)
+         |ORDER BY cohort_wk, week_offset""".stripMargin,
+
+    "q_transition_matrix" ->
+      s"""$evCte,
+         |t AS (
+         |  SELECT event_type AS from_type,
+         |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type
+         |  FROM e),
+         |m AS (SELECT from_type, to_type, count(*) AS n_trans
+         |      FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT from_type, to_type, CAST(n_trans AS BIGINT) AS n_trans,
+         |       round(CAST(n_trans AS DOUBLE) / sum(n_trans) OVER (PARTITION BY from_type), 4) AS p_trans
+         |FROM m ORDER BY from_type, to_type""".stripMargin)
 }

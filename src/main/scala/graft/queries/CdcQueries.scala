@@ -66,6 +66,18 @@ object CdcQueries {
     "cdc_latest_snapshot" -> ((s, dir) =>
       Apply.latestSnapshot(feed(s, dir)).orderBy("table_name", "pk")),
 
+    // Point-in-time (time-travel) read: the materialized state a consumer
+    // that stopped acking at LSN 700 would hold.
+    "cdc_as_of" -> ((s, dir) =>
+      Apply.asOf(feed(s, dir), 700L).orderBy("table_name", "pk")),
+
+    // State diff between two WAL positions (ADDED/REMOVED/MODIFIED keys) —
+    // ONE groupBy computes both states via conditional max_by; no
+    // snapshot-vs-snapshot self-join.
+    "cdc_snapshot_diff" -> ((s, dir) =>
+      Apply.snapshotDiff(feed(s, dir), 300L, 700L)
+        .orderBy("table_name", "pk")),
+
     "cdc_upsert_apply" -> ((s, dir) =>
       Apply.upsert(Tables(s, dir, "customer"),
           Publication("users")(feed(s, dir)), "users", "c_custkey", "c_acctbal")
@@ -224,6 +236,40 @@ object CdcQueries {
          |  SELECT *, row_number() OVER (PARTITION BY table_name, pk ORDER BY lsn DESC) AS rn
          |  FROM feed)
          |WHERE rn = 1 AND op <> 'DELETE' ORDER BY table_name, pk""".stripMargin,
+
+    "cdc_as_of" ->
+      s"""$cte
+         |SELECT table_name, pk, lsn, op, value, props FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY table_name, pk ORDER BY lsn DESC) AS rn
+         |  FROM feed WHERE lsn <= 700)
+         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY table_name, pk""".stripMargin,
+
+    // two point-in-time states per key via conditional max_by (rows with a
+    // NULL ordering key are skipped by max_by in both engines), tombstones
+    // count as absent, identical states drop out
+    "cdc_snapshot_diff" ->
+      s"""$cte,
+         |st AS (
+         |  SELECT table_name, pk,
+         |         max_by(struct_pack(op := op, value := value),
+         |                CASE WHEN lsn <= 300 THEN lsn END) AS sa,
+         |         max_by(struct_pack(op := op, value := value),
+         |                CASE WHEN lsn <= 700 THEN lsn END) AS sb
+         |  FROM feed GROUP BY 1, 2),
+         |d AS (
+         |  SELECT table_name, pk,
+         |         CASE WHEN sa IS NOT NULL AND sa.op <> 'DELETE' THEN sa.value END AS value_a,
+         |         CASE WHEN sb IS NOT NULL AND sb.op <> 'DELETE' THEN sb.value END AS value_b
+         |  FROM st)
+         |SELECT table_name, pk, value_a, value_b,
+         |       CASE WHEN value_a IS NULL AND value_b IS NOT NULL THEN 'ADDED'
+         |            WHEN value_a IS NOT NULL AND value_b IS NULL THEN 'REMOVED'
+         |            WHEN value_a <> value_b THEN 'MODIFIED' END AS change
+         |FROM d
+         |WHERE (CASE WHEN value_a IS NULL AND value_b IS NOT NULL THEN 'ADDED'
+         |            WHEN value_a IS NOT NULL AND value_b IS NULL THEN 'REMOVED'
+         |            WHEN value_a <> value_b THEN 'MODIFIED' END) IS NOT NULL
+         |ORDER BY table_name, pk""".stripMargin,
 
     "cdc_upsert_apply" ->
       s"""$cte,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -35,6 +35,32 @@ object TextQueries {
           explode(Text.wsTokens(lower(col("text")))).as("tok"))
         .filter(col("tok") =!= "")
         .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+        .transform(graft.operators.Checkpointing.cut)
+    }
+
+  /** The corpus-LM document scores (doc_id, n_tokens, lm_score) — memoized
+    * like [[sourceTokenCounts]]: text_lm_score and text_ccnet_buckets both
+    * read it, and a production pipeline scores the corpus once per session.
+    * Empty/whitespace-only docs tokenize to one "" pseudo-token — filtered
+    * so degenerate docs can't become a high-frequency vocabulary entry that
+    * scores them ABOVE real prose (they get n_tokens = 0 and a null score
+    * instead, consistent with wsTokenCount/text_entropy). */
+  private val lmMemo = new graft.operators.SessionMemo[DataFrame]
+
+  private def lmScored(s: SparkSession, dir: String): DataFrame =
+    lmMemo.get(s, dir) {
+      val tok = docs(s, dir).select(col("doc_id"),
+        explode(Text.wsTokens(lower(col("text")))).as("tok"))
+        .filter(col("tok") =!= "")
+      val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = freq.agg(sum("cnt").as("total"))
+      val scored = tok.join(freq, "tok").crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(log(col("cnt").cast("double") / col("total"))), 4).as("lm_score"))
+      docs(s, dir).select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("lm_score"))
         .transform(graft.operators.Checkpointing.cut)
     }
 
@@ -77,23 +103,73 @@ object TextQueries {
     // frequency table, one shuffle join token→freq (the vocab is too big to
     // broadcast at corpus scale), one groupBy(doc) — all linear; the corpus
     // total rides a broadcast 1-row aggregate, never a driver collect.
-    "text_lm_score" -> ((s, dir) => {
-      // empty/whitespace-only docs tokenize to one "" pseudo-token — filter
-      // it so degenerate docs can't become a high-frequency vocabulary
-      // entry that scores them ABOVE real prose (they get n_tokens = 0 and
-      // a null score instead, consistent with wsTokenCount/text_entropy)
-      val tok = docs(s, dir).select(col("doc_id"),
-        explode(Text.wsTokens(lower(col("text")))).as("tok"))
-        .filter(col("tok") =!= "")
-      val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val total = freq.agg(sum("cnt").as("total"))
-      val scored = tok.join(freq, "tok").crossJoin(broadcast(total))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          round(avg(log(col("cnt").cast("double") / col("total"))), 4).as("lm_score"))
-      docs(s, dir).select(col("doc_id")).join(scored, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("lm_score"))
+    "text_lm_score" -> ((s, dir) => lmScored(s, dir).orderBy("doc_id")),
+
+    // CCNet-style corpus partition (Wenzek et al. 2020): per language, split
+    // docs into head/middle/tail terciles by LM score. The boundaries come
+    // from an integer score HISTOGRAM (score × 10⁴ as a long), not a
+    // per-language sort: groupBy(lang, score) is bounded by the score
+    // domain (~10⁵ values), the cumulative window runs over that aggregated
+    // table, and docs bucket by comparing against the broadcast boundary
+    // pair — map-only on the corpus, exact integer rank math (3·cum ≥ k·n),
+    // no interpolation, no per-stratum single-reducer sort. Ties share a
+    // bucket (the CCNet perplexity-cut behavior), so no tie-break order is
+    // ever needed.
+    "text_ccnet_buckets" -> ((s, dir) => {
+      val sc = lmScored(s, dir).filter(col("lm_score").isNotNull)
+        .join(docs(s, dir).select("doc_id", "lang"), "doc_id")
+        .select(col("lang"),
+          round(col("lm_score") * 10000).cast("long").as("score_e4"))
+      val hist = sc.groupBy("lang", "score_e4").agg(count(lit(1)).as("cnt"))
+      val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      val cum = hist
+        .withColumn("cum", sum("cnt").over(byLang.orderBy("score_e4")))
+        .withColumn("n", sum("cnt").over(byLang))
+      val bounds = cum.groupBy("lang").agg(
+        min(when(col("cum") * 3 >= col("n"), col("score_e4"))).as("b_lo"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("score_e4"))).as("b_hi"))
+      sc.join(broadcast(bounds), "lang")
+        .withColumn("bucket",
+          when(col("score_e4") <= col("b_lo"), "tail")
+            .when(col("score_e4") > col("b_hi"), "head")
+            .otherwise("middle"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("score_e4").as("min_score_e4"),
+          max("score_e4").as("max_score_e4"))
+        .orderBy("lang", "bucket")
+    }),
+
+    // Gopher-style quality rules (Rae et al. 2021, table A1 subset): word
+    // count in [50, 10⁵], mean word length in [3, 10], ≥ 80% words with an
+    // alphabetic char, ≥ 2 stopword hits. Map-only; every rule flag is
+    // EXACT integral cross-multiplication (5·n_alpha ≥ 4·n_tokens, never a
+    // comparison on the rounded display ratio), so the pass bit replays
+    // bit-identically in the oracle.
+    "text_gopher_filters" -> ((s, dir) => {
+      val toks = Text.wsTokens(col("text"))
+      val lowToks = Text.wsTokens(lower(col("text")))
+      val nTok = size(toks)
+      val nWords = Text.wsTokenCount(col("text"))
+      val nChars = length(col("text"))
+      val sepAdj = nChars - (nTok - lit(1)) // chars net of single separators
+      val nAlpha = size(filter(toks, t => t.rlike("[a-zA-Z]")))
+      val nStop = size(filter(lowToks,
+        t => t.isin(Text.stopwords.map(x => x: Any): _*))).cast("long")
+      def flag(c: Column) = when(c, 1L).otherwise(0L)
+      val okWords = flag(nWords >= 50 && nWords <= 100000)
+      val okMean = flag(sepAdj >= nTok * 3 && sepAdj <= nTok * 10)
+      val okAlpha = flag(nAlpha * 5 >= nTok * 4)
+      val okStop = flag(nStop >= 2)
+      docs(s, dir).select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        round(sepAdj.cast("double") / greatest(nTok, lit(1)), 4).as("mean_word_len"),
+        round(nAlpha.cast("double") / greatest(nTok, lit(1)), 4).as("frac_alpha_words"),
+        nStop.as("n_stop"),
+        okWords.as("ok_word_count"), okMean.as("ok_mean_len"),
+        okAlpha.as("ok_alpha"), okStop.as("ok_stop"),
+        (okWords * okMean * okAlpha * okStop).as("gopher_pass"))
         .orderBy("doc_id")
     }),
 
@@ -408,6 +484,76 @@ object TextQueries {
         |SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, s.lm_score
         |FROM documents d LEFT JOIN scored s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // same LM CTE, then integer-histogram tercile boundaries per lang
+    // (3·cum ≥ k·n — exact integer rank math, ties share a bucket)
+    "text_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT count(*) AS total FROM toks),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |         round(avg(ln(CAST(f.cnt AS DOUBLE) / tt.total)), 4) AS lm_score
+        |  FROM toks t JOIN freq f USING (tok) CROSS JOIN tot tt
+        |  GROUP BY t.doc_id),
+        |sc AS (
+        |  SELECT d.lang, CAST(round(s.lm_score * 10000) AS BIGINT) AS score_e4
+        |  FROM documents d JOIN scored s USING (doc_id)),
+        |hist AS (SELECT lang, score_e4, count(*) AS cnt FROM sc GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, score_e4,
+        |         sum(cnt) OVER (PARTITION BY lang ORDER BY score_e4) AS cum,
+        |         sum(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM hist),
+        |bounds AS (
+        |  SELECT lang,
+        |         min(CASE WHEN cum * 3 >= n THEN score_e4 END) AS b_lo,
+        |         min(CASE WHEN cum * 3 >= n * 2 THEN score_e4 END) AS b_hi
+        |  FROM cum GROUP BY lang),
+        |b AS (
+        |  SELECT sc.lang,
+        |         CASE WHEN score_e4 <= b_lo THEN 'tail'
+        |              WHEN score_e4 > b_hi THEN 'head'
+        |              ELSE 'middle' END AS bucket,
+        |         score_e4
+        |  FROM sc JOIN bounds USING (lang))
+        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(score_e4) AS min_score_e4, max(score_e4) AS max_score_e4
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // integral rule flags (cross-multiplied), ratios rounded for display only
+    "text_gopher_filters" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, length(text) AS n_chars,
+         |         regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t,
+         |         regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS lt,
+         |         CASE WHEN length(trim(text)) = 0 THEN 0
+         |              ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS n_words
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, n_words,
+         |         len(t) AS n_tok,
+         |         n_chars - len(t) + 1 AS sep_adj,
+         |         len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+         |         len(list_filter(lt, x -> x IN ($stopList))) AS n_stop
+         |  FROM f),
+         |r AS (
+         |  SELECT doc_id, n_words,
+         |         round(CAST(sep_adj AS DOUBLE) / greatest(n_tok, 1), 4) AS mean_word_len,
+         |         round(CAST(n_alpha AS DOUBLE) / greatest(n_tok, 1), 4) AS frac_alpha_words,
+         |         CAST(n_stop AS BIGINT) AS n_stop,
+         |         CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS ok_word_count,
+         |         CAST(CASE WHEN sep_adj >= n_tok * 3 AND sep_adj <= n_tok * 10 THEN 1 ELSE 0 END AS BIGINT) AS ok_mean_len,
+         |         CAST(CASE WHEN n_alpha * 5 >= n_tok * 4 THEN 1 ELSE 0 END AS BIGINT) AS ok_alpha,
+         |         CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok_stop
+         |  FROM g)
+         |SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stop,
+         |       ok_word_count, ok_mean_len, ok_alpha, ok_stop,
+         |       ok_word_count * ok_mean_len * ok_alpha * ok_stop AS gopher_pass
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // identical rational tf·idf: integers into one * and one /, both
     // correctly-rounded IEEE — rank comparisons see identical doubles

@@ -246,6 +246,23 @@ object VectorQueries {
     // corpus is scanned once with no shuffle before the per-query top-k.
     "knn_bruteforce" -> ((s, dir) => bruteTopK(s, dir).orderBy("q_id", "rk")),
 
+    // Radius (range) search: every neighbor within cosine ≥ 0.25 of each
+    // sampled query — the fixed-threshold dual of top-k. Map-only at any
+    // corpus size: the bounded query sample broadcasts, each partition
+    // scores its slice locally, and only matches survive; no shuffle, no
+    // heap. Both engines emit bit-identical rounded cosines (the
+    // CosineSim lockstep fold), so the threshold cut replays exactly.
+    "knn_range_search" -> ((s, dir) => {
+      val base = emb(s, dir)
+      val q = base.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      base.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          round(graft.plans.CosineSim.cosine(s, col("q_emb"), col("embedding")), 4).as("cos"))
+        .filter(col("cos") >= 0.25)
+        .orderBy("q_id", "neighbor_id")
+    }),
+
     // Per-cluster centroids + cohesion (see Embeddings.labelCentroids for
     // the scale shape).
     "emb_centroids" -> ((s, dir) => {
@@ -675,6 +692,17 @@ object VectorQueries {
          |  FROM scored)
          |SELECT q_id, rk, neighbor_id, cos FROM ranked WHERE rk <= $topK
          |ORDER BY q_id, rk""".stripMargin,
+
+    "knn_range_search" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |           WHERE vec_id < $nQueries),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(
+         |           CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cos
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id)
+         |SELECT q_id, neighbor_id, cos FROM scored WHERE cos >= 0.25
+         |ORDER BY q_id, neighbor_id""".stripMargin,
 
     // Full PQ replay (sub = 64/8 = 8 dims hardcoded for the test lake; the
     // Spark side derives it from the data): sampled codebook from the 16
