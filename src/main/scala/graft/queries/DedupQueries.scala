@@ -103,6 +103,46 @@ object DedupQueries {
         .transform(graft.operators.Checkpointing.cut)
     }
 
+  /** The near-dup keep DECISION table (doc_id, cluster, quality_score,
+    * keep, kept_doc) — memoized: `dedup_keep_list` surfaces it and
+    * `pipeline_dedup_yield` consumes it, and a production pipeline stores
+    * the decision once per corpus.
+    *
+    * Join FIRST, score after: the regex-heavy quality score runs only over
+    * cluster members (a sliver of the corpus), not every doc. Per-cluster
+    * winner is a max_by AGGREGATE (map-side partial argmax, exchange
+    * carries one row per cluster) + a co-hashed join back — the window form
+    * (first over partitionBy(canonical) ordered by quality) sorts every
+    * member of a cluster in one task, which a viral-boilerplate cluster of
+    * millions would single-reduce. Maximizing (quality_score, -doc_id) =
+    * quality desc, doc_id asc — doc_id uniqueness makes the argmax
+    * tie-free. */
+  private val keepMemo = new graft.operators.SessionMemo[DataFrame]
+
+  private[queries] def keepList(s: SparkSession, dir: String): DataFrame =
+    keepMemo.get(s, dir) {
+      keepListPlan(s, dir).transform(graft.operators.Checkpointing.cut)
+    }
+
+  /** The uncut keep-list construction — separate from [[keepList]] so the
+    * plan-shape spec (DeskewSpec: argmax aggregate, NO per-cluster window)
+    * can still see the logical plan the memoized artifact hides behind its
+    * lineage cut. */
+  private[graft] def keepListPlan(s: SparkSession, dir: String): DataFrame = {
+    val clusters = graft.operators.Dedup.canonicalClusters(minhashPairs(s, dir))
+    val scored = graft.operators.CacheLease.lease(clusters
+      .join(docsSharded(s, dir).select("doc_id", "text"), "doc_id")
+      .withColumn("quality_score",
+        graft.functions.Text.qualityScore(col("text")))
+      .drop("text"))
+    val kept = scored.groupBy("canonical")
+      .agg(expr("max_by(doc_id, struct(quality_score, -doc_id))").as("kept_doc"))
+    scored.join(kept, "canonical")
+      .select(col("doc_id"), col("canonical").as("cluster"),
+        col("quality_score"), (col("doc_id") === col("kept_doc")).as("keep"),
+        col("kept_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy, lowest doc_id is the canonical survivor.
     "dedup_exact" -> ((s, dir) =>
@@ -130,33 +170,7 @@ object DedupQueries {
     // memoized pair table and the replayable quality score, so the whole
     // decision replays in DuckDB (recursive cluster CTE + quality
     // formula + rank).
-    "dedup_keep_list" -> ((s, dir) => {
-      val clusters = graft.operators.Dedup.canonicalClusters(minhashPairs(s, dir))
-      // join FIRST, score after: the regex-heavy quality score then runs
-      // only over cluster members (a sliver of the corpus), not every doc;
-      // lazily persisted (CacheLease-bounded) because it feeds the argmax
-      // AND the final join
-      val scored = graft.operators.CacheLease.lease(clusters
-        .join(docsSharded(s, dir).select("doc_id", "text"), "doc_id")
-        .withColumn("quality_score",
-          graft.functions.Text.qualityScore(col("text")))
-        .drop("text"))
-      // per-cluster winner as a max_by AGGREGATE (map-side partial argmax,
-      // exchange carries one row per cluster) + a co-hashed join back —
-      // the window form (first over partitionBy(canonical) ordered by
-      // quality) sorts every member of a cluster in one task, which a
-      // viral-boilerplate cluster of millions would single-reduce.
-      // Maximizing (quality_score, -doc_id) = quality desc, doc_id asc —
-      // the same total order the window used; doc_id uniqueness makes the
-      // argmax tie-free.
-      val kept = scored.groupBy("canonical")
-        .agg(expr("max_by(doc_id, struct(quality_score, -doc_id))").as("kept_doc"))
-      scored.join(kept, "canonical")
-        .select(col("doc_id"), col("canonical").as("cluster"),
-          col("quality_score"), (col("doc_id") === col("kept_doc")).as("keep"),
-          col("kept_doc"))
-        .orderBy("doc_id")
-    }),
+    "dedup_keep_list" -> ((s, dir) => keepList(s, dir).orderBy("doc_id")),
 
     // Group-level signatures via the minhash_merge aggregate: element-wise
     // min of member sigs = the signature of the group's UNION of shingles,
@@ -314,7 +328,7 @@ object DedupQueries {
     * a cross-doc fold collision, ~n²·bands/2^64, is the only way the
     * engines could disagree, and it would also need the colliding pair to
     * agree on ≥32/64 slots to survive the verify filter). */
-  private val sigCtes =
+  private[queries] val sigCtes =
     """toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t
       |  FROM documents),
@@ -341,7 +355,7 @@ object DedupQueries {
 
   /** Candidate pairs + slot-agreement estimate, shared by the pair-style
     * minhash oracles (cand CTE differs per query). */
-  private val agreeCte =
+  private[queries] val agreeCte =
     """agree AS (
       |  SELECT c.doc_a, c.doc_b,
       |         sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS n_eq
@@ -352,7 +366,7 @@ object DedupQueries {
 
   /** The a<b band-agreement candidate CTE shared by every same-corpus
     * minhash oracle (incremental uses its own new-vs-all variant). */
-  private val candCte =
+  private[queries] val candCte =
     """cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b
@@ -360,7 +374,7 @@ object DedupQueries {
 
   /** Verified pairs (est ≥ 0.5 ⟺ n_eq ≥ 32) with the n_eq kept for
     * downstream exact math. */
-  private val pairsCte =
+  private[queries] val pairsCte =
     """pairs AS (
       |  SELECT doc_a, doc_b, n_eq, round(CAST(n_eq AS DOUBLE) / 64, 4) AS est_jaccard
       |  FROM agree WHERE n_eq >= 32)""".stripMargin

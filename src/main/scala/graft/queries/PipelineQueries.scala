@@ -32,6 +32,34 @@ object PipelineQueries {
   private val nShards = 8
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The curation YIELD report — per source, what the dedup pipeline
+    // keeps: exact-copy drops first (md5 groupBy, min doc_id survives),
+    // then near-dup drops among the exact survivors (the shared keep-list
+    // decision artifact), then survivors. The per-source accounting a
+    // data team reads before signing off a corpus cut. Reuses BOTH
+    // memoized artifacts (content-hash groups, keep list); the final
+    // aggregate is O(sources) rows.
+    "pipeline_dedup_yield" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        md5(col("text")).as("h"))
+      val exactKeep = d.groupBy("h").agg(min("doc_id").as("keeper"))
+      val flagged = d.join(exactKeep, "h")
+        .withColumn("exact_dropped", col("doc_id") =!= col("keeper"))
+      flagged
+        .join(DedupQueries.keepList(s, dir)
+          .select(col("doc_id"), col("keep"), col("kept_doc")), Seq("doc_id"), "left")
+        .withColumn("near_dropped", coalesce(!col("keep"), lit(false)))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("exact_dropped"), 1L).otherwise(0L)).as("n_exact_dropped"),
+          sum(when(!col("exact_dropped") && col("near_dropped"), 1L)
+            .otherwise(0L)).as("n_neardup_dropped"),
+          sum(when(!col("exact_dropped") && !col("near_dropped"), 1L)
+            .otherwise(0L)).as("n_survivors"))
+        .orderBy("source")
+    }),
+
     // PII redaction: emails → <EMAIL>, phones → <PHONE>, IPv4 → <IP>,
     // map-only over the corpus. Redacted text is compared by md5 so the
     // oracle proves regex-dialect parity without shipping full text.
@@ -224,6 +252,35 @@ object PipelineQueries {
       |      FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // exact-dedup CTE + the full keep-list replay (minhash pipeline →
+    // clusters → quality argmax), then the per-source stage accounting
+    "pipeline_dedup_yield" ->
+      s"""WITH RECURSIVE ${DedupQueries.sigCtes},
+         |${DedupQueries.candCte},
+         |${DedupQueries.agreeCte},
+         |${DedupQueries.pairsCte},
+         |${DedupQueries.clusterCtes},
+         |kscored AS (
+         |  SELECT c.doc_id, c.cluster,
+         |         ${TextQueries.qualityScoreSql} AS quality_score
+         |  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
+         |kranked AS (
+         |  SELECT *, first_value(doc_id) OVER (PARTITION BY cluster
+         |            ORDER BY quality_score DESC, doc_id) AS kept_doc
+         |  FROM kscored),
+         |ex AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+         |exk AS (SELECT h, min(doc_id) AS keeper FROM ex GROUP BY h),
+         |fl AS (
+         |  SELECT ex.doc_id, ex.source, ex.doc_id <> exk.keeper AS exact_dropped,
+         |         coalesce(r.doc_id IS NOT NULL AND r.doc_id <> r.kept_doc, FALSE) AS near_dropped
+         |  FROM ex JOIN exk USING (h)
+         |  LEFT JOIN kranked r ON r.doc_id = ex.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN exact_dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dropped,
+         |       CAST(sum(CASE WHEN NOT exact_dropped AND near_dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_dropped,
+         |       CAST(sum(CASE WHEN NOT exact_dropped AND NOT near_dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+         |FROM fl GROUP BY source ORDER BY source""".stripMargin,
+
     "pipeline_redact_pii" ->
       s"""SELECT doc_id,
          |       len(regexp_extract_all(text, '$emailRe')) AS n_emails,

@@ -123,7 +123,9 @@ class DeskewSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("dedup_keep_list plans with no window (max_by argmax, not a cluster sort)") {
-    val out = queries.DedupQueries.queries("dedup_keep_list")(spark, sf)
+    // the served query memoizes behind a lineage cut — lint the uncut
+    // construction, which is the plan the artifact is built from
+    val out = queries.DedupQueries.keepListPlan(spark, sf)
     val wins = out.queryExecution.optimizedPlan.collect { case w: LWindow => w }
     assert(wins.isEmpty,
       s"keep-list must pick winners by aggregate, not a per-cluster sort: $wins")
