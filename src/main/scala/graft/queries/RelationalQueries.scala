@@ -536,7 +536,61 @@ object RelationalQueries {
         .groupBy("r_name")
         .agg(count(lit(1)).as("n_nations"),
           array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
-        .orderBy("r_name")))
+        .orderBy("r_name")),
+
+    // Time-weighted average — the state-duration metric a CDC consumer
+    // computes over value histories (mean account balance over TIME, not
+    // over change events): each value holds until the key's next event, so
+    // the weight is the interval length. Cents-scaled exact integer sums
+    // (value is 2-decimal; cents × µs stays far under 2^63) with ONE final
+    // division — bit-identical across engines. Per-key lead window only.
+    "q_time_weighted_avg" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("next_ts", lead(col("ts_us"), 1).over(byUser))
+        .filter(col("next_ts").isNotNull)
+        .withColumn("dur_us", col("next_ts") - col("ts_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("cents") * col("dur_us")).as("wsum"),
+          sum(col("dur_us")).as("tsum"))
+        .filter(col("tsum") > 0)
+        .select(col("user_id"), col("n_intervals"),
+          round(col("wsum").cast("double") / (col("tsum") * 100).cast("double"), 4)
+            .as("twa_value"))
+        .orderBy("user_id")
+    }),
+
+    // Key-skew diagnostic — the measurement behind the q_salted_join
+    // decision: the event log's heaviest join keys with their multiple of
+    // the average fan-in. Per-key counts are one map-side-combined groupBy;
+    // the top-5 ride the bounded-heap TopKAgg through a GLOBAL aggregate
+    // (partial heaps per map task, O(k) over the exchange) — ranking the
+    // per-key table in a window would funnel every distinct key through
+    // one reducer, which at billions of keys is its own skew problem.
+    "q_key_skew" -> ((s, dir) => {
+      val perKey = t(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      val stats = perKey.agg(
+        sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"))
+      perKey
+        .agg(graft.plans.TopKAgg.topk(s,
+          struct(col("cnt").cast("double").as("score"),
+            col("user_id").as("id")), 5).as("top"))
+        .select(posexplode(col("top")).as(Seq("i", "x")))
+        .crossJoin(broadcast(stats))
+        .select(
+          (col("i") + 1).cast("long").as("rank"),
+          col("x.id").as("user_id"),
+          col("x.score").cast("long").as("key_count"),
+          col("n_rows"), col("n_keys"),
+          // exact integers into ONE division — identical doubles both sides
+          round((col("x.score").cast("long") * col("n_keys")).cast("double") /
+            col("n_rows"), 4).as("x_avg_ratio"))
+        .orderBy("rank")
+    }))
 
   /** Shared DuckDB prelude for event queries (ns timestamps → epoch micros). */
   private val evCte =
@@ -863,6 +917,34 @@ object RelationalQueries {
         |       string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM region JOIN nation ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_time_weighted_avg" ->
+      s"""$evCte,
+         |iv AS (
+         |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents, ts_us,
+         |         lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_ts
+         |  FROM e),
+         |agg AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+         |         CAST(sum(cents * (next_ts - ts_us)) AS BIGINT) AS wsum,
+         |         CAST(sum(next_ts - ts_us) AS BIGINT) AS tsum
+         |  FROM iv WHERE next_ts IS NOT NULL GROUP BY user_id)
+         |SELECT user_id, n_intervals,
+         |       round(CAST(wsum AS DOUBLE) / CAST(tsum * 100 AS DOUBLE), 4) AS twa_value
+         |FROM agg WHERE tsum > 0 ORDER BY user_id""".stripMargin,
+
+    // topk orders (score DESC, id ASC) — mirror with (cnt DESC, user_id)
+    "q_key_skew" ->
+      """WITH pk AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |st AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |              CAST(count(*) AS BIGINT) AS n_keys FROM pk),
+        |top AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rank,
+        |         user_id, CAST(cnt AS BIGINT) AS key_count
+        |  FROM pk ORDER BY cnt DESC, user_id LIMIT 5)
+        |SELECT rank, user_id, key_count, n_rows, n_keys,
+        |       round(CAST(key_count * n_keys AS DOUBLE) / n_rows, 4) AS x_avg_ratio
+        |FROM top CROSS JOIN st ORDER BY rank""".stripMargin,
 
     // the PLAIN join — the salt must be invisible to results
     "q_salted_join" ->
