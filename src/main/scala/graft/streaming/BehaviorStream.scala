@@ -81,4 +81,48 @@ object BehaviorStream {
           }
       }
   }
+
+  /** Streaming event-type transitions — the incremental analog of the
+    * batch `q_transition_matrix` pairing: per-user state is ONE row (the
+    * last event seen — the same "previous image per key" shape the CDC
+    * before/after pairing keeps), and each arriving event emits its
+    * (from → to) edge the moment it happens. Downstream, any windowed or
+    * running aggregation of the emitted edges gives the live matrix.
+    *
+    * Ordering contract matches [[funnel]]: within a micro-batch events
+    * process in (ts_us, event_id) order — the batch query's exact
+    * tie-break — and batches are assumed event-time monotone per user
+    * across batches (the LSN-ordered capture-feed guarantee). State is
+    * O(users), one small row each, never the event history. */
+  def transitions(events: Dataset[TransEvent]): Dataset[Transition] = {
+    implicit val transEnc: Encoder[Transition] = Encoders.product[Transition]
+    implicit val lastEnc: Encoder[LastEvent] = Encoders.product[LastEvent]
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[TransEvent], state: GroupState[LastEvent]) =>
+          var last = state.getOption
+          val out = Vector.newBuilder[Transition]
+          it.toVector.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            last.foreach(l =>
+              out += Transition(user, l.event_type, e.event_type, e.ts_us))
+            last = Some(LastEvent(e.event_type, e.ts_us, e.event_id))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }
+
+/** One observed event for the transition stream; `event_id` is the
+  * deterministic within-timestamp tie-break (as in the batch query). */
+final case class TransEvent(
+    user_id: Long, event_id: Long, event_type: String, ts_us: Long)
+
+/** An emitted (from → to) edge of a user's journey at `ts_us`. */
+final case class Transition(
+    user_id: Long, from_type: String, to_type: String, ts_us: Long)
+
+/** Per-user transition state: the last event seen. */
+final case class LastEvent(event_type: String, ts_us: Long, event_id: Long)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{CdcStream, Change, FunnelEvent, Snapshot, StageReach}
+import graft.streaming.{CdcStream, Change, FunnelEvent, Snapshot, StageReach, TransEvent, Transition}
 
 class StreamingSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
@@ -710,6 +710,52 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       // capacity ≥ vocabulary ⇒ both sketches are exact ⇒ identical rows
       assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
       assert(streamed.size == 2) // two 60s windows
+    } finally q.stop()
+  }
+
+  test("streaming transitions: cross-batch edges match the batch lead pairing") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TransEvent]
+    val q = streaming.BehaviorStream.transitions(input.toDS())
+      .writeStream.format("memory").queryName("trans")
+      .outputMode(OutputMode.Append).start()
+    val events = Seq(
+      // u1: view → click → purchase; the click/purchase tie at ts 200
+      // breaks on event_id (3 before 4) — the batch query's exact order
+      TransEvent(1, 1, "view", 100), TransEvent(1, 3, "click", 200),
+      TransEvent(1, 4, "purchase", 200),
+      // u2: single event → no edge
+      TransEvent(2, 2, "view", 150),
+      // u3: arrives across batches — the state must bridge them
+      TransEvent(3, 5, "signup", 50))
+    val later = Seq(
+      TransEvent(3, 6, "view", 300), TransEvent(3, 7, "error", 400),
+      TransEvent(1, 8, "view", 500))
+    try {
+      input.addData(events: _*); q.processAllAvailable()
+      input.addData(later: _*); q.processAllAvailable()
+      val got = spark.table("trans").as[Transition].collect().toSet
+      assert(got == Set(
+        Transition(1, "view", "click", 200),
+        Transition(1, "click", "purchase", 200),
+        Transition(1, "purchase", "view", 500),
+        Transition(3, "signup", "view", 300),
+        Transition(3, "view", "error", 400)))
+      // and the aggregated matrix equals the batch lead-window pairing
+      // over the same event union
+      val all = (events ++ later).map(e => (e.user_id, e.event_id, e.event_type, e.ts_us))
+        .toDF("user_id", "event_id", "event_type", "ts_us")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val batch = all
+        .withColumn("to_type", org.apache.spark.sql.functions.lead("event_type", 1).over(w))
+        .filter($"to_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"to_type")
+        .count().as[(String, String, Long)].collect()
+        .map { case (f, t, n) => (f, t) -> n }.toMap
+      val streamed = got.groupBy(t => (t.from_type, t.to_type))
+        .view.mapValues(_.size.toLong).toMap
+      assert(streamed == batch)
     } finally q.stop()
   }
 }
