@@ -120,6 +120,9 @@ object Apply {
   /** State diff between two WAL positions: per key, its `lsnA`-state vs
     * `lsnB`-state, classified ADDED / REMOVED / MODIFIED (keys whose state
     * is identical at both positions are absent — a diff, not a join dump).
+    * MODIFIED compares the WHOLE row state (`value` AND `props`) — a
+    * props-only change is a change; classifying by value alone would
+    * silently drop it.
     *
     * Scale shape: ONE groupBy(table, pk) computes both states via
     * conditional max_by (null ordering keys are skipped, so the `lsn ≤ A`
@@ -129,18 +132,26 @@ object Apply {
   def snapshotDiff(feed: DataFrame, lsnA: Long, lsnB: Long): DataFrame = {
     require(lsnA < lsnB, s"diff wants lsnA < lsnB, got $lsnA >= $lsnB")
     def state(bound: Long) = max_by(
-      struct(col("op"), col("value")),
+      struct(col("op"), col("value"), col("props")),
       when(col("lsn") <= bound, col("lsn")))
     def live(s: Column) = s.isNotNull && s.getField("op") =!= "DELETE"
     feed.groupBy("table_name", "pk")
       .agg(state(lsnA).as("sa"), state(lsnB).as("sb"))
       .select(col("table_name"), col("pk"),
+        when(live(col("sa")), lit(true)).otherwise(lit(false)).as("live_a"),
+        when(live(col("sb")), lit(true)).otherwise(lit(false)).as("live_b"),
         when(live(col("sa")), col("sa").getField("value")).as("value_a"),
-        when(live(col("sb")), col("sb").getField("value")).as("value_b"))
+        when(live(col("sa")), col("sa").getField("props")).as("props_a"),
+        when(live(col("sb")), col("sb").getField("value")).as("value_b"),
+        when(live(col("sb")), col("sb").getField("props")).as("props_b"))
       .withColumn("change",
-        when(col("value_a").isNull && col("value_b").isNotNull, "ADDED")
-          .when(col("value_a").isNotNull && col("value_b").isNull, "REMOVED")
-          .when(col("value_a") =!= col("value_b"), "MODIFIED"))
+        when(!col("live_a") && col("live_b"), "ADDED")
+          .when(col("live_a") && !col("live_b"), "REMOVED")
+          .when(col("live_a") && col("live_b") &&
+            (!(col("value_a") <=> col("value_b")) ||
+             !(col("props_a") <=> col("props_b"))), "MODIFIED"))
       .filter(col("change").isNotNull)
+      .select("table_name", "pk", "value_a", "props_a",
+        "value_b", "props_b", "change")
   }
 }

@@ -92,7 +92,14 @@ object Bootstrap {
     // handler (postrack.go:340-413): decode the lake from the dispatch
     // watermark, slice by publications, hand each micro-batch to `handle`
     val applySlot = s"${slot}_apply"
-    if (!slots.exists(applySlot)) slots.addSlot(applySlot)
+    if (!slots.exists(applySlot)) {
+      slots.addSlot(applySlot)
+      // addSlot selects the slot it creates; re-select the CALLER's capture
+      // slot so the durable "selected slot survives restarts" contract
+      // (SlotStore.currentSlot) still points at what the user bootstrapped,
+      // not at this internal dispatch watermark
+      slots.setSlot(slot)
+    }
     if (fromLsn > 0) slots.ack(applySlot, fromLsn)
     val watermark = slots.confirmedFlushLsn(applySlot)
     val decoded = PgOutputStream.decodeStream(spark,

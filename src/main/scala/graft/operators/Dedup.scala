@@ -329,7 +329,10 @@ object Dedup {
     * @param rankedGrams [[rankedByRarity]] artifact for the exact side
     * @param docTexts    (doc_id, text) — stratum membership source
     * @param stratumBound first-hex-char bound: "8" = half the corpus;
-    *                     narrow to "1" (1/16) or lower as corpus grows */
+    *                     narrow to "1" (1/16) as the corpus grows — "0"
+    *                     would select NOTHING (no md5 hex char sorts below
+    *                     '0') and is rejected rather than producing a
+    *                     vacuous all-zero audit */
   def lshAudit(
       estPairs: DataFrame,
       rankedGrams: DataFrame,
@@ -337,6 +340,9 @@ object Dedup {
       tNum: Int = 1, tDen: Int = 2,
       fullCorpus: Boolean = false,
       stratumBound: String = "8"): DataFrame = {
+    require(fullCorpus || (stratumBound >= "1" && stratumBound <= "g"),
+      s"stratumBound '$stratumBound' selects an empty or whole-corpus " +
+        "stratum; use \"1\" (1/16th) through \"f\" (15/16ths)")
     val (est, grams) =
       if (fullCorpus) (estPairs, rankedGrams)
       else {

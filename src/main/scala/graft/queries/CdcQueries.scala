@@ -246,29 +246,37 @@ object CdcQueries {
 
     // two point-in-time states per key via conditional max_by (rows with a
     // NULL ordering key are skipped by max_by in both engines), tombstones
-    // count as absent, identical states drop out
+    // count as absent, identical (value, props) states drop out — a
+    // props-only change is MODIFIED (null-safe field compares, mirroring
+    // the Spark side's <=> exactly)
     "cdc_snapshot_diff" ->
       s"""$cte,
          |st AS (
          |  SELECT table_name, pk,
-         |         max_by(struct_pack(op := op, value := value),
+         |         max_by(struct_pack(op := op, value := value, props := props),
          |                CASE WHEN lsn <= 300 THEN lsn END) AS sa,
-         |         max_by(struct_pack(op := op, value := value),
+         |         max_by(struct_pack(op := op, value := value, props := props),
          |                CASE WHEN lsn <= 700 THEN lsn END) AS sb
          |  FROM feed GROUP BY 1, 2),
          |d AS (
          |  SELECT table_name, pk,
+         |         sa IS NOT NULL AND sa.op <> 'DELETE' AS live_a,
+         |         sb IS NOT NULL AND sb.op <> 'DELETE' AS live_b,
          |         CASE WHEN sa IS NOT NULL AND sa.op <> 'DELETE' THEN sa.value END AS value_a,
-         |         CASE WHEN sb IS NOT NULL AND sb.op <> 'DELETE' THEN sb.value END AS value_b
-         |  FROM st)
-         |SELECT table_name, pk, value_a, value_b,
-         |       CASE WHEN value_a IS NULL AND value_b IS NOT NULL THEN 'ADDED'
-         |            WHEN value_a IS NOT NULL AND value_b IS NULL THEN 'REMOVED'
-         |            WHEN value_a <> value_b THEN 'MODIFIED' END AS change
-         |FROM d
-         |WHERE (CASE WHEN value_a IS NULL AND value_b IS NOT NULL THEN 'ADDED'
-         |            WHEN value_a IS NOT NULL AND value_b IS NULL THEN 'REMOVED'
-         |            WHEN value_a <> value_b THEN 'MODIFIED' END) IS NOT NULL
+         |         CASE WHEN sa IS NOT NULL AND sa.op <> 'DELETE' THEN sa.props END AS props_a,
+         |         CASE WHEN sb IS NOT NULL AND sb.op <> 'DELETE' THEN sb.value END AS value_b,
+         |         CASE WHEN sb IS NOT NULL AND sb.op <> 'DELETE' THEN sb.props END AS props_b
+         |  FROM st),
+         |cl AS (
+         |  SELECT *,
+         |         CASE WHEN NOT live_a AND live_b THEN 'ADDED'
+         |              WHEN live_a AND NOT live_b THEN 'REMOVED'
+         |              WHEN live_a AND live_b AND
+         |                   (value_a IS DISTINCT FROM value_b OR
+         |                    props_a IS DISTINCT FROM props_b) THEN 'MODIFIED' END AS change
+         |  FROM d)
+         |SELECT table_name, pk, value_a, props_a, value_b, props_b, change
+         |FROM cl WHERE change IS NOT NULL
          |ORDER BY table_name, pk""".stripMargin,
 
     "cdc_upsert_apply" ->

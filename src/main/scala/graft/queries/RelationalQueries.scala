@@ -573,14 +573,18 @@ object RelationalQueries {
     "q_key_skew" -> ((s, dir) => {
       val perKey = t(s, dir, "events")
         .groupBy("user_id").agg(count(lit(1)).as("cnt"))
-      val stats = perKey.agg(
-        sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"))
+      // ONE global aggregation computes the heap AND the totals — a
+      // separate stats pass would re-aggregate the per-key table (billions
+      // of distinct keys at scale) a second time
       perKey
-        .agg(graft.plans.TopKAgg.topk(s,
-          struct(col("cnt").cast("double").as("score"),
-            col("user_id").as("id")), 5).as("top"))
-        .select(posexplode(col("top")).as(Seq("i", "x")))
-        .crossJoin(broadcast(stats))
+        .agg(
+          graft.plans.TopKAgg.topk(s,
+            struct(col("cnt").cast("double").as("score"),
+              col("user_id").as("id")), 5).as("top"),
+          sum("cnt").as("n_rows"),
+          count(lit(1)).as("n_keys"))
+        .select(col("n_rows"), col("n_keys"),
+          posexplode(col("top")).as(Seq("i", "x")))
         .select(
           (col("i") + 1).cast("long").as("rank"),
           col("x.id").as("user_id"),

@@ -145,26 +145,28 @@ object TextQueries {
     // alphabetic char, ≥ 2 stopword hits. Map-only; every rule flag is
     // EXACT integral cross-multiplication (5·n_alpha ≥ 4·n_tokens, never a
     // comparison on the rounded display ratio), so the pass bit replays
-    // bit-identically in the oracle.
+    // bit-identically in the oracle. Mean word length counts EXACTLY the
+    // non-whitespace chars (strip \s, divide by token count) — a
+    // separator-count approximation would let whitespace runs or padding
+    // inflate the ratio past a rule bound and flip the pass bit.
     "text_gopher_filters" -> ((s, dir) => {
       val toks = Text.wsTokens(col("text"))
       val lowToks = Text.wsTokens(lower(col("text")))
       val nTok = size(toks)
       val nWords = Text.wsTokenCount(col("text"))
-      val nChars = length(col("text"))
-      val sepAdj = nChars - (nTok - lit(1)) // chars net of single separators
+      val wordChars = length(regexp_replace(col("text"), "\\s+", ""))
       val nAlpha = size(filter(toks, t => t.rlike("[a-zA-Z]")))
       val nStop = size(filter(lowToks,
         t => t.isin(Text.stopwords.map(x => x: Any): _*))).cast("long")
       def flag(c: Column) = when(c, 1L).otherwise(0L)
       val okWords = flag(nWords >= 50 && nWords <= 100000)
-      val okMean = flag(sepAdj >= nTok * 3 && sepAdj <= nTok * 10)
+      val okMean = flag(wordChars >= nTok * 3 && wordChars <= nTok * 10)
       val okAlpha = flag(nAlpha * 5 >= nTok * 4)
       val okStop = flag(nStop >= 2)
       docs(s, dir).select(
         col("doc_id"),
         nWords.as("n_words"),
-        round(sepAdj.cast("double") / greatest(nTok, lit(1)), 4).as("mean_word_len"),
+        round(wordChars.cast("double") / greatest(nTok, lit(1)), 4).as("mean_word_len"),
         round(nAlpha.cast("double") / greatest(nTok, lit(1)), 4).as("frac_alpha_words"),
         nStop.as("n_stop"),
         okWords.as("ok_word_count"), okMean.as("ok_mean_len"),
@@ -527,7 +529,7 @@ object TextQueries {
     // integral rule flags (cross-multiplied), ratios rounded for display only
     "text_gopher_filters" ->
       s"""WITH f AS (
-         |  SELECT doc_id, length(text) AS n_chars,
+         |  SELECT doc_id, text,
          |         regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t,
          |         regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS lt,
          |         CASE WHEN length(trim(text)) = 0 THEN 0
@@ -536,17 +538,17 @@ object TextQueries {
          |g AS (
          |  SELECT doc_id, n_words,
          |         len(t) AS n_tok,
-         |         n_chars - len(t) + 1 AS sep_adj,
+         |         length(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', '', 'g')) AS word_chars,
          |         len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
          |         len(list_filter(lt, x -> x IN ($stopList))) AS n_stop
          |  FROM f),
          |r AS (
          |  SELECT doc_id, n_words,
-         |         round(CAST(sep_adj AS DOUBLE) / greatest(n_tok, 1), 4) AS mean_word_len,
+         |         round(CAST(word_chars AS DOUBLE) / greatest(n_tok, 1), 4) AS mean_word_len,
          |         round(CAST(n_alpha AS DOUBLE) / greatest(n_tok, 1), 4) AS frac_alpha_words,
          |         CAST(n_stop AS BIGINT) AS n_stop,
          |         CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS ok_word_count,
-         |         CAST(CASE WHEN sep_adj >= n_tok * 3 AND sep_adj <= n_tok * 10 THEN 1 ELSE 0 END AS BIGINT) AS ok_mean_len,
+         |         CAST(CASE WHEN word_chars >= n_tok * 3 AND word_chars <= n_tok * 10 THEN 1 ELSE 0 END AS BIGINT) AS ok_mean_len,
          |         CAST(CASE WHEN n_alpha * 5 >= n_tok * 4 THEN 1 ELSE 0 END AS BIGINT) AS ok_alpha,
          |         CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok_stop
          |  FROM g)

@@ -92,8 +92,13 @@ object BehaviorStream {
     * Ordering contract matches [[funnel]]: within a micro-batch events
     * process in (ts_us, event_id) order — the batch query's exact
     * tie-break — and batches are assumed event-time monotone per user
-    * across batches (the LSN-ordered capture-feed guarantee). State is
-    * O(users), one small row each, never the event history. */
+    * across batches (the LSN-ordered capture-feed guarantee). The stored
+    * (ts_us, event_id) ENFORCE the contract at the batch seam: an event
+    * arriving in a later batch at or before the stored position is
+    * DROPPED (the funnel's ignore-out-of-order rule) rather than paired
+    * in arrival order, so a violated guarantee degrades to a missing edge,
+    * never a wrong one. State is O(users), one small row each, never the
+    * event history. */
   def transitions(events: Dataset[TransEvent]): Dataset[Transition] = {
     implicit val transEnc: Encoder[Transition] = Encoders.product[Transition]
     implicit val lastEnc: Encoder[LastEvent] = Encoders.product[LastEvent]
@@ -105,9 +110,13 @@ object BehaviorStream {
           var last = state.getOption
           val out = Vector.newBuilder[Transition]
           it.toVector.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-            last.foreach(l =>
-              out += Transition(user, l.event_type, e.event_type, e.ts_us))
-            last = Some(LastEvent(e.event_type, e.ts_us, e.event_id))
+            val inOrder = last.forall(l =>
+              e.ts_us > l.ts_us || (e.ts_us == l.ts_us && e.event_id > l.event_id))
+            if (inOrder) {
+              last.foreach(l =>
+                out += Transition(user, l.event_type, e.event_type, e.ts_us))
+              last = Some(LastEvent(e.event_type, e.ts_us, e.event_id))
+            }
           }
           last.foreach(state.update)
           out.result().iterator

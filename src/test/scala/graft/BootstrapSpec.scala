@@ -67,6 +67,10 @@ class BootstrapSpec extends AnyFunSuite with SparkTestBase {
 
     assert(stats1.capture.sessions == 2,
       s"kill mid-stream must force exactly one reconnect: ${stats1.capture}")
+    // the durable slot SELECTION must still be the caller's capture slot,
+    // not the internal dispatch slot Bootstrap creates alongside it
+    assert(new graft.cdc.SlotStore(s"$state/slots").currentSlot
+      .contains("boot_slot"))
     assert(stats1.confirmedFlushLsn == 600L, s"prefix watermark: $stats1")
     assert(stats1.handledLsn == 600L,
       s"dispatch watermark must reach the capture watermark: $stats1")

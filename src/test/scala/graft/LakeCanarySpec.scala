@@ -6,10 +6,14 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DateType, DoubleType, F
 /** Lake-encoding canary: the FIRST suite to go red when the driver changes
   * the physical shape of the testdata lake (round 5 shipped `events.ts` as
   * TIMESTAMP(MICROS)/NTZ after rounds of INT64 TIMESTAMP(NANOS) and 22
-  * queries silently vanished from the correctness gate). Everything here is
-  * analysis-only — no Spark jobs — so a data-shape break surfaces in
-  * milliseconds with the query/table/column named, instead of as absences
-  * inside a minutes-long execution suite.
+  * queries silently vanished from the correctness gate). The per-table and
+  * per-representative tests are analysis-only — no Spark jobs — so a
+  * data-shape break surfaces in milliseconds with the table/column/query
+  * named. The all-queries pass is schema-driven but NOT job-free: queries
+  * whose construction builds a memoized artifact (the knn indexes, the LM /
+  * signature / keep-list tables) execute that build eagerly — still far
+  * cheaper than the execution suites, and the analysis error (when there is
+  * one) surfaces before any job runs.
   */
 class LakeCanarySpec extends AnyFunSuite with SparkTestBase {
 

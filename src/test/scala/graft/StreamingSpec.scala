@@ -730,7 +730,11 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       TransEvent(3, 5, "signup", 50))
     val later = Seq(
       TransEvent(3, 6, "view", 300), TransEvent(3, 7, "error", 400),
-      TransEvent(1, 8, "view", 500))
+      TransEvent(1, 8, "view", 500),
+      // strictly out-of-order across the batch seam (u2's stored position
+      // is ts 150): dropped — a violated monotonicity guarantee degrades
+      // to a missing edge, never a wrong pairing
+      TransEvent(2, 9, "click", 120))
     try {
       input.addData(events: _*); q.processAllAvailable()
       input.addData(later: _*); q.processAllAvailable()
@@ -742,8 +746,11 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         Transition(3, "signup", "view", 300),
         Transition(3, "view", "error", 400)))
       // and the aggregated matrix equals the batch lead-window pairing
-      // over the same event union
-      val all = (events ++ later).map(e => (e.user_id, e.event_id, e.event_type, e.ts_us))
+      // over the IN-CONTRACT event union (the out-of-order arrival is
+      // outside the monotonicity guarantee both forms assume; the batch
+      // window would re-sort history the stream no longer has)
+      val all = (events ++ later).filter(_.event_id != 9)
+        .map(e => (e.user_id, e.event_id, e.event_type, e.ts_us))
         .toDF("user_id", "event_id", "event_type", "ts_us")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("ts_us", "event_id")
