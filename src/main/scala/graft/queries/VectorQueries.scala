@@ -160,21 +160,27 @@ object VectorQueries {
     * shuffle before the bounded-heap per-query top-k (map-side partial
     * aggregation — the full scored corpus never reaches an exchange).
     * Shared by `knn_bruteforce` and the recall audit. */
-  private def bruteTopK(s: SparkSession, dir: String): DataFrame = {
+  /** Brute-force (q_id, neighbor_id, cos) over the sampled queries — the
+    * exact side of the top-k baseline, the radius search, and the radius
+    * audit's ground truth. */
+  private def bruteScored(s: SparkSession, dir: String): DataFrame = {
     val base = emb(s, dir)
     val q = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val scored = base.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    base.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(graft.plans.CosineSim.cosine(s, col("q_emb"), col("embedding")), 4).as("cos"))
-    Relational.topKByScore(scored, "q_id", "cos", "neighbor_id", topK)
   }
 
-  /** Multi-table hyperplane-LSH top-k (md5-derived planes → the signature
-    * replays exactly in the oracle): candidate if the vector agrees with
-    * the query on a full signature in ANY table, then exact-cosine rerank.
-    * Shared by `knn_lsh` and the recall audit. */
-  private def lshTopK(s: SparkSession, dir: String): DataFrame = {
+  private def bruteTopK(s: SparkSession, dir: String): DataFrame =
+    Relational.topKByScore(bruteScored(s, dir), "q_id", "cos", "neighbor_id", topK)
+
+  /** Multi-table hyperplane-LSH scored candidates (md5-derived planes →
+    * the signature replays exactly in the oracle): candidate if the vector
+    * agrees with the query on a full signature in ANY table, then exact
+    * cosine. Shared by `knn_lsh` (top-k rerank), the recall audit, and the
+    * radius audit. */
+  private def lshScored(s: SparkSession, dir: String): DataFrame = {
     val sigged = emb(s, dir).select(col("vec_id"), col("embedding"),
       graft.plans.HyperplaneSigs.sigsMd5(s, col("embedding"), 8, 4).as("sigs"))
     val buckets = sigged.select(col("vec_id"), col("embedding"),
@@ -188,10 +194,12 @@ object VectorQueries {
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         col("q_emb"), col("embedding"))
       .distinct()
-    val scored = cands.select(col("q_id"), col("neighbor_id"),
+    cands.select(col("q_id"), col("neighbor_id"),
       round(graft.plans.CosineSim.cosine(s, col("q_emb"), col("embedding")), 4).as("cos"))
-    Relational.topKByScore(scored, "q_id", "cos", "neighbor_id", topK)
   }
+
+  private def lshTopK(s: SparkSession, dir: String): DataFrame =
+    Relational.topKByScore(lshScored(s, dir), "q_id", "cos", "neighbor_id", topK)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Embedding-cosine near-dup pairs via multi-table hyperplane-LSH
@@ -252,15 +260,30 @@ object VectorQueries {
     // scores its slice locally, and only matches survive; no shuffle, no
     // heap. Both engines emit bit-identical rounded cosines (the
     // CosineSim lockstep fold), so the threshold cut replays exactly.
-    "knn_range_search" -> ((s, dir) => {
-      val base = emb(s, dir)
-      val q = base.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      base.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          round(graft.plans.CosineSim.cosine(s, col("q_emb"), col("embedding")), 4).as("cos"))
+    "knn_range_search" -> ((s, dir) =>
+      bruteScored(s, dir)
         .filter(col("cos") >= 0.25)
-        .orderBy("q_id", "neighbor_id")
+        .orderBy("q_id", "neighbor_id")),
+
+    // Radius-search audit — the range dual of `knn_recall_audit`: what
+    // fraction of each query's TRUE radius set (exact cosine ≥ 0.25) the
+    // LSH buckets surface. The LSH radius set is a subset of the exact one
+    // by construction (same rounded cosine, same threshold), so the one
+    // meaningful number is recall; the left join makes that containment an
+    // output property rather than an assumption.
+    "knn_range_audit" -> ((s, dir) => {
+      val est = lshScored(s, dir).filter(col("cos") >= 0.25)
+        .select(col("q_id"), col("neighbor_id"), lit(1L).as("in_lsh"))
+      bruteScored(s, dir).filter(col("cos") >= 0.25)
+        .select("q_id", "neighbor_id")
+        .join(est, Seq("q_id", "neighbor_id"), "left_outer")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("in_lsh"), lit(0L))).as("n_lsh"))
+        .select(col("q_id"), col("n_exact"), col("n_lsh"),
+          round(col("n_lsh").cast("double") / col("n_exact"), 4)
+            .as("radius_recall"))
+        .orderBy("q_id")
     }),
 
     // Per-cluster centroids + cohesion (see Embeddings.labelCentroids for
@@ -703,6 +726,37 @@ object VectorQueries {
          |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id)
          |SELECT q_id, neighbor_id, cos FROM scored WHERE cos >= 0.25
          |ORDER BY q_id, neighbor_id""".stripMargin,
+
+    // LSH radius candidates (same plane replay as knn_lsh) left-joined
+    // under the exact radius set
+    "knn_range_audit" ->
+      s"""WITH nbits AS (SELECT 8 AS nb),
+         |$planeCtes,
+         |lq AS (SELECT vec_id AS q_id, t, sig FROM sig WHERE vec_id < $nQueries),
+         |cand AS (
+         |  SELECT DISTINCT lq.q_id, s.vec_id AS neighbor_id
+         |  FROM sig s JOIN lq ON s.t = lq.t AND s.sig = lq.sig AND s.vec_id <> lq.q_id),
+         |lsh AS (
+         |  SELECT c.q_id, c.neighbor_id
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.neighbor_id
+         |  JOIN embeddings qe ON qe.vec_id = c.q_id
+         |  WHERE round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |                                     CAST(e.embedding AS DOUBLE[])), 4) >= 0.25),
+         |q2 AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |       WHERE vec_id < $nQueries),
+         |exact AS (
+         |  SELECT q2.q_id, e.vec_id AS neighbor_id
+         |  FROM embeddings e JOIN q2 ON e.vec_id <> q2.q_id
+         |  WHERE round(list_cosine_similarity(CAST(q2.q_emb AS DOUBLE[]),
+         |                                     CAST(e.embedding AS DOUBLE[])), 4) >= 0.25)
+         |SELECT x.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+         |       round(CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / count(*), 4) AS radius_recall
+         |FROM exact x LEFT JOIN lsh l
+         |  ON l.q_id = x.q_id AND l.neighbor_id = x.neighbor_id
+         |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin,
 
     // Full PQ replay (sub = 64/8 = 8 dims hardcoded for the test lake; the
     // Spark side derives it from the data): sampled codebook from the 16

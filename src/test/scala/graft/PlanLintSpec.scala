@@ -43,7 +43,7 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
   /** Queries whose loop join's bounded side is a query SAMPLE (a literal-
     * bounded Filter, not an aggregate — invisible to the structural rule). */
   private val sampledLoopJoins = Set("knn_bruteforce", "knn_lsh", "knn_pq", "knn_ivf",
-    "knn_recall_audit", "knn_range_search",
+    "knn_recall_audit", "knn_range_search", "knn_range_audit",
     // per-source signature table: O(sources) rows by construction, but the
     // memoized artifact is lineage-cut (LogicalRDD) so the aggregate that
     // bounds it is invisible to the structural rule
