@@ -86,12 +86,31 @@ object MultimodalQueries {
     // decoded modality has a first-class dedup path. ehash = 0 is the
     // "no samples" sentinel (a real envelope hash is never 0: the loudest
     // window is always at or above the global mean).
-    "mm_audio_near_dup" -> ((s, dir) => {
+    "mm_audio_near_dup" -> ((s, dir) =>
+      audioPairs(s, dir).orderBy("doc_a", "doc_b")),
+
+    // Audio near-dup pairs → canonical clusters via the shared
+    // pointer-jumping components operator — completes the audio chain
+    // (pair → cluster → keep) the image modality already has.
+    "mm_audio_clusters" -> ((s, dir) => audioClusters(s, dir).orderBy("doc_id")),
+
+    // The audio keep DECISION: within each cluster keep the LONGEST clip
+    // (most samples — the WAV data chunk carries one sample per source
+    // byte, so duration replays as the byte length), doc_id tie-break.
+    // Same argmax-aggregate shape as dedup_keep_list / mm_keep_list — no
+    // per-cluster window sort.
+    "mm_audio_keep_list" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val aud = audioHashes(s, dir)
-        .filter(col("ehash") =!= 0L)
-        .select(col("doc_id"), col("ehash").as("fp"))
-      pigeonholePairs(aud)
+      val scored = graft.operators.CacheLease.lease(audioClusters(s, dir)
+        .join(Tables.sharded(s, dir, "documents")
+          .select(col("doc_id"), octet_length(col("text")).cast("long").as("n_samples")),
+          "doc_id"))
+      val kept = scored.groupBy("canonical")
+        .agg(expr("max_by(doc_id, struct(n_samples, -doc_id))").as("kept_doc"))
+      scored.join(kept, "canonical")
+        .select(col("doc_id"), col("canonical").as("cluster"), col("n_samples"),
+          (col("doc_id") === col("kept_doc")).as("keep"), col("kept_doc"))
+        .orderBy("doc_id")
     }),
 
     // Perceptual near-duplicate VIDEO: the same pigeonhole bucket join
@@ -176,6 +195,30 @@ object MultimodalQueries {
     imgClustersMemo.get(s, dir) {
       graft.operators.Dedup.canonicalClusters(
           imagePairs(s, dir).select("doc_a", "doc_b"))
+        .transform(graft.operators.Checkpointing.cut)
+    }
+
+  /** The audio near-dup pair table, memoized like [[imagePairs]]: the pair
+    * report and the cluster pass share it. ehash = 0 is the "no samples"
+    * sentinel (a real envelope hash is never 0). */
+  private val audPairsMemo = new graft.operators.SessionMemo[DataFrame]
+
+  private def audioPairs(s: SparkSession, dir: String): DataFrame =
+    audPairsMemo.get(s, dir) {
+      import org.apache.spark.sql.functions.col
+      val aud = audioHashes(s, dir)
+        .filter(col("ehash") =!= 0L)
+        .select(col("doc_id"), col("ehash").as("fp"))
+      pigeonholePairs(aud).transform(graft.operators.Checkpointing.cut)
+    }
+
+  /** Canonical audio near-dup clusters, memoized like [[imageClusters]]. */
+  private val audClustersMemo = new graft.operators.SessionMemo[DataFrame]
+
+  private def audioClusters(s: SparkSession, dir: String): DataFrame =
+    audClustersMemo.get(s, dir) {
+      graft.operators.Dedup.canonicalClusters(
+          audioPairs(s, dir).select("doc_a", "doc_b"))
         .transform(graft.operators.Checkpointing.cut)
     }
 
@@ -336,6 +379,59 @@ object MultimodalQueries {
          |JOIN ehash hb ON hb.doc_id = c.doc_b
          |WHERE bit_count(xor(ha.fp, hb.fp)) <= 4
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // energy-hash replay + pigeonhole pairs + the shared recursive
+    // components CTE — the audio analog of mm_dedup_clusters
+    "mm_audio_clusters" ->
+      s"""WITH RECURSIVE $audioHashCtes,
+         |blocks AS (
+         |  SELECT doc_id, blk,
+         |         (fp >> CAST(blk * 13 AS INT)) &
+         |         CASE WHEN blk = 4 THEN 4095 ELSE 8191 END AS bval
+         |  FROM ehash CROSS JOIN (SELECT unnest(range(5)) AS blk) bb),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c
+         |  JOIN ehash ha ON ha.doc_id = c.doc_a
+         |  JOIN ehash hb ON hb.doc_id = c.doc_b
+         |  WHERE bit_count(xor(ha.fp, hb.fp)) <= 4),
+         |${DedupQueries.clusterCtes}
+         |SELECT doc_id, cluster AS canonical FROM clusters ORDER BY doc_id""".stripMargin,
+
+    // cluster chain + n_samples = source byte length (one sample per byte
+    // in the WAV synthesis), then the keep rank exactly as mm_keep_list
+    "mm_audio_keep_list" ->
+      s"""WITH RECURSIVE $audioHashCtes,
+         |blocks AS (
+         |  SELECT doc_id, blk,
+         |         (fp >> CAST(blk * 13 AS INT)) &
+         |         CASE WHEN blk = 4 THEN 4095 ELSE 8191 END AS bval
+         |  FROM ehash CROSS JOIN (SELECT unnest(range(5)) AS blk) bb),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c
+         |  JOIN ehash ha ON ha.doc_id = c.doc_a
+         |  JOIN ehash hb ON hb.doc_id = c.doc_b
+         |  WHERE bit_count(xor(ha.fp, hb.fp)) <= 4),
+         |${DedupQueries.clusterCtes},
+         |kscored AS (
+         |  SELECT c.doc_id, c.cluster,
+         |         CAST(octet_length(encode(d.text)) AS BIGINT) AS n_samples
+         |  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
+         |kranked AS (
+         |  SELECT *, first_value(doc_id) OVER (PARTITION BY cluster
+         |            ORDER BY n_samples DESC, doc_id) AS kept_doc
+         |  FROM kscored)
+         |SELECT doc_id, cluster, n_samples, doc_id = kept_doc AS keep, kept_doc
+         |FROM kranked ORDER BY doc_id""".stripMargin,
+
     // Replays the full decode surface: BMP geometry ((doc_id mod 13)+4 ×
     // (doc_id mod 7)+2, 8bpp + 1078-byte header/palette, rows padded to 4),
     // the aHash over the pixel bytes (text bytes zero-padded to w·h; cell

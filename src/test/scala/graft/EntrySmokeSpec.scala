@@ -18,9 +18,12 @@ class EntrySmokeSpec extends AnyFunSuite with SparkTestBase {
     }
     val empty = counts.filter(_._2 == 0).keys.toSet
     // near-dup thresholds may legitimately find nothing at tiny scale for
-    // the random synthetic corpus — but only for these
+    // the random synthetic corpus — but only for these (the audio cluster
+    // and keep queries derive from the audio pair table, so they share
+    // its small-corpus emptiness)
     assert(empty.subsetOf(
-      Set("dedup_ngram_jaccard", "dedup_embedding", "mm_audio_near_dup")),
+      Set("dedup_ngram_jaccard", "dedup_embedding", "mm_audio_near_dup",
+        "mm_audio_clusters", "mm_audio_keep_list")),
       s"empty: $empty")
   }
 }
