@@ -119,12 +119,30 @@ object MultimodalQueries {
     // first-class dedup path (image aHash, audio energy envelope, video
     // frame hash). A real aHash is never 0, so no sentinel filter is
     // needed: every decoded video carries a genuine fingerprint.
-    "mm_video_near_dup" -> ((s, dir) => {
+    "mm_video_near_dup" -> ((s, dir) =>
+      videoPairs(s, dir).orderBy("doc_a", "doc_b")),
+
+    // Video near-dup pairs → canonical clusters — the video link of the
+    // per-modality pair → cluster → keep chain.
+    "mm_video_clusters" -> ((s, dir) => videoClusters(s, dir).orderBy("doc_id")),
+
+    // The video keep DECISION: within each cluster keep the clip with the
+    // most DECODED frames (doc_id tie-break) — the frame count comes from
+    // the real AVI walk (sampleFrames), not the synthesis formula, so the
+    // decision consumes the decode surface end-to-end.
+    "mm_video_keep_list" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val vids = features(s, dir)
-        .filter(col("modality") === "video")
-        .select(col("doc_id"), col("phash").as("fp"))
-      pigeonholePairs(vids)
+      val nFrames = Multimodal
+        .sampleFrames(s, Multimodal.asMedia(Tables.sharded(s, dir, "documents")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+      val scored = graft.operators.CacheLease.lease(
+        videoClusters(s, dir).join(nFrames, "doc_id"))
+      val kept = scored.groupBy("canonical")
+        .agg(expr("max_by(doc_id, struct(n_frames, -doc_id))").as("kept_doc"))
+      scored.join(kept, "canonical")
+        .select(col("doc_id"), col("canonical").as("cluster"), col("n_frames"),
+          (col("doc_id") === col("kept_doc")).as("keep"), col("kept_doc"))
+        .orderBy("doc_id")
     }),
 
     // Scene-cut detection over the decoded frame stream: consecutive-frame
@@ -219,6 +237,29 @@ object MultimodalQueries {
     audClustersMemo.get(s, dir) {
       graft.operators.Dedup.canonicalClusters(
           audioPairs(s, dir).select("doc_a", "doc_b"))
+        .transform(graft.operators.Checkpointing.cut)
+    }
+
+  /** The video near-dup pair table (frame-0 representative fingerprint),
+    * memoized like the image and audio pair tables. */
+  private val vidPairsMemo = new graft.operators.SessionMemo[DataFrame]
+
+  private def videoPairs(s: SparkSession, dir: String): DataFrame =
+    vidPairsMemo.get(s, dir) {
+      import org.apache.spark.sql.functions.col
+      val vids = features(s, dir)
+        .filter(col("modality") === "video")
+        .select(col("doc_id"), col("phash").as("fp"))
+      pigeonholePairs(vids).transform(graft.operators.Checkpointing.cut)
+    }
+
+  /** Canonical video near-dup clusters, memoized. */
+  private val vidClustersMemo = new graft.operators.SessionMemo[DataFrame]
+
+  private def videoClusters(s: SparkSession, dir: String): DataFrame =
+    vidClustersMemo.get(s, dir) {
+      graft.operators.Dedup.canonicalClusters(
+          videoPairs(s, dir).select("doc_a", "doc_b"))
         .transform(graft.operators.Checkpointing.cut)
     }
 
@@ -379,6 +420,69 @@ object MultimodalQueries {
          |JOIN ehash hb ON hb.doc_id = c.doc_b
          |WHERE bit_count(xor(ha.fp, hb.fp)) <= 4
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // frame-0 fingerprint replay + pigeonhole pairs + the shared recursive
+    // components CTE — the video analog of mm_dedup_clusters
+    "mm_video_clusters" ->
+      s"""WITH RECURSIVE b2 AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS blen
+         |  FROM documents),
+         |$videoFrameCtes,
+         |vfp AS (SELECT doc_id, fhash AS fp FROM vhash WHERE f = 0),
+         |blocks AS (
+         |  SELECT doc_id, blk,
+         |         (fp >> CAST(blk * 13 AS INT)) &
+         |         CASE WHEN blk = 4 THEN 4095 ELSE 8191 END AS bval
+         |  FROM vfp CROSS JOIN (SELECT unnest(range(5)) AS blk) bb),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c
+         |  JOIN vfp ha ON ha.doc_id = c.doc_a
+         |  JOIN vfp hb ON hb.doc_id = c.doc_b
+         |  WHERE bit_count(xor(ha.fp, hb.fp)) <= 4),
+         |${DedupQueries.clusterCtes}
+         |SELECT doc_id, cluster AS canonical FROM clusters ORDER BY doc_id""".stripMargin,
+
+    // cluster chain + n_frames from the frame replay (count of decoded
+    // frames per video = the synthesis nf, proven round-trip by mm_frames),
+    // then the keep rank
+    "mm_video_keep_list" ->
+      s"""WITH RECURSIVE b2 AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS blen
+         |  FROM documents),
+         |$videoFrameCtes,
+         |vfp AS (SELECT doc_id, fhash AS fp FROM vhash WHERE f = 0),
+         |blocks AS (
+         |  SELECT doc_id, blk,
+         |         (fp >> CAST(blk * 13 AS INT)) &
+         |         CASE WHEN blk = 4 THEN 4095 ELSE 8191 END AS bval
+         |  FROM vfp CROSS JOIN (SELECT unnest(range(5)) AS blk) bb),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c
+         |  JOIN vfp ha ON ha.doc_id = c.doc_a
+         |  JOIN vfp hb ON hb.doc_id = c.doc_b
+         |  WHERE bit_count(xor(ha.fp, hb.fp)) <= 4),
+         |${DedupQueries.clusterCtes},
+         |nfr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames
+         |        FROM vhash GROUP BY doc_id),
+         |kscored AS (
+         |  SELECT c.doc_id, c.cluster, n.n_frames
+         |  FROM clusters c JOIN nfr n ON n.doc_id = c.doc_id),
+         |kranked AS (
+         |  SELECT *, first_value(doc_id) OVER (PARTITION BY cluster
+         |            ORDER BY n_frames DESC, doc_id) AS kept_doc
+         |  FROM kscored)
+         |SELECT doc_id, cluster, n_frames, doc_id = kept_doc AS keep, kept_doc
+         |FROM kranked ORDER BY doc_id""".stripMargin,
+
     // energy-hash replay + pigeonhole pairs + the shared recursive
     // components CTE — the audio analog of mm_dedup_clusters
     "mm_audio_clusters" ->
