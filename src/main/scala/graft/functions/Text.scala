@@ -33,6 +33,38 @@ object Text {
   def stopwordCount(text: Column): Column =
     size(filter(wsTokens(text), t => t.isin(stopwords.map(x => x: Any): _*)))
 
+  /** Gopher-rule columns (Rae et al. 2021, table A1 subset) — ONE
+    * definition consumed by the `text_gopher_filters` query AND its
+    * boundary spec, so a threshold change cannot desynchronize them. Flags
+    * are exact integral cross-multiplications (never comparisons on the
+    * rounded display ratios); mean word length counts exactly the
+    * non-whitespace chars so padding can't flip a rule bit. */
+  final case class GopherCols(
+      nWords: Column, meanWordLen: Column, fracAlphaWords: Column,
+      nStop: Column, okWordCount: Column, okMeanLen: Column,
+      okAlpha: Column, okStop: Column)
+
+  def gopher(text: Column): GopherCols = {
+    val toks = wsTokens(text)
+    val lowToks = wsTokens(lower(text))
+    val nTok = size(toks)
+    val nWords = wsTokenCount(text)
+    val wordChars = length(regexp_replace(text, "\\s+", ""))
+    val nAlpha = size(filter(toks, t => t.rlike("[a-zA-Z]")))
+    val nStop = size(filter(lowToks,
+      t => t.isin(stopwords.map(x => x: Any): _*))).cast("long")
+    def flag(c: Column) = when(c, 1L).otherwise(0L)
+    GopherCols(
+      nWords,
+      round(wordChars.cast("double") / greatest(nTok, lit(1)), 4),
+      round(nAlpha.cast("double") / greatest(nTok, lit(1)), 4),
+      nStop,
+      flag(nWords >= 50 && nWords <= 100000),
+      flag(wordChars >= nTok * 3 && wordChars <= nTok * 10),
+      flag(nAlpha * 5 >= nTok * 4),
+      flag(nStop >= 2))
+  }
+
   /** Quality-scoring feature columns (all rounded 4dp for oracle parity). */
   def qualityFeatures(text: Column): Seq[Column] = {
     val nChars = length(text).cast("long")

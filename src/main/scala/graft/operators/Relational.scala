@@ -99,4 +99,30 @@ object Relational {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Time-weighted average per key — mean of a 2-decimal `valueCol` over
+    * TIME rather than over change events: each value holds until the key's
+    * next event (per-key lead window, `tieCol` breaks timestamp ties), so
+    * its weight is the interval length; the last event carries no
+    * interval. Cents-scaled exact integer sums with ONE final division, so
+    * the result replays bit-identically in an oracle. Keys whose intervals
+    * sum to zero (all events simultaneous) are dropped rather than
+    * dividing by zero. */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, tieCol)
+    df.select(col(keyCol), col(tieCol), col(tsCol),
+        round(col(valueCol) * 100).cast("long").as("__cents"))
+      .withColumn("__next_ts", lead(col(tsCol), 1).over(w))
+      .filter(col("__next_ts").isNotNull)
+      .withColumn("__dur", col("__next_ts") - col(tsCol))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__cents") * col("__dur")).as("__wsum"),
+        sum(col("__dur")).as("__tsum"))
+      .filter(col("__tsum") > 0)
+      .select(col(keyCol), col("n_intervals"),
+        round(col("__wsum").cast("double") / (col("__tsum") * 100).cast("double"), 4)
+          .as("twa_value"))
+  }
 }

@@ -30,13 +30,24 @@ object MultimodalQueries {
         .transform(graft.operators.Checkpointing.cut)
     }
 
+  /** The decoded per-frame table, memoized like [[features]]: mm_frames,
+    * mm_scene_cuts and the video keep list all read it — the AVI corpus is
+    * walked once per session, not once per query. */
+  private val framesMemo = new graft.operators.SessionMemo[DataFrame]
+
+  private def videoFrames(s: SparkSession, dir: String): DataFrame =
+    framesMemo.get(s, dir) {
+      Multimodal.sampleFrames(s,
+          Multimodal.asMedia(Tables.sharded(s, dir, "documents")))
+        .transform(graft.operators.Checkpointing.cut)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_metadata" -> ((s, dir) => features(s, dir).orderBy("doc_id")),
 
     // one-to-many frame sampling over the video slice of the corpus
     "mm_frames" -> ((s, dir) =>
-      Multimodal.sampleFrames(s, Multimodal.asMedia(Tables.sharded(s, dir, "documents")))
-        .orderBy("doc_id", "frame_idx")),
+      videoFrames(s, dir).orderBy("doc_id", "frame_idx")),
 
     // Perceptual near-duplicate images: pairs of decoded images whose
     // 64-bit average-hashes differ in ≤ 4 bits — the image-side analog of
@@ -95,20 +106,27 @@ object MultimodalQueries {
     "mm_audio_clusters" -> ((s, dir) => audioClusters(s, dir).orderBy("doc_id")),
 
     // The audio keep DECISION: within each cluster keep the LONGEST clip
-    // (most samples — the WAV data chunk carries one sample per source
-    // byte, so duration replays as the byte length), doc_id tie-break.
-    // Same argmax-aggregate shape as dedup_keep_list / mm_keep_list — no
-    // per-cluster window sort.
+    // by true DURATION — data bytes / (sample_rate × channels), all from
+    // the real WAV header decode, NOT the raw byte count (a 24 kHz stereo
+    // clip packs 6× more bytes per second than 8 kHz mono, so byte count
+    // would keep the shorter clip). Ranked on integer-exact "ticks":
+    // bytes × (96000 / (rate × channels)) — 96000 is the LCM of every
+    // rate×channels the decoder emits, so the scale factor is an exact
+    // integer and the argmax needs no double division. doc_id tie-break;
+    // same argmax-aggregate shape as every other keep list.
     "mm_audio_keep_list" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val scored = graft.operators.CacheLease.lease(audioClusters(s, dir)
-        .join(Tables.sharded(s, dir, "documents")
-          .select(col("doc_id"), octet_length(col("text")).cast("long").as("n_samples")),
-          "doc_id"))
+      val dur = features(s, dir).filter(col("modality") === "audio")
+        .select(col("doc_id"),
+          ((col("n_bytes") - 44) *
+            expr("96000 div (sample_rate * channels)")).as("duration_ticks"))
+      val scored = graft.operators.CacheLease.lease(
+        audioClusters(s, dir).join(dur, "doc_id"))
       val kept = scored.groupBy("canonical")
-        .agg(expr("max_by(doc_id, struct(n_samples, -doc_id))").as("kept_doc"))
+        .agg(expr("max_by(doc_id, struct(duration_ticks, -doc_id))").as("kept_doc"))
       scored.join(kept, "canonical")
-        .select(col("doc_id"), col("canonical").as("cluster"), col("n_samples"),
+        .select(col("doc_id"), col("canonical").as("cluster"),
+          col("duration_ticks"),
           (col("doc_id") === col("kept_doc")).as("keep"), col("kept_doc"))
         .orderBy("doc_id")
     }),
@@ -132,8 +150,7 @@ object MultimodalQueries {
     // decision consumes the decode surface end-to-end.
     "mm_video_keep_list" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val nFrames = Multimodal
-        .sampleFrames(s, Multimodal.asMedia(Tables.sharded(s, dir, "documents")))
+      val nFrames = videoFrames(s, dir)
         .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
       val scored = graft.operators.CacheLease.lease(
         videoClusters(s, dir).join(nFrames, "doc_id"))
@@ -154,8 +171,7 @@ object MultimodalQueries {
       import org.apache.spark.sql.functions._
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("frame_idx")
-      Multimodal.sampleFrames(s,
-          Multimodal.asMedia(Tables.sharded(s, dir, "documents")))
+      videoFrames(s, dir)
         .withColumn("prev", lag("frame_phash", 1).over(w))
         .filter(col("prev").isNotNull)
         .select(col("doc_id"), col("frame_idx"),
@@ -282,7 +298,10 @@ object MultimodalQueries {
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
       .filter(col("hamming") <= 4)
       .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
+    // NO trailing sort: the pair tables are memoized artifacts (ordering
+    // would be materialized into the checkpoint as a wasted full shuffle —
+    // at 30× the pair build IS the cost); the pair-report queries order at
+    // their own output
   }
   // Probed alternatives for corpora with dense fingerprint clusters
   // (graft.tools.PigeonProbe, 30× scaled corpus, 50 k videos / 200 M
@@ -505,8 +524,9 @@ object MultimodalQueries {
          |${DedupQueries.clusterCtes}
          |SELECT doc_id, cluster AS canonical FROM clusters ORDER BY doc_id""".stripMargin,
 
-    // cluster chain + n_samples = source byte length (one sample per byte
-    // in the WAV synthesis), then the keep rank exactly as mm_keep_list
+    // cluster chain + true duration ticks: data bytes × (96000 // (rate ×
+    // channels)), the header fields replayed by the same synthesis
+    // formulas mm_metadata round-trips — then the keep rank
     "mm_audio_keep_list" ->
       s"""WITH RECURSIVE $audioHashCtes,
          |blocks AS (
@@ -527,13 +547,15 @@ object MultimodalQueries {
          |${DedupQueries.clusterCtes},
          |kscored AS (
          |  SELECT c.doc_id, c.cluster,
-         |         CAST(octet_length(encode(d.text)) AS BIGINT) AS n_samples
+         |         CAST(octet_length(encode(d.text)) *
+         |              (96000 // ((8000 * ((c.doc_id % 9) // 3 + 1)) *
+         |                         (c.doc_id % 2 + 1))) AS BIGINT) AS duration_ticks
          |  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
          |kranked AS (
          |  SELECT *, first_value(doc_id) OVER (PARTITION BY cluster
-         |            ORDER BY n_samples DESC, doc_id) AS kept_doc
+         |            ORDER BY duration_ticks DESC, doc_id) AS kept_doc
          |  FROM kscored)
-         |SELECT doc_id, cluster, n_samples, doc_id = kept_doc AS keep, kept_doc
+         |SELECT doc_id, cluster, duration_ticks, doc_id = kept_doc AS keep, kept_doc
          |FROM kranked ORDER BY doc_id""".stripMargin,
 
     // Replays the full decode surface: BMP geometry ((doc_id mod 13)+4 ×

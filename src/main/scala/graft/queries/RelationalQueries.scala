@@ -544,24 +544,10 @@ object RelationalQueries {
     // the weight is the interval length. Cents-scaled exact integer sums
     // (value is 2-decimal; cents × µs stays far under 2^63) with ONE final
     // division — bit-identical across engines. Per-key lead window only.
-    "q_time_weighted_avg" -> ((s, dir) => {
-      val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-      ev(s, dir)
-        .select(col("user_id"), col("event_id"), col("ts_us"),
-          round(col("value") * 100).cast("long").as("cents"))
-        .withColumn("next_ts", lead(col("ts_us"), 1).over(byUser))
-        .filter(col("next_ts").isNotNull)
-        .withColumn("dur_us", col("next_ts") - col("ts_us"))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_intervals"),
-          sum(col("cents") * col("dur_us")).as("wsum"),
-          sum(col("dur_us")).as("tsum"))
-        .filter(col("tsum") > 0)
-        .select(col("user_id"), col("n_intervals"),
-          round(col("wsum").cast("double") / (col("tsum") * 100).cast("double"), 4)
-            .as("twa_value"))
-        .orderBy("user_id")
-    }),
+    "q_time_weighted_avg" -> ((s, dir) =>
+      graft.operators.Relational
+        .timeWeightedAvg(ev(s, dir), "user_id", "ts_us", "event_id", "value")
+        .orderBy("user_id")),
 
     // Key-skew diagnostic — the measurement behind the q_salted_join
     // decision: the event log's heaviest join keys with their multiple of

@@ -150,28 +150,16 @@ object TextQueries {
     // separator-count approximation would let whitespace runs or padding
     // inflate the ratio past a rule bound and flip the pass bit.
     "text_gopher_filters" -> ((s, dir) => {
-      val toks = Text.wsTokens(col("text"))
-      val lowToks = Text.wsTokens(lower(col("text")))
-      val nTok = size(toks)
-      val nWords = Text.wsTokenCount(col("text"))
-      val wordChars = length(regexp_replace(col("text"), "\\s+", ""))
-      val nAlpha = size(filter(toks, t => t.rlike("[a-zA-Z]")))
-      val nStop = size(filter(lowToks,
-        t => t.isin(Text.stopwords.map(x => x: Any): _*))).cast("long")
-      def flag(c: Column) = when(c, 1L).otherwise(0L)
-      val okWords = flag(nWords >= 50 && nWords <= 100000)
-      val okMean = flag(wordChars >= nTok * 3 && wordChars <= nTok * 10)
-      val okAlpha = flag(nAlpha * 5 >= nTok * 4)
-      val okStop = flag(nStop >= 2)
+      val g = Text.gopher(col("text"))
       docs(s, dir).select(
         col("doc_id"),
-        nWords.as("n_words"),
-        round(wordChars.cast("double") / greatest(nTok, lit(1)), 4).as("mean_word_len"),
-        round(nAlpha.cast("double") / greatest(nTok, lit(1)), 4).as("frac_alpha_words"),
-        nStop.as("n_stop"),
-        okWords.as("ok_word_count"), okMean.as("ok_mean_len"),
-        okAlpha.as("ok_alpha"), okStop.as("ok_stop"),
-        (okWords * okMean * okAlpha * okStop).as("gopher_pass"))
+        g.nWords.as("n_words"),
+        g.meanWordLen.as("mean_word_len"),
+        g.fracAlphaWords.as("frac_alpha_words"),
+        g.nStop.as("n_stop"),
+        g.okWordCount.as("ok_word_count"), g.okMeanLen.as("ok_mean_len"),
+        g.okAlpha.as("ok_alpha"), g.okStop.as("ok_stop"),
+        (g.okWordCount * g.okMeanLen * g.okAlpha * g.okStop).as("gopher_pass"))
         .orderBy("doc_id")
     }),
 

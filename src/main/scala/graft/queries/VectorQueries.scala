@@ -155,22 +155,24 @@ object VectorQueries {
       (centroids, index)
     }
 
-  /** Exact brute-force cosine top-k for the bounded query sample: the
-    * query side is broadcast so the corpus is scanned once with no
-    * shuffle before the bounded-heap per-query top-k (map-side partial
-    * aggregation — the full scored corpus never reaches an exchange).
-    * Shared by `knn_bruteforce` and the recall audit. */
   /** Brute-force (q_id, neighbor_id, cos) over the sampled queries — the
     * exact side of the top-k baseline, the radius search, and the radius
-    * audit's ground truth. */
-  private def bruteScored(s: SparkSession, dir: String): DataFrame = {
-    val base = emb(s, dir)
-    val q = base.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    base.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(graft.plans.CosineSim.cosine(s, col("q_emb"), col("embedding")), 4).as("cos"))
-  }
+    * audit's ground truth. Memoized: four queries read this scored scan,
+    * so it is computed once per (session, sf-dir) like the index
+    * artifacts. The query side is broadcast, so the build scans the
+    * corpus once with no shuffle. */
+  private val bruteMemo = new graft.operators.SessionMemo[DataFrame]
+
+  private def bruteScored(s: SparkSession, dir: String): DataFrame =
+    bruteMemo.get(s, dir) {
+      val base = emb(s, dir)
+      val q = base.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      base.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          round(graft.plans.CosineSim.cosine(s, col("q_emb"), col("embedding")), 4).as("cos"))
+        .transform(graft.operators.Checkpointing.cut)
+    }
 
   private def bruteTopK(s: SparkSession, dir: String): DataFrame =
     Relational.topKByScore(bruteScored(s, dir), "q_id", "cos", "neighbor_id", topK)
@@ -178,9 +180,19 @@ object VectorQueries {
   /** Multi-table hyperplane-LSH scored candidates (md5-derived planes →
     * the signature replays exactly in the oracle): candidate if the vector
     * agrees with the query on a full signature in ANY table, then exact
-    * cosine. Shared by `knn_lsh` (top-k rerank), the recall audit, and the
-    * radius audit. */
-  private def lshScored(s: SparkSession, dir: String): DataFrame = {
+    * cosine. Memoized — `knn_lsh` (top-k rerank), the recall audit, and
+    * the radius audit all read this signature+bucket+cosine pipeline. */
+  private val lshMemo = new graft.operators.SessionMemo[DataFrame]
+
+  private def lshScored(s: SparkSession, dir: String): DataFrame =
+    lshMemo.get(s, dir) {
+      lshScoredPlan(s, dir).transform(graft.operators.Checkpointing.cut)
+    }
+
+  /** The uncut LSH-candidate construction — separate from [[lshScored]] so
+    * the broadcast-shape spec (AnnSpec) can still see the logical plan the
+    * memoized artifact hides behind its lineage cut. */
+  private[graft] def lshScoredPlan(s: SparkSession, dir: String): DataFrame = {
     val sigged = emb(s, dir).select(col("vec_id"), col("embedding"),
       graft.plans.HyperplaneSigs.sigsMd5(s, col("embedding"), 8, 4).as("sigs"))
     val buckets = sigged.select(col("vec_id"), col("embedding"),

@@ -112,8 +112,9 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
   test("knn_lsh candidate join broadcasts the query side (no corpus shuffle)") {
     // the scale contract of the LSH probe: the tiny query bucket set rides
     // a broadcast hash join, so candidate generation never exchanges the
-    // exploded corpus buckets
-    val df = graft.SparkEntry.queries("knn_lsh")(spark, sf)
+    // exploded corpus buckets. Lint the uncut construction — the served
+    // query reads the memoized artifact, whose lineage cut hides the join.
+    val df = graft.queries.VectorQueries.lshScoredPlan(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
     // the contract is that NO join shuffles the corpus side — a lost

@@ -54,32 +54,22 @@ class Round6OpsSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("time-weighted avg: constant value → that value; weighting is by duration") {
-    // user 1 holds 10.0 for 9 of 10 µs then 90.0 for 1 µs... the LAST
-    // value carries no interval, so: 10.0 over [0,9), 90.0 never weighted
-    // — then a closing event at ts 10 gives 90.0 weight 1
-    val q = queries.RelationalQueries.queries("q_time_weighted_avg")
-    // crafted via a direct replica of the operator's algebra on a tiny DF
+    // user 1: 10.0 over [0,9), then 90.0 over [9,10) — TWA = 18.0; the
+    // closing event's value is never weighted (no interval after it).
+    // Drives the PRODUCTION operator, not a replica.
     val ev = Seq((1L, 1L, 0L, 10.0), (1L, 2L, 9L, 90.0), (1L, 3L, 10L, 0.0),
-      (2L, 4L, 0L, 42.0), (2L, 5L, 100L, 42.0))
+      (2L, 4L, 0L, 42.0), (2L, 5L, 100L, 42.0),
+      (3L, 6L, 50L, 7.0)) // single event: no interval → absent
       .toDF("user_id", "event_id", "ts_us", "value")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("ts_us", "event_id")
-    val twa = ev
-      .select(col("user_id"), col("event_id"), col("ts_us"),
-        round(col("value") * 100).cast("long").as("cents"))
-      .withColumn("next_ts", lead(col("ts_us"), 1).over(w))
-      .filter(col("next_ts").isNotNull)
-      .withColumn("dur_us", col("next_ts") - col("ts_us"))
-      .groupBy("user_id")
-      .agg(sum(col("cents") * col("dur_us")).as("wsum"), sum("dur_us").as("tsum"))
-      .select(col("user_id"),
-        (col("wsum").cast("double") / (col("tsum") * 100)).as("twa"))
-      .as[(Long, Double)].collect().toMap
-    assert(twa(2L) == 42.0, "constant value must time-average to itself")
-    assert(math.abs(twa(1L) - (10.0 * 9 + 90.0 * 1) / 10) < 1e-12,
-      s"duration weighting: ${twa(1L)}")
+    val twa = operators.Relational
+      .timeWeightedAvg(ev, "user_id", "ts_us", "event_id", "value")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(twa(2L)._3 == 42.0, "constant value must time-average to itself")
+    assert(twa(1L)._3 == (10.0 * 9 + 90.0 * 1) / 10, s"duration weighting: ${twa(1L)}")
+    assert(!twa.contains(3L), "a single-event key has no time extent")
     // and the registered query runs against the lake with sane output
-    val rows = q(spark, sf).as[(Long, Long, Double)].collect()
+    val rows = queries.RelationalQueries.queries("q_time_weighted_avg")(spark, sf)
+      .as[(Long, Long, Double)].collect()
     assert(rows.nonEmpty && rows.forall(_._2 >= 1))
   }
 
@@ -110,20 +100,12 @@ class Round6OpsSpec extends AnyFunSuite with SparkTestBase {
     def gate(texts: Seq[String]) = {
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text")
-      // replay the query's rule algebra on crafted docs
-      val toks = functions.Text.wsTokens(col("text"))
-      val lowToks = functions.Text.wsTokens(lower(col("text")))
-      val nTok = size(toks)
-      val nWords = functions.Text.wsTokenCount(col("text"))
-      val wordChars = length(regexp_replace(col("text"), "\\s+", ""))
-      val nAlpha = size(filter(toks, t => t.rlike("[a-zA-Z]")))
-      val nStop = size(filter(lowToks,
-        t => t.isin(functions.Text.stopwords.map(x => x: Any): _*))).cast("long")
+      // drives the PRODUCTION rule columns (Text.gopher) — the same
+      // expressions text_gopher_filters selects, thresholds included
+      val g = functions.Text.gopher(col("text"))
       df.select(col("doc_id"),
-          (nWords >= 50 && nWords <= 100000).as("okW"),
-          (wordChars >= nTok * 3 && wordChars <= nTok * 10).as("okM"),
-          (nAlpha * 5 >= nTok * 4).as("okA"),
-          (nStop >= 2).as("okS"))
+          (g.okWordCount === 1L).as("okW"), (g.okMeanLen === 1L).as("okM"),
+          (g.okAlpha === 1L).as("okA"), (g.okStop === 1L).as("okS"))
         .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
         .sortBy(_._1)
     }
