@@ -31,6 +31,27 @@ object PipelineQueries {
   /** Output sharding fan-out. */
   private val nShards = 8
 
+  /** Per-doc benchmark-overlap counts (doc_id, n_shared_8grams) for the
+    * non-benchmark corpus — memoized: the per-doc decontamination list and
+    * the per-source contamination report both read it. Grams are
+    * pre-distinct per doc (NgramHashes.hashes), so the count is the size
+    * of the doc∩benchmark gram-set intersection. */
+  private val sharedMemo = new graft.operators.SessionMemo[DataFrame]
+
+  private def benchShared(s: SparkSession, dir: String): DataFrame =
+    sharedMemo.get(s, dir) {
+      val grams = docs(s, dir).select(col("doc_id"),
+        graft.plans.NgramHashes.hashes(s, col("text"), 8).as("grams"))
+      val bench = grams.filter(pmod(col("doc_id"), lit(benchMod)) === 0)
+        .select(explode(col("grams")).as("gram")).distinct()
+      grams.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
+        .select(col("doc_id"), explode(col("grams")).as("gram"))
+        .join(broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared_8grams"))
+        .transform(graft.operators.Checkpointing.cut)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The curation YIELD report — per source, what the dedup pipeline
     // keeps: exact-copy drops first (md5 groupBy, min doc_id survives),
@@ -78,18 +99,27 @@ object PipelineQueries {
     // the corpus, so it BROADCASTS: contamination is a map-side semi join —
     // the 100 TB corpus never shuffles. Gram identity via the native
     // one-pass hash (collision odds ~n²/2⁶⁴).
-    "pipeline_decontaminate" -> ((s, dir) => {
-      val grams = docs(s, dir).select(col("doc_id"),
-        graft.plans.NgramHashes.hashes(s, col("text"), 8).as("grams"))
-      val bench = grams.filter(pmod(col("doc_id"), lit(benchMod)) === 0)
-        .select(explode(col("grams")).as("gram")).distinct()
-      grams.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
-        .select(col("doc_id"), explode(col("grams")).as("gram"))
-        .join(broadcast(bench), "gram")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shared_8grams")) // grams pre-distinct per doc
-        .orderBy("doc_id")
-    }),
+    "pipeline_decontaminate" -> ((s, dir) =>
+      benchShared(s, dir).orderBy("doc_id")),
+
+    // Per-source contamination REPORT — the summary a team reads next to
+    // the per-doc decontamination list: how much of each source overlaps
+    // the held-out benchmark (rate of affected docs, worst overlap).
+    // Reads the shared memoized overlap artifact; O(sources) output.
+    "pipeline_contamination_rate" -> ((s, dir) =>
+      docs(s, dir).filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
+        .select("doc_id", "source")
+        .join(benchShared(s, dir), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_shared_8grams").isNotNull, 1L).otherwise(0L))
+            .as("n_contaminated"),
+          coalesce(max("n_shared_8grams"), lit(0L)).as("max_shared_8grams"))
+        .select(col("source"), col("n_docs"), col("n_contaminated"),
+          round(col("n_contaminated").cast("double") / col("n_docs"), 4)
+            .as("contamination_rate"),
+          col("max_shared_8grams"))
+        .orderBy("source")),
 
     // Deterministic source mixing: even-numbered sources keep all docs,
     // odd-numbered keep ~50% by a content-hash coin (md5 prefix < "8000"),
@@ -298,6 +328,23 @@ object PipelineQueries {
          |FROM g JOIN bench USING (gram)
          |WHERE g.doc_id % $benchMod <> 0
          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "pipeline_contamination_rate" ->
+      s"""WITH g AS ($gramsSql),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % $benchMod = 0),
+         |sh AS (
+         |  SELECT g.doc_id, count(*) AS n_shared
+         |  FROM g JOIN bench USING (gram)
+         |  WHERE g.doc_id % $benchMod <> 0
+         |  GROUP BY g.doc_id)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN sh.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |       round(CAST(sum(CASE WHEN sh.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / count(*), 4) AS contamination_rate,
+         |       CAST(coalesce(max(sh.n_shared), 0) AS BIGINT) AS max_shared_8grams
+         |FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
+         |WHERE d.doc_id % $benchMod <> 0
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // TRY_CAST mirrors Spark's cast-to-null on a non-numeric source suffix
     // (DuckDB's plain CAST would error), so future corpora whose source
