@@ -47,14 +47,26 @@ object Bench {
     // A failed query must be unmistakable: -1 in the queries map AND its
     // message in "errors" AND a non-zero exit — never a plausible-looking
     // fast time folded into the total.
+    // ms precision keeps the line short enough for the driver's tail-capture
+    // window (124 full-precision doubles overflowed it — BENCH_r*.json came
+    // back with parsed:null every round).
+    def ms(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = names.map { n =>
-      val v = if (errors.contains(n)) "-1" else median(times(n)).toString
+      val v = if (errors.contains(n)) "-1" else ms(median(times(n)))
       s"${jstr(n)}:$v"
     }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(200))}" }
       .mkString("{", ",", "}")
     val total = names.filterNot(errors.contains).map(n => median(times(n))).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"sf":"$sfDir"}"""
+    // Durable copy first: even if stdout is truncated by the harness, the
+    // structured per-query numbers survive as a file artifact.
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
+    println(line)
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")

@@ -105,7 +105,12 @@ object Bootstrap {
     val decoded = PgOutputStream.decodeStream(spark,
       PgOutputStream.resumeFrames(spark, lakeDir, slots, applySlot))
     // fresh checkpoint per resume position: the watermark (not the file
-    // source's seen-files log) governs where a re-bootstrap resumes
+    // source's seen-files log) governs where a re-bootstrap resumes. Prior
+    // resume positions leave abandoned checkpoints behind — prune every
+    // $applySlot-<w> with w below the current watermark so a long-lived
+    // state dir holds at most the live one (a failed delete is non-fatal:
+    // the stale dir is dead weight, not state).
+    pruneStaleCheckpoints(s"$stateDir/ck", applySlot, watermark)
     val q = PgOutputStream.captureTo(
       decoded, s"$stateDir/ck/$applySlot-$watermark", slots, applySlot) {
       batch => handle(slice(catalog, batch))
@@ -114,6 +119,30 @@ object Bootstrap {
 
     BootstrapStats(captureStats,
       slots.confirmedFlushLsn(slot), slots.confirmedFlushLsn(applySlot))
+  }
+
+  /** Remove checkpoints of previous resume positions: directories named
+    * `<applySlot>-<watermark>` whose watermark is strictly below `current`.
+    * Streaming never reads them again (each resume position gets a fresh
+    * checkpoint), so they only accumulate. */
+  private[cdc] def pruneStaleCheckpoints(
+      ckRoot: String, applySlot: String, current: Long): Unit = {
+    val root = new java.io.File(ckRoot)
+    val prefix = s"$applySlot-"
+    Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.isDirectory && f.getName.startsWith(prefix)) {
+        val suffix = f.getName.drop(prefix.length)
+        val stale = suffix.forall(_.isDigit) && suffix.nonEmpty &&
+          scala.util.Try(suffix.toLong).toOption.exists(_ < current)
+        if (stale) {
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+            x.delete(): Unit
+          }
+          rm(f)
+        }
+      }
+    }
   }
 
   /** The catalog applied to a decoded [[ChangeEvent]] batch — the streaming

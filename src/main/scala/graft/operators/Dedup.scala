@@ -340,9 +340,13 @@ object Dedup {
       tNum: Int = 1, tDen: Int = 2,
       fullCorpus: Boolean = false,
       stratumBound: String = "8"): DataFrame = {
-    require(fullCorpus || (stratumBound >= "1" && stratumBound <= "g"),
+    // Single hex char only: "g" (every md5 hex char sorts below it) or a
+    // multi-char bound like "80" would silently select the whole corpus and
+    // run the quadratic exact join without the fullCorpus opt-in.
+    require(fullCorpus ||
+        (stratumBound.length == 1 && stratumBound >= "1" && stratumBound <= "f"),
       s"stratumBound '$stratumBound' selects an empty or whole-corpus " +
-        "stratum; use \"1\" (1/16th) through \"f\" (15/16ths)")
+        "stratum; use a single hex char \"1\" (1/16th) through \"f\" (15/16ths)")
     val (est, grams) =
       if (fullCorpus) (estPairs, rankedGrams)
       else {

@@ -44,8 +44,9 @@ object Ivf {
       // one shuffle per iteration: VectorMeanAgg partial-aggregates each
       // partition's vectors into a single (sums, count) buffer per cluster,
       // so the exchange carries k buffers per partition, not k × dim rows
-      // across two stages (the labelCentroids shape, kept where oracle
-      // float-stability matters)
+      // across two stages. The fold quantizes inputs at 1e-6 and sums
+      // LONGS, so it is order-free: reruns, reshards and the DuckDB oracle
+      // all reproduce the centroids bit-exactly (VectorMeanAgg scaladoc)
       cents = assignLiteral(corpus, cents)
         .groupBy("cluster")
         .agg(graft.plans.VectorMeanAgg.mean(s, col("embedding")).as("centroid"))

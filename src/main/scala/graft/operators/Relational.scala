@@ -100,6 +100,51 @@ object Relational {
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Measured hot keys for [[skewJoin]]: per-key counts (map-side combined)
+    * into ONE global bounded-heap aggregate — the q_key_skew mechanic as an
+    * operator — keeping only keys whose fan-in is ≥ `minMultiple`× the
+    * mean. Driver-side result is ≤ k longs (bounded collect, same class as
+    * the IVF centroid pull). In production this is measured once per load
+    * and stored next to the table stats, not re-derived per query. */
+  def hotKeys(df: DataFrame, key: String, k: Int = 8,
+      minMultiple: Double = 1.0): Seq[Long] = {
+    val row = df.groupBy(key).agg(count(lit(1)).as("cnt"))
+      .agg(
+        graft.plans.TopKAgg.topk(df.sparkSession,
+          struct(col("cnt").cast("double").as("score"), col(key).as("id")), k)
+          .as("top"),
+        sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"))
+      .collect().head
+    val mean = row.getLong(1).toDouble / math.max(row.getLong(2), 1L)
+    row.getSeq[org.apache.spark.sql.Row](0)
+      .filter(_.getDouble(0) >= minMultiple * mean)
+      .map(_.getLong(1))
+  }
+
+  /** Two-path skew join — the production refinement of [[saltedJoin]]:
+    * only the MEASURED hot keys pay the saltFactor× right-side
+    * replication; every other key takes the plain equi-join. The union is
+    * row-identical to the unsalted join (keys partition disjointly into
+    * hot/cold, each path is row-identical on its slice, and null keys
+    * match nothing under an inner equi-join on either path), while the
+    * replicated volume drops from |right| × saltFactor to
+    * |right ⋂ hot| × saltFactor — O(|hot| × saltFactor) rows for an
+    * equi-unique right side, independent of corpus size.
+    *
+    * `hotKeySet` empty (measurement found no skew) degenerates to exactly
+    * the plain join — no salt machinery in the plan at all. */
+  def skewJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      leftUnique: String, saltFactor: Int,
+      hotKeySet: Seq[Long]): DataFrame = {
+    if (hotKeySet.isEmpty) left.join(right, Seq(key))
+    else {
+      val hot = col(key).isin(hotKeySet: _*)
+      saltedJoin(left.filter(hot), right.filter(hot), key, leftUnique, saltFactor)
+        .unionByName(left.filter(!hot).join(right.filter(!hot), Seq(key)))
+    }
+  }
+
   /** Time-weighted average per key — mean of a 2-decimal `valueCol` over
     * TIME rather than over change events: each value holds until the key's
     * next event (per-key lead window, `tieCol` breaks timestamp ties), so

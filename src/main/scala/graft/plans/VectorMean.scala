@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
 
 /** Element-wise mean of an embedding column in ONE aggregation pass.
   *
-  * Buffer = (running element sums, row count) — dim doubles + a long — so a
+  * Buffer = (running element sums, row count) — dim longs + a long — so a
   * group's whole contribution crosses the shuffle as a single k-per-partition
   * buffer row. The posexplode → groupBy(label, dim) → groupBy(label)
   * formulation this replaces in the k-means update is two sequential
@@ -19,10 +19,22 @@ import org.apache.spark.sql.types._
   * every partition's vectors locally and the exchange carries one buffer per
   * (group, partition).
   *
-  * Accumulation is left-to-right per partition then merge-order across
-  * partitions — the same nondeterminism class as Spark's own `avg`; callers
-  * that need oracle-stable floats (emb_centroids) keep the (label, dim)
+  * Accumulation is ORDER-FREE: each element is quantized once at the input
+  * boundary — `floor(x * 1e6)` as a long — and the fold is integer addition,
+  * which commutes and associates exactly. Partition order and merge order
+  * (the nondeterminism class of Spark's own float `avg`) therefore cannot
+  * change the result, and an external engine summing the same quantized
+  * longs replays the mean bit-exactly: mean_i = (Σ floor(x_i·1e6)) / 1e6 / n
+  * with both divisions in double. The 1e-6 input quantization is far below
+  * any useful signal for a k-means coarse quantizer (the one consumer,
+  * [[graft.operators.Ivf.kmeansCentroids]]); callers that need the
+  * full-precision float mean (emb_centroids) keep the (label, dim)
   * formulation, where each dimension is averaged independently.
+  *
+  * Overflow headroom: |x| ≤ B ⇒ |sum| ≤ n · B · 1e6; at B = 1 that allows
+  * ~9.2e12 vectors per group before Long overflow — beyond any single
+  * cluster at 100 TB (and a group that large has bigger problems than its
+  * mean).
   */
 final case class VectorMeanAgg(
     child: Expression,
@@ -30,7 +42,7 @@ final case class VectorMeanAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[VectorMeanAgg.Buf] {
 
-  import VectorMeanAgg.Buf
+  import VectorMeanAgg.{Buf, Scale}
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true
@@ -41,7 +53,7 @@ final case class VectorMeanAgg(
     case _ => false
   }
 
-  override def createAggregationBuffer(): Buf = Buf(Array.emptyDoubleArray, 0L)
+  override def createAggregationBuffer(): Buf = Buf(Array.emptyLongArray, 0L)
 
   override def update(buf: Buf, input: InternalRow): Buf = {
     val v = child.eval(input)
@@ -49,12 +61,13 @@ final case class VectorMeanAgg(
     else {
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
-      val sums = if (buf.n == 0L) new Array[Double](n) else buf.sums
+      val sums = if (buf.n == 0L) new Array[Long](n) else buf.sums
       require(sums.length == n,
         s"vector_mean: mixed dimensions (${sums.length} vs $n) in one group")
       var i = 0
       while (i < n) {
-        sums(i) += (if (childFloat) arr.getFloat(i).toDouble else arr.getDouble(i))
+        val x = if (childFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        sums(i) += math.floor(x * Scale).toLong
         i += 1
       }
       Buf(sums, buf.n + 1)
@@ -77,7 +90,9 @@ final case class VectorMeanAgg(
     else {
       val out = new Array[Double](buf.sums.length)
       var i = 0
-      while (i < out.length) { out(i) = buf.sums(i) / buf.n; i += 1 }
+      // division order matters for bit-parity with the oracle's
+      // CAST(sum AS DOUBLE) / 1e6 / n — keep it left-to-right
+      while (i < out.length) { out(i) = buf.sums(i).toDouble / Scale / buf.n; i += 1 }
       UnsafeArrayData.fromPrimitiveArray(out)
     }
 
@@ -85,7 +100,7 @@ final case class VectorMeanAgg(
     val bb = ByteBuffer.allocate(8 + 4 + buf.sums.length * 8)
     bb.putLong(buf.n)
     bb.putInt(buf.sums.length)
-    buf.sums.foreach(bb.putDouble)
+    buf.sums.foreach(bb.putLong)
     bb.array()
   }
 
@@ -93,7 +108,7 @@ final case class VectorMeanAgg(
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getLong
     val len = bb.getInt
-    Buf(Array.fill(len)(bb.getDouble), n)
+    Buf(Array.fill(len)(bb.getLong), n)
   }
 
   override def withNewMutableAggBufferOffset(off: Int): VectorMeanAgg =
@@ -106,7 +121,14 @@ final case class VectorMeanAgg(
 }
 
 object VectorMeanAgg {
-  final case class Buf(sums: Array[Double], n: Long)
+  /** Input quantization: floor(x · Scale) per element. Mirrored verbatim by
+    * the knn_ivf oracle (`CAST(floor(x * 1e6) AS BIGINT)`) — change both or
+    * neither. `floor` (not rint): DuckDB's round() is half-away-from-zero
+    * while JVM rint is half-to-even, so floor is the only cheap function the
+    * two engines compute identically at every representable input. */
+  val Scale: Double = 1e6
+
+  final case class Buf(sums: Array[Long], n: Long)
 
   def register(spark: SparkSession): Unit = NativeFunctions.register(spark)
 

@@ -16,6 +16,10 @@ import graft.sources.Tables
   */
 object RelationalQueries {
 
+  /** Measured hot join keys for q_salted_join — the stored-artifact
+    * pattern: measured once per (session, sf-dir), reused across passes. */
+  private val hotKeysMemo = new graft.operators.SessionMemo[Seq[Long]]
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
@@ -507,19 +511,26 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
-    // The skew-join mechanic inside the oracle gate: the salted join's
-    // whole point is being ROW-IDENTICAL to the plain join while a hot key
-    // fans out over saltFactor reducers, so its aggregate replays as the
-    // PLAIN join in DuckDB — every round re-proves the salt is invisible
-    // to results (the spec checks row identity once; this checks it
-    // against an independent engine continuously).
+    // The skew-join mechanic inside the oracle gate, TWO-PATH form (r7):
+    // only the MEASURED heaviest keys pay the saltFactor× replication —
+    // the rest take the plain join, and the union is row-identical to the
+    // unsalted join, so its aggregate replays as the PLAIN join in DuckDB.
+    // Every round re-proves both the salt and the hot/cold split are
+    // invisible to results (ScaleOpsSpec pins row identity + both plan
+    // paths; this checks against an independent engine continuously). The
+    // measurement (top-8 keys via the bounded-heap q_key_skew mechanic) is
+    // memoized per (session, dir) — production measures once per load and
+    // stores it with the table stats.
     "q_salted_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_quantity")
       val ords = t(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      val hot = hotKeysMemo.get(s, dir) {
+        graft.operators.Relational.hotKeys(li, "l_orderkey", k = 8)
+      }
       graft.operators.Relational
-        .saltedJoin(li, ords, "l_orderkey", "l_partkey", 8)
+        .skewJoin(li, ords, "l_orderkey", "l_partkey", 8, hot)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"),
           round(sum("l_quantity"), 4).as("sum_qty"))

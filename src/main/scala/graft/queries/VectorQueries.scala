@@ -101,10 +101,10 @@ object VectorQueries {
     ivfpqMemo.get(s, dir) {
       val e = emb(s, dir)
       // coarse quantizer: the ivfpqC lowest-vec_id vectors (the k-means
-      // init step, no Lloyd refinement — iterated means would reintroduce
-      // partition-order float sums and the quantizer could no longer be
-      // replayed in the oracle; knn_ivf keeps the iterated variant and
-      // pays the rows-only gate for it). Bounded collect: ivfpqC × dim.
+      // init step, no Lloyd refinement — one quantizer family per index
+      // keeps the two regimes distinct; knn_ivf carries the ITERATED
+      // Lloyd variant, whose quantized-long centroid fold the oracle
+      // replays in full). Bounded collect: ivfpqC × dim.
       val coarse: Seq[Seq[Double]] = e.filter(col("vec_id") < ivfpqC).orderBy("vec_id")
         .select("embedding").collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq).toIndexedSeq
@@ -560,7 +560,90 @@ object VectorQueries {
        |  JOIN embeddings ea ON ea.vec_id = c.vec_a
        |  JOIN embeddings eb ON eb.vec_id = c.vec_b)""".stripMargin
 
+  /** The exact cosine fold of [[graft.plans.CosineSim]]/[[graft.plans
+    * .NearestCentroid]] as DuckDB SQL: three independent left-to-right
+    * double folds (dot, ‖v‖², ‖c‖²) then dot / (√na · √nb) — the
+    * interleaved Scala loop keeps one accumulator per sum, so three
+    * separate ordered folds produce the identical bit pattern. Used where
+    * the comparison runs on UNROUNDED sims (argmax stages); the rounded
+    * rerank uses list_cosine_similarity like every other knn oracle. */
+  private def duckCos(v: String, c: String): String =
+    s"""(list_reduce(list_prepend(0.0, list_transform(range((SELECT d FROM dims)),
+       |    i -> $v[i+1] * $c[i+1])), (a,x) -> a + x)
+       | / (sqrt(list_reduce(list_prepend(0.0, list_transform(range((SELECT d FROM dims)),
+       |      i -> $v[i+1] * $v[i+1])), (a,x) -> a + x))
+       |  * sqrt(list_reduce(list_prepend(0.0, list_transform(range((SELECT d FROM dims)),
+       |      i -> $c[i+1] * $c[i+1])), (a,x) -> a + x))))""".stripMargin
+
+  /** One Lloyd assignment as a CTE: argmax cosine over `cents`, strict
+    * compare, lowest-cluster tie (row_number ORDER BY sim DESC, cluster —
+    * DuckDB sorts NaN largest, matching Java Double.compare). */
+  private def ivfAssignCte(out: String, cents: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT s.vec_id, c.cluster,
+       |           row_number() OVER (PARTITION BY s.vec_id
+       |             ORDER BY ${duckCos("s.v", "c.centroid")} DESC, c.cluster) AS rn
+       |    FROM sv s, $cents c) WHERE rn = 1)""".stripMargin
+
+  /** One Lloyd centroid update as CTEs: per-(cluster, dim) mean over the
+    * 1e-6-quantized longs — the exact VectorMeanAgg fold (sum of
+    * floor(x·1e6) longs is order-free; CAST(… AS DOUBLE)/1e6/n replays the
+    * eval's left-to-right division order). */
+  private def ivfUpdateCtes(out: String, assign: String): String =
+    s"""${out}_d AS (
+       |  SELECT a.cluster, generate_subscripts(s.v, 1) AS dim, unnest(s.v) AS x
+       |  FROM $assign a JOIN sv s USING (vec_id)),
+       |$out AS (
+       |  SELECT cluster, list(cx ORDER BY dim) AS centroid FROM (
+       |    SELECT cluster, dim,
+       |           CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) AS cx
+       |    FROM ${out}_d GROUP BY cluster, dim) GROUP BY cluster)""".stripMargin
+
+  /** Full IVF replay: deterministic init (16 lowest-vec_id vectors), two
+    * Lloyd iterations with the order-free quantized-long centroid fold,
+    * final inverted-list assignment, nprobe=2 probe on unrounded sims,
+    * exact-cosine rerank on (rounded cos, neighbor_id) — stage for stage
+    * the plan `ivfIndex` + `Ivf.knn` executes. */
+  private val ivfOracle: String =
+    s"""WITH sv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dims AS (SELECT len(v) AS d FROM sv LIMIT 1),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cluster,
+       |         v AS centroid
+       |  FROM (SELECT vec_id, v FROM sv ORDER BY vec_id LIMIT 16)),
+       |${ivfAssignCte("a1", "c0")},
+       |${ivfUpdateCtes("c1", "a1")},
+       |${ivfAssignCte("a2", "c1")},
+       |${ivfUpdateCtes("c2", "a2")},
+       |${ivfAssignCte("idx", "c2")},
+       |q AS (SELECT vec_id AS q_id, v AS q_emb FROM sv WHERE vec_id < $nQueries),
+       |probes AS (
+       |  SELECT q_id, cluster FROM (
+       |    SELECT q.q_id, c.cluster,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY ${duckCos("q.q_emb", "c.centroid")} DESC, c.cluster) AS rn
+       |    FROM q, c2 c) WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.q_id, i.vec_id AS neighbor_id,
+       |         round(list_cosine_similarity(q.q_emb, s.v), 4) AS cos
+       |  FROM idx i
+       |  JOIN probes p ON i.cluster = p.cluster AND i.vec_id <> p.q_id
+       |  JOIN q ON q.q_id = p.q_id
+       |  JOIN sv s ON s.vec_id = i.vec_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |             ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, neighbor_id, cos FROM ranked WHERE rk <= $topK
+       |ORDER BY q_id, rk""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // Graduated from rows-only in r7: the Lloyd centroid fold now
+    // accumulates 1e-6-quantized longs (order-free), so the whole
+    // quantizer build replays — see ivfOracle above.
+    "knn_ivf" -> ivfOracle,
+
     // Bit-exact signature replay (see above), then the same candidate rule
     // (agree on any table, self excluded), cosine rerank and ranked top-k
     // as the knn_bruteforce oracle.

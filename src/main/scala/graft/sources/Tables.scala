@@ -39,10 +39,17 @@ object Tables {
     * unix_micros branches do); TIMESTAMP(MICROS) with isAdjustedToUTC=false
     * reads as TIMESTAMP_NTZ → cast under a UTC session preserves the stored
     * wall-clock value, so unix_micros equals the oracle's epoch_us(ts)
-    * exactly. The UTC pin is re-asserted here so the NTZ branch stays
-    * correct even if a caller reset the session timezone after load. */
+    * exactly. The NTZ branch is only correct under a UTC session timezone;
+    * rather than silently repinning it (a surprising global side effect from
+    * a pure-looking column builder), fail loudly if a caller unpinned the
+    * session after `Tables.apply`/`GraftSession` set it. */
   def tsMicros(df: DataFrame): Column = {
-    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"tsMicros requires spark.sql.session.timeZone=UTC (found '$tz'): the " +
+        "TIMESTAMP_NTZ cast shifts with the session zone and would diverge " +
+        "from the oracle's epoch_us(ts). GraftSession.local and Tables.apply " +
+        "pin UTC; restore it before deriving event timestamps.")
     df.schema("ts").dataType match {
       // ts div 1000 truncates toward zero; subtract 1 when a negative value
       // has a remainder so the result is floor(ts / 1000) without the

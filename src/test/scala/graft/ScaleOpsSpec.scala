@@ -133,6 +133,40 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("skewJoin: two-path result is row-identical to the plain join") {
+    // crafted skew: key 1 holds half the left side, so the measurement
+    // must flag it hot and BOTH paths carry real rows
+    val left = ((1 to 500).map(i => (1L, i.toLong, i * 1.0)) ++
+      (1 to 500).map(i => ((i % 50 + 2).toLong, 1000L + i, i * 2.0)))
+      .toDF("k", "uniq", "v")
+    val right = (1L to 60L).map(k => (k, s"r$k")).toDF("k", "tag")
+    val hot = Relational.hotKeys(left, "k", k = 4, minMultiple = 2.0)
+    assert(hot.contains(1L), s"measurement missed the planted hot key: $hot")
+    val plain = left.join(right, Seq("k"))
+    val two = Relational.skewJoin(left, right, "k", "uniq", 8, hot)
+    assert(two.count() == plain.count())
+    assert(two.exceptAll(plain).isEmpty && plain.exceptAll(two).isEmpty)
+  }
+
+  test("skewJoin plan: salt machinery only on the hot path; none when no skew") {
+    val left = (1 to 100).map(i => ((i % 10).toLong, i.toLong, i * 1.0))
+      .toDF("k", "uniq", "v")
+    val right = (0L to 10L).map(k => (k, s"r$k")).toDF("k", "tag")
+    // hot path present: exactly the hot slice explodes the salt sequence —
+    // the cold slice must join plain (no explode, no salt column)
+    val twoPlan = Relational.skewJoin(left, right, "k", "uniq", 8, Seq(1L, 2L))
+      .queryExecution.optimizedPlan.toString
+    assert(twoPlan.toLowerCase.contains("union"), twoPlan.take(2000))
+    assert(twoPlan.sliding("explode".length).count(_ == "explode") <= 2,
+      s"salt explode should appear once (plus at most a generator alias):\n${twoPlan.take(2000)}")
+    assert(twoPlan.contains("explode"), twoPlan.take(2000))
+    // measured-no-skew degenerates to the plain join: no salt in the plan
+    val nonePlan = Relational.skewJoin(left, right, "k", "uniq", 8, Seq.empty)
+      .queryExecution.optimizedPlan.toString
+    assert(!nonePlan.contains("explode") && !nonePlan.contains("__salt"),
+      nonePlan.take(2000))
+  }
+
   test("bucketed co-located join plans without an exchange") {
     val ev = Tables(spark, sf, "events").select("event_id", "user_id", "value")
     Bucketing.writeBucketed(ev, "ev_a", "user_id", 4)
