@@ -59,8 +59,24 @@ object Multimodal {
             // on a coprime residue: docId % 9 ∈ {1, 4, 7} → 8/16/24 kHz
             val rate = 8000 * ((docId % 9).toInt / 3 + 1)
             val channels = (docId % 2).toInt + 1
+            // Planted near-dup pairs (r7): docs with docId ≡ 1 or 16
+            // (mod 30) carry a deterministic 160-byte sample pattern keyed
+            // by the PAIR id g = docId − (docId%30 == 16 ? 15 : 0) — so
+            // {g, g+15} are byte-identical clips (energy-hash hamming 0)
+            // in different containers (rate/channels still differ by
+            // docId). One pair per 30 docs: the near-dup relation stays
+            // LINEAR in corpus size, but the audio pair → cluster → keep
+            // chain exercises real rows at every SF instead of passing
+            // vacuously on 0 = 0. Still deterministic in docId alone.
+            val samples =
+              if (docId % 30 == 1 || docId % 30 == 16) {
+                val g = docId - (if (docId % 30 == 16) 15L else 0L)
+                Array.tabulate(160) { i =>
+                  ((((g % 1048576L) * 31L + i) * 97L + 13L) % 256L).toByte
+                }
+              } else bytes
             MediaRecord(docId, "audio",
-              MediaCodecs.encodeWav(rate, channels, 8, bytes), source)
+              MediaCodecs.encodeWav(rate, channels, 8, samples), source)
           case _ =>
             // 4 fps (250 ms/frame); frame f's pixels are the text bytes
             // from offset f·w·h, zero-padded — every frame differs, so the

@@ -394,18 +394,30 @@ object MultimodalQueries {
       |  FROM cells c JOIN tot t ON t.doc_id = c.doc_id GROUP BY c.doc_id)""".stripMargin
 
   /** WAV energy-envelope hash replay: audio docs (doc_id mod 3 = 1), data
-    * chunk = the UTF-8 text bytes, sample i → window (i·64)//n, bit w set
-    * iff window mean ≥ global mean (IEEE double compare, identical on both
-    * engines). Same shape as [[imgHashCtes]]. */
+    * chunk = the UTF-8 text bytes — EXCEPT the planted near-dup pairs
+    * (doc_id ≡ 1 or 16 mod 30), whose 160 bytes replay the deterministic
+    * pair-keyed pattern `(((g%2^20)·31 + i)·97 + 13) mod 256` with
+    * g = doc_id − (doc_id%30 == 16 ? 15 : 0) (Multimodal.asMedia). Sample
+    * i → window (i·64)//n, bit w set iff window mean ≥ global mean (IEEE
+    * double compare, identical on both engines). Same shape as
+    * [[imgHashCtes]]. */
   private val audioHashCtes =
     """b2 AS (
       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS blen
       |  FROM documents),
+      |asrc AS (
+      |  SELECT doc_id, hx,
+      |         CASE WHEN doc_id % 30 IN (1, 16) THEN 160 ELSE blen END AS alen,
+      |         doc_id % 30 IN (1, 16) AS seeded,
+      |         CASE WHEN doc_id % 30 = 16 THEN doc_id - 15 ELSE doc_id END AS g
+      |  FROM b2 WHERE doc_id % 3 = 1),
       |sm AS (
-      |  SELECT doc_id, (i * 64) // blen AS w,
-      |         ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT AS v
-      |  FROM (SELECT doc_id, hx, blen, unnest(range(blen)) AS i
-      |        FROM b2 WHERE doc_id % 3 = 1 AND blen > 0)),
+      |  SELECT doc_id, (i * 64) // alen AS w,
+      |         CASE WHEN seeded THEN (((g % 1048576) * 31 + i) * 97 + 13) % 256
+      |              ELSE ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT
+      |         END AS v
+      |  FROM (SELECT doc_id, hx, alen, seeded, g, unnest(range(alen)) AS i
+      |        FROM asrc WHERE alen > 0)),
       |wsum AS (
       |  SELECT doc_id, w, sum(v) AS ws, count(*) AS wc FROM sm GROUP BY doc_id, w),
       |gtot AS (
@@ -547,7 +559,8 @@ object MultimodalQueries {
          |${DedupQueries.clusterCtes},
          |kscored AS (
          |  SELECT c.doc_id, c.cluster,
-         |         CAST(octet_length(encode(d.text)) *
+         |         CAST((CASE WHEN c.doc_id % 30 IN (1, 16) THEN 160
+         |                    ELSE octet_length(encode(d.text)) END) *
          |              (96000 // ((8000 * ((c.doc_id % 9) // 3 + 1)) *
          |                         (c.doc_id % 2 + 1))) AS BIGINT) AS duration_ticks
          |  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
@@ -575,14 +588,18 @@ object MultimodalQueries {
          |         1::INTEGER AS channels, 0::INTEGER AS sample_rate, ih.phash
          |  FROM img i JOIN ihash ih ON ih.doc_id = i.doc_id),
          |ameta AS (
-         |  SELECT doc_id, 'audio' AS modality, CAST(44 + blen AS BIGINT) AS n_bytes,
+         |  SELECT doc_id, 'audio' AS modality, CAST(44 + dlen AS BIGINT) AS n_bytes,
          |         0::INTEGER AS width, 0::INTEGER AS height,
          |         CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
          |         CAST(8000 * ((doc_id % 9) // 3 + 1) AS INTEGER) AS sample_rate,
          |         -- wrapped like the JVM's silent Long multiply (a plain
          |         -- BIGINT multiply would ERROR past ~13.4 MB of text)
-         |         ${wrap64("(blen * 256 + 8)::HUGEINT * 2654435761")} AS phash
-         |  FROM b2 WHERE doc_id % 3 = 1),
+         |         ${wrap64("(dlen * 256 + 8)::HUGEINT * 2654435761")} AS phash
+         |  FROM (SELECT doc_id,
+         |               -- planted near-dup pairs carry the fixed 160-byte
+         |               -- pattern instead of the text bytes (asMedia r7)
+         |               CASE WHEN doc_id % 30 IN (1, 16) THEN 160 ELSE blen END AS dlen
+         |        FROM b2 WHERE doc_id % 3 = 1)),
          |$videoFrameCtes,
          |vmeta AS (
          |  SELECT v.doc_id, 'video' AS modality,

@@ -22,6 +22,16 @@ object PipelineQueries {
   /** Benchmark stand-in: every 97th doc is the "held-out eval set". */
   private val benchMod = 97
 
+  /** Contamination canaries (r7): docs with doc_id ≡ 1 (mod 101) are
+    * ADDED to the benchmark gram set while staying in the training side —
+    * the planted-canary posture production decontamination tooling ships
+    * (a doc known to overlap the benchmark MUST be flagged, proving the
+    * join actually fires). Also makes the driver gate non-vacuous at
+    * every SF: without canaries the synthetic lake has no cross-doc
+    * 8-gram overlap at sf0.01 and the oracle comparison passes on
+    * 0 = 0 rows. */
+  private val canaryMod = 101
+
   /** Packing budget in characters. */
   private val packBudget = 2000
 
@@ -42,7 +52,8 @@ object PipelineQueries {
     sharedMemo.get(s, dir) {
       val grams = docs(s, dir).select(col("doc_id"),
         graft.plans.NgramHashes.hashes(s, col("text"), 8).as("grams"))
-      val bench = grams.filter(pmod(col("doc_id"), lit(benchMod)) === 0)
+      val bench = grams.filter(pmod(col("doc_id"), lit(benchMod)) === 0 ||
+          pmod(col("doc_id"), lit(canaryMod)) === 1)
         .select(explode(col("grams")).as("gram")).distinct()
       grams.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
         .select(col("doc_id"), explode(col("grams")).as("gram"))
@@ -323,7 +334,8 @@ object PipelineQueries {
 
     "pipeline_decontaminate" ->
       s"""WITH g AS ($gramsSql),
-         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % $benchMod = 0)
+         |bench AS (SELECT DISTINCT gram FROM g
+         |          WHERE doc_id % $benchMod = 0 OR doc_id % $canaryMod = 1)
          |SELECT g.doc_id, count(*) AS n_shared_8grams
          |FROM g JOIN bench USING (gram)
          |WHERE g.doc_id % $benchMod <> 0
@@ -331,7 +343,8 @@ object PipelineQueries {
 
     "pipeline_contamination_rate" ->
       s"""WITH g AS ($gramsSql),
-         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % $benchMod = 0),
+         |bench AS (SELECT DISTINCT gram FROM g
+         |          WHERE doc_id % $benchMod = 0 OR doc_id % $canaryMod = 1),
          |sh AS (
          |  SELECT g.doc_id, count(*) AS n_shared
          |  FROM g JOIN bench USING (gram)

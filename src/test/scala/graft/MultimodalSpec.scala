@@ -345,4 +345,20 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     } yield (a, b, d.toLong)).toSet
     assert(out == brute, s"bucketed=${out.size} brute=${brute.size}")
   }
+
+  test("planted audio pairs: every {g, g+15} pair present at hamming 0") {
+    // the r7 seeding contract: docs with docId ≡ 1 (mod 30) and their
+    // +15 partners carry byte-identical sample patterns, so the pair
+    // (g, g+15) MUST surface — the driver gate can no longer pass
+    // vacuously on an empty pair set
+    val pairs = queries.MultimodalQueries.queries("mm_audio_near_dup")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty, "seeding produced no audio near-dup pairs")
+    val maxId = sources.Tables(spark, sf, "documents")
+      .agg(org.apache.spark.sql.functions.max($"doc_id")).as[Long].head()
+    val expected = (0L to maxId).filter(g => g % 30 == 1 && g + 15 <= maxId)
+      .map(g => (g, g + 15L, 0L)).toSet
+    assert(expected.subsetOf(pairs.toSet),
+      s"missing planted pairs: ${expected -- pairs.toSet}")
+  }
 }
