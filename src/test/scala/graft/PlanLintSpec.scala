@@ -118,8 +118,18 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
     // corpus unless explicitly asked to
     assert(semiJoins("dedup_lsh_audit_sampled") >= 3,
       "sampled audit must stratum-filter est pairs (both endpoints) and exact grams")
-    // and the opt-in full form is the only path with no stratum gate
-    assert(semiJoins("dedup_lsh_audit") == 0,
-      "full audit is the explicit fullCorpus=true opt-in; no hidden sampling")
+    // and the opt-in full form has no hidden STRATUM gate: no md5-prefix
+    // filter anywhere in its plan. (It does carry LeftSemi joins since r7 —
+    // the gram-keyed verify's intersection join — so "zero semi joins" is
+    // no longer the right proxy; the md5 content-hash filter is what a
+    // sampling gate actually looks like.)
+    val fullPlan = SparkEntry.queries("dedup_lsh_audit")(spark, sf)
+      .queryExecution.optimizedPlan
+    val md5Gates = fullPlan.collect {
+      case f: Filter if f.condition.find(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Md5]).isDefined => f
+    }
+    assert(md5Gates.isEmpty,
+      "full audit is the explicit fullCorpus=true opt-in; no hidden stratum sampling")
   }
 }
