@@ -163,9 +163,12 @@ object Bootstrap {
         .filter(col("op").isin(p.eventMask.toSeq.sorted: _*))
       p.condition.foreach(c => df = df.filter(c))
       if (p.selector.nonEmpty) {
+        // native codegen'd key projection (null map → null) — the one-time
+        // keep set replaces the interpreted map_filter lambda this dispatch
+        // hot path carried through round 6
         val keep = array(p.selector.map(lit): _*)
-        def prune(image: String) = when(col(image).isNotNull,
-          map_filter(col(image), (k, _) => array_contains(keep, k)))
+        def prune(image: String) = graft.plans.MapProjectKeys.project(
+          batch.sparkSession, col(image), keep)
         df = df.withColumn("before", prune("before"))
           .withColumn("after", prune("after"))
       }

@@ -128,6 +128,10 @@ object NativeFunctions {
       case Seq(c, m) =>
         BitmapDistinctAgg(c, intArg(m, "maxId")).toAggregateExpression()
       case other => bad("bitmap_distinct", "key, maxId", other.size)
+    },
+    "map_project_keys" -> {
+      case Seq(m, ks) => MapProjectKeys(m, ks)
+      case other => bad("map_project_keys", "map, keys", other.size)
     })
 
   // names THIS object registered, per session: distinguishes "ours, skip

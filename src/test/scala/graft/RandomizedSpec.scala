@@ -117,6 +117,29 @@ class RandomizedSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("map_project_keys matches the interpreted map_filter on random images") {
+    // the Bootstrap.slice selector prune: parity with the HOF it replaced,
+    // across empty/null maps, absent keys, null values, and entry order
+    val cols = Seq("id", "name", "val", "ts", "extra")
+    val rows: Seq[(Long, Map[String, String])] = (0 until 200).map { i =>
+      val m = cols.filter(_ => rnd.nextBoolean())
+        .map(c => c -> (if (rnd.nextInt(5) == 0) null else s"v$i$c")).toMap
+      (i.toLong, if (i % 17 == 0) null else m)
+    }
+    val df = rows.toDF("id", "img")
+    for (sel <- Seq(Seq("id", "name"), Seq("nope"), Seq("val", "ts", "extra"))) {
+      val keep = org.apache.spark.sql.functions.array(sel.map(
+        org.apache.spark.sql.functions.lit): _*)
+      val native = df.select($"id", graft.plans.MapProjectKeys.project(
+          spark, $"img", keep).as("m"))
+        .as[(Long, Map[String, String])].collect().toMap
+      val hof = df.select($"id", org.apache.spark.sql.functions.map_filter(
+          $"img", (k, _) => org.apache.spark.sql.functions.array_contains(keep, k)).as("m"))
+        .as[(Long, Map[String, String])].collect().toMap
+      assert(native == hof, s"selector $sel diverged")
+    }
+  }
+
   test("md5 minhash matches an independent slow reference on random texts") {
     // independent path: Java-regex tokenization + MessageDigest + BigInteger
     // affine mod p — shares NO code with the native gram walk, so it
