@@ -109,6 +109,10 @@ object NativeFunctions {
       case Seq(c, kk) => TopKAgg(c, intArg(kk, "k")).toAggregateExpression()
       case other => bad("topk", "struct(score, id), k", other.size)
     },
+    "bottomk_distinct" -> {
+      case Seq(c, kk) => BottomKDistinctAgg(c, intArg(kk, "k")).toAggregateExpression()
+      case other => bad("bottomk_distinct", "key, k", other.size)
+    },
     "freq_items" -> {
       case Seq(c, cap) => FreqItemsAgg(c, intArg(cap, "capacity")).toAggregateExpression()
       case other => bad("freq_items", "item, capacity", other.size)

@@ -382,6 +382,58 @@ object RelationalQueries {
           round(element_at(col("p"), 2), 4).as("p95"))
         .orderBy("l_returnflag")),
 
+    // KMV (k-minimum-values) distinct sketch next to q_approx_distinct's
+    // HLL++: same bounded-state mergeable-summary scale shape (the exchange
+    // carries O(groups × k) longs, no distinct pre-shuffle — dedupe happens
+    // INSIDE the bounded buffer, map-side), but the retained state is k
+    // md5-derived 48-bit hashes, so the estimator is EXACTLY replayable by
+    // any engine that computes md5 — this one is hash-gated where HLL++
+    // must stay rows-only. 48 bits (12 hex chars) keeps every hash exactly
+    // double-representable (< 2^53) so the (k−1)/h₍ₖ₎ division is
+    // bit-identical across engines.
+    "q_kmv_distinct" -> ((s, dir) => {
+      graft.plans.NativeFunctions.register(s)
+      val k = 64
+      val two48 = 281474976710656.0 // 2^48
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey"),
+          conv(substring(md5(col("l_partkey").cast("string")), 1, 12), 16, 10)
+            .cast("long").as("h"))
+        .groupBy("l_returnflag")
+        .agg(
+          call_function("bottomk_distinct", col("h"), lit(k)).as("mins"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"),
+          // fewer than k distinct hashes retained ⇒ the buffer IS the
+          // distinct set — report it exactly (standard KMV small-domain
+          // case); otherwise (k−1) / normalized k-th minimum
+          round(when(size(col("mins")) < k, size(col("mins")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (element_at(col("mins"), k).cast("double") / lit(two48))), 4)
+            .as("kmv_parts"),
+          col("exact_parts"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Deterministic-sample percentiles next to q_approx_percentiles' sketch:
+    // the OTHER scale path around an exact global per-group sort — a
+    // content-keyed md5 coin keeps ~25% of rows (map-only, pushdown-
+    // friendly, rerun/reshard-stable), and the exact interpolated
+    // percentile runs over the bounded sample. The coin is a pure function
+    // of the row key, so DuckDB replays the sample — and therefore the
+    // estimate — bit-for-bit (hash-gated, where the quantile sketch is
+    // rows-only by construction).
+    "q_sampled_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(substring(md5(concat_ws(":",
+          col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string"))), 1, 1) < "4")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_sampled"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+        .orderBy("l_returnflag")),
+
     // As-of join: each purchase ← latest signup at-or-before it, per user.
     "q_asof_join" -> ((s, dir) => {
       val e = ev(s, dir)
@@ -752,6 +804,42 @@ object RelationalQueries {
         |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
         |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // exact KMV replay: same md5 coins, same 48-bit normalization, same
+    // small-domain fallback — the estimator is a pure function of the data
+    "q_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |         ('0x' || substr(md5(l_partkey::VARCHAR), 1, 12))::BIGINT AS h
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, h,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        |  FROM h),
+        |ex AS (
+        |  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT r.l_returnflag,
+        |       round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+        |                  ELSE 63.0 / (max(CASE WHEN rn = 64 THEN r.h END)
+        |                               / 281474976710656.0)
+        |             END, 4) AS kmv_parts,
+        |       max(ex.exact_parts) AS exact_parts
+        |FROM r JOIN ex USING (l_returnflag)
+        |WHERE rn <= 64
+        |GROUP BY r.l_returnflag
+        |ORDER BY r.l_returnflag""".stripMargin,
+
+    // the md5 coin is a pure row-key function — DuckDB draws the identical
+    // sample, so the exact percentile over it replays bit-for-bit
+    "q_sampled_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n_sampled,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        |FROM lineitem
+        |WHERE substr(md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR), 1, 1) < '4'
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
