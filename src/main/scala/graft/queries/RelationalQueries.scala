@@ -434,6 +434,72 @@ object RelationalQueries {
           round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
         .orderBy("l_returnflag")),
 
+    // KMV sketch SET ALGEBRA (Beyer et al., SIGMOD 2007 "On synopses for
+    // distinct-value estimation under multiset operations"): per-segment
+    // KMV sketches compose into union/intersection/Jaccard ESTIMATES
+    // without touching the rows again. This is the pre-aggregated
+    // sketch-table pattern that matters at 100 TB: the corpus is scanned
+    // once into an O(segments × k) sketch table (bottomk_distinct is a
+    // partial-aggregating bounded buffer — the exchange carries ≤ k longs
+    // per segment per map task), and every pairwise overlap question
+    // afterwards is algebra on that tiny table — a broadcast self-join
+    // over O(segments²) rows of k-length arrays, never a re-scan.
+    //   union:  merge the two hash sets, keep the k smallest → standard
+    //           KMV estimate on the merged sketch.
+    //   intersection: of the k smallest union hashes, the fraction present
+    //           in BOTH input sketches estimates the Jaccard ρ;
+    //           |A∩B| ≈ ρ · |A∪B|.
+    // Everything is md5-derived 48-bit integer hashes + one double
+    // division, so DuckDB replays the estimator bit-for-bit (hash-gated).
+    // The exact columns are the audit a data team keeps at small SF and
+    // drops at corpus scale (the one row-scale join here).
+    "q_sketch_setops" -> ((s, dir) => {
+      graft.plans.NativeFunctions.register(s)
+      val k = 64
+      val two48 = 281474976710656.0 // 2^48
+      val li = t(s, dir, "lineitem")
+        .select(date_format(col("l_shipdate"), "yyyy").as("y"),
+          col("l_partkey"),
+          conv(substring(md5(col("l_partkey").cast("string")), 1, 12), 16, 10)
+            .cast("long").as("h"))
+      val sk = li.groupBy("y")
+        .agg(call_function("bottomk_distinct", col("h"), lit(k)).as("mins"),
+          countDistinct(col("l_partkey")).as("exact_n"))
+      // exact pairwise overlap audit: per-part year lists are bounded by
+      // the number of years, so the co-occurrence self-join is linear in
+      // distinct (year, part) pairs
+      val tu = li.select(col("y"), col("l_partkey").as("p")).distinct()
+      val ov = tu.as("a")
+        .join(tu.as("b"), col("a.p") === col("b.p") && col("a.y") < col("b.y"))
+        .groupBy(col("a.y").as("ya"), col("b.y").as("yb"))
+        .agg(count(lit(1)).as("exact_overlap"))
+      sk.as("a").join(broadcast(sk.as("b")), col("a.y") < col("b.y"))
+        .select(col("a.y").as("year_a"), col("b.y").as("year_b"),
+          col("a.mins").as("ma"), col("b.mins").as("mb"),
+          col("a.exact_n").as("ea"), col("b.exact_n").as("eb"))
+        .withColumn("m",
+          slice(array_sort(array_union(col("ma"), col("mb"))), 1, k))
+        .withColumn("msize", size(col("m")))
+        .withColumn("c", size(array_intersect(col("m"),
+          array_intersect(col("ma"), col("mb")))))
+        // msize < k ⇔ both inputs were complete hash sets → exact union
+        .withColumn("union_est",
+          when(col("msize") < k, col("msize").cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (element_at(col("m"), k).cast("double") / lit(two48))))
+        .join(ov, col("year_a") === col("ya") && col("year_b") === col("yb"),
+          "left")
+        .select(col("year_a"), col("year_b"),
+          round(col("union_est"), 4).as("kmv_union"),
+          round(col("c").cast("double") / col("msize") * col("union_est"), 4)
+            .as("kmv_inter"),
+          round(col("c").cast("double") / col("msize"), 4).as("kmv_jaccard"),
+          (col("ea") + col("eb") - coalesce(col("exact_overlap"), lit(0L)))
+            .as("exact_union"),
+          coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
+        .orderBy("year_a", "year_b")
+    }),
+
     // As-of join: each purchase ← latest signup at-or-before it, per user.
     "q_asof_join" -> ((s, dir) => {
       val e = ev(s, dir)
@@ -842,6 +908,66 @@ object RelationalQueries {
         |WHERE substr(md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR), 1, 1) < '4'
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // full KMV set-algebra replay: per-year bottom-64 distinct 48-bit
+    // hashes, merged-sketch union estimate, intersection via membership of
+    // the merged k-minimum hashes in both input sketches
+    "q_sketch_setops" ->
+      """WITH h AS (
+        |  SELECT DISTINCT strftime(l_shipdate, '%Y') AS y,
+        |         ('0x' || substr(md5(l_partkey::VARCHAR), 1, 12))::BIGINT AS h
+        |  FROM lineitem),
+        |k AS (
+        |  SELECT y, h FROM (
+        |    SELECT y, h, row_number() OVER (PARTITION BY y ORDER BY h) AS rn
+        |    FROM h)
+        |  WHERE rn <= 64),
+        |ex AS (
+        |  SELECT strftime(l_shipdate, '%Y') AS y,
+        |         count(DISTINCT l_partkey) AS exact_n
+        |  FROM lineitem GROUP BY 1),
+        |tu AS (
+        |  SELECT DISTINCT strftime(l_shipdate, '%Y') AS y, l_partkey AS p
+        |  FROM lineitem),
+        |ov AS (
+        |  SELECT a.y AS ya, b.y AS yb, count(*) AS exact_overlap
+        |  FROM tu a JOIN tu b ON a.p = b.p AND a.y < b.y
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT a.y AS ya, b.y AS yb FROM ex a JOIN ex b ON a.y < b.y),
+        |m0 AS (
+        |  SELECT DISTINCT p.ya, p.yb, k.h
+        |  FROM pairs p JOIN k ON k.y IN (p.ya, p.yb)),
+        |m AS (
+        |  SELECT ya, yb, h, rn FROM (
+        |    SELECT ya, yb, h,
+        |           row_number() OVER (PARTITION BY ya, yb ORDER BY h) AS rn
+        |    FROM m0)
+        |  WHERE rn <= 64),
+        |agg AS (
+        |  SELECT m.ya, m.yb, count(*) AS msize,
+        |         max(CASE WHEN m.rn = 64 THEN m.h END) AS hk,
+        |         count(CASE WHEN ka.h IS NOT NULL AND kb.h IS NOT NULL
+        |                    THEN 1 END) AS c
+        |  FROM m
+        |  LEFT JOIN k ka ON ka.y = m.ya AND ka.h = m.h
+        |  LEFT JOIN k kb ON kb.y = m.yb AND kb.h = m.h
+        |  GROUP BY 1, 2),
+        |est AS (
+        |  SELECT ya, yb, msize, c,
+        |         CASE WHEN msize < 64 THEN msize::DOUBLE
+        |              ELSE 63.0 / (hk / 281474976710656.0) END AS union_est
+        |  FROM agg)
+        |SELECT est.ya AS year_a, est.yb AS year_b,
+        |       round(union_est, 4) AS kmv_union,
+        |       round(c::DOUBLE / msize * union_est, 4) AS kmv_inter,
+        |       round(c::DOUBLE / msize, 4) AS kmv_jaccard,
+        |       ea.exact_n + eb.exact_n - coalesce(ov.exact_overlap, 0) AS exact_union,
+        |       coalesce(ov.exact_overlap, 0) AS exact_overlap
+        |FROM est
+        |JOIN ex ea ON ea.y = est.ya
+        |JOIN ex eb ON eb.y = est.yb
+        |LEFT JOIN ov ON ov.ya = est.ya AND ov.yb = est.yb
+        |ORDER BY year_a, year_b""".stripMargin,
 
     "q_mad" ->
       """WITH med AS (

@@ -71,4 +71,42 @@ class KmvSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(s95 - p95) / p95 <= 0.10, s"$flag p95 sample drift: $s95 vs $p95")
     }
   }
+
+  test("q_sketch_setops: estimates inside the envelope, exact identities hold") {
+    val rows = SparkEntry.queries("q_sketch_setops")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val u = r.getAs[Double]("kmv_union")
+      val i = r.getAs[Double]("kmv_inter")
+      val j = r.getAs[Double]("kmv_jaccard")
+      val eu = r.getAs[Long]("exact_union").toDouble
+      val eo = r.getAs[Long]("exact_overlap").toDouble
+      // sketch-level sanity: intersection ≤ union, Jaccard = inter/union
+      assert(i <= u + 1e-9)
+      assert(j >= 0.0 && j <= 1.0)
+      // union estimate inside the 4-sigma KMV envelope (k = 64)
+      assert(math.abs(u - eu) / eu <= 0.51, s"union est $u vs exact $eu")
+      // intersection estimate inherits both sketches' error — wider bound,
+      // and absolute-floored: at tiny SF a handful of merged hashes decide
+      // the overlap fraction
+      assert(math.abs(i - eo) <= math.max(0.75 * eo, 0.35 * eu),
+        s"intersection est $i vs exact $eo (union $eu)")
+    }
+  }
+
+  test("q_sketch_setops: composing stored sketches equals sketching the union") {
+    // the mergeability law behind the pre-aggregated sketch table: the
+    // k smallest of (Ka ∪ Kb) equal the k smallest of hash(A ∪ B) —
+    // guaranteed when |merged| ≥ k covers the true bottom-k, which holds
+    // because each side retains ITS bottom-k
+    NativeFunctions.register(spark)
+    val a = (1L to 400L).map(i => i * 2654435761L % 1000003L)
+    val b = (200L to 600L).map(i => i * 2654435761L % 1000003L)
+    val k = 16
+    def sketch(vs: Seq[Long]): Seq[Long] =
+      vs.toDF("h").agg(call_function("bottomk_distinct", col("h"), lit(k)))
+        .head().getSeq[Long](0).toSeq
+    val merged = (sketch(a) ++ sketch(b)).distinct.sorted.take(k)
+    assert(merged == sketch(a ++ b))
+  }
 }
