@@ -170,4 +170,29 @@ object Relational {
         round(col("__wsum").cast("double") / (col("__tsum") * 100).cast("double"), 4)
           .as("twa_value"))
   }
+
+  /** Boundary sweep-line over closed intervals: each [st, en] row becomes
+    * a +1/−1 `delta` boundary, and the GLOBAL running sum of deltas in
+    * (ts, delta DESC, tie...) order is the open-interval count at each
+    * boundary (`cur`). Starts sort before ends at the same instant, so
+    * touching intervals overlap and zero-length intervals still count.
+    *
+    * Two scale traps dodged at once: the O(n²) "count intervals covering
+    * each instant" self-join, and the single-reducer global ordered window
+    * (`Window.orderBy` with no partition funnels every boundary through
+    * one task) — the running sum is the two-level distributed PrefixSum.
+    * `tieCols` must make the ordering unique (range-boundary contract);
+    * rows with equal (ts, delta) are interchangeable under any tie order,
+    * so the prefix-value multiset — and anything aggregated from it — is
+    * deterministic. */
+  def concurrency(iv: DataFrame, stCol: String, enCol: String,
+      tieCols: Seq[String]): DataFrame = {
+    val keep = tieCols.map(col)
+    val bounds = iv.select(keep :+ col(stCol).as("ts") :+ lit(1).as("delta"): _*)
+      .unionByName(
+        iv.select(keep :+ col(enCol).as("ts") :+ lit(-1).as("delta"): _*))
+    PrefixSum.cumSum(bounds.withColumn("__g", lit(1)), "__g",
+        col("ts") +: col("delta").desc +: keep, "delta", "cur")
+      .drop("__g")
+  }
 }

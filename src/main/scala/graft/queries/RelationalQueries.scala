@@ -552,6 +552,29 @@ object RelationalQueries {
           round(sum("value"), 4).as("session_value"))
         .orderBy("user_id", "session_id")),
 
+    // Peak concurrency (max simultaneously-open sessions per day) via the
+    // boundary SWEEP-LINE: each session becomes a +1 at its start and a −1
+    // at its end, and the global running sum of deltas at any boundary IS
+    // the number of open sessions there. This dodges the two classic
+    // scale traps at once: the O(n²) interval self-join ("count intervals
+    // overlapping each instant"), and the single-reducer global ordered
+    // window (`Window.orderBy` with no partition) — the running sum is the
+    // two-level distributed PrefixSum (range-partitioned slices, O(parts)
+    // partial offsets broadcast back). Ties order (ts, delta DESC, ids):
+    // starts before ends at the same instant ⇒ closed-interval semantics —
+    // touching sessions overlap, single-event sessions still count.
+    "q_concurrency" -> ((s, dir) => {
+      val sessions = Relational
+        .sessionize(ev(s, dir), "user_id", "ts_us", "event_id", 1800000000L)
+        .groupBy("user_id", "session_id")
+        .agg(min("ts_us").as("st"), max("ts_us").as("en"))
+      Relational.concurrency(sessions, "st", "en", Seq("user_id", "session_id"))
+        .groupBy(expr("ts div 86400000000").as("day"))
+        .agg(max("cur").as("peak_concurrent"),
+          count(when(col("delta") === 1, 1)).as("sessions_started"))
+        .orderBy("day")
+    }),
+
     // JSON extraction from the props payload.
     "q_json_extract" -> ((s, dir) =>
       ev(s, dir)
@@ -1088,6 +1111,38 @@ object RelationalQueries {
          |       round(sum(value), 4) AS session_value
          |FROM sess GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+
+    // same sessionize CTE as q_sessionize, then the boundary sweep: the
+    // window's global ORDER BY replays the PrefixSum's range order exactly
+    "q_concurrency" ->
+      s"""$evCte,
+         |gaps AS (
+         |  SELECT user_id, event_id, ts_us,
+         |         CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+         |                OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |                   > 1800000000
+         |              THEN 1 ELSE 0 END AS new_session
+         |  FROM e),
+         |sess AS (
+         |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         |  FROM gaps),
+         |iv AS (
+         |  SELECT user_id, session_id, min(ts_us) AS st, max(ts_us) AS en
+         |  FROM sess GROUP BY 1, 2),
+         |b AS (
+         |  SELECT user_id, session_id, st AS ts_us, 1 AS delta FROM iv
+         |  UNION ALL
+         |  SELECT user_id, session_id, en, -1 FROM iv),
+         |c AS (
+         |  SELECT ts_us, delta,
+         |         CAST(sum(delta) OVER (ORDER BY ts_us, delta DESC, user_id, session_id
+         |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cur
+         |  FROM b)
+         |SELECT ts_us // 86400000000 AS day,
+         |       max(cur) AS peak_concurrent,
+         |       CAST(count(CASE WHEN delta = 1 THEN 1 END) AS BIGINT) AS sessions_started
+         |FROM c GROUP BY 1 ORDER BY day""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_id, user_id,

@@ -125,4 +125,34 @@ class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(v - ref(k)) < 1e-4, s"$k: exact-sum $v vs builtin ${ref(k)}")
     }
   }
+
+  test("concurrency sweep: crafted intervals hit the known peak") {
+    // [0,10] [5,15] overlap → 2; [15,20] touches [5,15] at 15 → closed
+    // intervals overlap there too → 3 live at t=15? no — [0,10] is closed
+    // by then: at t=15 the open set is {[5,15],[15,20]} = 2. Peak 2.
+    // [30,30] is a zero-length interval: its +1 sorts before its −1.
+    val iv = Seq((1L, 0L, 10L), (2L, 5L, 15L), (3L, 15L, 20L), (4L, 30L, 30L))
+      .toDF("id", "st", "en")
+    val swept = Relational.concurrency(iv, "st", "en", Seq("id"))
+    val atBoundary = swept.orderBy("ts", "delta")
+      .select("ts", "delta", "cur").as[(Long, Int, Long)].collect().toSeq
+    // peak over the whole sweep
+    assert(swept.agg(max("cur")).head().getLong(0) == 2L)
+    // the zero-length interval registers: its start boundary shows cur = 1
+    assert(atBoundary.contains((30L, 1, 1L)))
+    // sweep balances: final running value is zero
+    val last = swept.orderBy($"ts".desc, $"delta", $"id".desc).select("cur")
+      .head().getLong(0)
+    assert(last == 0L)
+  }
+
+  test("concurrency sweep: partition count cannot change the result") {
+    val iv = (1L to 200L).map(i => (i, i % 37, i % 37 + i % 11 + 1))
+      .toDF("id", "st", "en")
+    def peaks(parts: Int) =
+      Relational.concurrency(iv.repartition(parts.toInt), "st", "en", Seq("id"))
+        .groupBy("ts").agg(max("cur").as("m"))
+        .orderBy("ts").as[(Long, Long)].collect().toSeq
+    assert(peaks(1) == peaks(13))
+  }
 }
