@@ -132,6 +132,41 @@ object PipelineQueries {
           col("max_shared_8grams"))
         .orderBy("source")),
 
+    // IMPORTANCE sampling — keep probability proportional to the doc's
+    // quality score (the CCNet head/middle/tail posture generalized to a
+    // continuous weight): keep ⟺ h < round(q·2^48) where h is the 48-bit
+    // md5 content coin. The comparison is integer-exact, the coin is a
+    // pure function of the bytes (rerun/reshard-stable, no RNG state), and
+    // the whole pass is MAP-ONLY on the corpus — one scan computes score,
+    // coin, and keep flag; the report is a groupBy(source) with map-side
+    // partials. Quality mass rides 1e4-scaled longs so the per-source
+    // expected-kept and avg-kept-quality columns are order-free exact
+    // integers until ONE final division — bit-replayable.
+    "pipeline_importance_sample" -> ((s, dir) => {
+      val two48 = 281474976710656.0 // 2^48
+      val scored = docs(s, dir).select(col("source"),
+        graft.functions.Text.qualityScore(col("text")).as("q"),
+        graft.functions.Text.wsTokenCount(col("text")).as("n_tokens"),
+        conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long").as("h"))
+      scored
+        .withColumn("keep", col("h") < round(col("q") * lit(two48)).cast("long"))
+        .withColumn("qs", round(col("q") * 10000).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("keep"), 1)).as("n_kept"),
+          sum("qs").as("sq"),
+          coalesce(sum(when(col("keep"), col("n_tokens"))), lit(0L))
+            .as("kept_tokens"),
+          sum(when(col("keep"), col("qs"))).as("skq"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          round(col("sq") / 10000.0, 4).as("expected_kept"),
+          col("kept_tokens"),
+          when(col("n_kept") > 0,
+            round(col("skq") / (col("n_kept") * 10000.0), 4))
+            .as("avg_kept_quality"))
+        .orderBy("source")
+    }),
+
     // Deterministic source mixing: even-numbered sources keep all docs,
     // odd-numbered keep ~50% by a content-hash coin (md5 prefix < "8000"),
     // so re-runs and re-shards keep exactly the same docs (no RNG state).
@@ -358,6 +393,30 @@ object PipelineQueries {
          |FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
          |WHERE d.doc_id % $benchMod <> 0
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // quality-proportional keep replayed exactly: same 4dp score, same
+    // 48-bit md5 coin, integer threshold compare, 1e4-scaled quality sums
+    "pipeline_importance_sample" ->
+      s"""WITH scored AS (
+         |  SELECT source,
+         |         ${TextQueries.qualityScoreSql} AS q,
+         |         CASE WHEN length(trim(text)) = 0 THEN 0
+         |              ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS n_tokens,
+         |         ('0x' || substr(md5(text), 1, 12))::BIGINT AS h
+         |  FROM documents),
+         |k AS (
+         |  SELECT *, h < CAST(round(q * 281474976710656.0) AS BIGINT) AS keep,
+         |         CAST(round(q * 10000) AS BIGINT) AS qs
+         |  FROM scored)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
+         |       round(CAST(sum(qs) AS BIGINT) / 10000.0, 4) AS expected_kept,
+         |       CAST(coalesce(sum(CASE WHEN keep THEN n_tokens END), 0) AS BIGINT) AS kept_tokens,
+         |       CASE WHEN count(CASE WHEN keep THEN 1 END) > 0
+         |            THEN round(CAST(sum(CASE WHEN keep THEN qs END) AS BIGINT)
+         |                       / (count(CASE WHEN keep THEN 1 END) * 10000.0), 4)
+         |       END AS avg_kept_quality
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     // TRY_CAST mirrors Spark's cast-to-null on a non-numeric source suffix
     // (DuckDB's plain CAST would error), so future corpora whose source

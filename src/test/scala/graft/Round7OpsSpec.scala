@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Crafted-input specs for the round-7 additions the oracle gate can't
+  * isolate: the importance sampler's estimator law (realized keeps track
+  * the expected quality mass) and its determinism/monotonicity contract.
+  * (q_sketch_setops laws live in KmvSpec; the concurrency sweep's in
+  * RelationalOpsSpec.)
+  */
+class Round7OpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("importance sample: realized keeps track expected quality mass") {
+    val rows = SparkEntry.queries("pipeline_importance_sample")(spark, sf)
+      .select("source", "n_docs", "n_kept", "expected_kept").collect()
+    assert(rows.nonEmpty)
+    val (kept, expected, n) = rows.foldLeft((0L, 0.0, 0L)) { (acc, r) =>
+      (acc._1 + r.getAs[Long]("n_kept"),
+        acc._2 + r.getAs[Double]("expected_kept"),
+        acc._3 + r.getAs[Long]("n_docs"))
+    }
+    assert(kept > 0 && kept < n, "sampler must keep SOME but not all docs")
+    // corpus-level: n_kept is a sum of independent Bernoulli(q_i) coins
+    // with mean = expected_kept; allow 5 sigma of the binomial bound
+    val sigma = math.sqrt(n.toDouble) / 2.0
+    assert(math.abs(kept - expected) <= 5 * sigma,
+      s"realized $kept vs expected $expected (n=$n) outside 5-sigma")
+  }
+
+  test("importance sample: keep decision is a pure function of the bytes") {
+    // a doc's fate cannot depend on partitioning, row order, or the rest
+    // of the corpus — re-deriving the flag on a shuffled, truncated copy
+    // must agree row-for-row with the full-corpus derivation
+    val two48 = 281474976710656.0
+    def flags(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        (conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long") <
+          round(graft.functions.Text.qualityScore(col("text")) * lit(two48))
+            .cast("long")).as("keep"))
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val full = flags(docs).collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val shuffled = flags(docs.repartition(7).limit(200))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    shuffled.foreach { case (id, k) => assert(full(id) == k, s"doc $id flipped") }
+  }
+
+  test("importance sample: zero-quality docs are never kept") {
+    // q = 0 ⇒ threshold round(0·2^48) = 0 ⇒ h < 0 impossible (md5-derived
+    // hashes are non-negative) — the boundary semantics of the integer
+    // compare, pinned so a future >= regression fails here
+    val df = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val q = graft.functions.Text.qualityScore(col("text"))
+    val kept = df.select(
+        (conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long") <
+          round(q * lit(281474976710656.0)).cast("long")).as("keep"))
+      .filter(col("keep")).count()
+    assert(kept == 0L)
+  }
+}
