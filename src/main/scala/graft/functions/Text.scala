@@ -19,6 +19,20 @@ object Text {
   def wsTokenCount(text: Column): Column =
     when(length(trim(text)) === 0, 0).otherwise(size(wsTokens(text))).cast("long")
 
+  /** One query-term BM25 contribution (k1 = 1.2, b = 0.75) with the
+    * LOG-FREE ratio idf ((N+1)/(df+1)) — the text_tfidf family: a log
+    * would be the one transcendental whose last ulp could differ across
+    * engines, and BM25's actual behavior (tf saturation, doc-length
+    * normalization) survives the substitution. All rational double
+    * arithmetic in a fixed op order — bit-replayable. Callers add the
+    * per-term contributions in FIXED literal order, never via an agg sum
+    * whose partition order could perturb the float total. */
+  def bm25Contrib(tf: Column, df: Column, dl: Column,
+      nDocs: Column, sumDl: Column): Column =
+    (nDocs + lit(1.0)) / (df + lit(1.0)) * (tf * lit(2.2)) /
+      (tf + lit(1.2) * (lit(0.25) + lit(0.75) *
+        (dl / (sumDl / nDocs.cast("double")))))
+
   /** BPE-ish subword pieces: letter runs, digits, or single punctuation —
     * the classic pre-tokenization regex shape. */
   val bpePattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"

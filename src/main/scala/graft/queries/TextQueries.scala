@@ -196,6 +196,50 @@ object TextQueries {
         .orderBy("doc_id", "rk")
     }),
 
+    // BM25 retrieval scoring (Robertson–Spärck Jones family) for a fixed
+    // keyword query — the search primitive retrieval-augmented curation
+    // runs corpus-wide. Same replayability discipline as text_tfidf: the
+    // idf stays the LOG-FREE ratio family ((N+1)/(df+1) — a log would be
+    // the one transcendental whose last-ulp could differ across engines),
+    // composed with the two things BM25 adds over tf-idf: tf SATURATION
+    // (k1 = 1.2 — doubling an already-frequent term barely moves the
+    // score) and DOC-LENGTH normalization (b = 0.75 against avgdl).
+    // Scale shape: per-doc tf/dl is MAP-ONLY array arithmetic on the scan
+    // (no explode, no term shuffle — the query terms are a literal);
+    // corpus stats are ONE 1-row aggregate broadcast back; the top-20 is
+    // a bounded global TakeOrdered. The per-term contributions add in
+    // FIXED literal order (t0 + t1 + t2), never an agg sum whose
+    // partition order could perturb the float total.
+    "text_bm25" -> ((s, dir) => {
+      val query = Seq("join", "hash", "vector")
+      val perDoc = docs(s, dir)
+        .select(col("doc_id"), Text.wsTokens(lower(col("text"))).as("toks"),
+          Text.wsTokenCount(col("text")).as("dl"))
+        .select(col("doc_id") +: col("dl") +:
+          query.zipWithIndex.map { case (t, i) =>
+            size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf$i")
+          }: _*)
+      val stats = perDoc.agg(
+        count(lit(1)).as("n_docs"), sum("dl").as("sum_dl") +:
+          query.indices.map(i =>
+            count(when(col(s"tf$i") > 0, 1)).as(s"df$i")): _*)
+      def contrib(i: Int) = Text.bm25Contrib(col(s"tf$i"), col(s"df$i"),
+        col("dl"), col("n_docs"), col("sum_dl"))
+      val scored = perDoc.crossJoin(broadcast(stats))
+        .withColumn("score", contrib(0) + contrib(1) + contrib(2))
+        .filter(col("score") > 0.0)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+      scored
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"), col("dl"),
+          col("tf0").as("tf_join"), col("tf1").as("tf_hash"),
+          col("tf2").as("tf_vector"), round(col("score"), 4).as("bm25"))
+        .orderBy("rank")
+    }),
+
     // Per-source heavy hitters via the Misra–Gries FreqItemsAgg — the
     // bounded-memory frequent-items aggregate Spark lacks as a groupBy
     // aggregate. One pass, O(capacity) state per group, map-side partial
@@ -565,6 +609,43 @@ object TextQueries {
         |  FROM scored)
         |SELECT doc_id, rk, term, tf, df, round(score, 4) AS tfidf
         |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    // BM25 replay: identical rational arithmetic in identical op order —
+    // ratio idf (no log), tf saturation, dl/avgdl normalization, and the
+    // three per-term contributions added in the same literal order
+    "text_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN []
+        |              ELSE regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') END AS toks,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS dl
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+        |         CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS tf0,
+        |         CAST(len(list_filter(toks, x -> x = 'hash')) AS BIGINT) AS tf1,
+        |         CAST(len(list_filter(toks, x -> x = 'vector')) AS BIGINT) AS tf2
+        |  FROM d),
+        |g AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+        |         CAST(count(CASE WHEN tf0 > 0 THEN 1 END) AS BIGINT) AS df0,
+        |         CAST(count(CASE WHEN tf1 > 0 THEN 1 END) AS BIGINT) AS df1,
+        |         CAST(count(CASE WHEN tf2 > 0 THEN 1 END) AS BIGINT) AS df2
+        |  FROM f),
+        |s AS (
+        |  SELECT doc_id, dl, tf0, tf1, tf2,
+        |    (g.n_docs + 1.0) / (g.df0 + 1.0) * (tf0 * 2.2) /
+        |      (tf0 + 1.2 * (0.25 + 0.75 * (dl / (g.sum_dl / CAST(g.n_docs AS DOUBLE))))) +
+        |    (g.n_docs + 1.0) / (g.df1 + 1.0) * (tf1 * 2.2) /
+        |      (tf1 + 1.2 * (0.25 + 0.75 * (dl / (g.sum_dl / CAST(g.n_docs AS DOUBLE))))) +
+        |    (g.n_docs + 1.0) / (g.df2 + 1.0) * (tf2 * 2.2) /
+        |      (tf2 + 1.2 * (0.25 + 0.75 * (dl / (g.sum_dl / CAST(g.n_docs AS DOUBLE))))) AS score
+        |  FROM f, g)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        |       doc_id, dl, tf0 AS tf_join, tf1 AS tf_hash, tf2 AS tf_vector,
+        |       round(score, 4) AS bm25
+        |FROM s WHERE score > 0 ORDER BY rank LIMIT 20""".stripMargin,
 
     // Exact-count replay of the heavy-hitter summary: with capacity ≥ the
     // per-source vocabulary the Misra–Gries sketch never decrements, so

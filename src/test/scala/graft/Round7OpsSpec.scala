@@ -46,6 +46,40 @@ class Round7OpsSpec extends AnyFunSuite with SparkTestBase {
     shuffled.foreach { case (id, k) => assert(full(id) == k, s"doc $id flipped") }
   }
 
+  test("bm25: tf saturates, longer docs score lower, absent terms score zero") {
+    import graft.functions.Text
+    // (tf, dl) rows against fixed corpus stats: N = 100 docs, avgdl = 50
+    val rows = Seq((0L, 50L), (1L, 50L), (2L, 50L), (10L, 50L), (100L, 50L),
+        (2L, 200L))
+      .toDF("tf", "dl")
+      .select(col("tf"), col("dl"),
+        Text.bm25Contrib(col("tf"), lit(20L), col("dl"),
+          lit(100L), lit(5000L)).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byKey = rows.map { case (tf, dl, sv) => (tf, dl) -> sv }.toMap
+    assert(byKey((0L, 50L)) == 0.0)
+    // monotone in tf…
+    assert(byKey((1L, 50L)) < byKey((2L, 50L)))
+    assert(byKey((2L, 50L)) < byKey((10L, 50L)))
+    // …but SATURATING: 100 occurrences gain < 20% over 10 — and both stay
+    // under the k1+1 asymptote × idf
+    val asymptote = (100.0 + 1.0) / (20.0 + 1.0) * 2.2
+    assert(byKey((100L, 50L)) < byKey((10L, 50L)) * 1.2)
+    assert(byKey((100L, 50L)) < asymptote)
+    // doc-length normalization: same tf, 4× the length → lower score
+    assert(byKey((2L, 200L)) < byKey((2L, 50L)))
+  }
+
+  test("text_bm25: ranks are contiguous and scores non-increasing") {
+    val rows = SparkEntry.queries("text_bm25")(spark, sf)
+      .select("rank", "bm25").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq)
+    rows.sliding(2).foreach { case Array((_, a), (_, b)) => assert(a >= b)
+      case _ => () }
+  }
+
   test("importance sample: zero-quality docs are never kept") {
     // q = 0 ⇒ threshold round(0·2^48) = 0 ⇒ h < 0 impossible (md5-derived
     // hashes are non-negative) — the boundary semantics of the integer
