@@ -367,6 +367,38 @@ object VectorQueries {
         .orderBy("q_id", "rk")
     }),
 
+    // IVF index HEALTH report — the diagnostic an ANN team reads before
+    // trusting an index: per-cluster inverted-list size, corpus share,
+    // and mean member cosine to the trained centroid (cohesion).
+    // Unbalanced lists are THE IVF failure mode at scale: one hot list
+    // turns every probe that hits it into a near-corpus scan, so this
+    // report is what decides re-training k or splitting lists. Cost: one
+    // broadcast join of the stored index against 16 centroids + a
+    // 16-group aggregate. Cohesion rides 1e4-scaled longs over the
+    // 4dp-rounded per-vector cosine — order-free exact sums, one final
+    // division — so the report hash-replays.
+    "knn_ivf_stats" -> ((s, dir) => {
+      val (centroids, index) = ivfIndex(s, dir)
+      val tot = index.agg(count(lit(1)).as("total"))
+      index.join(broadcast(centroids), "cluster")
+        .select(col("cluster").cast("long").as("cluster"),
+          round(graft.plans.CosineSim.cosine(s, col("embedding"),
+            col("centroid")), 4).as("cos"))
+        .withColumn("qcos", round(col("cos") * 10000).cast("long"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"), sum("qcos").as("sq"))
+        .crossJoin(broadcast(tot))
+        // the mean ROUNDS IN INTEGERS (half-up: (2·sum + n) div 2n), then
+        // one exact /10⁴ — a float mean can land exactly on the 4dp
+        // half-boundary (cluster 7 at sf0.001: 97328/320000 = .30415) where
+        // Spark's BigDecimal HALF_UP and DuckDB's C-double round disagree
+        .select(col("cluster"), col("n_vecs"),
+          round(col("n_vecs") * 100.0 / col("total"), 4).as("pct_of_corpus"),
+          (expr("(sq * 2 + n_vecs) div (n_vecs * 2)") / 10000.0)
+            .as("mean_cos_to_centroid"))
+        .orderBy("cluster")
+    }),
+
     // Multi-table LSH ANN (4 tables × 8 hyperplanes): a vector is a
     // candidate if it agrees with the query on ANY table — the standard
     // recall/throughput trade. Corpus side explodes to (table, sig) bucket
@@ -605,8 +637,11 @@ object VectorQueries {
     * final inverted-list assignment, nprobe=2 probe on unrounded sims,
     * exact-cosine rerank on (rounded cos, neighbor_id) — stage for stage
     * the plan `ivfIndex` + `Ivf.knn` executes. */
-  private val ivfOracle: String =
-    s"""WITH sv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** The quantizer-build prefix (init → 2 Lloyd rounds → final inverted
+    * lists in `idx`, trained centroids in `c2`) shared by the knn_ivf and
+    * knn_ivf_stats oracles. */
+  private val ivfBuildCtes: String =
+    s"""sv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |dims AS (SELECT len(v) AS d FROM sv LIMIT 1),
        |c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cluster,
@@ -616,7 +651,10 @@ object VectorQueries {
        |${ivfUpdateCtes("c1", "a1")},
        |${ivfAssignCte("a2", "c1")},
        |${ivfUpdateCtes("c2", "a2")},
-       |${ivfAssignCte("idx", "c2")},
+       |${ivfAssignCte("idx", "c2")}""".stripMargin
+
+  private val ivfOracle: String =
+    s"""WITH $ivfBuildCtes,
        |q AS (SELECT vec_id AS q_id, v AS q_emb FROM sv WHERE vec_id < $nQueries),
        |probes AS (
        |  SELECT q_id, cluster FROM (
@@ -643,6 +681,28 @@ object VectorQueries {
     // accumulates 1e-6-quantized longs (order-free), so the whole
     // quantizer build replays — see ivfOracle above.
     "knn_ivf" -> ivfOracle,
+
+    // same build prefix, then the per-list report: sizes, shares, and the
+    // 1e4-scaled cohesion sums over 4dp-rounded cosines. The cosine here
+    // MUST be the bit-exact duckCos fold, not list_cosine_similarity:
+    // summing scaled roundings magnifies a single rounding-boundary
+    // disagreement into a visible mean shift (seen at sf0.001), and only
+    // bit-identical doubles entering round() make the boundary moot.
+    "knn_ivf_stats" ->
+      s"""WITH $ivfBuildCtes,
+         |t AS (SELECT count(*) AS total FROM idx),
+         |co AS (
+         |  SELECT i.cluster,
+         |         CAST(round(round(${duckCos("s.v", "c.centroid")}, 4)
+         |              * 10000) AS BIGINT) AS qcos
+         |  FROM idx i
+         |  JOIN c2 c ON c.cluster = i.cluster
+         |  JOIN sv s ON s.vec_id = i.vec_id)
+         |SELECT CAST(cluster AS BIGINT) AS cluster, count(*) AS n_vecs,
+         |       round(count(*) * 100.0 / t.total, 4) AS pct_of_corpus,
+         |       ((CAST(sum(qcos) AS BIGINT) * 2 + count(*)) // (count(*) * 2))
+         |         / 10000.0 AS mean_cos_to_centroid
+         |FROM co, t GROUP BY cluster, t.total ORDER BY cluster""".stripMargin,
 
     // Bit-exact signature replay (see above), then the same candidate rule
     // (agree on any table, self excluded), cosine rerank and ranked top-k

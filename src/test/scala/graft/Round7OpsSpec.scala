@@ -80,6 +80,20 @@ class Round7OpsSpec extends AnyFunSuite with SparkTestBase {
       case _ => () }
   }
 
+  test("knn_ivf_stats: lists partition the corpus, cohesion is a cosine") {
+    val rows = SparkEntry.queries("knn_ivf_stats")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 16)
+    val total = graft.sources.Tables(spark, sf, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total,
+      "inverted lists must partition the corpus exactly")
+    val pctSum = rows.map(_.getAs[Double]("pct_of_corpus")).sum
+    assert(math.abs(pctSum - 100.0) < 0.01)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("mean_cos_to_centroid")
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
+
   test("importance sample: zero-quality docs are never kept") {
     // q = 0 ⇒ threshold round(0·2^48) = 0 ⇒ h < 0 impossible (md5-derived
     // hashes are non-negative) — the boundary semantics of the integer
