@@ -17,6 +17,54 @@ object Embeddings {
       .select(col("label"),
         transform(col("pairs"), p => p.getField("cx")).as("centroid"))
 
+  /** Top principal component by POWER ITERATION — distributed PCA the way
+    * a parameter-server round would run it, with every corpus-touching
+    * fold replayable:
+    *
+    *   - μ and each iteration's unnormalized update w = Σᵢ cᵢ(cᵢ·v)/n ride
+    *     [[graft.plans.VectorMeanAgg]] (1e-6-quantized LONG partial sums —
+    *     integer addition is order-free, so reruns/reshards/oracles
+    *     reproduce the folds bit-exactly; the same discipline that
+    *     graduated knn_ivf to an exact oracle).
+    *   - per-row math is the native codegen'd vector algebra: VecSub for
+    *     centering, DotProd for the projection, VecScale for the
+    *     outer-product contribution — no interpreted lambdas in the
+    *     per-row loop.
+    *   - driver state is O(dim) (μ, v) — the bounded parameter-server
+    *     shape; each iteration is ONE corpus pass with a k=1 aggregate,
+    *     no lineage growth (v enters as a plan literal).
+    *   - init = the centered lowest-id vector normalized (deterministic,
+    *     like the IVF seeding); normalization is a driver-side
+    *     left-to-right fold any engine replays.
+    *
+    * Returns (μ, v, centered) — mean, unit principal direction, and the
+    * centered corpus (vec_id, c) for downstream projection/stats. */
+  def pcaTop(e: DataFrame, idCol: String, vecCol: String, iters: Int)
+      : (Seq[Double], Seq[Double], DataFrame) = {
+    val s = e.sparkSession
+    def normalize(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum) // left fold, fixed order
+      v.map(_ / n)
+    }
+    val mu = e.agg(graft.plans.VectorMeanAgg.mean(s, col(vecCol)))
+      .head().getSeq[Double](0)
+    val centered = e.select(col(idCol).as("vec_id"),
+        graft.plans.VecSub.sub(s, col(vecCol), typedLit(mu)).as("c"))
+      .transform(CacheLease.lease)
+    var v = normalize(centered.orderBy("vec_id").limit(1)
+      .head().getSeq[Double](1))
+    var i = 0
+    while (i < iters) {
+      val w = centered.agg(graft.plans.VectorMeanAgg.mean(s,
+          graft.plans.VecScale.scale(s, col("c"),
+            graft.plans.DotProd.dot(s, col("c"), typedLit(v)))))
+        .head().getSeq[Double](0)
+      v = normalize(w)
+      i += 1
+    }
+    (mu, v, centered)
+  }
+
   /** Signature width that keeps the expected LSH bucket at ~targetBucket
     * rows regardless of corpus size: 2^bits ≈ n / targetBucket, clamped to
     * [8, 24]. A fixed 8-bit table caps at 256 buckets, so the within-bucket

@@ -81,6 +81,14 @@ object NativeFunctions {
       case Seq(a, b) => CosineSim(a, b)
       case other => bad("cosine_sim", "a, b", other.size)
     },
+    "dot_prod" -> {
+      case Seq(a, b) => DotProd(a, b)
+      case other => bad("dot_prod", "a, b", other.size)
+    },
+    "vec_scale" -> {
+      case Seq(a, s) => VecScale(a, s)
+      case other => bad("vec_scale", "vec, scalar", other.size)
+    },
     "project_planes" -> {
       case Seq(c, n) => ProjectPlanesExpr(c, intArg(n, "nPlanes"))
       case other => bad("project_planes", "vec, nPlanes", other.size)

@@ -510,6 +510,37 @@ object VectorQueries {
           round(col("col"), 4).as("proj"))
         .orderBy("vec_id", "p")),
 
+    // Distributed PCA (top principal component by power iteration) — the
+    // data-DEPENDENT dimensionality reducer next to emb_project's
+    // data-free JL projection. Every corpus fold is the 1e-6-quantized
+    // long VectorMeanAgg (order-free ⇒ bit-replayable), per-row math is
+    // the native vector-algebra family (VecSub/DotProd/VecScale), driver
+    // state is O(dim) and each iteration is one corpus pass — the
+    // parameter-server shape (see Embeddings.pcaTop). Output presentation
+    // quantizes via floor(x·1e4)/1e4, NOT round(): the means/loadings are
+    // structured rationals that can land exactly on the 4dp half-boundary
+    // where Java's shortest-double-string HALF_UP and C rounding diverge
+    // (the knn_ivf_stats lesson); floor on bit-identical doubles cannot.
+    "emb_pca" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val (mu, v, centered) =
+        graft.operators.Embeddings.pcaTop(e, "vec_id", "embedding", iters = 2)
+      val d = graft.plans.DotProd.dot(s, col("c"), typedLit(v))
+      val nsq = graft.plans.DotProd.dot(s, col("c"), col("c"))
+      val st = centered.agg(
+        sum(floor(d * d * lit(1e4)).cast("long")).as("num"),
+        sum(floor(nsq * lit(1e4)).cast("long")).as("den")).head()
+      val pctUnits = st.getLong(0) * 1000000L / st.getLong(1)
+      import s.implicits._
+      mu.zip(v).zipWithIndex
+        .map { case ((m, l), i) => (i.toLong, m, l) }
+        .toDF("dim", "mu", "loading")
+        .select(col("dim"), (floor(col("mu") * 1e4) / 1e4).as("mean"),
+          (floor(col("loading") * 1e4) / 1e4).as("loading"),
+          lit(pctUnits / 10000.0).as("var_explained_pct"))
+        .orderBy("dim")
+    }),
+
     // Int8 scalar quantization — the storage-compression pass a 100 TB
     // vector lake applies before ANN (4x smaller than float32, the
     // standard SQ8 layout): per-dimension corpus (lo, hi) from one bounded
@@ -637,6 +668,24 @@ object VectorQueries {
     * final inverted-list assignment, nprobe=2 probe on unrounded sims,
     * exact-cosine rerank on (rounded cos, neighbor_id) — stage for stage
     * the plan `ivfIndex` + `Ivf.knn` executes. */
+  /** One PCA power iteration as CTEs: per-row ordered dot fold against
+    * the incoming direction, then the 1e-6-quantized long mean of the
+    * VecScale contributions (the VectorMeanAgg replay), then the same
+    * left-fold normalization the Scala driver runs. */
+  private def pcaIterCtes(i: Int, vin: String): String =
+    s"""d$i AS (
+       |  SELECT c.vec_id, c.c,
+       |         list_reduce(list_prepend(0.0, list_transform(range((SELECT d FROM dims)),
+       |           j -> c.c[j+1] * v.v[j+1])), (a, b) -> a + b) AS dot
+       |  FROM c, $vin v),
+       |w${i}_d AS (
+       |  SELECT dim, CAST(sum(CAST(floor(cx * dot * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) AS w
+       |  FROM (SELECT dot, generate_subscripts(c, 1) AS dim, unnest(c) AS cx FROM d$i)
+       |  GROUP BY dim),
+       |w$i AS (SELECT list(w ORDER BY dim) AS w FROM w${i}_d),
+       |v${i}n AS (SELECT list_transform(w, x -> x / sqrt(list_reduce(list_prepend(0.0,
+       |  list_transform(w, y -> y * y)), (a, b) -> a + b))) AS v FROM w$i)""".stripMargin
+
   /** The quantizer-build prefix (init → 2 Lloyd rounds → final inverted
     * lists in `idx`, trained centroids in `c2`) shared by the knn_ivf and
     * knn_ivf_stats oracles. */
@@ -1101,6 +1150,42 @@ object VectorQueries {
          |  FROM rer)
          |SELECT q_id, rk, neighbor_id, cos FROM ranked WHERE rk <= $topK
          |ORDER BY q_id, rk""".stripMargin,
+
+    // Full power-iteration replay: quantized-long mean for μ, centered
+    // lists, normalized lowest-id init, two pcaIterCtes rounds, then the
+    // floor-quantized report (floor on bit-identical doubles — the
+    // round()-free presentation the Spark side uses, see the query)
+    "emb_pca" ->
+      s"""WITH sv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |dims AS (SELECT len(v) AS d FROM sv LIMIT 1),
+         |xd AS (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM sv),
+         |mu_d AS (
+         |  SELECT dim, CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / count(*) AS m
+         |  FROM xd GROUP BY dim),
+         |mu AS (SELECT list(m ORDER BY dim) AS m FROM mu_d),
+         |c AS (
+         |  SELECT s.vec_id,
+         |         list_transform(range((SELECT d FROM dims)), j -> s.v[j+1] - mu.m[j+1]) AS c
+         |  FROM sv s, mu),
+         |v00 AS (SELECT c FROM c ORDER BY vec_id LIMIT 1),
+         |v0n AS (SELECT list_transform(c, x -> x / sqrt(list_reduce(list_prepend(0.0,
+         |  list_transform(c, y -> y * y)), (a, b) -> a + b))) AS v FROM v00),
+         |${pcaIterCtes(1, "v0n")},
+         |${pcaIterCtes(2, "v1n")},
+         |st AS (
+         |  SELECT CAST(sum(CAST(floor(dot * dot * 1e4) AS BIGINT)) AS BIGINT) AS num,
+         |         CAST(sum(CAST(floor(nsq * 1e4) AS BIGINT)) AS BIGINT) AS den
+         |  FROM (
+         |    SELECT list_reduce(list_prepend(0.0, list_transform(range((SELECT d FROM dims)),
+         |             j -> c.c[j+1] * v.v[j+1])), (a, b) -> a + b) AS dot,
+         |           list_reduce(list_prepend(0.0, list_transform(range((SELECT d FROM dims)),
+         |             j -> c.c[j+1] * c.c[j+1])), (a, b) -> a + b) AS nsq
+         |    FROM c, v2n v))
+         |SELECT CAST(m.dim - 1 AS BIGINT) AS dim,
+         |       floor(m.m * 1e4) / 1e4 AS mean,
+         |       floor(v.v[CAST(m.dim AS INT)] * 1e4) / 1e4 AS loading,
+         |       (st.num * 1000000 // st.den) / 10000.0 AS var_explained_pct
+         |FROM mu_d m, v2n v, st ORDER BY dim""".stripMargin,
 
     // The JL projection replay: same md5-derived plane components as the
     // LSH oracles, same left-fold order — identical IEEE double sequences

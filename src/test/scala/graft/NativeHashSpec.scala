@@ -303,6 +303,31 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("native dot_prod and vec_scale match HOF references bit-for-bit") {
+    val rows = (0 until 25).map { i =>
+      (Array.tabulate(32)(j => ((i + j * 3) % 11).toFloat - 5f),
+        Array.tabulate(32)(j => ((i * 7 + j) % 9).toFloat - 4f),
+        (i - 12) * 0.37)
+    }
+    val df = rows.toDF("a", "b", "s")
+    df.select(
+        graft.plans.DotProd.dot(spark, $"a", $"b").as("native"),
+        graft.functions.Vectors.dot($"a", $"b").as("hof"))
+      .collect().foreach(r => assert(
+        java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1))))
+    df.select(
+        graft.plans.VecScale.scale(spark, $"a", $"s").as("native"),
+        transform($"a", x => x.cast("double") * $"s").as("hof"))
+      .collect().foreach { r =>
+        val n = r.getSeq[Double](0); val h = r.getSeq[Double](1)
+        assert(n.length == h.length)
+        n.zip(h).foreach { case (x, y) => assert(
+          java.lang.Double.doubleToLongBits(x) ==
+            java.lang.Double.doubleToLongBits(y)) }
+      }
+  }
+
   test("all native expressions compile under CODEGEN_ONLY (no silent fallback)") {
     // Spark silently falls back to interpreted eval when generated code
     // fails to compile — which would erase the whole point of doGenCode and
@@ -342,6 +367,8 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
           typedLit(Seq(Seq.fill(8)(0.5), Seq.fill(8)(-0.5),
             Seq.fill(8)(0.25), Seq.fill(8)(-0.25))), 2).as("pqd"),
         graft.plans.CosineSim.cosine(spark, $"a", $"b").as("cos"),
+        graft.plans.DotProd.dot(spark, $"a", $"b").as("dp"),
+        graft.plans.VecScale.scale(spark, $"a", lit(0.75)).as("vs"),
         graft.plans.NearestCentroid.nearest(spark, $"a",
           typedLit(Seq(Seq.fill(16)(0.5), Seq.fill(16)(-0.5)))).as("nc"))
         .collect()

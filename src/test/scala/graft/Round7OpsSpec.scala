@@ -80,6 +80,34 @@ class Round7OpsSpec extends AnyFunSuite with SparkTestBase {
       case _ => () }
   }
 
+  test("pcaTop: recovers a planted dominant direction") {
+    // corpus = strong variance along axis 0, weak noise along axis 1
+    val rows = (0 until 200).map { i =>
+      val t = (i % 21) - 10  // mean-zero spread, ±10 along axis 0
+      val n = ((i * 7) % 5) - 2 // ±2 along axis 1
+      (i.toLong, Array(t.toFloat * 1.0f, n.toFloat * 0.1f, 0.0f, 0.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (mu, v, _) = graft.operators.Embeddings.pcaTop(df, "vec_id", "embedding", 2)
+    assert(mu.length == 4 && v.length == 4)
+    // unit norm
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+    // dominant axis recovered: |v₀| ≈ 1, the rest negligible
+    assert(math.abs(v.head) > 0.99, s"loading on planted axis: ${v.head}")
+    assert(v.tail.forall(x => math.abs(x) < 0.1))
+  }
+
+  test("emb_pca: unit loading vector, variance share in (0, 100]") {
+    val rows = SparkEntry.queries("emb_pca")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // floor-quantized loadings still ~unit norm (quantization error ≤ dim·1e-4)
+    val nsq = rows.map(_.getAs[Double]("loading")).map(x => x * x).sum
+    assert(math.abs(nsq - 1.0) < 0.05, s"loading norm² $nsq")
+    val pct = rows.head.getAs[Double]("var_explained_pct")
+    assert(pct > 0.0 && pct <= 100.0)
+    assert(rows.forall(_.getAs[Double]("var_explained_pct") == pct))
+  }
+
   test("knn_ivf_stats: lists partition the corpus, cohesion is a cosine") {
     val rows = SparkEntry.queries("knn_ivf_stats")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 16)
