@@ -434,6 +434,52 @@ object RelationalQueries {
           round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
         .orderBy("l_returnflag")),
 
+    // Sketch ROLLUP — trailing-7-day distinct users from per-day KMV
+    // sketches. Distinct counts don't sum, so a rolling-distinct query
+    // either re-touches raw rows per window (the exact audit below — at
+    // 100 TB that is 7 corpus scans' worth of distinct state per day) or
+    // stores one bounded sketch per partition and MERGES sketches per
+    // window — the pre-aggregated sketch-table pattern this query runs:
+    // one corpus scan builds the O(days × k) sketch table, every window
+    // after that is array algebra on a tiny aggregated table (the rolling
+    // window sits over O(days) rows, plan-lint's over-aggregate shape).
+    // Merge = distinct-union of hash sets, keep k smallest — exactly the
+    // q_sketch_setops union law, so the estimate replays bit-for-bit.
+    "q_rolling_distinct" -> ((s, dir) => {
+      graft.plans.NativeFunctions.register(s)
+      val k = 64
+      val two48 = 281474976710656.0 // 2^48
+      val daily = ev(s, dir)
+        .select(expr("ts_us div 86400000000").as("day"), col("user_id"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+            .cast("long").as("h"))
+        .groupBy("day")
+        .agg(call_function("bottomk_distinct", col("h"), lit(k)).as("mins"))
+      val tu = ev(s, dir)
+        .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+        .distinct()
+      // exact audit: re-touches the distinct (day, user) rows per window —
+      // the cost the sketch rollup exists to avoid; kept at gate SF
+      val exact = daily.select(col("day").as("d"))
+        .join(tu, col("day").between(col("d") - 6, col("d")))
+        .groupBy("d")
+        .agg(countDistinct("user_id").as("exact_rolling_users"))
+        .withColumnRenamed("d", "day")
+      val w = Window.orderBy("day").rangeBetween(-6, 0)
+      daily
+        .withColumn("n_days", count(lit(1)).over(w))
+        .withColumn("m", slice(array_sort(array_distinct(
+          flatten(collect_list(col("mins")).over(w)))), 1, k))
+        .withColumn("msize", size(col("m")))
+        .select(col("day"), col("n_days"),
+          round(when(col("msize") < k, col("msize").cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (element_at(col("m"), k).cast("double") / lit(two48))), 4)
+            .as("kmv_rolling_users"))
+        .join(exact, "day")
+        .orderBy("day")
+    }),
+
     // KMV sketch SET ALGEBRA (Beyer et al., SIGMOD 2007 "On synopses for
     // distinct-value estimation under multiset operations"): per-segment
     // KMV sketches compose into union/intersection/Jaccard ESTIMATES
@@ -931,6 +977,50 @@ object RelationalQueries {
         |WHERE substr(md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR), 1, 1) < '4'
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // sketch-rollup replay: per-day bottom-64 hash sets, window merge =
+    // distinct union re-bottom-64 (range join on the tiny day table),
+    // same (k−1)/h₍ₖ₎ estimator; exact side re-joins the (day, user) rows
+    "q_rolling_distinct" ->
+      s"""$evCte,
+         |h AS (
+         |  SELECT DISTINCT ts_us // 86400000000 AS day,
+         |         ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+         |  FROM e),
+         |k AS (
+         |  SELECT day, h FROM (
+         |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+         |    FROM h)
+         |  WHERE rn <= 64),
+         |days AS (SELECT DISTINCT day FROM h),
+         |nd AS (
+         |  SELECT d.day, count(DISTINCT k2.day) AS n_days
+         |  FROM days d JOIN k k2 ON k2.day BETWEEN d.day - 6 AND d.day
+         |  GROUP BY d.day),
+         |wm AS (
+         |  SELECT DISTINCT d.day, k.h
+         |  FROM days d JOIN k ON k.day BETWEEN d.day - 6 AND d.day),
+         |m AS (
+         |  SELECT day, h, rn FROM (
+         |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+         |    FROM wm)
+         |  WHERE rn <= 64),
+         |est AS (
+         |  SELECT day, count(*) AS msize,
+         |         max(CASE WHEN rn = 64 THEN h END) AS hk
+         |  FROM m GROUP BY day),
+         |tu AS (SELECT DISTINCT ts_us // 86400000000 AS day, user_id FROM e),
+         |ex AS (
+         |  SELECT d.day, count(DISTINCT tu.user_id) AS exact_rolling_users
+         |  FROM days d JOIN tu ON tu.day BETWEEN d.day - 6 AND d.day
+         |  GROUP BY d.day)
+         |SELECT est.day, CAST(nd.n_days AS BIGINT) AS n_days,
+         |       round(CASE WHEN msize < 64 THEN msize::DOUBLE
+         |                  ELSE 63.0 / (hk / 281474976710656.0) END, 4)
+         |         AS kmv_rolling_users,
+         |       ex.exact_rolling_users
+         |FROM est JOIN nd ON nd.day = est.day JOIN ex ON ex.day = est.day
+         |ORDER BY est.day""".stripMargin,
 
     // full KMV set-algebra replay: per-year bottom-64 distinct 48-bit
     // hashes, merged-sketch union estimate, intersection via membership of

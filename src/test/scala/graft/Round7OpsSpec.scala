@@ -80,6 +80,23 @@ class Round7OpsSpec extends AnyFunSuite with SparkTestBase {
       case _ => () }
   }
 
+  test("q_rolling_distinct: window ramps, estimates track the exact audit") {
+    val rows = SparkEntry.queries("q_rolling_distinct")(spark, sf)
+      .orderBy("day").collect()
+    assert(rows.nonEmpty)
+    // leading edge: window width ramps 1,2,…,7 then stays 7 (contiguous days)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("n_days") == math.min(i + 1, 7).toLong)
+    }
+    // KMV envelope (k=64 ⇒ σ ≈ 12.7%): every window estimate within 4σ
+    rows.foreach { r =>
+      val est = r.getAs[Double]("kmv_rolling_users")
+      val exact = r.getAs[Long]("exact_rolling_users").toDouble
+      assert(math.abs(est - exact) / exact <= 0.51,
+        s"day ${r.getAs[Long]("day")}: $est vs $exact")
+    }
+  }
+
   test("pcaTop: recovers a planted dominant direction") {
     // corpus = strong variance along axis 0, weak noise along axis 1
     val rows = (0 until 200).map { i =>
