@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{CdcStream, Change, FunnelEvent, Snapshot, StageReach, TransEvent, Transition}
+import graft.streaming.{CdcStream, Change, FunnelEvent, SegmentKey, SketchRow, Snapshot, StageReach, TransEvent, Transition}
 
 class StreamingSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
@@ -764,5 +764,49 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         .view.mapValues(_.size.toLong).toMap
       assert(streamed == batch)
     } finally q.stop()
+  }
+
+  test("streaming KMV sketch: any micro-batch split equals the batch aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.NativeFunctions.register(spark)
+    val k = 16
+    // 300 keys over 2 segments, duplicates included, hashed like the batch
+    val hashes = (1L to 300L).map(i =>
+      (if (i % 2 == 0) "a" else "b", (i % 120) * 2654435761L % 1000003L))
+
+    def runSplit(chunks: Seq[Seq[(String, Long)]]): Map[String, (Seq[Long], Double)] = {
+      val input = MemoryStream[SegmentKey]
+      val name = s"kmv_${chunks.size}_${System.identityHashCode(chunks)}"
+      val q = graft.streaming.SketchStream.kmvDistinct(input.toDS(), k)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      try {
+        chunks.foreach { c =>
+          input.addData(c.map { case (s, h) => SegmentKey(s, h) })
+          q.processAllAvailable()
+        }
+        spark.table(name).as[SketchRow].collect()
+          .groupBy(_.segment)
+          .map { case (s, rows) => s -> {
+            val last = rows.last // Update mode appends; last row = final state
+            (last.mins, last.kmv_estimate)
+          } }
+      } finally q.stop()
+    }
+
+    val onego = runSplit(Seq(hashes))
+    val threeway = runSplit(Seq(hashes.take(50), hashes.slice(50, 200),
+      hashes.drop(200)))
+    assert(onego == threeway, "sketch must be micro-batch-split invariant")
+
+    // and both equal the BATCH bottomk_distinct over the same keys
+    import org.apache.spark.sql.functions._
+    val batch = hashes.toDF("segment", "h")
+      .groupBy("segment")
+      .agg(call_function("bottomk_distinct", col("h"), lit(k)).as("mins"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(onego.view.mapValues(_._1).toMap == batch)
+    // state is k-bounded
+    onego.values.foreach { case (mins, _) => assert(mins.length <= k) }
   }
 }
