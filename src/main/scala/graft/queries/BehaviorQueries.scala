@@ -64,10 +64,42 @@ object BehaviorQueries {
       trans.withColumn("p_trans",
           round(col("n_trans").cast("double") / sum("n_trans").over(byFrom), 4))
         .orderBy("from_type", "to_type")
+    }),
+
+    // LAST-TOUCH ATTRIBUTION: each purchase is credited to the user's most
+    // recent PRIOR touch event (view/click/signup, strictly earlier in
+    // (ts, event_id) order), or 'direct' when none precedes it — the
+    // marketing-channel question every events warehouse answers. The touch
+    // lookup is `last(_, ignoreNulls)` over a user-partitioned window with
+    // a `(-∞, -1]` row frame (bounded per-user partitions, never a global
+    // window or a log self-join). Revenue folds as 1e4-scaled longs
+    // (order-free); the two final divisions run once per channel row with
+    // identical IEEE operands on both engines. 100 TB: one user-keyed
+    // exchange + one O(channels) groupBy.
+    "q_attribution" -> ((s, dir) => {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val purch = ev(s, dir)
+        .withColumn("touch",
+          last(when(col("event_type").isin("view", "click", "signup"), col("event_type")),
+            ignoreNulls = true).over(byUser))
+        .filter(col("event_type") === "purchase")
+        .withColumn("channel", coalesce(col("touch"), lit("direct")))
+        .withColumn("rev4", round(col("value") * lit(10000)).cast("long"))
+      val tot = purch.agg(count(lit(1)).as("total_conv"))
+      purch.groupBy("channel")
+        .agg(count(lit(1)).as("n_conversions"),
+          round(sum("rev4") / lit(10000.0), 4).as("attributed_value"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share",
+          round(col("n_conversions").cast("double") / col("total_conv"), 4))
+        .select("channel", "n_conversions", "attributed_value", "share")
+        .orderBy("channel")
     }))
 
   private val evCte =
-    "WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events)"
+    "WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events)"
 
   val oracles: Map[String, String] = Map(
     "q_funnel" ->
@@ -112,5 +144,22 @@ object BehaviorQueries {
          |      FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
          |SELECT from_type, to_type, CAST(n_trans AS BIGINT) AS n_trans,
          |       round(CAST(n_trans AS DOUBLE) / sum(n_trans) OVER (PARTITION BY from_type), 4) AS p_trans
-         |FROM m ORDER BY from_type, to_type""".stripMargin)
+         |FROM m ORDER BY from_type, to_type""".stripMargin,
+
+    // same prior-frame IGNORE NULLS touch window, 1e4-scaled revenue longs
+    "q_attribution" ->
+      s"""$evCte,
+         |a AS (
+         |  SELECT *, last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+         |                            THEN event_type END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+         |  FROM e),
+         |p AS (SELECT COALESCE(touch, 'direct') AS channel,
+         |             CAST(round(value * 10000) AS BIGINT) AS rev4
+         |      FROM a WHERE event_type = 'purchase')
+         |SELECT channel, count(*) AS n_conversions,
+         |       round(CAST(sum(rev4) AS DOUBLE) / 10000.0, 4) AS attributed_value,
+         |       round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM p), 4) AS share
+         |FROM p GROUP BY channel ORDER BY channel""".stripMargin)
 }

@@ -621,6 +621,62 @@ object RelationalQueries {
         .orderBy("day")
     }),
 
+    // Calendar-spine GAP FILL (time-series resample): per user, one row per
+    // day of the user's own active span, carrying the day's CLOSE value
+    // (last event by (ts, event_id) — a deterministic row pick, never a
+    // float fold) forward across days with no events. The spine is a
+    // per-user `sequence(min_day, max_day)` explode — map-side, no global
+    // calendar join — and the fill is `last(_, ignoreNulls)` over a window
+    // PARTITIONED BY user (bounded partitions; never a global ordered
+    // window). 100 TB shape: one groupBy(user, day) absorbing the scan
+    // map-side, one per-user window; spine rows ≤ users × span-days.
+    "q_gap_fill" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val e = ev(s, dir).withColumn("day", expr(s"ts_us div $dayUs"))
+      val wPick = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      val daily = e
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("day"), round(col("value"), 4).as("close_value"))
+      val spine = e.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val wFill = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("filled", col("close_value").isNull)
+        .withColumn("value_filled", last("close_value", ignoreNulls = true).over(wFill))
+        .select("user_id", "day", "value_filled", "filled")
+        .orderBy("user_id", "day")
+    }),
+
+    // Half-life DECAYED aggregate (recency weighting — the "how much does
+    // this segment matter NOW" score): weight = 2^(-age_weeks), week
+    // granularity so every weight is an EXACT power of two (a fractional
+    // exponent would ride libm pow, whose last ulp differs across
+    // engines). Replay discipline: value × 2^-k × 1e4 is two IEEE
+    // multiplies in fixed order (bit-identical in any engine), the per-row
+    // round lands on a long, and the group fold is an integer sum — order-
+    // free, so the result replays under any partitioning. The reference
+    // "now" is the corpus max day on a broadcast 1-row agg (no driver
+    // collect). 100 TB: map-only scan + one 5-key groupBy.
+    "q_decay_agg" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val e = ev(s, dir).withColumn("day", expr(s"ts_us div $dayUs"))
+      val ref = e.agg(max("day").as("ref_day"))
+      e.crossJoin(broadcast(ref))
+        .withColumn("wk", expr("(ref_day - day) div 7"))
+        .withColumn("dec4",
+          round(col("value") * pow(lit(0.5), col("wk")) * lit(10000)).cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          (sum("dec4") / lit(10000.0)).as("decayed_sum"),
+          round(sum("dec4") / (lit(10000.0) * count(lit(1))), 4).as("decayed_mean"))
+        .withColumn("decayed_sum", round(col("decayed_sum"), 4))
+        .orderBy("event_type")
+    }),
+
     // JSON extraction from the props payload.
     "q_json_extract" -> ((s, dir) =>
       ev(s, dir)
@@ -1233,6 +1289,46 @@ object RelationalQueries {
          |       max(cur) AS peak_concurrent,
          |       CAST(count(CASE WHEN delta = 1 THEN 1 END) AS BIGINT) AS sessions_started
          |FROM c GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // same deterministic close-row pick, generate_series spine, and
+    // IGNORE NULLS carry-forward window
+    "q_gap_fill" ->
+      s"""$evCte,
+         |d AS (SELECT *, ts_us // 86400000000 AS day FROM e),
+         |daily AS (
+         |  SELECT user_id, day, round(value, 4) AS close_value
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, day
+         |               ORDER BY ts_us DESC, event_id DESC) AS rn FROM d)
+         |  WHERE rn = 1),
+         |spine AS (
+         |  SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+         |  FROM d GROUP BY user_id),
+         |j AS (
+         |  SELECT s.user_id, s.day, dl.close_value,
+         |         dl.close_value IS NULL AS filled
+         |  FROM spine s LEFT JOIN daily dl
+         |    ON dl.user_id = s.user_id AND dl.day = s.day)
+         |SELECT user_id, day,
+         |       last_value(close_value IGNORE NULLS) OVER (
+         |         PARTITION BY user_id ORDER BY day
+         |         ROWS UNBOUNDED PRECEDING) AS value_filled,
+         |       filled
+         |FROM j ORDER BY user_id, day""".stripMargin,
+
+    // identical fixed-order IEEE multiplies (value * 2^-wk * 1e4), per-row
+    // round to a BIGINT, order-free integer sum
+    "q_decay_agg" ->
+      s"""$evCte,
+         |d AS (SELECT *, ts_us // 86400000000 AS day FROM e),
+         |c AS (SELECT event_type,
+         |             CAST(round(value * power(0.5, (ref_day - day) // 7) * 10000)
+         |               AS BIGINT) AS dec4
+         |      FROM d, (SELECT max(day) AS ref_day FROM d) r)
+         |SELECT event_type, count(*) AS n_events,
+         |       round(CAST(sum(dec4) AS DOUBLE) / 10000.0, 4) AS decayed_sum,
+         |       round(CAST(sum(dec4) AS DOUBLE) / (10000.0 * count(*)), 4)
+         |         AS decayed_mean
+         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_id, user_id,
