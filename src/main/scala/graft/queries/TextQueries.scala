@@ -96,6 +96,38 @@ object TextQueries {
         Text.wsTokenCount(col("text")).as("n_ws_tokens"))
         .orderBy("doc_id")),
 
+    // READABILITY indexes (ARI, Coleman–Liau) — the count-based family a
+    // curation pipeline can afford corpus-wide (syllable-based indexes
+    // need a dictionary; these need three integer counts per doc). All
+    // inputs are exact integers, every formula is a fixed-order chain of
+    // IEEE multiplies/divides shared with the oracle, and the difficulty
+    // band cuts on the ALREADY-ROUNDED index (never the raw float, so the
+    // band boundary replays). Map-only scan; zero shuffles.
+    "text_readability" -> ((s, dir) => {
+      val txt = col("text")
+      val wsClass = "[ \\t\\n\\x0B\\f\\r]"
+      docs(s, dir).select(col("doc_id"),
+          length(regexp_replace(txt, wsClass, "")).cast("long").as("n_letters"),
+          Text.wsTokenCount(txt).as("n_words"),
+          greatest(length(txt) - length(translate(txt, ".!?", "")), lit(1))
+            .cast("long").as("n_sentences"))
+        .filter(col("n_words") > 0)
+        .select(col("doc_id"), col("n_letters"), col("n_words"), col("n_sentences"),
+          // floor-quantize, never round(): ARI's rational inputs land
+          // exactly on the 4dp half-boundary (hit at sf0.01) where the
+          // engines' double-rounding rules diverge — emb_pca's rule
+          (floor((lit(4.71) * (col("n_letters").cast("double") / col("n_words")) +
+            lit(0.5) * (col("n_words").cast("double") / col("n_sentences")) -
+            lit(21.43)) * lit(10000)) / lit(10000)).as("ari"),
+          (floor((lit(0.0588) * (lit(100.0) * col("n_letters") / col("n_words")) -
+            lit(0.296) * (lit(100.0) * col("n_sentences") / col("n_words")) -
+            lit(15.8)) * lit(10000)) / lit(10000)).as("cli"))
+        .withColumn("band",
+          when(col("ari") < 8, "easy").when(col("ari") < 16, "medium")
+            .otherwise("hard"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus-LM quality score (the CCNet-style perplexity filter): mean
     // log-probability of a doc's tokens under the corpus unigram
     // distribution — boilerplate/common-token docs score high (near 0),
@@ -497,6 +529,33 @@ object TextQueries {
          |       CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred,
          |       lang_actual
          |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // same three integer counts, same fixed-order IEEE formula chain, band
+    // cut on the rounded index
+    "text_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         CAST(length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g')) AS BIGINT)
+        |           AS n_letters,
+        |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'))
+        |              END AS BIGINT) AS n_words,
+        |         CAST(greatest(length(text) - length(translate(text, '.!?', '')), 1)
+        |           AS BIGINT) AS n_sentences
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_letters, n_words, n_sentences,
+        |         floor((4.71 * (CAST(n_letters AS DOUBLE) / n_words) +
+        |                0.5 * (CAST(n_words AS DOUBLE) / n_sentences) -
+        |                21.43) * 10000) / 10000 AS ari,
+        |         floor((0.0588 * (100.0 * CAST(n_letters AS DOUBLE) / n_words) -
+        |                0.296 * (100.0 * CAST(n_sentences AS DOUBLE) / n_words) -
+        |                15.8) * 10000) / 10000 AS cli
+        |  FROM c WHERE n_words > 0)
+        |SELECT doc_id, n_letters, n_words, n_sentences, ari, cli,
+        |       CASE WHEN ari < 8 THEN 'easy' WHEN ari < 16 THEN 'medium'
+        |            ELSE 'hard' END AS band
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // Same unigram model: freq/total in double, natural log, 4dp-rounded
     // mean (ln and summation order agree to ~1e-14 — far from the rounding

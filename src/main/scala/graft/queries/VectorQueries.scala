@@ -298,6 +298,33 @@ object VectorQueries {
         .orderBy("q_id")
     }),
 
+    // HARD-NEGATIVE MINING (contrastive-training curation: for each anchor,
+    // the most-similar vectors whose label DIFFERS — the negatives that
+    // actually teach the margin). Rides the memoized brute-force scored
+    // scan: anchor labels broadcast (bounded sample), the label-mismatch
+    // filter runs before any shuffle, and the per-anchor top-3 is the
+    // bounded-heap TopKAgg (O(anchors × 3) on the wire, never the scored
+    // set). The final label decoration joins the corpus against the
+    // broadcast 15-row result — one map-side pass, no corpus exchange.
+    "emb_hard_negatives" -> ((s, dir) => {
+      val base = emb(s, dir)
+      val qLab = base.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("label").as("anchor_label"))
+      val neg = bruteScored(s, dir)
+        .join(broadcast(qLab), "q_id")
+        .join(base.select(col("vec_id").as("neighbor_id"), col("label").as("nl")),
+          "neighbor_id")
+        .filter(col("nl") =!= col("anchor_label"))
+      val top = Relational.topKByScore(neg, "q_id", "cos", "neighbor_id", 3)
+      base.select(col("vec_id").as("neighbor_id"),
+          col("label").as("neighbor_label"))
+        .join(broadcast(top), "neighbor_id")
+        .join(broadcast(qLab), "q_id")
+        .select(col("q_id"), col("anchor_label"), col("rk"),
+          col("neighbor_id"), col("neighbor_label"), col("cos"))
+        .orderBy("q_id", "rk")
+    }),
+
     // Per-cluster centroids + cohesion (see Embeddings.labelCentroids for
     // the scale shape).
     "emb_centroids" -> ((s, dir) => {
@@ -961,6 +988,25 @@ object VectorQueries {
          |FROM exact x LEFT JOIN lsh l
          |  ON l.q_id = x.q_id AND l.neighbor_id = x.neighbor_id
          |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin,
+
+    // same rounded-cosine total order, label-mismatch cut before the rank
+    "emb_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, label AS anchor_label,
+         |                  embedding AS q_emb
+         |           FROM embeddings WHERE vec_id < $nQueries),
+         |scored AS (
+         |  SELECT q.q_id, q.anchor_label, e.vec_id AS neighbor_id,
+         |         e.label AS neighbor_label,
+         |         round(list_cosine_similarity(
+         |           CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cos
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+         |  WHERE e.label <> q.anchor_label),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+         |  FROM scored)
+         |SELECT q_id, anchor_label, rk, neighbor_id, neighbor_label, cos
+         |FROM ranked WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
 
     // Full PQ replay (sub = 64/8 = 8 dims hardcoded for the test lake; the
     // Spark side derives it from the data): sampled codebook from the 16
