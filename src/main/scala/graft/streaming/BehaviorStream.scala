@@ -122,6 +122,48 @@ object BehaviorStream {
           out.result().iterator
       }
   }
+
+  /** Streaming last-touch attribution — the incremental analog of the
+    * batch `q_attribution` window: per-user state is the CURRENT touch
+    * (the most recent view/click/signup) plus the last processed
+    * (ts_us, event_id) position, and each purchase emits its credited
+    * channel the moment it lands — the live-campaign shape, vs the batch
+    * query's end-of-corpus channel rollup.
+    *
+    * Ordering contract matches [[funnel]]/[[transitions]]: events process
+    * in (ts_us, event_id) order within a micro-batch (the batch window's
+    * exact tie-break), batches are assumed event-time monotone per user,
+    * and an event arriving at or before the stored position is DROPPED —
+    * a violated guarantee degrades to a stale channel, never a
+    * retroactively rewritten one. State is O(users), one small row each. */
+  def attribution(events: Dataset[AttrEvent],
+      touchTypes: Set[String] = Set("view", "click", "signup"),
+      purchaseType: String = "purchase"): Dataset[Attribution] = {
+    implicit val attrEnc: Encoder[Attribution] = Encoders.product[Attribution]
+    implicit val touchEnc: Encoder[TouchState] = Encoders.product[TouchState]
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[AttrEvent], state: GroupState[TouchState]) =>
+          var st = state.getOption.getOrElse(TouchState(None, Long.MinValue, Long.MinValue))
+          val out = Vector.newBuilder[Attribution]
+          it.toVector.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            val inOrder = e.ts_us > st.ts_us ||
+              (e.ts_us == st.ts_us && e.event_id > st.event_id)
+            if (inOrder) {
+              if (e.event_type == purchaseType)
+                out += Attribution(user, e.event_id,
+                  st.touch.getOrElse("direct"), e.ts_us, e.value)
+              val touch =
+                if (touchTypes.contains(e.event_type)) Some(e.event_type) else st.touch
+              st = TouchState(touch, e.ts_us, e.event_id)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }
 
 /** One observed event for the transition stream; `event_id` is the
@@ -135,3 +177,16 @@ final case class Transition(
 
 /** Per-user transition state: the last event seen. */
 final case class LastEvent(event_type: String, ts_us: Long, event_id: Long)
+
+/** One event for the attribution stream; `value` is the purchase amount
+  * (ignored on touch events). */
+final case class AttrEvent(
+    user_id: Long, event_id: Long, event_type: String, ts_us: Long, value: Double)
+
+/** A purchase credited to `channel` ('direct' when no touch preceded). */
+final case class Attribution(
+    user_id: Long, event_id: Long, channel: String, ts_us: Long, value: Double)
+
+/** Per-user attribution state: current touch + last processed position
+  * ((ts_us, event_id) — the out-of-order drop guard at the batch seam). */
+final case class TouchState(touch: Option[String], ts_us: Long, event_id: Long)

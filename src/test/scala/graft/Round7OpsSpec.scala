@@ -151,4 +151,99 @@ class Round7OpsSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("keep")).count()
     assert(kept == 0L)
   }
+
+  test("q_gap_fill: contiguous per-user spine, fills carry the last close") {
+    val rows = SparkEntry.queries("q_gap_fill")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val days = rs.map(_._2).sorted.toSeq
+      assert((days.head to days.last).toSeq == days, s"user $u spine has holes")
+      // walk the fill: a filled row must repeat the previous row's value,
+      // the first row is never a fill (day0 = a real event day)
+      val ordered = rs.sortBy(_._2)
+      assert(!ordered.head._4, s"user $u starts with a filled row")
+      ordered.sliding(2).foreach {
+        case Array((_, _, prev, _), (_, d, v, filled)) =>
+          if (filled) assert(v == prev, s"user $u day $d fill broke the carry")
+        case _ =>
+      }
+    }
+    // fills exist at this SF (494 gap days at sf0.01; > 0 here too) and
+    // real rows equal the distinct (user, day) count of the raw events
+    assert(rows.count(_._4) > 0, "no gap was ever filled — vacuous")
+    val e = graft.sources.Tables(spark, sf, "events")
+    val realDays = e.withColumn("ts_us", graft.sources.Tables.tsMicros(e))
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct().count()
+    assert(rows.count(!_._4) == realDays)
+  }
+
+  test("q_decay_agg: decayed mass is positive and never exceeds raw mass") {
+    val e = graft.sources.Tables(spark, sf, "events")
+    val raw = e.groupBy("event_type")
+      .agg(sum(round(col("value") * 10000).cast("long")).as("raw4"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1) / 10000.0, r.getLong(2))).toMap
+    val rows = SparkEntry.queries("q_decay_agg")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t, n) = (r.getString(0), r.getLong(1))
+      val ds = r.getAs[Double]("decayed_sum")
+      val (rawSum, rawN) = raw(t)
+      assert(n == rawN)
+      assert(ds > 0.0 && ds <= rawSum + 1e-6,
+        s"$t decayed $ds outside (0, raw=$rawSum]")
+      // half-life bound: everything is ≤ 5 weeks old in the lake, so the
+      // decayed mass keeps at least 2^-5 of the raw mass
+      assert(ds >= rawSum / 32.0 - 1e-6, s"$t decayed $ds below the 2^-5 floor")
+    }
+  }
+
+  test("q_attribution: channels partition all purchases, shares sum to one") {
+    val rows = SparkEntry.queries("q_attribution")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val channels = rows.map(_.getString(0)).toSet
+    assert(channels.subsetOf(Set("view", "click", "signup", "direct")))
+    val e = graft.sources.Tables(spark, sf, "events")
+    val purchases = e.filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getLong(1)).sum == purchases)
+    val shareSum = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3 * rows.length)
+  }
+
+  test("emb_hard_negatives: labels differ, ranks contiguous, cos ordered") {
+    val rows = SparkEntry.queries("emb_hard_negatives")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getInt(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, aLab, _, _, nLab, _) =>
+      assert(aLab != nLab, "a hard negative shares the anchor's label") }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byRk = rs.sortBy(_._3)
+      assert(byRk.map(_._3).toSeq == (1L to byRk.length))
+      assert(byRk.map(_._6).toSeq == byRk.map(_._6).sorted.reverse.toSeq,
+        s"anchor $q cos not non-increasing")
+    }
+    // the hardest negative can never beat the unconstrained top neighbor
+    val top = SparkEntry.queries("knn_bruteforce")(spark, sf)
+      .filter(col("rk") === 1).select("q_id", "cos")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.filter(_._3 == 1L).foreach { case (q, _, _, _, _, c) =>
+      assert(c <= top(q) + 1e-9) }
+  }
+
+  test("text_readability: counts sane, band cuts on the quantized ari") {
+    val rows = SparkEntry.queries("text_readability")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (letters, words, sents) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (ari, band) = (r.getAs[Double]("ari"), r.getString(6))
+      assert(letters >= words && words > 0 && sents >= 1,
+        "letters < words or empty doc slipped the filter")
+      val expected = if (ari < 8) "easy" else if (ari < 16) "medium" else "hard"
+      assert(band == expected, s"band $band vs ari $ari")
+    }
+  }
 }

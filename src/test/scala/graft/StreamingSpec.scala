@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{CdcStream, Change, FunnelEvent, SegmentKey, SketchRow, Snapshot, StageReach, TransEvent, Transition}
+import graft.streaming.{AttrEvent, Attribution, CdcStream, Change, FunnelEvent, SegmentKey, SketchRow, Snapshot, StageReach, TransEvent, Transition}
 
 class StreamingSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
@@ -808,5 +808,59 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(onego.view.mapValues(_._1).toMap == batch)
     // state is k-bounded
     onego.values.foreach { case (mins, _) => assert(mins.length <= k) }
+  }
+
+  test("streaming attribution: cross-batch last-touch matches the batch window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[AttrEvent]
+    val q = streaming.BehaviorStream.attribution(input.toDS())
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append).start()
+    val events = Seq(
+      // u1: view → purchase (view credited), then click in a LATER batch
+      // re-aims the touch for the second purchase
+      AttrEvent(1, 1, "view", 100, 0.0), AttrEvent(1, 2, "purchase", 200, 9.5),
+      // u2: purchase with no prior touch → direct
+      AttrEvent(2, 3, "purchase", 150, 4.0),
+      // u3: touch carried across the batch seam
+      AttrEvent(3, 4, "signup", 50, 0.0))
+    val later = Seq(
+      AttrEvent(1, 5, "click", 300, 0.0), AttrEvent(1, 6, "purchase", 400, 2.5),
+      AttrEvent(3, 7, "purchase", 500, 7.0),
+      // same-ts tie: the touch's smaller event_id processes first (the
+      // batch frame's 1-PRECEDING row order), so it IS credited
+      AttrEvent(2, 8, "view", 600, 0.0), AttrEvent(2, 9, "purchase", 600, 1.0),
+      // strictly out-of-order across the seam (u2's stored position is
+      // ts 600): dropped — degrades to a missed credit, never a rewrite
+      AttrEvent(2, 10, "purchase", 140, 3.0))
+    try {
+      input.addData(events: _*); q.processAllAvailable()
+      input.addData(later: _*); q.processAllAvailable()
+      val got = spark.table("attr").as[Attribution].collect().toSet
+      assert(got == Set(
+        Attribution(1, 2, "view", 200, 9.5),
+        Attribution(2, 3, "direct", 150, 4.0),
+        Attribution(1, 6, "click", 400, 2.5),
+        Attribution(3, 7, "signup", 500, 7.0),
+        Attribution(2, 9, "view", 600, 1.0)))
+      // per-purchase channels equal the batch q_attribution window over
+      // the IN-CONTRACT event union (the out-of-order arrival is outside
+      // the monotonicity guarantee both forms assume)
+      import org.apache.spark.sql.functions._
+      val all = (events ++ later).filter(_.event_id != 10)
+        .map(e => (e.user_id, e.event_id, e.event_type, e.ts_us, e.value))
+        .toDF("user_id", "event_id", "event_type", "ts_us", "value")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val batch = all
+        .withColumn("touch", last(
+          when(col("event_type").isin("view", "click", "signup"), col("event_type")),
+          ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), coalesce(col("touch"), lit("direct")).as("channel"))
+        .as[(Long, String)].collect().toMap
+      assert(got.map(a => a.event_id -> a.channel).toMap == batch)
+    } finally q.stop()
   }
 }
