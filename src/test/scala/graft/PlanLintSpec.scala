@@ -44,6 +44,7 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
     * bounded Filter, not an aggregate — invisible to the structural rule). */
   private val sampledLoopJoins = Set("knn_bruteforce", "knn_lsh", "knn_pq", "knn_ivf",
     "knn_recall_audit", "knn_range_search", "knn_range_audit",
+    "emb_hard_negatives",
     // per-source signature table: O(sources) rows by construction, but the
     // memoized artifact is lineage-cut (LogicalRDD) so the aggregate that
     // bounds it is invisible to the structural rule
