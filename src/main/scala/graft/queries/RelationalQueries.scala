@@ -677,6 +677,35 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Z-SCORE anomaly flagging: events whose value sits > 3σ from its
+    // type's mean — the monitoring primitive over a metric stream. The
+    // per-type moments come from EXACT cents-scaled integer sums (the
+    // q_corr_stats discipline: order-free in any partitioning; the
+    // mean/σ formulas run ONCE per type in doubles with oracle-identical
+    // operand order), the per-row z is three IEEE ops on identical
+    // operands — so the |z| > 3 cut replays bit-for-bit — and the O(types)
+    // stats table broadcasts back over a map-only corpus pass. Output
+    // z floor-quantizes (the half-boundary rule).
+    "q_zscore_outliers" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("vc", round(col("value") * lit(100)).cast("long"))
+      val nD = col("n").cast("double")
+      val stats = e.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("vc").as("sx"),
+          sum((col("vc") * col("vc")).cast("decimal(38,0)")).as("sx2"))
+        .select(col("event_type"),
+          (col("sx").cast("double") / col("n")).as("mean_c"),
+          sqrt((nD * col("sx2").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) /
+            (nD * (col("n") - lit(1)).cast("double"))).as("sd_c"))
+      e.join(broadcast(stats), "event_type")
+        .withColumn("z", (col("vc").cast("double") - col("mean_c")) / col("sd_c"))
+        .filter(abs(col("z")) > lit(3.0))
+        .select(col("event_id"), col("event_type"), col("value"),
+          (floor(col("z") * lit(10000)) / lit(10000)).as("z"))
+        .orderBy("event_id")
+    }),
+
     // JSON extraction from the props payload.
     "q_json_extract" -> ((s, dir) =>
       ev(s, dir)
@@ -1329,6 +1358,32 @@ object RelationalQueries {
          |       round(CAST(sum(dec4) AS DOUBLE) / (10000.0 * count(*)), 4)
          |         AS decayed_mean
          |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // exact integer moments (HUGEINT sums cast like q_corr_stats), same
+    // once-per-type double formulas, identical per-row z operands
+    "q_zscore_outliers" ->
+      s"""$evCte,
+         |v AS (SELECT event_id, event_type, value,
+         |             CAST(round(value * 100) AS BIGINT) AS vc FROM e),
+         |s AS (
+         |  SELECT event_type, count(*) AS n,
+         |         CAST(sum(vc) AS BIGINT) AS sx,
+         |         CAST(sum(CAST(vc AS HUGEINT) * vc) AS DOUBLE) AS sx2d
+         |  FROM v GROUP BY event_type),
+         |st AS (
+         |  SELECT event_type,
+         |         CAST(sx AS DOUBLE) / n AS mean_c,
+         |         sqrt((CAST(n AS DOUBLE) * sx2d -
+         |               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+         |              (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS sd_c
+         |  FROM s),
+         |z AS (
+         |  SELECT v.event_id, v.event_type, v.value,
+         |         (CAST(v.vc AS DOUBLE) - st.mean_c) / st.sd_c AS z
+         |  FROM v JOIN st USING (event_type))
+         |SELECT event_id, event_type, value,
+         |       floor(z * 10000) / 10000 AS z
+         |FROM z WHERE abs(z) > 3.0 ORDER BY event_id""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_id, user_id,

@@ -96,6 +96,30 @@ object TextQueries {
         Text.wsTokenCount(col("text")).as("n_ws_tokens"))
         .orderBy("doc_id")),
 
+    // BPE iteration-0 statistic (the pair table a tokenizer trainer ranks
+    // before its first merge): corpus-weighted adjacent character-pair
+    // counts inside whitespace tokens. THE scale trick: the pair explode
+    // runs over the VOCABULARY (distinct terms × their freq — types), never
+    // the corpus (tokens) — at 100 TB that is millions of rows instead of
+    // trillions. One term-keyed exchange builds the vocab, the bigram
+    // positions come from a codegen'd sequence explode + substr (no
+    // interpreted per-element lambda), and the top-20 is a bounded sort
+    // over the O(alphabet²) pair space. Companion trainer:
+    // `operators.TokenizerFit` iterates merges on the same vocab table.
+    "text_bpe_pairs" -> ((s, dir) => {
+      val vocab = docs(s, dir)
+        .select(explode(Text.wsTokens(lower(col("text")))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+      vocab.filter(length(col("term")) >= 2)
+        .select(col("term"), col("freq"),
+          explode(sequence(lit(1), length(col("term")) - 1)).as("i"))
+        .select(col("freq"), col("term").substr(col("i"), lit(2)).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    }),
+
     // READABILITY indexes (ARI, Coleman–Liau) — the count-based family a
     // curation pipeline can afford corpus-wide (syllable-based indexes
     // need a dictionary; these need three integer counts per doc). All
@@ -529,6 +553,23 @@ object TextQueries {
          |       CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred,
          |       lang_actual
          |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // same vocab collapse, same weighted bigram unnest, integer counts
+    "text_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)),
+        |                '[ \t\n\x0b\f\r]+')) AS term
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT term, count(*) AS freq FROM toks
+        |  WHERE term <> '' GROUP BY term),
+        |pos AS (
+        |  SELECT term, freq,
+        |         unnest(generate_series(1, length(term) - 1)) AS i
+        |  FROM vocab WHERE length(term) >= 2)
+        |SELECT substr(term, CAST(i AS INTEGER), 2) AS pair,
+        |       CAST(sum(freq) AS BIGINT) AS n
+        |FROM pos GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
     // same three integer counts, same fixed-order IEEE formula chain, band
     // cut on the rounded index

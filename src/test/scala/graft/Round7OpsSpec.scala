@@ -234,6 +234,26 @@ class Round7OpsSpec extends AnyFunSuite with SparkTestBase {
       assert(c <= top(q) + 1e-9) }
   }
 
+  test("q_zscore_outliers: nonempty, every flagged |z| clears 3 sigma") {
+    val rows = SparkEntry.queries("q_zscore_outliers")(spark, sf).collect()
+    assert(rows.nonEmpty, "heavy-tailed lake must flag outliers — vacuous")
+    rows.foreach { r =>
+      val z = r.getAs[Double]("z")
+      // z is floor-quantized to 4dp, so the cut admits values whose
+      // quantization lands just at ±3
+      assert(math.abs(z) >= 3.0 - 1e-4, s"event ${r.getLong(0)} z=$z")
+      assert(!z.isNaN && !z.isInfinite)
+    }
+  }
+
+  test("text_bpe_pairs: 20 rows of 2-char pairs, counts non-increasing") {
+    val rows = SparkEntry.queries("text_bpe_pairs")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length == 20)
+    rows.foreach { case (p, n) => assert(p.length == 2 && n > 0) }
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.reverse.toSeq)
+  }
+
   test("text_readability: counts sane, band cuts on the quantized ari") {
     val rows = SparkEntry.queries("text_readability")(spark, sf).collect()
     assert(rows.nonEmpty)
