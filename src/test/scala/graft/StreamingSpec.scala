@@ -810,6 +810,55 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     onego.values.foreach { case (mins, _) => assert(mins.length <= k) }
   }
 
+  test("maintainedAgg: IVM equals batch recompute, replays/stale dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val q = CdcStream.maintainedAgg(input.toDS())
+      .writeStream.format("memory").queryName("ivm")
+      .outputMode(OutputMode.Complete).start()
+    def table() = spark.table("ivm")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    try {
+      input.addData(
+        Change(1, "t1", "INSERT", 1, 100, 10.25),
+        Change(2, "t1", "INSERT", 2, 110, 5.50),
+        Change(3, "t2", "INSERT", 1, 120, 100.00),
+        Change(4, "t1", "UPDATE", 1, 130, 11.00),
+        // insert→delete of one pk inside a batch nets to NOTHING
+        Change(5, "t1", "INSERT", 3, 140, 1.00),
+        Change(6, "t1", "DELETE", 3, 150, 0.0))
+      q.processAllAvailable()
+      assert(table() == Set(("t1", 2L, 16.50), ("t2", 1L, 100.00)))
+      input.addData(
+        Change(7, "t1", "DELETE", 2, 160, 0.0),
+        Change(8, "t2", "UPDATE", 1, 170, 50.00),
+        // replayed LSN (same position, corrupted payload) and a stale
+        // lower-LSN arrival: both dropped by the stored-LSN guard
+        Change(4, "t1", "UPDATE", 1, 130, 999.0),
+        Change(2, "t1", "UPDATE", 1, 90, 777.0))
+      q.processAllAvailable()
+      assert(table() == Set(("t1", 1L, 11.00), ("t2", 1L, 50.00)))
+      // parity: the maintained aggregate equals the batch recompute over
+      // the highest-LSN row per key of the in-contract feed
+      import org.apache.spark.sql.functions._
+      val clean = Seq(
+        (1L, "t1", "INSERT", 1L, 10.25), (2L, "t1", "INSERT", 2L, 5.50),
+        (3L, "t2", "INSERT", 1L, 100.00), (4L, "t1", "UPDATE", 1L, 11.00),
+        (5L, "t1", "INSERT", 3L, 1.00), (6L, "t1", "DELETE", 3L, 0.0),
+        (7L, "t1", "DELETE", 2L, 0.0), (8L, "t2", "UPDATE", 1L, 50.00))
+        .toDF("lsn", "table", "op", "pk", "value")
+      val batch = clean
+        .groupBy("table", "pk")
+        .agg(max_by(struct($"op", $"value"), $"lsn").as("cur"))
+        .filter($"cur.op" =!= "DELETE")
+        .groupBy("table")
+        .agg(count(lit(1)).as("live_rows"),
+          (sum(round($"cur.value" * 100).cast("long")) / 100.0).as("sum_value"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(table() == batch)
+    } finally q.stop()
+  }
+
   test("streaming attribution: cross-batch last-touch matches the batch window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[AttrEvent]
