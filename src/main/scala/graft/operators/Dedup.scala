@@ -46,8 +46,7 @@ object Dedup {
   /** [[jaccardPairs]] over a prebuilt [[rankedByRarity]] table — for
     * callers sharing the ranked-gram artifact across several gram joins
     * (a production pipeline stores it once per corpus). */
-  def jaccardPairsFromRanked(ordered: DataFrame, tNum: Int = 4, tDen: Int = 5,
-      gramKeyedVerify: Boolean = false): DataFrame = {
+  def jaccardPairsFromRanked(ordered: DataFrame, tNum: Int = 4, tDen: Int = 5): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
     val prefix = prefixGrams(ordered, tNum, tDen)
     val cand = prefix.as("a").join(prefix.as("b"),
@@ -59,8 +58,7 @@ object Dedup {
           overlapUpperBound * (tNum + tDen) >= (col("a.n") + col("b.n")) * tNum)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    if (gramKeyedVerify) verifyGramKeyed(cand, ordered, tNum, tDen)
-    else verifyArrays(cand, ordered, tNum, tDen)
+    verifyPairs(cand, ordered, tNum, tDen)
   }
 
   /** Candidate verify on the EXACT integral ratio (|∩|·tDen ≥ |∪|·tNum),
@@ -68,47 +66,32 @@ object Dedup {
     * pairs with true Jaccard in [t − 5e-5, t) that the prefix filter and
     * the size-ratio pruning (both exact-threshold) never generate — an
     * FP-boundary disagreement waiting for a corpus with multi-thousand-gram
-    * docs. Oracle filters identically. This form carries both docs' whole
-    * gram ARRAYS through two doc-keyed joins — the right plan when the
-    * candidate set is linear (the default sketched/sampled postures). */
-  private def verifyArrays(cand: DataFrame, ordered: DataFrame,
-      tNum: Int, tDen: Int): DataFrame =
-    cand
-      .join(ordered.select(col("doc_id").as("doc_a"), col("grams").as("g_a")), "doc_a")
-      .join(ordered.select(col("doc_id").as("doc_b"), col("grams").as("g_b")), "doc_b")
-      .withColumn("n_inter", size(array_intersect(col("g_a"), col("g_b"))))
-      .withColumn("n_union", size(array_union(col("g_a"), col("g_b"))))
-      .filter(col("n_inter") * tDen >= col("n_union") * tNum)
-      .select(col("doc_a"), col("doc_b"),
-        round(col("n_inter").cast("double") / col("n_union"), 4).as("jaccard"))
-
-  /** The same exact verify, two-staged through a (doc, gram)-keyed
-    * exchange: the intersection count is a join of the candidate pairs
-    * with each side's EXPLODED 8-byte gram rows (count of shared grams per
-    * pair, map-side combined), and |∪| = n_a + n_b − |∩| by
-    * inclusion-exclusion on distinct gram sets — bit-identical to the
-    * array form. For a dense candidate set (the opt-in full-corpus audit)
-    * this replaces one stage that funnels every hub doc's pairs + full
-    * arrays into a single doc-keyed partition (measured: GC thrash on
-    * ~40 GB of array traffic at 60×) with high-cardinality (doc, gram)
-    * keys that spread over every partition; nothing wider than
-    * (doc_a, doc_b, gram) crosses any exchange. */
-  private def verifyGramKeyed(cand: DataFrame, ordered: DataFrame,
+    * docs. Oracle filters identically.
+    *
+    * The kernel is the codegen'd merge walk over the artifact's PRESORTED
+    * gram arrays ([[graft.plans.SortedIntersectCount]]) with |∪| by
+    * inclusion–exclusion on the stored sizes — at candidate density
+    * (10⁷ pairs × ~10² grams at 30×) the `size(array_intersect)` +
+    * `array_union` form built two boxed hash sets per pair and was the
+    * library's hottest allocation site (90 of a 94 s join, measured);
+    * the merge walk does the same count allocation-free, sorting once per
+    * DOC in the artifact instead of hashing once per PAIR. */
+  private def verifyPairs(cand: DataFrame, ordered: DataFrame,
       tNum: Int, tDen: Int): DataFrame = {
-    val tok = ordered.select(col("doc_id"), explode(col("grams")).as("gram"))
-    val sizes = ordered.select(col("doc_id"), col("n"))
-    val inter = cand
-      .join(tok.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
-      .join(tok.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"),
-        "left_semi")
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_inter"))
-    // candidates share ≥ 1 prefix gram by construction, so the inner
-    // intersection join drops no candidate that could pass the threshold
-    // (n_inter ≥ 1 for every generated pair)
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+    val s = ordered.sparkSession
+    // SHUFFLE_HASH, not sort-merge: the doc-keyed artifact (one row per
+    // doc) is the hash build side, so the candidate stream — pairs
+    // accreting a gram array at each join — is never SORTED while carrying
+    // arrays (measured at 60×: two SMJ sorts over ~26 M array-laden rows
+    // spill-bound the join at 6× the 30× cost; hash builds of the
+    // O(docs) side stream it at ~2×)
+    cand
+      .join(ordered.select(col("doc_id").as("doc_a"),
+        col("gsorted").as("g_a"), col("n").as("n_a")).hint("shuffle_hash"), "doc_a")
+      .join(ordered.select(col("doc_id").as("doc_b"),
+        col("gsorted").as("g_b"), col("n").as("n_b")).hint("shuffle_hash"), "doc_b")
+      .withColumn("n_inter",
+        graft.plans.SortedIntersectCount.count(s, col("g_a"), col("g_b")))
       .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
       .filter(col("n_inter") * tDen >= col("n_union") * tNum)
       .select(col("doc_a"), col("doc_b"),
@@ -141,6 +124,9 @@ object Dedup {
       .select(col("doc_id"),
         transform(col("ranked"), r => r.getField("gram")).as("grams"),
         size(col("ranked")).as("n"))
+      // the same distinct grams NUMERICALLY ascending — sorted once per
+      // doc here so the verify kernel's merge walk never sorts per pair
+      .withColumn("gsorted", sort_array(col("grams")))
       .transform(Checkpointing.cut)
   }
 
@@ -215,14 +201,18 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // verify on the exact integral ratio (|∩|·tDen ≥ |A|·tNum); rounding
-    // is display-only — same FP-boundary discipline as jaccardPairs
+    // is display-only — same FP-boundary discipline and same codegen'd
+    // merge-walk kernel as jaccardPairs' verify
     cand
-      .join(ordered.select(col("doc_id").as("doc_a"), col("grams").as("g_a")), "doc_a")
-      .join(ordered.select(col("doc_id").as("doc_b"), col("grams").as("g_b")), "doc_b")
-      .withColumn("n_inter", size(array_intersect(col("g_a"), col("g_b"))))
-      .filter(col("n_inter") * tDen >= size(col("g_a")) * tNum)
+      .join(ordered.select(col("doc_id").as("doc_a"),
+        col("gsorted").as("g_a"), col("n").as("n_a")).hint("shuffle_hash"), "doc_a")
+      .join(ordered.select(col("doc_id").as("doc_b"),
+        col("gsorted").as("g_b")).hint("shuffle_hash"), "doc_b")
+      .withColumn("n_inter", graft.plans.SortedIntersectCount.count(
+        ordered.sparkSession, col("g_a"), col("g_b")))
+      .filter(col("n_inter") * tDen >= col("n_a") * tNum)
       .select(col("doc_a"), col("doc_b"),
-        round(col("n_inter").cast("double") / size(col("g_a")), 4).as("containment"))
+        round(col("n_inter").cast("double") / col("n_a"), 4).as("containment"))
   }
 
   /** Incremental near-dup: candidate pairs between a NEW ingestion batch
@@ -399,13 +389,9 @@ object Dedup {
         (inStratum(inStratum(estPairs, "doc_a"), "doc_b"),
           inStratum(rankedGrams, "doc_id"))
       }
-    // full-corpus: gram-keyed two-stage verify — the candidate set is the
-    // one place it goes dense enough that single-stage array traffic
-    // thrashes the heap (60× measurement, SCALING.md); sampled stratum:
-    // the array verify, linear candidates, fewer exchanges
     auditRow(
       est.select(col("doc_a"), col("doc_b")),
-      jaccardPairsFromRanked(grams, tNum, tDen, gramKeyedVerify = fullCorpus)
+      jaccardPairsFromRanked(grams, tNum, tDen)
         .select(col("doc_a"), col("doc_b")))
   }
 

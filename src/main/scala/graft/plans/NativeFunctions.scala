@@ -85,6 +85,10 @@ object NativeFunctions {
       case Seq(a, b) => DotProd(a, b)
       case other => bad("dot_prod", "a, b", other.size)
     },
+    "sorted_intersect_count" -> {
+      case Seq(a, b) => SortedIntersectCount(a, b)
+      case other => bad("sorted_intersect_count", "a, b", other.size)
+    },
     "vec_scale" -> {
       case Seq(a, s) => VecScale(a, s)
       case other => bad("vec_scale", "vec, scalar", other.size)

@@ -328,6 +328,26 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
       }
   }
 
+  test("sorted_intersect_count: parity with size(array_intersect) on random sets") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map { i =>
+      def set() = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong)
+        .distinct.sorted
+      (i.toLong, set(), set())
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select($"id",
+        graft.plans.SortedIntersectCount.count(spark, $"a", $"b").as("n"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, a, b) =>
+      assert(got(id) == a.toSet.intersect(b.toSet).size.toLong,
+        s"row $id: merge walk diverged from set intersection") }
+    // empty sides
+    val e = Seq((Seq.empty[Long], Seq(1L, 2L))).toDF("a", "b")
+    assert(e.select(graft.plans.SortedIntersectCount.count(spark, $"a", $"b"))
+      .head().getLong(0) == 0L)
+  }
+
   test("all native expressions compile under CODEGEN_ONLY (no silent fallback)") {
     // Spark silently falls back to interpreted eval when generated code
     // fails to compile — which would erase the whole point of doGenCode and
@@ -368,6 +388,9 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
             Seq.fill(8)(0.25), Seq.fill(8)(-0.25))), 2).as("pqd"),
         graft.plans.CosineSim.cosine(spark, $"a", $"b").as("cos"),
         graft.plans.DotProd.dot(spark, $"a", $"b").as("dp"),
+        graft.plans.SortedIntersectCount.count(spark,
+          sort_array(graft.plans.NgramHashes.hashes(spark, $"text", 3)),
+          sort_array(graft.plans.NgramHashes.hashes(spark, $"text", 2))).as("sic"),
         graft.plans.VecScale.scale(spark, $"a", lit(0.75)).as("vs"),
         graft.plans.NearestCentroid.nearest(spark, $"a",
           typedLit(Seq(Seq.fill(16)(0.5), Seq.fill(16)(-0.5)))).as("nc"))
