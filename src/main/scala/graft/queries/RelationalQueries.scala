@@ -677,6 +677,28 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // MAX DRAWDOWN per user (the running-peak-to-trough composite — THE
+    // window pattern finance/monitoring runs that nothing else in the
+    // suite exercises: running sum → running max → gap → global max).
+    // Everything is cents-scaled integer arithmetic inside user-partitioned
+    // windows (bounded by a user's fan-in, never a global ordered window);
+    // the two display divisions run once per user row. (ts, event_id)
+    // makes the running order total, so the fold replays exactly.
+    "q_drawdown" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .withColumn("vc", round(col("value") * lit(100)).cast("long"))
+        .withColumn("cum", sum("vc").over(w))
+        .withColumn("peak", max("cum").over(w))
+        .withColumn("dd", col("peak") - col("cum"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(max("peak") / lit(100.0), 4).as("peak_value"),
+          round(max("dd") / lit(100.0), 4).as("max_drawdown"))
+        .orderBy("user_id")
+    }),
+
     // Z-SCORE anomaly flagging: events whose value sits > 3σ from its
     // type's mean — the monitoring primitive over a metric stream. The
     // per-type moments come from EXACT cents-scaled integer sums (the
@@ -1358,6 +1380,27 @@ object RelationalQueries {
          |       round(CAST(sum(dec4) AS DOUBLE) / (10000.0 * count(*)), 4)
          |         AS decayed_mean
          |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // same cents-scaled running sum/max windows, integer gap, display-only
+    // divisions
+    "q_drawdown" ->
+      s"""$evCte,
+         |v AS (SELECT user_id, event_id, ts_us,
+         |             CAST(round(value * 100) AS BIGINT) AS vc FROM e),
+         |c AS (
+         |  SELECT user_id, ts_us, event_id,
+         |         CAST(sum(vc) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM v),
+         |p AS (
+         |  SELECT user_id, cum,
+         |         CAST(max(cum) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+         |  FROM c)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |       round(CAST(max(peak) AS DOUBLE) / 100.0, 4) AS peak_value,
+         |       round(CAST(max(peak - cum) AS DOUBLE) / 100.0, 4) AS max_drawdown
+         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // exact integer moments (HUGEINT sums cast like q_corr_stats), same
     // once-per-type double formulas, identical per-row z operands

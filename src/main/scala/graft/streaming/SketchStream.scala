@@ -45,4 +45,71 @@ object SketchStream {
           SketchRow(seg, sorted.toIndexedSeq, est)
       }
   }
+
+  /** Streaming ONLINE z-score anomaly detection — the live analog of the
+    * batch `q_zscore_outliers` gate, with the one semantic difference an
+    * online monitor must have: each event is judged against the moments of
+    * everything BEFORE it (a batch pass judges against the global moments,
+    * which an unbounded stream never has). Per-series state is three exact
+    * integers — n, Σ cents, Σ cents² (the last as BigDecimal: a cents
+    * square sum overflows Long at ~10⁹ events) — plus the last processed
+    * (ts_us, event_id) position; the ordering/stale-drop contract matches
+    * [[BehaviorStream.transitions]], so under the capture-feed guarantee
+    * the emission set is micro-batch-split invariant (spec'd). An event is
+    * flagged once ≥ `warmup` prior observations exist and its
+    * |value − μ_prior| exceeds `sigmas`·σ_prior; every event — flagged or
+    * not — then joins the moments (the standard online posture: one
+    * outlier must not poison the baseline by being excluded, nor freeze
+    * it by halting updates). State is O(series), constant per key. */
+  def zscoreOutliers(events: Dataset[MetricEvent],
+      sigmas: Double = 3.0, warmup: Long = 30L): Dataset[Anomaly] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.series)
+      .flatMapGroupsWithState[MomentState, Anomaly](
+        org.apache.spark.sql.streaming.OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (series, it, state) =>
+          var st = state.getOption.getOrElse(
+            MomentState(0L, 0L, java.math.BigDecimal.ZERO, Long.MinValue, Long.MinValue))
+          val out = Vector.newBuilder[Anomaly]
+          it.toVector.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            val inOrder = e.ts_us > st.ts_us ||
+              (e.ts_us == st.ts_us && e.event_id > st.event_id)
+            if (inOrder) {
+              val vc = math.round(e.value * 100)
+              if (st.n >= warmup) {
+                val n = st.n.toDouble
+                val mean = st.sum_c.toDouble / n
+                val variance =
+                  (n * st.sum2_c.doubleValue() - st.sum_c.toDouble * st.sum_c.toDouble) /
+                    (n * (n - 1.0))
+                val sd = math.sqrt(variance)
+                if (sd > 0.0) {
+                  val z = (vc.toDouble - mean) / sd
+                  if (math.abs(z) > sigmas)
+                    out += Anomaly(series, e.event_id, e.ts_us, e.value,
+                      math.floor(z * 10000) / 10000, st.n)
+                }
+              }
+              st = MomentState(st.n + 1, st.sum_c + vc,
+                st.sum2_c.add(java.math.BigDecimal.valueOf(vc).pow(2)),
+                e.ts_us, e.event_id)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }
+
+/** One observation of a monitored metric series. */
+final case class MetricEvent(series: String, event_id: Long, ts_us: Long, value: Double)
+
+/** An emitted anomaly: `z` vs the series' PRIOR moments over `n_seen`
+  * observations (floor-quantized to 4dp). */
+final case class Anomaly(series: String, event_id: Long, ts_us: Long,
+    value: Double, z: Double, n_seen: Long)
+
+/** Per-series online-moment state: exact integer sums + last position. */
+final case class MomentState(n: Long, sum_c: Long, sum2_c: java.math.BigDecimal,
+    ts_us: Long, event_id: Long)

@@ -810,6 +810,47 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     onego.values.foreach { case (mins, _) => assert(mins.length <= k) }
   }
 
+  test("streaming zscore: online anomalies flag after warmup, split-invariant") {
+    import graft.streaming.{Anomaly, MetricEvent}
+    // alternating 9/11 baseline (sd ≈ 1), a PRE-warmup spike that must
+    // pass silently, a post-warmup spike that must flag, and a stale
+    // arrival that must drop
+    val base = (1 to 40).map(i =>
+      MetricEvent("m", i.toLong, i * 1000L, if (i % 2 == 0) 11.0 else 9.0))
+    val preSpike = MetricEvent("m", 100, 5500L, 20.0) // between ids 5 and 6
+    val spike = MetricEvent("m", 200, 50000L, 50.0)
+    val calm = MetricEvent("m", 201, 51000L, 11.0)
+    val stale = MetricEvent("m", 202, 40000L, 999.0) // behind the spike: dropped
+    def run(batches: Seq[Seq[MetricEvent]]): Seq[Anomaly] = {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[MetricEvent]
+      val qn = s"zs${batches.size}_${batches.head.size}"
+      val q = streaming.SketchStream.zscoreOutliers(input.toDS())
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append).start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        spark.table(qn).as[Anomaly].collect().toSeq.sortBy(_.event_id)
+      } finally q.stop()
+    }
+    val clean = base.take(5) ++ Seq(preSpike) ++ base.drop(5) ++
+      Seq(spike, calm)
+    // the stale arrival goes in its OWN later batch: within a batch the
+    // event-time sort would legitimately order it; the drop guard exists
+    // for the cross-batch seam
+    val onego = run(Seq(clean, Seq(stale)))
+    // the pre-warmup 20.0 is invisible (n < 30 when it arrives) but it
+    // DOES join the moments; the post-warmup spike flags, calm doesn't,
+    // stale drops. (With the 20 in the baseline: mean ≈ 1024c,
+    // sd ≈ 185c, so z(5000c) ≈ 21 ≫ 3 and z(1100c) ≈ 0.4.)
+    assert(onego.map(_.event_id) == Seq(200L), s"got $onego")
+    assert(onego.head.n_seen == 41L && onego.head.z > 3.0)
+    // micro-batch split invariance under the ordering contract
+    val split = run(Seq(clean.take(7), clean.slice(7, 30), clean.drop(30),
+      Seq(stale)))
+    assert(split == onego, s"split=$split onego=$onego")
+  }
+
   test("maintainedAgg: IVM equals batch recompute, replays/stale dropped") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Change]
