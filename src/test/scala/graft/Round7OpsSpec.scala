@@ -254,6 +254,19 @@ class Round7OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.reverse.toSeq)
   }
 
+  test("q_drawdown: drawdown non-negative, bounded by peak span, events conserved") {
+    val rows = SparkEntry.queries("q_drawdown")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dd, peak) = (r.getAs[Double]("max_drawdown"), r.getAs[Double]("peak_value"))
+      assert(dd >= 0.0, "a running max can never sit below the running sum")
+      // peak ≥ first prefix sum > 0 for positive-valued events
+      assert(peak > 0.0)
+    }
+    val e = graft.sources.Tables(spark, sf, "events")
+    assert(rows.map(_.getAs[Long]("n_events")).sum == e.count())
+  }
+
   test("text_readability: counts sane, band cuts on the quantized ari") {
     val rows = SparkEntry.queries("text_readability")(spark, sf).collect()
     assert(rows.nonEmpty)
