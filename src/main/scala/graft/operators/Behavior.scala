@@ -17,13 +17,20 @@ object Behavior {
 
   /** Strict-order funnel: a user reaches stage i+1 only via an event of
     * that stage's type STRICTLY AFTER their stage-i timestamp (first
-    * qualifying event wins). Returns one row per stage: `stage` (1-based
-    * "i_name"), `n_users`, and `sum_delta_us` — the exact integer sum of
-    * stage-transition times (null for the first stage).
+    * qualifying event wins). With `maxGapUs` set, the qualifying event
+    * must ALSO land within that window of the previous stage — the
+    * time-bounded ("conversion within N days") form: a user whose
+    * earliest in-order event falls outside the window does not convert,
+    * full stop (no re-anchoring — the strict product-analytics reading).
+    * Returns one row per stage: `stage` (1-based "i_name"), `n_users`,
+    * and `sum_delta_us` — the exact integer sum of stage-transition
+    * times (null for the first stage).
     */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, stages: Seq[String]): DataFrame = {
+      tsCol: String, stages: Seq[String],
+      maxGapUs: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(maxGapUs.forall(_ > 0L), "maxGapUs must be positive when set")
     val e = events.select(col(userCol).as("u"), col(typeCol).as("t"),
       col(tsCol).as("ts"))
     val first = Checkpointing.cut(
@@ -31,11 +38,14 @@ object Behavior {
         .groupBy("u").agg(min("ts").as("cur_ts")))
     // fold the remaining stages: each joins the previous stage's
     // (user, cur_ts) table and keeps the first strictly-later event
+    // (within the window, when bounded)
     val stageTables = stages.tail.foldLeft(Vector(first)) { (acc, st) =>
       acc :+ Checkpointing.cut(
         e.filter(col("t") === st)
           .join(acc.last.select(col("u"), col("cur_ts").as("prev_ts")), "u")
-          .filter(col("ts") > col("prev_ts"))
+          .filter(col("ts") > col("prev_ts") &&
+            maxGapUs.map(g => col("ts") <= col("prev_ts") + lit(g))
+              .getOrElse(lit(true)))
           .groupBy("u")
           .agg(min("ts").as("cur_ts"), max("prev_ts").as("prev_ts")))
     }

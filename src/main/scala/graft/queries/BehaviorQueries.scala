@@ -38,6 +38,16 @@ object BehaviorQueries {
       graft.operators.Behavior.funnel(ev(s, dir), "user_id", "event_type",
         "ts_us", Seq("view", "click", "purchase"))),
 
+    // The TIME-BOUNDED funnel ("convert within 3 days"): identical stage
+    // chaining, but a stage event qualifies only inside the window after
+    // the previous stage — the form product analytics actually reports.
+    // Same linear user-keyed shuffles; the window is one more integer
+    // predicate in the stage join, free at any scale.
+    "q_funnel_windowed" -> ((s, dir) =>
+      graft.operators.Behavior.funnel(ev(s, dir), "user_id", "event_type",
+        "ts_us", Seq("view", "click", "purchase"),
+        maxGapUs = Some(259200000000L))),
+
     // Cohort retention matrix: cohort = epoch-week of the user's first
     // signup, activity = distinct (user, week) pairs at or after the
     // cohort week. Integer `div` week bucketing keeps both engines in
@@ -113,6 +123,29 @@ object BehaviorQueries {
          |p AS (SELECT e.user_id, min(e.ts_us) AS p_ts, max(c.c_ts) AS c_ts
          |      FROM e JOIN c ON e.user_id = c.user_id
          |      WHERE e.event_type = 'purchase' AND e.ts_us > c.c_ts
+         |      GROUP BY e.user_id)
+         |SELECT '1_view' AS stage, count(*) AS n_users,
+         |       CAST(NULL AS BIGINT) AS sum_delta_us FROM v
+         |UNION ALL
+         |SELECT '2_click', count(*), CAST(sum(c_ts - v_ts) AS BIGINT) FROM c
+         |UNION ALL
+         |SELECT '3_purchase', count(*), CAST(sum(p_ts - c_ts) AS BIGINT) FROM p
+         |ORDER BY stage""".stripMargin,
+
+    // same stage CTEs with the 3-day window bound added to each join
+    "q_funnel_windowed" ->
+      s"""$evCte,
+         |v AS (SELECT user_id, min(ts_us) AS v_ts FROM e
+         |      WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, min(e.ts_us) AS c_ts, max(v.v_ts) AS v_ts
+         |      FROM e JOIN v ON e.user_id = v.user_id
+         |      WHERE e.event_type = 'click' AND e.ts_us > v.v_ts
+         |        AND e.ts_us <= v.v_ts + 259200000000
+         |      GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, min(e.ts_us) AS p_ts, max(c.c_ts) AS c_ts
+         |      FROM e JOIN c ON e.user_id = c.user_id
+         |      WHERE e.event_type = 'purchase' AND e.ts_us > c.c_ts
+         |        AND e.ts_us <= c.c_ts + 259200000000
          |      GROUP BY e.user_id)
          |SELECT '1_view' AS stage, count(*) AS n_users,
          |       CAST(NULL AS BIGINT) AS sum_delta_us FROM v

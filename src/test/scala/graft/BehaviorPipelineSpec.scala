@@ -34,6 +34,32 @@ class BehaviorPipelineSpec extends AnyFunSuite with SparkTestBase {
       ("3_purchase", 1L, Some(100L)))) // u1: 300-200
   }
 
+  test("Behavior.funnel maxGapUs: out-of-window events never convert") {
+    val events = Seq(
+      // u1: click 50 after view → inside a 60-gap window
+      (1L, "view", 100L), (1L, "click", 150L),
+      // u2: first click lands outside the window; NO re-anchoring on the
+      // later in-window... there is none — excluded
+      (2L, "view", 100L), (2L, "click", 200L),
+      // u3: an early out-of-window click is ignored, but a later event
+      // CANNOT rescue it either (min is over in-window events only —
+      // here the 150 click converts, the 300 is simply later)
+      (3L, "view", 100L), (3L, "click", 150L), (3L, "click", 300L))
+      .toDF("user_id", "event_type", "ts_us")
+    val got = operators.Behavior
+      .funnel(events, "user_id", "event_type", "ts_us",
+        Seq("view", "click"), maxGapUs = Some(60L))
+      .as[(String, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      ("1_view", 3L, None),
+      ("2_click", 2L, Some(100L)))) // u1: 50, u3: 50; u2 excluded
+    // unbounded form unchanged: u2 converts there
+    val unbounded = operators.Behavior
+      .funnel(events, "user_id", "event_type", "ts_us", Seq("view", "click"))
+      .as[(String, Long, Option[Long])].collect().toSeq
+    assert(unbounded == Seq(("1_view", 3L, None), ("2_click", 3L, Some(200L))))
+  }
+
   test("Behavior.retention on crafted cohorts: offsets from first signup bucket") {
     val events = Seq(
       (1L, "signup", 0L), (1L, "view", 150L), (1L, "view", 250L),
