@@ -73,7 +73,7 @@ object TokenizerFit {
         val (a, b, cnt) = (best.head.getString(0), best.head.getString(1),
           best.head.getLong(2))
         learned += Merge(a, b, cnt)
-        def q(s: String) = s.replace("'", "''")
+        def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
         val (qa, qb, qab) = (q(a), q(b), q(a + b))
         // left-fold rewrite: fuse every left-to-right non-overlapping
         // (a, b) adjacency into the merged symbol
@@ -96,7 +96,7 @@ object TokenizerFit {
     val init = terms.withColumn("syms",
       expr("transform(sequence(1, length(term)), i -> substring(term, i, 1))"))
     merges.foldLeft(init) { (df, m) =>
-      def q(s: String) = s.replace("'", "''")
+      def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
       val (qa, qb, qab) = (q(m.left), q(m.right), q(m.left + m.right))
       df.withColumn("syms", expr(
         s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
