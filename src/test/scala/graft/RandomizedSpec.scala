@@ -274,4 +274,72 @@ class RandomizedSpec extends AnyFunSuite with SparkTestBase {
       .select("id", "cum").as[(Long, Long)].collect().toMap
     assert(got == expected)
   }
+
+  test("last-touch attribution matches the brute-force reference on random journeys") {
+    val types = Seq("view", "click", "signup", "purchase", "error")
+    val evs = (0 until 600).map { i =>
+      (rnd.nextInt(25).toLong, i.toLong, types(rnd.nextInt(types.size)),
+        rnd.nextInt(300).toLong, rnd.nextInt(5000) / 100.0)
+    }
+    val touches = Set("view", "click", "signup")
+    val expected = evs.groupBy(_._1).flatMap { case (_, rs) =>
+      val ordered = rs.sortBy(r => (r._4, r._2))
+      var touch: Option[String] = None
+      ordered.flatMap { r =>
+        val out = if (r._3 == "purchase")
+          Some(r._2 -> touch.getOrElse("direct")) else None
+        if (touches(r._3)) touch = Some(r._3)
+        out
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val got = evs.toDF("user_id", "event_id", "event_type", "ts_us", "value")
+      .withColumn("touch", last(
+        when(col("event_type").isin(touches.toSeq: _*), col("event_type")),
+        ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), coalesce(col("touch"), lit("direct")).as("ch"))
+      .as[(Long, String)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("gap-fill carry law matches the brute-force reference on random series") {
+    val evs = (0 until 400).map { i =>
+      (rnd.nextInt(15).toLong, i.toLong, rnd.nextInt(40).toLong,
+        (rnd.nextInt(900) + 1) / 10.0)
+    }
+    // reference: per user, last event per day by (day, id); forward fill
+    val expected = evs.groupBy(_._1).flatMap { case (u, rs) =>
+      val daily = rs.groupBy(_._3).view
+        .mapValues(_.maxBy(_._2)._4).toMap
+      val (d0, d1) = (rs.map(_._3).min, rs.map(_._3).max)
+      var lastV = Option.empty[Double]
+      (d0 to d1).map { d =>
+        if (daily.contains(d)) lastV = Some(daily(d))
+        (u, d) -> (lastV.get, !daily.contains(d))
+      }
+    }
+    // Spark: the q_gap_fill shape over the same crafted frame (ts == day
+    // here, so the close pick is by (ts, event_id) = (day, id))
+    val e = evs.toDF("user_id", "event_id", "day", "value")
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "day").orderBy(col("event_id").desc)
+    val daily = e.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1).select("user_id", "day", "value")
+    val spine = e.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wFill = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val got = spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled", col("value").isNull)
+      .withColumn("vf", last("value", ignoreNulls = true).over(wFill))
+      .select("user_id", "day", "vf", "filled")
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got == expected)
+  }
 }
