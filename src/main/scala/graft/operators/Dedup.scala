@@ -49,15 +49,32 @@ object Dedup {
   def jaccardPairsFromRanked(ordered: DataFrame, tNum: Int = 4, tDen: Int = 5): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
     val prefix = prefixGrams(ordered, tNum, tDen)
+    // the pair-distinct doubles as the PPJoin+ SUFFIX filter: instead of
+    // a bare distinct, the groupBy counts the shared prefix grams (cp)
+    // and keeps the LAST common position pair (i_max, j_max — the rarity
+    // rank is one consistent global order, so the argmax row coincides on
+    // both sides). Any further common gram must rank after BOTH, so
+    // o ≤ cp + min(n_a−1−i_max, n_b−1−j_max) — strictly tighter than the
+    // per-row bound (which any single matching row can pass) and exactly
+    // as lossless; pairs whose only shared grams sit late in the prefix
+    // never reach the array-carrying verify join at all.
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * tNum <= col("b.n") * tDen &&
           col("b.n") * tNum <= col("a.n") * tDen &&
-          // positional filter: required overlap o satisfies
+          // per-row positional filter: required overlap o satisfies
           // o·(tNum+tDen) ≥ (n_a+n_b)·tNum (from o·tDen ≥ (n_a+n_b−o)·tNum)
           overlapUpperBound * (tNum + tDen) >= (col("a.n") + col("b.n")) * tNum)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("cp"), max("pa").as("ia"), max("pb").as("jb"),
+        max("na").as("na"), max("nb").as("nb"))
+      .filter((col("cp") +
+          least(col("na") - 1 - col("ia"), col("nb") - 1 - col("jb"))) *
+          (tNum + tDen) >= (col("na") + col("nb")) * tNum)
+      .select("doc_a", "doc_b")
     verifyPairs(cand, ordered, tNum, tDen)
   }
 
@@ -198,8 +215,18 @@ object Dedup {
           // positional filter against the containment requirement
           // o·tDen ≥ n_a·tNum — same consistent-order bound as jaccard
           overlapUpperBound * tDen >= col("a.n") * tNum)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      // the same PPJoin+ per-pair suffix filter as jaccardPairsFromRanked,
+      // against the containment requirement o·tDen ≥ n_a·tNum
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("cp"), max("pa").as("ia"), max("pb").as("jb"),
+        max("na").as("na"), max("nb").as("nb"))
+      .filter((col("cp") +
+          least(col("na") - 1 - col("ia"), col("nb") - 1 - col("jb"))) * tDen
+          >= col("na") * tNum)
+      .select("doc_a", "doc_b")
     // verify on the exact integral ratio (|∩|·tDen ≥ |A|·tNum); rounding
     // is display-only — same FP-boundary discipline and same codegen'd
     // merge-walk kernel as jaccardPairs' verify
