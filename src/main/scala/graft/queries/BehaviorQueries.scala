@@ -76,6 +76,37 @@ object BehaviorQueries {
         .orderBy("from_type", "to_type")
     }),
 
+    // COHORT LTV curve (retention × revenue — the metric a subscription /
+    // marketplace team actually steers by): per (signup-cohort week,
+    // week offset), purchase revenue and the CUMULATIVE lifetime value
+    // per cohort user. Revenue folds as 1e4-scaled longs (order-free);
+    // the cumulative window runs over the O(cohorts × weeks) AGGREGATED
+    // table (never the log); cohort sizes broadcast. Epoch-week integer
+    // `div` buckets — no calendar dialect.
+    "q_cohort_ltv" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val cohorts = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(expr(s"min(ts_us) div $weekUs").as("cohort_wk"))
+      val sizes = cohorts.groupBy("cohort_wk").agg(count(lit(1)).as("cohort_users"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .withColumn("rev4", round(col("value") * lit(10000)).cast("long"))
+        .withColumn("wk", expr(s"ts_us div $weekUs"))
+        .join(cohorts, "user_id")
+        .filter(col("wk") >= col("cohort_wk"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_buyers"), sum("rev4").as("rev4"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy("cohort_wk").orderBy("week_offset")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      buys.join(broadcast(sizes), "cohort_wk")
+        .withColumn("cum4", sum("rev4").over(wCum))
+        .select(col("cohort_wk"), col("week_offset"), col("n_buyers"),
+          round(col("rev4") / lit(10000.0), 4).as("revenue"),
+          round(col("cum4") / (lit(10000.0) * col("cohort_users")), 4)
+            .as("cum_ltv_per_user"))
+        .orderBy("cohort_wk", "week_offset")
+    }),
+
     // LAST-TOUCH ATTRIBUTION: each purchase is credited to the user's most
     // recent PRIOR touch event (view/click/signup, strictly earlier in
     // (ts, event_id) order), or 'direct' when none precedes it — the
@@ -178,6 +209,34 @@ object BehaviorQueries {
          |SELECT from_type, to_type, CAST(n_trans AS BIGINT) AS n_trans,
          |       round(CAST(n_trans AS DOUBLE) / sum(n_trans) OVER (PARTITION BY from_type), 4) AS p_trans
          |FROM m ORDER BY from_type, to_type""".stripMargin,
+
+    // same epoch-week buckets, 1e4-scaled longs, cumulative window over
+    // the aggregated cohort table
+    "q_cohort_ltv" ->
+      s"""$evCte,
+         |co AS (SELECT user_id, min(ts_us) // $weekUs AS cohort_wk FROM e
+         |       WHERE event_type = 'signup' GROUP BY user_id),
+         |sz AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_users
+         |       FROM co GROUP BY 1),
+         |b AS (SELECT co.cohort_wk,
+         |             (e.ts_us // $weekUs) - co.cohort_wk AS week_offset,
+         |             e.user_id, CAST(round(e.value * 10000) AS BIGINT) AS rev4
+         |      FROM e JOIN co USING (user_id)
+         |      WHERE e.event_type = 'purchase'
+         |        AND e.ts_us // $weekUs >= co.cohort_wk),
+         |g AS (SELECT cohort_wk, week_offset,
+         |             CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers,
+         |             CAST(sum(rev4) AS BIGINT) AS rev4
+         |      FROM b GROUP BY 1, 2),
+         |c AS (SELECT *, CAST(sum(rev4) OVER (PARTITION BY cohort_wk
+         |               ORDER BY week_offset ROWS UNBOUNDED PRECEDING)
+         |             AS BIGINT) AS cum4 FROM g)
+         |SELECT cohort_wk, week_offset, n_buyers,
+         |       round(CAST(rev4 AS DOUBLE) / 10000.0, 4) AS revenue,
+         |       round(CAST(cum4 AS DOUBLE) / (10000.0 * cohort_users), 4)
+         |         AS cum_ltv_per_user
+         |FROM c JOIN sz USING (cohort_wk)
+         |ORDER BY cohort_wk, week_offset""".stripMargin,
 
     // same prior-frame IGNORE NULLS touch window, 1e4-scaled revenue longs
     "q_attribution" ->

@@ -267,6 +267,19 @@ class Round7OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_events")).sum == e.count())
   }
 
+  test("q_cohort_ltv: cumulative LTV is non-decreasing within each cohort") {
+    val rows = SparkEntry.queries("q_cohort_ltv")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("revenue"), r.getAs[Double]("cum_ltv_per_user")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (ck, rs) =>
+      val ordered = rs.sortBy(_._2)
+      val ltvs = ordered.map(_._4).toSeq
+      assert(ltvs == ltvs.sorted, s"cohort $ck LTV curve decreased: $ltvs")
+      ordered.foreach { case (_, _, rev, _) => assert(rev > 0.0) }
+    }
+  }
+
   test("text_readability: counts sane, band cuts on the quantized ari") {
     val rows = SparkEntry.queries("text_readability")(spark, sf).collect()
     assert(rows.nonEmpty)
