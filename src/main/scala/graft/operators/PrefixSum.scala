@@ -78,7 +78,9 @@ object PrefixSum {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged.join(broadcast(offsets), Seq(grpCol, "__pid"))
       .withColumn(outCol, sum(col(valueCol)).over(local) + col("__off"))
-      .drop("__pid")
+      // drop BOTH temps: a leaked __off made chained cumSum calls (the
+      // cusum changepoint's prefix+index pair) ambiguous
+      .drop("__pid", "__off")
   }
 
   /** Per-group consecutive-neighbor delta of a numeric `orderCol` — the

@@ -699,6 +699,46 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // CUSUM CHANGEPOINT detection per metric series: the (ts, event) where
+    // the cumulative deviation from the series mean peaks — the classic
+    // "when did the level shift" statistic. Exactness trick: the textbook
+    // cusum_i = Σ(x_j − μ) is fractional (μ = S/n); multiplying through by
+    // n gives n·prefix_i − i·S — pure INTEGERS (decimal(38,0) products, no
+    // float drift, replayable in any engine). Scale shape: both running
+    // quantities (prefix sum, row index) ride the two-level distributed
+    // PrefixSum — a per-type window over raw rows would be the r3
+    // single-reducer stratum sort — and the argmax is a map-side-combined
+    // max_by aggregate, O(types) rows out.
+    "q_cusum_changepoint" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("vc", round(col("value") * lit(100)).cast("long"))
+        .withColumn("one", lit(1L))
+      val order = Seq(col("ts_us"), col("event_id"))
+      val withCum = graft.operators.PrefixSum.cumSum(
+        graft.operators.PrefixSum.cumSum(e, "event_type", order, "vc", "cum"),
+        "event_type", order, "one", "idx")
+      val stats = e.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("vc").as("s"))
+      val scored = withCum.join(broadcast(stats), "event_type")
+        // cast BEFORE the products (the oracle's HUGEINT semantics): a
+        // long×long n·prefix overflows — and ANSI-throws — at corpus scale
+        .withColumn("cusum",
+          col("n").cast("decimal(38,0)") * col("cum") -
+            col("idx").cast("decimal(38,0)") * col("s"))
+        .withColumn("mag", abs(col("cusum")))
+      scored.groupBy("event_type")
+        .agg(max_by(
+          struct(col("ts_us"), col("event_id"), col("cusum"), col("n")),
+          struct(col("mag"), (-col("ts_us")).as("a"), (-col("event_id")).as("b")))
+          .as("cp"))
+        .select(col("event_type"),
+          col("cp.ts_us").as("change_ts_us"),
+          col("cp.event_id").as("change_event_id"),
+          round(col("cp.cusum").cast("double") /
+            (col("cp.n").cast("double") * lit(100.0)), 4).as("mean_shift_mass"))
+        .orderBy("event_type")
+    }),
+
     // Z-SCORE anomaly flagging: events whose value sits > 3σ from its
     // type's mean — the monitoring primitive over a metric stream. The
     // per-type moments come from EXACT cents-scaled integer sums (the
@@ -1401,6 +1441,33 @@ object RelationalQueries {
          |       round(CAST(max(peak) AS DOUBLE) / 100.0, 4) AS peak_value,
          |       round(CAST(max(peak - cum) AS DOUBLE) / 100.0, 4) AS max_drawdown
          |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // same n·prefix − i·S integer cusum (HUGEINT), same (|cusum|,
+    // earliest) argmax, one display division
+    "q_cusum_changepoint" ->
+      s"""$evCte,
+         |v AS (SELECT event_type, event_id, ts_us,
+         |             CAST(round(value * 100) AS BIGINT) AS vc FROM e),
+         |c AS (
+         |  SELECT *, CAST(sum(vc) OVER w AS BIGINT) AS cum,
+         |         CAST(row_number() OVER w AS BIGINT) AS idx
+         |  FROM v WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+         |                      ROWS UNBOUNDED PRECEDING)),
+         |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(vc) AS BIGINT) AS s FROM v GROUP BY 1),
+         |sc AS (
+         |  SELECT c.event_type, c.ts_us, c.event_id, st.n,
+         |         CAST(st.n AS HUGEINT) * c.cum - CAST(c.idx AS HUGEINT) * st.s
+         |           AS cusum
+         |  FROM c JOIN st USING (event_type)),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type
+         |            ORDER BY abs(cusum) DESC, ts_us, event_id) AS rn
+         |  FROM sc)
+         |SELECT event_type, ts_us AS change_ts_us, event_id AS change_event_id,
+         |       round(CAST(cusum AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 4)
+         |         AS mean_shift_mass
+         |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     // exact integer moments (HUGEINT sums cast like q_corr_stats), same
     // once-per-type double formulas, identical per-row z operands

@@ -280,6 +280,29 @@ class Round7OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("cusum changepoint: planted level shift is found at its boundary") {
+    // series: 20 flat lows then 20 flat highs → |n·prefix − i·S| peaks
+    // exactly at the last low (the textbook cusum V-shape vertex)
+    import spark.implicits._
+    val evs = (1 to 40).map(i =>
+      (i.toLong, i.toLong * 1000L, "m", if (i <= 20) 10.0 else 30.0))
+      .toDF("event_id", "ts_us", "event_type", "value")
+    val e = evs.withColumn("vc", round(col("value") * lit(100)).cast("long"))
+      .withColumn("one", lit(1L))
+    val order = Seq(col("ts_us"), col("event_id"))
+    val withCum = graft.operators.PrefixSum.cumSum(
+      graft.operators.PrefixSum.cumSum(e, "event_type", order, "vc", "cum"),
+      "event_type", order, "one", "idx")
+    val stats = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("vc").as("s"))
+    val top = withCum.join(stats, "event_type")
+      .withColumn("cusum", col("n").cast("decimal(38,0)") * col("cum") -
+        col("idx").cast("decimal(38,0)") * col("s"))
+      .orderBy(abs(col("cusum")).desc, col("ts_us")).limit(1)
+      .select("event_id").head().getLong(0)
+    assert(top == 20L, s"changepoint landed at $top, expected the shift edge")
+  }
+
   test("text_readability: counts sane, band cuts on the quantized ari") {
     val rows = SparkEntry.queries("text_readability")(spark, sf).collect()
     assert(rows.nonEmpty)
