@@ -179,6 +179,40 @@ object PipelineQueries {
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
         .orderBy("source")),
 
+    // QUALITY-DRIFT report between two ingest batches (doc_id parity as
+    // the deterministic batch proxy): per fixed-width quality decile, the
+    // two batches' counts and shares, plus the total-variation distance —
+    // the "did this ingest change the corpus" monitor a pipeline runs on
+    // every refresh. Exactness: TVD's per-bucket term |a/n_a − b/n_b|
+    // cross-multiplies to the INTEGER |a·n_b − b·n_a| (decimal products),
+    // summed order-free, ONE division at the end — no per-bucket float
+    // fold whose order could differ. Map-only scan + one 10-row groupBy;
+    // batch totals ride a broadcast 1-row agg.
+    "pipeline_quality_drift" -> ((s, dir) => {
+      val q = graft.functions.Text.qualityScore(col("text"))
+      val b = docs(s, dir).select(
+        least(floor(q * 10).cast("long"), lit(9L)).as("decile"),
+        (col("doc_id") % 2 === 0).as("first_batch"))
+        .groupBy("decile")
+        .agg(sum(when(col("first_batch"), 1L).otherwise(0L)).as("n_first"),
+          sum(when(!col("first_batch"), 1L).otherwise(0L)).as("n_second"))
+      val tot = b.agg(sum("n_first").as("na"), sum("n_second").as("nb"))
+      val terms = b.crossJoin(broadcast(tot))
+        .withColumn("num",
+          abs(col("n_first").cast("decimal(38,0)") * col("nb") -
+            col("n_second").cast("decimal(38,0)") * col("na")))
+      val tvd = terms.groupBy("na", "nb").agg(sum("num").as("sn"))
+        .select(round(col("sn").cast("double") /
+          (lit(2.0) * col("na").cast("double") * col("nb").cast("double")), 4)
+          .as("tvd"))
+      terms.crossJoin(broadcast(tvd))
+        .select(col("decile"), col("n_first"), col("n_second"),
+          round(col("n_first").cast("double") / col("na"), 4).as("share_first"),
+          round(col("n_second").cast("double") / col("nb"), 4).as("share_second"),
+          col("tvd"))
+        .orderBy("decile")
+    }),
+
     // Filter-funnel attrition report — the observability pass every
     // production cleaning pipeline runs next to the pipeline itself: how
     // many docs survive each gate IN ORDER (a doc reaches gate i only if
@@ -430,6 +464,37 @@ object PipelineQueries {
         |SELECT source, count(*) AS n_total,
         |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    // same fixed-width deciles, integer cross-multiplied TVD numerator,
+    // one final division
+    "pipeline_quality_drift" ->
+      s"""WITH d AS (
+         |  SELECT least(CAST(floor((${TextQueries.qualityScoreSql}) * 10)
+         |           AS BIGINT), 9) AS decile,
+         |         doc_id % 2 = 0 AS first_batch
+         |  FROM documents),
+         |b AS (
+         |  SELECT decile,
+         |         CAST(sum(CASE WHEN first_batch THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_first,
+         |         CAST(sum(CASE WHEN first_batch THEN 0 ELSE 1 END) AS BIGINT)
+         |           AS n_second
+         |  FROM d GROUP BY decile),
+         |t AS (SELECT CAST(sum(n_first) AS BIGINT) AS na,
+         |             CAST(sum(n_second) AS BIGINT) AS nb FROM b),
+         |terms AS (
+         |  SELECT b.*, t.na, t.nb,
+         |         abs(CAST(n_first AS HUGEINT) * t.nb -
+         |             CAST(n_second AS HUGEINT) * t.na) AS num
+         |  FROM b, t),
+         |tv AS (SELECT round(CAST(sum(num) AS DOUBLE) /
+         |              (2.0 * CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)),
+         |              4) AS tvd FROM terms)
+         |SELECT decile, n_first, n_second,
+         |       round(CAST(n_first AS DOUBLE) / na, 4) AS share_first,
+         |       round(CAST(n_second AS DOUBLE) / nb, 4) AS share_second,
+         |       tv.tvd
+         |FROM terms, tv ORDER BY decile""".stripMargin,
 
     // same TRY_CAST guard as source_mix; u//2 is DuckDB integral division
     // (exact, like Spark's DIV); the coin replays the md5-prefix compare
