@@ -44,7 +44,17 @@ object PrefixSum {
     * split across a range-partition boundary would otherwise make the
     * local/offset decomposition ambiguous. */
   def cumSum(df: DataFrame, grpCol: String, orderCols: Seq[Column],
-      valueCol: String, outCol: String): DataFrame = {
+      valueCol: String, outCol: String): DataFrame =
+    cumSums(df, grpCol, orderCols, Seq(valueCol -> outCol))
+
+  /** [[cumSum]] for SEVERAL value columns in ONE pass: one range
+    * repartition, one partials exchange, one local window — where chained
+    * single-column calls pay the range shuffle per column (the cusum
+    * changepoint needs (prefix, index) together; two passes measured 2×
+    * the one-pass cost). */
+  def cumSums(df: DataFrame, grpCol: String, orderCols: Seq[Column],
+      valueOuts: Seq[(String, String)]): DataFrame = {
+    require(valueOuts.nonEmpty)
     val spark = df.sparkSession
     val nParts = spark.sessionState.conf.numShufflePartitions
     // LAZY persist (via CacheLease, which bounds how many such internal
@@ -60,27 +70,29 @@ object PrefixSum {
       .repartitionByRange(nParts, (col(grpCol) +: orderCols): _*)
       .withColumn("__pid", spark_partition_id()))
 
+    def psum(v: String) = s"__psum_$v"
+    def off(v: String) = s"__off_$v"
     // per-(group, partition) partials: map-side combine reduces each task to
     // one row per group it touches before the exchange — partials, not rows
     val partials = ranged.groupBy(col(grpCol), col("__pid"))
-      .agg(sum(col(valueCol)).as("__psum"))
-    val offsets = partials
-      .withColumn("__off", coalesce(
-        sum("__psum").over(Window.partitionBy(grpCol).orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col(grpCol), col("__pid"), col("__off"))
+      .agg(sum(col(valueOuts.head._1)).as(psum(valueOuts.head._1)),
+        valueOuts.tail.map { case (v, _) => sum(col(v)).as(psum(v)) }: _*)
+    val wOff = Window.partitionBy(grpCol).orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = valueOuts.foldLeft(partials) { case (d, (v, _)) =>
+      d.withColumn(off(v), coalesce(sum(psum(v)).over(wOff), lit(0L)))
+    }.select(col(grpCol) +: col("__pid") +:
+      valueOuts.map { case (v, _) => col(off(v)) }: _*)
 
     // local running sum: each (grp, pid) window group is one range slice —
     // bounded by the partition size, never the group size
     val local = Window.partitionBy(col(grpCol), col("__pid"))
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(broadcast(offsets), Seq(grpCol, "__pid"))
-      .withColumn(outCol, sum(col(valueCol)).over(local) + col("__off"))
-      // drop BOTH temps: a leaked __off made chained cumSum calls (the
-      // cusum changepoint's prefix+index pair) ambiguous
-      .drop("__pid", "__off")
+    valueOuts.foldLeft(ranged.join(broadcast(offsets), Seq(grpCol, "__pid"))) {
+      case (d, (v, out)) =>
+        d.withColumn(out, sum(col(v)).over(local) + col(off(v)))
+    }.drop("__pid" +: valueOuts.map { case (v, _) => off(v) }: _*)
   }
 
   /** Per-group consecutive-neighbor delta of a numeric `orderCol` — the

@@ -714,9 +714,8 @@ object RelationalQueries {
         .withColumn("vc", round(col("value") * lit(100)).cast("long"))
         .withColumn("one", lit(1L))
       val order = Seq(col("ts_us"), col("event_id"))
-      val withCum = graft.operators.PrefixSum.cumSum(
-        graft.operators.PrefixSum.cumSum(e, "event_type", order, "vc", "cum"),
-        "event_type", order, "one", "idx")
+      val withCum = graft.operators.PrefixSum.cumSums(e, "event_type", order,
+        Seq("vc" -> "cum", "one" -> "idx"))
       val stats = e.groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("vc").as("s"))
       val scored = withCum.join(broadcast(stats), "event_type")
