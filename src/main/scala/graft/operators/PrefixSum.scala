@@ -55,6 +55,15 @@ object PrefixSum {
   def cumSums(df: DataFrame, grpCol: String, orderCols: Seq[Column],
       valueOuts: Seq[(String, String)]): DataFrame = {
     require(valueOuts.nonEmpty)
+    // internal temp aliases (__psum_<col>/__off_<col>) key off the INPUT
+    // column name — a repeated input (or output) column would collide into
+    // duplicate aggregate aliases and fail analysis with a confusing
+    // AMBIGUOUS_REFERENCE; fail loudly here instead
+    require(valueOuts.map(_._1).distinct.size == valueOuts.size,
+      s"cumSums: duplicate input value columns in ${valueOuts.map(_._1)} — " +
+        "alias the column once and reuse the output instead")
+    require(valueOuts.map(_._2).distinct.size == valueOuts.size,
+      s"cumSums: duplicate output column names in ${valueOuts.map(_._2)}")
     val spark = df.sparkSession
     val nParts = spark.sessionState.conf.numShufflePartitions
     // LAZY persist (via CacheLease, which bounds how many such internal

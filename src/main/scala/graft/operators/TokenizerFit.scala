@@ -93,8 +93,12 @@ object TokenizerFit {
   /** Tokenize `terms` (one column `term`) with a learned merge list by
     * replaying the merges in order — the encoder side of the trainer. */
   def encode(terms: DataFrame, merges: Seq[Merge]): DataFrame = {
+    // guard term = '': sequence(1, 0) DESCENDS to [1, 0] (the fit()
+    // gotcha), which would explode '' into ["", ""] instead of []
     val init = terms.withColumn("syms",
-      expr("transform(sequence(1, length(term)), i -> substring(term, i, 1))"))
+      expr("""CASE WHEN length(term) >= 1
+             |  THEN transform(sequence(1, length(term)), i -> substring(term, i, 1))
+             |  ELSE cast(array() as array<string>) END""".stripMargin))
     merges.foldLeft(init) { (df, m) =>
       def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
       val (qa, qb, qab) = (q(m.left), q(m.right), q(m.left + m.right))

@@ -652,7 +652,11 @@ object RelationalQueries {
       val daily = e
         .withColumn("rn", row_number().over(wPick))
         .filter(col("rn") === 1)
-        .select(col("user_id"), col("day"), round(col("value"), 4).as("close_value"))
+        // floor-quantize, never round(·,4): a close value landing exactly
+        // on a .00005 boundary rounds differently across engines (the
+        // emb_pca/text_readability half-boundary rule)
+        .select(col("user_id"), col("day"),
+          (floor(col("value") * lit(10000)) / lit(10000)).as("close_value"))
       val spine = e.groupBy("user_id")
         .agg(min("day").as("d0"), max("day").as("d1"))
         .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
@@ -767,7 +771,10 @@ object RelationalQueries {
       val nD = col("n").cast("double")
       val stats = e.groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("vc").as("sx"),
-          sum((col("vc") * col("vc")).cast("decimal(38,0)")).as("sx2"))
+          // widen BEFORE the square (the q_cusum_changepoint discipline):
+          // a long×long square of |vc| ≳ 3×10⁷ would overflow under ANSI
+          // where the oracle's HUGEINT-first product succeeds
+          sum(col("vc").cast("decimal(38,0)") * col("vc")).as("sx2"))
         .select(col("event_type"),
           (col("sx").cast("double") / col("n")).as("mean_c"),
           sqrt((nD * col("sx2").cast("double") -
@@ -1395,12 +1402,13 @@ object RelationalQueries {
          |FROM c GROUP BY 1 ORDER BY day""".stripMargin,
 
     // same deterministic close-row pick, generate_series spine, and
-    // IGNORE NULLS carry-forward window
+    // IGNORE NULLS carry-forward window; close value floor-quantized on
+    // both sides (half-boundary rule)
     "q_gap_fill" ->
       s"""$evCte,
          |d AS (SELECT *, ts_us // 86400000000 AS day FROM e),
          |daily AS (
-         |  SELECT user_id, day, round(value, 4) AS close_value
+         |  SELECT user_id, day, floor(value * 10000) / 10000 AS close_value
          |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, day
          |               ORDER BY ts_us DESC, event_id DESC) AS rn FROM d)
          |  WHERE rn = 1),

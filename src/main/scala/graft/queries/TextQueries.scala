@@ -225,23 +225,27 @@ object TextQueries {
     // integers computed with single correctly-rounded IEEE ops (* then /),
     // which both engines reproduce bit-for-bit (libm log would not be).
     // Scale shape: tf is one (doc,term) groupBy absorbing the explode
-    // map-side; df reduces tf (already one row per doc-term); the
-    // term→df join shuffles on the term key (vocab too big to broadcast
-    // at corpus scale); the corpus doc count rides a broadcast 1-row agg.
+    // map-side; df is a map-side-combined groupBy(term) over tf (the
+    // partials exchange is O(vocab)) JOINED back onto tf — NOT a
+    // count-over-window: a window partitioned by term must land a term's
+    // entire posting list on ONE task (no combine, no split), so a
+    // stopword-frequency term at web scale funnels billions of rows
+    // through one reducer; the join-back costs the same term-keyed
+    // exchange of tf but is AQE-skew-SPLITTABLE (the one-row-per-term df
+    // build side duplicates across the split probe partitions). Vocab is
+    // too big to broadcast at corpus scale, so df stays a shuffled
+    // one-row-per-term build (SHUFFLE_HASH: no sort of the tf stream);
+    // the corpus doc count rides a broadcast 1-row agg.
     "text_tfidf" -> ((s, dir) => {
       val tok = docs(s, dir).select(col("doc_id"),
         explode(Text.wsTokens(lower(col("text")))).as("term"))
         .filter(col("term") =!= "")
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      // df as a count-over-window ON the tf table (one row per doc-term,
-      // so the count IS the document frequency): one term-keyed exchange
-      // total, where a separate groupBy(term) + join back would shuffle
-      // the tf table on the term key twice
-      val wDf = org.apache.spark.sql.expressions.Window.partitionBy("term")
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df")).hint("SHUFFLE_HASH")
       val nd = docs(s, dir).agg(count(lit(1)).as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("term"))
-      tf.withColumn("df", count(lit(1)).over(wDf))
+      tf.join(df, "term")
         .crossJoin(broadcast(nd))
         .withColumn("score",
           col("tf") * (col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))

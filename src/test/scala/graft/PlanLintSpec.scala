@@ -36,9 +36,13 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
     "doc_id", "doc_a", "doc_b", "pk", "canonical", "cluster", "user_id",
     "vec_id", "q_id", "query_id", "media_id", "o_orderkey", "l_orderkey",
     "o_custkey", "c_custkey", "s_suppkey", "p_partkey", "l_suppkey",
-    "l_partkey", "relation_id", "term", "token", "gram", "span_h", "bucket",
+    "l_partkey", "relation_id", "token", "gram", "span_h", "bucket",
     "band", "month", "window", "session_id", "shard", "__b", "__pid",
     "centroid", "cell", "text")
+  // NOTE r8: "term" was REMOVED from the per-key family — a term's fan-in
+  // is NOT bounded by a key's multiplicity; it grows with the corpus (a
+  // stopword appears in ~every document), so a term-partitioned window is
+  // the single-reducer class in disguise (the r7 text_tfidf df-window).
 
   /** Queries whose loop join's bounded side is a query SAMPLE (a literal-
     * bounded Filter, not an aggregate — invisible to the structural rule). */
@@ -106,6 +110,26 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
             s"unbounded child — the single-reducer sort class:\n$w")
       }
     }
+  }
+
+  test("text_tfidf: df is a combined aggregate + join, never a per-term window") {
+    // the VERDICT-r7 skew exposure: count() over (partition by term) lands
+    // a stopword's full posting list on one task with no combine and no
+    // AQE split. The fix — groupBy(term) partials joined back — must stay:
+    // no Window at all in this plan except the per-doc top-3 rank.
+    val plan = SparkEntry.queries("text_tfidf")(spark, sf)
+      .queryExecution.optimizedPlan
+    val termWindows = plan.collect {
+      case w: LWindow if w.partitionSpec.flatMap(_.references.map(_.name))
+        .exists(_ == "term") => w
+    }
+    assert(termWindows.isEmpty,
+      s"text_tfidf must not partition a window by term (posting-list skew):\n${termWindows.headOption}")
+    // and the df aggregate is present (a groupBy(term) under a join)
+    val termAggs = plan.collect {
+      case a: Aggregate if a.groupingExpressions.flatMap(_.references.map(_.name)) == Seq("term") => a
+    }
+    assert(termAggs.nonEmpty, "text_tfidf df must be a groupBy(term) aggregate")
   }
 
   test("lsh audit posture: the DEFAULT operator path is the stratum-filtered join") {

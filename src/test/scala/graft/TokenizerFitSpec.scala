@@ -54,6 +54,12 @@ class TokenizerFitSpec extends AnyFunSuite with SparkTestBase {
     assert(enc("hugs") == Seq("hug", "s"))
     // unseen word: merges apply where adjacencies match ((u,n) in "spun")
     assert(enc("spun") == Seq("s", "p", "un"))
+
+    // empty term: sequence(1, 0) DESCENDS in Spark — the guard must yield
+    // an empty symbol array, not ["", ""] (ADVICE r7)
+    val empty = TokenizerFit.encode(Seq("").toDF("term"), merges)
+      .select("syms").as[Seq[String]].head()
+    assert(empty == Seq.empty, s"empty term must encode to [], got $empty")
   }
 
   test("vocab collapse: pair stats equal text_bpe_pairs' corpus counts") {
