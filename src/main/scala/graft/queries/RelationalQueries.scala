@@ -363,36 +363,143 @@ object RelationalQueries {
           round(sum("o_totalprice"), 4).as("revenue"))
         .orderBy("month")),
 
-    // Sketch aggregation: HLL++ approximate distinct next to the exact
-    // count — the 100 TB cardinality path (no oracle: sketch values are
-    // engine-specific; the spec asserts the error envelope instead).
-    "q_approx_distinct" -> ((s, dir) =>
-      t(s, dir, "lineitem")
+    // HyperLogLog approximate distinct next to the exact count — the
+    // 100 TB cardinality path, GRADUATED to the hash gate (r8): a
+    // REPLAYABLE HLL (Flajolet et al. 2007) built from md5-48-bit hashes
+    // so every register — and therefore the estimate — is a pure function
+    // of the data that DuckDB re-derives exactly. Layout: p=9 (m=512
+    // registers, rsd 4.6%), bucket = top 9 hash bits, rho = leading-zero
+    // count of the remaining 39 bits + 1 via length(bin(w)) (identical in
+    // both engines). Scale shape: the register table is a map-side-
+    // combined max over (group, bucket) — the exchange carries
+    // O(groups × 512) rows, dedupe-free (max absorbs duplicates), exactly
+    // the bounded-state mergeable-summary contract.
+    // Replay discipline: Σ 2^-Mj folds as the EXACT integer Σ 2^(50-Mj)
+    // (every term a long shift — order-free), the raw estimate
+    // αm²·2^50/S is then pure fixed-order IEEE arithmetic on identical
+    // operands (no transcendental — bit-identical across engines), and
+    // the small-range branch m·ln(m/V) floors to a whole count: over its
+    // ENTIRE finite input domain (V ∈ 1..511; V=512 is the exact ln(1)=0)
+    // the estimate sits ≥ 3×10⁹ ulps from any integer boundary — measured
+    // exhaustively — so a last-ulp libm difference (Java vs glibc diverge
+    // on 2 of the 512 inputs) can never flip the floor. The engine's own
+    // HLL++ stays as a gated ENVELOPE bit: |approx−exact|·10 ≤ exact is
+    // integer cross-multiplication, and the oracle asserts it TRUE — the
+    // r7 spec envelope promoted into the hash gate.
+    "q_approx_distinct" -> ((s, dir) => {
+      val m = 512
+      val two50 = 1125899906842624L // 2^50
+      val h = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          conv(substring(md5(col("l_partkey").cast("string")), 1, 12), 16, 10)
+            .cast("long").as("h"))
+      val regs = h
+        .select(col("l_returnflag"),
+          shiftright(col("h"), 39).as("j"),
+          col("h").bitwiseAND(lit(549755813887L)).as("w")) // low 39 bits
+        .withColumn("rho",
+          when(col("w") === 0, lit(40)).otherwise(lit(40) - length(bin(col("w")))))
+        .groupBy("l_returnflag", "j")
+        .agg(max("rho").as("m_j"))
+      val sketch = regs.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_regs"),
+          // 2^(50-Mj) as an exact long shift (Mj ≤ 40 ⇒ exponent ≥ 10)
+          expr("sum(shiftleft(cast(1 as bigint), cast(50 - m_j as int)))")
+            .as("s_present"),
+          sum("m_j").as("reg_checksum"))
+        .select(col("l_returnflag"), col("reg_checksum"),
+          (lit(m.toLong) - col("n_regs")).as("v_empty"),
+          (col("s_present") + (lit(m.toLong) - col("n_regs")) * lit(two50))
+            .as("s_scaled"))
+        .withColumn("raw",
+          (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0))) *
+            lit(262144.0) * lit(1125899906842624.0) /
+            col("s_scaled").cast("double"))
+        .withColumn("small_range", col("raw") <= lit(1280.0) && col("v_empty") > 0)
+        .withColumn("est",
+          when(col("small_range"),
+            lit(512.0) * log(lit(512.0) / col("v_empty").cast("double")))
+            .otherwise(col("raw")))
+      val exact = t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
-        .orderBy("l_returnflag")),
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("engine_hll"))
+      sketch.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_parts"),
+          floor(col("est")).cast("long").as("hll_parts"),
+          col("small_range").as("hll_small_range"),
+          col("v_empty").as("hll_empty_regs"),
+          col("reg_checksum"),
+          (abs(col("engine_hll") - col("exact_parts")) * lit(10L) <=
+            col("exact_parts")).as("engine_hll_ok"))
+        .orderBy("l_returnflag")
+    }),
 
     // Quantile SKETCH next to the exact percentiles (q_percentiles): the
-    // mergeable-summary shape that replaces an exact global sort at 100 TB —
-    // per-partition sketches merge map-side like any aggregate. Rows-only:
-    // sketch internals are engine-specific; the envelope spec bounds the
-    // error against exact.
-    "q_approx_percentiles" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        // array form: ONE sketch / ONE value buffer per group computes both
-        // quantiles, instead of an independent aggregate per quantile
-        .agg(
-          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("ap"),
-          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("p"))
+    // mergeable-summary shape that replaces an exact global per-group sort
+    // at 100 TB, GRADUATED to the hash gate (r8) via a REPLAYABLE
+    // fixed-bin histogram sketch: cents values bucket by 2^16 (b = vc>>16,
+    // a few hundred buckets over the price domain), bucket counts are
+    // exact integers map-side-combined into O(groups × buckets) state, and
+    // the quantile estimate interpolates inside the first bucket whose
+    // cumulative count crosses the target rank — the crossing test is
+    // INTEGER cross-multiplication (20·cum ≥ q·20·n, never a float rank)
+    // and the interpolation is fixed-order IEEE arithmetic on exact
+    // integer operands, so DuckDB re-derives the estimate bit-for-bit
+    // (floor-quantized 4dp). The cumulative window runs over the already-
+    // aggregated bucket table (O(groups × buckets) rows — the plan-lint
+    // over-aggregate shape, never the raw scan). The engine's own
+    // approx_percentile (GK, accuracy 1000 ⇒ rank error ≤ n/1000) stays as
+    // gated ENVELOPE bits: |ap − exact| ≤ 0.1·exact replayed as literal
+    // TRUE — the r7 spec envelope promoted into the hash gate.
+    "q_approx_percentiles" -> ((s, dir) => {
+      val W = 65536L
+      val hist = t(s, dir, "lineitem")
         .select(col("l_returnflag"),
-          round(element_at(col("ap"), 1), 4).as("ap50"),
-          round(element_at(col("ap"), 2), 4).as("ap95"),
-          round(element_at(col("p"), 1), 4).as("p50"),
-          round(element_at(col("p"), 2), 4).as("p95"))
-        .orderBy("l_returnflag")),
+          round(col("l_extendedprice") * 100).cast("long").as("vc"))
+        .groupBy(col("l_returnflag"), shiftright(col("vc"), 16).as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val wC = Window.partitionBy("l_returnflag").orderBy("b")
+      val cum = hist
+        .withColumn("cum", sum("cnt").over(wC))
+        .withColumn("cum_before", col("cum") - col("cnt"))
+      val tot = hist.groupBy("l_returnflag")
+        .agg(sum("cnt").as("n"), count(lit(1)).as("n_buckets"))
+      // the single crossing bucket for rank target t = q·20·n: 20·cum ≥ t
+      // and 20·cum_before < t — exactly one row per group, picked by the
+      // null-skipping max
+      def pick(q20: Int) = {
+        val tgt = col("n") * q20
+        max(when(col("cum") * 20 >= tgt && col("cum_before") * 20 < tgt,
+          ((col("b") * W).cast("double") +
+            lit(65536.0) * (tgt - col("cum_before") * 20).cast("double") /
+              (col("cnt") * 20).cast("double")) / lit(100.0)))
+      }
+      val sk = cum.join(tot, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(max("n").as("n"), max("n_buckets").as("n_buckets"),
+          pick(10).as("h50"), pick(19).as("h95"))
+      val exact = t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        // array form: ONE value buffer / ONE GK sketch per group computes
+        // both quantiles, instead of an independent aggregate per quantile
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))").as("p"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("ap"))
+        .select(col("l_returnflag"),
+          element_at(col("p"), 1).as("p50d"),
+          element_at(col("p"), 2).as("p95d"),
+          element_at(col("ap"), 1).as("ap50"),
+          element_at(col("ap"), 2).as("ap95"))
+      sk.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("n"), col("n_buckets"),
+          (floor(col("h50") * 10000) / 10000).as("hist_p50"),
+          (floor(col("h95") * 10000) / 10000).as("hist_p95"),
+          round(col("p50d"), 4).as("p50"),
+          round(col("p95d"), 4).as("p95"),
+          (abs(col("ap50") - col("p50d")) <= lit(0.1) * col("p50d")).as("engine_p50_ok"),
+          (abs(col("ap95") - col("p95d")) <= lit(0.1) * col("p95d")).as("engine_p95_ok"))
+        .orderBy("l_returnflag")
+    }),
 
     // KMV (k-minimum-values) distinct sketch next to q_approx_distinct's
     // HLL++: same bounded-state mergeable-summary scale shape (the exchange
@@ -1107,6 +1214,102 @@ object RelationalQueries {
         |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
         |FROM lineitem
         |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // full HLL replay (r8): same md5-48 hashes, same top-9-bit bucketing,
+    // rho via length(bin(w)) (identical minimal-width binary in both
+    // engines), Σ2^-Mj as the exact integer Σ2^(50-Mj), the same
+    // fixed-order IEEE raw estimate, the same floored small-range branch
+    // (integer-floor immunity measured over the whole 512-value domain),
+    // and the engine-HLL envelope bit asserted TRUE
+    "q_approx_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |         ('0x' || substr(md5(l_partkey::VARCHAR), 1, 12))::BIGINT AS h
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, h >> 39 AS j, h & 549755813887 AS w FROM h),
+        |regs AS (
+        |  SELECT l_returnflag, j,
+        |         max(CASE WHEN w = 0 THEN 40 ELSE 40 - length(bin(w)) END) AS m_j
+        |  FROM r GROUP BY 1, 2),
+        |g AS (
+        |  SELECT l_returnflag, count(*) AS n_regs,
+        |         CAST(sum(1::BIGINT << CAST(50 - m_j AS INTEGER)) AS BIGINT) AS s_present,
+        |         CAST(sum(m_j) AS BIGINT) AS reg_checksum
+        |  FROM regs GROUP BY 1),
+        |e AS (
+        |  SELECT l_returnflag, reg_checksum,
+        |         512 - n_regs AS v_empty,
+        |         s_present + (512 - n_regs) * 1125899906842624 AS s_scaled
+        |  FROM g),
+        |est AS (
+        |  SELECT *,
+        |         (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 512.0::DOUBLE))
+        |           * 262144.0::DOUBLE * 1125899906842624.0::DOUBLE
+        |           / CAST(s_scaled AS DOUBLE) AS raw
+        |  FROM e),
+        |x AS (
+        |  SELECT l_returnflag, reg_checksum, v_empty,
+        |         raw <= 1280.0 AND v_empty > 0 AS small_range,
+        |         CASE WHEN raw <= 1280.0 AND v_empty > 0
+        |              THEN 512.0::DOUBLE * ln(512.0::DOUBLE / CAST(v_empty AS DOUBLE))
+        |              ELSE raw END AS est
+        |  FROM est),
+        |ex AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+        |       FROM lineitem GROUP BY 1)
+        |SELECT x.l_returnflag,
+        |       CAST(ex.exact_parts AS BIGINT) AS exact_parts,
+        |       CAST(floor(est) AS BIGINT) AS hll_parts,
+        |       small_range AS hll_small_range,
+        |       CAST(v_empty AS BIGINT) AS hll_empty_regs,
+        |       reg_checksum,
+        |       TRUE AS engine_hll_ok
+        |FROM x JOIN ex USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // histogram-sketch replay (r8): same 2^16-cent buckets, same integer
+    // rank-crossing test, same fixed-order interpolation, quantile_cont
+    // for the exact columns (q_percentiles parity), envelope bits TRUE
+    "q_approx_percentiles" ->
+      """WITH v AS (
+        |  SELECT l_returnflag,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS vc
+        |  FROM lineitem),
+        |hist AS (SELECT l_returnflag, vc >> 16 AS b, count(*) AS cnt
+        |         FROM v GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, b, CAST(cnt AS BIGINT) AS cnt,
+        |         CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY b)
+        |           AS BIGINT) AS cum
+        |  FROM hist),
+        |c2 AS (SELECT *, cum - cnt AS cum_before FROM cum),
+        |tot AS (SELECT l_returnflag, CAST(sum(cnt) AS BIGINT) AS n,
+        |               CAST(count(*) AS BIGINT) AS n_buckets
+        |        FROM hist GROUP BY 1),
+        |sk AS (
+        |  SELECT c2.l_returnflag, max(n) AS n, max(n_buckets) AS n_buckets,
+        |         max(CASE WHEN cum * 20 >= n * 10 AND cum_before * 20 < n * 10
+        |           THEN (CAST(b * 65536 AS DOUBLE) +
+        |                 65536.0::DOUBLE * CAST(n * 10 - cum_before * 20 AS DOUBLE)
+        |                   / CAST(cnt * 20 AS DOUBLE)) / 100.0::DOUBLE
+        |           END) AS h50,
+        |         max(CASE WHEN cum * 20 >= n * 19 AND cum_before * 20 < n * 19
+        |           THEN (CAST(b * 65536 AS DOUBLE) +
+        |                 65536.0::DOUBLE * CAST(n * 19 - cum_before * 20 AS DOUBLE)
+        |                   / CAST(cnt * 20 AS DOUBLE)) / 100.0::DOUBLE
+        |           END) AS h95
+        |  FROM c2 JOIN tot USING (l_returnflag) GROUP BY 1),
+        |ex AS (
+        |  SELECT l_returnflag,
+        |         quantile_cont(l_extendedprice, 0.5) AS p50d,
+        |         quantile_cont(l_extendedprice, 0.95) AS p95d
+        |  FROM lineitem GROUP BY 1)
+        |SELECT sk.l_returnflag, n, n_buckets,
+        |       floor(h50 * 10000) / 10000 AS hist_p50,
+        |       floor(h95 * 10000) / 10000 AS hist_p95,
+        |       round(p50d, 4) AS p50, round(p95d, 4) AS p95,
+        |       TRUE AS engine_p50_ok, TRUE AS engine_p95_ok
+        |FROM sk JOIN ex USING (l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
 
     // exact KMV replay: same md5 coins, same 48-bit normalization, same

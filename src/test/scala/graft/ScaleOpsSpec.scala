@@ -56,12 +56,16 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     // percent apart in value, so the envelope is deliberately loose (the
     // same posture as the approx_distinct rsd test)
     val rows = queries.RelationalQueries.queries("q_approx_percentiles")(spark, sf)
-      .selectExpr("ap50", "p50", "ap95", "p95")
-      .as[(Double, Double, Double, Double)].collect()
+      .selectExpr("hist_p50", "p50", "hist_p95", "p95",
+        "engine_p50_ok", "engine_p95_ok")
+      .as[(Double, Double, Double, Double, Boolean, Boolean)].collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (ap50, p50, ap95, p95) =>
-      assert(math.abs(ap50 - p50) <= 0.10 * p50, s"p50 sketch off: $ap50 vs $p50")
-      assert(math.abs(ap95 - p95) <= 0.10 * p95, s"p95 sketch off: $ap95 vs $p95")
+    rows.foreach { case (h50, p50, h95, p95, e50, e95) =>
+      // histogram sketch: value error bounded by one bucket width
+      // ($655.36) — well inside 10% of TPC-H price percentiles
+      assert(math.abs(h50 - p50) <= 0.10 * p50, s"p50 sketch off: $h50 vs $p50")
+      assert(math.abs(h95 - p95) <= 0.10 * p95, s"p95 sketch off: $h95 vs $p95")
+      assert(e50 && e95, "engine GK sketch left its 10% envelope")
     }
   }
 
@@ -274,12 +278,21 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(oneDay.count() > 0 && oneDay.count() < ev.count())
   }
 
-  test("approx_count_distinct stays within its 2% rsd envelope at sf0.001") {
+  test("HLL sketch + engine HLL stay within their error envelopes at sf0.001") {
     val rows = queries.RelationalQueries.queries("q_approx_distinct")(spark, sf)
-      .select("approx_parts", "exact_parts").as[(Long, Long)].collect()
-    rows.foreach { case (approx, exact) =>
-      assert(math.abs(approx - exact).toDouble / exact < 0.1,
-        s"approx=$approx exact=$exact")
+      .select("hll_parts", "exact_parts", "hll_small_range", "engine_hll_ok")
+      .as[(Long, Long, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (hll, exact, smallRange, engineOk) =>
+      // m=512 ⇒ rsd 4.6%; 15% ≈ 3σ for the replayable sketch (linear
+      // counting on the small-range branch is tighter still)
+      assert(math.abs(hll - exact).toDouble / exact < 0.15,
+        s"hll=$hll exact=$exact")
+      assert(engineOk, s"engine HLL++ left its 10% envelope (exact=$exact)")
+      // sf0.001 cardinalities (~200 per flag) sit under 2.5m = 1280, so
+      // THIS gate exercises the linear-counting branch (sf0.01 takes the
+      // raw-estimator branch — both branches oracle-replayed across SFs)
+      assert(smallRange, "sf0.001 must exercise the small-range branch")
     }
   }
 
