@@ -171,9 +171,63 @@ object CdcQueries {
           col("after").getItem("value").cast("double").as("after_value"),
           col("before").isNull.as("before_nil"),
           col("after").isNull.as("after_nil"))
-        .orderBy("lsn")))
+        .orderBy("lsn")),
+
+    // Incremental view maintenance, GATED (r8 — VERDICT item 6): the lake
+    // feed replays through the Structured Streaming IVM operator
+    // (`CdcStream.maintainedAgg`) in four LSN-chunked micro-batches
+    // (maxFilesPerTrigger=1 over range-partitioned files), and the
+    // maintained `SELECT table, count(*), sum(value) GROUP BY table` is
+    // returned as the query result — so the DuckDB batch recompute over
+    // the same feed IS the oracle for the streaming delta rule. The
+    // maintained total equals the batch answer under ANY batching/ordering
+    // by construction (cents-long delta folds + per-key LSN guard; the
+    // micro-batch-split invariance is spec'd in StreamingSpec) — this key
+    // just promotes that equality into the hash gate. Driver-side state:
+    // the O(tables) memory-sink table only.
+    "cdc_maintained_agg" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivm").toString
+      feed(s, dir)
+        .select(col("lsn"), col("table_name").as("tableName"), col("op"),
+          col("pk"), col("ts_us").as("tsUs"), col("value"))
+        .repartitionByRange(4, col("lsn"))
+        .sortWithinPartitions("lsn")
+        .write.parquet(s"$tmp/feed")
+      val schema = org.apache.spark.sql.Encoders.product[graft.streaming.Change].schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$tmp/feed")
+        .as[graft.streaming.Change]
+      val sink = "ivm_gate_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = graft.streaming.CdcStream.maintainedAgg(stream)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("table").as("table_name"), col("live_rows"),
+          col("sum_value"))
+        .orderBy("table_name")
+    }))
 
   val oracles: Map[String, String] = Map(
+    // batch recompute of the maintained aggregate: live row per (table,
+    // pk) = highest-LSN op ≠ DELETE; identical cents-long fold and ONE
+    // display division
+    "cdc_maintained_agg" ->
+      s"""$cte,
+         |cur AS (
+         |  SELECT table_name, pk,
+         |         max_by(op, lsn) AS op, max_by(value, lsn) AS value
+         |  FROM feed GROUP BY 1, 2),
+         |live AS (SELECT * FROM cur WHERE op <> 'DELETE')
+         |SELECT table_name,
+         |       CAST(count(*) AS BIGINT) AS live_rows,
+         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0::DOUBLE
+         |         AS sum_value
+         |FROM live GROUP BY 1 ORDER BY table_name""".stripMargin,
     // the reference's per-op nil rules replayed relationally: before =
     // previous image per (table, pk) for UPDATE/DELETE (null if none),
     // nil for INSERT/TRUNCATE; after = current image except DELETE/TRUNCATE

@@ -120,6 +120,27 @@ object TextQueries {
         .limit(20)
     }),
 
+    // The BPE TRAINER itself, gated (r8 — VERDICT item 7): the first 6
+    // learned merges with their weighted counts. Every iteration runs over
+    // the collapsed VOCAB table alone (types, never corpus tokens — the
+    // text_bpe_pairs scale shape), the only driver state is the O(merges)
+    // merge list, and the tie rule is total (count desc, pair lexicographic
+    // on binary UTF-8 — identical collation in both engines). The oracle
+    // replays all 6 iterations as a chained-CTE fold: symbols ride a
+    // wrapped separator string (␟sym␟ concatenated, so a pair pattern can
+    // never match across a symbol boundary or share a boundary separator
+    // between adjacent matches) and each merge is one left-to-right
+    // non-overlapping string replace — exactly the fold's rewrite rule.
+    "text_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val (merges, _) = graft.operators.TokenizerFit.fit(
+        graft.operators.TokenizerFit.vocab(docs(s, dir), "text"), merges = 6)
+      merges.zipWithIndex
+        .map { case (m, i) => ((i + 1).toLong, m.left, m.right, m.count) }
+        .toDF("merge_idx", "lhs", "rhs", "cnt")
+        .orderBy("merge_idx")
+    }),
+
     // READABILITY indexes (ARI, Coleman–Liau) — the count-based family a
     // curation pipeline can afford corpus-wide (syllable-based indexes
     // need a dictionary; these need three integer counts per doc). All
@@ -533,6 +554,41 @@ object TextQueries {
       s"('$lang', [${ms.map(m => s"'$m'").mkString(", ")}])"
     }.mkString(",\n        |      ")
 
+  /** Generated DuckDB replay of `n` BPE trainer iterations. Symbols are
+    * encoded as chr(31)-wrapped segments (`␟sym␟` concatenated): the merge
+    * pattern `␟a␟␟b␟` → `␟ab␟` can neither match across a symbol boundary
+    * (an interior `a`-suffix like symbol "xa" is never preceded by ␟) nor
+    * make adjacent matches share a boundary character — so DuckDB's
+    * left-to-right non-overlapping replace() IS the trainer's fold rule. */
+  private def bpeMergesOracle(n: Int): String = {
+    val sep = "chr(31)"
+    def stage(k: Int): String =
+      s"""s$k AS (SELECT freq, str_split(trim(syms, $sep), $sep || $sep) AS s FROM v$k),
+         |p$k AS (
+         |  SELECT s[i] AS a, s[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM s$k, unnest(generate_series(1, len(s) - 1)) AS t(i)
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |v${k + 1} AS (
+         |  SELECT term, freq,
+         |         replace(v.syms, $sep || b.a || $sep || $sep || b.b || $sep,
+         |                 $sep || b.a || b.b || $sep) AS syms
+         |  FROM v$k v CROSS JOIN b$k b)""".stripMargin
+    val unions = (0 until n).map(k =>
+      s"SELECT CAST(${k + 1} AS BIGINT) AS merge_idx, a AS lhs, b AS rhs, cnt FROM b$k")
+      .mkString("\n", "\nUNION ALL\n", "\n")
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_split_to_array(trim(lower(text)),
+       |                '[ \\t\\n\\x0b\\f\\r]+')) AS term
+       |  FROM documents),
+       |v0 AS (
+       |  SELECT term, count(*) AS freq,
+       |         regexp_replace(term, '(.)', $sep || '\\1' || $sep, 'g') AS syms
+       |  FROM toks WHERE term <> '' GROUP BY term),
+       |${(0 until n).map(stage).mkString(",\n")}
+       |$unions ORDER BY merge_idx""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // Marker-word voting is pure list arithmetic, so the oracle replays it:
     // per-language hit counts, then Spark's array_max over (hits, lang)
@@ -574,6 +630,13 @@ object TextQueries {
         |SELECT substr(term, CAST(i AS INTEGER), 2) AS pair,
         |       CAST(sum(freq) AS BIGINT) AS n
         |FROM pos GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    // full 6-iteration trainer replay: same vocab collapse, same
+    // overlapping pair stats, same (cnt desc, a, b) argmax, same
+    // left-to-right non-overlapping rewrite — as a generated CTE chain
+    // over the wrapped-separator symbol encoding (see the query's note on
+    // why the wrapping makes string replace exactly the BPE fold)
+    "text_bpe_merges" -> bpeMergesOracle(6),
 
     // same three integer counts, same fixed-order IEEE formula chain, band
     // cut on the rounded index
