@@ -19,6 +19,10 @@ object CdcQueries {
 
   private val cte = ChangeFeed.oracleCte
 
+  /** LSN-chunked feed files for the streaming IVM gate — written once per
+    * (session, sf-dir). */
+  private val ivmFeedMemo = new graft.operators.SessionMemo[String]
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_event_mask" -> ((s, dir) =>
       Publication("users", eventMask = Set("INSERT", "DELETE"))(feed(s, dir))
@@ -187,25 +191,47 @@ object CdcQueries {
     // the O(tables) memory-sink table only.
     "cdc_maintained_agg" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-ivm").toString
-      feed(s, dir)
-        .select(col("lsn"), col("table_name").as("tableName"), col("op"),
-          col("pk"), col("ts_us").as("tsUs"), col("value"))
-        .repartitionByRange(4, col("lsn"))
-        .sortWithinPartitions("lsn")
-        .write.parquet(s"$tmp/feed")
+      // the chunked feed files are a pure function of the lake — write them
+      // once per (session, sf-dir) (the stored-artifact pattern); every
+      // invocation still runs its own streaming query over them
+      val feedDir = ivmFeedMemo.get(s, dir) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ivm").toString
+        feed(s, dir)
+          .select(col("lsn"), col("table_name").as("tableName"), col("op"),
+            col("pk"), col("ts_us").as("tsUs"), col("value"))
+          .repartitionByRange(4, col("lsn"))
+          .sortWithinPartitions("lsn")
+          .write.parquet(s"$tmp/feed")
+        s"$tmp/feed"
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivm-run").toString
       val schema = org.apache.spark.sql.Encoders.product[graft.streaming.Change].schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(s"$tmp/feed")
+        .parquet(feedDir)
         .as[graft.streaming.Change]
       val sink = "ivm_gate_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = graft.streaming.CdcStream.maintainedAgg(stream)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      // a STREAMING query pins numShufflePartitions into its checkpoint at
+      // start — that count sizes the state stores (files + commits per
+      // micro-batch, × 2 stateful operators × 4 batches). 32 is right for
+      // the batch suite but pays ~5 s of state-store file churn for an
+      // O(tables) aggregate; 8 keeps the same result (state partitioning
+      // never changes results) at a quarter of the churn. The session conf
+      // is restored after the (synchronous) drain — batch queries read it
+      // lazily at their own action time, and Verify/Bench are sequential.
+      // the conf stays pinned through the whole (synchronous) drain: the
+      // stream thread captures it asynchronously after start(), so an
+      // early restore would race the capture
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = graft.streaming.CdcStream.maintainedAgg(stream)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(sink)
         .select(col("table").as("table_name"), col("live_rows"),
           col("sum_value"))
