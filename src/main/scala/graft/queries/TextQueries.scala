@@ -64,6 +64,19 @@ object TextQueries {
         .transform(graft.operators.Checkpointing.cut)
     }
 
+  /** The 6-merge BPE fit (merge list + rewritten vocab) — one driver-
+    * iterative training run per (session, sf-dir), read by BOTH gated
+    * trainer queries (text_bpe_merges, text_bpe_encode). */
+  private val bpeFitMemo =
+    new graft.operators.SessionMemo[(Seq[graft.operators.TokenizerFit.Merge], DataFrame)]
+
+  private def bpeFit(s: SparkSession, dir: String)
+      : (Seq[graft.operators.TokenizerFit.Merge], DataFrame) =
+    bpeFitMemo.get(s, dir) {
+      graft.operators.TokenizerFit.fit(
+        graft.operators.TokenizerFit.vocab(docs(s, dir), "text"), merges = 6)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> ((s, dir) =>
       docs(s, dir).select(
@@ -133,12 +146,28 @@ object TextQueries {
     // non-overlapping string replace — exactly the fold's rewrite rule.
     "text_bpe_merges" -> ((s, dir) => {
       import s.implicits._
-      val (merges, _) = graft.operators.TokenizerFit.fit(
-        graft.operators.TokenizerFit.vocab(docs(s, dir), "text"), merges = 6)
-      merges.zipWithIndex
+      bpeFit(s, dir)._1.zipWithIndex
         .map { case (m, i) => ((i + 1).toLong, m.left, m.right, m.count) }
         .toDF("merge_idx", "lhs", "rhs", "cnt")
         .orderBy("merge_idx")
+    }),
+
+    // The ENCODER side of the trainer pair (r8): after the 6 learned
+    // merges, the 50 highest-frequency terms with their piece counts and
+    // the pieces themselves — the "what does the tokenizer actually do to
+    // the head of the distribution" report every tokenizer change ships
+    // with. Reads the trainer's REWRITTEN vocab directly (the corpus is
+    // never re-encoded: the vocab table IS the encoded corpus, weighted by
+    // freq); bounded output via the (freq desc, term) total order. The
+    // oracle replays the same 6 fold iterations and unwraps the separator
+    // encoding into space-joined pieces.
+    "text_bpe_encode" -> ((s, dir) => {
+      val v = bpeFit(s, dir)._2
+      v.select(col("term"), col("freq"),
+          size(col("syms")).cast("long").as("n_pieces"),
+          array_join(col("syms"), " ").as("pieces"))
+        .orderBy(col("freq").desc, col("term"))
+        .limit(50)
     }),
 
     // READABILITY indexes (ARI, Coleman–Liau) — the count-based family a
@@ -560,8 +589,12 @@ object TextQueries {
     * (an interior `a`-suffix like symbol "xa" is never preceded by ␟) nor
     * make adjacent matches share a boundary character — so DuckDB's
     * left-to-right non-overlapping replace() IS the trainer's fold rule. */
-  private def bpeMergesOracle(n: Int): String = {
-    val sep = "chr(31)"
+  private val bpeSep = "chr(31)"
+
+  /** The shared CTE chain: toks → v0 → (pair stats, argmax, rewrite) × n,
+    * ending at vocab `v<n>`. */
+  private def bpeCte(n: Int): String = {
+    val sep = bpeSep
     def stage(k: Int): String =
       s"""s$k AS (SELECT freq, str_split(trim(syms, $sep), $sep || $sep) AS s FROM v$k),
          |p$k AS (
@@ -574,9 +607,6 @@ object TextQueries {
          |         replace(v.syms, $sep || b.a || $sep || $sep || b.b || $sep,
          |                 $sep || b.a || b.b || $sep) AS syms
          |  FROM v$k v CROSS JOIN b$k b)""".stripMargin
-    val unions = (0 until n).map(k =>
-      s"SELECT CAST(${k + 1} AS BIGINT) AS merge_idx, a AS lhs, b AS rhs, cnt FROM b$k")
-      .mkString("\n", "\nUNION ALL\n", "\n")
     s"""WITH toks AS (
        |  SELECT unnest(regexp_split_to_array(trim(lower(text)),
        |                '[ \\t\\n\\x0b\\f\\r]+')) AS term
@@ -585,8 +615,28 @@ object TextQueries {
        |  SELECT term, count(*) AS freq,
        |         regexp_replace(term, '(.)', $sep || '\\1' || $sep, 'g') AS syms
        |  FROM toks WHERE term <> '' GROUP BY term),
-       |${(0 until n).map(stage).mkString(",\n")}
-       |$unions ORDER BY merge_idx""".stripMargin
+       |${(0 until n).map(stage).mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeMergesOracle(n: Int): String = {
+    val unions = (0 until n).map(k =>
+      s"SELECT CAST(${k + 1} AS BIGINT) AS merge_idx, a AS lhs, b AS rhs, cnt FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"${bpeCte(n)}\n$unions ORDER BY merge_idx"
+  }
+
+  /** Encode replay: unwrap `v<n>`'s separator string into space-joined
+    * pieces for the top-50 terms by (freq desc, term). */
+  private def bpeEncodeOracle(n: Int): String = {
+    val sep = bpeSep
+    s"""${bpeCte(n)},
+       |pieces AS (
+       |  SELECT term, CAST(freq AS BIGINT) AS freq,
+       |         str_split(trim(syms, $sep), $sep || $sep) AS s
+       |  FROM v$n)
+       |SELECT term, freq, CAST(len(s) AS BIGINT) AS n_pieces,
+       |       array_to_string(s, ' ') AS pieces
+       |FROM pieces ORDER BY freq DESC, term LIMIT 50""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -637,6 +687,10 @@ object TextQueries {
     // over the wrapped-separator symbol encoding (see the query's note on
     // why the wrapping makes string replace exactly the BPE fold)
     "text_bpe_merges" -> bpeMergesOracle(6),
+
+    // encoder replay: the same 6-iteration fold, final vocab unwrapped
+    // into pieces; bounded head by the (freq desc, term) total order
+    "text_bpe_encode" -> bpeEncodeOracle(6),
 
     // same three integer counts, same fixed-order IEEE formula chain, band
     // cut on the rounded index
