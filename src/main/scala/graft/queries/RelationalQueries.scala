@@ -251,6 +251,41 @@ object RelationalQueries {
           round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
         .orderBy("l_returnflag")),
 
+    // WEIGHTED percentiles (r8): each price weighted by its line quantity —
+    // "what price does half the VOLUME trade at or below", which the
+    // row-weighted q_percentiles cannot answer. Exact-integer discipline
+    // end to end: prices/quantities fold as cents longs, the distribution
+    // collapses FIRST to the O(groups × distinct prices) table (map-side
+    // combined — at 100 TB that is the price domain, not the row count),
+    // the cumulative weight rides a window over that aggregated table
+    // (plan-lint's over-aggregate shape), and the crossing rule is integer
+    // cross-multiplication (2·cum ≥ tot; 10·cum ≥ 9·tot) picking the
+    // SMALLEST price whose cumulative weight reaches the target mass (the
+    // left-continuous weighted quantile) — a total, float-free rule both
+    // engines replay identically.
+    "q_weighted_percentile" -> ((s, dir) => {
+      val hist = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("pc"),
+          round(col("l_quantity") * 100).cast("long").as("qc"))
+        .groupBy("l_returnflag", "pc")
+        .agg(sum("qc").as("w"))
+      val wC = Window.partitionBy("l_returnflag").orderBy("pc")
+      val cum = hist.withColumn("cum", sum("w").over(wC))
+      val tot = hist.groupBy("l_returnflag")
+        .agg(sum("w").as("tot"), count(lit(1)).as("n_prices"))
+      def pick(num: Int, den: Int) =
+        min(when(col("cum") * den >= col("tot") * num, col("pc")))
+      cum.join(tot, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(max("tot").as("total_weight"), max("n_prices").as("n_prices"),
+          pick(1, 2).as("wp50c"), pick(9, 10).as("wp90c"))
+        .select(col("l_returnflag"), col("total_weight"), col("n_prices"),
+          (col("wp50c").cast("double") / lit(100.0)).as("weighted_p50"),
+          (col("wp90c").cast("double") / lit(100.0)).as("weighted_p90"))
+        .orderBy("l_returnflag")
+    }),
+
     // Robust spread: median absolute deviation per group — the
     // outlier-resistant dispersion stat next to q_percentiles' quantiles.
     // Two exact interpolated-percentile passes (median, then median of
@@ -1215,6 +1250,31 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // identical cents collapse, aggregated-table cumulative weights, and
+    // integer cross-multiplied crossing rule (smallest price reaching the
+    // target mass)
+    "q_weighted_percentile" ->
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+        |         CAST(round(l_quantity * 100) AS BIGINT) AS qc
+        |  FROM lineitem),
+        |g AS (SELECT l_returnflag, pc, CAST(sum(qc) AS BIGINT) AS w
+        |      FROM h GROUP BY 1, 2),
+        |c AS (SELECT *, CAST(sum(w) OVER (PARTITION BY l_returnflag
+        |                ORDER BY pc) AS BIGINT) AS cum FROM g),
+        |t AS (SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS tot,
+        |             CAST(count(*) AS BIGINT) AS n_prices
+        |      FROM g GROUP BY 1)
+        |SELECT c.l_returnflag,
+        |       max(tot) AS total_weight, max(n_prices) AS n_prices,
+        |       CAST(min(CASE WHEN cum * 2 >= tot * 1 THEN pc END) AS DOUBLE)
+        |         / 100.0::DOUBLE AS weighted_p50,
+        |       CAST(min(CASE WHEN cum * 10 >= tot * 9 THEN pc END) AS DOUBLE)
+        |         / 100.0::DOUBLE AS weighted_p90
+        |FROM c JOIN t USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // full HLL replay (r8): same md5-48 hashes, same top-9-bit bucketing,
     // rho via length(bin(w)) (identical minimal-width binary in both
