@@ -266,6 +266,32 @@ object VectorQueries {
     // corpus is scanned once with no shuffle before the per-query top-k.
     "knn_bruteforce" -> ((s, dir) => bruteTopK(s, dir).orderBy("q_id", "rk")),
 
+    // kNN GRAPH construction (r8): EVERY vector's top-3 nearest neighbors
+    // within its IVF cell — the corpus×corpus similarity primitive behind
+    // graph-based dedup, diversity curation and label propagation, bounded
+    // the only way a 100 TB corpus admits: the quadratic term is Σ|cell|²,
+    // never N² (in production the cell count scales with the corpus —
+    // k ≈ N / target-list-size — so |cell| stays fixed while cells
+    // parallelize; the gate-SF index reuses the same k=16 quantizer every
+    // IVF query shares). The in-cell pair stream flows straight into the
+    // bounded-heap TopKAgg (map-side pre-reduction to ≤ 3 rows per vector
+    // — the pair stream is never globally sorted), and the entire chain —
+    // quantizer build, assignment, cosine, ranking — replays in DuckDB via
+    // the shared knn_ivf build CTEs.
+    "emb_knn_graph" -> ((s, dir) => {
+      val (_, index) = ivfIndex(s, dir)
+      val a = index.select(col("cluster"), col("vec_id"), col("embedding"))
+      val b = index.select(col("cluster").as("cl_b"),
+        col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      val scored = a.join(b,
+          col("cluster") === col("cl_b") && col("vec_id") =!= col("neighbor_id"))
+        .select(col("vec_id"), col("neighbor_id"),
+          round(graft.plans.CosineSim.cosine(s, col("embedding"), col("n_emb")), 4)
+            .as("cos"))
+      Relational.topKByScore(scored, "vec_id", "cos", "neighbor_id", 3)
+        .orderBy("vec_id", "rk")
+    }),
+
     // Radius (range) search: every neighbor within cosine ≥ 0.25 of each
     // sampled query — the fixed-threshold dual of top-k. Map-only at any
     // corpus size: the bounded query sample broadcasts, each partition
@@ -757,6 +783,24 @@ object VectorQueries {
     // accumulates 1e-6-quantized longs (order-free), so the whole
     // quantizer build replays — see ivfOracle above.
     "knn_ivf" -> ivfOracle,
+
+    // same build prefix; in-cell pairs, 4dp cosine, ranked top-3 with the
+    // (cos desc, neighbor_id) tie rule
+    "emb_knn_graph" ->
+      s"""WITH $ivfBuildCtes,
+         |g AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(sa.v, sb.v), 4) AS cos
+         |  FROM idx a
+         |  JOIN idx b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+         |  JOIN sv sa ON sa.vec_id = a.vec_id
+         |  JOIN sv sb ON sb.vec_id = b.vec_id),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+         |  FROM g)
+         |SELECT vec_id, rk, neighbor_id, cos FROM ranked WHERE rk <= 3
+         |ORDER BY vec_id, rk""".stripMargin,
 
     // same build prefix, then the per-list report: sizes, shares, and the
     // 1e4-scaled cohesion sums over 4dp-rounded cosines. The cosine here
