@@ -142,6 +142,11 @@ object VectorQueries {
       (coarse, cb, index)
     }
 
+  /** Test-only view of the memoized IVF index (Round8OpsSpec's brute-force
+    * kNN-graph reference reads the same cells the query used). */
+  private[graft] def ivfIndexForSpec(s: SparkSession, dir: String): DataFrame =
+    ivfIndex(s, dir)._2
+
   private def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     ivfMemo.get(s, dir) {
       // cut once: the corpus feeds two Lloyd assigns + the index build —
