@@ -425,6 +425,28 @@ object VectorQueries {
         .orderBy("q_id", "rk")
     }),
 
+    // IVF recall@k audit (r8): what fraction of each query's TRUE top-k
+    // the nprobe=2 IVF probe surfaces — the missing cell of the audit
+    // matrix (both ANN regimes × both index families: top-k/radius were
+    // audited for LSH only). Reuses the memoized index AND the memoized
+    // brute-force ground truth; the audit itself is a bounded join over
+    // O(queries × k) rows. Left join makes misses an output property.
+    "knn_ivf_recall" -> ((s, dir) => {
+      val (centroids, index) = ivfIndex(s, dir)
+      val q = index.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val ann = graft.operators.Ivf.knn(index, centroids, q, nprobe = 2, topK = topK)
+        .select(col("q_id"), col("neighbor_id")).withColumn("in_ann", lit(1L))
+      val ex = bruteTopK(s, dir).select(col("q_id"), col("neighbor_id"))
+      ex.join(ann, Seq("q_id", "neighbor_id"), "left_outer")
+        .groupBy("q_id")
+        .agg(count(lit(1)).cast("long").as("n_exact"),
+          coalesce(sum(col("in_ann")), lit(0L)).as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_exact"), 4))
+        .orderBy("q_id")
+    }),
+
     // IVF index HEALTH report — the diagnostic an ANN team reads before
     // trusting an index: per-cluster inverted-list size, corpus share,
     // and mean member cosine to the trained centroid (cohesion).
@@ -788,6 +810,48 @@ object VectorQueries {
     // accumulates 1e-6-quantized longs (order-free), so the whole
     // quantizer build replays — see ivfOracle above.
     "knn_ivf" -> ivfOracle,
+
+    // the knn_ivf ANN replay joined against the knn_bruteforce ground
+    // truth — same probe/rerank CTEs, same left-join recall accounting as
+    // the LSH audit
+    "knn_ivf_recall" ->
+      s"""WITH $ivfBuildCtes,
+         |q AS (SELECT vec_id AS q_id, v AS q_emb FROM sv WHERE vec_id < $nQueries),
+         |probes AS (
+         |  SELECT q_id, cluster FROM (
+         |    SELECT q.q_id, c.cluster,
+         |           row_number() OVER (PARTITION BY q.q_id
+         |             ORDER BY ${duckCos("q.q_emb", "c.centroid")} DESC, c.cluster) AS rn
+         |    FROM q, c2 c) WHERE rn <= 2),
+         |iscored AS (
+         |  SELECT p.q_id, i.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(q.q_emb, s.v), 4) AS cos
+         |  FROM idx i
+         |  JOIN probes p ON i.cluster = p.cluster AND i.vec_id <> p.q_id
+         |  JOIN q ON q.q_id = p.q_id
+         |  JOIN sv s ON s.vec_id = i.vec_id),
+         |ann AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos DESC, neighbor_id) AS rk
+         |    FROM iscored) WHERE rk <= $topK),
+         |bscored AS (
+         |  SELECT q.q_id, s.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(q.q_emb, s.v), 4) AS cos
+         |  FROM sv s JOIN q ON s.vec_id <> q.q_id),
+         |ex AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos DESC, neighbor_id) AS rk
+         |    FROM bscored) WHERE rk <= $topK)
+         |SELECT ex.q_id AS q_id,
+         |       CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(count(ann.neighbor_id) AS BIGINT) AS n_hit,
+         |       round(CAST(count(ann.neighbor_id) AS DOUBLE) / count(*), 4) AS recall
+         |FROM ex LEFT JOIN ann
+         |  ON ann.q_id = ex.q_id AND ann.neighbor_id = ex.neighbor_id
+         |GROUP BY ex.q_id
+         |ORDER BY ex.q_id""".stripMargin,
 
     // same build prefix; in-cell pairs, 4dp cosine, ranked top-3 with the
     // (cos desc, neighbor_id) tie rule
