@@ -140,6 +140,10 @@ object NativeFunctions {
       case Seq(b, v) => BloomMightContain(b, v)
       case other => bad("bloom_contains", "bloom, key", other.size)
     },
+    "hll_distinct" -> {
+      case Seq(c) => HllSketchAgg(c).toAggregateExpression()
+      case other => bad("hll_distinct", "hash48", other.size)
+    },
     "bitmap_distinct" -> {
       case Seq(c, m) =>
         BitmapDistinctAgg(c, intArg(m, "maxId")).toAggregateExpression()

@@ -422,49 +422,27 @@ object RelationalQueries {
     // integer cross-multiplication, and the oracle asserts it TRUE — the
     // r7 spec envelope promoted into the hash gate.
     "q_approx_distinct" -> ((s, dir) => {
-      val m = 512
-      val two50 = 1125899906842624L // 2^50
-      val h = t(s, dir, "lineitem")
-        .select(col("l_returnflag"),
+      graft.plans.NativeFunctions.register(s)
+      // ONE aggregate pass: the `hll_distinct` TypedImperativeAggregate
+      // max-merges its 512-byte register buffer map-side, so the exchange
+      // carries one fixed-width blob per group (the r8-interim register
+      // groupBy carried O(groups × 512) rows; both compute the identical
+      // estimate — the aggregate replays the same register algebra the
+      // oracle re-derives in SQL). countDistinct/engine-HLL ride the same
+      // scan.
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey"),
           conv(substring(md5(col("l_partkey").cast("string")), 1, 12), 16, 10)
             .cast("long").as("h"))
-      val regs = h
-        .select(col("l_returnflag"),
-          shiftright(col("h"), 39).as("j"),
-          col("h").bitwiseAND(lit(549755813887L)).as("w")) // low 39 bits
-        .withColumn("rho",
-          when(col("w") === 0, lit(40)).otherwise(lit(40) - length(bin(col("w")))))
-        .groupBy("l_returnflag", "j")
-        .agg(max("rho").as("m_j"))
-      val sketch = regs.groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n_regs"),
-          // 2^(50-Mj) as an exact long shift (Mj ≤ 40 ⇒ exponent ≥ 10)
-          expr("sum(shiftleft(cast(1 as bigint), cast(50 - m_j as int)))")
-            .as("s_present"),
-          sum("m_j").as("reg_checksum"))
-        .select(col("l_returnflag"), col("reg_checksum"),
-          (lit(m.toLong) - col("n_regs")).as("v_empty"),
-          (col("s_present") + (lit(m.toLong) - col("n_regs")) * lit(two50))
-            .as("s_scaled"))
-        .withColumn("raw",
-          (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0))) *
-            lit(262144.0) * lit(1125899906842624.0) /
-            col("s_scaled").cast("double"))
-        .withColumn("small_range", col("raw") <= lit(1280.0) && col("v_empty") > 0)
-        .withColumn("est",
-          when(col("small_range"),
-            lit(512.0) * log(lit(512.0) / col("v_empty").cast("double")))
-            .otherwise(col("raw")))
-      val exact = t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        .agg(call_function("hll_distinct", col("h")).as("sk"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
           approx_count_distinct(col("l_partkey"), 0.02).as("engine_hll"))
-      sketch.join(exact, "l_returnflag")
         .select(col("l_returnflag"), col("exact_parts"),
-          floor(col("est")).cast("long").as("hll_parts"),
-          col("small_range").as("hll_small_range"),
-          col("v_empty").as("hll_empty_regs"),
-          col("reg_checksum"),
+          col("sk.hll_parts").as("hll_parts"),
+          col("sk.hll_small_range").as("hll_small_range"),
+          col("sk.hll_empty_regs").as("hll_empty_regs"),
+          col("sk.reg_checksum").as("reg_checksum"),
           (abs(col("engine_hll") - col("exact_parts")) * lit(10L) <=
             col("exact_parts")).as("engine_hll_ok"))
         .orderBy("l_returnflag")

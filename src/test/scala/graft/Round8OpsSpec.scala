@@ -86,6 +86,28 @@ class Round8OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("hll_distinct aggregate: matches the reference, partition-order-free") {
+    graft.plans.NativeFunctions.register(spark)
+    def agg(keys: Seq[Long], parts: Int): (Long, Boolean, Long, Long) =
+      keys.toDF("k").repartition(parts)
+        .select(conv(substring(md5(col("k").cast("string")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+        .agg(call_function("hll_distinct", col("h")).as("sk"))
+        .select(col("sk.hll_parts"), col("sk.hll_small_range"),
+          col("sk.hll_empty_regs"), col("sk.reg_checksum"))
+        .as[(Long, Boolean, Long, Long)].head()
+    for (n <- Seq(100, 20000)) {
+      val keys = (1L to n.toLong).map(_ * 7919L)
+      val want = refHll(keys)
+      // same sketch under 1, 7, and 32 partitions — max-merge is
+      // commutative/associative/idempotent
+      for (p <- Seq(1, 7, 32))
+        assert(agg(keys, p) == want, s"n=$n parts=$p")
+      // duplicates are free: tripling every row changes nothing
+      assert(agg(keys ++ keys ++ keys, 16) == want, s"n=$n with dups")
+    }
+  }
+
   test("HLL branches: small-range at tiny cardinality, raw at large") {
     assert(hllRow((1L to 50L).toSeq)._2, "n=50 must take linear counting")
     assert(!hllRow((1L to 20000L).map(_ * 31L))._2, "n=20000 must take raw")
