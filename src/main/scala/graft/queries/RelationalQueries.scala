@@ -514,6 +514,64 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // HLL register-table SET ALGEBRA (r8), completing the HLL story next
+    // to q_approx_distinct's per-group aggregate: per-segment register
+    // TABLES (the materialized-sketch-table pattern — one corpus scan
+    // builds O(segments × 512) rows) compose into pairwise UNION distinct
+    // estimates WITHOUT rescanning rows — HLL union is exact register
+    // max-merge (union of the underlying sets' sketches IS the max of
+    // registers, no approximation added by the merge), so a warehouse
+    // keeps one register table per partition/day and answers any
+    // union-cardinality question as O(512)-row algebra. Exact
+    // countDistinct audit columns ride the same single scan. (HLL cannot
+    // intersect directly — inclusion–exclusion or the KMV sketch
+    // (q_sketch_setops) own that case; this key owns the union law.)
+    "q_hll_union" -> ((s, dir) => {
+      val two50 = 1125899906842624L
+      val h = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("seg"), col("l_partkey"),
+          conv(substring(md5(col("l_partkey").cast("string")), 1, 12), 16, 10)
+            .cast("long").as("h"))
+      val regs = h
+        .select(col("seg"), shiftright(col("h"), 39).as("j"),
+          col("h").bitwiseAND(lit(549755813887L)).as("w"))
+        .withColumn("rho",
+          when(col("w") === 0, lit(40)).otherwise(lit(40) - length(bin(col("w")))))
+        .groupBy("seg", "j").agg(max("rho").as("m_j"))
+      // distinct segment pairs (seg_a < seg_b); O(segments²) rows
+      val segs = regs.select("seg").distinct()
+      val pairs = segs.select(col("seg").as("seg_a"))
+        .join(segs.select(col("seg").as("seg_b")), col("seg_a") < col("seg_b"))
+      // union registers per pair: max-merge of the two register tables
+      val merged = pairs.join(regs,
+          col("seg") === col("seg_a") || col("seg") === col("seg_b"))
+        .groupBy("seg_a", "seg_b", "j").agg(max("m_j").as("m_j"))
+      val est = merged.groupBy("seg_a", "seg_b")
+        .agg(count(lit(1)).as("n_regs"),
+          expr("sum(shiftleft(cast(1 as bigint), cast(50 - m_j as int)))")
+            .as("s_present"))
+        .select(col("seg_a"), col("seg_b"),
+          ((col("s_present") +
+            (lit(512L) - col("n_regs")) * lit(two50)).cast("double")).as("sd"),
+          (lit(512L) - col("n_regs")).as("v_empty"))
+        .withColumn("raw",
+          (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0))) *
+            lit(262144.0) * lit(1125899906842624.0) / col("sd"))
+        .withColumn("est",
+          when(col("raw") <= lit(1280.0) && col("v_empty") > 0,
+            lit(512.0) * log(lit(512.0) / col("v_empty").cast("double")))
+            .otherwise(col("raw")))
+      // exact union audit: one more pass over the SAME scan's output
+      val exact = pairs.join(h, col("seg") === col("seg_a") || col("seg") === col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(countDistinct("l_partkey").as("exact_union"))
+      est.join(exact, Seq("seg_a", "seg_b"))
+        .select(col("seg_a"), col("seg_b"),
+          floor(col("est")).cast("long").as("hll_union"),
+          col("exact_union"))
+        .orderBy("seg_a", "seg_b")
+    }),
+
     // KMV (k-minimum-values) distinct sketch next to q_approx_distinct's
     // HLL++: same bounded-state mergeable-summary scale shape (the exchange
     // carries O(groups × k) longs, no distinct pre-shuffle — dedupe happens
@@ -1349,6 +1407,56 @@ object RelationalQueries {
         |       TRUE AS engine_p50_ok, TRUE AS engine_p95_ok
         |FROM sk JOIN ex USING (l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    // same register derivation, pairwise greatest-merge, same estimator
+    // arithmetic; exact union audit alongside
+    "q_hll_union" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag AS seg, l_partkey,
+        |         ('0x' || substr(md5(l_partkey::VARCHAR), 1, 12))::BIGINT AS h
+        |  FROM lineitem),
+        |r AS (SELECT seg, h >> 39 AS j, h & 549755813887 AS w FROM h),
+        |regs AS (
+        |  SELECT seg, j,
+        |         max(CASE WHEN w = 0 THEN 40 ELSE 40 - length(bin(w)) END) AS m_j
+        |  FROM r GROUP BY 1, 2),
+        |segs AS (SELECT DISTINCT seg FROM regs),
+        |pairs AS (
+        |  SELECT a.seg AS seg_a, b.seg AS seg_b
+        |  FROM segs a JOIN segs b ON a.seg < b.seg),
+        |merged AS (
+        |  SELECT seg_a, seg_b, j, max(m_j) AS m_j
+        |  FROM pairs JOIN regs ON seg = seg_a OR seg = seg_b
+        |  GROUP BY 1, 2, 3),
+        |g AS (
+        |  SELECT seg_a, seg_b, count(*) AS n_regs,
+        |         CAST(sum(1::BIGINT << CAST(50 - m_j AS INTEGER)) AS BIGINT) AS s_present
+        |  FROM merged GROUP BY 1, 2),
+        |e AS (
+        |  SELECT seg_a, seg_b,
+        |         CAST(s_present + (512 - n_regs) * 1125899906842624 AS DOUBLE) AS sd,
+        |         512 - n_regs AS v_empty
+        |  FROM g),
+        |est AS (
+        |  SELECT seg_a, seg_b, v_empty,
+        |         (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 512.0::DOUBLE))
+        |           * 262144.0::DOUBLE * 1125899906842624.0::DOUBLE / sd AS raw
+        |  FROM e),
+        |x AS (
+        |  SELECT seg_a, seg_b,
+        |         CASE WHEN raw <= 1280.0 AND v_empty > 0
+        |              THEN 512.0::DOUBLE * ln(512.0::DOUBLE / CAST(v_empty AS DOUBLE))
+        |              ELSE raw END AS est
+        |  FROM est),
+        |ex AS (
+        |  SELECT seg_a, seg_b, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_union
+        |  FROM pairs JOIN h ON seg = seg_a OR seg = seg_b
+        |  GROUP BY 1, 2)
+        |SELECT x.seg_a, x.seg_b,
+        |       CAST(floor(est) AS BIGINT) AS hll_union,
+        |       exact_union
+        |FROM x JOIN ex USING (seg_a, seg_b)
+        |ORDER BY seg_a, seg_b""".stripMargin,
 
     // exact KMV replay: same md5 coins, same 48-bit normalization, same
     // small-domain fallback — the estimator is a pure function of the data
