@@ -264,12 +264,14 @@ object RelationalQueries {
     // left-continuous weighted quantile) — a total, float-free rule both
     // engines replay identically.
     "q_weighted_percentile" -> ((s, dir) => {
-      val hist = t(s, dir, "lineitem")
+      // lineage-cut: the distinct-price table feeds the cumulative window
+      // AND the totals aggregate — uncut, each branch replays the scan
+      val hist = graft.operators.Checkpointing.cut(t(s, dir, "lineitem")
         .select(col("l_returnflag"),
           round(col("l_extendedprice") * 100).cast("long").as("pc"),
           round(col("l_quantity") * 100).cast("long").as("qc"))
         .groupBy("l_returnflag", "pc")
-        .agg(sum("qc").as("w"))
+        .agg(sum("qc").as("w")))
       val wC = Window.partitionBy("l_returnflag").orderBy("pc")
       val cum = hist.withColumn("cum", sum("w").over(wC))
       val tot = hist.groupBy("l_returnflag")
@@ -467,11 +469,13 @@ object RelationalQueries {
     // TRUE — the r7 spec envelope promoted into the hash gate.
     "q_approx_percentiles" -> ((s, dir) => {
       val W = 65536L
-      val hist = t(s, dir, "lineitem")
+      // lineage-cut: the O(groups × buckets) table feeds the cumulative
+      // window AND the totals aggregate (the quality_drift branch rule)
+      val hist = graft.operators.Checkpointing.cut(t(s, dir, "lineitem")
         .select(col("l_returnflag"),
           round(col("l_extendedprice") * 100).cast("long").as("vc"))
         .groupBy(col("l_returnflag"), shiftright(col("vc"), 16).as("b"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("cnt")))
       val wC = Window.partitionBy("l_returnflag").orderBy("b")
       val cum = hist
         .withColumn("cum", sum("cnt").over(wC))
@@ -532,12 +536,15 @@ object RelationalQueries {
         .select(col("l_returnflag").as("seg"), col("l_partkey"),
           conv(substring(md5(col("l_partkey").cast("string")), 1, 12), 16, 10)
             .cast("long").as("h"))
-      val regs = h
+      // lineage-cut the O(segments × 512) register table: it feeds the
+      // segs/pairs derivation AND the merge — uncut, each branch would
+      // replay the corpus scan (the pipeline_quality_drift rule)
+      val regs = graft.operators.Checkpointing.cut(h
         .select(col("seg"), shiftright(col("h"), 39).as("j"),
           col("h").bitwiseAND(lit(549755813887L)).as("w"))
         .withColumn("rho",
           when(col("w") === 0, lit(40)).otherwise(lit(40) - length(bin(col("w")))))
-        .groupBy("seg", "j").agg(max("rho").as("m_j"))
+        .groupBy("seg", "j").agg(max("rho").as("m_j")))
       // distinct segment pairs (seg_a < seg_b); O(segments²) rows
       val segs = regs.select("seg").distinct()
       val pairs = segs.select(col("seg").as("seg_a"))
@@ -561,7 +568,10 @@ object RelationalQueries {
           when(col("raw") <= lit(1280.0) && col("v_empty") > 0,
             lit(512.0) * log(lit(512.0) / col("v_empty").cast("double")))
             .otherwise(col("raw")))
-      // exact union audit: one more pass over the SAME scan's output
+      // exact union audit: a second, independent pass over the lake (the
+      // sketch path reads only the cut register table; the audit is the
+      // one consumer that genuinely needs raw keys — at production scale
+      // it is the optional column, the sketch algebra is the product)
       val exact = pairs.join(h, col("seg") === col("seg_a") || col("seg") === col("seg_b"))
         .groupBy("seg_a", "seg_b")
         .agg(countDistinct("l_partkey").as("exact_union"))
@@ -950,8 +960,11 @@ object RelationalQueries {
       val stats = e.groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("vc").as("sx"),
           // widen BEFORE the square (the q_cusum_changepoint discipline):
-          // a long×long square of |vc| ≳ 3×10⁷ would overflow under ANSI
-          // where the oracle's HUGEINT-first product succeeds
+          // a long×long square throws under ANSI at |vc| > √(2⁶³−1) ≈
+          // 3.04×10⁹ cents, and even below that the per-GROUP sum of
+          // squares leaves long range long before the per-row product
+          // does — decimal(38,0) covers both, matching the oracle's
+          // HUGEINT-first product
           sum(col("vc").cast("decimal(38,0)") * col("vc")).as("sx2"))
         .select(col("event_type"),
           (col("sx").cast("double") / col("n")).as("mean_c"),

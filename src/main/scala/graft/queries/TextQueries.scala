@@ -73,8 +73,16 @@ object TextQueries {
   private def bpeFit(s: SparkSession, dir: String)
       : (Seq[graft.operators.TokenizerFit.Merge], DataFrame) =
     bpeFitMemo.get(s, dir) {
+      // minCount = 1: the oracle's argmax is unconditional (it merges the
+      // best pair whatever its count), so the trainer must too — the
+      // default minCount=2 early-stop would silently diverge on a sparse
+      // corpus whose best remaining pair occurs once. A fully exhausted
+      // pair table (no adjacent pairs at all) stops BOTH sides: fit()
+      // returns early, and the oracle's empty argmax contributes no merge
+      // row and leaves the vocab unchanged (LEFT JOIN in the rewrite CTE).
       graft.operators.TokenizerFit.fit(
-        graft.operators.TokenizerFit.vocab(docs(s, dir), "text"), merges = 6)
+        graft.operators.TokenizerFit.vocab(docs(s, dir), "text"),
+        merges = 6, minCount = 1L)
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -603,10 +611,13 @@ object TextQueries {
          |  GROUP BY 1, 2),
          |b$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
          |v${k + 1} AS (
+         |  -- LEFT JOIN, not CROSS: an exhausted pair table (empty argmax)
+         |  -- must leave the vocab unchanged, matching the trainer's stop
          |  SELECT term, freq,
-         |         replace(v.syms, $sep || b.a || $sep || $sep || b.b || $sep,
-         |                 $sep || b.a || b.b || $sep) AS syms
-         |  FROM v$k v CROSS JOIN b$k b)""".stripMargin
+         |         CASE WHEN b.a IS NULL THEN v.syms
+         |              ELSE replace(v.syms, $sep || b.a || $sep || $sep || b.b || $sep,
+         |                           $sep || b.a || b.b || $sep) END AS syms
+         |  FROM v$k v LEFT JOIN b$k b ON TRUE)""".stripMargin
     s"""WITH toks AS (
        |  SELECT unnest(regexp_split_to_array(trim(lower(text)),
        |                '[ \\t\\n\\x0b\\f\\r]+')) AS term

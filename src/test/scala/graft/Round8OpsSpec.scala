@@ -137,20 +137,37 @@ class Round8OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(p50 == 3000L, s"weighted median must be 30.00, got $p50")
   }
 
-  test("weighted percentile: gate output degenerates to plain percentile at unit weights") {
-    // with all weights equal the weighted median is the (left-continuous)
-    // row median — check against a direct computation at sf
-    val out = SparkEntry.queries("q_weighted_percentile")(spark, sf)
-      .select("l_returnflag", "weighted_p50").as[(String, Double)].collect().toMap
-    assert(out.nonEmpty)
-    // sanity: each group's weighted p50 lies within the group's price range
-    val rng = queries.RelationalQueries.queries("q_percentiles")(spark, sf)
-      .select("l_returnflag", "p50", "p95").as[(String, Double, Double)]
-      .collect().map { case (k, p50, p95) => k -> ((p50, p95)) }.toMap
-    out.foreach { case (k, wp) =>
-      val (p50, p95) = rng(k)
-      assert(wp > 0 && wp < p95 * 2, s"$k: wp50=$wp vs p50=$p50")
+  test("weighted percentile degenerates to the left-continuous row quantile at unit weights") {
+    // with every weight = 1 the crossing rule (k·cum ≥ q·k·n, smallest
+    // price) must pick exactly the ⌈q·n⌉-th order statistic — check the
+    // full crossing machinery against a directly computed reference on a
+    // crafted multiset with duplicates and an even count
+    val prices = Seq(5.00, 5.00, 7.25, 9.10, 9.10, 9.10, 12.00, 40.00)
+    val df = prices.map(p => ("A", p, 1.0))
+      .toDF("l_returnflag", "l_extendedprice", "l_quantity")
+    val hist = df.select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"),
+        round(col("l_quantity") * 100).cast("long").as("qc"))
+      .groupBy("l_returnflag", "pc").agg(sum("qc").as("w"))
+    val wC = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy("pc")
+    val cum = hist.withColumn("cum", sum("w").over(wC))
+    val tot = hist.groupBy("l_returnflag").agg(sum("w").as("tot"))
+    def pick(num: Int, den: Int) =
+      min(when(col("cum") * den >= col("tot") * num, col("pc")))
+    val (w50, w90) = cum.join(tot, "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(pick(1, 2).as("w50"), pick(9, 10).as("w90"))
+      .select(col("w50"), col("w90")).as[(Long, Long)].head()
+    def orderStat(q: Double): Long = {
+      val sorted = prices.sorted.map(p => math.round(p * 100))
+      sorted((math.ceil(q * sorted.size) - 1).toInt.max(0))
     }
+    assert(w50 == orderStat(0.5), s"unit-weight p50: $w50 vs ${orderStat(0.5)}")
+    assert(w90 == orderStat(0.9), s"unit-weight p90: $w90 vs ${orderStat(0.9)}")
+    // n = 8, q = 0.5 ⇒ the 4th order statistic = 9.10 (not the 7.25 a
+    // right-continuous or interpolated rule would blend with)
+    assert(w50 == 910L)
   }
 
   // ---- histogram quantile sketch (q_approx_percentiles) ---------------
