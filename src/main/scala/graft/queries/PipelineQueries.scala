@@ -353,7 +353,36 @@ object PipelineQueries {
         .withColumn("seq_id", floor(col("start_offset") / packBudget))
         .groupBy("source", "seq_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("seq_chars"))
-        .orderBy("source", "seq_id")))
+        .orderBy("source", "seq_id")),
+
+    // LONG-DOC SPLITTING (r8) — the complementary half of pack_sequences
+    // (which packs short docs into sequences): a doc longer than the
+    // sequence budget splits into ⌈n_chars / budget⌉ chunks of at most
+    // budget chars — the chunk-long-documents pre-pass every fixed-context
+    // training pipeline runs before packing. The chunk explode is map-only
+    // (n_chunks ≥ 1 always, so the descending-sequence gotcha can't fire);
+    // the per-source report is one groupBy; total_chars must equal the raw
+    // char mass (the split is lossless — the invariant the report checks).
+    // Empty docs keep one empty chunk: silently dropping them would change
+    // corpus accounting.
+    "pipeline_pack_split" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"))
+        .withColumn("n_chunks_doc",
+          greatest(lit(1L), expr(s"(n_chars + ${packBudget - 1}) div $packBudget")))
+        .select(col("source"), col("doc_id"), col("n_chars"), col("n_chunks_doc"),
+          explode(sequence(lit(0L), col("n_chunks_doc") - 1)).as("chunk_id"))
+        .withColumn("chunk_chars",
+          least(lit(packBudget.toLong), col("n_chars") - col("chunk_id") * packBudget))
+        .groupBy("source")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("chunk_chars") === packBudget, 1L).otherwise(0L))
+            .as("n_full_chunks"),
+          sum("chunk_chars").as("total_chars"),
+          max("n_chunks_doc").as("max_chunks_per_doc"))
+        .orderBy("source")))
 
   /** DuckDB 8-gram construction matching Text.wordShingles(_, 8). */
   private val gramsSql =
@@ -604,5 +633,30 @@ object PipelineQueries {
          |  FROM documents)
          |SELECT source, CAST(floor(start_offset / $packBudget) AS BIGINT) AS seq_id,
          |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS seq_chars
-         |FROM o GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin)
+         |FROM o GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin,
+
+    // same chunk-count arithmetic, generate_series explode, lossless
+    // accounting
+    "pipeline_pack_split" ->
+      s"""WITH d AS (
+         |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         |         greatest(1, (n_chars + ${packBudget - 1}) // $packBudget)
+         |           AS n_chunks_doc
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, n_chars, n_chunks_doc,
+         |         unnest(generate_series(0, n_chunks_doc - 1)) AS chunk_id
+         |  FROM d),
+         |x AS (
+         |  SELECT *, least($packBudget, n_chars - chunk_id * $packBudget)
+         |           AS chunk_chars
+         |  FROM c)
+         |SELECT source,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(CASE WHEN chunk_chars = $packBudget THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_full_chunks,
+         |       CAST(sum(chunk_chars) AS BIGINT) AS total_chars,
+         |       CAST(max(n_chunks_doc) AS BIGINT) AS max_chunks_per_doc
+         |FROM x GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -474,6 +474,32 @@ object VectorQueries {
         .orderBy("q_id")
     }),
 
+    // Cluster-stratified DIVERSITY sampling (r8): one representative per
+    // IVF cell — the standard "cover the embedding space, don't oversample
+    // dense modes" downsampling move for training-data curation. The
+    // representative is the cell's most cohesive member (highest 4dp-
+    // rounded cosine to the trained centroid — integer-quantized so the
+    // argmax ordering replays exactly; lowest vec_id on ties), picked by a
+    // map-side-combined max_by — never a per-cluster window over corpus
+    // rows (16 cells would mean 16 reducers sorting the corpus). Cost:
+    // the stats-query broadcast join + one O(cells) aggregate.
+    "emb_diversity_sample" -> ((s, dir) => {
+      val (centroids, index) = ivfIndex(s, dir)
+      val scored = index.join(broadcast(centroids), "cluster")
+        .select(col("cluster").cast("long").as("cluster"), col("vec_id"),
+          round(graft.plans.CosineSim.cosine(s, col("embedding"),
+            col("centroid")), 4).as("cos"))
+        .withColumn("qcos", round(col("cos") * 10000).cast("long"))
+      scored.groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"),
+          max_by(col("vec_id"),
+            struct(col("qcos"), (-col("vec_id")).as("nid"))).as("rep_vec_id"),
+          max("qcos").as("mq"))
+        .select(col("cluster"), col("n_vecs"), col("rep_vec_id"),
+          (col("mq") / lit(10000.0)).as("rep_cohesion"))
+        .orderBy("cluster")
+    }),
+
     // IVF index HEALTH report — the diagnostic an ANN team reads before
     // trusting an index: per-cluster inverted-list size, corpus share,
     // and mean member cosine to the trained centroid (cohesion).
@@ -837,6 +863,31 @@ object VectorQueries {
     // accumulates 1e-6-quantized longs (order-free), so the whole
     // quantizer build replays — see ivfOracle above.
     "knn_ivf" -> ivfOracle,
+
+    // same build prefix and bit-exact quantized cohesion as knn_ivf_stats;
+    // the representative via the (qcos desc, vec_id) window in SQL — the
+    // Spark side's map-side max_by computes the identical argmax
+    "emb_diversity_sample" ->
+      s"""WITH $ivfBuildCtes,
+         |co AS (
+         |  SELECT i.cluster, i.vec_id,
+         |         CAST(round(round(${duckCos("s.v", "c.centroid")}, 4)
+         |              * 10000) AS BIGINT) AS qcos
+         |  FROM idx i
+         |  JOIN c2 c ON c.cluster = i.cluster
+         |  JOIN sv s ON s.vec_id = i.vec_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY cluster
+         |             ORDER BY qcos DESC, vec_id) AS rn
+         |  FROM co),
+         |n AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+         |             max(qcos) AS mq
+         |      FROM co GROUP BY 1)
+         |SELECT CAST(r.cluster AS BIGINT) AS cluster, n_vecs,
+         |       r.vec_id AS rep_vec_id,
+         |       CAST(mq AS DOUBLE) / 10000.0::DOUBLE AS rep_cohesion
+         |FROM r JOIN n USING (cluster) WHERE rn = 1
+         |ORDER BY cluster""".stripMargin,
 
     // the knn_ivf ANN replay joined against the knn_bruteforce ground
     // truth — same probe/rerank CTEs, same left-join recall accounting as
