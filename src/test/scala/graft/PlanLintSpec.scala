@@ -54,6 +54,13 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
     // bounds it is invisible to the structural rule
     "dedup_source_sigs")
 
+  /** Queries whose cumulative window runs over a LINEAGE-CUT aggregated
+    * table (the r8 branch-fed lineage-cut rule): the cut replaces the
+    * bounding Aggregate with a LogicalRDD, making it invisible to the
+    * structural rule — like `dedup_source_sigs` for the loop-join rule.
+    * Both tables are O(groups × distinct-values/buckets), not corpus rows. */
+  private val cutAggWindows = Set("q_approx_percentiles", "q_weighted_percentile")
+
   private def hasBoundedSubtree(p: LogicalPlan): Boolean = p.collectFirst {
     case _: Aggregate => ()
     case _: LocalRelation => ()
@@ -105,7 +112,7 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
         }
       }
       plan.collect { case w: LWindow => w }.foreach { w =>
-        assert(windowOk(w),
+        assert(windowOk(w) || cutAggWindows(name),
           s"$name window partitions only on strata columns with an " +
             s"unbounded child — the single-reducer sort class:\n$w")
       }
