@@ -31,6 +31,10 @@ object RelationalQueries {
 
   private val sessionMemo = new graft.operators.SessionMemo[DataFrame]
 
+  /** Chunked (segment, key_hash) files for the streaming-KMV gate —
+    * written once per (session, sf-dir). */
+  private val kmvFeedMemo = new graft.operators.SessionMemo[String]
+
   /** The 30-min-gap sessionized event frame — one memoized stored artifact
     * per (session, sf-dir), read by q_sessionize AND q_concurrency (the
     * warehouse pattern: sessions materialize once per refresh, every
@@ -612,6 +616,66 @@ object RelationalQueries {
               (element_at(col("mins"), k).cast("double") / lit(two48))), 4)
             .as("kmv_parts"),
           col("exact_parts"))
+        .orderBy("l_returnflag")
+    }),
+
+    // STREAMING KMV, gated (r8): the live dashboard's distinct estimator —
+    // `SketchStream.kmvDistinct` run over a 4-chunk file replay of the
+    // lake, state ONE k-bounded hash buffer per segment — must equal the
+    // nightly batch report, and since the KMV buffer is a pure function of
+    // the key-hash SET, the DuckDB batch replay (the q_kmv_distinct SQL)
+    // oracles the STREAMING engine's final state directly. Chunk order is
+    // irrelevant by construction (buffer merge is commutative/idempotent —
+    // the split-invariance StreamingSpec law, now inside the hash gate).
+    // Final state per segment is picked by the KMV partial order (size
+    // never shrinks; at equal size the sorted buffer is elementwise ≤ its
+    // predecessors), never by sink append order.
+    "q_kmv_stream" -> ((s, dir) => {
+      import s.implicits._
+      val k = 64
+      val feedDir = kmvFeedMemo.get(s, dir) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-kmv-stream").toString
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("segment"),
+            conv(substring(md5(col("l_partkey").cast("string")), 1, 12), 16, 10)
+              .cast("long").as("key_hash"))
+          .repartition(4)
+          .write.parquet(s"$tmp/feed")
+        s"$tmp/feed"
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft-kmv-run").toString
+      val schema =
+        org.apache.spark.sql.Encoders.product[graft.streaming.SegmentKey].schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(feedDir).as[graft.streaming.SegmentKey]
+      val sink = "kmv_gate_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = graft.streaming.SketchStream.kmvDistinct(stream, k)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val updates = s.table(sink).as[graft.streaming.SketchRow].collect()
+      s.catalog.dropTempView(sink)
+      def rm(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      rm(java.nio.file.Paths.get(tmp))
+      implicit val arrOrd: Ordering[Seq[Long]] = Ordering.Implicits.seqOrdering
+      val finals = updates.groupBy(_.segment).toSeq.map { case (seg, rows) =>
+        val last = rows.minBy(r => (-r.mins.size, r.mins))
+        (seg, last.mins.size.toLong, last.kmv_estimate)
+      }
+      finals.toDF("l_returnflag", "n_mins", "est")
+        .select(col("l_returnflag"), col("n_mins"),
+          round(col("est"), 4).as("kmv_parts"))
         .orderBy("l_returnflag")
     }),
 
@@ -1470,6 +1534,29 @@ object RelationalQueries {
         |       exact_union
         |FROM x JOIN ex USING (seg_a, seg_b)
         |ORDER BY seg_a, seg_b""".stripMargin,
+
+    // the STREAMING engine's final buffers replayed by the batch KMV SQL:
+    // the buffer is a pure function of the key-hash set, so the same
+    // bottom-64 derivation and the same estimator arithmetic gate the
+    // stream
+    "q_kmv_stream" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |         ('0x' || substr(md5(l_partkey::VARCHAR), 1, 12))::BIGINT AS h
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, h,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        |  FROM h)
+        |SELECT l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS n_mins,
+        |       round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+        |                  ELSE 63.0 / (max(CASE WHEN rn = 64 THEN h END)
+        |                               / 281474976710656.0)
+        |             END, 4) AS kmv_parts
+        |FROM r WHERE rn <= 64
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // exact KMV replay: same md5 coins, same 48-bit normalization, same
     // small-domain fallback — the estimator is a pure function of the data
