@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -355,6 +356,34 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("seq_chars"))
         .orderBy("source", "seq_id")),
 
+    // Deterministic SOURCE-INTERLEAVED training order (r8): the
+    // reproducible-data-ordering primitive — every source's docs take
+    // every n_sources-th slot (round-robin by per-source rank), so a
+    // training run's batch composition is a pure function of the corpus
+    // (re-runs, re-shards and resumes see byte-identical order; no RNG).
+    // Scale shape: the per-source rank is the two-level PrefixSum of ones
+    // (never a per-source window over raw rows), the source index rides an
+    // O(sources) broadcast, and the gated output is the BOUNDED head of
+    // the order (first 50 slots) plus nothing else — the full order is a
+    // write, not a query result.
+    "pipeline_interleave" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"), col("doc_id"))
+        .withColumn("__one", lit(1L))
+      val ranked = graft.operators.PrefixSum.cumSum(
+        d, "source", Seq(col("doc_id")), "__one", "rank")
+      val srcs = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val wSrc = Window.orderBy("source") // O(sources) rows — bounded
+      val idx = srcs.select(col("source"),
+        (row_number().over(wSrc) - 1).cast("long").as("src_idx"))
+      val nSrc = srcs.agg(count(lit(1)).as("n_sources"))
+      ranked.join(broadcast(idx), "source")
+        .crossJoin(broadcast(nSrc))
+        .select(col("source"), col("doc_id"),
+          ((col("rank") - 1) * col("n_sources") + col("src_idx")).as("position"))
+        .orderBy("position")
+        .limit(50)
+    }),
+
     // LONG-DOC SPLITTING (r8) — the complementary half of pack_sequences
     // (which packs short docs into sequences): a doc longer than the
     // sequence budget splits into ⌈n_chars / budget⌉ chunks of at most
@@ -658,5 +687,23 @@ object PipelineQueries {
          |         AS BIGINT) AS n_full_chunks,
          |       CAST(sum(chunk_chars) AS BIGINT) AS total_chars,
          |       CAST(max(n_chunks_doc) AS BIGINT) AS max_chunks_per_doc
-         |FROM x GROUP BY source ORDER BY source""".stripMargin)
+         |FROM x GROUP BY source ORDER BY source""".stripMargin,
+
+    // same per-source ranks, same round-robin slot formula, same bounded
+    // head
+    "pipeline_interleave" ->
+      """WITH d AS (SELECT source, doc_id FROM documents),
+        |r AS (SELECT source, doc_id,
+        |             CAST(row_number() OVER (PARTITION BY source
+        |               ORDER BY doc_id) AS BIGINT) AS rank
+        |      FROM d),
+        |i AS (SELECT source,
+        |             CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT)
+        |               AS src_idx
+        |      FROM (SELECT DISTINCT source FROM d)),
+        |n AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM d)
+        |SELECT r.source, r.doc_id,
+        |       (r.rank - 1) * n.n_sources + i.src_idx AS position
+        |FROM r JOIN i USING (source) CROSS JOIN n
+        |ORDER BY position LIMIT 50""".stripMargin)
 }
