@@ -35,6 +35,9 @@ object RelationalQueries {
     * written once per (session, sf-dir). */
   private val kmvFeedMemo = new graft.operators.SessionMemo[String]
 
+  /** Time-ordered metric-event chunks for the streaming-zscore gate. */
+  private val zsFeedMemo = new graft.operators.SessionMemo[String]
+
   /** The 30-min-gap sessionized event frame — one memoized stored artifact
     * per (session, sf-dir), read by q_sessionize AND q_concurrency (the
     * warehouse pattern: sessions materialize once per refresh, every
@@ -1043,6 +1046,67 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // STREAMING online anomaly detection, gated (r8): the live analog of
+    // q_zscore_outliers — each event judged against the EXACT integer
+    // moments of everything strictly before it in its series (the online
+    // monitor's semantic; per-series state is three integers + the last
+    // position) — run as a real Structured Streaming job over a
+    // time-ordered 4-chunk file replay (chunks written sequentially so
+    // file mtimes fix the trigger order; within a batch the operator
+    // sorts by (ts_us, event_id), so the replay is the in-order capture
+    // feed). The ORACLE replays the whole online semantics relationally:
+    // prior-moment windows (ROWS UNBOUNDED PRECEDING TO 1 PRECEDING),
+    // identical once-per-row double formulas, warmup ≥ 30, σ > 0 guard,
+    // |z| > 3 cut, floor-quantized z — the streaming ENGINE's emission
+    // set inside the hash gate.
+    "q_zscore_stream" -> ((s, dir) => {
+      import s.implicits._
+      val feedDir = zsFeedMemo.get(s, dir) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-zs-stream").toString
+        val f = ev(s, dir).select(col("event_type").as("series"),
+          col("event_id"), col("ts_us"), col("value"))
+        val b = f.agg(min("ts_us").as("lo"), max("ts_us").as("hi")).head()
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val span = (hi - lo) / 4 + 1
+        for (i <- 0 until 4) {
+          f.filter(col("ts_us") >= lo + i * span &&
+              col("ts_us") < lo + (i + 1) * span)
+            .sortWithinPartitions("ts_us", "event_id")
+            .coalesce(1)
+            .write.mode("append").parquet(s"$tmp/feed")
+        }
+        s"$tmp/feed"
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft-zs-run").toString
+      val schema =
+        org.apache.spark.sql.Encoders.product[graft.streaming.MetricEvent].schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(feedDir).as[graft.streaming.MetricEvent]
+      val sink = "zs_gate_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = graft.streaming.SketchStream.zscoreOutliers(stream)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val anomalies = s.table(sink).as[graft.streaming.Anomaly].collect()
+      s.catalog.dropTempView(sink)
+      def rm(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      rm(java.nio.file.Paths.get(tmp))
+      anomalies.toSeq
+        .toDF("series", "event_id", "ts_us", "value", "z", "n_seen")
+        .orderBy("series", "event_id")
+    }),
+
     // JSON extraction from the props payload.
     "q_json_extract" -> ((s, dir) =>
       ev(s, dir)
@@ -1964,6 +2028,39 @@ object RelationalQueries {
          |SELECT event_id, event_type, value,
          |       floor(z * 10000) / 10000 AS z
          |FROM z WHERE abs(z) > 3.0 ORDER BY event_id""".stripMargin,
+
+    // the online semantics replayed relationally: prior-moment windows,
+    // identical formula operand order, warmup/σ/threshold guards,
+    // floor-quantized z
+    "q_zscore_stream" ->
+      s"""$evCte,
+         |o AS (SELECT event_type AS series, event_id, ts_us, value,
+         |             CAST(round(value * 100) AS BIGINT) AS vc FROM e),
+         |w AS (
+         |  SELECT series, event_id, ts_us, value, vc,
+         |         count(*) OVER win AS n_prior,
+         |         CAST(sum(vc) OVER win AS BIGINT) AS sx,
+         |         CAST(sum(CAST(vc AS HUGEINT) * vc) OVER win AS DOUBLE) AS sx2d
+         |  FROM o
+         |  WINDOW win AS (PARTITION BY series ORDER BY ts_us, event_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |z AS (
+         |  SELECT series, event_id, ts_us, value, vc, n_prior,
+         |         CAST(sx AS DOUBLE) / n_prior AS mean,
+         |         sqrt((CAST(n_prior AS DOUBLE) * sx2d -
+         |               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+         |              (CAST(n_prior AS DOUBLE) * (CAST(n_prior AS DOUBLE) - 1.0)))
+         |           AS sd
+         |  FROM w WHERE n_prior >= 30),
+         |f AS (
+         |  SELECT series, event_id, ts_us, value, n_prior,
+         |         (CAST(vc AS DOUBLE) - mean) / sd AS z
+         |  FROM z WHERE sd > 0)
+         |SELECT series, event_id, ts_us, value,
+         |       floor(z * 10000) / 10000 AS z,
+         |       CAST(n_prior AS BIGINT) AS n_seen
+         |FROM f WHERE abs(z) > 3.0
+         |ORDER BY series, event_id""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_id, user_id,
