@@ -177,6 +177,65 @@ object CdcQueries {
           col("after").isNull.as("after_nil"))
         .orderBy("lsn")),
 
+    // The reference's CORE LOOP as a gated streaming engine run (r8): a
+    // live `CdcStream.latestSnapshot` (per-key LSN-guarded state — the
+    // HandleFunc consumer postrack.go:96-117 exists to maintain) replays
+    // the lake feed in four LSN-chunked micro-batches; the final advance
+    // per key — picked distributively by max_by(lsn) over the Update-mode
+    // emissions, tombstones dropped — must equal the batch
+    // `Apply.latestSnapshot`, and the DuckDB batch SQL oracles the
+    // STREAMING engine's state directly. Result is lineage-cut so the
+    // memory sink and state-store tree can be dropped per run.
+    "cdc_stream_snapshot" -> ((s, dir) => {
+      import s.implicits._
+      val feedDir = ivmFeedMemo.get(s, dir) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-ivm").toString
+        feed(s, dir)
+          .select(col("lsn"), col("table_name").as("tableName"), col("op"),
+            col("pk"), col("ts_us").as("tsUs"), col("value"))
+          .repartitionByRange(4, col("lsn"))
+          .sortWithinPartitions("lsn")
+          .write.parquet(s"$tmp/feed")
+        s"$tmp/feed"
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft-snap-run").toString
+      val schema =
+        org.apache.spark.sql.Encoders.product[graft.streaming.Change].schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(feedDir).as[graft.streaming.Change]
+      val sink = "snap_gate_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = graft.streaming.CdcStream.latestSnapshot(stream)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // final advance per key, DISTRIBUTIVELY (a snapshot is O(live keys)
+      // — never driver-collected); per-batch emissions are ≤ 1 per key,
+      // so the sink holds ≤ 4 rows per key
+      val result = graft.operators.Checkpointing.cut(
+        s.table(sink)
+          .groupBy(col("table").as("table_name"), col("pk"))
+          .agg(max_by(struct(col("lsn"), col("op"), col("value"),
+            col("tombstoned")), col("lsn")).as("cur"))
+          .filter(!col("cur.tombstoned"))
+          .select(col("table_name"), col("pk"), col("cur.lsn").as("lsn"),
+            col("cur.op").as("op"), col("cur.value").as("value")))
+      s.catalog.dropTempView(sink)
+      def rm(p: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      rm(java.nio.file.Paths.get(tmp))
+      result.orderBy("table_name", "pk")
+    }),
+
     // Incremental view maintenance, GATED (r8 — VERDICT item 6): the lake
     // feed replays through the Structured Streaming IVM operator
     // (`CdcStream.maintainedAgg`) in four LSN-chunked micro-batches
@@ -261,6 +320,18 @@ object CdcQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // the streaming engine's final per-key state IS the batch latest
+    // snapshot (LSN-guarded advances; tombstones absent) — the
+    // cdc_latest_snapshot SQL without the props column the streaming
+    // Change payload doesn't carry
+    "cdc_stream_snapshot" ->
+      s"""$cte
+         |SELECT table_name, pk, lsn, op, value FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY table_name, pk
+         |             ORDER BY lsn DESC) AS rn
+         |  FROM feed)
+         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY table_name, pk""".stripMargin,
+
     // batch recompute of the maintained aggregate: live row per (table,
     // pk) = highest-LSN op ≠ DELETE; identical cents-long fold and ONE
     // display division
