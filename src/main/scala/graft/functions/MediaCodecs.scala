@@ -156,6 +156,30 @@ object MediaCodecs {
     * 0 is the "no samples" sentinel. Integer window assignment and sums;
     * the only float op is the final IEEE-double mean compare, which DuckDB
     * reproduces bit-for-bit. */
+  /** Nearest-neighbor 2× downsample (the RESIZE primitive of the media
+    * pipeline): thumb(x, y) = src(2x, 2y), dimensions ⌈w/2⌉ × ⌈h/2⌉ — the
+    * sampled coordinates stay in range for odd and even extents alike
+    * (2·(⌈n/2⌉−1) ≤ n−1). Pure integer index arithmetic, so any engine
+    * replays the byte selection exactly. */
+  def thumbnailHalf(pixels: Array[Byte], width: Int, height: Int)
+      : (Array[Byte], Int, Int) = {
+    require(width > 0 && height > 0 && pixels.length == width * height,
+      "thumbnailHalf: pixels must be width*height")
+    val w2 = (width + 1) / 2
+    val h2 = (height + 1) / 2
+    val out = new Array[Byte](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        out(y * w2 + x) = pixels(2 * y * width + 2 * x)
+        x += 1
+      }
+      y += 1
+    }
+    (out, w2, h2)
+  }
+
   def energyHash(samples: Array[Byte]): Long = {
     val n = samples.length
     if (n == 0) return 0L

@@ -139,6 +139,30 @@ object Multimodal {
     ds.mapPartitions { it => it.map(decodeOne) }.toDF()
   }
 
+  /** Image RESIZE pass: decode each 8bpp BMP, nearest-neighbor-downsample
+    * to half extent ([[MediaCodecs.thumbnailHalf]]), and emit the thumbnail
+    * geometry, its average-hash, and the exact integer sum of its sampled
+    * bytes (the strongest cheap gate on the byte selection). Same typed
+    * mapPartitions shape as [[extractFeatures]] — the batch-decode seam a
+    * real resize kernel (SIMD/GPU) would plug into. */
+  def imageThumbnails(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.filter(col("modality") === "image")
+      .select(col("doc_id"), col("modality"), col("payload")).as[DecodeInput]
+      .mapPartitions(_.map { r =>
+        val (w, h, channels) = MediaCodecs.parseBmp(r.payload)
+        require(channels == 1, s"thumbnail pass expects 8bpp, got ${channels * 8}")
+        val px = MediaCodecs.bmpPixels(r.payload)
+        val (tp, w2, h2) = MediaCodecs.thumbnailHalf(px, w, h)
+        var sum = 0L
+        var i = 0
+        while (i < tp.length) { sum += tp(i) & 0xFF; i += 1 }
+        (r.doc_id, w, h, w2, h2, MediaCodecs.averageHash(tp, w2, h2), sum)
+      })
+      .toDF("doc_id", "width", "height", "thumb_w", "thumb_h",
+        "thumb_phash", "thumb_checksum")
+  }
+
   /** Audio content fingerprints: (doc_id, ehash) over the audio slice —
     * the WAV data chunk's energy-envelope hash ([[MediaCodecs.energyHash]]).
     * Filter + projection stay Columns before the typed boundary so only

@@ -59,6 +59,19 @@ object MultimodalQueries {
     // whole pipeline replays in the oracle.
     "mm_near_dup" -> ((s, dir) => imagePairs(s, dir).orderBy("doc_a", "doc_b")),
 
+    // The RESIZE primitive (r8) — the one multimodal verb the tier didn't
+    // yet ship: decode each REAL 8bpp BMP, nearest-neighbor-downsample to
+    // half extent (thumb(x,y) = src(2x,2y) — pure integer index
+    // arithmetic, so the byte selection replays exactly), and report the
+    // thumbnail geometry, its average-hash, and the EXACT integer sum of
+    // the sampled bytes. Same typed mapPartitions batch-decode seam as the
+    // feature pass (where a SIMD/GPU resize kernel would plug in);
+    // map-only over the corpus, zero shuffles.
+    "mm_thumbnail" -> ((s, dir) =>
+      graft.operators.Multimodal.imageThumbnails(s,
+          graft.operators.Multimodal.asMedia(Tables.sharded(s, dir, "documents")))
+        .orderBy("doc_id")),
+
     // The pair graph's PRODUCTION consumption (the lesson the 30× scaling
     // audit recorded next to pigeonholePairs): when the near-dup relation
     // is dense, pair materialization is quadratic in family size, but the
@@ -791,6 +804,52 @@ object MultimodalQueries {
          |JOIN vfp hb ON hb.doc_id = c.doc_b
          |WHERE bit_count(xor(ha.fp, hb.fp)) <= 4
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // thumbnail replay: the synthesis pixel model (byte i of the UTF-8
+    // text, 0 past the end) sampled at src index 2·(i2//w2)·w + 2·(i2%w2),
+    // the same aHash cell algebra as imgHashCtes over the half extents,
+    // and the exact integer checksum of the sampled bytes
+    "mm_thumbnail" ->
+      s"""WITH $b2Cte,
+         |img AS (
+         |  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 2 AS h,
+         |         (doc_id % 13 + 4 + 1) // 2 AS w2,
+         |         (doc_id % 7 + 2 + 1) // 2 AS h2, hx, blen
+         |  FROM b2 WHERE doc_id % 3 = 0),
+         |tp0 AS (
+         |  SELECT doc_id, w, h, w2, h2, blen, hx,
+         |         unnest(range(w2 * h2)) AS i2
+         |  FROM img),
+         |tp AS (
+         |  SELECT doc_id, w, h, w2, h2, i2,
+         |         ((i2 // w2) * 8 // h2) * 8 + ((i2 % w2) * 8 // w2) AS cell,
+         |         CASE WHEN 2 * (i2 // w2) * w + 2 * (i2 % w2) < blen
+         |              THEN ('0x' || substr(hx,
+         |                     CAST(2 * (2 * (i2 // w2) * w + 2 * (i2 % w2)) + 1 AS INT),
+         |                     2))::BIGINT
+         |              ELSE 0 END AS p
+         |  FROM tp0),
+         |cells AS (
+         |  SELECT doc_id, cell, sum(p) AS cs, count(*) AS cc
+         |  FROM tp GROUP BY doc_id, cell),
+         |tot AS (
+         |  SELECT doc_id, sum(p) AS total, count(*) AS n,
+         |         CAST(sum(p) AS BIGINT) AS checksum
+         |  FROM tp GROUP BY doc_id),
+         |th AS (
+         |  SELECT c.doc_id,
+         |         CAST(sum(CASE WHEN CAST(c.cs AS DOUBLE) / c.cc >=
+         |                            CAST(t.total AS DOUBLE) / t.n
+         |                  THEN CASE WHEN c.cell = 63 THEN (-9223372036854775807 - 1)
+         |                            ELSE (1::BIGINT << CAST(c.cell AS INT)) END
+         |                  ELSE 0 END) AS BIGINT) AS thumb_phash
+         |  FROM cells c JOIN tot t ON t.doc_id = c.doc_id GROUP BY c.doc_id)
+         |SELECT i.doc_id,
+         |       CAST(i.w AS INTEGER) AS width, CAST(i.h AS INTEGER) AS height,
+         |       CAST(i.w2 AS INTEGER) AS thumb_w, CAST(i.h2 AS INTEGER) AS thumb_h,
+         |       th.thumb_phash, t.checksum AS thumb_checksum
+         |FROM img i JOIN th USING (doc_id) JOIN tot t USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // aHash replay (shared CTEs) + the same 5-block pigeonhole candidates
     // and hamming ≤ 4 verify; shift-then-mask is identical on both engines
