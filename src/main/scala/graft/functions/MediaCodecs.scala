@@ -148,14 +148,6 @@ object MediaCodecs {
     java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + dataLen)
   }
 
-  /** 64-bit energy-envelope fingerprint over unsigned 8-bit samples: sample
-    * i lands in window (i·64)/n, bit w is set iff window w's mean amplitude
-    * is at or above the global mean — [[averageHash]]'s audio analog (the
-    * classic coarse loudness-contour fingerprint). Like aHash, a real hash
-    * is never 0 (the loudest window's mean is always ≥ the global mean), so
-    * 0 is the "no samples" sentinel. Integer window assignment and sums;
-    * the only float op is the final IEEE-double mean compare, which DuckDB
-    * reproduces bit-for-bit. */
   /** Nearest-neighbor 2× downsample (the RESIZE primitive of the media
     * pipeline): thumb(x, y) = src(2x, 2y), dimensions ⌈w/2⌉ × ⌈h/2⌉ — the
     * sampled coordinates stay in range for odd and even extents alike
@@ -180,6 +172,14 @@ object MediaCodecs {
     (out, w2, h2)
   }
 
+  /** 64-bit energy-envelope fingerprint over unsigned 8-bit samples: sample
+    * i lands in window (i·64)/n, bit w is set iff window w's mean amplitude
+    * is at or above the global mean — [[averageHash]]'s audio analog (the
+    * classic coarse loudness-contour fingerprint). Like aHash, a real hash
+    * is never 0 (the loudest window's mean is always ≥ the global mean), so
+    * 0 is the "no samples" sentinel. Integer window assignment and sums;
+    * the only float op is the final IEEE-double mean compare, which DuckDB
+    * reproduces bit-for-bit. */
   def energyHash(samples: Array[Byte]): Long = {
     val n = samples.length
     if (n == 0) return 0L

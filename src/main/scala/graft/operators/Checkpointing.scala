@@ -26,4 +26,17 @@ object Checkpointing {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(eager = true)
     else df.localCheckpoint(true)
+
+  /** Recursive delete of a scratch tree (checkpoint/state-store dirs the
+    * streaming gates create per run) — ONE definition, because filesystem
+    * mutation logic must not drift across call-site clones. Quiet on a
+    * missing path; never follows symlinks (Files.walk does not by
+    * default). */
+  def deleteRecursively(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
 }

@@ -19,9 +19,23 @@ object CdcQueries {
 
   private val cte = ChangeFeed.oracleCte
 
-  /** LSN-chunked feed files for the streaming IVM gate — written once per
-    * (session, sf-dir). */
+  /** LSN-chunked feed files (4 range chunks) — the shared replay input of
+    * BOTH streaming gates, written once per (session, sf-dir). ONE
+    * writer on purpose: first-writer-wins memoization means a drifting
+    * clone of this block would silently poison the other gate. */
   private val ivmFeedMemo = new graft.operators.SessionMemo[String]
+
+  private def chunkedFeedDir(s: SparkSession, dir: String): String =
+    ivmFeedMemo.get(s, dir) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivm").toString
+      feed(s, dir)
+        .select(col("lsn"), col("table_name").as("tableName"), col("op"),
+          col("pk"), col("ts_us").as("tsUs"), col("value"))
+        .repartitionByRange(4, col("lsn"))
+        .sortWithinPartitions("lsn")
+        .write.parquet(s"$tmp/feed")
+      s"$tmp/feed"
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_event_mask" -> ((s, dir) =>
@@ -187,53 +201,26 @@ object CdcQueries {
     // STREAMING engine's state directly. Result is lineage-cut so the
     // memory sink and state-store tree can be dropped per run.
     "cdc_stream_snapshot" -> ((s, dir) => {
-      import s.implicits._
-      val feedDir = ivmFeedMemo.get(s, dir) {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-ivm").toString
-        feed(s, dir)
-          .select(col("lsn"), col("table_name").as("tableName"), col("op"),
-            col("pk"), col("ts_us").as("tsUs"), col("value"))
-          .repartitionByRange(4, col("lsn"))
-          .sortWithinPartitions("lsn")
-          .write.parquet(s"$tmp/feed")
-        s"$tmp/feed"
-      }
-      val tmp = java.nio.file.Files.createTempDirectory("graft-snap-run").toString
       val schema =
         org.apache.spark.sql.Encoders.product[graft.streaming.Change].schema
       val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-        .parquet(feedDir).as[graft.streaming.Change]
-      val sink = "snap_gate_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q = graft.streaming.CdcStream.latestSnapshot(stream)
-          .writeStream.format("memory").queryName(sink)
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      // final advance per key, DISTRIBUTIVELY (a snapshot is O(live keys)
-      // — never driver-collected); per-batch emissions are ≤ 1 per key,
-      // so the sink holds ≤ 4 rows per key
-      val result = graft.operators.Checkpointing.cut(
-        s.table(sink)
+        .parquet(chunkedFeedDir(s, dir)).as[graft.streaming.Change](
+          org.apache.spark.sql.Encoders.product[graft.streaming.Change])
+      graft.streaming.StreamGate.run(s,
+          graft.streaming.CdcStream.latestSnapshot(stream), "snap_gate",
+          org.apache.spark.sql.streaming.OutputMode.Update()) { sinkTable =>
+        // final advance per key, DISTRIBUTIVELY (a snapshot is O(live
+        // keys) — never driver-collected); per-batch emissions are ≤ 1
+        // per key, so the sink holds ≤ 4 rows per key. Lineage-cut so the
+        // result survives the sink drop.
+        graft.operators.Checkpointing.cut(sinkTable
           .groupBy(col("table").as("table_name"), col("pk"))
           .agg(max_by(struct(col("lsn"), col("op"), col("value"),
             col("tombstoned")), col("lsn")).as("cur"))
           .filter(!col("cur.tombstoned"))
           .select(col("table_name"), col("pk"), col("cur.lsn").as("lsn"),
             col("cur.op").as("op"), col("cur.value").as("value")))
-      s.catalog.dropTempView(sink)
-      def rm(p: java.nio.file.Path): Unit = {
-        import scala.jdk.CollectionConverters._
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-      rm(java.nio.file.Paths.get(tmp))
-      result.orderBy("table_name", "pk")
+      }.orderBy("table_name", "pk")
     }),
 
     // Incremental view maintenance, GATED (r8 — VERDICT item 6): the lake
@@ -250,71 +237,23 @@ object CdcQueries {
     // the O(tables) memory-sink table only.
     "cdc_maintained_agg" -> ((s, dir) => {
       import s.implicits._
-      // the chunked feed files are a pure function of the lake — write them
-      // once per (session, sf-dir) (the stored-artifact pattern); every
-      // invocation still runs its own streaming query over them
-      val feedDir = ivmFeedMemo.get(s, dir) {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-ivm").toString
-        feed(s, dir)
-          .select(col("lsn"), col("table_name").as("tableName"), col("op"),
-            col("pk"), col("ts_us").as("tsUs"), col("value"))
-          .repartitionByRange(4, col("lsn"))
-          .sortWithinPartitions("lsn")
-          .write.parquet(s"$tmp/feed")
-        s"$tmp/feed"
+      val schema =
+        org.apache.spark.sql.Encoders.product[graft.streaming.Change].schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(chunkedFeedDir(s, dir)).as[graft.streaming.Change]
+      val rows = graft.streaming.StreamGate.run(s,
+          graft.streaming.CdcStream.maintainedAgg(stream), "ivm_gate",
+          org.apache.spark.sql.streaming.OutputMode.Complete()) { sinkTable =>
+        // collect the O(tables) maintained table before the sink drops;
+        // tables with no live rows are excluded — the batch recompute
+        // (the oracle) groups over live rows only, while a Complete-mode
+        // group whose deltas netted to zero would linger as (table,0,0.0)
+        sinkTable.filter(col("live_rows") > 0)
+          .select(col("table").as("table_name"), col("live_rows"),
+            col("sum_value"))
+          .collect()
       }
-      val tmp = java.nio.file.Files.createTempDirectory("graft-ivm-run").toString
-      val schema = org.apache.spark.sql.Encoders.product[graft.streaming.Change].schema
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(feedDir)
-        .as[graft.streaming.Change]
-      val sink = "ivm_gate_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      // a STREAMING query pins numShufflePartitions into its checkpoint at
-      // start — that count sizes the state stores (files + commits per
-      // micro-batch, × 2 stateful operators × 4 batches). 32 is right for
-      // the batch suite but pays ~5 s of state-store file churn for an
-      // O(tables) aggregate; 8 keeps the same result (state partitioning
-      // never changes results) at a quarter of the churn. The session conf
-      // is restored after the (synchronous) drain — batch queries read it
-      // lazily at their own action time, and Verify/Bench are sequential.
-      // the conf stays pinned through the whole (synchronous) drain: the
-      // stream thread captures it asynchronously after start(), so an
-      // early restore would race the capture
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q = graft.streaming.CdcStream.maintainedAgg(stream)
-          .writeStream.format("memory").queryName(sink)
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      // the result must outlive the per-run scaffolding, so collect the
-      // O(tables) maintained table BEFORE dropping the memory sink and
-      // deleting the checkpoint/state-store tree (8 partitions × 2
-      // stateful operators × 4 batches of files per run — a 3-pass bench
-      // would otherwise leave 3 trees in /tmp and 3 pinned sink views)
-      val result = s.table(sink)
-        // drop tables with no live rows: the batch recompute (the oracle)
-        // groups over live rows only, while a Complete-mode group whose
-        // deltas netted to zero would linger as (table, 0, 0.0) — the
-        // agreed contract is "maintained aggregate OF LIVE ROWS"
-        .filter(col("live_rows") > 0)
-        .select(col("table").as("table_name"), col("live_rows"),
-          col("sum_value"))
-        .collect()
-      s.catalog.dropTempView(sink)
-      def rm(p: java.nio.file.Path): Unit = {
-        import scala.jdk.CollectionConverters._
-        if (java.nio.file.Files.exists(p)) {
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-      }
-      rm(java.nio.file.Paths.get(tmp))
-      result.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
         .toDF("table_name", "live_rows", "sum_value")
         .orderBy("table_name")
     }))

@@ -646,34 +646,22 @@ object RelationalQueries {
           .write.parquet(s"$tmp/feed")
         s"$tmp/feed"
       }
-      val tmp = java.nio.file.Files.createTempDirectory("graft-kmv-run").toString
       val schema =
         org.apache.spark.sql.Encoders.product[graft.streaming.SegmentKey].schema
       val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(feedDir).as[graft.streaming.SegmentKey]
-      val sink = "kmv_gate_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q = graft.streaming.SketchStream.kmvDistinct(stream, k)
-          .writeStream.format("memory").queryName(sink)
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      val updates = s.table(sink).as[graft.streaming.SketchRow].collect()
-      s.catalog.dropTempView(sink)
-      def rm(p: java.nio.file.Path): Unit = {
-        import scala.jdk.CollectionConverters._
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-      rm(java.nio.file.Paths.get(tmp))
-      implicit val arrOrd: Ordering[Seq[Long]] = Ordering.Implicits.seqOrdering
-      val finals = updates.groupBy(_.segment).toSeq.map { case (seg, rows) =>
-        val last = rows.minBy(r => (-r.mins.size, r.mins))
+      val finals = graft.streaming.StreamGate.run(s,
+          graft.streaming.SketchStream.kmvDistinct(stream, k), "kmv_gate",
+          org.apache.spark.sql.streaming.OutputMode.Update()) { sinkTable =>
+        sinkTable.as[graft.streaming.SketchRow].collect()
+      }.groupBy(_.segment).toSeq.map { case (seg, rows) =>
+        // final state per segment by the KMV partial order (size never
+        // shrinks; equal-size buffers are elementwise dominated) — never
+        // by sink append order
+        val last = {
+          implicit val arrOrd: Ordering[Seq[Long]] = Ordering.Implicits.seqOrdering
+          rows.minBy(r => (-r.mins.size, r.mins))
+        }
         (seg, last.mins.size.toLong, last.kmv_estimate)
       }
       finals.toDF("l_returnflag", "n_mins", "est")
@@ -1063,45 +1051,47 @@ object RelationalQueries {
       import s.implicits._
       val feedDir = zsFeedMemo.get(s, dir) {
         val tmp = java.nio.file.Files.createTempDirectory("graft-zs-stream").toString
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/feed"))
         val f = ev(s, dir).select(col("event_type").as("series"),
           col("event_id"), col("ts_us"), col("value"))
         val b = f.agg(min("ts_us").as("lo"), max("ts_us").as("hi")).head()
         val (lo, hi) = (b.getLong(0), b.getLong(1))
         val span = (hi - lo) / 4 + 1
+        // one FILE per time chunk with an explicitly STAMPED, strictly
+        // increasing mtime: FileStreamSource orders by mtime with a
+        // NONDETERMINISTIC tie-break, and an out-of-order chunk would be
+        // silently swallowed by the engine's stale-drop guard (this gate,
+        // unlike the KMV/CDC ones, has no order-independence to fall back
+        // on). No pre-sort — the operator sorts each micro-batch itself.
         for (i <- 0 until 4) {
+          val cdir = s"$tmp/c$i"
           f.filter(col("ts_us") >= lo + i * span &&
               col("ts_us") < lo + (i + 1) * span)
-            .sortWithinPartitions("ts_us", "event_id")
             .coalesce(1)
-            .write.mode("append").parquet(s"$tmp/feed")
+            .write.parquet(cdir)
+          import scala.jdk.CollectionConverters._
+          val part = java.nio.file.Files.list(java.nio.file.Paths.get(cdir))
+            .iterator().asScala
+            .find(p => p.getFileName.toString.startsWith("part-")
+              && p.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file written in $cdir"))
+          val target = java.nio.file.Paths.get(f"$tmp/feed/chunk-$i%04d.parquet")
+          java.nio.file.Files.move(part, target)
+          java.nio.file.Files.setLastModifiedTime(target,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000L + i * 60000L))
+          graft.operators.Checkpointing.deleteRecursively(cdir)
         }
         s"$tmp/feed"
       }
-      val tmp = java.nio.file.Files.createTempDirectory("graft-zs-run").toString
       val schema =
         org.apache.spark.sql.Encoders.product[graft.streaming.MetricEvent].schema
       val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(feedDir).as[graft.streaming.MetricEvent]
-      val sink = "zs_gate_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q = graft.streaming.SketchStream.zscoreOutliers(stream)
-          .writeStream.format("memory").queryName(sink)
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      val anomalies = s.table(sink).as[graft.streaming.Anomaly].collect()
-      s.catalog.dropTempView(sink)
-      def rm(p: java.nio.file.Path): Unit = {
-        import scala.jdk.CollectionConverters._
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
+      val anomalies = graft.streaming.StreamGate.run(s,
+          graft.streaming.SketchStream.zscoreOutliers(stream), "zs_gate",
+          org.apache.spark.sql.streaming.OutputMode.Append()) { sinkTable =>
+        sinkTable.as[graft.streaming.Anomaly].collect()
       }
-      rm(java.nio.file.Paths.get(tmp))
       anomalies.toSeq
         .toDF("series", "event_id", "ts_us", "value", "z", "n_seen")
         .orderBy("series", "event_id")

@@ -389,7 +389,7 @@ object CdcStream {
           var dCnt = 0L
           it.toVector.sortBy(_.lsn).foreach { c =>
             if (c.lsn > st.lsn) {
-              val cents = math.round(c.value * 100)
+              val cents = Cents(c.value * 100) // SQL-round parity (see Cents)
               if (c.op == "DELETE") {
                 if (st.live) { dSum -= st.cents; dCnt -= 1 }
                 st = RowImage(c.lsn, live = false, 0L)

@@ -24,6 +24,17 @@ final case class SketchRow(segment: String, mins: Seq[Long], kmv_estimate: Doubl
   * dashboard reading this stream and a nightly batch job reading the lake
   * report the SAME estimate.
   */
+/** Cents quantization with SQL-`round` semantics (BigDecimal of the EXACT
+  * double expansion, HALF_UP = half away from zero): Java `Math.round`
+  * rounds half toward +inf, so math.round(-0.5) = 0 where Spark/DuckDB
+  * round(-0.5) = -1 — a streaming engine must quantize exactly like its
+  * batch twin and the oracle, or negative half-cent values diverge. */
+private[streaming] object Cents {
+  def apply(v: Double): Long =
+    new java.math.BigDecimal(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+}
+
 object SketchStream {
 
   private val two48 = 281474976710656.0 // 2^48
@@ -76,7 +87,7 @@ object SketchStream {
             val inOrder = e.ts_us > st.ts_us ||
               (e.ts_us == st.ts_us && e.event_id > st.event_id)
             if (inOrder) {
-              val vc = math.round(e.value * 100)
+              val vc = Cents(e.value * 100)
               if (st.n >= warmup) {
                 val n = st.n.toDouble
                 val mean = st.sum_c.toDouble / n

@@ -112,7 +112,14 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
         }
       }
       plan.collect { case w: LWindow => w }.foreach { w =>
-        assert(windowOk(w) || cutAggWindows(name),
+        // the exemption is scoped to the specific shape it was added for
+        // (a window whose bounding Aggregate was lineage-cut to a
+        // LogicalRDD) — a LATER unbounded corpus-row window in the same
+        // query must still fail
+        val overCutArtifact = cutAggWindows(name) && w.child.collectFirst {
+          case _: org.apache.spark.sql.execution.LogicalRDD => true
+        }.getOrElse(false)
+        assert(windowOk(w) || overCutArtifact,
           s"$name window partitions only on strata columns with an " +
             s"unbounded child — the single-reducer sort class:\n$w")
       }
