@@ -27,7 +27,78 @@ object BehaviorQueries {
   /** Epoch-week bucket size in microseconds. */
   private val weekUs = 604800000000L
 
+  /** Time-ordered, mtime-stamped event chunks — the shared replay input of
+    * both streaming behavior gates (the AttrEvent payload is a superset of
+    * TransEvent's, so one feed serves both). */
+  private val behaviorFeedMemo = new graft.operators.SessionMemo[String]
+
+  private def behaviorFeedDir(s: SparkSession, dir: String): String =
+    behaviorFeedMemo.get(s, dir) {
+      graft.streaming.StreamGate.writeOrderedChunks(
+        ev(s, dir).select(col("user_id"), col("event_id"),
+          col("event_type"), col("ts_us"), col("value")),
+        "ts_us", chunks = 4, prefix = "graft-behavior-stream")
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // STREAMING transition matrix, gated (r8): `BehaviorStream.transitions`
+    // (per-user state = ONE last-event row, each arrival emits its
+    // (from → to) edge immediately) runs over the time-ordered chunk
+    // replay, and the edge emissions aggregate into the SAME matrix the
+    // batch q_transition_matrix computes — so the batch matrix SQL oracles
+    // the streaming ENGINE's emission set end-to-end. The matrix is built
+    // inside the gate run (O(types²) rows, lineage-cut) so the memory sink
+    // can drop.
+    "q_transitions_stream" -> ((s, dir) => {
+      import s.implicits._
+      val stream = s.readStream.schema(
+          org.apache.spark.sql.Encoders.product[graft.streaming.AttrEvent].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(behaviorFeedDir(s, dir))
+        .select("user_id", "event_id", "event_type", "ts_us")
+        .as[graft.streaming.TransEvent]
+      graft.streaming.StreamGate.run(s,
+          graft.streaming.BehaviorStream.transitions(stream), "trans_gate",
+          org.apache.spark.sql.streaming.OutputMode.Append()) { sinkTable =>
+        val m = sinkTable
+          .groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n_trans"))
+        val byFrom = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+        graft.operators.Checkpointing.cut(
+          m.withColumn("p_trans",
+            round(col("n_trans").cast("double") / sum("n_trans").over(byFrom), 4)))
+      }.orderBy("from_type", "to_type")
+    }),
+
+    // STREAMING last-touch attribution, gated (r8): each purchase is
+    // credited the moment it lands (`BehaviorStream.attribution` — per-user
+    // state is the current touch + last position), and the per-channel
+    // rollup over the emission set must equal the batch q_attribution
+    // window — the batch SQL oracles the streaming engine directly. Same
+    // 1e4-scaled revenue fold applied to the emitted purchases.
+    "q_attribution_stream" -> ((s, dir) => {
+      import s.implicits._
+      val stream = s.readStream.schema(
+          org.apache.spark.sql.Encoders.product[graft.streaming.AttrEvent].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(behaviorFeedDir(s, dir))
+        .as[graft.streaming.AttrEvent]
+      graft.streaming.StreamGate.run(s,
+          graft.streaming.BehaviorStream.attribution(stream), "attr_gate",
+          org.apache.spark.sql.streaming.OutputMode.Append()) { sinkTable =>
+        val p = sinkTable
+          .withColumn("rev4", round(col("value") * lit(10000)).cast("long"))
+        val tot = p.agg(count(lit(1)).as("total_conv"))
+        graft.operators.Checkpointing.cut(
+          p.groupBy("channel")
+            .agg(count(lit(1)).as("n_conversions"),
+              round(sum("rev4") / lit(10000.0), 4).as("attributed_value"))
+            .crossJoin(broadcast(tot))
+            .withColumn("share",
+              round(col("n_conversions").cast("double") / col("total_conv"), 4))
+            .select("channel", "n_conversions", "attributed_value", "share"))
+      }.orderBy("channel")
+    }),
     // Conversion funnel view → click → purchase with STRICT ordering: a
     // click only counts after the user's first view, a purchase only after
     // that qualifying click. Each stage is min-per-user over a filtered
@@ -197,6 +268,66 @@ object BehaviorQueries {
          |WHERE act.wk >= su.cohort_wk
          |GROUP BY su.cohort_wk, week_offset
          |ORDER BY cohort_wk, week_offset""".stripMargin,
+
+    // the batch matrix SQL oracles the streaming engine's emission set
+    "q_transitions_stream" ->
+      s"""$evCte,
+         |t AS (
+         |  SELECT event_type AS from_type,
+         |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type
+         |  FROM e),
+         |m AS (SELECT from_type, to_type, count(*) AS n_trans
+         |      FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT from_type, to_type, CAST(n_trans AS BIGINT) AS n_trans,
+         |       round(CAST(n_trans AS DOUBLE) / sum(n_trans) OVER (PARTITION BY from_type), 4) AS p_trans
+         |FROM m ORDER BY from_type, to_type""".stripMargin,
+
+    // the batch attribution SQL oracles the streaming engine's credits
+    "q_attribution_stream" ->
+      s"""$evCte,
+         |a AS (
+         |  SELECT *, last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+         |                            THEN event_type END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+         |  FROM e),
+         |p AS (SELECT COALESCE(touch, 'direct') AS channel,
+         |             CAST(round(value * 10000) AS BIGINT) AS rev4
+         |      FROM a WHERE event_type = 'purchase')
+         |SELECT channel, count(*) AS n_conversions,
+         |       round(CAST(sum(rev4) AS DOUBLE) / 10000.0, 4) AS attributed_value,
+         |       round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM p), 4) AS share
+         |FROM p GROUP BY channel ORDER BY channel""".stripMargin,
+
+    // the batch matrix SQL oracles the streaming engine's emission set
+    "q_transitions_stream" ->
+      s"""$evCte,
+         |t AS (
+         |  SELECT event_type AS from_type,
+         |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type
+         |  FROM e),
+         |m AS (SELECT from_type, to_type, count(*) AS n_trans
+         |      FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT from_type, to_type, CAST(n_trans AS BIGINT) AS n_trans,
+         |       round(CAST(n_trans AS DOUBLE) / sum(n_trans) OVER (PARTITION BY from_type), 4) AS p_trans
+         |FROM m ORDER BY from_type, to_type""".stripMargin,
+
+    // the batch attribution SQL oracles the streaming engine's credits
+    "q_attribution_stream" ->
+      s"""$evCte,
+         |a AS (
+         |  SELECT *, last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+         |                            THEN event_type END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+         |  FROM e),
+         |p AS (SELECT COALESCE(touch, 'direct') AS channel,
+         |             CAST(round(value * 10000) AS BIGINT) AS rev4
+         |      FROM a WHERE event_type = 'purchase')
+         |SELECT channel, count(*) AS n_conversions,
+         |       round(CAST(sum(rev4) AS DOUBLE) / 10000.0, 4) AS attributed_value,
+         |       round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM p), 4) AS share
+         |FROM p GROUP BY channel ORDER BY channel""".stripMargin,
 
     "q_transition_matrix" ->
       s"""$evCte,

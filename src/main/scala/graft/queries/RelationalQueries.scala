@@ -1050,38 +1050,10 @@ object RelationalQueries {
     "q_zscore_stream" -> ((s, dir) => {
       import s.implicits._
       val feedDir = zsFeedMemo.get(s, dir) {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-zs-stream").toString
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/feed"))
-        val f = ev(s, dir).select(col("event_type").as("series"),
-          col("event_id"), col("ts_us"), col("value"))
-        val b = f.agg(min("ts_us").as("lo"), max("ts_us").as("hi")).head()
-        val (lo, hi) = (b.getLong(0), b.getLong(1))
-        val span = (hi - lo) / 4 + 1
-        // one FILE per time chunk with an explicitly STAMPED, strictly
-        // increasing mtime: FileStreamSource orders by mtime with a
-        // NONDETERMINISTIC tie-break, and an out-of-order chunk would be
-        // silently swallowed by the engine's stale-drop guard (this gate,
-        // unlike the KMV/CDC ones, has no order-independence to fall back
-        // on). No pre-sort — the operator sorts each micro-batch itself.
-        for (i <- 0 until 4) {
-          val cdir = s"$tmp/c$i"
-          f.filter(col("ts_us") >= lo + i * span &&
-              col("ts_us") < lo + (i + 1) * span)
-            .coalesce(1)
-            .write.parquet(cdir)
-          import scala.jdk.CollectionConverters._
-          val part = java.nio.file.Files.list(java.nio.file.Paths.get(cdir))
-            .iterator().asScala
-            .find(p => p.getFileName.toString.startsWith("part-")
-              && p.getFileName.toString.endsWith(".parquet"))
-            .getOrElse(sys.error(s"no part file written in $cdir"))
-          val target = java.nio.file.Paths.get(f"$tmp/feed/chunk-$i%04d.parquet")
-          java.nio.file.Files.move(part, target)
-          java.nio.file.Files.setLastModifiedTime(target,
-            java.nio.file.attribute.FileTime.fromMillis(1000000000L + i * 60000L))
-          graft.operators.Checkpointing.deleteRecursively(cdir)
-        }
-        s"$tmp/feed"
+        graft.streaming.StreamGate.writeOrderedChunks(
+          ev(s, dir).select(col("event_type").as("series"),
+            col("event_id"), col("ts_us"), col("value")),
+          "ts_us", chunks = 4, prefix = "graft-zs-stream")
       }
       val schema =
         org.apache.spark.sql.Encoders.product[graft.streaming.MetricEvent].schema

@@ -25,6 +25,43 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 object StreamGate {
 
+  /** Write `f` as `chunks` time-span files with explicitly STAMPED,
+    * strictly increasing mtimes — the replay input for gates whose engine
+    * semantics depend on arrival order (stale-drop guards):
+    * FileStreamSource orders files by modification time with a
+    * NONDETERMINISTIC tie-break, so an unstamped multi-file feed could
+    * trigger a later chunk first and the engine would silently swallow
+    * the earlier one as stale. One definition — the stamping rule must
+    * not drift across gates. No pre-sort: every gated operator re-sorts
+    * its micro-batch by (ts, id) itself. */
+  def writeOrderedChunks(f: DataFrame, tsCol: String, chunks: Int,
+      prefix: String): String = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/feed"))
+    val b = f.agg(min(tsCol).as("lo"), max(tsCol).as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val span = (hi - lo) / chunks + 1
+    for (i <- 0 until chunks) {
+      val cdir = s"$tmp/c$i"
+      f.filter(col(tsCol) >= lo + i * span && col(tsCol) < lo + (i + 1) * span)
+        .coalesce(1)
+        .write.parquet(cdir)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(cdir))
+        .iterator().asScala
+        .find(p => p.getFileName.toString.startsWith("part-")
+          && p.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written in $cdir"))
+      val target = java.nio.file.Paths.get(f"$tmp/feed/chunk-$i%04d.parquet")
+      java.nio.file.Files.move(part, target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000L + i * 60000L))
+      graft.operators.Checkpointing.deleteRecursively(cdir)
+    }
+    s"$tmp/feed"
+  }
+
   def run[T](s: SparkSession, streamed: Dataset[_], sinkPrefix: String,
       mode: OutputMode)(extract: DataFrame => T): T = {
     val tmp = java.nio.file.Files.createTempDirectory(s"$sinkPrefix-run").toString
