@@ -218,6 +218,49 @@ class Round8OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want, s"diff: ${(got diff want).take(5)} / ${(want diff got).take(5)}")
   }
 
+  // ---- thumbnail resize ----------------------------------------------
+
+  test("thumbnailHalf samples src(2x,2y) for odd and even extents") {
+    import graft.functions.MediaCodecs
+    // 5×3 image with pixel value = 10*y + x — easy to read off
+    val w = 5; val h = 3
+    val px = Array.tabulate(w * h)(i => (10 * (i / w) + (i % w)).toByte)
+    val (tp, w2, h2) = MediaCodecs.thumbnailHalf(px, w, h)
+    assert((w2, h2) == (3, 2))
+    assert(tp.toSeq == Seq(0, 2, 4, 20, 22, 24).map(_.toByte),
+      "thumb must be the even-coordinate grid")
+    // even extents: 4×2 → 2×1
+    val (tp2, w4, h4) = MediaCodecs.thumbnailHalf(
+      Array.tabulate(8)(_.toByte), 4, 2)
+    assert((w4, h4) == (2, 1) && tp2.toSeq == Seq(0.toByte, 2.toByte))
+    // 1×1 degenerates to itself
+    val (tp3, a, b) = MediaCodecs.thumbnailHalf(Array(7.toByte), 1, 1)
+    assert((a, b) == (1, 1) && tp3.toSeq == Seq(7.toByte))
+  }
+
+  // ---- ordered chunk writer ------------------------------------------
+
+  test("writeOrderedChunks: strictly increasing stamped mtimes, lossless rows") {
+    val df = (1L to 100L).map(i => (i, i * 1000L)).toDF("id", "ts_us")
+    val feed = graft.streaming.StreamGate.writeOrderedChunks(
+      df, "ts_us", chunks = 4, prefix = "graft-chunk-spec")
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(feed))
+      .iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+    assert(files.map(_.getFileName.toString) ==
+      (0 until 4).map(i => f"chunk-$i%04d.parquet"))
+    val mtimes = files.map(java.nio.file.Files.getLastModifiedTime(_).toMillis)
+    assert(mtimes == mtimes.sorted && mtimes.distinct.size == 4,
+      s"mtimes must be strictly increasing stamps, got $mtimes")
+    // chunk i must hold strictly earlier timestamps than chunk i+1, and
+    // the union must be lossless
+    val back = spark.read.parquet(feed)
+    assert(back.count() == 100)
+    assert(back.select("id").as[Long].collect().toSet == (1L to 100L).toSet)
+    graft.operators.Checkpointing.deleteRecursively(
+      java.nio.file.Paths.get(feed).getParent.toString)
+  }
+
   // ---- BPE encoder ----------------------------------------------------
 
   test("text_bpe_encode: pieces concatenate to the term; merges actually applied") {
