@@ -299,36 +299,6 @@ object BehaviorQueries {
          |       round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM p), 4) AS share
          |FROM p GROUP BY channel ORDER BY channel""".stripMargin,
 
-    // the batch matrix SQL oracles the streaming engine's emission set
-    "q_transitions_stream" ->
-      s"""$evCte,
-         |t AS (
-         |  SELECT event_type AS from_type,
-         |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type
-         |  FROM e),
-         |m AS (SELECT from_type, to_type, count(*) AS n_trans
-         |      FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
-         |SELECT from_type, to_type, CAST(n_trans AS BIGINT) AS n_trans,
-         |       round(CAST(n_trans AS DOUBLE) / sum(n_trans) OVER (PARTITION BY from_type), 4) AS p_trans
-         |FROM m ORDER BY from_type, to_type""".stripMargin,
-
-    // the batch attribution SQL oracles the streaming engine's credits
-    "q_attribution_stream" ->
-      s"""$evCte,
-         |a AS (
-         |  SELECT *, last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
-         |                            THEN event_type END IGNORE NULLS)
-         |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
-         |  FROM e),
-         |p AS (SELECT COALESCE(touch, 'direct') AS channel,
-         |             CAST(round(value * 10000) AS BIGINT) AS rev4
-         |      FROM a WHERE event_type = 'purchase')
-         |SELECT channel, count(*) AS n_conversions,
-         |       round(CAST(sum(rev4) AS DOUBLE) / 10000.0, 4) AS attributed_value,
-         |       round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM p), 4) AS share
-         |FROM p GROUP BY channel ORDER BY channel""".stripMargin,
-
     "q_transition_matrix" ->
       s"""$evCte,
          |t AS (

@@ -38,28 +38,49 @@ object StreamGate {
       prefix: String): String = {
     import org.apache.spark.sql.functions.{col, max, min}
     val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/feed"))
-    val b = f.agg(min(tsCol).as("lo"), max(tsCol).as("hi")).head()
-    val (lo, hi) = (b.getLong(0), b.getLong(1))
-    val span = (hi - lo) / chunks + 1
-    for (i <- 0 until chunks) {
-      val cdir = s"$tmp/c$i"
-      f.filter(col(tsCol) >= lo + i * span && col(tsCol) < lo + (i + 1) * span)
-        .coalesce(1)
-        .write.parquet(cdir)
-      import scala.jdk.CollectionConverters._
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(cdir))
-        .iterator().asScala
-        .find(p => p.getFileName.toString.startsWith("part-")
-          && p.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file written in $cdir"))
-      val target = java.nio.file.Paths.get(f"$tmp/feed/chunk-$i%04d.parquet")
-      java.nio.file.Files.move(part, target)
-      java.nio.file.Files.setLastModifiedTime(target,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000L + i * 60000L))
-      graft.operators.Checkpointing.deleteRecursively(cdir)
+    // feeds are session-memoized artifacts, so they must outlive this call
+    // — but not the JVM: without this hook every driver session would
+    // leave a full parquet copy of its feed projections in /tmp forever
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.operators.Checkpointing.deleteRecursively(tmp)))
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/feed"))
+      // one scan computes the bounds + one scan per chunk below: persist
+      // so the projection is not recomputed chunks+1 times from the lake
+      val cached = f.persist()
+      try {
+        val b = cached.agg(min(tsCol).as("lo"), max(tsCol).as("hi")).head()
+        require(!b.isNullAt(0) && !b.isNullAt(1),
+          s"writeOrderedChunks($prefix): empty input — no $tsCol bounds")
+        val (lo, hi) = (b.getLong(0), b.getLong(1))
+        val span = (hi - lo) / chunks + 1
+        for (i <- 0 until chunks) {
+          val cdir = s"$tmp/c$i"
+          cached.filter(col(tsCol) >= lo + i * span &&
+              col(tsCol) < lo + (i + 1) * span)
+            .coalesce(1)
+            .write.parquet(cdir)
+          val listing = java.nio.file.Files.list(java.nio.file.Paths.get(cdir))
+          val part = try {
+            import scala.jdk.CollectionConverters._
+            listing.iterator().asScala
+              .find(p => p.getFileName.toString.startsWith("part-")
+                && p.getFileName.toString.endsWith(".parquet"))
+              .getOrElse(sys.error(s"no part file written in $cdir"))
+          } finally listing.close()
+          val target = java.nio.file.Paths.get(f"$tmp/feed/chunk-$i%04d.parquet")
+          java.nio.file.Files.move(part, target)
+          java.nio.file.Files.setLastModifiedTime(target,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000L + i * 60000L))
+          graft.operators.Checkpointing.deleteRecursively(cdir)
+        }
+      } finally cached.unpersist(blocking = false)
+      s"$tmp/feed"
+    } catch { case e: Throwable =>
+      // a half-built feed must not linger until JVM exit
+      graft.operators.Checkpointing.deleteRecursively(tmp)
+      throw e
     }
-    s"$tmp/feed"
   }
 
   def run[T](s: SparkSession, streamed: Dataset[_], sinkPrefix: String,

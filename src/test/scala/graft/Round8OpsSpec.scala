@@ -252,8 +252,17 @@ class Round8OpsSpec extends AnyFunSuite with SparkTestBase {
     val mtimes = files.map(java.nio.file.Files.getLastModifiedTime(_).toMillis)
     assert(mtimes == mtimes.sorted && mtimes.distinct.size == 4,
       s"mtimes must be strictly increasing stamps, got $mtimes")
-    // chunk i must hold strictly earlier timestamps than chunk i+1, and
-    // the union must be lossless
+    // chunk i must hold strictly earlier timestamps than chunk i+1 (the
+    // arrival-order contract the stale-drop gates rely on), and the union
+    // must be lossless
+    val ranges = files.map { p =>
+      val c = spark.read.parquet(p.toString).select("ts_us").as[Long].collect()
+      assert(c.nonEmpty, s"empty chunk ${p.getFileName}")
+      (c.min, c.max)
+    }
+    ranges.sliding(2).foreach { case Seq((_, maxA), (minB, _)) =>
+      assert(maxA < minB, s"chunk ranges must not interleave: $ranges")
+    }
     val back = spark.read.parquet(feed)
     assert(back.count() == 100)
     assert(back.select("id").as[Long].collect().toSet == (1L to 100L).toSet)
