@@ -218,6 +218,34 @@ object PipelineQueries {
         .orderBy("decile")
     }),
 
+    // QUALITY-SCORE CALIBRATION (r8): per fixed-width score decile (the
+    // quality_drift bucketing), how often the EXPENSIVE filter family
+    // (the four Gopher rules) agrees — the diagnostic that decides
+    // whether the cheap corpus-wide score can stand in for the rule set
+    // at the margin (a well-calibrated score shows a monotone pass-rate
+    // curve; an inversion means the score mis-ranks a band). One map-only
+    // scan computes score decile + rule flags + token count; the report
+    // is a 10-group aggregate. All ratios floor-quantize over identical
+    // single-division doubles (never round — the half-boundary rule).
+    "pipeline_quality_calibration" -> ((s, dir) => {
+      val q = graft.functions.Text.qualityScore(col("text"))
+      val g = graft.functions.Text.gopher(col("text"))
+      docs(s, dir).select(
+          least(floor(q * 10).cast("long"), lit(9L)).as("decile"),
+          (g.okWordCount * g.okMeanLen * g.okAlpha * g.okStop).as("gpass"),
+          graft.functions.Text.wsTokenCount(col("text")).as("toks"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("gpass").as("n_gopher_pass"),
+          sum("toks").as("tok_sum"))
+        .select(col("decile"), col("n_docs"), col("n_gopher_pass"),
+          (floor(col("n_gopher_pass").cast("double") / col("n_docs") * 10000)
+            / 10000).as("gopher_pass_rate"),
+          (floor(col("tok_sum").cast("double") / col("n_docs") * 10000)
+            / 10000).as("mean_tokens"))
+        .orderBy("decile")
+    }),
+
     // Filter-funnel attrition report — the observability pass every
     // production cleaning pipeline runs next to the pipeline itself: how
     // many docs survive each gate IN ORDER (a doc reaches gate i only if
@@ -526,6 +554,40 @@ object PipelineQueries {
         |SELECT source, count(*) AS n_total,
         |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    // same decile rule + the text_gopher_filters flag CTEs; floor-quantized
+    // single-division ratios
+    "pipeline_quality_calibration" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text,
+         |         regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t,
+         |         regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS lt,
+         |         CASE WHEN length(trim(text)) = 0 THEN 0
+         |              ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS n_words,
+         |         least(CAST(floor((${TextQueries.qualityScoreSql}) * 10)
+         |           AS BIGINT), 9) AS decile
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, decile, n_words,
+         |         len(t) AS n_tok,
+         |         length(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', '', 'g')) AS word_chars,
+         |         len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+         |         len(list_filter(lt, x -> x IN (${TextQueries.stopList}))) AS n_stop
+         |  FROM f),
+         |r AS (
+         |  SELECT decile, n_words,
+         |         (CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END) *
+         |         (CASE WHEN word_chars >= n_tok * 3 AND word_chars <= n_tok * 10 THEN 1 ELSE 0 END) *
+         |         (CASE WHEN n_alpha * 5 >= n_tok * 4 THEN 1 ELSE 0 END) *
+         |         (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS gpass
+         |  FROM g)
+         |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(gpass) AS BIGINT) AS n_gopher_pass,
+         |       floor(CAST(sum(gpass) AS DOUBLE) / count(*) * 10000) / 10000
+         |         AS gopher_pass_rate,
+         |       floor(CAST(sum(n_words) AS DOUBLE) / count(*) * 10000) / 10000
+         |         AS mean_tokens
+         |FROM r GROUP BY decile ORDER BY decile""".stripMargin,
 
     // same fixed-width deciles, integer cross-multiplied TVD numerator,
     // one final division

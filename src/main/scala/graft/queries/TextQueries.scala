@@ -564,7 +564,7 @@ object TextQueries {
         .orderBy("doc_id")
     }))
 
-  private val stopList = Text.stopwords.map(w => s"'$w'").mkString(", ")
+  private[queries] val stopList = Text.stopwords.map(w => s"'$w'").mkString(", ")
 
   /** The 4dp quality-score formula over a raw `text` column, as DuckDB
     * SQL — the ONE copy every quality-gating oracle embeds
