@@ -219,6 +219,38 @@ object TextQueries {
     // total rides a broadcast 1-row aggregate, never a driver collect.
     "text_lm_score" -> ((s, dir) => lmScored(s, dir).orderBy("doc_id")),
 
+    // BIGRAM corpus-LM scoring (r8) — the CCNet-style perplexity filter
+    // one order up from text_lm_score's unigram: per doc, the mean
+    // log P(w_i | w_{i-1}) under the corpus's own bigram counts (trained
+    // on itself, every observed bigram has count ≥ 1 — no backoff branch
+    // can fire, so the estimator stays a pure count ratio). Scale shape:
+    // pairing is a per-DOC lead window (bounded by a doc's token count,
+    // never a corpus window); the bigram table is map-side-combined
+    // O(observed bigrams); the two joins key on (a,b)/(a) — AQE-
+    // splittable, vocab too big to broadcast at corpus scale; the per-doc
+    // aggregate absorbs map-side. Same avg-ln + 4dp rounding discipline
+    // the gated text_lm_score established.
+    "text_lm_bigram" -> ((s, dir) => {
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val tok = docs(s, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          posexplode(Text.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
+      val pairs = tok
+        .withColumn("nxt", lead("w", 1).over(byDoc))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id"), col("w").as("a"), col("nxt").as("b"))
+      val big = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      val left = big.groupBy("a").agg(sum("c_ab").as("c_a"))
+      pairs.join(big, Seq("a", "b")).join(left, Seq("a"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log(col("c_ab").cast("double") / col("c_a"))), 4)
+            .as("lm2_score"))
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style corpus partition (Wenzek et al. 2020): per language, split
     // docs into head/middle/tail terciles by LM score. The boundaries come
     // from an integer score HISTOGRAM (score × 10⁴ as a long), not a
@@ -750,6 +782,23 @@ object TextQueries {
         |SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, s.lm_score
         |FROM documents d LEFT JOIN scored s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // same windowed pairing (lead per doc ≡ arr[i], arr[i+1]), count
+    // ratios, avg-ln + 4dp rounding as the unigram gate
+    "text_lm_bigram" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS arr
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |p AS (
+        |  SELECT doc_id, arr[i] AS a, arr[i + 1] AS b
+        |  FROM d, unnest(generate_series(1, len(arr) - 1)) AS t(i)),
+        |big AS (SELECT a, b, count(*) AS c_ab FROM p GROUP BY 1, 2),
+        |lf AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM big GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(avg(ln(CAST(c_ab AS DOUBLE) / c_a)), 4) AS lm2_score
+        |FROM p JOIN big USING (a, b) JOIN lf USING (a)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same LM CTE, then integer-histogram tercile boundaries per lang
     // (3·cum ≥ k·n — exact integer rank math, ties share a bucket)
