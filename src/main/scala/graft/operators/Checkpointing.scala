@@ -35,8 +35,13 @@ object Checkpointing {
   def deleteRecursively(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+    if (java.nio.file.Files.exists(p)) {
+      // materialize the listing, then close the walk stream BEFORE deleting:
+      // Files.walk holds a directory fd until closed, and deleting out from
+      // under a live walk is unspecified
+      val walk = java.nio.file.Files.walk(p)
+      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      paths.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 }

@@ -27,13 +27,14 @@ object CdcQueries {
 
   private def chunkedFeedDir(s: SparkSession, dir: String): String =
     ivmFeedMemo.get(s, dir) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-ivm").toString
-      feed(s, dir)
-        .select(col("lsn"), col("table_name").as("tableName"), col("op"),
-          col("pk"), col("ts_us").as("tsUs"), col("value"))
-        .repartitionByRange(4, col("lsn"))
-        .sortWithinPartitions("lsn")
-        .write.parquet(s"$tmp/feed")
+      val tmp = graft.streaming.StreamGate.sessionTempDir("graft-ivm") { t =>
+        feed(s, dir)
+          .select(col("lsn"), col("table_name").as("tableName"), col("op"),
+            col("pk"), col("ts_us").as("tsUs"), col("value"))
+          .repartitionByRange(4, col("lsn"))
+          .sortWithinPartitions("lsn")
+          .write.parquet(s"$t/feed")
+      }
       s"$tmp/feed"
     }
 

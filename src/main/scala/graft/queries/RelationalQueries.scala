@@ -637,13 +637,14 @@ object RelationalQueries {
       import s.implicits._
       val k = 64
       val feedDir = kmvFeedMemo.get(s, dir) {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-kmv-stream").toString
-        t(s, dir, "lineitem")
-          .select(col("l_returnflag").as("segment"),
-            conv(substring(md5(col("l_partkey").cast("string")), 1, 12), 16, 10)
-              .cast("long").as("key_hash"))
-          .repartition(4)
-          .write.parquet(s"$tmp/feed")
+        val tmp = graft.streaming.StreamGate.sessionTempDir("graft-kmv-stream") { td =>
+          t(s, dir, "lineitem")
+            .select(col("l_returnflag").as("segment"),
+              conv(substring(md5(col("l_partkey").cast("string")), 1, 12), 16, 10)
+                .cast("long").as("key_hash"))
+            .repartition(4)
+            .write.parquet(s"$td/feed")
+        }
         s"$tmp/feed"
       }
       val schema =
@@ -1059,14 +1060,13 @@ object RelationalQueries {
         org.apache.spark.sql.Encoders.product[graft.streaming.MetricEvent].schema
       val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(feedDir).as[graft.streaming.MetricEvent]
-      val anomalies = graft.streaming.StreamGate.run(s,
+      graft.streaming.StreamGate.run(s,
           graft.streaming.SketchStream.zscoreOutliers(stream), "zs_gate",
           org.apache.spark.sql.streaming.OutputMode.Append()) { sinkTable =>
-        sinkTable.as[graft.streaming.Anomaly].collect()
-      }
-      anomalies.toSeq
-        .toDF("series", "event_id", "ts_us", "value", "z", "n_seen")
-        .orderBy("series", "event_id")
+        // lineage-cut (distributed), never a driver collect: the anomaly
+        // emission set is O(outliers) and stays on executors end-to-end
+        graft.operators.Checkpointing.cut(sinkTable)
+      }.orderBy("series", "event_id")
     }),
 
     // JSON extraction from the props payload.

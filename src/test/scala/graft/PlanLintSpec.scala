@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, EqualNullSafe, EqualTo}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LocalRelation, LogicalPlan, Project, Window => LWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LocalRelation, LogicalPlan, Project, Sort, Window => LWindow}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Automated plan audit over EVERY gated query — the r3 anti-pattern class
@@ -61,6 +61,20 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
     * Both tables are O(groups × distinct-values/buckets), not corpus rows. */
   private val cutAggWindows = Set("q_approx_percentiles", "q_weighted_percentile")
 
+  /** True when `p` IS a lineage-cut artifact modulo row-shape-preserving
+    * unary nodes (Project/Filter/Sort): the window's direct bounded input,
+    * not merely "some checkpointed RDD exists somewhere below" — a corpus
+    * window whose subtree happens to contain a cut artifact (e.g. under a
+    * join) must NOT inherit the exemption (the r8 ADVICE tightening). */
+  @annotation.tailrec
+  private def unwrapsToCutArtifact(p: LogicalPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.LogicalRDD => true
+    case proj: Project => unwrapsToCutArtifact(proj.child)
+    case f: Filter => unwrapsToCutArtifact(f.child)
+    case srt: Sort => unwrapsToCutArtifact(srt.child)
+    case _ => false
+  }
+
   private def hasBoundedSubtree(p: LogicalPlan): Boolean = p.collectFirst {
     case _: Aggregate => ()
     case _: LocalRelation => ()
@@ -114,11 +128,10 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
       plan.collect { case w: LWindow => w }.foreach { w =>
         // the exemption is scoped to the specific shape it was added for
         // (a window whose bounding Aggregate was lineage-cut to a
-        // LogicalRDD) — a LATER unbounded corpus-row window in the same
-        // query must still fail
-        val overCutArtifact = cutAggWindows(name) && w.child.collectFirst {
-          case _: org.apache.spark.sql.execution.LogicalRDD => true
-        }.getOrElse(false)
+        // LogicalRDD, sitting DIRECTLY under the window) — a corpus-row
+        // window in the same query whose subtree merely contains a cut
+        // artifact must still fail
+        val overCutArtifact = cutAggWindows(name) && unwrapsToCutArtifact(w.child)
         assert(windowOk(w) || overCutArtifact,
           s"$name window partitions only on strata columns with an " +
             s"unbounded child — the single-reducer sort class:\n$w")
