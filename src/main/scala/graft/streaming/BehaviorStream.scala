@@ -98,28 +98,48 @@ object BehaviorStream {
     * DROPPED (the funnel's ignore-out-of-order rule) rather than paired
     * in arrival order, so a violated guarantee degrades to a missing edge,
     * never a wrong one. State is O(users), one small row each, never the
-    * event history. */
-  def transitions(events: Dataset[TransEvent]): Dataset[Transition] = {
+    * event history.
+    *
+    * State growth contract (the funnel's `completedTtlMs` posture): by
+    * default state is retained for every user ever seen — on an unbounded
+    * user-id space that grows forever. `idleTtlMs = Some(ttl)` evicts a
+    * user's last-event row after `ttl` ms without activity; a re-appearing
+    * user starts fresh, so the edge from the pre-eviction last event to
+    * the first post-eviction event is MISSING (never wrong), and the
+    * cross-batch stale-drop guard restarts from the new position. Default
+    * off: eviction changes the emission set, so it is an explicit
+    * deployment trade, not a silent one. */
+  def transitions(events: Dataset[TransEvent],
+      idleTtlMs: Option[Long] = None): Dataset[Transition] = {
     implicit val transEnc: Encoder[Transition] = Encoders.product[Transition]
     implicit val lastEnc: Encoder[LastEvent] = Encoders.product[LastEvent]
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    val timeoutConf =
+      if (idleTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[LastEvent, Transition](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (user: Long, it: Iterator[TransEvent], state: GroupState[LastEvent]) =>
-          var last = state.getOption
-          val out = Vector.newBuilder[Transition]
-          it.toVector.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-            val inOrder = last.forall(l =>
-              e.ts_us > l.ts_us || (e.ts_us == l.ts_us && e.event_id > l.event_id))
-            if (inOrder) {
-              last.foreach(l =>
-                out += Transition(user, l.event_type, e.event_type, e.ts_us))
-              last = Some(LastEvent(e.event_type, e.ts_us, e.event_id))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var last = state.getOption
+            val out = Vector.newBuilder[Transition]
+            it.toVector.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              val inOrder = last.forall(l =>
+                e.ts_us > l.ts_us || (e.ts_us == l.ts_us && e.event_id > l.event_id))
+              if (inOrder) {
+                last.foreach(l =>
+                  out += Transition(user, l.event_type, e.event_type, e.ts_us))
+                last = Some(LastEvent(e.event_type, e.ts_us, e.event_id))
+              }
             }
+            last.foreach(state.update)
+            idleTtlMs.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          last.foreach(state.update)
-          out.result().iterator
       }
   }
 
@@ -135,33 +155,50 @@ object BehaviorStream {
     * exact tie-break), batches are assumed event-time monotone per user,
     * and an event arriving at or before the stored position is DROPPED —
     * a violated guarantee degrades to a stale channel, never a
-    * retroactively rewritten one. State is O(users), one small row each. */
+    * retroactively rewritten one. State is O(users), one small row each.
+    *
+    * State growth contract (the funnel's `completedTtlMs` posture):
+    * `idleTtlMs = Some(ttl)` evicts a user's touch row after `ttl` ms
+    * without activity; a re-appearing user's purchase with no fresh prior
+    * touch credits 'direct' (the stale pre-eviction channel is dropped,
+    * never mis-credited), and the cross-batch stale-drop guard restarts.
+    * Default off — eviction changes credits, an explicit trade. */
   def attribution(events: Dataset[AttrEvent],
       touchTypes: Set[String] = Set("view", "click", "signup"),
-      purchaseType: String = "purchase"): Dataset[Attribution] = {
+      purchaseType: String = "purchase",
+      idleTtlMs: Option[Long] = None): Dataset[Attribution] = {
     implicit val attrEnc: Encoder[Attribution] = Encoders.product[Attribution]
     implicit val touchEnc: Encoder[TouchState] = Encoders.product[TouchState]
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    val timeoutConf =
+      if (idleTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[TouchState, Attribution](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (user: Long, it: Iterator[AttrEvent], state: GroupState[TouchState]) =>
-          var st = state.getOption.getOrElse(TouchState(None, Long.MinValue, Long.MinValue))
-          val out = Vector.newBuilder[Attribution]
-          it.toVector.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-            val inOrder = e.ts_us > st.ts_us ||
-              (e.ts_us == st.ts_us && e.event_id > st.event_id)
-            if (inOrder) {
-              if (e.event_type == purchaseType)
-                out += Attribution(user, e.event_id,
-                  st.touch.getOrElse("direct"), e.ts_us, e.value)
-              val touch =
-                if (touchTypes.contains(e.event_type)) Some(e.event_type) else st.touch
-              st = TouchState(touch, e.ts_us, e.event_id)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(TouchState(None, Long.MinValue, Long.MinValue))
+            val out = Vector.newBuilder[Attribution]
+            it.toVector.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              val inOrder = e.ts_us > st.ts_us ||
+                (e.ts_us == st.ts_us && e.event_id > st.event_id)
+              if (inOrder) {
+                if (e.event_type == purchaseType)
+                  out += Attribution(user, e.event_id,
+                    st.touch.getOrElse("direct"), e.ts_us, e.value)
+                val touch =
+                  if (touchTypes.contains(e.event_type)) Some(e.event_type) else st.touch
+                st = TouchState(touch, e.ts_us, e.event_id)
+              }
             }
+            state.update(st)
+            idleTtlMs.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 }

@@ -9,6 +9,45 @@ import graft.streaming.{AttrEvent, Attribution, CdcStream, Change, FunnelEvent, 
 class StreamingSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
+  test("gate lint: no driver-memory sink or O(emissions) collect in any gate path") {
+    // the r8 VERDICT's harness defect, pinned closed: a `format("memory")`
+    // sink holds the WHOLE emission set on the driver (~6 M journey edges
+    // at sf1 for q_transitions_stream), so no production source may use
+    // one — StreamGate drains through a per-run parquet file sink
+    // (memory-sink streams remain fine in TESTS, where inputs are tiny).
+    // And no gate extractor may collect() the sink: the two exceptions are
+    // bounded by construction and named here so a new one is a loud diff.
+    import scala.jdk.CollectionConverters._
+    val srcMain = java.nio.file.Paths.get("src/main/scala")
+    val walk = java.nio.file.Files.walk(srcMain)
+    val sources = try walk.iterator().asScala
+      .filter(_.toString.endsWith(".scala")).toVector finally walk.close()
+    assert(sources.nonEmpty)
+    for (p <- sources) {
+      val text = java.nio.file.Files.readString(p)
+      assert(!text.contains("format(\"memory\")"),
+        s"$p uses a driver-memory sink — gates must drain to the file sink")
+      // every StreamGate.run extractor block: no .collect() within the
+      // 15 lines following the call, except the named bounded extractors
+      // (q_kmv_stream: O(segments × batches × k); cdc_maintained_agg:
+      // O(tables))
+      val lines = text.linesIterator.toVector
+      val allowed = Set("RelationalQueries.scala", "CdcQueries.scala")
+      for (i <- lines.indices if lines(i).contains("StreamGate.run")) {
+        val window = lines.slice(i, i + 15).mkString("\n")
+        if (window.contains(".collect()"))
+          assert(allowed(p.getFileName.toString),
+            s"$p line ${i + 1}: gate extractor collects the sink — " +
+              "only the named bounded extractors may")
+      }
+    }
+    // and the shared gate driver is the file-sink drain
+    val gate = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("src/main/scala/graft/streaming/StreamGate.scala"))
+    assert(gate.contains("foreachBatch") && gate.contains(".parquet(sinkDir)"),
+      "StreamGate.run must drain micro-batches to a parquet file sink")
+  }
+
   test("streaming latestSnapshot: upserts across micro-batches, LSN wins") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Change]
@@ -763,6 +802,65 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       val streamed = got.groupBy(t => (t.from_type, t.to_type))
         .view.mapValues(_.size.toLong).toMap
       assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("transitions idleTtl evicts idle users; re-appearance loses the bridging edge") {
+    // with a 1 ms idle TTL, a user silent for a full TTL window is evicted:
+    // the edge from the pre-eviction last event to the first post-eviction
+    // event is MISSING (the documented bounded-state trade — never a wrong
+    // edge), and pairing resumes normally from the re-appearance. With the
+    // default (no TTL) the same sequence keeps the bridging edge — pinned by
+    // the cross-batch test above. Funnel-TTL caveat: ProcessingTimeTimeout
+    // keeps the engine triggering, so the sink is POLLED.
+    implicit val sqlCtx = spark.sqlContext
+    def edges = spark.table("transttl").as[Transition].collect().toSet
+    def eventually(what: String)(f: => Boolean): Unit = {
+      val end = System.currentTimeMillis + 30000
+      while (System.currentTimeMillis < end && !f) Thread.sleep(50)
+      assert(f, s"condition not reached: $what; got $edges")
+    }
+    val input = MemoryStream[TransEvent]
+    val q = streaming.BehaviorStream.transitions(input.toDS(), idleTtlMs = Some(1L))
+      .writeStream.format("memory").queryName("transttl")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(TransEvent(1, 1, "view", 100), TransEvent(1, 2, "click", 200))
+      eventually("pre-eviction edge")(edges.contains(Transition(1, "view", "click", 200)))
+      Thread.sleep(2000) // > TTL by orders of magnitude: u1's state evicts
+      input.addData(TransEvent(1, 3, "purchase", 300), TransEvent(1, 4, "view", 400))
+      // the click→purchase bridge is gone; the post-eviction pair emits
+      eventually("post-eviction pairing resumes")(
+        edges.contains(Transition(1, "purchase", "view", 400)))
+      assert(!edges.contains(Transition(1, "click", "purchase", 300)),
+        s"evicted state must lose the bridging edge, not replay it; got $edges")
+    } finally q.stop()
+  }
+
+  test("attribution idleTtl: a post-eviction purchase credits direct, never stale") {
+    implicit val sqlCtx = spark.sqlContext
+    def credits = spark.table("attrttl").as[Attribution].collect().toSeq
+    def eventually(what: String)(f: => Boolean): Unit = {
+      val end = System.currentTimeMillis + 30000
+      while (System.currentTimeMillis < end && !f) Thread.sleep(50)
+      assert(f, s"condition not reached: $what; got $credits")
+    }
+    val input = MemoryStream[AttrEvent]
+    val q = streaming.BehaviorStream.attribution(input.toDS(), idleTtlMs = Some(1L))
+      .writeStream.format("memory").queryName("attrttl")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // touch, then an immediate purchase: credited to the touch
+      input.addData(AttrEvent(1, 1, "click", 100, 0.0),
+        AttrEvent(1, 2, "purchase", 200, 5.0))
+      eventually("in-window purchase credits the touch")(
+        credits.exists(a => a.event_id == 2 && a.channel == "click"))
+      Thread.sleep(2000) // idle past the TTL: the touch row evicts
+      // a purchase after eviction has no surviving touch → 'direct' (the
+      // stale channel is dropped, never mis-credited)
+      input.addData(AttrEvent(1, 3, "purchase", 300, 7.0))
+      eventually("post-eviction purchase is direct")(
+        credits.exists(a => a.event_id == 3 && a.channel == "direct"))
     } finally q.stop()
   }
 
