@@ -38,7 +38,83 @@ object CdcQueries {
       s"$tmp/feed"
     }
 
+  /** Lake dir written by a REAL socket capture run (gated, r9 — VERDICT
+    * item 3): the synthetic pgoutput frames served through
+    * [[graft.streaming.LoopbackPgServer]] (the in-process primary speaking
+    * the public v3 replication wire protocol), captured by
+    * [[graft.streaming.SocketCapture]] — the reference's live consumer
+    * loop (postrack.go:86-117, 287-341) with standby acks, a mid-stream
+    * hard disconnect, and a durable-watermark reconnect — into an
+    * append-only frame lake. Memoized per (session, sf-dir): capture is
+    * ONE replication connection per slot (a protocol constraint — Postgres
+    * serves a slot to a single consumer), so the capture side is
+    * driver-side single-threaded BY DESIGN and the harness holds the
+    * served frame feed in driver memory (bounded by the synthetic feed;
+    * a real deployment's primary holds the WAL, not the client). The
+    * distributed half — decode, canonical feed, every downstream query —
+    * reads the lake files.
+    *
+    * Data frames ride a ×100 LSN grid so the per-session Relation re-sends
+    * (assigned watermark+1, +2 by the primary, as Postgres re-sends
+    * RelationMessages per session) can never collide with a data LSN. */
+  private val captureLakeMemo = new graft.operators.SessionMemo[String]
+
+  private def capturedLakeDir(s: SparkSession, dir: String): String =
+    captureLakeMemo.get(s, dir) {
+      val feedCols = Seq("pk", "ts_us", "value", "props")
+      def rel(id: Int, name: String) = graft.cdc.RelationMsg(
+        id, "public", name, 'd'.toByte,
+        feedCols.map(c => graft.cdc.PgColumn(0, c, 25 /* text */, -1)))
+      val relations = Seq(
+        PgOutput.encode(rel(ChangeFeed.usersRelId, "users")),
+        PgOutput.encode(rel(ChangeFeed.accountsRelId, "accounts")))
+      // the data frames framesFromEvents encodes (relation frames — lsn < 0
+      // — dropped: the PRIMARY owns relation framing per session),
+      // re-gridded to (event_id + 1) × 100: event_ids start at 0 and the
+      // wire start position is confirmed_flush_lsn + 1 = 1, so lsn 0 would
+      // sit below the initial request
+      val data = PgOutput.framesFromEvents(s, Tables(s, dir, "events"))
+        .filter(col("lsn") >= 0)
+        .select(((col("lsn") + 1) * 100).as("lsn"), col("data"))
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+        .sortBy(_._1).toSeq
+      val tmp = graft.streaming.StreamGate.sessionTempDir("graft-capture") { t =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$t/lake"))
+        val server = new graft.streaming.LoopbackPgServer(
+          relations, data,
+          // mid-stream hard disconnect halfway: the gate exercises the
+          // reconnect-from-confirmed_flush_lsn+1 path, not just the happy
+          // stream (capture content is identical either way — the flush
+          // filter dedups re-sent frames against the durable watermark)
+          dropAfterFrames = math.max(1, data.size / 2),
+          keepaliveEvery = 256).start()
+        val slots = new SlotStore(s"$t/slots")
+        slots.setSlot("graft_capture")
+        val stats = new graft.streaming.SocketCapture(
+          host = "127.0.0.1", port = server.port, database = "db",
+          user = "graft", slot = "graft_capture",
+          publication = "pub_graft_capture", slots = slots, spark = s,
+          frameLakeDir = s"$t/lake", flushEvery = 4096).run()
+        server.awaitFinished()
+        require(stats.cleanEnd, s"capture did not end cleanly: $stats")
+      }
+      s"$tmp/lake"
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The reference's LIVE capture loop inside the hash gate (r9): frames
+    // travel the real TCP replication wire (CopyBoth, XLogData, keepalive
+    // acks, one hard disconnect + durable-watermark resume), land in the
+    // frame lake, and the DISTRIBUTED decode of that lake must equal the
+    // batch replay of the logical feed — the cdc_pgoutput_decode oracle on
+    // the ×100 LSN grid. End-to-end: wire bytes → lake → broadcast-registry
+    // decode → canonical feed.
+    "cdc_capture_loopback" -> ((s, dir) =>
+      PgOutput.toCanonicalFeed(PgOutput.decodeFeed(s,
+          s.read.parquet(capturedLakeDir(s, dir))))
+        .select("lsn", "table_name", "op", "pk", "ts_us", "value")
+        .orderBy("lsn")),
+
     "cdc_event_mask" -> ((s, dir) =>
       Publication("users", eventMask = Set("INSERT", "DELETE"))(feed(s, dir))
         .select("lsn", "op", "pk", "value")
@@ -341,6 +417,15 @@ object CdcQueries {
     "cdc_pgoutput_decode" ->
       s"""$cte
          |SELECT lsn, table_name, op, pk, ts_us, value FROM feed
+         |ORDER BY lsn""".stripMargin,
+
+    // the batch replay of the logical feed on the capture run's
+    // (event_id + 1) × 100 LSN grid — what the socket-captured lake must
+    // decode back to, byte for byte, through the wire +
+    // disconnect/reconnect + flush-dedup path
+    "cdc_capture_loopback" ->
+      s"""$cte
+         |SELECT (lsn + 1) * 100 AS lsn, table_name, op, pk, ts_us, value FROM feed
          |ORDER BY lsn""".stripMargin,
 
     "cdc_latest_snapshot" ->

@@ -1,15 +1,19 @@
-package graft.tools
+package graft.streaming
 
 import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
 import java.net.{ServerSocket, Socket, SocketTimeoutException}
 
 import scala.collection.mutable.ArrayBuffer
 
-import graft.streaming.PgWire
-import graft.streaming.PgWire._
+import PgWire._
 
-/** In-test primary: a TCP server speaking the replication-relevant subset of
-  * the Postgres v3 wire protocol — startup with `replication=database`,
+/** In-process primary: a TCP server speaking the replication-relevant subset
+  * of the Postgres v3 wire protocol — the serving side of the live capture
+  * loop in a sandbox with no database. Promoted from the test tree in r9 so
+  * the `cdc_capture_loopback` ORACLE GATE can run the reference's consumer
+  * loop (postrack.go:287-341) over a real socket end-to-end; the specs
+  * (ReplicationSocketSpec, BootstrapSpec) drive the same class. Serves
+  * startup with `replication=database`,
   * `START_REPLICATION ... LOGICAL` → CopyBothResponse, CopyData-wrapped
   * XLogData frames and keepalives, standby status collection, and the
   * Postgres reconnect behaviors the reference's loop depends on

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions.{col, element_at}
 
 import graft.cdc.{Bootstrap, ChangeEvent, DeleteMsg, InsertMsg, PgColumn, PgOutput, PgTuple, Publication, RelationMsg, TruncateMsg, UpdateMsg}
-import graft.tools.LoopbackPgServer
+import graft.streaming.LoopbackPgServer
 
 /** The reference's README-level usage reproduced 1:1:
   * `Bootstrap(slot, tables, events, lsn, handle)` (postrack.go:320-338)

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.cdc.{ChangeEvent, DeleteMsg, InsertMsg, PgColumn, PgOutput, PgTuple, RelationMsg, SlotStore, TruncateMsg, UpdateMsg}
 import graft.streaming.{PgOutputStream, SocketCapture}
-import graft.tools.LoopbackPgServer
+import graft.streaming.LoopbackPgServer
 
 /** The last reference seam, closed without a database: the live capture loop
   * (postrack.go:86-117, 287-341) driven over a REAL TCP socket against an
