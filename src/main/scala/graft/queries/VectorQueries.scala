@@ -158,12 +158,17 @@ object VectorQueries {
     * knn_ivf index (memo reused, no duplicate Lloyd) and the static
     * DuckDB build replay stays exact there. */
   private val graphMemo = new graft.operators.SessionMemo[DataFrame]
+  private val scaledGraphMemo = new graft.operators.SessionMemo[DataFrame]
 
-  private def graphIndex(s: SparkSession, dir: String): DataFrame =
-    graphMemo.get(s, dir) {
+  /** Shared corpus-scaled quantizer build: k = max(kMin, ⌈N/perCell⌉),
+    * reusing the shared k=16 knn_ivf index when the rule resolves there. */
+  private def scaledIndex(s: SparkSession, dir: String,
+      memo: graft.operators.SessionMemo[DataFrame],
+      perCell: Long, kMin: Int): DataFrame =
+    memo.get(s, dir) {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
       val n = e.count()
-      val k = math.max(16L, (n + 1023L) / 1024L).toInt
+      val k = math.max(kMin.toLong, (n + perCell - 1) / perCell).toInt
       if (k == 16) ivfIndex(s, dir)._2
       else {
         val cut = e.transform(graft.operators.Checkpointing.cut)
@@ -173,6 +178,31 @@ object VectorQueries {
           .transform(graft.operators.Checkpointing.cut)
       }
     }
+
+  private def graphIndex(s: SparkSession, dir: String): DataFrame =
+    scaledIndex(s, dir, graphMemo, perCell = 1024L, kMin = 16)
+
+  /** Every vector's top-3 in-cell neighbors over `index` — the shared body
+    * of emb_knn_graph and its forced-scaled gate variant. */
+  private def knnGraphOver(s: SparkSession, index: DataFrame): DataFrame = {
+    val a = index.select(col("cluster"), col("vec_id"), col("embedding"))
+    val b = index.select(col("cluster").as("cl_b"),
+      col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    val scored = a.join(b,
+        col("cluster") === col("cl_b") && col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        round(graft.plans.CosineSim.cosine(s, col("embedding"), col("n_emb")), 4)
+          .as("cos"))
+    Relational.topKByScore(scored, "vec_id", "cos", "neighbor_id", 3)
+  }
+
+  /** The k>16 BRANCH of the corpus-scaled quantizer, forced at gate SFs
+    * (r9 — VERDICT item 4): perCell = 24 and kMin = 17 resolve to k = 21
+    * at N = 500, so the scaled Lloyd build — the r8 fix that made the
+    * kNN-graph pair mass linear — is itself hash-checked by the oracle's
+    * dynamic-k replay instead of being exercised only by measurement. */
+  private def scaledGraphIndex(s: SparkSession, dir: String): DataFrame =
+    scaledIndex(s, dir, scaledGraphMemo, perCell = 24L, kMin = 17)
 
   private def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     ivfMemo.get(s, dir) {
@@ -310,19 +340,16 @@ object VectorQueries {
     // — the pair stream is never globally sorted), and the entire chain —
     // quantizer build, assignment, cosine, ranking — replays in DuckDB via
     // the shared knn_ivf build CTEs.
-    "emb_knn_graph" -> ((s, dir) => {
-      val index = graphIndex(s, dir)
-      val a = index.select(col("cluster"), col("vec_id"), col("embedding"))
-      val b = index.select(col("cluster").as("cl_b"),
-        col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
-      val scored = a.join(b,
-          col("cluster") === col("cl_b") && col("vec_id") =!= col("neighbor_id"))
-        .select(col("vec_id"), col("neighbor_id"),
-          round(graft.plans.CosineSim.cosine(s, col("embedding"), col("n_emb")), 4)
-            .as("cos"))
-      Relational.topKByScore(scored, "vec_id", "cos", "neighbor_id", 3)
-        .orderBy("vec_id", "rk")
-    }),
+    "emb_knn_graph" -> ((s, dir) =>
+      knnGraphOver(s, graphIndex(s, dir)).orderBy("vec_id", "rk")),
+
+    // The SAME graph over the forced k>16 quantizer (see scaledGraphIndex):
+    // the corpus-scaled Lloyd build replays in the oracle with k computed
+    // from the corpus count (GREATEST(17, ⌈N/24⌉) — DuckDB LIMIT takes a
+    // subquery), so the scaled branch's init, folds, assignment and in-cell
+    // graph are all inside the hash gate.
+    "emb_knn_graph_scaled" -> ((s, dir) =>
+      knnGraphOver(s, scaledGraphIndex(s, dir)).orderBy("vec_id", "rk")),
 
     // Radius (range) search: every neighbor within cosine ≥ 0.25 of each
     // sampled query — the fixed-threshold dual of top-k. Map-only at any
@@ -822,18 +849,42 @@ object VectorQueries {
   /** The quantizer-build prefix (init → 2 Lloyd rounds → final inverted
     * lists in `idx`, trained centroids in `c2`) shared by the knn_ivf and
     * knn_ivf_stats oracles. */
-  private val ivfBuildCtes: String =
+  private def ivfBuildCtesK(kExpr: String): String =
     s"""sv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |dims AS (SELECT len(v) AS d FROM sv LIMIT 1),
        |c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cluster,
        |         v AS centroid
-       |  FROM (SELECT vec_id, v FROM sv ORDER BY vec_id LIMIT 16)),
+       |  FROM (SELECT vec_id, v FROM sv ORDER BY vec_id LIMIT $kExpr)),
        |${ivfAssignCte("a1", "c0")},
        |${ivfUpdateCtes("c1", "a1")},
        |${ivfAssignCte("a2", "c1")},
        |${ivfUpdateCtes("c2", "a2")},
        |${ivfAssignCte("idx", "c2")}""".stripMargin
+
+  private val ivfBuildCtes: String = ivfBuildCtesK("16")
+
+  /** The kNN-graph tail over whichever build prefix precedes it: in-cell
+    * pairs, 4dp cosine, top-3 by (cos desc, neighbor_id). */
+  private val knnGraphTailCtes: String =
+    s"""g AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |         round(list_cosine_similarity(sa.v, sb.v), 4) AS cos
+       |  FROM idx a
+       |  JOIN idx b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+       |  JOIN sv sa ON sa.vec_id = a.vec_id
+       |  JOIN sv sb ON sb.vec_id = b.vec_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+       |  FROM g)
+       |SELECT vec_id, rk, neighbor_id, cos FROM ranked WHERE rk <= 3
+       |ORDER BY vec_id, rk""".stripMargin
+
+  /** The forced-scaled quantizer build (scaledGraphIndex's k rule as SQL —
+    * DuckDB's LIMIT accepts a subquery, so k tracks the corpus count). */
+  private val scaledBuildCtes: String = ivfBuildCtesK(
+    "(SELECT GREATEST(17, CAST(ceil(count(*) / 24.0) AS INT)) FROM embeddings)")
 
   private val ivfOracle: String =
     s"""WITH $ivfBuildCtes,
@@ -935,19 +986,13 @@ object VectorQueries {
     // (cos desc, neighbor_id) tie rule
     "emb_knn_graph" ->
       s"""WITH $ivfBuildCtes,
-         |g AS (
-         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
-         |         round(list_cosine_similarity(sa.v, sb.v), 4) AS cos
-         |  FROM idx a
-         |  JOIN idx b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
-         |  JOIN sv sa ON sa.vec_id = a.vec_id
-         |  JOIN sv sb ON sb.vec_id = b.vec_id),
-         |ranked AS (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
-         |             ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
-         |  FROM g)
-         |SELECT vec_id, rk, neighbor_id, cos FROM ranked WHERE rk <= 3
-         |ORDER BY vec_id, rk""".stripMargin,
+         |$knnGraphTailCtes""".stripMargin,
+
+    // the identical graph over the corpus-scaled (k>16) quantizer build —
+    // the whole scaled Lloyd chain replayed with dynamic k
+    "emb_knn_graph_scaled" ->
+      s"""WITH $scaledBuildCtes,
+         |$knnGraphTailCtes""".stripMargin,
 
     // same build prefix, then the per-list report: sizes, shares, and the
     // 1e4-scaled cohesion sums over 4dp-rounded cosines. The cosine here
