@@ -237,17 +237,25 @@ object TextQueries {
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"),
           posexplode(Text.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
-      val pairs = tok
+      // pre-aggregate the occurrence stream to (doc, a, b, n) BEFORE any
+      // join (r9 — VERDICT item 6): both join inputs shrink by the
+      // duplicate factor (the joins carry distinct per-doc bigrams, never
+      // corpus token occurrences), and the per-doc mean becomes the
+      // n-weighted mean over distinct bigrams — same value, since
+      // avg(log x over occurrences) = Σ n·log(x) / Σ n
+      val docPairs = tok
         .withColumn("nxt", lead("w", 1).over(byDoc))
         .filter(col("nxt").isNotNull)
         .select(col("doc_id"), col("w").as("a"), col("nxt").as("b"))
-      val big = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+        .groupBy("doc_id", "a", "b").agg(count(lit(1)).as("n"))
+      val big = docPairs.groupBy("a", "b").agg(sum("n").as("c_ab"))
       val left = big.groupBy("a").agg(sum("c_ab").as("c_a"))
-      pairs.join(big, Seq("a", "b")).join(left, Seq("a"))
+      docPairs.join(big, Seq("a", "b")).join(left, Seq("a"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(log(col("c_ab").cast("double") / col("c_a"))), 4)
-            .as("lm2_score"))
+        .agg(sum("n").as("n_bigrams"),
+          round(sum(col("n").cast("double") *
+              log(col("c_ab").cast("double") / col("c_a"))) /
+            sum(col("n").cast("double")), 4).as("lm2_score"))
         .orderBy("doc_id")
     }),
 
@@ -793,11 +801,14 @@ object TextQueries {
         |p AS (
         |  SELECT doc_id, arr[i] AS a, arr[i + 1] AS b
         |  FROM d, unnest(generate_series(1, len(arr) - 1)) AS t(i)),
-        |big AS (SELECT a, b, count(*) AS c_ab FROM p GROUP BY 1, 2),
+        |dp AS (SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS n
+        |       FROM p GROUP BY 1, 2, 3),
+        |big AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS c_ab FROM dp GROUP BY 1, 2),
         |lf AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM big GROUP BY 1)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |       round(avg(ln(CAST(c_ab AS DOUBLE) / c_a)), 4) AS lm2_score
-        |FROM p JOIN big USING (a, b) JOIN lf USING (a)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |       round(sum(CAST(n AS DOUBLE) * ln(CAST(c_ab AS DOUBLE) / c_a))
+        |             / sum(CAST(n AS DOUBLE)), 4) AS lm2_score
+        |FROM dp JOIN big USING (a, b) JOIN lf USING (a)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same LM CTE, then integer-histogram tercile boundaries per lang

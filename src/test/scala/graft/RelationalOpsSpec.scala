@@ -8,6 +8,32 @@ import graft.operators.Relational
 class RelationalOpsSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
+  test("hllUnion default posture: ONE corpus scan; audit is the explicit opt-in") {
+    // the r8 VERDICT item 5 guard: the register-table build is the one
+    // corpus pass (it happens inside the lineage cut), and the DEFAULT
+    // returned plan is pure register algebra — no file relation at all.
+    // audit=true is the gate-SF opt-in whose plan re-reads the lake once.
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    def corpusScans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case p if p.getClass.getSimpleName.contains("Relation")
+          && !p.getClass.getSimpleName.contains("LocalRelation") => p
+      }.size
+    val noAudit = graft.queries.RelationalQueries
+      .hllUnion(li, "l_returnflag", "l_partkey")
+    assert(corpusScans(noAudit) == 0,
+      "default hllUnion must consume only the cut register table")
+    assert(noAudit.columns.toSeq == Seq("seg_a", "seg_b", "hll_union"))
+    val audited = graft.queries.RelationalQueries
+      .hllUnion(li, "l_returnflag", "l_partkey", audit = true)
+    assert(corpusScans(audited) == 1,
+      "audit=true re-reads the corpus exactly once for the exact union")
+    // and the estimate column is identical in both postures
+    val a = noAudit.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val b = audited.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(a == b)
+  }
+
   test("asofJoin: latest at-or-before per key; equal ts matches (at-OR-before)") {
     val left = Seq((10L, 1L, 100L, 1.0), (11L, 1L, 250L, 2.0), (12L, 2L, 50L, 3.0))
       .toDF("event_id", "k", "ts", "v")
