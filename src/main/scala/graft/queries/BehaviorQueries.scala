@@ -99,6 +99,38 @@ object BehaviorQueries {
             .select("channel", "n_conversions", "attributed_value", "share"))
       }.orderBy("channel")
     }),
+    // STREAMING sessionization, gated (r9): `SessionStream.sessionize`
+    // (per-user state = ONE current-session rollup row; each micro-batch
+    // re-emits the rollup of every session it touched) runs over the
+    // time-ordered chunk replay, and the LATEST emission per (user,
+    // session) — picked distributively by max n_events, never a driver
+    // fold — must equal the batch 30-min-gap q_sessionize rollup, whose
+    // SQL oracles the engine end-to-end. Emissions are O(touched sessions
+    // per batch); the file-sink gate keeps the driver at O(1).
+    "q_sessionize_stream" -> ((s, dir) => {
+      import s.implicits._
+      val stream = s.readStream.schema(
+          org.apache.spark.sql.Encoders.product[graft.streaming.AttrEvent].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(behaviorFeedDir(s, dir))
+        .select("user_id", "event_id", "ts_us", "value")
+        .as[graft.streaming.SessEvent]
+      graft.streaming.StreamGate.run(s,
+          graft.streaming.SessionStream.sessionize(stream, gapUs = 1800000000L),
+          "sess_gate",
+          org.apache.spark.sql.streaming.OutputMode.Update()) { sinkTable =>
+        graft.operators.Checkpointing.cut(sinkTable
+          .groupBy("user_id", "session_id")
+          .agg(max_by(struct(col("n_events"), col("session_start_us"),
+            col("session_end_us"), col("sum_value")), col("n_events")).as("f"))
+          .select(col("user_id"), col("session_id"),
+            col("f.n_events").as("n_events"),
+            col("f.session_start_us").as("session_start_us"),
+            col("f.session_end_us").as("session_end_us"),
+            round(col("f.sum_value"), 4).as("session_value")))
+      }.orderBy("user_id", "session_id")
+    }),
+
     // Conversion funnel view → click → purchase with STRICT ordering: a
     // click only counts after the user's first view, a purchase only after
     // that qualifying click. Each stage is min-per-user over a filtered
@@ -268,6 +300,28 @@ object BehaviorQueries {
          |WHERE act.wk >= su.cohort_wk
          |GROUP BY su.cohort_wk, week_offset
          |ORDER BY cohort_wk, week_offset""".stripMargin,
+
+    // the batch 30-min-gap sessionize + rollup SQL (identical to
+    // q_sessionize's oracle) checks the streaming engine's final emission
+    // per (user, session)
+    "q_sessionize_stream" ->
+      s"""$evCte,
+         |gaps AS (
+         |  SELECT user_id, event_id, ts_us, value,
+         |         CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+         |                OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |                   > 1800000000
+         |              THEN 1 ELSE 0 END AS new_session
+         |  FROM e),
+         |sess AS (
+         |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         |  FROM gaps)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+         |       round(sum(value), 4) AS session_value
+         |FROM sess GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
 
     // the batch matrix SQL oracles the streaming engine's emission set
     "q_transitions_stream" ->

@@ -99,6 +99,31 @@ object TextQueries {
           Text.qualityScore(col("text")).as("quality_score"): _*)
         .orderBy("doc_id")),
 
+    // CODE-vs-PROSE detection (r9) — the pretraining-mix router every LLM
+    // pipeline runs before language-specific filters (code shouldn't be
+    // judged by stopword ratios, prose shouldn't be judged by brace
+    // density). Map-only, one pass; every feature is an exact integer
+    // (regexp_count over patterns valid in both Java regex and RE2) and
+    // both rules are exact integral cross-multiplications — never a
+    // comparison on a rounded ratio — so the flags replay bit-identically.
+    // 100 TB: embarrassingly parallel, no shuffle at all before the sort.
+    "text_code_detect" -> ((s, dir) => {
+      val nChars = length(col("text"))
+      val nLines = (lit(1) + regexp_count(col("text"), lit("\n"))).cast("long")
+      val punct = regexp_count(col("text"), lit("[{};]")).cast("long")
+      val indent = regexp_count(col("text"), lit("(?m)^(\t|    )")).cast("long")
+      val kw = regexp_count(col("text"),
+        lit("\\b(def|class|return|import|function|const|public|void)\\b"))
+        .cast("long")
+      val punctRule = punct * 25 >= nChars && nChars > 0
+      val structRule = kw >= 2 && indent * 4 >= nLines
+      docs(s, dir).select(col("doc_id"), nLines.as("n_lines"),
+          punct.as("n_code_punct"), indent.as("n_indent_lines"),
+          kw.as("kw_hits"), punctRule.as("punct_rule"),
+          structRule.as("struct_rule"), (punctRule || structRule).as("is_code"))
+        .orderBy("doc_id")
+    }),
+
     "text_langid" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -694,6 +719,27 @@ object TextQueries {
     // Marker-word voting is pure list arithmetic, so the oracle replays it:
     // per-language hit counts, then Spark's array_max over (hits, lang)
     // structs = row_number ordered by hits DESC, lang DESC.
+    // the identical integer features via regexp_extract_all counts; both
+    // rules replayed as the same integral cross-multiplications
+    "text_code_detect" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, length(text) AS n_chars,
+         |         1 + len(regexp_extract_all(text, '\\n')) AS n_lines,
+         |         len(regexp_extract_all(text, '[{};]')) AS n_code_punct,
+         |         len(regexp_extract_all(text, '(?m)^(\\t|    )')) AS n_indent_lines,
+         |         len(regexp_extract_all(text,
+         |           '\\b(def|class|return|import|function|const|public|void)\\b')) AS kw_hits
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+         |       CAST(n_code_punct AS BIGINT) AS n_code_punct,
+         |       CAST(n_indent_lines AS BIGINT) AS n_indent_lines,
+         |       CAST(kw_hits AS BIGINT) AS kw_hits,
+         |       n_code_punct * 25 >= n_chars AND n_chars > 0 AS punct_rule,
+         |       kw_hits >= 2 AND n_indent_lines * 4 >= n_lines AS struct_rule,
+         |       (n_code_punct * 25 >= n_chars AND n_chars > 0)
+         |         OR (kw_hits >= 2 AND n_indent_lines * 4 >= n_lines) AS is_code
+         |FROM f ORDER BY doc_id""".stripMargin,
+
     "text_langid" ->
       s"""WITH toks AS (
          |  SELECT doc_id, lang AS lang_actual,

@@ -864,6 +864,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming sessionize: bridges batches, closes on gap, drops stale") {
+    import graft.streaming.{SessEvent, SessionUpdate}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessEvent]
+    val q = streaming.SessionStream.sessionize(input.toDS(), gapUs = 100L)
+      .writeStream.format("memory").queryName("sessups")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(SessEvent(1, 1, 0, 1.0), SessEvent(1, 2, 50, 2.0),
+        SessEvent(2, 3, 10, 5.0))
+      q.processAllAvailable()
+      input.addData(
+        SessEvent(1, 4, 120, 0.5),  // gap 70 ≤ 100: same session, bridged
+        SessEvent(1, 5, 300, 9.0),  // gap 180 > 100: session 2 opens
+        SessEvent(2, 6, 5, 99.0))   // behind u2's stored position: dropped
+      q.processAllAvailable()
+      val ups = spark.table("sessups").as[SessionUpdate].collect().toSeq
+      // batch 1 emitted ONE rollup per touched session, not per event
+      assert(ups.count(u => u.user_id == 1 && u.session_id == 1) == 2,
+        s"u1 s1 must emit once per touching batch; got $ups")
+      // final state per (user, session) = the max-n emission
+      val fin = ups.groupBy(u => (u.user_id, u.session_id))
+        .map { case (k, v) => k -> v.maxBy(_.n_events) }
+      assert(fin((1L, 1L)) == SessionUpdate(1, 1, 3, 0, 120, 3.5))
+      assert(fin((1L, 2L)) == SessionUpdate(1, 2, 1, 300, 300, 9.0))
+      assert(fin((2L, 1L)) == SessionUpdate(2, 1, 1, 10, 10, 5.0),
+        "the stale u2 arrival must be dropped, never resummed")
+      assert(!fin.contains((2L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming KMV sketch: any micro-batch split equals the batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     graft.plans.NativeFunctions.register(spark)
