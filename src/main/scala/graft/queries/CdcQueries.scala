@@ -94,7 +94,13 @@ object CdcQueries {
           host = "127.0.0.1", port = server.port, database = "db",
           user = "graft", slot = "graft_capture",
           publication = "pub_graft_capture", slots = slots, spark = s,
-          frameLakeDir = s"$t/lake", flushEvery = 4096).run()
+          // each flush is one small Spark append job: 32k frames/flush
+          // keeps the job count O(10) per million frames (measured: 4096
+          // spent ~half the 10× capture wall in flush-job overhead) while
+          // the buffer stays a few MB; durability granularity is a
+          // deployment knob, not a correctness one (the watermark filter
+          // dedups any replay)
+          frameLakeDir = s"$t/lake", flushEvery = 32768).run()
         server.awaitFinished()
         require(stats.cleanEnd, s"capture did not end cleanly: $stats")
       }

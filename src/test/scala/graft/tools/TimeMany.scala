@@ -29,6 +29,30 @@ object TimeMany {
     println("[timemany] === per-query best ===")
     best.foreach { case (n, s) => println(f"[timemany] best $n%-28s ${s}%7.2f s") }
     println(f"[timemany] total-best ${best.values.sum}%.2f s over ${best.size} queries")
+    // merge this tier session's bests into target/tiers.json — the
+    // tier-context artifact graft.Bench embeds as "tier_context" so
+    // BENCH_r{N} carries comparable per-query numbers for sub-second
+    // queries (full-suite sessions inflate them 1.3–2×, measured r8).
+    // Opt-in (SPARK_GRAFT_TIERS=1): scaled-lake scaling probes reuse
+    // TimeMany and must NOT write sf0.1-context numbers over the artifact.
+    if (sys.env.get("SPARK_GRAFT_TIERS").contains("1")) try {
+      val p = java.nio.file.Paths.get("target/tiers.json")
+      val prior: Map[String, String] =
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.readString(p).trim.stripPrefix("{").stripSuffix("}")
+            .split(",").filter(_.contains(":")).map { kv =>
+              val i = kv.lastIndexOf(':')
+              kv.take(i).trim.stripPrefix("\"").stripSuffix("\"") -> kv.drop(i + 1).trim
+            }.toMap
+        else Map.empty
+      val merged = prior ++ best.map { case (n, s) => n -> f"$s%.3f" }
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, merged.toSeq.sorted
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
+      println(s"[timemany] merged ${best.size} tier bests into $p")
+    } catch { case e: Throwable =>
+      System.err.println(s"[timemany] tiers.json merge failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
