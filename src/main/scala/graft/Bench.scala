@@ -67,10 +67,14 @@ object Bench {
     // "tier_context" (absent when no tier sessions were run).
     val tierCtx = {
       val p = java.nio.file.Paths.get("target/tiers.json")
+      // strict shape check, not a brace sniff: a malformed artifact spliced
+      // verbatim would make the WHOLE durable bench line unparseable — the
+      // exact parsed:null failure the ms-precision comment exists to avoid
+      val shape = """\{"[A-Za-z0-9_]+":[0-9]+(\.[0-9]+)?(,"[A-Za-z0-9_]+":[0-9]+(\.[0-9]+)?)*\}""".r
       try {
         if (java.nio.file.Files.exists(p)) {
           val t = java.nio.file.Files.readString(p).trim
-          if (t.startsWith("{") && t.endsWith("}") && !t.contains("\n")) t else ""
+          if (shape.matches(t)) t else ""
         } else ""
       } catch { case _: Throwable => "" }
     }

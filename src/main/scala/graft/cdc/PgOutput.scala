@@ -294,6 +294,19 @@ object PgOutput {
 
   // -------------------------------------------------------------- synthesis
 
+  /** Column order of the synthetic feed's tuples — ONE definition shared
+    * by the Relation frames and the data-tuple encoder below (and by the
+    * loopback capture gate's served Relation frames): a drifting copy
+    * would silently map tuple positions to the wrong column names in the
+    * registry decode. */
+  val feedColumns: Seq[String] = Seq("pk", "ts_us", "value", "props")
+
+  /** The RelationMessage for one routed feed table (text-typed columns in
+    * [[feedColumns]] order). */
+  def feedRelation(id: Int, name: String): RelationMsg =
+    RelationMsg(id, "public", name, 'd'.toByte,
+      feedColumns.map(c => PgColumn(0, c, 25 /* text */, -1)))
+
   /** The driver `events` table rendered as a raw pgoutput frame lake — the
     * synthetic capture side (no live Postgres in the sandbox): one Relation
     * frame per routed table, then one Insert/Update/Delete frame per event,
@@ -301,13 +314,9 @@ object PgOutput {
     * decoded stream and the logical feed are the same data. */
   def framesFromEvents(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    val feedCols = Seq("pk", "ts_us", "value", "props")
-    def rel(id: Int, name: String): RelationMsg =
-      RelationMsg(id, "public", name, 'd'.toByte,
-        feedCols.map(c => PgColumn(0, c, 25 /* text */, -1)))
     val relFrames = Seq(
-      (ChangeFeed.relationLsn(0), PgOutput.encode(rel(ChangeFeed.usersRelId, "users"))),
-      (ChangeFeed.relationLsn(1), PgOutput.encode(rel(ChangeFeed.accountsRelId, "accounts"))))
+      (ChangeFeed.relationLsn(0), PgOutput.encode(feedRelation(ChangeFeed.usersRelId, "users"))),
+      (ChangeFeed.relationLsn(1), PgOutput.encode(feedRelation(ChangeFeed.accountsRelId, "accounts"))))
     val ev = events.select(
         col("event_id"), col("user_id"), col("event_type"),
         graft.sources.Tables.tsMicros(events).as("ts_us"), col("value"), col("props"))

@@ -61,13 +61,12 @@ object CdcQueries {
 
   private def capturedLakeDir(s: SparkSession, dir: String): String =
     captureLakeMemo.get(s, dir) {
-      val feedCols = Seq("pk", "ts_us", "value", "props")
-      def rel(id: Int, name: String) = graft.cdc.RelationMsg(
-        id, "public", name, 'd'.toByte,
-        feedCols.map(c => graft.cdc.PgColumn(0, c, 25 /* text */, -1)))
+      // the SAME relation framing framesFromEvents encodes its tuples
+      // against (PgOutput.feedRelation — one definition, so tuple
+      // positions can never silently shift against column names)
       val relations = Seq(
-        PgOutput.encode(rel(ChangeFeed.usersRelId, "users")),
-        PgOutput.encode(rel(ChangeFeed.accountsRelId, "accounts")))
+        PgOutput.encode(PgOutput.feedRelation(ChangeFeed.usersRelId, "users")),
+        PgOutput.encode(PgOutput.feedRelation(ChangeFeed.accountsRelId, "accounts")))
       // the data frames framesFromEvents encodes (relation frames — lsn < 0
       // — dropped: the PRIMARY owns relation framing per session),
       // re-gridded to (event_id + 1) × 100: event_ids start at 0 and the

@@ -111,7 +111,13 @@ object TextQueries {
       val nChars = length(col("text"))
       val nLines = (lit(1) + regexp_count(col("text"), lit("\n"))).cast("long")
       val punct = regexp_count(col("text"), lit("[{};]")).cast("long")
-      val indent = regexp_count(col("text"), lit("(?m)^(\t|    )")).cast("long")
+      // explicit (^|\n) anchoring, NOT (?m)^: Java's multiline ^ also
+      // matches after CR, NEL and the Unicode line/paragraph separators,
+      // while RE2 matches only after LF; a lone-CR line ending would
+      // silently diverge the count between the Spark side and the DuckDB
+      // oracle. The explicit alternation means the same thing in both
+      // engines; n_lines counts LF only, consistently.
+      val indent = regexp_count(col("text"), lit("(^|\n)(\t|    )")).cast("long")
       val kw = regexp_count(col("text"),
         lit("\\b(def|class|return|import|function|const|public|void)\\b"))
         .cast("long")
@@ -726,7 +732,7 @@ object TextQueries {
          |  SELECT doc_id, length(text) AS n_chars,
          |         1 + len(regexp_extract_all(text, '\\n')) AS n_lines,
          |         len(regexp_extract_all(text, '[{};]')) AS n_code_punct,
-         |         len(regexp_extract_all(text, '(?m)^(\\t|    )')) AS n_indent_lines,
+         |         len(regexp_extract_all(text, '(^|\\n)(\\t|    )')) AS n_indent_lines,
          |         len(regexp_extract_all(text,
          |           '\\b(def|class|return|import|function|const|public|void)\\b')) AS kw_hits
          |  FROM documents)

@@ -166,6 +166,11 @@ final class LoopbackPgServer(
         finished =
           try handle(sock)
           catch { case t: Throwable if PgWire.isDisconnect(t) => false }
+          // always close the accepted socket: a non-disconnect failure
+          // (startup require, unexpected message) otherwise leaves the
+          // client blocked on read FOREVER while `failure` sits unseen —
+          // closing turns it into the client's loud EOF path instead
+          finally { try sock.close() catch { case _: Throwable => () } }
       }
     } catch {
       case _: java.net.SocketException => () // server.close() during accept

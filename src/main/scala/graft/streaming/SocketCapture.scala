@@ -84,6 +84,11 @@ final class SocketCapture(
     val sock = new Socket(host, port)
     try {
       sock.setTcpNoDelay(true)
+      // fail LOUDLY if the primary wedges: a real primary keepalives well
+      // inside this window, so a minute of wire silence is a hang, not a
+      // quiet stream — SocketTimeoutException is not a disconnect, so it
+      // propagates out of run() instead of burning reconnect attempts
+      sock.setSoTimeout(60000)
       val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
       val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
 

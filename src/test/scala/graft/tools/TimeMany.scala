@@ -45,7 +45,12 @@ object TimeMany {
               kv.take(i).trim.stripPrefix("\"").stripSuffix("\"") -> kv.drop(i + 1).trim
             }.toMap
         else Map.empty
-      val merged = prior ++ best.map { case (n, s) => n -> f"$s%.3f" }
+      // BigDecimal, not f"%.3f": printf %f is default-locale-dependent
+      // (comma decimals on de_DE/fr_FR JVMs would corrupt the artifact
+      // and the BENCH line) — the same reason Bench.ms uses BigDecimal
+      val merged = prior ++ best.map { case (n, s) =>
+        n -> BigDecimal(s).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      }
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.writeString(p, merged.toSeq.sorted
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
