@@ -1181,6 +1181,120 @@ object RelationalQueries {
           round((col("x.score").cast("long") * col("n_keys")).cast("double") /
             col("n_rows"), 4).as("x_avg_ratio"))
         .orderBy("rank")
+    }),
+
+    // Count-min sketch (Cormode & Muthukrishnan '05) — the frequency
+    // sketch completing the family (HLL/KMV distinct, minhash/simhash
+    // similarity, bloom membership, histogram quantiles): d=3 salted
+    // md5 rows × w=1024 buckets, point estimate = min over the d cells.
+    // Counter cells are SUMS, so the build is one corpus scan with
+    // map-side combine and an O(d×w) exchange — order-free, replayable,
+    // mergeable across shards by addition (the 100 TB posture: a fixed
+    // 3×1024-cell table answers any point query without touching rows).
+    // The gate audits the top-20 exact keys: est ≥ exact always (CMS
+    // never undercounts), overcount = collision mass in the key's
+    // lightest cell. The exact side exists only as the audit — at
+    // production scale the sketch answers point queries alone.
+    "q_cms_topk" -> ((s, dir) => {
+      val d = 3
+      val w = 1024L
+      def bucket(salt: org.apache.spark.sql.Column) = pmod(
+        conv(substring(md5(concat_ws(":", salt, col("user_id"))), 1, 12),
+          16, 10).cast("long"), lit(w))
+      val salts = explode(array((0 until d).map(lit): _*)).as("i")
+      val cms = t(s, dir, "events").select(col("user_id"))
+        .select(col("user_id"), salts)
+        .select(col("i"), bucket(col("i")).as("b"))
+        .groupBy("i", "b").agg(count(lit(1)).as("cell"))
+      val top = t(s, dir, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("exact_n"))
+        .agg(graft.plans.TopKAgg.topk(s,
+          struct(col("exact_n").cast("double").as("score"),
+            col("user_id").as("id")), 20).as("top"))
+        .select(posexplode(col("top")).as(Seq("idx", "x")))
+        .select((col("idx") + 1).cast("long").as("rank"),
+          col("x.id").as("user_id"), col("x.score").cast("long").as("exact_n"))
+      top.select(col("rank"), col("user_id"), col("exact_n"), salts)
+        .select(col("rank"), col("user_id"), col("exact_n"), col("i"),
+          bucket(col("i")).as("b"))
+        .join(broadcast(cms), Seq("i", "b"))
+        .groupBy("rank", "user_id", "exact_n")
+        .agg(min("cell").as("cms_est"))
+        .select(col("rank"), col("user_id"), col("exact_n"), col("cms_est"),
+          (col("cms_est") - col("exact_n")).as("overcount"))
+        .orderBy("rank")
+    }),
+
+    // Exact ROLLING MEDIAN — the robust-center monitor quantile sketches
+    // can't give exactly: trailing-30-item median of price cents per
+    // supplier. The frame is ROWS-bounded (30 longs sorted per row —
+    // O(30 log 30), constant per row at any corpus size) and the
+    // partition key is per-supplier, so the window distributes; the
+    // median leaves the plan DOUBLED (2× cents) so the even-count
+    // midpoint stays an exact integer — no float interpolation crosses
+    // the gate. Per-supplier rollup: last/peak/low of the median series.
+    "q_rolling_median" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_suppkey"),
+        col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val ord = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      val frame = ord.rowsBetween(-29, 0)
+      val arr = array_sort(collect_list(col("cents")).over(frame))
+      val n = size(arr)
+      val med2 = when(pmod(n, lit(2)) === 1,
+          element_at(arr, ((n + lit(1)) / 2).cast("int")) * 2)
+        .otherwise(element_at(arr, (n / 2).cast("int")) +
+          element_at(arr, (n / 2 + lit(1)).cast("int")))
+      li.select(col("l_suppkey"), med2.as("med2"),
+          row_number().over(ord).as("rn"),
+          count(lit(1)).over(Window.partitionBy("l_suppkey")).as("cnt"))
+        .groupBy("l_suppkey")
+        .agg(max("cnt").as("n_items"),
+          max(when(col("rn") === col("cnt"), col("med2")))
+            .as("last_med2x_cents"),
+          max("med2").as("peak_med2x_cents"),
+          min("med2").as("low_med2x_cents"))
+        .orderBy("l_suppkey")
+    }),
+
+    // PageRank over the customer↔supplier trade graph — the iterative
+    // whole-graph computation (Page et al. '99; the Pregel/GraphX class)
+    // as pure relational algebra: each iteration is ONE edge⋈rank shuffle
+    // join + ONE groupBy(dst) fold, the exact shape a 1000-executor
+    // cluster wants (AQE splits skewed hubs; no driver-side graph). Rank
+    // mass rides INTEGER micro-units with floor division at both the
+    // edge split and the damping step, so sums are order-free exact longs
+    // and three chained-CTE replays reproduce the result bit-for-bit —
+    // the BPE-trainer oracle discipline applied to graph iteration. The
+    // edge table (with out-degree) is lineage-cut once and reread per
+    // iteration — the stored-artifact pattern, not a 3× rebuild.
+    "q_pagerank" -> ((s, dir) => {
+      val e0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_custkey", "l_suppkey").agg(count(lit(1)).as("w"))
+      val edges = e0.select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"), col("w"))
+        .unionAll(e0.select((col("l_suppkey") * 2 + 1).as("src"),
+          (col("o_custkey") * 2).as("dst"), col("w")))
+      val out = edges.groupBy("src").agg(sum("w").as("outw"))
+      val eo = graft.operators.Checkpointing.cut(edges.join(out, "src"))
+      var r = eo.select(col("src").as("node")).distinct()
+        .withColumn("rank_u", lit(1000000L))
+      for (_ <- 1 to 3) {
+        r = eo.join(r, col("src") === col("node"))
+          .select(col("dst"), expr("(rank_u * w) div outw").as("c"))
+          .groupBy("dst")
+          .agg(expr("150000L + (85L * sum(c)) div 100L").as("rank_u"))
+          .withColumnRenamed("dst", "node")
+      }
+      r.select(
+          when(pmod(col("node"), lit(2)) === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          expr("node div 2").as("node_id"), col("rank_u"))
+        .orderBy(col("rank_u").desc, col("node_type"), col("node_id"))
+        .limit(25)
     }))
 
   /** HLL register-table set algebra (q_hll_union): per-segment 512-register
@@ -2132,5 +2246,82 @@ object RelationalQueries {
         |FROM c
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY cents
         |             RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // CMS cells are exact sums; buckets are the shared md5 idiom. The
+    // probe replays the same salted hash per (key, row).
+    "q_cms_topk" ->
+      """WITH ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+        |            FROM events GROUP BY user_id),
+        |top AS (SELECT CAST(row_number() OVER (ORDER BY exact_n DESC, user_id) AS BIGINT) AS rank,
+        |               user_id, exact_n
+        |        FROM ex ORDER BY exact_n DESC, user_id LIMIT 20),
+        |cms AS (SELECT s.i,
+        |               ('0x' || substr(md5(s.i::VARCHAR || ':' || user_id::VARCHAR), 1, 12))::BIGINT % 1024 AS b,
+        |               CAST(count(*) AS BIGINT) AS cell
+        |        FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) s
+        |        GROUP BY 1, 2),
+        |probes AS (SELECT t.rank, t.user_id, t.exact_n, s.i,
+        |                  ('0x' || substr(md5(s.i::VARCHAR || ':' || t.user_id::VARCHAR), 1, 12))::BIGINT % 1024 AS b
+        |           FROM top t CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) s)
+        |SELECT p.rank, p.user_id, p.exact_n,
+        |       min(c.cell) AS cms_est,
+        |       min(c.cell) - p.exact_n AS overcount
+        |FROM probes p JOIN cms c USING (i, b)
+        |GROUP BY p.rank, p.user_id, p.exact_n
+        |ORDER BY rank""".stripMargin,
+
+    // median() over an integer-cents ROWS frame interpolates even counts
+    // as (a+b)/2 in double — 2× recovers the exact integer a+b (cents
+    // sums < 2^53), matching the engine's doubled sorted-array midpoint.
+    "q_rolling_median" ->
+      """WITH li AS (
+        |  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_suppkey,
+        |         CAST(2 * median(cents) OVER w AS BIGINT) AS med2,
+        |         row_number() OVER w2 AS rn,
+        |         count(*) OVER (PARTITION BY l_suppkey) AS cnt
+        |  FROM li
+        |  WINDOW w AS (PARTITION BY l_suppkey
+        |               ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW),
+        |         w2 AS (PARTITION BY l_suppkey
+        |                ORDER BY l_shipdate, l_orderkey, l_linenumber))
+        |SELECT l_suppkey, CAST(max(cnt) AS BIGINT) AS n_items,
+        |       max(CASE WHEN rn = cnt THEN med2 END) AS last_med2x_cents,
+        |       max(med2) AS peak_med2x_cents,
+        |       min(med2) AS low_med2x_cents
+        |FROM m GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    // Three chained CTEs = three engine iterations; // is truncating
+    // division = floor on the all-positive rank mass, matching Spark's
+    // `div` exactly. sum() widens to HUGEINT in DuckDB — cast back
+    // before the damping step so both engines damp the same BIGINT.
+    "q_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT o_custkey AS c, l_suppkey AS sk, CAST(count(*) AS BIGINT) AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        |ed AS (SELECT c * 2 AS src, sk * 2 + 1 AS dst, w FROM e0
+        |       UNION ALL
+        |       SELECT sk * 2 + 1 AS src, c * 2 AS dst, w FROM e0),
+        |outs AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM ed GROUP BY src),
+        |eo AS (SELECT ed.src, ed.dst, ed.w, o.outw FROM ed JOIN outs o USING (src)),
+        |r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS rank_u FROM ed),
+        |r1 AS (SELECT dst AS node,
+        |              150000 + (85 * CAST(sum((rank_u * w) // outw) AS BIGINT)) // 100 AS rank_u
+        |       FROM eo JOIN r0 ON src = node GROUP BY dst),
+        |r2 AS (SELECT dst AS node,
+        |              150000 + (85 * CAST(sum((rank_u * w) // outw) AS BIGINT)) // 100 AS rank_u
+        |       FROM eo JOIN r1 ON src = node GROUP BY dst),
+        |r3 AS (SELECT dst AS node,
+        |              150000 + (85 * CAST(sum((rank_u * w) // outw) AS BIGINT)) // 100 AS rank_u
+        |       FROM eo JOIN r2 ON src = node GROUP BY dst)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+        |       node // 2 AS node_id, rank_u
+        |FROM r3
+        |ORDER BY rank_u DESC, node_type, node_id LIMIT 25""".stripMargin)
 }
