@@ -20,7 +20,8 @@ object SparkEntry {
       DedupQueries.queries ++
       VectorQueries.queries ++
       MultimodalQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++
+      SourceQueries.queries
 
   /** DuckDB-equivalent SQL per query key (omitted → rows-only check). */
   def oracleSql: Map[String, String] =
@@ -31,5 +32,6 @@ object SparkEntry {
       DedupQueries.oracles ++
       VectorQueries.oracles ++
       MultimodalQueries.oracles ++
-      PipelineQueries.oracles
+      PipelineQueries.oracles ++
+      SourceQueries.oracles
 }

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Source/sink format surface as oracle-gated ROUNDTRIP keys: the engine
+  * exports the corpus to an interchange format, reads it back through its
+  * own source tier, and the gate proves losslessness against the original
+  * parquet (the oracle never sees the intermediate format — identity is
+  * the claim being hashed).
+  *
+  * 100 TB posture baked into each path:
+  *  - every read-back supplies an EXPLICIT schema — schema inference on a
+  *    JSONL/CSV lake is a full extra pass over every byte before the real
+  *    scan (Spark samples but still opens files); at petabyte scale
+  *    inference is a job, not a convenience;
+  *  - the roundtrip proof is a per-source modular CHECKSUM aggregate, so
+  *    verifying an export is one map-side-combined scan emitting O(sources)
+  *    rows — never a row-by-row anti-join of export vs original (a second
+  *    full shuffle of the corpus);
+  *  - the partitioned variant writes `partitionBy(source)` — the layout a
+  *    production lake uses so per-source reads PRUNE at the directory
+  *    level; the gate query filters 3 of the sources and a spec pins the
+  *    scan's partitionFilters (pruning must survive refactors, not just
+  *    work once).
+  *
+  * Format contracts (spec'd in SourceQueriesSpec on crafted nasty strings):
+  * JSONL carries arbitrary text (quotes, commas, tabs, newlines, nulls —
+  * JSON escapes/represents them all); the CSV exporter uses RFC 4180
+  * double-quote escaping (`escape="` on write AND read — Spark's default
+  * backslash escape is not what other CSV consumers emit) and the \N null
+  * sentinel, and its export domain excludes (a) embedded newlines —
+  * parsing those needs multiLine=true, which reads each file as ONE
+  * unsplittable record stream and kills scan parallelism at scale — and
+  * (b) a literal \N field value (conflates to null, as under every
+  * sentinel convention). Arbitrary-text corpora belong in JSONL; CSV is
+  * for the tabular columns.
+  */
+object SourceQueries {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** One export per (session, lake, format), memoized — downstream passes
+    * re-read the artifact, mirroring how a real export is written once and
+    * consumed many times. Written through sessionTempDir so the artifact
+    * is deleted at JVM exit and on a failed build. */
+  private val exportMemo = new graft.operators.SessionMemo[String]
+
+  private def export(s: SparkSession, dir: String, fmt: String)
+      (write: (DataFrame, String) => Unit): String =
+    exportMemo.get(s, s"$fmt:$dir") {
+      val tmp = graft.streaming.StreamGate.sessionTempDir(s"graft-src-$fmt") {
+        td =>
+          // 4 shards: multi-file read-back (merge, ordering irrelevance)
+          // is part of what the roundtrip must prove.
+          write(Tables(s, dir, "documents").repartition(4), s"$td/out")
+      }
+      s"$tmp/out"
+    }
+
+  /** Per-row modular fingerprint of the full record. 12 md5 hex chars
+    * (< 2^48) via the repo's shared conv idiom, reduced mod 1e9+7 so the
+    * per-source SUM stays far from Long overflow under ANSI mode
+    * (~9e9 rows per source before 9.2e18; the gate lakes top out around
+    * 10^5). Field order is pinned; `source` is the group key so equality
+    * is enforced by the join shape, not the hash. */
+  private def rowCheck(c: Column): Column = pmod(
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long"), lit(1000000007L))
+
+  private def record: Column = concat_ws("|",
+    col("doc_id"), col("lang"), col("n_chars"), col("text"))
+
+  private def stats(df: DataFrame): DataFrame =
+    df.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum(rowCheck(record)).as("checksum"))
+      .orderBy("source")
+
+  /** The oracle reads the ORIGINAL parquet: a passing hash proves the
+    * export+read-back composed to the identity. */
+  private val statsSql =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(sum(('0x' || substr(md5(doc_id::VARCHAR || '|' || lang ||
+      |                '|' || n_chars::VARCHAR || '|' || text), 1, 12))::BIGINT
+      |                % 1000000007) AS BIGINT) AS checksum
+      |FROM documents""".stripMargin
+
+  private val prunedSources = Seq("src3", "src7", "src11")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // JSONL — the training-data interchange format: schema-explicit
+    // read-back of the engine's own export; line-delimited, so the scan
+    // splits by line at any file size.
+    "src_jsonl_roundtrip" -> ((s, dir) => {
+      val path = export(s, dir, "jsonl")((df, p) => df.write.json(p))
+      stats(s.read.schema(docSchema).json(path))
+    }),
+
+    // CSV with RFC 4180 quote-doubling on both sides of the trip, plus
+    // the \N null sentinel (the MySQL/Postgres COPY convention): the
+    // writer already distinguishes empty ("" quoted) from null (bare
+    // empty field), but Spark's READER default nullValue="" collapses
+    // both to null — the sentinel keeps "" ↔ "" and null ↔ null exact.
+    // The export domain excludes a literal \N text (conflates to null;
+    // spec-pinned), as every sentinel convention does.
+    "src_csv_roundtrip" -> ((s, dir) => {
+      val path = export(s, dir, "csv")((df, p) =>
+        df.write.option("header", "true").option("escape", "\"")
+          .option("nullValue", "\\N").csv(p))
+      stats(s.read.schema(docSchema)
+        .option("header", "true").option("escape", "\"")
+        .option("nullValue", "\\N").csv(path))
+    }),
+
+    // Hive-layout partitioned lake: source becomes a directory key the
+    // reader reconstructs; the 3-source filter prunes 17 of 20 partition
+    // directories BEFORE any file is opened (partitionFilters, spec-pinned)
+    // — the access pattern that makes per-source passes O(source), not
+    // O(corpus), on a 100 TB lake.
+    "src_partitioned_roundtrip" -> ((s, dir) => {
+      val path = export(s, dir, "partlake")((df, p) =>
+        df.write.partitionBy("source").parquet(p))
+      stats(s.read.schema(docSchema).parquet(path)
+        .filter(col("source").isin(prunedSources: _*)))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "src_jsonl_roundtrip" ->
+      (statsSql + "\nGROUP BY source ORDER BY source"),
+    "src_csv_roundtrip" ->
+      (statsSql + "\nGROUP BY source ORDER BY source"),
+    "src_partitioned_roundtrip" ->
+      (statsSql + "\nWHERE source IN ('src3', 'src7', 'src11')" +
+        "\nGROUP BY source ORDER BY source"))
+}
