@@ -56,6 +56,10 @@ object NativeFunctions {
       case Seq(c, kk) => WordShinglesExpr(c, intArg(kk, "k"))
       case other => bad("word_shingles", "text, k", other.size)
     },
+    "chargram_hashes" -> {
+      case Seq(c, nn) => CharGramHashesExpr(c, intArg(nn, "n"))
+      case other => bad("chargram_hashes", "text, n", other.size)
+    },
     "ngram_minhash" -> {
       case Seq(c, kk, pp) => MinHashSigFromText(c, intArg(kk, "k"), intArg(pp, "numPerms"))
       case other => bad("ngram_minhash", "text, k, numPerms", other.size)

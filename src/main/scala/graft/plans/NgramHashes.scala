@@ -192,7 +192,62 @@ final case class WordShinglesExpr(child: Expression, k: Int)
   override def prettyName: String = "word_shingles"
 }
 
+/** text → distinct XXH64 hashes of every n-BYTE character window — the
+  * pg_trgm posting unit for the trigram inverted index behind
+  * `text_trgm_search`. Byte windows (not codepoint windows): hashing is
+  * closed under any consistent windowing rule, and the only property the
+  * index needs is "P substring of T ⇒ gramset(P) ⊆ gramset(T)", which
+  * byte windows give on any UTF-8 text with no decode pass. No
+  * lowercasing/trimming — substring search is exact-match semantics.
+  * Text shorter than n emits NO grams (it cannot contain an n+ byte
+  * pattern), so short docs simply have no postings. */
+final case class CharGramHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 2, s"chargram_hashes needs n >= 2, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"chargram_hashes expects string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NgramHashes.charGramsCompute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.plans.NgramHashes.charGramsCompute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "chargram_hashes"
+}
+
 object NgramHashes {
+
+  /** Distinct XXH64(seed 42) of each n-byte sliding window of the RAW
+    * UTF-8 bytes (no normalization) — see [[CharGramHashesExpr]]. */
+  def charGramsCompute(text: UTF8String, n: Int): UnsafeArrayData = {
+    val b = text.getBytes
+    val nGrams = b.length - n + 1
+    if (nGrams <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](nGrams)
+    var nOut = 0
+    var i = 0
+    while (i < nGrams) {
+      val h = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET + i, n, 42L)
+      if (seen.add(h)) { out(nOut) = h; nOut += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (nOut == nGrams) out else java.util.Arrays.copyOf(out, nOut))
+  }
 
   /** Token byte boundaries of a lowered+trimmed text, with Spark SQL
     * `split("\\s+", -1)` semantics: a leading OR trailing whitespace run
@@ -385,6 +440,11 @@ object NgramHashes {
     register(spark)
     call_function("ngram_minhash", text,
       org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(numPerms))
+  }
+
+  def charGrams(spark: SparkSession, text: Column, n: Int): Column = {
+    register(spark)
+    call_function("chargram_hashes", text, org.apache.spark.sql.functions.lit(n))
   }
 
   def minhashMd5(spark: SparkSession, text: Column, k: Int, numPerms: Int): Column = {

@@ -179,6 +179,41 @@ object BehaviorQueries {
         .orderBy("from_type", "to_type")
     }),
 
+    // Journey PATTERN MATCHING (the MATCH_RECOGNIZE / CEP class, as
+    // relational algebra): each user's full event history becomes one
+    // ordered code string — built by sorting fixed-width
+    // zeropad(ts)·zeropad(id)·code keys per user and stripping the sort
+    // prefixes with ONE codegen'd regexp_replace (never an interpreted
+    // per-element lambda) — then each behavioral regex runs ONCE per
+    // user (leftmost non-overlapping, identical in Java regex and RE2).
+    // Scale shape: one user-keyed shuffle, per-user strings bounded by
+    // per-user fan-in (the q_drawdown argument), patterns map-only over
+    // the O(users) journey table, O(patterns) rows out.
+    "q_event_pattern" -> ((s, dir) => {
+      val code = when(col("event_type") === "view", "v")
+        .when(col("event_type") === "click", "c")
+        .when(col("event_type") === "signup", "s")
+        .when(col("event_type") === "purchase", "p")
+        .otherwise("e")
+      val pats = Seq("vc*p", "sv", "e{2,}", "v[ce]*p")
+      val journeys = ev(s, dir)
+        .select(col("user_id"),
+          concat(lpad(col("ts_us").cast("string"), 20, "0"),
+            lpad(col("event_id").cast("string"), 10, "0"), code).as("k"))
+        .groupBy("user_id")
+        .agg(regexp_replace(array_join(array_sort(collect_list(col("k"))), ""),
+          "[0-9]{30}", "").as("journey"))
+      val stackArgs = pats.map(p =>
+        s"'${p.replace("'", "''")}', regexp_count(journey, '${p.replace("'", "''")}')")
+        .mkString(", ")
+      journeys
+        .select(expr(s"stack(${pats.size}, $stackArgs) AS (pattern, m)"))
+        .groupBy("pattern")
+        .agg(sum("m").as("n_matches"),
+          count(when(col("m") > 0, 1)).as("n_users"))
+        .orderBy("pattern")
+    }),
+
     // COHORT LTV curve (retention × revenue — the metric a subscription /
     // marketplace team actually steers by): per (signup-cohort week,
     // week offset), purchase revenue and the CUMULATIVE lifetime value
@@ -364,6 +399,26 @@ object BehaviorQueries {
          |SELECT from_type, to_type, CAST(n_trans AS BIGINT) AS n_trans,
          |       round(CAST(n_trans AS DOUBLE) / sum(n_trans) OVER (PARTITION BY from_type), 4) AS p_trans
          |FROM m ORDER BY from_type, to_type""".stripMargin,
+
+    // string_agg ORDER BY (ts_us, event_id) replays the engine's sorted
+    // fixed-width-key journey; RE2's regexp_extract_all and Java's
+    // regexp_count agree on leftmost non-overlapping greedy matching
+    "q_event_pattern" ->
+      s"""$evCte,
+         |j AS (
+         |  SELECT user_id,
+         |         string_agg(CASE event_type WHEN 'view' THEN 'v'
+         |                    WHEN 'click' THEN 'c' WHEN 'signup' THEN 's'
+         |                    WHEN 'purchase' THEN 'p' ELSE 'e' END, ''
+         |                    ORDER BY ts_us, event_id) AS journey
+         |  FROM e GROUP BY user_id),
+         |m AS (
+         |  SELECT pat, len(regexp_extract_all(journey, pat)) AS m
+         |  FROM j CROSS JOIN (VALUES ('vc*p'), ('sv'), ('e{2,}'),
+         |       ('v[ce]*p')) pats(pat))
+         |SELECT pat AS pattern, CAST(sum(m) AS BIGINT) AS n_matches,
+         |       CAST(count(*) FILTER (m > 0) AS BIGINT) AS n_users
+         |FROM m GROUP BY pat ORDER BY pattern""".stripMargin,
 
     // same epoch-week buckets, 1e4-scaled longs, cumulative window over
     // the aggregated cohort table

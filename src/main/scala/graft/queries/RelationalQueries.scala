@@ -1183,6 +1183,39 @@ object RelationalQueries {
         .orderBy("rank")
     }),
 
+    // FUZZY JOIN at edit distance ≤ 1 via deletion-neighborhood blocking
+    // (the FastSS family): each name emits itself + its |s| single-char
+    // deletions; any two strings within one edit SHARE a neighborhood
+    // element exactly (equal → self; substitution at i → both delete i;
+    // insertion at i → the longer one's deletion IS the shorter), so an
+    // equi-join on the 64-bit variant hash finds every true pair and the
+    // levenshtein verify kills hash collisions — provably equal to the
+    // O(n²) cross-join the oracle runs, with only a (len+1)-factor index
+    // and a hash-uniform shuffle key (never a cartesian). The variant
+    // generator is an interpreted per-row lambda over ≤ len+1 elements —
+    // index-build cost, not probe cost; a production build would lift it
+    // into a codegen expression like chargram_hashes.
+    "q_fuzzy_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val name = col("c_name")
+      val variants = array_distinct(concat(array(name),
+        transform(sequence(lit(1), length(name)),
+          i => concat(name.substr(lit(1), i - 1),
+            name.substr(i + 1, length(name))))))
+      val idx = c.filter(length(name) >= 1)
+        .select(col("c_custkey"), name, explode(variants).as("v"))
+        .select(col("c_custkey"), name, xxhash64(col("v")).as("h"))
+      val cand = idx.as("a").join(idx.as("b"),
+          col("a.h") === col("b.h") && col("a.c_custkey") < col("b.c_custkey"))
+        .select(col("a.c_custkey").as("a_custkey"), col("a.c_name").as("a_name"),
+          col("b.c_custkey").as("b_custkey"), col("b.c_name").as("b_name"))
+        .dropDuplicates("a_custkey", "b_custkey")
+      cand.filter(levenshtein(col("a_name"), col("b_name")) <= 1)
+        .select(col("a_custkey"), col("b_custkey"),
+          levenshtein(col("a_name"), col("b_name")).cast("long").as("dist"))
+        .orderBy("a_custkey", "b_custkey")
+    }),
+
     // Count-min sketch (Cormode & Muthukrishnan '05) — the frequency
     // sketch completing the family (HLL/KMV distinct, minhash/simhash
     // similarity, bloom membership, histogram quantiles): d=3 salted
@@ -2247,6 +2280,15 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY cents
         |             RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the oracle IS the quadratic form the blocked join must equal
+    "q_fuzzy_join" ->
+      """SELECT a.c_custkey AS a_custkey, b.c_custkey AS b_custkey,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        | AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY a_custkey, b_custkey""".stripMargin,
 
     // CMS cells are exact sums; buckets are the shared md5 idiom. The
     // probe replays the same salted hash per (key, row).

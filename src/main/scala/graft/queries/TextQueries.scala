@@ -38,6 +38,37 @@ object TextQueries {
         .transform(graft.operators.Checkpointing.cut)
     }
 
+  /** Ordered token chunks for the streaming heavy-hitter gate — doc_id is
+    * the replay order (the corpus arriving in doc-range batches). */
+  private val hhFeedMemo = new graft.operators.SessionMemo[String]
+
+  private def hhFeedDir(s: SparkSession, dir: String): String =
+    hhFeedMemo.get(s, dir) {
+      graft.streaming.StreamGate.writeOrderedChunks(
+        docs(s, dir).select(col("source").as("segment"),
+            explode(Text.wsTokens(lower(col("text")))).as("item"),
+            col("doc_id").as("ord"))
+          .filter(col("item") =!= ""),
+        "ord", chunks = 4, prefix = "graft-hh-stream")
+    }
+
+  /** Fixed probe patterns for the trigram-index substring search — literal
+    * on both sides so the DuckDB oracle replays the brute-force scan. */
+  private val trgmPatterns = Seq(
+    "window table", "spark scan", "slow query", "key agg row")
+
+  /** The trigram inverted index (gram_hash, doc_id) — the stored search
+    * artifact every substring probe reads; distinct grams per doc come
+    * free from the expression. */
+  private val trgmMemo = new graft.operators.SessionMemo[DataFrame]
+
+  private def trgmIndex(s: SparkSession, dir: String): DataFrame =
+    trgmMemo.get(s, dir) {
+      docs(s, dir).select(col("doc_id"),
+          explode(graft.plans.NgramHashes.charGrams(s, col("text"), 3)).as("g"))
+        .transform(graft.operators.Checkpointing.cut)
+    }
+
   /** The corpus-LM document scores (doc_id, n_tokens, lm_score) — memoized
     * like [[sourceTokenCounts]]: text_lm_score and text_ccnet_buckets both
     * read it, and a production pipeline scores the corpus once per session.
@@ -450,6 +481,68 @@ object TextQueries {
         .orderBy("source", "rk")
     }),
 
+    // The STREAMING Misra–Gries heavy-hitter ENGINE inside the hash gate:
+    // `SketchStream.heavyHitters` (per-source state = ONE 64-counter MG
+    // table + processed count; fixed size at any vocabulary) runs over
+    // the doc-ordered 4-chunk token replay; final state per source picked
+    // distributively by max n_seen, then filtered by the exact integer
+    // threshold 32·count > n_seen. The MG theorem (no false negatives
+    // above n/capacity; counts within n/capacity of truth — and EXACT
+    // here, capacity 64 ≥ the 31-token vocabulary, so no decrement ever
+    // fires at the gate SFs) makes the filtered summary EQUAL the batch
+    // heavy set, so plain batch SQL oracles the engine; the approximate
+    // decrement/merge regime is spec'd on a crafted stream where
+    // capacity < distinct items (StreamingSpec).
+    "q_heavy_hitters_stream" -> ((s, dir) => {
+      import s.implicits._
+      val stream = s.readStream.schema(
+          org.apache.spark.sql.Encoders.product[graft.streaming.TokenObs].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(hhFeedDir(s, dir)).as[graft.streaming.TokenObs]
+      val finals = graft.streaming.StreamGate.run(s,
+          graft.streaming.SketchStream.heavyHitters(stream, 64), "hh_gate",
+          org.apache.spark.sql.streaming.OutputMode.Update()) { sink =>
+        // bounded by construction: O(sources × batches) rows of ≤ 64
+        // counters each — never O(token emissions)
+        sink.as[graft.streaming.HeavyRow].collect()
+      }.groupBy(_.segment).toSeq.flatMap { case (seg, rows) =>
+        val last = rows.maxBy(_.n_seen) // n_seen strictly increases per touch
+        last.items.toSeq.collect {
+          case (tok, n) if 32L * n > last.n_seen => (seg, tok, n, last.n_seen)
+        }
+      }
+      finals.toDF("source", "token", "n", "total")
+        .orderBy("source", "token")
+    }),
+
+    // Substring search through a TRIGRAM INVERTED INDEX (the pg_trgm GIN
+    // idea re-expressed on Spark): the corpus is indexed ONCE into
+    // (gram_hash, doc_id) postings via the codegen'd byte-trigram
+    // expression (a stored artifact — at 100 TB it lives bucketed by
+    // gram), and a LIKE-'%pat%' probe becomes: broadcast the pattern's
+    // gram set onto the postings (map-side), keep docs holding ALL
+    // pattern grams (one groupBy counting distinct-gram hits), then
+    // exact-verify `contains` on just the candidates. False negatives
+    // are impossible (P substring of T ⇒ gramset(P) ⊆ gramset(T)), false
+    // positives die in the verify — so the index path provably EQUALS the
+    // brute-force corpus scan the oracle runs, while touching only the
+    // candidate docs' text.
+    "text_trgm_search" -> ((s, dir) => {
+      import s.implicits._
+      val pats = trgmPatterns.toDF("pat")
+      val grams = graft.plans.NgramHashes.charGrams(s, col("pat"), 3)
+      val probe = pats.select(col("pat"), size(grams).as("ng"),
+        explode(grams).as("g"))
+      val cand = trgmIndex(s, dir).join(broadcast(probe), "g")
+        .groupBy("pat", "ng", "doc_id").agg(count(lit(1)).as("hits"))
+        .filter(col("hits") === col("ng"))
+      cand.join(docs(s, dir).select("doc_id", "text"), "doc_id")
+        .filter(col("text").contains(col("pat")))
+        .groupBy("pat")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("doc_id_sum"))
+        .orderBy("pat")
+    }),
+
     // Character-entropy quality signal (low entropy = repetitive/boilerplate
     // text, a standard pretraining filter): H = log2(N) − (1/N)·Σ n·log2(n)
     // over per-char counts — the identity avoids a per-row probability
@@ -745,6 +838,32 @@ object TextQueries {
          |       (n_code_punct * 25 >= n_chars AND n_chars > 0)
          |         OR (kw_hits >= 2 AND n_indent_lines * 4 >= n_lines) AS is_code
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    // exact-regime replay: capacity ≥ vocabulary ⇒ the MG counters are
+    // the exact counts, and the engine's 32·n > total filter is this
+    // exact-count threshold
+    "q_heavy_hitters_stream" ->
+      """WITH toks AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+        |        FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS total
+        |        FROM cnt GROUP BY 1)
+        |SELECT source, tok AS token, n, total
+        |FROM cnt JOIN tot USING (source)
+        |WHERE 32 * n > total
+        |ORDER BY source, token""".stripMargin,
+
+    // the oracle IS the brute-force scan the index path must equal
+    "text_trgm_search" ->
+      """SELECT pat, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+        |FROM (VALUES ('window table'), ('spark scan'), ('slow query'),
+        |      ('key agg row')) pats(pat)
+        |JOIN documents ON contains(text, pat)
+        |GROUP BY pat ORDER BY pat""".stripMargin,
 
     "text_langid" ->
       s"""WITH toks AS (

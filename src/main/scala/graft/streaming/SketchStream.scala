@@ -57,6 +57,39 @@ object SketchStream {
       }
   }
 
+  /** Streaming Misra–Gries heavy hitters — the incremental analog of the
+    * batch `freq_items` aggregate behind `text_heavy_hitters`: per-segment
+    * state is ONE capacity-bounded counter table (+ the processed count),
+    * updated by the same offer/decrement law `FreqItemsBuf` runs batch-side
+    * — fixed state per key no matter how many distinct items stream past,
+    * which is the point of sketching frequencies. Each touched segment
+    * re-emits its full summary per micro-batch with a strictly increasing
+    * `n_seen`, so the FINAL state is picked distributively by max n_seen —
+    * never by sink append order. The MG guarantee survives any batching:
+    * every item with true count > n_seen/capacity is IN the summary, and
+    * each reported count is within n_seen/capacity of truth — so filtering
+    * the final summary by an exact integer threshold (thr·count > n_seen
+    * with capacity ≥ thr) reproduces EXACTLY the batch heavy-hitter set,
+    * which is what lets a batch SQL oracle gate the engine end-to-end.
+    * Within a batch rows fold in `ord` order so emissions replay
+    * deterministically under the ordered-chunk feed. */
+  def heavyHitters(events: Dataset[TokenObs], capacity: Int): Dataset[HeavyRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.segment)
+      .mapGroupsWithState[(Map[String, Long], Long), HeavyRow](
+        GroupStateTimeout.NoTimeout) { (seg, it, state) =>
+        val (prev, n0) = state.getOption.getOrElse((Map.empty[String, Long], 0L))
+        val buf = new graft.plans.FreqItemsBuf(capacity)
+        prev.foreach { case (item, n) => buf.put(item, n) }
+        var n = n0
+        it.toVector.sortBy(_.ord).foreach { e => buf.offer(e.item); n += 1 }
+        val summary = buf.entries.toMap
+        state.update((summary, n))
+        HeavyRow(seg, n, summary)
+      }
+  }
+
   /** Streaming ONLINE z-score anomaly detection — the live analog of the
     * batch `q_zscore_outliers` gate, with the one semantic difference an
     * online monitor must have: each event is judged against the moments of
@@ -112,6 +145,15 @@ object SketchStream {
       }
   }
 }
+
+/** One counted observation on the stream; `ord` fixes the within-batch
+  * fold order (the feed's chunk key). */
+final case class TokenObs(segment: String, item: String, ord: Long)
+
+/** One segment's Misra–Gries summary after a micro-batch: the counter
+  * table and the strictly increasing processed count that picks the
+  * final emission. */
+final case class HeavyRow(segment: String, n_seen: Long, items: Map[String, Long])
 
 /** One observation of a monitored metric series. */
 final case class MetricEvent(series: String, event_id: Long, ts_us: Long, value: Double)

@@ -32,15 +32,16 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       // keyed on the sinkPrefix in the call window, not the file, so a
       // collect sneaking into q_zscore_stream or cdc_stream_snapshot
       // (same files as the allowed gates) still fails
-      // (kmv_gate: O(segments × batches × k); ivm_gate: O(tables))
+      // (kmv_gate: O(segments × batches × k); ivm_gate: O(tables);
+      //  hh_gate: O(segments × batches × capacity) MG summaries)
       val lines = text.linesIterator.toVector
-      val allowedGates = Seq("\"kmv_gate\"", "\"ivm_gate\"")
+      val allowedGates = Seq("\"kmv_gate\"", "\"ivm_gate\"", "\"hh_gate\"")
       for (i <- lines.indices if lines(i).contains("StreamGate.run")) {
         val window = lines.slice(i, i + 15).mkString("\n")
         if (window.contains(".collect()"))
           assert(allowedGates.exists(window.contains),
             s"$p line ${i + 1}: gate extractor collects the sink — " +
-              "only the named bounded gates (kmv_gate, ivm_gate) may")
+              "only the named bounded gates (kmv_gate, ivm_gate, hh_gate) may")
       }
     }
     // and the shared gate driver is the file-sink drain
@@ -939,6 +940,66 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(onego.view.mapValues(_._1).toMap == batch)
     // state is k-bounded
     onego.values.foreach { case (mins, _) => assert(mins.length <= k) }
+  }
+
+  test("streaming Misra-Gries: exact regime equals batch counts across batches") {
+    import graft.streaming.{HeavyRow, TokenObs}
+    implicit val sqlCtx = spark.sqlContext
+    // 2 segments, 6 distinct items < capacity 8 ⇒ no decrement ever fires
+    val obs = (1L to 240L).map(i =>
+      TokenObs(if (i % 2 == 0) "a" else "b", s"t${i % 6}", i))
+    val input = MemoryStream[TokenObs]
+    val q = streaming.SketchStream.heavyHitters(input.toDS(), 8)
+      .writeStream.format("memory").queryName("hh_exact")
+      .outputMode(OutputMode.Update).start()
+    try {
+      Seq(obs.take(80), obs.slice(80, 200), obs.drop(200)).foreach { c =>
+        input.addData(c: _*); q.processAllAvailable()
+      }
+      val fin = spark.table("hh_exact").as[HeavyRow].collect()
+        .groupBy(_.segment).map { case (s, rows) => s -> rows.maxBy(_.n_seen) }
+      val batch = obs.groupBy(o => (o.segment, o.item))
+        .map { case ((s, t), os) => (s, t, os.size.toLong) }
+      for (((seg, tok, n)) <- batch)
+        assert(fin(seg).items(tok) == n,
+          s"exact-regime count for ($seg,$tok) must equal batch $n")
+      fin.foreach { case (s, r) =>
+        assert(r.n_seen == obs.count(_.segment == s)) }
+    } finally q.stop()
+  }
+
+  test("streaming Misra-Gries: approx regime keeps the no-false-negative bound") {
+    import graft.streaming.{HeavyRow, TokenObs}
+    implicit val sqlCtx = spark.sqlContext
+    val cap = 4
+    // 2 heavy items (80 + 60 of 200) + 30 light distinct items — distinct
+    // count 32 >> capacity 4, so the decrement path runs for real
+    val rows = ((1 to 80).map(i => ("hot", i)) ++
+      (81 to 140).map(i => ("warm", i)) ++
+      (141 to 200).map(i => (s"cold${i % 30}", i)))
+      .sortBy(_._2).map { case (t, i) => TokenObs("s", t, i.toLong) }
+    val input = MemoryStream[TokenObs]
+    val q = streaming.SketchStream.heavyHitters(input.toDS(), cap)
+      .writeStream.format("memory").queryName("hh_approx")
+      .outputMode(OutputMode.Update).start()
+    try {
+      Seq(rows.take(70), rows.slice(70, 150), rows.drop(150)).foreach { c =>
+        input.addData(c: _*); q.processAllAvailable()
+      }
+      val last = spark.table("hh_approx").as[HeavyRow].collect().maxBy(_.n_seen)
+      assert(last.n_seen == 200L)
+      assert(last.items.size <= cap, "state stays capacity-bounded")
+      val exact = rows.groupBy(_.item).view.mapValues(_.size.toLong).toMap
+      // MG guarantee: any item with true count > n/cap is present...
+      for ((t, n) <- exact if n * cap > last.n_seen)
+        assert(last.items.contains(t), s"heavy item $t (n=$n) must survive")
+      // ...and every reported count is within n/cap of truth, never above
+      for ((t, n) <- last.items) {
+        assert(n <= exact(t), s"MG count for $t can never exceed truth")
+        assert(exact(t) - n <= last.n_seen / cap,
+          s"MG undercount for $t must stay within n_seen/capacity")
+      }
+    } finally q.stop()
   }
 
   test("streaming zscore: online anomalies flag after warmup, split-invariant") {

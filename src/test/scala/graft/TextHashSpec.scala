@@ -121,6 +121,27 @@ class TextHashSpec extends AnyFunSuite with SparkTestBase {
     assert(sigs(0) == sigs(1))
   }
 
+  test("charGrams: distinct byte trigrams, substring => gram-subset, short text empty") {
+    import graft.plans.NgramHashes
+    def grams(s: String): Set[Long] = Seq(s).toDF("t")
+      .select(NgramHashes.charGrams(spark, $"t", 3).as("g"))
+      .head().getSeq[Long](0).toSet
+    // reference: distinct hashes of each 3-byte window — count check via
+    // a string with a repeated trigram ("abcabc" → abc, bca, cab, abc)
+    assert(grams("abcabc").size == 3)
+    assert(grams("ab").isEmpty, "text shorter than n has no postings")
+    assert(grams("abc").size == 1)
+    // the index invariant the search key rests on: P substring of T ⇒
+    // gramset(P) ⊆ gramset(T) — incl. multi-byte UTF-8 in the haystack
+    val t = "slow query café over the window table"
+    for (p <- Seq("slow query", "window table", "café", "w t"))
+      assert(grams(p).subsetOf(grams(t)), s"grams($p) must be ⊆ grams(T)")
+    // and a non-substring with foreign chars shares nothing
+    assert(grams("xyzzy").intersect(grams(t)).isEmpty)
+    // exact-match semantics: no case folding
+    assert(!grams("SLOW").subsetOf(grams(t)))
+  }
+
   test("redactPii scrubs planted emails/phones/IPs and leaves clean text alone") {
     val rows = Seq(
       ("mail me at jo.doe+x@sub.example.co.uk thanks",
