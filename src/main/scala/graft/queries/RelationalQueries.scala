@@ -1183,6 +1183,37 @@ object RelationalQueries {
         .orderBy("rank")
     }),
 
+    // SKYLINE / Pareto frontier (Börzsönyi et al. '01) — "the orders no
+    // other order beats on BOTH price and date": the operator family
+    // whose naive form is an O(n²) dominance self-join. In 2D it
+    // collapses exactly: aggregate min price per date (one corpus
+    // groupBy), exclusive running min over the O(distinct dates) table
+    // (a bounded aggregated window — lineage-cut, the
+    // q_weighted_percentile shape, PlanLint-exempted), keep dates whose
+    // min undercuts every earlier date, then ONE broadcast join-back
+    // marks the member orders map-side. At 100 TB: one shuffle, a
+    // frontier-sized broadcast, no self-join; higher dimensions run
+    // local-skyline-then-merge, 2D admits this exact aggregated form.
+    // Ties: equal (price, date) points don't dominate each other — all
+    // minimal-point orders are members (the standard definition).
+    "q_skyline" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      val m = graft.operators.Checkpointing.cut(
+        o.groupBy("o_orderdate").agg(min("price_cents").as("mp")))
+      val w = Window.orderBy("o_orderdate")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = m.withColumn("pm", min("mp").over(w))
+        .filter(col("pm").isNull || col("pm") > col("mp"))
+        .select(col("o_orderdate").as("fd"), col("mp"))
+      o.join(broadcast(frontier),
+          col("o_orderdate") === col("fd") && col("price_cents") === col("mp"))
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("price_cents"))
+        .orderBy("o_orderdate", "o_orderkey")
+    }),
+
     // FUZZY JOIN at edit distance ≤ 1 via deletion-neighborhood blocking
     // (the FastSS family): each name emits itself + its |s| single-char
     // deletions; any two strings within one edit SHARE a neighborhood
@@ -2280,6 +2311,23 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY cents
         |             RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the dominance test, replayed through the same per-date min +
+    // exclusive running-min collapse
+    "q_skyline" ->
+      """WITH o AS (SELECT o_orderkey, o_orderdate,
+        |            CAST(round(o_totalprice * 100) AS BIGINT) AS p
+        |           FROM orders),
+        |m AS (SELECT o_orderdate AS d, min(p) AS mp FROM o GROUP BY 1),
+        |f AS (SELECT d, mp,
+        |             min(mp) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+        |               PRECEDING AND 1 PRECEDING) AS pm
+        |      FROM m)
+        |SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o.p AS price_cents
+        |FROM o JOIN f ON o.o_orderdate = f.d AND o.p = f.mp
+        |WHERE f.pm IS NULL OR f.pm > f.mp
+        |ORDER BY o_orderdate, o_orderkey""".stripMargin,
 
     // the oracle IS the quadratic form the blocked join must equal
     "q_fuzzy_join" ->

@@ -123,6 +123,42 @@ object SourceQueries {
         .option("nullValue", "\\N").csv(path))
     }),
 
+    // JDBC roundtrip against an EMBEDDED Derby database — the bootstrap
+    // path a CDC consumer runs for real (sources/Jdbc.snapshot is step 1
+    // of snapshot-then-stream): the corpus is INSERTed over JDBC once per
+    // session, then read back through the RANGE-PARTITIONED parallel
+    // snapshot (4 doc_id ranges → 4 concurrent connections — the shape
+    // that makes a large-table snapshot scale out instead of
+    // single-streaming one cursor). Identifiers ride UPPERCASE so the
+    // reader's unquoted `WHERE DOC_ID >= ?` range predicates fold to the
+    // created quoted columns under Derby's case rules; the read-back
+    // renames to the lake schema before the checksum.
+    "src_jdbc_roundtrip" -> ((s, dir) => {
+      val url = exportMemo.get(s, s"jdbc:$dir") {
+        val tmp = graft.streaming.StreamGate.sessionTempDir("graft-src-jdbc") {
+          td =>
+            Tables(s, dir, "documents").repartition(4)
+              .select(col("doc_id").as("DOC_ID"), col("text").as("TEXT"),
+                col("lang").as("LANG"), col("source").as("SOURCE"),
+                col("n_chars").as("N_CHARS"))
+              .write
+              .option("createTableColumnTypes",
+                "DOC_ID BIGINT, TEXT VARCHAR(32000), LANG VARCHAR(16), " +
+                  "SOURCE VARCHAR(32), N_CHARS BIGINT")
+              .jdbc(s"jdbc:derby:$td/db;create=true", "DOCS",
+                new java.util.Properties)
+        }
+        s"jdbc:derby:$tmp/db"
+      }
+      val maxId = Tables(s, dir, "documents")
+        .agg(max("doc_id")).head().getLong(0)
+      stats(graft.sources.Jdbc.snapshot(s, url, "DOCS", "DOC_ID",
+          0L, maxId + 1, 4)
+        .select(col("DOC_ID").as("doc_id"), col("TEXT").as("text"),
+          col("LANG").as("lang"), col("SOURCE").as("source"),
+          col("N_CHARS").as("n_chars")))
+    }),
+
     // Hive-layout partitioned lake: source becomes a directory key the
     // reader reconstructs; the 3-source filter prunes 17 of 20 partition
     // directories BEFORE any file is opened (partitionFilters, spec-pinned)
@@ -139,6 +175,8 @@ object SourceQueries {
     "src_jsonl_roundtrip" ->
       (statsSql + "\nGROUP BY source ORDER BY source"),
     "src_csv_roundtrip" ->
+      (statsSql + "\nGROUP BY source ORDER BY source"),
+    "src_jdbc_roundtrip" ->
       (statsSql + "\nGROUP BY source ORDER BY source"),
     "src_partitioned_roundtrip" ->
       (statsSql + "\nWHERE source IN ('src3', 'src7', 'src11')" +

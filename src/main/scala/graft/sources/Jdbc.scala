@@ -12,9 +12,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * parallel reads so a large table snapshot scales out instead of
   * single-streaming through one connection.
   *
-  * Untestable in this environment (no database available) — kept to the
-  * thinnest possible delegation to `spark.read.jdbc` so there is nothing
-  * here TO test beyond Spark's own JDBC source.
+  * Exercised for real against an embedded Derby database by the gated
+  * `src_jdbc_roundtrip` key (write over JDBC, read back through the
+  * range-partitioned snapshot, checksum vs the original lake); kept to
+  * the thinnest possible delegation to `spark.read.jdbc` beyond that.
   */
 object Jdbc {
 

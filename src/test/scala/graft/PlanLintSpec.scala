@@ -59,7 +59,8 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
     * bounding Aggregate with a LogicalRDD, making it invisible to the
     * structural rule — like `dedup_source_sigs` for the loop-join rule.
     * Both tables are O(groups × distinct-values/buckets), not corpus rows. */
-  private val cutAggWindows = Set("q_approx_percentiles", "q_weighted_percentile")
+  private val cutAggWindows =
+    Set("q_approx_percentiles", "q_weighted_percentile", "q_skyline")
 
   /** True when `p` IS a lineage-cut artifact modulo row-shape-preserving
     * unary nodes (Project/Filter/Sort): the window's direct bounded input,
