@@ -196,9 +196,18 @@ object BehaviorQueries {
         .when(col("event_type") === "purchase", "p")
         .otherwise("e")
       val pats = Seq("vc*p", "sv", "e{2,}", "v[ce]*p")
+      // lpad TRUNCATES instead of failing when a value outgrows its slot,
+      // and a negative value's '-' would survive the digit strip — both
+      // corrupt the sort key SILENTLY, so the domain is asserted loudly
+      // (raise_error evaluates only on a violating row)
+      val guard = when(col("ts_us") >= 0 && col("event_id") >= 0 &&
+          col("event_id") < 10000000000L, lit(""))
+        .otherwise(raise_error(lit("q_event_pattern: sort-key domain " +
+          "exceeded (need 0 <= ts_us and 0 <= event_id < 1e10) — widen the " +
+          "fixed-width key")))
       val journeys = ev(s, dir)
         .select(col("user_id"),
-          concat(lpad(col("ts_us").cast("string"), 20, "0"),
+          concat(guard, lpad(col("ts_us").cast("string"), 20, "0"),
             lpad(col("event_id").cast("string"), 10, "0"), code).as("k"))
         .groupBy("user_id")
         .agg(regexp_replace(array_join(array_sort(collect_list(col("k"))), ""),

@@ -1229,21 +1229,28 @@ object RelationalQueries {
     "q_fuzzy_join" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
       val name = col("c_name")
-      val variants = array_distinct(concat(array(name),
-        transform(sequence(lit(1), length(name)),
-          i => concat(name.substr(lit(1), i - 1),
-            name.substr(i + 1, length(name))))))
-      val idx = c.filter(length(name) >= 1)
-        .select(col("c_custkey"), name, explode(variants).as("v"))
-        .select(col("c_custkey"), name, xxhash64(col("v")).as("h"))
+      // empty names emit just the identity variant ("" is exactly what
+      // links "" to every 1-char string) — the sequence() branch would
+      // descend ([1, 0]) on length 0 instead of being empty
+      val variants = when(length(name) === 0, array(name))
+        .otherwise(array_distinct(concat(array(name),
+          transform(sequence(lit(1), length(name)),
+            i => concat(name.substr(lit(1), i - 1),
+              name.substr(i + 1, length(name)))))))
+      // the index is the stored blocking artifact — cut so the customer
+      // scan + variant explode + hash runs ONCE, not once per join side
+      val idx = graft.operators.Checkpointing.cut(
+        c.select(col("c_custkey"), name, explode(variants).as("v"))
+          .select(col("c_custkey"), name, xxhash64(col("v")).as("h")))
       val cand = idx.as("a").join(idx.as("b"),
           col("a.h") === col("b.h") && col("a.c_custkey") < col("b.c_custkey"))
         .select(col("a.c_custkey").as("a_custkey"), col("a.c_name").as("a_name"),
           col("b.c_custkey").as("b_custkey"), col("b.c_name").as("b_name"))
         .dropDuplicates("a_custkey", "b_custkey")
-      cand.filter(levenshtein(col("a_name"), col("b_name")) <= 1)
-        .select(col("a_custkey"), col("b_custkey"),
-          levenshtein(col("a_name"), col("b_name")).cast("long").as("dist"))
+      cand.withColumn("dist",
+          levenshtein(col("a_name"), col("b_name")).cast("long"))
+        .filter(col("dist") <= 1)
+        .select(col("a_custkey"), col("b_custkey"), col("dist"))
         .orderBy("a_custkey", "b_custkey")
     }),
 

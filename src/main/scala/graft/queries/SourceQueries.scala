@@ -54,6 +54,10 @@ object SourceQueries {
     * is deleted at JVM exit and on a failed build. */
   private val exportMemo = new graft.operators.SessionMemo[String]
 
+  /** The Derby export's (url, max doc_id) — the range-read bound is a
+    * pure function of the same lake the export snapshots. */
+  private val jdbcMemo = new graft.operators.SessionMemo[(String, Long)]
+
   private def export(s: SparkSession, dir: String, fmt: String)
       (write: (DataFrame, String) => Unit): String =
     exportMemo.get(s, s"$fmt:$dir") {
@@ -75,8 +79,16 @@ object SourceQueries {
   private def rowCheck(c: Column): Column = pmod(
     conv(substring(md5(c), 1, 12), 16, 10).cast("long"), lit(1000000007L))
 
+  /** NULL fields hash as an out-of-band  sentinel on BOTH sides:
+    * concat_ws would silently SKIP a null (conflating (lang=NULL,
+    * text="x") with shifted fields and disagreeing with the oracle's
+    * null-propagating `||`), so every field is coalesced explicitly —
+    * a null row contributes a well-defined term to the checksum instead
+    * of dropping out of one engine's sum but not the other's. */
+  private def f(c: Column): Column = coalesce(c.cast("string"), lit("\u0001"))
+
   private def record: Column = concat_ws("|",
-    col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    f(col("doc_id")), f(col("lang")), f(col("n_chars")), f(col("text")))
 
   private def stats(df: DataFrame): DataFrame =
     df.groupBy("source")
@@ -90,8 +102,11 @@ object SourceQueries {
   private val statsSql =
     """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-      |       CAST(sum(('0x' || substr(md5(doc_id::VARCHAR || '|' || lang ||
-      |                '|' || n_chars::VARCHAR || '|' || text), 1, 12))::BIGINT
+      |       CAST(sum(('0x' || substr(md5(
+      |                coalesce(doc_id::VARCHAR, chr(1)) || '|' ||
+      |                coalesce(lang, chr(1)) || '|' ||
+      |                coalesce(n_chars::VARCHAR, chr(1)) || '|' ||
+      |                coalesce(text, chr(1))), 1, 12))::BIGINT
       |                % 1000000007) AS BIGINT) AS checksum
       |FROM documents""".stripMargin
 
@@ -114,10 +129,17 @@ object SourceQueries {
     // both to null — the sentinel keeps "" ↔ "" and null ↔ null exact.
     // The export domain excludes a literal \N text (conflates to null;
     // spec-pinned), as every sentinel convention does.
+    // Boundary whitespace survives too: Spark's CSV WRITER defaults
+    // ignoreLeading/TrailingWhiteSpace to TRUE (silently trimming
+    // ' padded ' to 'padded' in the file bytes — verified against the
+    // written output), so both are pinned false; the reader's defaults
+    // are already false.
     "src_csv_roundtrip" -> ((s, dir) => {
       val path = export(s, dir, "csv")((df, p) =>
         df.write.option("header", "true").option("escape", "\"")
-          .option("nullValue", "\\N").csv(p))
+          .option("nullValue", "\\N")
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false").csv(p))
       stats(s.read.schema(docSchema)
         .option("header", "true").option("escape", "\"")
         .option("nullValue", "\\N").csv(path))
@@ -134,7 +156,10 @@ object SourceQueries {
     // created quoted columns under Derby's case rules; the read-back
     // renames to the lake schema before the checksum.
     "src_jdbc_roundtrip" -> ((s, dir) => {
-      val url = exportMemo.get(s, s"jdbc:$dir") {
+      // the range bound is memoized WITH the url: recomputing max(doc_id)
+      // per invocation would pay a corpus aggregate on every steady-state
+      // rep next to an export that is built once
+      val (url, maxId) = jdbcMemo.get(s, dir) {
         val tmp = graft.streaming.StreamGate.sessionTempDir("graft-src-jdbc") {
           td =>
             Tables(s, dir, "documents").repartition(4)
@@ -148,10 +173,9 @@ object SourceQueries {
               .jdbc(s"jdbc:derby:$td/db;create=true", "DOCS",
                 new java.util.Properties)
         }
-        s"jdbc:derby:$tmp/db"
+        (s"jdbc:derby:$tmp/db",
+          Tables(s, dir, "documents").agg(max("doc_id")).head().getLong(0))
       }
-      val maxId = Tables(s, dir, "documents")
-        .agg(max("doc_id")).head().getLong(0)
       stats(graft.sources.Jdbc.snapshot(s, url, "DOCS", "DOC_ID",
           0L, maxId + 1, 4)
         .select(col("DOC_ID").as("doc_id"), col("TEXT").as("text"),

@@ -46,9 +46,19 @@ object TextQueries {
     hhFeedMemo.get(s, dir) {
       graft.streaming.StreamGate.writeOrderedChunks(
         docs(s, dir).select(col("source").as("segment"),
-            explode(Text.wsTokens(lower(col("text")))).as("item"),
-            col("doc_id").as("ord"))
-          .filter(col("item") =!= ""),
+            posexplode(Text.wsTokens(lower(col("text"))))
+              .as(Seq("pos", "item")),
+            col("doc_id"))
+          .filter(col("item") =!= "")
+          // UNIQUE per-token ordinal (doc_id · 2^16 + in-doc position) so
+          // the engine's (ord, item) fold is the document order itself;
+          // docs are length-bounded far under 2^16 tokens, asserted here
+          // so a longer doc fails loudly instead of aliasing ordinals
+          .select(col("segment"), col("item"),
+            (when(col("pos") < 65536, col("doc_id") * 65536L + col("pos"))
+              .otherwise(raise_error(lit(
+                "hh feed: doc exceeds 65536 tokens — widen the ordinal"))
+                .cast("long"))).as("ord")),
         "ord", chunks = 4, prefix = "graft-hh-stream")
     }
 

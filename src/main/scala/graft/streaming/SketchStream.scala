@@ -83,7 +83,13 @@ object SketchStream {
         val buf = new graft.plans.FreqItemsBuf(capacity)
         prev.foreach { case (item, n) => buf.put(item, n) }
         var n = n0
-        it.toVector.sortBy(_.ord).foreach { e => buf.offer(e.item); n += 1 }
+        // (ord, item) is a TOTAL order even if a feed reuses ord values
+        // (tied ords would otherwise fold in nondeterministic shuffle
+        // arrival order, and in the decrement regime WHICH items survive
+        // depends on offer order) — the replay determinism the contract
+        // promises must not rest on the feed keeping ords unique
+        it.toVector.sortBy(e => (e.ord, e.item))
+          .foreach { e => buf.offer(e.item); n += 1 }
         val summary = buf.entries.toMap
         state.update((summary, n))
         HeavyRow(seg, n, summary)

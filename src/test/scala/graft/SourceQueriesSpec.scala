@@ -27,6 +27,7 @@ class SourceQueriesSpec extends AnyFunSuite with SparkTestBase {
       "tab\tand backslash \\ and more",
       "unicode: café 日本語 😃",
       """json specials: {"k": [1,2]}""",
+      " leading and trailing boundary whitespace\t",
       "",
       null) ++ (if (withNewlines) Seq("line one\nline two\n\nline four") else Nil)
     texts.zipWithIndex.map { case (t, i) =>
@@ -52,14 +53,18 @@ class SourceQueriesSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("CSV roundtrip with RFC 4180 quote-doubling is lossless on its domain") {
-    // includes "" vs NULL: the writer emits quoted "" for empty and the
-    // \N sentinel for null; the sentinel reader keeps them distinct
-    // (Spark's default nullValue="" would collapse both to null).
+    // includes "" vs NULL (the writer emits quoted "" for empty and the
+    // \N sentinel for null; the sentinel reader keeps them distinct —
+    // Spark's default nullValue="" would collapse both to null) and
+    // BOUNDARY whitespace (the WRITER's ignore*WhiteSpace defaults are
+    // true and would silently trim it out of the file bytes).
     val dir = java.nio.file.Files.createTempDirectory("src-spec-csv").toString
     try {
       val df = nasty(withNewlines = false)
       df.write.option("header", "true").option("escape", "\"")
-        .option("nullValue", "\\N").csv(s"$dir/out")
+        .option("nullValue", "\\N")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false").csv(s"$dir/out")
       roundtripEqual(df, spark.read.schema(schema)
         .option("header", "true").option("escape", "\"")
         .option("nullValue", "\\N").csv(s"$dir/out"))

@@ -1002,6 +1002,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming Misra-Gries: tied ords fold deterministically (order-independent)") {
+    import graft.streaming.{HeavyRow, TokenObs}
+    implicit val sqlCtx = spark.sqlContext
+    // decrement regime (capacity 2 < 12 distinct) with EVERY ord tied —
+    // which counters survive depends on fold order, so the engine's
+    // (ord, item) total order must make arrival order irrelevant
+    val multiset = ((1 to 9).map(i => TokenObs("s", s"x$i", 7L)) ++
+      Seq.fill(6)(TokenObs("s", "hot", 7L)) ++
+      Seq.fill(4)(TokenObs("s", "warm", 7L)) ++
+      (1 to 3).map(i => TokenObs("s", s"y$i", 7L)))
+    def run(rows: Seq[TokenObs], tag: String): Map[String, Long] = {
+      val input = MemoryStream[TokenObs]
+      val q = streaming.SketchStream.heavyHitters(input.toDS(), 2)
+        .writeStream.format("memory").queryName(s"hh_tied_$tag")
+        .outputMode(OutputMode.Update).start()
+      try {
+        input.addData(rows: _*); q.processAllAvailable()
+        spark.table(s"hh_tied_$tag").as[HeavyRow].collect().maxBy(_.n_seen).items
+      } finally q.stop()
+    }
+    val a = run(multiset, "a")
+    val b = run(scala.util.Random.shuffle(multiset), "b")
+    assert(a == b, s"tied-ord folds must agree: $a vs $b")
+  }
+
   test("streaming zscore: online anomalies flag after warmup, split-invariant") {
     import graft.streaming.{Anomaly, MetricEvent}
     // alternating 9/11 baseline (sd ≈ 1), a PRE-warmup spike that must
