@@ -808,6 +808,24 @@ object RelationalQueries {
           col("event_type"), col("n"), col("sum_value"), col("avg_value"))
         .orderBy("hour_start_ms", "event_type")),
 
+    // HOPPING (sliding) windows — the streaming-SQL staple tumbling can't
+    // express ("last 30 minutes, refreshed every 10"): Spark's native
+    // window(ts, span, slide) assigns each event to span/slide = 3
+    // overlapping windows at the scan (map-side explode, no self-join of
+    // the log against a window spine), then one groupBy over the window
+    // starts. The oracle replays the assignment as pure integer floor
+    // arithmetic — start_i = (ts_us div slide − i)·slide for i < 3 — which
+    // is exactly Spark's epoch-aligned window rule.
+    "q_hopping_window" -> ((s, dir) =>
+      ev(s, dir)
+        .withColumn("ts_t", timestamp_micros(col("ts_us")))
+        .groupBy(window(col("ts_t"), "30 minutes", "10 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select(unix_millis(col("w.start")).as("win_start_ms"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_start_ms", "event_type")),
+
     // Gap-based sessionization (30 min) + per-session rollup. The
     // sessionized frame is a memoized stored artifact (q_concurrency reads
     // the same one — a production warehouse materializes sessions once per
@@ -1190,6 +1208,45 @@ object RelationalQueries {
           round((col("x.score").cast("long") * col("n_keys")).cast("double") /
             col("n_rows"), 4).as("x_avg_ratio"))
         .orderBy("rank")
+    }),
+
+    // JOIN-SIZE ESTIMATION from count-min inner products (the AGMS /
+    // Cormode–Muthukrishnan estimator): |A ⋈ B| is upper-bounded by
+    // Σ_b cmsA[i][b]·cmsB[i][b] for EVERY salt row i (collisions only
+    // ADD cross terms), so min over the d rows is a certified
+    // overestimate — the cardinality oracle a cost-based planner consults
+    // before choosing a join strategy. Each side is one corpus scan into
+    // a 3×1024 exact-sum cell table; the estimate itself is O(d·w)
+    // arithmetic on two fixed 3 KB artifacts, NEVER a join of the lakes —
+    // at 100 TB you estimate any pairwise join size from stored per-table
+    // sketches without touching rows. The exact audit (Σ n_A(k)·n_B(k)
+    // over the per-KEY count tables — never the materialized join) rides
+    // the gate: est ≥ exact always, overcount = collision mass.
+    "q_join_estimate" -> ((s, dir) => {
+      val d = 3
+      val w = 1024L
+      def bucket(salt: org.apache.spark.sql.Column,
+          key: org.apache.spark.sql.Column) = pmod(
+        conv(substring(md5(concat_ws(":", salt, key)), 1, 12),
+          16, 10).cast("long"), lit(w))
+      val salts = explode(array((0 until d).map(lit): _*)).as("i")
+      def cms(df: DataFrame, key: String) = df.select(col(key).as("k"))
+        .select(col("k"), salts)
+        .select(col("i"), bucket(col("i"), col("k")).as("b"))
+        .groupBy("i", "b").agg(count(lit(1)).as("cell"))
+      val ca = cms(t(s, dir, "orders"), "o_custkey")
+      val cb = cms(t(s, dir, "events"), "user_id")
+      val est = ca.join(cb.withColumnRenamed("cell", "cell_b"), Seq("i", "b"))
+        .groupBy("i").agg(sum(col("cell") * col("cell_b")).as("ip"))
+        .agg(min("ip").as("cms_est"))
+      val exact = t(s, dir, "orders").groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("na"))
+        .join(t(s, dir, "events").groupBy(col("user_id").as("k"))
+          .agg(count(lit(1)).as("nb")), "k")
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("exact_n"))
+      est.crossJoin(exact)
+        .select(col("cms_est"), col("exact_n"),
+          (col("cms_est") - col("exact_n")).as("overcount"))
     }),
 
     // SKYLINE / Pareto frontier (Börzsönyi et al. '01) — "the orders no
@@ -2041,6 +2098,17 @@ object RelationalQueries {
         |GROUP BY 1, 2
         |ORDER BY hour_start_ms, event_type""".stripMargin,
 
+    // the 3-window explode as integer floor arithmetic (span = 3·slide)
+    "q_hopping_window" ->
+      """WITH w AS (
+        |  SELECT ((epoch_us(ts) // 600000000) - s.i) * 600000000 AS ws_us,
+        |         event_type, value
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) s)
+        |SELECT CAST(ws_us // 1000 AS BIGINT) AS win_start_ms, event_type,
+        |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+        |FROM w GROUP BY 1, 2
+        |ORDER BY win_start_ms, event_type""".stripMargin,
+
     "q_sessionize" ->
       s"""$evCte,
          |gaps AS (
@@ -2332,6 +2400,28 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY cents
         |             RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // same salted-md5 buckets on both tables; inner products per salt
+    // row, min across rows, exact Σ n_a·n_b audit from per-key counts
+    "q_join_estimate" ->
+      """WITH s(i) AS (SELECT unnest([0, 1, 2])),
+        |ca AS (SELECT s.i,
+        |         ('0x' || substr(md5(s.i::VARCHAR || ':' || o_custkey::VARCHAR), 1, 12))::BIGINT % 1024 AS b,
+        |         CAST(count(*) AS BIGINT) AS cell
+        |       FROM orders CROSS JOIN s GROUP BY 1, 2),
+        |cb AS (SELECT s.i,
+        |         ('0x' || substr(md5(s.i::VARCHAR || ':' || user_id::VARCHAR), 1, 12))::BIGINT % 1024 AS b,
+        |         CAST(count(*) AS BIGINT) AS cell
+        |       FROM events CROSS JOIN s GROUP BY 1, 2),
+        |ip AS (SELECT ca.i, CAST(sum(ca.cell * cb.cell) AS BIGINT) AS ip
+        |       FROM ca JOIN cb USING (i, b) GROUP BY ca.i),
+        |est AS (SELECT CAST(min(ip) AS BIGINT) AS cms_est FROM ip),
+        |ex AS (SELECT CAST(coalesce(sum(a.n * b.n), 0) AS BIGINT) AS exact_n
+        |       FROM (SELECT o_custkey k, count(*) n FROM orders GROUP BY 1) a
+        |       JOIN (SELECT user_id k, count(*) n FROM events GROUP BY 1) b
+        |         USING (k))
+        |SELECT cms_est, exact_n, cms_est - exact_n AS overcount
+        |FROM est CROSS JOIN ex""".stripMargin,
 
     // the dominance test, replayed through the same per-date min +
     // exclusive running-min collapse
