@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Crafted-input specs for the round-9 additions, covering the laws the
+  * lake gate can't isolate: skyline vs a brute-force dominance reference
+  * (ties included), the fuzzy join's blocking completeness vs brute-force
+  * levenshtein (empty names, ed-2 exclusions), the rolling median against
+  * a from-scratch sorted-window reference on even/odd/duplicate cases,
+  * journey-pattern counts on hand-computed tie-broken journeys, and the
+  * CMS family's certified-overestimate law. Each test writes a CRAFTED
+  * lake (the table parquet files the query functions read) and drives the
+  * REAL gate plan over it — no reimplementation of the query under test.
+  */
+class Round9OpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  /** Write each (name → df) as `<dir>/<name>.parquet` and hand back dir. */
+  private def toyLake(tables: (String, DataFrame)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r9-lake").toString
+    tables.foreach { case (n, df) => df.write.parquet(s"$dir/$n.parquet") }
+    dir
+  }
+
+  private def cleanup(dir: String): Unit =
+    graft.operators.Checkpointing.deleteRecursively(dir)
+
+  test("q_skyline equals brute-force dominance, ties kept on the frontier") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // crafted: two equal minimal points on one date (both members), a
+    // later date undercutting (member), a later date tying the running
+    // min (dominated — not strictly better), interior points dominated
+    val orders = Seq(
+      (1L, ts("1996-01-01 00:00:00"), 50.00),
+      (2L, ts("1996-01-01 00:00:00"), 50.00), // tie: both in skyline
+      (3L, ts("1996-01-01 00:00:00"), 60.00), // same date, higher: out
+      (4L, ts("1996-02-01 00:00:00"), 40.00), // undercuts: in
+      (5L, ts("1996-03-01 00:00:00"), 40.00), // ties prefix min: out
+      (6L, ts("1996-03-01 00:00:00"), 35.00), // undercuts: in
+      (7L, ts("1996-04-01 00:00:00"), 90.00)  // dominated: out
+    ).toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val dir = toyLake("orders" -> orders)
+    try {
+      val got = graft.queries.RelationalQueries.queries("q_skyline")(spark, dir)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSet
+      // brute force: o in skyline iff no other order has price<= AND
+      // date<= with one strict
+      val pts = orders.collect().map(r =>
+        (r.getLong(0), r.getTimestamp(1).getTime, math.round(r.getDouble(2) * 100)))
+      val ref = pts.filter { case (k, d, p) =>
+        !pts.exists { case (k2, d2, p2) =>
+          k2 != k && d2 <= d && p2 <= p && (d2 < d || p2 < p)
+        }
+      }.map(_._1).toSet
+      assert(ref == Set(1L, 2L, 4L, 6L))
+      assert(got == ref, s"skyline $got != brute force $ref")
+    } finally cleanup(dir)
+  }
+
+  test("q_fuzzy_join blocking is complete vs brute-force levenshtein, ed-2 excluded") {
+    // empties, 1-char, substitution/insert/delete neighbors, an ed-2 pair
+    val names = Seq(
+      (0L, ""), (1L, "a"), (2L, "b"),       // ''-'a' ins; 'a'-'b' subst
+      (3L, "ab"), (4L, "aab"), (5L, "abc"), // 'ab'-'aab' ins, 'ab'-'abc' ins
+      (6L, "xy"), (7L, "qrs"),              // 'xy' ed2 from 'ab'; 'qrs' far
+      (8L, "abc"))                          // exact dup of 5
+    val dir = toyLake("customer" -> names.toDF("c_custkey", "c_name"))
+    try {
+      val got = graft.queries.RelationalQueries.queries("q_fuzzy_join")(spark, dir)
+        .select("a_custkey", "b_custkey").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+          if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val ref = (for {
+        (k1, n1) <- names; (k2, n2) <- names
+        if k1 < k2 && lev(n1, n2) <= 1
+      } yield (k1, k2)).toSet
+      assert(ref.contains((0L, 1L)), "'' ↔ 'a' must be a reference pair")
+      assert(!ref.exists(p => Set(p._1, p._2) == Set(3L, 6L)), "'ab'-'xy' is ed 2")
+      assert(got == ref, s"fuzzy $got != brute force $ref")
+    } finally cleanup(dir)
+  }
+
+  test("q_rolling_median matches a from-scratch sorted-window reference") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // 35 items for one supplier (window saturates at 30), duplicates and
+    // a second 3-item supplier (odd/even tiny-prefix cases)
+    val prices1 = (1 to 35).map(i => ((i * 37) % 11 + 1) * 10.0)
+    val li = (prices1.zipWithIndex.map { case (p, i) =>
+      (101L, ts(f"1995-01-${i % 28 + 1}%02d 00:00:00"), i.toLong, i % 7, p)
+    } ++ Seq(
+      (202L, ts("1995-01-01 00:00:00"), 100L, 0, 10.0),
+      (202L, ts("1995-01-02 00:00:00"), 101L, 0, 30.0),
+      (202L, ts("1995-01-03 00:00:00"), 102L, 0, 20.0)))
+      .toDF("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_extendedprice")
+    val dir = toyLake("lineitem" -> li)
+    try {
+      val got = graft.queries.RelationalQueries
+        .queries("q_rolling_median")(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      // reference: per supplier in (shipdate, orderkey, linenumber) order,
+      // med2 = doubled median of the trailing-30 cents window
+      def ref(rows: Seq[(java.sql.Timestamp, Long, Int, Double)]) = {
+        val cents = rows.sortBy(r => (r._1.getTime, r._2, r._3))
+          .map(r => math.round(r._4 * 100))
+        val med2s = cents.indices.map { i =>
+          val w = cents.slice(math.max(0, i - 29), i + 1).sorted
+          if (w.size % 2 == 1) w(w.size / 2) * 2
+          else w(w.size / 2 - 1) + w(w.size / 2)
+        }
+        (cents.size.toLong, med2s.last, med2s.max, med2s.min)
+      }
+      val byKey = li.collect().map(r => (r.getLong(0),
+        (r.getTimestamp(1), r.getLong(2), r.getInt(3), r.getDouble(4))))
+        .groupBy(_._1).view.mapValues(v => ref(v.map(_._2).toSeq)).toMap
+      assert(got == byKey, s"rolling median $got != reference $byKey")
+    } finally cleanup(dir)
+  }
+
+  test("q_event_pattern counts hand-computed journeys incl. same-ts tie-break") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    def t0(off: Int) = java.sql.Timestamp.from(
+      ts("2024-01-01 00:00:00").toInstant.plusSeconds(off.toLong))
+    // u1: v c c p s v  → vc*p:1 (vccp), sv:1, v[ce]*p:1
+    // u2 (tie ts, event_id breaks): e e e  → e{2,}:1
+    // u3: v p  → vc*p:1 ('vc*p' with zero c), v[ce]*p:1
+    val rows = Seq(
+      (1L, 10L, "view", t0(0), 1.0), (1L, 11L, "click", t0(1), 1.0),
+      (1L, 12L, "click", t0(2), 1.0), (1L, 13L, "purchase", t0(3), 1.0),
+      (1L, 14L, "signup", t0(4), 1.0), (1L, 15L, "view", t0(5), 1.0),
+      (2L, 21L, "error", t0(7), 1.0), (2L, 22L, "error", t0(7), 1.0),
+      (2L, 23L, "error", t0(7), 1.0),
+      (3L, 31L, "view", t0(9), 1.0), (3L, 32L, "purchase", t0(10), 1.0))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val dir = toyLake("events" -> rows)
+    try {
+      val got = graft.queries.BehaviorQueries.queries("q_event_pattern")(spark, dir)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got("vc*p") == (2L, 2L))     // u1 + u3
+      assert(got("sv") == (1L, 1L))       // u1
+      assert(got("e{2,}") == (1L, 1L))    // u2 (one maximal run)
+      assert(got("v[ce]*p") == (2L, 2L))  // u1 + u3
+    } finally cleanup(dir)
+  }
+
+  test("CMS family: certified overestimate (overcount >= 0) on a skewed crafted lake") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // heavy skew: user 1 × 500, user 2 × 100, 1000 singletons — forces
+    // real collisions in 1024 buckets so the law is non-vacuous
+    val events = ((1 to 500).map(_ => 1L) ++ (1 to 100).map(_ => 2L) ++
+      (100L to 1099L))
+      .zipWithIndex.map { case (u, i) =>
+        (u, i.toLong, "view", ts("2024-01-01 00:00:00"), 1.0) }
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val orders = (1L to 300L).map(k => (k, k % 50)).toDF("o_orderkey", "o_custkey")
+    val dir = toyLake("events" -> events, "orders" -> orders)
+    try {
+      val top = graft.queries.RelationalQueries.queries("q_cms_topk")(spark, dir)
+        .collect()
+      assert(top.length == 20)
+      top.foreach { r =>
+        assert(r.getLong(4) >= 0L, s"CMS must never undercount: $r")
+      }
+      assert(top.head.getLong(1) == 1L && top.head.getLong(2) == 500L)
+      val je = graft.queries.RelationalQueries.queries("q_join_estimate")(spark, dir)
+        .head()
+      // exact |orders ⋈ events|: custkeys 0..49 (6 orders each) hit user
+      // singleton range 100..1099 nowhere; users 1, 2 have custkey
+      // matches 1, 2 (6 orders each) → exact = 500·6 + 100·6 = 3600
+      assert(je.getLong(1) == 3600L, s"exact join size: $je")
+      assert(je.getLong(2) >= 0L, "join estimate must be an overestimate")
+    } finally cleanup(dir)
+  }
+}
