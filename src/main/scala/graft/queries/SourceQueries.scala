@@ -145,6 +145,15 @@ object SourceQueries {
         .option("nullValue", "\\N").csv(path))
     }),
 
+    // ORC — the other columnar lake format (Hive-lineage shops run ORC
+    // lakes next to parquet ones): same typed footer-statistics /
+    // predicate-pushdown class as parquet, exercised through Spark's
+    // native vectorized ORC source.
+    "src_orc_roundtrip" -> ((s, dir) => {
+      val path = export(s, dir, "orc")((df, p) => df.write.orc(p))
+      stats(s.read.schema(docSchema).orc(path))
+    }),
+
     // JDBC roundtrip against an EMBEDDED Derby database — the bootstrap
     // path a CDC consumer runs for real (sources/Jdbc.snapshot is step 1
     // of snapshot-then-stream): the corpus is INSERTed over JDBC once per
@@ -199,6 +208,8 @@ object SourceQueries {
     "src_jsonl_roundtrip" ->
       (statsSql + "\nGROUP BY source ORDER BY source"),
     "src_csv_roundtrip" ->
+      (statsSql + "\nGROUP BY source ORDER BY source"),
+    "src_orc_roundtrip" ->
       (statsSql + "\nGROUP BY source ORDER BY source"),
     "src_jdbc_roundtrip" ->
       (statsSql + "\nGROUP BY source ORDER BY source"),
