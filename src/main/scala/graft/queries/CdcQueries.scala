@@ -166,6 +166,32 @@ object CdcQueries {
     "cdc_latest_snapshot" -> ((s, dir) =>
       Apply.latestSnapshot(feed(s, dir)).orderBy("table_name", "pk")),
 
+    // TRUNCATE apply inside the gate (reference: TruncateMessage,
+    // postrack.go:408-411 — wipe-everything-earlier per table): synthetic
+    // TRUNCATE markers ride the feed at deterministic per-table WAL
+    // positions (users at maxLsn div 4, accounts at maxLsn div 2 — a pure
+    // function of the feed, so the oracle replays the cutoffs without the
+    // markers), `Apply.applyTruncates` removes pre-truncate history AND
+    // the consumed markers (O(tables) cutoff aggregate broadcast back —
+    // never a per-table window), and the surviving suffix materializes
+    // through the same latest-snapshot apply the plain feed uses.
+    "cdc_truncate_apply" -> ((s, dir) => {
+      import s.implicits._
+      val f = feed(s, dir)
+      val bounds = f.agg(max("lsn").as("m"))
+      val markers = Seq(("users", 4L), ("accounts", 2L))
+        .toDF("table_name", "d")
+        .crossJoin(broadcast(bounds))
+        .select(expr("m div d").as("lsn"), col("table_name"),
+          lit("TRUNCATE").as("op"), lit(-1L).as("pk"),
+          lit(null).cast("long").as("ts_us"),
+          lit(null).cast("double").as("value"),
+          lit(null).cast("string").as("props"))
+      Apply.latestSnapshot(
+          Apply.applyTruncates(f.unionByName(markers)))
+        .orderBy("table_name", "pk")
+    }),
+
     // Point-in-time (time-travel) read: the materialized state a consumer
     // that stopped acking at LSN 700 would hold.
     "cdc_as_of" -> ((s, dir) =>
@@ -445,6 +471,23 @@ object CdcQueries {
          |SELECT table_name, pk, lsn, op, value, props FROM (
          |  SELECT *, row_number() OVER (PARTITION BY table_name, pk ORDER BY lsn DESC) AS rn
          |  FROM feed WHERE lsn <= 700)
+         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY table_name, pk""".stripMargin,
+
+    // TRUNCATE replay: the cutoffs are a pure function of the feed (maxLsn
+    // div 4 / div 2), so the oracle computes them directly and keeps each
+    // table's suffix — no marker rows needed on the SQL side.
+    "cdc_truncate_apply" ->
+      s"""$cte,
+         |cut AS (
+         |  SELECT 'users' AS table_name, max(lsn) // 4 AS trunc_lsn FROM feed
+         |  UNION ALL
+         |  SELECT 'accounts' AS table_name, max(lsn) // 2 AS trunc_lsn FROM feed),
+         |kept AS (
+         |  SELECT f.* FROM feed f
+         |  JOIN cut c ON f.table_name = c.table_name AND f.lsn >= c.trunc_lsn)
+         |SELECT table_name, pk, lsn, op, value, props FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY table_name, pk ORDER BY lsn DESC) AS rn
+         |  FROM kept)
          |WHERE rn = 1 AND op <> 'DELETE' ORDER BY table_name, pk""".stripMargin,
 
     // two point-in-time states per key via conditional max_by (rows with a

@@ -143,7 +143,49 @@ object DedupQueries {
         col("kept_doc"))
   }
 
+  /** doc_id-ordered, mtime-stamped document chunks — the replay input of
+    * the streaming near-dup gate (4 ingest batches standing in for a
+    * corpus arriving over time). */
+  private val streamFeedMemo = new graft.operators.SessionMemo[String]
+
+  private def docFeedDir(s: SparkSession, dir: String): String =
+    streamFeedMemo.get(s, dir) {
+      graft.streaming.StreamGate.writeOrderedChunks(
+        docs(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", chunks = 4, prefix = "graft-dedup-stream")
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // STREAMING near-dup detection, gated (r9): `DedupStream.nearDupMatches`
+    // — state keyed BY LSH BUCKET (each arriving doc compares only against
+    // its buckets' members, never the corpus; the batch candidate criterion
+    // run incrementally) — over the doc_id-ordered 4-chunk replay. Every
+    // pair sharing >= 1 band bucket is compared exactly once, when its
+    // later member arrives, so the DISTINCT emission set equals the batch
+    // MinHash-LSH pair table REGARDLESS of chunking (a pure function of the
+    // signature set) — and the batch pipeline's full DuckDB replay oracles
+    // the streaming ENGINE end-to-end. Same codegen'd signature/band
+    // expressions both sides, so est_jaccard matches bit-for-bit.
+    "dedup_stream" -> ((s, dir) => {
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docFeedDir(s, dir))
+      graft.streaming.StreamGate.run(s,
+          graft.streaming.DedupStream.nearDupMatches(s, stream), "dedup_gate",
+          org.apache.spark.sql.streaming.OutputMode.Append()) { sink =>
+        // one emission per agreeing band (bucket-local state cannot see
+        // other buckets) → the pair table is the distinct over the drain,
+        // exactly the batch pipeline's `.distinct()`
+        graft.operators.Checkpointing.cut(
+          sink.select("doc_a", "doc_b", "est_jaccard").distinct())
+      }.orderBy("doc_a", "doc_b")
+    }),
+
     // Exact dedup: hash-groupBy, lowest doc_id is the canonical survivor.
     "dedup_exact" -> ((s, dir) =>
       docs(s, dir)
@@ -400,6 +442,16 @@ object DedupQueries {
     // Full replay of the MinHash-LSH pipeline (see sigCtes). est ≥ 0.5 on
     // the rounded value ⟺ n_eq ≥ 32 since k/64 is exact in binary.
     "dedup_minhash_lsh" ->
+      s"""WITH $sigCtes,
+         |$candCte,
+         |$agreeCte,
+         |$pairsCte
+         |SELECT doc_a, doc_b, est_jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+
+    // The streaming engine must converge to the BATCH pair table: same
+    // replay as dedup_minhash_lsh — the oracle is deliberately identical,
+    // because "incremental result == batch result" IS the claim under test.
+    "dedup_stream" ->
       s"""WITH $sigCtes,
          |$candCte,
          |$agreeCte,
