@@ -131,6 +131,38 @@ object BehaviorQueries {
       }.orderBy("user_id", "session_id")
     }),
 
+    // WATERMARKED event-time window aggregation, gated (r9): Spark's OWN
+    // windowed-aggregation engine — withWatermark + window() + Append mode,
+    // the canonical Structured Streaming stateful operator — run through
+    // the ordered chunk replay. Append emits a window exactly once, when
+    // the watermark passes its END (boundary pinned by probe + spec: a
+    // window whose end EQUALS the final watermark emits; the watermark is
+    // max event-time minus the 10-min delay at MILLISECOND precision), so
+    // the emission set is a pure function of the event-time distribution —
+    // chunk-order-free — and replays in the oracle as integer floor
+    // arithmetic over the batch table. Values fold as 1e4-scaled longs in
+    // the state store (order-free exact sums across micro-batches); the
+    // trailing unfinalized windows are absent BY THE SEMANTICS — that is
+    // the watermark contract under test.
+    "q_tumbling_stream" -> ((s, dir) => {
+      val stream = s.readStream.schema(
+          org.apache.spark.sql.Encoders.product[graft.streaming.AttrEvent].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(behaviorFeedDir(s, dir))
+        .select(timestamp_micros(col("ts_us")).as("ts"),
+          round(col("value") * lit(10000)).cast("long").as("v4"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"), sum("v4").as("sv4"))
+      graft.streaming.StreamGate.run(s, stream, "tumbling_gate",
+          org.apache.spark.sql.streaming.OutputMode.Append()) { sink =>
+        graft.operators.Checkpointing.cut(sink.select(
+          unix_millis(col("w.start")).as("hour_start_ms"),
+          col("n_events"),
+          round(col("sv4") / lit(10000.0), 4).as("sum_value")))
+      }.orderBy("hour_start_ms")
+    }),
+
     // Conversion funnel view → click → purchase with STRICT ordering: a
     // click only counts after the user's first view, a purchase only after
     // that qualifying click. Each stage is min-per-user over a filtered
@@ -366,6 +398,22 @@ object BehaviorQueries {
          |       round(sum(value), 4) AS session_value
          |FROM sess GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+
+    // the watermark contract replayed as integer arithmetic: a window is
+    // in the emission set iff its end <= max(ts) floored to ms minus the
+    // 10-min delay (the probed append-mode boundary, end == wm emits)
+    "q_tumbling_stream" ->
+      s"""$evCte,
+         |b AS (SELECT ((max(ts_us) // 1000) - 600000) * 1000 AS wm FROM e),
+         |w AS (SELECT (ts_us // 3600000000) * 3600000000 AS ws_us,
+         |             CAST(round(value * 10000) AS BIGINT) AS v4
+         |      FROM e),
+         |g AS (SELECT ws_us, count(*) AS n_events,
+         |             round(CAST(sum(v4) AS DOUBLE) / 10000.0, 4) AS sum_value
+         |      FROM w GROUP BY ws_us)
+         |SELECT ws_us // 1000 AS hour_start_ms, n_events, sum_value
+         |FROM g, b WHERE ws_us + 3600000000 <= wm
+         |ORDER BY hour_start_ms""".stripMargin,
 
     // the batch matrix SQL oracles the streaming engine's emission set
     "q_transitions_stream" ->

@@ -878,6 +878,41 @@ object RelationalQueries {
           round(sum("value"), 4).as("session_value"))
         .orderBy("user_id", "session_id")),
 
+    // INTERVAL COVERAGE (merged-interval union time) — the third interval
+    // operator next to gap-splitting (q_sessionize) and the overlap
+    // sweep-line (q_concurrency): each event opens a 15-minute activity
+    // interval and the per-user answer is the measure of the UNION of
+    // those intervals (overlaps counted once). The island construction is
+    // the classic exclusive running-max-of-end: an interval starts a new
+    // island iff its start lies strictly beyond everything seen before it
+    // in (ts, id) order; touching half-open intervals merge. Windows are
+    // user-partitioned (per-key fan-in — never a global ordered window);
+    // all arithmetic is epoch-microsecond longs, so the union measure is
+    // exact set algebra on both engines.
+    "q_interval_coverage" -> ((s, dir) => {
+      val spanUs = 900000000L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val prevMax = max("en").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+      val islands = ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          (col("ts_us") + lit(spanUs)).as("en"))
+        .withColumn("ni",
+          when(prevMax.isNull || col("ts_us") > prevMax, 1).otherwise(0))
+        .withColumn("island", sum("ni").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      islands.groupBy("user_id", "island")
+        .agg(min("ts_us").as("st"), max("en").as("ien"),
+          count(lit(1)).as("n_ev"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("ien") - col("st")).as("covered_us"),
+          max(col("ien") - col("st")).as("longest_us"),
+          sum("n_ev").as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // Peak concurrency (max simultaneously-open sessions per day) via the
     // boundary SWEEP-LINE: each session becomes a +1 at its start and a −1
     // at its end, and the global running sum of deltas at any boundary IS
@@ -2149,6 +2184,30 @@ object RelationalQueries {
          |       round(sum(value), 4) AS session_value
          |FROM sess GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+
+    // merged-interval union: exclusive running max of interval end →
+    // island flag → island id → exact integer union measure
+    "q_interval_coverage" ->
+      s"""$evCte,
+         |iv AS (SELECT user_id, event_id, ts_us, ts_us + 900000000 AS en FROM e),
+         |fl AS (
+         |  SELECT *, CASE WHEN max(en) OVER pw IS NULL OR ts_us > max(en) OVER pw
+         |            THEN 1 ELSE 0 END AS ni
+         |  FROM iv
+         |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |isl AS (
+         |  SELECT *, CAST(sum(ni) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+         |  FROM fl),
+         |g AS (SELECT user_id, island, min(ts_us) AS st, max(en) AS ien,
+         |             count(*) AS n_ev
+         |      FROM isl GROUP BY user_id, island)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+         |       CAST(sum(ien - st) AS BIGINT) AS covered_us,
+         |       CAST(max(ien - st) AS BIGINT) AS longest_us,
+         |       CAST(sum(n_ev) AS BIGINT) AS n_events
+         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // same sessionize CTE as q_sessionize, then the boundary sweep: the
     // window's global ORDER BY replays the PrefixSum's range order exactly

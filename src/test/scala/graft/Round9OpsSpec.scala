@@ -180,4 +180,28 @@ class Round9OpsSpec extends AnyFunSuite with SparkTestBase {
       assert(je.getLong(2) >= 0L, "join estimate must be an overestimate")
     } finally cleanup(dir)
   }
+
+  test("q_interval_coverage: touching merges, strict gap splits, overlap counted once") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    def t0(off: Int) = java.sql.Timestamp.from(
+      ts("2024-01-01 00:00:00").toInstant.plusSeconds(off.toLong))
+    // span = 900 s. u1: 0 s and 300 s overlap (union [0, 1200)); 1200 s
+    // TOUCHES the running end exactly (half-open: merges, end 2100);
+    // 3000 s > 2100 → second island. u2: one event, one island.
+    val rows = Seq(
+      (1L, 10L, "view", t0(0), 1.0), (1L, 11L, "view", t0(300), 1.0),
+      (1L, 12L, "view", t0(1200), 1.0), (1L, 13L, "view", t0(3000), 1.0),
+      (2L, 20L, "view", t0(0), 1.0))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val dir = toyLake("events" -> rows)
+    try {
+      val got = graft.queries.RelationalQueries
+        .queries("q_interval_coverage")(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got(1L) == (2L, 3000000000L, 2100000000L, 4L),
+        s"u1 islands: ${got(1L)}") // covered = 2100 s + 900 s
+      assert(got(2L) == (1L, 900000000L, 900000000L, 1L))
+    } finally cleanup(dir)
+  }
 }

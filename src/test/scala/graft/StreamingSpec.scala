@@ -120,6 +120,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("append-mode watermark boundary: window end == watermark emits, later window held") {
+    // pins the finalization rule the q_tumbling_stream oracle replays:
+    // wm = max event-time (ms precision) - delay; a window emits iff
+    // end <= wm — INCLUSIVE at equality (probed on Spark 4.1; if an
+    // upgrade flips the boundary this fails before the gate does)
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val hourUs = 3600000000L
+    val input = MemoryStream[Long] // event-time micros
+    val agg = input.toDS().toDF("ts_us")
+      .select(timestamp_micros(col("ts_us")).as("ts"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("wmb")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(100L, hourUs + 5L)
+      q.processAllAvailable()
+      // max ts = 2h10m exactly → wm lands exactly ON window [1h,2h)'s end
+      input.addData(2 * hourUs + 600000000L)
+      q.processAllAvailable()
+      val rows = spark.table("wmb").as[(Long, Long)].collect().toSet
+      assert(rows === Set((0L, 1L), (hourUs, 1L)),
+        s"boundary drifted: $rows") // window [2h,3h) held — end > wm
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops replayed LSNs across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Change]
