@@ -192,6 +192,51 @@ object SourceQueries {
           col("N_CHARS").as("n_chars")))
     }),
 
+    // BINARY-OBJECT lake surface (r9 continuation): the multimodal corpus
+    // exported as ONE FILE PER OBJECT under Hive-style modality=<m>/ dirs
+    // (how image/audio corpora actually land in object storage), read back
+    // through Spark's binaryFile source — partition discovery reconstructs
+    // `modality` from the directory key, the object id parses from the
+    // file name, `content` carries the container bytes — and RE-DECODED by
+    // the engine's own BMP/WAV/AVI parsers. The gate claim: export → file
+    // objects → binaryFile scan → decode equals the direct in-engine
+    // synthesis+decode path BYTE-FAITHFULLY (the per-item features hash
+    // the pixel/sample payloads, so any corrupted byte flips them) — the
+    // oracle is mm_metadata's full feature replay, deliberately verbatim.
+    // Scale note: an object-per-item layout pays file LISTING at scan
+    // start — fine for media objects (kB–MB each), wrong for row data
+    // (that's what the parquet/ORC lakes are for).
+    "src_binaryfile_roundtrip" -> ((s, dir) => {
+      val blobRoot = exportMemo.get(s, s"binaryblobs:$dir") {
+        val tmp = graft.streaming.StreamGate.sessionTempDir("graft-src-blob") {
+          td =>
+            val base = s"$td/blobs"
+            for (m <- Seq("image", "audio", "video"))
+              java.nio.file.Files.createDirectories(
+                java.nio.file.Paths.get(s"$base/modality=$m"))
+            graft.operators.Multimodal
+              .asMedia(Tables(s, dir, "documents").repartition(4))
+              .select("doc_id", "modality", "payload")
+              .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+                it.foreach { r =>
+                  java.nio.file.Files.write(java.nio.file.Paths.get(
+                    s"$base/modality=${r.getString(1)}/${r.getLong(0)}.bin"),
+                    r.getAs[Array[Byte]](2))
+                }
+              }
+        }
+        s"$tmp/blobs"
+      }
+      val back = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin").load(blobRoot)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long")
+            .as("doc_id"),
+          col("modality").cast("string").as("modality"),
+          col("content").as("payload"))
+      graft.operators.Multimodal.extractFeatures(s, back).orderBy("doc_id")
+    }),
+
     // Hive-layout partitioned lake: source becomes a directory key the
     // reader reconstructs; the 3-source filter prunes 17 of 20 partition
     // directories BEFORE any file is opened (partitionFilters, spec-pinned)
@@ -215,5 +260,11 @@ object SourceQueries {
       (statsSql + "\nGROUP BY source ORDER BY source"),
     "src_partitioned_roundtrip" ->
       (statsSql + "\nWHERE source IN ('src3', 'src7', 'src11')" +
-        "\nGROUP BY source ORDER BY source"))
+        "\nGROUP BY source ORDER BY source"),
+
+    // deliberately mm_metadata's replay VERBATIM: "the binary-object trip
+    // composed to the identity" means the re-decoded features equal the
+    // direct path's, and that path's oracle already re-derives every
+    // feature from the parquet text
+    "src_binaryfile_roundtrip" -> MultimodalQueries.oracles("mm_metadata"))
 }

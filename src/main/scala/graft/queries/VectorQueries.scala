@@ -160,6 +160,10 @@ object VectorQueries {
   private val graphMemo = new graft.operators.SessionMemo[DataFrame]
   private val scaledGraphMemo = new graft.operators.SessionMemo[DataFrame]
 
+  /** emb_nndescent's stored base graph (the emb_knn_graph edge list,
+    * id-pairs only) — the artifact a production refinement round reads. */
+  private val nndBaseMemo = new graft.operators.SessionMemo[DataFrame]
+
   /** Shared corpus-scaled quantizer build: k = max(kMin, ⌈N/perCell⌉),
     * reusing the shared k=16 knn_ivf index when the rule resolves there. */
   private def scaledIndex(s: SparkSession, dir: String,
@@ -350,6 +354,42 @@ object VectorQueries {
     // graph are all inside the hash gate.
     "emb_knn_graph_scaled" -> ((s, dir) =>
       knnGraphOver(s, scaledGraphIndex(s, dir)).orderBy("vec_id", "rk")),
+
+    // NN-DESCENT refinement (Dong et al. 2011) — the graph-ANN
+    // construction class (HNSW/NSG ancestry) as pure relational algebra:
+    // "a neighbor of my neighbor is probably my neighbor". One round over
+    // the stored kNN graph: candidates = current edges ∪ REVERSED edges ∪
+    // two-hop edges (graph ⋈ graph on the shared endpoint), exact-cosine
+    // rerank, keep top-3. Candidate mass is O(N·K²) with K=3 — LINEAR in
+    // the corpus at fixed degree, never a cell-pair or corpus² term — and
+    // every stage is an equi-join on vec_id, so the round distributes as
+    // ordinary shuffle joins (AQE splits hub skew). Escapes the quantizer:
+    // cross-CELL true neighbors reachable through a shared neighbor enter
+    // here, so graph recall is ≥ the in-cell graph's by construction.
+    "emb_nndescent" -> ((s, dir) => {
+      val base = nndBaseMemo.get(s, dir) {
+        graft.operators.Checkpointing.cut(
+          knnGraphOver(s, graphIndex(s, dir)).select("vec_id", "neighbor_id"))
+      }
+      val rev = base.select(col("neighbor_id").as("vec_id"),
+        col("vec_id").as("neighbor_id"))
+      val hop = base.select(col("vec_id"), col("neighbor_id").as("mid"))
+        .join(base.select(col("vec_id").as("mid"), col("neighbor_id").as("nb2")),
+          "mid")
+        .filter(col("nb2") =!= col("vec_id"))
+        .select(col("vec_id"), col("nb2").as("neighbor_id"))
+      val cand = base.unionByName(rev).unionByName(hop).distinct()
+      val sv = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val scored = cand
+        .join(sv, "vec_id")
+        .join(sv.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("n_emb")), "neighbor_id")
+        .select(col("vec_id"), col("neighbor_id"),
+          round(graft.plans.CosineSim.cosine(s, col("embedding"), col("n_emb")), 4)
+            .as("cos"))
+      Relational.topKByScore(scored, "vec_id", "cos", "neighbor_id", 3)
+        .orderBy("vec_id", "rk")
+    }),
 
     // Radius (range) search: every neighbor within cosine ≥ 0.25 of each
     // sampled query — the fixed-threshold dual of top-k. Map-only at any
@@ -864,9 +904,10 @@ object VectorQueries {
 
   private val ivfBuildCtes: String = ivfBuildCtesK("16")
 
-  /** The kNN-graph tail over whichever build prefix precedes it: in-cell
-    * pairs, 4dp cosine, top-3 by (cos desc, neighbor_id). */
-  private val knnGraphTailCtes: String =
+  /** The kNN-graph body over whichever build prefix precedes it: in-cell
+    * pairs, 4dp cosine, top-3 by (cos desc, neighbor_id) — split from the
+    * final SELECT so the NN-descent oracle can extend the ranked graph. */
+  private val knnGraphBodyCtes: String =
     s"""g AS (
        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
        |         round(list_cosine_similarity(sa.v, sb.v), 4) AS cos
@@ -877,7 +918,9 @@ object VectorQueries {
        |ranked AS (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
        |             ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
-       |  FROM g)
+       |  FROM g)""".stripMargin
+  private val knnGraphTailCtes: String =
+    s"""$knnGraphBodyCtes
        |SELECT vec_id, rk, neighbor_id, cos FROM ranked WHERE rk <= 3
        |ORDER BY vec_id, rk""".stripMargin
 
@@ -993,6 +1036,31 @@ object VectorQueries {
     "emb_knn_graph_scaled" ->
       s"""WITH $scaledBuildCtes,
          |$knnGraphTailCtes""".stripMargin,
+
+    // one NN-descent round over the ranked base graph: edges ∪ reversed ∪
+    // two-hop, exact-cosine rerank, top-3 — same ordering contract
+    "emb_nndescent" ->
+      s"""WITH $ivfBuildCtes,
+         |$knnGraphBodyCtes,
+         |base AS (SELECT vec_id, neighbor_id FROM ranked WHERE rk <= 3),
+         |cand AS (
+         |  SELECT vec_id, neighbor_id FROM base
+         |  UNION SELECT neighbor_id, vec_id FROM base
+         |  UNION SELECT a.vec_id, b.neighbor_id FROM base a
+         |        JOIN base b ON b.vec_id = a.neighbor_id
+         |        WHERE b.neighbor_id <> a.vec_id),
+         |sc AS (
+         |  SELECT c.vec_id, c.neighbor_id,
+         |         round(list_cosine_similarity(sa.v, sb.v), 4) AS cos
+         |  FROM cand c
+         |  JOIN sv sa ON sa.vec_id = c.vec_id
+         |  JOIN sv sb ON sb.vec_id = c.neighbor_id),
+         |rr AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+         |  FROM sc)
+         |SELECT vec_id, rk, neighbor_id, cos FROM rr WHERE rk <= 3
+         |ORDER BY vec_id, rk""".stripMargin,
 
     // same build prefix, then the per-list report: sizes, shares, and the
     // 1e4-scaled cohesion sums over 4dp-rounded cosines. The cosine here
