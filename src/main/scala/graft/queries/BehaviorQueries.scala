@@ -163,6 +163,36 @@ object BehaviorQueries {
       }.orderBy("hour_start_ms")
     }),
 
+    // STREAMING funnel, gated (r9 continuation): `BehaviorStream.funnel` —
+    // per-user state is ONE (stage, ts) cursor; each arriving event that
+    // advances the funnel emits its StageReach immediately — over the
+    // time-ordered chunk replay. The greedy advance rule ("first
+    // qualifying event strictly after the previous stage") is the SAME
+    // fixpoint the batch fold computes, so the per-stage rollup of the
+    // emission set equals the batch q_funnel table and the batch SQL
+    // oracles the engine (cross-batch parity law already spec'd in
+    // StreamingSpec; this puts it inside the hash gate).
+    "q_funnel_stream" -> ((s, dir) => {
+      import s.implicits._
+      val stream = s.readStream.schema(
+          org.apache.spark.sql.Encoders.product[graft.streaming.AttrEvent].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(behaviorFeedDir(s, dir))
+        .select("user_id", "event_type", "ts_us")
+        .as[graft.streaming.FunnelEvent]
+      graft.streaming.StreamGate.run(s,
+          graft.streaming.BehaviorStream.funnel(stream,
+            Seq("view", "click", "purchase")), "funnel_gate",
+          org.apache.spark.sql.streaming.OutputMode.Append()) { sink =>
+        graft.operators.Checkpointing.cut(sink
+          .groupBy(col("stage"), col("stage_name"))
+          .agg(count(lit(1)).as("n_users"), sum("delta_us").as("sum_delta_us"))
+          .select(concat(col("stage").cast("string"), lit("_"),
+            col("stage_name")).as("stage"), col("n_users"),
+            col("sum_delta_us"), col("stage").as("stage_idx")))
+      }.orderBy("stage_idx").drop("stage_idx")
+    }),
+
     // Conversion funnel view → click → purchase with STRICT ordering: a
     // click only counts after the user's first view, a purchase only after
     // that qualifying click. Each stage is min-per-user over a filtered
@@ -321,26 +351,32 @@ object BehaviorQueries {
   private val evCte =
     "WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events)"
 
+  /** Shared by q_funnel and its streaming-engine gate: "incremental result
+    * == batch result" is exactly the streaming claim, so the oracle is the
+    * batch funnel SQL verbatim. */
+  private val funnelSql =
+    s"""$evCte,
+       |v AS (SELECT user_id, min(ts_us) AS v_ts FROM e
+       |      WHERE event_type = 'view' GROUP BY user_id),
+       |c AS (SELECT e.user_id, min(e.ts_us) AS c_ts, max(v.v_ts) AS v_ts
+       |      FROM e JOIN v ON e.user_id = v.user_id
+       |      WHERE e.event_type = 'click' AND e.ts_us > v.v_ts
+       |      GROUP BY e.user_id),
+       |p AS (SELECT e.user_id, min(e.ts_us) AS p_ts, max(c.c_ts) AS c_ts
+       |      FROM e JOIN c ON e.user_id = c.user_id
+       |      WHERE e.event_type = 'purchase' AND e.ts_us > c.c_ts
+       |      GROUP BY e.user_id)
+       |SELECT '1_view' AS stage, count(*) AS n_users,
+       |       CAST(NULL AS BIGINT) AS sum_delta_us FROM v
+       |UNION ALL
+       |SELECT '2_click', count(*), CAST(sum(c_ts - v_ts) AS BIGINT) FROM c
+       |UNION ALL
+       |SELECT '3_purchase', count(*), CAST(sum(p_ts - c_ts) AS BIGINT) FROM p
+       |ORDER BY stage""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q_funnel" ->
-      s"""$evCte,
-         |v AS (SELECT user_id, min(ts_us) AS v_ts FROM e
-         |      WHERE event_type = 'view' GROUP BY user_id),
-         |c AS (SELECT e.user_id, min(e.ts_us) AS c_ts, max(v.v_ts) AS v_ts
-         |      FROM e JOIN v ON e.user_id = v.user_id
-         |      WHERE e.event_type = 'click' AND e.ts_us > v.v_ts
-         |      GROUP BY e.user_id),
-         |p AS (SELECT e.user_id, min(e.ts_us) AS p_ts, max(c.c_ts) AS c_ts
-         |      FROM e JOIN c ON e.user_id = c.user_id
-         |      WHERE e.event_type = 'purchase' AND e.ts_us > c.c_ts
-         |      GROUP BY e.user_id)
-         |SELECT '1_view' AS stage, count(*) AS n_users,
-         |       CAST(NULL AS BIGINT) AS sum_delta_us FROM v
-         |UNION ALL
-         |SELECT '2_click', count(*), CAST(sum(c_ts - v_ts) AS BIGINT) FROM c
-         |UNION ALL
-         |SELECT '3_purchase', count(*), CAST(sum(p_ts - c_ts) AS BIGINT) FROM p
-         |ORDER BY stage""".stripMargin,
+    "q_funnel_stream" -> funnelSql,
+    "q_funnel" -> funnelSql,
 
     // same stage CTEs with the 3-day window bound added to each join
     "q_funnel_windowed" ->

@@ -38,6 +38,21 @@ object CdcQueries {
       s"$tmp/feed"
     }
 
+  /** LSN-ORDERED (mtime-stamped) chunk replay of the same Change feed —
+    * for gates whose stale-drop guard makes arrival order semantic
+    * (scd2's append-once closed intervals). The IVM/snapshot gates read
+    * the unstamped range files above on purpose: their per-key LSN guards
+    * make them order-FREE, and that robustness is part of what they gate. */
+  private val orderedFeedMemo = new graft.operators.SessionMemo[String]
+
+  private def orderedFeedDir(s: SparkSession, dir: String): String =
+    orderedFeedMemo.get(s, dir) {
+      graft.streaming.StreamGate.writeOrderedChunks(
+        feed(s, dir).select(col("lsn"), col("table_name").as("tableName"),
+          col("op"), col("pk"), col("ts_us").as("tsUs"), col("value")),
+        "lsn", chunks = 4, prefix = "graft-cdc-ordered")
+    }
+
   /** Lake dir written by a REAL socket capture run (gated, r9 — VERDICT
     * item 3): the synthetic pgoutput frames served through
     * [[graft.streaming.LoopbackPgServer]] (the in-process primary speaking
@@ -364,6 +379,32 @@ object CdcQueries {
       rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
         .toDF("table_name", "live_rows", "sum_value")
         .orderBy("table_name")
+    }),
+
+    // STREAMING SCD-2, gated (r9 continuation): `CdcStream.scd2Stream` —
+    // per-key state is ONE row (the currently-open version; the LSN floor
+    // doubles as the replay/late guard), each arriving change CLOSES the
+    // open interval and emits it exactly once (append-once closed
+    // intervals — the streaming contract) — over the LSN-chunked replay.
+    // The emission set must equal the batch SCD-2 table's CLOSED rows
+    // (valid_to non-null): open intervals live in state, not the sink —
+    // absence is the semantics, and the batch lead-window SQL restricted
+    // to closed rows oracles the engine end-to-end.
+    "cdc_scd2_stream" -> ((s, dir) => {
+      import s.implicits._
+      val schema =
+        org.apache.spark.sql.Encoders.product[graft.streaming.Change].schema
+      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(orderedFeedDir(s, dir)).as[graft.streaming.Change]
+      graft.streaming.StreamGate.run(s,
+          graft.streaming.CdcStream.scd2Stream(stream), "scd2_gate",
+          org.apache.spark.sql.streaming.OutputMode.Append()) { sink =>
+        graft.operators.Checkpointing.cut(sink.select(
+          col("table").as("table_name"), col("pk"), col("value"),
+          col("validFromUs").as("valid_from_us"),
+          col("validToUs").as("valid_to_us"),
+          col("openedByLsn").as("lsn")))
+      }.orderBy("table_name", "pk", "lsn")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -583,6 +624,18 @@ object CdcQueries {
          |       lead(ts_us) OVER (PARTITION BY table_name, pk ORDER BY lsn) AS valid_to_us,
          |       (lead(lsn) OVER (PARTITION BY table_name, pk ORDER BY lsn) IS NULL) AS is_current
          |FROM feed ORDER BY table_name, pk, lsn""".stripMargin,
+
+    // the CLOSED rows of the batch SCD-2 table — the streaming engine's
+    // append-once emission set (open intervals are state, not output)
+    "cdc_scd2_stream" ->
+      s"""$cte
+         |SELECT table_name, pk, value, valid_from_us, valid_to_us, lsn FROM (
+         |  SELECT table_name, pk, lsn, value,
+         |         ts_us AS valid_from_us,
+         |         lead(ts_us) OVER (PARTITION BY table_name, pk ORDER BY lsn) AS valid_to_us
+         |  FROM feed)
+         |WHERE valid_to_us IS NOT NULL
+         |ORDER BY table_name, pk, lsn""".stripMargin,
 
     "cdc_before_after" ->
       s"""$cte
