@@ -40,6 +40,22 @@ object BehaviorQueries {
         "ts_us", chunks = 4, prefix = "graft-behavior-stream")
     }
 
+  /** Hash-shuffled chunk replay for the LATE-DATA gate: chunks keyed by a
+    * replayable md5 residue of event_id — deliberately DECORRELATED from
+    * event time, so every batch after the first delivers genuinely late
+    * rows (the events table's ids are time-ordered; chunking by id would
+    * make the late-drop gate vacuous, verified zero drops at sf0.01). */
+  private val lateFeedMemo = new graft.operators.SessionMemo[String]
+
+  private def lateFeedDir(s: SparkSession, dir: String): String =
+    lateFeedMemo.get(s, dir) {
+      graft.streaming.StreamGate.writeOrderedChunks(
+        ev(s, dir).select(col("event_id"), col("ts_us"), col("value"),
+          pmod(conv(substring(md5(col("event_id").cast("string")), 1, 12),
+            16, 10).cast("long"), lit(4)).as("arr")),
+        "arr", chunks = 4, prefix = "graft-late-stream")
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // STREAMING transition matrix, gated (r8): `BehaviorStream.transitions`
     // (per-user state = ONE last-event row, each arrival emits its
@@ -191,6 +207,39 @@ object BehaviorQueries {
             col("stage_name")).as("stage"), col("n_users"),
             col("sum_delta_us"), col("stage").as("stage_idx")))
       }.orderBy("stage_idx").drop("stage_idx")
+    }),
+
+    // LATE-DATA DROP accounting, gated (r9 continuation) — the OTHER half
+    // of the watermark contract q_tumbling_stream pins: the hash-shuffled
+    // feed delivers each batch a mix of fresh and LATE rows, and Spark's
+    // windowed aggregation must (a) drop a late row iff its window's end
+    // <= the batch's LATE-EVENTS watermark — which is the PREVIOUS batch's
+    // eviction watermark (Spark's two-watermark design: late filtering
+    // lags eviction by one batch, exactly what rules out a kept late row
+    // landing in an already-emitted window; equality drops, spec'd), (b)
+    // fold late-but-open rows into their still-live windows, and (c)
+    // finalize exactly the windows the eviction watermark passed. The
+    // oracle replays all three as integer arithmetic: chunk = md5(id) % 4,
+    // wm_late(k) = max event-time over chunks <= k-2 (ms floor) − 10 min,
+    // kept iff window_end > wm_late(chunk), emitted iff window_end <=
+    // final eviction wm.
+    "q_late_drop_stream" -> ((s, dir) => {
+      val stream = s.readStream
+        .schema("event_id LONG, ts_us LONG, value DOUBLE, arr LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(lateFeedDir(s, dir))
+        .select(timestamp_micros(col("ts_us")).as("ts"),
+          round(col("value") * lit(10000)).cast("long").as("v4"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"), sum("v4").as("sv4"))
+      graft.streaming.StreamGate.run(s, stream, "late_gate",
+          org.apache.spark.sql.streaming.OutputMode.Append()) { sink =>
+        graft.operators.Checkpointing.cut(sink.select(
+          unix_millis(col("w.start")).as("hour_start_ms"),
+          col("n_events"),
+          round(col("sv4") / lit(10000.0), 4).as("sum_value")))
+      }.orderBy("hour_start_ms")
     }),
 
     // Conversion funnel view → click → purchase with STRICT ordering: a
@@ -377,6 +426,37 @@ object BehaviorQueries {
   val oracles: Map[String, String] = Map(
     "q_funnel_stream" -> funnelSql,
     "q_funnel" -> funnelSql,
+
+    // the late-drop model replayed end-to-end: batch k's LATE-EVENTS
+    // watermark is the EVICTION watermark of batch k-1, i.e. the max
+    // event-time over chunks <= k-2 (Spark's two-watermark design — late
+    // filtering is one batch more lenient than eviction, which is exactly
+    // what makes "kept late row into an already-emitted window"
+    // impossible); keep iff the row's window outlives it, emit iff the
+    // final eviction watermark passed the window — boundaries inclusive
+    // exactly as spec'd in StreamingSpec
+    "q_late_drop_stream" ->
+      s"""$evCte,
+         |a AS (
+         |  SELECT ts_us, value,
+         |         ('0x' || substr(md5(event_id::VARCHAR), 1, 12))::BIGINT % 4
+         |           AS chunk
+         |  FROM e),
+         |cm AS (SELECT chunk, max(ts_us) AS mx FROM a GROUP BY chunk),
+         |wm AS (SELECT c1.chunk, ((max(c2.mx) // 1000) - 600000) * 1000 AS wm_us
+         |       FROM cm c1 JOIN cm c2 ON c2.chunk + 1 < c1.chunk GROUP BY c1.chunk),
+         |kept AS (
+         |  SELECT a.* FROM a LEFT JOIN wm USING (chunk)
+         |  WHERE ((a.ts_us // 3600000000) + 1) * 3600000000
+         |        > coalesce(wm.wm_us, -1)),
+         |fin AS (SELECT ((max(ts_us) // 1000) - 600000) * 1000 AS fwm FROM e),
+         |g AS (SELECT ts_us // 3600000000 AS hb, count(*) AS n_events,
+         |             round(CAST(sum(CAST(round(value * 10000) AS BIGINT))
+         |                   AS BIGINT) / 10000.0, 4) AS sum_value
+         |      FROM kept GROUP BY hb)
+         |SELECT hb * 3600000 AS hour_start_ms, n_events, sum_value
+         |FROM g, fin WHERE (hb + 1) * 3600000000 <= fwm
+         |ORDER BY hour_start_ms""".stripMargin,
 
     // same stage CTEs with the 3-day window bound added to each join
     "q_funnel_windowed" ->

@@ -149,6 +149,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("late-data boundary: a row whose window end == watermark is dropped") {
+    // pins the DROP rule the q_late_drop_stream oracle replays: a late row
+    // is discarded iff its window's end <= the batch's LATE-EVENTS
+    // watermark (the previous batch's eviction watermark — Spark's
+    // two-watermark design; here the no-data finalization batch between
+    // the two addData cycles brings both to 2h), with the same inclusive
+    // boundary as emission (an emitted window's state is gone, so a row
+    // that would land in it at equality must drop). Back-to-back DATA
+    // batches see the one-batch lag instead — that path is what the
+    // q_late_drop_stream gate replays over the 4-chunk feed.
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val hourUs = 3600000000L
+    val input = MemoryStream[Long]
+    val agg = input.toDS().toDF("ts_us")
+      .select(timestamp_micros(col("ts_us")).as("ts"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 0: wm becomes exactly 2h; windows [0,1h) and [1h,2h) emit
+      input.addData(100L, hourUs + 5L, 2 * hourUs + 600000000L)
+      q.processAllAvailable()
+      // batch 1: late rows — window [1h,2h) has end == wm (dropped);
+      // window [2h,3h) has end > wm (kept, joins the open group)
+      input.addData(hourUs + 7L, 2 * hourUs + 7L)
+      q.processAllAvailable()
+      // advance wm past 3h so [2h,3h) finalizes and shows its count
+      input.addData(3 * hourUs + 600000000L)
+      q.processAllAvailable()
+      val rows = spark.table("late").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      assert(rows(hourUs) == 1L, s"equality row must DROP: $rows")
+      assert(rows(2 * hourUs) == 2L, s"open-window late row must KEEP: $rows")
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops replayed LSNs across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Change]
