@@ -1165,6 +1165,108 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Per-entity TREND FIT (OLS of daily revenue on time, per supplier) —
+    // the drift-monitoring primitive ("which suppliers are ramping up or
+    // decaying, and how well does a line explain it"). Two-level shape: the
+    // fact table collapses map-side to the O(suppliers × days) daily table
+    // (ONE linear shuffle), then all five regression sums fold over that
+    // bounded table — no window, no second corpus pass. Sums are exact
+    // integers (cents / epoch days; products cast decimal-BEFORE-multiply —
+    // a 100 TB supplier-day's squared cents exceeds a long), and the
+    // slope/intercept/r² formulas run ONCE per supplier in doubles with
+    // identical operand order both engines, floor-quantized. Suppliers
+    // with one observed day carry no trend and are excluded exactly
+    // (n ≥ 2 distinct days ⇒ the x-variance is a positive integer).
+    "q_regression" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val daily = t(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+          datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+            .cast("long").as("d"),
+          cents.as("c"))
+        .groupBy("l_suppkey", "d")
+        .agg(sum("c").as("yc"))
+      val dDec = col("d").cast("decimal(38,0)")
+      val yDec = col("yc").cast("decimal(38,0)")
+      val g = daily.groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"),
+          sum("d").as("sx"), sum("yc").as("sy"),
+          sum(dDec * yDec).as("sxy"),
+          sum(dDec * dDec).as("sx2"),
+          sum(yDec * yDec).as("sy2"))
+        .filter(col("n") >= 2)
+      val (nD, sxD, syD) =
+        (col("n").cast("double"), col("sx").cast("double"), col("sy").cast("double"))
+      val (sxyD, sx2D, sy2D) =
+        (col("sxy").cast("double"), col("sx2").cast("double"), col("sy2").cast("double"))
+      val num = nD * sxyD - sxD * syD
+      val den = nD * sx2D - sxD * sxD
+      val slope = num / den
+      // a zero-variance (constant) series is fit EXACTLY by the flat line:
+      // r² is 0/0 there — pinned to 1.0 by an exact integer test, never a
+      // float NaN crossing the gate
+      val vy = col("n").cast("decimal(38,0)") * col("sy2") -
+        col("sy").cast("decimal(38,0)") * col("sy").cast("decimal(38,0)")
+      g.select(col("l_suppkey"), col("n").as("n_days"),
+          (floor(slope / 100.0 * 10000) / 10000).as("slope_per_day"),
+          (floor((syD - slope * sxD) / nD / 100.0 * 10000) / 10000)
+            .as("intercept"),
+          when(vy === 0, lit(1.0))
+            .otherwise(floor(num * num / (den * (nD * sy2D - syD * syD))
+              * 10000) / 10000)
+            .as("r2"))
+        .orderBy("l_suppkey")
+    }),
+
+    // Lag-1 AUTOCORRELATION of each supplier's daily-revenue series — the
+    // time-series dependence diagnostic next to q_corr_stats's cross-
+    // variable correlation: does today's revenue predict tomorrow's? Pairs
+    // are consecutive OBSERVED days in series order (gaps allowed — the
+    // lag window runs over the aggregated daily table, partitioned per
+    // supplier: per-key fan-in over a bounded table, never a raw-log
+    // window). Pair sums are exact integers; both variance terms are
+    // tested > 0 in EXACT decimal (a constant series has no
+    // autocorrelation — excluded by integer comparison, no float
+    // boundary), and the Pearson formula runs once per supplier with
+    // identical operand order both engines, floor-quantized.
+    "q_autocorr" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val daily = t(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+          datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+            .cast("long").as("d"),
+          cents.as("c"))
+        .groupBy("l_suppkey", "d")
+        .agg(sum("c").as("yc"))
+      val w = Window.partitionBy("l_suppkey").orderBy("d")
+      val pairs = daily
+        .withColumn("pc", lag("yc", 1).over(w))
+        .filter(col("pc").isNotNull)
+      val aDec = col("pc").cast("decimal(38,0)")
+      val bDec = col("yc").cast("decimal(38,0)")
+      val g = pairs.groupBy("l_suppkey")
+        .agg(count(lit(1)).as("m"),
+          sum("pc").as("sa"), sum("yc").as("sb"),
+          sum(aDec * bDec).as("sab"),
+          sum(aDec * aDec).as("sa2"),
+          sum(bDec * bDec).as("sb2"))
+      val mDec = col("m").cast("decimal(38,0)")
+      val va = mDec * col("sa2") - col("sa").cast("decimal(38,0)") *
+        col("sa").cast("decimal(38,0)")
+      val vb = mDec * col("sb2") - col("sb").cast("decimal(38,0)") *
+        col("sb").cast("decimal(38,0)")
+      val (mD, saD, sbD) =
+        (col("m").cast("double"), col("sa").cast("double"), col("sb").cast("double"))
+      val (sabD, sa2D, sb2D) =
+        (col("sab").cast("double"), col("sa2").cast("double"), col("sb2").cast("double"))
+      g.filter(col("m") >= 3 && va > 0 && vb > 0)
+        .select(col("l_suppkey"), col("m").as("n_pairs"),
+          (floor((mD * sabD - saD * sbD) /
+            (sqrt(mD * sa2D - saD * saD) * sqrt(mD * sb2D - sbD * sbD))
+            * 10000) / 10000).as("autocorr_lag1"))
+        .orderBy("l_suppkey")
+    }),
+
     // Fixed-width histogram over order totals. Bucket assignment is pure
     // integer math on cents (cents div width), so no float boundary can
     // disagree between engines; the per-bucket revenue sums exact cents
@@ -2418,6 +2520,73 @@ object RelationalQueries {
         |             (CAST(n AS DOUBLE)*sx2 - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 4)
         |         AS beta_price_per_qty
         |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    // Identical daily-rollup + exact-integer-sums + fixed-order-IEEE
+    // replay; HUGEINT carries the product sums, floor-quantize both sides.
+    "q_regression" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey,
+        |         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS yc
+        |  FROM lineitem GROUP BY 1, 2),
+        |s AS (
+        |  SELECT l_suppkey, count(*) AS n,
+        |         CAST(sum(d) AS BIGINT) AS sx, CAST(sum(yc) AS BIGINT) AS sy,
+        |         CAST(sum(CAST(d AS HUGEINT) * CAST(yc AS HUGEINT)) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS DOUBLE) AS sx2,
+        |         CAST(sum(CAST(yc AS HUGEINT) * CAST(yc AS HUGEINT)) AS DOUBLE) AS sy2,
+        |         CAST(count(*) AS HUGEINT)
+        |           * sum(CAST(yc AS HUGEINT) * CAST(yc AS HUGEINT))
+        |           - CAST(sum(yc) AS HUGEINT) * CAST(sum(yc) AS HUGEINT) AS vy
+        |  FROM daily GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT l_suppkey, n AS n_days,
+        |       floor((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+        |             (CAST(n AS DOUBLE)*sx2 - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |             / 100.0 * 10000) / 10000 AS slope_per_day,
+        |       floor((CAST(sy AS DOUBLE) -
+        |              (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+        |              (CAST(n AS DOUBLE)*sx2 - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |             / 100.0 * 10000) / 10000 AS intercept,
+        |       CASE WHEN vy = 0 THEN 1.0 ELSE
+        |         floor((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) *
+        |               (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+        |               ((CAST(n AS DOUBLE)*sx2 - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+        |                (CAST(n AS DOUBLE)*sy2 - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+        |               * 10000) / 10000 END AS r2
+        |FROM s ORDER BY l_suppkey""".stripMargin,
+
+    // Variance positivity tested in exact HUGEINT, mirroring the engine's
+    // exact-decimal guard; the Pearson replay is fixed-order IEEE.
+    "q_autocorr" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey,
+        |         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS yc
+        |  FROM lineitem GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT l_suppkey, yc,
+        |         lag(yc) OVER (PARTITION BY l_suppkey ORDER BY d) AS pc
+        |  FROM daily),
+        |s AS (
+        |  SELECT l_suppkey, count(*) AS m,
+        |         CAST(sum(pc) AS BIGINT) AS sa, CAST(sum(yc) AS BIGINT) AS sb,
+        |         CAST(sum(CAST(pc AS HUGEINT) * CAST(yc AS HUGEINT)) AS DOUBLE) AS sab,
+        |         sum(CAST(pc AS HUGEINT) * CAST(pc AS HUGEINT)) AS sa2h,
+        |         sum(CAST(yc AS HUGEINT) * CAST(yc AS HUGEINT)) AS sb2h
+        |  FROM pairs WHERE pc IS NOT NULL GROUP BY 1)
+        |SELECT l_suppkey, m AS n_pairs,
+        |       floor((CAST(m AS DOUBLE)*sab - CAST(sa AS DOUBLE)*CAST(sb AS DOUBLE)) /
+        |             (sqrt(CAST(m AS DOUBLE)*CAST(sa2h AS DOUBLE)
+        |                   - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE)) *
+        |              sqrt(CAST(m AS DOUBLE)*CAST(sb2h AS DOUBLE)
+        |                   - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE)))
+        |             * 10000) / 10000 AS autocorr_lag1
+        |FROM s
+        |WHERE m >= 3
+        |  AND CAST(m AS HUGEINT)*sa2h - CAST(sa AS HUGEINT)*CAST(sa AS HUGEINT) > 0
+        |  AND CAST(m AS HUGEINT)*sb2h - CAST(sb AS HUGEINT)*CAST(sb AS HUGEINT) > 0
+        |ORDER BY l_suppkey""".stripMargin,
 
     // Integral cents bucketing + exact cents revenue (HUGEINT sum).
     "q_histogram" ->

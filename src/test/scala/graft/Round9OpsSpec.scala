@@ -204,4 +204,36 @@ class Round9OpsSpec extends AnyFunSuite with SparkTestBase {
       assert(got(2L) == (1L, 900000000L, 900000000L, 1L))
     } finally cleanup(dir)
   }
+
+  test("q_regression/q_autocorr: exact line, alternating series, degenerate exclusions") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    def day(i: Int) = ts(f"1996-01-${i + 1}%02d 00:00:00")
+    // s1: perfect line 100 + 2·i over 5 days (slope exactly 2/day, r2 = 1);
+    // s2: alternating 100/200 over 6 days (lag-1 autocorr → −1);
+    // s3: constant over 3 days (slope 0; autocorr EXCLUDED — zero variance);
+    // s4: one day only (excluded from regression: no trend from one point)
+    val rows =
+      (0 until 5).map(i => (1L, day(i), 100.0 + 2.0 * i)) ++
+      (0 until 6).map(i => (2L, day(i), if (i % 2 == 0) 100.0 else 200.0)) ++
+      (0 until 3).map(i => (3L, day(i), 77.0)) ++
+      Seq((4L, day(0), 10.0))
+    val li = rows.toDF("l_suppkey", "l_shipdate", "l_extendedprice")
+    val dir = toyLake("lineitem" -> li)
+    try {
+      val reg = graft.queries.RelationalQueries.queries("q_regression")(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(4))).toMap
+      assert(!reg.contains(4L), "single-day supplier carries no trend")
+      assert(reg(1L)._1 == 5L && reg(1L)._2 == 2.0, s"exact slope: ${reg(1L)}")
+      assert(reg(1L)._3 >= 0.9999, s"perfect line r2: ${reg(1L)}")
+      assert(reg(3L)._2 == 0.0 && reg(3L)._3 == 1.0,
+        s"constant series: slope 0, r2 pinned to 1: ${reg(3L)}")
+      val ac = graft.queries.RelationalQueries.queries("q_autocorr")(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(!ac.contains(3L), "zero-variance series has no autocorrelation")
+      assert(!ac.contains(4L), "one observation has no pairs")
+      assert(ac(2L)._1 == 5L && ac(2L)._2 <= -0.9999, s"alternating: ${ac(2L)}")
+      assert(ac(1L)._2 >= 0.9999, s"monotone line autocorrelates +1: ${ac(1L)}")
+    } finally cleanup(dir)
+  }
 }
