@@ -117,6 +117,23 @@ object Apply {
   def asOf(feed: DataFrame, lsn: Long): DataFrame =
     latestSnapshot(feed.filter(col("lsn") <= lsn))
 
+  /** BITEMPORAL point read — both time axes at once: the state a consumer
+    * holding WAL ≤ `lsn` (transaction time — what was KNOWN) would
+    * reconstruct FOR effective/valid time `tsUs` (what was TRUE): per key,
+    * the latest change with valid timestamp ≤ tsUs among those with
+    * LSN ≤ lsn, ordered (ts_us, lsn) lexicographically so a late-arriving
+    * correction (higher LSN, same valid instant) wins; a DELETE there means
+    * absent. [[asOf]] is the lsn-axis-only projection of this. Both filters
+    * sit under the per-key window, so they push into the scan and the one
+    * (table, pk) shuffle carries only the doubly-bounded prefix. */
+  def bitemporal(feed: DataFrame, lsn: Long, tsUs: Column): DataFrame = {
+    val w = byKey.orderBy(col("ts_us").desc, col("lsn").desc)
+    feed.filter(col("lsn") <= lsn && col("ts_us") <= tsUs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "DELETE")
+      .select("table_name", "pk", "lsn", "ts_us", "op", "value")
+  }
+
   /** State diff between two WAL positions: per key, its `lsnA`-state vs
     * `lsnB`-state, classified ADDED / REMOVED / MODIFIED (keys whose state
     * is identical at both positions are absent — a diff, not a join dump).

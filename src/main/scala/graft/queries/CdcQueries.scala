@@ -219,6 +219,78 @@ object CdcQueries {
       Apply.snapshotDiff(feed(s, dir), 300L, 700L)
         .orderBy("table_name", "pk")),
 
+    // MERKLE-STYLE replica diff — how two 100 TB materialized copies are
+    // compared WITHOUT shipping rows: each snapshot collapses to an
+    // O(tables × 64) bucket-checksum table (bucket = pk mod 64; leaf
+    // fingerprint = the repo's shared md5-48-mod-1e9+7 row hash over
+    // pk|cents|props, summed per bucket — order-free, mergeable), the two
+    // checksum tables join on (table, bucket), and the row-level DESCENT
+    // runs only over rows hashing into DIFFERING buckets (a broadcast
+    // semi-join of the O(diff) bucket list against the feed) — the
+    // Merkle-tree access pattern: exchange O(buckets) summaries, touch
+    // O(changed) rows. Here the two "replicas" are the LSN-300 and
+    // LSN-700 states of the same feed, so the whole construction —
+    // checksums, mismatch flags, per-bucket changed-key counts — replays
+    // exactly in the oracle.
+    "cdc_merkle_diff" -> ((s, dir) => {
+      val f = feed(s, dir)
+      val (lsnA, lsnB) = (300L, 700L)
+      def leaf(bound: Long) = {
+        val cents = round(col("value") * 100).cast("long")
+        val fp = pmod(conv(substring(md5(concat_ws("|",
+          coalesce(col("pk").cast("string"), lit("\u0001")),
+          coalesce(cents.cast("string"), lit("\u0001")),
+          coalesce(col("props"), lit("\u0001")))), 1, 12), 16, 10)
+          .cast("long"), lit(1000000007L))
+        Apply.asOf(f, bound)
+          .groupBy(col("table_name"), pmod(col("pk"), lit(64)).as("bucket"))
+          .agg(count(lit(1)).as("n"), sum(fp).as("cs"))
+      }
+      val a = leaf(lsnA).select(col("table_name"), col("bucket"),
+        col("n").as("n_a"), col("cs").as("cs_a"))
+      val b = leaf(lsnB).select(col("table_name"), col("bucket"),
+        col("n").as("n_b"), col("cs").as("cs_b"))
+      val summary = a.join(b, Seq("table_name", "bucket"), "full_outer")
+        .select(col("table_name"), col("bucket"),
+          coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("cs_a"), lit(0L)).as("cs_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"),
+          coalesce(col("cs_b"), lit(0L)).as("cs_b"))
+        .withColumn("is_match",
+          when(col("cs_a") === col("cs_b") && col("n_a") === col("n_b"), 1L)
+            .otherwise(0L))
+      // descent: only rows whose key hashes into a differing bucket are
+      // ever touched row-level — broadcast the O(diff) bucket list
+      val diffBuckets = summary.filter(col("is_match") === 0)
+        .select(col("table_name").as("dt"), col("bucket").as("db"))
+      val descentFeed = f.join(broadcast(diffBuckets),
+        col("table_name") === col("dt") &&
+          pmod(col("pk"), lit(64)) === col("db"), "left_semi")
+      val changed = Apply.snapshotDiff(descentFeed, lsnA, lsnB)
+        .groupBy(col("table_name"), pmod(col("pk"), lit(64)).as("bucket"))
+        .agg(count(lit(1)).as("n_changed_keys"))
+      summary.join(changed, Seq("table_name", "bucket"), "left")
+        .select(col("table_name"), col("bucket"), col("n_a"), col("cs_a"),
+          col("n_b"), col("cs_b"), col("is_match"),
+          coalesce(col("n_changed_keys"), lit(0L)).as("n_changed_keys"))
+        .orderBy("table_name", "bucket")
+    }),
+
+    // BITEMPORAL point read — both time axes at once (the dimension
+    // cdc_as_of/SCD-2 each cover singly): "what did we BELIEVE at WAL
+    // position 700 the state was AS OF effective instant T" — T the
+    // feed-midpoint valid timestamp, a pure function of the feed both
+    // engines derive. Per key: latest (ts_us, lsn) among rows doubly
+    // bounded by lsn ≤ 700 and ts_us ≤ T; late-arriving corrections
+    // (higher LSN at the same valid instant) win; DELETE ⇒ absent.
+    "cdc_bitemporal_asof" -> ((s, dir) => {
+      val f = feed(s, dir)
+      val bounds = f.filter(col("lsn") <= 700)
+        .agg(expr("(min(ts_us) + max(ts_us)) div 2").as("t_mid"))
+      Apply.bitemporal(f.crossJoin(broadcast(bounds)), 700L, col("t_mid"))
+        .orderBy("table_name", "pk")
+    }),
+
     "cdc_upsert_apply" -> ((s, dir) =>
       Apply.upsert(Tables(s, dir, "customer"),
           Publication("users")(feed(s, dir)), "users", "c_custkey", "c_acctbal")
@@ -564,6 +636,100 @@ object CdcQueries {
          |  FROM d)
          |SELECT table_name, pk, value_a, props_a, value_b, props_b, change
          |FROM cl WHERE change IS NOT NULL
+         |ORDER BY table_name, pk""".stripMargin,
+
+    // Full Merkle replay: both snapshots, the shared md5-48-mod-1e9+7 leaf
+    // fingerprint over pk|cents|props (chr(1) null sentinel — the
+    // SourceQueries rule), bucket checksums, mismatch flags, and the
+    // descent count RESTRICTED to differing buckets exactly as the engine
+    // computes it (a colliding-but-different bucket — astronomically
+    // unlikely but deterministic — would be skipped identically here).
+    "cdc_merkle_diff" ->
+      s"""$cte,
+         |snap_a AS (
+         |  SELECT table_name, pk, value, props FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY table_name, pk ORDER BY lsn DESC) AS rn
+         |    FROM feed WHERE lsn <= 300)
+         |  WHERE rn = 1 AND op <> 'DELETE'),
+         |snap_b AS (
+         |  SELECT table_name, pk, value, props FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY table_name, pk ORDER BY lsn DESC) AS rn
+         |    FROM feed WHERE lsn <= 700)
+         |  WHERE rn = 1 AND op <> 'DELETE'),
+         |la AS (
+         |  SELECT table_name, pk % 64 AS bucket, count(*) AS n_a,
+         |         CAST(sum(('0x' || substr(md5(
+         |                coalesce(pk::VARCHAR, chr(1)) || '|' ||
+         |                coalesce(CAST(round(value * 100) AS BIGINT)::VARCHAR, chr(1)) || '|' ||
+         |                coalesce(props, chr(1))), 1, 12))::BIGINT
+         |                % 1000000007) AS BIGINT) AS cs_a
+         |  FROM snap_a GROUP BY 1, 2),
+         |lb AS (
+         |  SELECT table_name, pk % 64 AS bucket, count(*) AS n_b,
+         |         CAST(sum(('0x' || substr(md5(
+         |                coalesce(pk::VARCHAR, chr(1)) || '|' ||
+         |                coalesce(CAST(round(value * 100) AS BIGINT)::VARCHAR, chr(1)) || '|' ||
+         |                coalesce(props, chr(1))), 1, 12))::BIGINT
+         |                % 1000000007) AS BIGINT) AS cs_b
+         |  FROM snap_b GROUP BY 1, 2),
+         |summary AS (
+         |  SELECT coalesce(la.table_name, lb.table_name) AS table_name,
+         |         coalesce(la.bucket, lb.bucket) AS bucket,
+         |         coalesce(n_a, 0) AS n_a, coalesce(cs_a, 0) AS cs_a,
+         |         coalesce(n_b, 0) AS n_b, coalesce(cs_b, 0) AS cs_b,
+         |         CASE WHEN coalesce(cs_a, 0) = coalesce(cs_b, 0)
+         |                AND coalesce(n_a, 0) = coalesce(n_b, 0)
+         |              THEN 1 ELSE 0 END AS is_match
+         |  FROM la FULL OUTER JOIN lb
+         |    ON la.table_name = lb.table_name AND la.bucket = lb.bucket),
+         |st AS (
+         |  SELECT table_name, pk,
+         |         max_by(struct_pack(op := op, value := value, props := props),
+         |                CASE WHEN lsn <= 300 THEN lsn END) AS sa,
+         |         max_by(struct_pack(op := op, value := value, props := props),
+         |                CASE WHEN lsn <= 700 THEN lsn END) AS sb
+         |  FROM feed
+         |  JOIN (SELECT table_name AS dt, bucket AS db FROM summary
+         |        WHERE is_match = 0) diffb
+         |    ON table_name = dt AND pk % 64 = db
+         |  GROUP BY 1, 2),
+         |ck AS (
+         |  SELECT table_name, pk % 64 AS bucket, count(*) AS n_changed_keys
+         |  FROM (
+         |    SELECT table_name, pk,
+         |           sa IS NOT NULL AND sa.op <> 'DELETE' AS live_a,
+         |           sb IS NOT NULL AND sb.op <> 'DELETE' AS live_b,
+         |           CASE WHEN sa IS NOT NULL AND sa.op <> 'DELETE' THEN sa.value END AS va,
+         |           CASE WHEN sa IS NOT NULL AND sa.op <> 'DELETE' THEN sa.props END AS pa,
+         |           CASE WHEN sb IS NOT NULL AND sb.op <> 'DELETE' THEN sb.value END AS vb,
+         |           CASE WHEN sb IS NOT NULL AND sb.op <> 'DELETE' THEN sb.props END AS pb
+         |    FROM st)
+         |  WHERE (NOT live_a AND live_b) OR (live_a AND NOT live_b)
+         |     OR (live_a AND live_b AND
+         |         (va IS DISTINCT FROM vb OR pa IS DISTINCT FROM pb))
+         |  GROUP BY 1, 2)
+         |SELECT s.table_name, s.bucket,
+         |       CAST(n_a AS BIGINT) AS n_a, cs_a,
+         |       CAST(n_b AS BIGINT) AS n_b, cs_b,
+         |       CAST(is_match AS BIGINT) AS is_match,
+         |       CAST(coalesce(n_changed_keys, 0) AS BIGINT) AS n_changed_keys
+         |FROM summary s
+         |LEFT JOIN ck ON s.table_name = ck.table_name AND s.bucket = ck.bucket
+         |ORDER BY s.table_name, s.bucket""".stripMargin,
+
+    // The doubly-bounded point read: T = feed-midpoint valid time over the
+    // lsn ≤ 700 prefix, per-key latest (ts_us, lsn), DELETE ⇒ absent.
+    "cdc_bitemporal_asof" ->
+      s"""$cte,
+         |b AS (
+         |  SELECT (min(ts_us) + max(ts_us)) // 2 AS t_mid
+         |  FROM feed WHERE lsn <= 700)
+         |SELECT table_name, pk, lsn, ts_us, op, value FROM (
+         |  SELECT f.*, row_number() OVER (PARTITION BY table_name, pk
+         |           ORDER BY ts_us DESC, lsn DESC) AS rn
+         |  FROM feed f, b
+         |  WHERE lsn <= 700 AND ts_us <= b.t_mid)
+         |WHERE rn = 1 AND op <> 'DELETE'
          |ORDER BY table_name, pk""".stripMargin,
 
     "cdc_upsert_apply" ->

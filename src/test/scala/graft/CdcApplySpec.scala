@@ -87,6 +87,61 @@ class CdcApplySpec extends AnyFunSuite with SparkTestBase {
     assert(upd("value") == "10.0")
   }
 
+  test("bitemporal: both axes bound the read; corrections win at equal valid time") {
+    // pk 1: valid-time 100 state written at lsn 1, CORRECTED at lsn 4
+    // (same valid instant — higher lsn must win); a future-valid row at
+    // ts 900 (lsn 3) is invisible at T=500; pk 2: deleted as of T;
+    // pk 3: written only at lsn 9 — invisible at L=5 (not yet known)
+    val f = Seq(
+      (1L, "users", "INSERT", 1L, 100L, 10.0, "{}"),
+      (3L, "users", "UPDATE", 1L, 900L, 13.0, "{}"),
+      (4L, "users", "UPDATE", 1L, 100L, 11.5, "{}"),
+      (2L, "users", "INSERT", 2L, 200L, 20.0, "{}"),
+      (5L, "users", "DELETE", 2L, 300L, 0.0, "{}"),
+      (9L, "users", "INSERT", 3L, 100L, 30.0, "{}"))
+      .toDF("lsn", "table_name", "op", "pk", "ts_us", "value", "props")
+    val got = Apply.bitemporal(f, 5L, lit(500L))
+      .select("pk", "lsn", "value").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 4L, 11.5)), s"got $got")
+  }
+
+  test("merkle diff: changed buckets flagged with exact descent counts, clean buckets match") {
+    // pk 1 (bucket 1): modified between L=300 and L=700; pk 2 (bucket 2):
+    // removed; pk 66 (bucket 2): unchanged — shares the bucket with a
+    // change, so its bucket still mismatches but contributes no changed
+    // key; pk 3 (bucket 3): unchanged and alone — bucket must match
+    val f = Seq(
+      (100L, "users", "INSERT", 1L, 100L, 10.0, "{}"),
+      (400L, "users", "UPDATE", 1L, 200L, 11.0, "{}"),
+      (110L, "users", "INSERT", 2L, 300L, 20.0, "{}"),
+      (410L, "users", "DELETE", 2L, 400L, 0.0, "{}"),
+      (120L, "users", "INSERT", 66L, 500L, 66.0, "{}"),
+      (130L, "users", "INSERT", 3L, 600L, 30.0, "{}"))
+      .toDF("lsn", "table_name", "op", "pk", "ts_us", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("merkle-lake").toString
+    try {
+      // route through the gate query: write an events lake whose canonical
+      // feed IS f (even user_id → users; op mapping per ChangeFeed)
+      val ev = f.select(col("lsn").as("event_id"),
+        expr("timestamp_micros(ts_us)").as("ts"),
+        (col("pk") * 2).as("user_id"),
+        when(col("op") === "INSERT", "signup")
+          .when(col("op") === "DELETE", "error")
+          .otherwise("page").as("event_type"),
+        col("value"), col("props"))
+      ev.write.parquet(s"$dir/events.parquet")
+      val got = graft.queries.CdcQueries.queries("cdc_merkle_diff")(spark, dir)
+        .collect().map(r => r.getLong(1) ->
+          (r.getLong(2), r.getLong(4), r.getLong(6), r.getLong(7))).toMap
+      // buckets keyed by pk*2 mod 64: pk1→2, pk2→4, pk66→4 (132 % 64),
+      // pk3→6
+      assert(got(2L)._3 == 0L && got(2L)._4 == 1L, s"modified bucket: $got")
+      assert(got(4L) == (2L, 1L, 0L, 1L),
+        s"removed key's bucket keeps the unchanged cohabitant: $got")
+      assert(got(6L)._3 == 1L && got(6L)._4 == 0L, s"clean bucket: $got")
+    } finally graft.operators.Checkpointing.deleteRecursively(dir)
+  }
+
   test("driver-table feed maps the reference event enum deterministically") {
     val ops = ChangeFeed.fromEvents(sources.Tables(spark, sf, "events"))
       .select("op").distinct().as[String].collect().toSet
