@@ -56,7 +56,101 @@ object BehaviorQueries {
         "arr", chunks = 4, prefix = "graft-late-stream")
     }
 
+  /** Per-SIDE ordered feeds for the stream-stream join gate: each side is
+    * its own file source (two independent readStreams over two
+    * directories), split from the same event log. */
+  private val ssjFeedMemo = new graft.operators.SessionMemo[String]
+
+  private def ssjFeedDir(s: SparkSession, dir: String, et: String): String =
+    ssjFeedMemo.get(s, s"$et:$dir") {
+      graft.streaming.StreamGate.writeOrderedChunks(
+        ev(s, dir).filter(col("event_type") === et)
+          .select(col("user_id"), col("event_id"), col("ts_us")),
+        "ts_us", chunks = 4, prefix = s"graft-ssj-$et")
+    }
+
+  /** Triplicated feed for the exactly-once gate: every event rides THREE
+    * byte-identical copies in three mtime-ordered files (copy ordinal =
+    * chunk key), so batches 2 and 3 deliver only cross-batch duplicates —
+    * the case in-batch dedup can't cover. Copies are identical ON PURPOSE:
+    * whichever arrival the engine keeps, the output bytes are the same, so
+    * the emission set is deterministic without pinning which-copy-wins. */
+  private val dupFeedMemo = new graft.operators.SessionMemo[String]
+
+  private def dupFeedDir(s: SparkSession, dir: String): String =
+    dupFeedMemo.get(s, dir) {
+      graft.streaming.StreamGate.writeOrderedChunks(
+        ev(s, dir).select(col("event_id"), col("user_id"),
+            col("event_type"), col("ts_us"), col("value"))
+          .withColumn("arr", explode(array(lit(0L), lit(1L), lit(2L)))),
+        "arr", chunks = 3, prefix = "graft-dup-stream")
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // STREAM-STREAM JOIN, gated (r9): Spark's symmetric-hash join of two
+    // LIVE inputs — purchases pair with the same user's views from the
+    // trailing hour as BOTH sides arrive (neither side is a static table;
+    // each buffers state the other probes). The gate pins the JOIN
+    // contract: every qualifying pair is emitted exactly once, no matter
+    // how the two file sources interleave their micro-batches — with a
+    // no-drop watermark horizon the emission set is a pure function of
+    // the data (= the batch interval join, which oracles it). The
+    // state-EVICTION half of the contract (finite watermark bounding the
+    // buffers) is pinned separately: StreamingSpec's interval-join test
+    // evicts with a real 1h delay, and the q_tumbling/late_drop gates pin
+    // the watermark semantics themselves. State here is user-keyed — at
+    // production scale the join shuffles both streams once on user_id and
+    // each side's buffer holds one join-window of rows per user.
+    "q_stream_join" -> ((s, dir) => {
+      def side(et: String, a: String) = s.readStream
+        .schema("user_id LONG, event_id LONG, ts_us LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ssjFeedDir(s, dir, et))
+        .select(col("user_id").as(s"${a}_user"),
+          col("event_id").as(s"${a}_id"),
+          timestamp_micros(col("ts_us")).as(s"${a}_ts"))
+        .withWatermark(s"${a}_ts", "3650 days")
+      val joined = side("purchase", "p").join(side("view", "v"),
+        expr("p_user = v_user AND " +
+          "v_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"))
+      graft.streaming.StreamGate.run(s, joined, "ssj_gate",
+          org.apache.spark.sql.streaming.OutputMode.Append()) { sink =>
+        graft.operators.Checkpointing.cut(sink.select(
+          col("p_id").as("purchase_id"), col("v_id").as("view_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
+            .as("delta_us")))
+      }.orderBy("purchase_id", "view_id")
+    }),
+
+    // EXACTLY-ONCE dedup, gated (r9): `dropDuplicatesWithinWatermark` —
+    // the at-least-once → exactly-once repair every ingestion pipeline
+    // runs in front of its sink. The triplicated feed delivers every
+    // event three times across THREE different micro-batches (see
+    // dupFeedDir — batches 2/3 are pure cross-batch duplicates), and the
+    // emission set must be exactly one copy per event_id: the per-key
+    // state survives batch boundaries. The gate horizon covers the whole
+    // feed (emission set replay-order-free); production bounds the
+    // horizon to the real redelivery window, evicting each key's state
+    // one watermark-delay after its event time — the eviction semantics
+    // are the watermark gates' contract, not re-pinned here.
+    "q_exactly_once_stream" -> ((s, dir) => {
+      val stream = s.readStream
+        .schema("event_id LONG, user_id LONG, event_type STRING, " +
+          "ts_us LONG, value DOUBLE, arr LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dupFeedDir(s, dir))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_micros(col("ts_us")).as("ts"), col("value"))
+        .withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark("event_id")
+      graft.streaming.StreamGate.run(s, stream, "dedup_once_gate",
+          org.apache.spark.sql.streaming.OutputMode.Append()) { sink =>
+        graft.operators.Checkpointing.cut(sink.select(
+          col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value")))
+      }.orderBy("event_id")
+    }),
+
     // STREAMING transition matrix, gated (r8): `BehaviorStream.transitions`
     // (per-user state = ONE last-event row, each arrival emits its
     // (from → to) edge immediately) runs over the time-ordered chunk
@@ -426,6 +520,23 @@ object BehaviorQueries {
   val oracles: Map[String, String] = Map(
     "q_funnel_stream" -> funnelSql,
     "q_funnel" -> funnelSql,
+
+    // the batch interval join IS the streaming claim under a no-drop
+    // horizon: every qualifying (purchase, trailing-hour view) pair of
+    // the same user, exactly once
+    "q_stream_join" ->
+      s"""$evCte
+         |SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+         |       p.ts_us - v.ts_us AS delta_us
+         |FROM e p JOIN e v ON p.user_id = v.user_id
+         |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+         |  AND v.ts_us BETWEEN p.ts_us - 3600000000 AND p.ts_us
+         |ORDER BY purchase_id, view_id""".stripMargin,
+
+    // exactly one surviving copy per event_id — the original event log
+    "q_exactly_once_stream" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // the late-drop model replayed end-to-end: batch k's LATE-EVENTS
     // watermark is the EVICTION watermark of batch k-1, i.e. the max

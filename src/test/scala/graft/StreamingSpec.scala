@@ -209,6 +209,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark horizon: a duplicate BEYOND the delay re-emits (state evicted)") {
+    // the honest boundary of the q_exactly_once_stream contract: inside
+    // the watermark horizon dedup is exact; once the watermark passes a
+    // key's event time + delay its state is evictable, and a replay
+    // arriving after that is indistinguishable from a new event — the
+    // pipeline degrades to at-least-once exactly at the horizon it
+    // declared. Production sets the delay to the real redelivery window.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val q = CdcStream.dedupWithinWatermark(input.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_hz")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000000L
+      input.addData(Change(1, "users", "INSERT", 1, t0, 1.0))
+      q.processAllAvailable()
+      // advance event time far past t0 + 10 min → lsn 1's state evicts
+      input.addData(Change(2, "users", "UPDATE", 2, t0 + 3600000000L, 2.0))
+      q.processAllAvailable()
+      // replay of lsn 1 BEYOND the horizon: re-emitted, not deduped
+      input.addData(Change(1, "users", "INSERT", 1, t0 + 3600000000L + 1, 1.0))
+      q.processAllAvailable()
+      val lsns = spark.table("dedup_hz").select("lsn").as[Long].collect().toSeq.sorted
+      assert(lsns == Seq(1L, 1L, 2L), s"got $lsns")
+    } finally q.stop()
+  }
+
   test("streaming corpus cleaning: quality gate + content dedup on a doc stream") {
     // the batch pipeline_clean_corpus shape, driven as a stream: the same
     // column expressions run unchanged; dedup keys on the content hash
