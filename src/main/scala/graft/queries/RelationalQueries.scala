@@ -1267,6 +1267,28 @@ object RelationalQueries {
         .orderBy("l_suppkey")
     }),
 
+    // Exact MODE per group — the argmax-by-FREQUENCY member of the argmax
+    // family (q_topk_per_group is argmax-by-score): most frequent value,
+    // smallest-value tie-break. Two-level shape: the corpus collapses
+    // map-side to the (key, value) count table in ONE linear shuffle, and
+    // the argmax window runs over that domain-bounded aggregated table
+    // only (per-key fan-in = the key's distinct-value count, never corpus
+    // rows). Values ride as exact cents so ties are integer equality.
+    "q_mode" -> ((s, dir) => {
+      val cents = round(col("value") * 100).cast("long")
+      val counts = ev(s, dir)
+        .select(col("event_type"), cents.as("cents"))
+        .groupBy("event_type", "cents").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("n").desc, col("cents"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"),
+          round(col("cents") / 100.0, 4).as("mode_value"),
+          col("n").as("n_occurrences"))
+        .orderBy("event_type")
+    }),
+
     // Fixed-width histogram over order totals. Bucket assignment is pure
     // integer math on cents (cents div width), so no float boundary can
     // disagree between engines; the per-bucket revenue sums exact cents
@@ -2587,6 +2609,20 @@ object RelationalQueries {
         |  AND CAST(m AS HUGEINT)*sa2h - CAST(sa AS HUGEINT)*CAST(sa AS HUGEINT) > 0
         |  AND CAST(m AS HUGEINT)*sb2h - CAST(sb AS HUGEINT)*CAST(sb AS HUGEINT) > 0
         |ORDER BY l_suppkey""".stripMargin,
+
+    // Same two-level argmax: count table, then rank over it.
+    "q_mode" ->
+      """WITH cnt AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |           ORDER BY n DESC, cents) AS rn
+        |  FROM cnt)
+        |SELECT event_type, round(cents / 100.0, 4) AS mode_value,
+        |       CAST(n AS BIGINT) AS n_occurrences
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     // Integral cents bucketing + exact cents revenue (HUGEINT sum).
     "q_histogram" ->

@@ -622,6 +622,42 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // PER-SOURCE DISTRIBUTION DRIFT vs the corpus — TOTAL-VARIATION
+    // distance between each source's token distribution and the whole
+    // corpus's (the "does this ingest look like the rest of the data"
+    // number a curation team tracks per source/epoch). TV is chosen over
+    // KL deliberately: it is a RATIONAL function of exact integer counts —
+    // Σ|n·M − m·N| plus the absent-token mass (M − Σ_{t∈s} m)·N in closed
+    // form, one division at the end — so the whole metric is order-free
+    // exact decimal algebra with no transcendental (a KL gate would ride
+    // on ln agreeing between engines per token; see the q_approx_distinct
+    // ulp analysis for why that needs a finite-domain proof). Every stage
+    // runs over the memoized VOCAB-sized count artifact — the corpus is
+    // never rescanned.
+    "pipeline_token_drift" -> ((s, dir) => {
+      val cnt = sourceTokenCounts(s, dir)
+      val vocab = cnt.groupBy("tok")
+        .agg(sum("cnt").cast("decimal(38,0)").as("m"))
+      val totals = cnt.groupBy("source")
+        .agg(sum("cnt").cast("decimal(38,0)").as("nn"))
+      val mTot = vocab.agg(sum("m").as("mm"))
+      val agg = cnt.join(vocab, "tok")
+        .join(totals, "source")
+        .crossJoin(broadcast(mTot))
+        .groupBy("source")
+        .agg(
+          sum(abs(col("cnt").cast("decimal(38,0)") * col("mm") -
+            col("m") * col("nn"))).as("a"),
+          sum(col("m")).as("sm"),
+          first(col("nn")).as("nn"), first(col("mm")).as("mm"))
+      agg.select(col("source"), col("nn").cast("long").as("n_tokens"),
+          (floor((col("a") + (col("mm") - col("sm")) * col("nn"))
+              .cast("double") /
+            (lit(2).cast("decimal(38,0)") * col("nn") * col("mm"))
+              .cast("double") * 10000) / 10000).as("tv_dist"))
+        .orderBy("source")
+    }),
+
     // Zipf fit — the templated/synthetic-source detector at the
     // distribution level (vocab_stats' head-mass sees only the top-10
     // mass; this sees the SHAPE): regress ln(freq) on ln(rank) over each
@@ -1225,6 +1261,32 @@ object TextQueries {
         |       round(CAST(sum(CASE WHEN rk <= 10 THEN cnt ELSE 0 END) AS DOUBLE) /
         |             sum(cnt), 4) AS head_mass
         |FROM cnt GROUP BY source ORDER BY source""".stripMargin,
+
+    // exact rational replay: HUGEINT carries Σ|n·M − m·N| and the
+    // absent-mass closed form; ONE double division, floor-quantized
+    "pipeline_token_drift" ->
+      """WITH toks AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |cnt AS (SELECT source, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+        |vocab AS (SELECT tok, CAST(sum(n) AS HUGEINT) AS m FROM cnt GROUP BY 1),
+        |tot AS (SELECT source, CAST(sum(n) AS HUGEINT) AS nn FROM cnt GROUP BY 1),
+        |mm AS (SELECT CAST(sum(m) AS HUGEINT) AS mm FROM vocab),
+        |agg AS (
+        |  SELECT c.source,
+        |         sum(abs(CAST(c.n AS HUGEINT) * mm.mm - v.m * t.nn)) AS a,
+        |         sum(v.m) AS sm
+        |  FROM cnt c
+        |  JOIN vocab v USING (tok)
+        |  JOIN tot t USING (source), mm
+        |  GROUP BY 1)
+        |SELECT a.source, CAST(t.nn AS BIGINT) AS n_tokens,
+        |       floor(CAST(a.a + (mm.mm - a.sm) * t.nn AS DOUBLE) /
+        |             CAST(2 * t.nn * mm.mm AS DOUBLE) * 10000) / 10000
+        |         AS tv_dist
+        |FROM agg a JOIN tot t USING (source), mm
+        |ORDER BY a.source""".stripMargin,
 
     // any tie-break works (ties are freq-equal → same (rank, freq)
     // multiset); sums are exact (DuckDB HUGEINT ⊇ Spark's in-range longs)

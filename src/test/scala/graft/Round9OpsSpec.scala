@@ -236,4 +236,42 @@ class Round9OpsSpec extends AnyFunSuite with SparkTestBase {
       assert(ac(1L)._2 >= 0.9999, s"monotone line autocorrelates +1: ${ac(1L)}")
     } finally cleanup(dir)
   }
+
+  test("q_mode: highest count wins, smallest value breaks ties") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // 'view': 2.0 ×2 beats 1.0 ×1; 'click': 3.0 and 4.0 tie at 1 → 3.0
+    val events = Seq(
+      (1L, 1L, "view", ts, 2.0), (2L, 1L, "view", ts, 2.0),
+      (3L, 1L, "view", ts, 1.0),
+      (4L, 1L, "click", ts, 4.0), (5L, 1L, "click", ts, 3.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val dir = toyLake("events" -> events)
+    try {
+      val got = graft.queries.RelationalQueries.queries("q_mode")(spark, dir)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      assert(got("view") == (2.0, 2L), s"got $got")
+      assert(got("click") == (3.0, 1L), s"tie → smallest: $got")
+    } finally cleanup(dir)
+  }
+
+  test("pipeline_token_drift: disjoint halves → 0.5, corpus-identical sources → 0") {
+    def lake(rows: Seq[(Long, String, String)]): String = toyLake(
+      "documents" -> rows.map { case (id, src, txt) =>
+        (id, txt, "en", src, txt.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val disjoint = lake(Seq((1L, "s1", "x x"), (2L, "s2", "y y")))
+    val identical = lake(Seq((1L, "s1", "a b"), (2L, "s2", "a b")))
+    try {
+      val d = graft.queries.TextQueries
+        .queries("pipeline_token_drift")(spark, disjoint)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      // each source is half the corpus mass with a disjoint vocabulary:
+      // TV(p_s, corpus) = 1/2 exactly
+      assert(d == Map("s1" -> 0.5, "s2" -> 0.5), s"got $d")
+      val i = graft.queries.TextQueries
+        .queries("pipeline_token_drift")(spark, identical)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(i == Map("s1" -> 0.0, "s2" -> 0.0), s"got $i")
+    } finally { cleanup(disjoint); cleanup(identical) }
+  }
 }
