@@ -151,6 +151,39 @@ object BehaviorQueries {
       }.orderBy("event_id")
     }),
 
+    // NATIVE SESSION WINDOWS, gated (r9): Spark's `session_window` operator
+    // — the state store merges/extends per-user sessions and emits each
+    // once the eviction watermark passes its end — against the same
+    // gap-split rule the batch operator uses (probed and pinned: an event
+    // at EXACTLY previous-end merges — split iff gap > 30 min, the batch
+    // q_sessionize rule; session end = last event + gap; a session whose
+    // end EQUALS the final watermark emits — end ≤ wm, ms precision).
+    // This gates the operator q_sessionize_stream's hand-rolled engine
+    // re-implements: same semantics, zero custom state code. The ordered
+    // replay has no late rows, so the emission set is the pure
+    // event-time-distribution function the oracle replays as integer
+    // arithmetic; trailing unfinalized sessions are ABSENT by semantics.
+    "q_session_window_stream" -> ((s, dir) => {
+      val stream = s.readStream.schema(
+          org.apache.spark.sql.Encoders.product[graft.streaming.AttrEvent].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(behaviorFeedDir(s, dir))
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+          round(col("value") * lit(10000)).cast("long").as("v4"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), sum("v4").as("sv4"))
+      graft.streaming.StreamGate.run(s, stream, "sw_gate",
+          org.apache.spark.sql.streaming.OutputMode.Append()) { sink =>
+        graft.operators.Checkpointing.cut(sink.select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          unix_micros(col("w.end")).as("session_end_us"),
+          col("n_events"),
+          round(col("sv4") / lit(10000.0), 4).as("sum_value")))
+      }.orderBy("user_id", "session_start_us")
+    }),
+
     // STREAMING transition matrix, gated (r8): `BehaviorStream.transitions`
     // (per-user state = ONE last-event row, each arrival emits its
     // (from → to) edge immediately) runs over the time-ordered chunk
@@ -532,6 +565,36 @@ object BehaviorQueries {
          |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
          |  AND v.ts_us BETWEEN p.ts_us - 3600000000 AND p.ts_us
          |ORDER BY purchase_id, view_id""".stripMargin,
+
+    // gap-split islands (split iff gap > 30 min — probed equal to the
+    // native merge rule), session end = last event + gap, emitted iff
+    // end ≤ the final ms-floor eviction watermark; the lag and the
+    // cumulative island sum share ONE (ts_us, event_id) order so
+    // same-instant ties can never split an island differently
+    "q_session_window_stream" ->
+      s"""$evCte,
+         |b AS (SELECT ((max(ts_us) // 1000) - 600000) * 1000 AS wm FROM e),
+         |x AS (SELECT user_id, event_id, ts_us,
+         |             CAST(round(value * 10000) AS BIGINT) AS v4,
+         |             lag(ts_us) OVER (PARTITION BY user_id
+         |                              ORDER BY ts_us, event_id) AS prev
+         |      FROM e),
+         |i AS (SELECT *, CASE WHEN prev IS NULL
+         |                       OR ts_us - prev > 1800000000 THEN 1
+         |                     ELSE 0 END AS ni
+         |      FROM x),
+         |sg AS (SELECT *, sum(ni) OVER (PARTITION BY user_id
+         |                ORDER BY ts_us, event_id
+         |                ROWS UNBOUNDED PRECEDING) AS sid
+         |       FROM i),
+         |g AS (SELECT user_id, sid, min(ts_us) AS session_start_us,
+         |             max(ts_us) + 1800000000 AS session_end_us,
+         |             count(*) AS n_events,
+         |             round(CAST(sum(v4) AS DOUBLE) / 10000.0, 4) AS sum_value
+         |      FROM sg GROUP BY 1, 2)
+         |SELECT user_id, session_start_us, session_end_us, n_events, sum_value
+         |FROM g, b WHERE session_end_us <= wm
+         |ORDER BY user_id, session_start_us""".stripMargin,
 
     // exactly one surviving copy per event_id — the original event log
     "q_exactly_once_stream" ->

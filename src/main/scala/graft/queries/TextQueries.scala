@@ -331,6 +331,45 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // LEXICAL COLLOCATIONS by exact LIFT — the association-strength miner
+    // ("new york", "machine learning") next to text_lm_bigram's per-doc LM
+    // filter: lift(a,b) = P(ab) / (P(a)·P(b)) as the RATIONAL
+    // (n_ab·N_u²) / (n_a·n_b·N_p) on exact integer counts — no PMI log, so
+    // the score is one double division of exact decimal products and the
+    // top-20 ranking is identical in both engines (ties broken by (a, b)).
+    // Scale shape: the pair stream pre-aggregates map-side to the
+    // vocab²-bounded bigram table, unigram counts join on the vocab table,
+    // the two corpus totals broadcast — after the token scan everything is
+    // vocabulary-sized. Min support n_ab ≥ 5 cuts the hapax noise floor
+    // (textbook collocation practice) and bounds the lift join input.
+    "text_collocations" -> ((s, dir) => {
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val tok = docs(s, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          posexplode(Text.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
+      val big = tok
+        .withColumn("nxt", lead("w", 1).over(byDoc))
+        .filter(col("nxt").isNotNull)
+        .select(col("w").as("a"), col("nxt").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      val uni = tok.groupBy("w").agg(count(lit(1)).as("n_w"))
+      val nu = tok.agg(count(lit(1)).cast("decimal(38,0)").as("n_u"))
+      val np = big.agg(sum("n_ab").cast("decimal(38,0)").as("n_p"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      big.filter(col("n_ab") >= 5)
+        .join(uni.select(col("w").as("a"), col("n_w").as("n_a")), "a")
+        .join(uni.select(col("w").as("b"), col("n_w").as("n_b")), "b")
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(np))
+        .withColumn("lift",
+          (dec(col("n_ab")) * col("n_u") * col("n_u")).cast("double") /
+            (dec(col("n_a")) * dec(col("n_b")) * col("n_p")).cast("double"))
+        .orderBy(col("lift").desc, col("a"), col("b")).limit(20)
+        .select(col("a"), col("b"), col("n_ab"),
+          (floor(col("lift") * 10000) / 10000).as("lift"))
+    }),
+
     // CCNet-style corpus partition (Wenzek et al. 2020): per language, split
     // docs into head/middle/tail terciles by LM score. The boundaries come
     // from an integer score HISTOGRAM (score × 10⁴ as a long), not a
@@ -1027,6 +1066,31 @@ object TextQueries {
         |             / sum(CAST(n AS DOUBLE)), 4) AS lm2_score
         |FROM dp JOIN big USING (a, b) JOIN lf USING (a)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical pair/unigram universes (the lm_bigram CTEs + unnested
+    // tokens of the same arrays); lift is HUGEINT products → ONE double
+    // division, so the DESC ranking and floor-quantize replay exactly
+    "text_collocations" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS arr
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |p AS (
+        |  SELECT arr[i] AS a, arr[i + 1] AS b
+        |  FROM d, unnest(generate_series(1, len(arr) - 1)) AS t(i)),
+        |big AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM p GROUP BY 1, 2),
+        |uni AS (SELECT w, CAST(count(*) AS HUGEINT) AS n_w FROM (
+        |          SELECT unnest(arr) AS w FROM d) GROUP BY 1),
+        |nu AS (SELECT CAST(sum(n_w) AS HUGEINT) AS n_u FROM uni),
+        |np AS (SELECT CAST(sum(n_ab) AS HUGEINT) AS n_p FROM big)
+        |SELECT a, b, n_ab, floor(lift * 10000) / 10000 AS lift FROM (
+        |  SELECT a, b, n_ab,
+        |         CAST(CAST(n_ab AS HUGEINT) * n_u * n_u AS DOUBLE) /
+        |         CAST(ua.n_w * ub.n_w * n_p AS DOUBLE) AS lift
+        |  FROM big JOIN uni ua ON big.a = ua.w
+        |           JOIN uni ub ON big.b = ub.w, nu, np
+        |  WHERE n_ab >= 5)
+        |ORDER BY lift DESC, a, b LIMIT 20""".stripMargin,
 
     // same LM CTE, then integer-histogram tercile boundaries per lang
     // (3·cum ≥ k·n — exact integer rank math, ties share a bucket)

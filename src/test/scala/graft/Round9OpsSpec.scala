@@ -274,4 +274,23 @@ class Round9OpsSpec extends AnyFunSuite with SparkTestBase {
       assert(i == Map("s1" -> 0.0, "s2" -> 0.0), s"got $i")
     } finally { cleanup(disjoint); cleanup(identical) }
   }
+
+  test("text_collocations: bound phrase tops the lift ranking, support floor holds") {
+    // "neural networks" always co-occur (5×, meets support); "the" is
+    // frequent everywhere (low lift); "rare pair" appears 4× (below the
+    // n_ab >= 5 support floor — excluded even though its lift is high)
+    val docs = (1 to 5).map(i =>
+      (i.toLong, "neural networks the cat the dog", "en", "s1", 30L)) ++
+      (6 to 9).map(i => (i.toLong, "rare pair", "en", "s1", 9L))
+    val dir = toyLake("documents" -> docs
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    try {
+      val got = graft.queries.TextQueries.queries("text_collocations")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(got.head._1 == "neural" && got.head._2 == "networks" &&
+        got.head._3 == 5L, s"got ${got.toSeq}")
+      assert(!got.exists(p => p._1 == "rare"),
+        s"support floor must exclude the 4-count pair: ${got.toSeq}")
+    } finally cleanup(dir)
+  }
 }

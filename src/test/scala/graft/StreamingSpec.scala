@@ -432,6 +432,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("session_window boundaries: equal-gap event merges, equal-watermark session emits") {
+    // the two boundary rules the q_session_window_stream oracle pins:
+    // (1) an event at EXACTLY previous-session-end merges (split iff
+    // gap > 30 min — the batch q_sessionize rule), so end = last + gap;
+    // (2) a session whose end EQUALS the eviction watermark emits.
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val agg = input.toDS().toDF("u", "ts_us")
+      .select(col("u"), timestamp_micros(col("ts_us")).as("ts"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("u"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("u"), unix_micros(col("w.start")).as("st"),
+        unix_micros(col("w.end")).as("en"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("swb")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000000L
+      input.addData((1L, t0), (1L, t0 + 1800000000L)) // exactly at prev end
+      q.processAllAvailable()
+      // wm after this batch = (t0 + 3600s + 600s) - 600s = session end
+      input.addData((2L, t0 + 3600000000L + 600000000L))
+      q.processAllAvailable()
+      val got = spark.table("swb").as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == Seq((1L, t0, t0 + 3600000000L, 2L)),
+        s"one merged session, emitted at wm == end: $got")
+    } finally q.stop()
+  }
+
   test("materializeSnapshot: change stream → queryable parquet table") {
     implicit val sqlCtx = spark.sqlContext
     val snap = java.nio.file.Files.createTempDirectory("snapdir").toString + "/t"
