@@ -1267,6 +1267,67 @@ object RelationalQueries {
         .orderBy("l_suppkey")
     }),
 
+    // SCHEMA / DATA-QUALITY PROFILE (the Deequ-class audit a lake team runs
+    // on every ingest): per column — row count, null count, EXACT distinct
+    // count — in ONE aggregate over one scan (the multi-distinct expands
+    // to one pass per distinct column inside the aggregate exec; at 100 TB
+    // the per-column exact distincts swap for the mergeable HLL sketches
+    // of q_approx_distinct — same report shape, one true pass). The wide
+    // 1-row aggregate unpivots to the O(columns) report via stack().
+    "pipeline_schema_profile" -> ((s, dir) => {
+      val cols = Seq("event_id", "user_id", "event_type", "value",
+        "props", "ts_us")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+        countDistinct(col(c)).as(s"dist_$c")))
+      val wide = ev(s, dir).agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c =>
+        s"'$c', n_rows, null_$c, dist_$c").mkString(", ")
+      wide.select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+          "(column_name, n_rows, n_null, n_distinct)"))
+        .orderBy("column_name")
+    }),
+
+    // TWO-SAMPLE TEST (the A/B readout): each event-type arm against the
+    // 'view' control — Welch z on the difference of means, from EXACT
+    // cents-scaled integer sums (the q_corr_stats discipline: moments fold
+    // order-free as longs/decimals, the z formula runs ONCE per arm in
+    // fixed-order IEEE). Significance is decided on the QUANTIZED z so the
+    // flag is an exact integer comparison (floor(|z|·10⁴) ≥ 19600), never
+    // a float-boundary boolean. Arms aggregate map-side — one linear
+    // shuffle to O(arms) rows, then a broadcast of the 1-row control.
+    "q_ab_test" -> ((s, dir) => {
+      val cents = round(col("value") * 100).cast("long")
+      val stats = ev(s, dir)
+        .select(col("event_type"), cents.as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").as("sc"),
+          sum((col("c") * col("c")).cast("decimal(38,0)")).as("sq"))
+      val ctrl = stats.filter(col("event_type") === "view")
+        .select(col("n").as("n0"), col("sc").as("sc0"), col("sq").as("sq0"))
+      val z = {
+        val (n1, s1, q1) = (col("n").cast("double"), col("sc").cast("double"),
+          col("sq").cast("double"))
+        val (n0, s0, q0) = (col("n0").cast("double"), col("sc0").cast("double"),
+          col("sq0").cast("double"))
+        val v1 = (n1 * q1 - s1 * s1) / (n1 * (n1 - lit(1.0)))
+        val v0 = (n0 * q0 - s0 * s0) / (n0 * (n0 - lit(1.0)))
+        (s1 / n1 - s0 / n0) / sqrt(v1 / n1 + v0 / n0)
+      }
+      stats.filter(col("event_type") =!= "view")
+        .crossJoin(broadcast(ctrl))
+        .select(col("event_type").as("arm"), col("n").as("n_arm"),
+          (floor(col("sc") / col("n") / 100.0 * 10000) / 10000)
+            .as("mean_arm"),
+          (floor(col("sc0") / col("n0") / 100.0 * 10000) / 10000)
+            .as("mean_control"),
+          floor(z * 10000).as("z4"))
+        .select(col("arm"), col("n_arm"), col("mean_arm"),
+          col("mean_control"), (col("z4") / 10000).as("z"),
+          (abs(col("z4")) >= 19600L).cast("int").as("significant"))
+        .orderBy("arm")
+    }),
+
     // Exact MODE per group — the argmax-by-FREQUENCY member of the argmax
     // family (q_topk_per_group is argmax-by-score): most frequent value,
     // smallest-value tie-break. Two-level shape: the corpus collapses
@@ -2609,6 +2670,49 @@ object RelationalQueries {
         |  AND CAST(m AS HUGEINT)*sa2h - CAST(sa AS HUGEINT)*CAST(sa AS HUGEINT) > 0
         |  AND CAST(m AS HUGEINT)*sb2h - CAST(sb AS HUGEINT)*CAST(sb AS HUGEINT) > 0
         |ORDER BY l_suppkey""".stripMargin,
+
+    // One select per profiled column, unioned — the unpivot replay.
+    "pipeline_schema_profile" -> {
+      val profCols = Seq("event_id", "user_id", "event_type", "value",
+        "props", "ts_us")
+      val selects = profCols.map(c =>
+        s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM e""".stripMargin)
+      s"""$evCte
+         |${selects.mkString("\nUNION ALL\n")}
+         |ORDER BY column_name""".stripMargin
+    },
+
+    // Welch z replay: identical exact sums, identical operand order,
+    // significance decided on the quantized integer — never a float
+    // boundary.
+    "q_ab_test" ->
+      s"""$evCte,
+         |st AS (
+         |  SELECT event_type, count(*) AS n,
+         |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc,
+         |         sum(CAST(round(value * 100) AS BIGINT)
+         |             * CAST(round(value * 100) AS BIGINT)) AS sq
+         |  FROM e GROUP BY 1),
+         |z AS (
+         |  SELECT a.event_type AS arm, a.n AS n_arm,
+         |         floor(CAST(a.sc AS DOUBLE) / a.n / 100.0 * 10000) / 10000 AS mean_arm,
+         |         floor(CAST(c.sc AS DOUBLE) / c.n / 100.0 * 10000) / 10000 AS mean_control,
+         |         floor((CAST(a.sc AS DOUBLE) / a.n - CAST(c.sc AS DOUBLE) / c.n) /
+         |               sqrt((CAST(a.n AS DOUBLE) * CAST(a.sq AS DOUBLE)
+         |                     - CAST(a.sc AS DOUBLE) * CAST(a.sc AS DOUBLE))
+         |                    / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1.0))
+         |                    / CAST(a.n AS DOUBLE)
+         |                  + (CAST(c.n AS DOUBLE) * CAST(c.sq AS DOUBLE)
+         |                     - CAST(c.sc AS DOUBLE) * CAST(c.sc AS DOUBLE))
+         |                    / (CAST(c.n AS DOUBLE) * (CAST(c.n AS DOUBLE) - 1.0))
+         |                    / CAST(c.n AS DOUBLE)) * 10000) AS z4
+         |  FROM st a, (SELECT * FROM st WHERE event_type = 'view') c
+         |  WHERE a.event_type <> 'view')
+         |SELECT arm, n_arm, mean_arm, mean_control, z4 / 10000 AS z,
+         |       CAST(abs(z4) >= 19600 AS INT) AS significant
+         |FROM z ORDER BY arm""".stripMargin,
 
     // Same two-level argmax: count table, then rank over it.
     "q_mode" ->

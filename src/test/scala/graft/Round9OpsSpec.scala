@@ -293,4 +293,49 @@ class Round9OpsSpec extends AnyFunSuite with SparkTestBase {
         s"support floor must exclude the 4-count pair: ${got.toSeq}")
     } finally cleanup(dir)
   }
+
+  test("pipeline_schema_profile counts nulls and exact distincts per column") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = Seq(
+      (1L, 1L, "view", ts, 1.0, """{"k":1}"""),
+      (2L, 1L, "view", ts, 2.0, null),
+      (3L, 2L, "click", ts, 1.0, null))
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+    val dir = toyLake("events" -> events)
+    try {
+      val got = graft.queries.RelationalQueries
+        .queries("pipeline_schema_profile")(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got("event_id") == (3L, 0L, 3L))
+      assert(got("props") == (3L, 2L, 1L), s"nulls counted, not distinct: $got")
+      assert(got("value") == (3L, 0L, 2L))
+      assert(got("event_type") == (3L, 0L, 2L))
+    } finally cleanup(dir)
+  }
+
+  test("q_ab_test: clear separation flags significant, identical arms do not") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // control 'view' tightly around 10; arm 'click' around 20 (clearly
+    // significant); arm 'page' identical to control (z == 0, not flagged)
+    val rows =
+      (1 to 40).map(i => (i.toLong, 1L, "view", ts,
+        if (i % 2 == 0) 9.9 else 10.1)) ++
+      (41 to 80).map(i => (i.toLong, 1L, "click", ts,
+        if (i % 2 == 0) 19.9 else 20.1)) ++
+      (81 to 120).map(i => (i.toLong, 1L, "page", ts,
+        if (i % 2 == 0) 9.9 else 10.1))
+    val dir = toyLake("events" -> rows.map { case (a, b, c, d, e) =>
+      (a, b, c, d, e, "{}") }
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "props"))
+    try {
+      val got = graft.queries.RelationalQueries.queries("q_ab_test")(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(2), r.getDouble(4), r.getInt(5))).toMap
+      assert(got("click")._1 == 20.0 && got("click")._3 == 1,
+        s"clear lift must flag: $got")
+      assert(got("page")._2 == 0.0 && got("page")._3 == 0,
+        s"identical arm must not flag: $got")
+    } finally cleanup(dir)
+  }
 }
