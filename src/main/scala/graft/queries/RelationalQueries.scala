@@ -1267,6 +1267,82 @@ object RelationalQueries {
         .orderBy("l_suppkey")
     }),
 
+    // GINI CONCENTRATION of per-customer revenue within each market
+    // segment — the inequality/whale-dependence metric next to
+    // q_key_skew's hot-key view. The classic form needs a full sort by
+    // revenue; here ranks come from EXACT set algebra over the
+    // TIE-GROUPED revenue table: per (segment, cents) the run of c equal
+    // customers occupies ranks [R+1, R+c] (R = cumulative count before
+    // the run — a window over the aggregated tie table, never raw rows),
+    // so Σ rank·x folds as v·(c·R + c·(c+1) div 2) in exact decimals and
+    // Gini = (2·ΣrankX − (n+1)·Σx) / (n·Σx) is ONE double division,
+    // floor-quantized. Two linear shuffles (customer rollup, tie table) +
+    // a broadcast dimension join.
+    "q_gini" -> ((s, dir) => {
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val rev = t(s, dir, "orders")
+        .groupBy("o_custkey").agg(sum(cents).as("cents"))
+      val seg = rev.join(
+        broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+        col("o_custkey") === col("c_custkey"))
+      val grp = seg.groupBy("segment", "cents").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("segment").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val agg = grp
+        .withColumn("r", coalesce(sum("c").over(w), lit(0L)))
+        .groupBy("segment")
+        .agg(sum("c").as("n"),
+          sum(dec(col("cents")) * col("c")).as("s"),
+          sum(dec(col("cents")) *
+            (col("c") * col("r") + expr("c * (c + 1) div 2"))).as("wsum"))
+      agg.filter(col("s") > 0)
+        .select(col("segment"), col("n").as("n_customers"),
+          (floor((lit(2).cast("decimal(38,0)") * col("wsum") -
+              (col("n") + 1).cast("decimal(38,0)") * col("s")).cast("double") /
+            (dec(col("n")) * col("s")).cast("double") * 10000) / 10000)
+            .as("gini"))
+        .orderBy("segment")
+    }),
+
+    // BENFORD FIRST-DIGIT AUDIT per order year — the fraud/synthetic-data
+    // smell test: organic monetary amounts follow log10(1+1/d); fabricated
+    // or truncated feeds don't. First digits come from the cents STRING
+    // (exact — no log on data), counts are one map-side-combined groupBy,
+    // and the χ² statistic is an explicit NINE-TERM fixed-order IEEE sum
+    // per year over hardcoded double literals both engines parse
+    // identically (the only transcendentals are compile-time constants).
+    // Verdict flag decided on the QUANTIZED χ² (integer compare vs
+    // 15.51·10⁴ — χ²₈ at α=0.05), never a float boundary.
+    "q_benford" -> ((s, dir) => {
+      val benford = Seq(0.3010299956639812, 0.17609125905568124,
+        0.12493873660829992, 0.09691001300805642, 0.07918124604762482,
+        0.06694678963061322, 0.05799194697768673, 0.05115252244738129,
+        0.04575749056067514)
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val digitAggs = count(lit(1)).as("n") +: (1 to 9).map(d =>
+        sum(when(col("d") === d, 1L).otherwise(0L)).as(s"c$d"))
+      val counts = t(s, dir, "orders")
+        .select(year(to_date(col("o_orderdate"))).as("yr"),
+          substring(cents.cast("string"), 1, 1).cast("int").as("d"))
+        .groupBy("yr")
+        .agg(digitAggs.head, digitAggs.tail: _*)
+      val nD = col("n").cast("double")
+      val chi2 = (1 to 9).map { d =>
+        val e = nD * lit(benford(d - 1))
+        val x = col(s"c$d").cast("double") - e
+        x * x / e
+      }.reduce(_ + _)
+      counts
+        .select(col("yr"), col("n").as("n_orders"),
+          floor(chi2 * 10000).as("chi4"))
+        .select(col("yr"), col("n_orders"),
+          (col("chi4") / 10000).as("chi2"),
+          (col("chi4") < 155100L).cast("int").as("benford_ok"))
+        .orderBy("yr")
+    }),
+
     // SCHEMA / DATA-QUALITY PROFILE (the Deequ-class audit a lake team runs
     // on every ingest): per column — row count, null count, EXACT distinct
     // count — in ONE aggregate over one scan (the multi-distinct expands
@@ -2670,6 +2746,65 @@ object RelationalQueries {
         |  AND CAST(m AS HUGEINT)*sa2h - CAST(sa AS HUGEINT)*CAST(sa AS HUGEINT) > 0
         |  AND CAST(m AS HUGEINT)*sb2h - CAST(sb AS HUGEINT)*CAST(sb AS HUGEINT) > 0
         |ORDER BY l_suppkey""".stripMargin,
+
+    // Tie-grouped exact rank algebra; HUGEINT folds, one division.
+    "q_gini" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |seg AS (
+        |  SELECT c_mktsegment AS segment, cents
+        |  FROM rev JOIN customer ON c_custkey = o_custkey),
+        |grp AS (SELECT segment, cents, count(*) AS c FROM seg GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT *, coalesce(sum(c) OVER (PARTITION BY segment ORDER BY cents
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r
+        |  FROM grp),
+        |agg AS (
+        |  SELECT segment, CAST(sum(c) AS BIGINT) AS n,
+        |         sum(CAST(cents AS HUGEINT) * c) AS s,
+        |         sum(CAST(cents AS HUGEINT) * (c * r + c * (c + 1) // 2)) AS wsum
+        |  FROM rk GROUP BY 1)
+        |SELECT segment, n AS n_customers,
+        |       floor(CAST(2 * wsum - (n + 1) * s AS DOUBLE) /
+        |             CAST(CAST(n AS HUGEINT) * s AS DOUBLE) * 10000) / 10000 AS gini
+        |FROM agg WHERE s > 0 ORDER BY segment""".stripMargin,
+
+    // Digit counts exact from the cents string; the nine Benford
+    // constants are the SAME double literals (cast ::DOUBLE — a bare
+    // DuckDB decimal literal would run DECIMAL arithmetic), χ² terms
+    // summed left-to-right in the identical order.
+    "q_benford" -> {
+      val benford = Seq(0.3010299956639812, 0.17609125905568124,
+        0.12493873660829992, 0.09691001300805642, 0.07918124604762482,
+        0.06694678963061322, 0.05799194697768673, 0.05115252244738129,
+        0.04575749056067514)
+      val cs = (1 to 9).map(d =>
+        s"CAST(sum(CASE WHEN d = $d THEN 1 ELSE 0 END) AS BIGINT) AS c$d")
+        .mkString(",\n|         ")
+      val terms = (1 to 9).map { d =>
+        val p = s"'${benford(d - 1)}'::DOUBLE"
+        s"(CAST(c$d AS DOUBLE) - CAST(n AS DOUBLE) * $p) * " +
+          s"(CAST(c$d AS DOUBLE) - CAST(n AS DOUBLE) * $p) / " +
+          s"(CAST(n AS DOUBLE) * $p)"
+      }.mkString("\n|           + ")
+      s"""WITH digits AS (
+         |  SELECT CAST(strftime(o_orderdate, '%Y') AS INT) AS yr,
+         |         CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+         |  FROM orders),
+         |counts AS (
+         |  SELECT yr, count(*) AS n,
+         |         $cs
+         |  FROM digits GROUP BY 1),
+         |chi AS (
+         |  SELECT yr, CAST(n AS BIGINT) AS n_orders,
+         |         floor(($terms) * 10000) AS chi4
+         |  FROM counts)
+         |SELECT yr, n_orders, chi4 / 10000 AS chi2,
+         |       CAST(chi4 < 155100 AS INT) AS benford_ok
+         |FROM chi ORDER BY yr""".stripMargin
+    },
 
     // One select per profiled column, unioned — the unpivot replay.
     "pipeline_schema_profile" -> {

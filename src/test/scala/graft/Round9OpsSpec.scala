@@ -338,4 +338,56 @@ class Round9OpsSpec extends AnyFunSuite with SparkTestBase {
         s"identical arm must not flag: $got")
     } finally cleanup(dir)
   }
+
+  test("q_gini: perfect equality → 0, one-whale concentration → near 1, ties exact") {
+    val ts = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    // EQ: 4 customers × 100.00 (gini 0, with ties exercising the run
+    // algebra); WHALE: 9 × 0.01 + 1 × 1000.00
+    val orders = (
+      (1 to 4).map(i => (i.toLong, i.toLong, 100.0)) ++
+      (11 to 19).map(i => (i.toLong, i.toLong, 0.01)) ++
+      Seq((20L, 20L, 1000.0)))
+      .map { case (ok, ck, p) => (ok, ck, "O", p, ts, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val customer = ((1 to 4).map(i => (i.toLong, "EQ")) ++
+      (11 to 20).map(i => (i.toLong, "WHALE")))
+      .map { case (k, seg) => (k, s"c$k", 1L, 0.0, seg) }
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val dir = toyLake("orders" -> orders, "customer" -> customer)
+    try {
+      val got = graft.queries.RelationalQueries.queries("q_gini")(spark, dir)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got("EQ") == (4L, 0.0), s"equal shares: $got")
+      // exact: n=10, S=100009, W = Σ rank·x = (1·1+...+9·1) + 10·100000
+      // = 45 + 1000000; gini = (2·1000045 − 11·100009)/(10·100009)
+      val g = (2.0 * 1000045 - 11 * 100009) / (10.0 * 100009)
+      assert(math.abs(got("WHALE")._2 - math.floor(g * 10000) / 10000) < 1e-9,
+        s"whale concentration: $got vs $g")
+    } finally cleanup(dir)
+  }
+
+  test("q_benford: organic log-spread passes, constant-leading-digit feed fails") {
+    val ts96 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val ts97 = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    val rnd = new scala.util.Random(7)
+    // 1996: amounts log-uniform over 4 decades — first digits follow
+    // Benford closely; 1997: every amount starts with 5 — flunks
+    val organic = (1 to 2000).map { i =>
+      (i.toLong, 1L, math.pow(10.0, 1.0 + 4.0 * rnd.nextDouble()), ts96) }
+    val flat = (2001 to 2400).map { i => (i.toLong, 1L, 555.0, ts97) }
+    val orders = (organic ++ flat)
+      .map { case (ok, ck, p, t) =>
+        (ok, ck, "O", math.rint(p * 100) / 100, t, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = toyLake("orders" -> orders)
+    try {
+      val got = graft.queries.RelationalQueries.queries("q_benford")(spark, dir)
+        .collect().map(r => r.getInt(0) -> (r.getDouble(2), r.getInt(3))).toMap
+      assert(got(1996)._2 == 1, s"log-uniform passes Benford: $got")
+      assert(got(1997)._2 == 0 && got(1997)._1 > 1000,
+        s"single-digit feed must flunk loudly: $got")
+    } finally cleanup(dir)
+  }
 }
