@@ -1267,6 +1267,64 @@ object RelationalQueries {
         .orderBy("l_suppkey")
     }),
 
+    // HISTOGRAM-SKETCH SET ALGEBRA — the quantile twin of q_hll_union's
+    // register algebra, completing the mergeable-sketch-table story: one
+    // corpus scan builds the per-segment fixed-bin histogram table
+    // (O(segments × buckets) rows), and any pairwise UNION percentile is
+    // then pure count ADDITION over that stored table — histogram merge is
+    // EXACT at the sketch level (summed buckets ≡ the union's histogram),
+    // so a warehouse holding one bucket table per partition/day answers
+    // cross-partition quantile questions without rescanning rows. Pair
+    // expansion is an explode → EQUI-join (never an OR/nested-loop join);
+    // the crossing/interpolation arithmetic is q_approx_percentiles'
+    // replayable integer rank math verbatim. Exact unioned-row percentile
+    // audits ride at gate SF (the q_hll_union audit posture).
+    "q_histogram_union" -> ((s, dir) => {
+      val hist = graft.operators.Checkpointing.cut(t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("seg"),
+          round(col("l_extendedprice") * 100).cast("long").as("vc"))
+        .groupBy(col("seg"), shiftright(col("vc"), 16).as("b"))
+        .agg(count(lit(1)).as("cnt")))
+      val segs = hist.select("seg").distinct()
+      val pairs = segs.select(col("seg").as("seg_a"))
+        .crossJoin(segs.select(col("seg").as("seg_b")))
+        .filter(col("seg_a") < col("seg_b"))
+        .select(col("seg_a"), col("seg_b"),
+          explode(array(col("seg_a"), col("seg_b"))).as("seg"))
+      val merged = hist.join(broadcast(pairs), "seg")
+        .groupBy("seg_a", "seg_b", "b").agg(sum("cnt").as("cnt"))
+      val wC = Window.partitionBy("seg_a", "seg_b").orderBy("b")
+      val cum = merged
+        .withColumn("cum", sum("cnt").over(wC))
+        .withColumn("cum_before", col("cum") - col("cnt"))
+      val tot = merged.groupBy("seg_a", "seg_b").agg(sum("cnt").as("n"))
+      def pick(q20: Int) = {
+        val tgt = col("n") * q20
+        max(when(col("cum") * 20 >= tgt && col("cum_before") * 20 < tgt,
+          ((col("b") * lit(65536L)).cast("double") +
+            lit(65536.0) * (tgt - col("cum_before") * 20).cast("double") /
+              (col("cnt") * 20).cast("double")) / lit(100.0)))
+      }
+      val sk = cum.join(tot, Seq("seg_a", "seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(max("n").as("n_union"), pick(10).as("h50"), pick(19).as("h95"))
+      val exact = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("seg"), col("l_extendedprice").as("px"))
+        .join(broadcast(pairs), "seg")
+        .groupBy("seg_a", "seg_b")
+        .agg(expr("percentile(px, array(0.5, 0.95))").as("p"))
+        .select(col("seg_a"), col("seg_b"),
+          element_at(col("p"), 1).as("p50d"),
+          element_at(col("p"), 2).as("p95d"))
+      sk.join(exact, Seq("seg_a", "seg_b"))
+        .select(col("seg_a"), col("seg_b"), col("n_union"),
+          (floor(col("h50") * 10000) / 10000).as("union_p50"),
+          (floor(col("h95") * 10000) / 10000).as("union_p95"),
+          round(col("p50d"), 4).as("p50"),
+          round(col("p95d"), 4).as("p95"))
+        .orderBy("seg_a", "seg_b")
+    }),
+
     // GINI CONCENTRATION of per-customer revenue within each market
     // segment — the inequality/whale-dependence metric next to
     // q_key_skew's hot-key view. The classic form needs a full sort by
@@ -2746,6 +2804,58 @@ object RelationalQueries {
         |  AND CAST(m AS HUGEINT)*sa2h - CAST(sa AS HUGEINT)*CAST(sa AS HUGEINT) > 0
         |  AND CAST(m AS HUGEINT)*sb2h - CAST(sb AS HUGEINT)*CAST(sb AS HUGEINT) > 0
         |ORDER BY l_suppkey""".stripMargin,
+
+    // Same histogram build + rank crossing as q_approx_percentiles, over
+    // pairwise-summed buckets; exact quantile_cont audit on unioned rows.
+    "q_histogram_union" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS seg,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS vc,
+        |         l_extendedprice AS px
+        |  FROM lineitem),
+        |hist AS (SELECT seg, vc >> 16 AS b, count(*) AS cnt FROM v GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.seg AS seg_a, bb.seg AS seg_b
+        |  FROM (SELECT DISTINCT seg FROM hist) a,
+        |       (SELECT DISTINCT seg FROM hist) bb
+        |  WHERE a.seg < bb.seg),
+        |px AS (SELECT seg_a, seg_b, seg_a AS seg FROM pairs
+        |       UNION ALL SELECT seg_a, seg_b, seg_b FROM pairs),
+        |merged AS (
+        |  SELECT seg_a, seg_b, b, CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM hist JOIN px USING (seg) GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT seg_a, seg_b, b, cnt,
+        |         CAST(sum(cnt) OVER (PARTITION BY seg_a, seg_b ORDER BY b)
+        |           AS BIGINT) AS cum
+        |  FROM merged),
+        |c2 AS (SELECT *, cum - cnt AS cum_before FROM cum),
+        |tot AS (SELECT seg_a, seg_b, CAST(sum(cnt) AS BIGINT) AS n
+        |        FROM merged GROUP BY 1, 2),
+        |sk AS (
+        |  SELECT seg_a, seg_b, max(n) AS n_union,
+        |         max(CASE WHEN cum * 20 >= n * 10 AND cum_before * 20 < n * 10
+        |           THEN (CAST(b * 65536 AS DOUBLE) +
+        |                 65536.0::DOUBLE * CAST(n * 10 - cum_before * 20 AS DOUBLE)
+        |                   / CAST(cnt * 20 AS DOUBLE)) / 100.0::DOUBLE
+        |           END) AS h50,
+        |         max(CASE WHEN cum * 20 >= n * 19 AND cum_before * 20 < n * 19
+        |           THEN (CAST(b * 65536 AS DOUBLE) +
+        |                 65536.0::DOUBLE * CAST(n * 19 - cum_before * 20 AS DOUBLE)
+        |                   / CAST(cnt * 20 AS DOUBLE)) / 100.0::DOUBLE
+        |           END) AS h95
+        |  FROM c2 JOIN tot USING (seg_a, seg_b) GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT seg_a, seg_b,
+        |         quantile_cont(px, 0.5) AS p50d,
+        |         quantile_cont(px, 0.95) AS p95d
+        |  FROM v JOIN px p USING (seg) GROUP BY 1, 2)
+        |SELECT seg_a, seg_b, n_union,
+        |       floor(h50 * 10000) / 10000 AS union_p50,
+        |       floor(h95 * 10000) / 10000 AS union_p95,
+        |       round(p50d, 4) AS p50, round(p95d, 4) AS p95
+        |FROM sk JOIN ex USING (seg_a, seg_b)
+        |ORDER BY seg_a, seg_b""".stripMargin,
 
     // Tie-grouped exact rank algebra; HUGEINT folds, one division.
     "q_gini" ->

@@ -367,6 +367,32 @@ class Round9OpsSpec extends AnyFunSuite with SparkTestBase {
     } finally cleanup(dir)
   }
 
+  test("q_histogram_union: summed buckets cross at hand-computed union quantiles") {
+    val ts = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    // A: 10 × 100.00 (cents 10000 → bucket 0); B: 10 × 2000.00 (cents
+    // 200000 → bucket 3). Union n=20: p50 crosses at bucket 0's upper
+    // edge (65536/100 = 655.36); p95 target 380 lands in bucket 3 at
+    // (3·65536 + 65536·180/200)/100 = 2555.904.
+    val li = ((1 to 10).map(i => ("A", 100.0, i)) ++
+      (1 to 10).map(i => ("B", 2000.0, i)))
+      .map { case (f, p, i) =>
+        (i.toLong, 1L, 1L, i, 1.0, p, 0.0, 0.0, f, "O", ts) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val dir = toyLake("lineitem" -> li)
+    try {
+      val rows = graft.queries.RelationalQueries
+        .queries("q_histogram_union")(spark, dir).collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert((r.getString(0), r.getString(1), r.getLong(2)) == ("A", "B", 20L))
+      assert(r.getDouble(3) == 655.36, s"union p50 from summed buckets: $r")
+      assert(math.abs(r.getDouble(4) - 2555.904) < 1e-9, s"union p95: $r")
+      assert(r.getDouble(5) == 1050.0, s"exact interpolated union median: $r")
+    } finally cleanup(dir)
+  }
+
   test("q_benford: organic log-spread passes, constant-leading-digit feed fails") {
     val ts96 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
     val ts97 = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
