@@ -1331,7 +1331,8 @@ object RelationalQueries {
     // revenue; here ranks come from EXACT set algebra over the
     // TIE-GROUPED revenue table: per (segment, cents) the run of c equal
     // customers occupies ranks [R+1, R+c] (R = cumulative count before
-    // the run — a window over the aggregated tie table, never raw rows),
+    // the run — the two-level distributed PrefixSum over the tie table,
+    // never a per-segment single-reducer window or raw rows),
     // so Σ rank·x folds as v·(c·R + c·(c+1) div 2) in exact decimals and
     // Gini = (2·ΣrankX − (n+1)·Σx) / (n·Σx) is ONE double division,
     // floor-quantized. Two linear shuffles (customer rollup, tie table) +
@@ -1345,11 +1346,14 @@ object RelationalQueries {
           .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
         col("o_custkey") === col("c_custkey"))
       val grp = seg.groupBy("segment", "cents").agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("segment").orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-      val agg = grp
-        .withColumn("r", coalesce(sum("c").over(w), lit(0L)))
+      // two-level distributed PrefixSum, not a per-segment window: a
+      // segment's distinct revenue domain grows with the customer
+      // population, so the single-reducer ordered scan is the r3
+      // anti-pattern at 100 TB
+      val agg = graft.operators.PrefixSum
+        .cumSum(grp, "segment", Seq(col("cents")), "c", "cumc")
+        .withColumn("r", col("cumc") - col("c"))
         .groupBy("segment")
         .agg(sum("c").as("n"),
           sum(dec(col("cents")) * col("c")).as("s"),
@@ -1466,21 +1470,21 @@ object RelationalQueries {
     // family (q_topk_per_group is argmax-by-score): most frequent value,
     // smallest-value tie-break. Two-level shape: the corpus collapses
     // map-side to the (key, value) count table in ONE linear shuffle, and
-    // the argmax window runs over that domain-bounded aggregated table
-    // only (per-key fan-in = the key's distinct-value count, never corpus
-    // rows). Values ride as exact cents so ties are integer equality.
+    // the argmax is a lexicographic struct-MAX aggregate over that table —
+    // max(n, −cents) picks highest count then smallest value with NO
+    // window at all (map-side combinable; a window rank would sort each
+    // key's whole distinct-value domain through one reducer at 100 TB).
+    // Values ride as exact cents so ties are integer equality.
     "q_mode" -> ((s, dir) => {
       val cents = round(col("value") * 100).cast("long")
-      val counts = ev(s, dir)
+      ev(s, dir)
         .select(col("event_type"), cents.as("cents"))
         .groupBy("event_type", "cents").agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("n").desc, col("cents"))
-      counts.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy("event_type")
+        .agg(max(struct(col("n"), (-col("cents")).as("negc"))).as("m"))
         .select(col("event_type"),
-          round(col("cents") / 100.0, 4).as("mode_value"),
-          col("n").as("n_occurrences"))
+          round((-col("m.negc")) / 100.0, 4).as("mode_value"),
+          col("m.n").as("n_occurrences"))
         .orderBy("event_type")
     }),
 
