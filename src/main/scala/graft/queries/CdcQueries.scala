@@ -250,15 +250,19 @@ object CdcQueries {
         col("n").as("n_a"), col("cs").as("cs_a"))
       val b = leaf(lsnB).select(col("table_name"), col("bucket"),
         col("n").as("n_b"), col("cs").as("cs_b"))
-      val summary = a.join(b, Seq("table_name", "bucket"), "full_outer")
-        .select(col("table_name"), col("bucket"),
-          coalesce(col("n_a"), lit(0L)).as("n_a"),
-          coalesce(col("cs_a"), lit(0L)).as("cs_a"),
-          coalesce(col("n_b"), lit(0L)).as("n_b"),
-          coalesce(col("cs_b"), lit(0L)).as("cs_b"))
-        .withColumn("is_match",
-          when(col("cs_a") === col("cs_b") && col("n_a") === col("n_b"), 1L)
-            .otherwise(0L))
+      // lineage-cut: the O(tables × 64) summary feeds BOTH the
+      // diff-bucket filter and the final join — uncut, Catalyst would
+      // replay the two asOf feed scans once per consumer
+      val summary = graft.operators.Checkpointing.cut(
+        a.join(b, Seq("table_name", "bucket"), "full_outer")
+          .select(col("table_name"), col("bucket"),
+            coalesce(col("n_a"), lit(0L)).as("n_a"),
+            coalesce(col("cs_a"), lit(0L)).as("cs_a"),
+            coalesce(col("n_b"), lit(0L)).as("n_b"),
+            coalesce(col("cs_b"), lit(0L)).as("cs_b"))
+          .withColumn("is_match",
+            when(col("cs_a") === col("cs_b") && col("n_a") === col("n_b"), 1L)
+              .otherwise(0L)))
       // descent: only rows whose key hashes into a differing bucket are
       // ever touched row-level — broadcast the O(diff) bucket list
       val diffBuckets = summary.filter(col("is_match") === 0)

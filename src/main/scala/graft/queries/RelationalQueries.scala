@@ -50,6 +50,24 @@ object RelationalQueries {
     * to lake storage instead of session memory. */
   private val pagerankEdgeMemo = new graft.operators.SessionMemo[DataFrame]
 
+  /** The per-(supplier, ship-day) revenue rollup both trend keys
+    * (q_regression, q_autocorr) read — ONE definition + session memo so
+    * the two fits can never drift on the cents/day rule and the corpus
+    * is rolled up once per (session, lake), not once per key. */
+  private val supplierDailyMemo = new graft.operators.SessionMemo[DataFrame]
+
+  private def supplierDaily(s: SparkSession, dir: String): DataFrame =
+    supplierDailyMemo.get(s, dir) {
+      graft.operators.Checkpointing.cut(
+        t(s, dir, "lineitem")
+          .select(col("l_suppkey"),
+            datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+              .cast("long").as("d"),
+            round(col("l_extendedprice") * 100).cast("long").as("c"))
+          .groupBy("l_suppkey", "d")
+          .agg(sum("c").as("yc")))
+    }
+
   /** The shared count-min geometry (d salt rows × w cells) behind
     * q_cms_topk AND q_join_estimate — ONE definition so the salted-md5
     * bucket scheme cannot drift between the point-frequency and
@@ -1178,14 +1196,7 @@ object RelationalQueries {
     // with one observed day carry no trend and are excluded exactly
     // (n ≥ 2 distinct days ⇒ the x-variance is a positive integer).
     "q_regression" -> ((s, dir) => {
-      val cents = round(col("l_extendedprice") * 100).cast("long")
-      val daily = t(s, dir, "lineitem")
-        .select(col("l_suppkey"),
-          datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
-            .cast("long").as("d"),
-          cents.as("c"))
-        .groupBy("l_suppkey", "d")
-        .agg(sum("c").as("yc"))
+      val daily = supplierDaily(s, dir)
       val dDec = col("d").cast("decimal(38,0)")
       val yDec = col("yc").cast("decimal(38,0)")
       val g = daily.groupBy("l_suppkey")
@@ -1230,14 +1241,7 @@ object RelationalQueries {
     // boundary), and the Pearson formula runs once per supplier with
     // identical operand order both engines, floor-quantized.
     "q_autocorr" -> ((s, dir) => {
-      val cents = round(col("l_extendedprice") * 100).cast("long")
-      val daily = t(s, dir, "lineitem")
-        .select(col("l_suppkey"),
-          datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
-            .cast("long").as("d"),
-          cents.as("c"))
-        .groupBy("l_suppkey", "d")
-        .agg(sum("c").as("yc"))
+      val daily = supplierDaily(s, dir)
       val w = Window.partitionBy("l_suppkey").orderBy("d")
       val pairs = daily
         .withColumn("pc", lag("yc", 1).over(w))
@@ -1452,17 +1456,30 @@ object RelationalQueries {
         val v0 = (n0 * q0 - s0 * s0) / (n0 * (n0 - lit(1.0)))
         (s1 / n1 - s0 / n0) / sqrt(v1 / n1 + v0 / n0)
       }
+      // degenerate exclusions in EXACT integers (the q_regression /
+      // q_autocorr rule): a one-row arm has no sample variance, and two
+      // exactly-constant sides make the pooled standard error 0 — both
+      // would put a ±Inf/NaN through floor, where Spark and DuckDB
+      // disagree. Tested as n·Σx² − (Σx)² > 0 in decimal, never a float.
+      val va = col("n").cast("decimal(38,0)") * col("sq") -
+        col("sc").cast("decimal(38,0)") * col("sc").cast("decimal(38,0)")
+      val vc = col("n0").cast("decimal(38,0)") * col("sq0") -
+        col("sc0").cast("decimal(38,0)") * col("sc0").cast("decimal(38,0)")
       stats.filter(col("event_type") =!= "view")
         .crossJoin(broadcast(ctrl))
+        .filter(col("n") >= 2 && col("n0") >= 2 && (va > 0 || vc > 0))
         .select(col("event_type").as("arm"), col("n").as("n_arm"),
           (floor(col("sc") / col("n") / 100.0 * 10000) / 10000)
             .as("mean_arm"),
           (floor(col("sc0") / col("n0") / 100.0 * 10000) / 10000)
             .as("mean_control"),
-          floor(z * 10000).as("z4"))
+          floor(z * 10000).as("z4"),
+          // the flag quantizes |z| — floor(z·10⁴) then abs would give
+          // negative z a one-quantum-wider rejection region
+          floor(abs(z) * 10000).as("za4"))
         .select(col("arm"), col("n_arm"), col("mean_arm"),
           col("mean_control"), (col("z4") / 10000).as("z"),
-          (abs(col("z4")) >= 19600L).cast("int").as("significant"))
+          (col("za4") >= 19600L).cast("int").as("significant"))
         .orderBy("arm")
     }),
 
@@ -2956,11 +2973,24 @@ object RelationalQueries {
          |                  + (CAST(c.n AS DOUBLE) * CAST(c.sq AS DOUBLE)
          |                     - CAST(c.sc AS DOUBLE) * CAST(c.sc AS DOUBLE))
          |                    / (CAST(c.n AS DOUBLE) * (CAST(c.n AS DOUBLE) - 1.0))
-         |                    / CAST(c.n AS DOUBLE)) * 10000) AS z4
+         |                    / CAST(c.n AS DOUBLE)) * 10000) AS z4,
+         |         floor(abs((CAST(a.sc AS DOUBLE) / a.n - CAST(c.sc AS DOUBLE) / c.n) /
+         |               sqrt((CAST(a.n AS DOUBLE) * CAST(a.sq AS DOUBLE)
+         |                     - CAST(a.sc AS DOUBLE) * CAST(a.sc AS DOUBLE))
+         |                    / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1.0))
+         |                    / CAST(a.n AS DOUBLE)
+         |                  + (CAST(c.n AS DOUBLE) * CAST(c.sq AS DOUBLE)
+         |                     - CAST(c.sc AS DOUBLE) * CAST(c.sc AS DOUBLE))
+         |                    / (CAST(c.n AS DOUBLE) * (CAST(c.n AS DOUBLE) - 1.0))
+         |                    / CAST(c.n AS DOUBLE))) * 10000) AS za4
          |  FROM st a, (SELECT * FROM st WHERE event_type = 'view') c
-         |  WHERE a.event_type <> 'view')
+         |  WHERE a.event_type <> 'view' AND a.n >= 2 AND c.n >= 2
+         |    AND (CAST(a.n AS HUGEINT) * a.sq
+         |           - CAST(a.sc AS HUGEINT) * CAST(a.sc AS HUGEINT) > 0
+         |      OR CAST(c.n AS HUGEINT) * c.sq
+         |           - CAST(c.sc AS HUGEINT) * CAST(c.sc AS HUGEINT) > 0))
          |SELECT arm, n_arm, mean_arm, mean_control, z4 / 10000 AS z,
-         |       CAST(abs(z4) >= 19600 AS INT) AS significant
+         |       CAST(za4 >= 19600 AS INT) AS significant
          |FROM z ORDER BY arm""".stripMargin,
 
     // Same two-level argmax: count table, then rank over it.

@@ -363,11 +363,15 @@ object TextQueries {
         .join(uni.select(col("w").as("b"), col("n_w").as("n_b")), "b")
         .crossJoin(broadcast(nu)).crossJoin(broadcast(np))
         .withColumn("lift",
-          (dec(col("n_ab")) * col("n_u") * col("n_u")).cast("double") /
-            (dec(col("n_a")) * dec(col("n_b")) * col("n_p")).cast("double"))
+          floor((dec(col("n_ab")) * col("n_u") * col("n_u")).cast("double") /
+            (dec(col("n_a")) * dec(col("n_b")) * col("n_p")).cast("double")
+            * 10000) / 10000)
+        // rank on the QUANTIZED lift (exactly what the oracle's ORDER BY
+        // binds to — its output alias), with the (a, b) tie-break making
+        // the top-20 cut total: ranking raw doubles while the oracle
+        // ranks floored ones would cut same-quantum pairs differently
         .orderBy(col("lift").desc, col("a"), col("b")).limit(20)
-        .select(col("a"), col("b"), col("n_ab"),
-          (floor(col("lift") * 10000) / 10000).as("lift"))
+        .select(col("a"), col("b"), col("n_ab"), col("lift"))
     }),
 
     // CCNet-style corpus partition (Wenzek et al. 2020): per language, split
