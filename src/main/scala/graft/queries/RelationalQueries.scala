@@ -1329,6 +1329,54 @@ object RelationalQueries {
         .orderBy("seg_a", "seg_b")
     }),
 
+    // DATA-FRESHNESS monitor per feed (event_type = the feed dimension) —
+    // the staleness dashboard an ingestion team watches: latest event
+    // time, lag vs the global high-watermark, volume inside the trailing
+    // feed-day, and a stale flag. All epoch-microsecond integer algebra
+    // (no calendar API crosses the gate); the per-feed rollup is one
+    // map-side-combined groupBy + a 1-row watermark broadcast.
+    "q_freshness" -> ((s, dir) => {
+      val perFeed = ev(s, dir).groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), max("ts_us").as("latest_us"))
+      val wm = perFeed.agg(max("latest_us").as("wm_us"))
+      val dayUs = 86400000000L
+      val lastDay = ev(s, dir).crossJoin(broadcast(wm))
+        .filter(col("ts_us") > col("wm_us") - dayUs)
+        .groupBy("event_type").agg(count(lit(1)).as("n_last_day"))
+      perFeed.crossJoin(broadcast(wm))
+        .join(lastDay, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_events"), col("latest_us"),
+          (col("wm_us") - col("latest_us")).as("lag_us"),
+          coalesce(col("n_last_day"), lit(0L)).as("n_last_day"),
+          ((col("wm_us") - col("latest_us")) > lit(6L * 3600000000L))
+            .cast("int").as("stale"))
+        .orderBy("event_type")
+    }),
+
+    // WEEKDAY SEASONALITY index — the simplest seasonal-decomposition
+    // primitive (is Monday structurally bigger than Saturday?): per
+    // weekday, revenue share × 7 as an exact rational on cents sums.
+    // Weekday = epoch_day mod 7 (0 = Thursday, 1970-01-01) — pure integer
+    // arithmetic, so no calendar/locale API can diverge between engines.
+    "q_seasonality" -> ((s, dir) => {
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val byDay = t(s, dir, "orders")
+        .select(pmod(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01")), lit(7)).cast("long").as("weekday"),
+          cents.as("c"))
+        .groupBy("weekday")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("c").cast("decimal(38,0)")).as("rev"))
+      val tot = byDay.agg(sum("rev").as("total"))
+      byDay.crossJoin(broadcast(tot))
+        .select(col("weekday"), col("n_orders"),
+          (floor(col("rev").cast("double") / 100.0 * 10000) / 10000)
+            .as("revenue"),
+          (floor((lit(7).cast("decimal(38,0)") * col("rev")).cast("double") /
+            col("total").cast("double") * 10000) / 10000).as("season_index"))
+        .orderBy("weekday")
+    }),
+
     // GINI CONCENTRATION of per-customer revenue within each market
     // segment — the inequality/whale-dependence metric next to
     // q_key_skew's hot-key view. The classic form needs a full sort by
@@ -2877,6 +2925,38 @@ object RelationalQueries {
         |       round(p50d, 4) AS p50, round(p95d, 4) AS p95
         |FROM sk JOIN ex USING (seg_a, seg_b)
         |ORDER BY seg_a, seg_b""".stripMargin,
+
+    // Integer-micros staleness algebra; watermark from the same rollup.
+    "q_freshness" ->
+      s"""$evCte,
+         |pf AS (SELECT event_type, count(*) AS n_events,
+         |              CAST(max(ts_us) AS BIGINT) AS latest_us
+         |       FROM e GROUP BY 1),
+         |wm AS (SELECT max(latest_us) AS wm_us FROM pf),
+         |ld AS (SELECT event_type, count(*) AS n_last_day
+         |       FROM e, wm WHERE ts_us > wm_us - 86400000000 GROUP BY 1)
+         |SELECT pf.event_type, pf.n_events, pf.latest_us,
+         |       wm_us - latest_us AS lag_us,
+         |       CAST(coalesce(n_last_day, 0) AS BIGINT) AS n_last_day,
+         |       CAST(wm_us - latest_us > 21600000000 AS INT) AS stale
+         |FROM pf LEFT JOIN ld ON pf.event_type = ld.event_type, wm
+         |ORDER BY pf.event_type""".stripMargin,
+
+    // epoch_day mod 7 on both sides — no calendar API; one division each.
+    "q_seasonality" ->
+      """WITH byday AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 7
+        |           AS weekday,
+        |         count(*) AS n_orders,
+        |         sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT))
+        |           AS rev
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT sum(rev) AS total FROM byday)
+        |SELECT weekday, n_orders,
+        |       floor(CAST(rev AS DOUBLE) / 100.0 * 10000) / 10000 AS revenue,
+        |       floor(CAST(7 * rev AS DOUBLE) / CAST(total AS DOUBLE) * 10000)
+        |         / 10000 AS season_index
+        |FROM byday, tot ORDER BY weekday""".stripMargin,
 
     // Tie-grouped exact rank algebra; HUGEINT folds, one division.
     "q_gini" ->

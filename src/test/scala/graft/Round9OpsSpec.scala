@@ -393,6 +393,49 @@ class Round9OpsSpec extends AnyFunSuite with SparkTestBase {
     } finally cleanup(dir)
   }
 
+  test("q_freshness: lag from the global watermark; stale strictly beyond 6h; 24h window half-open") {
+    def t0(offUs: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1700000000L).plusNanos(offUs * 1000))
+    val dayUs = 86400000000L
+    val events = Seq(
+      (1L, 1L, "fresh", t0(dayUs * 2), 1.0),            // the watermark
+      (2L, 1L, "edge", t0(dayUs * 2 - 21600000000L), 1.0), // lag == 6h
+      (3L, 1L, "stale", t0(0), 1.0),                    // lag 2 days
+      (4L, 1L, "fresh", t0(dayUs), 1.0))                // exactly wm − 24h
+      .map { case (a, b, c, d, e) => (a, b, c, d, e, "{}") }
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+    val dir = toyLake("events" -> events)
+    try {
+      val got = graft.queries.RelationalQueries.queries("q_freshness")(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+      assert(got("fresh") == (2L, 0L, 1L, 0),
+        s"wm feed: lag 0; the wm−24h event is OUTSIDE the half-open window: $got")
+      assert(got("edge") == (1L, 21600000000L, 1L, 0),
+        s"lag exactly 6h is NOT stale (strict >): $got")
+      assert(got("stale")._4 == 1 && got("stale")._3 == 0L, s"2-day lag: $got")
+    } finally cleanup(dir)
+  }
+
+  test("q_seasonality: all revenue on one epoch-weekday indexes at 7, the rest at 0") {
+    // 1970-01-01 is epoch day 0 → weekday 0; 1970-01-02 → weekday 1
+    val d0 = java.sql.Timestamp.valueOf("1970-01-01 00:00:00")
+    val d1 = java.sql.Timestamp.valueOf("1970-01-02 00:00:00")
+    val orders = Seq(
+      (1L, 1L, "O", 100.0, d0, "x"), (2L, 1L, "O", 300.0, d0, "x"),
+      (3L, 1L, "O", 0.0, d1, "x"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = toyLake("orders" -> orders)
+    try {
+      val got = graft.queries.RelationalQueries.queries("q_seasonality")(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(got(0L) == (2L, 400.0, 7.0), s"all mass on weekday 0: $got")
+      assert(got(1L) == (1L, 0.0, 0.0), s"zero-revenue weekday: $got")
+    } finally cleanup(dir)
+  }
+
   test("q_benford: organic log-spread passes, constant-leading-digit feed fails") {
     val ts96 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
     val ts97 = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
