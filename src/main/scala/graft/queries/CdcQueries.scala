@@ -643,6 +643,9 @@ object CdcQueries {
          |ORDER BY table_name, pk""".stripMargin,
 
     // Full Merkle replay: both snapshots, the shared md5-48-mod-1e9+7 leaf
+    // fingerprint; buckets mirror Spark's pmod (((pk % 64) + 64) % 64 —
+    // DuckDB's % is sign-preserving, and a negative pk must land in the
+    // same nonnegative bucket on both sides or the descent join drops it).
     // fingerprint over pk|cents|props (chr(1) null sentinel — the
     // SourceQueries rule), bucket checksums, mismatch flags, and the
     // descent count RESTRICTED to differing buckets exactly as the engine
@@ -661,7 +664,7 @@ object CdcQueries {
          |    FROM feed WHERE lsn <= 700)
          |  WHERE rn = 1 AND op <> 'DELETE'),
          |la AS (
-         |  SELECT table_name, pk % 64 AS bucket, count(*) AS n_a,
+         |  SELECT table_name, ((pk % 64) + 64) % 64 AS bucket, count(*) AS n_a,
          |         CAST(sum(('0x' || substr(md5(
          |                coalesce(pk::VARCHAR, chr(1)) || '|' ||
          |                coalesce(CAST(round(value * 100) AS BIGINT)::VARCHAR, chr(1)) || '|' ||
@@ -669,7 +672,7 @@ object CdcQueries {
          |                % 1000000007) AS BIGINT) AS cs_a
          |  FROM snap_a GROUP BY 1, 2),
          |lb AS (
-         |  SELECT table_name, pk % 64 AS bucket, count(*) AS n_b,
+         |  SELECT table_name, ((pk % 64) + 64) % 64 AS bucket, count(*) AS n_b,
          |         CAST(sum(('0x' || substr(md5(
          |                coalesce(pk::VARCHAR, chr(1)) || '|' ||
          |                coalesce(CAST(round(value * 100) AS BIGINT)::VARCHAR, chr(1)) || '|' ||
@@ -695,10 +698,10 @@ object CdcQueries {
          |  FROM feed
          |  JOIN (SELECT table_name AS dt, bucket AS db FROM summary
          |        WHERE is_match = 0) diffb
-         |    ON table_name = dt AND pk % 64 = db
+         |    ON table_name = dt AND ((pk % 64) + 64) % 64 = db
          |  GROUP BY 1, 2),
          |ck AS (
-         |  SELECT table_name, pk % 64 AS bucket, count(*) AS n_changed_keys
+         |  SELECT table_name, ((pk % 64) + 64) % 64 AS bucket, count(*) AS n_changed_keys
          |  FROM (
          |    SELECT table_name, pk,
          |           sa IS NOT NULL AND sa.op <> 'DELETE' AS live_a,

@@ -1336,8 +1336,11 @@ object RelationalQueries {
     // (no calendar API crosses the gate); the per-feed rollup is one
     // map-side-combined groupBy + a 1-row watermark broadcast.
     "q_freshness" -> ((s, dir) => {
-      val perFeed = ev(s, dir).groupBy("event_type")
-        .agg(count(lit(1)).as("n_events"), max("ts_us").as("latest_us"))
+      // lineage-cut: the O(feeds) rollup feeds the watermark aggregate AND
+      // the final join — uncut, each consumer replays the corpus scan
+      val perFeed = graft.operators.Checkpointing.cut(
+        ev(s, dir).groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), max("ts_us").as("latest_us")))
       val wm = perFeed.agg(max("latest_us").as("wm_us"))
       val dayUs = 86400000000L
       val lastDay = ev(s, dir).crossJoin(broadcast(wm))
@@ -1439,7 +1442,9 @@ object RelationalQueries {
         sum(when(col("d") === d, 1L).otherwise(0L)).as(s"c$d"))
       val counts = t(s, dir, "orders")
         .select(year(to_date(col("o_orderdate"))).as("yr"),
-          substring(cents.cast("string"), 1, 1).cast("int").as("d"))
+          // first digit of the MAGNITUDE: a refund row must neither
+          // yield a '-' pseudo-digit here nor crash the oracle's CAST
+          substring(abs(cents).cast("string"), 1, 1).cast("int").as("d"))
         .groupBy("yr")
         .agg(digitAggs.head, digitAggs.tail: _*)
       val nD = col("n").cast("double")
@@ -1492,7 +1497,7 @@ object RelationalQueries {
         .select(col("event_type"), cents.as("c"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("c").as("sc"),
-          sum((col("c") * col("c")).cast("decimal(38,0)")).as("sq"))
+          sum(col("c").cast("decimal(38,0)") * col("c")).as("sq"))
       val ctrl = stats.filter(col("event_type") === "view")
         .select(col("n").as("n0"), col("sc").as("sc0"), col("sq").as("sq0"))
       val z = {
@@ -2942,11 +2947,12 @@ object RelationalQueries {
          |FROM pf LEFT JOIN ld ON pf.event_type = ld.event_type, wm
          |ORDER BY pf.event_type""".stripMargin,
 
-    // epoch_day mod 7 on both sides — no calendar API; one division each.
+    // epoch_day mod 7 on both sides — no calendar API; the oracle mirrors
+    // Spark's pmod (((d % 7) + 7) % 7) so pre-1970 dates bucket identically.
     "q_seasonality" ->
       """WITH byday AS (
-        |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 7
-        |           AS weekday,
+        |  SELECT ((date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 7)
+        |           + 7) % 7 AS weekday,
         |         count(*) AS n_orders,
         |         sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT))
         |           AS rev
@@ -3002,7 +3008,7 @@ object RelationalQueries {
       }.mkString("\n|           + ")
       s"""WITH digits AS (
          |  SELECT CAST(strftime(o_orderdate, '%Y') AS INT) AS yr,
-         |         CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+         |         CAST(substr(CAST(abs(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR), 1, 1) AS INT) AS d
          |  FROM orders),
          |counts AS (
          |  SELECT yr, count(*) AS n,
@@ -3038,7 +3044,7 @@ object RelationalQueries {
          |st AS (
          |  SELECT event_type, count(*) AS n,
          |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc,
-         |         sum(CAST(round(value * 100) AS BIGINT)
+         |         sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
          |             * CAST(round(value * 100) AS BIGINT)) AS sq
          |  FROM e GROUP BY 1),
          |z AS (

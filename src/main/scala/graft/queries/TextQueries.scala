@@ -38,6 +38,29 @@ object TextQueries {
         .transform(graft.operators.Checkpointing.cut)
     }
 
+  /** Per-doc distinct-bigram counts (doc_id, a, b, n) — the shared
+    * artifact of BOTH bigram consumers (text_lm_bigram's LM filter and
+    * text_collocations' lift miner): the corpus is tokenized and
+    * lead-window-paired ONCE per (session, lake), and the artifact is
+    * lineage-cut so each consumer's several readers never replay the
+    * posexplode scan (the supplierDaily rule applied to text). */
+  private val docBigramsMemo = new graft.operators.SessionMemo[DataFrame]
+
+  private def docBigrams(s: SparkSession, dir: String): DataFrame =
+    docBigramsMemo.get(s, dir) {
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      graft.operators.Checkpointing.cut(
+        docs(s, dir)
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            posexplode(Text.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
+          .withColumn("nxt", lead("w", 1).over(byDoc))
+          .filter(col("nxt").isNotNull)
+          .select(col("doc_id"), col("w").as("a"), col("nxt").as("b"))
+          .groupBy("doc_id", "a", "b").agg(count(lit(1)).as("n")))
+    }
+
   /** Ordered token chunks for the streaming heavy-hitter gate — doc_id is
     * the replay order (the corpus arriving in doc-range batches). */
   private val hhFeedMemo = new graft.operators.SessionMemo[String]
@@ -303,23 +326,14 @@ object TextQueries {
     // aggregate absorbs map-side. Same avg-ln + 4dp rounding discipline
     // the gated text_lm_score established.
     "text_lm_bigram" -> ((s, dir) => {
-      val byDoc = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-      val tok = docs(s, dir)
-        .filter(length(trim(col("text"))) > 0)
-        .select(col("doc_id"),
-          posexplode(Text.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
-      // pre-aggregate the occurrence stream to (doc, a, b, n) BEFORE any
-      // join (r9 — VERDICT item 6): both join inputs shrink by the
-      // duplicate factor (the joins carry distinct per-doc bigrams, never
-      // corpus token occurrences), and the per-doc mean becomes the
-      // n-weighted mean over distinct bigrams — same value, since
-      // avg(log x over occurrences) = Σ n·log(x) / Σ n
-      val docPairs = tok
-        .withColumn("nxt", lead("w", 1).over(byDoc))
-        .filter(col("nxt").isNotNull)
-        .select(col("doc_id"), col("w").as("a"), col("nxt").as("b"))
-        .groupBy("doc_id", "a", "b").agg(count(lit(1)).as("n"))
+      // pre-aggregated (doc, a, b, n) BEFORE any join (r9 — VERDICT item
+      // 6): both join inputs shrink by the duplicate factor (the joins
+      // carry distinct per-doc bigrams, never corpus token occurrences),
+      // and the per-doc mean becomes the n-weighted mean over distinct
+      // bigrams — same value, since avg(log x over occurrences)
+      // = Σ n·log(x) / Σ n. The artifact is shared with
+      // text_collocations via docBigrams.
+      val docPairs = docBigrams(s, dir)
       val big = docPairs.groupBy("a", "b").agg(sum("n").as("c_ab"))
       val left = big.groupBy("a").agg(sum("c_ab").as("c_a"))
       docPairs.join(big, Seq("a", "b")).join(left, Seq("a"))
@@ -343,19 +357,17 @@ object TextQueries {
     // vocabulary-sized. Min support n_ab ≥ 5 cuts the hapax noise floor
     // (textbook collocation practice) and bounds the lift join input.
     "text_collocations" -> ((s, dir) => {
-      val byDoc = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-      val tok = docs(s, dir)
-        .filter(length(trim(col("text"))) > 0)
-        .select(col("doc_id"),
-          posexplode(Text.wsTokens(lower(col("text")))).as(Seq("pos", "w")))
-      val big = tok
-        .withColumn("nxt", lead("w", 1).over(byDoc))
-        .filter(col("nxt").isNotNull)
-        .select(col("w").as("a"), col("nxt").as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
-      val uni = tok.groupBy("w").agg(count(lit(1)).as("n_w"))
-      val nu = tok.agg(count(lit(1)).cast("decimal(38,0)").as("n_u"))
+      // both count tables come from the session's memoized artifacts —
+      // the bigram table folds docBigrams (shared with text_lm_bigram),
+      // the unigram table folds sourceTokenCounts (shared with the
+      // vocab/zipf/drift family): the same token multiset on both paths
+      // (wsTokens of a trimmed nonempty text never yields ""), and the
+      // corpus is tokenized once per session, not once per consumer
+      val big = docBigrams(s, dir)
+        .groupBy("a", "b").agg(sum("n").as("n_ab"))
+      val uni = sourceTokenCounts(s, dir)
+        .groupBy(col("tok").as("w")).agg(sum("cnt").as("n_w"))
+      val nu = uni.agg(sum("n_w").cast("decimal(38,0)").as("n_u"))
       val np = big.agg(sum("n_ab").cast("decimal(38,0)").as("n_p"))
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       big.filter(col("n_ab") >= 5)
