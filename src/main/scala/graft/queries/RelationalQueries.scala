@@ -1329,6 +1329,43 @@ object RelationalQueries {
         .orderBy("seg_a", "seg_b")
     }),
 
+    // MARKET-BASKET association mining (the Apriori/FP-growth first step,
+    // and the transactional twin of text_collocations): which part pairs
+    // co-occur in the same order more than their popularities predict.
+    // Basket semantics first (presence, not multiplicity — (order, part)
+    // dedups before anything), then the pair stream is a SELF-EQUI-JOIN
+    // on the order key with pa < pb — pair mass is Σ basket² with basket
+    // size capped by order shape (≤ ~13 items here), i.e. LINEAR in
+    // orders at any corpus size, map-side combined to the observed-pair
+    // table. lift(a,b) = (n_ab · B) / (n_a · n_b) is an exact rational on
+    // integer counts (one double division, floor-quantized); top-20 by
+    // (support, lift, pair) — support first, so the smallest lake still
+    // reports its strongest co-purchases instead of an empty frame.
+    "q_market_basket" -> ((s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nA = items.groupBy("pk").agg(count(lit(1)).as("n_p"))
+      val b = items.agg(countDistinct("ok").cast("decimal(38,0)").as("bk"))
+      val pairs = items.select(col("ok"), col("pk").as("pa"))
+        .join(items.select(col("ok"), col("pk").as("pb")), "ok")
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      pairs
+        .join(nA.select(col("pk").as("pa"), col("n_p").as("n_a")), "pa")
+        .join(nA.select(col("pk").as("pb"), col("n_p").as("n_b")), "pb")
+        .crossJoin(broadcast(b))
+        .withColumn("lift",
+          floor((dec(col("n_ab")) * col("bk")).cast("double") /
+            (dec(col("n_a")) * dec(col("n_b"))).cast("double") * 10000)
+            / 10000)
+        .orderBy(col("n_ab").desc, col("lift").desc, col("pa"), col("pb"))
+        .limit(20)
+        .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+          col("lift"))
+    }),
+
     // DATA-FRESHNESS monitor per feed (event_type = the feed dimension) —
     // the staleness dashboard an ingestion team watches: latest event
     // time, lag vs the global high-watermark, volume inside the trailing
@@ -2930,6 +2967,24 @@ object RelationalQueries {
         |       round(p50d, 4) AS p50, round(p95d, 4) AS p95
         |FROM sk JOIN ex USING (seg_a, seg_b)
         |ORDER BY seg_a, seg_b""".stripMargin,
+
+    // Identical basket dedup, self-join, and rational lift; ordering on
+    // (support, quantized lift, pair) replays exactly.
+    "q_market_basket" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |na AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_p FROM items GROUP BY 1),
+        |b AS (SELECT CAST(count(DISTINCT ok) AS HUGEINT) AS bk FROM items),
+        |pairs AS (
+        |  SELECT a.pk AS pa, bb.pk AS pb, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM items a JOIN items bb ON a.ok = bb.ok AND a.pk < bb.pk
+        |  GROUP BY 1, 2)
+        |SELECT pa, pb, n_ab, ua.n_p AS n_a, ub.n_p AS n_b,
+        |       floor(CAST(CAST(n_ab AS HUGEINT) * bk AS DOUBLE) /
+        |             CAST(CAST(ua.n_p AS HUGEINT) * ub.n_p AS DOUBLE)
+        |             * 10000) / 10000 AS lift
+        |FROM pairs JOIN na ua ON pa = ua.pk JOIN na ub ON pb = ub.pk, b
+        |ORDER BY n_ab DESC, lift DESC, pa, pb LIMIT 20""".stripMargin,
 
     // Integer-micros staleness algebra; watermark from the same rollup.
     "q_freshness" ->

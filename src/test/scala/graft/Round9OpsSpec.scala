@@ -436,6 +436,30 @@ class Round9OpsSpec extends AnyFunSuite with SparkTestBase {
     } finally cleanup(dir)
   }
 
+  test("q_market_basket: presence semantics (in-order duplicates collapse), exact lift") {
+    val ts = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    // o1 {1, 2, 2, 3} (part 2 twice — MUST dedup), o2 {1, 2}, o3 {4}:
+    // B = 3, n_1 = n_2 = 2; pair (1,2) co-occurs twice → lift 2·3/(2·2)
+    val rows = Seq((1L, 1L), (1L, 2L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (3L, 4L))
+    val li = rows.zipWithIndex.map { case ((ok, pk), i) =>
+      (ok, pk, 1L, i, 1.0, 10.0, 0.0, 0.0, "A", "O", ts) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val dir = toyLake("lineitem" -> li)
+    try {
+      val got = graft.queries.RelationalQueries
+        .queries("q_market_basket")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(5))).toMap
+      assert(got((1L, 2L)) == (2L, 1.5),
+        s"duplicate part in o1 must not inflate n_ab: $got")
+      assert(got((1L, 3L)) == (1L, 1.5) && got((2L, 3L)) == (1L, 1.5))
+      assert(!got.keySet.exists(_._2 == 4L), "singleton basket pairs with nothing")
+    } finally cleanup(dir)
+  }
+
   test("q_benford: organic log-spread passes, constant-leading-digit feed fails") {
     val ts96 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
     val ts97 = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
