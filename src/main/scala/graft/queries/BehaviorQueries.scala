@@ -351,6 +351,19 @@ object BehaviorQueries {
     // kept iff window_end > wm_late(chunk), emitted iff window_end <=
     // final eviction wm.
     "q_late_drop_stream" -> ((s, dir) => {
+      // The oracle re-derives ENGINE SCHEDULING, not just data math: one
+      // chunk file per micro-batch (maxFilesPerTrigger=1 over the
+      // mtime-ordered feed) and the two-watermark design where the
+      // late-events watermark lags eviction by exactly one batch
+      // (SPARK-40925 watermark propagation). That model is pinned to the
+      // Spark 4.1 line and canaried by StreamingSpec's boundary probes
+      // (end == wm emits, equality drops) — on any other Spark line fail
+      // LOUDLY here instead of surfacing as an inscrutable hash mismatch.
+      require(s.version.startsWith("4.1."),
+        s"q_late_drop_stream's oracle models Spark 4.1 micro-batch " +
+          s"watermark propagation (late wm = previous batch's eviction " +
+          s"wm); re-probe StreamingSpec's watermark canaries under " +
+          s"Spark ${s.version} before trusting this gate")
       val stream = s.readStream
         .schema("event_id LONG, ts_us LONG, value DOUBLE, arr LONG")
         .option("maxFilesPerTrigger", 1)

@@ -1312,20 +1312,43 @@ object RelationalQueries {
       val sk = cum.join(tot, Seq("seg_a", "seg_b"))
         .groupBy("seg_a", "seg_b")
         .agg(max("n").as("n_union"), pick(10).as("h50"), pick(19).as("h95"))
-      val exact = t(s, dir, "lineitem")
-        .select(col("l_returnflag").as("seg"), col("l_extendedprice").as("px"))
+      // Exact audit via the SAME replayable integer rank math as the
+      // sketch columns (never a cross-engine float percentile): type-7
+      // interpolation at q = a/20 on integer cents is
+      //   h = (n-1)·a/20, k = ⌊h⌋, r = (n-1)·a mod 20,
+      //   p = (v[k]·(20−r) + v[k+1]·r) / 2000 dollars
+      // — a pure rational on the k-th/(k+1)-th order statistics, read off
+      // a distinct-value cumsum (no full sort), and both engines perform
+      // the identical integer→double division, so the hash gate never
+      // rides on two percentile implementations agreeing to the last ulp.
+      val exv = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("seg"),
+          round(col("l_extendedprice") * 100).cast("long").as("vc"))
         .join(broadcast(pairs), "seg")
+        .groupBy("seg_a", "seg_b", "vc").agg(count(lit(1)).as("c"))
+      val wV = Window.partitionBy("seg_a", "seg_b").orderBy("vc")
+      val exCum = exv.withColumn("ecum", sum("c").over(wV))
+        .withColumn("ecum_before", col("ecum") - col("c"))
+      val exTot = exv.groupBy("seg_a", "seg_b").agg(sum("c").as("en"))
+      def ostat(rank1: org.apache.spark.sql.Column) =
+        max(when(col("ecum_before") < rank1 && col("ecum") >= rank1, col("vc")))
+      def exactP(a: Int) = {
+        val k = expr(s"((en - 1) * $a) div 20")
+        val r = expr(s"((en - 1) * $a) % 20")
+        val lo = ostat(k + 1)
+        val hi = coalesce(ostat(when(r > 0, k + 2)), lo)
+        ((lo * (lit(20) - max(r)) + hi * max(r)) * lit(5L))
+          .cast("double") / lit(10000.0)
+      }
+      val exact = exCum.join(exTot, Seq("seg_a", "seg_b"))
         .groupBy("seg_a", "seg_b")
-        .agg(expr("percentile(px, array(0.5, 0.95))").as("p"))
-        .select(col("seg_a"), col("seg_b"),
-          element_at(col("p"), 1).as("p50d"),
-          element_at(col("p"), 2).as("p95d"))
+        .agg(exactP(10).as("p50d"), exactP(19).as("p95d"))
       sk.join(exact, Seq("seg_a", "seg_b"))
         .select(col("seg_a"), col("seg_b"), col("n_union"),
           (floor(col("h50") * 10000) / 10000).as("union_p50"),
           (floor(col("h95") * 10000) / 10000).as("union_p95"),
-          round(col("p50d"), 4).as("p50"),
-          round(col("p95d"), 4).as("p95"))
+          col("p50d").as("p50"),
+          col("p95d").as("p95"))
         .orderBy("seg_a", "seg_b")
     }),
 
@@ -2917,12 +2940,13 @@ object RelationalQueries {
         |ORDER BY l_suppkey""".stripMargin,
 
     // Same histogram build + rank crossing as q_approx_percentiles, over
-    // pairwise-summed buckets; exact quantile_cont audit on unioned rows.
+    // pairwise-summed buckets; the exact audit is the SAME integer rank
+    // math on cents (type-7 interpolation as a rational on order
+    // statistics), never a cross-engine float percentile call.
     "q_histogram_union" ->
       """WITH v AS (
         |  SELECT l_returnflag AS seg,
-        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS vc,
-        |         l_extendedprice AS px
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS vc
         |  FROM lineitem),
         |hist AS (SELECT seg, vc >> 16 AS b, count(*) AS cnt FROM v GROUP BY 1, 2),
         |pairs AS (
@@ -2956,15 +2980,42 @@ object RelationalQueries {
         |                   / CAST(cnt * 20 AS DOUBLE)) / 100.0::DOUBLE
         |           END) AS h95
         |  FROM c2 JOIN tot USING (seg_a, seg_b) GROUP BY 1, 2),
+        |exv AS (
+        |  SELECT seg_a, seg_b, vc, CAST(count(*) AS BIGINT) AS c
+        |  FROM v JOIN px p USING (seg) GROUP BY 1, 2, 3),
+        |exc AS (
+        |  SELECT *, CAST(sum(c) OVER (PARTITION BY seg_a, seg_b ORDER BY vc)
+        |    AS BIGINT) AS ecum
+        |  FROM exv),
+        |exc2 AS (SELECT *, ecum - c AS eb FROM exc),
+        |ext AS (SELECT seg_a, seg_b, CAST(sum(c) AS BIGINT) AS en
+        |        FROM exv GROUP BY 1, 2),
+        |exj AS (
+        |  SELECT c2.*, en,
+        |         ((en - 1) * 10) // 20 + 1 AS lo50, ((en - 1) * 10) % 20 AS r50,
+        |         ((en - 1) * 19) // 20 + 1 AS lo95, ((en - 1) * 19) % 20 AS r95
+        |  FROM exc2 c2 JOIN ext USING (seg_a, seg_b)),
         |ex AS (
         |  SELECT seg_a, seg_b,
-        |         quantile_cont(px, 0.5) AS p50d,
-        |         quantile_cont(px, 0.95) AS p95d
-        |  FROM v JOIN px p USING (seg) GROUP BY 1, 2)
+        |    CAST((max(CASE WHEN eb < lo50 AND ecum >= lo50 THEN vc END)
+        |            * (20 - max(r50))
+        |          + coalesce(max(CASE WHEN r50 > 0 AND eb < lo50 + 1
+        |                          AND ecum >= lo50 + 1 THEN vc END),
+        |                     max(CASE WHEN eb < lo50 AND ecum >= lo50
+        |                          THEN vc END)) * max(r50)) * 5
+        |      AS DOUBLE) / 10000.0 AS p50d,
+        |    CAST((max(CASE WHEN eb < lo95 AND ecum >= lo95 THEN vc END)
+        |            * (20 - max(r95))
+        |          + coalesce(max(CASE WHEN r95 > 0 AND eb < lo95 + 1
+        |                          AND ecum >= lo95 + 1 THEN vc END),
+        |                     max(CASE WHEN eb < lo95 AND ecum >= lo95
+        |                          THEN vc END)) * max(r95)) * 5
+        |      AS DOUBLE) / 10000.0 AS p95d
+        |  FROM exj GROUP BY 1, 2)
         |SELECT seg_a, seg_b, n_union,
         |       floor(h50 * 10000) / 10000 AS union_p50,
         |       floor(h95 * 10000) / 10000 AS union_p95,
-        |       round(p50d, 4) AS p50, round(p95d, 4) AS p95
+        |       p50d AS p50, p95d AS p95
         |FROM sk JOIN ex USING (seg_a, seg_b)
         |ORDER BY seg_a, seg_b""".stripMargin,
 
