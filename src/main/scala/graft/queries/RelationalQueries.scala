@@ -1946,6 +1946,177 @@ object RelationalQueries {
           expr("node div 2").as("node_id"), col("rank_u"))
         .orderBy(col("rank_u").desc, col("node_type"), col("node_id"))
         .limit(25)
+    }),
+
+    // UNPIVOT/melt (r10) — the inverse reshape of q_pivot: the wide
+    // per-user event-type matrix folds back to long form through Spark's
+    // native unpivot operator (one map-side explode of the fixed column
+    // list — no shuffle beyond the pivot's own aggregate; the value list
+    // is explicit on BOTH reshapes, so no driver-side distinct scan
+    // ever runs). Values ride as exact 1e4-scaled longs through the
+    // reshape; absent (user, type) cells are EXCLUDED explicitly on both
+    // sides (the ANSI UNPIVOT EXCLUDE NULLS default — pinned by filter,
+    // not trusted to dialect defaults). The oracle states the algebraic
+    // claim directly: melt(pivot(events)) = the long-form aggregate.
+    "q_unpivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = ev(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(sum(round(col("value") * 10000).cast("long")))
+      wide.unpivot(Array(col("user_id")), types.map(col).toArray,
+          "event_type", "v4")
+        .filter(col("v4").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          (col("v4").cast("double") / lit(10000.0)).as("sum_value"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // GAPS-AND-ISLANDS (r10) — maximal runs of consecutive active days
+    // per user (the classic sessionize-on-a-calendar problem; streaks,
+    // SLA windows, coverage runs are all this shape). The log collapses
+    // map-side to distinct (user, epoch-day) FIRST — the window then
+    // ranks O(user-days), never raw events — and the island key is the
+    // rank-offset invariant (day − row_number is constant exactly on a
+    // consecutive run). Per-user window: bounded by per-user fan-in (the
+    // q_drawdown argument), no global sort anywhere. Output is the
+    // per-user streak profile; the longest-streak argmax is the q_mode
+    // lexicographic struct-max (earliest start wins ties), never a
+    // second window.
+    "q_islands" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val islands = ev(s, dir)
+        .select(col("user_id"), expr(s"ts_us div $dayUs").as("day"))
+        .distinct()
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(min("day").as("start_day"), count(lit(1)).as("n_days"))
+      islands.groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum("n_days").as("active_days"),
+          max(struct(col("n_days"), (-col("start_day")).as("negs"))).as("m"))
+        .select(col("user_id"), col("n_islands"), col("active_days"),
+          col("m.n_days").as("longest_days"),
+          (-col("m.negs")).as("longest_start"))
+        .orderBy("user_id")
+    }),
+
+    // SPEARMAN RANK CORRELATION (r10) — the robust twin of q_corr_stats'
+    // Pearson: does quantity MONOTONICALLY track price within a flag,
+    // outlier-proof. Average-rank ties computed WITHOUT ranking rows:
+    // each variable collapses to its distinct-value cumsum table (the
+    // q_histogram_union audit machinery), where the tie-averaged rank of
+    // value v is cum_before(v) + (cnt(v)+1)/2 — carried ×2 in integer
+    // HALF-RANKS so ties stay exact. The joint pass reduces the corpus
+    // to the (x, y) pair-count table; Pearson on ranks then runs over
+    // O(distinct pairs) with decimal(38) sums (half-rank³ mass overflows
+    // a long at sf1), one double conversion at the end, floor-quantized.
+    // Three linear shuffles total (x-marginal, y-marginal, pair table) —
+    // no per-row rank column ever materializes, no single-reducer sort.
+    "q_spearman" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+        round(col("l_quantity")).cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+      def halfRanks(c: String) = {
+        val w = Window.partitionBy("flag").orderBy(c)
+        base.groupBy("flag", c).agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum("cnt").over(w))
+          // avg rank ×2 = 2·cum_before + cnt + 1 = 2·cum − cnt + 1
+          .select(col("flag"), col(c),
+            (col("cum") * 2 - col("cnt") + 1).as(s"r$c"))
+      }
+      val pairs = base.groupBy("flag", "x", "y").agg(count(lit(1)).as("m"))
+        .join(halfRanks("x"), Seq("flag", "x"))
+        .join(halfRanks("y"), Seq("flag", "y"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val g = pairs.groupBy("flag").agg(
+        sum("m").as("n"),
+        sum(dec(col("rx")) * col("m")).as("sx"),
+        sum(dec(col("ry")) * col("m")).as("sy"),
+        sum(dec(col("rx")) * dec(col("ry")) * col("m")).as("sxy"),
+        sum(dec(col("rx")) * dec(col("rx")) * col("m")).as("sxx"),
+        sum(dec(col("ry")) * dec(col("ry")) * col("m")).as("syy"))
+      val (nD, sxD, syD) = (col("n").cast("double"), col("sx").cast("double"),
+        col("sy").cast("double"))
+      val (sxyD, sxxD, syyD) = (col("sxy").cast("double"),
+        col("sxx").cast("double"), col("syy").cast("double"))
+      // exact-integer degeneracy guards (the q_autocorr posture): a flag
+      // where either variable is constant has zero rank variance
+      val vx = dec(col("n")) * col("sxx") - col("sx") * col("sx")
+      val vy = dec(col("n")) * col("syy") - col("sy") * col("sy")
+      g.filter(col("n") >= 3 && vx > 0 && vy > 0)
+        .select(col("flag"), col("n").as("n_rows"),
+          (floor((nD * sxyD - sxD * syD) /
+            (sqrt(nD * sxxD - sxD * sxD) * sqrt(nD * syyD - syD * syD))
+            * 10000) / 10000).as("spearman_rho"))
+        .orderBy("flag")
+    }),
+
+    // CHI-SQUARED INDEPENDENCE (r10) — is event mix independent of
+    // day-of-week (the seasonality hypothesis test next to
+    // q_seasonality's decomposition). Day-of-week is pure integer epoch
+    // math ((day+4) mod 7 — epoch day 0 is a Thursday), never a calendar
+    // function two engines could disagree on. The corpus collapses to
+    // the O(types × 7) contingency table in one map-side-combined pass;
+    // every statistic is then an exact integer rational on that table —
+    // expected counts and per-cell contributions land as floor-quantized
+    // integer divisions ((o·N − r·c)²·10⁴ div N·r·c on decimal(38)), and
+    // the chi² total is a sum of ALREADY-QUANTIZED integers, so no
+    // float summation order exists anywhere in the gate.
+    "q_chi_square" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val cells = ev(s, dir)
+        .select(col("event_type"),
+          pmod(expr(s"ts_us div $dayUs") + 4, lit(7)).as("dow"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+      val rows = cells.groupBy("event_type").agg(sum("o").as("r"))
+      val cols = cells.groupBy("dow").agg(sum("o").as("c"))
+      val tot = cells.agg(sum("o").as("nn"))
+      val scored = cells.join(broadcast(rows), "event_type")
+        .join(broadcast(cols), "dow").crossJoin(broadcast(tot))
+        .withColumn("e4", expr(
+          "(CAST(r AS DECIMAL(38,0)) * c * 10000) div CAST(nn AS DECIMAL(38,0))"))
+        .withColumn("dev", expr(
+          "CAST(o AS DECIMAL(38,0)) * nn - CAST(r AS DECIMAL(38,0)) * c"))
+        .withColumn("contrib4", expr(
+          "(dev * dev * 10000) div (CAST(nn AS DECIMAL(38,0)) * r * c)"))
+      val chi2 = scored.agg(sum("contrib4").as("t4"))
+      scored.crossJoin(broadcast(chi2))
+        .select(col("event_type"), col("dow"), col("o").as("n_obs"),
+          (col("e4").cast("double") / lit(10000.0)).as("expected"),
+          (col("contrib4").cast("double") / lit(10000.0)).as("contrib"),
+          (col("t4").cast("double") / lit(10000.0)).as("chi2_total"))
+        .orderBy("event_type", "dow")
+    }),
+
+    // DECILE PROFILE (r10) — exact equal-frequency customer-spend tiers
+    // (the marketing/LTV "top decile" cut) WITHOUT a single-reducer
+    // global sort: the per-customer spend table gets its exact global
+    // rank from the two-level PrefixSum (range partition + per-slice
+    // partials + broadcast offsets — rank = running count in total
+    // (cents, custkey) order), and the tier is then pure integer math on
+    // the rank (⌊(rk−1)·10/n⌋ — computed manually on BOTH engines, so no
+    // NTILE remainder-placement dialect is trusted). Per-tier aggregates
+    // are exact cents. This is q_percentiles' boundary math generalized
+    // to a full equal-mass partition of the corpus.
+    "q_ntile_profile" -> ((s, dir) => {
+      val spend = t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("g", lit(0)).withColumn("one", lit(1L))
+      val ranked = graft.operators.PrefixSum.cumSum(spend, "g",
+        Seq(col("cents"), col("o_custkey")), "one", "rk")
+      val n = spend.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n))
+        .select(expr("((rk - 1) * 10) div n").as("decile"), col("cents"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"),
+          (min("cents").cast("double") / 100.0).as("min_spend"),
+          (max("cents").cast("double") / 100.0).as("max_spend"),
+          round(sum(col("cents").cast("decimal(38,0)")).cast("double") / 100.0,
+            4).as("total_spend"))
+        .orderBy("decile")
     }))
 
   /** HLL register-table set algebra (q_hll_union): per-segment 512-register
@@ -3389,5 +3560,129 @@ object RelationalQueries {
         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
         |       node // 2 AS node_id, rank_u
         |FROM r3
-        |ORDER BY rank_u DESC, node_type, node_id LIMIT 25""".stripMargin)
+        |ORDER BY rank_u DESC, node_type, node_id LIMIT 25""".stripMargin,
+
+    // melt(pivot(x)) = x: the oracle states the long-form aggregate the
+    // reshape round-trip must reproduce (absent cells excluded)
+    "q_unpivot" ->
+      s"""$evCte,
+         |w AS (SELECT user_id, event_type,
+         |             CAST(sum(CAST(round(value * 10000) AS BIGINT))
+         |               AS BIGINT) AS v4
+         |      FROM e
+         |      WHERE event_type IN ('click','error','purchase','signup','view')
+         |      GROUP BY 1, 2)
+         |SELECT user_id, event_type, CAST(v4 AS DOUBLE) / 10000.0 AS sum_value
+         |FROM w WHERE v4 IS NOT NULL
+         |ORDER BY user_id, event_type""".stripMargin,
+
+    // same rank-offset island key; longest-streak argmax replayed as
+    // max + earliest-start filter
+    "q_islands" ->
+      s"""$evCte,
+         |d AS (SELECT DISTINCT user_id, ts_us // 86400000000 AS day FROM e),
+         |i AS (SELECT user_id, day,
+         |             day - row_number() OVER (PARTITION BY user_id
+         |               ORDER BY day) AS grp
+         |      FROM d),
+         |g AS (SELECT user_id, grp, min(day) AS start_day,
+         |             CAST(count(*) AS BIGINT) AS n_days
+         |      FROM i GROUP BY 1, 2),
+         |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+         |             CAST(sum(n_days) AS BIGINT) AS active_days,
+         |             max(n_days) AS longest_days
+         |      FROM g GROUP BY 1),
+         |st AS (SELECT g.user_id, min(g.start_day) AS longest_start
+         |       FROM g JOIN a USING (user_id)
+         |       WHERE g.n_days = a.longest_days GROUP BY 1)
+         |SELECT user_id, n_islands, active_days, longest_days, longest_start
+         |FROM a JOIN st USING (user_id)
+         |ORDER BY user_id""".stripMargin,
+
+    // identical half-rank marginals (2·cum − cnt + 1), HUGEINT moment
+    // sums, the same double expression tree, floor-quantized
+    "q_spearman" ->
+      """WITH b AS (SELECT l_returnflag AS flag,
+        |                  CAST(round(l_quantity) AS BIGINT) AS x,
+        |                  CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |           FROM lineitem),
+        |rx AS (SELECT flag, x,
+        |              2 * CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY x)
+        |                AS BIGINT) - cnt + 1 AS rx
+        |       FROM (SELECT flag, x, CAST(count(*) AS BIGINT) AS cnt
+        |             FROM b GROUP BY 1, 2)),
+        |ry AS (SELECT flag, y,
+        |              2 * CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY y)
+        |                AS BIGINT) - cnt + 1 AS ry
+        |       FROM (SELECT flag, y, CAST(count(*) AS BIGINT) AS cnt
+        |             FROM b GROUP BY 1, 2)),
+        |p AS (SELECT flag, x, y, CAST(count(*) AS BIGINT) AS m
+        |      FROM b GROUP BY 1, 2, 3),
+        |j AS (SELECT p.flag, p.m, rx.rx, ry.ry
+        |      FROM p JOIN rx USING (flag, x) JOIN ry USING (flag, y)),
+        |g AS (SELECT flag, CAST(sum(m) AS BIGINT) AS n,
+        |             sum(CAST(rx AS HUGEINT) * m) AS sx,
+        |             sum(CAST(ry AS HUGEINT) * m) AS sy,
+        |             sum(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT) * m) AS sxy,
+        |             sum(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT) * m) AS sxx,
+        |             sum(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT) * m) AS syy
+        |      FROM j GROUP BY 1)
+        |SELECT flag, n AS n_rows,
+        |       floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |             (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |              sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |             * 10000) / 10000 AS spearman_rho
+        |FROM g
+        |WHERE n >= 3 AND CAST(n AS HUGEINT) * sxx - sx * sx > 0
+        |  AND CAST(n AS HUGEINT) * syy - sy * sy > 0
+        |ORDER BY flag""".stripMargin,
+
+    // same integer epoch day-of-week, HUGEINT rationals, quantized
+    // integer division — the chi² total sums already-quantized integers
+    "q_chi_square" ->
+      s"""$evCte,
+         |cells AS (SELECT event_type,
+         |                 ((ts_us // 86400000000) + 4) % 7 AS dow,
+         |                 CAST(count(*) AS BIGINT) AS o
+         |          FROM e GROUP BY 1, 2),
+         |r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+         |      FROM cells GROUP BY 1),
+         |c AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+         |t AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells),
+         |s AS (SELECT cells.event_type, cells.dow, o,
+         |             (CAST(r.r AS HUGEINT) * c.c * 10000) // nn AS e4,
+         |             ((CAST(o AS HUGEINT) * nn - CAST(r.r AS HUGEINT) * c.c)
+         |              * (CAST(o AS HUGEINT) * nn - CAST(r.r AS HUGEINT) * c.c)
+         |              * 10000) // (CAST(nn AS HUGEINT) * r.r * c.c) AS contrib4
+         |      FROM cells JOIN r USING (event_type) JOIN c USING (dow)
+         |           CROSS JOIN t),
+         |tt AS (SELECT CAST(sum(contrib4) AS BIGINT) AS t4 FROM s)
+         |SELECT event_type, dow, o AS n_obs,
+         |       CAST(e4 AS DOUBLE) / 10000.0 AS expected,
+         |       CAST(contrib4 AS DOUBLE) / 10000.0 AS contrib,
+         |       CAST(t4 AS DOUBLE) / 10000.0 AS chi2_total
+         |FROM s CROSS JOIN tt
+         |ORDER BY event_type, dow""".stripMargin,
+
+    // same manual ⌊(rk−1)·10/n⌋ tiers over the identical total order —
+    // no NTILE dialect trusted on either engine
+    "q_ntile_profile" ->
+      """WITH sp AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |rk AS (SELECT cents,
+        |              row_number() OVER (ORDER BY cents, o_custkey) AS rk,
+        |              count(*) OVER () AS n
+        |       FROM sp)
+        |SELECT ((rk - 1) * 10) // n AS decile,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(min(cents) AS DOUBLE) / 100.0 AS min_spend,
+        |       CAST(max(cents) AS DOUBLE) / 100.0 AS max_spend,
+        |       round(CAST(sum(cents) AS DOUBLE) / 100.0, 4) AS total_spend
+        |FROM rk GROUP BY 1 ORDER BY decile""".stripMargin)
 }

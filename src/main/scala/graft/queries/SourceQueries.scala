@@ -237,6 +237,29 @@ object SourceQueries {
       graft.operators.Multimodal.extractFeatures(s, back).orderBy("doc_id")
     }),
 
+    // XML — the document-interchange format feeds/dumps still arrive in
+    // (sitemaps, arXiv/PubMed dumps, Wikipedia exports): the engine's
+    // export writes one <doc> element per record through Spark's native
+    // StAX writer (entity-escaping <>&, so angle brackets and ]]> in
+    // prose survive), and the read-back parses with an EXPLICIT schema +
+    // rowTag. `ignoreSurroundingSpaces=false` pins boundary whitespace
+    // (the reader's default TRIMS element text — same class of silent
+    // mutation as the CSV writer's whitespace default, probed and pinned
+    // in SourceQueriesSpec). Scale note: the default (non-multiLine) XML
+    // scan is record-splittable on the rowTag like JSONL is on lines
+    // (TextInputXmlDataSource), so a large dump parallelizes; multiLine
+    // would read each file as one unsplittable stream — same trade the
+    // CSV comment documents. Export domain excludes raw control chars
+    // (<0x20 except \t\n\r — unrepresentable in XML 1.0 even escaped);
+    // the lake corpus carries none (asserted by the spec's nasty-string
+    // contract, not silently dropped here).
+    "src_xml_roundtrip" -> ((s, dir) => {
+      val path = export(s, dir, "xml")((df, p) =>
+        df.write.option("rowTag", "doc").xml(p))
+      stats(s.read.schema(docSchema).option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false").xml(path))
+    }),
+
     // Hive-layout partitioned lake: source becomes a directory key the
     // reader reconstructs; the 3-source filter prunes 17 of 20 partition
     // directories BEFORE any file is opened (partitionFilters, spec-pinned)
@@ -257,6 +280,8 @@ object SourceQueries {
     "src_orc_roundtrip" ->
       (statsSql + "\nGROUP BY source ORDER BY source"),
     "src_jdbc_roundtrip" ->
+      (statsSql + "\nGROUP BY source ORDER BY source"),
+    "src_xml_roundtrip" ->
       (statsSql + "\nGROUP BY source ORDER BY source"),
     "src_partitioned_roundtrip" ->
       (statsSql + "\nWHERE source IN ('src3', 'src7', 'src11')" +

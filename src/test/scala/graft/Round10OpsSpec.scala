@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Crafted-input specs for the round-10 additions: unpivot's reshape
+  * round-trip (incl. absent-cell exclusion), gaps-and-islands against
+  * hand-expected streaks, Spearman's tie handling against a from-scratch
+  * average-rank reference (plus the exact ±1 monotone laws), chi-squared
+  * against hand-computed 2×2 rationals, and the decile profile's PrefixSum
+  * ranking against the single-window reference. Each test writes a crafted
+  * lake and drives the REAL gate plan — no reimplementation of the query
+  * under test.
+  */
+class Round10OpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def toyLake(tables: (String, DataFrame)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r10-lake").toString
+    tables.foreach { case (n, df) => df.write.parquet(s"$dir/$n.parquet") }
+    dir
+  }
+
+  private def cleanup(dir: String): Unit =
+    graft.operators.Checkpointing.deleteRecursively(dir)
+
+  private val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+  private def tsAt(days: Double) = java.sql.Timestamp.from(
+    ts0.toInstant.plusSeconds(math.round(days * 86400)))
+
+  test("q_unpivot: melt(pivot(events)) equals the long-form aggregate; " +
+      "absent cells are excluded") {
+    // u1 has view+click, u2 only purchase — (u1,purchase), (u2,view) etc.
+    // must NOT appear as null/zero rows after the round-trip
+    val events = Seq(
+      (1L, 1L, "view", ts0, 1.25), (2L, 1L, "view", ts0, 2.50),
+      (3L, 1L, "click", ts0, 0.75),
+      (4L, 2L, "purchase", ts0, 9.99))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val dir = toyLake("events" -> events)
+    try {
+      val got = graft.queries.RelationalQueries.queries("q_unpivot")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2))
+        .toMap
+      assert(got == Map(
+        (1L, "view") -> 3.75, (1L, "click") -> 0.75,
+        (2L, "purchase") -> 9.99), s"got $got")
+    } finally cleanup(dir)
+  }
+
+  test("q_islands: runs split exactly on missing days; longest-streak " +
+      "argmax prefers the earliest start on ties") {
+    // u1: days 0,1,2 | 5 | 7,8  → 3 islands, longest 3 @ 0
+    // u2: days 3,4 | 9,10       → 2 islands of 2 — tie → start 3
+    // duplicate events inside one day must not inflate n_days
+    val rows = Seq(
+      (1L, 0.1), (1L, 0.5), (1L, 1.2), (1L, 2.7), (1L, 5.3), (1L, 7.1),
+      (1L, 8.9),
+      (2L, 3.5), (2L, 4.5), (2L, 9.5), (2L, 10.5))
+    val events = rows.zipWithIndex.map { case ((u, d), i) =>
+      (i.toLong, u, "view", tsAt(d), 1.0)
+    }.toDF("event_id", "user_id", "event_type", "ts", "value")
+    val dir = toyLake("events" -> events)
+    try {
+      val day0 = ts0.toInstant.getEpochSecond * 1000000L / 86400000000L
+      val got = graft.queries.RelationalQueries.queries("q_islands")(spark, dir)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4) - day0)))
+        .toMap
+      assert(got(1L) == ((3L, 6L, 3L, 0L)), s"got $got")
+      assert(got(2L) == ((2L, 4L, 2L, 3L)), s"tie → earliest start: $got")
+    } finally cleanup(dir)
+  }
+
+  test("q_spearman: monotone → +1, antitone → −1, ties match the " +
+      "average-rank reference, constant column excluded") {
+    // flag A: y strictly increasing in x (not linearly — Spearman must
+    // still be exactly 1 where Pearson would not be)
+    val a = Seq((1.0, 1.00), (2.0, 4.00), (3.0, 9.00), (4.0, 95.50))
+    // flag B: strictly decreasing
+    val b = Seq((1.0, 50.0), (2.0, 40.0), (3.0, 10.0))
+    // flag C: heavy ties on both sides
+    val c = Seq((1.0, 5.0), (1.0, 5.0), (2.0, 5.0), (2.0, 7.0), (3.0, 7.0),
+      (3.0, 2.0), (1.0, 2.0))
+    // flag D: constant x → zero rank variance → excluded
+    val d = Seq((2.0, 1.0), (2.0, 2.0), (2.0, 3.0))
+    val lineitem = Seq("A" -> a, "B" -> b, "C" -> c, "D" -> d).flatMap {
+      case (f, rows) => rows.map { case (q, p) => (f, q, p) }
+    }.toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val dir = toyLake("lineitem" -> lineitem)
+    try {
+      val got = graft.queries.RelationalQueries.queries("q_spearman")(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      // ±1 up to the floor-quantization of sqrt-rounded doubles (floor
+      // sits one grid cell BELOW the exact value when the float lands
+      // under it — 0.9999 / −1.0001 are the correct quantized outputs;
+      // the gate's claim is cross-engine identity, not grid alignment)
+      assert(math.abs(got("A") - 1.0) <= 1e-4 &&
+        math.abs(got("B") + 1.0) <= 1e-4, s"got $got")
+      assert(!got.contains("D"), s"constant x must be excluded: $got")
+      // from-scratch tie-averaged Spearman for C
+      def avgRanks(vs: Seq[Long]): Seq[Double] = {
+        val byV = vs.sorted.zipWithIndex.groupBy(_._1)
+          .map { case (v, g) => v -> (g.map(_._2 + 1).sum.toDouble / g.size) }
+        vs.map(byV)
+      }
+      val xs = avgRanks(c.map(r => math.round(r._1)))
+      val ys = avgRanks(c.map(r => math.round(r._2 * 100)))
+      val n = xs.size
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val sd = math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum) *
+        math.sqrt(ys.map(y => (y - my) * (y - my)).sum)
+      val ref = math.floor(cov / sd * 10000) / 10000
+      assert(math.abs(got("C") - ref) <= 1e-4 + 1e-12,
+        s"tie-averaged rho: got ${got("C")} ref $ref")
+    } finally cleanup(dir)
+  }
+
+  test("q_chi_square: hand-computed 2×2 rationals (expected, contrib, " +
+      "total) and marginal invariants") {
+    // two types × two weekdays; epoch day of 2024-01-01 is a Monday →
+    // dow ((day+4) % 7) = 1 for Mon, 2 for Tue
+    // contingency: view:(mon 3, tue 1), click:(mon 1, tue 3) → N=8,
+    // rows 4/4, cols 4/4, every expected = 2, every |o−e| = 1 →
+    // contrib = 1/2 each, chi² = 2
+    val cells = Seq(("view", 0, 3), ("view", 1, 1), ("click", 0, 1),
+      ("click", 1, 3))
+    val events = cells.flatMap { case (t, dayOff, cnt) =>
+      (1 to cnt).map(i => (t, dayOff, i))
+    }.zipWithIndex.map { case ((t, dayOff, _), i) =>
+      (i.toLong, 1L, t, tsAt(dayOff + 0.5), 1.0)
+    }.toDF("event_id", "user_id", "event_type", "ts", "value")
+    val dir = toyLake("events" -> events)
+    try {
+      val rows = graft.queries.RelationalQueries
+        .queries("q_chi_square")(spark, dir).collect()
+      assert(rows.length == 4)
+      rows.foreach { r =>
+        assert(r.getDouble(3) == 2.0, s"expected: $r")
+        assert(r.getDouble(4) == 0.5, s"contrib: $r")
+        assert(r.getDouble(5) == 2.0, s"total: $r")
+      }
+      assert(rows.map(_.getLong(2)).sum == 8L)
+    } finally cleanup(dir)
+  }
+
+  test("q_ntile_profile: PrefixSum tiers equal the single-window " +
+      "reference; counts sum to n and boundaries are monotone") {
+    val rnd = new scala.util.Random(10)
+    // 97 customers (not divisible by 10 — exercises remainder placement),
+    // duplicate spends included so the custkey tie-break matters
+    val orders = (1 to 97).flatMap { ck =>
+      val n = 1 + rnd.nextInt(3)
+      (1 to n).map(i => (ck.toLong * 100 + i, ck.toLong,
+        (rnd.nextInt(40) + 1) * 25.0))
+    }.toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val dir = toyLake("orders" -> orders)
+    try {
+      val got = graft.queries.RelationalQueries
+        .queries("q_ntile_profile")(spark, dir).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      // reference: local total order over the per-customer sums
+      val spends = orders.collect()
+        .map(r => r.getLong(1) -> math.round(r.getDouble(2) * 100))
+        .groupBy(_._1).map { case (ck, g) => (ck, g.map(_._2).sum) }.toSeq
+        .sortBy { case (ck, cents) => (cents, ck) }
+      val n = spends.size
+      val ref = spends.zipWithIndex
+        .groupBy { case (_, i) => i.toLong * 10 / n }
+        .map { case (d, g) =>
+          d -> ((g.size.toLong, g.map(_._1._2).min / 100.0,
+            g.map(_._1._2).max / 100.0))
+        }
+      assert(got == ref, s"got $got\nref $ref")
+      assert(got.values.map(_._1).sum == n.toLong)
+      val ds = got.toSeq.sortBy(_._1).map(_._2)
+      ds.sliding(2).foreach {
+        case Seq((_, _, hi), (_, lo, _)) => assert(hi <= lo,
+          "decile boundaries must be monotone")
+        case _ =>
+      }
+    } finally cleanup(dir)
+  }
+}

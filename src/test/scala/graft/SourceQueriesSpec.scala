@@ -87,6 +87,28 @@ class SourceQueriesSpec extends AnyFunSuite with SparkTestBase {
     } finally graft.operators.Checkpointing.deleteRecursively(dir)
   }
 
+  test("XML roundtrip is lossless incl. markup specials and boundary space") {
+    // XML-specific nasties on top of the shared set: angle brackets and
+    // ampersands (must entity-escape), a ]]> sequence (must not be
+    // emitted as a naked CDATA terminator), and carriage returns (the
+    // XML line-end normalization rule would fold a raw \r to \n — the
+    // writer must emit it as a character reference to survive). Boundary
+    // whitespace survives only under ignoreSurroundingSpaces=false: the
+    // reader's default TRIMS element text (probed; same silent-mutation
+    // class as the CSV writer's whitespace defaults).
+    val dir = java.nio.file.Files.createTempDirectory("src-spec-xml").toString
+    try {
+      val df = nasty(withNewlines = true).union(Seq(
+        (100L, "<angle> brackets & ampersands", "en", "s0", 29L),
+        (101L, "cdata terminator ]]> inline", "xx", "s1", 27L),
+        (102L, "carriage\rreturn", "en", "s2", 15L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      df.write.option("rowTag", "doc").xml(s"$dir/out")
+      roundtripEqual(df, spark.read.schema(schema).option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false").xml(s"$dir/out"))
+    } finally graft.operators.Checkpointing.deleteRecursively(dir)
+  }
+
   test("partitioned roundtrip reconstructs the partition column losslessly") {
     val dir = java.nio.file.Files.createTempDirectory("src-spec-part").toString
     try {
