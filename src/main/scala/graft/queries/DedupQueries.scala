@@ -194,6 +194,33 @@ object DedupQueries {
         .select("doc_id", "content_hash", "n_copies")
         .orderBy("doc_id")),
 
+    // NORMALIZED exact dedup (r10) — the canonicalize-then-hash pass
+    // between byte-exact dedup and minhash near-dup (the Dolma/CCNet
+    // first cut): lowercase, punctuation → separator, whitespace runs
+    // collapsed, boundary space trimmed — so case/punctuation/spacing
+    // variants of one text land in ONE group byte-exact dedup misses.
+    // The char class is [^a-z0-9 ] on ALREADY-lowercased text — plain
+    // enough that Java and RE2 regex agree by construction. Same shape
+    // as dedup_exact: one map-side canonical hash, one groupBy; the
+    // n_variants column (distinct RAW hashes per canonical group) is
+    // what separates this from dedup_exact in the report. EVERY group
+    // emits (the gate lake carries no duplicates at all — a >1 filter
+    // would gate an empty frame; the canonical signature column keeps
+    // the hash check non-vacuous on a dup-free lake, and a consumer
+    // filters n_copies > 1 for the candidate list).
+    "dedup_normalized" -> ((s, dir) => {
+      val canon = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      docs(s, dir)
+        .select(col("doc_id"), md5(canon).as("ch"), md5(col("text")).as("rh"))
+        .groupBy("ch")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+          countDistinct("rh").as("n_variants"))
+        .select(substring(col("ch"), 1, 12).as("canon_sig"), col("keep_id"),
+          col("n_copies"), col("n_variants"))
+        .orderBy("keep_id")
+    }),
+
     // MinHash(64) + LSH(16 bands × 4 rows): candidates share a band bucket;
     // verify by signature agreement ≥ 0.5 estimated Jaccard.
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -577,6 +604,20 @@ object DedupQueries {
         |FROM documents
         |GROUP BY md5(text)
         |ORDER BY doc_id""".stripMargin,
+
+    // identical canonicalization chain (lowercase first, so [^a-z0-9 ]
+    // means the same class to RE2 and Java), 'g'-flagged replaces
+    "dedup_normalized" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text),
+        |             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS ch,
+        |         md5(text) AS rh
+        |  FROM documents)
+        |SELECT substr(ch, 1, 12) AS canon_sig, min(doc_id) AS keep_id,
+        |       count(*) AS n_copies, count(DISTINCT rh) AS n_variants
+        |FROM c GROUP BY ch
+        |ORDER BY keep_id""".stripMargin,
 
     // The minhash pipeline replay (sigCtes/cand/agree/pairs) + two
     // id→source joins. mean_est_jaccard = sum(n_eq)/(64·count): integer

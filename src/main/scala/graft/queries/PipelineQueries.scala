@@ -439,7 +439,63 @@ object PipelineQueries {
             .as("n_full_chunks"),
           sum("chunk_chars").as("total_chars"),
           max("n_chunks_doc").as("max_chunks_per_doc"))
-        .orderBy("source")))
+        .orderBy("source")),
+
+    // TEMPERATURE-SAMPLED source mix (r10) — the multilingual-LLM
+    // upsampling rule (mT5/XLM-R: p_s ∝ mass_s^α): α < 1 flattens the
+    // source distribution so low-resource sources are over-represented
+    // relative to their raw mass. α = 1/2 here ON PURPOSE: sqrt is
+    // IEEE-correctly-rounded in both engines, where a general pow() is
+    // libm-dependent (the ulp-divergence class the verify gotchas pin) —
+    // and the weight is floor-quantized to an INTEGER w4 before any
+    // aggregation, so the denominator Σw4 is an exact integer sum (no
+    // float summation order) and every downstream share/target is an
+    // integer rational. The whole plan is one corpus scan collapsing
+    // map-side to O(sources) rows + a broadcast 1-row total. target_docs
+    // allocates half the corpus by largest-floor (the remainder stays
+    // unallocated — a planner rounds explicitly rather than hiding a
+    // largest-remainder tie rule in the gate).
+    "pipeline_temperature_sample" -> ((s, dir) => {
+      val m = docs(s, dir)
+        .select(col("source"),
+          graft.functions.Text.wsTokenCount(col("text")).as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("token_mass"))
+        .withColumn("w4",
+          floor(sqrt(col("token_mass").cast("double")) * 10000).cast("long"))
+      val tot = m.agg(sum("w4").as("sw4"), sum("n_docs").as("nd"))
+      m.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("token_mass"), col("w4"),
+          (expr("(w4 * 10000) div sw4").cast("double") / lit(10000.0))
+            .as("sample_share"),
+          expr("((nd div 2) * w4) div sw4").as("target_docs"))
+        .orderBy("source")
+    }),
+
+    // CURRICULUM PHASES (r10) — order the corpus clean→noisy and cut it
+    // into three equal-mass training phases (curriculum learning: early
+    // epochs see the cleanest text). The total (quality desc, doc_id)
+    // order comes from the SAME two-level PrefixSum ranking as
+    // q_ntile_profile (range partition + per-slice partials — never a
+    // single-reducer corpus sort), the phase is manual integer bucket
+    // math on the exact rank, and the quality key is the replayable
+    // 4dp-rounded score so both engines order identically. Per-phase
+    // stats are exact integers + one quantized division.
+    "pipeline_curriculum" -> ((s, dir) => {
+      val scored = docs(s, dir).select(col("doc_id"),
+          graft.functions.Text.qualityScore(col("text")).as("q"),
+          graft.functions.Text.wsTokenCount(col("text")).as("nt"))
+        .withColumn("g", lit(0)).withColumn("one", lit(1L))
+      val ranked = graft.operators.PrefixSum.cumSum(scored, "g",
+        Seq(col("q").desc, col("doc_id")), "one", "rk")
+      val n = scored.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n))
+        .select(expr("((rk - 1) * 3) div n").as("phase"), col("q"), col("nt"))
+        .groupBy("phase")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("phase_tokens"),
+          max("q").as("best_quality"), min("q").as("worst_quality"))
+        .orderBy("phase")
+    }))
 
   /** DuckDB 8-gram construction matching Text.wordShingles(_, 8). */
   private val gramsSql =
@@ -767,5 +823,41 @@ object PipelineQueries {
         |SELECT r.source, r.doc_id,
         |       (r.rank - 1) * n.n_sources + i.src_idx AS position
         |FROM r JOIN i USING (source) CROSS JOIN n
-        |ORDER BY position LIMIT 50""".stripMargin)
+        |ORDER BY position LIMIT 50""".stripMargin,
+
+    // same integer-quantized sqrt weights, exact integer denominator,
+    // integer-rational shares and floor targets
+    "pipeline_temperature_sample" ->
+      """WITH m AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text),
+        |                   '[ \t\n\x0b\f\r]+')) END) AS BIGINT) AS token_mass
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT *, CAST(floor(sqrt(CAST(token_mass AS DOUBLE)) * 10000)
+        |        AS BIGINT) AS w4 FROM m),
+        |t AS (SELECT CAST(sum(w4) AS BIGINT) AS sw4,
+        |             CAST(sum(n_docs) AS BIGINT) AS nd FROM w)
+        |SELECT source, n_docs, token_mass, w4,
+        |       CAST((w4 * 10000) // sw4 AS DOUBLE) / 10000.0 AS sample_share,
+        |       ((nd // 2) * w4) // sw4 AS target_docs
+        |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
+
+    // same replayable 4dp quality order, same manual tercile rank math
+    "pipeline_curriculum" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, ${TextQueries.qualityScoreSql} AS q,
+         |         CASE WHEN length(trim(text)) = 0 THEN 0
+         |              ELSE len(regexp_split_to_array(trim(text),
+         |                   '[ \\t\\n\\x0b\\f\\r]+')) END AS nt
+         |  FROM documents),
+         |r AS (SELECT q, nt,
+         |             row_number() OVER (ORDER BY q DESC, doc_id) AS rk,
+         |             count(*) OVER () AS n
+         |      FROM scored)
+         |SELECT ((rk - 1) * 3) // n AS phase,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(nt) AS BIGINT) AS phase_tokens,
+         |       max(q) AS best_quality, min(q) AS worst_quality
+         |FROM r GROUP BY 1 ORDER BY phase""".stripMargin)
 }

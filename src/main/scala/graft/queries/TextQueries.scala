@@ -212,6 +212,45 @@ object TextQueries {
         Text.wsTokenCount(col("text")).as("n_ws_tokens"))
         .orderBy("doc_id")),
 
+    // WINNOWING fingerprints (r10) — the MOSS selection rule (Schleimer
+    // et al. '03) next to text_fingerprint's whole-doc hash: slide a
+    // w=4 window over the doc's k=3 shingle hashes and keep each
+    // window's RIGHTMOST minimal hash, deduplicated — the classic
+    // guarantee that any shared run of ≥ w+k−1 tokens between two docs
+    // yields at least one IDENTICAL selected fingerprint, at ~2/(w+1)
+    // storage density. Tie-break is encoded IN the window key
+    // (hash·2¹⁶ + (65535 − pos) — min of that is smallest hash, then
+    // RIGHTMOST position; doc length is asserted < 2¹⁶ grams, failing
+    // loudly instead of aliasing). Shape at scale: one codegen'd shingle
+    // pass, one per-doc bounded window (per-doc fan-in, never corpus
+    // order), O(selected) rows out. Docs shorter than one window emit
+    // their single whole-doc minimum (pos = n−1 — the degenerate window).
+    "text_winnowing" -> ((s, dir) => {
+      val grams = docs(s, dir).select(col("doc_id"),
+        posexplode(graft.plans.NgramHashes.shingles(s, col("text"), 3))
+          .as(Seq("pos", "g")))
+      val keyed = grams.select(col("doc_id"), col("pos"),
+        (conv(substring(md5(col("g")), 1, 10), 16, 10).cast("long") * 65536L
+          + when(col("pos") < 65536, lit(65535L) - col("pos"))
+            .otherwise(raise_error(lit(
+              "winnowing: doc exceeds 65536 shingles — widen the ordinal"))
+              .cast("long"))).as("ck"))
+      val wMin = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+      val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      val sel = keyed
+        .withColumn("rm", min("ck").over(wMin))
+        .withColumn("ng", count(lit(1)).over(wDoc))
+        .filter(col("pos") >= 3 ||
+          (col("ng") < 4 && col("pos") === col("ng") - 1))
+        .select(col("doc_id"), col("ng"), col("rm")).distinct()
+      sel.groupBy("doc_id")
+        .agg(max("ng").as("n_grams"),
+          count(lit(1)).as("n_fingerprints"),
+          sum(pmod(col("rm"), lit(1000000007L))).as("fp_checksum"))
+        .orderBy("doc_id")
+    }),
+
     // BPE iteration-0 statistic (the pair table a tokenizer trainer ranks
     // before its first merge): corpus-weighted adjacent character-pair
     // counts inside whitespace tokens. THE scale trick: the pair explode
@@ -1267,6 +1306,38 @@ object TextQueries {
         |       CASE WHEN length(trim(text)) = 0 THEN 0
         |            ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_ws_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same 3-shingle construction (short docs → one whole-doc gram), the
+    // same hash·2¹⁶+(65535−pos) window key, the same full-window filter
+    "text_winnowing" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS t
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |              ELSE list_transform(range(len(t) - 2),
+        |                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) END AS gs
+        |  FROM toks),
+        |g1 AS (SELECT doc_id, unnest(gs) AS g,
+        |              unnest(range(len(gs))) AS pos
+        |       FROM g0),
+        |k AS (SELECT doc_id, pos,
+        |             ('0x' || substr(md5(g), 1, 10))::BIGINT * 65536
+        |               + (65535 - pos) AS ck
+        |      FROM g1),
+        |r AS (SELECT doc_id, pos, ck,
+        |             min(ck) OVER (PARTITION BY doc_id ORDER BY pos
+        |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS rm,
+        |             count(*) OVER (PARTITION BY doc_id) AS ng
+        |      FROM k),
+        |sel AS (SELECT DISTINCT doc_id, ng, rm FROM r
+        |        WHERE pos >= 3 OR (ng < 4 AND pos = ng - 1))
+        |SELECT doc_id, CAST(max(ng) AS BIGINT) AS n_grams,
+        |       CAST(count(*) AS BIGINT) AS n_fingerprints,
+        |       CAST(sum(rm % 1000000007) AS BIGINT) AS fp_checksum
+        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

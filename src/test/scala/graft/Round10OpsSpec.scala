@@ -146,6 +146,109 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestBase {
     } finally cleanup(dir)
   }
 
+  private def docLake(rows: Seq[(Long, String, String)]): String = toyLake(
+    "documents" -> rows.map { case (id, src, txt) =>
+      (id, txt, "en", src, txt.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars"))
+
+  test("dedup_normalized: case/punctuation/spacing variants collapse into " +
+      "one canonical group; distinct text stays apart") {
+    val dir = docLake(Seq(
+      (1L, "s0", "Hello, World!"),
+      (2L, "s0", "hello world"),
+      (3L, "s1", "HELLO   world"),
+      (4L, "s1", "a genuinely different document"),
+      (5L, "s1", "a genuinely different document")))
+    try {
+      val got = graft.queries.DedupQueries.queries("dedup_normalized")(spark, dir)
+        .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      // 1,2,3 → one canonical group (3 copies, 3 distinct raws);
+      // 4,5 → one group of 2 byte-identical copies (1 raw variant)
+      assert(got == Map(1L -> ((3L, 3L)), 4L -> ((2L, 1L))), s"got $got")
+    } finally cleanup(dir)
+  }
+
+  test("pipeline_temperature_sample: sqrt weights flatten a 4:1 token " +
+      "mass to 2:1 shares; integer targets allocate by floor") {
+    // s0: 4 docs × 100 tokens = 400; s1: 1 doc × 100 = 100
+    def doc(n: Int) = (1 to n).map(i => s"tok$i").mkString(" ")
+    val dir = docLake(Seq(
+      (1L, "s0", doc(100)), (2L, "s0", doc(100)), (3L, "s0", doc(100)),
+      (4L, "s0", doc(100)), (5L, "s1", doc(100))))
+    try {
+      val got = graft.queries.PipelineQueries
+        .queries("pipeline_temperature_sample")(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+            r.getLong(5)))).toMap
+      // w4: floor(sqrt(400)·1e4) = 200000, floor(sqrt(100)·1e4) = 100000
+      // shares: 200000·1e4 div 300000 = 6666 → 0.6666; 3333 → 0.3333
+      // targets over nd div 2 = 2: (2·200000) div 300000 = 1; s1 → 0
+      assert(got("s0") == ((4L, 400L, 200000L, 0.6666, 1L)), s"got $got")
+      assert(got("s1") == ((1L, 100L, 100000L, 0.3333, 0L)), s"got $got")
+    } finally cleanup(dir)
+  }
+
+  test("pipeline_curriculum: phases cut the quality-desc order into " +
+      "terciles; quality bands are disjoint and monotone") {
+    // quality is driven by token count (length term of the score) — 12
+    // docs with clearly distinct scores
+    def doc(n: Int) = (1 to n).map(i => s"the w$i of a").mkString(" ")
+    val dir = docLake((1 to 12).map(i => (i.toLong, "s0", doc(i * 6))))
+    try {
+      val rows = graft.queries.PipelineQueries
+        .queries("pipeline_curriculum")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+        .sortBy(_._1)
+      assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L))
+      assert(rows.map(_._2).toSeq == Seq(4L, 4L, 4L), s"equal terciles: ${rows.toSeq}")
+      // phase 0 = cleanest: its worst quality ≥ phase 1's best, etc.
+      rows.sliding(2).foreach {
+        case Array((_, _, _, worse0), (_, _, best1, _)) =>
+          assert(worse0 >= best1, s"phases out of order: ${rows.toSeq}")
+        case _ =>
+      }
+    } finally cleanup(dir)
+  }
+
+  test("text_winnowing matches a from-scratch reference (selection rule, " +
+      "dedup, short-doc degenerate window) and the duplicate-doc law") {
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "one two"),                         // < k tokens → 1 whole gram
+      (3L, ""),                                // empty → 1 empty gram
+      (4L, "the quick brown fox jumps over the lazy dog today"), // dup of 1
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"))
+    val dir = docLake(texts.map { case (id, t) => (id, "s0", t) })
+    try {
+      val got = graft.queries.TextQueries.queries("text_winnowing")(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      def ref(text: String): (Long, Long, Long) = {
+        val toks = text.trim.toLowerCase.split("[ \t\n\f\r]+", -1).toSeq
+        val grams = if (toks.size < 3) Seq(toks.mkString(" "))
+          else toks.sliding(3).map(_.mkString(" ")).toSeq
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def h(g: String): Long = java.lang.Long.parseLong(
+          md.digest(g.getBytes("UTF-8")).take(5).map("%02x".format(_)).mkString, 16)
+        val cks = grams.zipWithIndex.map { case (g, p) =>
+          (p, h(g) * 65536L + (65535L - p)) }
+        val n = cks.size
+        val sels = cks.indices
+          .filter(p => p >= 3 || (n < 4 && p == n - 1))
+          .map(p => cks.slice(math.max(0, p - 3), p + 1).map(_._2).min)
+          .distinct
+        (n.toLong, sels.size.toLong, sels.map(_ % 1000000007L).sum)
+      }
+      texts.foreach { case (id, t) =>
+        assert(got(id) == ref(t), s"doc $id: got ${got(id)} ref ${ref(t)}")
+      }
+      assert(got(1L) == got(4L), "byte-identical docs → identical fingerprints")
+    } finally cleanup(dir)
+  }
+
   test("q_ntile_profile: PrefixSum tiers equal the single-window " +
       "reference; counts sum to n and boundaries are monotone") {
     val rnd = new scala.util.Random(10)
