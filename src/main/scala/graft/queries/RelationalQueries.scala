@@ -2018,10 +2018,15 @@ object RelationalQueries {
       val base = t(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
         round(col("l_quantity")).cast("long").as("x"),
         round(col("l_extendedprice") * 100).cast("long").as("y"))
+      // the marginal cumsums run over DISTINCT-value tables — for a
+      // near-unique variable (prices) that is corpus-sized, so the scan
+      // is the two-level PrefixSum (range partition + broadcast offsets),
+      // never a per-flag window whose 3 reducers would each sort a third
+      // of the lake
       def halfRanks(c: String) = {
-        val w = Window.partitionBy("flag").orderBy(c)
-        base.groupBy("flag", c).agg(count(lit(1)).as("cnt"))
-          .withColumn("cum", sum("cnt").over(w))
+        val cnts = base.groupBy("flag", c).agg(count(lit(1)).as("cnt"))
+        graft.operators.PrefixSum
+          .cumSum(cnts, "flag", Seq(col(c)), "cnt", "cum")
           // avg rank ×2 = 2·cum_before + cnt + 1 = 2·cum − cnt + 1
           .select(col("flag"), col(c),
             (col("cum") * 2 - col("cnt") + 1).as(s"r$c"))
