@@ -2095,6 +2095,49 @@ object RelationalQueries {
         .orderBy("event_type", "dow")
     }),
 
+    // RUNS TEST (r10) — Wald–Wolfowitz randomness diagnostic on each
+    // supplier's price series (completing the hypothesis-test family
+    // next to q_chi_square/q_ab_test/q_benford): is the above/below-mean
+    // sign sequence random, or does it cluster (trending/regime prices)?
+    // The sign is the exact integer cross-multiplication cents·n > Σcents
+    // (never a float mean); runs count by one lag over the per-supplier
+    // (shipdate, orderkey, linenumber) order — per-key fan-in bounded,
+    // no global sort; μ = 2n₁n₂/n + 1 and σ² = 2n₁n₂(2n₁n₂−n)/(n²(n−1))
+    // evaluate as one mirrored double tree on exact integer inputs,
+    // floor-quantized. Degenerate series (all one sign → σ² ≤ 0) are
+    // excluded by an exact integer guard.
+    "q_runs_test" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_suppkey").as("sk"),
+        col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val st = li.groupBy("sk").agg(
+        sum(col("cents").cast("decimal(38,0)")).as("sc"),
+        count(lit(1)).as("n"))
+      val w = Window.partitionBy("sk")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      val signed = li.join(st, "sk")
+        .withColumn("above",
+          col("cents").cast("decimal(38,0)") * col("n") > col("sc"))
+        .withColumn("chg",
+          when(lag("above", 1).over(w).isNull ||
+            lag("above", 1).over(w) === col("above"), 0L).otherwise(1L))
+      val g = signed.groupBy("sk").agg(
+        max("n").as("n"),
+        sum(when(col("above"), 1L).otherwise(0L)).as("n1"),
+        (sum("chg") + 1).as("runs"))
+      val a = (col("n1") * (col("n") - col("n1")) * 2).as("a")
+      val (aD, nD, rD) = (col("a").cast("double"), col("n").cast("double"),
+        col("runs").cast("double"))
+      g.select(col("sk").as("l_suppkey"), col("n"), col("n1"),
+          (col("n") - col("n1")).as("n2"), col("runs"), a)
+        .filter(col("n") >= 2 && col("a") > col("n"))
+        .select(col("l_suppkey"), col("n"), col("n1"), col("n2"), col("runs"),
+          (floor((rD - (aD / nD + lit(1.0))) /
+            sqrt(aD * (aD - nD) / (nD * nD * (nD - lit(1.0))))
+            * 10000) / 10000).as("z_runs"))
+        .orderBy("l_suppkey")
+    }),
+
     // DECILE PROFILE (r10) — exact equal-frequency customer-spend tiers
     // (the marketing/LTV "top decile" cut) WITHOUT a single-reducer
     // global sort: the per-customer spend table gets its exact global
@@ -3671,6 +3714,40 @@ object RelationalQueries {
          |       CAST(t4 AS DOUBLE) / 10000.0 AS chi2_total
          |FROM s CROSS JOIN tt
          |ORDER BY event_type, dow""".stripMargin,
+
+    // same exact-integer sign rule, same lag-based run count over the
+    // identical total order, same mirrored double tree
+    "q_runs_test" ->
+      """WITH li AS (
+        |  SELECT l_suppkey AS sk, l_shipdate, l_orderkey, l_linenumber,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |st AS (SELECT sk, CAST(sum(cents) AS HUGEINT) AS sc,
+        |              CAST(count(*) AS BIGINT) AS n
+        |       FROM li GROUP BY 1),
+        |sg AS (
+        |  SELECT li.sk, n,
+        |         CAST(cents AS HUGEINT) * n > sc AS above,
+        |         lag(CAST(cents AS HUGEINT) * n > sc) OVER
+        |           (PARTITION BY li.sk
+        |            ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev
+        |  FROM li JOIN st USING (sk)),
+        |g AS (
+        |  SELECT sk, max(n) AS n,
+        |         CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN prev IS NULL OR prev = above
+        |                  THEN 0 ELSE 1 END) + 1 AS BIGINT) AS runs
+        |  FROM sg GROUP BY 1),
+        |f AS (SELECT *, n1 * (n - n1) * 2 AS a FROM g
+        |      WHERE n >= 2 AND n1 * (n - n1) * 2 > n)
+        |SELECT sk AS l_suppkey, n, n1, n - n1 AS n2, runs,
+        |       floor((CAST(runs AS DOUBLE)
+        |              - (CAST(a AS DOUBLE) / CAST(n AS DOUBLE) + 1.0::DOUBLE)) /
+        |             sqrt(CAST(a AS DOUBLE) * (CAST(a AS DOUBLE) - CAST(n AS DOUBLE))
+        |                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |                     * (CAST(n AS DOUBLE) - 1.0::DOUBLE)))
+        |             * 10000) / 10000 AS z_runs
+        |FROM f ORDER BY l_suppkey""".stripMargin,
 
     // same manual ⌊(rk−1)·10/n⌋ tiers over the identical total order —
     // no NTILE dialect trusted on either engine

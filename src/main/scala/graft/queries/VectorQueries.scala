@@ -626,6 +626,38 @@ object VectorQueries {
         .orderBy("q_id")
     }),
 
+    // MATRYOSHKA truncation audit (r10) — MRL embeddings (Kusupati et
+    // al. '22) ship one vector whose PREFIX is itself a usable lower-dim
+    // embedding; serving truncates to d′ dims for cheap first-stage
+    // retrieval. This gate measures what that costs HERE: recall@k of
+    // the d′=16-prefix cosine top-k against the full-64-dim exact top-k
+    // (the knn_recall_audit form, exact side already bounded by the
+    // query sample — the production audit shape). slice() is a zero-copy
+    // prefix read; at 100 TB the truncated scan reads d′/dim of the
+    // vector bytes, which is the whole point being audited.
+    "emb_mrl_recall" -> ((s, dir) => {
+      val d = 16
+      val q = emb(s, dir).filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"),
+          slice(col("embedding"), 1, d).as("q_t"))
+      val scored = emb(s, dir).join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          round(graft.plans.CosineSim.cosine(s, col("q_t"),
+            slice(col("embedding"), 1, d)), 4).as("tcos"))
+      val trunc = Relational
+        .topKByScore(scored, "q_id", "tcos", "neighbor_id", topK)
+        .select(col("q_id"), col("neighbor_id"))
+        .withColumn("in_trunc", lit(1L))
+      val ex = bruteTopK(s, dir).select(col("q_id"), col("neighbor_id"))
+      ex.join(trunc, Seq("q_id", "neighbor_id"), "left_outer")
+        .groupBy("q_id")
+        .agg(count(lit(1)).cast("long").as("n_exact"),
+          coalesce(sum("in_trunc"), lit(0L)).as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_exact"), 4))
+        .orderBy("q_id")
+    }),
+
     // Product-quantization ANN (Jégou et al. '11): the corpus is scanned in
     // COMPRESSED form — m=8 codes per vector against a 16-centroid
     // sub-codebook per subspace — so the candidate scan reads m bytes, not
@@ -1250,6 +1282,37 @@ object VectorQueries {
          |  FROM scored)
          |SELECT q_id, rk, neighbor_id, cos FROM ranked WHERE rk <= $topK
          |ORDER BY q_id, rk""".stripMargin,
+
+    // the same two brute-force rankings — full-dim and 16-prefix — with
+    // the recall join replayed
+    "emb_mrl_recall" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |           WHERE vec_id < $nQueries),
+         |exs AS (
+         |  SELECT q.q_id, e.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(
+         |           CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cos
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+         |ex AS (SELECT q_id, neighbor_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY q_id
+         |                  ORDER BY cos DESC, neighbor_id) AS rk FROM exs)
+         |       WHERE rk <= $topK),
+         |tss AS (
+         |  SELECT q.q_id, e.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(
+         |           CAST(q.q_emb[1:16] AS DOUBLE[]),
+         |           CAST(e.embedding[1:16] AS DOUBLE[])), 4) AS tcos
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+         |tr AS (SELECT q_id, neighbor_id, 1 AS in_trunc FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY q_id
+         |                  ORDER BY tcos DESC, neighbor_id) AS rk FROM tss)
+         |       WHERE rk <= $topK)
+         |SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(coalesce(sum(tr.in_trunc), 0) AS BIGINT) AS n_hit,
+         |       round(CAST(coalesce(sum(tr.in_trunc), 0) AS DOUBLE)
+         |             / count(*), 4) AS recall
+         |FROM ex LEFT JOIN tr USING (q_id, neighbor_id)
+         |GROUP BY ex.q_id ORDER BY q_id""".stripMargin,
 
     "knn_range_search" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings

@@ -249,6 +249,61 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestBase {
     } finally cleanup(dir)
   }
 
+  test("q_runs_test: alternating series → maximal runs (positive z), " +
+      "clustered series → 2 runs (negative z), reference z math") {
+    val ts = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    def at(i: Int) = java.sql.Timestamp.from(ts.toInstant.plusSeconds(i * 86400L))
+    // supplier 1: 10,90 alternating ×5 — n1=n2=5, runs=10 (maximal)
+    // supplier 2: 10×5 then 90×5 — runs=2 (clustered)
+    // supplier 3: constant → all "not above" → a=0 → excluded
+    val rows =
+      (0 until 10).map(i => (1L, at(i), 100L + i, 1,
+        if (i % 2 == 0) 10.0 else 90.0)) ++
+      (0 until 10).map(i => (2L, at(i), 200L + i, 1,
+        if (i < 5) 10.0 else 90.0)) ++
+      (0 until 4).map(i => (3L, at(i), 300L + i, 1, 50.0))
+    val lineitem = rows.toDF("l_suppkey", "l_shipdate", "l_orderkey",
+      "l_linenumber", "l_extendedprice")
+    val dir = toyLake("lineitem" -> lineitem)
+    try {
+      val got = graft.queries.RelationalQueries.queries("q_runs_test")(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getDouble(5)))).toMap
+      assert(!got.contains(3L), s"constant series must be excluded: $got")
+      def refZ(n: Long, n1: Long, runs: Long): Double = {
+        val a = 2.0 * n1 * (n - n1)
+        math.floor((runs - (a / n + 1.0)) /
+          math.sqrt(a * (a - n) / (n.toDouble * n * (n - 1))) * 10000) / 10000
+      }
+      assert(got(1L) == ((10L, 5L, 5L, 10L, refZ(10, 5, 10))), s"got $got")
+      assert(got(2L) == ((10L, 5L, 5L, 2L, refZ(10, 5, 2))), s"got $got")
+      assert(got(1L)._5 > 0 && got(2L)._5 < 0,
+        "alternation must score positive, clustering negative")
+    } finally cleanup(dir)
+  }
+
+  test("emb_mrl_recall: when all signal lives in the 16-dim prefix the " +
+      "truncated ranking is the full ranking — recall 1.0") {
+    val rnd = new scala.util.Random(7)
+    // 40 vectors: random 16-dim prefix, dims 17..64 exactly zero — the
+    // truncated cosine IS the full cosine
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1) ++
+        Array.fill(48)(0.0f), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = toyLake("embeddings" -> vecs)
+    try {
+      val got = graft.queries.VectorQueries.queries("emb_mrl_recall")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got.length == 5)
+      got.foreach { case (q, nEx, nHit, rec) =>
+        assert(nEx == 10L && nHit == 10L && rec == 1.0,
+          s"prefix-only signal must give perfect recall: q=$q $nEx $nHit $rec")
+      }
+    } finally cleanup(dir)
+  }
+
   test("q_ntile_profile: PrefixSum tiers equal the single-window " +
       "reference; counts sum to n and boundaries are monotone") {
     val rnd = new scala.util.Random(10)
