@@ -468,7 +468,10 @@ object PipelineQueries {
         .select(col("source"), col("n_docs"), col("token_mass"), col("w4"),
           (expr("(w4 * 10000) div sw4").cast("double") / lit(10000.0))
             .as("sample_share"),
-          expr("((nd div 2) * w4) div sw4").as("target_docs"))
+          // the budget·weight product rides decimal(38): at 100 TB
+          // (nd ≈ 5e10, w4 ≈ 1e10) the long intermediate would overflow
+          expr("(CAST((nd div 2) AS DECIMAL(38,0)) * w4) " +
+            "div CAST(sw4 AS DECIMAL(38,0))").as("target_docs"))
         .orderBy("source")
     }),
 
@@ -840,7 +843,8 @@ object PipelineQueries {
         |             CAST(sum(n_docs) AS BIGINT) AS nd FROM w)
         |SELECT source, n_docs, token_mass, w4,
         |       CAST((w4 * 10000) // sw4 AS DOUBLE) / 10000.0 AS sample_share,
-        |       ((nd // 2) * w4) // sw4 AS target_docs
+        |       CAST((CAST(nd // 2 AS HUGEINT) * w4)
+        |            // CAST(sw4 AS HUGEINT) AS BIGINT) AS target_docs
         |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
 
     // same replayable 4dp quality order, same manual tercile rank math

@@ -2031,9 +2031,17 @@ object RelationalQueries {
           .select(col("flag"), col(c),
             (col("cum") * 2 - col("cnt") + 1).as(s"r$c"))
       }
+      val rxT = halfRanks("x")
+      val ryT = halfRanks("y")
       val pairs = base.groupBy("flag", "x", "y").agg(count(lit(1)).as("m"))
-        .join(halfRanks("x"), Seq("flag", "x"))
-        .join(halfRanks("y"), Seq("flag", "y"))
+        .join(rxT, Seq("flag", "x"))
+        .join(ryT, Seq("flag", "y"))
+      // exact degeneracy guard WITHOUT the O(n⁴) product n·sxx − sx²
+      // (which would overflow decimal(38) ~50× below the 100 TB point):
+      // rank variance is zero iff the variable is CONSTANT in the flag,
+      // i.e. its marginal table has one row — an O(1)-magnitude count
+      val kx = rxT.groupBy("flag").agg(count(lit(1)).as("kx"))
+      val ky = ryT.groupBy("flag").agg(count(lit(1)).as("ky"))
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       val g = pairs.groupBy("flag").agg(
         sum("m").as("n"),
@@ -2042,15 +2050,12 @@ object RelationalQueries {
         sum(dec(col("rx")) * dec(col("ry")) * col("m")).as("sxy"),
         sum(dec(col("rx")) * dec(col("rx")) * col("m")).as("sxx"),
         sum(dec(col("ry")) * dec(col("ry")) * col("m")).as("syy"))
+        .join(broadcast(kx), "flag").join(broadcast(ky), "flag")
       val (nD, sxD, syD) = (col("n").cast("double"), col("sx").cast("double"),
         col("sy").cast("double"))
       val (sxyD, sxxD, syyD) = (col("sxy").cast("double"),
         col("sxx").cast("double"), col("syy").cast("double"))
-      // exact-integer degeneracy guards (the q_autocorr posture): a flag
-      // where either variable is constant has zero rank variance
-      val vx = dec(col("n")) * col("sxx") - col("sx") * col("sx")
-      val vy = dec(col("n")) * col("syy") - col("sy") * col("sy")
-      g.filter(col("n") >= 3 && vx > 0 && vy > 0)
+      g.filter(col("n") >= 3 && col("kx") >= 2 && col("ky") >= 2)
         .select(col("flag"), col("n").as("n_rows"),
           (floor((nD * sxyD - sxD * syD) /
             (sqrt(nD * sxxD - sxD * sxD) * sqrt(nD * syyD - syD * syD))
@@ -2068,7 +2073,10 @@ object RelationalQueries {
     // expected counts and per-cell contributions land as floor-quantized
     // integer divisions ((o·N − r·c)²·10⁴ div N·r·c on decimal(38)), and
     // the chi² total is a sum of ALREADY-QUANTIZED integers, so no
-    // float summation order exists anywhere in the gate.
+    // float summation order exists anywhere in the gate. Exact-decimal
+    // DOMAIN: dev²·10⁴ needs |o·N − r·c| < 10¹⁷ (always true below
+    // ~3·10⁸ events; above that only pathological skew exceeds it) —
+    // enforced by a loud guard, never a silent wrap/NULL.
     "q_chi_square" -> ((s, dir) => {
       val dayUs = 86400000000L
       val cells = ev(s, dir)
@@ -2084,8 +2092,13 @@ object RelationalQueries {
           "(CAST(r AS DECIMAL(38,0)) * c * 10000) div CAST(nn AS DECIMAL(38,0))"))
         .withColumn("dev", expr(
           "CAST(o AS DECIMAL(38,0)) * nn - CAST(r AS DECIMAL(38,0)) * c"))
-        .withColumn("contrib4", expr(
-          "(dev * dev * 10000) div (CAST(nn AS DECIMAL(38,0)) * r * c)"))
+        .withColumn("contrib4", when(
+          abs(col("dev")) >= lit(100000000000000000L).cast("decimal(38,0)"),
+          raise_error(lit("q_chi_square: |o*N - r*c| >= 1e17 exceeds the " +
+            "exact decimal(38) domain of dev^2*10^4 - shard the " +
+            "contingency or widen the math")).cast("long"))
+          .otherwise(expr(
+            "(dev * dev * 10000) div (CAST(nn AS DECIMAL(38,0)) * r * c)")))
       val chi2 = scored.agg(sum("contrib4").as("t4"))
       scored.crossJoin(broadcast(chi2))
         .select(col("event_type"), col("dow"), col("o").as("n_obs"),
@@ -3684,8 +3697,9 @@ object RelationalQueries {
         |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |             * 10000) / 10000 AS spearman_rho
         |FROM g
-        |WHERE n >= 3 AND CAST(n AS HUGEINT) * sxx - sx * sx > 0
-        |  AND CAST(n AS HUGEINT) * syy - sy * sy > 0
+        |WHERE n >= 3
+        |  AND flag IN (SELECT flag FROM rx GROUP BY flag HAVING count(*) >= 2)
+        |  AND flag IN (SELECT flag FROM ry GROUP BY flag HAVING count(*) >= 2)
         |ORDER BY flag""".stripMargin,
 
     // same integer epoch day-of-week, HUGEINT rationals, quantized
