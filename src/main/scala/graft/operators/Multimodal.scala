@@ -163,6 +163,44 @@ object Multimodal {
         "thumb_phash", "thumb_checksum")
   }
 
+  /** Audio DOWNSAMPLE pass (the resample verb — the audio analog of
+    * [[imageThumbnails]]): decode each WAV, decimate by 2 at FRAME
+    * granularity (out frame f = src frame 2f over blockAlign-byte frames,
+    * ⌈F/2⌉ frames out, a trailing partial frame dropped — pure integer
+    * index arithmetic, so the byte selection replays exactly), re-encode
+    * at half the sample rate (same duration, half the data), and RE-PARSE
+    * the produced container — the reported rate/length come from the new
+    * bytes' own header walk, so the encode→parse roundtrip of the emitted
+    * artifact is inside the gate, not assumed. Reports the decimated
+    * payload's energy-envelope hash next to container accounting. Same
+    * typed mapPartitions batch seam as the other decode passes (where a
+    * real resampler kernel would plug in); map-only, zero shuffles. */
+  def audioDownsample(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.filter(col("modality") === "audio")
+      .select(col("doc_id"), col("modality"), col("payload")).as[DecodeInput]
+      .mapPartitions(_.map { r =>
+        val (rate, channels, bits, _) = MediaCodecs.parseWav(r.payload)
+        val samples = MediaCodecs.wavSamples(r.payload)
+        val ba = channels * bits / 8
+        val frames = samples.length / ba
+        val f2 = (frames + 1) / 2
+        val out = new Array[Byte](f2 * ba)
+        var f = 0
+        while (f < f2) {
+          System.arraycopy(samples, 2 * f * ba, out, f * ba, ba)
+          f += 1
+        }
+        val down = MediaCodecs.encodeWav(rate / 2, channels, bits, out)
+        val (rate2, _, _, dataLen2) = MediaCodecs.parseWav(down)
+        (r.doc_id, rate.toLong, rate2.toLong, channels.toLong, frames.toLong,
+          f2.toLong, down.length.toLong, dataLen2.toLong,
+          MediaCodecs.energyHash(MediaCodecs.wavSamples(down)))
+      })
+      .toDF("doc_id", "rate", "ds_rate", "channels", "n_frames",
+        "ds_frames", "ds_bytes", "ds_data_len", "ds_energy")
+  }
+
   /** Audio content fingerprints: (doc_id, ehash) over the audio slice —
     * the WAV data chunk's energy-envelope hash ([[MediaCodecs.energyHash]]).
     * Filter + projection stay Columns before the typed boundary so only

@@ -72,6 +72,21 @@ object MultimodalQueries {
           graft.operators.Multimodal.asMedia(Tables.sharded(s, dir, "documents")))
         .orderBy("doc_id")),
 
+    // The audio RESAMPLE verb (r10) — completing the per-modality verb
+    // matrix (image resize = mm_thumbnail, video frame-sample =
+    // mm_frames): frame-granular 2× decimation, re-encode at half rate,
+    // and a RE-PARSE of the produced container so the emitted artifact's
+    // own header walk is what the gate hashes (encode→parse roundtrip
+    // inside the gate). The oracle re-derives everything — frame counts
+    // from the synthesis byte-length formulas, the decimated byte
+    // selection by integer index mapping (incl. stereo frames and the
+    // planted pattern docs), and the energy hash over the decimated
+    // samples. Map-only over the audio slice, zero shuffles.
+    "mm_audio_downsample" -> ((s, dir) =>
+      graft.operators.Multimodal.audioDownsample(s,
+          graft.operators.Multimodal.asMedia(Tables.sharded(s, dir, "documents")))
+        .orderBy("doc_id")),
+
     // The pair graph's PRODUCTION consumption (the lesson the 30× scaling
     // audit recorded next to pigeonholePairs): when the near-dup relation
     // is dense, pair materialization is quadratic in family size, but the
@@ -568,6 +583,59 @@ object MultimodalQueries {
          |JOIN ehash hb ON hb.doc_id = c.doc_b
          |WHERE bit_count(xor(ha.fp, hb.fp)) <= 4
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // the full downsample replay: frame counts from the synthesis length
+    // formulas, the decimated byte selection by integer index mapping
+    // i = 2·(j div ba)·ba + (j mod ba) (stereo frames and the planted
+    // pattern docs included), the energy hash over the decimated bytes,
+    // and the re-encoded container's size arithmetic
+    "mm_audio_downsample" ->
+      s"""WITH $b2Cte,
+         |asrc AS (
+         |  SELECT doc_id, hx,
+         |         CASE WHEN doc_id % 30 IN (1, 16) THEN 160 ELSE blen END AS alen,
+         |         doc_id % 30 IN (1, 16) AS seeded,
+         |         CASE WHEN doc_id % 30 = 16 THEN doc_id - 15 ELSE doc_id END AS g,
+         |         doc_id % 2 + 1 AS ba,
+         |         8000 * ((doc_id % 9) // 3 + 1) AS rate
+         |  FROM b2 WHERE doc_id % 3 = 1),
+         |dim AS (SELECT *, alen // ba AS frames,
+         |               ((alen // ba) + 1) // 2 AS f2
+         |        FROM asrc),
+         |sm AS (
+         |  SELECT doc_id, (j * 64) // (f2 * ba) AS w,
+         |         CASE WHEN seeded THEN
+         |                (((g % 1048576) * 31
+         |                  + (2 * (j // ba) * ba + j % ba)) * 97 + 13) % 256
+         |              ELSE ('0x' || substr(hx,
+         |                CAST(2 * (2 * (j // ba) * ba + j % ba) + 1 AS INT),
+         |                2))::BIGINT
+         |         END AS v
+         |  FROM (SELECT doc_id, hx, seeded, g, ba, f2,
+         |               unnest(range(f2 * ba)) AS j
+         |        FROM dim WHERE f2 > 0)),
+         |wsum AS (SELECT doc_id, w, sum(v) AS ws, count(*) AS wc
+         |         FROM sm GROUP BY 1, 2),
+         |gtot AS (SELECT doc_id, sum(v) AS total, count(*) AS n
+         |         FROM sm GROUP BY 1),
+         |eh AS (
+         |  SELECT w.doc_id,
+         |         CAST(sum(CASE WHEN CAST(w.ws AS DOUBLE) / w.wc
+         |                            >= CAST(g.total AS DOUBLE) / g.n
+         |                  THEN CASE WHEN w.w = 63 THEN (-9223372036854775807 - 1)
+         |                            ELSE (1::BIGINT << CAST(w.w AS INT)) END
+         |                  ELSE 0 END) AS BIGINT) AS fp
+         |  FROM wsum w JOIN gtot g ON g.doc_id = w.doc_id GROUP BY w.doc_id)
+         |SELECT d.doc_id, CAST(d.rate AS BIGINT) AS rate,
+         |       CAST(d.rate // 2 AS BIGINT) AS ds_rate,
+         |       CAST(d.ba AS BIGINT) AS channels,
+         |       CAST(d.frames AS BIGINT) AS n_frames,
+         |       CAST(d.f2 AS BIGINT) AS ds_frames,
+         |       CAST(44 + d.f2 * d.ba AS BIGINT) AS ds_bytes,
+         |       CAST(d.f2 * d.ba AS BIGINT) AS ds_data_len,
+         |       CAST(coalesce(eh.fp, 0) AS BIGINT) AS ds_energy
+         |FROM dim d LEFT JOIN eh USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     // frame-0 fingerprint replay + pigeonhole pairs + the shared recursive
     // components CTE — the video analog of mm_dedup_clusters
     "mm_video_clusters" ->

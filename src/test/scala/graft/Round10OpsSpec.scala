@@ -304,6 +304,34 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestBase {
     } finally cleanup(dir)
   }
 
+  test("audioDownsample: frame-granular decimation (stereo frames intact, " +
+      "partial tail dropped), half rate, container roundtrip") {
+    import graft.functions.MediaCodecs
+    // stereo, 7 frames + 1 trailing partial byte (dropped): frames 0,2,4,6
+    val stereo = Array.tabulate[Byte](15)(i => (i * 7 + 3).toByte)
+    // mono, 5 samples → 3 out (0,2,4)
+    val mono = Array.tabulate[Byte](5)(i => (100 + i).toByte)
+    val media = Seq(
+      graft.operators.MediaRecord(1L, "audio",
+        MediaCodecs.encodeWav(16000, 2, 8, stereo), "s0"),
+      graft.operators.MediaRecord(2L, "audio",
+        MediaCodecs.encodeWav(8000, 1, 8, mono), "s0"),
+      graft.operators.MediaRecord(3L, "image", Array[Byte](1, 2), "s0"))
+    val df = spark.createDataFrame(media)
+    val got = graft.operators.Multimodal.audioDownsample(spark, df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    assert(!got.contains(3L), "non-audio rows must not decode")
+    // stereo: frames = 15/2 = 7, out = 4 frames = 8 bytes, container 52
+    val expStereo = Array(0, 1, 4, 5, 8, 9, 12, 13).map(stereo(_))
+    assert(got(1L) == ((16000L, 8000L, 2L, 7L, 4L, 52L, 8L,
+      MediaCodecs.energyHash(expStereo))), s"got ${got(1L)}")
+    val expMono = Array(0, 2, 4).map(mono(_))
+    assert(got(2L) == ((8000L, 4000L, 1L, 5L, 3L, 47L, 3L,
+      MediaCodecs.energyHash(expMono))), s"got ${got(2L)}")
+  }
+
   test("q_ntile_profile: PrefixSum tiers equal the single-window " +
       "reference; counts sum to n and boundaries are monotone") {
     val rnd = new scala.util.Random(10)
