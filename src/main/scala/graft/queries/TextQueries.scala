@@ -212,6 +212,27 @@ object TextQueries {
         Text.wsTokenCount(col("text")).as("n_ws_tokens"))
         .orderBy("doc_id")),
 
+    // INTRA-DOC REPETITION REMOVAL (r10) — the REWRITE companion of
+    // text_repetition's score (the Gopher/Dolma cleaning verb: stuttered
+    // generation and scraped boilerplate produce immediate token
+    // repeats): consecutive exact-duplicate whitespace tokens collapse
+    // to one occurrence; the rewritten doc is the kept tokens joined by
+    // single spaces (whitespace normalization is PART of the rewrite
+    // contract). The gate hashes the rewritten text (md5) plus exact
+    // removal accounting. Map-only; the per-token lambda runs over the
+    // token array in place — the element_at guard keeps index 0 from
+    // ANSI-throwing before the OR folds (Spark evaluates both arms).
+    "text_derep" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", Text.wsTokens(col("text")))
+        .withColumn("kept", expr(
+          "filter(toks, (t, i) -> i = 0 OR t != element_at(toks, greatest(i, 1)))"))
+        .select(col("doc_id"),
+          Text.wsTokenCount(col("text")).as("n_tokens"),
+          (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+          md5(array_join(col("kept"), " ")).as("clean_md5"))
+        .orderBy("doc_id")),
+
     // WINNOWING fingerprints (r10) — the MOSS selection rule (Schleimer
     // et al. '03) next to text_fingerprint's whole-doc hash: slide a
     // w=4 window over the doc's k=3 shingle hashes and keep each
@@ -1306,6 +1327,25 @@ object TextQueries {
         |       CASE WHEN length(trim(text)) = 0 THEN 0
         |            ELSE len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_ws_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same consecutive-duplicate collapse (1-based DuckDB lambda index;
+    // w[0] is NULL and TRUE OR NULL = TRUE, so no guard needed here)
+    "text_derep" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text),
+        |                   '[ \t\n\x0b\f\r]+')) END AS n_tokens,
+        |         regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+') AS w
+        |  FROM documents),
+        |k AS (SELECT doc_id, n_tokens,
+        |             list_filter(w, (x, i) -> i = 1 OR x <> w[i-1]) AS kept,
+        |             len(w) AS raw_len
+        |      FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(raw_len - len(kept) AS BIGINT) AS n_removed,
+        |       md5(array_to_string(kept, ' ')) AS clean_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // same 3-shingle construction (short docs → one whole-doc gram), the
     // same hash·2¹⁶+(65535−pos) window key, the same full-window filter

@@ -304,6 +304,30 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestBase {
     } finally cleanup(dir)
   }
 
+  test("text_derep: consecutive duplicates collapse (case-sensitive, " +
+      "non-adjacent repeats kept), whitespace normalizes, empty doc intact") {
+    val dir = docLake(Seq(
+      (1L, "s0", "the the the quick quick fox"),
+      (2L, "s0", "a b a b a"),             // non-adjacent: nothing removed
+      (3L, "s0", "The the THE the"),       // case-sensitive: only exact runs
+      (4L, "s0", "one\t\tone   two"),      // whitespace runs normalize
+      (5L, "s0", "")))
+    try {
+      val md = (s: String) => {
+        val d = java.security.MessageDigest.getInstance("MD5")
+        d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      val got = graft.queries.TextQueries.queries("text_derep")(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got(1L) == ((6L, 3L, md("the quick fox"))), s"got ${got(1L)}")
+      assert(got(2L) == ((5L, 0L, md("a b a b a"))), s"got ${got(2L)}")
+      assert(got(3L) == ((4L, 0L, md("The the THE the"))), s"got ${got(3L)}")
+      assert(got(4L) == ((3L, 1L, md("one two"))), s"got ${got(4L)}")
+      assert(got(5L) == ((0L, 0L, md(""))), s"got ${got(5L)}")
+    } finally cleanup(dir)
+  }
+
   test("audioDownsample: frame-granular decimation (stereo frames intact, " +
       "partial tail dropped), half rate, container roundtrip") {
     import graft.functions.MediaCodecs
