@@ -2108,6 +2108,36 @@ object RelationalQueries {
         .orderBy("event_type", "dow")
     }),
 
+    // FORECAST BACKTEST (r10) — evaluation of the naive seasonal
+    // forecast (rev̂_m = rev_{m−12}, the baseline every real forecaster
+    // must beat) over each priority's monthly revenue series: MAE and
+    // WAPE as EXACT integer rationals (Σ|err| and Σactual in cents,
+    // quantized by integer division — no per-term float fold, so no
+    // summation-order risk; MAPE is deliberately NOT offered, its
+    // per-term divisions would reintroduce exactly that). One monthly
+    // rollup (map-side combined), a lag-12 per-priority window over the
+    // O(groups × months) table, O(groups) out.
+    "q_forecast_eval" -> ((s, dir) => {
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val monthly = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(sum(cents).as("c"))
+      val w = Window.partitionBy("o_orderpriority").orderBy("month")
+      val ev = monthly.withColumn("f", lag("c", 12).over(w))
+        .filter(col("f").isNotNull)
+      ev.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(abs(col("c") - col("f")).cast("decimal(38,0)")).as("sae"),
+          sum(col("c").cast("decimal(38,0)")).as("sa"))
+        .select(col("o_orderpriority"), col("n_eval"),
+          (expr("(sae * 100) div n_eval").cast("double") / lit(10000.0))
+            .as("mae"),
+          (expr("(sae * 10000) div sa").cast("double") / lit(10000.0))
+            .as("wape"))
+        .orderBy("o_orderpriority")
+    }),
+
     // RUNS TEST (r10) — Wald–Wolfowitz randomness diagnostic on each
     // supplier's price series (completing the hypothesis-test family
     // next to q_chi_square/q_ab_test/q_benford): is the above/below-mean
@@ -3728,6 +3758,29 @@ object RelationalQueries {
          |       CAST(t4 AS DOUBLE) / 10000.0 AS chi2_total
          |FROM s CROSS JOIN tt
          |ORDER BY event_type, dow""".stripMargin,
+
+    // same monthly cents rollup, lag-12 frame, and quantized integer
+    // divisions
+    "q_forecast_eval" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (
+        |  SELECT o_orderpriority, c,
+        |         lag(c, 12) OVER (PARTITION BY o_orderpriority
+        |           ORDER BY month) AS f
+        |  FROM m),
+        |g AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_eval,
+        |         CAST(sum(abs(c - f)) AS HUGEINT) AS sae,
+        |         CAST(sum(c) AS HUGEINT) AS sa
+        |  FROM e WHERE f IS NOT NULL GROUP BY 1)
+        |SELECT o_orderpriority, n_eval,
+        |       CAST((sae * 100) // n_eval AS DOUBLE) / 10000.0 AS mae,
+        |       CAST((sae * 10000) // sa AS DOUBLE) / 10000.0 AS wape
+        |FROM g ORDER BY o_orderpriority""".stripMargin,
 
     // same exact-integer sign rule, same lag-based run count over the
     // identical total order, same mirrored double tree

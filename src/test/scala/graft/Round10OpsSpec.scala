@@ -304,6 +304,29 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestBase {
     } finally cleanup(dir)
   }
 
+  test("q_forecast_eval: lag-12 naive forecast error on a crafted " +
+      "two-year series with hand-computed MAE/WAPE") {
+    // one priority, 24 months: year-1 revenue 100.00/mo, year-2
+    // 110.00/mo → 12 eval months, |err| = 10.00 each:
+    // MAE = 10.0, WAPE = 12000/132000 = 0.0909…→ floor 4dp 0.0909
+    val rows = for (y <- Seq(1996, 1997); mth <- 1 to 12) yield
+      (y.toLong * 100 + mth, "1-URGENT",
+        java.sql.Timestamp.valueOf(f"$y-$mth%02d-15 00:00:00"),
+        if (y == 1996) 100.00 else 110.00)
+    val orders = rows.toDF("o_orderkey", "o_orderpriority", "o_orderdate",
+      "o_totalprice")
+    val dir = toyLake("orders" -> orders)
+    try {
+      val got = graft.queries.RelationalQueries
+        .queries("q_forecast_eval")(spark, dir).collect()
+      assert(got.length == 1)
+      val r = got.head
+      assert(r.getString(0) == "1-URGENT" && r.getLong(1) == 12L)
+      assert(r.getDouble(2) == 10.0, s"mae: $r")
+      assert(r.getDouble(3) == 0.0909, s"wape: $r")
+    } finally cleanup(dir)
+  }
+
   test("text_derep: consecutive duplicates collapse (case-sensitive, " +
       "non-adjacent repeats kept), whitespace normalizes, empty doc intact") {
     val dir = docLake(Seq(
