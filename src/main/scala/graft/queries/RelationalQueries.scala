@@ -31,6 +31,11 @@ object RelationalQueries {
 
   private val sessionMemo = new graft.operators.SessionMemo[DataFrame]
 
+  /** Bucketed managed-table names for q_bucketed_join — written once per
+    * (session, lake); the table name carries a lake tag so two SF dirs in
+    * one session don't collide in the shared warehouse. */
+  private val bucketedMemo = new graft.operators.SessionMemo[(String, String)]
+
   /** Chunked (segment, key_hash) files for the streaming-KMV gate —
     * written once per (session, sf-dir). */
   private val kmvFeedMemo = new graft.operators.SessionMemo[String]
@@ -2108,6 +2113,36 @@ object RelationalQueries {
         .orderBy("event_type", "dow")
     }),
 
+    // BUCKETED CO-LOCATED JOIN (r10) — the storage-level join mechanic
+    // promoted into the oracle gate (the q_salted_join precedent: the
+    // result must be IDENTICAL to the plain join, the plan must not be):
+    // both sides persist ONCE per (session, lake) as bucketed+sorted
+    // managed tables on the join key, and every subsequent join on that
+    // key plans sort-merge with NO exchange on either side —
+    // ScaleOpsSpec pins the exchange-free plan, this gate pins result
+    // parity. At 100 TB this is the difference between re-shuffling the
+    // fact table per query and never shuffling it at all.
+    "q_bucketed_join" -> ((s, dir) => {
+      val (cTab, oTab) = bucketedMemo.get(s, dir) {
+        val tag = java.lang.Long.toHexString(
+          java.lang.Integer.toUnsignedLong(dir.hashCode))
+        val c = s"graft_bkt_cust_$tag"
+        val o = s"graft_bkt_ord_$tag"
+        graft.sources.Bucketing.writeBucketed(
+          t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+          c, "c_custkey", 8)
+        graft.sources.Bucketing.writeBucketed(
+          t(s, dir, "orders").select(col("o_custkey").as("c_custkey"),
+            col("o_totalprice")), o, "c_custkey", 8)
+        (c, o)
+      }
+      graft.sources.Bucketing.coLocatedJoin(s, cTab, oTab, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 4).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
     // FORECAST BACKTEST (r10) — evaluation of the naive seasonal
     // forecast (rev̂_m = rev_{m−12}, the baseline every real forecaster
     // must beat) over each priority's monthly revenue series: MAE and
@@ -3758,6 +3793,14 @@ object RelationalQueries {
          |       CAST(t4 AS DOUBLE) / 10000.0 AS chi2_total
          |FROM s CROSS JOIN tt
          |ORDER BY event_type, dow""".stripMargin,
+
+    // the PLAIN join — bucketing must be invisible to results (the
+    // q_salted_join posture)
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 4) AS revenue
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // same monthly cents rollup, lag-12 frame, and quantized integer
     // divisions

@@ -304,6 +304,28 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestBase {
     } finally cleanup(dir)
   }
 
+  test("q_bucketed_join: the gate query's own join is exchange-free " +
+      "below the join node (the co-location claim, on the gate plan)") {
+    val sf = "/root/testdata/sf0.001"
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.queries.RelationalQueries
+        .queries("q_bucketed_join")(spark, sf)
+      assert(df.count() > 0)
+      // AQE wraps the plan, so traverse the final printout: children print
+      // BELOW their parent — the aggregate's exchange sits above the join,
+      // so everything after the SortMergeJoin line must be exchange-free
+      val plan = df.queryExecution.executedPlan.toString
+      val at = plan.indexOf("SortMergeJoin")
+      assert(at >= 0, s"expected a sort-merge join in the gate plan:\n" +
+        plan.take(3000))
+      val below = plan.substring(at)
+      assert(!below.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n${below.take(2000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_forecast_eval: lag-12 naive forecast error on a crafted " +
       "two-year series with hand-computed MAE/WAPE") {
     // one priority, 24 months: year-1 revenue 100.00/mo, year-2
