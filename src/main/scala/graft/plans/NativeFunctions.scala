@@ -81,6 +81,10 @@ object NativeFunctions {
         HyperplaneSigsExpr(c, intArg(b, "bits"), intArg(t, "tables"), md5Planes = true)
       case other => bad("hyperplane_sigs_md5", "vec, bits, tables", other.size)
     },
+    "derep" -> {
+      case Seq(c) => DerepExpr(c)
+      case other => bad("derep", "text", other.size)
+    },
     "cosine_sim" -> {
       case Seq(a, b) => CosineSim(a, b)
       case other => bad("cosine_sim", "a, b", other.size)

@@ -254,7 +254,7 @@ object NgramHashes {
     * yields an empty token at that end (unlike Java's String.split, which
     * drops trailing empties), and an empty string yields one empty token.
     * \s chars are ASCII, so multi-byte UTF-8 sequences can never be split. */
-  private def tokenBounds(b: Array[Byte])
+  private[plans] def tokenBounds(b: Array[Byte])
       : (java.util.ArrayList[Integer], java.util.ArrayList[Integer]) = {
     @inline def isWs(c: Byte): Boolean =
       c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'

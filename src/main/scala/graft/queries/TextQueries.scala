@@ -219,18 +219,17 @@ object TextQueries {
     // to one occurrence; the rewritten doc is the kept tokens joined by
     // single spaces (whitespace normalization is PART of the rewrite
     // contract). The gate hashes the rewritten text (md5) plus exact
-    // removal accounting. Map-only; the per-token lambda runs over the
-    // token array in place — the element_at guard keeps index 0 from
-    // ANSI-throwing before the OR folds (Spark evaluates both arms).
+    // removal accounting. Map-only, and the collapse is ONE codegen'd
+    // pass per document (plans.Derep — the per-token interpreted lambda
+    // it replaced costs µs per element at corpus scale; the HOF chain
+    // survives as the parity reference in Round10OpsSpec).
     "text_derep" -> ((s, dir) =>
       docs(s, dir)
-        .withColumn("toks", Text.wsTokens(col("text")))
-        .withColumn("kept", expr(
-          "filter(toks, (t, i) -> i = 0 OR t != element_at(toks, greatest(i, 1)))"))
+        .withColumn("dr", graft.plans.Derep(s, col("text")))
         .select(col("doc_id"),
           Text.wsTokenCount(col("text")).as("n_tokens"),
-          (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
-          md5(array_join(col("kept"), " ")).as("clean_md5"))
+          col("dr.n_removed").cast("long").as("n_removed"),
+          md5(col("dr.clean")).as("clean_md5"))
         .orderBy("doc_id")),
 
     // WINNOWING fingerprints (r10) — the MOSS selection rule (Schleimer

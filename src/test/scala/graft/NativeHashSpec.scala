@@ -392,6 +392,7 @@ class NativeHashSpec extends AnyFunSuite with SparkTestBase {
           sort_array(graft.plans.NgramHashes.hashes(spark, $"text", 3)),
           sort_array(graft.plans.NgramHashes.hashes(spark, $"text", 2))).as("sic"),
         graft.plans.VecScale.scale(spark, $"a", lit(0.75)).as("vs"),
+        graft.plans.Derep(spark, $"text").as("dr"),
         graft.plans.NearestCentroid.nearest(spark, $"a",
           typedLit(Seq(Seq.fill(16)(0.5), Seq.fill(16)(-0.5)))).as("nc"))
         .collect()

@@ -373,6 +373,34 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestBase {
     } finally cleanup(dir)
   }
 
+  test("Derep native kernel is bit-equal to the HOF reference chain on " +
+      "nasty strings (edge whitespace, unicode, empties)") {
+    val texts = Seq(
+      "the the the quick quick fox", "a b a b a", "The the THE the",
+      "one\t\tone   two", "", "   ", "\tx x\t", "é é 中文 中文 中文 😀",
+      "solo", "x x", " x x ", "a\n\na a")
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .withColumn("dr", graft.plans.Derep(spark, org.apache.spark.sql.functions.col("text")))
+      .withColumn("toks", graft.functions.Text.wsTokens(org.apache.spark.sql.functions.col("text")))
+      .withColumn("kept", org.apache.spark.sql.functions.expr(
+        "filter(toks, (t, i) -> i = 0 OR t != element_at(toks, greatest(i, 1)))"))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("dr.clean"),
+        org.apache.spark.sql.functions.col("dr.n_removed"),
+        org.apache.spark.sql.functions.array_join(
+          org.apache.spark.sql.functions.col("kept"), " ").as("ref_clean"),
+        (org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col("toks")) -
+          org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col("kept")))
+          .as("ref_removed"))
+    df.collect().foreach { r =>
+      assert(r.getString(1) == r.getString(3),
+        s"doc ${r.getLong(0)}: native '${r.getString(1)}' vs HOF '${r.getString(3)}'")
+      assert(r.getInt(2) == r.getInt(4),
+        s"doc ${r.getLong(0)}: removed ${r.getInt(2)} vs ${r.getInt(4)}")
+    }
+  }
+
   test("audioDownsample: frame-granular decimation (stereo frames intact, " +
       "partial tail dropped), half rate, container roundtrip") {
     import graft.functions.MediaCodecs
