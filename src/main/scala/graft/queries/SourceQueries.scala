@@ -54,6 +54,10 @@ object SourceQueries {
     * is deleted at JVM exit and on a failed build. */
   private val exportMemo = new graft.operators.SessionMemo[String]
 
+  /** The z-ordered events rewrite for src_zorder_roundtrip — one
+    * clustered copy per (session, lake). */
+  private val zorderMemo = new graft.operators.SessionMemo[String]
+
   /** The Derby export's (url, max doc_id) — the range-read bound is a
     * pure function of the same lake the export snapshots. */
   private val jdbcMemo = new graft.operators.SessionMemo[(String, Long)]
@@ -260,6 +264,40 @@ object SourceQueries {
         .option("ignoreSurroundingSpaces", "false").xml(path))
     }),
 
+    // Z-ORDERED lake roundtrip (r10) — the multi-column clustering write
+    // promoted into the oracle gate (the q_bucketed_join posture: the
+    // layout must be INVISIBLE to results; the skipping benefit itself is
+    // ScaleOpsSpec's footer-envelope assertion): events rewrite through
+    // the Morton-curve range-partitioned sorted write clustered on
+    // (user_id, ts_us), and the gate reads the clustered copy back under
+    // exactly the two-dimensional predicate class the layout exists for
+    // (a user range AND a leading time window) — per-user exact
+    // accounting must equal the oracle's filter over the ORIGINAL lake.
+    "src_zorder_roundtrip" -> ((s, dir) => {
+      val path = zorderMemo.get(s, dir) {
+        val ev = Tables(s, dir, "events")
+        val e = ev.select(col("event_id"), col("user_id"),
+          Tables.tsMicros(ev).as("ts_us"), col("value"))
+        val tmp = graft.streaming.StreamGate.sessionTempDir("graft-src-zorder") {
+          td => graft.sources.ZOrder.writeZOrdered(
+            e, Seq("user_id", "ts_us"), s"$td/out", 8)
+        }
+        s"$tmp/out"
+      }
+      val back = s.read
+        .schema("event_id LONG, user_id LONG, ts_us LONG, value DOUBLE")
+        .parquet(path)
+      val t0 = back.agg(min("ts_us").as("t0"))
+      back.crossJoin(broadcast(t0))
+        .filter(col("user_id") >= 100 && col("user_id") < 200 &&
+          col("ts_us") < col("t0") + lit(30L * 86400000000L))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 10000).cast("long")).as("v4"),
+          sum(pmod(col("event_id"), lit(1000000007L))).as("id_checksum"))
+        .orderBy("user_id")
+    }),
+
     // Hive-layout partitioned lake: source becomes a directory key the
     // reader reconstructs; the 3-source filter prunes 17 of 20 partition
     // directories BEFORE any file is opened (partitionFilters, spec-pinned)
@@ -283,6 +321,19 @@ object SourceQueries {
       (statsSql + "\nGROUP BY source ORDER BY source"),
     "src_xml_roundtrip" ->
       (statsSql + "\nGROUP BY source ORDER BY source"),
+    // the same 2-dim predicate over the ORIGINAL lake — the clustered
+    // rewrite must be invisible to results
+    "src_zorder_roundtrip" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |           FROM events),
+        |b AS (SELECT min(ts_us) AS t0 FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v4,
+        |       CAST(sum(event_id % 1000000007) AS BIGINT) AS id_checksum
+        |FROM e, b
+        |WHERE user_id >= 100 AND user_id < 200
+        |  AND ts_us < t0 + 2592000000000
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "src_partitioned_roundtrip" ->
       (statsSql + "\nWHERE source IN ('src3', 'src7', 'src11')" +
         "\nGROUP BY source ORDER BY source"),

@@ -626,6 +626,55 @@ object VectorQueries {
         .orderBy("q_id")
     }),
 
+    // FILTERED ANN (r10) — attribute-constrained retrieval ("nearest
+    // within the same label"), the vector-DB filtered-search verb and
+    // the same-side sibling of emb_hard_negatives' different-label mine:
+    // the label predicate joins INTO candidate generation (never
+    // post-filtering a top-k that could then underfill). Query sample
+    // broadcasts; at 100 TB the production layout partitions the index
+    // by the filter attribute (the src_partitioned_roundtrip layout), so
+    // a filtered query scans only its label's directory — this gate pins
+    // the semantics the pruned plan must preserve.
+    "knn_filtered" -> ((s, dir) => {
+      val q = emb(s, dir).filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"))
+      val scored = emb(s, dir).join(broadcast(q),
+          col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          round(graft.plans.CosineSim.cosine(s, col("q_emb"), col("embedding")), 4)
+            .as("cos"))
+      Relational.topKByScore(scored, "q_id", "cos", "neighbor_id", topK)
+        .orderBy("q_id", "rk")
+    }),
+
+    // EMBEDDING-SPACE CONFUSION MATRIX (r10) — the label-coherence audit
+    // an embedding pipeline runs per model version: assign every vector
+    // to its NEAREST LABEL CENTROID and cross-tabulate true × predicted
+    // (diagonal mass = how linearly separable the labels are in this
+    // space). Centroids are the 1e-6-quantized VectorMeanAgg means
+    // (order-free long partials — reruns/reshards/oracles reproduce them
+    // bit-exactly, the knn_ivf discipline) collected as the O(labels ×
+    // dim) plan literal; assignment is the codegen'd NearestCentroid
+    // argmax (strict compare, lowest index = lowest label on ties) —
+    // map-side, no corpus exchange; output is the O(labels²) matrix.
+    "emb_confusion" -> ((s, dir) => {
+      val rows = emb(s, dir).groupBy("label")
+        .agg(graft.plans.VectorMeanAgg.mean(s, col("embedding")).as("centroid"))
+        .orderBy("label").collect()
+      val labels: Seq[Int] = rows.map(_.getInt(0)).toSeq
+      val cents: Seq[Seq[Double]] = rows.map(_.getSeq[Double](1)).toSeq
+      emb(s, dir).select(col("label"),
+          graft.plans.NearestCentroid.nearest(s, col("embedding"),
+            typedLit(cents)).as("ci"))
+        .withColumn("pred_label", element_at(typedLit(labels), col("ci") + 1))
+        .groupBy("label", "pred_label")
+        .agg(count(lit(1)).as("n"))
+        .select(col("label").cast("long").as("label"),
+          col("pred_label").cast("long").as("pred_label"), col("n"))
+        .orderBy("label", "pred_label")
+    }),
+
     // MATRYOSHKA truncation audit (r10) — MRL embeddings (Kusupati et
     // al. '22) ship one vector whose PREFIX is itself a usable lower-dim
     // embedding; serving truncates to d′ dims for cheap first-stage
@@ -1282,6 +1331,50 @@ object VectorQueries {
          |  FROM scored)
          |SELECT q_id, rk, neighbor_id, cos FROM ranked WHERE rk <= $topK
          |ORDER BY q_id, rk""".stripMargin,
+
+    // knn_bruteforce's ranking with the label-equality predicate inside
+    // candidate generation
+    "knn_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+         |                  embedding AS q_emb
+         |           FROM embeddings WHERE vec_id < $nQueries),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(
+         |           CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cos
+         |  FROM embeddings e JOIN q
+         |    ON e.label = q.q_label AND e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, neighbor_id, cos FROM ranked WHERE rk <= $topK
+         |ORDER BY q_id, rk""".stripMargin,
+
+    // the same quantized-long label means, the same argmax-cosine
+    // assignment (strict compare, lowest label on ties)
+    "emb_confusion" ->
+      s"""WITH sv AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |            FROM embeddings),
+         |dims AS (SELECT len(v) AS d FROM sv LIMIT 1),
+         |cld AS (SELECT label, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+         |        FROM sv),
+         |clm AS (SELECT label, dim,
+         |               CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS DOUBLE)
+         |                 / 1e6 / count(*) AS cx
+         |        FROM cld GROUP BY label, dim),
+         |cl AS (SELECT label AS plabel, list(cx ORDER BY dim) AS centroid
+         |       FROM clm GROUP BY label),
+         |asg AS (
+         |  SELECT vec_id, label, plabel AS pred_label FROM (
+         |    SELECT s.vec_id, s.label, c.plabel,
+         |           row_number() OVER (PARTITION BY s.vec_id
+         |             ORDER BY ${duckCos("s.v", "c.centroid")} DESC, c.plabel)
+         |             AS rn
+         |    FROM sv s, cl c) WHERE rn = 1)
+         |SELECT CAST(label AS BIGINT) AS label,
+         |       CAST(pred_label AS BIGINT) AS pred_label, count(*) AS n
+         |FROM asg GROUP BY 1, 2 ORDER BY label, pred_label""".stripMargin,
 
     // the same two brute-force rankings — full-dim and 16-prefix — with
     // the recall join replayed

@@ -304,6 +304,59 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestBase {
     } finally cleanup(dir)
   }
 
+  test("emb_confusion: well-separated crafted clusters give a diagonal " +
+      "matrix; mixed-in vectors land on their nearest label") {
+    val rnd = new scala.util.Random(11)
+    // label 0 clusters near +e1, label 1 near +e2, label 2 near +e3 —
+    // tight noise, so every vector's nearest centroid is its own label;
+    // then vec 90 carries label 0 but sits ON label 1's axis (planted
+    // off-diagonal mass)
+    def v(axis: Int, eps: Float) = Array.tabulate(64)(j =>
+      (if (j == axis) 1f else 0f) + (rnd.nextFloat() - 0.5f) * eps)
+    val vecs = ((0 until 90).map(i => (i.toLong, v(i % 3, 0.05f), i % 3)) :+
+      ((90L, v(1, 0.0f), 0))).toDF("vec_id", "embedding", "label")
+    val dir = toyLake("embeddings" -> vecs)
+    try {
+      val got = graft.queries.VectorQueries.queries("emb_confusion")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got((0L, 0L)) == 30L && got((1L, 1L)) == 30L &&
+        got((2L, 2L)) == 30L, s"diagonal: $got")
+      assert(got((0L, 1L)) == 1L, s"planted off-diagonal: $got")
+      assert(got.values.sum == 91L)
+    } finally cleanup(dir)
+  }
+
+  test("knn_filtered: every neighbor shares the query's label and the " +
+      "ranking equals the filtered brute-force reference") {
+    val rnd = new scala.util.Random(12)
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    val dir = toyLake("embeddings" -> vecs)
+    try {
+      val got = graft.queries.VectorQueries.queries("knn_filtered")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val data = vecs.collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var (d, na, nb) = (0.0, 0.0, 0.0)
+        for (j <- a.indices) { d += a(j).toDouble * b(j); na += a(j).toDouble * a(j); nb += b(j).toDouble * b(j) }
+        math.round(d / (math.sqrt(na) * math.sqrt(nb)) * 10000) / 10000.0
+      }
+      val ref = data.filter(_._1 < 5).flatMap { case (q, qv, ql) =>
+        data.filter(x => x._1 != q && x._3 == ql)
+          .map(x => (q, x._1, cos(qv, x._2)))
+          .sortBy { case (_, nid, c) => (-c, nid) }.take(10).zipWithIndex
+          .map { case ((qq, nid, c), i) => (qq, i.toLong + 1, nid, c) }
+      }.toSet
+      assert(got.toSet == ref, s"got ${got.toSet.diff(ref)} missing ${ref.diff(got.toSet)}")
+      val lbl = data.map(x => x._1 -> x._3).toMap
+      got.foreach { case (q, _, nid, _) =>
+        assert(lbl(q.toInt) == lbl(nid.toInt), "cross-label neighbor leaked")
+      }
+    } finally cleanup(dir)
+  }
+
   test("q_bucketed_join: the gate query's own join is exchange-free " +
       "below the join node (the co-location claim, on the gate plan)") {
     val sf = "/root/testdata/sf0.001"
