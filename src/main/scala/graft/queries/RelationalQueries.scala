@@ -2124,8 +2124,11 @@ object RelationalQueries {
     // fact table per query and never shuffling it at all.
     "q_bucketed_join" -> ((s, dir) => {
       val (cTab, oTab) = bucketedMemo.get(s, dir) {
-        val tag = java.lang.Long.toHexString(
-          java.lang.Integer.toUnsignedLong(dir.hashCode))
+        // full-width md5 of the lake path — a 32-bit String.hashCode tag
+        // could collide two lakes in one session and silently serve one
+        // lake's bucketed rows for the other
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
         val c = s"graft_bkt_cust_$tag"
         val o = s"graft_bkt_ord_$tag"
         graft.sources.Bucketing.writeBucketed(
@@ -2133,13 +2136,18 @@ object RelationalQueries {
           c, "c_custkey", 8)
         graft.sources.Bucketing.writeBucketed(
           t(s, dir, "orders").select(col("o_custkey").as("c_custkey"),
-            col("o_totalprice")), o, "c_custkey", 8)
+            round(col("o_totalprice") * 100).cast("long").as("o_cents")),
+          o, "c_custkey", 8)
         (c, o)
       }
+      // exact cents through the fold (order-free long/decimal sums), ONE
+      // division at the end — round(sum(double)) would gate an
+      // order-dependent float fold against DuckDB's own fold order
       graft.sources.Bucketing.coLocatedJoin(s, cTab, oTab, "c_custkey")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 4).as("revenue"))
+          round(sum(col("o_cents").cast("decimal(38,0)")).cast("double") / 100.0,
+            4).as("revenue"))
         .orderBy("c_mktsegment")
     }),
 
@@ -2149,18 +2157,24 @@ object RelationalQueries {
     // WAPE as EXACT integer rationals (Σ|err| and Σactual in cents,
     // quantized by integer division — no per-term float fold, so no
     // summation-order risk; MAPE is deliberately NOT offered, its
-    // per-term divisions would reintroduce exactly that). One monthly
-    // rollup (map-side combined), a lag-12 per-priority window over the
-    // O(groups × months) table, O(groups) out.
+    // per-term divisions would reintroduce exactly that). The baseline
+    // is a CALENDAR join on the integer month index ym = 12·year+month
+    // (a row-offset lag(12) would silently read 13+ months back across
+    // any empty (priority, month) cell — spec-pinned on a gapped
+    // series); months whose m−12 had no orders are excluded, stated
+    // rather than imputed. One monthly rollup (map-side combined), one
+    // self-join of the O(groups × months) table, O(groups) out.
     "q_forecast_eval" -> ((s, dir) => {
       val cents = round(col("o_totalprice") * 100).cast("long")
       val monthly = t(s, dir, "orders")
         .groupBy(col("o_orderpriority"),
-          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .as("ym"))
         .agg(sum(cents).as("c"))
-      val w = Window.partitionBy("o_orderpriority").orderBy("month")
-      val ev = monthly.withColumn("f", lag("c", 12).over(w))
-        .filter(col("f").isNotNull)
+      val ev = monthly.join(
+        monthly.select(col("o_orderpriority"), (col("ym") + 12).as("ym"),
+          col("c").as("f")),
+        Seq("o_orderpriority", "ym"))
       ev.groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_eval"),
           sum(abs(col("c") - col("f")).cast("decimal(38,0)")).as("sae"),
@@ -3795,31 +3809,32 @@ object RelationalQueries {
          |ORDER BY event_type, dow""".stripMargin,
 
     // the PLAIN join — bucketing must be invisible to results (the
-    // q_salted_join posture)
+    // q_salted_join posture); exact cents through the fold
     "q_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |       round(sum(o_totalprice), 4) AS revenue
+        |       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |             AS DOUBLE) / 100.0, 4) AS revenue
         |FROM customer JOIN orders ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
-    // same monthly cents rollup, lag-12 frame, and quantized integer
-    // divisions
+    // same monthly cents rollup, same calendar month-index self-join,
+    // and quantized integer divisions
     "q_forecast_eval" ->
       """WITH m AS (
-        |  SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+        |  SELECT o_orderpriority,
+        |         year(o_orderdate) * 12 + month(o_orderdate) AS ym,
         |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
         |           AS BIGINT) AS c
         |  FROM orders GROUP BY 1, 2),
         |e AS (
-        |  SELECT o_orderpriority, c,
-        |         lag(c, 12) OVER (PARTITION BY o_orderpriority
-        |           ORDER BY month) AS f
-        |  FROM m),
+        |  SELECT a.o_orderpriority, a.c, b.c AS f
+        |  FROM m a JOIN m b
+        |    ON b.o_orderpriority = a.o_orderpriority AND b.ym = a.ym - 12),
         |g AS (
         |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_eval,
         |         CAST(sum(abs(c - f)) AS HUGEINT) AS sae,
         |         CAST(sum(c) AS HUGEINT) AS sa
-        |  FROM e WHERE f IS NOT NULL GROUP BY 1)
+        |  FROM e GROUP BY 1)
         |SELECT o_orderpriority, n_eval,
         |       CAST((sae * 100) // n_eval AS DOUBLE) / 10000.0 AS mae,
         |       CAST((sae * 10000) // sa AS DOUBLE) / 10000.0 AS wape

@@ -379,15 +379,20 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("q_forecast_eval: lag-12 naive forecast error on a crafted " +
-      "two-year series with hand-computed MAE/WAPE") {
-    // one priority, 24 months: year-1 revenue 100.00/mo, year-2
-    // 110.00/mo → 12 eval months, |err| = 10.00 each:
-    // MAE = 10.0, WAPE = 12000/132000 = 0.0909…→ floor 4dp 0.0909
-    val rows = for (y <- Seq(1996, 1997); mth <- 1 to 12) yield
-      (y.toLong * 100 + mth, "1-URGENT",
-        java.sql.Timestamp.valueOf(f"$y-$mth%02d-15 00:00:00"),
-        if (y == 1996) 100.00 else 110.00)
+  test("q_forecast_eval: calendar-joined naive forecast on a GAPPED " +
+      "two-year series — a month with no orders must not shift the " +
+      "baseline (hand-computed MAE/WAPE)") {
+    // one priority, year-1 = 100.00/mo (all 12 months), year-2 =
+    // 110.00/mo but month 6 has NO orders: 11 eval months, each
+    // forecast against its TRUE m−12 (a row-offset lag would misalign
+    // every month after the gap), |err| = 10.00 each:
+    // MAE = 10.0, WAPE = 11000/121000 → floor 4dp 0.0909
+    val rows = for {
+      y <- Seq(1996, 1997); mth <- 1 to 12
+      if !(y == 1997 && mth == 6)
+    } yield (y.toLong * 100 + mth, "1-URGENT",
+      java.sql.Timestamp.valueOf(f"$y-$mth%02d-15 00:00:00"),
+      if (y == 1996) 100.00 else 110.00)
     val orders = rows.toDF("o_orderkey", "o_orderpriority", "o_orderdate",
       "o_totalprice")
     val dir = toyLake("orders" -> orders)
@@ -396,7 +401,7 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestBase {
         .queries("q_forecast_eval")(spark, dir).collect()
       assert(got.length == 1)
       val r = got.head
-      assert(r.getString(0) == "1-URGENT" && r.getLong(1) == 12L)
+      assert(r.getString(0) == "1-URGENT" && r.getLong(1) == 11L, s"$r")
       assert(r.getDouble(2) == 10.0, s"mae: $r")
       assert(r.getDouble(3) == 0.0909, s"wape: $r")
     } finally cleanup(dir)
