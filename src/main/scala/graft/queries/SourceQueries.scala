@@ -287,10 +287,14 @@ object SourceQueries {
       val back = s.read
         .schema("event_id LONG, user_id LONG, ts_us LONG, value DOUBLE")
         .parquet(path)
-      val t0 = back.agg(min("ts_us").as("t0"))
-      back.crossJoin(broadcast(t0))
-        .filter(col("user_id") >= 100 && col("user_id") < 200 &&
-          col("ts_us") < col("t0") + lit(30L * 86400000000L))
+      // bounds derive from the data itself (a fixed user range is empty
+      // at the smallest lake — caught by the smoke gate): first third of
+      // the user-id space AND the first third of the time span
+      val b = back.agg(min("ts_us").as("t0"), max("ts_us").as("t1"),
+        max("user_id").as("mu"))
+      back.crossJoin(broadcast(b))
+        .filter(col("user_id") < expr("(mu + 1) div 3") &&
+          col("ts_us") < col("t0") + expr("(t1 - t0) div 3"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
           sum(round(col("value") * 10000).cast("long")).as("v4"),
@@ -326,13 +330,14 @@ object SourceQueries {
     "src_zorder_roundtrip" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
         |           FROM events),
-        |b AS (SELECT min(ts_us) AS t0 FROM e)
+        |b AS (SELECT min(ts_us) AS t0, max(ts_us) AS t1,
+        |             max(user_id) AS mu FROM e)
         |SELECT user_id, count(*) AS n_events,
         |       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v4,
         |       CAST(sum(event_id % 1000000007) AS BIGINT) AS id_checksum
         |FROM e, b
-        |WHERE user_id >= 100 AND user_id < 200
-        |  AND ts_us < t0 + 2592000000000
+        |WHERE user_id < (mu + 1) // 3
+        |  AND ts_us < t0 + (t1 - t0) // 3
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "src_partitioned_roundtrip" ->
       (statsSql + "\nWHERE source IN ('src3', 'src7', 'src11')" +
