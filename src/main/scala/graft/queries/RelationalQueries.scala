@@ -2126,9 +2126,15 @@ object RelationalQueries {
       val (cTab, oTab) = bucketedMemo.get(s, dir) {
         // full-width md5 of the lake path — a 32-bit String.hashCode tag
         // could collide two lakes in one session and silently serve one
-        // lake's bucketed rows for the other
+        // lake's bucketed rows for the other — PLUS a per-JVM nonce: two
+        // concurrent local sessions (test suite + Verify) share the cwd
+        // spark-warehouse, and writeBucketed DELETES the table location
+        // first, so a shared name would let one JVM rip files out from
+        // under the other's scan
         val tag = java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+          .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString +
+          "_" + java.lang.Long.toHexString(
+            java.lang.Integer.toUnsignedLong(System.identityHashCode(s)))
         val c = s"graft_bkt_cust_$tag"
         val o = s"graft_bkt_ord_$tag"
         graft.sources.Bucketing.writeBucketed(
