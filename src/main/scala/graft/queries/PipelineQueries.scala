@@ -441,6 +441,39 @@ object PipelineQueries {
           max("n_chunks_doc").as("max_chunks_per_doc"))
         .orderBy("source")),
 
+    // PER-EPOCH DETERMINISTIC SHUFFLE (r10) — reproducible epoch
+    // reshuffling (every training epoch wants a DIFFERENT order, and
+    // every re-run/resume wants the SAME ones — so the order is a pure
+    // function of (epoch, content id): key = md5(epoch:doc_id), no RNG
+    // state anywhere). The exact per-epoch rank rides the two-level
+    // PrefixSum (range partition + broadcast offsets — reshuffling a
+    // 100 TB corpus per epoch is a range exchange, never a single
+    // reducer); the gate pins each epoch's ENTIRE order through a
+    // modular rank·id checksum (decimal(38) sum, one mod at the end)
+    // plus the argmin/argmax endpoints — and the epochs must differ,
+    // which the checksum makes visible.
+    "pipeline_epoch_shuffle" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+        .withColumn("epoch", explode(sequence(lit(0L), lit(2L))))
+        .withColumn("k", conv(substring(md5(
+          concat(col("epoch"), lit(":"), col("doc_id"))), 1, 12), 16, 10)
+          .cast("long"))
+        .withColumn("__one", lit(1L))
+      val ranked = graft.operators.PrefixSum.cumSum(
+        d, "epoch", Seq(col("k"), col("doc_id")), "__one", "rk")
+      ranked
+        .groupBy("epoch")
+        .agg(count(lit(1)).as("n_docs"),
+          min(struct(col("k"), col("doc_id"))).as("lo"),
+          max(struct(col("k"), col("doc_id"))).as("hi"),
+          sum((pmod(col("rk"), lit(83003L)) * pmod(col("doc_id"), lit(83003L)))
+            .cast("decimal(38,0)")).as("cs"))
+        .select(col("epoch"), col("n_docs"),
+          col("lo.doc_id").as("first_doc"), col("hi.doc_id").as("last_doc"),
+          expr("CAST(cs % 1000000007 AS LONG)").as("order_checksum"))
+        .orderBy("epoch")
+    }),
+
     // TEMPERATURE-SAMPLED source mix (r10) — the multilingual-LLM
     // upsampling rule (mT5/XLM-R: p_s ∝ mass_s^α): α < 1 flattens the
     // source distribution so low-resource sources are over-represented
@@ -827,6 +860,25 @@ object PipelineQueries {
         |       (r.rank - 1) * n.n_sources + i.src_idx AS position
         |FROM r JOIN i USING (source) CROSS JOIN n
         |ORDER BY position LIMIT 50""".stripMargin,
+
+    // the same md5(epoch:doc_id) order, rank·id checksum in HUGEINT,
+    // one mod at the end
+    "pipeline_epoch_shuffle" ->
+      """WITH d AS (
+        |  SELECT doc_id, epoch,
+        |         ('0x' || substr(md5(epoch::VARCHAR || ':' ||
+        |            doc_id::VARCHAR), 1, 12))::BIGINT AS k
+        |  FROM documents CROSS JOIN (SELECT unnest(range(3)) AS epoch)),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY epoch
+        |               ORDER BY k, doc_id) AS BIGINT) AS rk,
+        |               CAST(count(*) OVER (PARTITION BY epoch) AS BIGINT) AS nn
+        |      FROM d)
+        |SELECT epoch, CAST(count(*) AS BIGINT) AS n_docs,
+        |       max(CASE WHEN rk = 1 THEN doc_id END) AS first_doc,
+        |       max(CASE WHEN rk = nn THEN doc_id END) AS last_doc,
+        |       CAST(sum(CAST((rk % 83003) * (doc_id % 83003) AS HUGEINT))
+        |            % 1000000007 AS BIGINT) AS order_checksum
+        |FROM r GROUP BY epoch ORDER BY epoch""".stripMargin,
 
     // same integer-quantized sqrt weights, exact integer denominator,
     // integer-rational shares and floor targets

@@ -201,6 +201,27 @@ object TextQueries {
         col("lang").as("lang_actual"))
         .orderBy("doc_id")),
 
+    // LANGUAGE-ID CONFUSION MATRIX (r10) — the classifier-quality audit
+    // over text_langid's per-doc predictions (the text-tier twin of
+    // emb_confusion): the lake's stored `lang` column is the truth axis,
+    // the marker-vote prediction the other; diagonal mass = detector
+    // accuracy per language, the 'und' column = coverage gaps. One
+    // map-only prediction pass + one O(langs²) groupBy; the per-truth
+    // accuracy is an exact integer rational floor-quantized once.
+    "text_lang_confusion" -> ((s, dir) => {
+      val cells = docs(s, dir)
+        .select(col("lang").as("lang_actual"),
+          Text.langId(col("text")).as("lang_pred"))
+        .groupBy("lang_actual", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.groupBy("lang_actual").agg(sum("n").as("n_actual"))
+      cells.join(broadcast(tot), "lang_actual")
+        .select(col("lang_actual"), col("lang_pred"), col("n"),
+          (expr("(n * 10000) div n_actual").cast("double") / lit(10000.0))
+            .as("share_of_actual"))
+        .orderBy("lang_actual", "lang_pred")
+    }),
+
     // Rolling md5-prefix polynomial fingerprint (order-sensitive): native
     // one-pass expression; the identical recurrence replays in the oracle
     // via list_reduce, so this is exact-checked, not rows-only.
@@ -1045,6 +1066,39 @@ object TextQueries {
          |       CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred,
          |       lang_actual
          |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // the same marker-vote prediction CTEs cross-tabbed against the
+    // stored lang column; shares as quantized integer rationals
+    "text_lang_confusion" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang AS lang_actual,
+         |         regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
+         |  FROM documents),
+         |hits AS (
+         |  SELECT doc_id, lang_actual, l.lang,
+         |         len(list_filter(t, x -> list_contains(l.markers, x))) AS hits
+         |  FROM toks CROSS JOIN (
+         |    SELECT * FROM (VALUES
+         |      $markerRows) v(lang, markers)) l),
+         |best AS (
+         |  SELECT doc_id, lang_actual, lang, hits,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY hits DESC, lang DESC) AS rn
+         |  FROM hits),
+         |pred AS (
+         |  SELECT lang_actual,
+         |         CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred
+         |  FROM best WHERE rn = 1),
+         |cells AS (SELECT lang_actual, lang_pred,
+         |                 CAST(count(*) AS BIGINT) AS n
+         |          FROM pred GROUP BY 1, 2),
+         |tot AS (SELECT lang_actual, CAST(sum(n) AS BIGINT) AS n_actual
+         |        FROM cells GROUP BY 1)
+         |SELECT lang_actual, lang_pred, n,
+         |       CAST((n * 10000) // n_actual AS DOUBLE) / 10000.0
+         |         AS share_of_actual
+         |FROM cells JOIN tot USING (lang_actual)
+         |ORDER BY lang_actual, lang_pred""".stripMargin,
 
     // same vocab collapse, same weighted bigram unnest, integer counts
     "text_bpe_pairs" ->

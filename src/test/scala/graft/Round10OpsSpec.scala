@@ -304,6 +304,53 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestBase {
     } finally cleanup(dir)
   }
 
+  test("text_lang_confusion: hand-crafted marker docs land on the " +
+      "diagonal; marker-free docs fall into the 'und' column") {
+    val dir = docLake(Seq(
+      (1L, "s0", "the cat and the dog of the house"),   // en markers
+      (2L, "s0", "der hund und die katze ist nicht"),   // de markers
+      (3L, "s0", "qwerty zxcvb plmokn"),                // no markers → und
+      (4L, "s0", "the house of the king and it is")))   // en again
+    try {
+      val got = graft.queries.TextQueries
+        .queries("text_lang_confusion")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      // docLake writes lang = "en" for every row, so truth axis is 'en'
+      assert(got(("en", "en")) == ((2L, 0.5)), s"got $got")
+      assert(got(("en", "de")) == ((1L, 0.25)), s"got $got")
+      assert(got(("en", "und")) == ((1L, 0.25)), s"got $got")
+    } finally cleanup(dir)
+  }
+
+  test("pipeline_epoch_shuffle: epochs are equal-size, orders differ, " +
+      "and epoch 0 matches a from-scratch md5 ordering reference") {
+    val dir = docLake((1 to 40).map(i => (i.toLong, "s0", s"doc $i")))
+    try {
+      val got = graft.queries.PipelineQueries
+        .queries("pipeline_epoch_shuffle")(spark, dir).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got.keySet == Set(0L, 1L, 2L))
+      assert(got.values.forall(_._1 == 40L), s"equal sizes: $got")
+      assert(got.values.map(_._4).toSet.size == 3,
+        s"per-epoch orders must differ: $got")
+      // from-scratch epoch-0 reference
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def k(e: Long, id: Long): Long = java.lang.Long.parseLong(
+        md.digest(s"$e:$id".getBytes("UTF-8")).take(6)
+          .map("%02x".format(_)).mkString, 16)
+      for (e <- 0L to 2L) {
+        val order = (1L to 40L).map(id => (k(e, id), id)).sortBy(identity)
+        val cs = order.zipWithIndex
+          .map { case ((_, id), i) => (i + 1L) % 83003L * (id % 83003L) }
+          .sum % 1000000007L
+        assert(got(e) == ((40L, order.head._2, order.last._2, cs)),
+          s"epoch $e: got ${got(e)} ref ${(40L, order.head._2, order.last._2, cs)}")
+      }
+    } finally cleanup(dir)
+  }
+
   test("emb_confusion: well-separated crafted clusters give a diagonal " +
       "matrix; mixed-in vectors land on their nearest label") {
     val rnd = new scala.util.Random(11)
