@@ -2126,15 +2126,17 @@ object RelationalQueries {
       val (cTab, oTab) = bucketedMemo.get(s, dir) {
         // full-width md5 of the lake path — a 32-bit String.hashCode tag
         // could collide two lakes in one session and silently serve one
-        // lake's bucketed rows for the other — PLUS a per-JVM nonce: two
+        // lake's bucketed rows for the other — PLUS the process id: two
         // concurrent local sessions (test suite + Verify) share the cwd
         // spark-warehouse, and writeBucketed DELETES the table location
         // first, so a shared name would let one JVM rip files out from
-        // under the other's scan
+        // under the other's scan (the pid is genuinely unique across
+        // live local processes; identityHashCode is NOT — HotSpot's
+        // identity-hash PRNG is deterministically seeded, so twin JVMs
+        // can mint the same value)
         val tag = java.security.MessageDigest.getInstance("MD5")
           .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString +
-          "_" + java.lang.Long.toHexString(
-            java.lang.Integer.toUnsignedLong(System.identityHashCode(s)))
+          "_" + ProcessHandle.current().pid()
         val c = s"graft_bkt_cust_$tag"
         val o = s"graft_bkt_ord_$tag"
         graft.sources.Bucketing.writeBucketed(
@@ -2144,6 +2146,16 @@ object RelationalQueries {
           t(s, dir, "orders").select(col("o_custkey").as("c_custkey"),
             round(col("o_totalprice") * 100).cast("long").as("o_cents")),
           o, "c_custkey", 8)
+        // per-run-unique names would otherwise LEAK a bucketed copy of
+        // the fact table into the shared warehouse on every run: sweep
+        // this session's two dirs at JVM exit (the catalog is in-memory
+        // and dies with the session; only the files persist)
+        val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          Seq(c, o).foreach { tn =>
+            graft.operators.Checkpointing.deleteRecursively(
+              new java.io.File(wh, tn).getPath)
+          }))
         (c, o)
       }
       // exact cents through the fold (order-free long/decimal sums), ONE

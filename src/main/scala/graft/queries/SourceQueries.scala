@@ -289,12 +289,17 @@ object SourceQueries {
         .parquet(path)
       // bounds derive from the data itself (a fixed user range is empty
       // at the smallest lake — caught by the smoke gate): first third of
-      // the user-id space AND the first third of the time span
-      val b = back.agg(min("ts_us").as("t0"), max("ts_us").as("t1"),
-        max("user_id").as("mu"))
-      back.crossJoin(broadcast(b))
-        .filter(col("user_id") < expr("(mu + 1) div 3") &&
-          col("ts_us") < col("t0") + expr("(t1 - t0) div 3"))
+      // the user-id space AND the first third of the time span. The
+      // 1-row bounds aggregate COLLECTS to the driver (the documented
+      // bounded pull) so the filters are PLAN LITERALS — a broadcast
+      // crossJoin would make both dimensions join predicates that never
+      // reach the parquet footers, defeating the pruning this layout
+      // exists for
+      val b = back.agg(min("ts_us"), max("ts_us"), max("user_id")).head()
+      val (t0, t1, mu) = (b.getLong(0), b.getLong(1), b.getLong(2))
+      back
+        .filter(col("user_id") < lit((mu + 1) / 3) &&
+          col("ts_us") < lit(t0 + (t1 - t0) / 3))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
           sum(round(col("value") * 10000).cast("long")).as("v4"),
