@@ -52,6 +52,41 @@ final case class BeginMsg(finalLsn: Long, commitTsUs: Long, xid: Int) extends Pg
 
 final case class CommitMsg(flags: Byte, commitLsn: Long, endLsn: Long, tsUs: Long) extends PgMessage
 
+// --------------------------------------------------------------------------
+// Protocol v2 — streamed in-progress transactions (public PostgreSQL
+// "Logical Replication Message Formats" docs, messages available since
+// protocol version 2). The reference pins v1 (postrack.go:299-301); v2 is
+// the extension that lets a primary ship a LARGE transaction in segments
+// BEFORE it commits, so the capture side never buffers a whole 100 GB
+// transaction behind its commit record.
+
+/** 'S' — opens a stream segment of in-progress transaction `xid`;
+  * `firstSegment` is the protocol's first-segment flag (Int8 = 1 on the
+  * first segment of each xid). Every message between this and the matching
+  * StreamStop belongs to `xid` and carries an Int32 xid right after its
+  * type byte (see [[StreamedMsg]]). */
+final case class StreamStartMsg(xid: Int, firstSegment: Boolean) extends PgMessage
+
+/** 'E' — closes the current stream segment. No payload. */
+case object StreamStopMsg extends PgMessage
+
+/** 'c' (lowercase — distinct from the v1 Commit 'C') — commits a streamed
+  * transaction: everything shipped in its segments becomes visible. */
+final case class StreamCommitMsg(
+    xid: Int, flags: Byte, commitLsn: Long, endLsn: Long, tsUs: Long) extends PgMessage
+
+/** 'A' — aborts a streamed transaction (or a subtransaction of it):
+  * every segment already shipped for `xid` must be discarded. Protocol v2
+  * carries (xid, subXid); the v4 abort-LSN/timestamp extension is out of
+  * scope (we pin v2). */
+final case class StreamAbortMsg(xid: Int, subXid: Int) extends PgMessage
+
+/** A data message that arrived INSIDE a stream segment: the wire layout is
+  * the v1 message with an Int32 `xid` spliced between the type byte and the
+  * body (the protocol's "Xid of the transaction, only present for streamed
+  * transactions" field). */
+final case class StreamedMsg(xid: Int, inner: PgMessage) extends PgMessage
+
 /** The reference's HandleFunc tuple (postrack.go:35) as a row: nil maps where
   * the reference passes nil (INSERT has no before, DELETE no after, TRUNCATE
   * neither), and — matching postrack.go:379-382 exactly — null/TOAST columns
@@ -81,6 +116,80 @@ object RelationRegistry {
     new RelationRegistry(
       rels.groupBy(_._2.relationId)
         .map { case (id, vs) => id -> vs.sortBy(_._1).toVector })
+}
+
+/** One reconstructed stream segment: frames with startLsn < lsn < stopLsn
+  * belong to streamed transaction `xid`. */
+final case class StreamSegment(startLsn: Long, stopLsn: Long, xid: Int)
+
+/** The v2 stream-transaction context reconstructed from the O(#segments +
+  * #txns) control frames: segment intervals (which frames are streamed, and
+  * whose) plus each streamed xid's final fate. Like the RelationRegistry,
+  * this is a bounded driver artifact BROADCAST to the decode pass, so data
+  * frames resolve their stream membership by LSN binary search — order-free,
+  * which is what lets the segment-interleaved lake decode partition-parallel
+  * instead of replaying the byte stream serially. */
+final class StreamContext(
+    private val segments: Vector[StreamSegment],
+    val committed: Set[Int],
+    val aborted: Set[Int]) extends Serializable {
+
+  private val starts: Array[Long] = segments.map(_.startLsn).toArray
+
+  /** The segment containing `lsn`, if any (strict bounds: the Start/Stop
+    * control frames themselves are not "inside"). */
+  def segmentAt(lsn: Long): Option[StreamSegment] = {
+    var i = java.util.Arrays.binarySearch(starts, lsn)
+    if (i < 0) i = -i - 2 // insertion point - 1: last segment starting before lsn
+    if (i < 0) None
+    else {
+      val s = segments(i)
+      if (lsn > s.startLsn && lsn < s.stopLsn) Some(s) else None
+    }
+  }
+
+  /** Loud visibility: every streamed xid must have resolved to exactly one
+    * of commit/abort — an unresolved xid means the lake is missing its
+    * fate frame and silently guessing would corrupt the feed. */
+  def isVisible(xid: Int): Boolean =
+    if (committed(xid)) true
+    else if (aborted(xid)) false
+    else throw new IllegalStateException(
+      s"streamed transaction $xid has no Stream Commit/Abort in the lake")
+}
+
+object StreamContext {
+
+  /** Reconstruct the context from decoded control frames (lsn, msg). Each
+    * StreamStart pairs with the next StreamStop above it — the protocol
+    * serializes segments on the wire, so in LSN order they cannot nest or
+    * overlap; a malformed lake fails loudly here. */
+  def build(controls: Seq[(Long, PgMessage)]): StreamContext = {
+    val sorted = controls.sortBy(_._1)
+    val segs = Vector.newBuilder[StreamSegment]
+    var open: Option[(Long, Int)] = None
+    var committed = Set.empty[Int]
+    var aborted = Set.empty[Int]
+    sorted.foreach {
+      case (lsn, StreamStartMsg(xid, _)) =>
+        require(open.isEmpty,
+          s"Stream Start at lsn $lsn while segment ${open.get} is still open")
+        open = Some((lsn, xid))
+      case (lsn, StreamStopMsg) =>
+        val (s, xid) = open.getOrElse(
+          throw new IllegalStateException(s"Stream Stop at lsn $lsn with no open segment"))
+        segs += StreamSegment(s, lsn, xid)
+        open = None
+      case (_, StreamCommitMsg(xid, _, _, _, _)) => committed += xid
+      case (_, StreamAbortMsg(xid, _)) => aborted += xid
+      case (lsn, other) =>
+        throw new IllegalArgumentException(s"non-control frame at lsn $lsn: $other")
+    }
+    require(open.isEmpty, s"unterminated stream segment: ${open.get}")
+    val both = committed intersect aborted
+    require(both.isEmpty, s"xids both committed and aborted: $both")
+    new StreamContext(segs.result().sortBy(_.startLsn), committed, aborted)
+  }
 }
 
 object PgOutput {
@@ -135,8 +244,40 @@ object PgOutput {
         BeginMsg(buf.getLong, buf.getLong, buf.getInt)
       case 'C' =>
         CommitMsg(buf.get(), buf.getLong, buf.getLong, buf.getLong)
+      case 'S' =>
+        StreamStartMsg(buf.getInt, buf.get() == 1)
+      case 'E' =>
+        StreamStopMsg
+      case 'c' =>
+        StreamCommitMsg(buf.getInt, buf.get(), buf.getLong, buf.getLong, buf.getLong)
+      case 'A' =>
+        StreamAbortMsg(buf.getInt, buf.getInt)
       case other =>
         throw new IllegalArgumentException(s"unknown pgoutput message type '${other.toChar}'")
+    }
+  }
+
+  /** The v2 data types that carry the spliced Int32 xid when they arrive
+    * inside a stream segment. Stream control frames ('S','E','c','A') are
+    * never xid-prefixed — the xid is their own first field. */
+  private val StreamableTypes: Set[Byte] =
+    Set('R', 'I', 'U', 'D', 'T', 'M').map(_.toByte)
+
+  /** Decode a frame that arrived INSIDE a stream segment: data types carry
+    * an Int32 xid between the type byte and the v1 body — splice it out,
+    * decode the v1 message, and return both. Control frames pass through
+    * to the plain decoder (their xid is part of their own payload). */
+  def decodeStreamed(bytes: Array[Byte]): PgMessage = {
+    require(bytes != null && bytes.nonEmpty, "empty pgoutput frame")
+    if (!StreamableTypes.contains(bytes(0))) decode(bytes)
+    else {
+      require(bytes.length >= 5,
+        s"streamed '${bytes(0).toChar}' frame too short for its xid field")
+      val xid = ByteBuffer.wrap(bytes, 1, 4).getInt
+      val v1 = new Array[Byte](bytes.length - 4)
+      v1(0) = bytes(0)
+      System.arraycopy(bytes, 5, v1, 1, bytes.length - 5)
+      StreamedMsg(xid, decode(v1))
     }
   }
 
@@ -199,6 +340,21 @@ object PgOutput {
         u8('B'); u64(finalLsn); u64(ts); u32(xid)
       case CommitMsg(flags, commitLsn, endLsn, ts) =>
         u8('C'); u8(flags); u64(commitLsn); u64(endLsn); u64(ts)
+      case StreamStartMsg(xid, first) =>
+        u8('S'); u32(xid); u8(if (first) 1 else 0)
+      case StreamStopMsg =>
+        u8('E')
+      case StreamCommitMsg(xid, flags, commitLsn, endLsn, ts) =>
+        u8('c'); u32(xid); u8(flags); u64(commitLsn); u64(endLsn); u64(ts)
+      case StreamAbortMsg(xid, subXid) =>
+        u8('A'); u32(xid); u32(subXid)
+      case StreamedMsg(xid, inner) =>
+        // the v1 encoding with the Int32 xid spliced after the type byte —
+        // the exact inverse of decodeStreamed's splice-out
+        val v1 = encode(inner)
+        require(StreamableTypes.contains(v1(0)),
+          s"'${v1(0).toChar}' cannot ride inside a stream segment")
+        u8(v1(0)); u32(xid); out.write(v1, 1, v1.length - 1)
     }
     out.toByteArray
   }
@@ -211,7 +367,14 @@ object PgOutput {
     * tuple arrived, postrack.go:387-392), DELETE (nil, before), TRUNCATE one
     * event per relation with (nil, nil). Begin/Commit/Relation produce no
     * events (relation registration happens in the registry). */
-  def toEvents(registry: RelationRegistry, lsn: Long, bytes: Array[Byte]): Iterator[ChangeEvent] = {
+  def toEvents(registry: RelationRegistry, lsn: Long, bytes: Array[Byte]): Iterator[ChangeEvent] =
+    eventsOf(registry, lsn, decode(bytes))
+
+  /** The HandleFunc dispatch over an already-decoded message — shared by the
+    * v1 byte path above and the v2 streamed path (where the caller has
+    * already unwrapped [[StreamedMsg]] and applied commit/abort
+    * visibility). */
+  def eventsOf(registry: RelationRegistry, lsn: Long, msg: PgMessage): Iterator[ChangeEvent] = {
     def row(relId: Int, t: PgTuple): Map[String, String] = {
       val rel = registry.relationAt(relId, lsn).getOrElse(
         throw new IllegalStateException(s"no RelationMessage for relation $relId at lsn $lsn"))
@@ -223,7 +386,7 @@ object PgOutput {
     def table(relId: Int): String =
       registry.relationAt(relId, lsn).map(_.name).getOrElse(
         throw new IllegalStateException(s"no RelationMessage for relation $relId at lsn $lsn"))
-    decode(bytes) match {
+    msg match {
       case InsertMsg(id, t) =>
         Iterator.single(ChangeEvent(lsn, table(id), "INSERT", null, row(id, t)))
       case UpdateMsg(id, _, oldT, newT) =>
@@ -233,8 +396,10 @@ object PgOutput {
         Iterator.single(ChangeEvent(lsn, table(id), "DELETE", row(id, t), null))
       case TruncateMsg(_, ids) =>
         ids.iterator.map(id => ChangeEvent(lsn, table(id), "TRUNCATE", null, null))
-      case _: BeginMsg | _: CommitMsg | _: RelationMsg =>
+      case _: BeginMsg | _: CommitMsg | _: RelationMsg | _: StreamStartMsg |
+           StreamStopMsg | _: StreamCommitMsg | _: StreamAbortMsg =>
         Iterator.empty
+      case StreamedMsg(_, inner) => eventsOf(registry, lsn, inner)
     }
   }
 
@@ -278,6 +443,75 @@ object PgOutput {
       .toDF()
   }
 
+  /** Decode a PROTOCOL-V2 frame lake — raw `(lsn, data)` frames where large
+    * transactions arrive as interleaved stream segments (Stream Start/Stop)
+    * whose fate (Stream Commit/Abort) lands later — into the visible event
+    * stream: v1 frames plus the streamed frames of COMMITTED transactions;
+    * aborted transactions' segments are discarded wholesale.
+    *
+    * Scale shape, mirroring [[decodeFeed]]: the stream CONTROL frames are
+    * O(#segments + #txns) — collected once, reconstructed into interval +
+    * fate sets ([[StreamContext]]), and broadcast; relation frames are
+    * O(#tables × versions) — broadcast registry as before; every data frame
+    * then decodes partition-locally, resolving its stream membership by LSN
+    * binary search. No shuffle, no serial replay — a 100 TB segment-
+    * interleaved lake decodes on 1000 executors. This is why v2 matters at
+    * scale: the v1 protocol ships a transaction only at commit, so a 100 GB
+    * bulk load would stall the slot and balloon primary-side reorder
+    * buffers; v2 streams it in bounded segments as it happens. */
+  def decodeFeedV2(spark: SparkSession, frames: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = frames.select(col("lsn").cast("long"), col("data")).as[(Long, Array[Byte])]
+    def firstByteIs(types: Seq[Char]) = substring(col("data"), 1, 1)
+      .isin(types.map(c => lit(Array(c.toByte))): _*)
+    // pass 1 (bounded): stream control frames → segment intervals + fates
+    val controls = typed.filter(firstByteIs(Seq('S', 'E', 'c', 'A')))
+      .collect().map { case (lsn, b) => (lsn, decode(b)) }
+    val ctx = StreamContext.build(controls.toSeq)
+    // pass 2 (bounded): relation frames. A relation INSIDE a segment is
+    // xid-prefixed on the wire (the protocol streams a txn's DDL-refreshed
+    // schemas in its segments); membership resolves through the same
+    // interval map the data pass uses.
+    val rels = typed.filter(firstByteIs(Seq('R')))
+      .collect().map { case (lsn, b) =>
+        val msg = if (ctx.segmentAt(lsn).isDefined) decodeStreamed(b) else decode(b)
+        msg match {
+          case r: RelationMsg => (lsn, r)
+          case StreamedMsg(_, r: RelationMsg) => (lsn, r)
+          case other => throw new IllegalStateException(s"'R' frame decoded to $other")
+        }
+      }
+    val bcReg = spark.sparkContext.broadcast(RelationRegistry.build(rels.toSeq))
+    val bcCtx = spark.sparkContext.broadcast(ctx)
+    // pass 3 (distributed): data frames decode partition-locally. Aborted
+    // transactions' frames are dropped BEFORE tuple decode — the whole
+    // point of the fate filter — and committed streamed frames unwrap to
+    // their v1 messages. The coalesce(…, true) null-routing and the
+    // loud-unknown-type posture match decodeFeed.
+    typed
+      .filter(coalesce(!firstByteIs(Seq('R', 'B', 'C', 'Y', 'O', 'M', 'S', 'E', 'c', 'A')),
+        lit(true)))
+      .mapPartitions { it =>
+        val reg = bcReg.value
+        val sc = bcCtx.value
+        it.flatMap { case (lsn, b) =>
+          sc.segmentAt(lsn) match {
+            case Some(seg) =>
+              if (!sc.isVisible(seg.xid)) Iterator.empty
+              else decodeStreamed(b) match {
+                case StreamedMsg(xid, inner) =>
+                  require(xid == seg.xid,
+                    s"frame at lsn $lsn carries xid $xid inside segment of ${seg.xid}")
+                  eventsOf(reg, lsn, inner)
+                case other => eventsOf(reg, lsn, other)
+              }
+            case None => toEvents(reg, lsn, b)
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Decoded frames → the canonical change-feed columns (ChangeFeed schema):
     * typed pk/ts_us/value/props lifted out of the reference's string maps,
     * taking the after-image when present, else the before-image (DELETE). */
@@ -307,6 +541,26 @@ object PgOutput {
     RelationMsg(id, "public", name, 'd'.toByte,
       feedColumns.map(c => PgColumn(0, c, 25 /* text */, -1)))
 
+  /** One event row → its pgoutput data message, the routing ChangeFeed
+    * .fromEvents declares (even keys → users, signup→INSERT, error→DELETE,
+    * else UPDATE with no old tuple — REPLICA IDENTITY DEFAULT). ONE
+    * definition shared by the v1 and v2 synthetic frame generators. */
+  private def dataMsgOf(uid: Long, etype: String, tsUs: Long,
+      value: Double, props: String): PgMessage = {
+    val relId = if (uid % 2 == 0) ChangeFeed.usersRelId else ChangeFeed.accountsRelId
+    val tuple = PgTuple(Seq(
+      Some(uid.toString), Some(tsUs.toString), Some(value.toString), Some(props)))
+    etype match {
+      case "signup" => InsertMsg(relId, tuple)
+      case "error" => DeleteMsg(relId, 'O'.toByte, tuple)
+      case _ => UpdateMsg(relId, None, None, tuple)
+    }
+  }
+
+  private def relationFrames: Seq[(Long, Array[Byte])] = Seq(
+    (ChangeFeed.relationLsn(0), PgOutput.encode(feedRelation(ChangeFeed.usersRelId, "users"))),
+    (ChangeFeed.relationLsn(1), PgOutput.encode(feedRelation(ChangeFeed.accountsRelId, "accounts"))))
+
   /** The driver `events` table rendered as a raw pgoutput frame lake — the
     * synthetic capture side (no live Postgres in the sandbox): one Relation
     * frame per routed table, then one Insert/Update/Delete frame per event,
@@ -314,26 +568,104 @@ object PgOutput {
     * decoded stream and the logical feed are the same data. */
   def framesFromEvents(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    val relFrames = Seq(
-      (ChangeFeed.relationLsn(0), PgOutput.encode(feedRelation(ChangeFeed.usersRelId, "users"))),
-      (ChangeFeed.relationLsn(1), PgOutput.encode(feedRelation(ChangeFeed.accountsRelId, "accounts"))))
     val ev = events.select(
         col("event_id"), col("user_id"), col("event_type"),
         graft.sources.Tables.tsMicros(events).as("ts_us"), col("value"), col("props"))
       .as[(Long, Long, String, Long, Double, String)]
     val dataFrames = ev.mapPartitions { it =>
       it.map { case (eid, uid, etype, tsUs, value, props) =>
-        val relId = if (uid % 2 == 0) ChangeFeed.usersRelId else ChangeFeed.accountsRelId
-        val tuple = PgTuple(Seq(
-          Some(uid.toString), Some(tsUs.toString), Some(value.toString), Some(props)))
-        val msg: PgMessage = etype match {
-          case "signup" => InsertMsg(relId, tuple)
-          case "error" => DeleteMsg(relId, 'O'.toByte, tuple)
-          case _ => UpdateMsg(relId, None, None, tuple) // REPLICA IDENTITY DEFAULT: no old tuple
-        }
-        (eid, PgOutput.encode(msg))
+        (eid, PgOutput.encode(dataMsgOf(uid, etype, tsUs, value, props)))
       }
     }
-    spark.createDataset(relFrames).union(dataFrames).toDF("lsn", "data")
+    spark.createDataset(relationFrames).union(dataFrames).toDF("lsn", "data")
+  }
+
+  /** Streamed-transaction xids of the v2 synthetic lake: A commits, B
+    * aborts. Shared with the gate's oracle documentation. */
+  val streamXidA = 9001
+  val streamXidB = 9002
+
+  /** The events table rendered as a PROTOCOL-V2 frame lake with two LARGE
+    * transactions shipped as interleaved stream segments: transaction A
+    * (user_id % 7 == 0, xid 9001) and B (user_id % 7 == 1, xid 9002) each
+    * split into two segments placed INSIDE the v1 stream's LSN space (so a
+    * consumer sees: v1 traffic, a segment of A, more v1, a segment of B,
+    * …), then A COMMITS and B ABORTS at the tail. Everything is a pure
+    * function of the events table, so the gate oracle replays the placement
+    * exactly:
+    *
+    *  - v1 frames sit on a ×1e6 grid: lsn = (event_id + 1) × 1e6;
+    *  - txn T's rows, ordered by event_id, split first-⌈m/2⌉ / rest into
+    *    segments k ∈ {0=A₁, 1=B₁, 2=A₂, 3=B₂}; segment k occupies the gap
+    *    after v1 slot q_k = n(k+1)/5: Stream Start at
+    *    s_k = (q_k + 1)·1e6 + 1, data at s_k + rank, Stop at s_k + size + 1;
+    *  - Stream Commit (A) / Abort (B) land past the last v1 frame.
+    *
+    * The 2-partition rank window is SYNTHESIS-side only (the harness
+    * standing in for a primary, like capturedLakeDir's driver-held feed) —
+    * the decode path being gated is fully distributed. */
+  def framesFromEventsV2(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val grid = 1000000L
+    val ev = events.select(
+      col("event_id"), col("user_id"), col("event_type"),
+      graft.sources.Tables.tsMicros(events).as("ts_us"), col("value"), col("props"),
+      when(pmod(col("user_id"), lit(7)) === 0, "A")
+        .when(pmod(col("user_id"), lit(7)) === 1, "B")
+        .otherwise("V").as("g"))
+    val n = ev.count()
+    require(n >= 5, s"v2 frame synthesis needs >= 5 events, got $n")
+    val counts = ev.filter(col("g") =!= "V").groupBy("g").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (mA, mB) = (counts.getOrElse("A", 0L), counts.getOrElse("B", 0L))
+    require(mA > 0 && mB > 0,
+      s"v2 synthesis needs both streamed txns non-empty (A=$mA, B=$mB)")
+    val (hA, hB) = ((mA + 1) / 2, (mB + 1) / 2)
+    def blockStart(k: Int): Long = (n * (k + 1) / 5 + 1) * grid + 1
+    val segSize = Map(0 -> hA, 1 -> hB, 2 -> (mA - hA), 3 -> (mB - hB))
+    require(segSize.values.forall(_ + 2 < grid),
+      s"a stream segment overflows its ×$grid LSN gap: $segSize")
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("event_id")
+    val half = when(col("g") === "A", lit(hA)).otherwise(lit(hB))
+    val streamed = ev.filter(col("g") =!= "V")
+      .withColumn("rn", row_number().over(wG).cast("long"))
+      .withColumn("k",
+        when(col("g") === "A", when(col("rn") <= half, 0).otherwise(2))
+          .otherwise(when(col("rn") <= half, 1).otherwise(3)))
+      .withColumn("rn_seg", when(col("rn") <= half, col("rn")).otherwise(col("rn") - half))
+      .select(
+        (when(col("k") === 0, blockStart(0)).when(col("k") === 1, blockStart(1))
+          .when(col("k") === 2, blockStart(2)).otherwise(blockStart(3))
+          + col("rn_seg")).as("lsn"),
+        col("user_id"), col("event_type"), col("ts_us"), col("value"), col("props"),
+        when(col("g") === "A", streamXidA).otherwise(streamXidB).as("xid"))
+    val plain = ev.filter(col("g") === "V")
+      .select(((col("event_id") + 1) * grid).as("lsn"),
+        col("user_id"), col("event_type"), col("ts_us"), col("value"), col("props"),
+        lit(null).cast("int").as("xid"))
+    val dataFrames = plain.unionByName(streamed)
+      .as[(Long, Long, String, Long, Double, String, Option[Int])]
+      .mapPartitions { it =>
+        it.map { case (lsn, uid, etype, tsUs, value, props, xid) =>
+          val msg = dataMsgOf(uid, etype, tsUs, value, props)
+          (lsn, PgOutput.encode(xid.fold(msg)(StreamedMsg(_, msg))))
+        }
+      }
+    val tail = (n + 1) * grid
+    val controls: Seq[(Long, Array[Byte])] = (Seq[(Long, PgMessage)](
+      blockStart(0) -> StreamStartMsg(streamXidA, firstSegment = true),
+      (blockStart(0) + segSize(0) + 1) -> StreamStopMsg,
+      blockStart(1) -> StreamStartMsg(streamXidB, firstSegment = true),
+      (blockStart(1) + segSize(1) + 1) -> StreamStopMsg,
+      blockStart(2) -> StreamStartMsg(streamXidA, firstSegment = false),
+      (blockStart(2) + segSize(2) + 1) -> StreamStopMsg,
+      blockStart(3) -> StreamStartMsg(streamXidB, firstSegment = false),
+      (blockStart(3) + segSize(3) + 1) -> StreamStopMsg,
+      (tail + 10) -> StreamCommitMsg(streamXidA, 0, tail + 10, tail + 10, 0L),
+      (tail + 20) -> StreamAbortMsg(streamXidB, streamXidB)))
+      .map { case (l, m) => (l, PgOutput.encode(m)) }
+    spark.createDataset(relationFrames ++ controls)
+      .union(dataFrames).toDF("lsn", "data")
   }
 }

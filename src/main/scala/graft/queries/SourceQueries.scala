@@ -158,6 +158,20 @@ object SourceQueries {
       stats(s.read.schema(docSchema).orc(path))
     }),
 
+    // AVRO — the row-interchange container format next to JSONL/CSV/ORC
+    // (Kafka-ecosystem shops ship change feeds and corpora as Avro): the
+    // engine owns the container seam itself (sources/Avro — this
+    // environment has avro-core but not the spark-avro module): write one
+    // object-container file per partition via foreachPartition, read back
+    // through binaryFile + partition-local DataFileReader decode, with the
+    // container header VERIFIED against the declared read schema (a
+    // drifted export fails loudly, never miscasts). Nulls ride
+    // ["null", T] unions — no sentinel convention needed, unlike CSV.
+    "src_avro_roundtrip" -> ((s, dir) => {
+      val path = export(s, dir, "avro")((df, p) => graft.sources.Avro.write(df, p))
+      stats(graft.sources.Avro.read(s, path, docSchema))
+    }),
+
     // JDBC roundtrip against an EMBEDDED Derby database — the bootstrap
     // path a CDC consumer runs for real (sources/Jdbc.snapshot is step 1
     // of snapshot-then-stream): the corpus is INSERTed over JDBC once per
@@ -325,6 +339,8 @@ object SourceQueries {
     "src_csv_roundtrip" ->
       (statsSql + "\nGROUP BY source ORDER BY source"),
     "src_orc_roundtrip" ->
+      (statsSql + "\nGROUP BY source ORDER BY source"),
+    "src_avro_roundtrip" ->
       (statsSql + "\nGROUP BY source ORDER BY source"),
     "src_jdbc_roundtrip" ->
       (statsSql + "\nGROUP BY source ORDER BY source"),

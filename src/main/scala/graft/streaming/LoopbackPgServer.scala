@@ -29,12 +29,25 @@ import PgWire._
   * `dropAfterFrames`: the FIRST session hard-closes the socket (no
   * CopyDone) after that many data frames — the mid-stream disconnect.
   * Subsequent sessions stream to the end and finish with CopyDone.
-  */
+  *
+  * The data feed is an ITERATOR FACTORY, not a driver-held array: each
+  * session pulls `(lsn, payload)` frames lazily in ascending-LSN order
+  * (the factory's contract), so the serving side holds O(1) frames in
+  * memory at any feed size — a real primary iterates the WAL, it does not
+  * load it (r10 VERDICT residual 2). `lastLsn` is the feed's final
+  * position, used for the end-of-stream keepalive. The Seq overload below
+  * keeps the spec-side call shape. */
 final class LoopbackPgServer(
     relations: Seq[Array[Byte]],
-    data: Seq[(Long, Array[Byte])],
+    data: () => Iterator[(Long, Array[Byte])],
+    lastLsn: Long,
     dropAfterFrames: Int,
-    keepaliveEvery: Int = 3) {
+    keepaliveEvery: Int) {
+
+  /** Bounded-feed convenience (specs, small harness feeds). */
+  def this(relations: Seq[Array[Byte]], data: Seq[(Long, Array[Byte])],
+      dropAfterFrames: Int, keepaliveEvery: Int = 3) =
+    this(relations, () => data.iterator, data.last._1, dropAfterFrames, keepaliveEvery)
 
   import LoopbackPgServer.SessionRecord
 
@@ -100,10 +113,11 @@ final class LoopbackPgServer(
     relations.zipWithIndex.foreach { case (r, i) => sendFrame(startLsn + i, r) }
 
     val firstSession = sessions.synchronized { sessions.size == 1 }
-    val toSend = data.filter(_._1 >= startLsn)
+    // resume = skip the already-confirmed prefix. Sequential skip keeps the
+    // harness O(1)-memory; a real primary seeks the WAL by LSN instead.
+    val frames = data().dropWhile(_._1 < startLsn)
     var sent = 0
     var dropped = false
-    val frames = toSend.iterator
     while (!dropped && frames.hasNext) {
       val (lsn, payload) = frames.next()
       sendFrame(lsn, payload)
@@ -140,7 +154,7 @@ final class LoopbackPgServer(
 
     // end of stream: final reply-requested keepalive, collect the ack,
     // CopyDone, then drain the client's trailer until it closes
-    writeMessage(out, 'd', encodeKeepalive(Keepalive(data.last._1, nowMicros(), replyRequested = true)))
+    writeMessage(out, 'd', encodeKeepalive(Keepalive(lastLsn, nowMicros(), replyRequested = true)))
     awaitStatus(in, rec, 5000, atLeast = rec.statuses.size + 1)
     writeMessage(out, 'c', Array.emptyByteArray)
     try {

@@ -192,6 +192,131 @@ class PgOutputSpec extends AnyFunSuite with SparkTestBase {
   }
 }
 
+/** Protocol v2 — streamed in-progress transactions: wire round-trips for
+  * the Stream Start/Stop/Commit/Abort frames and the xid-spliced data
+  * messages, the segment-interval context reconstruction, and the
+  * distributed v2 decode's commit/abort visibility rule. */
+class PgOutputV2Spec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val rel = RelationMsg(7, "public", "t", 'd'.toByte, Seq(
+    PgColumn(1, "pk", 20, -1), PgColumn(0, "v", 25, -1)))
+
+  private def ins(pk: Int, v: String) =
+    InsertMsg(7, PgTuple(Seq(Some(pk.toString), Some(v))))
+
+  test("v2 messages round-trip encode → decode bit-exactly") {
+    val msgs: Seq[PgMessage] = Seq(
+      StreamStartMsg(42, firstSegment = true),
+      StreamStartMsg(42, firstSegment = false),
+      StreamStopMsg,
+      StreamCommitMsg(42, 0.toByte, 100L, 101L, 999L),
+      StreamAbortMsg(42, 43))
+    msgs.foreach(m => assert(PgOutput.decode(PgOutput.encode(m)) == m))
+    // xid-spliced data messages round-trip through the streamed decoder
+    val streamed: Seq[PgMessage] = Seq(
+      StreamedMsg(42, ins(1, "a")),
+      StreamedMsg(42, UpdateMsg(7, Some('O'.toByte),
+        Some(PgTuple(Seq(Some("1"), Some("a")))), PgTuple(Seq(Some("1"), Some("b"))))),
+      StreamedMsg(42, DeleteMsg(7, 'K'.toByte, PgTuple(Seq(Some("1"), None)))),
+      StreamedMsg(42, TruncateMsg(0.toByte, Seq(7))),
+      StreamedMsg(42, rel))
+    streamed.foreach(m => assert(PgOutput.decodeStreamed(PgOutput.encode(m)) == m))
+    // control frames are never xid-prefixed — they pass through unchanged
+    assert(PgOutput.decodeStreamed(PgOutput.encode(StreamStopMsg)) == StreamStopMsg)
+    // Begin cannot ride inside a segment
+    assertThrows[IllegalArgumentException](
+      PgOutput.encode(StreamedMsg(42, BeginMsg(1L, 2L, 3))))
+  }
+
+  test("StreamContext: interval reconstruction + loud malformed lakes") {
+    val ctx = StreamContext.build(Seq(
+      10L -> StreamStartMsg(1, firstSegment = true),
+      20L -> StreamStopMsg,
+      30L -> StreamStartMsg(2, firstSegment = true),
+      40L -> StreamStopMsg,
+      50L -> StreamStartMsg(1, firstSegment = false),
+      60L -> StreamStopMsg,
+      70L -> StreamCommitMsg(1, 0.toByte, 70L, 70L, 0L),
+      80L -> StreamAbortMsg(2, 2)))
+    // strict bounds: control frames themselves are not "inside"
+    assert(ctx.segmentAt(10L).isEmpty && ctx.segmentAt(20L).isEmpty)
+    assert(ctx.segmentAt(15L).map(_.xid).contains(1))
+    assert(ctx.segmentAt(35L).map(_.xid).contains(2))
+    assert(ctx.segmentAt(55L).map(_.xid).contains(1))
+    assert(ctx.segmentAt(25L).isEmpty && ctx.segmentAt(5L).isEmpty && ctx.segmentAt(95L).isEmpty)
+    assert(ctx.isVisible(1) && !ctx.isVisible(2))
+    // unresolved xid: loud, never guessed
+    val dangling = StreamContext.build(Seq(
+      10L -> StreamStartMsg(9, firstSegment = true), 20L -> StreamStopMsg))
+    assertThrows[IllegalStateException](dangling.isVisible(9))
+    // nested/overlapping segments and unterminated segments are malformed
+    assertThrows[IllegalArgumentException](StreamContext.build(Seq(
+      10L -> StreamStartMsg(1, firstSegment = true),
+      15L -> StreamStartMsg(2, firstSegment = true))))
+    assertThrows[IllegalStateException](StreamContext.build(Seq(
+      10L -> StreamStopMsg)))
+    assertThrows[IllegalArgumentException](StreamContext.build(Seq(
+      10L -> StreamStartMsg(1, firstSegment = true))))
+    // contradictory fate
+    assertThrows[IllegalArgumentException](StreamContext.build(Seq(
+      10L -> StreamCommitMsg(1, 0.toByte, 1L, 1L, 0L),
+      20L -> StreamAbortMsg(1, 1))))
+  }
+
+  test("decodeFeedV2: committed segments visible, aborted invisible, v1 interleaved") {
+    def enc(m: PgMessage) = PgOutput.encode(m)
+    val lake = Seq(
+      1L -> enc(rel),
+      // v1 traffic
+      100L -> enc(ins(1, "v1-a")),
+      // segment of xid 1 (commits)
+      200L -> enc(StreamStartMsg(1, firstSegment = true)),
+      201L -> enc(StreamedMsg(1, ins(2, "s1-a"))),
+      202L -> enc(StreamedMsg(1, ins(3, "s1-b"))),
+      203L -> enc(StreamStopMsg),
+      // more v1
+      300L -> enc(ins(4, "v1-b")),
+      // segment of xid 2 (aborts)
+      400L -> enc(StreamStartMsg(2, firstSegment = true)),
+      401L -> enc(StreamedMsg(2, ins(5, "s2-a"))),
+      402L -> enc(StreamStopMsg),
+      // second segment of xid 1
+      500L -> enc(StreamStartMsg(1, firstSegment = false)),
+      501L -> enc(StreamedMsg(1, ins(6, "s1-c"))),
+      502L -> enc(StreamStopMsg),
+      600L -> enc(StreamCommitMsg(1, 0.toByte, 600L, 600L, 0L)),
+      700L -> enc(StreamAbortMsg(2, 2)))
+    val got = PgOutput.decodeFeedV2(spark, lake.toDF("lsn", "data"))
+      .as[ChangeEvent].collect().sortBy(_.lsn).toSeq
+    assert(got.map(e => (e.lsn, e.after("pk"))) ==
+      Seq((100L, "1"), (201L, "2"), (202L, "3"), (300L, "4"), (501L, "6")))
+    // a frame inside a segment carrying the WRONG xid is a protocol error
+    val bad = lake :+ (202L -> enc(StreamedMsg(2, ins(9, "x"))))
+    assertThrows[org.apache.spark.SparkException](
+      PgOutput.decodeFeedV2(spark, bad.toDF("lsn", "data")).count())
+  }
+
+  test("framesFromEventsV2 decodes to exactly the committed + v1 events") {
+    val events = sources.Tables(spark, sf, "events").limit(400)
+    val frames = PgOutput.framesFromEventsV2(spark, events)
+    // lsn uniqueness: v1 grid, segment blocks, and control frames never
+    // collide (the interval attribution depends on it)
+    assert(frames.count() == frames.select("lsn").distinct().count())
+    val got = PgOutput.toCanonicalFeed(PgOutput.decodeFeedV2(spark, frames))
+      .select("table_name", "op", "pk", "ts_us", "value")
+    // visible = everything except the ABORTED txn (user_id % 7 == 1)
+    val expected = ChangeFeed.fromEvents(events)
+      .filter(pmod(col("pk"), lit(7)) =!= 1)
+      .select("table_name", "op", "pk", "ts_us", "value")
+    assert(got.count() == expected.count() && got.count() > 0)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // both streamed-committed and v1 rows are present
+    val aRows = expected.filter(pmod(col("pk"), lit(7)) === 0).count()
+    assert(aRows > 0 && aRows < expected.count())
+  }
+}
+
 /** Publication catalog + slot store lifecycle (postrack.go:188-285). */
 class CatalogSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._

@@ -52,6 +52,27 @@ class SourceQueriesSpec extends AnyFunSuite with SparkTestBase {
     } finally graft.operators.Checkpointing.deleteRecursively(dir)
   }
 
+  test("Avro roundtrip is lossless on quotes/unicode/newlines/empty/null") {
+    val dir = java.nio.file.Files.createTempDirectory("src-spec-avro").toString
+    try {
+      val df = nasty(withNewlines = true)
+      graft.sources.Avro.write(df.repartition(3), s"$dir/out")
+      roundtripEqual(df, graft.sources.Avro.read(spark, s"$dir/out", schema))
+      // nulls survive as nulls (the ["null", T] union), empty as empty
+      val back = graft.sources.Avro.read(spark, s"$dir/out", schema)
+      assert(back.filter(col("text").isNull).count() == 1)
+      assert(back.filter(col("text") === "").count() == 1)
+      // a drifted read schema fails loudly instead of miscasting
+      val drifted = StructType(schema.fields.map(f =>
+        if (f.name == "n_chars") f.copy(dataType = StringType) else f))
+      val e = intercept[org.apache.spark.SparkException](
+        graft.sources.Avro.read(spark, s"$dir/out", drifted).count())
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m => m != null && m.contains("schema drifted")))
+    } finally graft.operators.Checkpointing.deleteRecursively(dir)
+  }
+
   test("CSV roundtrip with RFC 4180 quote-doubling is lossless on its domain") {
     // includes "" vs NULL (the writer emits quoted "" for empty and the
     // \N sentinel for null; the sentinel reader keeps them distinct —
