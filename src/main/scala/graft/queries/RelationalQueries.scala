@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,6 +19,115 @@ object RelationalQueries {
   /** Measured hot join keys for q_salted_join — the stored-artifact
     * pattern: measured once per (session, sf-dir), reused across passes. */
   private val hotKeysMemo = new graft.operators.SessionMemo[Seq[Long]]
+
+  /** Exact interpolated p50/p95 of l_extendedprice per returnflag via
+    * INTEGER CENTS RANK MATH — the float-agreement-free form (r11) shared
+    * by q_percentiles and q_approx_percentiles' exact audit columns.
+    *
+    * Construction: prices collapse losslessly to cents longs (they are
+    * exact cents), the distribution collapses to the O(groups × distinct
+    * prices) histogram (map-side combined — at 100 TB that is the price
+    * domain, not the row count), a cumulative count rides a window over
+    * that AGGREGATED table, and the interpolated percentile at rank
+    * r = num·(n−1)/den is assembled from the two bracketing order
+    * statistics (value at rank ⌊r⌋ = smallest price whose cumulative
+    * count exceeds ⌊r⌋) entirely in integers:
+    * scaled = lo·(den − rem) + hi·rem, with rem = num·(n−1) mod den —
+    * then ONE final division of bit-identical integer-valued doubles, so
+    * both engines produce the same IEEE result with no float agreement
+    * assumed anywhere. */
+  private val centsPctMemo = new graft.operators.SessionMemo[DataFrame]
+  private val centsHistMemo = new graft.operators.SessionMemo[DataFrame]
+
+  /** `rows(l_returnflag, vc)` → lineage-cut cents histogram
+    * (l_returnflag, vc, cnt): the O(groups × distinct prices) table every
+    * rank-math stage below runs over (map-side combined — at 100 TB this
+    * is the price domain, not the row count; the cut is the
+    * q_weighted_percentile branch rule: the hist feeds a window AND a
+    * totals aggregate). */
+  private def centsHist(rows: DataFrame): DataFrame =
+    graft.operators.Checkpointing.cut(
+      rows.groupBy("l_returnflag", "vc").agg(count(lit(1)).as("cnt")))
+
+  /** Bracketing order statistics + assembled p50/p95 over a (already-cut)
+    * cents histogram with a generic value column `valCol`: value at
+    * 0-based rank i = smallest value whose cumulative count exceeds i;
+    * quantile p = num/den interpolates the ranks ⌊num(n−1)/den⌋ and +1
+    * with integer weights (den − rem, rem). Returns one row per group:
+    * (l_returnflag, n, lo50, hi50, lo95, hi95, p50, p95) — lo/hi in the
+    * histogram's value units, p50/p95 in dollars assuming cents units. */
+  private def pctStatsFromHist(hist: DataFrame, valCol: String = "vc"): DataFrame = {
+    val wC = Window.partitionBy("l_returnflag").orderBy(valCol)
+    val cum = hist.withColumn("cum", sum("cnt").over(wC))
+    // explicit broadcast: tot is O(groups) but sits on stats-less lineage
+    // (an aggregate over the cut artifact), so Spark would sort-merge the
+    // histogram against it
+    val tot = broadcast(hist.groupBy("l_returnflag").agg(sum("cnt").as("n")))
+    cum.join(tot, "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(max("n").as("n"),
+        min(when(expr("cum > (n - 1) div 2"), col(valCol))).as("lo50"),
+        min(when(expr("cum > (n - 1) div 2 + 1"), col(valCol))).as("hi50"),
+        min(when(expr("cum > ((n - 1) * 19) div 20"), col(valCol))).as("lo95"),
+        min(when(expr("cum > ((n - 1) * 19) div 20 + 1"), col(valCol))).as("hi95"))
+      .withColumn("p50",
+        expr("CAST(lo50 * (2 - (n - 1) % 2) + coalesce(hi50, 0L) * ((n - 1) % 2) AS DOUBLE)")
+          / 200.0)
+      .withColumn("p95",
+        expr("CAST(lo95 * (20 - ((n - 1) * 19) % 20) + coalesce(hi95, 0L) * (((n - 1) * 19) % 20) AS DOUBLE)")
+          / 2000.0)
+  }
+
+  private def priceCents: Column =
+    round(col("l_extendedprice") * 100).cast("long").as("vc")
+
+  private def lineitemCentsHist(s: SparkSession, dir: String): DataFrame =
+    centsHistMemo.get(s, dir) {
+      centsHist(t(s, dir, "lineitem").select(col("l_returnflag"), priceCents))
+    }
+
+  private def exactCentsPercentiles(s: SparkSession, dir: String): DataFrame =
+    centsPctMemo.get(s, dir) {
+      graft.operators.Checkpointing.cut(
+        pctStatsFromHist(lineitemCentsHist(s, dir))
+          .select("l_returnflag", "p50", "p95"))
+    }
+
+  /** The DuckDB replay of [[pctStatsFromHist]] over an arbitrary
+    * `pv(l_returnflag, vc, cnt)` histogram source: CTE chain ending in
+    * `pa` (bracketing order statistics) and `pct(l_returnflag, p50, p95)`.
+    * Shared by every rank-math percentile oracle. */
+  private def rankPctCtes(histSql: String): String =
+    s"""pv AS ($histSql),
+      |pc AS (
+      |  SELECT *, CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY vc)
+      |    AS BIGINT) AS cum
+      |  FROM pv),
+      |pt AS (SELECT l_returnflag, CAST(sum(cnt) AS BIGINT) AS n
+      |       FROM pv GROUP BY 1),
+      |pa AS (
+      |  SELECT pc.l_returnflag, max(n) AS n,
+      |         min(CASE WHEN cum > (n - 1) // 2 THEN vc END) AS lo50,
+      |         min(CASE WHEN cum > (n - 1) // 2 + 1 THEN vc END) AS hi50,
+      |         min(CASE WHEN cum > ((n - 1) * 19) // 20 THEN vc END) AS lo95,
+      |         min(CASE WHEN cum > ((n - 1) * 19) // 20 + 1 THEN vc END) AS hi95
+      |  FROM pc JOIN pt USING (l_returnflag) GROUP BY 1),
+      |pct AS (
+      |  SELECT l_returnflag,
+      |         CAST(lo50 * (2 - (n - 1) % 2)
+      |              + coalesce(hi50, 0) * ((n - 1) % 2) AS DOUBLE)
+      |           / 200.0::DOUBLE AS p50,
+      |         CAST(lo95 * (20 - ((n - 1) * 19) % 20)
+      |              + coalesce(hi95, 0) * (((n - 1) * 19) % 20) AS DOUBLE)
+      |           / 2000.0::DOUBLE AS p95
+      |  FROM pa)""".stripMargin
+
+  private val lineitemHistSql: String =
+    """SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS vc,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  private val centsPctCtes: String = rankPctCtes(lineitemHistSql)
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
@@ -320,14 +429,15 @@ object RelationalQueries {
           col("n"), col("sum_qty"))
         .orderBy("rflag", "lstatus")),
 
-    // Exact interpolated percentiles per group.
+    // Exact interpolated percentiles per group — as INTEGER CENTS RANK
+    // MATH (r11, retiring the repo's last cross-engine float-agreement
+    // gate: Spark `percentile()` vs DuckDB `quantile_cont()` agreeing on
+    // raw doubles). See exactCentsPercentiles for the construction; the
+    // values are the same interpolated percentiles (prices are exact
+    // cents), derived through integer arithmetic both engines replay
+    // bit-for-bit, with ONE final division of identical integers.
     "q_percentiles" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
-        .orderBy("l_returnflag")),
+      exactCentsPercentiles(s, dir).orderBy("l_returnflag")),
 
     // WEIGHTED percentiles (r8): each price weighted by its line quantity —
     // "what price does half the VOLUME trade at or below", which the
@@ -368,19 +478,31 @@ object RelationalQueries {
 
     // Robust spread: median absolute deviation per group — the
     // outlier-resistant dispersion stat next to q_percentiles' quantiles.
-    // Two exact interpolated-percentile passes (median, then median of
-    // |x − median| after a broadcast join of the tiny per-group medians);
-    // both engines share the interpolation formula (q_percentiles parity).
+    // Two exact interpolated-median passes, BOTH in integer rank math
+    // (r11, same class retirement as q_percentiles): the median's
+    // half-cent-exact numerator med2 = lo·(2−rem)+hi·rem rides as an
+    // integer (units: half-cents), deviations |2·vc − med2| stay integers
+    // (half-cents) derived from the HISTOGRAM (O(distinct prices) rows,
+    // never a second corpus pass), and the deviation median interpolates
+    // the same way (units: quarter-cents) — one final division each.
     "q_mad" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice")
-      val med = li.groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
-      li.join(broadcast(med), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          round(max("med"), 4).as("median"),
-          round(expr("percentile(abs(l_extendedprice - med), 0.5)"), 4)
-            .as("mad"))
+      val hist = lineitemCentsHist(s, dir)
+      val med = graft.operators.Checkpointing.cut(
+        pctStatsFromHist(hist)
+          .select(col("l_returnflag"),
+            expr("lo50 * (2 - (n - 1) % 2) + coalesce(hi50, 0L) * ((n - 1) % 2)")
+              .as("med2")))
+      val dev = graft.operators.Checkpointing.cut(
+        hist.join(broadcast(med), "l_returnflag")
+          .select(col("l_returnflag"),
+            abs(col("vc") * 2 - col("med2")).as("vc"), col("cnt"))
+          .groupBy("l_returnflag", "vc").agg(sum("cnt").as("cnt")))
+      pctStatsFromHist(dev)
+        .join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"), col("n"),
+          (col("med2").cast("double") / 200.0).as("median"),
+          (expr("CAST(lo50 * (2 - (n - 1) % 2) + coalesce(hi50, 0L) * ((n - 1) % 2) AS DOUBLE)")
+            / 400.0).as("mad"))
         .orderBy("l_returnflag")
     }),
 
@@ -574,25 +696,25 @@ object RelationalQueries {
         .groupBy("l_returnflag")
         .agg(max("n").as("n"), max("n_buckets").as("n_buckets"),
           pick(10).as("h50"), pick(19).as("h95"))
-      val exact = t(s, dir, "lineitem")
+      // exact audit columns via the shared integer-cents rank math (r11 —
+      // no percentile()-vs-quantile_cont float agreement anywhere); the
+      // engine's GK sketch (array form: ONE sketch per group computes both
+      // quantiles) stays as the gated envelope bits against those exact
+      // values
+      val gk = t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        // array form: ONE value buffer / ONE GK sketch per group computes
-        // both quantiles, instead of an independent aggregate per quantile
-        .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))").as("p"),
-          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("ap"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("ap"))
         .select(col("l_returnflag"),
-          element_at(col("p"), 1).as("p50d"),
-          element_at(col("p"), 2).as("p95d"),
           element_at(col("ap"), 1).as("ap50"),
           element_at(col("ap"), 2).as("ap95"))
-      sk.join(exact, "l_returnflag")
+      sk.join(exactCentsPercentiles(s, dir), "l_returnflag")
+        .join(gk, "l_returnflag")
         .select(col("l_returnflag"), col("n"), col("n_buckets"),
           (floor(col("h50") * 10000) / 10000).as("hist_p50"),
           (floor(col("h95") * 10000) / 10000).as("hist_p95"),
-          round(col("p50d"), 4).as("p50"),
-          round(col("p95d"), 4).as("p95"),
-          (abs(col("ap50") - col("p50d")) <= lit(0.1) * col("p50d")).as("engine_p50_ok"),
-          (abs(col("ap95") - col("p95d")) <= lit(0.1) * col("p95d")).as("engine_p95_ok"))
+          col("p50"), col("p95"),
+          (abs(col("ap50") - col("p50")) <= lit(0.1) * col("p50")).as("engine_p50_ok"),
+          (abs(col("ap95") - col("p95")) <= lit(0.1) * col("p95")).as("engine_p95_ok"))
         .orderBy("l_returnflag")
     }),
 
@@ -705,15 +827,16 @@ object RelationalQueries {
     // of the row key, so DuckDB replays the sample — and therefore the
     // estimate — bit-for-bit (hash-gated, where the quantile sketch is
     // rows-only by construction).
+    // same deterministic md5 coin; the percentiles over the sample ride
+    // the shared integer-cents rank math (r11 — no float agreement)
     "q_sampled_percentiles" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .filter(substring(md5(concat_ws(":",
-          col("l_orderkey").cast("string"),
-          col("l_linenumber").cast("string"))), 1, 1) < "4")
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n_sampled"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+      pctStatsFromHist(centsHist(t(s, dir, "lineitem")
+          .filter(substring(md5(concat_ws(":",
+            col("l_orderkey").cast("string"),
+            col("l_linenumber").cast("string"))), 1, 1) < "4")
+          .select(col("l_returnflag"), priceCents)))
+        .select(col("l_returnflag"), col("n").as("n_sampled"),
+          col("p50"), col("p95"))
         .orderBy("l_returnflag")),
 
     // Sketch ROLLUP — trailing-7-day distinct users from per-day KMV
@@ -2493,13 +2616,11 @@ object RelationalQueries {
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY rflag, lstatus""".stripMargin,
 
+    // the integer-cents rank-math replay — no quantile_cont anywhere
     "q_percentiles" ->
-      """SELECT l_returnflag,
-        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-        |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
-        |FROM lineitem
-        |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
+      s"""WITH $centsPctCtes
+         |SELECT l_returnflag, p50, p95 FROM pct
+         |ORDER BY l_returnflag""".stripMargin,
 
     // identical cents collapse, aggregated-table cumulative weights, and
     // integer cross-multiplied crossing rule (smallest price reaching the
@@ -2578,10 +2699,11 @@ object RelationalQueries {
         |ORDER BY l_returnflag""".stripMargin,
 
     // histogram-sketch replay (r8): same 2^16-cent buckets, same integer
-    // rank-crossing test, same fixed-order interpolation, quantile_cont
-    // for the exact columns (q_percentiles parity), envelope bits TRUE
+    // rank-crossing test, same fixed-order interpolation; exact columns
+    // from the shared integer-cents rank math (r11 — q_percentiles
+    // parity, quantile_cont retired), envelope bits TRUE
     "q_approx_percentiles" ->
-      """WITH v AS (
+      s"""WITH v AS (
         |  SELECT l_returnflag,
         |         CAST(round(l_extendedprice * 100) AS BIGINT) AS vc
         |  FROM lineitem),
@@ -2609,17 +2731,13 @@ object RelationalQueries {
         |                   / CAST(cnt * 20 AS DOUBLE)) / 100.0::DOUBLE
         |           END) AS h95
         |  FROM c2 JOIN tot USING (l_returnflag) GROUP BY 1),
-        |ex AS (
-        |  SELECT l_returnflag,
-        |         quantile_cont(l_extendedprice, 0.5) AS p50d,
-        |         quantile_cont(l_extendedprice, 0.95) AS p95d
-        |  FROM lineitem GROUP BY 1)
+        |$centsPctCtes
         |SELECT sk.l_returnflag, n, n_buckets,
         |       floor(h50 * 10000) / 10000 AS hist_p50,
         |       floor(h95 * 10000) / 10000 AS hist_p95,
-        |       round(p50d, 4) AS p50, round(p95d, 4) AS p95,
+        |       p50, p95,
         |       TRUE AS engine_p50_ok, TRUE AS engine_p95_ok
-        |FROM sk JOIN ex USING (l_returnflag)
+        |FROM sk JOIN pct USING (l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
 
     // same register derivation, pairwise greatest-merge, same estimator
@@ -2721,15 +2839,17 @@ object RelationalQueries {
         |ORDER BY r.l_returnflag""".stripMargin,
 
     // the md5 coin is a pure row-key function — DuckDB draws the identical
-    // sample, so the exact percentile over it replays bit-for-bit
+    // sample; the percentiles over it ride the shared rank math (r11)
     "q_sampled_percentiles" ->
-      """SELECT l_returnflag, count(*) AS n_sampled,
-        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-        |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
-        |FROM lineitem
-        |WHERE substr(md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR), 1, 1) < '4'
-        |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
+      s"""WITH ${rankPctCtes(
+        """SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS vc,
+          |       CAST(count(*) AS BIGINT) AS cnt
+          |  FROM lineitem
+          |  WHERE substr(md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR), 1, 1) < '4'
+          |  GROUP BY 1, 2""".stripMargin)}
+         |SELECT pa.l_returnflag, pa.n AS n_sampled, pct.p50, pct.p95
+         |FROM pa JOIN pct USING (l_returnflag)
+         |ORDER BY pa.l_returnflag""".stripMargin,
 
     // sketch-rollup replay: per-day bottom-64 hash sets, window merge =
     // distinct union re-bottom-64 (range join on the tiny day table),
@@ -2835,16 +2955,37 @@ object RelationalQueries {
         |LEFT JOIN ov ON ov.ya = est.ya AND ov.yb = est.yb
         |ORDER BY year_a, year_b""".stripMargin,
 
+    // both medians in integer rank math: med2 (half-cents) from the price
+    // histogram's bracketing order statistics, deviations |2·vc − med2|
+    // re-histogrammed (still integers), the deviation median assembled the
+    // same way (quarter-cents) — one final division each
     "q_mad" ->
-      """WITH med AS (
-        |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
-        |  FROM lineitem GROUP BY l_returnflag)
-        |SELECT l.l_returnflag, count(*) AS n,
-        |       round(max(m.med), 4) AS median,
-        |       round(quantile_cont(abs(l.l_extendedprice - m.med), 0.5), 4) AS mad
-        |FROM lineitem l JOIN med m USING (l_returnflag)
-        |GROUP BY l.l_returnflag
-        |ORDER BY l.l_returnflag""".stripMargin,
+      s"""WITH $centsPctCtes,
+         |m AS (
+         |  SELECT l_returnflag,
+         |         lo50 * (2 - (n - 1) % 2) + coalesce(hi50, 0) * ((n - 1) % 2) AS med2
+         |  FROM pa),
+         |dv AS (
+         |  SELECT pv.l_returnflag, abs(pv.vc * 2 - m.med2) AS vc,
+         |         CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM pv JOIN m USING (l_returnflag) GROUP BY 1, 2),
+         |dc AS (
+         |  SELECT *, CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY vc)
+         |    AS BIGINT) AS cum
+         |  FROM dv),
+         |dt AS (SELECT l_returnflag, CAST(sum(cnt) AS BIGINT) AS n
+         |       FROM dv GROUP BY 1),
+         |da AS (
+         |  SELECT dc.l_returnflag, max(n) AS n,
+         |         min(CASE WHEN cum > (n - 1) // 2 THEN vc END) AS dlo,
+         |         min(CASE WHEN cum > (n - 1) // 2 + 1 THEN vc END) AS dhi
+         |  FROM dc JOIN dt USING (l_returnflag) GROUP BY 1)
+         |SELECT da.l_returnflag, n,
+         |       CAST(m.med2 AS DOUBLE) / 200.0::DOUBLE AS median,
+         |       CAST(dlo * (2 - (n - 1) % 2) + coalesce(dhi, 0) * ((n - 1) % 2)
+         |            AS DOUBLE) / 400.0::DOUBLE AS mad
+         |FROM da JOIN m USING (l_returnflag)
+         |ORDER BY da.l_returnflag""".stripMargin,
 
     // a correct bitmap IS an exact distinct count — plain replay
     "q_bitmap_distinct" ->
