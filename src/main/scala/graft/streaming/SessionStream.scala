@@ -37,14 +37,23 @@ final case class SessState(
   * degrades to an undercounted session, never a corrupted one.
   *
   * State growth contract: `idleTtlMs = Some(ttl)` evicts a user idle for
-  * `ttl` ms (the transitions/attribution posture) — a re-appearing user
-  * would RESTART session numbering at 1, so TTL deployments key sessions
-  * by (user_id, session_start_us) downstream. Default off.
+  * `ttl` ms (the transitions/attribution posture). Under TTL the emitted
+  * session_id is the session's own START TIMESTAMP (epoch µs) rather than
+  * the 1-based counter: eviction erases the counter, so a re-appearing
+  * user would renumber from 1 and a consumer keying on (user, session_no)
+  * could silently merge two different sessions (r10 VERDICT residual 3).
+  * Session starts are strictly increasing per user (a new session opens at
+  * an event strictly after the previous session's end, and the event-time-
+  * monotone contract spans eviction), so start-keyed ids never collide
+  * across evictions — the epoch IS the key. With TTL off (default, the
+  * gate posture) numbering stays 1-based, byte-identical to the batch
+  * operator.
   */
 object SessionStream {
 
   def sessionize(events: Dataset[SessEvent], gapUs: Long,
       idleTtlMs: Option[Long] = None): Dataset[SessionUpdate] = {
+    val stableIds = idleTtlMs.isDefined
     implicit val upEnc: Encoder[SessionUpdate] = Encoders.product[SessionUpdate]
     implicit val stEnc: Encoder[SessState] = Encoders.product[SessState]
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
@@ -74,7 +83,11 @@ object SessionStream {
                   else
                     SessState(st.session_id, st.n + 1, st.start_us, e.ts_us,
                       st.sum_value + e.value, e.ts_us, e.event_id)
-                touched(st.session_id) = SessionUpdate(user, st.session_id,
+                // TTL mode: the eviction-stable id is the session's start
+                // instant — unique per user across epochs by the monotone
+                // event-time contract
+                val sid = if (stableIds) st.start_us else st.session_id
+                touched(sid) = SessionUpdate(user, sid,
                   st.n, st.start_us, st.end_us, st.sum_value)
               }
             }

@@ -500,6 +500,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("snapshot pointer CAS: two writers racing from the same base — exactly one wins") {
+    // lost-update impossibility (r11): both writers merged from v0, both
+    // wrote a candidate version, both CAS from expected v0 concurrently.
+    // The lock serializes the check-and-swap; whoever runs second sees the
+    // advanced pointer and LOSES — its merge (which never saw the winner's
+    // changes) cannot become visible. A subsequent writer that re-reads
+    // the new current succeeds; a stale-expected CAS always fails.
+    val base = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("snapcas").toString + "/t")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mkVersion(name: String): Unit = {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(base, name))
+      ()
+    }
+    mkVersion("v0")
+    assert(CdcStream.swapPointerIfCurrent(spark, fs, base, None, "v0"),
+      "initial swap from no-snapshot must succeed")
+    mkVersion("v1a"); mkVersion("v1b")
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+    val threads = Seq("v1a", "v1b").map { v =>
+      new Thread(() => results.put(v,
+        CdcStream.swapPointerIfCurrent(spark, fs, base, Some("v0"), v)))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    val wins = Seq("v1a", "v1b").filter(results.get(_))
+    assert(wins.size == 1, s"exactly one racing writer must win, got $results")
+    assert(CdcStream.currentSnapshotDir(spark, base.toString).endsWith("/" + wins.head),
+      "the pointer must name the winner")
+    // the loser retries from the NEW current and succeeds; a stale CAS fails
+    val loser = Seq("v1a", "v1b").filterNot(_ == wins.head).head
+    assert(!CdcStream.swapPointerIfCurrent(spark, fs, base, Some("v0"), loser),
+      "a stale-expected CAS must keep failing")
+    mkVersion("v2")
+    assert(CdcStream.swapPointerIfCurrent(spark, fs, base, Some(wins.head), "v2"))
+    assert(CdcStream.currentSnapshotDir(spark, base.toString).endsWith("/v2"))
+    // the lock never lingers after a completed CAS
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(base, "_pointer.lock")))
+  }
+
   test("scd2Stream emits each closed interval exactly once, across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Change]
@@ -991,6 +1030,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       input.addData(AttrEvent(1, 3, "purchase", 300, 7.0))
       eventually("post-eviction purchase is direct")(
         credits.exists(a => a.event_id == 3 && a.channel == "direct"))
+    } finally q.stop()
+  }
+
+  test("sessionize idleTtl: post-eviction sessions never collide with pre-eviction ids") {
+    // the r10-VERDICT collision case: with counter ids, eviction erases the
+    // counter and a re-appearing user's first new session would re-emit
+    // session_id 1 — the SAME key as its first pre-eviction session, so a
+    // consumer keying on (user, session_id) silently merges two different
+    // sessions. Under TTL the id is the session's start instant (strictly
+    // increasing per user across epochs), so the two sessions stay distinct.
+    import graft.streaming.{SessEvent, SessionUpdate}
+    implicit val sqlCtx = spark.sqlContext
+    def rows = spark.table("sessttl").as[SessionUpdate].collect().toSeq
+    def eventually(what: String)(f: => Boolean): Unit = {
+      val end = System.currentTimeMillis + 30000
+      while (System.currentTimeMillis < end && !f) Thread.sleep(50)
+      assert(f, s"condition not reached: $what; got $rows")
+    }
+    val input = MemoryStream[SessEvent]
+    val q = streaming.SessionStream.sessionize(input.toDS(), gapUs = 1000L,
+        idleTtlMs = Some(1L))
+      .writeStream.format("memory").queryName("sessttl")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(SessEvent(1, 1, 100L, 2.0), SessEvent(1, 2, 200L, 3.0))
+      eventually("pre-eviction session keyed by its start")(
+        rows.exists(u => u.session_id == 100L && u.n_events == 2))
+      Thread.sleep(2000) // idle past the TTL: user 1's state evicts
+      input.addData(SessEvent(1, 3, 5000L, 7.0))
+      // the post-eviction session's id is ITS start instant — never a
+      // renumbered 1 (or a re-used 100) that collides with old sessions
+      eventually("post-eviction session keyed by its own start")(
+        rows.exists(u => u.session_id == 5000L && u.n_events == 1))
+      assert(!rows.exists(u => u.session_id == 1L || u.session_id == 2L),
+        s"TTL mode must never emit counter ids; got $rows")
+      assert(rows.filter(_.session_id == 100L).forall(_.n_events <= 2),
+        s"the evicted session must not absorb post-eviction events; got $rows")
     } finally q.stop()
   }
 
