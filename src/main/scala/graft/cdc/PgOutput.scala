@@ -87,6 +87,14 @@ final case class StreamAbortMsg(xid: Int, subXid: Int) extends PgMessage
   * transactions" field). */
 final case class StreamedMsg(xid: Int, inner: PgMessage) extends PgMessage
 
+/** 'M' — a logical decoding message (`pg_logical_emit_message`): the
+  * application side-channel that rides the WAL next to row changes —
+  * checkpoint markers, schema-registry pointers, dual-write fences. flags
+  * bit 0 = transactional (emitted inside the surrounding transaction).
+  * `content` is opaque bytes (Seq for value equality). */
+final case class LogicalMsg(
+    flags: Byte, msgLsn: Long, prefix: String, content: Seq[Byte]) extends PgMessage
+
 /** The reference's HandleFunc tuple (postrack.go:35) as a row: nil maps where
   * the reference passes nil (INSERT has no before, DELETE no after, TRUNCATE
   * neither), and — matching postrack.go:379-382 exactly — null/TOAST columns
@@ -252,6 +260,14 @@ object PgOutput {
         StreamCommitMsg(buf.getInt, buf.get(), buf.getLong, buf.getLong, buf.getLong)
       case 'A' =>
         StreamAbortMsg(buf.getInt, buf.getInt)
+      case 'M' =>
+        val flags = buf.get()
+        val msgLsn = buf.getLong
+        val prefix = readCString(buf)
+        val len = buf.getInt
+        val content = new Array[Byte](len)
+        buf.get(content)
+        LogicalMsg(flags, msgLsn, prefix, content.toSeq)
       case other =>
         throw new IllegalArgumentException(s"unknown pgoutput message type '${other.toChar}'")
     }
@@ -348,6 +364,9 @@ object PgOutput {
         u8('c'); u32(xid); u8(flags); u64(commitLsn); u64(endLsn); u64(ts)
       case StreamAbortMsg(xid, subXid) =>
         u8('A'); u32(xid); u32(subXid)
+      case LogicalMsg(flags, msgLsn, prefix, content) =>
+        u8('M'); u8(flags); u64(msgLsn); cstr(prefix)
+        u32(content.length); out.write(content.toArray)
       case StreamedMsg(xid, inner) =>
         // the v1 encoding with the Int32 xid spliced after the type byte —
         // the exact inverse of decodeStreamed's splice-out
@@ -397,7 +416,8 @@ object PgOutput {
       case TruncateMsg(_, ids) =>
         ids.iterator.map(id => ChangeEvent(lsn, table(id), "TRUNCATE", null, null))
       case _: BeginMsg | _: CommitMsg | _: RelationMsg | _: StreamStartMsg |
-           StreamStopMsg | _: StreamCommitMsg | _: StreamAbortMsg =>
+           StreamStopMsg | _: StreamCommitMsg | _: StreamAbortMsg |
+           _: LogicalMsg =>
         Iterator.empty
       case StreamedMsg(_, inner) => eventsOf(registry, lsn, inner)
     }
@@ -510,6 +530,36 @@ object PgOutput {
         }
       }
       .toDF()
+  }
+
+  /** The logical-message SIDE CHANNEL of a frame lake: every 'M' frame
+    * (pg_logical_emit_message) decoded to a typed row — the path a consumer
+    * uses to read checkpoint markers / registry pointers / dual-write
+    * fences out of the same WAL its row changes arrive on. Columnar
+    * first-byte dispatch, partition-local decode, zero shuffle — the
+    * decodeFeed shape; the row-change passes ignore 'M' (benign metadata),
+    * this pass ignores everything else, and both read the SAME lake.
+    * Content surfaces as UTF-8 (the emit-message convention for textual
+    * markers); binary payloads would surface as the raw bytes column
+    * instead. V1 top-level frames; an in-segment 'M' is xid-prefixed and
+    * travels the decodeStreamed path. */
+  def decodeMessages(spark: SparkSession, frames: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = frames.select(col("lsn").cast("long"), col("data")).as[(Long, Array[Byte])]
+    typed
+      .filter(substring(col("data"), 1, 1) === lit(Array('M'.toByte)))
+      .mapPartitions { it =>
+        it.map { case (lsn, b) =>
+          decode(b) match {
+            case LogicalMsg(flags, msgLsn, prefix, content) =>
+              (lsn, (flags & 1) == 1, msgLsn, prefix,
+                new String(content.toArray, StandardCharsets.UTF_8))
+            case other =>
+              throw new IllegalStateException(s"'M' frame decoded to $other")
+          }
+        }
+      }
+      .toDF("lsn", "transactional", "msg_lsn", "prefix", "content")
   }
 
   /** Decoded frames → the canonical change-feed columns (ChangeFeed schema):

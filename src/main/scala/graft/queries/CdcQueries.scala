@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.cdc.{Apply, ChangeFeed, PgOutput, Publication, PublicationCatalog, SlotStore}
+import graft.cdc.{Apply, ChangeFeed, LogicalMsg, PgOutput, Publication, PublicationCatalog, SlotStore}
 import graft.sources.Tables
 
 /** CDC operator inventory (SURVEY.md §2, first block): the reference's
@@ -193,6 +193,28 @@ object CdcQueries {
           s.read.parquet(capturedV2LakeDir(s, dir))))
         .select("lsn", "table_name", "op", "pk", "ts_us", "value")
         .orderBy("lsn")),
+
+    // LOGICAL DECODING MESSAGES (r11): pg_logical_emit_message's 'M'
+    // frames — the application side channel riding the WAL next to row
+    // changes (checkpoint markers, registry pointers, dual-write fences).
+    // Synthetic 'ckpt' markers (one per 50th event, a pure function of the
+    // feed) ride the SAME frame lake as the full data-frame synthesis;
+    // the message pass extracts exactly them while the row-change passes
+    // keep ignoring 'M' — both decode paths share one lake, zero shuffle.
+    "cdc_logical_messages" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val mx = ev.agg(max("event_id")).head().getLong(0)
+      val msgs = ev.filter(pmod(col("event_id"), lit(50)) === 0)
+        .select(col("event_id")).as[Long]
+        .mapPartitions(it => it.map { eid =>
+          (mx + 1 + eid, PgOutput.encode(LogicalMsg(1, eid, "ckpt",
+            s"event:$eid".getBytes(java.nio.charset.StandardCharsets.UTF_8).toSeq)))
+        }).toDF("lsn", "data")
+      PgOutput.decodeMessages(s,
+          PgOutput.framesFromEvents(s, ev).unionByName(msgs))
+        .orderBy("lsn")
+    }),
 
     "cdc_event_mask" -> ((s, dir) =>
       Publication("users", eventMask = Set("INSERT", "DELETE"))(feed(s, dir))
@@ -625,6 +647,19 @@ object CdcQueries {
       s"""$cte
          |SELECT lsn, table_name, op, pk, ts_us, value FROM feed
          |ORDER BY lsn""".stripMargin,
+
+    // the marker placement rule replayed directly: one transactional
+    // 'ckpt' message per 50th event, frame lsn above the data grid
+    "cdc_logical_messages" ->
+      """WITH b AS (SELECT max(event_id) AS mx FROM events)
+        |SELECT b.mx + 1 + event_id AS lsn,
+        |       TRUE AS transactional,
+        |       event_id AS msg_lsn,
+        |       'ckpt' AS prefix,
+        |       'event:' || event_id AS content
+        |FROM events, b
+        |WHERE event_id % 50 = 0
+        |ORDER BY lsn""".stripMargin,
 
     // the batch replay of the logical feed on the capture run's
     // (event_id + 1) × 100 LSN grid — what the socket-captured lake must

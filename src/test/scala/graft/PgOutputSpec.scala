@@ -25,10 +25,32 @@ class PgOutputSpec extends AnyFunSuite with SparkTestBase {
       DeleteMsg(16385, 'K'.toByte, PgTuple(Seq(Some("1"), None, None))),
       TruncateMsg(1.toByte, Seq(16385, 16390)),
       BeginMsg(123456789L, 777L, 42),
-      CommitMsg(0.toByte, 123456789L, 123456790L, 778L))
+      CommitMsg(0.toByte, 123456789L, 123456790L, 778L),
+      LogicalMsg(1.toByte, 555L, "ckpt", "event:42".getBytes("UTF-8").toSeq),
+      LogicalMsg(0.toByte, 0L, "", Seq.empty), // non-transactional, empty
+      LogicalMsg(1.toByte, 9L, "préfix", Array[Byte](0, -1, 127).toSeq))
     msgs.foreach { m =>
       assert(PgOutput.decode(PgOutput.encode(m)) == m, s"round-trip failed for $m")
     }
+  }
+
+  test("decodeMessages extracts the 'M' side channel; row passes keep ignoring it") {
+    val rel = RelationMsg(7, "public", "t", 'd'.toByte, Seq(PgColumn(0, "pk", 25, -1)))
+    val lake = Seq(
+      1L -> PgOutput.encode(rel),
+      2L -> PgOutput.encode(InsertMsg(7, PgTuple(Seq(Some("1"))))),
+      3L -> PgOutput.encode(LogicalMsg(1, 2L, "ckpt", "event:2".getBytes("UTF-8").toSeq)),
+      4L -> PgOutput.encode(LogicalMsg(0, 4L, "fence", "x".getBytes("UTF-8").toSeq)))
+    val msgs = PgOutput.decodeMessages(spark, lake.toDF("lsn", "data"))
+      .as[(Long, Boolean, Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(msgs == Seq(
+      (3L, true, 2L, "ckpt", "event:2"),
+      (4L, false, 4L, "fence", "x")))
+    // the row-change pass still ignores 'M' (benign metadata, not an event)
+    assert(PgOutput.decodeFeed(spark, lake.toDF("lsn", "data")).count() == 1)
+    // a streamed (xid-prefixed) message round-trips through the v2 path
+    val sm = StreamedMsg(42, LogicalMsg(1, 7L, "p", "c".getBytes("UTF-8").toSeq))
+    assert(PgOutput.decodeStreamed(PgOutput.encode(sm)) == sm)
   }
 
   test("handler semantics match the reference switch: nil/empty-map rules per op") {
