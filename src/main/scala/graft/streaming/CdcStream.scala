@@ -310,24 +310,38 @@ object CdcStream {
       fs: org.apache.hadoop.fs.FileSystem, base: org.apache.hadoop.fs.Path,
       expected: Option[String], versionName: String): Boolean = {
     val lockPath = new org.apache.hadoop.fs.Path(base, "_pointer.lock")
-    val deadline = System.currentTimeMillis + 30000
-    var lock: org.apache.hadoop.fs.FSDataOutputStream = null
-    while (lock == null) {
-      try lock = fs.create(lockPath, false)
-      catch {
-        case _: java.io.IOException =>
-          if (System.currentTimeMillis > deadline)
-            throw new IllegalStateException(
-              s"pointer lock $lockPath held past the deadline — a crashed " +
-                "writer left it; refusing to steal a lock a live writer may hold")
-          Thread.sleep(20)
+    fs.mkdirs(base)
+    // Atomic create-exclusive PER SCHEME: on HDFS `create(…, overwrite =
+    // false)` is atomic at the NameNode, but RawLocalFileSystem implements
+    // it as exists-then-create — a TOCTOU window two racing local writers
+    // BOTH pass (observed: both entered the critical section and the spec's
+    // losing thread crashed on the vanished tmp file). Local goes through
+    // NIO createFile (O_EXCL — kernel-atomic).
+    val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem]
+    def tryLock(): Boolean =
+      if (isLocal) {
+        try {
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(lockPath.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try { fs.create(lockPath, false).close(); true }
+        catch { case _: java.io.IOException => false }
       }
+    val deadline = System.currentTimeMillis + 30000
+    while (!tryLock()) {
+      if (System.currentTimeMillis > deadline)
+        throw new IllegalStateException(
+          s"pointer lock $lockPath held past the deadline — a crashed " +
+            "writer left it; refusing to steal a lock a live writer may hold")
+      Thread.sleep(20)
     }
     try {
       if (currentVersion(fs, base).map(_.getName) != expected) false
       else { swapPointer(spark, fs, base, versionName); true }
     } finally {
-      lock.close()
       fs.delete(lockPath, false)
       ()
     }
