@@ -164,6 +164,15 @@ final class StreamContext(
     else if (aborted(xid)) false
     else throw new IllegalStateException(
       s"streamed transaction $xid has no Stream Commit/Abort in the lake")
+
+  /** Prefix-decode visibility: unresolved (still in-flight) xids read as
+    * INVISIBLE instead of throwing — the policy a consumer uses to decode
+    * a live lake between a segment flush and its fate flush (the committed
+    * answer arrives by re-decoding once the fate lands; nothing is ever
+    * guessed visible). */
+  def isVisibleOrOpen(xid: Int): Boolean = committed(xid)
+
+  def isResolved(xid: Int): Boolean = committed(xid) || aborted(xid)
 }
 
 object StreamContext {
@@ -189,7 +198,19 @@ object StreamContext {
         segs += StreamSegment(s, lsn, xid)
         open = None
       case (_, StreamCommitMsg(xid, _, _, _, _)) => committed += xid
-      case (_, StreamAbortMsg(xid, _)) => aborted += xid
+      case (lsn, StreamAbortMsg(xid, subXid)) =>
+        // subXid == xid aborts the WHOLE transaction; subXid != xid is a
+        // savepoint rollback (only that subtransaction's changes abort) —
+        // v2 data frames carry only the top-level xid, so the sub-range
+        // cannot be attributed without subtransaction tracking. Fail loudly
+        // rather than conflate a savepoint rollback with a full abort
+        // (which would silently drop the COMMITTED rest of the txn).
+        if (subXid == xid) aborted += xid
+        else throw new IllegalArgumentException(
+          s"Stream Abort at lsn $lsn rolls back SUBTRANSACTION $subXid of " +
+            s"$xid — savepoint-level aborts are not supported by this " +
+            "decoder (frames carry only the top-level xid); capture with " +
+            "streaming=off for transactions using savepoints")
       case (lsn, other) =>
         throw new IllegalArgumentException(s"non-control frame at lsn $lsn: $other")
     }
@@ -478,8 +499,16 @@ object PgOutput {
     * interleaved lake decodes on 1000 executors. This is why v2 matters at
     * scale: the v1 protocol ships a transaction only at commit, so a 100 GB
     * bulk load would stall the slot and balloon primary-side reorder
-    * buffers; v2 streams it in bounded segments as it happens. */
-  def decodeFeedV2(spark: SparkSession, frames: DataFrame): DataFrame = {
+    * buffers; v2 streams it in bounded segments as it happens.
+    *
+    * `excludeOpen = false` (the gate posture) fails loudly on a streamed
+    * xid with no Commit/Abort in the lake — a COMPLETE lake missing a fate
+    * frame is corruption. `excludeOpen = true` is the PREFIX-decode policy
+    * for a live lake (segments flushed, fate not yet): unresolved xids read
+    * as invisible — never guessed visible — and their events appear when
+    * the fate lands and the consumer re-decodes. */
+  def decodeFeedV2(spark: SparkSession, frames: DataFrame,
+      excludeOpen: Boolean = false): DataFrame = {
     import spark.implicits._
     val typed = frames.select(col("lsn").cast("long"), col("data")).as[(Long, Array[Byte])]
     def firstByteIs(types: Seq[Char]) = substring(col("data"), 1, 1)
@@ -488,36 +517,50 @@ object PgOutput {
     val controls = typed.filter(firstByteIs(Seq('S', 'E', 'c', 'A')))
       .collect().map { case (lsn, b) => (lsn, decode(b)) }
     val ctx = StreamContext.build(controls.toSeq)
+    def visible(xid: Int): Boolean =
+      if (excludeOpen) ctx.isVisibleOrOpen(xid) else ctx.isVisible(xid)
     // pass 2 (bounded): relation frames. A relation INSIDE a segment is
     // xid-prefixed on the wire (the protocol streams a txn's DDL-refreshed
     // schemas in its segments); membership resolves through the same
-    // interval map the data pass uses.
+    // interval map the data pass uses, and a rolled-back (or still-open)
+    // transaction's schema versions must NOT enter the registry — an
+    // aborted DDL registered anyway would silently re-shape every later
+    // frame of that relation id.
     val rels = typed.filter(firstByteIs(Seq('R')))
-      .collect().map { case (lsn, b) =>
-        val msg = if (ctx.segmentAt(lsn).isDefined) decodeStreamed(b) else decode(b)
-        msg match {
-          case r: RelationMsg => (lsn, r)
-          case StreamedMsg(_, r: RelationMsg) => (lsn, r)
-          case other => throw new IllegalStateException(s"'R' frame decoded to $other")
+      .collect().flatMap { case (lsn, b) =>
+        ctx.segmentAt(lsn) match {
+          case Some(seg) if !visible(seg.xid) => None
+          case Some(_) => decodeStreamed(b) match {
+            case StreamedMsg(_, r: RelationMsg) => Some((lsn, r))
+            case other => throw new IllegalStateException(s"'R' frame decoded to $other")
+          }
+          case None => decode(b) match {
+            case r: RelationMsg => Some((lsn, r))
+            case other => throw new IllegalStateException(s"'R' frame decoded to $other")
+          }
         }
       }
     val bcReg = spark.sparkContext.broadcast(RelationRegistry.build(rels.toSeq))
     val bcCtx = spark.sparkContext.broadcast(ctx)
+    val bcExcludeOpen = excludeOpen
     // pass 3 (distributed): data frames decode partition-locally. Aborted
-    // transactions' frames are dropped BEFORE tuple decode — the whole
-    // point of the fate filter — and committed streamed frames unwrap to
-    // their v1 messages. The coalesce(…, true) null-routing and the
-    // loud-unknown-type posture match decodeFeed.
+    // (and, under excludeOpen, unresolved) transactions' frames are dropped
+    // BEFORE tuple decode — the whole point of the fate filter — and
+    // committed streamed frames unwrap to their v1 messages. The
+    // coalesce(…, true) null-routing and the loud-unknown-type posture
+    // match decodeFeed.
     typed
       .filter(coalesce(!firstByteIs(Seq('R', 'B', 'C', 'Y', 'O', 'M', 'S', 'E', 'c', 'A')),
         lit(true)))
       .mapPartitions { it =>
         val reg = bcReg.value
         val sc = bcCtx.value
+        def vis(xid: Int): Boolean =
+          if (bcExcludeOpen) sc.isVisibleOrOpen(xid) else sc.isVisible(xid)
         it.flatMap { case (lsn, b) =>
           sc.segmentAt(lsn) match {
             case Some(seg) =>
-              if (!sc.isVisible(seg.xid)) Iterator.empty
+              if (!vis(seg.xid)) Iterator.empty
               else decodeStreamed(b) match {
                 case StreamedMsg(xid, inner) =>
                   require(xid == seg.xid,
@@ -541,22 +584,51 @@ object PgOutput {
     * this pass ignores everything else, and both read the SAME lake.
     * Content surfaces as UTF-8 (the emit-message convention for textual
     * markers); binary payloads would surface as the raw bytes column
-    * instead. V1 top-level frames; an in-segment 'M' is xid-prefixed and
-    * travels the decodeStreamed path. */
-  def decodeMessages(spark: SparkSession, frames: DataFrame): DataFrame = {
+    * instead.
+    *
+    * V2-aware: an 'M' frame INSIDE a stream segment is xid-prefixed (a
+    * plain decode would misparse its xid bytes as flags/msg_lsn) and is a
+    * transactional message of that txn — it surfaces only if the txn
+    * COMMITTED (`excludeOpen` as in decodeFeedV2: unresolved xids read as
+    * invisible instead of throwing). Messages of aborted transactions were
+    * never emitted, semantically. */
+  def decodeMessages(spark: SparkSession, frames: DataFrame,
+      excludeOpen: Boolean = false): DataFrame = {
     import spark.implicits._
     val typed = frames.select(col("lsn").cast("long"), col("data")).as[(Long, Array[Byte])]
+    def firstByteIs(types: Seq[Char]) = substring(col("data"), 1, 1)
+      .isin(types.map(c => lit(Array(c.toByte))): _*)
+    val controls = typed.filter(firstByteIs(Seq('S', 'E', 'c', 'A')))
+      .collect().map { case (lsn, b) => (lsn, decode(b)) }
+    val bcCtx = spark.sparkContext.broadcast(StreamContext.build(controls.toSeq))
+    val bcExcludeOpen = excludeOpen
     typed
-      .filter(substring(col("data"), 1, 1) === lit(Array('M'.toByte)))
+      .filter(firstByteIs(Seq('M')))
       .mapPartitions { it =>
-        it.map { case (lsn, b) =>
-          decode(b) match {
-            case LogicalMsg(flags, msgLsn, prefix, content) =>
-              (lsn, (flags & 1) == 1, msgLsn, prefix,
-                new String(content.toArray, StandardCharsets.UTF_8))
-            case other =>
-              throw new IllegalStateException(s"'M' frame decoded to $other")
+        val sc = bcCtx.value
+        def vis(xid: Int): Boolean =
+          if (bcExcludeOpen) sc.isVisibleOrOpen(xid) else sc.isVisible(xid)
+        it.flatMap { case (lsn, b) =>
+          val decoded = sc.segmentAt(lsn) match {
+            case Some(seg) =>
+              decodeStreamed(b) match {
+                case StreamedMsg(xid, m: LogicalMsg) =>
+                  require(xid == seg.xid,
+                    s"'M' frame at lsn $lsn carries xid $xid inside segment of ${seg.xid}")
+                  if (vis(xid)) Some(m) else None
+                case other =>
+                  throw new IllegalStateException(s"streamed 'M' frame decoded to $other")
+              }
+            case None => decode(b) match {
+              case m: LogicalMsg => Some(m)
+              case other =>
+                throw new IllegalStateException(s"'M' frame decoded to $other")
+            }
           }
+          decoded.map { case LogicalMsg(flags, msgLsn, prefix, content) =>
+            (lsn, (flags & 1) == 1, msgLsn, prefix,
+              new String(content.toArray, StandardCharsets.UTF_8))
+          }.iterator
         }
       }
       .toDF("lsn", "transactional", "msg_lsn", "prefix", "content")
@@ -607,7 +679,11 @@ object PgOutput {
     }
   }
 
-  private def relationFrames: Seq[(Long, Array[Byte])] = Seq(
+  /** The synthetic lake's two Relation frames (lsn, encoded bytes) — ONE
+    * definition shared by both frame generators AND the capture harness's
+    * served relations (CdcQueries.captureRelations): a drifting copy would
+    * silently desynchronize the primary's framing from the lake's. */
+  def relationFrames: Seq[(Long, Array[Byte])] = Seq(
     (ChangeFeed.relationLsn(0), PgOutput.encode(feedRelation(ChangeFeed.usersRelId, "users"))),
     (ChangeFeed.relationLsn(1), PgOutput.encode(feedRelation(ChangeFeed.accountsRelId, "accounts"))))
 

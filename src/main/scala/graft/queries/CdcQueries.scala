@@ -74,13 +74,11 @@ object CdcQueries {
     * RelationMessages per session) can never collide with a data LSN. */
   private val captureLakeMemo = new graft.operators.SessionMemo[String]
 
-  /** The relation framing shared by both capture gates — the SAME
-    * definition framesFromEvents encodes its tuples against
-    * (PgOutput.feedRelation), so tuple positions can never silently shift
-    * against column names. */
-  private def captureRelations: Seq[Array[Byte]] = Seq(
-    PgOutput.encode(PgOutput.feedRelation(ChangeFeed.usersRelId, "users")),
-    PgOutput.encode(PgOutput.feedRelation(ChangeFeed.accountsRelId, "accounts")))
+  /** The relation framing shared by both capture gates — THE definition
+    * the frame generators encode tuples against (PgOutput.relationFrames),
+    * so the primary's served relations can never silently drift from the
+    * lake's framing. */
+  private def captureRelations: Seq[Array[Byte]] = PgOutput.relationFrames.map(_._2)
 
   /** Run one loopback capture: write the served feed LSN-sorted to parquet
     * (8 range files), serve it through [[graft.streaming.LoopbackPgServer]]

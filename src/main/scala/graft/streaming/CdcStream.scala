@@ -330,12 +330,35 @@ object CdcStream {
         try { fs.create(lockPath, false).close(); true }
         catch { case _: java.io.IOException => false }
       }
+    // Lease recovery for a CRASHED writer's orphan lock (a kill between
+    // create and the finally-delete): a live writer holds the lock only
+    // for the milliseconds of the pointer check + rename, so a lock older
+    // than the stale window is a corpse with certainty bar extreme clock
+    // skew — break it ONCE, loudly, then contend normally. A fresh lock is
+    // never stolen (stealing under a live writer is the one thing worse
+    // than waiting), so a transient crash costs one stale window instead
+    // of permanently failing every subsequent batch.
+    val staleMs = 120000L
+    var brokeStale = false
     val deadline = System.currentTimeMillis + 30000
     while (!tryLock()) {
+      if (!brokeStale) {
+        val age = try
+          System.currentTimeMillis - fs.getFileStatus(lockPath).getModificationTime
+        catch { case _: java.io.IOException => -1L } // vanished: retry at once
+        if (age > staleMs) {
+          System.err.println(
+            s"[snapshot] breaking stale pointer lock $lockPath (age ${age}ms > " +
+              s"${staleMs}ms) — a crashed writer left it")
+          fs.delete(lockPath, false)
+          brokeStale = true
+        }
+      }
       if (System.currentTimeMillis > deadline)
         throw new IllegalStateException(
-          s"pointer lock $lockPath held past the deadline — a crashed " +
-            "writer left it; refusing to steal a lock a live writer may hold")
+          s"pointer lock $lockPath held past the deadline by a LIVE writer " +
+            "(fresh mtime) — two concurrent writers on one snapshot dir is a " +
+            "deployment error; refusing to steal")
       Thread.sleep(20)
     }
     try {

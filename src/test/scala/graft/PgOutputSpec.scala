@@ -319,6 +319,83 @@ class PgOutputV2Spec extends AnyFunSuite with SparkTestBase {
       PgOutput.decodeFeedV2(spark, bad.toDF("lsn", "data")).count())
   }
 
+  test("savepoint-level Stream Abort (subXid != xid) fails loudly, never conflates") {
+    // v2 data frames carry only the top-level xid, so a subtransaction
+    // rollback cannot be attributed frame-by-frame; conflating it with a
+    // whole-txn abort would silently drop the COMMITTED rest of the txn
+    val e = intercept[IllegalArgumentException](StreamContext.build(Seq(
+      10L -> StreamStartMsg(5, firstSegment = true),
+      20L -> StreamStopMsg,
+      30L -> StreamAbortMsg(5, 6), // subxact 6 of txn 5
+      40L -> StreamCommitMsg(5, 0.toByte, 40L, 40L, 0L))))
+    assert(e.getMessage.contains("SUBTRANSACTION"))
+  }
+
+  test("an aborted segment's Relation frames never enter the registry") {
+    def enc(m: PgMessage) = PgOutput.encode(m)
+    val relV2 = rel.copy(columns = rel.columns :+ PgColumn(0, "extra", 25, -1))
+    val lake = Seq(
+      1L -> enc(rel),
+      // aborted streamed txn ships a DDL-refreshed 3-column schema
+      100L -> enc(StreamStartMsg(2, firstSegment = true)),
+      101L -> enc(StreamedMsg(2, relV2)),
+      102L -> enc(StreamedMsg(2, ins(9, "gone"))),
+      103L -> enc(StreamStopMsg),
+      // a later v1 insert must decode against the LIVE 2-column schema,
+      // not the rolled-back 3-column one
+      200L -> enc(ins(1, "alive")),
+      300L -> enc(StreamAbortMsg(2, 2)))
+    val got = PgOutput.decodeFeedV2(spark, lake.toDF("lsn", "data"))
+      .as[ChangeEvent].collect().toSeq
+    assert(got.map(_.lsn) == Seq(200L))
+    assert(got.head.after.keySet == Set("pk", "v"),
+      s"rolled-back DDL leaked into the registry: ${got.head.after}")
+  }
+
+  test("excludeOpen: a live lake's unresolved txn reads invisible, never throws") {
+    def enc(m: PgMessage) = PgOutput.encode(m)
+    val lake = Seq( // segments flushed, fate frame NOT yet captured
+      1L -> enc(rel),
+      100L -> enc(ins(1, "v1")),
+      200L -> enc(StreamStartMsg(3, firstSegment = true)),
+      201L -> enc(StreamedMsg(3, ins(2, "inflight"))),
+      202L -> enc(StreamStopMsg))
+    // default posture: a COMPLETE lake missing a fate frame is corruption
+    assertThrows[org.apache.spark.SparkException](
+      PgOutput.decodeFeedV2(spark, lake.toDF("lsn", "data")).count())
+    // prefix-decode posture: the open txn is invisible (never guessed)
+    val open = PgOutput.decodeFeedV2(spark, lake.toDF("lsn", "data"),
+      excludeOpen = true).as[ChangeEvent].collect().toSeq
+    assert(open.map(_.lsn) == Seq(100L))
+    // once the fate lands, a re-decode surfaces the committed events
+    val fated = lake :+ (300L -> enc(StreamCommitMsg(3, 0.toByte, 300L, 300L, 0L)))
+    val after = PgOutput.decodeFeedV2(spark, fated.toDF("lsn", "data"),
+      excludeOpen = true).as[ChangeEvent].collect().toSeq
+    assert(after.map(_.lsn) == Seq(100L, 201L))
+  }
+
+  test("in-segment logical messages: committed surface, aborted vanish, xid splice parses") {
+    def enc(m: PgMessage) = PgOutput.encode(m)
+    val lake = Seq(
+      1L -> enc(rel),
+      10L -> enc(LogicalMsg(1, 10L, "top", "t".getBytes("UTF-8").toSeq)),
+      100L -> enc(StreamStartMsg(1, firstSegment = true)),
+      // flags = 1 — a plain decode would read the xid's first byte (0) as
+      // flags and surface transactional=false with a garbage msg_lsn
+      101L -> enc(StreamedMsg(1, LogicalMsg(1, 7L, "ckpt", "a".getBytes("UTF-8").toSeq))),
+      102L -> enc(StreamStopMsg),
+      200L -> enc(StreamStartMsg(2, firstSegment = true)),
+      201L -> enc(StreamedMsg(2, LogicalMsg(1, 8L, "ckpt", "b".getBytes("UTF-8").toSeq))),
+      202L -> enc(StreamStopMsg),
+      300L -> enc(StreamCommitMsg(1, 0.toByte, 300L, 300L, 0L)),
+      400L -> enc(StreamAbortMsg(2, 2)))
+    val got = PgOutput.decodeMessages(spark, lake.toDF("lsn", "data"))
+      .as[(Long, Boolean, Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (10L, true, 10L, "top", "t"),
+      (101L, true, 7L, "ckpt", "a"))) // xid spliced out, flags intact; txn 2's message aborted away
+  }
+
   test("framesFromEventsV2 decodes to exactly the committed + v1 events") {
     val events = sources.Tables(spark, sf, "events").limit(400)
     val frames = PgOutput.framesFromEventsV2(spark, events)

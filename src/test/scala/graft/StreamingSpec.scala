@@ -537,6 +537,16 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(CdcStream.currentSnapshotDir(spark, base.toString).endsWith("/v2"))
     // the lock never lingers after a completed CAS
     assert(!fs.exists(new org.apache.hadoop.fs.Path(base, "_pointer.lock")))
+    // lease recovery: a crashed writer's orphan lock (old mtime) is broken
+    // once, loudly, instead of permanently failing every later batch
+    val lock = new org.apache.hadoop.fs.Path(base, "_pointer.lock")
+    fs.create(lock, true).close()
+    fs.setTimes(lock, System.currentTimeMillis - 600000L, -1) // 10 min old
+    mkVersion("v3")
+    assert(CdcStream.swapPointerIfCurrent(spark, fs, base, Some("v2"), "v3"),
+      "a stale (crashed-writer) lock must be broken and the CAS proceed")
+    assert(CdcStream.currentSnapshotDir(spark, base.toString).endsWith("/v3"))
+    assert(!fs.exists(lock))
   }
 
   test("scd2Stream emits each closed interval exactly once, across batches") {
