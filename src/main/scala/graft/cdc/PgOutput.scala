@@ -87,6 +87,36 @@ final case class StreamAbortMsg(xid: Int, subXid: Int) extends PgMessage
   * transactions" field). */
 final case class StreamedMsg(xid: Int, inner: PgMessage) extends PgMessage
 
+// --------------------------------------------------------------------------
+// Two-phase commit (the `two_phase` subscription option, public protocol
+// docs): a PREPARE TRANSACTION ships its changes at prepare time as a
+// Begin Prepare … data … Prepare block; the changes become visible only
+// when a later Commit Prepared arrives, and Rollback Prepared discards
+// them. The durable handle across the gap is the GID (the user-chosen
+// global transaction identifier).
+
+/** 'b' — opens a prepared transaction's change block. */
+final case class BeginPrepareMsg(
+    prepareLsn: Long, endLsn: Long, tsUs: Long, xid: Int, gid: String) extends PgMessage
+
+/** 'P' — closes the block: the transaction is now PREPARED (durable,
+  * fate unknown). */
+final case class PrepareMsg(
+    flags: Byte, prepareLsn: Long, endLsn: Long, tsUs: Long,
+    xid: Int, gid: String) extends PgMessage
+
+/** 'K' — a previously prepared transaction committed: its block's changes
+  * become visible. */
+final case class CommitPreparedMsg(
+    flags: Byte, commitLsn: Long, endLsn: Long, tsUs: Long,
+    xid: Int, gid: String) extends PgMessage
+
+/** 'r' — a previously prepared transaction rolled back: its block's
+  * changes are discarded. */
+final case class RollbackPreparedMsg(
+    flags: Byte, prepareEndLsn: Long, rollbackEndLsn: Long,
+    prepareTsUs: Long, rollbackTsUs: Long, xid: Int, gid: String) extends PgMessage
+
 /** 'M' — a logical decoding message (`pg_logical_emit_message`): the
   * application side-channel that rides the WAL next to row changes —
   * checkpoint markers, schema-registry pointers, dual-write fences. flags
@@ -221,6 +251,79 @@ object StreamContext {
   }
 }
 
+/** One reconstructed PREPARED block: frames with startLsn < lsn < stopLsn
+  * belong to the prepared transaction `gid`. */
+final case class PreparedBlock(startLsn: Long, stopLsn: Long, gid: String)
+
+/** The two-phase-commit context reconstructed from the O(#prepared txns)
+  * control frames: prepared-block intervals plus each GID's fate. Same
+  * broadcast-interval machinery as [[StreamContext]]; the durable handle
+  * across the prepare→fate gap is the GID, so fates key by it. */
+final class PreparedContext(
+    private val blocks: Vector[PreparedBlock],
+    val committed: Set[String],
+    val rolledBack: Set[String]) extends Serializable {
+
+  private val starts: Array[Long] = blocks.map(_.startLsn).toArray
+
+  def blockAt(lsn: Long): Option[PreparedBlock] = {
+    var i = java.util.Arrays.binarySearch(starts, lsn)
+    if (i < 0) i = -i - 2
+    if (i < 0) None
+    else {
+      val b = blocks(i)
+      if (lsn > b.startLsn && lsn < b.stopLsn) Some(b) else None
+    }
+  }
+
+  /** Loud visibility: a COMPLETE lake resolves every prepared gid. */
+  def isVisible(gid: String): Boolean =
+    if (committed(gid)) true
+    else if (rolledBack(gid)) false
+    else throw new IllegalStateException(
+      s"prepared transaction '$gid' has no Commit/Rollback Prepared in the lake")
+
+  /** Prefix-decode visibility: a still-PREPARED gid reads invisible — the
+    * in-doubt window of two-phase commit, never guessed. */
+  def isVisibleOrOpen(gid: String): Boolean = committed(gid)
+}
+
+object PreparedContext {
+
+  /** Pair each Begin Prepare with the next Prepare above it (blocks are
+    * serialized on the wire like stream segments); gid/xid must agree
+    * across the pair; fates key by gid. Malformed lakes fail loudly. */
+  def build(controls: Seq[(Long, PgMessage)]): PreparedContext = {
+    val sorted = controls.sortBy(_._1)
+    val blocks = Vector.newBuilder[PreparedBlock]
+    var open: Option[(Long, Int, String)] = None
+    var committed = Set.empty[String]
+    var rolledBack = Set.empty[String]
+    sorted.foreach {
+      case (lsn, BeginPrepareMsg(_, _, _, xid, gid)) =>
+        require(open.isEmpty,
+          s"Begin Prepare at lsn $lsn while block ${open.get} is still open")
+        open = Some((lsn, xid, gid))
+      case (lsn, PrepareMsg(_, _, _, _, xid, gid)) =>
+        val (s, oXid, oGid) = open.getOrElse(throw new IllegalStateException(
+          s"Prepare at lsn $lsn with no open Begin Prepare"))
+        require(xid == oXid && gid == oGid,
+          s"Prepare at lsn $lsn ($xid, '$gid') does not match its " +
+            s"Begin Prepare ($oXid, '$oGid')")
+        blocks += PreparedBlock(s, lsn, gid)
+        open = None
+      case (_, CommitPreparedMsg(_, _, _, _, _, gid)) => committed += gid
+      case (_, RollbackPreparedMsg(_, _, _, _, _, _, gid)) => rolledBack += gid
+      case (lsn, other) =>
+        throw new IllegalArgumentException(s"non-2PC control frame at lsn $lsn: $other")
+    }
+    require(open.isEmpty, s"unterminated prepared block: ${open.get}")
+    val both = committed intersect rolledBack
+    require(both.isEmpty, s"gids both committed and rolled back: $both")
+    new PreparedContext(blocks.result().sortBy(_.startLsn), committed, rolledBack)
+  }
+}
+
 object PgOutput {
 
   // ---------------------------------------------------------------- decode
@@ -289,6 +392,18 @@ object PgOutput {
         val content = new Array[Byte](len)
         buf.get(content)
         LogicalMsg(flags, msgLsn, prefix, content.toSeq)
+      case 'b' =>
+        BeginPrepareMsg(buf.getLong, buf.getLong, buf.getLong, buf.getInt,
+          readCString(buf))
+      case 'P' =>
+        PrepareMsg(buf.get(), buf.getLong, buf.getLong, buf.getLong,
+          buf.getInt, readCString(buf))
+      case 'K' =>
+        CommitPreparedMsg(buf.get(), buf.getLong, buf.getLong, buf.getLong,
+          buf.getInt, readCString(buf))
+      case 'r' =>
+        RollbackPreparedMsg(buf.get(), buf.getLong, buf.getLong, buf.getLong,
+          buf.getLong, buf.getInt, readCString(buf))
       case other =>
         throw new IllegalArgumentException(s"unknown pgoutput message type '${other.toChar}'")
     }
@@ -388,6 +503,15 @@ object PgOutput {
       case LogicalMsg(flags, msgLsn, prefix, content) =>
         u8('M'); u8(flags); u64(msgLsn); cstr(prefix)
         u32(content.length); out.write(content.toArray)
+      case BeginPrepareMsg(pLsn, endLsn, ts, xid, gid) =>
+        u8('b'); u64(pLsn); u64(endLsn); u64(ts); u32(xid); cstr(gid)
+      case PrepareMsg(flags, pLsn, endLsn, ts, xid, gid) =>
+        u8('P'); u8(flags); u64(pLsn); u64(endLsn); u64(ts); u32(xid); cstr(gid)
+      case CommitPreparedMsg(flags, cLsn, endLsn, ts, xid, gid) =>
+        u8('K'); u8(flags); u64(cLsn); u64(endLsn); u64(ts); u32(xid); cstr(gid)
+      case RollbackPreparedMsg(flags, peLsn, reLsn, pts, rts, xid, gid) =>
+        u8('r'); u8(flags); u64(peLsn); u64(reLsn); u64(pts); u64(rts)
+        u32(xid); cstr(gid)
       case StreamedMsg(xid, inner) =>
         // the v1 encoding with the Int32 xid spliced after the type byte —
         // the exact inverse of decodeStreamed's splice-out
@@ -438,7 +562,8 @@ object PgOutput {
         ids.iterator.map(id => ChangeEvent(lsn, table(id), "TRUNCATE", null, null))
       case _: BeginMsg | _: CommitMsg | _: RelationMsg | _: StreamStartMsg |
            StreamStopMsg | _: StreamCommitMsg | _: StreamAbortMsg |
-           _: LogicalMsg =>
+           _: LogicalMsg | _: BeginPrepareMsg | _: PrepareMsg |
+           _: CommitPreparedMsg | _: RollbackPreparedMsg =>
         Iterator.empty
       case StreamedMsg(_, inner) => eventsOf(registry, lsn, inner)
     }
@@ -513,10 +638,14 @@ object PgOutput {
     val typed = frames.select(col("lsn").cast("long"), col("data")).as[(Long, Array[Byte])]
     def firstByteIs(types: Seq[Char]) = substring(col("data"), 1, 1)
       .isin(types.map(c => lit(Array(c.toByte))): _*)
-    // pass 1 (bounded): stream control frames → segment intervals + fates
+    // pass 1 (bounded): stream control frames → segment intervals + fates;
+    // two-phase control frames → prepared-block intervals + gid fates
     val controls = typed.filter(firstByteIs(Seq('S', 'E', 'c', 'A')))
       .collect().map { case (lsn, b) => (lsn, decode(b)) }
     val ctx = StreamContext.build(controls.toSeq)
+    val pcontrols = typed.filter(firstByteIs(Seq('b', 'P', 'K', 'r')))
+      .collect().map { case (lsn, b) => (lsn, decode(b)) }
+    val pctx = PreparedContext.build(pcontrols.toSeq)
     def visible(xid: Int): Boolean =
       if (excludeOpen) ctx.isVisibleOrOpen(xid) else ctx.isVisible(xid)
     // pass 2 (bounded): relation frames. A relation INSIDE a segment is
@@ -526,6 +655,8 @@ object PgOutput {
     // transaction's schema versions must NOT enter the registry — an
     // aborted DDL registered anyway would silently re-shape every later
     // frame of that relation id.
+    def pvisible(gid: String): Boolean =
+      if (excludeOpen) pctx.isVisibleOrOpen(gid) else pctx.isVisible(gid)
     val rels = typed.filter(firstByteIs(Seq('R')))
       .collect().flatMap { case (lsn, b) =>
         ctx.segmentAt(lsn) match {
@@ -534,6 +665,8 @@ object PgOutput {
             case StreamedMsg(_, r: RelationMsg) => Some((lsn, r))
             case other => throw new IllegalStateException(s"'R' frame decoded to $other")
           }
+          case None if pctx.blockAt(lsn).exists(blk => !pvisible(blk.gid)) =>
+            None // rolled-back/in-doubt prepared DDL stays out of the registry
           case None => decode(b) match {
             case r: RelationMsg => Some((lsn, r))
             case other => throw new IllegalStateException(s"'R' frame decoded to $other")
@@ -542,6 +675,7 @@ object PgOutput {
       }
     val bcReg = spark.sparkContext.broadcast(RelationRegistry.build(rels.toSeq))
     val bcCtx = spark.sparkContext.broadcast(ctx)
+    val bcPctx = spark.sparkContext.broadcast(pctx)
     val bcExcludeOpen = excludeOpen
     // pass 3 (distributed): data frames decode partition-locally. Aborted
     // (and, under excludeOpen, unresolved) transactions' frames are dropped
@@ -550,16 +684,25 @@ object PgOutput {
     // coalesce(…, true) null-routing and the loud-unknown-type posture
     // match decodeFeed.
     typed
-      .filter(coalesce(!firstByteIs(Seq('R', 'B', 'C', 'Y', 'O', 'M', 'S', 'E', 'c', 'A')),
+      .filter(coalesce(!firstByteIs(
+        Seq('R', 'B', 'C', 'Y', 'O', 'M', 'S', 'E', 'c', 'A', 'b', 'P', 'K', 'r')),
         lit(true)))
       .mapPartitions { it =>
         val reg = bcReg.value
         val sc = bcCtx.value
+        val pc = bcPctx.value
         def vis(xid: Int): Boolean =
           if (bcExcludeOpen) sc.isVisibleOrOpen(xid) else sc.isVisible(xid)
+        def pvis(gid: String): Boolean =
+          if (bcExcludeOpen) pc.isVisibleOrOpen(gid) else pc.isVisible(gid)
         it.flatMap { case (lsn, b) =>
-          sc.segmentAt(lsn) match {
-            case Some(seg) =>
+          (sc.segmentAt(lsn), pc.blockAt(lsn)) match {
+            case (Some(seg), Some(blk)) =>
+              throw new IllegalStateException(
+                s"frame at lsn $lsn sits inside BOTH stream segment " +
+                  s"(xid ${seg.xid}) and prepared block ('${blk.gid}') — " +
+                  "blocks are serialized on the wire; the lake is malformed")
+            case (Some(seg), None) =>
               if (!vis(seg.xid)) Iterator.empty
               else decodeStreamed(b) match {
                 case StreamedMsg(xid, inner) =>
@@ -568,7 +711,11 @@ object PgOutput {
                   eventsOf(reg, lsn, inner)
                 case other => eventsOf(reg, lsn, other)
               }
-            case None => toEvents(reg, lsn, b)
+            case (None, Some(blk)) =>
+              // prepared-block frames are PLAIN v1 (no xid splice); the
+              // block's gid fate decides visibility
+              if (!pvis(blk.gid)) Iterator.empty else toEvents(reg, lsn, b)
+            case (None, None) => toEvents(reg, lsn, b)
           }
         }
       }
@@ -710,6 +857,69 @@ object PgOutput {
     * aborts. Shared with the gate's oracle documentation. */
   val streamXidA = 9001
   val streamXidB = 9002
+
+  /** The events table rendered as a TWO-PHASE-COMMIT frame lake: two
+    * PREPARE TRANSACTION blocks (Begin Prepare … plain data frames …
+    * Prepare) interleaved with the v1 stream, gid "g_commit"
+    * (user_id % 7 == 2) later COMMIT PREPARED, gid "g_rollback"
+    * (user_id % 7 == 3) later ROLLBACK PREPARED. Placement mirrors
+    * framesFromEventsV2 (pure function of the events table): v1 on the
+    * ×1e6 grid; block k ∈ {0 = commit, 1 = rollback} occupies the gap
+    * after v1 slot q_k = n(k+1)/3 — Begin Prepare at
+    * s_k = (q_k + 1)·1e6 + 1, data at s_k + rank, Prepare at
+    * s_k + size + 1; both fates land past the last v1 frame. */
+  def framesFromEvents2PC(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val grid = 1000000L
+    val (xidC, xidR) = (9011, 9012)
+    val ev = events.select(
+      col("event_id"), col("user_id"), col("event_type"),
+      graft.sources.Tables.tsMicros(events).as("ts_us"), col("value"), col("props"),
+      when(pmod(col("user_id"), lit(7)) === 2, "C")
+        .when(pmod(col("user_id"), lit(7)) === 3, "R")
+        .otherwise("V").as("g"))
+    val n = ev.count()
+    require(n >= 3, s"2PC frame synthesis needs >= 3 events, got $n")
+    val counts = ev.filter(col("g") =!= "V").groupBy("g").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (mC, mR) = (counts.getOrElse("C", 0L), counts.getOrElse("R", 0L))
+    require(mC > 0 && mR > 0,
+      s"2PC synthesis needs both prepared txns non-empty (C=$mC, R=$mR)")
+    require(mC + 2 < grid && mR + 2 < grid,
+      s"a prepared block overflows its ×$grid LSN gap (C=$mC, R=$mR)")
+    def blockStart(k: Int): Long = (n * (k + 1) / 3 + 1) * grid + 1
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("event_id")
+    val prepared = ev.filter(col("g") =!= "V")
+      .withColumn("rn", row_number().over(wG).cast("long"))
+      .select(
+        (when(col("g") === "C", blockStart(0)).otherwise(blockStart(1))
+          + col("rn")).as("lsn"),
+        col("user_id"), col("event_type"), col("ts_us"), col("value"), col("props"))
+    val plain = ev.filter(col("g") === "V")
+      .select(((col("event_id") + 1) * grid).as("lsn"),
+        col("user_id"), col("event_type"), col("ts_us"), col("value"), col("props"))
+    val dataFrames = plain.unionByName(prepared)
+      .as[(Long, Long, String, Long, Double, String)]
+      .mapPartitions { it =>
+        it.map { case (lsn, uid, etype, tsUs, value, props) =>
+          (lsn, PgOutput.encode(dataMsgOf(uid, etype, tsUs, value, props)))
+        }
+      }
+    val tail = (n + 1) * grid
+    val (sC, sR) = (blockStart(0), blockStart(1))
+    val controls: Seq[(Long, Array[Byte])] = (Seq[(Long, PgMessage)](
+      sC -> BeginPrepareMsg(sC, sC + mC + 1, 0L, xidC, "g_commit"),
+      (sC + mC + 1) -> PrepareMsg(0, sC, sC + mC + 1, 0L, xidC, "g_commit"),
+      sR -> BeginPrepareMsg(sR, sR + mR + 1, 0L, xidR, "g_rollback"),
+      (sR + mR + 1) -> PrepareMsg(0, sR, sR + mR + 1, 0L, xidR, "g_rollback"),
+      (tail + 10) -> CommitPreparedMsg(0, tail + 10, tail + 10, 0L, xidC, "g_commit"),
+      (tail + 20) -> RollbackPreparedMsg(0, sR + mR + 1, tail + 20, 0L, 0L,
+        xidR, "g_rollback")))
+      .map { case (l, m) => (l, PgOutput.encode(m)) }
+    spark.createDataset(relationFrames ++ controls)
+      .union(dataFrames).toDF("lsn", "data")
+  }
 
   /** The events table rendered as a PROTOCOL-V2 frame lake with two LARGE
     * transactions shipped as interleaved stream segments: transaction A

@@ -164,6 +164,20 @@ object CdcQueries {
         n => n + 1, tag = "v2")
     }
 
+  /** Lake dir of the TWO-PHASE capture run (framesFromEvents2PC through
+    * the same socket primary). No disconnect, same reasoning as v2: a
+    * reconnect's relation re-sends at watermark+1/+2 could land inside a
+    * prepared-block interval, a layout a real primary never produces. */
+  private val capture2pcLakeMemo = new graft.operators.SessionMemo[String]
+
+  private def captured2pcLakeDir(s: SparkSession, dir: String): String =
+    capture2pcLakeMemo.get(s, dir) {
+      runCapture(s,
+        PgOutput.framesFromEvents2PC(s, Tables(s, dir, "events"))
+          .filter(col("lsn") >= 0),
+        n => n + 1, tag = "2pc")
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The reference's LIVE capture loop inside the hash gate (r9): frames
     // travel the real TCP replication wire (CopyBoth, XLogData, keepalive
@@ -189,6 +203,20 @@ object CdcQueries {
     "cdc_stream_txn" -> ((s, dir) =>
       PgOutput.toCanonicalFeed(PgOutput.decodeFeedV2(s,
           s.read.parquet(capturedV2LakeDir(s, dir))))
+        .select("lsn", "table_name", "op", "pk", "ts_us", "value")
+        .orderBy("lsn")),
+
+    // TWO-PHASE COMMIT (r11): PREPARE TRANSACTION blocks through the
+    // capture loop — changes ship at prepare time (Begin Prepare … plain
+    // data frames … Prepare), become visible only when COMMIT PREPARED
+    // lands, and ROLLBACK PREPARED discards them; the GID is the durable
+    // handle across the gap. Decode reconstructs the O(#prepared) block
+    // intervals + gid fates, broadcasts them, and every data frame
+    // resolves its block membership partition-locally — the in-doubt
+    // window of 2PC handled order-free at any lake size.
+    "cdc_two_phase" -> ((s, dir) =>
+      PgOutput.toCanonicalFeed(PgOutput.decodeFeedV2(s,
+          s.read.parquet(captured2pcLakeDir(s, dir))))
         .select("lsn", "table_name", "op", "pk", "ts_us", "value")
         .orderBy("lsn")),
 
@@ -645,6 +673,40 @@ object CdcQueries {
       s"""$cte
          |SELECT lsn, table_name, op, pk, ts_us, value FROM feed
          |ORDER BY lsn""".stripMargin,
+
+    // the 2PC placement rule replayed from the events table: v1 on the
+    // ×1e6 grid; prepared block k ∈ {0 = g_commit, 1 = g_rollback} in the
+    // gap after v1 slot n(k+1)//3, data at blockStart + rank; the
+    // rolled-back gid's rows invisible, the committed gid's visible at
+    // their block LSNs
+    "cdc_two_phase" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value,
+        |         CASE WHEN user_id % 7 = 2 THEN 'C'
+        |              WHEN user_id % 7 = 3 THEN 'R' ELSE 'V' END AS g
+        |  FROM events),
+        |cnt AS (SELECT count(*) AS n FROM e),
+        |st AS (
+        |  SELECT *, row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
+        |  FROM e WHERE g IN ('C', 'R')),
+        |placed AS (
+        |  SELECT s.*,
+        |         (c.n * (CASE WHEN s.g = 'C' THEN 1 ELSE 2 END) // 3 + 1)
+        |           * 1000000 + 1 + s.rn AS lsn
+        |  FROM st s, cnt c),
+        |visible AS (
+        |  SELECT (event_id + 1) * 1000000 AS lsn, user_id, event_type, ts_us, value
+        |  FROM e WHERE g = 'V'
+        |  UNION ALL
+        |  SELECT lsn, user_id, event_type, ts_us, value
+        |  FROM placed WHERE g = 'C')
+        |SELECT lsn,
+        |       CASE WHEN user_id % 2 = 0 THEN 'users' ELSE 'accounts' END AS table_name,
+        |       CASE WHEN event_type = 'signup' THEN 'INSERT'
+        |            WHEN event_type = 'error' THEN 'DELETE'
+        |            ELSE 'UPDATE' END AS op,
+        |       user_id AS pk, ts_us, value
+        |FROM visible ORDER BY lsn""".stripMargin,
 
     // the marker placement rule replayed directly: one transactional
     // 'ckpt' message per 50th event, frame lsn above the data grid

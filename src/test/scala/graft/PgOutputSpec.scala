@@ -396,6 +396,60 @@ class PgOutputV2Spec extends AnyFunSuite with SparkTestBase {
       (101L, true, 7L, "ckpt", "a"))) // xid spliced out, flags intact; txn 2's message aborted away
   }
 
+  test("two-phase commit: prepared blocks round-trip, fates gate visibility") {
+    def enc(m: PgMessage) = PgOutput.encode(m)
+    // wire round-trips for all four 2PC frames
+    Seq[PgMessage](
+      BeginPrepareMsg(100L, 110L, 7L, 9, "gid-a"),
+      PrepareMsg(0.toByte, 100L, 110L, 7L, 9, "gid-a"),
+      CommitPreparedMsg(0.toByte, 200L, 201L, 8L, 9, "gid-a"),
+      RollbackPreparedMsg(0.toByte, 110L, 300L, 7L, 9L, 9, "gïd-ü"))
+      .foreach(m => assert(PgOutput.decode(PgOutput.encode(m)) == m))
+    // context: gid/xid must agree across a block's Begin Prepare/Prepare
+    assertThrows[IllegalArgumentException](PreparedContext.build(Seq(
+      10L -> BeginPrepareMsg(10L, 20L, 0L, 1, "g1"),
+      20L -> PrepareMsg(0.toByte, 10L, 20L, 0L, 1, "OTHER"))))
+    // a complete lake: committed block visible, rolled-back invisible
+    val lake = Seq(
+      1L -> enc(rel),
+      50L -> enc(ins(1, "v1")),
+      100L -> enc(BeginPrepareMsg(100L, 103L, 0L, 11, "gc")),
+      101L -> enc(ins(2, "prep-c")),
+      102L -> enc(ins(3, "prep-c2")),
+      103L -> enc(PrepareMsg(0.toByte, 100L, 103L, 0L, 11, "gc")),
+      200L -> enc(BeginPrepareMsg(200L, 202L, 0L, 12, "gr")),
+      201L -> enc(ins(4, "prep-r")),
+      202L -> enc(PrepareMsg(0.toByte, 200L, 202L, 0L, 12, "gr")),
+      300L -> enc(CommitPreparedMsg(0.toByte, 300L, 300L, 0L, 11, "gc")),
+      400L -> enc(RollbackPreparedMsg(0.toByte, 202L, 400L, 0L, 0L, 12, "gr")))
+    val got = PgOutput.decodeFeedV2(spark, lake.toDF("lsn", "data"))
+      .as[ChangeEvent].collect().sortBy(_.lsn).toSeq
+    assert(got.map(e => (e.lsn, e.after("pk"))) ==
+      Seq((50L, "1"), (101L, "2"), (102L, "3")))
+    // in-doubt window: fate not yet landed → loud by default, invisible
+    // under the prefix-decode policy — 2PC's whole point is that window
+    val inDoubt = lake.filterNot(f => f._1 == 300L || f._1 == 400L)
+    assertThrows[org.apache.spark.SparkException](
+      PgOutput.decodeFeedV2(spark, inDoubt.toDF("lsn", "data")).count())
+    val open = PgOutput.decodeFeedV2(spark, inDoubt.toDF("lsn", "data"),
+      excludeOpen = true).as[ChangeEvent].collect().toSeq
+    assert(open.map(_.lsn) == Seq(50L))
+  }
+
+  test("framesFromEvents2PC decodes to exactly the committed + v1 events") {
+    val events = sources.Tables(spark, sf, "events").limit(300)
+    val frames = PgOutput.framesFromEvents2PC(spark, events)
+    assert(frames.count() == frames.select("lsn").distinct().count())
+    val got = PgOutput.toCanonicalFeed(PgOutput.decodeFeedV2(spark, frames))
+      .select("table_name", "op", "pk", "ts_us", "value")
+    // visible = everything except the ROLLED-BACK gid (user_id % 7 == 3)
+    val expected = ChangeFeed.fromEvents(events)
+      .filter(pmod(col("pk"), lit(7)) =!= 3)
+      .select("table_name", "op", "pk", "ts_us", "value")
+    assert(got.count() == expected.count() && got.count() > 0)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("framesFromEventsV2 decodes to exactly the committed + v1 events") {
     val events = sources.Tables(spark, sf, "events").limit(400)
     val frames = PgOutput.framesFromEventsV2(spark, events)
