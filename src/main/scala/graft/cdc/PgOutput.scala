@@ -117,6 +117,13 @@ final case class RollbackPreparedMsg(
     flags: Byte, prepareEndLsn: Long, rollbackEndLsn: Long,
     prepareTsUs: Long, rollbackTsUs: Long, xid: Int, gid: String) extends PgMessage
 
+/** 'p' — a STREAMED transaction ended PREPARED (the v2 × two_phase
+  * combination): its already-shipped segments now hang off `gid`, and
+  * visibility follows the later Commit/Rollback Prepared for that gid. */
+final case class StreamPrepareMsg(
+    flags: Byte, prepareLsn: Long, endLsn: Long, tsUs: Long,
+    xid: Int, gid: String) extends PgMessage
+
 /** 'M' — a logical decoding message (`pg_logical_emit_message`): the
   * application side-channel that rides the WAL next to row changes —
   * checkpoint markers, schema-registry pointers, dual-write fences. flags
@@ -170,7 +177,11 @@ final case class StreamSegment(startLsn: Long, stopLsn: Long, xid: Int)
 final class StreamContext(
     private val segments: Vector[StreamSegment],
     val committed: Set[Int],
-    val aborted: Set[Int]) extends Serializable {
+    val aborted: Set[Int],
+    /** xid → gid for streamed transactions that ended PREPARED (Stream
+      * Prepare, the v2 × two_phase combination): their visibility defers
+      * to the gid's Commit/Rollback Prepared in the [[PreparedContext]]. */
+    val preparedGid: Map[Int, String] = Map.empty) extends Serializable {
 
   private val starts: Array[Long] = segments.map(_.startLsn).toArray
 
@@ -192,8 +203,12 @@ final class StreamContext(
   def isVisible(xid: Int): Boolean =
     if (committed(xid)) true
     else if (aborted(xid)) false
+    else if (preparedGid.contains(xid)) throw new IllegalStateException(
+      s"streamed transaction $xid ended PREPARED as '${preparedGid(xid)}' — " +
+        "resolve its visibility through the PreparedContext gid fate, not " +
+        "the stream-level view")
     else throw new IllegalStateException(
-      s"streamed transaction $xid has no Stream Commit/Abort in the lake")
+      s"streamed transaction $xid has no Stream Commit/Abort/Prepare in the lake")
 
   /** Prefix-decode visibility: unresolved (still in-flight) xids read as
     * INVISIBLE instead of throwing — the policy a consumer uses to decode
@@ -217,6 +232,7 @@ object StreamContext {
     var open: Option[(Long, Int)] = None
     var committed = Set.empty[Int]
     var aborted = Set.empty[Int]
+    var preparedGid = Map.empty[Int, String]
     sorted.foreach {
       case (lsn, StreamStartMsg(xid, _)) =>
         require(open.isEmpty,
@@ -227,6 +243,7 @@ object StreamContext {
           throw new IllegalStateException(s"Stream Stop at lsn $lsn with no open segment"))
         segs += StreamSegment(s, lsn, xid)
         open = None
+      case (_, StreamPrepareMsg(_, _, _, _, xid, gid)) => preparedGid += xid -> gid
       case (_, StreamCommitMsg(xid, _, _, _, _)) => committed += xid
       case (lsn, StreamAbortMsg(xid, subXid)) =>
         // subXid == xid aborts the WHOLE transaction; subXid != xid is a
@@ -247,7 +264,11 @@ object StreamContext {
     require(open.isEmpty, s"unterminated stream segment: ${open.get}")
     val both = committed intersect aborted
     require(both.isEmpty, s"xids both committed and aborted: $both")
-    new StreamContext(segs.result().sortBy(_.startLsn), committed, aborted)
+    val contradictory = preparedGid.keySet intersect (committed ++ aborted)
+    require(contradictory.isEmpty,
+      s"xids with BOTH a stream-level fate and a Stream Prepare: $contradictory")
+    new StreamContext(segs.result().sortBy(_.startLsn), committed, aborted,
+      preparedGid)
   }
 }
 
@@ -404,6 +425,9 @@ object PgOutput {
       case 'r' =>
         RollbackPreparedMsg(buf.get(), buf.getLong, buf.getLong, buf.getLong,
           buf.getLong, buf.getInt, readCString(buf))
+      case 'p' =>
+        StreamPrepareMsg(buf.get(), buf.getLong, buf.getLong, buf.getLong,
+          buf.getInt, readCString(buf))
       case other =>
         throw new IllegalArgumentException(s"unknown pgoutput message type '${other.toChar}'")
     }
@@ -414,6 +438,24 @@ object PgOutput {
     * never xid-prefixed — the xid is their own first field. */
   private val StreamableTypes: Set[Byte] =
     Set('R', 'I', 'U', 'D', 'T', 'M').map(_.toByte)
+
+  /** Unified streamed-xid visibility across the v2 and two-phase contexts:
+    * a streamed xid resolves through its Stream Commit/Abort, OR — when it
+    * ended with Stream Prepare — through its gid's Commit/Rollback
+    * Prepared. `excludeOpen` makes every unresolved path invisible (the
+    * prefix-decode policy) instead of loud. */
+  private def streamVisible(sc: StreamContext, pc: PreparedContext,
+      excludeOpen: Boolean, xid: Int): Boolean =
+    if (sc.committed(xid)) true
+    else if (sc.aborted(xid)) false
+    else sc.preparedGid.get(xid) match {
+      case Some(gid) =>
+        if (excludeOpen) pc.isVisibleOrOpen(gid) else pc.isVisible(gid)
+      case None =>
+        if (excludeOpen) false
+        else throw new IllegalStateException(
+          s"streamed transaction $xid has no Stream Commit/Abort/Prepare in the lake")
+    }
 
   /** Decode a frame that arrived INSIDE a stream segment: data types carry
     * an Int32 xid between the type byte and the v1 body — splice it out,
@@ -512,6 +554,8 @@ object PgOutput {
       case RollbackPreparedMsg(flags, peLsn, reLsn, pts, rts, xid, gid) =>
         u8('r'); u8(flags); u64(peLsn); u64(reLsn); u64(pts); u64(rts)
         u32(xid); cstr(gid)
+      case StreamPrepareMsg(flags, pLsn, endLsn, ts, xid, gid) =>
+        u8('p'); u8(flags); u64(pLsn); u64(endLsn); u64(ts); u32(xid); cstr(gid)
       case StreamedMsg(xid, inner) =>
         // the v1 encoding with the Int32 xid spliced after the type byte —
         // the exact inverse of decodeStreamed's splice-out
@@ -563,7 +607,7 @@ object PgOutput {
       case _: BeginMsg | _: CommitMsg | _: RelationMsg | _: StreamStartMsg |
            StreamStopMsg | _: StreamCommitMsg | _: StreamAbortMsg |
            _: LogicalMsg | _: BeginPrepareMsg | _: PrepareMsg |
-           _: CommitPreparedMsg | _: RollbackPreparedMsg =>
+           _: CommitPreparedMsg | _: RollbackPreparedMsg | _: StreamPrepareMsg =>
         Iterator.empty
       case StreamedMsg(_, inner) => eventsOf(registry, lsn, inner)
     }
@@ -638,16 +682,16 @@ object PgOutput {
     val typed = frames.select(col("lsn").cast("long"), col("data")).as[(Long, Array[Byte])]
     def firstByteIs(types: Seq[Char]) = substring(col("data"), 1, 1)
       .isin(types.map(c => lit(Array(c.toByte))): _*)
-    // pass 1 (bounded): stream control frames → segment intervals + fates;
+    // pass 1 (bounded): stream control frames (incl. Stream Prepare 'p' —
+    // the v2 × two_phase combination) → segment intervals + fates;
     // two-phase control frames → prepared-block intervals + gid fates
-    val controls = typed.filter(firstByteIs(Seq('S', 'E', 'c', 'A')))
+    val controls = typed.filter(firstByteIs(Seq('S', 'E', 'c', 'A', 'p')))
       .collect().map { case (lsn, b) => (lsn, decode(b)) }
     val ctx = StreamContext.build(controls.toSeq)
     val pcontrols = typed.filter(firstByteIs(Seq('b', 'P', 'K', 'r')))
       .collect().map { case (lsn, b) => (lsn, decode(b)) }
     val pctx = PreparedContext.build(pcontrols.toSeq)
-    def visible(xid: Int): Boolean =
-      if (excludeOpen) ctx.isVisibleOrOpen(xid) else ctx.isVisible(xid)
+    def visible(xid: Int): Boolean = streamVisible(ctx, pctx, excludeOpen, xid)
     // pass 2 (bounded): relation frames. A relation INSIDE a segment is
     // xid-prefixed on the wire (the protocol streams a txn's DDL-refreshed
     // schemas in its segments); membership resolves through the same
@@ -685,14 +729,13 @@ object PgOutput {
     // match decodeFeed.
     typed
       .filter(coalesce(!firstByteIs(
-        Seq('R', 'B', 'C', 'Y', 'O', 'M', 'S', 'E', 'c', 'A', 'b', 'P', 'K', 'r')),
+        Seq('R', 'B', 'C', 'Y', 'O', 'M', 'S', 'E', 'c', 'A', 'b', 'P', 'K', 'r', 'p')),
         lit(true)))
       .mapPartitions { it =>
         val reg = bcReg.value
         val sc = bcCtx.value
         val pc = bcPctx.value
-        def vis(xid: Int): Boolean =
-          if (bcExcludeOpen) sc.isVisibleOrOpen(xid) else sc.isVisible(xid)
+        def vis(xid: Int): Boolean = streamVisible(sc, pc, bcExcludeOpen, xid)
         def pvis(gid: String): Boolean =
           if (bcExcludeOpen) pc.isVisibleOrOpen(gid) else pc.isVisible(gid)
         it.flatMap { case (lsn, b) =>
@@ -745,16 +788,21 @@ object PgOutput {
     val typed = frames.select(col("lsn").cast("long"), col("data")).as[(Long, Array[Byte])]
     def firstByteIs(types: Seq[Char]) = substring(col("data"), 1, 1)
       .isin(types.map(c => lit(Array(c.toByte))): _*)
-    val controls = typed.filter(firstByteIs(Seq('S', 'E', 'c', 'A')))
+    val controls = typed.filter(firstByteIs(Seq('S', 'E', 'c', 'A', 'p')))
       .collect().map { case (lsn, b) => (lsn, decode(b)) }
     val bcCtx = spark.sparkContext.broadcast(StreamContext.build(controls.toSeq))
+    val pcontrols = typed.filter(firstByteIs(Seq('b', 'P', 'K', 'r')))
+      .collect().map { case (lsn, b) => (lsn, decode(b)) }
+    val bcPctx = spark.sparkContext.broadcast(PreparedContext.build(pcontrols.toSeq))
     val bcExcludeOpen = excludeOpen
     typed
       .filter(firstByteIs(Seq('M')))
       .mapPartitions { it =>
         val sc = bcCtx.value
-        def vis(xid: Int): Boolean =
-          if (bcExcludeOpen) sc.isVisibleOrOpen(xid) else sc.isVisible(xid)
+        val pc = bcPctx.value
+        def vis(xid: Int): Boolean = streamVisible(sc, pc, bcExcludeOpen, xid)
+        def pvis(gid: String): Boolean =
+          if (bcExcludeOpen) pc.isVisibleOrOpen(gid) else pc.isVisible(gid)
         it.flatMap { case (lsn, b) =>
           val decoded = sc.segmentAt(lsn) match {
             case Some(seg) =>
@@ -767,7 +815,9 @@ object PgOutput {
                   throw new IllegalStateException(s"streamed 'M' frame decoded to $other")
               }
             case None => decode(b) match {
-              case m: LogicalMsg => Some(m)
+              // inside a prepared block: plain framing, gid-fated visibility
+              case m: LogicalMsg =>
+                if (pc.blockAt(lsn).forall(blk => pvis(blk.gid))) Some(m) else None
               case other =>
                 throw new IllegalStateException(s"'M' frame decoded to $other")
             }

@@ -436,6 +436,46 @@ class PgOutputV2Spec extends AnyFunSuite with SparkTestBase {
     assert(open.map(_.lsn) == Seq(50L))
   }
 
+  test("stream-prepared (v2 × two_phase): segments hang off the gid's fate") {
+    def enc(m: PgMessage) = PgOutput.encode(m)
+    assert(PgOutput.decode(PgOutput.encode(
+      StreamPrepareMsg(0.toByte, 10L, 20L, 5L, 9, "gp"))) ==
+      StreamPrepareMsg(0.toByte, 10L, 20L, 5L, 9, "gp"))
+    // two streamed txns end PREPARED; one gid commits, one rolls back
+    def lakeFor(fates: Seq[(Long, PgMessage)]) = (Seq(
+      1L -> enc(rel),
+      50L -> enc(ins(1, "v1")),
+      100L -> enc(StreamStartMsg(21, firstSegment = true)),
+      101L -> enc(StreamedMsg(21, ins(2, "sp-commit"))),
+      102L -> enc(StreamStopMsg),
+      200L -> enc(StreamStartMsg(22, firstSegment = true)),
+      201L -> enc(StreamedMsg(22, ins(3, "sp-rollback"))),
+      202L -> enc(StreamStopMsg),
+      300L -> enc(StreamPrepareMsg(0.toByte, 300L, 300L, 0L, 21, "g21")),
+      310L -> enc(StreamPrepareMsg(0.toByte, 310L, 310L, 0L, 22, "g22"))) ++
+      fates.map { case (l, m) => l -> enc(m) }).toDF("lsn", "data")
+    val resolved = lakeFor(Seq(
+      400L -> CommitPreparedMsg(0.toByte, 400L, 400L, 0L, 21, "g21"),
+      500L -> RollbackPreparedMsg(0.toByte, 310L, 500L, 0L, 0L, 22, "g22")))
+    val got = PgOutput.decodeFeedV2(spark, resolved)
+      .as[ChangeEvent].collect().sortBy(_.lsn).toSeq
+    assert(got.map(e => (e.lsn, e.after("pk"))) == Seq((50L, "1"), (101L, "2")))
+    // in-doubt: both prepared, no gid fate — loud by default, invisible
+    // under the prefix policy
+    val inDoubt = lakeFor(Nil)
+    assertThrows[org.apache.spark.SparkException](
+      PgOutput.decodeFeedV2(spark, inDoubt).count())
+    val open = PgOutput.decodeFeedV2(spark, inDoubt, excludeOpen = true)
+      .as[ChangeEvent].collect().toSeq
+    assert(open.map(_.lsn) == Seq(50L))
+    // contradiction: a stream-level fate AND a Stream Prepare on one xid
+    assertThrows[IllegalArgumentException](StreamContext.build(Seq(
+      10L -> StreamStartMsg(9, firstSegment = true),
+      20L -> StreamStopMsg,
+      30L -> StreamPrepareMsg(0.toByte, 30L, 30L, 0L, 9, "g9"),
+      40L -> StreamCommitMsg(9, 0.toByte, 40L, 40L, 0L))))
+  }
+
   test("framesFromEvents2PC decodes to exactly the committed + v1 events") {
     val events = sources.Tables(spark, sf, "events").limit(300)
     val frames = PgOutput.framesFromEvents2PC(spark, events)
