@@ -177,11 +177,7 @@ final case class StreamSegment(startLsn: Long, stopLsn: Long, xid: Int)
 final class StreamContext(
     private val segments: Vector[StreamSegment],
     val committed: Set[Int],
-    val aborted: Set[Int],
-    /** xid → gid for streamed transactions that ended PREPARED (Stream
-      * Prepare, the v2 × two_phase combination): their visibility defers
-      * to the gid's Commit/Rollback Prepared in the [[PreparedContext]]. */
-    val preparedGid: Map[Int, String] = Map.empty) extends Serializable {
+    val aborted: Set[Int]) extends Serializable {
 
   private val starts: Array[Long] = segments.map(_.startLsn).toArray
 
@@ -197,27 +193,16 @@ final class StreamContext(
     }
   }
 
-  /** Loud visibility: every streamed xid must have resolved to exactly one
-    * of commit/abort — an unresolved xid means the lake is missing its
-    * fate frame and silently guessing would corrupt the feed. */
+  /** Loud STREAM-LEVEL visibility: a streamed xid resolved by Stream
+    * Commit/Abort. Stream-PREPARED xids and unresolved xids throw here —
+    * full resolution (including gid fates and the prefix-decode policy)
+    * lives in PgOutput.streamVisible, which joins this context with the
+    * [[PreparedContext]]. */
   def isVisible(xid: Int): Boolean =
     if (committed(xid)) true
     else if (aborted(xid)) false
-    else if (preparedGid.contains(xid)) throw new IllegalStateException(
-      s"streamed transaction $xid ended PREPARED as '${preparedGid(xid)}' — " +
-        "resolve its visibility through the PreparedContext gid fate, not " +
-        "the stream-level view")
     else throw new IllegalStateException(
-      s"streamed transaction $xid has no Stream Commit/Abort/Prepare in the lake")
-
-  /** Prefix-decode visibility: unresolved (still in-flight) xids read as
-    * INVISIBLE instead of throwing — the policy a consumer uses to decode
-    * a live lake between a segment flush and its fate flush (the committed
-    * answer arrives by re-decoding once the fate lands; nothing is ever
-    * guessed visible). */
-  def isVisibleOrOpen(xid: Int): Boolean = committed(xid)
-
-  def isResolved(xid: Int): Boolean = committed(xid) || aborted(xid)
+      s"streamed transaction $xid has no Stream Commit/Abort in this context")
 }
 
 object StreamContext {
@@ -232,7 +217,6 @@ object StreamContext {
     var open: Option[(Long, Int)] = None
     var committed = Set.empty[Int]
     var aborted = Set.empty[Int]
-    var preparedGid = Map.empty[Int, String]
     sorted.foreach {
       case (lsn, StreamStartMsg(xid, _)) =>
         require(open.isEmpty,
@@ -243,7 +227,6 @@ object StreamContext {
           throw new IllegalStateException(s"Stream Stop at lsn $lsn with no open segment"))
         segs += StreamSegment(s, lsn, xid)
         open = None
-      case (_, StreamPrepareMsg(_, _, _, _, xid, gid)) => preparedGid += xid -> gid
       case (_, StreamCommitMsg(xid, _, _, _, _)) => committed += xid
       case (lsn, StreamAbortMsg(xid, subXid)) =>
         // subXid == xid aborts the WHOLE transaction; subXid != xid is a
@@ -264,26 +247,30 @@ object StreamContext {
     require(open.isEmpty, s"unterminated stream segment: ${open.get}")
     val both = committed intersect aborted
     require(both.isEmpty, s"xids both committed and aborted: $both")
-    val contradictory = preparedGid.keySet intersect (committed ++ aborted)
-    require(contradictory.isEmpty,
-      s"xids with BOTH a stream-level fate and a Stream Prepare: $contradictory")
-    new StreamContext(segs.result().sortBy(_.startLsn), committed, aborted,
-      preparedGid)
+    new StreamContext(segs.result().sortBy(_.startLsn), committed, aborted)
   }
 }
 
 /** One reconstructed PREPARED block: frames with startLsn < lsn < stopLsn
-  * belong to the prepared transaction `gid`. */
-final case class PreparedBlock(startLsn: Long, stopLsn: Long, gid: String)
+  * belong to the prepared transaction `gid`; `fate` is Some(true) once its
+  * COMMIT PREPARED landed, Some(false) for ROLLBACK PREPARED, None while
+  * the transaction is still in doubt. Fates attach to the BLOCK, not to a
+  * flat gid set: Postgres frees a gid on resolution and it may legally be
+  * REUSED by a later prepared transaction — a gid-keyed fate set would
+  * either reject that lake or leak the first fate onto the second,
+  * still-in-doubt block. */
+final case class PreparedBlock(
+    startLsn: Long, stopLsn: Long, gid: String, fate: Option[Boolean])
 
 /** The two-phase-commit context reconstructed from the O(#prepared txns)
-  * control frames: prepared-block intervals plus each GID's fate. Same
-  * broadcast-interval machinery as [[StreamContext]]; the durable handle
-  * across the prepare→fate gap is the GID, so fates key by it. */
+  * control frames: prepared-block intervals with per-block fates, plus the
+  * fates of STREAM-PREPARED transactions (Stream Prepare 'p' — the v2 ×
+  * two_phase combination, whose changes live in stream segments, not
+  * blocks). Same broadcast-interval machinery as [[StreamContext]]. */
 final class PreparedContext(
     private val blocks: Vector[PreparedBlock],
-    val committed: Set[String],
-    val rolledBack: Set[String]) extends Serializable {
+    /** stream-prepared xid → (gid, fate); fate None = still in doubt. */
+    val streamXidFate: Map[Int, (String, Option[Boolean])]) extends Serializable {
 
   private val starts: Array[Long] = blocks.map(_.startLsn).toArray
 
@@ -297,33 +284,56 @@ final class PreparedContext(
     }
   }
 
-  /** Loud visibility: a COMPLETE lake resolves every prepared gid. */
-  def isVisible(gid: String): Boolean =
-    if (committed(gid)) true
-    else if (rolledBack(gid)) false
-    else throw new IllegalStateException(
-      s"prepared transaction '$gid' has no Commit/Rollback Prepared in the lake")
-
-  /** Prefix-decode visibility: a still-PREPARED gid reads invisible — the
-    * in-doubt window of two-phase commit, never guessed. */
-  def isVisibleOrOpen(gid: String): Boolean = committed(gid)
+  /** Block visibility under either policy: in-doubt blocks are loud by
+    * default (a COMPLETE lake resolves every prepared transaction) and
+    * invisible under the prefix-decode policy. */
+  def blockVisible(blk: PreparedBlock, excludeOpen: Boolean): Boolean =
+    blk.fate.getOrElse {
+      if (excludeOpen) false
+      else throw new IllegalStateException(
+        s"prepared transaction '${blk.gid}' (block at ${blk.startLsn}) has " +
+          "no Commit/Rollback Prepared in the lake")
+    }
 }
 
 object PreparedContext {
 
   /** Pair each Begin Prepare with the next Prepare above it (blocks are
     * serialized on the wire like stream segments); gid/xid must agree
-    * across the pair; fates key by gid. Malformed lakes fail loudly. */
+    * across the pair. A Commit/Rollback Prepared resolves THE pending
+    * (unresolved) prepared transaction with that gid — at most one can be
+    * pending per gid at a time (a primary cannot hold two), so a resolved
+    * gid is free for legal reuse by a later block. Malformed lakes —
+    * a re-prepared gid that is still pending, a fate for an unknown gid,
+    * a double Stream Prepare for one xid — fail loudly. */
   def build(controls: Seq[(Long, PgMessage)]): PreparedContext = {
+    final class B(val start: Long, val stop: Long, val gid: String,
+      var fate: Option[Boolean])
     val sorted = controls.sortBy(_._1)
-    val blocks = Vector.newBuilder[PreparedBlock]
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[B]
+    val streamed = scala.collection.mutable.LinkedHashMap
+      .empty[Int, (String, Option[Boolean])]
+    // gid → the pending (unresolved) prepared txn: Left(block idx) or
+    // Right(stream-prepared xid)
+    val pending = scala.collection.mutable.Map.empty[String, Either[Int, Int]]
     var open: Option[(Long, Int, String)] = None
-    var committed = Set.empty[String]
-    var rolledBack = Set.empty[String]
+    def mustBeFree(gid: String, lsn: Long): Unit =
+      require(!pending.contains(gid),
+        s"gid '$gid' re-prepared at lsn $lsn while still pending (unresolved)")
+    def resolve(lsn: Long, gid: String, f: Boolean): Unit =
+      pending.remove(gid) match {
+        case Some(Left(i)) => blocks(i).fate = Some(f)
+        case Some(Right(xid)) =>
+          streamed(xid) = (gid, Some(f))
+        case None => throw new IllegalStateException(
+          s"Commit/Rollback Prepared at lsn $lsn for gid '$gid' with no " +
+            "pending prepared transaction")
+      }
     sorted.foreach {
       case (lsn, BeginPrepareMsg(_, _, _, xid, gid)) =>
         require(open.isEmpty,
           s"Begin Prepare at lsn $lsn while block ${open.get} is still open")
+        mustBeFree(gid, lsn)
         open = Some((lsn, xid, gid))
       case (lsn, PrepareMsg(_, _, _, _, xid, gid)) =>
         val (s, oXid, oGid) = open.getOrElse(throw new IllegalStateException(
@@ -331,17 +341,25 @@ object PreparedContext {
         require(xid == oXid && gid == oGid,
           s"Prepare at lsn $lsn ($xid, '$gid') does not match its " +
             s"Begin Prepare ($oXid, '$oGid')")
-        blocks += PreparedBlock(s, lsn, gid)
+        blocks += new B(s, lsn, gid, None)
+        pending(gid) = Left(blocks.size - 1)
         open = None
-      case (_, CommitPreparedMsg(_, _, _, _, _, gid)) => committed += gid
-      case (_, RollbackPreparedMsg(_, _, _, _, _, _, gid)) => rolledBack += gid
+      case (lsn, StreamPrepareMsg(_, _, _, _, xid, gid)) =>
+        mustBeFree(gid, lsn)
+        require(!streamed.contains(xid),
+          s"xid $xid stream-prepared twice (second at lsn $lsn)")
+        streamed(xid) = (gid, None)
+        pending(gid) = Right(xid)
+      case (lsn, CommitPreparedMsg(_, _, _, _, _, gid)) => resolve(lsn, gid, f = true)
+      case (lsn, RollbackPreparedMsg(_, _, _, _, _, _, gid)) => resolve(lsn, gid, f = false)
       case (lsn, other) =>
         throw new IllegalArgumentException(s"non-2PC control frame at lsn $lsn: $other")
     }
     require(open.isEmpty, s"unterminated prepared block: ${open.get}")
-    val both = committed intersect rolledBack
-    require(both.isEmpty, s"gids both committed and rolled back: $both")
-    new PreparedContext(blocks.result().sortBy(_.startLsn), committed, rolledBack)
+    new PreparedContext(
+      blocks.map(b => PreparedBlock(b.start, b.stop, b.gid, b.fate))
+        .sortBy(_.startLsn).toVector,
+      streamed.toMap)
   }
 }
 
@@ -448,13 +466,61 @@ object PgOutput {
       excludeOpen: Boolean, xid: Int): Boolean =
     if (sc.committed(xid)) true
     else if (sc.aborted(xid)) false
-    else sc.preparedGid.get(xid) match {
-      case Some(gid) =>
-        if (excludeOpen) pc.isVisibleOrOpen(gid) else pc.isVisible(gid)
+    else pc.streamXidFate.get(xid) match {
+      case Some((_, Some(f))) => f
+      case Some((gid, None)) =>
+        if (excludeOpen) false
+        else throw new IllegalStateException(
+          s"stream-prepared transaction $xid ('$gid') is still in doubt — " +
+            "no Commit/Rollback Prepared in the lake")
       case None =>
         if (excludeOpen) false
         else throw new IllegalStateException(
           s"streamed transaction $xid has no Stream Commit/Abort/Prepare in the lake")
+    }
+
+  /** Every v2/2PC CONTROL frame type; one columnar filter collects them
+    * all (they are jointly O(#txns)), split driver-side into the stream
+    * and two-phase builders. */
+  private val StreamControlChars = Set('S', 'E', 'c', 'A')
+  private val PreparedControlChars = Set('b', 'P', 'K', 'r', 'p')
+  private val ControlChars: Seq[Char] =
+    (StreamControlChars ++ PreparedControlChars).toSeq
+  private val ControlTypeBytes: Set[Byte] = ControlChars.map(_.toByte).toSet
+
+  /** One bounded pass: collect + decode every control frame and build both
+    * contexts. */
+  private def buildContexts(typed: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
+      : (StreamContext, PreparedContext) = {
+    val controls = typed
+      .filter(substring(col("data"), 1, 1)
+        .isin(ControlChars.map(c => lit(Array(c.toByte))): _*))
+      .collect().map { case (lsn, b) => (lsn, b(0).toChar, decode(b)) }
+    val ctx = StreamContext.build(
+      controls.collect { case (l, t, m) if StreamControlChars(t) => (l, m) }.toSeq)
+    val pctx = PreparedContext.build(
+      controls.collect { case (l, t, m) if PreparedControlChars(t) => (l, m) }.toSeq)
+    // cross-context contradiction: one xid cannot both resolve at stream
+    // level and end prepared
+    val contradictory = (ctx.committed ++ ctx.aborted) intersect pctx.streamXidFate.keySet
+    require(contradictory.isEmpty,
+      s"xids with BOTH a stream-level fate and a Stream Prepare: $contradictory")
+    (ctx, pctx)
+  }
+
+  /** Frame-scope resolution shared by EVERY pass (relations, data,
+    * messages): a frame sitting inside both a stream segment and a
+    * prepared block is malformed no matter its type — blocks and segments
+    * are serialized on the wire. */
+  private def scopeOf(sc: StreamContext, pc: PreparedContext, lsn: Long)
+      : (Option[StreamSegment], Option[PreparedBlock]) =
+    (sc.segmentAt(lsn), pc.blockAt(lsn)) match {
+      case (Some(seg), Some(blk)) =>
+        throw new IllegalStateException(
+          s"frame at lsn $lsn sits inside BOTH stream segment (xid ${seg.xid}) " +
+            s"and prepared block ('${blk.gid}') — blocks are serialized on " +
+            "the wire; the lake is malformed")
+      case other => other
     }
 
   /** Decode a frame that arrived INSIDE a stream segment: data types carry
@@ -649,7 +715,18 @@ object PgOutput {
     // null/empty guard produces the loud failure this pipeline promises
     typed
       .filter(coalesce(!firstByteIs(Seq('R', 'B', 'C', 'Y', 'O', 'M')), lit(true)))
-      .mapPartitions(it => it.flatMap { case (lsn, b) => toEvents(bc.value, lsn, b) })
+      .mapPartitions(it => it.flatMap { case (lsn, b) =>
+        // v2/2PC control frames now DECODE (they would previously fail as
+        // unknown types) — but a v1 decode of such a lake would silently
+        // emit rolled-back/in-doubt rows as visible, so the loud posture
+        // must be explicit here: this lake needs decodeFeedV2
+        if (b != null && b.nonEmpty && ControlTypeBytes.contains(b(0)))
+          throw new IllegalArgumentException(
+            s"v2/2PC control frame '${b(0).toChar}' at lsn $lsn in a v1 " +
+              "decode — this lake carries streamed/prepared transactions; " +
+              "use decodeFeedV2")
+        toEvents(bc.value, lsn, b)
+      })
       .toDF()
   }
 
@@ -682,36 +759,29 @@ object PgOutput {
     val typed = frames.select(col("lsn").cast("long"), col("data")).as[(Long, Array[Byte])]
     def firstByteIs(types: Seq[Char]) = substring(col("data"), 1, 1)
       .isin(types.map(c => lit(Array(c.toByte))): _*)
-    // pass 1 (bounded): stream control frames (incl. Stream Prepare 'p' —
-    // the v2 × two_phase combination) → segment intervals + fates;
-    // two-phase control frames → prepared-block intervals + gid fates
-    val controls = typed.filter(firstByteIs(Seq('S', 'E', 'c', 'A', 'p')))
-      .collect().map { case (lsn, b) => (lsn, decode(b)) }
-    val ctx = StreamContext.build(controls.toSeq)
-    val pcontrols = typed.filter(firstByteIs(Seq('b', 'P', 'K', 'r')))
-      .collect().map { case (lsn, b) => (lsn, decode(b)) }
-    val pctx = PreparedContext.build(pcontrols.toSeq)
+    // pass 1 (bounded, ONE scan): every control frame — stream (S/E/c/A)
+    // and two-phase (b/P/K/r/p) — collected together and split
+    // driver-side into the two context builders
+    val (ctx, pctx) = buildContexts(typed)
     def visible(xid: Int): Boolean = streamVisible(ctx, pctx, excludeOpen, xid)
     // pass 2 (bounded): relation frames. A relation INSIDE a segment is
     // xid-prefixed on the wire (the protocol streams a txn's DDL-refreshed
     // schemas in its segments); membership resolves through the same
-    // interval map the data pass uses, and a rolled-back (or still-open)
-    // transaction's schema versions must NOT enter the registry — an
-    // aborted DDL registered anyway would silently re-shape every later
-    // frame of that relation id.
-    def pvisible(gid: String): Boolean =
-      if (excludeOpen) pctx.isVisibleOrOpen(gid) else pctx.isVisible(gid)
+    // scope rule as the data pass (incl. the malformed both-scopes check),
+    // and a rolled-back (or still-open) transaction's schema versions must
+    // NOT enter the registry — an aborted DDL registered anyway would
+    // silently re-shape every later frame of that relation id.
     val rels = typed.filter(firstByteIs(Seq('R')))
       .collect().flatMap { case (lsn, b) =>
-        ctx.segmentAt(lsn) match {
-          case Some(seg) if !visible(seg.xid) => None
-          case Some(_) => decodeStreamed(b) match {
+        scopeOf(ctx, pctx, lsn) match {
+          case (Some(seg), _) if !visible(seg.xid) => None
+          case (Some(_), _) => decodeStreamed(b) match {
             case StreamedMsg(_, r: RelationMsg) => Some((lsn, r))
             case other => throw new IllegalStateException(s"'R' frame decoded to $other")
           }
-          case None if pctx.blockAt(lsn).exists(blk => !pvisible(blk.gid)) =>
+          case (None, Some(blk)) if !pctx.blockVisible(blk, excludeOpen) =>
             None // rolled-back/in-doubt prepared DDL stays out of the registry
-          case None => decode(b) match {
+          case (None, _) => decode(b) match {
             case r: RelationMsg => Some((lsn, r))
             case other => throw new IllegalStateException(s"'R' frame decoded to $other")
           }
@@ -736,16 +806,9 @@ object PgOutput {
         val sc = bcCtx.value
         val pc = bcPctx.value
         def vis(xid: Int): Boolean = streamVisible(sc, pc, bcExcludeOpen, xid)
-        def pvis(gid: String): Boolean =
-          if (bcExcludeOpen) pc.isVisibleOrOpen(gid) else pc.isVisible(gid)
         it.flatMap { case (lsn, b) =>
-          (sc.segmentAt(lsn), pc.blockAt(lsn)) match {
-            case (Some(seg), Some(blk)) =>
-              throw new IllegalStateException(
-                s"frame at lsn $lsn sits inside BOTH stream segment " +
-                  s"(xid ${seg.xid}) and prepared block ('${blk.gid}') — " +
-                  "blocks are serialized on the wire; the lake is malformed")
-            case (Some(seg), None) =>
+          scopeOf(sc, pc, lsn) match {
+            case (Some(seg), _) =>
               if (!vis(seg.xid)) Iterator.empty
               else decodeStreamed(b) match {
                 case StreamedMsg(xid, inner) =>
@@ -756,8 +819,9 @@ object PgOutput {
               }
             case (None, Some(blk)) =>
               // prepared-block frames are PLAIN v1 (no xid splice); the
-              // block's gid fate decides visibility
-              if (!pvis(blk.gid)) Iterator.empty else toEvents(reg, lsn, b)
+              // block's fate decides visibility
+              if (!pc.blockVisible(blk, bcExcludeOpen)) Iterator.empty
+              else toEvents(reg, lsn, b)
             case (None, None) => toEvents(reg, lsn, b)
           }
         }
@@ -788,12 +852,9 @@ object PgOutput {
     val typed = frames.select(col("lsn").cast("long"), col("data")).as[(Long, Array[Byte])]
     def firstByteIs(types: Seq[Char]) = substring(col("data"), 1, 1)
       .isin(types.map(c => lit(Array(c.toByte))): _*)
-    val controls = typed.filter(firstByteIs(Seq('S', 'E', 'c', 'A', 'p')))
-      .collect().map { case (lsn, b) => (lsn, decode(b)) }
-    val bcCtx = spark.sparkContext.broadcast(StreamContext.build(controls.toSeq))
-    val pcontrols = typed.filter(firstByteIs(Seq('b', 'P', 'K', 'r')))
-      .collect().map { case (lsn, b) => (lsn, decode(b)) }
-    val bcPctx = spark.sparkContext.broadcast(PreparedContext.build(pcontrols.toSeq))
+    val (ctx, pctx) = buildContexts(typed)
+    val bcCtx = spark.sparkContext.broadcast(ctx)
+    val bcPctx = spark.sparkContext.broadcast(pctx)
     val bcExcludeOpen = excludeOpen
     typed
       .filter(firstByteIs(Seq('M')))
@@ -801,11 +862,9 @@ object PgOutput {
         val sc = bcCtx.value
         val pc = bcPctx.value
         def vis(xid: Int): Boolean = streamVisible(sc, pc, bcExcludeOpen, xid)
-        def pvis(gid: String): Boolean =
-          if (bcExcludeOpen) pc.isVisibleOrOpen(gid) else pc.isVisible(gid)
         it.flatMap { case (lsn, b) =>
-          val decoded = sc.segmentAt(lsn) match {
-            case Some(seg) =>
+          val decoded = scopeOf(sc, pc, lsn) match {
+            case (Some(seg), _) =>
               decodeStreamed(b) match {
                 case StreamedMsg(xid, m: LogicalMsg) =>
                   require(xid == seg.xid,
@@ -814,10 +873,10 @@ object PgOutput {
                 case other =>
                   throw new IllegalStateException(s"streamed 'M' frame decoded to $other")
               }
-            case None => decode(b) match {
-              // inside a prepared block: plain framing, gid-fated visibility
+            case (None, blk) => decode(b) match {
+              // inside a prepared block: plain framing, block-fated visibility
               case m: LogicalMsg =>
-                if (pc.blockAt(lsn).forall(blk => pvis(blk.gid))) Some(m) else None
+                if (blk.forall(pc.blockVisible(_, bcExcludeOpen))) Some(m) else None
               case other =>
                 throw new IllegalStateException(s"'M' frame decoded to $other")
             }

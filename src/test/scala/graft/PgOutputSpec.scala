@@ -469,11 +469,78 @@ class PgOutputV2Spec extends AnyFunSuite with SparkTestBase {
       .as[ChangeEvent].collect().toSeq
     assert(open.map(_.lsn) == Seq(50L))
     // contradiction: a stream-level fate AND a Stream Prepare on one xid
-    assertThrows[IllegalArgumentException](StreamContext.build(Seq(
-      10L -> StreamStartMsg(9, firstSegment = true),
-      20L -> StreamStopMsg,
-      30L -> StreamPrepareMsg(0.toByte, 30L, 30L, 0L, 9, "g9"),
-      40L -> StreamCommitMsg(9, 0.toByte, 40L, 40L, 0L))))
+    // (checked across the two contexts at decode time)
+    val contradictory = (Seq(
+      1L -> enc(rel),
+      10L -> enc(StreamStartMsg(9, firstSegment = true)),
+      20L -> enc(StreamStopMsg),
+      30L -> enc(StreamPrepareMsg(0.toByte, 30L, 30L, 0L, 9, "g9")),
+      40L -> enc(StreamCommitMsg(9, 0.toByte, 40L, 40L, 0L)))).toDF("lsn", "data")
+    assertThrows[IllegalArgumentException](
+      PgOutput.decodeFeedV2(spark, contradictory).count())
+  }
+
+  test("gid reuse: fates pair with the pending prepared txn, never a flat gid set") {
+    // Postgres frees a gid on resolution — a later prepared transaction may
+    // legally REUSE it. The fate must attach to the BLOCK it resolves, so
+    // the second, still-in-doubt block stays in doubt (it must NOT inherit
+    // the first block's commit).
+    def enc(m: PgMessage) = PgOutput.encode(m)
+    val lake = Seq(
+      1L -> enc(rel),
+      100L -> enc(BeginPrepareMsg(100L, 102L, 0L, 31, "g")),
+      101L -> enc(ins(1, "first")),
+      102L -> enc(PrepareMsg(0.toByte, 100L, 102L, 0L, 31, "g")),
+      200L -> enc(CommitPreparedMsg(0.toByte, 200L, 200L, 0L, 31, "g")),
+      // gid 'g' is free again: a second prepared txn reuses it
+      300L -> enc(BeginPrepareMsg(300L, 302L, 0L, 32, "g")),
+      301L -> enc(ins(2, "second")),
+      302L -> enc(PrepareMsg(0.toByte, 300L, 302L, 0L, 32, "g")))
+    // the second block is in doubt: loud by default, invisible under the
+    // prefix policy — and the FIRST block's commit still applies
+    assertThrows[org.apache.spark.SparkException](
+      PgOutput.decodeFeedV2(spark, lake.toDF("lsn", "data")).count())
+    val open = PgOutput.decodeFeedV2(spark, lake.toDF("lsn", "data"),
+      excludeOpen = true).as[ChangeEvent].collect().toSeq
+    assert(open.map(_.lsn) == Seq(101L))
+    // reuse + rollback of the SECOND block resolves correctly too
+    val resolved = lake :+
+      (400L -> enc(RollbackPreparedMsg(0.toByte, 302L, 400L, 0L, 0L, 32, "g")))
+    val got = PgOutput.decodeFeedV2(spark, resolved.toDF("lsn", "data"))
+      .as[ChangeEvent].collect().toSeq
+    assert(got.map(_.lsn) == Seq(101L))
+    // malformed: re-preparing a gid that is STILL pending
+    assertThrows[IllegalArgumentException](PreparedContext.build(Seq(
+      10L -> BeginPrepareMsg(10L, 12L, 0L, 1, "gp"),
+      12L -> PrepareMsg(0.toByte, 10L, 12L, 0L, 1, "gp"),
+      20L -> BeginPrepareMsg(20L, 22L, 0L, 2, "gp"),
+      22L -> PrepareMsg(0.toByte, 20L, 22L, 0L, 2, "gp"))))
+    // malformed: a fate for a gid with no pending prepared txn
+    assertThrows[IllegalStateException](PreparedContext.build(Seq(
+      10L -> CommitPreparedMsg(0.toByte, 10L, 10L, 0L, 1, "nope"))))
+    // malformed: one xid stream-prepared twice
+    assertThrows[IllegalArgumentException](PreparedContext.build(Seq(
+      10L -> StreamPrepareMsg(0.toByte, 10L, 10L, 0L, 5, "a"),
+      20L -> StreamPrepareMsg(0.toByte, 20L, 20L, 0L, 5, "b"))))
+  }
+
+  test("the v1 decode stays LOUD on v2/2PC lakes instead of leaking block rows") {
+    // decodeFeed has no fate machinery: silently decoding a 2PC lake would
+    // emit a ROLLED-BACK block's plain data frames as visible. The control
+    // frames now decode (no longer unknown types), so the loudness is an
+    // explicit check.
+    def enc(m: PgMessage) = PgOutput.encode(m)
+    val lake = Seq(
+      1L -> enc(rel),
+      100L -> enc(BeginPrepareMsg(100L, 102L, 0L, 41, "gx")),
+      101L -> enc(ins(1, "rolled-back")),
+      102L -> enc(PrepareMsg(0.toByte, 100L, 102L, 0L, 41, "gx")),
+      200L -> enc(RollbackPreparedMsg(0.toByte, 102L, 200L, 0L, 0L, 41, "gx")))
+    val e = intercept[org.apache.spark.SparkException](
+      PgOutput.decodeFeed(spark, lake.toDF("lsn", "data")).count())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("use decodeFeedV2")))
   }
 
   test("framesFromEvents2PC decodes to exactly the committed + v1 events") {
