@@ -423,7 +423,7 @@ object VectorQueries {
         .select(col("q_id"), col("neighbor_id"), lit(1L).as("in_lsh"))
       bruteScored(s, dir).filter(col("cos") >= 0.25)
         .select("q_id", "neighbor_id")
-        .join(est, Seq("q_id", "neighbor_id"), "left_outer")
+        .join(broadcast(est), Seq("q_id", "neighbor_id"), "left_outer")
         .groupBy("q_id")
         .agg(count(lit(1)).as("n_exact"),
           sum(coalesce(col("in_lsh"), lit(0L))).as("n_lsh"))
@@ -542,7 +542,7 @@ object VectorQueries {
       val ann = graft.operators.Ivf.knn(index, centroids, q, nprobe = 2, topK = topK)
         .select(col("q_id"), col("neighbor_id")).withColumn("in_ann", lit(1L))
       val ex = bruteTopK(s, dir).select(col("q_id"), col("neighbor_id"))
-      ex.join(ann, Seq("q_id", "neighbor_id"), "left_outer")
+      ex.join(broadcast(ann), Seq("q_id", "neighbor_id"), "left_outer")
         .groupBy("q_id")
         .agg(count(lit(1)).cast("long").as("n_exact"),
           coalesce(sum(col("in_ann")), lit(0L)).as("n_hit"))
@@ -627,7 +627,7 @@ object VectorQueries {
       val ann = lshTopK(s, dir)
         .select(col("q_id"), col("neighbor_id")).withColumn("in_ann", lit(1L))
       val ex = bruteTopK(s, dir).select(col("q_id"), col("neighbor_id"))
-      ex.join(ann, Seq("q_id", "neighbor_id"), "left_outer")
+      ex.join(broadcast(ann), Seq("q_id", "neighbor_id"), "left_outer")
         .groupBy("q_id")
         .agg(count(lit(1)).cast("long").as("n_exact"),
           coalesce(sum(col("in_ann")), lit(0L)).as("n_hit"))
@@ -696,7 +696,7 @@ object VectorQueries {
         .select(col("q_id"), col("vec_id").as("neighbor_id"))
         .withColumn("in_ann", lit(1L))
       val ex = bruteTopK(s, dir).select("q_id", "neighbor_id")
-      ex.join(ann, Seq("q_id", "neighbor_id"), "left_outer")
+      ex.join(broadcast(ann), Seq("q_id", "neighbor_id"), "left_outer")
         .groupBy("q_id")
         .agg(count(lit(1)).cast("long").as("n_exact"),
           coalesce(sum(col("in_ann")), lit(0L)).as("n_hit"))
@@ -777,7 +777,7 @@ object VectorQueries {
         .select(col("q_id"), col("neighbor_id"))
         .withColumn("in_trunc", lit(1L))
       val ex = bruteTopK(s, dir).select(col("q_id"), col("neighbor_id"))
-      ex.join(trunc, Seq("q_id", "neighbor_id"), "left_outer")
+      ex.join(broadcast(trunc), Seq("q_id", "neighbor_id"), "left_outer")
         .groupBy("q_id")
         .agg(count(lit(1)).cast("long").as("n_exact"),
           coalesce(sum("in_trunc"), lit(0L)).as("n_hit"))
