@@ -230,6 +230,63 @@ object RelationalQueries {
 
   private def revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
+  /** The shared per-(order-status, price-cents) cumulative marginal table
+    * behind the two-sample hypothesis tests (q_ks_test, q_mann_whitney):
+    * the corpus collapses once to its distinct-value group counts
+    * (a = high-priority orders at that price, b = the rest), and ONE
+    * two-level PrefixSum pass attaches the in-status cumulative counts —
+    * both the empirical CDFs (KS) and the pooled tie-averaged ranks (U)
+    * are pure arithmetic on this table, so the two tests can never drift
+    * on the value rule and the corpus is scanned once per (session, lake).
+    * Distinct prices are corpus-sized, hence the range-partitioned
+    * PrefixSum, never a per-status window sort. */
+  private val rankCumMemo = new graft.operators.SessionMemo[DataFrame]
+
+  private def priorityRankCums(s: SparkSession, dir: String): DataFrame =
+    rankCumMemo.get(s, dir) {
+      val base = t(s, dir, "orders").select(
+        col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("v"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("g"))
+      val m = base.groupBy("st", "v").agg(
+        sum("g").as("a"), sum(lit(1L) - col("g")).as("b"))
+      graft.operators.Checkpointing.cut(
+        graft.operators.PrefixSum.cumSums(m, "st", Seq(col("v")),
+          Seq("a" -> "ca", "b" -> "cb")))
+    }
+
+  /** q_triangle_count's degree-oriented edge table — the part
+    * co-purchase graph (two parts are adjacent iff some order contains
+    * both; the supplier/customer variants are near-complete and would
+    * gate nothing) with both endpoint degrees attached, lineage-cut once
+    * per (session, lake): the wedge join, the closing join, and the
+    * node/edge/wedge tallies all reread it. Pair mass is bounded by
+    * Σ per-order k·(k−1)/2 with k = parts per order (single digits in
+    * any TPC-H-shaped lake), i.e. linear in lineitem; density stays a
+    * few percent at every SF because parts and orders scale together.
+    * Degree joins are plain equi-joins on the node id — degrees are
+    * O(parts) rows, so AQE broadcasts them at gate SFs, and at lake
+    * scale they shuffle like any dimension join (never a driver pull). */
+  private val triangleEdgeMemo = new graft.operators.SessionMemo[DataFrame]
+
+  private def partCoEdges(s: SparkSession, dir: String): DataFrame =
+    triangleEdgeMemo.get(s, dir) {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("u"), col("y.pk").as("v"))
+        .distinct()
+      val deg = e.select(col("u").as("nd"))
+        .unionAll(e.select(col("v").as("nd")))
+        .groupBy("nd").agg(count(lit(1)).as("d"))
+      graft.operators.Checkpointing.cut(
+        e.join(deg.select(col("nd").as("u"), col("d").as("du")), "u")
+          .join(deg.select(col("nd").as("v"), col("d").as("dv")), "v"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1 shape: scan-heavy grouped aggregation, map-side partial aggs.
     "q1_agg" -> ((s, dir) =>
@@ -2398,6 +2455,133 @@ object RelationalQueries {
           round(sum(col("cents").cast("decimal(38,0)")).cast("double") / 100.0,
             4).as("total_spend"))
         .orderBy("decile")
+    }),
+
+    // TWO-SAMPLE KOLMOGOROV–SMIRNOV (r11) — does the high-priority order
+    // price DISTRIBUTION differ from the rest, per order status (the
+    // distribution-level twin of q_ab_test's mean comparison). The
+    // statistic is exact rational arithmetic on the shared cumulative
+    // marginal table: D·n₁·n₂ = max over distinct values of
+    // |ca·n₂ − cb·n₁| — integers throughout (decimal(38) cross products),
+    // so no float CDF ever materializes; the quantized D is one integer
+    // division, and the λ = D·√(n₁n₂/(n₁+n₂)) significance scale is one
+    // mirrored floor-quantized double tree on exact inputs (the
+    // q_runs_test posture). One corpus scan (memoized, shared with
+    // q_mann_whitney), one O(distinct values) max — no per-row rank, no
+    // single-reducer sort anywhere.
+    "q_ks_test" -> ((s, dir) => {
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val c = priorityRankCums(s, dir)
+      val tot = c.groupBy("st").agg(sum("a").as("n1"), sum("b").as("n2"))
+      val d = c.join(broadcast(tot), "st")
+        .select(col("st"), col("n1"), col("n2"),
+          abs(dec(col("ca")) * col("n2") - dec(col("cb")) * col("n1"))
+            .as("dn"))
+        .groupBy("st", "n1", "n2").agg(max("dn").as("dnum"))
+        .filter(col("n1") > 0 && col("n2") > 0)
+      val (n1D, n2D) = (col("n1").cast("double"), col("n2").cast("double"))
+      val dD = col("dnum").cast("double")
+      d.withColumn("d_num", when(
+          col("dnum") >= lit(1000000000000000000L).cast("decimal(38,0)"),
+          raise_error(lit("q_ks_test: D numerator >= 1e18 exceeds the " +
+            "exact long output domain - emit the quantized statistic " +
+            "only")).cast("long"))
+          .otherwise(col("dnum").cast("long")))
+        .select(col("st").as("o_orderstatus"), col("n1"), col("n2"),
+          col("d_num"),
+          (expr("(dnum * 10000) div (CAST(n1 AS DECIMAL(38,0)) * n2)")
+            .cast("double") / 10000.0).as("ks_d"),
+          (floor(dD / (n1D * n2D) * sqrt(n1D * n2D / (n1D + n2D))
+            * 10000) / 10000).as("ks_lambda"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // MANN–WHITNEY U (r11) — the rank-sum twin of q_ks_test on the same
+    // two samples: is one group's price stochastically larger. Pooled
+    // tie-averaged ranks never rank rows — the ×2 half-rank identity on
+    // the shared cumulative marginal (r2 = 2·cum − cnt + 1, the
+    // q_spearman machinery) makes 2·R₁ = Σ a(v)·r2(v) an exact decimal
+    // sum, 2·U₁ = 2·R₁ − n₁(n₁+1) an exact integer, and the tie
+    // correction Σ(t³−t) an exact decimal — the z-score's normal
+    // approximation is then one mirrored floor-quantized double tree.
+    // Degenerate strata (a constant price column: σ = 0) are excluded by
+    // an exact integer guard, never a NaN.
+    "q_mann_whitney" -> ((s, dir) => {
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val c = priorityRankCums(s, dir)
+      val r2 = c.withColumn("cnt", col("a") + col("b"))
+        .withColumn("r2", (col("ca") + col("cb")) * 2 - col("cnt") + 1)
+      val g = r2.groupBy("st").agg(
+        sum("a").as("n1"), sum("b").as("n2"),
+        sum(dec(col("r2")) * col("a")).as("rs2"),
+        sum(dec(col("cnt")) * dec(col("cnt")) * dec(col("cnt"))
+          - dec(col("cnt"))).as("ties"))
+        .filter(col("n1") > 0 && col("n2") > 0)
+        .withColumn("u2", col("rs2") -
+          dec(col("n1")) * (dec(col("n1")) + 1))
+        // all-tied stratum: Σ(t³−t) = n³−n ⇒ σ² = 0 — exact exclusion
+        .filter(col("ties") <
+          dec(col("n1") + col("n2")) * dec(col("n1") + col("n2"))
+            * dec(col("n1") + col("n2")) - dec(col("n1") + col("n2")))
+      val (n1D, n2D) = (col("n1").cast("double"), col("n2").cast("double"))
+      val nD = n1D + n2D
+      val (u2D, tD) = (col("u2").cast("double"), col("ties").cast("double"))
+      g.withColumn("u1_x2", when(
+          abs(col("u2")) >= lit(1000000000000000000L).cast("decimal(38,0)"),
+          raise_error(lit("q_mann_whitney: 2*U1 >= 1e18 exceeds the exact " +
+            "long output domain - emit the quantized z only")).cast("long"))
+          .otherwise(col("u2").cast("long")))
+        .select(col("st").as("o_orderstatus"), col("n1"), col("n2"),
+          col("u1_x2"),
+          (floor((u2D - n1D * n2D) /
+            (lit(2.0) * sqrt(n1D * n2D / lit(12.0) *
+              ((nD + lit(1.0)) - tD / (nD * (nD - lit(1.0))))))
+            * 10000) / 10000).as("z_u"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // TRIANGLE COUNT (r11) — global triangle census + clustering
+    // coefficient of the part co-purchase graph (the graph-shape
+    // diagnostic next to q_pagerank's centrality; community density,
+    // spam/fraud ring detection are this primitive). The scalable
+    // node-iterator++ shape: every edge is ORIENTED from its
+    // lower-(degree, id) endpoint, so wedge fan-out at a hub is bounded
+    // by its FORWARD degree (O(√m) on any graph, never the hub's full
+    // degree), wedges close by one equi-join against the oriented edge
+    // set, and each triangle is counted exactly once — no factor-3
+    // correction, no unoriented n·d² blowup. gcc = 3·T/wedges lands as
+    // one quantized integer division on exact tallies.
+    "q_triangle_count" -> ((s, dir) => {
+      val ed = partCoEdges(s, dir)
+      val lt = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val ori = ed.select(
+        when(lt, col("u")).otherwise(col("v")).as("s"),
+        when(lt, col("v")).otherwise(col("u")).as("t"),
+        when(lt, col("dv")).otherwise(col("du")).as("dt"))
+      val wedges = ori.as("e1").join(ori.as("e2"),
+          col("e1.s") === col("e2.s") &&
+            (col("e1.dt") < col("e2.dt") ||
+              (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
+        .select(col("e1.t").as("b"), col("e2.t").as("c"))
+      val tri = wedges.join(ori.select(col("s").as("b"), col("t").as("c")),
+          Seq("b", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+      // per-node degree table: each node carries ONE degree — distinct
+      // over the (node, degree) endpoint projections recovers it from
+      // the memoized edge table without a second degree aggregation
+      val deg = ed.select(col("u").as("nd"), col("du").as("d"))
+        .unionAll(ed.select(col("v").as("nd"), col("dv").as("d")))
+        .distinct()
+      val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+        expr("sum(d * (d - 1)) div 2").as("n_wedges"))
+      val edges = ed.agg(count(lit(1)).as("n_edges"))
+      nodes.crossJoin(edges).crossJoin(tri)
+        .filter(col("n_wedges") > 0)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          (expr("(CAST(n_triangles AS DECIMAL(38,0)) * 3 * 10000) " +
+            "div n_wedges").cast("double") / 10000.0).as("gcc"))
     }))
 
   /** HLL register-table set algebra (q_hll_union): per-segment 512-register
@@ -4050,5 +4234,116 @@ object RelationalQueries {
         |       CAST(min(cents) AS DOUBLE) / 100.0 AS min_spend,
         |       CAST(max(cents) AS DOUBLE) / 100.0 AS max_spend,
         |       round(CAST(sum(cents) AS DOUBLE) / 100.0, 4) AS total_spend
-        |FROM rk GROUP BY 1 ORDER BY decile""".stripMargin)
+        |FROM rk GROUP BY 1 ORDER BY decile""".stripMargin,
+
+    // same distinct-value cumulative marginals, same |ca·n2 − cb·n1|
+    // integer rational, same mirrored floor-quantized λ tree
+    "q_ks_test" ->
+      """WITH b AS (SELECT o_orderstatus AS st,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |                  CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                       THEN 1 ELSE 0 END AS g
+        |           FROM orders),
+        |m AS (SELECT st, v, CAST(sum(g) AS BIGINT) AS a,
+        |             CAST(sum(1 - g) AS BIGINT) AS b
+        |      FROM b GROUP BY 1, 2),
+        |c AS (SELECT st,
+        |             CAST(sum(a) OVER (PARTITION BY st ORDER BY v)
+        |               AS HUGEINT) AS ca,
+        |             CAST(sum(b) OVER (PARTITION BY st ORDER BY v)
+        |               AS HUGEINT) AS cb
+        |      FROM m),
+        |t AS (SELECT st, CAST(sum(a) AS HUGEINT) AS n1,
+        |             CAST(sum(b) AS HUGEINT) AS n2
+        |      FROM m GROUP BY 1),
+        |d AS (SELECT c.st, n1, n2, max(abs(ca * n2 - cb * n1)) AS dnum
+        |      FROM c JOIN t ON c.st = t.st GROUP BY 1, 2, 3)
+        |SELECT st AS o_orderstatus, CAST(n1 AS BIGINT) AS n1,
+        |       CAST(n2 AS BIGINT) AS n2, CAST(dnum AS BIGINT) AS d_num,
+        |       CAST((dnum * 10000) // (n1 * n2) AS DOUBLE) / 10000.0 AS ks_d,
+        |       floor(CAST(dnum AS DOUBLE)
+        |             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |             * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |                    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+        |             * 10000) / 10000 AS ks_lambda
+        |FROM d WHERE n1 > 0 AND n2 > 0
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // same ×2 half-rank identity on the pooled cumulative marginal, same
+    // exact 2U₁/tie-correction integers, same mirrored z tree
+    "q_mann_whitney" ->
+      """WITH b AS (SELECT o_orderstatus AS st,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |                  CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                       THEN 1 ELSE 0 END AS g
+        |           FROM orders),
+        |m AS (SELECT st, v, CAST(sum(g) AS BIGINT) AS a,
+        |             CAST(sum(1 - g) AS BIGINT) AS b
+        |      FROM b GROUP BY 1, 2),
+        |c AS (SELECT st, a, b, a + b AS cnt,
+        |             CAST(sum(a) OVER (PARTITION BY st ORDER BY v)
+        |               AS HUGEINT) AS ca,
+        |             CAST(sum(b) OVER (PARTITION BY st ORDER BY v)
+        |               AS HUGEINT) AS cb
+        |      FROM m),
+        |r AS (SELECT st, a, cnt, (ca + cb) * 2 - cnt + 1 AS r2 FROM c),
+        |g AS (SELECT st, CAST(sum(a) AS HUGEINT) AS n1,
+        |             CAST(sum(cnt - a) AS HUGEINT) AS n2,
+        |             sum(CAST(r2 AS HUGEINT) * a) AS rs2,
+        |             sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties
+        |      FROM r GROUP BY 1),
+        |u AS (SELECT st, n1, n2, ties, rs2 - n1 * (n1 + 1) AS u2 FROM g
+        |      WHERE n1 > 0 AND n2 > 0
+        |        AND ties < (n1 + n2) * (n1 + n2) * (n1 + n2) - (n1 + n2))
+        |SELECT st AS o_orderstatus, CAST(n1 AS BIGINT) AS n1,
+        |       CAST(n2 AS BIGINT) AS n2, CAST(u2 AS BIGINT) AS u1_x2,
+        |       floor((CAST(u2 AS DOUBLE)
+        |              - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) /
+        |             (2.0::DOUBLE *
+        |              sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |                   / 12.0::DOUBLE *
+        |                   ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+        |                     + 1.0::DOUBLE)
+        |                    - CAST(ties AS DOUBLE)
+        |                      / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |                         * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+        |                            - 1.0::DOUBLE)))))
+        |             * 10000) / 10000 AS z_u
+        |FROM u ORDER BY o_orderstatus""".stripMargin,
+
+    // same distinct co-occurrence edges, same (degree, id) orientation,
+    // same once-per-triangle wedge closure and quantized gcc division
+    "q_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+        |      FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |deg AS (SELECT nd, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT u AS nd FROM e
+        |              UNION ALL SELECT v AS nd FROM e)
+        |        GROUP BY 1),
+        |ed AS (SELECT u, v, du.d AS du, dv.d AS dv
+        |       FROM e JOIN deg du ON du.nd = e.u
+        |            JOIN deg dv ON dv.nd = e.v),
+        |ori AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v)
+        |                    THEN u ELSE v END AS s,
+        |               CASE WHEN du < dv OR (du = dv AND u < v)
+        |                    THEN v ELSE u END AS t,
+        |               CASE WHEN du < dv OR (du = dv AND u < v)
+        |                    THEN dv ELSE du END AS dt
+        |        FROM ed),
+        |w AS (SELECT e1.t AS b, e2.t AS c
+        |      FROM ori e1 JOIN ori e2 ON e1.s = e2.s
+        |       AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t))),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |        FROM w JOIN ori ON w.b = ori.s AND w.c = ori.t),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |              CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges
+        |       FROM deg),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |       CAST((CAST(n_triangles AS HUGEINT) * 3 * 10000) // n_wedges
+        |         AS DOUBLE) / 10000.0 AS gcc
+        |FROM nn CROSS JOIN ne CROSS JOIN tri
+        |WHERE n_wedges > 0""".stripMargin)
 }

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Crafted-input specs for the round-11 statistics/graph additions: the
+  * two-sample KS statistic on separated vs identical distributions, the
+  * Mann–Whitney U against a hand-computed tied-rank reference, and the
+  * triangle census on hand-built graphs (including the duplicate-edge
+  * collapse and the exactly-once orientation closure). Each test writes a
+  * crafted lake and drives the REAL gate plan — no reimplementation of
+  * the query under test.
+  */
+class Round11OpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def toyLake(tables: (String, DataFrame)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r11-lake").toString
+    tables.foreach { case (n, df) => df.write.parquet(s"$dir/$n.parquet") }
+    dir
+  }
+
+  private def cleanup(dir: String): Unit =
+    graft.operators.Checkpointing.deleteRecursively(dir)
+
+  private def orders(rows: Seq[(String, String, Double)]): DataFrame =
+    rows.toDF("o_orderstatus", "o_orderpriority", "o_totalprice")
+
+  test("q_ks_test: perfectly separated samples give D = 1, identical " +
+      "samples give D = 0, exact numerators throughout") {
+    // status F: high {0.01, 0.02} strictly below low {0.03, 0.04} → D = 1
+    //   (d_num = n1·n2 = 4); status O: both groups {0.01, 0.03} → D = 0
+    val dir = toyLake("orders" -> orders(Seq(
+      ("F", "1-URGENT", 0.01), ("F", "2-HIGH", 0.02),
+      ("F", "3-MEDIUM", 0.03), ("F", "5-LOW", 0.04),
+      ("O", "1-URGENT", 0.01), ("O", "1-URGENT", 0.03),
+      ("O", "4-NOT SPECIFIED", 0.01), ("O", "5-LOW", 0.03))))
+    try {
+      val got = graft.queries.RelationalQueries.queries("q_ks_test")(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      assert(got("F") == ((2L, 2L, 4L, 1.0)), s"got ${got("F")}")
+      assert(got("O") == ((2L, 2L, 0L, 0.0)), s"got ${got("O")}")
+    } finally cleanup(dir)
+  }
+
+  test("q_mann_whitney: hand-computed tied-rank U and tie-corrected z") {
+    // high {1, 2} vs low {2, 3} cents: pooled ranks 1, 2.5, 2.5, 4 →
+    // R1 = 3.5, 2U1 = 2·3.5 − n1(n1+1) = 1; ties Σ(t³−t) = 6 →
+    // σ² = (4/12)·((4+1) − 6/(4·3)) = 1.5, z = (0.5 − 2)/√1.5 =
+    // −1.22474… → floor-quantized −1.2248
+    val dir = toyLake("orders" -> orders(Seq(
+      ("F", "1-URGENT", 0.01), ("F", "2-HIGH", 0.02),
+      ("F", "3-MEDIUM", 0.02), ("F", "5-LOW", 0.03))))
+    try {
+      val r = graft.queries.RelationalQueries
+        .queries("q_mann_whitney")(spark, dir).collect()
+      assert(r.length == 1)
+      assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+        r(0).getDouble(4)) == ((2L, 2L, 1L, -1.2248)), s"got ${r(0)}")
+    } finally cleanup(dir)
+  }
+
+  test("q_mann_whitney: an all-tied stratum (zero variance) is excluded " +
+      "by the exact integer guard, never a NaN") {
+    val dir = toyLake("orders" -> orders(Seq(
+      ("P", "1-URGENT", 0.05), ("P", "5-LOW", 0.05),
+      ("F", "1-URGENT", 0.01), ("F", "5-LOW", 0.02))))
+    try {
+      val got = graft.queries.RelationalQueries
+        .queries("q_mann_whitney")(spark, dir)
+        .collect().map(_.getString(0)).toSet
+      assert(got == Set("F"), s"got $got")
+    } finally cleanup(dir)
+  }
+
+  private def lineitems(rows: Seq[(Long, Long)]): DataFrame =
+    rows.toDF("l_orderkey", "l_partkey")
+
+  test("q_triangle_count: triangle + pendant edge, duplicate co-purchases " +
+      "collapse to one edge") {
+    // order 1 buys parts {1,2,3} (a triangle), order 2 buys {3,4} (a
+    // pendant), order 3 re-buys {1,2} (must NOT add a second edge; two
+    // lines of part 1 in one order must not self-pair).
+    // Graph: edges {1-2, 1-3, 2-3, 3-4}; degrees 2,2,3,1 →
+    // wedges = 1+1+3+0 = 5, triangles = 1, gcc = 3/5 = 0.6
+    val dir = toyLake("lineitem" -> lineitems(Seq(
+      (1L, 1L), (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (2L, 4L),
+      (3L, 1L), (3L, 2L))))
+    try {
+      val r = graft.queries.RelationalQueries
+        .queries("q_triangle_count")(spark, dir).collect()
+      assert(r.length == 1)
+      assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2),
+        r(0).getLong(3), r(0).getDouble(4)) == ((4L, 4L, 5L, 1L, 0.6)),
+        s"got ${r(0)}")
+    } finally cleanup(dir)
+  }
+
+  test("q_triangle_count: K4 closes every wedge exactly once — 4 " +
+      "triangles, never 12 or 24") {
+    // one order with parts {1,2,3,4} (K4) plus a pendant order {4,5}:
+    // degrees 3,3,3,4,1 → wedges = 3+3+3+6+0 = 15, edges = 7,
+    // triangles = C(4,3) = 4, gcc = 12/15 = 0.8
+    val dir = toyLake("lineitem" -> lineitems(Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 4L), (2L, 5L))))
+    try {
+      val r = graft.queries.RelationalQueries
+        .queries("q_triangle_count")(spark, dir).collect()
+      assert(r.length == 1)
+      assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2),
+        r(0).getLong(3), r(0).getDouble(4)) == ((5L, 7L, 15L, 4L, 0.8)),
+        s"got ${r(0)}")
+    } finally cleanup(dir)
+  }
+}
