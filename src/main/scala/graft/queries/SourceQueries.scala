@@ -62,6 +62,10 @@ object SourceQueries {
     * pure function of the same lake the export snapshots. */
   private val jdbcMemo = new graft.operators.SessionMemo[(String, Long)]
 
+  /** The TxLog table built for src_txlog_timetravel — three commits per
+    * (session, lake), read back at every version by every pass. */
+  private val txlogMemo = new graft.operators.SessionMemo[String]
+
   private def export(s: SparkSession, dir: String, fmt: String)
       (write: (DataFrame, String) => Unit): String =
     exportMemo.get(s, s"$fmt:$dir") {
@@ -331,6 +335,49 @@ object SourceQueries {
         df.write.partitionBy("source").parquet(p))
       stats(s.read.schema(docSchema).parquet(path)
         .filter(col("source").isin(prunedSources: _*)))
+    }),
+
+    // ACID TABLE FORMAT (r11) — the log-structured table (sources.TxLog:
+    // append-only numbered JSON commits of file-level add/remove actions,
+    // atomic create-exclusive publish, optimistic concurrency) gated
+    // through TIME TRAVEL: three commits build the table (v0 adds a third
+    // of the corpus, v1 appends another, v2 compacts v0's files away and
+    // adds the last third), then every version is read back BY LOG REPLAY
+    // and checksummed — v0 must still read exactly its original slice
+    // after v2 removed its files from the head. The oracle replays the
+    // slice membership against the original parquet: a passing hash
+    // proves commit visibility, replay order, and remove semantics all at
+    // once. The two-writer race (exactly one commit wins) is spec'd —
+    // concurrency is not SQL-expressible.
+    "src_txlog_timetravel" -> ((s, dir) => {
+      val table = txlogMemo.get(s, dir) {
+        val tmp = graft.streaming.StreamGate
+          .sessionTempDir("graft-src-txlog") { td =>
+            val tbl = s"$td/table"
+            val docs = Tables(s, dir, "documents")
+            def slice(k: Int) =
+              docs.filter(pmod(col("doc_id"), lit(3)) === k)
+            slice(0).write.parquet(s"$tbl/s0")
+            slice(1).write.parquet(s"$tbl/s1")
+            slice(2).write.parquet(s"$tbl/s2")
+            import graft.sources.TxLog
+            require(TxLog.tryCommit(s, tbl, 0L, Seq("s0"), Nil),
+              "v0 conflicted on a fresh table")
+            require(TxLog.tryCommit(s, tbl, 1L, Seq("s1"), Nil),
+              "v1 conflicted under a single writer")
+            require(TxLog.tryCommit(s, tbl, 2L, Seq("s2"), Seq("s0")),
+              "v2 conflicted under a single writer")
+          }
+        s"$tmp/table"
+      }
+      (0L to 2L).map { v =>
+        graft.sources.TxLog.read(s, table, docSchema, Some(v))
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            sum(rowCheck(record)).as("checksum"))
+          .select(lit(v).as("version"), col("n_docs"), col("sum_chars"),
+            col("checksum"))
+      }.reduce(_ unionAll _).orderBy("version")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -368,5 +415,26 @@ object SourceQueries {
     // composed to the identity" means the re-decoded features equal the
     // direct path's, and that path's oracle already re-derives every
     // feature from the parquet text
-    "src_binaryfile_roundtrip" -> MultimodalQueries.oracles("mm_metadata"))
+    "src_binaryfile_roundtrip" -> MultimodalQueries.oracles("mm_metadata"),
+
+    // the slice-membership replay over the ORIGINAL parquet: v0 = slice 0
+    // (still, after v2 removed its files from the head), v1 = slices 0+1,
+    // v2 (head) = slices 1+2
+    "src_txlog_timetravel" ->
+      """SELECT CAST(v.version AS BIGINT) AS version,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(('0x' || substr(md5(
+        |                coalesce(doc_id::VARCHAR, chr(1)) || '|' ||
+        |                coalesce(lang, chr(1)) || '|' ||
+        |                coalesce(n_chars::VARCHAR, chr(1)) || '|' ||
+        |                coalesce(text, chr(1))), 1, 12))::BIGINT
+        |                % 1000000007) AS BIGINT) AS checksum
+        |FROM documents d
+        |JOIN (SELECT 0 AS version UNION ALL SELECT 1
+        |      UNION ALL SELECT 2) v
+        |  ON (v.version = 0 AND d.doc_id % 3 = 0)
+        |  OR (v.version = 1 AND d.doc_id % 3 <= 1)
+        |  OR (v.version = 2 AND d.doc_id % 3 >= 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

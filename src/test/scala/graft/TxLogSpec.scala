@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** sources.TxLog — the log-structured ACID table format: commit
+  * visibility and time travel on a crafted table, the two-writer
+  * optimistic-concurrency race (exactly one commit wins — lost update
+  * impossible), and the loud corruption paths (log gap, remove of an
+  * unknown file, travel past the head). */
+class TxLogSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+  import graft.sources.TxLog
+
+  private val schema = StructType(Seq(StructField("x", LongType)))
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("txlog").toString + "/t"
+
+  private def writeVals(table: String, name: String, vals: Long*): Unit =
+    vals.toDF("x").coalesce(1).write.parquet(s"$table/$name")
+
+  private def readVals(table: String, asOf: Option[Long]): Set[Long] =
+    TxLog.read(spark, table, schema, asOf).collect().map(_.getLong(0)).toSet
+
+  test("commit visibility + time travel: every version stays readable " +
+      "after later commits remove its files") {
+    val t = freshTable()
+    writeVals(t, "a", 1L, 2L)
+    writeVals(t, "b", 3L)
+    writeVals(t, "c", 4L)
+    assert(TxLog.currentVersion(spark, t).isEmpty)
+    assert(TxLog.tryCommit(spark, t, 0L, Seq("a"), Nil))
+    assert(TxLog.tryCommit(spark, t, 1L, Seq("b"), Nil))
+    assert(TxLog.tryCommit(spark, t, 2L, Seq("c"), Seq("a")))
+    assert(TxLog.currentVersion(spark, t).contains(2L))
+    assert(readVals(t, Some(0L)) == Set(1L, 2L))
+    assert(readVals(t, Some(1L)) == Set(1L, 2L, 3L))
+    assert(readVals(t, Some(2L)) == Set(3L, 4L))
+    assert(readVals(t, None) == Set(3L, 4L))
+    // an empty snapshot (everything removed) reads as an empty frame
+    assert(TxLog.tryCommit(spark, t, 3L, Nil, Seq("b", "c")))
+    assert(readVals(t, None) == Set.empty[Long])
+  }
+
+  test("optimistic concurrency: two writers racing the same version — " +
+      "exactly one wins, on every round") {
+    val t = freshTable()
+    writeVals(t, "base", 0L)
+    assert(TxLog.tryCommit(spark, t, 0L, Seq("base"), Nil))
+    (1L to 20L).foreach { v =>
+      writeVals(t, s"w1-$v", v * 10)
+      writeVals(t, s"w2-$v", v * 10 + 1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val gate = new java.util.concurrent.CountDownLatch(1)
+        def racer(name: String) = pool.submit(
+          new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean = {
+              gate.await()
+              TxLog.tryCommit(spark, t, v, Seq(name), Nil)
+            }
+          })
+        val (f1, f2) = (racer(s"w1-$v"), racer(s"w2-$v"))
+        gate.countDown()
+        val wins = Seq(f1.get(), f2.get()).count(identity)
+        assert(wins == 1, s"round $v: $wins winners (must be exactly 1)")
+      } finally pool.shutdown()
+    }
+    // the log is contiguous and every committed version reads cleanly
+    assert(TxLog.currentVersion(spark, t).contains(20L))
+    assert(readVals(t, None).size == 21)
+  }
+
+  test("corruption is loud: log gap, remove of unknown file, travel past " +
+      "the head") {
+    val t = freshTable()
+    writeVals(t, "a", 1L)
+    assert(TxLog.tryCommit(spark, t, 0L, Seq("a"), Nil))
+    // remove of a file no commit added
+    assert(TxLog.tryCommit(spark, t, 1L, Nil, Seq("ghost")))
+    val e1 = intercept[IllegalArgumentException](readVals(t, None))
+    assert(e1.getMessage.contains("remove of unknown"))
+    // travel past the head (on a fresh clean table)
+    val t2 = freshTable()
+    writeVals(t2, "a", 1L)
+    assert(TxLog.tryCommit(spark, t2, 0L, Seq("a"), Nil))
+    val e2 = intercept[IllegalArgumentException](readVals(t2, Some(5L)))
+    assert(e2.getMessage.contains("time travel"))
+    // a gap in the version sequence (skip v1)
+    assert(TxLog.tryCommit(spark, t2, 2L, Nil, Nil))
+    val e3 = intercept[IllegalArgumentException](readVals(t2, None))
+    assert(e3.getMessage.contains("GAP"))
+  }
+}
