@@ -66,6 +66,13 @@ object SourceQueries {
     * (session, lake), read back at every version by every pass. */
   private val txlogMemo = new graft.operators.SessionMemo[String]
 
+  /** The stream-committed TxLog table for src_txlog_stream_sink — one
+    * streaming run per (session, lake). */
+  private val txlogSinkMemo = new graft.operators.SessionMemo[String]
+
+  private val sinkSchemaDdl =
+    "event_id LONG, user_id LONG, event_type STRING, ts_us LONG, v4 LONG"
+
   private def export(s: SparkSession, dir: String, fmt: String)
       (write: (DataFrame, String) => Unit): String =
     exportMemo.get(s, s"$fmt:$dir") {
@@ -378,6 +385,52 @@ object SourceQueries {
           .select(lit(v).as("version"), col("n_docs"), col("sum_chars"),
             col("checksum"))
       }.reduce(_ unionAll _).orderBy("version")
+    }),
+
+    // EXACTLY-ONCE STREAMING SINK (r11) — the TxLog table as a
+    // TRANSACTIONAL stream sink (the Delta-sink idea, completing
+    // q_exactly_once_stream's source-side dedup with the sink-side
+    // transaction): foreachBatch writes each micro-batch to an immutable
+    // data dir and commits it with version = batchId; a
+    // checkpoint-recovery REPLAY of a batch sees its version already
+    // committed and skips (with the create-exclusive CAS as the loud
+    // backstop against a genuinely concurrent second writer), so
+    // at-least-once delivery composes into exactly-once table contents —
+    // the full-restart replay is spec'd in TxLogSpec with a deleted
+    // checkpoint. The gate claim: the committed table equals the feed
+    // exactly (counts, exact 1e4-scaled sums, modular id checksum per
+    // event type), replayed by the oracle over the ORIGINAL events.
+    "src_txlog_stream_sink" -> ((s, dir) => {
+      val table = txlogSinkMemo.get(s, dir) {
+        val e = Tables(s, dir, "events")
+        val ev = e.withColumn("ts_us", Tables.tsMicros(e))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts_us"), round(col("value") * 10000).cast("long").as("v4"))
+        val feed = graft.streaming.StreamGate.writeOrderedChunks(
+          ev, "ts_us", chunks = 4, prefix = "graft-txlog-sink-feed")
+        val tmp = graft.streaming.StreamGate
+          .sessionTempDir("graft-txlog-sink") { td =>
+            val tbl = s"$td/table"
+            val q = s.readStream.schema(sinkSchemaDdl)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(feed)
+              .writeStream
+              .option("checkpointLocation", s"$td/ckpt")
+              .foreachBatch { (batch: DataFrame, id: Long) =>
+                graft.sources.TxLog.commitBatch(batch, tbl, id)
+              }
+              .start()
+            try q.processAllAvailable() finally q.stop()
+          }
+        s"$tmp/table"
+      }
+      graft.sources.TxLog.read(s, table,
+          StructType.fromDDL(sinkSchemaDdl), None)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          (sum("v4").cast("double") / 10000.0).as("sum_value"),
+          sum(pmod(col("event_id"), lit(1000000007L))).as("id_checksum"))
+        .orderBy("event_type")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -436,5 +489,15 @@ object SourceQueries {
         |  ON (v.version = 0 AND d.doc_id % 3 = 0)
         |  OR (v.version = 1 AND d.doc_id % 3 <= 1)
         |  OR (v.version = 2 AND d.doc_id % 3 >= 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the committed table must equal the feed — replayed over the
+    // ORIGINAL events (exact 1e4-scaled sums, modular id checksum)
+    "src_txlog_stream_sink" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(CAST(sum(CAST(round(value * 10000) AS BIGINT))
+        |              AS BIGINT) AS DOUBLE) / 10000.0 AS sum_value,
+        |       CAST(sum(event_id % 1000000007) AS BIGINT) AS id_checksum
+        |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

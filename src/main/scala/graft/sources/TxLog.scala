@@ -105,6 +105,29 @@ object TxLog {
     publishExclusive(f, tmp, dest)
   }
 
+  /** The exactly-once foreachBatch SINK rule, in one place so the gate
+    * and the restart spec share it: a batch whose version is already
+    * committed is a checkpoint-recovery replay and SKIPS (its data is
+    * durable — this is what turns at-least-once delivery into
+    * exactly-once table contents); otherwise the batch lands in an
+    * immutable data dir (overwrite absorbs a crash-partial dir from a
+    * previous attempt of this same batch) and commits as
+    * version = batchId. The create-exclusive CAS stays the loud backstop:
+    * losing it here means a SECOND writer shares this sink table — a
+    * misconfiguration, not a replay — and the batch fails rather than
+    * silently interleaving two streams' commits. */
+  def commitBatch(batch: DataFrame, table: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    if (currentVersion(s, table).exists(_ >= batchId)) ()
+    else {
+      val name = f"b$batchId%010d"
+      batch.write.mode("overwrite").parquet(s"$table/$name")
+      require(tryCommit(s, table, batchId, Seq(name), Nil),
+        s"$table: version $batchId was committed by another writer while " +
+          "this batch wrote its data — two streams share one sink table")
+    }
+  }
+
   /** Highest committed version, None for a table with no log yet. */
   def currentVersion(s: SparkSession, table: String): Option[Long] = {
     val ld = new Path(table, LogDirName)

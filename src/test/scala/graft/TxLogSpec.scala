@@ -72,6 +72,38 @@ class TxLogSpec extends AnyFunSuite with SparkTestBase {
     assert(readVals(t, None).size == 21)
   }
 
+  test("exactly-once stream sink: a full checkpoint-recovery replay " +
+      "(fresh checkpoint, batch ids restart at 0) re-delivers every " +
+      "batch and changes nothing") {
+    val base = java.nio.file.Files.createTempDirectory("txsink").toString
+    val tbl = s"$base/table"
+    val feed = graft.streaming.StreamGate.writeOrderedChunks(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "ts"),
+      "ts", chunks = 3, prefix = "txsink-feed")
+    def runOnce(ck: String): Unit = {
+      val q = spark.readStream.schema("id LONG, ts LONG")
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          TxLog.commitBatch(b, tbl, id)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce(s"$base/ck1")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", LongType)))
+    def contents() = TxLog.read(spark, tbl, schema, None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(contents() == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    assert(TxLog.currentVersion(spark, tbl).contains(2L))
+    // the "recovery": a FRESH checkpoint replays batches 0..2 from scratch
+    runOnce(s"$base/ck2")
+    assert(contents() == Seq((1L, 10L), (2L, 20L), (3L, 30L)),
+      "replayed batches must be no-ops, not duplicates")
+    assert(TxLog.currentVersion(spark, tbl).contains(2L))
+  }
+
   test("corruption is loud: log gap, remove of unknown file, travel past " +
       "the head") {
     val t = freshTable()
