@@ -2540,6 +2540,59 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // KENDALL'S TAU-B (r11) — the pair-concordance rank correlation
+    // completing the family with q_spearman (τ is the probability-scale
+    // "P(concordant) − P(discordant)" statistic analysts reach for when
+    // ρ's variance-normalization is unwanted) between two DOMAIN-BOUNDED
+    // variables (quantity ≈ 50 values × discount-% = 11 values): the
+    // corpus collapses once to the per-flag (x, y) cell-count table, and
+    // every O(n²) pair quantity becomes EXACT decimal algebra over the
+    // O(|X|·|Y|)² cell-pair join — bounded by the value domain at any
+    // corpus size, never by rows (the naive row-pair form is n² and dead
+    // at 100 TB; a corpus-sized variable belongs to q_spearman's PrefixSum
+    // machinery instead). C, D, and the tie terms are exact integers;
+    // τ_b = 2(C−D)/√(dx·dy) with dx = n(n−1) − Σtx(tx−1) is one mirrored
+    // floor-quantized double tree; constant variables excluded by exact
+    // integer guard.
+    "q_kendall_tau" -> ((s, dir) => {
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      val base = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"),
+        round(col("l_quantity")).cast("long").as("x"),
+        round(col("l_discount") * 100).cast("long").as("y"))
+      val cells = graft.operators.Checkpointing.cut(
+        base.groupBy("flag", "x", "y").agg(count(lit(1)).as("m")))
+      val c2 = cells.select(col("flag"), col("x").as("x2"),
+        col("y").as("y2"), col("m").as("m2"))
+      val prod = cells.join(c2, Seq("flag")).filter(col("x") < col("x2"))
+        .withColumn("w", dec(col("m")) * col("m2"))
+      val zero = lit(0).cast("decimal(38,0)")
+      val cd = prod.groupBy("flag").agg(
+        coalesce(sum(when(col("y") < col("y2"), col("w"))), zero).as("cc"),
+        coalesce(sum(when(col("y") > col("y2"), col("w"))), zero).as("dd"))
+      def tieTerm(c: String, out: String) = cells
+        .groupBy("flag", c).agg(sum("m").as("tm"))
+        .groupBy("flag").agg(sum("tm").as(s"n_$out"),
+          sum(dec(col("tm")) * (col("tm") - 1)).as(s"t_$out"))
+      val g = cd
+        .join(broadcast(tieTerm("x", "x")), "flag")
+        .join(broadcast(tieTerm("y", "y").drop("n_y")), "flag")
+        .withColumn("dx", dec(col("n_x")) * (dec(col("n_x")) - 1) - col("t_x"))
+        .withColumn("dy", dec(col("n_x")) * (dec(col("n_x")) - 1) - col("t_y"))
+        .filter(col("dx") > 0 && col("dy") > 0)
+      val big = lit(1000000000000000000L).cast("decimal(38,0)")
+      def asLong(c: String, outName: String) = when(col(c) >= big,
+        raise_error(lit(s"q_kendall_tau: $c >= 1e18 exceeds the exact " +
+          "long output domain - emit the quantized tau only")).cast("long"))
+        .otherwise(col(c).cast("long")).as(outName)
+      g.select(col("flag"), col("n_x").cast("long").as("n_rows"),
+          asLong("cc", "concordant"), asLong("dd", "discordant"),
+          (floor((col("cc").cast("double") - col("dd").cast("double")) *
+            lit(2.0) / sqrt(col("dx").cast("double") * col("dy").cast("double"))
+            * 10000) / 10000).as("tau_b"))
+        .orderBy("flag")
+    }),
+
     // TRIANGLE COUNT (r11) — global triangle census + clustering
     // coefficient of the part co-purchase graph (the graph-shape
     // diagnostic next to q_pagerank's centrality; community density,
@@ -4310,6 +4363,43 @@ object RelationalQueries {
         |                            - 1.0::DOUBLE)))))
         |             * 10000) / 10000 AS z_u
         |FROM u ORDER BY o_orderstatus""".stripMargin,
+
+    // same domain-bounded cell-pair algebra, same exact C/D/tie integers,
+    // same mirrored floor-quantized τ tree
+    "q_kendall_tau" ->
+      """WITH b AS (SELECT l_returnflag AS flag,
+        |                  CAST(round(l_quantity) AS BIGINT) AS x,
+        |                  CAST(round(l_discount * 100) AS BIGINT) AS y
+        |           FROM lineitem),
+        |cells AS (SELECT flag, x, y, CAST(count(*) AS BIGINT) AS m
+        |          FROM b GROUP BY 1, 2, 3),
+        |pr AS (SELECT a.flag, CAST(a.m AS HUGEINT) * c.m AS w,
+        |              a.y AS y1, c.y AS y2
+        |       FROM cells a JOIN cells c
+        |         ON a.flag = c.flag AND a.x < c.x),
+        |cd AS (SELECT flag,
+        |              coalesce(sum(CASE WHEN y1 < y2 THEN w END), 0) AS cc,
+        |              coalesce(sum(CASE WHEN y1 > y2 THEN w END), 0) AS dd
+        |       FROM pr GROUP BY 1),
+        |tx AS (SELECT flag, CAST(sum(tm) AS HUGEINT) AS n,
+        |              sum(CAST(tm AS HUGEINT) * (tm - 1)) AS t_x
+        |       FROM (SELECT flag, x, CAST(sum(m) AS BIGINT) AS tm
+        |             FROM cells GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |ty AS (SELECT flag, sum(CAST(tm AS HUGEINT) * (tm - 1)) AS t_y
+        |       FROM (SELECT flag, y, CAST(sum(m) AS BIGINT) AS tm
+        |             FROM cells GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |g AS (SELECT cd.flag, cc, dd, n,
+        |             n * (n - 1) - t_x AS dx, n * (n - 1) - t_y AS dy
+        |      FROM cd JOIN tx USING (flag) JOIN ty USING (flag))
+        |SELECT flag, CAST(n AS BIGINT) AS n_rows,
+        |       CAST(cc AS BIGINT) AS concordant,
+        |       CAST(dd AS BIGINT) AS discordant,
+        |       floor((CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE)) * 2.0::DOUBLE
+        |             / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))
+        |             * 10000) / 10000 AS tau_b
+        |FROM g WHERE dx > 0 AND dy > 0 ORDER BY flag""".stripMargin,
 
     // same distinct co-occurrence edges, same (degree, id) orientation,
     // same once-per-triangle wedge closure and quantized gcc division

@@ -77,6 +77,30 @@ class Round11OpsSpec extends AnyFunSuite with SparkTestBase {
   private def lineitems(rows: Seq[(Long, Long)]): DataFrame =
     rows.toDF("l_orderkey", "l_partkey")
 
+  test("q_kendall_tau: hand-computed concordance — monotone gives +1, " +
+      "balanced ties give 0, a constant variable is excluded") {
+    // A: (1,1),(2,2),(3,3) → C=3, D=0, no ties → τ = 1
+    // B: (1,1),(1,2),(2,1),(2,2) → C=1, D=1, dx=dy=8 → τ = 0
+    // C: constant quantity → dx = 0 → excluded by the integer guard
+    val li = Seq(
+      ("A", 1.0, 0.01), ("A", 2.0, 0.02), ("A", 3.0, 0.03),
+      ("B", 1.0, 0.01), ("B", 1.0, 0.02), ("B", 2.0, 0.01),
+      ("B", 2.0, 0.02),
+      ("C", 5.0, 0.01), ("C", 5.0, 0.02))
+      .toDF("l_returnflag", "l_quantity", "l_discount")
+    val dir = toyLake("lineitem" -> li)
+    try {
+      val got = graft.queries.RelationalQueries
+        .queries("q_kendall_tau")(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .toMap
+      assert(got.keySet == Set("A", "B"), s"got $got")
+      assert(got("A") == ((3L, 3L, 0L, 1.0)), s"got ${got("A")}")
+      assert(got("B") == ((4L, 1L, 1L, 0.0)), s"got ${got("B")}")
+    } finally cleanup(dir)
+  }
+
   test("q_triangle_count: triangle + pendant edge, duplicate co-purchases " +
       "collapse to one edge") {
     // order 1 buys parts {1,2,3} (a triangle), order 2 buys {3,4} (a
