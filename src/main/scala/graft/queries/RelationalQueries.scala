@@ -2540,6 +2540,47 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // BFS REACHABILITY LEVELS (r11) — multi-hop frontier expansion over
+    // the part co-purchase graph (completing the graph family: q_pagerank
+    // = centrality, q_triangle_count = density, this = reachability; the
+    // "how far does influence propagate" primitive behind recall
+    // expansion, blast-radius and recommendation hops). The Pregel shape
+    // as pure relational algebra, like q_pagerank's iterations: each hop
+    // is ONE frontier⋈edges shuffle join + distinct + anti-join against
+    // the visited set, lineage-cut so hop h never replays hops 1..h−1;
+    // the seed (min node id) is a 1-row bounded driver pull; every output
+    // is an exact integer (level populations + id sums), so three chained
+    // CTEs replay the run bit-for-bit. Unreached nodes are REPORTED
+    // (lvl = −1), never silently dropped.
+    "q_bfs_reach" -> ((s, dir) => {
+      val ed = partCoEdges(s, dir)
+      val und = ed.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(ed.select(col("v").as("src"), col("u").as("dst")))
+      // every edge has u < v, so min(u) IS the global min node id
+      val seed = ed.agg(min("u")).head().getLong(0)
+      var frontier: DataFrame = s.range(1).select(lit(seed).as("node"))
+      var levels = Seq(frontier.withColumn("lvl", lit(0L)))
+      for (l <- 1 to 3) {
+        val visited = levels.map(_.select("node")).reduce(_ unionAll _)
+        val next = graft.operators.Checkpointing.cut(
+          und.join(frontier, col("src") === col("node"))
+            .select(col("dst").as("node")).distinct()
+            .join(visited, Seq("node"), "left_anti"))
+        frontier = next
+        levels = levels :+ next.withColumn("lvl", lit(l.toLong))
+      }
+      val reached = levels.reduce(_ unionAll _)
+      val allNodes = ed.select(col("u").as("node"))
+        .union(ed.select(col("v").as("node")))
+      val unreached = allNodes
+        .join(reached.select("node"), Seq("node"), "left_anti")
+        .withColumn("lvl", lit(-1L))
+      reached.unionAll(unreached)
+        .groupBy("lvl")
+        .agg(count(lit(1)).as("n_nodes"), sum("node").as("id_sum"))
+        .orderBy("lvl")
+    }),
+
     // KENDALL'S TAU-B (r11) — the pair-concordance rank correlation
     // completing the family with q_spearman (τ is the probability-scale
     // "P(concordant) − P(discordant)" statistic analysts reach for when
@@ -4363,6 +4404,37 @@ object RelationalQueries {
         |                            - 1.0::DOUBLE)))))
         |             * 10000) / 10000 AS z_u
         |FROM u ORDER BY o_orderstatus""".stripMargin,
+
+    // same distinct co-purchase edges, same min-id seed, same three
+    // frontier hops as chained CTEs, same unreached report
+    "q_bfs_reach" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+        |      FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |und AS (SELECT u AS src, v AS dst FROM e
+        |        UNION ALL SELECT v AS src, u AS dst FROM e),
+        |l0 AS (SELECT min(u) AS node FROM e),
+        |l1 AS (SELECT DISTINCT dst AS node FROM und JOIN l0 ON src = node
+        |       WHERE dst NOT IN (SELECT node FROM l0)),
+        |l2 AS (SELECT DISTINCT dst AS node FROM und JOIN l1 ON src = node
+        |       WHERE dst NOT IN (SELECT node FROM l0
+        |                         UNION ALL SELECT node FROM l1)),
+        |l3 AS (SELECT DISTINCT dst AS node FROM und JOIN l2 ON src = node
+        |       WHERE dst NOT IN (SELECT node FROM l0
+        |                         UNION ALL SELECT node FROM l1
+        |                         UNION ALL SELECT node FROM l2)),
+        |r AS (SELECT 0 AS lvl, node FROM l0
+        |      UNION ALL SELECT 1, node FROM l1
+        |      UNION ALL SELECT 2, node FROM l2
+        |      UNION ALL SELECT 3, node FROM l3),
+        |alln AS (SELECT u AS node FROM e UNION SELECT v AS node FROM e),
+        |un AS (SELECT -1 AS lvl, node FROM alln
+        |       WHERE node NOT IN (SELECT node FROM r))
+        |SELECT CAST(lvl AS BIGINT) AS lvl, CAST(count(*) AS BIGINT) AS n_nodes,
+        |       CAST(sum(node) AS BIGINT) AS id_sum
+        |FROM (SELECT * FROM r UNION ALL SELECT * FROM un)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same domain-bounded cell-pair algebra, same exact C/D/tie integers,
     // same mirrored floor-quantized τ tree

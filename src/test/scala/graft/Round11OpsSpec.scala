@@ -122,6 +122,26 @@ class Round11OpsSpec extends AnyFunSuite with SparkTestBase {
     } finally cleanup(dir)
   }
 
+  test("q_bfs_reach: levels walk the path exactly one hop per round; " +
+      "beyond-horizon and disconnected nodes report as unreached") {
+    // path 1-2-3-4-5 (each edge via one order) + separate component 6-7:
+    // seed = 1 → l0={1}, l1={2}, l2={3}, l3={4}; unreached = {5, 6, 7}
+    val dir = toyLake("lineitem" -> lineitems(Seq(
+      (1L, 1L), (1L, 2L),
+      (2L, 2L), (2L, 3L),
+      (3L, 3L), (3L, 4L),
+      (4L, 4L), (4L, 5L),
+      (5L, 6L), (5L, 7L))))
+    try {
+      val got = graft.queries.RelationalQueries
+        .queries("q_bfs_reach")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(got == Seq((-1L, 3L, 18L), (0L, 1L, 1L), (1L, 1L, 2L),
+        (2L, 1L, 3L), (3L, 1L, 4L)), s"got $got")
+    } finally cleanup(dir)
+  }
+
   test("q_triangle_count: K4 closes every wedge exactly once — 4 " +
       "triangles, never 12 or 24") {
     // one order with parts {1,2,3,4} (K4) plus a pendant order {4,5}:
