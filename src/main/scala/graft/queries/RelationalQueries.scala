@@ -2575,9 +2575,12 @@ object RelationalQueries {
       val unreached = allNodes
         .join(reached.select("node"), Seq("node"), "left_anti")
         .withColumn("lvl", lit(-1L))
+      // id sums fold in decimal(38) (Σ node-ids over a 1e10-node level
+      // passes a long); the output cast is the loud ANSI boundary
       reached.unionAll(unreached)
         .groupBy("lvl")
-        .agg(count(lit(1)).as("n_nodes"), sum("node").as("id_sum"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("node").cast("decimal(38,0)")).cast("long").as("id_sum"))
         .orderBy("lvl")
     }),
 
@@ -2667,8 +2670,13 @@ object RelationalQueries {
       val deg = ed.select(col("u").as("nd"), col("du").as("d"))
         .unionAll(ed.select(col("v").as("nd"), col("dv").as("d")))
         .distinct()
+      // wedge mass in decimal(38): a hub's d·(d−1) passes a long at
+      // ~3e9-degree hubs, and ANSI would throw mid-aggregate — the loud
+      // boundary belongs at the OUTPUT cast (ANSI long overflow), not
+      // inside the fold
       val nodes = deg.agg(count(lit(1)).as("n_nodes"),
-        expr("sum(d * (d - 1)) div 2").as("n_wedges"))
+        expr("(sum(CAST(d AS DECIMAL(38,0)) * (d - 1)) div 2)")
+          .cast("long").as("n_wedges"))
       val edges = ed.agg(count(lit(1)).as("n_edges"))
       nodes.crossJoin(edges).crossJoin(tri)
         .filter(col("n_wedges") > 0)
