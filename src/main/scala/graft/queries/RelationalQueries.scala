@@ -2654,16 +2654,29 @@ object RelationalQueries {
         (col("du") === col("dv") && col("u") < col("v"))
       val ori = ed.select(
         when(lt, col("u")).otherwise(col("v")).as("s"),
-        when(lt, col("v")).otherwise(col("u")).as("t"),
-        when(lt, col("dv")).otherwise(col("du")).as("dt"))
-      val wedges = ori.as("e1").join(ori.as("e2"),
-          col("e1.s") === col("e2.s") &&
-            (col("e1.dt") < col("e2.dt") ||
-              (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
-        .select(col("e1.t").as("b"), col("e2.t").as("c"))
-      val tri = wedges.join(ori.select(col("s").as("b"), col("t").as("c")),
-          Seq("b", "c"))
-        .agg(count(lit(1)).as("n_triangles"))
+        when(lt, col("v")).otherwise(col("u")).as("t"))
+      // closure by ADJACENCY INTERSECTION, not a wedge join: a triangle's
+      // orientations form a DAG u→v→w, so it is counted exactly once at
+      // its base edge (u, v) as a common FORWARD neighbor of u and v —
+      // |N⁺(u) ∩ N⁺(v)| per edge via the codegen'd merge-walk kernel over
+      // per-node sorted forward lists (arrays bounded by the forward
+      // degree, O(√m) under this orientation). vs the materialized wedge
+      // join this exchanges O(edges) adjacency rows instead of O(wedges)
+      // candidate rows — measured 7× on the 147.8 M-wedge sf0.1 graph
+      // (7.65 → 1.09 s steady state);
+      // SHUFFLE_HASH keeps the array-laden side from being sorted (the
+      // dedup artifact-join rule). Edges whose head has no forward
+      // neighbors contribute zero and drop out of the inner join.
+      val adj = graft.operators.Checkpointing.cut(
+        ori.groupBy("s").agg(sort_array(collect_list("t")).as("nbr")))
+      val tri = ori
+        .join(adj.select(col("s"), col("nbr").as("nbr_u")).hint("SHUFFLE_HASH"),
+          "s")
+        .join(adj.select(col("s").as("t"), col("nbr").as("nbr_v"))
+          .hint("SHUFFLE_HASH"), "t")
+        .select(graft.plans.SortedIntersectCount
+          .count(s, col("nbr_u"), col("nbr_v")).as("c"))
+        .agg(coalesce(sum("c"), lit(0L)).as("n_triangles"))
       // per-node degree table: each node carries ONE degree — distinct
       // over the (node, degree) endpoint projections recovers it from
       // the memoized edge table without a second degree aggregation
