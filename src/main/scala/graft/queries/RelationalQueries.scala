@@ -2556,32 +2556,48 @@ object RelationalQueries {
       val ed = partCoEdges(s, dir)
       val und = ed.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(ed.select(col("v").as("src"), col("u").as("dst")))
-      // every edge has u < v, so min(u) IS the global min node id
-      val seed = ed.agg(min("u")).head().getLong(0)
-      var frontier: DataFrame = s.range(1).select(lit(seed).as("node"))
-      var levels = Seq(frontier.withColumn("lvl", lit(0L)))
-      for (l <- 1 to 3) {
-        val visited = levels.map(_.select("node")).reduce(_ unionAll _)
-        val next = graft.operators.Checkpointing.cut(
-          und.join(frontier, col("src") === col("node"))
-            .select(col("dst").as("node")).distinct()
-            .join(visited, Seq("node"), "left_anti"))
-        frontier = next
-        levels = levels :+ next.withColumn("lvl", lit(l.toLong))
+      // every edge has u < v, so min(u) IS the global min node id; an
+      // EMPTY graph (no order carries two distinct parts) has no seed —
+      // emit the empty report rather than NPE on the null aggregate
+      // (the oracle's HAVING mirrors this: no phantom null-node level).
+      // No `return` — a non-local return from this lambda would throw.
+      val seedRow = ed.agg(min("u")).head()
+      if (seedRow.isNullAt(0)) {
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("lvl", LongType, nullable = false),
+            StructField("n_nodes", LongType, nullable = false),
+            StructField("id_sum", LongType))))
+      } else {
+        val seed = seedRow.getLong(0)
+        var frontier: DataFrame = s.range(1).select(lit(seed).as("node"))
+        var levels = Seq(frontier.withColumn("lvl", lit(0L)))
+        for (l <- 1 to 3) {
+          val visited = levels.map(_.select("node")).reduce(_ unionAll _)
+          val next = graft.operators.Checkpointing.cut(
+            und.join(frontier, col("src") === col("node"))
+              .select(col("dst").as("node")).distinct()
+              .join(visited, Seq("node"), "left_anti"))
+          frontier = next
+          levels = levels :+ next.withColumn("lvl", lit(l.toLong))
+        }
+        val reached = levels.reduce(_ unionAll _)
+        // DISTINCT nodes: Dataset.union is UNION ALL — without the dedupe
+        // an unreached degree-k node would count k times in the lvl −1 row
+        // (caught by review; the disconnected-triangle spec pins it)
+        val allNodes = ed.select(col("u").as("node"))
+          .unionAll(ed.select(col("v").as("node"))).distinct()
+        val unreached = allNodes
+          .join(reached.select("node"), Seq("node"), "left_anti")
+          .withColumn("lvl", lit(-1L))
+        // id sums fold in decimal(38) (Σ node-ids over a 1e10-node level
+        // passes a long); the output cast is the loud ANSI boundary
+        reached.unionAll(unreached)
+          .groupBy("lvl")
+          .agg(count(lit(1)).as("n_nodes"),
+            sum(col("node").cast("decimal(38,0)")).cast("long").as("id_sum"))
+          .orderBy("lvl")
       }
-      val reached = levels.reduce(_ unionAll _)
-      val allNodes = ed.select(col("u").as("node"))
-        .union(ed.select(col("v").as("node")))
-      val unreached = allNodes
-        .join(reached.select("node"), Seq("node"), "left_anti")
-        .withColumn("lvl", lit(-1L))
-      // id sums fold in decimal(38) (Σ node-ids over a 1e10-node level
-      // passes a long); the output cast is the loud ANSI boundary
-      reached.unionAll(unreached)
-        .groupBy("lvl")
-        .agg(count(lit(1)).as("n_nodes"),
-          sum(col("node").cast("decimal(38,0)")).cast("long").as("id_sum"))
-        .orderBy("lvl")
     }),
 
     // KENDALL'S TAU-B (r11) — the pair-concordance rank correlation
@@ -4435,7 +4451,7 @@ object RelationalQueries {
         |      FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
         |und AS (SELECT u AS src, v AS dst FROM e
         |        UNION ALL SELECT v AS src, u AS dst FROM e),
-        |l0 AS (SELECT min(u) AS node FROM e),
+        |l0 AS (SELECT min(u) AS node FROM e HAVING min(u) IS NOT NULL),
         |l1 AS (SELECT DISTINCT dst AS node FROM und JOIN l0 ON src = node
         |       WHERE dst NOT IN (SELECT node FROM l0)),
         |l2 AS (SELECT DISTINCT dst AS node FROM und JOIN l1 ON src = node

@@ -142,6 +142,33 @@ class Round11OpsSpec extends AnyFunSuite with SparkTestBase {
     } finally cleanup(dir)
   }
 
+  test("q_bfs_reach: an unreached node counts ONCE regardless of its " +
+      "degree (union-all vs distinct regression)") {
+    // path 1-2 reached; disconnected TRIANGLE {6,7,8} — every unreached
+    // node has degree 2, so a union-all node list would report 6 nodes
+    val dir = toyLake("lineitem" -> lineitems(Seq(
+      (1L, 1L), (1L, 2L),
+      (5L, 6L), (5L, 7L), (5L, 8L))))
+    try {
+      val got = graft.queries.RelationalQueries
+        .queries("q_bfs_reach")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(got == Seq((-1L, 3L, 21L), (0L, 1L, 1L), (1L, 1L, 2L)),
+        s"got $got")
+    } finally cleanup(dir)
+  }
+
+  test("q_bfs_reach: an empty co-purchase graph (single-part orders) " +
+      "reports empty, never NPE or a phantom null level") {
+    val dir = toyLake("lineitem" -> lineitems(Seq(
+      (1L, 1L), (2L, 2L), (3L, 3L))))
+    try {
+      assert(graft.queries.RelationalQueries
+        .queries("q_bfs_reach")(spark, dir).collect().isEmpty)
+    } finally cleanup(dir)
+  }
+
   test("q_triangle_count: K4 closes every wedge exactly once — 4 " +
       "triangles, never 12 or 24") {
     // one order with parts {1,2,3,4} (K4) plus a pendant order {4,5}:
