@@ -2540,6 +2540,70 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // ONE-WAY ANOVA (r11) — does mean order price differ across the five
+    // priority groups (the k-group generalization of q_ab_test's
+    // two-arm Welch z; with KS/MW/Kendall/chi²/runs this completes the
+    // classical test family). The corpus collapses to O(k) exact moment
+    // rows (n_g, S_g in cents as decimal(38)); the variance decomposition
+    // then rides the q_chi_square discipline — each group's S_g²·10⁴ div
+    // n_g lands as an ALREADY-QUANTIZED integer, so the between/within
+    // sums of squares are order-free integer sums (a float Σ S_g²/n_g
+    // over groups would gate the summation order), and F =
+    // (SSB/(k−1))/(SSW/(n−k)) is one mirrored double tree on those
+    // quantized integers. Exact-decimal domain: S_g²·10⁴ needs
+    // S_g < ~3·10¹⁶ cents (≈ 2·10⁹ orders × $150k) — loud guard, never a
+    // silent wrap.
+    "q_anova" -> ((s, dir) => {
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      // exact decimal floor-division for NON-NEGATIVE operands: Spark's
+      // `div` (IntegralDivide) lands in a LONG, and S_g²·10⁴/n_g is
+      // ~10²⁹ — the quotient must stay decimal. (a − a % b)/b is exact
+      // (the numerator is divisible by b, so the decimal divide rounds
+      // nothing); truncation = floor = DuckDB `//` because every operand
+      // here is ≥ 0 (SSB is clamped before its use).
+      def fdiv(a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) = ((a - a % b) / b).cast("decimal(38,0)")
+      val g = t(s, dir, "orders").groupBy("o_orderpriority").agg(
+        count(lit(1)).as("ng"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sg"),
+        sum(dec(round(col("o_totalprice") * 100).cast("long")) *
+          round(col("o_totalprice") * 100).cast("long")).as("qg"))
+      val guarded = g.withColumn("t4", when(
+          abs(dec(col("sg"))) >= lit(30000000000000000L).cast("decimal(38,0)"),
+          raise_error(lit("q_anova: |S_g| >= 3e16 cents exceeds the exact " +
+            "decimal(38) domain of S_g^2*10^4 - shard the groups or widen " +
+            "the math")).cast("decimal(38,0)"))
+          .otherwise(fdiv(dec(col("sg")) * col("sg") * 10000, col("ng"))))
+      val tot = guarded.agg(
+        count(lit(1)).as("k"), sum("ng").as("n"),
+        sum(dec(col("sg"))).as("st"), sum(dec(col("qg"))).as("qt"),
+        sum(dec(col("t4"))).as("sum_t4"))
+        .withColumn("grand4", fdiv(dec(col("st")) * col("st") * 10000, col("n")))
+        // SSB·10⁴ = Σ t4 − grand4 (clamped: per-group floors can land a
+        // true-zero SSB a few units negative — both engines clamp
+        // identically); SSW·10⁴ = Q·10⁴ − Σ t4 — all integers in decimal
+        .withColumn("ssb4",
+          greatest(dec(col("sum_t4")) - col("grand4"), dec(lit(0))))
+        .withColumn("ssw4", dec(col("qt")) * 10000 - col("sum_t4"))
+        .filter(col("k") >= 2 && col("n") > col("k") && col("ssw4") > 0)
+      val (ssb, ssw) = (col("ssb4").cast("double"), col("ssw4").cast("double"))
+      val (kD, nD) = (col("k").cast("double"), col("n").cast("double"))
+      guarded.select(col("o_orderpriority"), col("ng"),
+          (fdiv(dec(col("sg")) * 10000, col("ng"))
+            .cast("double") / 10000.0 / 100.0).as("mean_price"))
+        .crossJoin(broadcast(tot.select(
+          col("k"), col("n"),
+          // 2dp cents² via decimal floor-div (a double floor() saturates
+          // at Long.MaxValue on 10²⁰-scale inputs)
+          (fdiv(col("ssb4"), lit(100)).cast("double") / 100.0)
+            .as("ssb_cents2"),
+          (fdiv(col("ssw4"), lit(100)).cast("double") / 100.0)
+            .as("ssw_cents2"),
+          (floor((ssb / (kD - lit(1.0))) / (ssw / (nD - kD)) * 10000) / 10000)
+            .as("f_stat"))))
+        .orderBy("o_orderpriority")
+    }),
+
     // BFS REACHABILITY LEVELS (r11) — multi-hop frontier expansion over
     // the part co-purchase graph (completing the graph family: q_pagerank
     // = centrality, q_triangle_count = density, this = reachability; the
@@ -4441,6 +4505,45 @@ object RelationalQueries {
         |                            - 1.0::DOUBLE)))))
         |             * 10000) / 10000 AS z_u
         |FROM u ORDER BY o_orderstatus""".stripMargin,
+
+    // same O(k) exact moments, same quantized per-group contributions
+    // summed as integers, same mirrored F tree
+    "q_anova" ->
+      """WITH g AS (SELECT o_orderpriority,
+        |                  CAST(count(*) AS BIGINT) AS ng,
+        |                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |                    AS BIGINT) AS sg,
+        |                  CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT)
+        |                           * CAST(round(o_totalprice * 100) AS BIGINT))
+        |                    AS HUGEINT) AS qg
+        |           FROM orders GROUP BY 1),
+        |g2 AS (SELECT *, (CAST(sg AS HUGEINT) * sg * 10000) // ng AS t4
+        |       FROM g),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |             CAST(sum(ng) AS BIGINT) AS n,
+        |             CAST(sum(sg) AS HUGEINT) AS st,
+        |             CAST(sum(qg) AS HUGEINT) AS qt,
+        |             CAST(sum(t4) AS HUGEINT) AS sum_t4
+        |      FROM g2),
+        |t2 AS (SELECT k, n,
+        |              greatest(sum_t4 - (st * st * 10000) // n,
+        |                       0::HUGEINT) AS ssb4,
+        |              qt * 10000 - sum_t4 AS ssw4
+        |       FROM t WHERE k >= 2 AND n > k)
+        |SELECT g2.o_orderpriority, g2.ng,
+        |       CAST((CAST(g2.sg AS HUGEINT) * 10000) // g2.ng AS DOUBLE)
+        |         / 10000.0 / 100.0 AS mean_price,
+        |       t2.k, t2.n,
+        |       CAST(ssb4 // 100 AS DOUBLE) / 100.0 AS ssb_cents2,
+        |       CAST(ssw4 // 100 AS DOUBLE) / 100.0 AS ssw_cents2,
+        |       floor((CAST(ssb4 AS DOUBLE)
+        |              / (CAST(k AS DOUBLE) - 1.0::DOUBLE))
+        |             / (CAST(ssw4 AS DOUBLE)
+        |                / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+        |             * 10000) / 10000 AS f_stat
+        |FROM g2 CROSS JOIN t2
+        |WHERE ssw4 > 0
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // same distinct co-purchase edges, same min-id seed, same three
     // frontier hops as chained CTEs, same unreached report

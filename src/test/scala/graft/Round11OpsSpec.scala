@@ -142,6 +142,28 @@ class Round11OpsSpec extends AnyFunSuite with SparkTestBase {
     } finally cleanup(dir)
   }
 
+  test("q_anova: hand-computed two-group decomposition — SSB 40000, " +
+      "SSW 10000 cents-squared, F = 8") {
+    // A: $1.00, $2.00; B: $3.00, $4.00 → group means 150/350 cents,
+    // grand 250 → SSB = 2·100² + 2·100² = 40000, SSW = 4·50² = 10000,
+    // F = (40000/1)/(10000/2) = 8
+    val dir = toyLake("orders" -> Seq(
+      ("1-URGENT", 1.00), ("1-URGENT", 2.00),
+      ("5-LOW", 3.00), ("5-LOW", 4.00))
+      .toDF("o_orderpriority", "o_totalprice"))
+    try {
+      val got = graft.queries.RelationalQueries
+        .queries("q_anova")(spark, dir)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1),
+          r.getDouble(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7)))).toMap
+      assert(got("1-URGENT") ==
+        ((2L, 1.5, 2L, 4L, 40000.0, 10000.0, 8.0)), s"got $got")
+      assert(got("5-LOW") ==
+        ((2L, 3.5, 2L, 4L, 40000.0, 10000.0, 8.0)), s"got $got")
+    } finally cleanup(dir)
+  }
+
   test("q_bfs_reach: an unreached node counts ONCE regardless of its " +
       "degree (union-all vs distinct regression)") {
     // path 1-2 reached; disconnected TRIANGLE {6,7,8} — every unreached
