@@ -2540,6 +2540,48 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // LINK PREDICTION (r11) — per-seed common-neighbor recommendations
+    // over the co-purchase graph (the "customers who bought X also
+    // bought Y" candidate generator; with pagerank/triangles/BFS/
+    // beam-search this completes the graph verb set). The SEEDED serving
+    // shape, not the global all-pairs ranking: recommendations are asked
+    // per item, and the global form shuffles the full Σ C(d,2) wedge
+    // mass through a (pair → count) exchange — measured 19 s at sf0.1
+    // vs sub-second seeded. 100 highest-(degree, id) seeds broadcast
+    // into one 2-hop expansion (per-seed mass = Σ_{w∈N(s)} d(w),
+    // neighborhood-bounded at any graph size), one map-side-combined
+    // count, known edges dropped by canonical-pair anti-join, top-5 per
+    // seed by a PER-SEED window (fan-in = the seed's candidate set,
+    // never the corpus).
+    "q_link_predict" -> ((s, dir) => {
+      val ed = partCoEdges(s, dir)
+      val und = ed.select(col("u").as("c0"), col("v").as("nb"))
+        .unionAll(ed.select(col("v").as("c0"), col("u").as("nb")))
+      val deg = ed.select(col("u").as("nd"), col("du").as("d"))
+        .unionAll(ed.select(col("v").as("nd"), col("dv").as("d")))
+        .distinct()
+      val seeds = deg.orderBy(col("d").desc, col("nd")).limit(100)
+        .select(col("nd").as("seed"))
+      val hop1 = und.join(broadcast(seeds), col("c0") === col("seed"))
+        .select(col("seed"), col("nb").as("w"))
+      val cands = hop1.join(und, col("w") === col("c0"))
+        .filter(col("nb") =!= col("seed"))
+        .groupBy("seed", "nb")
+        .agg(count(lit(1)).as("common_neighbors"))
+        .withColumnRenamed("nb", "cand")
+      val nonEdge = cands.join(ed.select("u", "v"),
+          least(col("seed"), col("cand")) === col("u") &&
+            greatest(col("seed"), col("cand")) === col("v"), "left_anti")
+        .withColumnRenamed("seed", "p_partkey")
+      val w = Window.partitionBy("p_partkey")
+        .orderBy(col("common_neighbors").desc, col("cand"))
+      nonEdge.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("p_partkey"), col("cand").as("rec_part"),
+          col("common_neighbors"), col("rk"))
+        .orderBy("p_partkey", "rk")
+    }),
+
     // ONE-WAY ANOVA (r11) — does mean order price differ across the five
     // priority groups (the k-group generalization of q_ab_test's
     // two-arm Welch z; with KS/MW/Kendall/chi²/runs this completes the
@@ -4505,6 +4547,37 @@ object RelationalQueries {
         |                            - 1.0::DOUBLE)))))
         |             * 10000) / 10000 AS z_u
         |FROM u ORDER BY o_orderstatus""".stripMargin,
+
+    // same (degree, id) seed cut, same 2-hop expansion + canonical-pair
+    // edge exclusion, same per-seed (count desc, cand) top-5
+    "q_link_predict" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+        |      FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |und AS (SELECT u AS c0, v AS nb FROM e
+        |        UNION ALL SELECT v AS c0, u AS nb FROM e),
+        |deg AS (SELECT nd, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT u AS nd FROM e
+        |              UNION ALL SELECT v AS nd FROM e)
+        |        GROUP BY 1),
+        |seeds AS (SELECT nd AS seed FROM deg ORDER BY d DESC, nd
+        |          LIMIT 100),
+        |h2 AS (SELECT s.seed, u2.nb AS cand,
+        |              CAST(count(*) AS BIGINT) AS common_neighbors
+        |       FROM seeds s JOIN und u1 ON u1.c0 = s.seed
+        |            JOIN und u2 ON u2.c0 = u1.nb
+        |       WHERE u2.nb <> s.seed
+        |       GROUP BY 1, 2),
+        |ne AS (SELECT * FROM h2 WHERE NOT EXISTS
+        |         (SELECT 1 FROM e WHERE e.u = least(seed, cand)
+        |                            AND e.v = greatest(seed, cand))),
+        |rk AS (SELECT seed, cand, common_neighbors,
+        |              row_number() OVER (PARTITION BY seed
+        |                ORDER BY common_neighbors DESC, cand) AS rk
+        |       FROM ne)
+        |SELECT seed AS p_partkey, cand AS rec_part, common_neighbors, rk
+        |FROM rk WHERE rk <= 5 ORDER BY p_partkey, rk""".stripMargin,
 
     // same O(k) exact moments, same quantized per-group contributions
     // summed as integers, same mirrored F tree

@@ -142,6 +142,33 @@ class Round11OpsSpec extends AnyFunSuite with SparkTestBase {
     } finally cleanup(dir)
   }
 
+  test("q_link_predict: hand-computed per-seed common-neighbor recs; " +
+      "existing edges are excluded even with shared neighbors") {
+    // edges: 1-2, 1-3, 1-4, 2-3, 3-5, 4-5 (one order each); all 5 nodes
+    // are seeds (≤ 100). Per seed (count desc, cand):
+    //   1 → 5 via {3,4} (2); 3-adj and 2-adj candidates excluded
+    //   2 → 4 via {1} (1), 5 via {3} (1)    [2-3 IS an edge → no 3]
+    //   3 → 4 via {1,5} (2)
+    //   4 → 3 via {1,5} (2), 2 via {1} (1)
+    //   5 → 1 via {3,4} (2), 2 via {3} (1)
+    val dir = toyLake("lineitem" -> lineitems(Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 2L), (4L, 3L), (5L, 3L), (5L, 5L), (6L, 4L), (6L, 5L))))
+    try {
+      val got = graft.queries.RelationalQueries
+        .queries("q_link_predict")(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got == Seq(
+        (1L, 5L, 2L, 1L),
+        (2L, 4L, 1L, 1L), (2L, 5L, 1L, 2L),
+        (3L, 4L, 2L, 1L),
+        (4L, 3L, 2L, 1L), (4L, 2L, 1L, 2L),
+        (5L, 1L, 2L, 1L), (5L, 2L, 1L, 2L)), s"got $got")
+    } finally cleanup(dir)
+  }
+
   test("q_anova: hand-computed two-group decomposition — SSB 40000, " +
       "SSW 10000 cents-squared, F = 8") {
     // A: $1.00, $2.00; B: $3.00, $4.00 → group means 150/350 cents,
