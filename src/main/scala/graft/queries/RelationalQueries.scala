@@ -2547,7 +2547,7 @@ object RelationalQueries {
     // shape, not the global all-pairs ranking: recommendations are asked
     // per item, and the global form shuffles the full Σ C(d,2) wedge
     // mass through a (pair → count) exchange — measured 19 s at sf0.1
-    // vs sub-second seeded. 100 highest-(degree, id) seeds broadcast
+    // vs 2.0 s seeded. 100 highest-(degree, id) seeds broadcast
     // into one 2-hop expansion (per-seed mass = Σ_{w∈N(s)} d(w),
     // neighborhood-bounded at any graph size), one map-side-combined
     // count, known edges dropped by canonical-pair anti-join, top-5 per
@@ -2592,9 +2592,11 @@ object RelationalQueries {
     // sums of squares are order-free integer sums (a float Σ S_g²/n_g
     // over groups would gate the summation order), and F =
     // (SSB/(k−1))/(SSW/(n−k)) is one mirrored double tree on those
-    // quantized integers. Exact-decimal domain: S_g²·10⁴ needs
-    // S_g < ~3·10¹⁶ cents (≈ 2·10⁹ orders × $150k) — loud guard, never a
-    // silent wrap.
+    // quantized integers. Exact-decimal domain (via the sq4Div
+    // decomposition below): |S_g| < 3·10¹⁶ cents per group (loud guard,
+    // never a silent wrap) and n·|S| < 10³⁴ for the remainder term —
+    // ~10¹¹ orders at the guard boundary, an order of magnitude past
+    // the 100 TB point.
     "q_anova" -> ((s, dir) => {
       val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
       // exact decimal floor-division for NON-NEGATIVE operands: Spark's
@@ -2602,9 +2604,26 @@ object RelationalQueries {
       // ~10²⁹ — the quotient must stay decimal. (a − a % b)/b is exact
       // (the numerator is divisible by b, so the decimal divide rounds
       // nothing); truncation = floor = DuckDB `//` because every operand
-      // here is ≥ 0 (SSB is clamped before its use).
+      // here is ≥ 0 (SSB is clamped before its use). Spark types this
+      // divide decimal(38,6) — 32 integer digits — so fdiv is only legal
+      // for quotients < 10³²; S²·10⁴/n can exceed that (and S²·10⁴
+      // itself can pass decimal(38)/HUGEINT at the grand total), hence:
       def fdiv(a: org.apache.spark.sql.Column,
           b: org.apache.spark.sql.Column) = ((a - a % b) / b).cast("decimal(38,0)")
+      // ⌊S²·10⁴/n⌋ WITHOUT ever forming S²·10⁴: with q = ⌊S/n⌋,
+      // r = S mod n, S²·10⁴/n = q·S·10⁴ + r·S·10⁴/n — the first term is
+      // an integer product (≤ S²·10⁴/n ≤ 9·10³⁶ at the guard), the inner
+      // quotient is < S·10⁴ ≤ 3·10²⁰ (safe in fdiv's 10³² domain), and
+      // the inner numerator r·S·10⁴ < n·S·10⁴ needs n·|S| < 10³⁴ —
+      // ~10¹¹ orders at the 3·10¹⁶-cent guard, stated with it. Mirrored
+      // term-for-term in the oracle (HUGEINT would also pass 1.7·10³⁸
+      // on the grand total's direct square).
+      def sq4Div(sc: org.apache.spark.sql.Column,
+          nc: org.apache.spark.sql.Column) = {
+        val q = fdiv(sc, nc)
+        val r = sc - q * nc
+        q * sc * 10000 + fdiv(r * sc * 10000, nc)
+      }
       val g = t(s, dir, "orders").groupBy("o_orderpriority").agg(
         count(lit(1)).as("ng"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("sg"),
@@ -2615,12 +2634,12 @@ object RelationalQueries {
           raise_error(lit("q_anova: |S_g| >= 3e16 cents exceeds the exact " +
             "decimal(38) domain of S_g^2*10^4 - shard the groups or widen " +
             "the math")).cast("decimal(38,0)"))
-          .otherwise(fdiv(dec(col("sg")) * col("sg") * 10000, col("ng"))))
+          .otherwise(sq4Div(dec(col("sg")), dec(col("ng")))))
       val tot = guarded.agg(
         count(lit(1)).as("k"), sum("ng").as("n"),
         sum(dec(col("sg"))).as("st"), sum(dec(col("qg"))).as("qt"),
         sum(dec(col("t4"))).as("sum_t4"))
-        .withColumn("grand4", fdiv(dec(col("st")) * col("st") * 10000, col("n")))
+        .withColumn("grand4", sq4Div(dec(col("st")), dec(col("n"))))
         // SSB·10⁴ = Σ t4 − grand4 (clamped: per-group floors can land a
         // true-zero SSB a few units negative — both engines clamp
         // identically); SSW·10⁴ = Q·10⁴ − Σ t4 — all integers in decimal
@@ -4590,7 +4609,10 @@ object RelationalQueries {
         |                           * CAST(round(o_totalprice * 100) AS BIGINT))
         |                    AS HUGEINT) AS qg
         |           FROM orders GROUP BY 1),
-        |g2 AS (SELECT *, (CAST(sg AS HUGEINT) * sg * 10000) // ng AS t4
+        |g2 AS (SELECT *,
+        |              (CAST(sg AS HUGEINT) // ng) * sg * 10000
+        |              + ((CAST(sg AS HUGEINT) % ng) * sg * 10000) // ng
+        |                AS t4
         |       FROM g),
         |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
         |             CAST(sum(ng) AS BIGINT) AS n,
@@ -4599,7 +4621,8 @@ object RelationalQueries {
         |             CAST(sum(t4) AS HUGEINT) AS sum_t4
         |      FROM g2),
         |t2 AS (SELECT k, n,
-        |              greatest(sum_t4 - (st * st * 10000) // n,
+        |              greatest(sum_t4 - ((st // n) * st * 10000
+        |                                 + ((st % n) * st * 10000) // n),
         |                       0::HUGEINT) AS ssb4,
         |              qt * 10000 - sum_t4 AS ssw4
         |       FROM t WHERE k >= 2 AND n > k)
