@@ -181,12 +181,90 @@ object TxLog {
     live.toSeq
   }
 
+  /** Commit history as (version, n_adds, n_removes) — the DESCRIBE
+    * HISTORY surface; O(commits) driver-side metadata, no row data. */
+  def history(s: SparkSession, table: String): Seq[(Long, Int, Int)] = {
+    val ld = new Path(table, LogDirName)
+    val f = fsOf(s, ld)
+    require(f.exists(ld), s"$table has no $LogDirName — not a TxLog table")
+    f.listStatus(ld).toSeq.map(_.getPath.getName)
+      .collect { case NameRe(v) => v.toLong }.sorted
+      .map { v =>
+        val in = f.open(new Path(ld, f"$v%010d.json"))
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.split("\n").filter(_.nonEmpty).toSeq
+        finally in.close()
+        (v, lines.count(_.startsWith("{\"add\"")),
+          lines.count(_.startsWith("{\"remove\"")))
+      }
+  }
+
+  /** VACUUM: physically delete data dirs that are no longer live at ANY
+    * retained version (the horizon is `head − retainVersions`), and
+    * record the horizon in `_vacuum` so reads older than it fail LOUDLY
+    * (their files are gone — a silent partial read would be worse).
+    * Files still live at the head or at any version above the horizon
+    * are never touched, so the snapshot-store-style reader grace window
+    * holds: a reader that resolved a retained version mid-scan keeps its
+    * files. Returns the deleted dir names. Single-writer operation, like
+    * the production formats' VACUUM. */
+  def vacuum(s: SparkSession, table: String, retainVersions: Int): Seq[String] = {
+    require(retainVersions >= 0, s"negative retention $retainVersions")
+    val head = currentVersion(s, table).getOrElse(
+      throw new IllegalArgumentException(s"$table: empty log — nothing to vacuum"))
+    val horizon = math.max(0L, head - retainVersions)
+    val keep = (horizon to head)
+      .flatMap(v => liveFiles(s, table, Some(v))).toSet
+    val f = fsOf(s, new Path(table))
+    // idempotent: a re-run (or a crash-rerun) reports only dirs that
+    // still exist, not every historically-dead name
+    val doomed = (allAdds(s, table).toSet -- keep).toSeq.sorted
+      .filter(d => f.exists(new Path(table, d)))
+    doomed.foreach(d => f.delete(new Path(table, d), true))
+    // persist the horizon AFTER the deletes: a crash in between leaves a
+    // lower recorded horizon and a loud missing-file read, never a
+    // silent partial one
+    val out = f.create(new Path(table, "_vacuum"), true)
+    try out.write(horizon.toString.getBytes("UTF-8")) finally out.close()
+    doomed
+  }
+
+  private def allAdds(s: SparkSession, table: String): Seq[String] = {
+    val ld = new Path(table, LogDirName)
+    val f = fsOf(s, ld)
+    f.listStatus(ld).toSeq.map(_.getPath.getName)
+      .collect { case NameRe(v) => v.toLong }.sorted
+      .flatMap { v =>
+        val in = f.open(new Path(ld, f"$v%010d.json"))
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        text.split("\n").filter(_.nonEmpty).collect {
+          case AddRe(a) => unesc(a)
+        }
+      }
+  }
+
+  private def vacuumHorizon(s: SparkSession, table: String): Long = {
+    val p = new Path(table, "_vacuum")
+    val f = fsOf(s, p)
+    if (!f.exists(p)) -1L
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
   /** Read the table at `asOf` (None = head) as a plain multi-dir parquet
     * scan with the caller's explicit schema — pushdown/pruning/codegen are
     * untouched by the log layer. An empty snapshot reads as an empty frame
     * of the schema, not an error. */
   def read(s: SparkSession, table: String, schema: StructType,
       asOf: Option[Long] = None): DataFrame = {
+    val horizon = vacuumHorizon(s, table)
+    asOf.foreach(v => require(v >= horizon,
+      s"$table: v$v was VACUUMED (retention horizon v$horizon) — its " +
+        "data files are gone; a silent partial read is not offered"))
     val files = liveFiles(s, table, asOf)
     if (files.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)

@@ -104,6 +104,28 @@ class TxLogSpec extends AnyFunSuite with SparkTestBase {
     assert(TxLog.currentVersion(spark, tbl).contains(2L))
   }
 
+  test("vacuum deletes only files dead at every retained version; reads " +
+      "past the horizon fail loudly; retained time travel still works") {
+    val t = freshTable()
+    writeVals(t, "a", 1L)
+    writeVals(t, "b", 2L)
+    writeVals(t, "c", 3L)
+    assert(TxLog.tryCommit(spark, t, 0L, Seq("a"), Nil))
+    assert(TxLog.tryCommit(spark, t, 1L, Seq("b"), Seq("a")))
+    assert(TxLog.tryCommit(spark, t, 2L, Seq("c"), Nil))
+    assert(TxLog.history(spark, t) == Seq((0L, 1, 0), (1L, 1, 1), (2L, 1, 0)))
+    // retain 1 → horizon = v1: "a" (dead at v1 and v2) is deleted;
+    // "b"/"c" (live at retained versions) survive
+    assert(TxLog.vacuum(spark, t, retainVersions = 1) == Seq("a"))
+    assert(readVals(t, Some(1L)) == Set(2L))
+    assert(readVals(t, Some(2L)) == Set(2L, 3L))
+    assert(readVals(t, None) == Set(2L, 3L))
+    val e = intercept[IllegalArgumentException](readVals(t, Some(0L)))
+    assert(e.getMessage.contains("VACUUMED"))
+    // idempotent: nothing left to delete
+    assert(TxLog.vacuum(spark, t, retainVersions = 1).isEmpty)
+  }
+
   test("corruption is loud: log gap, remove of unknown file, travel past " +
       "the head") {
     val t = freshTable()
