@@ -2629,11 +2629,18 @@ object RelationalQueries {
         sum(round(col("o_totalprice") * 100).cast("long")).as("sg"),
         sum(dec(round(col("o_totalprice") * 100).cast("long")) *
           round(col("o_totalprice") * 100).cast("long")).as("qg"))
+      // BOTH documented domain bounds enforced in the guard (ANSI would
+      // throw on the decimal overflow anyway, but the tailored error
+      // names the remedy): |S_g| < 3e16 and n_g·|S_g| < 1e34
+      val nsBound = lit(new java.math.BigDecimal(
+        "10000000000000000000000000000000000")).cast("decimal(38,0)")
       val guarded = g.withColumn("t4", when(
-          abs(dec(col("sg"))) >= lit(30000000000000000L).cast("decimal(38,0)"),
-          raise_error(lit("q_anova: |S_g| >= 3e16 cents exceeds the exact " +
-            "decimal(38) domain of S_g^2*10^4 - shard the groups or widen " +
-            "the math")).cast("decimal(38,0)"))
+          abs(dec(col("sg"))) >= lit(30000000000000000L).cast("decimal(38,0)")
+            || dec(col("ng")) * abs(dec(col("sg"))) >= nsBound,
+          raise_error(lit("q_anova: |S_g| >= 3e16 cents or n_g*|S_g| >= " +
+            "1e34 exceeds the exact decimal(38) domain of the S_g^2*10^4 " +
+            "decomposition - shard the groups or widen the math"))
+            .cast("decimal(38,0)"))
           .otherwise(sq4Div(dec(col("sg")), dec(col("ng")))))
       val tot = guarded.agg(
         count(lit(1)).as("k"), sum("ng").as("n"),

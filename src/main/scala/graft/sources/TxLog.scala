@@ -138,10 +138,14 @@ object TxLog {
       .sorted.lastOption
   }
 
-  /** The live data dirs of the snapshot at `asOf` (None = head), by log
-    * replay. O(commits) driver-side metadata reads — never row data. */
-  def liveFiles(s: SparkSession, table: String,
-      asOf: Option[Long] = None): Seq[String] = {
+  /** One added action per commit, contiguity-validated and strictly
+    * parsed — THE shared log walk behind liveFiles/history/vacuum (one
+    * definition, so the gap/garbage loudness cannot drift between the
+    * read path and the DESCRIBE-HISTORY surface, and every verb costs
+    * exactly one O(commits) metadata pass). Each entry is
+    * (version, adds, removes). */
+  private def commits(s: SparkSession,
+      table: String): Seq[(Long, Seq[String], Seq[String])] = {
     val ld = new Path(table, LogDirName)
     val f = fsOf(s, ld)
     require(f.exists(ld), s"$table has no $LogDirName — not a TxLog table")
@@ -151,101 +155,115 @@ object TxLog {
     require(versions == (0L to versions.last),
       s"$table: log has a GAP (${versions.mkString(",")}) — torn log, " +
         "refusing to read a partial table")
-    val upTo = asOf match {
-      case Some(v) =>
-        require(v >= 0 && v <= versions.last,
-          s"$table: time travel to v$v but the table head is v${versions.last}")
-        versions.filter(_ <= v)
-      case None => versions
-    }
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    upTo.foreach { v =>
-      val p = new Path(ld, f"$v%010d.json")
-      val in = f.open(p)
+    versions.map { v =>
+      val in = f.open(new Path(ld, f"$v%010d.json"))
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
+      val (adds, removes) =
+        (Seq.newBuilder[String], Seq.newBuilder[String])
       text.split("\n").filter(_.nonEmpty).foreach {
-        case AddRe(a) =>
-          val path = unesc(a)
-          require(live.add(path),
-            s"$table v$v: add of already-live $path — corrupted log")
-        case RemoveRe(r) =>
-          val path = unesc(r)
-          require(live.remove(path),
-            s"$table v$v: remove of unknown $path — corrupted log")
-        case other =>
-          throw new IllegalArgumentException(
-            s"$table v$v: unrecognized action $other")
+        case AddRe(a) => adds += unesc(a)
+        case RemoveRe(r) => removes += unesc(r)
+        case other => throw new IllegalArgumentException(
+          s"$table v$v: unrecognized action $other")
       }
+      (v, adds.result(), removes.result())
     }
-    live.toSeq
+  }
+
+  /** Replay `cs` in order, validating add/remove consistency; returns the
+    * live set after the last entry. */
+  private def replay(table: String,
+      cs: Seq[(Long, Seq[String], Seq[String])]): scala.collection.mutable.LinkedHashSet[String] = {
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    cs.foreach { case (v, adds, removes) =>
+      adds.foreach(p => require(live.add(p),
+        s"$table v$v: add of already-live $p — corrupted log"))
+      removes.foreach(p => require(live.remove(p),
+        s"$table v$v: remove of unknown $p — corrupted log"))
+    }
+    live
+  }
+
+  /** The live data dirs of the snapshot at `asOf` (None = head), by log
+    * replay. O(commits) driver-side metadata reads — never row data. */
+  def liveFiles(s: SparkSession, table: String,
+      asOf: Option[Long] = None): Seq[String] = {
+    val cs = commits(s, table)
+    val head = cs.last._1
+    asOf.foreach(v => require(v >= 0 && v <= head,
+      s"$table: time travel to v$v but the table head is v$head"))
+    replay(table, asOf.fold(cs)(v => cs.filter(_._1 <= v))).toSeq
   }
 
   /** Commit history as (version, n_adds, n_removes) — the DESCRIBE
-    * HISTORY surface; O(commits) driver-side metadata, no row data. */
-  def history(s: SparkSession, table: String): Seq[(Long, Int, Int)] = {
-    val ld = new Path(table, LogDirName)
-    val f = fsOf(s, ld)
-    require(f.exists(ld), s"$table has no $LogDirName — not a TxLog table")
-    f.listStatus(ld).toSeq.map(_.getPath.getName)
-      .collect { case NameRe(v) => v.toLong }.sorted
-      .map { v =>
-        val in = f.open(new Path(ld, f"$v%010d.json"))
-        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .mkString.split("\n").filter(_.nonEmpty).toSeq
-        finally in.close()
-        (v, lines.count(_.startsWith("{\"add\"")),
-          lines.count(_.startsWith("{\"remove\"")))
-      }
-  }
+    * HISTORY surface; shares [[commits]]' contiguity and strict-parse
+    * loudness (a torn log must not read as healthy here either). */
+  def history(s: SparkSession, table: String): Seq[(Long, Int, Int)] =
+    commits(s, table).map { case (v, a, r) => (v, a.size, r.size) }
 
   /** VACUUM: physically delete data dirs that are no longer live at ANY
-    * retained version (the horizon is `head − retainVersions`), and
-    * record the horizon in `_vacuum` so reads older than it fail LOUDLY
-    * (their files are gone — a silent partial read would be worse).
-    * Files still live at the head or at any version above the horizon
-    * are never touched, so the snapshot-store-style reader grace window
-    * holds: a reader that resolved a retained version mid-scan keeps its
-    * files. Returns the deleted dir names. Single-writer operation, like
-    * the production formats' VACUUM. */
+    * retained version (the horizon is `head − retainVersions`, and never
+    * moves BACKWARD — a later, laxer retention cannot un-vacuum deleted
+    * history), and record the horizon in `_vacuum` so reads older than
+    * it fail LOUDLY (their files are gone — a silent partial read would
+    * be worse). Files live at any version ≥ the horizon are never
+    * touched, so the snapshot-store-style reader grace window holds.
+    * The log is walked ONCE (live set snapshotted at each retained
+    * version); the head is re-checked after the walk and the delete set
+    * is computed against that same snapshot, so a concurrent writer's
+    * fresh commit can never lose files — the re-check aborts loudly
+    * instead (single-writer is the contract; the check makes violating
+    * it an error, not a corruption). Returns the deleted dir names;
+    * idempotent re-runs return only dirs that still existed. */
   def vacuum(s: SparkSession, table: String, retainVersions: Int): Seq[String] = {
     require(retainVersions >= 0, s"negative retention $retainVersions")
-    val head = currentVersion(s, table).getOrElse(
-      throw new IllegalArgumentException(s"$table: empty log — nothing to vacuum"))
-    val horizon = math.max(0L, head - retainVersions)
-    val keep = (horizon to head)
-      .flatMap(v => liveFiles(s, table, Some(v))).toSet
+    val cs = commits(s, table)
+    val head = cs.last._1
+    val horizon = math.max(vacuumHorizon(s, table),
+      math.max(0L, head - retainVersions))
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val keep = scala.collection.mutable.HashSet.empty[String]
+    val everAdded = scala.collection.mutable.HashSet.empty[String]
+    cs.foreach { case (v, adds, removes) =>
+      adds.foreach { p =>
+        require(live.add(p), s"$table v$v: add of already-live $p")
+        everAdded += p
+      }
+      removes.foreach(p => require(live.remove(p),
+        s"$table v$v: remove of unknown $p"))
+      if (v >= horizon) keep ++= live
+    }
+    require(currentVersion(s, table).contains(head),
+      s"$table: a writer advanced the log past v$head during vacuum — " +
+        "aborting before any delete (vacuum is a single-writer operation)")
     val f = fsOf(s, new Path(table))
-    // idempotent: a re-run (or a crash-rerun) reports only dirs that
-    // still exist, not every historically-dead name
-    val doomed = (allAdds(s, table).toSet -- keep).toSeq.sorted
+    val doomed = (everAdded -- keep).toSeq.sorted
       .filter(d => f.exists(new Path(table, d)))
     doomed.foreach(d => f.delete(new Path(table, d), true))
-    // persist the horizon AFTER the deletes: a crash in between leaves a
-    // lower recorded horizon and a loud missing-file read, never a
-    // silent partial one
-    val out = f.create(new Path(table, "_vacuum"), true)
+    // persist the (monotone) horizon AFTER the deletes — a crash in
+    // between leaves a lower recorded horizon and a loud missing-file
+    // read, never a silent partial one — via tmp + atomic replace: a
+    // truncate-in-place create would brick every read that races it
+    val tmp = new Path(table,
+      s"._vacuum-tmp-${ProcessHandle.current().pid()}-${tmpSeq.incrementAndGet()}")
+    val out = f.create(tmp, true)
     try out.write(horizon.toString.getBytes("UTF-8")) finally out.close()
+    val dest = new Path(table, VacuumFile)
+    if (f.isInstanceOf[RawLocalFileSystem] || f.isInstanceOf[LocalFileSystem])
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dest.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else { f.delete(dest, false); f.rename(tmp, dest) }
     doomed
   }
 
-  private def allAdds(s: SparkSession, table: String): Seq[String] = {
-    val ld = new Path(table, LogDirName)
-    val f = fsOf(s, ld)
-    f.listStatus(ld).toSeq.map(_.getPath.getName)
-      .collect { case NameRe(v) => v.toLong }.sorted
-      .flatMap { v =>
-        val in = f.open(new Path(ld, f"$v%010d.json"))
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        text.split("\n").filter(_.nonEmpty).collect {
-          case AddRe(a) => unesc(a)
-        }
-      }
-  }
+  private val VacuumFile = "_vacuum"
 
   private def vacuumHorizon(s: SparkSession, table: String): Long = {
-    val p = new Path(table, "_vacuum")
+    val p = new Path(table, VacuumFile)
     val f = fsOf(s, p)
     if (!f.exists(p)) -1L
     else {
@@ -262,7 +280,10 @@ object TxLog {
   def read(s: SparkSession, table: String, schema: StructType,
       asOf: Option[Long] = None): DataFrame = {
     val horizon = vacuumHorizon(s, table)
-    asOf.foreach(v => require(v >= horizon,
+    // the guard only applies on a vacuumed table — on a fresh one a
+    // negative asOf must get liveFiles' accurate head-range error, not a
+    // phantom "horizon v-1" message
+    if (horizon >= 0) asOf.foreach(v => require(v >= horizon,
       s"$table: v$v was VACUUMED (retention horizon v$horizon) — its " +
         "data files are gone; a silent partial read is not offered"))
     val files = liveFiles(s, table, asOf)

@@ -124,6 +124,14 @@ class TxLogSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("VACUUMED"))
     // idempotent: nothing left to delete
     assert(TxLog.vacuum(spark, t, retainVersions = 1).isEmpty)
+    // horizon is MONOTONE: a later, laxer retention must not re-open
+    // vacuumed history (the deleted files are not coming back)
+    writeVals(t, "d", 4L)
+    assert(TxLog.tryCommit(spark, t, 3L, Seq("d"), Nil))
+    assert(TxLog.vacuum(spark, t, retainVersions = 10).isEmpty)
+    val e2 = intercept[IllegalArgumentException](readVals(t, Some(0L)))
+    assert(e2.getMessage.contains("VACUUMED"))
+    assert(readVals(t, None) == Set(2L, 3L, 4L))
   }
 
   test("corruption is loud: log gap, remove of unknown file, travel past " +
