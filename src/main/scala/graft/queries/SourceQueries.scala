@@ -70,6 +70,19 @@ object SourceQueries {
     * streaming run per (session, lake). */
   private val txlogSinkMemo = new graft.operators.SessionMemo[String]
 
+  /** The stats-carrying TxLog table for src_txlog_skipping — four
+    * ts-range data dirs, each add recording its ts_us envelope. */
+  private val txlogSkipMemo = new graft.operators.SessionMemo[String]
+
+  /** The schema-evolution TxLog table for src_txlog_evolution — v0
+    * records a 3-column schema, v1 adds `source` and records the wider
+    * one. */
+  private val txlogEvoMemo = new graft.operators.SessionMemo[String]
+
+  /** The compacted TxLog table for src_txlog_optimize — six small
+    * commits bin-packed into one dir by the OPTIMIZE verb. */
+  private val txlogOptMemo = new graft.operators.SessionMemo[String]
+
   private val sinkSchemaDdl =
     "event_id LONG, user_id LONG, event_type STRING, ts_us LONG, v4 LONG"
 
@@ -431,6 +444,156 @@ object SourceQueries {
           (sum("v4").cast("double") / 10000.0).as("sum_value"),
           sum(pmod(col("event_id"), lit(1000000007L))).as("id_checksum"))
         .orderBy("event_type")
+    }),
+
+    // DATA SKIPPING (r12 — VERDICT item 1): the TxLog commit actions now
+    // carry per-file column min/max envelopes (collected write-side by
+    // one bounded aggregate over each just-written dir — footer-cheap on
+    // parquet), and a read given the query's BETWEEN bounds PRUNES files
+    // whose envelope is provably disjoint before the scan is planned —
+    // the Delta/Iceberg stats-skipping idea, the biggest read win a
+    // log-structured table offers at 100 TB. The table: four ts-range
+    // data dirs under one commit, each add recording its ts_us envelope.
+    // The gate query reads under a mid-span window that the envelopes
+    // prove touches only TWO of the four dirs (the 2-of-4 prune is
+    // spec-asserted via liveAdds/pruneAdds; pruned ≡ unpruned is
+    // spec-asserted too), and the oracle replays the SAME window over
+    // the ORIGINAL events — a passing hash proves pruning dropped only
+    // files the filter rejects entirely. Bounds derive from the data
+    // (plan literals via the documented 1-row bounds pull — filters
+    // stay pushable; fixed ranges would go vacuous at the smallest
+    // lake).
+    "src_txlog_skipping" -> ((s, dir) => {
+      import graft.sources.TxLog
+      val e = Tables(s, dir, "events")
+      val ev = e.select(col("event_id"), col("event_type"),
+        Tables.tsMicros(e).as("ts_us"),
+        round(col("value") * 10000).cast("long").as("v4"))
+      val table = txlogSkipMemo.get(s, dir) {
+        val tmp = graft.streaming.StreamGate
+          .sessionTempDir("graft-txlog-skip") { td =>
+            val tbl = s"$td/table"
+            val b = ev.agg(min("ts_us"), max("ts_us")).head()
+            val (lo, hi) = (b.getLong(0), b.getLong(1))
+            val span = (hi - lo) / 4 + 1
+            val adds = (0 until 4).map { i =>
+              val nm = s"q$i"
+              ev.filter(col("ts_us") >= lo + i * span &&
+                  col("ts_us") < lo + (i + 1) * span)
+                .write.parquet(s"$tbl/$nm")
+              TxLog.AddFile(nm,
+                TxLog.statsOf(s.read.parquet(s"$tbl/$nm"), Seq("ts_us")))
+            }
+            require(TxLog.tryCommitActions(s, tbl, 0L, adds, Nil),
+              "v0 conflicted on a fresh table")
+          }
+        s"$tmp/table"
+      }
+      // the query window: [lo+span, lo+2.5·span] — inside dirs q1+q2,
+      // provably disjoint from q0/q3's envelopes (integer math mirrored
+      // in the oracle exactly)
+      val b = ev.agg(min("ts_us"), max("ts_us")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val span = (hi - lo) / 4 + 1
+      val (w1, w2) = (lo + span, lo + 2 * span + span / 2)
+      TxLog.read(s, table,
+          StructType.fromDDL(
+            "event_id BIGINT, event_type STRING, ts_us BIGINT, v4 BIGINT"),
+          None, skip = Seq(TxLog.SkipRange("ts_us", w1, w2)))
+        .filter(col("ts_us").between(w1, w2))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("v4").as("sum_v4"),
+          sum(pmod(col("event_id"), lit(1000000007L))).as("id_checksum"))
+        .orderBy("event_type")
+    }),
+
+    // SCHEMA EVOLUTION (r12 — VERDICT item 3): commits record the write
+    // schema in the log ({"schema": DDL} — the Avro header-verify
+    // posture brought to the table format); reads verify their declared
+    // schema against the record (drifted column/type fails loudly,
+    // spec'd) and readWithLogSchema reads each snapshot with ITS OWN
+    // recorded schema. The table: v0 writes the even-doc_id half with
+    // (doc_id, lang, n_chars) and records that 3-column schema; v1 adds
+    // the odd half WITH a new `source` column and records the wider
+    // schema. Time travel to v0 reads 3 columns; the head read returns
+    // 4, with v0's files supplying `source` as null (plain parquet
+    // by-name projection — no rewrite of old data, the add-column
+    // evolution contract). The oracle replays both shapes over the
+    // ORIGINAL parquet, nulls included in the checksum via the
+    // out-of-band sentinel.
+    "src_txlog_evolution" -> ((s, dir) => {
+      import graft.sources.TxLog
+      val table = txlogEvoMemo.get(s, dir) {
+        val tmp = graft.streaming.StreamGate
+          .sessionTempDir("graft-txlog-evo") { td =>
+            val tbl = s"$td/table"
+            val docs = Tables(s, dir, "documents")
+            val v0 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+              .select("doc_id", "lang", "n_chars")
+            v0.write.parquet(s"$tbl/e0")
+            require(TxLog.tryCommitActions(s, tbl, 0L,
+                Seq(TxLog.AddFile("e0")), Nil, Some(v0.schema.toDDL)),
+              "v0 conflicted on a fresh table")
+            val v1 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+              .select("doc_id", "lang", "n_chars", "source")
+            v1.write.parquet(s"$tbl/e1")
+            require(TxLog.tryCommitActions(s, tbl, 1L,
+                Seq(TxLog.AddFile("e1")), Nil, Some(v1.schema.toDDL)),
+              "v1 conflicted under a single writer")
+          }
+        s"$tmp/table"
+      }
+      val asV0 = TxLog.readWithLogSchema(s, table, Some(0L))
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum(rowCheck(concat_ws("|", f(col("doc_id")), f(col("lang")),
+            f(col("n_chars"))))).as("checksum"))
+        .select(lit(0L).as("version"), col("n_docs"), col("sum_chars"),
+          lit(null).cast("long").as("n_null_source"), col("checksum"))
+      val atHead = TxLog.readWithLogSchema(s, table, None)
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum(when(col("source").isNull, 1L).otherwise(0L))
+            .as("n_null_source"),
+          sum(rowCheck(concat_ws("|", f(col("doc_id")), f(col("lang")),
+            f(col("n_chars")), f(col("source"))))).as("checksum"))
+        .select(lit(1L).as("version"), col("n_docs"), col("sum_chars"),
+          col("n_null_source"), col("checksum"))
+      asV0.unionAll(atHead).orderBy("version")
+    }),
+
+    // OPTIMIZE (r12 — VERDICT item 4): the small-file compaction verb —
+    // six one-slice commits (the dir-per-micro-batch pressure a
+    // long-running commitBatch stream builds up) bin-packed by
+    // TxLog.optimize into ONE rewritten dir via a single add+removes
+    // commit. Contents must be identical at every version: v0 still
+    // reads its original sixth (time travel under the packed head), v5
+    // and the post-optimize v6 hash identically — the layout change is
+    // invisible to results, only the file count drops (1 live dir at
+    // head, vacuum reclaims the six originals — both spec-asserted).
+    "src_txlog_optimize" -> ((s, dir) => {
+      import graft.sources.TxLog
+      val table = txlogOptMemo.get(s, dir) {
+        val tmp = graft.streaming.StreamGate
+          .sessionTempDir("graft-txlog-opt") { td =>
+            val tbl = s"$td/table"
+            val docs = Tables(s, dir, "documents")
+            (0 until 6).foreach { k =>
+              docs.filter(pmod(col("doc_id"), lit(6)) === k)
+                .write.parquet(s"$tbl/p$k")
+              require(TxLog.tryCommit(s, tbl, k.toLong, Seq(s"p$k"), Nil),
+                s"v$k conflicted under a single writer")
+            }
+            require(TxLog.optimize(s, tbl, Some(docSchema)).contains(6L),
+              "optimize must commit v6 on a 6-dir table")
+          }
+        s"$tmp/table"
+      }
+      Seq(0L, 5L, 6L).map { v =>
+        TxLog.read(s, table, docSchema, Some(v))
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+            sum(rowCheck(record)).as("checksum"))
+          .select(lit(v).as("version"), col("n_docs"), col("sum_chars"),
+            col("checksum"))
+      }.reduce(_ unionAll _).orderBy("version")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -499,5 +662,74 @@ object SourceQueries {
         |              AS BIGINT) AS DOUBLE) / 10000.0 AS sum_value,
         |       CAST(sum(event_id % 1000000007) AS BIGINT) AS id_checksum
         |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the same mid-span window over the ORIGINAL events (identical
+    // integer span math) — a passing hash proves the stats-pruned read
+    // dropped only files the filter rejects entirely
+    "src_txlog_skipping" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+        |                  CAST(round(value * 10000) AS BIGINT) AS v4
+        |           FROM events),
+        |b AS (SELECT min(ts_us) AS lo,
+        |             (max(ts_us) - min(ts_us)) // 4 + 1 AS span FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(v4) AS BIGINT) AS sum_v4,
+        |       CAST(sum(event_id % 1000000007) AS BIGINT) AS id_checksum
+        |FROM e, b
+        |WHERE ts_us >= lo + span AND ts_us <= lo + 2 * span + span // 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // both snapshot shapes replayed over the ORIGINAL parquet: v0 = the
+    // even half under the 3-column schema; head = everything under the
+    // evolved 4-column schema, with v0's rows contributing a NULL
+    // `source` (the sentinel hashes it, mirroring the null-filled
+    // evolution read)
+    "src_txlog_evolution" ->
+      """SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS version,
+        |         CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |         CAST(NULL AS BIGINT) AS n_null_source,
+        |         CAST(sum(('0x' || substr(md5(
+        |                  coalesce(doc_id::VARCHAR, chr(1)) || '|' ||
+        |                  coalesce(lang, chr(1)) || '|' ||
+        |                  coalesce(n_chars::VARCHAR, chr(1))), 1, 12))::BIGINT
+        |                  % 1000000007) AS BIGINT) AS checksum
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT),
+        |         CAST(count(*) AS BIGINT),
+        |         CAST(sum(n_chars) AS BIGINT),
+        |         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT),
+        |         CAST(sum(('0x' || substr(md5(
+        |                  coalesce(doc_id::VARCHAR, chr(1)) || '|' ||
+        |                  coalesce(lang, chr(1)) || '|' ||
+        |                  coalesce(n_chars::VARCHAR, chr(1)) || '|' ||
+        |                  CASE WHEN doc_id % 2 = 0 THEN chr(1)
+        |                       ELSE coalesce(source, chr(1)) END),
+        |                  1, 12))::BIGINT
+        |                  % 1000000007) AS BIGINT)
+        |  FROM documents)
+        |ORDER BY version""".stripMargin,
+
+    // slice membership per version: v0 = its sixth, v5 = everything,
+    // v6 (post-OPTIMIZE) = everything — v6 ≡ v5 IS the compaction
+    // invariant being hashed
+    "src_txlog_optimize" ->
+      """SELECT CAST(v.version AS BIGINT) AS version,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(('0x' || substr(md5(
+        |                coalesce(doc_id::VARCHAR, chr(1)) || '|' ||
+        |                coalesce(lang, chr(1)) || '|' ||
+        |                coalesce(n_chars::VARCHAR, chr(1)) || '|' ||
+        |                coalesce(text, chr(1))), 1, 12))::BIGINT
+        |                % 1000000007) AS BIGINT) AS checksum
+        |FROM documents d
+        |JOIN (SELECT 0 AS version UNION ALL SELECT 5
+        |      UNION ALL SELECT 6) v
+        |  ON (v.version = 0 AND d.doc_id % 6 = 0) OR v.version >= 5
         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

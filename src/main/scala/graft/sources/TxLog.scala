@@ -26,6 +26,37 @@ import org.apache.spark.sql.types.StructType
   *  - TIME TRAVEL: a reader replays actions up to `asOf`; superseded data
   *    dirs stay readable until vacuumed, so every historical version is a
   *    plain parquet scan.
+  *  - DATA SKIPPING (r12): an add action may carry per-file column
+  *    min/max stats (`{"add":"f","stats":{"ts_us":["0","99"],…}}` —
+  *    collected write-side by ONE bounded aggregate over the just-written
+  *    dir, which on parquet is footer-cheap). A read given the query's
+  *    `col BETWEEN lo AND hi` bounds prunes files whose recorded envelope
+  *    is provably disjoint BEFORE the scan is planned — the biggest read
+  *    win a log-structured table offers at 100 TB (a selective read opens
+  *    O(matching files), not O(table)). Skipping is CONSERVATIVE by
+  *    construction: a file with no stats for the column, or stats that
+  *    fail to parse as the bound's type, is always kept — pruning may
+  *    only ever remove files that cannot match (NULL never satisfies a
+  *    BETWEEN, so all-null rows can't hide in a pruned file either:
+  *    min/max aggregates skip nulls, making a file's recorded envelope
+  *    cover exactly its non-null values).
+  *  - SCHEMA IN THE LOG (r12): a commit may record the write schema
+  *    (`{"schema":"<DDL>"}`); the latest record at-or-before `asOf`
+  *    governs that snapshot. Reads that declare a schema are VERIFIED
+  *    against the recorded one (a requested column the log doesn't know,
+  *    or a drifted type, fails loudly — the Avro header-verify posture);
+  *    [[readWithLogSchema]] reads with the recorded schema directly, so
+  *    an ADD-COLUMN evolution works across versions: pre-evolution files
+  *    simply read the new column as null (plain parquet by-name
+  *    projection), and time travel to an old version reads with that
+  *    version's own schema.
+  *  - OPTIMIZE (r12): [[optimize]] bin-packs the head's live data dirs
+  *    into one rewritten dir sized by bytes, committing the add and all
+  *    removes in ONE atomic commit — table contents are identical at
+  *    every version (the old dirs stay readable for time travel until
+  *    [[vacuum]] reclaims them), only the file count drops. This is the
+  *    small-file compaction a long-running streaming sink needs
+  *    (commitBatch writes one dir per micro-batch).
   *  - SCALE: the log carries FILE-level actions — O(commits) driver-side
   *    metadata, like the production table formats — never rows; a read
   *    plans an ordinary multi-dir parquet scan, so pushdown, pruning and
@@ -36,10 +67,30 @@ import org.apache.spark.sql.types.StructType
   */
 object TxLog {
 
+  /** One add action: a data dir name plus optional per-column (min, max)
+    * stats, both rendered as strings (parsed back to the pruning bound's
+    * type at read time, conservatively). */
+  final case class AddFile(name: String,
+      stats: Map[String, (String, String)] = Map.empty)
+
+  /** A `col BETWEEN lo AND hi` bound the caller's query implies — the
+    * data-skipping contract. Pruning drops a file iff its recorded
+    * envelope for `col` is provably disjoint from [lo, hi]. */
+  final case class SkipRange(col: String, lo: Long, hi: Long)
+
+  /** One parsed commit. */
+  final case class CommitEntry(version: Long, adds: Seq[AddFile],
+      removes: Seq[String], schemaDdl: Option[String])
+
   private val LogDirName = "_log"
   private val NameRe = """(\d{10})\.json""".r
-  private val AddRe = """\{"add":"(.*)"\}""".r
-  private val RemoveRe = """\{"remove":"(.*)"\}""".r
+  private val AddRe = """\{"add":"((?:[^"\\]|\\.)*)"\}""".r
+  private val AddStatsRe =
+    """\{"add":"((?:[^"\\]|\\.)*)","stats":\{(.*)\}\}""".r
+  private val StatEntryRe =
+    """"((?:[^"\\]|\\.)*)":\["((?:[^"\\]|\\.)*)","((?:[^"\\]|\\.)*)"\]""".r
+  private val RemoveRe = """\{"remove":"((?:[^"\\]|\\.)*)"\}""".r
+  private val SchemaRe = """\{"schema":"((?:[^"\\]|\\.)*)"\}""".r
   private val tmpSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def fsOf(s: SparkSession, p: Path): FileSystem =
@@ -87,7 +138,15 @@ object TxLog {
     * relative to the table dir). Returns false iff another writer already
     * committed this version — re-read the snapshot and retry from there. */
   def tryCommit(s: SparkSession, table: String, version: Long,
-      adds: Seq[String], removes: Seq[String]): Boolean = {
+      adds: Seq[String], removes: Seq[String]): Boolean =
+    tryCommitActions(s, table, version, adds.map(AddFile(_)), removes, None)
+
+  /** The full-surface commit: adds may carry stats, and the commit may
+    * record the write schema (the latest record governs reads from this
+    * version on). Same optimistic-concurrency contract as [[tryCommit]]. */
+  def tryCommitActions(s: SparkSession, table: String, version: Long,
+      adds: Seq[AddFile], removes: Seq[String],
+      schemaDdl: Option[String] = None): Boolean = {
     require(version >= 0, s"negative version $version")
     val ld = new Path(table, LogDirName)
     val f = fsOf(s, ld)
@@ -98,8 +157,18 @@ object TxLog {
       s".tmp-$version-${ProcessHandle.current().pid()}-${tmpSeq.incrementAndGet()}")
     val out = f.create(tmp, true)
     try {
-      val body = (adds.map(a => s"""{"add":"${esc(a)}"}""") ++
-        removes.map(r => s"""{"remove":"${esc(r)}"}""")).mkString("", "\n", "\n")
+      val addLines = adds.map { a =>
+        if (a.stats.isEmpty) s"""{"add":"${esc(a.name)}"}"""
+        else {
+          val body = a.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+            s""""${esc(c)}":["${esc(lo)}","${esc(hi)}"]"""
+          }.mkString(",")
+          s"""{"add":"${esc(a.name)}","stats":{$body}}"""
+        }
+      }
+      val body = (schemaDdl.map(d => s"""{"schema":"${esc(d)}"}""").toSeq ++
+        addLines ++ removes.map(r => s"""{"remove":"${esc(r)}"}"""))
+        .mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
     publishExclusive(f, tmp, dest)
@@ -115,18 +184,55 @@ object TxLog {
     * version = batchId. The create-exclusive CAS stays the loud backstop:
     * losing it here means a SECOND writer shares this sink table — a
     * misconfiguration, not a replay — and the batch fails rather than
-    * silently interleaving two streams' commits. */
-  def commitBatch(batch: DataFrame, table: String, batchId: Long): Unit = {
+    * silently interleaving two streams' commits.
+    *
+    * The skip path VERIFIES it is a replay, not a reuse: the existing
+    * commit at version = batchId must name exactly this stream's data dir
+    * (`b%010d`). A fresh stream (new checkpoint, batch ids restarting at
+    * 0) pointed at a table some OTHER writer built would otherwise read
+    * its foreign commits as "already delivered" and silently drop every
+    * batch — the one quiet failure this file's every other path refuses.
+    *
+    * `statsCols` (optional) records per-dir min/max for those columns in
+    * the commit — one bounded aggregate over the just-written dir
+    * (footer-cheap on parquet) — so downstream reads can data-skip. */
+  def commitBatch(batch: DataFrame, table: String, batchId: Long,
+      statsCols: Seq[String] = Nil): Unit = {
     val s = batch.sparkSession
-    if (currentVersion(s, table).exists(_ >= batchId)) ()
-    else {
-      val name = f"b$batchId%010d"
+    val name = f"b$batchId%010d"
+    if (currentVersion(s, table).exists(_ >= batchId)) {
+      val existing = commitAt(s, table, batchId)
+      require(existing.adds.map(_.name) == Seq(name),
+        s"$table: version $batchId exists but adds " +
+          s"[${existing.adds.map(_.name).mkString(",")}], not the expected " +
+          s"[$name] — this table was not built by this stream (a fresh " +
+          "checkpoint pointed at a foreign table is a misconfiguration, " +
+          "not a replay)")
+    } else {
       batch.write.mode("overwrite").parquet(s"$table/$name")
-      require(tryCommit(s, table, batchId, Seq(name), Nil),
+      val stats = statsOf(s.read.parquet(s"$table/$name"), statsCols)
+      require(tryCommitActions(s, table, batchId, Seq(AddFile(name, stats)), Nil),
         s"$table: version $batchId was committed by another writer while " +
           "this batch wrote its data — two streams share one sink table")
     }
   }
+
+  /** Per-column (min, max) of `df` for `cols`, rendered as strings — the
+    * write-side half of data skipping. ONE aggregate pass; on a parquet
+    * read-back this is answered from footer statistics, not data pages.
+    * Columns that are entirely null (or absent rows) record no stats —
+    * the conservative no-skip default. */
+  def statsOf(df: DataFrame, cols: Seq[String]): Map[String, (String, String)] =
+    if (cols.isEmpty) Map.empty
+    else {
+      import org.apache.spark.sql.functions.{max, min, col}
+      val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) None
+        else Some(c -> (r.get(2 * i).toString, r.get(2 * i + 1).toString))
+      }.toMap
+    }
 
   /** Highest committed version, None for a table with no log yet. */
   def currentVersion(s: SparkSession, table: String): Option[Long] = {
@@ -138,14 +244,53 @@ object TxLog {
       .sorted.lastOption
   }
 
-  /** One added action per commit, contiguity-validated and strictly
-    * parsed — THE shared log walk behind liveFiles/history/vacuum (one
-    * definition, so the gap/garbage loudness cannot drift between the
-    * read path and the DESCRIBE-HISTORY surface, and every verb costs
-    * exactly one O(commits) metadata pass). Each entry is
-    * (version, adds, removes). */
-  private def commits(s: SparkSession,
-      table: String): Seq[(Long, Seq[String], Seq[String])] = {
+  /** Parse one commit body — shared by the full log walk and the
+    * single-version probe so the strict-parse loudness cannot drift. */
+  private def parseCommit(table: String, v: Long,
+      text: String): (Seq[AddFile], Seq[String], Option[String]) = {
+    val adds = Seq.newBuilder[AddFile]
+    val removes = Seq.newBuilder[String]
+    var schemaDdl: Option[String] = None
+    text.split("\n").filter(_.nonEmpty).foreach {
+      case SchemaRe(d) => schemaDdl = Some(unesc(d))
+      case AddRe(a) => adds += AddFile(unesc(a))
+      case AddStatsRe(a, body) =>
+        val ms = StatEntryRe.findAllMatchIn(body).toSeq
+        require(ms.map(_.matched).mkString(",") == body,
+          s"$table v$v: unparseable stats body $body")
+        adds += AddFile(unesc(a), ms.map(m =>
+          unesc(m.group(1)) -> (unesc(m.group(2)), unesc(m.group(3)))).toMap)
+      case RemoveRe(r) => removes += unesc(r)
+      case other => throw new IllegalArgumentException(
+        s"$table v$v: unrecognized action $other")
+    }
+    (adds.result(), removes.result(), schemaDdl)
+  }
+
+  private def readLogFile(f: FileSystem, ld: Path, v: Long): String = {
+    val in = f.open(new Path(ld, f"$v%010d.json"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** The commit at exactly `version` — the O(1)-commits probe behind the
+    * sink replay-vs-reuse check. */
+  def commitAt(s: SparkSession, table: String, version: Long): CommitEntry = {
+    val ld = new Path(table, LogDirName)
+    val f = fsOf(s, ld)
+    require(f.exists(new Path(ld, f"$version%010d.json")),
+      s"$table: no commit at v$version")
+    val (adds, removes, ddl) = parseCommit(table, version,
+      readLogFile(f, ld, version))
+    CommitEntry(version, adds, removes, ddl)
+  }
+
+  /** Contiguity-validated, strictly parsed log walk — THE shared
+    * definition behind liveFiles/history/vacuum/schema (one definition,
+    * so the gap/garbage loudness cannot drift between the read path and
+    * the DESCRIBE-HISTORY surface, and every verb costs exactly one
+    * O(commits) metadata pass). */
+  private def commits(s: SparkSession, table: String): Seq[CommitEntry] = {
     val ld = new Path(table, LogDirName)
     val f = fsOf(s, ld)
     require(f.exists(ld), s"$table has no $LogDirName — not a TxLog table")
@@ -156,51 +301,75 @@ object TxLog {
       s"$table: log has a GAP (${versions.mkString(",")}) — torn log, " +
         "refusing to read a partial table")
     versions.map { v =>
-      val in = f.open(new Path(ld, f"$v%010d.json"))
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      val (adds, removes) =
-        (Seq.newBuilder[String], Seq.newBuilder[String])
-      text.split("\n").filter(_.nonEmpty).foreach {
-        case AddRe(a) => adds += unesc(a)
-        case RemoveRe(r) => removes += unesc(r)
-        case other => throw new IllegalArgumentException(
-          s"$table v$v: unrecognized action $other")
-      }
-      (v, adds.result(), removes.result())
+      val (adds, removes, ddl) = parseCommit(table, v, readLogFile(f, ld, v))
+      CommitEntry(v, adds, removes, ddl)
     }
   }
 
   /** Replay `cs` in order, validating add/remove consistency; returns the
-    * live set after the last entry. */
+    * live adds (stats preserved) after the last entry, in add order. */
   private def replay(table: String,
-      cs: Seq[(Long, Seq[String], Seq[String])]): scala.collection.mutable.LinkedHashSet[String] = {
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    cs.foreach { case (v, adds, removes) =>
-      adds.foreach(p => require(live.add(p),
-        s"$table v$v: add of already-live $p — corrupted log"))
-      removes.foreach(p => require(live.remove(p),
-        s"$table v$v: remove of unknown $p — corrupted log"))
+      cs: Seq[CommitEntry]): Seq[AddFile] = {
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    cs.foreach { e =>
+      e.adds.foreach(a => require(live.put(a.name, a).isEmpty,
+        s"$table v${e.version}: add of already-live ${a.name} — corrupted log"))
+      e.removes.foreach(p => require(live.remove(p).isDefined,
+        s"$table v${e.version}: remove of unknown $p — corrupted log"))
     }
-    live
+    live.values.toSeq
+  }
+
+  private def upTo(table: String, cs: Seq[CommitEntry],
+      asOf: Option[Long]): Seq[CommitEntry] = {
+    val head = cs.last.version
+    asOf.foreach(v => require(v >= 0 && v <= head,
+      s"$table: time travel to v$v but the table head is v$head"))
+    asOf.fold(cs)(v => cs.filter(_.version <= v))
   }
 
   /** The live data dirs of the snapshot at `asOf` (None = head), by log
     * replay. O(commits) driver-side metadata reads — never row data. */
   def liveFiles(s: SparkSession, table: String,
-      asOf: Option[Long] = None): Seq[String] = {
-    val cs = commits(s, table)
-    val head = cs.last._1
-    asOf.foreach(v => require(v >= 0 && v <= head,
-      s"$table: time travel to v$v but the table head is v$head"))
-    replay(table, asOf.fold(cs)(v => cs.filter(_._1 <= v))).toSeq
-  }
+      asOf: Option[Long] = None): Seq[String] =
+    liveAdds(s, table, asOf).map(_.name)
+
+  /** [[liveFiles]] with each add's recorded stats — the pruning input. */
+  def liveAdds(s: SparkSession, table: String,
+      asOf: Option[Long] = None): Seq[AddFile] =
+    replay(table, upTo(table, commits(s, table), asOf))
+
+  /** Prune `adds` by the query's BETWEEN bounds: a file is dropped iff
+    * some bound's recorded envelope is provably disjoint. Conservative on
+    * every doubt (no stats / unparseable stats → keep). */
+  def pruneAdds(adds: Seq[AddFile], skip: Seq[SkipRange]): Seq[AddFile] =
+    adds.filter { a =>
+      skip.forall { r =>
+        a.stats.get(r.col) match {
+          case Some((lo, hi)) =>
+            (lo.toLongOption, hi.toLongOption) match {
+              case (Some(mn), Some(mx)) => !(mx < r.lo || mn > r.hi)
+              case _ => true // unparseable for this bound type: keep
+            }
+          case None => true // no envelope recorded: keep
+        }
+      }
+    }
 
   /** Commit history as (version, n_adds, n_removes) — the DESCRIBE
     * HISTORY surface; shares [[commits]]' contiguity and strict-parse
     * loudness (a torn log must not read as healthy here either). */
   def history(s: SparkSession, table: String): Seq[(Long, Int, Int)] =
-    commits(s, table).map { case (v, a, r) => (v, a.size, r.size) }
+    commits(s, table).map(e => (e.version, e.adds.size, e.removes.size))
+
+  /** The recorded schema governing the snapshot at `asOf` (None = head):
+    * the latest `{"schema":…}` record at-or-before it. None on a table
+    * whose log never recorded one (pre-r12 tables — caller-supplied
+    * schemas only, unverified, as before). */
+  def logSchema(s: SparkSession, table: String,
+      asOf: Option[Long] = None): Option[StructType] =
+    upTo(table, commits(s, table), asOf)
+      .flatMap(_.schemaDdl).lastOption.map(StructType.fromDDL)
 
   /** VACUUM: physically delete data dirs that are no longer live at ANY
     * retained version (the horizon is `head − retainVersions`, and never
@@ -219,20 +388,20 @@ object TxLog {
   def vacuum(s: SparkSession, table: String, retainVersions: Int): Seq[String] = {
     require(retainVersions >= 0, s"negative retention $retainVersions")
     val cs = commits(s, table)
-    val head = cs.last._1
+    val head = cs.last.version
     val horizon = math.max(vacuumHorizon(s, table),
       math.max(0L, head - retainVersions))
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val keep = scala.collection.mutable.HashSet.empty[String]
     val everAdded = scala.collection.mutable.HashSet.empty[String]
-    cs.foreach { case (v, adds, removes) =>
-      adds.foreach { p =>
-        require(live.add(p), s"$table v$v: add of already-live $p")
-        everAdded += p
+    cs.foreach { e =>
+      e.adds.foreach { a =>
+        require(live.add(a.name), s"$table v${e.version}: add of already-live ${a.name}")
+        everAdded += a.name
       }
-      removes.foreach(p => require(live.remove(p),
-        s"$table v$v: remove of unknown $p"))
-      if (v >= horizon) keep ++= live
+      e.removes.foreach(p => require(live.remove(p),
+        s"$table v${e.version}: remove of unknown $p"))
+      if (e.version >= horizon) keep ++= live
     }
     require(currentVersion(s, table).contains(head),
       s"$table: a writer advanced the log past v$head during vacuum — " +
@@ -273,12 +442,63 @@ object TxLog {
     }
   }
 
+  /** OPTIMIZE: bin-pack the head's live data dirs into `max(1,
+    * ⌈bytes/targetBytes⌉)` rewritten files under ONE new dir, committing
+    * the add and every remove in a single atomic commit — contents are
+    * identical at every version (the superseded dirs stay readable for
+    * time travel until [[vacuum]]), only the file count drops. Stats are
+    * re-collected for the union of columns the packed dirs carried stats
+    * for (one bounded aggregate over the rewritten dir), so data
+    * skipping survives compaction — coarser (one envelope instead of N),
+    * exactly Delta's OPTIMIZE trade. Returns the new version, or None if
+    * the head has ≤ 1 live dir (nothing to pack — re-running is a no-op,
+    * not a rewrite loop). Loud on a concurrent writer: OPTIMIZE changes
+    * nothing logically, so the caller can simply re-run. */
+  def optimize(s: SparkSession, table: String,
+      schema: Option[StructType] = None,
+      targetBytes: Long = 128L << 20): Option[Long] = {
+    val cs = commits(s, table)
+    val head = cs.last.version
+    val live = replay(table, cs)
+    if (live.size <= 1) return None
+    val sch = schema.orElse(
+      cs.flatMap(_.schemaDdl).lastOption.map(StructType.fromDDL)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table: optimize needs a schema — none recorded in the log and " +
+          "none supplied"))
+    val f = fsOf(s, new Path(table))
+    val bytes = live.map(a =>
+      f.getContentSummary(new Path(table, a.name)).getLength).sum
+    val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val newV = head + 1
+    val name = f"opt$newV%010d"
+    s.read.schema(sch).parquet(live.map(a => s"$table/${a.name}"): _*)
+      .repartition(parts)
+      .write.mode("overwrite").parquet(s"$table/$name")
+    val statsCols = live.flatMap(_.stats.keys).distinct
+    val stats = statsOf(s.read.parquet(s"$table/$name"), statsCols)
+    require(tryCommitActions(s, table, newV, Seq(AddFile(name, stats)),
+        live.map(_.name)),
+      s"$table: a writer committed v$newV while optimize was packing — " +
+        "nothing was changed; re-run optimize from the new head")
+    Some(newV)
+  }
+
   /** Read the table at `asOf` (None = head) as a plain multi-dir parquet
     * scan with the caller's explicit schema — pushdown/pruning/codegen are
-    * untouched by the log layer. An empty snapshot reads as an empty frame
-    * of the schema, not an error. */
+    * untouched by the log layer. If the log records a schema for this
+    * snapshot, the request is VERIFIED against it: every requested column
+    * must exist there with the identical type (extra recorded columns are
+    * fine — that's a projection), so a drifted read fails loudly instead
+    * of miscasting. `skip` prunes data dirs by their recorded stats
+    * envelopes BEFORE the scan is planned (see the class doc; the bounds
+    * must be implied by the caller's own filter — pruning never replaces
+    * the filter, it only removes files the filter provably rejects
+    * entirely). An empty snapshot reads as an empty frame of the schema,
+    * not an error. */
   def read(s: SparkSession, table: String, schema: StructType,
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None,
+      skip: Seq[SkipRange] = Nil): DataFrame = {
     val horizon = vacuumHorizon(s, table)
     // the guard only applies on a vacuumed table — on a fresh one a
     // negative asOf must get liveFiles' accurate head-range error, not a
@@ -286,9 +506,40 @@ object TxLog {
     if (horizon >= 0) asOf.foreach(v => require(v >= horizon,
       s"$table: v$v was VACUUMED (retention horizon v$horizon) — its " +
         "data files are gone; a silent partial read is not offered"))
-    val files = liveFiles(s, table, asOf)
+    val cs = commits(s, table)
+    val governed = upTo(table, cs, asOf)
+    governed.flatMap(_.schemaDdl).lastOption.map(StructType.fromDDL).foreach {
+      recorded =>
+        schema.fields.foreach { fld =>
+          val m = recorded.fields.find(_.name == fld.name)
+          require(m.isDefined,
+            s"$table: requested column '${fld.name}' is not in the " +
+              s"recorded schema (${recorded.toDDL}) — drifted read")
+          require(m.get.dataType == fld.dataType,
+            s"$table: column '${fld.name}' is ${m.get.dataType.sql} in the " +
+              s"recorded schema, requested as ${fld.dataType.sql} — " +
+              "drifted read")
+        }
+    }
+    val files = pruneAdds(replay(table, governed), skip).map(_.name)
     if (files.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
     else s.read.schema(schema).parquet(files.map(p => s"$table/$p"): _*)
+  }
+
+  /** Read with the LOG's recorded schema for the snapshot — the
+    * schema-evolution read path: time travel to a pre-evolution version
+    * reads with that version's own (narrower) schema; a head read after
+    * an add-column evolution reads pre-evolution files with the new
+    * column as null (plain parquet by-name projection). Throws on a
+    * table whose log never recorded a schema. */
+  def readWithLogSchema(s: SparkSession, table: String,
+      asOf: Option[Long] = None,
+      skip: Seq[SkipRange] = Nil): DataFrame = {
+    val sch = logSchema(s, table, asOf).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table: no schema recorded in the log (pre-r12 table?) — " +
+          "supply one explicitly via read()"))
+    read(s, table, sch, asOf, skip)
   }
 }
