@@ -488,13 +488,36 @@ object PgOutput {
     (StreamControlChars ++ PreparedControlChars).toSeq
   private val ControlTypeBytes: Set[Byte] = ControlChars.map(_.toByte).toSet
 
+  /** Driver-context ceiling for [[buildContexts]]' control-frame pull
+    * (conf `graft.cdc.maxControlFrames`). The collect is O(#segments +
+    * #blocks) — a handful of frames per large transaction, thousands per
+    * realistic feed — but the bound was previously ASSUMED, not enforced:
+    * a pathological feed of millions of tiny streamed transactions would
+    * grow the driver context silently. Now it fails loudly at the default
+    * 4Mi frames (~hundreds of MB of control payloads) with the knob named
+    * in the error — the scale posture every other driver pull in this
+    * file already has. */
+  private val MaxControlFramesDefault = 4L << 20
+
   /** One bounded pass: collect + decode every control frame and build both
-    * contexts. */
+    * contexts. The bound is ENFORCED (one cheap count over the columnar
+    * filter before the pull), not assumed. */
   private def buildContexts(typed: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
       : (StreamContext, PreparedContext) = {
-    val controls = typed
+    val filtered = typed
       .filter(substring(col("data"), 1, 1)
         .isin(ControlChars.map(c => lit(Array(c.toByte))): _*))
+    val maxFrames = typed.sparkSession.conf
+      .getOption("graft.cdc.maxControlFrames").map(_.toLong)
+      .getOrElse(MaxControlFramesDefault)
+    val n = filtered.count()
+    require(n <= maxFrames,
+      s"$n v2/2PC control frames exceed the driver-context ceiling " +
+        s"$maxFrames — the interval contexts are built driver-side and " +
+        "this feed's transaction count breaks the O(#txns)-is-small " +
+        "assumption; raise graft.cdc.maxControlFrames only with driver " +
+        "memory to match, or chunk the feed by LSN range")
+    val controls = filtered
       .collect().map { case (lsn, b) => (lsn, b(0).toChar, decode(b)) }
     val ctx = StreamContext.build(
       controls.collect { case (l, t, m) if StreamControlChars(t) => (l, m) }.toSeq)

@@ -77,7 +77,9 @@ object TxLogMaterialize {
     // touched buckets: bounded by nBuckets — a documented O(B) pull
     val touched = changes.select(bucketOf(nBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).sorted.toSeq
-    val liveNames = TxLog.liveFiles(s, table)
+    // batch 0 lands on a table with no log yet — nothing live to merge
+    val liveNames =
+      if (cur.isEmpty) Seq.empty[String] else TxLog.liveFiles(s, table)
     val oldDirs = touched.flatMap(b =>
       liveNames.filter(_.endsWith(s"/__bucket=$b")).sorted)
     val oldState =

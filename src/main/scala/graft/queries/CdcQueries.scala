@@ -25,6 +25,11 @@ object CdcQueries {
     * clone of this block would silently poison the other gate. */
   private val ivmFeedMemo = new graft.operators.SessionMemo[String]
 
+  /** The materialized TxLog table for cdc_txlog_materialize — built once
+    * per (session, lake): two full streaming replays (fresh-checkpoint
+    * recovery included) against one merge-sink table. */
+  private val txlogMatMemo = new graft.operators.SessionMemo[String]
+
   private def chunkedFeedDir(s: SparkSession, dir: String): String =
     ivmFeedMemo.get(s, dir) {
       val tmp = graft.streaming.StreamGate.sessionTempDir("graft-ivm") { t =>
@@ -588,6 +593,57 @@ object CdcQueries {
           col("validToUs").as("valid_to_us"),
           col("openedByLsn").as("lsn")))
       }.orderBy("table_name", "pk", "lsn")
+    }),
+
+    // CDC → ACID-TABLE CONTINUOUS MERGE, gated (r12 — VERDICT item 2):
+    // the capstone composing the exactly-once TxLog landing (version =
+    // batchId) with the upsert/tombstone apply — each LSN-chunked
+    // micro-batch is MERGED into a TxLog table by
+    // `TxLogMaterialize.applyBatch` (bucket-granular copy-on-write:
+    // per-key highest-LSN wins, DELETEs kept as storage tombstones, only
+    // the buckets a batch touches are rewritten — cost O(touched state +
+    // batch), never O(table)), so the table head is ALWAYS the feed's
+    // latest snapshot — the end state the reference's HandleFunc consumer
+    // exists to maintain (postrack.go:96-117), landing in a transactional
+    // table with per-batch time travel instead of an opaque app store.
+    // The gate replays TWICE: a fresh-checkpoint recovery re-delivers
+    // every batch and must change NOTHING (version-verified replay skips,
+    // require'd inside the build), and the final snapshot read hashes
+    // against the batch latest-snapshot oracle — the streaming MERGE and
+    // the batch recompute must agree exactly.
+    "cdc_txlog_materialize" -> ((s, dir) => {
+      val table = txlogMatMemo.get(s, dir) {
+        val feedDir = chunkedFeedDir(s, dir)
+        val tmp = graft.streaming.StreamGate
+          .sessionTempDir("graft-txlog-mat") { t =>
+            val tbl = s"$t/table"
+            val schema = org.apache.spark.sql.Encoders
+              .product[graft.streaming.Change].schema
+            def runOnce(ck: String): Unit = {
+              val q = s.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(feedDir)
+                .writeStream.option("checkpointLocation", ck)
+                .foreachBatch { (b: DataFrame, id: Long) =>
+                  graft.cdc.TxLogMaterialize.applyBatch(b, tbl, id)
+                }
+                .start()
+              try q.processAllAvailable() finally q.stop()
+            }
+            runOnce(s"$t/ck1")
+            val head = graft.sources.TxLog.currentVersion(s, tbl)
+            require(head.nonEmpty, "materialize landed no batches")
+            // checkpoint-recovery drill: a FRESH checkpoint re-delivers
+            // batches 0..head; every one must verify-and-skip
+            runOnce(s"$t/ck2")
+            require(graft.sources.TxLog.currentVersion(s, tbl) == head,
+              "a recovery replay must change nothing")
+          }
+        s"$tmp/table"
+      }
+      graft.cdc.TxLogMaterialize.snapshot(s, table)
+        .select(col("table_name"), col("pk"), col("lsn"), col("op"),
+          col("value"))
+        .orderBy("table_name", "pk")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -596,6 +652,18 @@ object CdcQueries {
     // cdc_latest_snapshot SQL without the props column the streaming
     // Change payload doesn't carry
     "cdc_stream_snapshot" ->
+      s"""$cte
+         |SELECT table_name, pk, lsn, op, value FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY table_name, pk
+         |             ORDER BY lsn DESC) AS rn
+         |  FROM feed)
+         |WHERE rn = 1 AND op <> 'DELETE' ORDER BY table_name, pk""".stripMargin,
+
+    // the continuously-MERGED TxLog head must BE the batch latest
+    // snapshot: highest-LSN row per (table, pk), tombstones hidden —
+    // identical recompute to cdc_stream_snapshot (the merge sink and the
+    // streaming state engine maintain the same view by different means)
+    "cdc_txlog_materialize" ->
       s"""$cte
          |SELECT table_name, pk, lsn, op, value FROM (
          |  SELECT *, row_number() OVER (PARTITION BY table_name, pk

@@ -311,6 +311,79 @@ object VectorQueries {
   private def lshTopK(s: SparkSession, dir: String): DataFrame =
     Relational.topKByScore(lshScored(s, dir), "q_id", "cos", "neighbor_id", topK)
 
+  /** Greedy beam search over the stored NN-descent graph — the serving
+    * primitive behind knn_graph_search and knn_graph_sweep, PARAMETERIZED
+    * on the knobs a serving layer actually tunes (r12 — VERDICT item 7):
+    * `beamW` (candidates kept per hop) and `hops` (navigation depth).
+    * Entry point = the quantizer route (nearest trained centroid, lowest
+    * vec_id in its cell); each hop expands the beam through the UNDIRECTED
+    * graph, rescores by 4dp cosine, keeps the best `beamW` per query via
+    * the bounded-heap TopKAgg — each hop shuffles O(queries × beam), never
+    * the graph; candidate ids broadcast into one edge-list probe + one
+    * corpus probe (map-side at any graph size). The beam is LINEAGE-CUT
+    * per hop. Returns (final beam — q_id, vec_id, cos — and the union of
+    * every hop's scored candidate pairs: the DETERMINISTIC cost surface a
+    * recall-vs-cost sweep audits). */
+  private def graphBeam(s: SparkSession, dir: String, beamW: Int,
+      hops: Int): (DataFrame, DataFrame) = {
+    val nd = nndRefined(s, dir).select("vec_id", "neighbor_id")
+    val und = graft.operators.Checkpointing.cut(
+      nd.unionByName(nd.select(col("neighbor_id").as("vec_id"),
+        col("vec_id").as("neighbor_id"))).distinct())
+    val (centroids, index) = ivfIndex(s, dir)
+    val q = index.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // entry: nearest trained centroid on the UNROUNDED lockstep cosine
+    // (strict desc, lowest cluster tie — the knn_ivf probe rule), then
+    // the lowest-id cell member ≠ the query itself
+    val qc = Relational.topKPerGroup(
+        q.crossJoin(broadcast(centroids))
+          .withColumn("sim",
+            graft.plans.CosineSim.cosine(s, col("q_emb"), col("centroid"))),
+        Seq("q_id"), Seq(col("sim").desc, col("cluster")), 1)
+      .select(col("q_id"), col("cluster"))
+    val seed = index.join(broadcast(qc), "cluster")
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id").agg(min("vec_id").as("vec_id"))
+    val sv = index.select(col("vec_id"), col("embedding"))
+    var beam = seed.select("q_id", "vec_id")
+    var scoredAll: Option[DataFrame] = None
+    for (_ <- 1 to hops) {
+      val ids = beam.select("q_id", "vec_id")
+      val cand = ids
+        .unionByName(und.join(broadcast(ids), "vec_id")
+          .select(col("q_id"), col("neighbor_id").as("vec_id")))
+        .filter(col("vec_id") =!= col("q_id"))
+        .distinct()
+      val scored = sv.join(broadcast(cand), "vec_id")
+        .join(broadcast(q), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          round(graft.plans.CosineSim.cosine(s, col("q_emb"), col("embedding")), 4)
+            .as("cos"))
+      scoredAll = Some(scoredAll.fold(scored)(_.unionByName(scored)))
+      beam = graft.operators.Checkpointing.cut(
+        Relational.topKByScore(scored, "q_id", "cos", "vec_id", beamW)
+          .select("q_id", "vec_id", "cos"))
+    }
+    (beam, scoredAll.get)
+  }
+
+  /** recall@topK accounting of a beam result against the brute-force
+    * exact top-k — the knn_recall_audit join shape, totals optional. */
+  private def beamRecallAudit(s: SparkSession, dir: String,
+      beam: DataFrame): DataFrame = {
+    val ann = Relational.topKByScore(beam, "q_id", "cos", "vec_id", topK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      .withColumn("in_ann", lit(1L))
+    val ex = bruteTopK(s, dir).select("q_id", "neighbor_id")
+    ex.join(broadcast(ann), Seq("q_id", "neighbor_id"), "left_outer")
+      .groupBy("q_id")
+      .agg(count(lit(1)).cast("long").as("n_exact"),
+        coalesce(sum(col("in_ann")), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact"), 4))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Embedding-cosine near-dup pairs via multi-table hyperplane-LSH
     // buckets + exact verify: only vectors agreeing on a full signature in
@@ -654,55 +727,35 @@ object VectorQueries {
     // recall@k of the beam result vs the brute-force top-k, with the whole
     // chain — nndescent build, seed rule, every hop — replayed in SQL.
     "knn_graph_search" -> ((s, dir) => {
-      val beamW = 16
-      val nd = nndRefined(s, dir).select("vec_id", "neighbor_id")
-      val und = graft.operators.Checkpointing.cut(
-        nd.unionByName(nd.select(col("neighbor_id").as("vec_id"),
-          col("vec_id").as("neighbor_id"))).distinct())
-      val (centroids, index) = ivfIndex(s, dir)
-      val q = index.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      // entry: nearest trained centroid on the UNROUNDED lockstep cosine
-      // (strict desc, lowest cluster tie — the knn_ivf probe rule), then
-      // the lowest-id cell member ≠ the query itself
-      val qc = Relational.topKPerGroup(
-          q.crossJoin(broadcast(centroids))
-            .withColumn("sim",
-              graft.plans.CosineSim.cosine(s, col("q_emb"), col("centroid"))),
-          Seq("q_id"), Seq(col("sim").desc, col("cluster")), 1)
-        .select(col("q_id"), col("cluster"))
-      val seed = index.join(broadcast(qc), "cluster")
-        .filter(col("vec_id") =!= col("q_id"))
-        .groupBy("q_id").agg(min("vec_id").as("vec_id"))
-      val sv = index.select(col("vec_id"), col("embedding"))
-      var beam = seed.select("q_id", "vec_id")
-      for (_ <- 1 to 3) {
-        val ids = beam.select("q_id", "vec_id")
-        val cand = ids
-          .unionByName(und.join(broadcast(ids), "vec_id")
-            .select(col("q_id"), col("neighbor_id").as("vec_id")))
-          .filter(col("vec_id") =!= col("q_id"))
-          .distinct()
-        val scored = sv.join(broadcast(cand), "vec_id")
-          .join(broadcast(q), "q_id")
-          .select(col("q_id"), col("vec_id"),
-            round(graft.plans.CosineSim.cosine(s, col("q_emb"), col("embedding")), 4)
-              .as("cos"))
-        beam = graft.operators.Checkpointing.cut(
-          Relational.topKByScore(scored, "q_id", "cos", "vec_id", beamW)
-            .select("q_id", "vec_id", "cos"))
-      }
-      val ann = Relational.topKByScore(beam, "q_id", "cos", "vec_id", topK)
-        .select(col("q_id"), col("vec_id").as("neighbor_id"))
-        .withColumn("in_ann", lit(1L))
-      val ex = bruteTopK(s, dir).select("q_id", "neighbor_id")
-      ex.join(broadcast(ann), Seq("q_id", "neighbor_id"), "left_outer")
-        .groupBy("q_id")
-        .agg(count(lit(1)).cast("long").as("n_exact"),
-          coalesce(sum(col("in_ann")), lit(0L)).as("n_hit"))
-        .withColumn("recall",
-          round(col("n_hit").cast("double") / col("n_exact"), 4))
-        .orderBy("q_id")
+      val (beam, _) = graphBeam(s, dir, beamW = 16, hops = 3)
+      beamRecallAudit(s, dir, beam).orderBy("q_id")
+    }),
+
+    // RECALL-VS-COST SWEEP (r12 — VERDICT item 7): the same beam engine
+    // run at TWO widths (4 and 16, 3 hops each) and audited TOGETHER —
+    // the knob a serving layer actually tunes, with both sides of the
+    // trade in one gated row per width: recall@10 totals over the query
+    // sample AND the deterministic cost surface (n_scored = Σ over hops
+    // of candidates rescored — the number of distance computations the
+    // width buys, fully determined by the graph + the (cos desc, vec_id)
+    // beam rule, so the oracle replays BOTH sweeps exactly). The wider
+    // beam must dominate on recall and pay for it in rescores; the gate
+    // hashes the exact frontier sizes, so any drift in the navigation
+    // rule — not just its end recall — breaks the hash.
+    "knn_graph_sweep" -> ((s, dir) => {
+      Seq(4, 16).map { w =>
+        val (beam, scoredAll) = graphBeam(s, dir, beamW = w, hops = 3)
+        val recall = beamRecallAudit(s, dir, beam)
+          .agg(sum("n_exact").as("n_exact"), sum("n_hit").as("n_hit"))
+        val cost = scoredAll.agg(count(lit(1)).as("n_scored"))
+        recall.crossJoin(cost)
+          .select(lit(w.toLong).as("beam_w"),
+            col("n_exact").cast("long").as("n_exact"),
+            col("n_hit").cast("long").as("n_hit"),
+            round(col("n_hit").cast("double") / col("n_exact"), 4)
+              .as("recall"),
+            col("n_scored"))
+      }.reduce(_ unionAll _).orderBy("beam_w")
     }),
 
     // FILTERED ANN (r10) — attribute-constrained retrieval ("nearest
@@ -1108,33 +1161,13 @@ object VectorQueries {
        |             ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
        |  FROM sc)""".stripMargin
 
-  /** knn_graph_search's full replay: nndescent-refined graph → undirected
-    * edges → quantizer-routed seed → 3 unrolled beam hops (width 16,
-    * (cos desc, vec_id) rank) → recall@k audit vs the brute-force top-k.
-    * Hop CTEs are x/y/b-prefixed — c1/c2 are the build prefix's centroid
-    * tables. */
-  private val graphSearchOracle: String = {
-    val beamW = 16
-    val hops = (1 to 3).map { h =>
-      val prev = s"b${h - 1}"
-      s"""x$h AS (
-         |  SELECT DISTINCT q_id, vec_id FROM (
-         |    SELECT q_id, vec_id FROM $prev
-         |    UNION ALL
-         |    SELECT p.q_id, u.neighbor_id AS vec_id
-         |    FROM $prev p JOIN und u ON u.vec_id = p.vec_id)
-         |  WHERE vec_id <> q_id),
-         |y$h AS (
-         |  SELECT c.q_id, c.vec_id,
-         |         round(list_cosine_similarity(q.q_emb, s.v), 4) AS cos
-         |  FROM x$h c JOIN q ON q.q_id = c.q_id JOIN sv s ON s.vec_id = c.vec_id),
-         |b$h AS (
-         |  SELECT q_id, vec_id, cos FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY q_id
-         |               ORDER BY cos DESC, vec_id) AS rn
-         |    FROM y$h) WHERE rn <= $beamW)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH $ivfBuildCtes,
+  /** The graph-SERVING shared replay prefix: nndescent-refined graph →
+    * undirected edges → query sample → quantizer-routed seed (b0) → exact
+    * brute-force top-k (ex) — everything the beam hops navigate over,
+    * shared by graphSearchOracle and graphSweepOracle so the two replays
+    * cannot drift. */
+  private val graphServePrefixCtes: String =
+    s"""$ivfBuildCtes,
        |$nndRefineCtes,
        |nd AS (SELECT vec_id, neighbor_id FROM rr WHERE rk <= 3),
        |und AS (SELECT vec_id, neighbor_id FROM nd
@@ -1150,12 +1183,6 @@ object VectorQueries {
        |  SELECT qc.q_id, min(i.vec_id) AS vec_id
        |  FROM qc JOIN idx i ON i.cluster = qc.cluster AND i.vec_id <> qc.q_id
        |  GROUP BY qc.q_id),
-       |$hops,
-       |ann AS (
-       |  SELECT q_id, vec_id AS neighbor_id FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY q_id
-       |               ORDER BY cos DESC, vec_id) AS rk
-       |    FROM b3) WHERE rk <= $topK),
        |bscored AS (
        |  SELECT q.q_id, s.vec_id AS neighbor_id,
        |         round(list_cosine_similarity(q.q_emb, s.v), 4) AS cos
@@ -1164,7 +1191,48 @@ object VectorQueries {
        |  SELECT q_id, neighbor_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY q_id
        |               ORDER BY cos DESC, neighbor_id) AS rk
-       |    FROM bscored) WHERE rk <= $topK)
+       |    FROM bscored) WHERE rk <= $topK)""".stripMargin
+
+  /** Width-tagged beam-hop CTE chain: x/y/b-prefixed, `w<beamW>h<hop>`
+    * suffixed so two sweeps coexist in one WITH. The final beam table is
+    * `b<hops>w<beamW>`; y-tables are the scored frontiers (the cost
+    * surface). MATERIALIZED: each hop references its predecessor twice
+    * (beam ∪ neighbors-of-beam) and the sweep reads every y-table twice
+    * (beam rank + cost count) — inlined, the chain re-expands
+    * exponentially and OOMs the oracle engine at two widths. */
+  private def beamHopCtes(beamW: Int, hops: Int): String =
+    (1 to hops).map { h =>
+      val prev = if (h == 1) "b0" else s"b${h - 1}w$beamW"
+      s"""xw${beamW}h$h AS MATERIALIZED (
+         |  SELECT DISTINCT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id FROM $prev
+         |    UNION ALL
+         |    SELECT p.q_id, u.neighbor_id AS vec_id
+         |    FROM $prev p JOIN und u ON u.vec_id = p.vec_id)
+         |  WHERE vec_id <> q_id),
+         |yw${beamW}h$h AS MATERIALIZED (
+         |  SELECT c.q_id, c.vec_id,
+         |         round(list_cosine_similarity(q.q_emb, s.v), 4) AS cos
+         |  FROM xw${beamW}h$h c JOIN q ON q.q_id = c.q_id
+         |  JOIN sv s ON s.vec_id = c.vec_id),
+         |b${h}w$beamW AS MATERIALIZED (
+         |  SELECT q_id, vec_id, cos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos DESC, vec_id) AS rn
+         |    FROM yw${beamW}h$h) WHERE rn <= $beamW)""".stripMargin
+    }.mkString(",\n")
+
+  /** knn_graph_search's full replay: the shared serving prefix → 3
+    * unrolled beam hops (width 16, (cos desc, vec_id) rank) → per-query
+    * recall@k audit vs the brute-force top-k. */
+  private val graphSearchOracle: String =
+    s"""WITH $graphServePrefixCtes,
+       |${beamHopCtes(16, 3)},
+       |ann AS (
+       |  SELECT q_id, vec_id AS neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |               ORDER BY cos DESC, vec_id) AS rk
+       |    FROM b3w16) WHERE rk <= $topK)
        |SELECT ex.q_id AS q_id,
        |       CAST(count(*) AS BIGINT) AS n_exact,
        |       CAST(count(ann.neighbor_id) AS BIGINT) AS n_hit,
@@ -1173,6 +1241,41 @@ object VectorQueries {
        |  ON ann.q_id = ex.q_id AND ann.neighbor_id = ex.neighbor_id
        |GROUP BY ex.q_id
        |ORDER BY ex.q_id""".stripMargin
+
+  /** knn_graph_sweep's replay: BOTH beam widths' full hop chains in one
+    * WITH (width-suffixed CTEs), each audited for recall@k totals and its
+    * exact rescoring cost (Σ frontier sizes). */
+  private val graphSweepOracle: String = {
+    def widthCtes(w: Int): String =
+      s"""annw$w AS (
+         |  SELECT q_id, vec_id AS neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos DESC, vec_id) AS rk
+         |    FROM b3w$w) WHERE rk <= $topK),
+         |recw$w AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |         CAST(count(a.neighbor_id) AS BIGINT) AS n_hit
+         |  FROM ex LEFT JOIN annw$w a
+         |    ON a.q_id = ex.q_id AND a.neighbor_id = ex.neighbor_id),
+         |costw$w AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_scored FROM (
+         |    SELECT q_id FROM yw${w}h1
+         |    UNION ALL SELECT q_id FROM yw${w}h2
+         |    UNION ALL SELECT q_id FROM yw${w}h3))""".stripMargin
+    def widthRow(w: Int): String =
+      s"""SELECT CAST($w AS BIGINT) AS beam_w, n_exact, n_hit,
+         |       round(CAST(n_hit AS DOUBLE) / n_exact, 4) AS recall, n_scored
+         |FROM recw$w, costw$w""".stripMargin
+    s"""WITH $graphServePrefixCtes,
+       |${beamHopCtes(4, 3)},
+       |${beamHopCtes(16, 3)},
+       |${widthCtes(4)},
+       |${widthCtes(16)}
+       |SELECT * FROM (
+       |${widthRow(4)}
+       |UNION ALL
+       |${widthRow(16)})
+       |ORDER BY beam_w""".stripMargin
   }
 
   /** The forced-scaled quantizer build (scaledGraphIndex's k rule as SQL —
@@ -1299,6 +1402,10 @@ object VectorQueries {
     // the full graph-serving replay: refined graph, quantizer-routed seed,
     // 3 beam hops, recall audit — every stage in SQL
     "knn_graph_search" -> graphSearchOracle,
+
+    // both sweep widths replayed hop-by-hop, recall totals + exact
+    // frontier-size costs — see graphSweepOracle
+    "knn_graph_sweep" -> graphSweepOracle,
 
     // same build prefix, then the per-list report: sizes, shares, and the
     // 1e4-scaled cohesion sums over 4dp-rounded cosines. The cosine here

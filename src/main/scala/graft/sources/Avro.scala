@@ -1,11 +1,14 @@
 package graft.sources
 
 import org.apache.avro.{Schema, SchemaBuilder}
-import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayInput}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
 /** Avro container-file source/sink over the core Avro library — the one
@@ -16,20 +19,23 @@ import org.apache.spark.sql.types._
   * This environment carries avro-1.12 but NOT the spark-avro module, so the
   * engine owns the container seam itself, exactly like the
   * binary-object/media tier (operators/Multimodal): the WRITE side renders
-  * each partition as one Avro object-container file (schema + deflate-free
-  * blocks + sync markers) via `foreachPartition`; the READ side scans the
-  * files through Spark's binaryFile source and decodes partition-locally
-  * with `mapPartitions` — zero driver involvement in either direction, one
-  * task per container file.
+  * each partition as one Avro object-container file (schema + blocks +
+  * sync markers) via `foreachPartition`, routed through the Hadoop
+  * FileSystem API end-to-end (driver mkdirs AND executor-side creates), so
+  * the sink works on HDFS/object-store paths exactly like TxLog/CdcStream
+  * — never bare java.io locals. The READ side is BLOCK-SPLITTABLE (r12):
+  * splits are planned driver-side as byte ranges (O(files) metadata), and
+  * each task seeks to the first sync marker at-or-after its range start
+  * and decodes blocks until it passes the range end — the standard
+  * container-split contract (every block is owned by exactly one split,
+  * the one its starting sync falls into), so read parallelism is
+  * totalBytes/splitBytes, DECOUPLED from file count: one huge container
+  * from a coalesced export no longer serializes the scan.
   *
-  * Scale notes: Avro containers are BLOCK-splittable (sync markers every
-  * block) — a production deployment points the spark-avro reader at the
-  * same files and gets intra-file splits; this reader is the
-  * one-task-per-file path, the same trade src_binaryfile documents, so
-  * parallelism = file count (the writer emits one file per input
-  * partition, which is the knob). Nullability rides Avro unions
-  * (["null", T]) — a null field survives the trip as a null, never a
-  * sentinel. */
+  * Scale notes: split planning is pure metadata (list + length); each
+  * task reads only its byte range plus one block overshoot at the seam.
+  * Nullability rides Avro unions (["null", T]) — a null field survives
+  * the trip as a null, never a sentinel. */
 object Avro {
 
   /** Spark → Avro schema for the flat row shapes the lake exports (the
@@ -59,18 +65,22 @@ object Avro {
   /** Write `df` as one Avro object-container file per partition under
     * `path` (created). The schema travels IN the container header — the
     * read side can decode with no side channel, which is the format's
-    * point. */
-  def write(df: DataFrame, path: String): Unit = {
+    * point. `syncInterval` is the approximate block size in bytes (the
+    * split granularity knob — smaller blocks → finer read splits). */
+  def write(df: DataFrame, path: String, syncInterval: Int = 64000): Unit = {
     val schema = df.schema
-    val avroJson = avroSchema(schema).toString // Schema is not serializable pre-1.9-style; ship JSON
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    val avroJson = avroSchema(schema).toString // Schema is not serializable; ship JSON
+    val hp = new Path(path)
+    hp.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration).mkdirs(hp)
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val sch = new Schema.Parser().parse(avroJson)
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val file = java.nio.file.Paths.get(path, f"part-$pid%05d.avro").toFile
+        val dest = new Path(path, f"part-$pid%05d.avro")
+        val out = dest.getFileSystem(new Configuration()).create(dest, true)
         val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](sch))
-        w.create(sch, file)
+        w.setSyncInterval(syncInterval)
+        w.create(sch, out)
         try it.foreach { row =>
           val rec = new GenericData.Record(sch)
           schema.fields.zipWithIndex.foreach { case (f, i) =>
@@ -83,32 +93,59 @@ object Avro {
             rec.put(f.name, v)
           }
           w.append(rec)
-        } finally w.close()
+        } finally w.close() // closes the FS stream too
       }
     }
   }
 
   /** Read an Avro container directory back as a DataFrame with `schema`
-    * (explicit, the src_* discipline — the container header is VERIFIED
-    * against it rather than trusted: a drifted export fails loudly, never
-    * miscasts). */
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    * (explicit, the src_* discipline — every split VERIFIES the container
+    * header against it rather than trusting it: a drifted export fails
+    * loudly, never miscasts). Block-splittable: files are planned as
+    * `splitBytes` byte ranges; a task syncs to the first block boundary
+    * at-or-after its start and stops once past its end, so each block is
+    * decoded by exactly one task and parallelism = ⌈bytes/splitBytes⌉ per
+    * file, independent of file count. */
+  def read(spark: SparkSession, path: String, schema: StructType,
+      splitBytes: Long = 128L << 20): DataFrame = {
+    require(splitBytes > 0, s"splitBytes must be positive, got $splitBytes")
     val expected = avroSchema(schema).toString
-    val bin = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.avro").load(path)
-      .select(col("content"))
-    implicit val enc = Encoders.row(schema)
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val splits: Seq[(String, Long, Long)] = fs.listStatus(hp)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".avro"))
+      .sortBy(_.getPath.getName)
+      .flatMap { st =>
+        val sz = st.getLen
+        (0L until math.max(sz, 1L) by splitBytes).map(o =>
+          (st.getPath.toString, o, math.min(o + splitBytes, sz)))
+      }.toSeq
+    if (splits.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val n = schema.fields.length
-    bin.as[Array[Byte]](Encoders.BINARY).mapPartitions { it =>
-      val exp = new Schema.Parser().parse(expected)
-      it.flatMap { bytes =>
+    val rows = spark.sparkContext.parallelize(splits, splits.size)
+      .flatMap { case (file, start, end) =>
+        val exp = new Schema.Parser().parse(expected)
+        // task-side Configuration: the executor classpath carries the same
+        // site config as the driver (core-site/hdfs-site), the standard
+        // no-conf-shipping contract for hand-rolled readers
         val r = new DataFileReader[GenericRecord](
-          new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
+          new FsInput(new Path(file), new Configuration()),
+          new GenericDatumReader[GenericRecord]())
         require(r.getSchema == exp,
           s"Avro container schema drifted from the declared read schema:\n" +
             s"  container: ${r.getSchema}\n  declared:  $exp")
+        // own exactly the blocks whose starting sync is in [start, end):
+        // sync(start) seeks to the first boundary at-or-after start (the
+        // header's trailing sync counts, so split 0 starts at block 0),
+        // pastSync(end) turns true once the reader crosses the end seam
+        r.sync(start)
         new Iterator[Row] {
-          def hasNext: Boolean = { val h = r.hasNext; if (!h) r.close(); h }
+          def hasNext: Boolean = {
+            val h = r.hasNext && !r.pastSync(end)
+            if (!h) r.close()
+            h
+          }
           def next(): Row = {
             val rec = r.next()
             Row.fromSeq((0 until n).map { i =>
@@ -123,6 +160,6 @@ object Avro {
           }
         }
       }
-    }.toDF(schema.fieldNames: _*)
+    spark.createDataFrame(rows, schema)
   }
 }

@@ -302,10 +302,12 @@ object CdcStream {
     * cannot both win: the second CAS sees the advanced pointer and returns
     * false, and its merge — which silently DROPPED the first writer's
     * changes — never becomes visible. Lost update impossible by
-    * construction (spec'd with a two-writer race). A lock left by a
-    * crashed writer times out loudly rather than being stolen — breaking a
-    * lock under a live writer is the one thing worse than waiting; an ACID
-    * table format owns this with real transactions. */
+    * construction (spec'd with a two-writer race). A lock held by a LIVE
+    * writer times out loudly rather than being stolen — breaking a lock
+    * under a live writer is the one thing worse than waiting; only a
+    * crashed writer's corpse (mtime past the lease window) is broken, and
+    * breaking is serialized through a create-exclusive breaker tombstone
+    * so racing breakers can never delete a fresh lock (see below). */
   private[graft] def swapPointerIfCurrent(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, base: org.apache.hadoop.fs.Path,
       expected: Option[String], versionName: String): Boolean = {
@@ -319,17 +321,21 @@ object CdcStream {
     // NIO createFile (O_EXCL — kernel-atomic).
     val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem] ||
       fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem]
-    def tryLock(): Boolean =
+    def tryCreateExclusive(p: org.apache.hadoop.fs.Path): Boolean =
       if (isLocal) {
         try {
           java.nio.file.Files.createFile(
-            java.nio.file.Paths.get(lockPath.toUri.getPath))
+            java.nio.file.Paths.get(p.toUri.getPath))
           true
         } catch { case _: java.nio.file.FileAlreadyExistsException => false }
       } else {
-        try { fs.create(lockPath, false).close(); true }
+        try { fs.create(p, false).close(); true }
         catch { case _: java.io.IOException => false }
       }
+    def tryLock(): Boolean = tryCreateExclusive(lockPath)
+    def ageOf(p: org.apache.hadoop.fs.Path): Long =
+      try System.currentTimeMillis - fs.getFileStatus(p).getModificationTime
+      catch { case _: java.io.IOException => -1L } // vanished
     // Lease recovery for a CRASHED writer's orphan lock (a kill between
     // create and the finally-delete): a live writer holds the lock only
     // for the milliseconds of the pointer check + rename, so a lock older
@@ -338,19 +344,39 @@ object CdcStream {
     // never stolen (stealing under a live writer is the one thing worse
     // than waiting), so a transient crash costs one stale window instead
     // of permanently failing every subsequent batch.
+    //
+    // BREAKING IS SERIALIZED through a create-exclusive breaker tombstone
+    // (r12, closing the TOCTOU a review found): without it, a contender
+    // that stat'd the corpse could fs.delete AFTER another breaker already
+    // broke it and a third writer created a FRESH lock — deleting the live
+    // lock and letting two writers into the check-and-swap. With the
+    // breaker: only its O_EXCL winner may delete, and it RE-STATS the lock
+    // inside the breaker section — a corpse can only vanish through here,
+    // so between the re-stat and the delete nobody else can remove it or
+    // put a fresh lock in its place; a fresh mtime on re-stat means the
+    // corpse was already broken and relocked, and the breaker backs off.
+    // A breaker orphaned by a crash mid-break gets the same lease rule.
     val staleMs = 120000L
+    val breakerPath = new org.apache.hadoop.fs.Path(base, "_pointer.lock.breaker")
     var brokeStale = false
     val deadline = System.currentTimeMillis + 30000
     while (!tryLock()) {
-      if (!brokeStale) {
-        val age = try
-          System.currentTimeMillis - fs.getFileStatus(lockPath).getModificationTime
-        catch { case _: java.io.IOException => -1L } // vanished: retry at once
-        if (age > staleMs) {
-          System.err.println(
-            s"[snapshot] breaking stale pointer lock $lockPath (age ${age}ms > " +
-              s"${staleMs}ms) — a crashed writer left it")
-          fs.delete(lockPath, false)
+      if (!brokeStale && ageOf(lockPath) > staleMs) {
+        if (ageOf(breakerPath) > staleMs) fs.delete(breakerPath, false)
+        if (tryCreateExclusive(breakerPath)) {
+          try {
+            val age = ageOf(lockPath) // re-stat INSIDE the breaker section
+            if (age > staleMs) {
+              System.err.println(
+                s"[snapshot] breaking stale pointer lock $lockPath (age " +
+                  s"${age}ms > ${staleMs}ms) — a crashed writer left it")
+              fs.delete(lockPath, false)
+              ()
+            }
+          } finally {
+            fs.delete(breakerPath, false)
+            ()
+          }
           brokeStale = true
         }
       }

@@ -44,10 +44,16 @@ final class LoopbackPgServer(
     dropAfterFrames: Int,
     keepaliveEvery: Int) {
 
-  /** Bounded-feed convenience (specs, small harness feeds). */
+  /** Bounded-feed convenience (specs, small harness feeds). The guard
+    * makes an empty feed diagnosable at construction — `data.last` would
+    * otherwise throw a bare NoSuchElementException with no hint that the
+    * feed is the problem. */
   def this(relations: Seq[Array[Byte]], data: Seq[(Long, Array[Byte])],
       dropAfterFrames: Int, keepaliveEvery: Int = 3) =
-    this(relations, () => data.iterator, data.last._1, dropAfterFrames, keepaliveEvery)
+    this(relations, () => data.iterator,
+      { require(data.nonEmpty, "loopback feed must carry at least one frame")
+        data.last._1 },
+      dropAfterFrames, keepaliveEvery)
 
   import LoopbackPgServer.SessionRecord
 

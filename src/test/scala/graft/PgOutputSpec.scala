@@ -319,6 +319,25 @@ class PgOutputV2Spec extends AnyFunSuite with SparkTestBase {
       PgOutput.decodeFeedV2(spark, bad.toDF("lsn", "data")).count())
   }
 
+  test("the v2/2PC driver-context bound is ENFORCED: control frames past " +
+      "graft.cdc.maxControlFrames fail loudly before the pull") {
+    def enc(m: PgMessage) = PgOutput.encode(m)
+    val lake = Seq(
+      1L -> enc(rel),
+      200L -> enc(StreamStartMsg(1, firstSegment = true)),
+      201L -> enc(StreamedMsg(1, ins(2, "s1-a"))),
+      203L -> enc(StreamStopMsg),
+      600L -> enc(StreamCommitMsg(1, 0.toByte, 600L, 600L, 0L)))
+    spark.conf.set("graft.cdc.maxControlFrames", "2")
+    try {
+      val e = intercept[IllegalArgumentException](
+        PgOutput.decodeFeedV2(spark, lake.toDF("lsn", "data")).count())
+      assert(e.getMessage.contains("graft.cdc.maxControlFrames"))
+    } finally spark.conf.unset("graft.cdc.maxControlFrames")
+    // under the default ceiling the same feed decodes fine
+    assert(PgOutput.decodeFeedV2(spark, lake.toDF("lsn", "data")).count() == 1L)
+  }
+
   test("savepoint-level Stream Abort (subXid != xid) fails loudly, never conflates") {
     // v2 data frames carry only the top-level xid, so a subtransaction
     // rollback cannot be attributed frame-by-frame; conflating it with a

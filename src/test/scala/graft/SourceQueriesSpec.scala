@@ -73,6 +73,37 @@ class SourceQueriesSpec extends AnyFunSuite with SparkTestBase {
     } finally graft.operators.Checkpointing.deleteRecursively(dir)
   }
 
+  test("Avro read is block-splittable: ONE multi-block container file is " +
+      "read by >1 task on sync-marker boundaries, no row dropped or doubled") {
+    val dir = java.nio.file.Files.createTempDirectory("src-spec-avro-split").toString
+    try {
+      import spark.implicits._
+      val df = (0L until 5000L).map(i => (i, s"doc-$i-${"x" * 50}"))
+        .toDF("doc_id", "text")
+      val sch = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      // one file, tiny blocks → many sync markers inside it
+      graft.sources.Avro.write(df.coalesce(1), s"$dir/out", syncInterval = 2048)
+      val whole = graft.sources.Avro.read(spark, s"$dir/out", sch)
+      val split = graft.sources.Avro.read(spark, s"$dir/out", sch,
+        splitBytes = 16L << 10)
+      assert(split.rdd.getNumPartitions > 1,
+        "a 16 KiB split plan over a multi-block container must yield >1 task")
+      assert(whole.rdd.getNumPartitions == 1)
+      // exact multiset equality: every block owned by exactly one split
+      assert(split.count() == 5000L)
+      assert(split.orderBy("doc_id").collect().toSeq ==
+        whole.orderBy("doc_id").collect().toSeq)
+      // seam robustness: a split size that can land mid-block still
+      // partitions the blocks exactly (sync-ownership, not byte-ownership)
+      val odd = graft.sources.Avro.read(spark, s"$dir/out", sch,
+        splitBytes = 7777L)
+      assert(odd.count() == 5000L)
+      assert(odd.select(sum(col("doc_id"))).head().getLong(0) ==
+        (0L until 5000L).sum)
+    } finally graft.operators.Checkpointing.deleteRecursively(dir)
+  }
+
   test("CSV roundtrip with RFC 4180 quote-doubling is lossless on its domain") {
     // includes "" vs NULL (the writer emits quoted "" for empty and the
     // \N sentinel for null; the sentinel reader keeps them distinct —

@@ -547,6 +547,19 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "a stale (crashed-writer) lock must be broken and the CAS proceed")
     assert(CdcStream.currentSnapshotDir(spark, base.toString).endsWith("/v3"))
     assert(!fs.exists(lock))
+    // breaking is SERIALIZED through a breaker tombstone (r12): a crash
+    // mid-break orphans BOTH files — the breaker gets the same lease rule,
+    // so the next writer still recovers, and neither file lingers after
+    val breaker = new org.apache.hadoop.fs.Path(base, "_pointer.lock.breaker")
+    fs.create(lock, true).close()
+    fs.create(breaker, true).close()
+    fs.setTimes(lock, System.currentTimeMillis - 600000L, -1)
+    fs.setTimes(breaker, System.currentTimeMillis - 600000L, -1)
+    mkVersion("v4")
+    assert(CdcStream.swapPointerIfCurrent(spark, fs, base, Some("v3"), "v4"),
+      "an orphaned breaker must be lease-broken like the lock itself")
+    assert(CdcStream.currentSnapshotDir(spark, base.toString).endsWith("/v4"))
+    assert(!fs.exists(lock) && !fs.exists(breaker))
   }
 
   test("scd2Stream emits each closed interval exactly once, across batches") {

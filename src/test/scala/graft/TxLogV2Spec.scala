@@ -1,0 +1,229 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.col
+
+/** The r12 TxLog surface: data skipping (stats-carrying adds + predicate
+  * file pruning — results identical, fewer files opened), schema-in-log
+  * (drifted reads fail loudly; add-a-column evolution reads across
+  * versions), OPTIMIZE (bin-pack compaction — contents identical at every
+  * version, file count drops, vacuum reclaims), the commitBatch
+  * replay-vs-reuse guard, and the CDC→TxLog continuous MERGE sink
+  * (TxLogMaterialize: LSN merge, tombstones, bucket-granular rewrites,
+  * recovery replay, foreign-table loudness). */
+class TxLogV2Spec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+  import graft.sources.TxLog
+  import graft.cdc.TxLogMaterialize
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("txlogv2").toString + "/t"
+
+  private val xySchema = StructType.fromDDL("x BIGINT, y BIGINT")
+
+  /** Four dirs of 10 x-values each ([0,9], [10,19], …), adds carrying
+    * their x envelopes. */
+  private def skipTable(): String = {
+    val t = freshTable()
+    val adds = (0 until 4).map { i =>
+      val nm = s"d$i"
+      (i * 10L until i * 10L + 10L).map(x => (x, x * 2)).toDF("x", "y")
+        .coalesce(1).write.parquet(s"$t/$nm")
+      TxLog.AddFile(nm, TxLog.statsOf(spark.read.parquet(s"$t/$nm"), Seq("x")))
+    }
+    assert(TxLog.tryCommitActions(spark, t, 0L, adds, Nil))
+    t
+  }
+
+  test("data skipping: a BETWEEN bound prunes exactly the provably-" +
+      "disjoint files, results are identical, and fewer files are opened") {
+    val t = skipTable()
+    val adds = TxLog.liveAdds(spark, t)
+    assert(adds.forall(_.stats.contains("x")), "every add records an x envelope")
+    // bound [12, 25] overlaps d1 [10,19] and d2 [20,29] only
+    val skip = Seq(TxLog.SkipRange("x", 12L, 25L))
+    assert(TxLog.pruneAdds(adds, skip).map(_.name) == Seq("d1", "d2"))
+    val unpruned = TxLog.read(spark, t, xySchema)
+      .filter(col("x").between(12L, 25L))
+    val pruned = TxLog.read(spark, t, xySchema, None, skip)
+      .filter(col("x").between(12L, 25L))
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ==
+      unpruned.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(pruned.inputFiles.length < unpruned.inputFiles.length,
+      "pruning must plan a scan over fewer files")
+    assert(pruned.inputFiles.forall(f => f.contains("/d1/") || f.contains("/d2/")))
+    // an empty intersection prunes everything → empty frame, not an error
+    assert(TxLog.read(spark, t, xySchema, None,
+      Seq(TxLog.SkipRange("x", 1000L, 2000L))).count() == 0L)
+  }
+
+  test("data skipping is conservative: no recorded stats, a stats-less " +
+      "column, or an unparseable envelope always KEEPS the file") {
+    val t = freshTable()
+    Seq((1L, 1L)).toDF("x", "y").coalesce(1).write.parquet(s"$t/plain")
+    Seq((2L, 2L)).toDF("x", "y").coalesce(1).write.parquet(s"$t/txt")
+    assert(TxLog.tryCommitActions(spark, t, 0L, Seq(
+      TxLog.AddFile("plain"), // no stats at all
+      TxLog.AddFile("txt", Map("x" -> ("abc", "def")))), Nil)) // unparseable as long
+    val adds = TxLog.liveAdds(spark, t)
+    // a bound no envelope can prove disjoint keeps both files
+    assert(TxLog.pruneAdds(adds, Seq(TxLog.SkipRange("x", 100L, 200L)))
+      .map(_.name) == Seq("plain", "txt"))
+    // a bound on a column with no recorded envelope keeps everything too
+    assert(TxLog.pruneAdds(adds, Seq(TxLog.SkipRange("y", 100L, 200L)))
+      .map(_.name) == Seq("plain", "txt"))
+  }
+
+  test("schema in the log: drifted reads fail loudly; readWithLogSchema " +
+      "does the add-a-column evolution across versions") {
+    val t = freshTable()
+    Seq((1L, 10L)).toDF("x", "y").coalesce(1).write.parquet(s"$t/v0")
+    assert(TxLog.tryCommitActions(spark, t, 0L, Seq(TxLog.AddFile("v0")), Nil,
+      Some("x BIGINT, y BIGINT")))
+    Seq((2L, 20L, "a")).toDF("x", "y", "z").coalesce(1).write.parquet(s"$t/v1")
+    assert(TxLog.tryCommitActions(spark, t, 1L, Seq(TxLog.AddFile("v1")), Nil,
+      Some("x BIGINT, y BIGINT, z STRING")))
+    // a column the log doesn't know
+    val e1 = intercept[IllegalArgumentException](
+      TxLog.read(spark, t, StructType.fromDDL("x BIGINT, ghost BIGINT"),
+        Some(0L)))
+    assert(e1.getMessage.contains("not in the recorded schema"))
+    // a drifted type
+    val e2 = intercept[IllegalArgumentException](
+      TxLog.read(spark, t, StructType.fromDDL("x STRING"), Some(0L)))
+    assert(e2.getMessage.contains("drifted read"))
+    // a projection of recorded columns is fine
+    assert(TxLog.read(spark, t, StructType.fromDDL("x BIGINT"), Some(0L))
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // time travel to v0 reads with v0's OWN (narrower) schema
+    assert(TxLog.readWithLogSchema(spark, t, Some(0L)).columns.toSeq ==
+      Seq("x", "y"))
+    // the head read is 3-wide; v0's file supplies z as null
+    val head = TxLog.readWithLogSchema(spark, t).orderBy("x").collect()
+    assert(head.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(head(0).isNullAt(2) && head(1).getString(2) == "a")
+    // a table whose log never recorded a schema throws in readWithLogSchema
+    val t2 = freshTable()
+    Seq((1L, 1L)).toDF("x", "y").coalesce(1).write.parquet(s"$t2/a")
+    assert(TxLog.tryCommit(spark, t2, 0L, Seq("a"), Nil))
+    val e3 = intercept[IllegalArgumentException](
+      TxLog.readWithLogSchema(spark, t2))
+    assert(e3.getMessage.contains("no schema recorded"))
+  }
+
+  test("optimize bin-packs the live dirs into one commit: contents " +
+      "identical at every version, file count drops, vacuum reclaims, " +
+      "re-run is a no-op") {
+    val t = freshTable()
+    (0 until 6).foreach { k =>
+      Seq((k.toLong, k.toLong * 7)).toDF("x", "y").coalesce(1)
+        .write.parquet(s"$t/p$k")
+      assert(TxLog.tryCommit(spark, t, k.toLong, Seq(s"p$k"), Nil))
+    }
+    def vals(asOf: Option[Long]) = TxLog.read(spark, t, xySchema, asOf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val before = vals(None)
+    assert(TxLog.optimize(spark, t, Some(xySchema)).contains(6L))
+    assert(vals(None) == before, "OPTIMIZE must not change contents")
+    assert(vals(Some(2L)) == before.take(3), "time travel under the packed head")
+    assert(TxLog.liveFiles(spark, t).size == 1, "one live dir after packing")
+    // idempotent: a 1-dir head has nothing to pack
+    assert(TxLog.optimize(spark, t, Some(xySchema)).isEmpty)
+    // vacuum at retention 0 reclaims exactly the six superseded originals
+    assert(TxLog.vacuum(spark, t, 0).toSet == (0 until 6).map(k => s"p$k").toSet)
+    assert(vals(None) == before, "the packed head survives the vacuum")
+  }
+
+  test("commitBatch replay-vs-reuse: a fresh stream pointed at a foreign " +
+      "table fails loudly instead of reading its commits as delivered") {
+    val t = freshTable()
+    // a FOREIGN writer built v0 with its own dir naming
+    Seq((1L, 1L)).toDF("x", "y").coalesce(1).write.parquet(s"$t/foreign0")
+    assert(TxLog.tryCommit(spark, t, 0L, Seq("foreign0"), Nil))
+    val e = intercept[IllegalArgumentException](
+      TxLog.commitBatch(Seq((2L, 2L)).toDF("x", "y"), t, 0L))
+    assert(e.getMessage.contains("not built by this stream"))
+    // whereas a true replay (the commit names this stream's own dir) skips
+    val t2 = freshTable()
+    TxLog.commitBatch(Seq((1L, 1L)).toDF("x", "y"), t2, 0L)
+    TxLog.commitBatch(Seq((9L, 9L)).toDF("x", "y"), t2, 0L) // replay: no-op
+    assert(TxLog.read(spark, t2, xySchema).collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+  }
+
+  private def changes(rows: (Long, String, String, Long, Long, Double)*) =
+    rows.toDF("lsn", "tableName", "op", "pk", "tsUs", "value")
+
+  test("TxLogMaterialize: per-key LSN merge with tombstones — upserts " +
+      "advance, DELETE hides the key, a late lower-LSN change can never " +
+      "resurrect it, and a replayed batch verifies and skips") {
+    val t = freshTable()
+    TxLogMaterialize.applyBatch(
+      changes((1L, "users", "INSERT", 1L, 100L, 1.0),
+        (2L, "users", "INSERT", 2L, 110L, 2.0)), t, 0L)
+    TxLogMaterialize.applyBatch(
+      changes((3L, "users", "UPDATE", 1L, 120L, 1.5),
+        (4L, "users", "DELETE", 2L, 130L, 0.0)), t, 1L)
+    // out-of-order: lower-LSN UPDATE for the deleted pk=2 arrives late
+    TxLogMaterialize.applyBatch(
+      changes((3L + 100L, "users", "UPDATE", 1L, 140L, 1.9),
+        (3L, "users", "UPDATE", 2L, 115L, 2.5)), t, 2L)
+    def snap() = TxLogMaterialize.snapshot(spark, t)
+      .select("pk", "lsn", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(snap() == Seq((1L, 103L, 1.9)),
+      "pk=2's tombstone (lsn 4) must beat the late lsn-3 update")
+    // replay of batch 2 verifies its own dirs and changes nothing
+    TxLogMaterialize.applyBatch(
+      changes((999L, "users", "UPDATE", 1L, 999L, 9.9)), t, 2L)
+    assert(snap() == Seq((1L, 103L, 1.9)))
+    // time travel: the snapshot AT batch 1 still shows only pk=1@lsn3
+    assert(TxLogMaterialize.snapshot(spark, t, Some(1L))
+      .select("pk", "lsn").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq == Seq((1L, 3L)))
+  }
+
+  test("TxLogMaterialize rewrites ONLY the buckets a batch touches — " +
+      "untouched bucket dirs carry forward unreferenced-by-name") {
+    val t = freshTable()
+    // spread keys over buckets (nBuckets=8): land a wide batch first
+    TxLogMaterialize.applyBatch(
+      changes((1L to 40L).map(k =>
+        (k, "users", "INSERT", k, 100L + k, k.toDouble)): _*), t, 0L)
+    val live0 = TxLog.liveAdds(spark, t)
+    assert(live0.forall(_.name.startsWith("m0000000000/")))
+    assert(live0.forall(_.stats.contains("pk")),
+      "every bucket dir records its pk envelope for point-lookup skipping")
+    // batch 1 touches ONE key → one bucket rewritten, the rest carried
+    TxLogMaterialize.applyBatch(
+      changes((1000L, "users", "UPDATE", 7L, 900L, 77.0)), t, 1L)
+    val c1 = TxLog.commitAt(spark, t, 1L)
+    assert(c1.adds.size == 1 && c1.removes.size == 1,
+      s"one-key batch must rewrite exactly one bucket, " +
+        s"got adds=${c1.adds.size} removes=${c1.removes.size}")
+    val live1 = TxLog.liveFiles(spark, t)
+    assert(live1.count(_.startsWith("m0000000000/")) == live0.size - 1,
+      "all but the touched bucket still live from batch 0's dirs")
+    // the merge preserved every key
+    assert(TxLogMaterialize.snapshot(spark, t).count() == 40L)
+    assert(TxLogMaterialize.snapshot(spark, t)
+      .filter(col("pk") === 7L).select("value").head().getDouble(0) == 77.0)
+  }
+
+  test("TxLogMaterialize is loud on misconfiguration: a foreign table, " +
+      "and a skipped batch") {
+    val t = freshTable()
+    // foreign: someone else's commit at v0
+    Seq((1L, 1L)).toDF("x", "y").coalesce(1).write.parquet(s"$t/alien")
+    assert(TxLog.tryCommit(spark, t, 0L, Seq("alien"), Nil))
+    val e1 = intercept[IllegalArgumentException](TxLogMaterialize.applyBatch(
+      changes((1L, "users", "INSERT", 1L, 1L, 1.0)), t, 0L))
+    assert(e1.getMessage.contains("foreign table"))
+    // gap: batch 2 arriving on a head of None
+    val t2 = freshTable()
+    val e2 = intercept[IllegalArgumentException](TxLogMaterialize.applyBatch(
+      changes((1L, "users", "INSERT", 1L, 1L, 1.0)), t2, 2L))
+    assert(e2.getMessage.contains("batches were skipped"))
+  }
+}
