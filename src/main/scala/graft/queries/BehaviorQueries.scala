@@ -28,11 +28,19 @@ object BehaviorQueries {
   private val weekUs = 604800000000L
 
   /** Time-ordered, mtime-stamped event chunks — the shared replay input of
-    * both streaming behavior gates (the AttrEvent payload is a superset of
-    * TransEvent's, so one feed serves both). */
+    * the streaming behavior gates AND (r12, bench hygiene) every other
+    * gate whose feed is a ts_us-quartile 4-chunk replay of `events` with a
+    * column subset/derivation of this payload (q_zscore_stream renames,
+    * src_txlog_stream_sink derives v4): the chunk keying is identical, so
+    * one feed write serves them all — a batch delivers the same row set
+    * under any projection, and each gate projects after the readStream. */
   private val behaviorFeedMemo = new graft.operators.SessionMemo[String]
 
-  private def behaviorFeedDir(s: SparkSession, dir: String): String =
+  /** The shared feed's on-disk schema (readStream needs it declared). */
+  private[queries] val behaviorFeedSchemaDdl =
+    "user_id LONG, event_id LONG, event_type STRING, ts_us LONG, value DOUBLE"
+
+  private[queries] def behaviorFeedDir(s: SparkSession, dir: String): String =
     behaviorFeedMemo.get(s, dir) {
       graft.streaming.StreamGate.writeOrderedChunks(
         ev(s, dir).select(col("user_id"), col("event_id"),

@@ -215,9 +215,6 @@ object RelationalQueries {
           .groupBy("i", "b").agg(count(lit(1)).as("cell")))
     }
 
-  /** Time-ordered metric-event chunks for the streaming-zscore gate. */
-  private val zsFeedMemo = new graft.operators.SessionMemo[String]
-
   /** The 30-min-gap sessionized event frame — one memoized stored artifact
     * per (session, sf-dir), read by q_sessionize AND q_concurrency (the
     * warehouse pattern: sessions materialize once per refresh, every
@@ -1309,16 +1306,17 @@ object RelationalQueries {
     // set inside the hash gate.
     "q_zscore_stream" -> ((s, dir) => {
       import s.implicits._
-      val feedDir = zsFeedMemo.get(s, dir) {
-        graft.streaming.StreamGate.writeOrderedChunks(
-          ev(s, dir).select(col("event_type").as("series"),
-            col("event_id"), col("ts_us"), col("value")),
-          "ts_us", chunks = 4, prefix = "graft-zs-stream")
-      }
-      val schema =
-        org.apache.spark.sql.Encoders.product[graft.streaming.MetricEvent].schema
-      val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-        .parquet(feedDir).as[graft.streaming.MetricEvent]
+      // r12 bench hygiene: ride the SHARED ts_us-quartile behavior feed
+      // (identical chunk keying; this gate's payload is a rename of a
+      // column subset — projected after the readStream)
+      val feedDir = BehaviorQueries.behaviorFeedDir(s, dir)
+      val stream = s.readStream
+        .schema(BehaviorQueries.behaviorFeedSchemaDdl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feedDir)
+        .select(col("event_type").as("series"), col("event_id"),
+          col("ts_us"), col("value"))
+        .as[graft.streaming.MetricEvent]
       graft.streaming.StreamGate.run(s,
           graft.streaming.SketchStream.zscoreOutliers(stream), "zs_gate",
           org.apache.spark.sql.streaming.OutputMode.Append()) { sinkTable =>

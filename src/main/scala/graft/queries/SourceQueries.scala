@@ -415,18 +415,20 @@ object SourceQueries {
     // event type), replayed by the oracle over the ORIGINAL events.
     "src_txlog_stream_sink" -> ((s, dir) => {
       val table = txlogSinkMemo.get(s, dir) {
-        val e = Tables(s, dir, "events")
-        val ev = e.withColumn("ts_us", Tables.tsMicros(e))
-          .select(col("event_id"), col("user_id"), col("event_type"),
-            col("ts_us"), round(col("value") * 10000).cast("long").as("v4"))
-        val feed = graft.streaming.StreamGate.writeOrderedChunks(
-          ev, "ts_us", chunks = 4, prefix = "graft-txlog-sink-feed")
+        // r12 bench hygiene: ride the SHARED ts_us-quartile behavior feed
+        // (identical chunk keying; v4 derives from the shared payload's
+        // value column after the readStream — same rows per batch)
+        val feed = BehaviorQueries.behaviorFeedDir(s, dir)
         val tmp = graft.streaming.StreamGate
           .sessionTempDir("graft-txlog-sink") { td =>
             val tbl = s"$td/table"
-            val q = s.readStream.schema(sinkSchemaDdl)
+            val q = s.readStream
+              .schema(BehaviorQueries.behaviorFeedSchemaDdl)
               .option("maxFilesPerTrigger", 1)
               .parquet(feed)
+              .select(col("event_id"), col("user_id"), col("event_type"),
+                col("ts_us"),
+                round(col("value") * 10000).cast("long").as("v4"))
               .writeStream
               .option("checkpointLocation", s"$td/ckpt")
               .foreachBatch { (batch: DataFrame, id: Long) =>

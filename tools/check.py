@@ -22,7 +22,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 con = duckdb.connect()
 for t in TABLES:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SFDIR}/{t}.parquet'")
+    # driver lakes are single files; builder-made lakes (MakeScaled /
+    # MakeSkewed) are Spark output DIRECTORIES named <t>.parquet
+    import os
+    src = (f"{SFDIR}/{t}.parquet/*.parquet"
+           if os.path.isdir(f"{SFDIR}/{t}.parquet") else f"{SFDIR}/{t}.parquet")
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 results = {}
