@@ -52,6 +52,14 @@ final case class BeginMsg(finalLsn: Long, commitTsUs: Long, xid: Int) extends Pg
 
 final case class CommitMsg(flags: Byte, commitLsn: Long, endLsn: Long, tsUs: Long) extends PgMessage
 
+/** pgoutput Origin message ('O'): the transaction that follows was
+  * REPLICATED from another node — `commitLsn` is its commit position on
+  * the origin, `name` the replication-origin identifier. The loop-breaker
+  * of bidirectional/multi-master replication: a subscriber with
+  * `origin = none` must skip such transactions or changes ping-pong
+  * between the nodes forever. Sent once per transaction, after Begin. */
+final case class OriginMsg(commitLsn: Long, name: String) extends PgMessage
+
 // --------------------------------------------------------------------------
 // Protocol v2 — streamed in-progress transactions (public PostgreSQL
 // "Logical Replication Message Formats" docs, messages available since
@@ -262,6 +270,77 @@ object StreamContext {
 final case class PreparedBlock(
     startLsn: Long, stopLsn: Long, gid: String, fate: Option[Boolean])
 
+/** One plain-transaction interval with its replication origin: frames with
+  * beginLsn < lsn < commitLsn belong to a transaction that originated at
+  * `origin` ("local" when no Origin message followed the Begin). */
+final case class TxnOrigin(beginLsn: Long, commitLsn: Long, origin: String)
+
+/** Transaction-origin context reconstructed from the O(#txns) Begin /
+  * Commit / Origin control frames — the same bounded broadcast-interval
+  * machinery as [[StreamContext]], for the ORIGIN dimension: every data
+  * frame resolves the origin of its enclosing transaction partition-
+  * locally by LSN binary search, so origin filtering (the `origin = none`
+  * subscription — bidirectional-replication loop prevention) never
+  * replays the byte stream serially. */
+final class OriginContext(
+    private val txns: Vector[TxnOrigin]) extends Serializable {
+
+  private val starts: Array[Long] = txns.map(_.beginLsn).toArray
+
+  /** The origin of the transaction containing `lsn` — "local" for a frame
+    * outside every recorded transaction (a lake without Begin/Commit
+    * framing is all-local, the pre-origin behavior). */
+  def originAt(lsn: Long): String = {
+    var i = java.util.Arrays.binarySearch(starts, lsn)
+    if (i < 0) i = -i - 2
+    if (i < 0) "local"
+    else {
+      val t = txns(i)
+      if (lsn > t.beginLsn && lsn < t.commitLsn) t.origin else "local"
+    }
+  }
+}
+
+object OriginContext {
+
+  /** Reconstruct from decoded control frames (lsn, msg), LSN-sorted here.
+    * Loud on malformed framing: nested Begin, Commit with no Begin, an
+    * Origin outside a transaction or a second Origin inside one (the
+    * protocol sends at most one, right after Begin). A trailing open
+    * transaction is loud too — an origin-aware decode of a torn lake must
+    * not silently read its tail as local. */
+  def build(controls: Seq[(Long, PgMessage)]): OriginContext = {
+    val sorted = controls.sortBy(_._1)
+    val txns = Vector.newBuilder[TxnOrigin]
+    var open: Option[(Long, Option[String])] = None
+    sorted.foreach {
+      case (lsn, BeginMsg(_, _, _)) =>
+        require(open.isEmpty,
+          s"Begin at lsn $lsn while the transaction at lsn " +
+            s"${open.get._1} is still open")
+        open = Some((lsn, None))
+      case (lsn, OriginMsg(_, name)) =>
+        val (b, cur) = open.getOrElse(throw new IllegalStateException(
+          s"Origin message at lsn $lsn outside any transaction"))
+        require(cur.isEmpty,
+          s"second Origin message at lsn $lsn in the transaction at lsn $b " +
+            s"(already '${cur.get}')")
+        open = Some((b, Some(name)))
+      case (lsn, CommitMsg(_, _, _, _)) =>
+        val (b, origin) = open.getOrElse(throw new IllegalStateException(
+          s"Commit at lsn $lsn with no open transaction"))
+        txns += TxnOrigin(b, lsn, origin.getOrElse("local"))
+        open = None
+      case (lsn, other) => throw new IllegalArgumentException(
+        s"unexpected control frame ${other.getClass.getSimpleName} at lsn $lsn")
+    }
+    require(open.isEmpty,
+      s"transaction at lsn ${open.map(_._1).getOrElse(-1L)} has no Commit " +
+        "in the lake — torn lake, refusing an origin-aware decode")
+    new OriginContext(txns.result())
+  }
+}
+
 /** The two-phase-commit context reconstructed from the O(#prepared txns)
   * control frames: prepared-block intervals with per-block fates, plus the
   * fates of STREAM-PREPARED transactions (Stream Prepare 'p' — the v2 ×
@@ -415,6 +494,8 @@ object PgOutput {
         BeginMsg(buf.getLong, buf.getLong, buf.getInt)
       case 'C' =>
         CommitMsg(buf.get(), buf.getLong, buf.getLong, buf.getLong)
+      case 'O' =>
+        OriginMsg(buf.getLong, readCString(buf))
       case 'S' =>
         StreamStartMsg(buf.getInt, buf.get() == 1)
       case 'E' =>
@@ -499,26 +580,34 @@ object PgOutput {
     * file already has. */
   private val MaxControlFramesDefault = 4L << 20
 
-  /** One bounded pass: collect + decode every control frame and build both
-    * contexts. The bound is ENFORCED (one cheap count over the columnar
-    * filter before the pull), not assumed. */
-  private def buildContexts(typed: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
-      : (StreamContext, PreparedContext) = {
+  /** The ceiling-guarded control-frame pull shared by every interval-
+    * context builder: one columnar filter, one cheap count enforcing the
+    * bound BEFORE the collect, then the bounded decode. */
+  private def boundedControlPull(
+      typed: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+      chars: Seq[Char]): Array[(Long, Char, PgMessage)] = {
     val filtered = typed
       .filter(substring(col("data"), 1, 1)
-        .isin(ControlChars.map(c => lit(Array(c.toByte))): _*))
+        .isin(chars.map(c => lit(Array(c.toByte))): _*))
     val maxFrames = typed.sparkSession.conf
       .getOption("graft.cdc.maxControlFrames").map(_.toLong)
       .getOrElse(MaxControlFramesDefault)
     val n = filtered.count()
     require(n <= maxFrames,
-      s"$n v2/2PC control frames exceed the driver-context ceiling " +
-        s"$maxFrames — the interval contexts are built driver-side and " +
-        "this feed's transaction count breaks the O(#txns)-is-small " +
-        "assumption; raise graft.cdc.maxControlFrames only with driver " +
-        "memory to match, or chunk the feed by LSN range")
-    val controls = filtered
-      .collect().map { case (lsn, b) => (lsn, b(0).toChar, decode(b)) }
+      s"$n control frames exceed the driver-context ceiling " +
+        s"$maxFrames (graft.cdc.maxControlFrames) — the interval contexts " +
+        "are built driver-side and this feed's transaction count breaks " +
+        "the O(#txns)-is-small assumption; raise the ceiling only with " +
+        "driver memory to match, or chunk the feed by LSN range")
+    filtered.collect().map { case (lsn, b) => (lsn, b(0).toChar, decode(b)) }
+  }
+
+  /** One bounded pass: collect + decode every control frame and build both
+    * contexts. The bound is ENFORCED (one cheap count over the columnar
+    * filter before the pull), not assumed. */
+  private def buildContexts(typed: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
+      : (StreamContext, PreparedContext) = {
+    val controls = boundedControlPull(typed, ControlChars)
     val ctx = StreamContext.build(
       controls.collect { case (l, t, m) if StreamControlChars(t) => (l, m) }.toSeq)
     val pctx = PreparedContext.build(
@@ -623,6 +712,8 @@ object PgOutput {
         u8('B'); u64(finalLsn); u64(ts); u32(xid)
       case CommitMsg(flags, commitLsn, endLsn, ts) =>
         u8('C'); u8(flags); u64(commitLsn); u64(endLsn); u64(ts)
+      case OriginMsg(commitLsn, name) =>
+        u8('O'); u64(commitLsn); cstr(name)
       case StreamStartMsg(xid, first) =>
         u8('S'); u32(xid); u8(if (first) 1 else 0)
       case StreamStopMsg =>
@@ -751,6 +842,52 @@ object PgOutput {
         toEvents(bc.value, lsn, b)
       })
       .toDF()
+  }
+
+  /** Decode a v1 frame lake ATTRIBUTING each change to its transaction's
+    * replication ORIGIN — the bidirectional-replication surface: an
+    * Origin message ('O') after a Begin marks the whole transaction as
+    * replicated from that node; a transaction without one is local. Rows
+    * carry an `origin` column; `keepOrigins` filters to the named set
+    * (Some(Set("local")) is the `origin = none` subscription — the loop
+    * breaker: without it, changes replicated from a peer would be
+    * re-published back to it forever). None = attribute everything.
+    *
+    * Scale shape, mirroring [[decodeFeedV2]]: Begin/Commit/Origin control
+    * frames are O(#txns) — ceiling-guarded pull, interval reconstruction
+    * ([[OriginContext]]), broadcast; data frames decode partition-locally
+    * and resolve their origin by LSN binary search. The origin FILTER
+    * applies during the decode pass, so a subscriber keeping only local
+    * transactions never materializes the foreign rows at all. */
+  def decodeFeedWithOrigin(spark: SparkSession, frames: DataFrame,
+      keepOrigins: Option[Set[String]] = None): DataFrame = {
+    import spark.implicits._
+    val typed = frames.select(col("lsn").cast("long"), col("data")).as[(Long, Array[Byte])]
+    val octx = OriginContext.build(
+      boundedControlPull(typed, Seq('B', 'C', 'O')).map(c => (c._1, c._3)).toSeq)
+    val obc = spark.sparkContext.broadcast(octx)
+    def firstByteIs(types: Seq[Char]) = substring(col("data"), 1, 1)
+      .isin(types.map(c => lit(Array(c.toByte))): _*)
+    val rels = typed
+      .filter(firstByteIs(Seq('R')))
+      .collect()
+      .map { case (lsn, b) => (lsn, decode(b).asInstanceOf[RelationMsg]) }
+    val bc = spark.sparkContext.broadcast(RelationRegistry.build(rels.toSeq))
+    typed
+      .filter(coalesce(!firstByteIs(Seq('R', 'B', 'C', 'Y', 'O', 'M')), lit(true)))
+      .mapPartitions { it =>
+        it.flatMap { case (lsn, b) =>
+          if (b != null && b.nonEmpty && ControlTypeBytes.contains(b(0)))
+            throw new IllegalArgumentException(
+              s"v2/2PC control frame '${b(0).toChar}' at lsn $lsn in an " +
+                "origin-aware v1 decode — use decodeFeedV2")
+          val origin = obc.value.originAt(lsn)
+          if (keepOrigins.exists(!_.contains(origin))) Iterator.empty
+          else toEvents(bc.value, lsn, b).map(e =>
+            (e.lsn, e.table_name, e.op, e.before, e.after, origin))
+        }
+      }
+      .toDF("lsn", "table_name", "op", "before", "after", "origin")
   }
 
   /** Decode a PROTOCOL-V2 frame lake — raw `(lsn, data)` frames where large
@@ -984,6 +1121,54 @@ object PgOutput {
     }
     spark.createDataset(relationFrames).union(dataFrames).toDF("lsn", "data")
   }
+
+  /** The events table rendered as an ORIGIN-FRAMED lake: the v1 data
+    * frames wrapped in THREE whole transactions (events split into thirds
+    * by event_id rank — a pure function of the table, so the oracle
+    * replays the attribution without the frames), txn 0 local (no Origin
+    * message), txn 1 from 'east', txn 2 from 'west'. Per-txn framing on a
+    * ×10⁹ LSN grid: Begin at k·G+1, Origin at k·G+2 (k ≥ 1), data frame
+    * of global rank r at k·G+1000+r, Commit at (k+1)·G−1. Relation frames
+    * ride at their usual negative LSNs (outside every transaction). */
+  def framesFromEventsOrigin(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val grid = 1000000000L
+    val n = events.count()
+    require(n >= 3, s"origin frame synthesis needs >= 3 events, got $n")
+    require(1000L + n < grid, s"$n events overflow the ×$grid txn gap")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("event_id")
+    val ev = events.select(
+        col("event_id"), col("user_id"), col("event_type"),
+        graft.sources.Tables.tsMicros(events).as("ts_us"), col("value"),
+        col("props"))
+      .withColumn("r0", row_number().over(w).cast("long") - 1L)
+      // integer floor division on purpose (Column./ would be double math)
+      .withColumn("k", expr(s"(r0 * 3) div $n"))
+      .select((col("k") * grid + 1000L + col("r0")).as("lsn"),
+        col("user_id"), col("event_type"), col("ts_us"), col("value"),
+        col("props"))
+      .as[(Long, Long, String, Long, Double, String)]
+    val dataFrames = ev.mapPartitions { it =>
+      it.map { case (lsn, uid, etype, tsUs, value, props) =>
+        (lsn, PgOutput.encode(dataMsgOf(uid, etype, tsUs, value, props)))
+      }
+    }
+    val controlFrames = (0 until 3).flatMap { k =>
+      val base = k.toLong * grid
+      val origin = originNames(k)
+      Seq((base + 1, PgOutput.encode(BeginMsg(base + grid - 1, 0L, 7000 + k)))) ++
+        (if (origin == "local") Nil
+         else Seq((base + 2,
+           PgOutput.encode(OriginMsg(k.toLong * 1000L, origin))))) ++
+        Seq((base + grid - 1,
+          PgOutput.encode(CommitMsg(0.toByte, base + grid - 1, base + grid, 0L))))
+    }
+    spark.createDataset(relationFrames ++ controlFrames)
+      .union(dataFrames).toDF("lsn", "data")
+  }
+
+  /** Origin of the synthetic lake's txn k — shared with the gate doc. */
+  val originNames: Seq[String] = Seq("local", "east", "west")
 
   /** Streamed-transaction xids of the v2 synthetic lake: A commits, B
     * aborts. Shared with the gate's oracle documentation. */

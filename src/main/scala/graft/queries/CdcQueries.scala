@@ -611,6 +611,34 @@ object CdcQueries {
     // require'd inside the build), and the final snapshot read hashes
     // against the batch latest-snapshot oracle — the streaming MERGE and
     // the batch recompute must agree exactly.
+    // ORIGIN ATTRIBUTION / FILTERING (r12): pgoutput's Origin message
+    // ('O') — the bidirectional-replication loop breaker (the `origin =
+    // none` subscription option): an Origin frame after a Begin marks the
+    // WHOLE transaction as replicated from that node. The synthetic lake
+    // wraps the v1 data frames in three whole transactions (events thirds
+    // by event_id rank — a pure function of the table): txn 0 local, txn
+    // 1 from 'east', txn 2 from 'west'. The decode reconstructs the
+    // O(#txns) Begin/Commit/Origin interval context (ceiling-guarded pull,
+    // broadcast), every data frame resolves its transaction's origin
+    // partition-locally by LSN binary search, and the gate hashes the
+    // per-(origin, table) accounting — counts, exact cents, modular pk
+    // checksum — against the thirds rule replayed in SQL. The filter
+    // semantics (keep-local drops foreign rows DURING decode) is spec'd.
+    "cdc_origin_filter" -> ((s, dir) => {
+      val frames = PgOutput.framesFromEventsOrigin(s, Tables(s, dir, "events"))
+      val dec = PgOutput.decodeFeedWithOrigin(s, frames)
+      def field(name: String) =
+        coalesce(col("after").getItem(name), col("before").getItem(name))
+      dec.select(col("origin"), col("table_name"),
+          field("pk").cast("long").as("pk"),
+          field("value").cast("double").as("value"))
+        .groupBy("origin", "table_name")
+        .agg(count(lit(1)).as("n_changes"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"),
+          sum(pmod(col("pk"), lit(1000000007L))).as("pk_checksum"))
+        .orderBy("origin", "table_name")
+    }),
+
     "cdc_txlog_materialize" -> ((s, dir) => {
       val table = txlogMatMemo.get(s, dir) {
         val feedDir = chunkedFeedDir(s, dir)
@@ -658,6 +686,25 @@ object CdcQueries {
          |             ORDER BY lsn DESC) AS rn
          |  FROM feed)
          |WHERE rn = 1 AND op <> 'DELETE' ORDER BY table_name, pk""".stripMargin,
+
+    // the thirds attribution rule replayed from the events table: origin
+    // of event rank r0 (event_id order, 0-based) = thirds bucket (3·r0)÷n
+    // → local/east/west; table/op routing = the shared v1 mapping
+    "cdc_origin_filter" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value,
+        |         row_number() OVER (ORDER BY event_id) - 1 AS r0,
+        |         count(*) OVER () AS n
+        |  FROM events)
+        |SELECT CASE (r0 * 3) // n WHEN 0 THEN 'local'
+        |            WHEN 1 THEN 'east' ELSE 'west' END AS origin,
+        |       CASE WHEN user_id % 2 = 0 THEN 'users'
+        |            ELSE 'accounts' END AS table_name,
+        |       CAST(count(*) AS BIGINT) AS n_changes,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS value_cents,
+        |       CAST(sum(user_id % 1000000007) AS BIGINT) AS pk_checksum
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the continuously-MERGED TxLog head must BE the batch latest
     // snapshot: highest-LSN row per (table, pk), tombstones hidden —

@@ -64,7 +64,66 @@ object PipelineQueries {
         .transform(graft.operators.Checkpointing.cut)
     }
 
+  /** The language contract of the expectations gate — deliberately
+    * NARROWER than the lake's real domain (zh is absent), so the
+    * failures column is non-vacuous: an expectations engine whose fail
+    * path is never exercised gates nothing. */
+  private val langContract = Seq("en", "de", "fr", "es")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DATA EXPECTATIONS (r12) — the declarative data-quality gate every
+    // production pipeline runs before training (the Great-Expectations /
+    // dbt-test idea as ONE engine pass per table): a rule set over the
+    // corpus and the event stream — null checks, uniqueness, a
+    // cross-column consistency invariant (n_chars must equal the text's
+    // length), a domain contract (lang ∈ {en,de,fr,es} — NARROWER than
+    // the lake on purpose, so the fail path provably fires on zh),
+    // non-emptiness, a range rule, and a referential rule (every event's
+    // user must exist in customer, an anti-join count). Output is the
+    // audit artifact: one row per rule with checked/failed counts and the
+    // verdict. Scale shape: all document rules fold in ONE aggregate
+    // pass, the event rules in another (conditional sums — map-side
+    // combined), the referential rule is one anti-join count; no rule is
+    // a separate corpus scan per expectation, which is what makes a
+    // 100-rule suite affordable at 100 TB.
+    "pipeline_expectations" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val dAgg = d.agg(
+        count(lit(1)).as("dn"),
+        sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("f_null_id"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("f_dup_id"),
+        sum(when(col("n_chars") =!=
+          coalesce(length(col("text")).cast("long"), lit(0L)), 1L)
+          .otherwise(0L)).as("f_nchars"),
+        sum(when(!col("lang").isin(langContract: _*), 1L).otherwise(0L))
+          .as("f_lang"),
+        sum(when(col("source").isNull || col("source") === "", 1L)
+          .otherwise(0L)).as("f_source"))
+      val e = Tables(s, dir, "events")
+      val eAgg = e.agg(
+        count(lit(1)).as("en"),
+        sum(when(col("value").isNull || col("value") <= 0.0, 1L)
+          .otherwise(0L)).as("f_value"))
+      val refAgg = e.select(col("user_id"))
+        .join(Tables(s, dir, "customer")
+          .select(col("c_custkey").as("user_id")), Seq("user_id"), "left_anti")
+        .agg(count(lit(1)).as("f_ref"))
+      val w = dAgg.crossJoin(eAgg).crossJoin(refAgg)
+      def rule(name: String, table: String, checked: String, failed: String) =
+        w.select(lit(name).as("rule"), lit(table).as("table_name"),
+          col(checked).as("n_checked"), col(failed).as("n_failed"),
+          (col(failed) === 0L).as("passed"))
+      Seq(
+        rule("doc_id_not_null", "documents", "dn", "f_null_id"),
+        rule("doc_id_unique", "documents", "dn", "f_dup_id"),
+        rule("n_chars_consistent", "documents", "dn", "f_nchars"),
+        rule("lang_in_contract", "documents", "dn", "f_lang"),
+        rule("source_not_empty", "documents", "dn", "f_source"),
+        rule("value_positive", "events", "en", "f_value"),
+        rule("user_in_customer", "events", "en", "f_ref"))
+        .reduce(_ unionAll _).orderBy("rule")
+    }),
+
     // The curation YIELD report — per source, what the dedup pipeline
     // keeps: exact-copy drops first (md5 groupBy, min doc_id survives),
     // then near-dup drops among the exact survivors (the shared keep-list
@@ -544,6 +603,49 @@ object PipelineQueries {
       |      FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // every rule recomputed as plain SQL over the same tables — identical
+    // rule predicates, identical checked/failed accounting
+    "pipeline_expectations" ->
+      """WITH dagg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS dn,
+        |         CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS f_null_id,
+        |         CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS f_dup_id,
+        |         CAST(sum(CASE WHEN n_chars <> coalesce(length(text), 0)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS f_nchars,
+        |         CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es')
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS f_lang,
+        |         CAST(sum(CASE WHEN source IS NULL OR source = ''
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS f_source
+        |  FROM documents),
+        |eagg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS en,
+        |         CAST(sum(CASE WHEN value IS NULL OR value <= 0
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS f_value
+        |  FROM events),
+        |ragg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS f_ref FROM events e
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                    WHERE c.c_custkey = e.user_id)),
+        |w AS (SELECT * FROM dagg, eagg, ragg)
+        |SELECT * FROM (
+        |  SELECT 'doc_id_not_null' AS rule, 'documents' AS table_name,
+        |         dn AS n_checked, f_null_id AS n_failed,
+        |         f_null_id = 0 AS passed FROM w
+        |  UNION ALL SELECT 'doc_id_unique', 'documents', dn, f_dup_id,
+        |         f_dup_id = 0 FROM w
+        |  UNION ALL SELECT 'n_chars_consistent', 'documents', dn, f_nchars,
+        |         f_nchars = 0 FROM w
+        |  UNION ALL SELECT 'lang_in_contract', 'documents', dn, f_lang,
+        |         f_lang = 0 FROM w
+        |  UNION ALL SELECT 'source_not_empty', 'documents', dn, f_source,
+        |         f_source = 0 FROM w
+        |  UNION ALL SELECT 'value_positive', 'events', en, f_value,
+        |         f_value = 0 FROM w
+        |  UNION ALL SELECT 'user_in_customer', 'events', en, f_ref,
+        |         f_ref = 0 FROM w)
+        |ORDER BY rule""".stripMargin,
+
     // exact-dedup CTE + the full keep-list replay (minhash pipeline →
     // clusters → quality argmax), then the per-source stage accounting
     "pipeline_dedup_yield" ->

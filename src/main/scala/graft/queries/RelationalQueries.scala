@@ -2670,6 +2670,84 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // KRUSKAL–WALLIS H (r12) — the rank-based one-way test (the
+    // nonparametric analog of q_anova's F, k-sample where q_mann_whitney
+    // is two-sample; with KS/MW/chi²/runs/Kendall this closes the
+    // nonparametric family): does order value rank differently across
+    // the five priority groups, per status stratum? Exact integer core on
+    // the midrank trick — per distinct value, the DOUBLED midrank
+    // r2 = 2C − c + 1 is an integer (C = inclusive cumulative count, c =
+    // the value's count), so each group's doubled rank sum R2_g is exact;
+    // Σ R2_g²/n_g runs through the q_anova quotient-remainder
+    // decomposition (⌊R2²·10⁴/n⌋ without forming R2²·10⁴ — exact decimal,
+    // floor per group identical in both engines), the tie term Σ(c³−c)
+    // and N³−N stay exact decimals cast to double identically, and the
+    // final H' = (3·S4/(10⁴·N(N+1)) − 3(N+1)) / (1 − T/(N³−N)) is
+    // pinned operation-for-operation against the oracle and floor-
+    // quantized at 4dp (the factor: H = 12/(N(N+1))·ΣR²/n − 3(N+1) and
+    // R = R2/2 ⇒ 12·ΣR2²/(4n) = 3·ΣR2²/n = 3·S4/10⁴ — hand-checked in
+    // Round12OpsSpec against the textbook no-tie and scipy tie cases,
+    // BECAUSE a mirrored formula error passes the hash gate by
+    // construction). Scale shape: one (st, v, g) aggregate, the
+    // PrefixSum two-level cum (never a corpus-wide window), O(strata ×
+    // groups) from there.
+    "q_kruskal_wallis" -> ((s, dir) => {
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      def fdiv(a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) = ((a - a % b) / b).cast("decimal(38,0)")
+      def sq4Div(sc: org.apache.spark.sql.Column,
+          nc: org.apache.spark.sql.Column) = {
+        val q = fdiv(sc, nc)
+        val r = sc - q * nc
+        q * sc * 10000 + fdiv(r * sc * 10000, nc)
+      }
+      val base = t(s, dir, "orders").select(
+        col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("v"),
+        col("o_orderpriority").as("g"))
+      val m = graft.operators.Checkpointing.cut(
+        base.groupBy("st", "v", "g").agg(count(lit(1)).as("c")))
+      val mv = m.groupBy("st", "v").agg(sum("c").as("cnt"))
+      val cum = graft.operators.PrefixSum.cumSums(mv, "st", Seq(col("v")),
+        Seq("cnt" -> "cc"))
+      val r2 = m.join(cum, Seq("st", "v"))
+        .withColumn("r2", col("cc") * 2 - col("cnt") + 1)
+      val perG = r2.groupBy("st", "g").agg(
+        sum("c").as("ng"), sum(dec(col("r2")) * col("c")).as("rs2"))
+      // R2_g ≥ 0 always (ranks are positive), so the non-negative-domain
+      // floor-division decomposition applies as-is; same decimal(38)
+      // guard as q_anova, stated with its remedy
+      val nsBound = lit(new java.math.BigDecimal(
+        "10000000000000000000000000000000000")).cast("decimal(38,0)")
+      val guarded = perG.withColumn("t4", when(
+          dec(col("rs2")) >= lit(30000000000000000L).cast("decimal(38,0)")
+            || dec(col("ng")) * dec(col("rs2")) >= nsBound,
+          raise_error(lit("q_kruskal_wallis: R2_g >= 3e16 or n_g*R2_g >= " +
+            "1e34 exceeds the exact decimal(38) domain of the R2^2*10^4 " +
+            "decomposition - shard the strata or widen the math"))
+            .cast("decimal(38,0)"))
+          .otherwise(sq4Div(dec(col("rs2")), dec(col("ng")))))
+      val tieT = mv.groupBy("st").agg(
+        sum(dec(col("cnt")) * dec(col("cnt")) * dec(col("cnt"))
+          - dec(col("cnt"))).as("tt"))
+      val perSt = guarded.groupBy("st").agg(
+        count(lit(1)).as("k"), sum("ng").as("n"),
+        sum(dec(col("t4"))).as("s4"))
+        .join(tieT, "st")
+        .withColumn("nn",
+          dec(col("n")) * dec(col("n")) * dec(col("n")) - dec(col("n")))
+        // a stratum that is all ties (one distinct value) or one group
+        // has no defined H — excluded exactly, like the MW σ²=0 rule
+        .filter(col("k") >= 2 && col("tt") < col("nn"))
+      val (s4D, nD) = (col("s4").cast("double"), col("n").cast("double"))
+      val (tD, nnD) = (col("tt").cast("double"), col("nn").cast("double"))
+      perSt.select(col("st").as("o_orderstatus"), col("n"), col("k"),
+          (floor((lit(3.0) * s4D / (lit(10000.0) * nD * (nD + lit(1.0)))
+              - lit(3.0) * (nD + lit(1.0)))
+            / (lit(1.0) - tD / nnD) * 10000) / 10000).as("h_stat"))
+        .orderBy("o_orderstatus")
+    }),
+
     // BFS REACHABILITY LEVELS (r11) — multi-hop frontier expansion over
     // the part co-purchase graph (completing the graph family: q_pagerank
     // = centrality, q_triangle_count = density, this = reachability; the
@@ -2682,6 +2760,42 @@ object RelationalQueries {
     // is an exact integer (level populations + id sums), so three chained
     // CTEs replay the run bit-for-bit. Unreached nodes are REPORTED
     // (lvl = −1), never silently dropped.
+    // LABEL PROPAGATION (r12) — synchronous LPA community detection over
+    // the part co-purchase graph (Raghavan et al. '07; with pagerank =
+    // centrality, triangles = density, BFS = reachability, link-predict =
+    // recommendation, this adds COMMUNITY STRUCTURE to the graph verb
+    // set). Three synchronous rounds from identity labels; each node
+    // adopts the most frequent label among its in-neighbors with the
+    // DETERMINISTIC tie rule (highest count, then lowest label) — the
+    // rule that makes a parallel LPA replayable at all (async/random-tie
+    // LPA is run-dependent, which a gated engine cannot ship). Scale
+    // shape: each round is ONE edges⋈labels shuffle join + a per-node
+    // argmax (map-side combined counts, never a corpus window),
+    // lineage-cut so round r never replays rounds 1..r−1 — the same
+    // Pregel-as-relational-algebra posture as q_pagerank/q_bfs_reach.
+    // Output: community size histogram (label → members) after round 3.
+    "q_label_prop" -> ((s, dir) => {
+      val ed = partCoEdges(s, dir)
+      val und = ed.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(ed.select(col("v").as("src"), col("u").as("dst")))
+      var labels: DataFrame = ed.select(col("u").as("node"))
+        .unionAll(ed.select(col("v").as("node"))).distinct()
+        .select(col("node"), col("node").as("label"))
+      for (_ <- 1 to 3) {
+        labels = graft.operators.Checkpointing.cut(
+          und.join(labels, col("src") === col("node"))
+            .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+            .groupBy(col("dst"))
+            .agg(max_by(col("label"),
+              struct(col("cnt"), (-col("label")).as("nl"))).as("label"))
+            .select(col("dst").as("node"), col("label")))
+      }
+      labels.groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(pmod(col("node"), lit(1000000007L))).as("member_checksum"))
+        .orderBy("community")
+    }),
+
     "q_bfs_reach" -> ((s, dir) => {
       val ed = partCoEdges(s, dir)
       val und = ed.select(col("u").as("src"), col("v").as("dst"))
@@ -4645,6 +4759,85 @@ object RelationalQueries {
         |FROM g2 CROSS JOIN t2
         |WHERE ssw4 > 0
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // the same midrank/quotient-remainder replay: doubled midranks from
+    // the per-stratum cumulative count window, per-group doubled rank
+    // sums, ⌊R2²·10⁴/n⌋ by the q/r decomposition in HUGEINT, tie and
+    // N³−N terms exact then cast, H' pinned operation-for-operation
+    "q_kruskal_wallis" ->
+      """WITH b AS (SELECT o_orderstatus AS st,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |                  o_orderpriority AS g
+        |           FROM orders),
+        |m AS (SELECT st, v, g, CAST(count(*) AS HUGEINT) AS c
+        |      FROM b GROUP BY 1, 2, 3),
+        |mv AS (SELECT st, v, CAST(sum(c) AS HUGEINT) AS cnt
+        |       FROM m GROUP BY 1, 2),
+        |cum AS (SELECT st, v, cnt,
+        |               CAST(sum(cnt) OVER (PARTITION BY st ORDER BY v)
+        |                 AS HUGEINT) AS cc
+        |        FROM mv),
+        |r AS (SELECT m.st, m.g, m.c, cum.cc * 2 - cum.cnt + 1 AS r2
+        |      FROM m JOIN cum ON m.st = cum.st AND m.v = cum.v),
+        |pg AS (SELECT st, g, CAST(sum(c) AS HUGEINT) AS ng,
+        |              CAST(sum(r2 * c) AS HUGEINT) AS rs2
+        |       FROM r GROUP BY 1, 2),
+        |t4 AS (SELECT st, ng,
+        |              (rs2 // ng) * rs2 * 10000
+        |              + ((rs2 % ng) * rs2 * 10000) // ng AS t4
+        |       FROM pg),
+        |tt AS (SELECT st, CAST(sum(cnt * cnt * cnt - cnt) AS HUGEINT) AS tt
+        |       FROM mv GROUP BY 1),
+        |ps AS (SELECT st, CAST(count(*) AS BIGINT) AS k,
+        |              CAST(sum(ng) AS BIGINT) AS n,
+        |              CAST(sum(t4) AS HUGEINT) AS s4
+        |       FROM t4 GROUP BY 1),
+        |f AS (SELECT ps.st, ps.n, ps.k, ps.s4, tt.tt,
+        |             CAST(ps.n AS HUGEINT) * ps.n * ps.n - ps.n AS nn
+        |      FROM ps JOIN tt ON ps.st = tt.st
+        |      WHERE ps.k >= 2
+        |        AND tt.tt < CAST(ps.n AS HUGEINT) * ps.n * ps.n - ps.n)
+        |SELECT st AS o_orderstatus, n, k,
+        |       floor((3.0::DOUBLE * CAST(s4 AS DOUBLE)
+        |              / (10000.0::DOUBLE * CAST(n AS DOUBLE)
+        |                 * (CAST(n AS DOUBLE) + 1.0::DOUBLE))
+        |              - 3.0::DOUBLE * (CAST(n AS DOUBLE) + 1.0::DOUBLE))
+        |             / (1.0::DOUBLE - CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE))
+        |             * 10000) / 10000 AS h_stat
+        |FROM f ORDER BY o_orderstatus""".stripMargin,
+
+    // the same three synchronous rounds as chained CTEs — identical
+    // (count desc, label asc) tie rule via the row_number window
+    "q_label_prop" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+        |      FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |und AS (SELECT u AS src, v AS dst FROM e
+        |        UNION ALL SELECT v AS src, u AS dst FROM e),
+        |l0 AS (SELECT node, node AS label FROM (
+        |         SELECT u AS node FROM e UNION SELECT v AS node FROM e)),
+        |r1 AS (SELECT und.dst AS node, l.label, count(*) AS cnt
+        |       FROM und JOIN l0 l ON l.node = und.src GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY node
+        |                    ORDER BY cnt DESC, label) AS rn FROM r1)
+        |       WHERE rn = 1),
+        |r2 AS (SELECT und.dst AS node, l.label, count(*) AS cnt
+        |       FROM und JOIN l1 l ON l.node = und.src GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY node
+        |                    ORDER BY cnt DESC, label) AS rn FROM r2)
+        |       WHERE rn = 1),
+        |r3 AS (SELECT und.dst AS node, l.label, count(*) AS cnt
+        |       FROM und JOIN l2 l ON l.node = und.src GROUP BY 1, 2),
+        |l3 AS (SELECT node, label FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY node
+        |                    ORDER BY cnt DESC, label) AS rn FROM r3)
+        |       WHERE rn = 1)
+        |SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members,
+        |       CAST(sum(node % 1000000007) AS BIGINT) AS member_checksum
+        |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same distinct co-purchase edges, same min-id seed, same three
     // frontier hops as chained CTEs, same unreached report

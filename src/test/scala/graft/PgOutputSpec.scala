@@ -319,6 +319,59 @@ class PgOutputV2Spec extends AnyFunSuite with SparkTestBase {
       PgOutput.decodeFeedV2(spark, bad.toDF("lsn", "data")).count())
   }
 
+  test("origin attribution: Origin marks its WHOLE transaction, locals " +
+      "stay local, and the origin=none filter drops foreign rows") {
+    def enc(m: PgMessage) = PgOutput.encode(m)
+    val lake = Seq(
+      1L -> enc(rel),
+      // local txn (no Origin message)
+      100L -> enc(BeginMsg(199L, 0L, 1)),
+      110L -> enc(ins(1, "local-a")),
+      199L -> enc(CommitMsg(0.toByte, 199L, 200L, 0L)),
+      // replicated txn from 'east'
+      200L -> enc(BeginMsg(299L, 0L, 2)),
+      201L -> enc(OriginMsg(5000L, "east")),
+      210L -> enc(ins(2, "east-a")),
+      211L -> enc(ins(3, "east-b")),
+      299L -> enc(CommitMsg(0.toByte, 299L, 300L, 0L)),
+      // a frame outside any transaction reads as local
+      400L -> enc(ins(4, "bare")))
+    val got = PgOutput.decodeFeedWithOrigin(spark, lake.toDF("lsn", "data"))
+      .select("lsn", "origin").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq((110L, "local"), (210L, "east"), (211L, "east"),
+      (400L, "local")))
+    // the origin=none subscription: foreign rows never materialize
+    val local = PgOutput.decodeFeedWithOrigin(spark,
+        lake.toDF("lsn", "data"), Some(Set("local")))
+      .select("lsn").collect().map(_.getLong(0)).sorted.toSeq
+    assert(local == Seq(110L, 400L))
+    // OriginMsg round-trips bit-exactly
+    val om = OriginMsg(123456789L, "node-a")
+    assert(PgOutput.decode(PgOutput.encode(om)) == om)
+  }
+
+  test("origin framing is loud on malformed lakes: origin outside a txn, " +
+      "second origin in one txn, commit without begin, torn tail") {
+    def enc(m: PgMessage) = PgOutput.encode(m)
+    def run(lake: Seq[(Long, Array[Byte])]) =
+      PgOutput.decodeFeedWithOrigin(spark, lake.toDF("lsn", "data")).count()
+    val e1 = intercept[IllegalStateException](
+      run(Seq(1L -> enc(rel), 10L -> enc(OriginMsg(1L, "x")))))
+    assert(e1.getMessage.contains("outside any transaction"))
+    val e2 = intercept[IllegalArgumentException](run(Seq(1L -> enc(rel),
+      10L -> enc(BeginMsg(99L, 0L, 1)),
+      11L -> enc(OriginMsg(1L, "x")), 12L -> enc(OriginMsg(1L, "y")),
+      99L -> enc(CommitMsg(0.toByte, 99L, 100L, 0L)))))
+    assert(e2.getMessage.contains("second Origin"))
+    val e3 = intercept[IllegalStateException](
+      run(Seq(1L -> enc(rel), 10L -> enc(CommitMsg(0.toByte, 10L, 11L, 0L)))))
+    assert(e3.getMessage.contains("no open transaction"))
+    val e4 = intercept[IllegalArgumentException](
+      run(Seq(1L -> enc(rel), 10L -> enc(BeginMsg(99L, 0L, 1)))))
+    assert(e4.getMessage.contains("torn lake"))
+  }
+
   test("the v2/2PC driver-context bound is ENFORCED: control frames past " +
       "graft.cdc.maxControlFrames fail loudly before the pull") {
     def enc(m: PgMessage) = PgOutput.encode(m)
