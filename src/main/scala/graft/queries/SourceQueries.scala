@@ -83,8 +83,42 @@ object SourceQueries {
     * commits bin-packed into one dir by the OPTIMIZE verb. */
   private val txlogOptMemo = new graft.operators.SessionMemo[String]
 
+  /** The z-order-clustered TxLog table for src_txlog_zorder_optimize —
+    * four no-locality commits rewritten into 8 Morton range slices. */
+  private val txlogZoptMemo = new graft.operators.SessionMemo[String]
+
   private val sinkSchemaDdl =
     "event_id LONG, user_id LONG, event_type STRING, ts_us LONG, v4 LONG"
+
+  /** The commitBatch-built sink table (versions 0..3 = the shared feed's
+    * ts-quartile chunks, append-only) — built once per (session, lake),
+    * shared by src_txlog_stream_sink and src_txlog_incremental. */
+  private def txlogSinkTable(s: SparkSession, dir: String): String =
+    txlogSinkMemo.get(s, dir) {
+      // r12 bench hygiene: ride the SHARED ts_us-quartile behavior feed
+      // (identical chunk keying; v4 derives from the shared payload's
+      // value column after the readStream — same rows per batch)
+      val feed = BehaviorQueries.behaviorFeedDir(s, dir)
+      val tmp = graft.streaming.StreamGate
+        .sessionTempDir("graft-txlog-sink") { td =>
+          val tbl = s"$td/table"
+          val q = s.readStream
+            .schema(BehaviorQueries.behaviorFeedSchemaDdl)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("ts_us"),
+              round(col("value") * 10000).cast("long").as("v4"))
+            .writeStream
+            .option("checkpointLocation", s"$td/ckpt")
+            .foreachBatch { (batch: DataFrame, id: Long) =>
+              graft.sources.TxLog.commitBatch(batch, tbl, id)
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      s"$tmp/table"
+    }
 
   private def export(s: SparkSession, dir: String, fmt: String)
       (write: (DataFrame, String) => Unit): String =
@@ -414,31 +448,7 @@ object SourceQueries {
     // exactly (counts, exact 1e4-scaled sums, modular id checksum per
     // event type), replayed by the oracle over the ORIGINAL events.
     "src_txlog_stream_sink" -> ((s, dir) => {
-      val table = txlogSinkMemo.get(s, dir) {
-        // r12 bench hygiene: ride the SHARED ts_us-quartile behavior feed
-        // (identical chunk keying; v4 derives from the shared payload's
-        // value column after the readStream — same rows per batch)
-        val feed = BehaviorQueries.behaviorFeedDir(s, dir)
-        val tmp = graft.streaming.StreamGate
-          .sessionTempDir("graft-txlog-sink") { td =>
-            val tbl = s"$td/table"
-            val q = s.readStream
-              .schema(BehaviorQueries.behaviorFeedSchemaDdl)
-              .option("maxFilesPerTrigger", 1)
-              .parquet(feed)
-              .select(col("event_id"), col("user_id"), col("event_type"),
-                col("ts_us"),
-                round(col("value") * 10000).cast("long").as("v4"))
-              .writeStream
-              .option("checkpointLocation", s"$td/ckpt")
-              .foreachBatch { (batch: DataFrame, id: Long) =>
-                graft.sources.TxLog.commitBatch(batch, tbl, id)
-              }
-              .start()
-            try q.processAllAvailable() finally q.stop()
-          }
-        s"$tmp/table"
-      }
+      val table = txlogSinkTable(s, dir)
       graft.sources.TxLog.read(s, table,
           StructType.fromDDL(sinkSchemaDdl), None)
         .groupBy("event_type")
@@ -596,6 +606,91 @@ object SourceQueries {
           .select(lit(v).as("version"), col("n_docs"), col("sum_chars"),
             col("checksum"))
       }.reduce(_ unionAll _).orderBy("version")
+    }),
+
+    // OPTIMIZE … ZORDER BY (r12): the clustered rewrite that makes DATA
+    // SKIPPING bite on MULTI-dimensional predicates — a table laid down in
+    // arrival order has every dir spanning the full (user, time) range
+    // (the prune keeps all of them), while `TxLog.optimizeClustered`
+    // rewrites the head into 8 Morton-curve range slices, one dir per
+    // slice, each add carrying TIGHT envelopes on BOTH clustered columns.
+    // The table: four event_id-residue commits (deliberately NO locality —
+    // each spans everything), then the clustered rewrite. The gate reads
+    // under a 2-dim window (a user band AND a time quarter — bounds
+    // derived from the data, plan literals) with skip ranges on BOTH
+    // dims + the same filter, and hashes against the window replayed over
+    // the ORIGINAL events: pruning may only ever drop dirs the filter
+    // rejects entirely, under ANY range-partitioner boundary draw (layout
+    // is sampled; semantics are not). The fewer-dirs-opened claim is
+    // spec-asserted on a deterministic grid (TxLogV2Spec).
+    "src_txlog_zorder_optimize" -> ((s, dir) => {
+      import graft.sources.TxLog
+      val e = Tables(s, dir, "events")
+      val ev = e.select(col("event_id"), col("user_id"), col("event_type"),
+        Tables.tsMicros(e).as("ts_us"),
+        round(col("value") * 10000).cast("long").as("v4"))
+      val table = txlogZoptMemo.get(s, dir) {
+        val tmp = graft.streaming.StreamGate
+          .sessionTempDir("graft-txlog-zopt") { td =>
+            val tbl = s"$td/table"
+            (0 until 4).foreach { k =>
+              ev.filter(pmod(col("event_id"), lit(4)) === k)
+                .write.parquet(s"$tbl/a$k")
+              require(TxLog.tryCommit(s, tbl, k.toLong, Seq(s"a$k"), Nil),
+                s"v$k conflicted under a single writer")
+            }
+            require(TxLog.optimizeClustered(s, tbl,
+                StructType.fromDDL(
+                  "event_id BIGINT, user_id BIGINT, event_type STRING, " +
+                    "ts_us BIGINT, v4 BIGINT"),
+                Seq("user_id", "ts_us"), nDirs = 8).contains(4L),
+              "clustered optimize must commit v4")
+          }
+        s"$tmp/table"
+      }
+      val b = ev.agg(min("ts_us"), max("ts_us"), min("user_id"),
+        max("user_id")).head()
+      val (tlo, thi) = (b.getLong(0), b.getLong(1))
+      val (ulo, uhi) = (b.getLong(2), b.getLong(3))
+      val tspan = (thi - tlo) / 4 + 1
+      val (t1, t2) = (tlo + tspan, tlo + 2 * tspan - 1)
+      val (u1, u2) = (ulo, ulo + (uhi - ulo) / 4)
+      TxLog.read(s, table,
+          StructType.fromDDL("event_id BIGINT, user_id BIGINT, " +
+            "event_type STRING, ts_us BIGINT, v4 BIGINT"),
+          None, skip = Seq(TxLog.SkipRange("ts_us", t1, t2),
+            TxLog.SkipRange("user_id", u1, u2)))
+        .filter(col("ts_us").between(t1, t2) &&
+          col("user_id").between(u1, u2))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("v4").as("sum_v4"),
+          sum(pmod(col("event_id"), lit(1000000007L))).as("id_checksum"))
+        .orderBy("event_type")
+    }),
+
+    // INCREMENTAL CHANGE READ (r12): the change-data-feed consumer
+    // contract on the append-only sink table — `TxLog.readChanges` hands
+    // a consumer exactly the rows committed in a version window (the dirs
+    // those commits added, one plain scan), LOUD if the window contains a
+    // remove (a rewrite is layout, not new data — silently re-delivering
+    // rewritten rows is the corruption an incremental consumer cannot
+    // detect itself; spec'd). The gate stitches two consumer reads —
+    // versions (−1,1] and (1,3] over the commitBatch sink (version =
+    // ts-quartile chunk) — and hashes each segment's accounting against
+    // the SAME quartile-window math replayed over the original events:
+    // the stitched segments must BE the table, delivered incrementally.
+    "src_txlog_incremental" -> ((s, dir) => {
+      import graft.sources.TxLog
+      val table = txlogSinkTable(s, dir)
+      val schema = StructType.fromDDL(sinkSchemaDdl)
+      Seq((0L, -1L, 1L), (1L, 1L, 3L)).map { case (seg, from, to) =>
+        TxLog.readChanges(s, table, schema, from, to)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), sum("v4").as("sum_v4"),
+            sum(pmod(col("event_id"), lit(1000000007L))).as("id_checksum"))
+          .select(lit(seg).as("segment"), col("event_type"), col("n_events"),
+            col("sum_v4"), col("id_checksum"))
+      }.reduce(_ unionAll _).orderBy("segment", "event_type")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -715,6 +810,44 @@ object SourceQueries {
         |                  % 1000000007) AS BIGINT)
         |  FROM documents)
         |ORDER BY version""".stripMargin,
+
+    // the same 2-dim window (user band AND time quarter, identical
+    // integer span math) over the ORIGINAL events — a passing hash proves
+    // the z-clustered prune dropped only dirs the filter rejects entirely
+    "src_txlog_zorder_optimize" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  epoch_us(ts) AS ts_us,
+        |                  CAST(round(value * 10000) AS BIGINT) AS v4
+        |           FROM events),
+        |b AS (SELECT min(ts_us) AS tlo,
+        |             (max(ts_us) - min(ts_us)) // 4 + 1 AS tspan,
+        |             min(user_id) AS ulo,
+        |             (max(user_id) - min(user_id)) // 4 AS uq
+        |      FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(v4) AS BIGINT) AS sum_v4,
+        |       CAST(sum(event_id % 1000000007) AS BIGINT) AS id_checksum
+        |FROM e, b
+        |WHERE ts_us >= tlo + tspan AND ts_us <= tlo + 2 * tspan - 1
+        |  AND user_id >= ulo AND user_id <= ulo + uq
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // segment membership replayed by the chunk quartile rule: versions
+    // 0..3 hold ts-quartile chunks, so segment 0 = the first two
+    // quartiles, segment 1 = the rest — the stitched incremental reads
+    // must BE the table
+    "src_txlog_incremental" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+        |                  CAST(round(value * 10000) AS BIGINT) AS v4
+        |           FROM events),
+        |b AS (SELECT min(ts_us) AS lo,
+        |             (max(ts_us) - min(ts_us)) // 4 + 1 AS span FROM e)
+        |SELECT CAST(CASE WHEN ts_us < lo + 2 * span THEN 0 ELSE 1 END
+        |         AS BIGINT) AS segment,
+        |       event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(v4) AS BIGINT) AS sum_v4,
+        |       CAST(sum(event_id % 1000000007) AS BIGINT) AS id_checksum
+        |FROM e, b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // slice membership per version: v0 = its sixth, v5 = everything,
     // v6 (post-OPTIMIZE) = everything — v6 ≡ v5 IS the compaction

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, LocalFileSystem, Path, RawLocalFileSystem}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, max, min}
 import org.apache.spark.sql.types.StructType
 
 /** A minimal log-structured ACID table format (the Delta/Iceberg idea
@@ -482,6 +483,99 @@ object TxLog {
       s"$table: a writer committed v$newV while optimize was packing — " +
         "nothing was changed; re-run optimize from the new head")
     Some(newV)
+  }
+
+  /** OPTIMIZE … ZORDER BY: rewrite the head's live dirs into `nDirs`
+    * Z-ORDER-CLUSTERED data dirs — one contiguous Morton-curve segment
+    * per dir — in ONE atomic commit, each add carrying stats for the
+    * clustered columns. This is what makes file-level DATA SKIPPING bite
+    * on MULTI-dimensional predicates: a table laid down in arrival order
+    * has every dir spanning the full (user, time) range (prune keeps
+    * all), while a z-clustered rewrite gives every dir a tight envelope
+    * on EVERY clustered column, so a 2-dim window opens O(matching dirs)
+    * — the Delta `OPTIMIZE ZORDER BY` verb on this log. Contents are
+    * identical at every version (time travel intact until vacuum), like
+    * [[optimize]]. Returns the new version; None on an empty head.
+    *
+    * Scale shape: one bounded min/max aggregate for the curve ranges
+    * (parquet-footer-cheap), a map-phase z-value, ONE range exchange +
+    * in-partition sorts (no global sort), one bounded stats aggregate
+    * per output dir. Range-slice boundaries come from Spark's sampling
+    * range partitioner — layout, never semantics: reads are identical
+    * under any boundary draw, pruning is conservative per recorded
+    * envelope. */
+  def optimizeClustered(s: SparkSession, table: String,
+      schema: StructType, clusterCols: Seq[String], nDirs: Int): Option[Long] = {
+    require(nDirs >= 1, s"nDirs must be positive, got $nDirs")
+    require(clusterCols.nonEmpty, "optimizeClustered needs cluster columns")
+    val cs = commits(s, table)
+    val head = cs.last.version
+    val live = replay(table, cs)
+    if (live.isEmpty) return None
+    val newV = head + 1
+    val parent = f"zopt$newV%010d"
+    val df = s.read.schema(schema).parquet(live.map(a => s"$table/${a.name}"): _*)
+    val aggs = clusterCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"lo_$c"),
+      max(col(c).cast("double")).as(s"hi_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    clusterCols.zipWithIndex.foreach { case (c, i) =>
+      require(!r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1),
+        s"$table: cluster column '$c' has no non-null values") }
+    val ranges = clusterCols.zipWithIndex.map { case (c, i) =>
+      (col(c), r.getDouble(2 * i), r.getDouble(2 * i + 1)) }
+    df.withColumn("__z", ZOrder.zValue(ranges, bits = 16))
+      .repartitionByRange(nDirs, col("__z"))
+      .sortWithinPartitions("__z")
+      .withColumn("__slice",
+        org.apache.spark.sql.functions.spark_partition_id().cast("long"))
+      .drop("__z")
+      .write.mode("overwrite").partitionBy("__slice").parquet(s"$table/$parent")
+    val fs = fsOf(s, new Path(table))
+    val written = fs.listStatus(new Path(s"$table/$parent"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("__slice=")).sorted.toSeq
+    val priorStats = live.flatMap(_.stats.keys)
+    val statsCols = (clusterCols ++ priorStats).distinct
+    val adds = written.map { w =>
+      val dir = s"$parent/$w"
+      AddFile(dir, statsOf(s.read.schema(schema).parquet(s"$table/$dir"),
+        statsCols))
+    }
+    require(tryCommitActions(s, table, newV, adds, live.map(_.name)),
+      s"$table: a writer committed v$newV while optimizeClustered was " +
+        "packing — nothing was changed; re-run from the new head")
+    Some(newV)
+  }
+
+  /** INCREMENTAL CHANGE READ (the change-data-feed consumer contract on
+    * an APPEND-ONLY table): the rows committed in versions
+    * (`fromVersion`, `toVersion`] — exactly the data dirs those commits
+    * added, as one plain parquet scan. Stitched incremental reads
+    * reconstruct the full table: changes(−1, v1] ∪ changes(v1, head] ≡
+    * read(head). LOUD when the range contains a REMOVE (an OPTIMIZE /
+    * merge rewrote files inside the window): a rewrite is layout, not new
+    * data, and silently re-delivering rewritten rows as "changes" is the
+    * one corruption an incremental consumer can't detect itself. */
+  def readChanges(s: SparkSession, table: String, schema: StructType,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"$table: empty change range ($fromVersion, $toVersion]")
+    val cs = commits(s, table)
+    val head = cs.last.version
+    require(toVersion <= head,
+      s"$table: change range ends at v$toVersion but the head is v$head")
+    val window = cs.filter(e => e.version > fromVersion && e.version <= toVersion)
+    val removed = window.flatMap(_.removes)
+    require(removed.isEmpty,
+      s"$table: versions (${fromVersion}, ${toVersion}] remove files " +
+        s"(${removed.take(3).mkString(",")}…) — a compaction/merge rewrote " +
+        "data inside the window; incremental reads are defined only over " +
+        "append-only ranges (re-baseline from a snapshot instead)")
+    val dirs = window.flatMap(_.adds.map(_.name))
+    if (dirs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    else s.read.schema(schema).parquet(dirs.map(d => s"$table/$d"): _*)
   }
 
   /** Read the table at `asOf` (None = head) as a plain multi-dir parquet

@@ -152,6 +152,74 @@ class TxLogV2Spec extends AnyFunSuite with SparkTestBase {
       == Seq(1L))
   }
 
+  test("optimizeClustered: a no-locality table gains 2-dim data skipping " +
+      "— fewer dirs opened, contents identical at every version") {
+    val t = freshTable()
+    // a 64×64 grid laid down in arrival order: each of 4 dirs spans the
+    // FULL (x, y) range, so pre-rewrite pruning can drop nothing
+    val grid = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    (0 until 4).foreach { k =>
+      grid.filter { case (x, y) => (x + y * 64) % 4 == k }
+        .toDF("x", "y").coalesce(1).write.parquet(s"$t/a$k")
+      assert(TxLog.tryCommit(spark, t, k.toLong, Seq(s"a$k"),
+        Nil))
+    }
+    val schema = StructType.fromDDL("x BIGINT, y BIGINT")
+    def vals(asOf: Option[Long]) = TxLog.read(spark, t, schema, asOf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val before = vals(None)
+    assert(TxLog.optimizeClustered(spark, t, schema, Seq("x", "y"),
+      nDirs = 8).contains(4L))
+    assert(vals(None) == before, "the clustered rewrite must not change contents")
+    assert(vals(Some(1L)) == grid.filter { case (x, y) =>
+      (x + y * 64) % 4 <= 1 }.sorted.toSeq, "time travel under the rewrite")
+    val adds = TxLog.liveAdds(spark, t)
+    assert(adds.size == 8 && adds.forall(a =>
+      a.stats.contains("x") && a.stats.contains("y")),
+      "8 slice dirs, each with envelopes on BOTH clustered columns")
+    // the corner window [0,15]² occupies 1/16 of the z-space: the
+    // clustered envelopes must prune at least half the dirs (a
+    // conservative bound — boundary draws vary, semantics may not)
+    val skip = Seq(TxLog.SkipRange("x", 0L, 15L), TxLog.SkipRange("y", 0L, 15L))
+    assert(TxLog.pruneAdds(adds, skip).size <= 4,
+      s"corner window kept ${TxLog.pruneAdds(adds, skip).size} of 8 dirs")
+    val pruned = TxLog.read(spark, t, schema, None, skip)
+      .filter(col("x").between(0L, 15L) && col("y").between(0L, 15L))
+    assert(pruned.count() == 256L, "pruning must never drop matching rows")
+  }
+
+  test("readChanges: stitched incremental reads reconstruct the table; a " +
+      "remove inside the window is loud; range guards hold") {
+    val t = freshTable()
+    (0 until 3).foreach { k =>
+      Seq((k.toLong, k.toLong * 5)).toDF("x", "y").coalesce(1)
+        .write.parquet(s"$t/c$k")
+      assert(TxLog.tryCommit(spark, t, k.toLong, Seq(s"c$k"), Nil))
+    }
+    def xs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).sorted.toSeq
+    assert(xs(TxLog.readChanges(spark, t, xySchema, -1L, 1L)) == Seq(0L, 1L))
+    assert(xs(TxLog.readChanges(spark, t, xySchema, 1L, 2L)) == Seq(2L))
+    // stitched = the full head
+    assert((xs(TxLog.readChanges(spark, t, xySchema, -1L, 1L)) ++
+      xs(TxLog.readChanges(spark, t, xySchema, 1L, 2L))).sorted ==
+      xs(TxLog.read(spark, t, xySchema)))
+    // a compaction inside the window breaks the append-only contract
+    assert(TxLog.optimize(spark, t, Some(xySchema)).contains(3L))
+    val e1 = intercept[IllegalArgumentException](
+      TxLog.readChanges(spark, t, xySchema, 1L, 3L).count())
+    assert(e1.getMessage.contains("append-only"))
+    // but a window strictly before the rewrite still reads fine
+    assert(xs(TxLog.readChanges(spark, t, xySchema, 0L, 2L)) == Seq(1L, 2L))
+    // range guards
+    val e2 = intercept[IllegalArgumentException](
+      TxLog.readChanges(spark, t, xySchema, 2L, 2L))
+    assert(e2.getMessage.contains("empty change range"))
+    val e3 = intercept[IllegalArgumentException](
+      TxLog.readChanges(spark, t, xySchema, 0L, 99L))
+    assert(e3.getMessage.contains("the head is"))
+  }
+
   private def changes(rows: (Long, String, String, Long, Long, Double)*) =
     rows.toDF("lsn", "tableName", "op", "pk", "tsUs", "value")
 
