@@ -52,6 +52,13 @@ final case class BeginMsg(finalLsn: Long, commitTsUs: Long, xid: Int) extends Pg
 
 final case class CommitMsg(flags: Byte, commitLsn: Long, endLsn: Long, tsUs: Long) extends PgMessage
 
+/** pgoutput Type message ('Y'): metadata for a non-built-in column type
+  * (sent before the first Relation that references it) — typeId is the
+  * type's OID, ns/name its qualified name. Carried for catalog
+  * completeness: with it, EVERY message type in the public pgoutput
+  * protocol (v1, v2, 2PC) decodes — nothing is skipped as opaque. */
+final case class TypeMsg(typeId: Int, ns: String, name: String) extends PgMessage
+
 /** pgoutput Origin message ('O'): the transaction that follows was
   * REPLICATED from another node — `commitLsn` is its commit position on
   * the origin, `name` the replication-origin identifier. The loop-breaker
@@ -496,6 +503,8 @@ object PgOutput {
         CommitMsg(buf.get(), buf.getLong, buf.getLong, buf.getLong)
       case 'O' =>
         OriginMsg(buf.getLong, readCString(buf))
+      case 'Y' =>
+        TypeMsg(buf.getInt, readCString(buf), readCString(buf))
       case 'S' =>
         StreamStartMsg(buf.getInt, buf.get() == 1)
       case 'E' =>
@@ -714,6 +723,8 @@ object PgOutput {
         u8('C'); u8(flags); u64(commitLsn); u64(endLsn); u64(ts)
       case OriginMsg(commitLsn, name) =>
         u8('O'); u64(commitLsn); cstr(name)
+      case TypeMsg(typeId, ns, name) =>
+        u8('Y'); u32(typeId); cstr(ns); cstr(name)
       case StreamStartMsg(xid, first) =>
         u8('S'); u32(xid); u8(if (first) 1 else 0)
       case StreamStopMsg =>

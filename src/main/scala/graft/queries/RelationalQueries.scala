@@ -1036,15 +1036,21 @@ object RelationalQueries {
     }),
 
     // Tumbling 1h windows (batch view of the streaming aggregation).
+    // sums fold as EXACT cents longs with one final display division, and
+    // the mean is integer floor division to 4dp — round(avg(double), 4)
+    // hit a genuine 4dp boundary at sf0.1 (58.4737 vs .4738: the engines'
+    // summation orders differ and HALF_UP vs round-product diverge on the
+    // boundary); the integer form is order-free and engine-exact
     "q_tumbling_window" -> ((s, dir) =>
       ev(s, dir)
         .withColumn("ts_t", timestamp_micros(col("ts_us")))
         .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(sum("value"), 4).as("sum_value"),
-          round(avg("value"), 4).as("avg_value"))
+          sum(round(col("value") * 100).cast("long")).as("c"))
         .select(unix_millis(col("w.start")).as("hour_start_ms"),
-          col("event_type"), col("n"), col("sum_value"), col("avg_value"))
+          col("event_type"), col("n"),
+          (col("c").cast("double") / 100.0).as("sum_value"),
+          (expr("(c * 100) div n").cast("double") / 10000.0).as("avg_value"))
         .orderBy("hour_start_ms", "event_type")),
 
     // HOPPING (sliding) windows — the streaming-SQL staple tumbling can't
@@ -3628,10 +3634,14 @@ object RelationalQueries {
          | AND b.ts_us >= c.ts_us AND b.ts_us <= c.ts_us + 600000000
          |ORDER BY click_id, purchase_id""".stripMargin,
 
+    // identical cents-long fold and integer 4dp mean
     "q_tumbling_window" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_start_ms, event_type,
-        |       count(*) AS n, round(sum(value), 4) AS sum_value,
-        |       round(avg(value), 4) AS avg_value
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |         / 100.0 AS sum_value,
+        |       CAST((CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |             * 100) // count(*) AS DOUBLE) / 10000.0 AS avg_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_start_ms, event_type""".stripMargin,

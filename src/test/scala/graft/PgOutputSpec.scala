@@ -28,7 +28,9 @@ class PgOutputSpec extends AnyFunSuite with SparkTestBase {
       CommitMsg(0.toByte, 123456789L, 123456790L, 778L),
       LogicalMsg(1.toByte, 555L, "ckpt", "event:42".getBytes("UTF-8").toSeq),
       LogicalMsg(0.toByte, 0L, "", Seq.empty), // non-transactional, empty
-      LogicalMsg(1.toByte, 9L, "préfix", Array[Byte](0, -1, 127).toSeq))
+      LogicalMsg(1.toByte, 9L, "préfix", Array[Byte](0, -1, 127).toSeq),
+      OriginMsg(987654321L, "node-west"),
+      TypeMsg(90210, "public", "hstöre")) // the last protocol type ('Y')
     msgs.foreach { m =>
       assert(PgOutput.decode(PgOutput.encode(m)) == m, s"round-trip failed for $m")
     }
