@@ -506,6 +506,39 @@ object CdcQueries {
           col("after").isNull.as("after_nil"))
         .orderBy("lsn")),
 
+    // COLUMN-LEVEL CHANGE DETECTION (r12) — which columns does an UPDATE
+    // actually touch? The audit/replication-sizing surface behind
+    // column-list publications and selective downstream invalidation:
+    // per (table, column), how many UPDATEs with a KNOWN previous image
+    // changed it vs carried it unchanged. The previous image is the same
+    // per-(table, pk) lag chain as cdc_images (TRUNCATE markers excluded
+    // from the chain there and here); an UPDATE whose key has no prior
+    // event has no before image and is excluded — unknown is not
+    // unchanged. `value` compares as a double (engines render floats
+    // differently), `props` as a string. One per-key window + one
+    // O(tables × columns) aggregate.
+    "cdc_column_diff" -> ((s, dir) => {
+      val byKey = org.apache.spark.sql.expressions.Window
+        .partitionBy("table_name", "pk").orderBy("lsn")
+      val f = feed(s, dir).filter(col("op") =!= "TRUNCATE")
+        .withColumn("prev_lsn", lag(col("lsn"), 1).over(byKey))
+        .withColumn("prev_value", lag(col("value"), 1).over(byKey))
+        .withColumn("prev_props", lag(col("props"), 1).over(byKey))
+        .filter(col("op") === "UPDATE" && col("prev_lsn").isNotNull)
+      val agg = f.groupBy("table_name").agg(
+        count(lit(1)).as("n_upd"),
+        sum(when(!(col("value") <=> col("prev_value")), 1L).otherwise(0L))
+          .as("ch_value"),
+        sum(when(!(col("props") <=> col("prev_props")), 1L).otherwise(0L))
+          .as("ch_props"))
+      agg.select(col("table_name"), expr(
+          "stack(2, 'props', n_upd, ch_props, 'value', n_upd, ch_value) " +
+            "AS (column_name, n_updates, n_changed)"))
+        .select(col("table_name"), col("column_name"), col("n_updates"),
+          col("n_changed"))
+        .orderBy("table_name", "column_name")
+    }),
+
     // The reference's CORE LOOP as a gated streaming engine run (r8): a
     // live `CdcStream.latestSnapshot` (per-key LSN-guarded state — the
     // HandleFunc consumer postrack.go:96-117 exists to maintain) replays
@@ -703,6 +736,32 @@ object CdcQueries {
          |             ORDER BY lsn DESC) AS rn
          |  FROM feed)
          |WHERE rn = 1 AND op <> 'DELETE' ORDER BY table_name, pk""".stripMargin,
+
+    // the same per-key lag chain: UPDATEs with a known previous image,
+    // value compared as double, props as string, stacked per column
+    "cdc_column_diff" ->
+      s"""$cte,
+         |chain AS (
+         |  SELECT table_name, op, value, props,
+         |         lag(lsn) OVER w AS prev_lsn,
+         |         lag(value) OVER w AS prev_value,
+         |         lag(props) OVER w AS prev_props
+         |  FROM feed WHERE op <> 'TRUNCATE'
+         |  WINDOW w AS (PARTITION BY table_name, pk ORDER BY lsn)),
+         |u AS (SELECT * FROM chain
+         |      WHERE op = 'UPDATE' AND prev_lsn IS NOT NULL),
+         |a AS (SELECT table_name,
+         |             CAST(count(*) AS BIGINT) AS n_upd,
+         |             CAST(sum(CASE WHEN value IS DISTINCT FROM prev_value
+         |                           THEN 1 ELSE 0 END) AS BIGINT) AS ch_value,
+         |             CAST(sum(CASE WHEN props IS DISTINCT FROM prev_props
+         |                           THEN 1 ELSE 0 END) AS BIGINT) AS ch_props
+         |      FROM u GROUP BY 1)
+         |SELECT table_name, 'props' AS column_name, n_upd AS n_updates,
+         |       ch_props AS n_changed FROM a
+         |UNION ALL
+         |SELECT table_name, 'value', n_upd, ch_value FROM a
+         |ORDER BY table_name, column_name""".stripMargin,
 
     // the thirds attribution rule replayed from the events table: origin
     // of event rank r0 (event_id order, 0-based) = thirds bucket (3·r0)÷n

@@ -2766,6 +2766,38 @@ object RelationalQueries {
     // is an exact integer (level populations + id sums), so three chained
     // CTEs replay the run bit-for-bit. Unreached nodes are REPORTED
     // (lvl = −1), never silently dropped.
+    // SEQUENTIAL PATTERN MINING (r12) — support counting for EVERY
+    // ordered event-type triple (the GSP/PrefixSpan length-3 census; the
+    // generalization of q_funnel's one fixed stage chain and
+    // q_transition_matrix's adjacent pairs to arbitrary-gap subsequences):
+    // a user supports (a, b, c) iff their stream contains types a, b, c
+    // at STRICTLY increasing timestamps. Decided by the greedy
+    // earliest-occurrence rule (first a, then first b after it, then any
+    // c after that — correct for existence by exchange argument, and
+    // deterministic with no tie-break: comparisons are strict on ts, so
+    // same-ts events simply cannot chain). Scale shape: two user-keyed
+    // equi-joins with alphabet-bounded fan-out (≤|Σ| rows per user after
+    // the first aggregate, ≤|Σ|² after the second — O(|Σ|²·events) work,
+    // |Σ| = 5 here), one final O(|Σ|³) census; no window, no per-user
+    // collect.
+    "q_seq_pattern" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        col("ts_us"))
+      val a1 = e.groupBy(col("user_id"), col("event_type").as("a"))
+        .agg(min("ts_us").as("ta"))
+      val b1 = a1.join(e, Seq("user_id"))
+        .filter(col("ts_us") > col("ta"))
+        .groupBy(col("user_id"), col("a"), col("event_type").as("b"))
+        .agg(min("ts_us").as("tb"))
+      val c1 = b1.join(e, Seq("user_id"))
+        .filter(col("ts_us") > col("tb"))
+        .select(col("user_id"), col("a"), col("b"),
+          col("event_type").as("c"))
+        .distinct()
+      c1.groupBy("a", "b", "c").agg(count(lit(1)).as("n_users"))
+        .orderBy("a", "b", "c")
+    }),
+
     // LABEL PROPAGATION (r12) — synchronous LPA community detection over
     // the part co-purchase graph (Raghavan et al. '07; with pagerank =
     // centrality, triangles = density, BFS = reachability, link-predict =
@@ -4815,6 +4847,20 @@ object RelationalQueries {
         |             / (1.0::DOUBLE - CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE))
         |             * 10000) / 10000 AS h_stat
         |FROM f ORDER BY o_orderstatus""".stripMargin,
+
+    // the same greedy earliest-occurrence chain: first a, first b after
+    // it, any c after that — strict ts comparisons, no tie-break needed
+    "q_seq_pattern" ->
+      """WITH e AS (SELECT user_id, event_type AS t, epoch_us(ts) AS ts_us
+        |           FROM events),
+        |a AS (SELECT user_id, t AS a, min(ts_us) AS ta FROM e GROUP BY 1, 2),
+        |b AS (SELECT a.user_id, a.a, e.t AS b, min(e.ts_us) AS tb
+        |      FROM a JOIN e ON e.user_id = a.user_id AND e.ts_us > a.ta
+        |      GROUP BY 1, 2, 3),
+        |c AS (SELECT DISTINCT b.user_id, b.a, b.b, e.t AS c
+        |      FROM b JOIN e ON e.user_id = b.user_id AND e.ts_us > b.tb)
+        |SELECT a, b, c, CAST(count(*) AS BIGINT) AS n_users
+        |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // the same three synchronous rounds as chained CTEs — identical
     // (count desc, label asc) tie rule via the row_number window

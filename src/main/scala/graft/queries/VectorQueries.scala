@@ -741,6 +741,61 @@ object VectorQueries {
     // knn_recall_audit posture (bounded query sample, exact side oracled):
     // recall@k of the beam result vs the brute-force top-k, with the whole
     // chain — nndescent build, seed rule, every hop — replayed in SQL.
+    // MMR DIVERSITY RE-RANKING (r12) — Maximal Marginal Relevance
+    // (Carbonell & Goldstein '98), the serving-layer verb between
+    // retrieval and the consumer: greedily re-rank the brute-force top-10
+    // into 5 picks maximizing λ·relevance − (1−λ)·max-similarity-to-
+    // already-picked. At λ = ½ the argmax reduces to the INTEGER score
+    // rel4 − maxsim4 over 1e4-scaled 4dp cosines — fully exact, no float
+    // comparison anywhere in the greedy (ties → lowest id), so all four
+    // unrolled steps replay bit-identically in SQL. Scale shape: the
+    // candidate set is O(queries × k) and the pair table O(queries × k²)
+    // — bounded by the serving request, never the corpus; each step is
+    // one tiny join + argmax, lineage-cut.
+    "knn_mmr_rerank" -> ((s, dir) => {
+      val cand = graft.operators.Checkpointing.cut(bruteTopK(s, dir)
+        .select(col("q_id"), col("neighbor_id"),
+          round(col("cos") * 10000).cast("long").as("rel4")))
+      val sv = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val ce = cand.join(sv, col("neighbor_id") === col("vec_id"))
+        .select(col("q_id"), col("neighbor_id"), col("embedding"))
+      val pairs = graft.operators.Checkpointing.cut(
+        ce.as("x").join(ce.as("y"),
+            col("x.q_id") === col("y.q_id") &&
+              col("x.neighbor_id") =!= col("y.neighbor_id"))
+          .select(col("x.q_id").as("q_id"),
+            col("x.neighbor_id").as("cid"), col("y.neighbor_id").as("sid"),
+            round(round(graft.plans.CosineSim.cosine(s,
+              col("x.embedding"), col("y.embedding")), 4) * 10000)
+              .cast("long").as("sim4")))
+      val s1 = Relational.topKPerGroup(cand, Seq("q_id"),
+          Seq(col("rel4").desc, col("neighbor_id")), 1)
+        .select(col("q_id"), col("neighbor_id"), col("rel4"),
+          lit(null).cast("long").as("ms4"))
+      var picks = Seq(s1)
+      for (_ <- 2 to 5) {
+        val selIds = picks.map(_.select("q_id", "neighbor_id"))
+          .reduce(_ unionAll _)
+        val ms = pairs.join(
+            selIds.withColumnRenamed("neighbor_id", "sid"), Seq("q_id", "sid"))
+          .groupBy(col("q_id"), col("cid")).agg(max("sim4").as("ms4"))
+        val rem = cand.join(selIds, Seq("q_id", "neighbor_id"), "left_anti")
+        val scored = rem.join(ms,
+            rem("q_id") === ms("q_id") && col("neighbor_id") === col("cid"))
+          .select(rem("q_id"), col("neighbor_id"), col("rel4"), col("ms4"))
+          .withColumn("score2", col("rel4") - col("ms4"))
+        picks = picks :+ graft.operators.Checkpointing.cut(
+          Relational.topKPerGroup(scored, Seq("q_id"),
+              Seq(col("score2").desc, col("neighbor_id")), 1)
+            .select(col("q_id"), col("neighbor_id"), col("rel4"), col("ms4")))
+      }
+      picks.zipWithIndex.map { case (p, i) =>
+        p.select(col("q_id"), lit(i + 1L).as("rk"), col("neighbor_id"),
+          (col("rel4").cast("double") / 10000.0).as("rel"),
+          (col("ms4").cast("double") / 10000.0).as("max_sim_sel"))
+      }.reduce(_ unionAll _).orderBy("q_id", "rk")
+    }),
+
     "knn_graph_search" -> ((s, dir) => {
       val (beam, _) = graphBeam(s, dir, beamW = 16, hops = 3)
       beamRecallAudit(s, dir, beam).orderBy("q_id")
@@ -1321,7 +1376,74 @@ object VectorQueries {
        |SELECT q_id, rk, neighbor_id, cos FROM ranked WHERE rk <= $topK
        |ORDER BY q_id, rk""".stripMargin
 
+  /** knn_mmr_rerank's replay: brute top-10 → 1e4-scaled integer
+    * relevance/pair-sim tables → the four greedy steps unrolled, each an
+    * integer-score argmax with the (score desc, id) tie rule. Heavy CTEs
+    * MATERIALIZED (each step references cand/p/prior selections
+    * repeatedly — inlined they re-expand per step). */
+  private val mmrOracle: String = {
+    def step(t: Int): String =
+      s"""s$t AS MATERIALIZED (
+         |  SELECT q_id, neighbor_id, rel4, ms4 FROM (
+         |    SELECT c.q_id, c.neighbor_id, c.rel4, m.ms4,
+         |           row_number() OVER (PARTITION BY c.q_id
+         |             ORDER BY c.rel4 - m.ms4 DESC, c.neighbor_id) AS rn
+         |    FROM cand c
+         |    JOIN (SELECT p.q_id, p.cid, max(p.sim4) AS ms4
+         |          FROM p JOIN sel${t - 1} s ON s.q_id = p.q_id
+         |           AND s.neighbor_id = p.sid
+         |          GROUP BY 1, 2) m
+         |      ON m.q_id = c.q_id AND m.cid = c.neighbor_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
+         |                      WHERE s.q_id = c.q_id
+         |                        AND s.neighbor_id = c.neighbor_id))
+         |  WHERE rn = 1),
+         |sel$t AS MATERIALIZED (
+         |  SELECT q_id, neighbor_id FROM sel${t - 1}
+         |  UNION ALL SELECT q_id, neighbor_id FROM s$t)""".stripMargin
+    def outRow(t: Int): String =
+      s"""SELECT q_id, CAST($t AS BIGINT) AS rk, neighbor_id,
+         |       CAST(rel4 AS DOUBLE) / 10000.0 AS rel,
+         |       CAST(ms4 AS DOUBLE) / 10000.0 AS max_sim_sel FROM s$t""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |           WHERE vec_id < $nQueries),
+       |bscored AS (
+       |  SELECT q.q_id, e.vec_id AS neighbor_id,
+       |         round(list_cosine_similarity(
+       |           CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cos
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |             ORDER BY cos DESC, neighbor_id) AS rk
+       |  FROM bscored),
+       |cand AS MATERIALIZED (
+       |  SELECT q_id, neighbor_id,
+       |         CAST(round(cos * 10000) AS BIGINT) AS rel4
+       |  FROM ranked WHERE rk <= $topK),
+       |sv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |p AS MATERIALIZED (
+       |  SELECT x.q_id, x.neighbor_id AS cid, y.neighbor_id AS sid,
+       |         CAST(round(round(list_cosine_similarity(a.v, b.v), 4)
+       |              * 10000) AS BIGINT) AS sim4
+       |  FROM cand x JOIN cand y
+       |    ON x.q_id = y.q_id AND x.neighbor_id <> y.neighbor_id
+       |  JOIN sv a ON a.vec_id = x.neighbor_id
+       |  JOIN sv b ON b.vec_id = y.neighbor_id),
+       |s1 AS MATERIALIZED (
+       |  SELECT q_id, neighbor_id, rel4, CAST(NULL AS BIGINT) AS ms4
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |                   ORDER BY rel4 DESC, neighbor_id) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |sel1 AS MATERIALIZED (SELECT q_id, neighbor_id FROM s1),
+       |${(2 to 5).map(step).mkString(",\n")}
+       |SELECT * FROM (
+       |${(1 to 5).map(outRow).mkString("\nUNION ALL\n")})
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // the four-step integer-score greedy replayed exactly — see mmrOracle
+    "knn_mmr_rerank" -> mmrOracle,
     // Graduated from rows-only in r7: the Lloyd centroid fold now
     // accumulates 1e-6-quantized longs (order-free), so the whole
     // quantizer build replays — see ivfOracle above.

@@ -97,6 +97,88 @@ class Round12OpsSpec extends AnyFunSuite with SparkTestBase {
     } finally cleanup(dir)
   }
 
+  test("knn_mmr_rerank: hand-traced greedy — diversity outranks a " +
+      "redundant higher-relevance candidate at every step") {
+    // q0 = e1; candidates 10 = (.8,.6,0,0), 11 = (.6,.8,0,0) (near-dup of
+    // 10: sim .96), 12 = (.6,0,−.8,0) (diverse: sim to 10 = .48); fillers
+    // 1..4 = e2/e3/e4/−e1. Greedy at λ = ½ (integer rel4 − maxsim4):
+    //   s1 = 10 (rel .8)
+    //   s2: 11 → .6−.96 = −.36, 12 → .6−.48 = .12, e2/e3 → 0 … pick 12
+    //   s3: tie at 0 between e3(id2)/e4(id3) → lowest id 2
+    //   s4: 3 (0)   s5: 11 (−.36) — the near-dup enters LAST
+    val vecs = Seq(
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0f, 1f, 0f, 0f),
+      2L -> Seq(0f, 0f, 1f, 0f), 3L -> Seq(0f, 0f, 0f, 1f),
+      4L -> Seq(-1f, 0f, 0f, 0f),
+      10L -> Seq(0.8f, 0.6f, 0f, 0f), 11L -> Seq(0.6f, 0.8f, 0f, 0f),
+      12L -> Seq(0.6f, 0f, -0.8f, 0f))
+    val dir = toyLake("embeddings" ->
+      vecs.toDF("vec_id", "embedding"))
+    try {
+      val got = graft.queries.VectorQueries
+        .queries("knn_mmr_rerank")(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("q_id") === 0L)
+        .orderBy("rk").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSeq
+      assert(got == Seq((1L, 10L), (2L, 12L), (3L, 2L), (4L, 3L), (5L, 11L)),
+        s"got $got")
+    } finally cleanup(dir)
+  }
+
+  test("q_seq_pattern: the greedy earliest-occurrence rule — gap " +
+      "subsequences count, strict-ts means same-ts events cannot chain") {
+    // user 1: A@1, B@2, C@3, A@4 → supports (A,B,C), (B,C,A)? B@2→C@3→A@4
+    //   yes, (A,B,A)? A@1→B@2→A@4 yes; user 2: A@1, C@1 (same ts —
+    //   cannot chain), B@5 → supports only pairs-with-B as the tail
+    // ts rides the legacy long-nanos encoding: seconds apart so the
+    // ns → µs normalization keeps them distinct
+    val G = 1000000000L
+    val dir = toyLake("events" -> Seq(
+      (1L, 1L, "A", 1 * G), (2L, 1L, "B", 2 * G), (3L, 1L, "C", 3 * G),
+      (4L, 1L, "A", 4 * G),
+      (5L, 2L, "A", 1 * G), (6L, 2L, "C", 1 * G), (7L, 2L, "B", 5 * G))
+      .toDF("event_id", "user_id", "event_type", "ts"))
+    try {
+      val got = graft.queries.RelationalQueries
+        .queries("q_seq_pattern")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+          r.getLong(3)).toMap
+      assert(got(("A", "B", "C")) == 1L)
+      assert(got(("A", "B", "A")) == 1L, "gap subsequence via the later A")
+      assert(got(("B", "C", "A")) == 1L)
+      assert(!got.contains(("A", "C", "B")) || got(("A", "C", "B")) == 1L)
+      // user 2's same-ts A/C cannot chain: (A,C,B) is supported only if
+      // some user has A strictly before C strictly before B — user 1 has
+      // A@1, C@3 but no B after 3; user 2's A@1/C@1 are simultaneous
+      assert(!got.contains(("A", "C", "B")),
+        s"same-ts events must not chain: $got")
+    } finally cleanup(dir)
+  }
+
+  test("cdc_column_diff: only UPDATEs with a known before image count; " +
+      "per-column changed/unchanged is exact") {
+    // feed derives from events via ChangeFeed.fromEvents: lsn = event_id,
+    // table = users/accounts by user_id parity, op by event_type, value
+    // and props carried. user 2 (users): signup v=1.0 then update v=1.0
+    // (props same) → UNCHANGED both columns; then update v=2.0 → value
+    // changed. user 4 (users): update with NO prior → excluded.
+    val dir = toyLake("events" -> Seq(
+      (1L, 2L, "signup", 10L, 1.0, "p"),
+      (2L, 2L, "click", 20L, 1.0, "p"), // update, nothing changed
+      (3L, 2L, "click", 30L, 2.0, "p"), // update, value changed
+      (4L, 4L, "click", 40L, 9.0, "x")) // update with no before: excluded
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "props"))
+    try {
+      val got = graft.queries.CdcQueries
+        .queries("cdc_column_diff")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      assert(got(("users", "value")) == ((2L, 1L)), s"got $got")
+      assert(got(("users", "props")) == ((2L, 0L)), s"got $got")
+      assert(!got.contains(("accounts", "value")), "no accounts updates")
+    } finally cleanup(dir)
+  }
+
   test("pipeline_expectations: every rule's failure count is exact on a " +
       "lake with one planted violation per rule") {
     val dir = toyLake(
