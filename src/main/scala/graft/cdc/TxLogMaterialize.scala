@@ -54,23 +54,36 @@ object TxLogMaterialize {
     * column shape: lsn, tableName, op, pk, tsUs, value) to the table —
     * the foreachBatch body. See the class doc for the merge/replay/race
     * rules. */
+  /** The producer id this sink records its delivery watermark under —
+    * the TxLog txn (SetTransaction) bookkeeping, so OPTIMIZE/vacuum
+    * commits can interleave without colliding with batch numbering. */
+  val AppId = "cdc-materialize"
+
   def applyBatch(batch: DataFrame, table: String, batchId: Long,
       nBuckets: Int = 8): Unit = {
     val s = batch.sparkSession
     val cur = TxLog.currentVersion(s, table)
-    if (cur.exists(_ >= batchId)) {
-      val existing = TxLog.commitAt(s, table, batchId)
+    val watermark =
+      if (cur.isEmpty) None else TxLog.txnVersion(s, table, AppId)
+    if (watermark.exists(_ >= batchId)) {
+      // replay: verify the recorded commit really is this producer's
+      val entry = TxLog.commitAt(s, table,
+        TxLog.txnCommitVersion(s, table, AppId, batchId).getOrElse(
+          throw new IllegalStateException(
+            s"$table: watermark for '$AppId' covers batch $batchId but " +
+              "no commit records it — torn log")))
       val prefix = f"m$batchId%010d/"
-      require(existing.adds.forall(_.name.startsWith(prefix)),
-        s"$table: version $batchId exists but adds " +
-          s"[${existing.adds.map(_.name).mkString(",")}] are not this " +
-          s"stream's $prefix* dirs — a fresh checkpoint was pointed at a " +
-          "foreign table (misconfiguration, not a replay)")
+      require(entry.adds.forall(_.name.startsWith(prefix)),
+        s"$table: '$AppId' batch $batchId is recorded with adds " +
+          s"[${entry.adds.map(_.name).mkString(",")}] — not this stream's " +
+          s"$prefix* dirs; a fresh checkpoint was pointed at a foreign " +
+          "table under the same appId (misconfiguration, not a replay)")
       return
     }
-    require(cur == (if (batchId == 0) None else Some(batchId - 1)),
-      s"$table: batch $batchId arrived but the log head is $cur — a " +
-        "second writer shares this sink table, or batches were skipped")
+    require(watermark == (if (batchId == 0) None else Some(batchId - 1)),
+      s"$table: batch $batchId arrived but '$AppId' last delivered " +
+        s"$watermark — a second writer shares this sink table, or " +
+        "batches were skipped")
     val changes = batch.select(
       col("tableName").as("table_name"), col("pk"), col("lsn"),
       col("op"), col("tsUs").as("ts_us"), col("value"))
@@ -80,6 +93,18 @@ object TxLogMaterialize {
     // batch 0 lands on a table with no log yet — nothing live to merge
     val liveNames =
       if (cur.isEmpty) Seq.empty[String] else TxLog.liveFiles(s, table)
+    // the merge's correctness RESTS on the bucket layout (untouched
+    // buckets carry forward by dir name): a compaction that repacked the
+    // dirs would make oldDirs miss live state and the merge silently DROP
+    // every key outside this batch — loud instead (generic OPTIMIZE must
+    // not run on a live materialize sink; its small-file pressure is
+    // already bucket-bounded by construction)
+    val offLayout = liveNames.filterNot(_.matches("""m\d{10}/__bucket=\d+"""))
+    require(offLayout.isEmpty,
+      s"$table: live dirs [${offLayout.take(3).mkString(",")}…] break the " +
+        "m<batch>/__bucket=<b> layout this merge sink's bucket-granular " +
+        "carry-forward depends on — a compaction or foreign writer " +
+        "repacked the table; re-bootstrap the sink instead")
     val oldDirs = touched.flatMap(b =>
       liveNames.filter(_.endsWith(s"/__bucket=$b")).sorted)
     val oldState =
@@ -104,9 +129,12 @@ object TxLogMaterialize {
       .partitionBy("__bucket").parquet(s"$table/$parent")
     val fs = new org.apache.hadoop.fs.Path(table)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // NUMERIC sort: a lexicographic .sorted would order __bucket=10
+    // before __bucket=2 and spuriously fail this require at nBuckets ≥ 11
     val written = fs.listStatus(new org.apache.hadoop.fs.Path(s"$table/$parent"))
       .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("__bucket=")).sorted.toSeq
+      .filter(_.startsWith("__bucket=")).toSeq
+      .sortBy(_.stripPrefix("__bucket=").toLong)
     require(written.map(_.stripPrefix("__bucket=").toLong) == touched,
       s"$table: batch $batchId wrote buckets $written but touched " +
         s"$touched — merge/write drift")
@@ -115,10 +143,13 @@ object TxLogMaterialize {
       TxLog.AddFile(dir, TxLog.statsOf(
         s.read.schema(stateSchema).parquet(s"$table/$dir"), Seq("pk")))
     }
-    require(TxLog.tryCommitActions(s, table, batchId, adds, oldDirs,
-        schemaDdl = if (batchId == 0) Some(stateSchema.toDDL) else None),
-      s"$table: version $batchId was committed by another writer while " +
-        "this batch merged — two streams share one sink table")
+    val v = cur.fold(0L)(_ + 1L)
+    require(TxLog.tryCommitActions(s, table, v, adds, oldDirs,
+        schemaDdl = if (batchId == 0) Some(stateSchema.toDDL) else None,
+        txns = Seq(AppId -> batchId)),
+      s"$table: version $v was committed by another writer while this " +
+        "batch merged — two writers share one sink table; re-run the " +
+        "batch (the delivery watermark makes the retry safe)")
   }
 
   /** The live (non-tombstoned) materialized state at `asOf` — the

@@ -1050,7 +1050,12 @@ object RelationalQueries {
         .select(unix_millis(col("w.start")).as("hour_start_ms"),
           col("event_type"), col("n"),
           (col("c").cast("double") / 100.0).as("sum_value"),
-          (expr("(c * 100) div n").cast("double") / 10000.0).as("avg_value"))
+          // FLOOR division (pmod is non-negative, so the adjusted
+          // numerator divides exactly): Spark's bare `div` truncates
+          // toward zero while the oracle's `//` floors — they diverge on
+          // a negative cents sum, and nothing in the schema forbids one
+          (expr("(c * 100 - pmod(c * 100, n)) div n").cast("double")
+            / 10000.0).as("avg_value"))
         .orderBy("hour_start_ms", "event_type")),
 
     // HOPPING (sliding) windows — the streaming-SQL staple tumbling can't

@@ -57,7 +57,11 @@ import org.apache.spark.sql.types.StructType
   *    every version (the old dirs stay readable for time travel until
   *    [[vacuum]] reclaims them), only the file count drops. This is the
   *    small-file compaction a long-running streaming sink needs
-  *    (commitBatch writes one dir per micro-batch).
+  *    (commitBatch writes one dir per micro-batch) — and it can run
+  *    MID-STREAM: sink delivery is tracked by producer-transaction
+  *    records (`{"txn":appId,"v":batchId}`, the Delta SetTransaction
+  *    idea), not by commit version, so a maintenance commit between two
+  *    batches never collides with the sink's numbering (spec'd).
   *  - SCALE: the log carries FILE-level actions — O(commits) driver-side
   *    metadata, like the production table formats — never rows; a read
   *    plans an ordinary multi-dir parquet scan, so pushdown, pruning and
@@ -79,9 +83,15 @@ object TxLog {
     * envelope for `col` is provably disjoint from [lo, hi]. */
   final case class SkipRange(col: String, lo: Long, hi: Long)
 
-  /** One parsed commit. */
+  /** One parsed commit. `txns` are producer-transaction records
+    * (`{"txn":appId,"v":N}` — the Delta SetTransaction idea): "producer
+    * appId has durably delivered its batch N in this commit", the
+    * version-independent exactly-once bookkeeping that lets maintenance
+    * commits (OPTIMIZE, a second producer) interleave with a streaming
+    * sink without colliding with its batch numbering. */
   final case class CommitEntry(version: Long, adds: Seq[AddFile],
-      removes: Seq[String], schemaDdl: Option[String])
+      removes: Seq[String], schemaDdl: Option[String],
+      txns: Seq[(String, Long)] = Nil)
 
   private val LogDirName = "_log"
   private val NameRe = """(\d{10})\.json""".r
@@ -92,6 +102,7 @@ object TxLog {
     """"((?:[^"\\]|\\.)*)":\["((?:[^"\\]|\\.)*)","((?:[^"\\]|\\.)*)"\]""".r
   private val RemoveRe = """\{"remove":"((?:[^"\\]|\\.)*)"\}""".r
   private val SchemaRe = """\{"schema":"((?:[^"\\]|\\.)*)"\}""".r
+  private val TxnRe = """\{"txn":"((?:[^"\\]|\\.)*)","v":(\d+)\}""".r
   private val tmpSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def fsOf(s: SparkSession, p: Path): FileSystem =
@@ -147,7 +158,8 @@ object TxLog {
     * version on). Same optimistic-concurrency contract as [[tryCommit]]. */
   def tryCommitActions(s: SparkSession, table: String, version: Long,
       adds: Seq[AddFile], removes: Seq[String],
-      schemaDdl: Option[String] = None): Boolean = {
+      schemaDdl: Option[String] = None,
+      txns: Seq[(String, Long)] = Nil): Boolean = {
     require(version >= 0, s"negative version $version")
     val ld = new Path(table, LogDirName)
     val f = fsOf(s, ld)
@@ -168,6 +180,7 @@ object TxLog {
         }
       }
       val body = (schemaDdl.map(d => s"""{"schema":"${esc(d)}"}""").toSeq ++
+        txns.map { case (app, v) => s"""{"txn":"${esc(app)}","v":$v}""" } ++
         addLines ++ removes.map(r => s"""{"remove":"${esc(r)}"}"""))
         .mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
@@ -175,46 +188,87 @@ object TxLog {
     publishExclusive(f, tmp, dest)
   }
 
+  /** The highest batch number producer `appId` has durably recorded
+    * at-or-before `asOf` (None = head) — the replay watermark of the
+    * exactly-once sink contract. One O(commits) metadata walk. */
+  def txnVersion(s: SparkSession, table: String, appId: String,
+      asOf: Option[Long] = None): Option[Long] = {
+    val cs = commits(s, table)
+    upTo(table, cs, asOf)
+      .flatMap(_.txns.collect { case (a, v) if a == appId => v })
+      .maxOption
+  }
+
+  /** The COMMIT version that recorded producer `appId`'s batch `batchId`
+    * — the replay-verify probe (a watermark that covers the batch with no
+    * commit recording it is a torn log). */
+  def txnCommitVersion(s: SparkSession, table: String, appId: String,
+      batchId: Long): Option[Long] =
+    commits(s, table).find(_.txns.contains(appId -> batchId)).map(_.version)
+
   /** The exactly-once foreachBatch SINK rule, in one place so the gate
-    * and the restart spec share it: a batch whose version is already
-    * committed is a checkpoint-recovery replay and SKIPS (its data is
-    * durable — this is what turns at-least-once delivery into
-    * exactly-once table contents); otherwise the batch lands in an
-    * immutable data dir (overwrite absorbs a crash-partial dir from a
-    * previous attempt of this same batch) and commits as
-    * version = batchId. The create-exclusive CAS stays the loud backstop:
-    * losing it here means a SECOND writer shares this sink table — a
-    * misconfiguration, not a replay — and the batch fails rather than
-    * silently interleaving two streams' commits.
+    * and the restart spec share it. Delivery bookkeeping is the
+    * PRODUCER-TRANSACTION record (`{"txn":appId,"v":batchId}` — the Delta
+    * SetTransaction idea), NOT the commit version: a batch whose batchId
+    * is at-or-below the appId's recorded watermark is a
+    * checkpoint-recovery replay and SKIPS (its data is durable — this is
+    * what turns at-least-once delivery into exactly-once table contents);
+    * otherwise the batch lands in an immutable data dir (overwrite
+    * absorbs a crash-partial dir from a previous attempt of this same
+    * batch) and commits at HEAD+1 carrying the txn record. Because the
+    * watermark is version-independent, maintenance commits — OPTIMIZE,
+    * vacuum bookkeeping, a second producer under its own appId — can
+    * interleave with a live sink without colliding with its batch
+    * numbering (a version=batchId scheme would read the first
+    * post-compaction batch as a replay of the compaction commit and wedge
+    * the stream; spec'd).
     *
-    * The skip path VERIFIES it is a replay, not a reuse: the existing
-    * commit at version = batchId must name exactly this stream's data dir
-    * (`b%010d`). A fresh stream (new checkpoint, batch ids restarting at
-    * 0) pointed at a table some OTHER writer built would otherwise read
-    * its foreign commits as "already delivered" and silently drop every
-    * batch — the one quiet failure this file's every other path refuses.
+    * The skip path still VERIFIES it is a replay, not a reuse: the commit
+    * that recorded (appId, batchId) must name exactly this producer's
+    * data dir (`b%010d`). A fresh stream (new checkpoint, batch ids
+    * restarting at 0) pointed at a table some OTHER producer built under
+    * the SAME appId would otherwise read its foreign records as "already
+    * delivered" and silently drop every batch — the one quiet failure
+    * this file's every other path refuses. (Distinct producers use
+    * distinct appIds and simply append — the multi-producer contract.)
     *
     * `statsCols` (optional) records per-dir min/max for those columns in
     * the commit — one bounded aggregate over the just-written dir
     * (footer-cheap on parquet) — so downstream reads can data-skip. */
   def commitBatch(batch: DataFrame, table: String, batchId: Long,
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil, appId: String = "stream"): Unit = {
     val s = batch.sparkSession
-    val name = f"b$batchId%010d"
-    if (currentVersion(s, table).exists(_ >= batchId)) {
-      val existing = commitAt(s, table, batchId)
-      require(existing.adds.map(_.name) == Seq(name),
-        s"$table: version $batchId exists but adds " +
-          s"[${existing.adds.map(_.name).mkString(",")}], not the expected " +
-          s"[$name] — this table was not built by this stream (a fresh " +
-          "checkpoint pointed at a foreign table is a misconfiguration, " +
-          "not a replay)")
+    require(appId.matches("""[A-Za-z0-9._-]+"""),
+      s"appId '$appId' must be a plain path-safe token (it names data dirs)")
+    // producer-scoped dir naming: two producers delivering the same
+    // batchId must not collide on one path (the default producer keeps
+    // the historical bare name)
+    val name =
+      if (appId == "stream") f"b$batchId%010d" else f"b-$appId-$batchId%010d"
+    val head = currentVersion(s, table)
+    val watermark =
+      if (head.isEmpty) None else txnVersion(s, table, appId)
+    if (watermark.exists(_ >= batchId)) {
+      val rec = commitAt(s, table,
+        txnCommitVersion(s, table, appId, batchId).getOrElse(
+          throw new IllegalStateException(
+            s"$table: watermark for '$appId' covers batch $batchId but no " +
+              "commit records it — torn log")))
+      require(rec.adds.map(_.name) == Seq(name),
+        s"$table: '$appId' batch $batchId is recorded at v${rec.version} " +
+          s"with adds [${rec.adds.map(_.name).mkString(",")}], not the " +
+          s"expected [$name] — this table was not built by this stream " +
+          "(a fresh checkpoint pointed at a foreign table under the same " +
+          "appId is a misconfiguration, not a replay)")
     } else {
       batch.write.mode("overwrite").parquet(s"$table/$name")
       val stats = statsOf(s.read.parquet(s"$table/$name"), statsCols)
-      require(tryCommitActions(s, table, batchId, Seq(AddFile(name, stats)), Nil),
-        s"$table: version $batchId was committed by another writer while " +
-          "this batch wrote its data — two streams share one sink table")
+      val v = head.fold(0L)(_ + 1L)
+      require(tryCommitActions(s, table, v, Seq(AddFile(name, stats)), Nil,
+          txns = Seq(appId -> batchId)),
+        s"$table: version $v was committed by another writer while this " +
+          "batch wrote its data — two writers share one sink table; " +
+          "re-run the batch (the replay watermark makes the retry safe)")
     }
   }
 
@@ -248,12 +302,14 @@ object TxLog {
   /** Parse one commit body — shared by the full log walk and the
     * single-version probe so the strict-parse loudness cannot drift. */
   private def parseCommit(table: String, v: Long,
-      text: String): (Seq[AddFile], Seq[String], Option[String]) = {
+      text: String): (Seq[AddFile], Seq[String], Option[String], Seq[(String, Long)]) = {
     val adds = Seq.newBuilder[AddFile]
     val removes = Seq.newBuilder[String]
+    val txns = Seq.newBuilder[(String, Long)]
     var schemaDdl: Option[String] = None
     text.split("\n").filter(_.nonEmpty).foreach {
       case SchemaRe(d) => schemaDdl = Some(unesc(d))
+      case TxnRe(app, bv) => txns += (unesc(app) -> bv.toLong)
       case AddRe(a) => adds += AddFile(unesc(a))
       case AddStatsRe(a, body) =>
         val ms = StatEntryRe.findAllMatchIn(body).toSeq
@@ -265,7 +321,7 @@ object TxLog {
       case other => throw new IllegalArgumentException(
         s"$table v$v: unrecognized action $other")
     }
-    (adds.result(), removes.result(), schemaDdl)
+    (adds.result(), removes.result(), schemaDdl, txns.result())
   }
 
   private def readLogFile(f: FileSystem, ld: Path, v: Long): String = {
@@ -281,9 +337,9 @@ object TxLog {
     val f = fsOf(s, ld)
     require(f.exists(new Path(ld, f"$version%010d.json")),
       s"$table: no commit at v$version")
-    val (adds, removes, ddl) = parseCommit(table, version,
+    val (adds, removes, ddl, txns) = parseCommit(table, version,
       readLogFile(f, ld, version))
-    CommitEntry(version, adds, removes, ddl)
+    CommitEntry(version, adds, removes, ddl, txns)
   }
 
   /** Contiguity-validated, strictly parsed log walk — THE shared
@@ -302,8 +358,8 @@ object TxLog {
       s"$table: log has a GAP (${versions.mkString(",")}) — torn log, " +
         "refusing to read a partial table")
     versions.map { v =>
-      val (adds, removes, ddl) = parseCommit(table, v, readLogFile(f, ld, v))
-      CommitEntry(v, adds, removes, ddl)
+      val (adds, removes, ddl, txns) = parseCommit(table, v, readLogFile(f, ld, v))
+      CommitEntry(v, adds, removes, ddl, txns)
     }
   }
 

@@ -349,30 +349,53 @@ object CdcStream {
     // (r12, closing the TOCTOU a review found): without it, a contender
     // that stat'd the corpse could fs.delete AFTER another breaker already
     // broke it and a third writer created a FRESH lock — deleting the live
-    // lock and letting two writers into the check-and-swap. With the
-    // breaker: only its O_EXCL winner may delete, and it RE-STATS the lock
-    // inside the breaker section — a corpse can only vanish through here,
-    // so between the re-stat and the delete nobody else can remove it or
-    // put a fresh lock in its place; a fresh mtime on re-stat means the
-    // corpse was already broken and relocked, and the breaker backs off.
-    // A breaker orphaned by a crash mid-break gets the same lease rule.
+    // lock and letting two writers into the check-and-swap. And every
+    // REMOVAL here — the corpse itself AND an orphaned breaker — goes
+    // through [[stealStale]]: rename to a unique per-process tomb (atomic;
+    // exactly one stealer wins), then verify the TOMB's mtime (rename
+    // preserves it, and the tomb is exclusively ours, so the verify cannot
+    // race) before deleting; a tomb that turns out FRESH — the path was
+    // broken and re-taken between our stat and our rename — is renamed
+    // straight back. So a fresh lock/breaker is never DELETED by a racing
+    // breaker; the residual exposure is the microseconds a mistakenly
+    // renamed fresh file spends off-path before restore, which requires a
+    // crashed breaker plus three interleaved contenders inside one stat
+    // window — and is bounded by the same lease assumption (staleMs ≫ the
+    // milliseconds a live section lasts) the whole recovery rests on.
     val staleMs = 120000L
     val breakerPath = new org.apache.hadoop.fs.Path(base, "_pointer.lock.breaker")
+    def stealStale(p: org.apache.hadoop.fs.Path, what: String): Boolean = {
+      val tomb = new org.apache.hadoop.fs.Path(base,
+        s"${p.getName}.tomb-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+      val renamed = try fs.rename(p, tomb)
+      catch { case _: java.io.IOException => false }
+      if (!renamed) false // another stealer won, or the path vanished
+      else if (ageOf(tomb) > staleMs) {
+        System.err.println(s"[snapshot] broke stale $what $p " +
+          s"(lease ${staleMs}ms) — a crashed writer left it")
+        fs.delete(tomb, false)
+        true
+      } else {
+        // we grabbed a FRESH file (broken + re-taken since our stat):
+        // restore it; if its path was re-created meanwhile, the new
+        // occupant stands and our copy is dropped (its owner's
+        // finally-delete tolerates an already-missing path)
+        if (!fs.rename(tomb, p)) fs.delete(tomb, false)
+        false
+      }
+    }
     var brokeStale = false
     val deadline = System.currentTimeMillis + 30000
     while (!tryLock()) {
       if (!brokeStale && ageOf(lockPath) > staleMs) {
-        if (ageOf(breakerPath) > staleMs) fs.delete(breakerPath, false)
+        if (ageOf(breakerPath) > staleMs) stealStale(breakerPath, "breaker")
         if (tryCreateExclusive(breakerPath)) {
           try {
-            val age = ageOf(lockPath) // re-stat INSIDE the breaker section
-            if (age > staleMs) {
-              System.err.println(
-                s"[snapshot] breaking stale pointer lock $lockPath (age " +
-                  s"${age}ms > ${staleMs}ms) — a crashed writer left it")
-              fs.delete(lockPath, false)
-              ()
-            }
+            // re-stat INSIDE the breaker section; the delete itself is
+            // still rename-verified — defense in depth against a second
+            // breaker that slipped past a broken-and-relocked window
+            if (ageOf(lockPath) > staleMs) stealStale(lockPath, "pointer lock")
+            ()
           } finally {
             fs.delete(breakerPath, false)
             ()

@@ -135,21 +135,52 @@ class TxLogV2Spec extends AnyFunSuite with SparkTestBase {
     assert(vals(None) == before, "the packed head survives the vacuum")
   }
 
-  test("commitBatch replay-vs-reuse: a fresh stream pointed at a foreign " +
-      "table fails loudly instead of reading its commits as delivered") {
+  test("commitBatch exactly-once via producer-txn records: replays skip, " +
+      "a second producer appends, same-appId reuse fails loudly") {
+    // a true replay (the txn record names this producer's dir) skips
     val t = freshTable()
-    // a FOREIGN writer built v0 with its own dir naming
-    Seq((1L, 1L)).toDF("x", "y").coalesce(1).write.parquet(s"$t/foreign0")
-    assert(TxLog.tryCommit(spark, t, 0L, Seq("foreign0"), Nil))
-    val e = intercept[IllegalArgumentException](
-      TxLog.commitBatch(Seq((2L, 2L)).toDF("x", "y"), t, 0L))
-    assert(e.getMessage.contains("not built by this stream"))
-    // whereas a true replay (the commit names this stream's own dir) skips
-    val t2 = freshTable()
-    TxLog.commitBatch(Seq((1L, 1L)).toDF("x", "y"), t2, 0L)
-    TxLog.commitBatch(Seq((9L, 9L)).toDF("x", "y"), t2, 0L) // replay: no-op
-    assert(TxLog.read(spark, t2, xySchema).collect().map(_.getLong(0)).toSeq
+    TxLog.commitBatch(Seq((1L, 1L)).toDF("x", "y"), t, 0L)
+    TxLog.commitBatch(Seq((9L, 9L)).toDF("x", "y"), t, 0L) // replay: no-op
+    assert(TxLog.read(spark, t, xySchema).collect().map(_.getLong(0)).toSeq
       == Seq(1L))
+    assert(TxLog.txnVersion(spark, t, "stream").contains(0L))
+    // a DIFFERENT producer (its own appId) appends — the multi-producer
+    // contract; neither watermark disturbs the other
+    TxLog.commitBatch(Seq((5L, 5L)).toDF("x", "y"), t, 0L, appId = "other")
+    assert(TxLog.read(spark, t, xySchema).count() == 2L)
+    assert(TxLog.txnVersion(spark, t, "other").contains(0L))
+    // same-appId REUSE (a txn record whose commit carries foreign-named
+    // dirs — a fresh checkpoint pointed at a table another 'stream'
+    // producer built differently) is loud, never a silent drop
+    val t2 = freshTable()
+    Seq((1L, 1L)).toDF("x", "y").coalesce(1).write.parquet(s"$t2/alien")
+    assert(TxLog.tryCommitActions(spark, t2, 0L, Seq(TxLog.AddFile("alien")),
+      Nil, txns = Seq("stream" -> 0L)))
+    val e = intercept[IllegalArgumentException](
+      TxLog.commitBatch(Seq((2L, 2L)).toDF("x", "y"), t2, 0L))
+    assert(e.getMessage.contains("not built by this stream"))
+  }
+
+  test("commitBatch survives a mid-stream OPTIMIZE: maintenance commits " +
+      "never collide with batch numbering, and post-compaction replays " +
+      "still skip") {
+    val t = freshTable()
+    TxLog.commitBatch(Seq((0L, 0L)).toDF("x", "y"), t, 0L) // v0
+    TxLog.commitBatch(Seq((1L, 1L)).toDF("x", "y"), t, 1L) // v1
+    // maintenance interleaves: OPTIMIZE commits v2
+    assert(TxLog.optimize(spark, t, Some(xySchema)).contains(2L))
+    // the next batch lands at v3 — under version=batchId bookkeeping this
+    // exact step read the compaction commit as its own replay and wedged
+    TxLog.commitBatch(Seq((2L, 2L)).toDF("x", "y"), t, 2L)
+    assert(TxLog.currentVersion(spark, t).contains(3L))
+    assert(TxLog.read(spark, t, xySchema).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(0L, 1L, 2L))
+    // a full fresh-checkpoint recovery replay (batches 0..2) changes nothing
+    (0L to 2L).foreach(b =>
+      TxLog.commitBatch(Seq((99L, 99L)).toDF("x", "y"), t, b))
+    assert(TxLog.currentVersion(spark, t).contains(3L))
+    assert(TxLog.read(spark, t, xySchema).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(0L, 1L, 2L))
   }
 
   test("optimizeClustered: a no-locality table gains 2-dim data skipping " +
@@ -282,12 +313,14 @@ class TxLogV2Spec extends AnyFunSuite with SparkTestBase {
   test("TxLogMaterialize is loud on misconfiguration: a foreign table, " +
       "and a skipped batch") {
     val t = freshTable()
-    // foreign: someone else's commit at v0
+    // foreign: someone else's commit at v0 — its dirs break the bucket
+    // layout the merge's carry-forward depends on, and the layout guard
+    // fires before any state could be silently dropped
     Seq((1L, 1L)).toDF("x", "y").coalesce(1).write.parquet(s"$t/alien")
     assert(TxLog.tryCommit(spark, t, 0L, Seq("alien"), Nil))
     val e1 = intercept[IllegalArgumentException](TxLogMaterialize.applyBatch(
       changes((1L, "users", "INSERT", 1L, 1L, 1.0)), t, 0L))
-    assert(e1.getMessage.contains("foreign table"))
+    assert(e1.getMessage.contains("bucket-granular carry-forward"))
     // gap: batch 2 arriving on a head of None
     val t2 = freshTable()
     val e2 = intercept[IllegalArgumentException](TxLogMaterialize.applyBatch(
