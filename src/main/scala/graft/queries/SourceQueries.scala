@@ -87,6 +87,10 @@ object SourceQueries {
     * four no-locality commits rewritten into 8 Morton range slices. */
   private val txlogZoptMemo = new graft.operators.SessionMemo[String]
 
+  /** The checkpointed TxLog table for src_txlog_checkpoint — four
+    * commits, a log checkpoint at v3, two more commits. */
+  private val txlogCkptMemo = new graft.operators.SessionMemo[String]
+
   private val sinkSchemaDdl =
     "event_id LONG, user_id LONG, event_type STRING, ts_us LONG, v4 LONG"
 
@@ -668,6 +672,49 @@ object SourceQueries {
         .orderBy("event_type")
     }),
 
+    // LOG CHECKPOINT (r12): the Delta-checkpoint idea — TxLog.checkpoint
+    // snapshots the replay state (live adds + schema + producer
+    // watermarks) at the head into one _ckpt file, and every planning
+    // verb reads the latest checkpoint plus the commit SUFFIX instead of
+    // the whole log — O(suffix) planning, which is what keeps a
+    // long-running sink's per-batch watermark probe from going
+    // O(commits²) over its lifetime (and what enables pre-checkpoint log
+    // truncation in production). The table: four sixths-commits, a
+    // checkpoint at v3, two more commits. The gate reads THREE snapshot
+    // classes — v1 (before the checkpoint: the full-walk fallback), v3
+    // (exactly the checkpoint: pure snapshot read), head v5 (checkpoint +
+    // 2-commit suffix) — and hashes each against the slice-membership
+    // rule over the original parquet: checkpointed and unchecked planning
+    // must be indistinguishable in results.
+    "src_txlog_checkpoint" -> ((s, dir) => {
+      import graft.sources.TxLog
+      val table = txlogCkptMemo.get(s, dir) {
+        val tmp = graft.streaming.StreamGate
+          .sessionTempDir("graft-txlog-ckpt") { td =>
+            val tbl = s"$td/table"
+            val docs = Tables(s, dir, "documents")
+            def commitSlice(k: Int): Unit = {
+              docs.filter(pmod(col("doc_id"), lit(6)) === k)
+                .write.parquet(s"$tbl/p$k")
+              require(TxLog.tryCommit(s, tbl, k.toLong, Seq(s"p$k"), Nil),
+                s"v$k conflicted under a single writer")
+            }
+            (0 until 4).foreach(commitSlice)
+            require(TxLog.checkpoint(s, tbl) == 3L,
+              "checkpoint must cover head v3")
+            (4 until 6).foreach(commitSlice)
+          }
+        s"$tmp/table"
+      }
+      Seq(1L, 3L, 5L).map { v =>
+        TxLog.read(s, table, docSchema, Some(v))
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+            sum(rowCheck(record)).as("checksum"))
+          .select(lit(v).as("version"), col("n_docs"), col("sum_chars"),
+            col("checksum"))
+      }.reduce(_ unionAll _).orderBy("version")
+    }),
+
     // INCREMENTAL CHANGE READ (r12): the change-data-feed consumer
     // contract on the append-only sink table — `TxLog.readChanges` hands
     // a consumer exactly the rows committed in a version window (the dirs
@@ -830,6 +877,25 @@ object SourceQueries {
         |FROM e, b
         |WHERE ts_us >= tlo + tspan AND ts_us <= tlo + 2 * tspan - 1
         |  AND user_id >= ulo AND user_id <= ulo + uq
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // slice membership per version (the src_txlog_optimize posture):
+    // v1 = sixths {0,1}, v3 = {0..3}, v5 = everything — checkpointed and
+    // full-walk planning must hash identically
+    "src_txlog_checkpoint" ->
+      """SELECT CAST(v.version AS BIGINT) AS version,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(('0x' || substr(md5(
+        |                coalesce(doc_id::VARCHAR, chr(1)) || '|' ||
+        |                coalesce(lang, chr(1)) || '|' ||
+        |                coalesce(n_chars::VARCHAR, chr(1)) || '|' ||
+        |                coalesce(text, chr(1))), 1, 12))::BIGINT
+        |                % 1000000007) AS BIGINT) AS checksum
+        |FROM documents d
+        |JOIN (SELECT 1 AS version UNION ALL SELECT 3
+        |      UNION ALL SELECT 5) v
+        |  ON d.doc_id % 6 <= v.version
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // segment membership replayed by the chunk quartile rule: versions

@@ -103,6 +103,7 @@ object TxLog {
   private val RemoveRe = """\{"remove":"((?:[^"\\]|\\.)*)"\}""".r
   private val SchemaRe = """\{"schema":"((?:[^"\\]|\\.)*)"\}""".r
   private val TxnRe = """\{"txn":"((?:[^"\\]|\\.)*)","v":(\d+)\}""".r
+  private val CkptRe = """_ckpt\.(\d{10})\.json""".r
   private val tmpSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def fsOf(s: SparkSession, p: Path): FileSystem =
@@ -170,34 +171,113 @@ object TxLog {
       s".tmp-$version-${ProcessHandle.current().pid()}-${tmpSeq.incrementAndGet()}")
     val out = f.create(tmp, true)
     try {
-      val addLines = adds.map { a =>
-        if (a.stats.isEmpty) s"""{"add":"${esc(a.name)}"}"""
-        else {
-          val body = a.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
-            s""""${esc(c)}":["${esc(lo)}","${esc(hi)}"]"""
-          }.mkString(",")
-          s"""{"add":"${esc(a.name)}","stats":{$body}}"""
-        }
-      }
       val body = (schemaDdl.map(d => s"""{"schema":"${esc(d)}"}""").toSeq ++
         txns.map { case (app, v) => s"""{"txn":"${esc(app)}","v":$v}""" } ++
-        addLines ++ removes.map(r => s"""{"remove":"${esc(r)}"}"""))
+        adds.map(addLine) ++ removes.map(r => s"""{"remove":"${esc(r)}"}"""))
         .mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
     publishExclusive(f, tmp, dest)
   }
 
+  /** One add action rendered — shared by commits and checkpoints so the
+    * grammar cannot drift. */
+  private def addLine(a: AddFile): String =
+    if (a.stats.isEmpty) s"""{"add":"${esc(a.name)}"}"""
+    else {
+      val body = a.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        s""""${esc(c)}":["${esc(lo)}","${esc(hi)}"]"""
+      }.mkString(",")
+      s"""{"add":"${esc(a.name)}","stats":{$body}}"""
+    }
+
+  /** LOG CHECKPOINT (the Delta checkpoint idea): snapshot the replay
+    * state at the current head — live adds (stats included), the
+    * governing schema, every producer's delivery watermark — into ONE
+    * `_log/_ckpt.<head>.json` (same action grammar as a commit, atomic
+    * create-exclusive publish; two racing checkpointers of one head write
+    * identical content and exactly one wins). Read PLANNING (liveAdds /
+    * logSchema / txnVersion / read) then costs the checkpoint plus the
+    * commits AFTER it instead of the whole log — O(suffix), which turns a
+    * long-running sink's per-batch watermark probe from O(commits) to
+    * O(commits since last checkpoint). Commit files are NOT deleted:
+    * history/vacuum/time-travel-before-the-checkpoint still walk the full
+    * validated log (and log truncation — dropping pre-checkpoint commit
+    * files — is the production step this enables). Returns the
+    * checkpointed head version. */
+  def checkpoint(s: SparkSession, table: String): Long = {
+    val cs = commits(s, table) // the one full validated walk this pays
+    val head = cs.last.version
+    val live = replay(table, cs)
+    val ddl = cs.flatMap(_.schemaDdl).lastOption
+    val marks = cs.flatMap(_.txns).groupBy(_._1).toSeq
+      .map { case (a, vs) => a -> vs.map(_._2).max }.sortBy(_._1)
+    val ld = new Path(table, LogDirName)
+    val f = fsOf(s, ld)
+    val dest = new Path(ld, f"_ckpt.$head%010d.json")
+    if (f.exists(dest)) return head // already checkpointed at this head
+    val tmp = new Path(ld,
+      s".tmpckpt-$head-${ProcessHandle.current().pid()}-${tmpSeq.incrementAndGet()}")
+    val out = f.create(tmp, true)
+    try {
+      val body = (ddl.map(d => s"""{"schema":"${esc(d)}"}""").toSeq ++
+        marks.map { case (a, v) => s"""{"txn":"${esc(a)}","v":$v}""" } ++
+        live.map(addLine)).mkString("", "\n", "\n")
+      out.write(body.getBytes("UTF-8"))
+    } finally out.close()
+    publishExclusive(f, tmp, dest)
+    head
+  }
+
+  /** The planning entry list for the snapshot at `asOf`: the latest
+    * checkpoint at-or-before it (as a synthetic base entry) plus the
+    * commits after it — or the full validated walk when no checkpoint
+    * covers the range. Every read-planning verb goes through here, so
+    * checkpointed and unchecked tables plan through ONE code path. */
+  private def planEntries(s: SparkSession, table: String,
+      asOf: Option[Long]): Seq[CommitEntry] = {
+    val ld = new Path(table, LogDirName)
+    val f = fsOf(s, ld)
+    require(f.exists(ld), s"$table has no $LogDirName — not a TxLog table")
+    val names = f.listStatus(ld).toSeq.map(_.getPath.getName)
+    val versions = names.collect { case NameRe(v) => v.toLong }.sorted
+    require(versions.nonEmpty, s"$table: empty $LogDirName")
+    val head = versions.last
+    asOf.foreach(v => require(v >= 0 && v <= head,
+      s"$table: time travel to v$v but the table head is v$head"))
+    val target = asOf.getOrElse(head)
+    names.collect { case CkptRe(v) => v.toLong }.filter(_ <= target)
+      .maxOption match {
+      case Some(cv) =>
+        val in = f.open(new Path(ld, f"_ckpt.$cv%010d.json"))
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val (adds, removes, ddl, txns) = parseCommit(table, cv, text)
+        require(removes.isEmpty,
+          s"$table: checkpoint $cv carries removes — corrupted checkpoint")
+        val suffixVs = versions.filter(v => v > cv && v <= target)
+        require(suffixVs == ((cv + 1) to target),
+          s"$table: log has a GAP after checkpoint $cv " +
+            s"(${suffixVs.mkString(",")}) — torn log")
+        CommitEntry(cv, adds, Nil, ddl, txns) +: suffixVs.map { v =>
+          val (a, r, d, t) = parseCommit(table, v, readLogFile(f, ld, v))
+          CommitEntry(v, a, r, d, t)
+        }
+      case None => upTo(table, commits(s, table), asOf)
+    }
+  }
+
   /** The highest batch number producer `appId` has durably recorded
     * at-or-before `asOf` (None = head) — the replay watermark of the
-    * exactly-once sink contract. One O(commits) metadata walk. */
+    * exactly-once sink contract. Checkpoint-accelerated like every
+    * planning verb: the latest [[checkpoint]] carries each producer's
+    * watermark, so a sink probing this per batch reads O(commits since
+    * the last checkpoint), not the whole log. */
   def txnVersion(s: SparkSession, table: String, appId: String,
-      asOf: Option[Long] = None): Option[Long] = {
-    val cs = commits(s, table)
-    upTo(table, cs, asOf)
+      asOf: Option[Long] = None): Option[Long] =
+    planEntries(s, table, asOf)
       .flatMap(_.txns.collect { case (a, v) if a == appId => v })
       .maxOption
-  }
 
   /** The COMMIT version that recorded producer `appId`'s batch `batchId`
     * — the replay-verify probe (a watermark that covers the batch with no
@@ -391,10 +471,11 @@ object TxLog {
       asOf: Option[Long] = None): Seq[String] =
     liveAdds(s, table, asOf).map(_.name)
 
-  /** [[liveFiles]] with each add's recorded stats — the pruning input. */
+  /** [[liveFiles]] with each add's recorded stats — the pruning input.
+    * Checkpoint-accelerated: plans from the latest checkpoint + suffix. */
   def liveAdds(s: SparkSession, table: String,
       asOf: Option[Long] = None): Seq[AddFile] =
-    replay(table, upTo(table, commits(s, table), asOf))
+    replay(table, planEntries(s, table, asOf))
 
   /** Prune `adds` by the query's BETWEEN bounds: a file is dropped iff
     * some bound's recorded envelope is provably disjoint. Conservative on
@@ -425,7 +506,7 @@ object TxLog {
     * schemas only, unverified, as before). */
   def logSchema(s: SparkSession, table: String,
       asOf: Option[Long] = None): Option[StructType] =
-    upTo(table, commits(s, table), asOf)
+    planEntries(s, table, asOf)
       .flatMap(_.schemaDdl).lastOption.map(StructType.fromDDL)
 
   /** VACUUM: physically delete data dirs that are no longer live at ANY
@@ -656,8 +737,9 @@ object TxLog {
     if (horizon >= 0) asOf.foreach(v => require(v >= horizon,
       s"$table: v$v was VACUUMED (retention horizon v$horizon) — its " +
         "data files are gone; a silent partial read is not offered"))
-    val cs = commits(s, table)
-    val governed = upTo(table, cs, asOf)
+    // checkpoint-accelerated planning: the latest checkpoint ≤ asOf plus
+    // the commit suffix — O(suffix), not O(commits)
+    val governed = planEntries(s, table, asOf)
     governed.flatMap(_.schemaDdl).lastOption.map(StructType.fromDDL).foreach {
       recorded =>
         schema.fields.foreach { fld =>

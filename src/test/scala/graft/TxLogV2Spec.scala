@@ -251,6 +251,41 @@ class TxLogV2Spec extends AnyFunSuite with SparkTestBase {
     assert(e3.getMessage.contains("the head is"))
   }
 
+  test("log checkpoint: planning from the snapshot + suffix is " +
+      "indistinguishable from the full walk, watermarks survive, and " +
+      "pre-checkpoint log truncation keeps the covered range readable") {
+    val t = freshTable()
+    // batches 0..2 through the exactly-once sink, then a checkpoint,
+    // then batch 3 — versions 0..3, ckpt at v2
+    (0L to 2L).foreach(b =>
+      TxLog.commitBatch(Seq((b, b * 7)).toDF("x", "y"), t, b))
+    assert(TxLog.checkpoint(spark, t) == 2L)
+    TxLog.commitBatch(Seq((3L, 21L)).toDF("x", "y"), t, 3L)
+    def xs(asOf: Option[Long]) = TxLog.read(spark, t, xySchema, asOf)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // head = ckpt + suffix; v2 = pure snapshot; v1 = pre-ckpt full walk
+    assert(xs(None) == Seq(0L, 1L, 2L, 3L))
+    assert(xs(Some(2L)) == Seq(0L, 1L, 2L))
+    assert(xs(Some(1L)) == Seq(0L, 1L))
+    // the producer watermark reads through the checkpoint: replays skip
+    assert(TxLog.txnVersion(spark, t, "stream").contains(3L))
+    TxLog.commitBatch(Seq((99L, 99L)).toDF("x", "y"), t, 1L) // replay
+    assert(xs(None) == Seq(0L, 1L, 2L, 3L))
+    // checkpointing again at the new head is cheap and idempotent
+    assert(TxLog.checkpoint(spark, t) == 3L)
+    assert(TxLog.checkpoint(spark, t) == 3L)
+    // LOG TRUNCATION: drop a pre-checkpoint commit file — planning at or
+    // after the checkpoint still works (the snapshot covers it), while
+    // time travel BEFORE it fails loudly as the torn range it now is
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(t, "_log/0000000001.json"), false)
+    assert(xs(None) == Seq(0L, 1L, 2L, 3L))
+    assert(xs(Some(2L)) == Seq(0L, 1L, 2L))
+    val e = intercept[IllegalArgumentException](xs(Some(1L)))
+    assert(e.getMessage.contains("GAP"))
+  }
+
   private def changes(rows: (Long, String, String, Long, Long, Double)*) =
     rows.toDF("lsn", "tableName", "op", "pk", "tsUs", "value")
 
