@@ -62,22 +62,21 @@ object TxLogMaterialize {
   def applyBatch(batch: DataFrame, table: String, batchId: Long,
       nBuckets: Int = 8): Unit = {
     val s = batch.sparkSession
-    val cur = TxLog.currentVersion(s, table)
-    val watermark =
-      if (cur.isEmpty) None else TxLog.txnVersion(s, table, AppId)
+    val st = TxLog.planState(s, table) // ONE checkpoint-accelerated walk
+    val watermark = st.txnWatermarks.get(AppId)
+    val prefix = f"m$batchId%010d/"
     if (watermark.exists(_ >= batchId)) {
-      // replay: verify the recorded commit really is this producer's
-      val entry = TxLog.commitAt(s, table,
-        TxLog.txnCommitVersion(s, table, AppId, batchId).getOrElse(
-          throw new IllegalStateException(
-            s"$table: watermark for '$AppId' covers batch $batchId but " +
-              "no commit records it — torn log")))
-      val prefix = f"m$batchId%010d/"
-      require(entry.adds.forall(_.name.startsWith(prefix)),
-        s"$table: '$AppId' batch $batchId is recorded with adds " +
-          s"[${entry.adds.map(_.name).mkString(",")}] — not this stream's " +
-          s"$prefix* dirs; a fresh checkpoint was pointed at a foreign " +
-          "table under the same appId (misconfiguration, not a replay)")
+      // replay: verify the recording commit when still in the suffix; a
+      // batch recorded at-or-before the log checkpoint is subsumed by
+      // the snapshot (its live set reflects the delivery, and its commit
+      // may be truncated away)
+      st.suffix.find(_.txns.contains(AppId -> batchId)).foreach { entry =>
+        require(entry.adds.forall(_.name.startsWith(prefix)),
+          s"$table: '$AppId' batch $batchId is recorded with adds " +
+            s"[${entry.adds.map(_.name).mkString(",")}] — not this stream's " +
+            s"$prefix* dirs; a fresh checkpoint was pointed at a foreign " +
+            "table under the same appId (misconfiguration, not a replay)")
+      }
       return
     }
     require(watermark == (if (batchId == 0) None else Some(batchId - 1)),
@@ -90,9 +89,15 @@ object TxLogMaterialize {
     // touched buckets: bounded by nBuckets — a documented O(B) pull
     val touched = changes.select(bucketOf(nBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).sorted.toSeq
-    // batch 0 lands on a table with no log yet — nothing live to merge
-    val liveNames =
-      if (cur.isEmpty) Seq.empty[String] else TxLog.liveFiles(s, table)
+    val liveNames = st.liveAdds.map(_.name)
+    // overwrite guard (mirrors commitBatch): a live dir under this
+    // batch's parent means a producer without txn records (or a foreign
+    // one) delivered it — the overwrite-write below would destroy live
+    // state before any commit could fail; loud instead
+    require(!liveNames.exists(_.startsWith(prefix)),
+      s"$table: live dirs under $prefix exist but '$AppId' has no " +
+        s"delivery record for batch $batchId — refusing to overwrite " +
+        "live data (pre-txn table or foreign producer)")
     // the merge's correctness RESTS on the bucket layout (untouched
     // buckets carry forward by dir name): a compaction that repacked the
     // dirs would make oldDirs miss live state and the merge silently DROP
@@ -143,13 +148,14 @@ object TxLogMaterialize {
       TxLog.AddFile(dir, TxLog.statsOf(
         s.read.schema(stateSchema).parquet(s"$table/$dir"), Seq("pk")))
     }
-    val v = cur.fold(0L)(_ + 1L)
+    val v = st.head.fold(0L)(_ + 1L)
     require(TxLog.tryCommitActions(s, table, v, adds, oldDirs,
         schemaDdl = if (batchId == 0) Some(stateSchema.toDDL) else None,
         txns = Seq(AppId -> batchId)),
       s"$table: version $v was committed by another writer while this " +
         "batch merged — two writers share one sink table; re-run the " +
         "batch (the delivery watermark makes the retry safe)")
+    TxLog.maybeAutoCheckpoint(s, table, v)
   }
 
   /** The live (non-tombstoned) materialized state at `asOf` — the

@@ -165,19 +165,8 @@ object TxLog {
     val ld = new Path(table, LogDirName)
     val f = fsOf(s, ld)
     f.mkdirs(ld)
-    val dest = new Path(ld, f"$version%010d.json")
-    if (f.exists(dest)) return false // cheap fast-path; the publish re-checks
-    val tmp = new Path(ld,
-      s".tmp-$version-${ProcessHandle.current().pid()}-${tmpSeq.incrementAndGet()}")
-    val out = f.create(tmp, true)
-    try {
-      val body = (schemaDdl.map(d => s"""{"schema":"${esc(d)}"}""").toSeq ++
-        txns.map { case (app, v) => s"""{"txn":"${esc(app)}","v":$v}""" } ++
-        adds.map(addLine) ++ removes.map(r => s"""{"remove":"${esc(r)}"}"""))
-        .mkString("", "\n", "\n")
-      out.write(body.getBytes("UTF-8"))
-    } finally out.close()
-    publishExclusive(f, tmp, dest)
+    writeExclusive(f, ld, f"$version%010d.json", version.toString,
+      schemaDdl, txns, adds, removes)
   }
 
   /** One add action rendered — shared by commits and checkpoints so the
@@ -191,42 +180,73 @@ object TxLog {
       s"""{"add":"${esc(a.name)}","stats":{$body}}"""
     }
 
-  /** LOG CHECKPOINT (the Delta checkpoint idea): snapshot the replay
-    * state at the current head — live adds (stats included), the
-    * governing schema, every producer's delivery watermark — into ONE
-    * `_log/_ckpt.<head>.json` (same action grammar as a commit, atomic
-    * create-exclusive publish; two racing checkpointers of one head write
-    * identical content and exactly one wins). Read PLANNING (liveAdds /
-    * logSchema / txnVersion / read) then costs the checkpoint plus the
-    * commits AFTER it instead of the whole log — O(suffix), which turns a
-    * long-running sink's per-batch watermark probe from O(commits) to
-    * O(commits since last checkpoint). Commit files are NOT deleted:
-    * history/vacuum/time-travel-before-the-checkpoint still walk the full
-    * validated log (and log truncation — dropping pre-checkpoint commit
-    * files — is the production step this enables). Returns the
-    * checkpointed head version. */
-  def checkpoint(s: SparkSession, table: String): Long = {
-    val cs = commits(s, table) // the one full validated walk this pays
-    val head = cs.last.version
-    val live = replay(table, cs)
-    val ddl = cs.flatMap(_.schemaDdl).lastOption
-    val marks = cs.flatMap(_.txns).groupBy(_._1).toSeq
-      .map { case (a, vs) => a -> vs.map(_._2).max }.sortBy(_._1)
-    val ld = new Path(table, LogDirName)
-    val f = fsOf(s, ld)
-    val dest = new Path(ld, f"_ckpt.$head%010d.json")
-    if (f.exists(dest)) return head // already checkpointed at this head
+  /** Render + tmp-write + atomic publish — ONE definition serving commits
+    * AND checkpoints, so neither the action grammar nor the publish
+    * discipline can drift between them. */
+  private def writeExclusive(f: FileSystem, ld: Path, destName: String,
+      tag: String, schemaDdl: Option[String], txns: Seq[(String, Long)],
+      adds: Seq[AddFile], removes: Seq[String]): Boolean = {
+    val dest = new Path(ld, destName)
+    if (f.exists(dest)) return false // cheap fast-path; the publish re-checks
     val tmp = new Path(ld,
-      s".tmpckpt-$head-${ProcessHandle.current().pid()}-${tmpSeq.incrementAndGet()}")
+      s".tmp-$tag-${ProcessHandle.current().pid()}-${tmpSeq.incrementAndGet()}")
     val out = f.create(tmp, true)
     try {
-      val body = (ddl.map(d => s"""{"schema":"${esc(d)}"}""").toSeq ++
-        marks.map { case (a, v) => s"""{"txn":"${esc(a)}","v":$v}""" } ++
-        live.map(addLine)).mkString("", "\n", "\n")
+      val body = (schemaDdl.map(d => s"""{"schema":"${esc(d)}"}""").toSeq ++
+        txns.map { case (app, v) => s"""{"txn":"${esc(app)}","v":$v}""" } ++
+        adds.map(addLine) ++ removes.map(r => s"""{"remove":"${esc(r)}"}"""))
+        .mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
     publishExclusive(f, tmp, dest)
+  }
+
+  /** LOG CHECKPOINT (the Delta checkpoint idea): snapshot the replay
+    * state at the current head — live adds (stats included), the
+    * governing schema, every producer's delivery watermark — into ONE
+    * `_log/_ckpt.<head>.json` (same action grammar and publish path as a
+    * commit; two racing checkpointers of one head write identical content
+    * and exactly one wins). Read PLANNING (liveAdds / logSchema /
+    * txnVersion / read) then costs the checkpoint plus the commits AFTER
+    * it instead of the whole log — O(suffix). The checkpoint itself is
+    * INCREMENTAL: it builds from the previous checkpoint + suffix, so
+    * with auto-checkpointing every K commits the sink's lifetime log-read
+    * cost is linear, not quadratic. Commit files are NOT deleted:
+    * history/vacuum/time-travel-before-the-checkpoint still walk the full
+    * validated log (and log truncation — dropping pre-checkpoint commit
+    * files — is the production step this enables; planning and the head
+    * survive full truncation because both are checkpoint-aware). Returns
+    * the checkpointed head version. */
+  def checkpoint(s: SparkSession, table: String): Long = {
+    val head = currentVersion(s, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table has nothing to checkpoint — no commits or checkpoints"))
+    val ld = new Path(table, LogDirName)
+    val f = fsOf(s, ld)
+    if (f.exists(new Path(ld, f"_ckpt.$head%010d.json"))) return head
+    val entries = planEntries(s, table, None) // prior ckpt + suffix
+    val live = replay(table, entries)
+    val ddl = entries.flatMap(_.schemaDdl).lastOption
+    val marks = entries.flatMap(_.txns).groupBy(_._1).toSeq
+      .map { case (a, vs) => a -> vs.map(_._2).max }.sortBy(_._1)
+    writeExclusive(f, ld, f"_ckpt.$head%010d.json", s"ckpt$head",
+      ddl, marks, live, Nil)
     head
+  }
+
+  /** Auto-checkpoint hook for the streaming sinks: after committing
+    * `justCommitted`, checkpoint when the commit count crosses the
+    * interval (conf `graft.txlog.checkpointInterval`, default 16; ≤ 0
+    * disables) — this is what keeps the per-batch planning suffix
+    * BOUNDED over an arbitrarily long stream. */
+  private[graft] def maybeAutoCheckpoint(s: SparkSession, table: String,
+      justCommitted: Long): Unit = {
+    val every = s.conf.getOption("graft.txlog.checkpointInterval")
+      .map(_.toInt).getOrElse(16)
+    if (every > 0 && (justCommitted + 1) % every == 0) {
+      checkpoint(s, table)
+      ()
+    }
   }
 
   /** The planning entry list for the snapshot at `asOf`: the latest
@@ -236,18 +256,28 @@ object TxLog {
     * checkpointed and unchecked tables plan through ONE code path. */
   private def planEntries(s: SparkSession, table: String,
       asOf: Option[Long]): Seq[CommitEntry] = {
+    val (base, suffix) = planParts(s, table, asOf)
+    base.toSeq ++ suffix
+  }
+
+  /** [[planEntries]] split into (checkpoint base, commit suffix) — the
+    * sinks need to know which entries are REAL commits (their
+    * replay-verify inspects a recording commit's adds; a batch recorded
+    * at-or-before the checkpoint is subsumed by the snapshot itself). */
+  private def planParts(s: SparkSession, table: String,
+      asOf: Option[Long]): (Option[CommitEntry], Seq[CommitEntry]) = {
     val ld = new Path(table, LogDirName)
     val f = fsOf(s, ld)
     require(f.exists(ld), s"$table has no $LogDirName — not a TxLog table")
     val names = f.listStatus(ld).toSeq.map(_.getPath.getName)
-    val versions = names.collect { case NameRe(v) => v.toLong }.sorted
-    require(versions.nonEmpty, s"$table: empty $LogDirName")
-    val head = versions.last
+    val commitVs = names.collect { case NameRe(v) => v.toLong }.sorted
+    val ckptVs = names.collect { case CkptRe(v) => v.toLong }.sorted
+    require(commitVs.nonEmpty || ckptVs.nonEmpty, s"$table: empty $LogDirName")
+    val head = (commitVs ++ ckptVs).max
     asOf.foreach(v => require(v >= 0 && v <= head,
       s"$table: time travel to v$v but the table head is v$head"))
     val target = asOf.getOrElse(head)
-    names.collect { case CkptRe(v) => v.toLong }.filter(_ <= target)
-      .maxOption match {
+    ckptVs.filter(_ <= target).maxOption match {
       case Some(cv) =>
         val in = f.open(new Path(ld, f"_ckpt.$cv%010d.json"))
         val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -255,17 +285,38 @@ object TxLog {
         val (adds, removes, ddl, txns) = parseCommit(table, cv, text)
         require(removes.isEmpty,
           s"$table: checkpoint $cv carries removes — corrupted checkpoint")
-        val suffixVs = versions.filter(v => v > cv && v <= target)
+        val suffixVs = commitVs.filter(v => v > cv && v <= target)
         require(suffixVs == ((cv + 1) to target),
           s"$table: log has a GAP after checkpoint $cv " +
             s"(${suffixVs.mkString(",")}) — torn log")
-        CommitEntry(cv, adds, Nil, ddl, txns) +: suffixVs.map { v =>
+        (Some(CommitEntry(cv, adds, Nil, ddl, txns)), suffixVs.map { v =>
           val (a, r, d, t) = parseCommit(table, v, readLogFile(f, ld, v))
           CommitEntry(v, a, r, d, t)
-        }
-      case None => upTo(table, commits(s, table), asOf)
+        })
+      case None => (None, upTo(table, commits(s, table), asOf))
     }
   }
+
+  /** One-pass planning snapshot for SINKS: head, live adds, governing
+    * schema, every producer's watermark, and the real-commit suffix (for
+    * the replay-verify) — so a per-batch probe costs exactly one
+    * checkpoint-accelerated planning walk, never several. */
+  final case class PlanState(head: Option[Long], liveAdds: Seq[AddFile],
+      schemaDdl: Option[String], txnWatermarks: Map[String, Long],
+      suffix: Seq[CommitEntry])
+
+  def planState(s: SparkSession, table: String): PlanState =
+    currentVersion(s, table) match {
+      case None => PlanState(None, Nil, None, Map.empty, Nil)
+      case head @ Some(_) =>
+        val (base, suffix) = planParts(s, table, None)
+        val entries = base.toSeq ++ suffix
+        PlanState(head, replay(table, entries),
+          entries.flatMap(_.schemaDdl).lastOption,
+          entries.flatMap(_.txns).groupBy(_._1)
+            .map { case (a, vs) => a -> vs.map(_._2).max },
+          suffix)
+    }
 
   /** The highest batch number producer `appId` has durably recorded
     * at-or-before `asOf` (None = head) — the replay watermark of the
@@ -279,12 +330,15 @@ object TxLog {
       .flatMap(_.txns.collect { case (a, v) if a == appId => v })
       .maxOption
 
-  /** The COMMIT version that recorded producer `appId`'s batch `batchId`
-    * — the replay-verify probe (a watermark that covers the batch with no
-    * commit recording it is a torn log). */
+  /** The COMMIT version that recorded producer `appId`'s batch `batchId`,
+    * searched in the checkpoint-suffix only — None when the record is
+    * subsumed by (at-or-before) the latest checkpoint, whose snapshot
+    * already reflects the delivery (and whose commits may be truncated
+    * away; a full walk here would wedge every post-truncation replay). */
   def txnCommitVersion(s: SparkSession, table: String, appId: String,
       batchId: Long): Option[Long] =
-    commits(s, table).find(_.txns.contains(appId -> batchId)).map(_.version)
+    planParts(s, table, None)._2
+      .find(_.txns.contains(appId -> batchId)).map(_.version)
 
   /** The exactly-once foreachBatch SINK rule, in one place so the gate
     * and the restart spec share it. Delivery bookkeeping is the
@@ -325,30 +379,44 @@ object TxLog {
     // the historical bare name)
     val name =
       if (appId == "stream") f"b$batchId%010d" else f"b-$appId-$batchId%010d"
-    val head = currentVersion(s, table)
-    val watermark =
-      if (head.isEmpty) None else txnVersion(s, table, appId)
-    if (watermark.exists(_ >= batchId)) {
-      val rec = commitAt(s, table,
-        txnCommitVersion(s, table, appId, batchId).getOrElse(
-          throw new IllegalStateException(
-            s"$table: watermark for '$appId' covers batch $batchId but no " +
-              "commit records it — torn log")))
-      require(rec.adds.map(_.name) == Seq(name),
-        s"$table: '$appId' batch $batchId is recorded at v${rec.version} " +
-          s"with adds [${rec.adds.map(_.name).mkString(",")}], not the " +
-          s"expected [$name] — this table was not built by this stream " +
-          "(a fresh checkpoint pointed at a foreign table under the same " +
-          "appId is a misconfiguration, not a replay)")
-    } else {
-      batch.write.mode("overwrite").parquet(s"$table/$name")
-      val stats = statsOf(s.read.parquet(s"$table/$name"), statsCols)
-      val v = head.fold(0L)(_ + 1L)
-      require(tryCommitActions(s, table, v, Seq(AddFile(name, stats)), Nil,
-          txns = Seq(appId -> batchId)),
-        s"$table: version $v was committed by another writer while this " +
-          "batch wrote its data — two writers share one sink table; " +
-          "re-run the batch (the replay watermark makes the retry safe)")
+    val st = planState(s, table) // ONE checkpoint-accelerated walk
+    st.txnWatermarks.get(appId) match {
+      case Some(w) if w >= batchId =>
+        // replay: verify the recording commit when it is still in the
+        // suffix; a batch recorded at-or-before the checkpoint is
+        // subsumed by the snapshot itself (its live set already reflects
+        // the delivery — and the recording commit may be truncated)
+        st.suffix.find(_.txns.contains(appId -> batchId)).foreach { rec =>
+          require(rec.adds.map(_.name) == Seq(name),
+            s"$table: '$appId' batch $batchId is recorded at " +
+              s"v${rec.version} with adds " +
+              s"[${rec.adds.map(_.name).mkString(",")}], not the expected " +
+              s"[$name] — this table was not built by this stream (a " +
+              "fresh checkpoint pointed at a foreign table under the " +
+              "same appId is a misconfiguration, not a replay)")
+        }
+      case _ =>
+        // NOT delivered by this producer — but the target dir must not be
+        // LIVE: a live dir of this name means a producer that records no
+        // transactions (a pre-txn table) or a foreign producer sharing
+        // the naming delivered it, and the mode-overwrite below would
+        // destroy live data and publish a duplicate add (corrupting the
+        // log). Loud instead — migration/misconfiguration, not a replay.
+        require(!st.liveAdds.exists(_.name == name),
+          s"$table: data dir $name is already LIVE but '$appId' has no " +
+            s"delivery record for batch $batchId — this table was written " +
+            "by a producer that does not record transactions, or a " +
+            "foreign producer shares the naming; refusing to overwrite " +
+            "live data")
+        batch.write.mode("overwrite").parquet(s"$table/$name")
+        val stats = statsOf(s.read.parquet(s"$table/$name"), statsCols)
+        val v = st.head.fold(0L)(_ + 1L)
+        require(tryCommitActions(s, table, v, Seq(AddFile(name, stats)), Nil,
+            txns = Seq(appId -> batchId)),
+          s"$table: version $v was committed by another writer while this " +
+            "batch wrote its data — two writers share one sink table; " +
+            "re-run the batch (the replay watermark makes the retry safe)")
+        maybeAutoCheckpoint(s, table, v)
     }
   }
 
@@ -374,9 +442,14 @@ object TxLog {
     val ld = new Path(table, LogDirName)
     val f = fsOf(s, ld)
     if (!f.exists(ld)) None
-    else f.listStatus(ld).toSeq.map(_.getPath.getName)
-      .collect { case NameRe(v) => v.toLong }
-      .sorted.lastOption
+    else {
+      // checkpoint-aware: after full pre-checkpoint log truncation the
+      // checkpoint IS the head — a commit-files-only max would read the
+      // table as brand new and orphan all checkpointed state
+      val names = f.listStatus(ld).toSeq.map(_.getPath.getName)
+      (names.collect { case NameRe(v) => v.toLong } ++
+        names.collect { case CkptRe(v) => v.toLong }).maxOption
+    }
   }
 
   /** Parse one commit body — shared by the full log walk and the

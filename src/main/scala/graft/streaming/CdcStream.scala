@@ -377,17 +377,29 @@ object CdcStream {
         true
       } else {
         // we grabbed a FRESH file (broken + re-taken since our stat):
-        // restore it; if its path was re-created meanwhile, the new
-        // occupant stands and our copy is dropped (its owner's
-        // finally-delete tolerates an already-missing path)
-        if (!fs.rename(tomb, p)) fs.delete(tomb, false)
+        // restore it — but check the destination FIRST: local rename(2)
+        // silently OVERWRITES an existing target (HDFS rename fails
+        // instead), and a third writer may have re-created the path; if
+        // it exists, the new occupant stands and our copy is dropped
+        // (its owner's finally-delete tolerates a missing path)
+        if (fs.exists(p) || !fs.rename(tomb, p)) fs.delete(tomb, false)
         false
       }
     }
+    // reap ownerless tombs a stealer crashed between rename and delete —
+    // a tomb is a copy nobody references, so deleting one never affects
+    // mutual exclusion; lease-aged like everything else here
+    def reapTombs(): Unit =
+      try fs.listStatus(base)
+        .filter(st => st.getPath.getName.contains(".tomb-") &&
+          System.currentTimeMillis - st.getModificationTime > staleMs)
+        .foreach(st => fs.delete(st.getPath, false))
+      catch { case _: java.io.IOException => () }
     var brokeStale = false
     val deadline = System.currentTimeMillis + 30000
     while (!tryLock()) {
       if (!brokeStale && ageOf(lockPath) > staleMs) {
+        reapTombs()
         if (ageOf(breakerPath) > staleMs) stealStale(breakerPath, "breaker")
         if (tryCreateExclusive(breakerPath)) {
           try {

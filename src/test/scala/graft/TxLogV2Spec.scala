@@ -286,6 +286,64 @@ class TxLogV2Spec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("GAP"))
   }
 
+  test("commitBatch refuses to overwrite a LIVE dir delivered without a " +
+      "txn record (a pre-txn or foreign producer) instead of corrupting " +
+      "the log with a duplicate add") {
+    val t = freshTable()
+    // a legacy producer's delivery: the dir is live but no txn records it
+    Seq((1L, 1L)).toDF("x", "y").coalesce(1).write.parquet(s"$t/b0000000000")
+    assert(TxLog.tryCommit(spark, t, 0L, Seq("b0000000000"), Nil))
+    val e = intercept[IllegalArgumentException](
+      TxLog.commitBatch(Seq((2L, 2L)).toDF("x", "y"), t, 0L))
+    assert(e.getMessage.contains("refusing to overwrite live data"))
+    // the legacy data is untouched
+    assert(TxLog.read(spark, t, xySchema).collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+  }
+
+  test("full pre-checkpoint truncation: the checkpoint IS the head — " +
+      "reads, new batches, and subsumed replays all keep working") {
+    val t = freshTable()
+    (0L to 2L).foreach(b =>
+      TxLog.commitBatch(Seq((b, b)).toDF("x", "y"), t, b))
+    assert(TxLog.checkpoint(spark, t) == 2L)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 to 2).foreach(v => fs.delete(
+      new org.apache.hadoop.fs.Path(t, f"_log/$v%010d.json"), false))
+    // the head survives (checkpoint-aware), the state is all there
+    assert(TxLog.currentVersion(spark, t).contains(2L))
+    def xs() = TxLog.read(spark, t, xySchema)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(xs() == Seq(0L, 1L, 2L))
+    // a new batch lands AFTER the checkpointed head, never at version 0
+    TxLog.commitBatch(Seq((3L, 3L)).toDF("x", "y"), t, 3L)
+    assert(TxLog.currentVersion(spark, t).contains(3L))
+    assert(xs() == Seq(0L, 1L, 2L, 3L))
+    // a replay of a TRUNCATED batch is subsumed by the checkpoint's
+    // watermark — skip, not a wedge, not a rewrite
+    TxLog.commitBatch(Seq((99L, 99L)).toDF("x", "y"), t, 1L)
+    assert(xs() == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("auto-checkpoint: the sink checkpoints every " +
+      "graft.txlog.checkpointInterval commits, keeping the planning " +
+      "suffix bounded") {
+    val t = freshTable()
+    spark.conf.set("graft.txlog.checkpointInterval", "2")
+    try {
+      (0L to 3L).foreach(b =>
+        TxLog.commitBatch(Seq((b, b)).toDF("x", "y"), t, b))
+      val fs = new org.apache.hadoop.fs.Path(t)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val ckpts = fs.listStatus(new org.apache.hadoop.fs.Path(t, "_log"))
+        .map(_.getPath.getName).filter(_.startsWith("_ckpt.")).sorted.toSeq
+      assert(ckpts == Seq("_ckpt.0000000001.json", "_ckpt.0000000003.json"),
+        s"got $ckpts")
+      assert(TxLog.read(spark, t, xySchema).count() == 4L)
+    } finally spark.conf.unset("graft.txlog.checkpointInterval")
+  }
+
   private def changes(rows: (Long, String, String, Long, Long, Double)*) =
     rows.toDF("lsn", "tableName", "op", "pk", "tsUs", "value")
 
