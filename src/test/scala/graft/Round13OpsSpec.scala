@@ -1,0 +1,259 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.col
+
+/** The r13 TxLog hardening + surface growth, per VERDICT r12 / ADVICE:
+  * the checkpoint pins its own head (TOCTOU), the subsumed-replay guard
+  * survives checkpoint truncation, readChanges plans through the
+  * checkpoint (truncation no longer strands incremental consumers), the
+  * driver-held live-add count is loudly bounded, data skipping goes
+  * typed (string/decimal/date), and add actions carry partition values
+  * pruned before stats. */
+class Round13OpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+  import graft.sources.TxLog
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("txlogr13").toString + "/t"
+
+  private val xySchema = StructType.fromDDL("x BIGINT, y BIGINT")
+
+  private def fsOf(t: String) = new org.apache.hadoop.fs.Path(t)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("typed data skipping (pure prune rule): string, decimal, and date " +
+      "envelopes drop provably-disjoint files; absent or unparseable " +
+      "stats always keep") {
+    val a = TxLog.AddFile("a", Map(
+      "s" -> ("apple", "cherry"), "d" -> ("1.25", "2.75"),
+      "dt" -> ("2024-01-01", "2024-03-31")))
+    val b = TxLog.AddFile("b", Map(
+      "s" -> ("melon", "peach"), "d" -> ("10.5", "20.5"),
+      "dt" -> ("2024-06-01", "2024-09-30")))
+    val c = TxLog.AddFile("c") // no stats: conservative keep under every bound
+    val g = TxLog.AddFile("g", Map("d" -> ("junk", "junk"),
+      "dt" -> ("junk", "junk"))) // unparseable: keep
+    val all = Seq(a, b, c, g)
+    assert(TxLog.pruneAdds(all,
+      Seq(TxLog.SkipRangeString("s", "banana", "grape")))
+      .map(_.name) == Seq("a", "c", "g"))
+    assert(TxLog.pruneAdds(all,
+      Seq(TxLog.SkipRangeDecimal("d", BigDecimal(3), BigDecimal("9.9"))))
+      .map(_.name) == Seq("c", "g"))
+    assert(TxLog.pruneAdds(all,
+      Seq(TxLog.SkipRangeDate("dt", java.time.LocalDate.parse("2024-04-01"),
+        java.time.LocalDate.parse("2024-05-31"))))
+      .map(_.name) == Seq("c", "g"))
+    // overlap at the boundary keeps (BETWEEN is inclusive on both sides)
+    assert(TxLog.pruneAdds(Seq(a),
+      Seq(TxLog.SkipRangeString("s", "cherry", "fig"))).map(_.name) == Seq("a"))
+  }
+
+  test("string-predicate data skipping end-to-end: fewer dirs opened, " +
+      "pruned ≡ unpruned") {
+    val t = freshTable()
+    val groups = Seq("alpha" -> "delta", "echo" -> "hotel",
+      "india" -> "lima", "mike" -> "papa")
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike",
+      "november", "oscar", "papa")
+    val adds = groups.zipWithIndex.map { case ((lo, hi), i) =>
+      val nm = s"w$i"
+      words.filter(w => w >= lo && w <= hi).zipWithIndex
+        .map { case (w, j) => (w, (i * 10 + j).toLong) }.toDF("w", "n")
+        .coalesce(1).write.parquet(s"$t/$nm")
+      TxLog.AddFile(nm, TxLog.statsOf(spark.read.parquet(s"$t/$nm"), Seq("w")))
+    }
+    assert(TxLog.tryCommitActions(spark, t, 0L, adds, Nil))
+    val schema = StructType.fromDDL("w STRING, n BIGINT")
+    val skip = Seq(TxLog.SkipRangeString("w", "foxtrot", "kilo"))
+    assert(TxLog.pruneAdds(TxLog.liveAdds(spark, t), skip)
+      .map(_.name) == Seq("w1", "w2"))
+    val unpruned = TxLog.read(spark, t, schema)
+      .filter(col("w").between("foxtrot", "kilo"))
+    val pruned = TxLog.read(spark, t, schema, None, skip)
+      .filter(col("w").between("foxtrot", "kilo"))
+    assert(pruned.collect().map(_.getString(0)).sorted.toSeq ==
+      unpruned.collect().map(_.getString(0)).sorted.toSeq)
+    assert(pruned.inputFiles.length < unpruned.inputFiles.length)
+  }
+
+  test("partition values ride the add action, roundtrip the log, and a " +
+      "partition filter prunes before (and composes with) stats bounds") {
+    val t = freshTable()
+    val adds = (0 until 4).map { i =>
+      val nm = s"p$i"
+      (i * 10L until i * 10L + 10L).map(x => (x, s"src$i")).toDF("x", "src")
+        .coalesce(1).write.parquet(s"$t/$nm")
+      TxLog.AddFile(nm,
+        TxLog.statsOf(spark.read.parquet(s"$t/$nm"), Seq("x")),
+        part = Map("src" -> s"src$i"))
+    }
+    assert(TxLog.tryCommitActions(spark, t, 0L, adds, Nil))
+    // the part map survives the log roundtrip verbatim
+    val live = TxLog.liveAdds(spark, t)
+    assert(live.map(_.part) == (0 until 4).map(i => Map("src" -> s"src$i")))
+    // partition filter alone: 2 of 4 dirs
+    val pf = TxLog.SkipPartition("src", Set("src1", "src2"))
+    assert(TxLog.pruneAdds(live, Seq(pf)).map(_.name) == Seq("p1", "p2"))
+    // composed with a stats bound on a SECOND column: 1 dir
+    assert(TxLog.pruneAdds(live,
+      Seq(pf, TxLog.SkipRange("x", 0L, 14L))).map(_.name) == Seq("p1"))
+    // a file with no recorded value for the filter column is kept
+    assert(TxLog.pruneAdds(Seq(TxLog.AddFile("n")), Seq(pf))
+      .map(_.name) == Seq("n"))
+    // results identical, fewer files opened
+    val schema = StructType.fromDDL("x BIGINT, src STRING")
+    val unpruned = TxLog.read(spark, t, schema)
+      .filter(col("src").isin("src1", "src2") && col("x") <= 14L)
+    val pruned = TxLog.read(spark, t, schema, None,
+        Seq(pf, TxLog.SkipRange("x", 0L, 14L)))
+      .filter(col("src").isin("src1", "src2") && col("x") <= 14L)
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ==
+      unpruned.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(pruned.inputFiles.length < unpruned.inputFiles.length)
+  }
+
+  test("maxLiveAdds: planning metadata past the bound is loud and names " +
+      "the optimize remedy; ≤0 disables") {
+    val t = freshTable()
+    (0 until 3).foreach { i =>
+      Seq((i.toLong, i.toLong)).toDF("x", "y").coalesce(1)
+        .write.parquet(s"$t/d$i")
+    }
+    assert(TxLog.tryCommit(spark, t, 0L, (0 until 3).map(i => s"d$i"), Nil))
+    try {
+      spark.conf.set("graft.txlog.maxLiveAdds", "2")
+      val e = intercept[IllegalArgumentException](TxLog.liveAdds(spark, t))
+      assert(e.getMessage.contains("maxLiveAdds") &&
+        e.getMessage.contains("optimize"))
+      intercept[IllegalArgumentException](TxLog.read(spark, t, xySchema))
+      spark.conf.set("graft.txlog.maxLiveAdds", "0") // disabled
+      assert(TxLog.liveAdds(spark, t).size == 3)
+      spark.conf.set("graft.txlog.maxLiveAdds", "3")
+      assert(TxLog.read(spark, t, xySchema).count() == 3L)
+    } finally spark.conf.unset("graft.txlog.maxLiveAdds")
+  }
+
+  test("checkpoint pins its head: checkpoints racing a committer never " +
+      "capture post-head adds (every _ckpt.v replays to exactly the adds " +
+      "at-or-before v)") {
+    val t = freshTable()
+    Seq((0L, 0L)).toDF("x", "y").coalesce(1).write.parquet(s"$t/d0")
+    assert(TxLog.tryCommit(spark, t, 0L, Seq("d0"), Nil))
+    // a committer thread appends while the main thread checkpoints —
+    // with the pre-r13 live-head walk, a commit landing between the head
+    // probe and the walk leaks post-head adds into _ckpt.<head> and
+    // wedges every later read with add-of-already-live
+    val ex = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      (1 to 12).foreach { v =>
+        val fut = ex.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            val nm = s"d$v"
+            Seq((v.toLong, v.toLong)).toDF("x", "y").coalesce(1)
+              .write.parquet(s"$t/$nm")
+            TxLog.tryCommit(spark, t, v.toLong, Seq(nm), Nil)
+          }
+        })
+        TxLog.checkpoint(spark, t)
+        assert(fut.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      }
+    } finally ex.shutdown()
+    // invariant check: every checkpoint file carries exactly adds ≤ v
+    val fs = fsOf(t)
+    val ld = new org.apache.hadoop.fs.Path(t, "_log")
+    val ckpts = fs.listStatus(ld).map(_.getPath.getName)
+      .filter(_.startsWith("_ckpt.")).sorted
+    assert(ckpts.nonEmpty)
+    ckpts.foreach { nm =>
+      val v = nm.stripPrefix("_ckpt.").stripSuffix(".json").toLong
+      val in = fs.open(new org.apache.hadoop.fs.Path(ld, nm))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val names = """"add":"(d\d+)"""".r.findAllMatchIn(text)
+        .map(_.group(1)).toSeq.sorted
+      assert(names == (0L to v).map(i => s"d$i").sorted,
+        s"$nm must carry exactly adds ≤ v$v, got $names")
+    }
+    // and planning still works at every version
+    assert(TxLog.read(spark, t, xySchema).count() == 13L)
+  }
+
+  test("subsumed-replay guard: a checkpoint-truncated table still refuses " +
+      "a foreign-producer watermark (loud), while a compacted one accepts") {
+    // foreign table: txn records under the default appId but dirs NOT in
+    // this producer's naming — built by something else entirely
+    val t = freshTable()
+    (0 to 1).foreach { v =>
+      Seq((v.toLong, v.toLong)).toDF("x", "y").coalesce(1)
+        .write.parquet(s"$t/z$v")
+      assert(TxLog.tryCommitActions(spark, t, v.toLong,
+        Seq(TxLog.AddFile(s"z$v")), Nil, txns = Seq("stream" -> v.toLong)))
+    }
+    assert(TxLog.checkpoint(spark, t) == 1L)
+    val fs = fsOf(t)
+    (0 to 1).foreach(v => fs.delete(
+      new org.apache.hadoop.fs.Path(t, f"_log/$v%010d.json"), false))
+    // a fresh stream replaying batch 0: watermark says delivered, the
+    // recording commit is truncated, the snapshot carries z0/z1 (not
+    // b0000000000) and no compaction rewrite — LOUD, never a silent skip
+    val e = intercept[IllegalArgumentException](
+      TxLog.commitBatch(Seq((9L, 9L)).toDF("x", "y"), t, 0L))
+    assert(e.getMessage.contains("foreign table"))
+
+    // compacted control: same shape but the layout was legitimately
+    // rewritten by OPTIMIZE before the checkpoint — the replay skips
+    val t2 = freshTable()
+    (0L to 1L).foreach(b =>
+      TxLog.commitBatch(Seq((b, b)).toDF("x", "y"), t2, b))
+    assert(TxLog.optimize(spark, t2, Some(xySchema)).contains(2L))
+    assert(TxLog.checkpoint(spark, t2) == 2L)
+    val fs2 = fsOf(t2)
+    (0 to 2).foreach(v => fs2.delete(
+      new org.apache.hadoop.fs.Path(t2, f"_log/$v%010d.json"), false))
+    TxLog.commitBatch(Seq((99L, 99L)).toDF("x", "y"), t2, 1L) // skips
+    assert(TxLog.read(spark, t2, xySchema).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
+  }
+
+  test("readChanges plans through the checkpoint: post-truncation windows " +
+      "after it work, windows below it are loud with the re-baseline " +
+      "remedy, and fromVersion=-1 delivers snapshot+suffix") {
+    val t = freshTable()
+    (0 until 6).foreach { v =>
+      Seq((v.toLong, v.toLong)).toDF("x", "y").coalesce(1)
+        .write.parquet(s"$t/d$v")
+      assert(TxLog.tryCommit(spark, t, v.toLong, Seq(s"d$v"), Nil))
+    }
+    assert(TxLog.checkpoint(spark, t) == 5L)
+    // append two more after the checkpoint
+    (6 until 8).foreach { v =>
+      Seq((v.toLong, v.toLong)).toDF("x", "y").coalesce(1)
+        .write.parquet(s"$t/d$v")
+      assert(TxLog.tryCommit(spark, t, v.toLong, Seq(s"d$v"), Nil))
+    }
+    def xs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).sorted.toSeq
+    // untruncated: a window below the checkpoint still serves (full walk)
+    assert(xs(TxLog.readChanges(spark, t, xySchema, 1L, 3L)) == Seq(2L, 3L))
+    // truncate everything at-or-before the checkpoint
+    val fs = fsOf(t)
+    (0 to 5).foreach(v => fs.delete(
+      new org.apache.hadoop.fs.Path(t, f"_log/$v%010d.json"), false))
+    // window after the checkpoint: served from the surviving suffix
+    assert(xs(TxLog.readChanges(spark, t, xySchema, 5L, 7L)) == Seq(6L, 7L))
+    assert(xs(TxLog.readChanges(spark, t, xySchema, 6L, 7L)) == Seq(7L))
+    // below the checkpoint: loud, with the remedy
+    val e = intercept[IllegalArgumentException](
+      TxLog.readChanges(spark, t, xySchema, 1L, 7L))
+    assert(e.getMessage.contains("re-baseline"))
+    // initial load: the checkpoint state plus the suffix IS the table
+    assert(xs(TxLog.readChanges(spark, t, xySchema, -1L, 7L)) ==
+      (0L to 7L).toSeq)
+    assert(xs(TxLog.readChanges(spark, t, xySchema, -1L, 6L)) ==
+      (0L to 6L).toSeq)
+  }
+}

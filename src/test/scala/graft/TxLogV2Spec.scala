@@ -248,7 +248,7 @@ class TxLogV2Spec extends AnyFunSuite with SparkTestBase {
     assert(e2.getMessage.contains("empty change range"))
     val e3 = intercept[IllegalArgumentException](
       TxLog.readChanges(spark, t, xySchema, 0L, 99L))
-    assert(e3.getMessage.contains("the head is"))
+    assert(e3.getMessage.contains("head is v3"))
   }
 
   test("log checkpoint: planning from the snapshot + suffix is " +
