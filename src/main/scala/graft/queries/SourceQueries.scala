@@ -74,6 +74,16 @@ object SourceQueries {
     * ts-range data dirs, each add recording its ts_us envelope. */
   private val txlogSkipMemo = new graft.operators.SessionMemo[String]
 
+  /** The downstream table src_txlog_stream_source maintains by FOLLOWING
+    * the sink table through the TxLog streaming source — one streaming
+    * run per (session, lake). */
+  private val txlogFollowMemo = new graft.operators.SessionMemo[String]
+
+  /** The string/partition-pruned TxLog table for
+    * src_txlog_skipping_typed — four event-type-range dirs, adds
+    * carrying string envelopes AND partition values. */
+  private val txlogTypedMemo = new graft.operators.SessionMemo[String]
+
   /** The schema-evolution TxLog table for src_txlog_evolution — v0
     * records a 3-column schema, v1 adds `source` and records the wider
     * one. */
@@ -523,6 +533,100 @@ object SourceQueries {
         .orderBy("event_type")
     }),
 
+    // STREAMING SOURCE over the table format (r13 — VERDICT item 1, the
+    // downstream consumer leg): TxLogStreamSource follows a TxLog table
+    // as a micro-batch stream with OFFSETS = COMMIT VERSIONS — each
+    // trigger delivers exactly the rows the next commits added
+    // (readChanges under the hood: loud on in-window rewrites,
+    // checkpoint-snapshot bootstrap on truncated logs), paced by
+    // maxVersionsPerTrigger. The gate runs the full composed loop:
+    // the commitBatch-built sink table (4 ts-quartile commits) is
+    // FOLLOWED one commit per trigger into a second TxLog table via the
+    // exactly-once sink, and the downstream table must equal the feed —
+    // the oracle replays the ORIGINAL events, so a dropped, duplicated,
+    // or re-ordered window anywhere in the source→sink loop flips the
+    // hash. Restart-mid-stream and truncated-upstream bootstrap are
+    // spec'd (Round13OpsSpec — not SQL-expressible).
+    "src_txlog_stream_source" -> ((s, dir) => {
+      val up = txlogSinkTable(s, dir)
+      val down = txlogFollowMemo.get(s, dir) {
+        val tmp = graft.streaming.StreamGate
+          .sessionTempDir("graft-txlog-follow") { td =>
+            val dtbl = s"$td/table"
+            val q = s.readStream
+              .format(classOf[graft.sources.TxLogStreamSourceProvider].getName)
+              .schema(StructType.fromDDL(sinkSchemaDdl))
+              .option("path", up)
+              .option("maxVersionsPerTrigger", "1").load()
+              .writeStream.option("checkpointLocation", s"$td/ckpt")
+              .foreachBatch { (b: DataFrame, id: Long) =>
+                graft.sources.TxLog.commitBatch(b, dtbl, id, appId = "follow")
+              }
+              .start()
+            try q.processAllAvailable() finally q.stop()
+          }
+        s"$tmp/table"
+      }
+      graft.sources.TxLog.read(s, down, StructType.fromDDL(sinkSchemaDdl))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          (sum("v4").cast("double") / 10000.0).as("sum_value"),
+          sum(pmod(col("event_id"), lit(1000000007L))).as("id_checksum"))
+        .orderBy("event_type")
+    }),
+
+    // TYPED DATA SKIPPING + PARTITION VALUES (r13 — VERDICT items 2/6):
+    // the r12 skipping surface was Long-only; adds now carry STRING
+    // envelopes and Iceberg-style PARTITION values, and pruning goes
+    // typed (lexicographic strings, decimals, ISO dates) with partition
+    // filters applied BEFORE any stats parse. The table: one dir per
+    // event_type, each add recording its event_type envelope (stats)
+    // AND its partition value. The gate reads the first two types
+    // (bounds derived from the data — plan literals) under BOTH a
+    // partition filter and a string envelope bound, so only those
+    // types' dirs are opened (fewer-dirs spec'd in Round13OpsSpec), and
+    // the oracle replays the same membership over the ORIGINAL events —
+    // pruning may only ever drop files the filter rejects entirely.
+    "src_txlog_skipping_typed" -> ((s, dir) => {
+      import graft.sources.TxLog
+      val e = Tables(s, dir, "events")
+      val ev = e.select(col("event_id"), col("event_type"),
+        round(col("value") * 10000).cast("long").as("v4"))
+      val table = txlogTypedMemo.get(s, dir) {
+        val tmp = graft.streaming.StreamGate
+          .sessionTempDir("graft-txlog-typed") { td =>
+            val tbl = s"$td/table"
+            // one dir per event type — bounded O(|types|) driver pull
+            val types = ev.select("event_type").distinct()
+              .orderBy("event_type").collect().map(_.getString(0)).toSeq
+            val adds = types.zipWithIndex.map { case (t, i) =>
+              val nm = s"t$i"
+              ev.filter(col("event_type") === t).write.parquet(s"$tbl/$nm")
+              TxLog.AddFile(nm,
+                TxLog.statsOf(s.read.parquet(s"$tbl/$nm"), Seq("event_type")),
+                part = Map("event_type" -> t))
+            }
+            require(TxLog.tryCommitActions(s, tbl, 0L, adds, Nil),
+              "v0 conflicted on a fresh table")
+          }
+        s"$tmp/table"
+      }
+      val two = ev.select("event_type").distinct().orderBy("event_type")
+        .limit(2).collect().map(_.getString(0)).toSeq
+      val (t0, t1) = (two.head, two.last)
+      TxLog.read(s, table,
+          StructType.fromDDL(
+            "event_id BIGINT, event_type STRING, v4 BIGINT"),
+          None, skip = Seq(
+            TxLog.SkipPartition("event_type", Set(t0, t1)),
+            TxLog.SkipRangeString("event_type", t0, t1)))
+        .filter(col("event_type").isin(t0, t1))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("v4").as("sum_v4"),
+          sum(pmod(col("event_id"), lit(1000000007L))).as("id_checksum"))
+        .orderBy("event_type")
+    }),
+
     // SCHEMA EVOLUTION (r12 — VERDICT item 3): commits record the write
     // schema in the log ({"schema": DDL} — the Avro header-verify
     // posture brought to the table format); reads verify their declared
@@ -806,6 +910,33 @@ object SourceQueries {
         |              AS BIGINT) AS DOUBLE) / 10000.0 AS sum_value,
         |       CAST(sum(event_id % 1000000007) AS BIGINT) AS id_checksum
         |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the downstream table must STILL equal the feed after the second
+    // hop (sink → streaming source → sink): deliberately the
+    // src_txlog_stream_sink oracle verbatim — "the composed loop is the
+    // identity" is the claim being hashed
+    "src_txlog_stream_source" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(CAST(sum(CAST(round(value * 10000) AS BIGINT))
+        |              AS BIGINT) AS DOUBLE) / 10000.0 AS sum_value,
+        |       CAST(sum(event_id % 1000000007) AS BIGINT) AS id_checksum
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the first-two-types membership replayed over the ORIGINAL events —
+    // a passing hash proves the partition+string prune dropped only
+    // files the filter rejects entirely
+    "src_txlog_skipping_typed" ->
+      """WITH t AS (SELECT event_type FROM
+        |             (SELECT DISTINCT event_type FROM events
+        |              ORDER BY event_type LIMIT 2))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+        |         AS sum_v4,
+        |       CAST(sum(event_id % 1000000007) AS BIGINT) AS id_checksum
+        |FROM events
+        |WHERE event_type IN (SELECT event_type FROM t)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the same mid-span window over the ORIGINAL events (identical

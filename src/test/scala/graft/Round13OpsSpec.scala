@@ -256,4 +256,78 @@ class Round13OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(xs(TxLog.readChanges(spark, t, xySchema, -1L, 6L)) ==
       (0L to 6L).toSeq)
   }
+
+  private def downXs(down: String): Seq[Long] =
+    TxLog.read(spark, down, xySchema).collect().map(_.getLong(0)).sorted.toSeq
+
+  test("TxLog streaming source: offsets = commit versions, paced by " +
+      "maxVersionsPerTrigger, composing exactly-once into a downstream " +
+      "TxLog sink — and a restart resumes mid-history without duplicates") {
+    val up = freshTable()
+    (0L to 3L).foreach(b =>
+      TxLog.commitBatch(Seq((b, b)).toDF("x", "y"), up, b))
+    val td = java.nio.file.Files.createTempDirectory("txlogsrc").toString
+    val down = s"$td/down"
+    def follow(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream
+        .format(classOf[graft.sources.TxLogStreamSourceProvider].getName)
+        .schema(xySchema).option("path", up)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.option("checkpointLocation", s"$td/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          TxLog.commitBatch(batch, down, id, appId = "ds")
+        }
+        .start()
+    val q = follow()
+    try {
+      q.processAllAvailable()
+      assert(downXs(down) == Seq(0L, 1L, 2L, 3L))
+      // a LIVE append is picked up by the running stream
+      TxLog.commitBatch(Seq((4L, 4L)).toDF("x", "y"), up, 4L)
+      q.processAllAvailable()
+      assert(downXs(down) == (0L to 4L).toSeq)
+    } finally q.stop()
+    // pacing: 1 commit-version per trigger → one downstream batch per
+    // upstream version (versions 0..4 → downstream batches 0..4)
+    val afterFirst = TxLog.currentVersion(spark, down).get
+    assert(afterFirst == 4L,
+      s"expected 5 paced downstream batches (v0..v4), head is v$afterFirst")
+    // restart from the same checkpoint: only the NEW upstream commits
+    // flow; the replayed last batch is absorbed by the sink's watermark
+    (5L to 6L).foreach(b =>
+      TxLog.commitBatch(Seq((b, b)).toDF("x", "y"), up, b))
+    val q2 = follow()
+    try {
+      q2.processAllAvailable()
+      assert(downXs(down) == (0L to 6L).toSeq, "no duplicates, no gaps")
+    } finally q2.stop()
+    assert(TxLog.currentVersion(spark, down).get == 6L)
+  }
+
+  test("TxLog streaming source: a fresh consumer on a checkpointed, " +
+      "TRUNCATED upstream gets the snapshot as its first batch, then " +
+      "follows the suffix") {
+    val up = freshTable()
+    (0L to 4L).foreach(b =>
+      TxLog.commitBatch(Seq((b, b)).toDF("x", "y"), up, b))
+    assert(TxLog.checkpoint(spark, up) == 4L)
+    val fs = fsOf(up)
+    (0 to 4).foreach(v => fs.delete(
+      new org.apache.hadoop.fs.Path(up, f"_log/$v%010d.json"), false))
+    TxLog.commitBatch(Seq((5L, 5L)).toDF("x", "y"), up, 5L)
+    val td = java.nio.file.Files.createTempDirectory("txlogsrc2").toString
+    val down = s"$td/down"
+    val q = spark.readStream
+      .format(classOf[graft.sources.TxLogStreamSourceProvider].getName)
+      .schema(xySchema).option("path", up).load()
+      .writeStream.option("checkpointLocation", s"$td/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        TxLog.commitBatch(batch, down, id, appId = "ds")
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(downXs(down) == (0L to 5L).toSeq)
+    } finally q.stop()
+  }
 }
