@@ -84,6 +84,11 @@ object SourceQueries {
     * carrying string envelopes AND partition values. */
   private val txlogTypedMemo = new graft.operators.SessionMemo[String]
 
+  /** The twice-merged TxLog table for src_txlog_merge — snapshot, a
+    * bucketizing delete+update merge, then a touched-buckets-only
+    * update+insert merge. */
+  private val txlogMergeMemo = new graft.operators.SessionMemo[String]
+
   /** The schema-evolution TxLog table for src_txlog_evolution — v0
     * records a 3-column schema, v1 adds `source` and records the wider
     * one. */
@@ -627,6 +632,65 @@ object SourceQueries {
         .orderBy("event_type")
     }),
 
+    // GENERIC MERGE INTO (r13 — VERDICT item 3): the Delta MERGE verb on
+    // the TxLog format — matched-update / matched-delete /
+    // conditional not-matched-insert, arbitrary conditions over both
+    // sides (source columns ride as __src_*), built on the
+    // bucket-granular copy-on-write machinery (mrg<v>/__bucket=<b>
+    // dirs; the bucket count rides the r13 partition metadata, so later
+    // merges recover the layout from the log and rewrite ONLY touched
+    // buckets — spec'd dir-level in Round13OpsSpec, with the ambiguity
+    // and key-assignment loudness; concurrency is the TxLog CAS). Two
+    // merges run against the documents snapshot: (1) keys ≡0 mod 3 —
+    // DELETE where the target row is German, else n_chars += 1
+    // (bucketizing rewrite); (2) keys ≡0 mod 7 double n_chars, and a
+    // shifted key range inserts WHERE the source row isn't German
+    // (not-matched-insert condition). The oracle replays both merges
+    // relationally over the ORIGINAL parquet — a passing hash proves
+    // clause order, null-safe conditions, delete/update/insert
+    // semantics, and the carry-forward of untouched buckets all at
+    // once.
+    "src_txlog_merge" -> ((s, dir) => {
+      import graft.sources.{TxLog, TxLogMerge}
+      val mergeSchema = StructType.fromDDL(
+        "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+      val table = txlogMergeMemo.get(s, dir) {
+        val tmp = graft.streaming.StreamGate
+          .sessionTempDir("graft-txlog-merge") { td =>
+            val tbl = s"$td/table"
+            val docs = Tables(s, dir, "documents")
+              .select("doc_id", "lang", "source", "n_chars")
+            docs.write.parquet(s"$tbl/init")
+            require(TxLog.tryCommit(s, tbl, 0L, Seq("init"), Nil),
+              "v0 conflicted on a fresh table")
+            require(TxLogMerge.merge(s, tbl, mergeSchema,
+                docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+                Seq("doc_id"),
+                updateSet = Map("n_chars" -> (col("n_chars") + lit(1L))),
+                deleteWhen = Some(col("lang") <=> "de"),
+                nBuckets = 8) == 1L, "merge 1 must commit v1")
+            val off = docs.agg(max("doc_id")).head().getLong(0) + 1L
+            val src2 = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+              .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+                .select((col("doc_id") + off).as("doc_id"), col("lang"),
+                  col("source"), col("n_chars")))
+            require(TxLogMerge.merge(s, tbl, mergeSchema, src2,
+                Seq("doc_id"),
+                updateSet = Map("n_chars" -> (col("n_chars") * lit(2L))),
+                insertWhen =
+                  Some(!(col(s"${TxLogMerge.Src}lang") <=> "de"))) == 2L,
+              "merge 2 must commit v2")
+          }
+        s"$tmp/table"
+      }
+      TxLog.read(s, table, mergeSchema)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum(rowCheck(concat_ws("|", f(col("doc_id")), f(col("lang")),
+            f(col("n_chars"))))).as("checksum"))
+        .orderBy("source")
+    }),
+
     // SCHEMA EVOLUTION (r12 — VERDICT item 3): commits record the write
     // schema in the log ({"schema": DDL} — the Avro header-verify
     // posture brought to the table format); reads verify their declared
@@ -911,6 +975,42 @@ object SourceQueries {
         |       CAST(sum(event_id % 1000000007) AS BIGINT) AS id_checksum
         |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // both merges replayed relationally over the ORIGINAL parquet:
+    // merge 1 = delete German ≡0-mod-3 keys, +1 the rest of them;
+    // merge 2 = double ≡0-mod-7 survivors, insert the shifted
+    // ≡0-mod-5 range where not German (shifted keys never match, and
+    // the only unmatched un-shifted update keys are the German deletes,
+    // which the insert condition rejects — mirrored exactly)
+    "src_txlog_merge" ->
+      """WITH m AS (SELECT max(doc_id) + 1 AS off FROM documents),
+        |t1 AS (
+        |  SELECT d.doc_id, d.lang, d.source,
+        |         CASE WHEN d.doc_id % 3 = 0 THEN d.n_chars + 1
+        |              ELSE d.n_chars END AS n_chars
+        |  FROM documents d
+        |  WHERE NOT (d.doc_id % 3 = 0 AND
+        |             d.lang IS NOT DISTINCT FROM 'de')
+        |),
+        |t2 AS (
+        |  SELECT doc_id, lang, source,
+        |         CASE WHEN doc_id % 7 = 0 THEN n_chars * 2
+        |              ELSE n_chars END AS n_chars
+        |  FROM t1
+        |  UNION ALL
+        |  SELECT d.doc_id + m.off, d.lang, d.source, d.n_chars
+        |  FROM documents d, m
+        |  WHERE d.doc_id % 5 = 0
+        |    AND NOT (d.lang IS NOT DISTINCT FROM 'de')
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(('0x' || substr(md5(
+        |                coalesce(doc_id::VARCHAR, chr(1)) || '|' ||
+        |                coalesce(lang, chr(1)) || '|' ||
+        |                coalesce(n_chars::VARCHAR, chr(1))), 1, 12))::BIGINT
+        |                % 1000000007) AS BIGINT) AS checksum
+        |FROM t2 GROUP BY source ORDER BY source""".stripMargin,
 
     // the downstream table must STILL equal the feed after the second
     // hop (sink → streaming source → sink): deliberately the

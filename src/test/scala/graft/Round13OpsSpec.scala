@@ -257,6 +257,75 @@ class Round13OpsSpec extends AnyFunSuite with SparkTestBase {
       (0L to 6L).toSeq)
   }
 
+  test("MERGE INTO: matched-update/-delete and conditional not-matched-" +
+      "insert compose; the first merge bucketizes, later merges rewrite " +
+      "only touched buckets; ambiguity and key-assignment are loud") {
+    import graft.sources.TxLogMerge
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = freshTable()
+    // unbucketed initial snapshot: keys 0..9, y = 10·x
+    (0L until 10L).map(x => (x, x * 10)).toDF("x", "y")
+      .coalesce(2).write.parquet(s"$t/init")
+    assert(TxLog.tryCommit(spark, t, 0L, Seq("init"), Nil))
+    def state(): Map[Long, Long] = TxLog.read(spark, t, xySchema)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // merge 1 (establishes the layout): keys 2,4,6 — delete where y=40,
+    // update y := y + __src_y elsewhere; key 12 inserts
+    val s1 = Seq((2L, 1L), (4L, 1L), (6L, 1L), (12L, 99L)).toDF("x", "y")
+    val v1 = TxLogMerge.merge(spark, t, xySchema, s1, Seq("x"),
+      updateSet = Map("y" -> (col("y") + col(s"${TxLogMerge.Src}y"))),
+      deleteWhen = Some(col("y") <=> 40L),
+      insertWhen = Some(lit(true)), nBuckets = 4)
+    assert(v1 == 1L)
+    val exp1 = ((0L until 10L).filter(_ != 4L).map(x =>
+      x -> (if (x == 2L || x == 6L) x * 10 + 1 else x * 10)) :+ (12L -> 99L))
+      .toMap
+    assert(state() == exp1)
+    // layout established: every live dir is mrg0000000001/__bucket=*
+    val live1 = TxLog.liveAdds(spark, t)
+    assert(live1.forall(_.name.startsWith("mrg0000000001/__bucket=")))
+    assert(live1.forall(_.part.get("__nb").contains("4")))
+    // merge 2: touch ONE key — only its bucket rewrites, the others
+    // carry forward by dir name
+    val s2 = Seq((12L, 1L)).toDF("x", "y")
+    val v2 = TxLogMerge.merge(spark, t, xySchema, s2, Seq("x"),
+      updateSet = Map("y" -> (col("y") + lit(1L))))
+    assert(v2 == 2L)
+    assert(state() == exp1.updated(12L, 100L))
+    val live2 = TxLog.liveAdds(spark, t)
+    assert(live2.count(_.name.startsWith("mrg0000000002/")) == 1,
+      "exactly one bucket rewritten")
+    assert(live2.count(_.name.startsWith("mrg0000000001/")) ==
+      live1.size - 1, "untouched buckets carry forward by name")
+    // no-insert clause: unmatched source rows drop silently by contract
+    val v3 = TxLogMerge.merge(spark, t, xySchema,
+      Seq((777L, 7L)).toDF("x", "y"), Seq("x"),
+      updateSet = Map("y" -> lit(0L)))
+    assert(v3 == 3L && !state().contains(777L))
+    // ambiguity is loud
+    val dup = Seq((2L, 1L), (2L, 2L)).toDF("x", "y")
+    val e1 = intercept[IllegalArgumentException](
+      TxLogMerge.merge(spark, t, xySchema, dup, Seq("x"),
+        updateSet = Map("y" -> lit(0L))))
+    assert(e1.getMessage.contains("unique"))
+    // assigning a key column is loud
+    val e2 = intercept[IllegalArgumentException](
+      TxLogMerge.merge(spark, t, xySchema, s2, Seq("x"),
+        updateSet = Map("x" -> lit(0L))))
+    assert(e2.getMessage.contains("key column"))
+    // point-lookup data skipping over the merged layout: bucket prune
+    val key = 12L
+    val b = Math.floorMod(
+      spark.range(1).select(
+        org.apache.spark.sql.functions.xxhash64(lit(key))).head().getLong(0),
+      4L)
+    val pruned = TxLog.read(spark, t, xySchema, None,
+      Seq(TxLog.SkipPartition("__bucket", Set(b.toString))))
+    assert(pruned.filter(col("x") === key).count() == 1L)
+    assert(pruned.inputFiles.length < TxLog.read(spark, t, xySchema)
+      .inputFiles.length)
+  }
+
   private def downXs(down: String): Seq[Long] =
     TxLog.read(spark, down, xySchema).collect().map(_.getLong(0)).sorted.toSeq
 
