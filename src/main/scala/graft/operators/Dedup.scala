@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, LongType}
 
@@ -436,4 +436,77 @@ object Dedup {
           .as("lsh_precision"),
         round(col("n_both").cast("double") / greatest(col("n_exact"), lit(1L)), 4)
           .as("lsh_recall"))
+
+  /** SUBSTRING-DEDUP REWRITE (the Lee et al. '22 "Deduplicating Training
+    * Data Makes Language Models Better" rewrite, token-granular): remove
+    * every cross-document duplicated k-token span from the corpus,
+    * keeping the FIRST occurrence by ingest order — here the minimum
+    * doc_id, whose copies (all of them, intra-doc repeats included) are
+    * retained while every occurrence in a later doc has its covered
+    * tokens excised. Spans are the same positional k-shingles as the
+    * duplicated-span-mass signal (one per token position, duplicates
+    * kept, whole-doc span for docs shorter than k) reduced to the
+    * replayable 60-bit md5 prefix, so the whole rewrite is
+    * exact-oracle-checkable.
+    *
+    * Rule, precisely: token i of doc d is removed iff some span
+    * occurrence (d, p) with p ≤ i < p + klen has content that occurs in
+    * ≥ 2 distinct docs and d is NOT the minimum doc carrying it
+    * (klen = min(k, n_d − p): the whole-doc span of a short doc covers
+    * all its tokens). The rewritten doc is the kept tokens joined by
+    * single spaces over the tokenization (lower/trim/\s+) — the rewrite
+    * operates on the token stream, as the reference rewrite does on the
+    * byte stream, and the accounting is lossless: n_removed sums exactly
+    * the excised-token mass.
+    *
+    * Scale: every shuffle is linear — one groupBy(span_h) for
+    * (ndocs, keeper), one hash join back to occurrences (the doc-sized
+    * probe side streams; no self-join anywhere), a bounded k-fold
+    * position explode on BAD occurrences only, one anti-join on
+    * (doc, position), one per-doc aggregate. The span scan is map-only
+    * and recomputed for the two consumers (cheaper than persisting a
+    * corpus-sized intermediate); the per-doc token re-join is the one
+    * interpreted-lambda step (field extraction only), bounded by corpus
+    * token count.
+    *
+    * @param docs (doc_id, text, …) — extra columns carry through
+    * @return input columns minus text, plus (n_tokens, n_removed,
+    *         rewritten) */
+  def spanRewrite(s: SparkSession, docs: DataFrame, k: Int = 8): DataFrame = {
+    val base = docs.filter(col("text").isNotNull)
+      .withColumn("t", split(trim(lower(col("text"))), "\\s+"))
+      .withColumn("n", size(col("t")).cast("long"))
+    val spans = base.select(col("doc_id"), col("n"),
+        posexplode(graft.plans.NgramHashes.shingles(s, col("text"), k))
+          .as(Seq("pos", "span")))
+      .select(col("doc_id"), col("n"), col("pos").cast("long").as("pos"),
+        conv(substring(md5(col("span")), 1, 15), 16, 10).cast("long")
+          .as("span_h"))
+    val dup = spans.groupBy("span_h")
+      .agg(countDistinct("doc_id").as("ndocs"), min("doc_id").as("keeper"))
+      .filter(col("ndocs") >= 2)
+      .select("span_h", "keeper")
+    val bad = spans.join(dup.hint("shuffle_hash"), Seq("span_h"))
+      .filter(col("doc_id") > col("keeper"))
+      .select(col("doc_id"), col("pos"),
+        least(lit(k.toLong), col("n") - col("pos")).as("klen"))
+    val rem = bad.select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + col("klen") - 1)).as("i"))
+      .distinct()
+    val tokpos = base.select(col("doc_id"), posexplode(col("t")))
+      .select(col("doc_id"), col("pos").cast("long").as("i"),
+        col("col").as("tok"))
+    val kept = tokpos.join(rem, Seq("doc_id", "i"), "left_anti")
+    val rw = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("tok")))),
+          x => x.getField("tok")), " ").as("rewritten"))
+    base.drop("text", "t")
+      .join(rw, Seq("doc_id"), "left")
+      .withColumn("n_tokens", col("n"))
+      .withColumn("n_removed", col("n") - coalesce(col("n_kept"), lit(0L)))
+      .withColumn("rewritten", coalesce(col("rewritten"), lit("")))
+      .drop("n", "n_kept")
+  }
 }

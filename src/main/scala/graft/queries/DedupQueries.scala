@@ -385,7 +385,29 @@ object DedupQueries {
     "dedup_lsh_audit_sampled" -> ((s, dir) =>
       graft.operators.Dedup.lshAudit(
         minhashPairs(s, dir), rankedGrams(s, dir), docs(s, dir),
-        tNum = 1, tDen = 2)))
+        tNum = 1, tDen = 2)),
+
+    // SUBSTRING-DEDUP REWRITE (r13 — VERDICT item 5, Lee et al. '22):
+    // the duplicated-span SIGNAL promoted to the actual corpus REWRITE —
+    // every cross-document duplicated 8-token span is excised except in
+    // the first doc (by ingest order = min doc_id) carrying it, over the
+    // same positional-shingle + 60-bit-md5 span-hash family as
+    // dedup_span_exact. The gate hashes the REWRITTEN corpus per source
+    // (doc_id|rewritten md5 checksum) plus the lossless accounting
+    // (sum_removed = the excised-token mass) against a full relational
+    // replay of the rule in DuckDB; a planted-overlap spec pins the
+    // keeper/excise semantics on crafted docs (Round13OpsSpec).
+    "dedup_span_rewrite" -> ((s, dir) =>
+      graft.operators.Dedup.spanRewrite(s,
+          docsSharded(s, dir).select("doc_id", "source", "text"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          sum("n_removed").as("sum_removed"),
+          sum(pmod(conv(substring(md5(concat_ws("|",
+              col("doc_id").cast("string"), col("rewritten"))), 1, 12),
+            16, 10).cast("long"), lit(1000000007L))).as("checksum"))
+        .orderBy("source")))
 
   /** Shared DuckDB replay of the minhash signature pipeline (the exact math
     * of `Md5MinHashFromText` + `LshBandsExpr` semantics): same lower/trim/
@@ -780,5 +802,55 @@ object DedupQueries {
         |FROM occ LEFT JOIN dup USING (span_h)
         |GROUP BY occ.doc_id
         |HAVING sum(CASE WHEN dup.span_h IS NOT NULL THEN occ.occ ELSE 0 END) > 0
-        |ORDER BY dup_span_ratio DESC, doc_id""".stripMargin)
+        |ORDER BY dup_span_ratio DESC, doc_id""".stripMargin,
+
+    // Full replay of the rewrite rule: same tokenize/shingle/span-hash
+    // CTEs, then keeper = min(doc_id) per cross-doc span, covered
+    // positions of non-keeper occurrences excised, kept tokens rejoined
+    // in position order — checksum + lossless removed-token accounting
+    // per source.
+    "dedup_span_rewrite" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         regexp_split_to_array(trim(lower(text)),
+        |                               '[ \t\n\x0b\f\r]+') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |sp0 AS (
+        |  SELECT doc_id, len(t) AS n,
+        |         list_transform(range(greatest(len(t) - 7, 1)),
+        |           i -> {'p': i, 's': array_to_string(t[i + 1:i + 8], ' ')})
+        |           AS l
+        |  FROM toks),
+        |sp1 AS (SELECT doc_id, n, unnest(l) AS u FROM sp0),
+        |spans AS (SELECT doc_id, n, u.p AS pos,
+        |                 ('0x' || substr(md5(u.s), 1, 15))::BIGINT AS span_h
+        |          FROM sp1),
+        |dup AS (SELECT span_h, min(doc_id) AS keeper FROM spans
+        |        GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        |bad AS (SELECT s.doc_id, s.pos, least(8, s.n - s.pos) AS klen
+        |        FROM spans s JOIN dup USING (span_h)
+        |        WHERE s.doc_id > dup.keeper),
+        |badj AS (SELECT doc_id, pos, unnest(range(klen)) AS j FROM bad),
+        |rem AS (SELECT DISTINCT doc_id, pos + j AS i FROM badj),
+        |tokpos AS (SELECT doc_id, unnest(t) AS tok,
+        |                  unnest(range(len(t))) AS i FROM toks),
+        |kept AS (SELECT tp.doc_id, tp.i, tp.tok
+        |         FROM tokpos tp LEFT JOIN rem
+        |           ON rem.doc_id = tp.doc_id AND rem.i = tp.i
+        |         WHERE rem.doc_id IS NULL),
+        |rw AS (SELECT doc_id, count(*) AS n_kept,
+        |              array_to_string(list(tok ORDER BY i), ' ') AS rewritten
+        |       FROM kept GROUP BY 1),
+        |base AS (SELECT doc_id, source, len(t) AS n_tokens FROM toks),
+        |fin AS (SELECT b.doc_id, b.source, b.n_tokens,
+        |               coalesce(r.rewritten, '') AS rewritten,
+        |               b.n_tokens - coalesce(r.n_kept, 0) AS n_removed
+        |        FROM base b LEFT JOIN rw r USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |       CAST(sum(n_removed) AS BIGINT) AS sum_removed,
+        |       CAST(sum(('0x' || substr(md5(doc_id::VARCHAR || '|' ||
+        |              rewritten), 1, 12))::BIGINT % 1000000007) AS BIGINT)
+        |         AS checksum
+        |FROM fin GROUP BY source ORDER BY source""".stripMargin)
 }

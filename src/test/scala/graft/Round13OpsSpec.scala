@@ -326,6 +326,35 @@ class Round13OpsSpec extends AnyFunSuite with SparkTestBase {
       .inputFiles.length)
   }
 
+  test("substring-dedup rewrite (planted overlap): the first doc by " +
+      "ingest order keeps the span, later docs excise exactly its " +
+      "covered tokens, and the removed-token accounting is lossless") {
+    val shared = "one two three four five six seven eight" // an 8-token span
+    val docs = Seq(
+      (10L, s"alpha beta $shared gamma"), // keeper: min doc_id
+      (20L, s"x $shared y z"), // span at positions 1..8 → excised
+      (30L, shared) // the whole doc IS the span → fully excised
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.spanRewrite(spark, docs)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_removed", "rewritten")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((10L, 11L, 0L,
+      s"alpha beta $shared gamma")), "keeper doc carries unchanged")
+    assert(out(1) == ((20L, 11L, 8L, "x y z")),
+      "the planted span's 8 tokens are excised, flanks survive")
+    assert(out(2) == ((30L, 8L, 8L, "")),
+      "a doc that IS the span rewrites to empty, not a dropped row")
+    assert(out.map(_._3).sum == 16L, "lossless accounting")
+    // no cross-doc duplication → identity rewrite
+    val solo = Seq((1L, "a b c d e f g h"), (2L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val soloOut = graft.operators.Dedup.spanRewrite(spark, solo)
+      .orderBy("doc_id").collect()
+    assert(soloOut.forall(_.getAs[Long]("n_removed") == 0L))
+  }
+
   private def downXs(down: String): Seq[Long] =
     TxLog.read(spark, down, xySchema).collect().map(_.getLong(0)).sorted.toSeq
 
