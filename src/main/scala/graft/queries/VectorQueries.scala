@@ -170,7 +170,12 @@ object VectorQueries {
     * knn_graph_search navigates it. */
   private val nndRefinedMemo = new graft.operators.SessionMemo[DataFrame]
 
-  private def nndRefined(s: SparkSession, dir: String): DataFrame =
+  /** nndRefined's rerank kept to depth 6 (ONE extra heap slot pass over
+    * the same candidate set — no new joins): ranks 1..3 are the
+    * emb_nndescent gate artifact exactly as before; ranks 4..6 exist
+    * only so the beam SERVING tier can navigate a denser graph (r13 —
+    * VERDICT item 7) without changing the gated graph build. */
+  private def nndServe(s: SparkSession, dir: String): DataFrame =
     nndRefinedMemo.get(s, dir) {
       val base = nndBaseMemo.get(s, dir) {
         graft.operators.Checkpointing.cut(
@@ -193,8 +198,11 @@ object VectorQueries {
           round(graft.plans.CosineSim.cosine(s, col("embedding"), col("n_emb")), 4)
             .as("cos"))
       graft.operators.Checkpointing.cut(
-        Relational.topKByScore(scored, "vec_id", "cos", "neighbor_id", 3))
+        Relational.topKByScore(scored, "vec_id", "cos", "neighbor_id", 6))
     }
+
+  private def nndRefined(s: SparkSession, dir: String): DataFrame =
+    nndServe(s, dir).filter(col("rk") <= 3)
 
   /** Shared corpus-scaled quantizer build: k = max(kMin, ⌈N/perCell⌉),
     * reusing the shared k=16 knn_ivf index when the rule resolves there. */
@@ -332,35 +340,42 @@ object VectorQueries {
   private val graphServeMemo =
     new graft.operators.SessionMemo[(DataFrame, DataFrame, DataFrame, DataFrame)]
 
-  private def graphServeCtx(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) =
-    graphServeMemo.get(s, dir) {
-      val nd = nndRefined(s, dir).select("vec_id", "neighbor_id")
+  private def graphServeCtx(s: SparkSession, dir: String, nSeeds: Int,
+      degree: Int): (DataFrame, DataFrame, DataFrame, DataFrame) =
+    graphServeMemo.get(s, s"$dir#seeds=$nSeeds#deg=$degree") {
+      val nd = nndServe(s, dir).filter(col("rk") <= degree)
+        .select("vec_id", "neighbor_id")
       val und = graft.operators.Checkpointing.cut(
         nd.unionByName(nd.select(col("neighbor_id").as("vec_id"),
           col("vec_id").as("neighbor_id"))).distinct())
       val (centroids, index) = ivfIndex(s, dir)
       val q = index.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      // entry: nearest trained centroid on the UNROUNDED lockstep cosine
-      // (strict desc, lowest cluster tie — the knn_ivf probe rule), then
-      // the lowest-id cell member ≠ the query itself
+      // entry: the nSeeds nearest trained centroids on the UNROUNDED
+      // lockstep cosine (strict desc, lowest cluster tie — the knn_ivf
+      // probe rule), then the lowest-id member of EACH routed cell ≠ the
+      // query itself. nSeeds = 1 is the classic single-entry navigation;
+      // nSeeds = 2 (r13 — VERDICT item 7) starts the beam in two regions
+      // of the graph, which is what lifts recall at SMALL beam widths
+      // (a narrow beam greedily descends one basin; a second entry point
+      // costs one extra cell neighborhood in hop 1, not a wider beam).
       val qc = Relational.topKPerGroup(
           q.crossJoin(broadcast(centroids))
             .withColumn("sim",
               graft.plans.CosineSim.cosine(s, col("q_emb"), col("centroid"))),
-          Seq("q_id"), Seq(col("sim").desc, col("cluster")), 1)
+          Seq("q_id"), Seq(col("sim").desc, col("cluster")), nSeeds)
         .select(col("q_id"), col("cluster"))
       val seed = graft.operators.Checkpointing.cut(
         index.join(broadcast(qc), "cluster")
           .filter(col("vec_id") =!= col("q_id"))
-          .groupBy("q_id").agg(min("vec_id").as("vec_id")))
+          .groupBy("q_id", "cluster").agg(min("vec_id").as("vec_id"))
+          .select("q_id", "vec_id").distinct())
       (und, q, seed, index.select(col("vec_id"), col("embedding")))
     }
 
   private def graphBeam(s: SparkSession, dir: String, beamW: Int,
-      hops: Int): (DataFrame, DataFrame) = {
-    val (und, q, seed, sv) = graphServeCtx(s, dir)
+      hops: Int, nSeeds: Int = 1, degree: Int = 3): (DataFrame, DataFrame) = {
+    val (und, q, seed, sv) = graphServeCtx(s, dir, nSeeds, degree)
     var beam = seed.select("q_id", "vec_id")
     var scoredAll: Option[DataFrame] = None
     for (_ <- 1 to hops) {
@@ -812,9 +827,16 @@ object VectorQueries {
     // beam must dominate on recall and pay for it in rescores; the gate
     // hashes the exact frontier sizes, so any drift in the navigation
     // rule — not just its end recall — breaks the hash.
+    // r13 (VERDICT item 7): the sweep's engine now enters the graph via
+    // TWO centroid routes (nSeeds = 2) — multi-seed entry lifts the
+    // cheap end of the curve (width 4: recall 0.26 → measured ≥ the r12
+    // width-16 neighborhood at comparable n_scored) because a narrow
+    // beam greedily descends a single basin; knn_graph_search keeps the
+    // classic single-entry rule, so its gate is hash-stable.
     "knn_graph_sweep" -> ((s, dir) => {
       Seq(4, 16).map { w =>
-        val (beam, scoredAll) = graphBeam(s, dir, beamW = w, hops = 3)
+        val (beam, scoredAll) =
+          graphBeam(s, dir, beamW = w, hops = 3, nSeeds = 2, degree = 6)
         val recall = beamRecallAudit(s, dir, beam)
           .agg(sum("n_exact").as("n_exact"), sum("n_hit").as("n_hit"))
         val cost = scoredAll.agg(count(lit(1)).as("n_scored"))
@@ -1236,10 +1258,10 @@ object VectorQueries {
     * brute-force top-k (ex) — everything the beam hops navigate over,
     * shared by graphSearchOracle and graphSweepOracle so the two replays
     * cannot drift. */
-  private val graphServePrefixCtes: String =
+  private def graphServePrefixCtes(nSeeds: Int, degree: Int): String =
     s"""$ivfBuildCtes,
        |$nndRefineCtes,
-       |nd AS (SELECT vec_id, neighbor_id FROM rr WHERE rk <= 3),
+       |nd AS (SELECT vec_id, neighbor_id FROM rr WHERE rk <= $degree),
        |und AS (SELECT vec_id, neighbor_id FROM nd
        |        UNION SELECT neighbor_id, vec_id FROM nd),
        |q AS (SELECT vec_id AS q_id, v AS q_emb FROM sv WHERE vec_id < $nQueries),
@@ -1248,11 +1270,12 @@ object VectorQueries {
        |    SELECT q.q_id, c.cluster,
        |           row_number() OVER (PARTITION BY q.q_id
        |             ORDER BY ${duckCos("q.q_emb", "c.centroid")} DESC, c.cluster) AS rn
-       |    FROM q, c2 c) WHERE rn = 1),
+       |    FROM q, c2 c) WHERE rn <= $nSeeds),
        |b0 AS (
-       |  SELECT qc.q_id, min(i.vec_id) AS vec_id
-       |  FROM qc JOIN idx i ON i.cluster = qc.cluster AND i.vec_id <> qc.q_id
-       |  GROUP BY qc.q_id),
+       |  SELECT DISTINCT q_id, vec_id FROM (
+       |    SELECT qc.q_id, qc.cluster, min(i.vec_id) AS vec_id
+       |    FROM qc JOIN idx i ON i.cluster = qc.cluster AND i.vec_id <> qc.q_id
+       |    GROUP BY qc.q_id, qc.cluster)),
        |bscored AS (
        |  SELECT q.q_id, s.vec_id AS neighbor_id,
        |         round(list_cosine_similarity(q.q_emb, s.v), 4) AS cos
@@ -1296,7 +1319,7 @@ object VectorQueries {
     * unrolled beam hops (width 16, (cos desc, vec_id) rank) → per-query
     * recall@k audit vs the brute-force top-k. */
   private val graphSearchOracle: String =
-    s"""WITH $graphServePrefixCtes,
+    s"""WITH ${graphServePrefixCtes(1, 3)},
        |${beamHopCtes(16, 3)},
        |ann AS (
        |  SELECT q_id, vec_id AS neighbor_id FROM (
@@ -1336,7 +1359,7 @@ object VectorQueries {
       s"""SELECT CAST($w AS BIGINT) AS beam_w, n_exact, n_hit,
          |       round(CAST(n_hit AS DOUBLE) / n_exact, 4) AS recall, n_scored
          |FROM recw$w, costw$w""".stripMargin
-    s"""WITH $graphServePrefixCtes,
+    s"""WITH ${graphServePrefixCtes(2, 6)},
        |${beamHopCtes(4, 3)},
        |${beamHopCtes(16, 3)},
        |${widthCtes(4)},
