@@ -77,6 +77,29 @@ object BehaviorQueries {
         "ts_us", chunks = 4, prefix = s"graft-ssj-$et")
     }
 
+  /** The DELIBERATELY-SKEWED stream-join feeds (r13 — VERDICT item 9):
+    * the ssj feeds with every ≡0-mod-10 event's user remapped to ONE hot
+    * key (-1) — 10% of both streams lands on a single user, the hot-key
+    * lake whose pair mass grows quadratically (SCALING addendum 28). */
+  private val skewSsjFeedMemo = new graft.operators.SessionMemo[String]
+
+  private def skewSsjFeedDir(s: SparkSession, dir: String, et: String): String =
+    skewSsjFeedMemo.get(s, s"$et:$dir") {
+      graft.streaming.StreamGate.writeOrderedChunks(
+        ev(s, dir).filter(col("event_type") === et)
+          .select(when(pmod(col("event_id"), lit(10)) === 0, lit(-1L))
+            .otherwise(col("user_id")).as("user_id"),
+            col("event_id"), col("ts_us")),
+        "ts_us", chunks = 4, prefix = s"graft-ssjskew-$et")
+    }
+
+  /** The replayable hot-side admission rule: keep a hot-user view iff its
+    * 48-bit md5 residue mod 8 is 0 — content-deterministic (arrival order
+    * can't change the kept set) and exact in DuckDB. */
+  private def hotThin(idCol: org.apache.spark.sql.Column) =
+    pmod(conv(substring(md5(idCol.cast("string")), 1, 12), 16, 10)
+      .cast("long"), lit(8L)) === 0L
+
   /** Triplicated feed for the exactly-once gate: every event rides THREE
     * byte-identical copies in three mtime-ordered files (copy ordinal =
     * chunk key), so batches 2 and 3 deliver only cross-batch duplicates —
@@ -128,6 +151,59 @@ object BehaviorQueries {
           (unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
             .as("delta_us")))
       }.orderBy("purchase_id", "view_id")
+    }),
+
+    // SKEW-BOUNDED STREAM JOIN (r13 — VERDICT item 9): the knobs a
+    // production stream turns when one key goes hot and pair mass goes
+    // quadratic (addendum 28 measured q_stream_join's output +26% on the
+    // 10% hot-key lake — quadratic OUTPUT, not a melted partition). Two
+    // knobs, both gated here on the DELIBERATELY-SKEWED feed (10% of
+    // both streams on one user): (1) a TIGHT window — 5-minute interval
+    // + a real 1-hour watermark, so each side's buffer holds a bounded
+    // time-slice per key instead of the whole feed (the state bound is
+    // spec-asserted via the state-store row counts in Round13OpsSpec);
+    // (2) hot-side ADMISSION THINNING — the hot key's view stream keeps
+    // a deterministic 1/8 md5 stratum before the join (the sampling move
+    // that cuts hot-pair mass 8× while leaving every cold key exact).
+    // Emission determinism under real eviction: both feeds are ts-ordered
+    // per source and the global watermark is the min over sources, so a
+    // row is never late relative to its own source's horizon and every
+    // qualifying pair is emitted — the oracle is the batch replay of the
+    // same skew mapping + thinning + tight window.
+    "q_stream_join_capped" -> ((s, dir) => {
+      // the tight window derives from the DATA (span/48 — a fixed clock
+      // interval goes vacuous at small lakes, the empty-gate canary) and
+      // lands in the plan as INTERVAL LITERALS; the eviction horizon is
+      // 4 windows, comfortably past the join range so determinism holds
+      val b = ev(s, dir).agg(min("ts_us"), max("ts_us")).head()
+      val wUs = (b.getLong(1) - b.getLong(0)) / 48 + 1
+      val delayS = 4L * wUs / 1000000L + 1L
+      def side(et: String, a: String) = s.readStream
+        .schema("user_id LONG, event_id LONG, ts_us LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(skewSsjFeedDir(s, dir, et))
+        .select(col("user_id").as(s"${a}_user"),
+          col("event_id").as(s"${a}_id"),
+          timestamp_micros(col("ts_us")).as(s"${a}_ts"))
+        .withWatermark(s"${a}_ts", s"$delayS seconds")
+      val views = side("view", "v")
+        .filter(col("v_user") =!= -1L || hotThin(col("v_id")))
+      val joined = side("purchase", "p").join(views,
+        expr("p_user = v_user AND " +
+          s"v_ts BETWEEN p_ts - INTERVAL $wUs MICROSECOND AND p_ts"))
+      graft.streaming.StreamGate.run(s, joined, "ssjcap_gate",
+          org.apache.spark.sql.streaming.OutputMode.Append()) { sink =>
+        graft.operators.Checkpointing.cut(sink
+          .select(col("p_user"), col("p_id"), col("v_id"),
+            (unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
+              .as("delta_us"))
+          .groupBy(when(col("p_user") === -1L, 1L).otherwise(0L)
+            .as("is_hot"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("delta_us").as("sum_delta_us"),
+            sum(pmod(col("p_id") * lit(1000003L) + col("v_id"),
+              lit(1000000007L))).as("pair_checksum")))
+      }.orderBy("is_hot")
     }),
 
     // EXACTLY-ONCE dedup, gated (r9): `dropDuplicatesWithinWatermark` —
@@ -586,6 +662,32 @@ object BehaviorQueries {
          |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
          |  AND v.ts_us BETWEEN p.ts_us - 3600000000 AND p.ts_us
          |ORDER BY purchase_id, view_id""".stripMargin,
+
+    // the batch replay of the same skew mapping + hot-side md5 thinning
+    // + 5-minute interval join, aggregated per key class
+    "q_stream_join_capped" ->
+      s"""$evCte,
+         |sk AS (SELECT CASE WHEN event_id % 10 = 0 THEN -1
+         |                   ELSE user_id END AS user_id,
+         |              event_id, event_type, ts_us FROM e),
+         |v AS (SELECT * FROM sk WHERE event_type = 'view'
+         |        AND (user_id <> -1 OR
+         |             ('0x' || substr(md5(event_id::VARCHAR), 1, 12))::BIGINT
+         |               % 8 = 0)),
+         |p AS (SELECT * FROM sk WHERE event_type = 'purchase'),
+         |b AS (SELECT (max(ts_us) - min(ts_us)) // 48 + 1 AS w FROM e),
+         |pairs AS (
+         |  SELECT p.user_id, p.event_id AS pid, v.event_id AS vid,
+         |         p.ts_us - v.ts_us AS delta_us
+         |  FROM p JOIN v ON p.user_id = v.user_id, b
+         |  WHERE v.ts_us BETWEEN p.ts_us - b.w AND p.ts_us)
+         |SELECT CAST(CASE WHEN user_id = -1 THEN 1 ELSE 0 END AS BIGINT)
+         |         AS is_hot,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(delta_us) AS BIGINT) AS sum_delta_us,
+         |       CAST(sum((pid * 1000003 + vid) % 1000000007) AS BIGINT)
+         |         AS pair_checksum
+         |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // gap-split islands (split iff gap > 30 min — probed equal to the
     // native merge rule), session end = last event + gap, emitted iff

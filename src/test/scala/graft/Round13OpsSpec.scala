@@ -355,6 +355,57 @@ class Round13OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(soloOut.forall(_.getAs[Long]("n_removed") == 0L))
   }
 
+  test("skew-bounded stream join: a real eviction watermark bounds the " +
+      "join state to a time slice while the emission set stays the exact " +
+      "batch interval join") {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    // 8 bursts 1000 s apart: each burst has one view at t and one
+    // purchase at t+1s (a pair inside the 5 s window); with a 10 s
+    // watermark every burst's state is evicted long before the next
+    // base epoch well past 0: a row AT the initial watermark (epoch 0)
+    // is dropped as late — that's watermark semantics, not the join's
+    val rows = (0 until 8).flatMap { c =>
+      val t = 1000000000000000L + c * 1000L * 1000000L
+      Seq(("view", 1L, c * 10L, t),
+        ("purchase", 1L, c * 10L + 1L, t + 1000000L))
+    }
+    val df = rows.toDF("et", "user_id", "event_id", "ts_us")
+    def feed(et: String) = graft.streaming.StreamGate.writeOrderedChunks(
+      df.filter(col("et") === et).select("user_id", "event_id", "ts_us"),
+      "ts_us", chunks = 8, prefix = s"r13-ssj-$et")
+    val (vDir, pDir) = (feed("view"), feed("purchase"))
+    def side(dir: String, a: String) = spark.readStream
+      .schema("user_id LONG, event_id LONG, ts_us LONG")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .select(col("user_id").as(s"${a}_user"),
+        col("event_id").as(s"${a}_id"),
+        timestamp_micros(col("ts_us")).as(s"${a}_ts"))
+      .withWatermark(s"${a}_ts", "10 seconds")
+    val joined = side(pDir, "p").join(side(vDir, "v"),
+      expr("p_user = v_user AND " +
+        "v_ts BETWEEN p_ts - INTERVAL 5 SECONDS AND p_ts"))
+    val td = java.nio.file.Files.createTempDirectory("r13-ssj-run").toString
+    val q = joined.writeStream
+      .option("checkpointLocation", s"$td/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("p_id", "v_id").write.mode("append").parquet(s"$td/sink")
+      }.start()
+    val stateRows =
+      try {
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      } finally q.stop()
+    val emitted = spark.read.parquet(s"$td/sink")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(emitted == (0 until 8).map(c => (c * 10L + 1L, c * 10L)),
+      "every burst's pair emitted exactly once — the batch interval join")
+    // without eviction both sides' 16 rows would sit in state; the real
+    // watermark keeps only the last burst's slice
+    assert(stateRows <= 8L,
+      s"state must hold a bounded time slice, held $stateRows of 16 rows")
+    graft.operators.Checkpointing.deleteRecursively(td)
+  }
+
   private def downXs(down: String): Seq[Long] =
     TxLog.read(spark, down, xySchema).collect().map(_.getLong(0)).sorted.toSeq
 
