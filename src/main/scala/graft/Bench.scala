@@ -79,7 +79,33 @@ object Bench {
       } catch { case _: Throwable => "" }
     }
     val tierField = if (tierCtx.nonEmpty) s""","tier_context":$tierCtx""" else ""
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs$tierField,"sf":"$sfDir"}"""
+    // SEAL RUN (r13 — VERDICT item 8): the builder's one solo 3-pass run
+    // is recorded as a durable summary artifact (SPARK_GRAFT_SEAL=1
+    // writes it), and EVERY later Bench line — including the driver's
+    // session-loaded per-round snapshot — carries it verbatim as "seal",
+    // so cross-round comparisons diff the seal + tier bests directly
+    // instead of reconstructing the load-band caveat from archaeology.
+    val sealPath = java.nio.file.Paths.get("target/seal.json")
+    if (sys.env.get("SPARK_GRAFT_SEAL").contains("1")) try {
+      java.nio.file.Files.createDirectories(sealPath.getParent)
+      java.nio.file.Files.writeString(sealPath,
+        s"""{"value":${ms(total)},"runs":$runs,"n_queries":${names.size},""" +
+          s""""n_errors":${errors.size},"sf":${jstr(sfDir)}}""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] seal write failed: ${e.getMessage}")
+    }
+    val sealCtx = {
+      val shape = ("""\{"value":[0-9.]+,"runs":[0-9]+,"n_queries":[0-9]+,""" +
+        """"n_errors":[0-9]+,"sf":"[^"\\]*"\}""").r
+      try {
+        if (java.nio.file.Files.exists(sealPath)) {
+          val t = java.nio.file.Files.readString(sealPath).trim
+          if (shape.matches(t)) t else ""
+        } else ""
+      } catch { case _: Throwable => "" }
+    }
+    val sealField = if (sealCtx.nonEmpty) s""","seal":$sealCtx""" else ""
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs$tierField$sealField,"sf":"$sfDir"}"""
     // Durable copy first: even if stdout is truncated by the harness, the
     // structured per-query numbers survive as a file artifact.
     try {
