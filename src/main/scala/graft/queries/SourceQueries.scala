@@ -89,6 +89,57 @@ object SourceQueries {
     * update+insert merge. */
   private val txlogMergeMemo = new graft.operators.SessionMemo[String]
 
+  /** One writeManifest per (session, lake) over the skip table. */
+  private val txlogManifestMemo = new graft.operators.SessionMemo[String]
+
+  private val skipDdl = StructType.fromDDL(
+    "event_id BIGINT, event_type STRING, ts_us BIGINT, v4 BIGINT")
+
+  private def skipAgg(df: DataFrame): DataFrame =
+    df.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("v4").as("sum_v4"),
+        sum(pmod(col("event_id"), lit(1000000007L))).as("id_checksum"))
+      .orderBy("event_type")
+
+  /** The shared stats-carrying TxLog table (four ts-quartile dirs, each
+    * add recording its ts_us envelope) plus the mid-span query window
+    * [lo+span, lo+2.5·span] — inside dirs q1+q2, provably disjoint from
+    * q0/q3's envelopes (integer math mirrored in the oracle exactly).
+    * Shared by src_txlog_skipping (driver-path pruning) and
+    * src_txlog_manifest (distributed manifest pruning). */
+  private def skipTableAndWindow(s: SparkSession,
+      dir: String): (String, Long, Long) = {
+    import graft.sources.TxLog
+    val e = Tables(s, dir, "events")
+    val ev = e.select(col("event_id"), col("event_type"),
+      Tables.tsMicros(e).as("ts_us"),
+      round(col("value") * 10000).cast("long").as("v4"))
+    val table = txlogSkipMemo.get(s, dir) {
+      val tmp = graft.streaming.StreamGate
+        .sessionTempDir("graft-txlog-skip") { td =>
+          val tbl = s"$td/table"
+          val b = ev.agg(min("ts_us"), max("ts_us")).head()
+          val (lo, hi) = (b.getLong(0), b.getLong(1))
+          val span = (hi - lo) / 4 + 1
+          val adds = (0 until 4).map { i =>
+            val nm = s"q$i"
+            ev.filter(col("ts_us") >= lo + i * span &&
+                col("ts_us") < lo + (i + 1) * span)
+              .write.parquet(s"$tbl/$nm")
+            TxLog.AddFile(nm,
+              TxLog.statsOf(s.read.parquet(s"$tbl/$nm"), Seq("ts_us")))
+          }
+          require(TxLog.tryCommitActions(s, tbl, 0L, adds, Nil),
+            "v0 conflicted on a fresh table")
+        }
+      s"$tmp/table"
+    }
+    val b = ev.agg(min("ts_us"), max("ts_us")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val span = (hi - lo) / 4 + 1
+    (table, lo + span, lo + 2 * span + span / 2)
+  }
+
   /** The schema-evolution TxLog table for src_txlog_evolution — v0
     * records a 3-column schema, v1 adds `source` and records the wider
     * one. */
@@ -496,46 +547,38 @@ object SourceQueries {
     // lake).
     "src_txlog_skipping" -> ((s, dir) => {
       import graft.sources.TxLog
-      val e = Tables(s, dir, "events")
-      val ev = e.select(col("event_id"), col("event_type"),
-        Tables.tsMicros(e).as("ts_us"),
-        round(col("value") * 10000).cast("long").as("v4"))
-      val table = txlogSkipMemo.get(s, dir) {
-        val tmp = graft.streaming.StreamGate
-          .sessionTempDir("graft-txlog-skip") { td =>
-            val tbl = s"$td/table"
-            val b = ev.agg(min("ts_us"), max("ts_us")).head()
-            val (lo, hi) = (b.getLong(0), b.getLong(1))
-            val span = (hi - lo) / 4 + 1
-            val adds = (0 until 4).map { i =>
-              val nm = s"q$i"
-              ev.filter(col("ts_us") >= lo + i * span &&
-                  col("ts_us") < lo + (i + 1) * span)
-                .write.parquet(s"$tbl/$nm")
-              TxLog.AddFile(nm,
-                TxLog.statsOf(s.read.parquet(s"$tbl/$nm"), Seq("ts_us")))
-            }
-            require(TxLog.tryCommitActions(s, tbl, 0L, adds, Nil),
-              "v0 conflicted on a fresh table")
-          }
-        s"$tmp/table"
-      }
-      // the query window: [lo+span, lo+2.5·span] — inside dirs q1+q2,
-      // provably disjoint from q0/q3's envelopes (integer math mirrored
-      // in the oracle exactly)
-      val b = ev.agg(min("ts_us"), max("ts_us")).head()
-      val (lo, hi) = (b.getLong(0), b.getLong(1))
-      val span = (hi - lo) / 4 + 1
-      val (w1, w2) = (lo + span, lo + 2 * span + span / 2)
-      TxLog.read(s, table,
-          StructType.fromDDL(
-            "event_id BIGINT, event_type STRING, ts_us BIGINT, v4 BIGINT"),
+      val (table, w1, w2) = skipTableAndWindow(s, dir)
+      TxLog.read(s, table, skipDdl,
           None, skip = Seq(TxLog.SkipRange("ts_us", w1, w2)))
         .filter(col("ts_us").between(w1, w2))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_events"), sum("v4").as("sum_v4"),
-          sum(pmod(col("event_id"), lit(1000000007L))).as("id_checksum"))
-        .orderBy("event_type")
+        .transform(skipAgg)
+    }),
+
+    // DISTRIBUTED MANIFEST (r13 — the scale half of "checkpoint at
+    // scale", VERDICT item 4): TxLog.writeManifest materializes the
+    // head's live add-set as a PARQUET table (one row per file: name,
+    // partition values, stats envelopes — the Iceberg-manifest idea),
+    // and readViaManifest evaluates the skip predicates as a
+    // DISTRIBUTED scan of that table, collecting ONLY the matching file
+    // names: the driver holds O(files surviving pruning), never O(live
+    // files) — what a selective read on a many-million-file table
+    // needs (the JSON checkpoint bounds the replay walk; the manifest
+    // bounds the PLAN). Stale manifests are refused loudly
+    // (version-pinned to the head — spec'd, with prune-decision
+    // equivalence to the driver path and the junk-stats conservative
+    // keep). Gate: the same mid-span window as src_txlog_skipping read
+    // THROUGH the manifest path, hashed against the same oracle — the
+    // planning path must be invisible to results.
+    "src_txlog_manifest" -> ((s, dir) => {
+      import graft.sources.TxLog
+      val (table, w1, w2) = skipTableAndWindow(s, dir)
+      txlogManifestMemo.get(s, dir) {
+        TxLog.writeManifest(s, table).toString
+      }
+      TxLog.readViaManifest(s, table, skipDdl,
+          skip = Seq(TxLog.SkipRange("ts_us", w1, w2)))
+        .filter(col("ts_us").between(w1, w2))
+        .transform(skipAgg)
     }),
 
     // STREAMING SOURCE over the table format (r13 — VERDICT item 1, the
@@ -1037,6 +1080,21 @@ object SourceQueries {
         |       CAST(sum(event_id % 1000000007) AS BIGINT) AS id_checksum
         |FROM events
         |WHERE event_type IN (SELECT event_type FROM t)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the SAME oracle for both planning paths — manifest-planned and
+    // driver-planned pruning must be indistinguishable in results
+    "src_txlog_manifest" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+        |                  CAST(round(value * 10000) AS BIGINT) AS v4
+        |           FROM events),
+        |b AS (SELECT min(ts_us) AS lo,
+        |             (max(ts_us) - min(ts_us)) // 4 + 1 AS span FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(v4) AS BIGINT) AS sum_v4,
+        |       CAST(sum(event_id % 1000000007) AS BIGINT) AS id_checksum
+        |FROM e, b
+        |WHERE ts_us >= lo + span AND ts_us <= lo + 2 * span + span // 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the same mid-span window over the ORIGINAL events (identical

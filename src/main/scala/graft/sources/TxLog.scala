@@ -1016,6 +1016,84 @@ object TxLog {
     else s.read.schema(schema).parquet(files.map(p => s"$table/$p"): _*)
   }
 
+  /** DISTRIBUTED MANIFEST (r13 — the scale half of "checkpoint at
+    * scale"): materialize the head's live add-set as a PARQUET table
+    * (`_manifest/v<head>` — one row per file: name, partition values,
+    * stats envelopes), the Iceberg-manifest idea. [[readViaManifest]]
+    * then evaluates the skip predicates as a DISTRIBUTED scan of the
+    * manifest and collects ONLY the matching file names — the driver
+    * holds O(files that survive pruning), not O(live files), which is
+    * what a selective read on a many-million-file table needs (the JSON
+    * checkpoint bounds the replay walk; the manifest bounds the PLAN).
+    * The manifest is DERIVED state, version-pinned to the head it was
+    * built from: a read through a stale manifest is refused loudly
+    * (rebuild after new commits), never silently served. Writing it
+    * pays one driver walk of the log — the maintenance-job posture,
+    * like Delta's checkpoint writer. Returns the manifested head. */
+  def writeManifest(s: SparkSession, table: String): Long = {
+    val head = currentVersion(s, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table has nothing to manifest — no commits"))
+    val live = liveAdds(s, table)
+    import s.implicits._
+    live.map(a => (a.name, a.part, a.stats)).toDF("name", "part", "stats")
+      .repartition(math.max(1, live.size / 100000))
+      .write.mode("overwrite").parquet(f"$table/_manifest/v$head%010d")
+    head
+  }
+
+  /** Read the head snapshot planning through the parquet manifest: skip
+    * predicates evaluate distributively over the manifest rows with the
+    * same conservative semantics as [[pruneAdds]] (absent or
+    * unparseable-for-the-bound's-type envelopes KEEP — `try_cast`
+    * returns null on junk and `coalesce(…, true)` keeps), and only the
+    * surviving names reach the driver. Column names in `skip` must be
+    * plain identifiers (they interpolate into manifest expressions —
+    * loud otherwise). */
+  def readViaManifest(s: SparkSession, table: String, schema: StructType,
+      skip: Seq[Skip] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, lit, expr, not}
+    val head = currentVersion(s, table).getOrElse(
+      throw new IllegalArgumentException(s"$table: empty table"))
+    val mpath = f"$table/_manifest/v$head%010d"
+    val f = fsOf(s, new Path(mpath))
+    require(f.exists(new Path(mpath)),
+      s"$table: no manifest for head v$head — the manifest is derived, " +
+        "version-pinned state; run writeManifest after new commits " +
+        "(a stale manifest must never silently serve an old snapshot)")
+    skip.foreach(r => require(r.col.matches("""[A-Za-z0-9_]+"""),
+      s"manifest skip column '${r.col}' must be a plain identifier"))
+    val m = s.read.parquet(mpath)
+    val preds = skip.map {
+      case SkipPartition(c, vs) =>
+        coalesce(expr(s"part['$c']").isin(vs.toSeq.map(lit(_)): _*), lit(true))
+      case SkipRange(c, lo, hi) =>
+        coalesce(not(expr(s"try_cast(stats['$c']._2 AS BIGINT)") < lit(lo) ||
+          expr(s"try_cast(stats['$c']._1 AS BIGINT)") > lit(hi)), lit(true))
+      case SkipRangeString(c, lo, hi) =>
+        coalesce(not(expr(s"stats['$c']._2") < lit(lo) ||
+          expr(s"stats['$c']._1") > lit(hi)), lit(true))
+      case SkipRangeDecimal(c, lo, hi) =>
+        coalesce(not(
+          expr(s"try_cast(stats['$c']._2 AS DECIMAL(38,9))") <
+            lit(lo.bigDecimal) ||
+          expr(s"try_cast(stats['$c']._1 AS DECIMAL(38,9))") >
+            lit(hi.bigDecimal)), lit(true))
+      case SkipRangeDate(c, lo, hi) =>
+        coalesce(not(
+          expr(s"try_cast(stats['$c']._2 AS DATE)") <
+            lit(java.sql.Date.valueOf(lo)) ||
+          expr(s"try_cast(stats['$c']._1 AS DATE)") >
+            lit(java.sql.Date.valueOf(hi))), lit(true))
+    }
+    val kept = preds.foldLeft(m)((d, p) => d.filter(p))
+    // the O(matching) pull — the point of the manifest path
+    val files = kept.select("name").collect().map(_.getString(0)).toSeq
+    if (files.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    else s.read.schema(schema).parquet(files.map(p => s"$table/$p"): _*)
+  }
+
   /** Read with the LOG's recorded schema for the snapshot — the
     * schema-evolution read path: time travel to a pre-evolution version
     * reads with that version's own (narrower) schema; a head read after

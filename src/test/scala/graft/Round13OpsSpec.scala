@@ -406,6 +406,65 @@ class Round13OpsSpec extends AnyFunSuite with SparkTestBase {
     graft.operators.Checkpointing.deleteRecursively(td)
   }
 
+  test("distributed manifest: predicates evaluate over the manifest " +
+      "scan with the pruneAdds keep rules, only matching names reach " +
+      "the driver, and a stale manifest is refused") {
+    val t = freshTable()
+    val adds = (0 until 4).map { i =>
+      val nm = s"p$i"
+      (i * 10L until i * 10L + 10L).map(x => (x, s"src$i")).toDF("x", "src")
+        .coalesce(1).write.parquet(s"$t/$nm")
+      TxLog.AddFile(nm,
+        TxLog.statsOf(spark.read.parquet(s"$t/$nm"), Seq("x")),
+        part = Map("src" -> s"src$i"))
+    } :+ {
+      // a junk-stats file: unparseable envelope must KEEP on both paths
+      Seq((100L, "srcx")).toDF("x", "src").coalesce(1).write.parquet(s"$t/pj")
+      TxLog.AddFile("pj", Map("x" -> ("junk", "junk")))
+    }
+    assert(TxLog.tryCommitActions(spark, t, 0L, adds, Nil))
+    assert(TxLog.writeManifest(spark, t) == 0L)
+    val schema = StructType.fromDDL("x BIGINT, src STRING")
+    val skips = Seq(
+      TxLog.SkipPartition("src", Set("src1", "src2")),
+      TxLog.SkipRange("x", 0L, 14L))
+    // decision equivalence: the manifest path opens exactly the files
+    // the driver path keeps (p1 + the partition-less junk file)
+    assert(TxLog.pruneAdds(TxLog.liveAdds(spark, t), skips)
+      .map(_.name) == Seq("p1", "pj"))
+    val viaM = TxLog.readViaManifest(spark, t, schema, skips)
+    assert(viaM.inputFiles.forall(f =>
+      f.contains("/p1/") || f.contains("/pj/")))
+    // result equivalence against the driver-planned read
+    val viaD = TxLog.read(spark, t, schema, None, skips)
+    assert(viaM.collect().map(_.getLong(0)).sorted.toSeq ==
+      viaD.collect().map(_.getLong(0)).sorted.toSeq)
+    // typed bounds through the manifest: string envelope prune
+    val t2 = freshTable()
+    (0 until 2).foreach { i =>
+      Seq((s"w$i", i.toLong)).toDF("w", "n").coalesce(1)
+        .write.parquet(s"$t2/d$i")
+    }
+    assert(TxLog.tryCommitActions(spark, t2, 0L, (0 until 2).map { i =>
+      TxLog.AddFile(s"d$i",
+        TxLog.statsOf(spark.read.parquet(s"$t2/d$i"), Seq("w")))
+    }, Nil))
+    TxLog.writeManifest(spark, t2)
+    val one = TxLog.readViaManifest(spark, t2,
+      StructType.fromDDL("w STRING, n BIGINT"),
+      Seq(TxLog.SkipRangeString("w", "w1", "w1")))
+    assert(one.collect().map(_.getString(0)).toSeq == Seq("w1"))
+    assert(one.inputFiles.forall(_.contains("/d1/")))
+    // stale manifest: a new commit makes the old manifest unusable
+    Seq((999L, "srcz")).toDF("x", "src").coalesce(1).write.parquet(s"$t/pz")
+    assert(TxLog.tryCommit(spark, t, 1L, Seq("pz"), Nil))
+    val e = intercept[IllegalArgumentException](
+      TxLog.readViaManifest(spark, t, schema, Nil))
+    assert(e.getMessage.contains("manifest"))
+    assert(TxLog.writeManifest(spark, t) == 1L)
+    assert(TxLog.readViaManifest(spark, t, schema, Nil).count() == 42L)
+  }
+
   private def downXs(down: String): Seq[Long] =
     TxLog.read(spark, down, xySchema).collect().map(_.getLong(0)).sorted.toSeq
 
