@@ -244,6 +244,48 @@ object SourceQueries {
 
   private val prunedSources = Seq("src3", "src7", "src11")
 
+  /** The twice-merged documents table (snapshot → bucketizing
+    * delete+update merge → touched-buckets update+insert merge), BOTH
+    * merges recording their change feed — shared by src_txlog_merge
+    * (final-state gate) and src_txlog_cdf (per-row change-set gate). */
+  private def mergedDocTable(s: SparkSession, dir: String): String = {
+    import graft.sources.{TxLog, TxLogMerge}
+    txlogMergeMemo.get(s, dir) {
+      val tmp = graft.streaming.StreamGate
+        .sessionTempDir("graft-txlog-merge") { td =>
+          val tbl = s"$td/table"
+          val docs = Tables(s, dir, "documents")
+            .select("doc_id", "lang", "source", "n_chars")
+          docs.write.parquet(s"$tbl/init")
+          require(TxLog.tryCommit(s, tbl, 0L, Seq("init"), Nil),
+            "v0 conflicted on a fresh table")
+          require(TxLogMerge.merge(s, tbl, mergeSchema,
+              docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+              Seq("doc_id"),
+              updateSet = Map("n_chars" -> (col("n_chars") + lit(1L))),
+              deleteWhen = Some(col("lang") <=> "de"),
+              nBuckets = 8, changeFeed = true) == 1L,
+            "merge 1 must commit v1")
+          val off = docs.agg(max("doc_id")).head().getLong(0) + 1L
+          val src2 = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+            .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+              .select((col("doc_id") + off).as("doc_id"), col("lang"),
+                col("source"), col("n_chars")))
+          require(TxLogMerge.merge(s, tbl, mergeSchema, src2,
+              Seq("doc_id"),
+              updateSet = Map("n_chars" -> (col("n_chars") * lit(2L))),
+              insertWhen =
+                Some(!(col(s"${TxLogMerge.Src}lang") <=> "de")),
+              changeFeed = true) == 2L,
+            "merge 2 must commit v2")
+        }
+      s"$tmp/table"
+    }
+  }
+
+  private val mergeSchema = StructType.fromDDL(
+    "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // JSONL — the training-data interchange format: schema-explicit
@@ -694,45 +736,45 @@ object SourceQueries {
     // semantics, and the carry-forward of untouched buckets all at
     // once.
     "src_txlog_merge" -> ((s, dir) => {
-      import graft.sources.{TxLog, TxLogMerge}
-      val mergeSchema = StructType.fromDDL(
-        "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
-      val table = txlogMergeMemo.get(s, dir) {
-        val tmp = graft.streaming.StreamGate
-          .sessionTempDir("graft-txlog-merge") { td =>
-            val tbl = s"$td/table"
-            val docs = Tables(s, dir, "documents")
-              .select("doc_id", "lang", "source", "n_chars")
-            docs.write.parquet(s"$tbl/init")
-            require(TxLog.tryCommit(s, tbl, 0L, Seq("init"), Nil),
-              "v0 conflicted on a fresh table")
-            require(TxLogMerge.merge(s, tbl, mergeSchema,
-                docs.filter(pmod(col("doc_id"), lit(3)) === 0),
-                Seq("doc_id"),
-                updateSet = Map("n_chars" -> (col("n_chars") + lit(1L))),
-                deleteWhen = Some(col("lang") <=> "de"),
-                nBuckets = 8) == 1L, "merge 1 must commit v1")
-            val off = docs.agg(max("doc_id")).head().getLong(0) + 1L
-            val src2 = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
-              .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-                .select((col("doc_id") + off).as("doc_id"), col("lang"),
-                  col("source"), col("n_chars")))
-            require(TxLogMerge.merge(s, tbl, mergeSchema, src2,
-                Seq("doc_id"),
-                updateSet = Map("n_chars" -> (col("n_chars") * lit(2L))),
-                insertWhen =
-                  Some(!(col(s"${TxLogMerge.Src}lang") <=> "de"))) == 2L,
-              "merge 2 must commit v2")
-          }
-        s"$tmp/table"
-      }
-      TxLog.read(s, table, mergeSchema)
+      import graft.sources.TxLog
+      TxLog.read(s, mergedDocTable(s, dir), mergeSchema)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
           sum(rowCheck(concat_ws("|", f(col("doc_id")), f(col("lang")),
             f(col("n_chars"))))).as("checksum"))
         .orderBy("source")
     }),
+
+    // MERGE CHANGE DATA FEED (r13 — the Delta CDF idea): a MERGING
+    // table cannot serve readChanges (its rewrites remove files —
+    // layout, not data), so the merge records its per-ROW change set
+    // when asked (`changeFeed = true`): deletes carry the target
+    // PREIMAGE, updates carry BOTH images (touched-by-the-update-clause
+    // rule), inserts carry the new row, written as `_changes/v<version>`
+    // before the commit CAS (an orphaned dir from a lost race is
+    // overwritten by the retry and refused by the reader — loud, like
+    // every missing-feed read: silence must not read as no-changes,
+    // spec'd in Round13OpsSpec with a planted merge). One extra pass
+    // over the touched-bucket join, only when requested. Gate: BOTH
+    // merges' feeds (v1: delete+update images; v2: update images +
+    // shifted inserts) aggregated per (version, change_type) and hashed
+    // against the full relational replay of each merge's change classes
+    // over the original parquet.
+    "src_txlog_cdf" -> ((s, dir) => {
+      import graft.sources.TxLogMerge
+      val table = mergedDocTable(s, dir)
+      Seq(1L, 2L).map { v =>
+        TxLogMerge.readChangeFeed(s, table, mergeSchema, v)
+          .select(lit(v).as("version"), col("_change_type"),
+            col("doc_id"), col("lang"), col("n_chars"))
+      }.reduce(_ unionAll _)
+        .groupBy("version", "_change_type")
+        .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("sum_chars"),
+          sum(rowCheck(concat_ws("|", f(col("doc_id")), f(col("lang")),
+            f(col("n_chars"))))).as("checksum"))
+        .orderBy("version", "_change_type")
+    }),
+
 
     // SCHEMA EVOLUTION (r12 — VERDICT item 3): commits record the write
     // schema in the log ({"schema": DDL} — the Avro header-verify
@@ -1054,6 +1096,53 @@ object SourceQueries {
         |                coalesce(n_chars::VARCHAR, chr(1))), 1, 12))::BIGINT
         |                % 1000000007) AS BIGINT) AS checksum
         |FROM t2 GROUP BY source ORDER BY source""".stripMargin,
+
+    // each merge's change classes replayed relationally: v1 = the
+    // German ≡0-mod-3 deletes (preimage) + the rest of those keys as
+    // update pre/post (+1); v2 = the ≡0-mod-7 SURVIVORS of merge 1 as
+    // update pre (t1 image) / post (doubled) + the shifted non-German
+    // ≡0-mod-5 inserts — the unmatched un-shifted keys are exactly the
+    // German deletes, which the insert condition rejects (mirrored)
+    "src_txlog_cdf" ->
+      """WITH m AS (SELECT max(doc_id) + 1 AS off FROM documents),
+        |base AS (SELECT doc_id, lang, source, n_chars FROM documents),
+        |t1 AS (SELECT doc_id, lang, source,
+        |              CASE WHEN doc_id % 3 = 0 THEN n_chars + 1
+        |                   ELSE n_chars END AS n_chars
+        |       FROM base
+        |       WHERE NOT (doc_id % 3 = 0 AND
+        |                  lang IS NOT DISTINCT FROM 'de')),
+        |ch AS (
+        |  SELECT 1 AS version, 'delete' AS _change_type,
+        |         doc_id, lang, n_chars
+        |  FROM base WHERE doc_id % 3 = 0 AND lang IS NOT DISTINCT FROM 'de'
+        |  UNION ALL
+        |  SELECT 1, 'update_preimage', doc_id, lang, n_chars
+        |  FROM base WHERE doc_id % 3 = 0
+        |    AND NOT (lang IS NOT DISTINCT FROM 'de')
+        |  UNION ALL
+        |  SELECT 1, 'update_postimage', doc_id, lang, n_chars + 1
+        |  FROM base WHERE doc_id % 3 = 0
+        |    AND NOT (lang IS NOT DISTINCT FROM 'de')
+        |  UNION ALL
+        |  SELECT 2, 'update_preimage', doc_id, lang, n_chars
+        |  FROM t1 WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT 2, 'update_postimage', doc_id, lang, n_chars * 2
+        |  FROM t1 WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT 2, 'insert', d.doc_id + m.off, d.lang, d.n_chars
+        |  FROM base d, m
+        |  WHERE d.doc_id % 5 = 0 AND NOT (d.lang IS NOT DISTINCT FROM 'de'))
+        |SELECT CAST(version AS BIGINT) AS version, _change_type,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(('0x' || substr(md5(
+        |                coalesce(doc_id::VARCHAR, chr(1)) || '|' ||
+        |                coalesce(lang, chr(1)) || '|' ||
+        |                coalesce(n_chars::VARCHAR, chr(1))), 1, 12))::BIGINT
+        |                % 1000000007) AS BIGINT) AS checksum
+        |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the downstream table must STILL equal the feed after the second
     // hop (sink → streaming source → sink): deliberately the

@@ -65,7 +65,8 @@ object TxLogMerge {
       updateWhen: Option[Column] = None,
       deleteWhen: Option[Column] = None,
       insertWhen: Option[Column] = None,
-      nBuckets: Int = 16): Long = {
+      nBuckets: Int = 16,
+      changeFeed: Boolean = false): Long = {
     require(keyCols.nonEmpty, "merge needs key columns")
     require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
     keyCols.foreach(k => require(!updateSet.contains(k),
@@ -148,6 +149,42 @@ object TxLogMerge {
 
     val newV = head + 1
     val parent = f"mrg$newV%010d"
+
+    // CHANGE DATA FEED (r13): the per-ROW change set of this merge —
+    // the Delta CDF idea: deletes carry the target preimage, updates
+    // carry BOTH images (preimage + postimage, the touched-by-the-
+    // update-clause rule), inserts carry the new row — written as
+    // `_changes/v<version>` BEFORE the commit CAS publishes the
+    // version (a lost CAS leaves an orphaned change dir the retry
+    // overwrites — derived data, never read without its commit). This
+    // is what gives a MERGING table an incremental consumer contract:
+    // readChanges refuses windows with removes precisely because a
+    // rewrite is layout, not data; the change feed is the data-level
+    // answer. Cost: one more pass over the already-touched-bucket join
+    // (never the whole table), only when requested.
+    if (changeFeed) {
+      val pre = schema.fields.map(f => col(f.name))
+      val isDel = isMatched && coalesce(del, lit(false))
+      val isUpd = isMatched && !coalesce(del, lit(false)) &&
+        coalesce(upd, lit(false))
+      val isIns = col("__t").isNull && coalesce(ins, lit(false))
+      val tag = lit(_: String).as("_change_type")
+      val outVals = schema.fields.map { f =>
+        val updated = updateSet.getOrElse(f.name, col(f.name))
+        when(isMatched, updated).otherwise(col(s"$Src${f.name}"))
+          .cast(f.dataType).as(f.name)
+      }
+      val changes = joined.filter(isDel)
+          .select(pre :+ tag("delete"): _*)
+        .unionByName(joined.filter(isUpd)
+          .select(pre :+ tag("update_preimage"): _*))
+        .unionByName(joined.filter(isUpd)
+          .select(outVals :+ tag("update_postimage"): _*))
+        .unionByName(joined.filter(isIns)
+          .select(outVals :+ tag("insert"): _*))
+      changes.write.mode("overwrite")
+        .parquet(f"$table/_changes/v$newV%010d")
+    }
     merged.write.mode("overwrite")
       .partitionBy("__bucket").parquet(s"$table/$parent")
     val fs = new org.apache.hadoop.fs.Path(table)
@@ -176,5 +213,26 @@ object TxLogMerge {
         "merge was rewriting — nothing changed (the old dirs are still " +
         "live); re-run the merge from the new head")
     newV
+  }
+
+  /** Read one merge version's CHANGE FEED: the per-row change set
+    * (`_change_type` ∈ delete / update_preimage / update_postimage /
+    * insert) the merge recorded when run with `changeFeed = true`. Loud
+    * when the version has no change dir (the merge predates the feed,
+    * or it isn't a merge commit) — an incremental consumer must never
+    * read silence as "no changes". */
+  def readChangeFeed(s: SparkSession, table: String, schema: StructType,
+      version: Long): DataFrame = {
+    val p = f"$table/_changes/v$version%010d"
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(p)),
+      s"$table: no change feed recorded for v$version — run the merge " +
+        "with changeFeed = true (silence must not read as no-changes)")
+    val head = TxLog.currentVersion(s, table)
+    require(head.exists(_ >= version),
+      s"$table: change feed v$version is ahead of the table head " +
+        s"$head — an orphaned dir from a lost commit race, not data")
+    s.read.schema(schema.add("_change_type", "string")).parquet(p)
   }
 }

@@ -465,6 +465,44 @@ class Round13OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(TxLog.readViaManifest(spark, t, schema, Nil).count() == 42L)
   }
 
+  test("merge change feed: deletes carry the preimage, updates carry " +
+      "both images, inserts carry the new row; absent feeds are loud") {
+    import graft.sources.TxLogMerge
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = freshTable()
+    (0L until 4L).map(x => (x, x * 10)).toDF("x", "y")
+      .coalesce(1).write.parquet(s"$t/init")
+    assert(TxLog.tryCommit(spark, t, 0L, Seq("init"), Nil))
+    // source: delete x=1, update x=2 (y += 100), insert x=9; x=3 update
+    // too
+    val src = Seq((1L, 0L), (2L, 100L), (3L, 100L), (9L, 90L))
+      .toDF("x", "y")
+    assert(TxLogMerge.merge(spark, t, xySchema, src, Seq("x"),
+      updateSet = Map("y" -> (col("y") + col(s"${TxLogMerge.Src}y"))),
+      deleteWhen = Some(col("x") <=> 1L),
+      insertWhen = Some(lit(true)), nBuckets = 2, changeFeed = true) == 1L)
+    val feed = TxLogMerge.readChangeFeed(spark, t, xySchema, 1L)
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    assert(feed == Seq(
+      ("delete", 1L, 10L),
+      ("insert", 9L, 90L),
+      ("update_postimage", 2L, 120L),
+      ("update_postimage", 3L, 130L),
+      ("update_preimage", 2L, 20L),
+      ("update_preimage", 3L, 30L)))
+    // table state agrees with the feed's postimages
+    assert(TxLog.read(spark, t, xySchema).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((0L, 0L), (2L, 120L), (3L, 130L), (9L, 90L)))
+    // a version without a recorded feed is loud
+    assert(TxLogMerge.merge(spark, t, xySchema, Seq((9L, 1L)).toDF("x", "y"),
+      Seq("x"), updateSet = Map("y" -> lit(0L))) == 2L)
+    val e = intercept[IllegalArgumentException](
+      TxLogMerge.readChangeFeed(spark, t, xySchema, 2L))
+    assert(e.getMessage.contains("change feed"))
+  }
+
   private def downXs(down: String): Seq[Long] =
     TxLog.read(spark, down, xySchema).collect().map(_.getLong(0)).sorted.toSeq
 
