@@ -92,6 +92,10 @@ object SourceQueries {
   /** One writeManifest per (session, lake) over the skip table. */
   private val txlogManifestMemo = new graft.operators.SessionMemo[String]
 
+  /** The collected CDF follower emission over the merged table — one
+    * streaming run per (session, lake). */
+  private val cdfFollowMemo = new graft.operators.SessionMemo[DataFrame]
+
   private val skipDdl = StructType.fromDDL(
     "event_id BIGINT, event_type STRING, ts_us BIGINT, v4 BIGINT")
 
@@ -776,6 +780,53 @@ object SourceQueries {
     }),
 
 
+    // CDF FOLLOWER (r13 capstone): the TxLog streaming source in
+    // `feed=cdf` mode follows a MERGING table's change feed — one merge
+    // commit per trigger, rows carrying (_change_type, _version) — and a
+    // consumer APPLIES the followed changes (latest non-preimage change
+    // per key by version: delete drops, update/insert replaces) onto the
+    // v0 snapshot seed. The gate claim is the consumer-loop contract
+    // itself: seed + followed-feed apply ≡ the table head — hashed
+    // against the SAME final-state oracle as src_txlog_merge, so a
+    // dropped, duplicated, or mis-ordered change anywhere in the
+    // source → stream → apply loop flips the hash.
+    "src_txlog_cdf_follow" -> ((s, dir) => {
+      import graft.sources.TxLog
+      val table = mergedDocTable(s, dir)
+      val changes = cdfFollowMemo.get(s, dir) {
+        val stream = s.readStream
+          .format(classOf[graft.sources.TxLogStreamSourceProvider].getName)
+          .schema(mergeSchema)
+          .option("path", table).option("feed", "cdf")
+          .option("maxVersionsPerTrigger", "1").load()
+        graft.streaming.StreamGate.run(s, stream, "cdf_follow",
+            org.apache.spark.sql.streaming.OutputMode.Append()) { sink =>
+          graft.operators.Checkpointing.cut(sink)
+        }
+      }
+      val seed = TxLog.read(s, table, mergeSchema, Some(0L))
+      val latest = changes
+        .filter(col("_change_type") =!= "update_preimage")
+        .groupBy("doc_id")
+        .agg(expr(
+          "max_by(struct(lang, source, n_chars, _change_type), _version)")
+          .as("c"))
+      seed.join(latest, Seq("doc_id"), "full_outer")
+        .filter(col("c").isNull || col("c._change_type") =!= "delete")
+        .select(col("doc_id"),
+          when(col("c").isNotNull, col("c.lang")).otherwise(col("lang"))
+            .as("lang"),
+          when(col("c").isNotNull, col("c.source")).otherwise(col("source"))
+            .as("source"),
+          when(col("c").isNotNull, col("c.n_chars")).otherwise(col("n_chars"))
+            .as("n_chars"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum(rowCheck(concat_ws("|", f(col("doc_id")), f(col("lang")),
+            f(col("n_chars"))))).as("checksum"))
+        .orderBy("source")
+    }),
+
     // SCHEMA EVOLUTION (r12 — VERDICT item 3): commits record the write
     // schema in the log ({"schema": DDL} — the Avro header-verify
     // posture brought to the table format); reads verify their declared
@@ -1068,6 +1119,39 @@ object SourceQueries {
     // the only unmatched un-shifted update keys are the German deletes,
     // which the insert condition rejects — mirrored exactly)
     "src_txlog_merge" ->
+      """WITH m AS (SELECT max(doc_id) + 1 AS off FROM documents),
+        |t1 AS (
+        |  SELECT d.doc_id, d.lang, d.source,
+        |         CASE WHEN d.doc_id % 3 = 0 THEN d.n_chars + 1
+        |              ELSE d.n_chars END AS n_chars
+        |  FROM documents d
+        |  WHERE NOT (d.doc_id % 3 = 0 AND
+        |             d.lang IS NOT DISTINCT FROM 'de')
+        |),
+        |t2 AS (
+        |  SELECT doc_id, lang, source,
+        |         CASE WHEN doc_id % 7 = 0 THEN n_chars * 2
+        |              ELSE n_chars END AS n_chars
+        |  FROM t1
+        |  UNION ALL
+        |  SELECT d.doc_id + m.off, d.lang, d.source, d.n_chars
+        |  FROM documents d, m
+        |  WHERE d.doc_id % 5 = 0
+        |    AND NOT (d.lang IS NOT DISTINCT FROM 'de')
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(('0x' || substr(md5(
+        |                coalesce(doc_id::VARCHAR, chr(1)) || '|' ||
+        |                coalesce(lang, chr(1)) || '|' ||
+        |                coalesce(n_chars::VARCHAR, chr(1))), 1, 12))::BIGINT
+        |                % 1000000007) AS BIGINT) AS checksum
+        |FROM t2 GROUP BY source ORDER BY source""".stripMargin,
+
+    // the consumer-loop contract: seed + followed-feed apply ≡ the
+    // table head — deliberately src_txlog_merge's final-state oracle
+    // VERBATIM
+    "src_txlog_cdf_follow" ->
       """WITH m AS (SELECT max(doc_id) + 1 AS off FROM documents),
         |t1 AS (
         |  SELECT d.doc_id, d.lang, d.source,

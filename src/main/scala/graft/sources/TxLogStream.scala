@@ -56,19 +56,42 @@ class TxLogStreamSourceProvider extends StreamSourceProvider {
           "the log — declare one with .schema(...)"))
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
-      providerName: String, params: Map[String, String]): (String, StructType) =
-    ("txlog", schemaOf(ctx.sparkSession, schema, params))
+      providerName: String, params: Map[String, String]): (String, StructType) = {
+    val row = schemaOf(ctx.sparkSession, schema, params)
+    ("txlog",
+      if (params.get("feed").contains("cdf")) TxLogStreamSource.cdfSchema(row)
+      else row)
+  }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       params: Map[String, String]): Source =
     new TxLogStreamSource(ctx.sparkSession, tableOf(params),
       schemaOf(ctx.sparkSession, schema, params),
-      params.get("maxVersionsPerTrigger").map(_.toLong))
+      params.get("maxVersionsPerTrigger").map(_.toLong),
+      cdf = params.get("feed").contains("cdf"),
+      startVersion = params.get("startVersion").map(_.toLong).getOrElse(0L))
 }
 
+object TxLogStreamSource {
+  /** The CDF stream's row shape: the table row plus the change class
+    * and the commit version it belongs to (consumers apply per-version
+    * in order — the column IS the ordering key). */
+  def cdfSchema(row: StructType): StructType =
+    row.add("_change_type", "string").add("_version", "long")
+}
+
+/** `cdf = true` follows the table's MERGE CHANGE FEED instead of its
+  * added files (r13): each trigger delivers the `_changes/v` rows of the
+  * next commits — the consumer contract for a MERGING table, whose
+  * rewrites `readChanges` correctly refuses. There is no initial
+  * snapshot in the feed: the consumer seeds from a snapshot read at
+  * `startVersion` (default 0) and the stream follows (startVersion,
+  * head]; a followed version with no recorded feed is LOUD (silence
+  * must not read as no-changes). */
 class TxLogStreamSource(s: SparkSession, table: String,
-    sourceSchema: StructType, maxVersionsPerTrigger: Option[Long])
+    rowSchema: StructType, maxVersionsPerTrigger: Option[Long],
+    cdf: Boolean = false, startVersion: Long = 0L)
     extends Source {
 
   maxVersionsPerTrigger.foreach(k => require(k > 0,
@@ -90,28 +113,42 @@ class TxLogStreamSource(s: SparkSession, table: String,
     if (!deliveredUpTo.exists(_ >= v)) deliveredUpTo = Some(v)
   }
 
-  override def schema: StructType = sourceSchema
+  private val effectiveSchema: StructType =
+    if (cdf) TxLogStreamSource.cdfSchema(rowSchema) else rowSchema
+
+  /** The fresh-stream starting offset: cdf follows (startVersion, head]
+    * (the snapshot seed is the consumer's read); the file feed starts
+    * at -1 (initial load delivers everything). */
+  private val origin: Long = if (cdf) startVersion else -1L
+
+  override def schema: StructType = effectiveSchema
 
   override def getOffset: Option[Offset] =
     TxLog.currentVersion(s, table).map { head =>
       val end = maxVersionsPerTrigger match {
         case Some(k) =>
           // pace catch-up from the last delivered version; before any
-          // delivery (fresh stream) the first batch is the initial load
-          // window (-1, min(head, -1+k)]
-          math.min(head, deliveredUpTo.getOrElse(-1L) + k)
+          // delivery (fresh stream) the first batch is the window
+          // (origin, min(head, origin+k)]
+          math.min(head, deliveredUpTo.getOrElse(origin) + k)
         case None => head
       }
       LongOffset(end)
     }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(ver).getOrElse(-1L)
+    val from = start.map(ver).getOrElse(origin)
     val to = ver(end)
     advance(to)
-    if (to <= from) StreamingBridge.emptyStreaming(s, sourceSchema)
-    else StreamingBridge.asStreaming(
-      TxLog.readChanges(s, table, sourceSchema, from, to))
+    if (to <= from) StreamingBridge.emptyStreaming(s, effectiveSchema)
+    else if (cdf) {
+      import org.apache.spark.sql.functions.lit
+      val parts = ((math.max(from, startVersion) + 1) to to).map(v =>
+        TxLogMerge.readChangeFeed(s, table, rowSchema, v)
+          .withColumn("_version", lit(v)))
+      StreamingBridge.asStreaming(parts.reduce(_ unionByName _))
+    } else StreamingBridge.asStreaming(
+      TxLog.readChanges(s, table, rowSchema, from, to))
   }
 
   override def commit(end: Offset): Unit = advance(ver(end))

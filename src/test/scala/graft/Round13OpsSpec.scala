@@ -503,6 +503,58 @@ class Round13OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("change feed"))
   }
 
+  test("CDF streaming mode: follows a merging table's change feed one " +
+      "version per trigger, restart resumes, and a followed version " +
+      "without a feed is loud") {
+    import graft.sources.TxLogMerge
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = freshTable()
+    (0L until 4L).map(x => (x, x)).toDF("x", "y")
+      .coalesce(1).write.parquet(s"$t/init")
+    assert(TxLog.tryCommit(spark, t, 0L, Seq("init"), Nil))
+    def upd(k: Long, v: Long): Unit =
+      assert(TxLogMerge.merge(spark, t, xySchema,
+        Seq((k, v)).toDF("x", "y"), Seq("x"),
+        updateSet = Map("y" -> col(s"${TxLogMerge.Src}y")),
+        insertWhen = Some(lit(true)), nBuckets = 2, changeFeed = true) > 0L)
+    upd(1L, 100L); upd(9L, 900L)
+    val td = java.nio.file.Files.createTempDirectory("r13-cdf").toString
+    def follow(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream
+        .format(classOf[graft.sources.TxLogStreamSourceProvider].getName)
+        .schema(xySchema).option("path", t).option("feed", "cdf")
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.option("checkpointLocation", s"$td/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(s"$td/sink")
+        }.start()
+    val q = follow()
+    try { q.processAllAvailable() } finally q.stop()
+    def emitted() = spark.read.parquet(s"$td/sink")
+      .collect().map(r => (r.getAs[Long]("_version"),
+        r.getAs[String]("_change_type"), r.getAs[Long]("x"),
+        r.getAs[Long]("y"))).sorted.toSeq
+    assert(emitted() == Seq(
+      (1L, "update_postimage", 1L, 100L), (1L, "update_preimage", 1L, 1L),
+      (2L, "insert", 9L, 900L)))
+    // restart picks up only NEW merges
+    upd(2L, 200L)
+    val q2 = follow()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(emitted().count(_._1 == 3L) == 2, "one pre + one post for v3")
+    assert(emitted().size == 5, "no duplicates on restart")
+    // a followed version with no feed (plain commit) is loud
+    Seq((50L, 50L)).toDF("x", "y").coalesce(1).write.parquet(s"$t/extra")
+    assert(TxLog.tryCommit(spark, t, 4L, Seq("extra"), Nil))
+    val q3 = follow()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q3.processAllAvailable() finally q3.stop()
+    }
+    assert(e.getMessage.contains("change feed") ||
+      Option(e.getCause).exists(_.getMessage.contains("change feed")))
+    graft.operators.Checkpointing.deleteRecursively(td)
+  }
+
   private def downXs(down: String): Seq[Long] =
     TxLog.read(spark, down, xySchema).collect().map(_.getLong(0)).sorted.toSeq
 
