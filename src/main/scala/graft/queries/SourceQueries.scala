@@ -96,6 +96,10 @@ object SourceQueries {
     * streaming run per (session, lake). */
   private val cdfFollowMemo = new graft.operators.SessionMemo[DataFrame]
 
+  /** The WAP-built table (good publish → refused corrupt stage → good
+    * publish) — one build per (session, lake). */
+  private val txlogWapMemo = new graft.operators.SessionMemo[String]
+
   private val skipDdl = StructType.fromDDL(
     "event_id BIGINT, event_type STRING, ts_us BIGINT, v4 BIGINT")
 
@@ -780,6 +784,59 @@ object SourceQueries {
     }),
 
 
+    // WRITE–AUDIT–PUBLISH (r13 — the Iceberg WAP idea on the table
+    // format): a batch lands as an UNPUBLISHED staged dir (invisible by
+    // construction — the log is the source of truth), is AUDITED by one
+    // bounded aggregate over the staged READ-BACK (what actually landed,
+    // not the input plan) against named per-row expectations, and
+    // publishes atomically only when every expectation holds — a failing
+    // audit deletes the stage, leaves the table byte-identical, and
+    // throws with per-rule violation counts (spec'd, with the CAS-retry
+    // publish under a racing committer). The build: the even half
+    // publishes, a CORRUPTED odd half (negated n_chars on ≡0 mod 3) is
+    // REFUSED, then the clean odd half publishes. The gate hashes the
+    // final table per source against ALL documents — if the refused
+    // stage leaked a single row (or blocked the clean retry), the
+    // count/checksum flips.
+    "src_txlog_wap" -> ((s, dir) => {
+      import graft.sources.TxLog
+      val table = txlogWapMemo.get(s, dir) {
+        val tmp = graft.streaming.StreamGate
+          .sessionTempDir("graft-txlog-wap") { td =>
+            val tbl = s"$td/table"
+            val docs = Tables(s, dir, "documents")
+              .select("doc_id", "lang", "source", "n_chars")
+            val rules = Seq(
+              "n_chars_nonneg" -> (col("n_chars") >= 0L),
+              "doc_id_not_null" -> col("doc_id").isNotNull)
+            require(TxLog.writeAuditPublish(
+                docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+                tbl, "even", rules) == 0L, "clean even half must publish")
+            val corrupt = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+              .withColumn("n_chars",
+                when(pmod(col("doc_id"), lit(3)) === 0,
+                  -col("n_chars") - 1).otherwise(col("n_chars")))
+            val refused =
+              try { TxLog.writeAuditPublish(corrupt, tbl, "odd", rules); false }
+              catch { case e: IllegalStateException =>
+                e.getMessage.contains("audit FAILED") }
+            require(refused, "the corrupted stage must be refused")
+            require(TxLog.currentVersion(s, tbl).contains(0L),
+              "a refused publish must not advance the head")
+            require(TxLog.writeAuditPublish(
+                docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+                tbl, "odd", rules) == 1L, "clean odd half must publish")
+          }
+        s"$tmp/table"
+      }
+      TxLog.read(s, table, mergeSchema)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum(rowCheck(concat_ws("|", f(col("doc_id")), f(col("lang")),
+            f(col("n_chars"))))).as("checksum"))
+        .orderBy("source")
+    }),
+
     // CDF FOLLOWER (r13 capstone): the TxLog streaming source in
     // `feed=cdf` mode follows a MERGING table's change feed — one merge
     // commit per trigger, rows carrying (_change_type, _version) — and a
@@ -1147,6 +1204,19 @@ object SourceQueries {
         |                coalesce(n_chars::VARCHAR, chr(1))), 1, 12))::BIGINT
         |                % 1000000007) AS BIGINT) AS checksum
         |FROM t2 GROUP BY source ORDER BY source""".stripMargin,
+
+    // everything published and nothing else: the full corpus under the
+    // (doc_id|lang|n_chars) checksum — a leaked corrupt row or a blocked
+    // clean publish flips it
+    "src_txlog_wap" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(('0x' || substr(md5(
+        |                coalesce(doc_id::VARCHAR, chr(1)) || '|' ||
+        |                coalesce(lang, chr(1)) || '|' ||
+        |                coalesce(n_chars::VARCHAR, chr(1))), 1, 12))::BIGINT
+        |                % 1000000007) AS BIGINT) AS checksum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // the consumer-loop contract: seed + followed-feed apply ≡ the
     // table head — deliberately src_txlog_merge's final-state oracle

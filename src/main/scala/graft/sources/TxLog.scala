@@ -498,6 +498,69 @@ object TxLog {
     }
   }
 
+  /** WRITE–AUDIT–PUBLISH (r13 — the Iceberg WAP idea): stage `df` as an
+    * UNPUBLISHED data dir (the log is the source of truth, so an
+    * uncommitted dir is invisible to every reader by construction),
+    * AUDIT the staged bytes — one bounded aggregate over the read-back
+    * counts violations per named expectation (auditing what actually
+    * LANDED, not the input plan: a lossy write is exactly what the
+    * pattern exists to catch) — and PUBLISH atomically only when every
+    * expectation holds. A failing audit deletes the staged dir, leaves
+    * the table byte-identical, and throws with the per-rule violation
+    * counts; publishing retries the CAS against concurrent committers
+    * (the append has no read-set, so retry is always safe). With no
+    * expectations this is the plain batch APPEND verb ([[append]]).
+    * `statsCols` records per-dir min/max envelopes for data skipping,
+    * as everywhere. Returns the published version. */
+  def writeAuditPublish(df: DataFrame, table: String, name: String,
+      expectations: Seq[(String, org.apache.spark.sql.Column)],
+      statsCols: Seq[String] = Nil): Long = {
+    val s = df.sparkSession
+    require(name.matches("""[A-Za-z0-9._-]+"""),
+      s"data dir name '$name' must be a plain path-safe token")
+    val taken = currentVersion(s, table).isDefined &&
+      liveAdds(s, table).exists(_.name == name)
+    require(!taken,
+      s"$table: data dir $name is already LIVE — refusing to overwrite " +
+        "published data (pick a fresh name)")
+    df.write.mode("overwrite").parquet(s"$table/$name")
+    val staged = s.read.parquet(s"$table/$name")
+    if (expectations.nonEmpty) {
+      import org.apache.spark.sql.functions.{sum, when, lit}
+      val aggs = expectations.map { case (rule, pred) =>
+        sum(when(!pred, 1L).otherwise(0L)).as(rule) }
+      val r = staged.agg(aggs.head, aggs.tail: _*).head()
+      val violations = expectations.zipWithIndex.collect {
+        case ((rule, _), i) if !r.isNullAt(i) && r.getLong(i) > 0 =>
+          s"$rule=${r.getLong(i)}"
+      }
+      if (violations.nonEmpty) {
+        fsOf(s, new Path(table)).delete(new Path(table, name), true)
+        throw new IllegalStateException(
+          s"$table: audit FAILED for staged $name — " +
+            s"${violations.mkString(", ")} row(s) violate expectations; " +
+            "nothing was published, the table is unchanged")
+      }
+    }
+    val stats = statsOf(staged, statsCols)
+    var attempts = 0
+    while (true) {
+      val v = currentVersion(s, table).fold(0L)(_ + 1L)
+      if (tryCommitActions(s, table, v, Seq(AddFile(name, stats)), Nil))
+        return v
+      attempts += 1
+      require(attempts < 64,
+        s"$table: lost the publish CAS $attempts times — a pathological " +
+          "commit storm; re-run")
+    }
+    -1L // unreachable
+  }
+
+  /** Plain batch APPEND: stage + publish with CAS retry, no audit. */
+  def append(df: DataFrame, table: String, name: String,
+      statsCols: Seq[String] = Nil): Long =
+    writeAuditPublish(df, table, name, Nil, statsCols)
+
   /** Per-column (min, max) of `df` for `cols`, rendered as strings — the
     * write-side half of data skipping. ONE aggregate pass; on a parquet
     * read-back this is answered from footer statistics, not data pages.

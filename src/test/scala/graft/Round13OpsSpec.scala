@@ -555,6 +555,42 @@ class Round13OpsSpec extends AnyFunSuite with SparkTestBase {
     graft.operators.Checkpointing.deleteRecursively(td)
   }
 
+  test("write-audit-publish: a failing audit deletes the stage and " +
+      "leaves the table byte-identical; publishes retry the CAS under a " +
+      "racing committer") {
+    import org.apache.spark.sql.functions.col
+    val t = freshTable()
+    val rules = Seq("y_nonneg" -> (col("y") >= 0L))
+    assert(TxLog.writeAuditPublish(
+      Seq((1L, 10L), (2L, 20L)).toDF("x", "y"), t, "a", rules) == 0L)
+    // corrupt stage: refused with the per-rule count, nothing changes
+    val e = intercept[IllegalStateException](TxLog.writeAuditPublish(
+      Seq((3L, -1L), (4L, 40L), (5L, -5L)).toDF("x", "y"), t, "b", rules))
+    assert(e.getMessage.contains("y_nonneg=2"))
+    assert(TxLog.currentVersion(spark, t).contains(0L))
+    assert(!fsOf(t).exists(new org.apache.hadoop.fs.Path(t, "b")),
+      "the refused stage is deleted, not an invisible orphan")
+    assert(TxLog.read(spark, t, xySchema).count() == 2L)
+    // overwriting a LIVE dir name is refused before any byte moves
+    val e2 = intercept[IllegalArgumentException](TxLog.writeAuditPublish(
+      Seq((9L, 9L)).toDF("x", "y"), t, "a", rules))
+    assert(e2.getMessage.contains("already LIVE"))
+    // CAS retry under a racing committer: both land, no lost update
+    val ex = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      (1 to 6).foreach { i =>
+        val fut = ex.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = TxLog.append(
+            Seq((100L + i, i.toLong)).toDF("x", "y"), t, s"r$i")
+        })
+        TxLog.append(Seq((200L + i, i.toLong)).toDF("x", "y"), t, s"m$i")
+        fut.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      }
+    } finally ex.shutdown()
+    assert(TxLog.read(spark, t, xySchema).count() == 2L + 12L)
+    assert(TxLog.currentVersion(spark, t).contains(12L))
+  }
+
   private def downXs(down: String): Seq[Long] =
     TxLog.read(spark, down, xySchema).collect().map(_.getLong(0)).sorted.toSeq
 
