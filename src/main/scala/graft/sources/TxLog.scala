@@ -843,6 +843,42 @@ object TxLog {
     doomed
   }
 
+  /** Retention for the DERIVED side-state (r13): the parquet manifests
+    * and the merge change-feed dirs live OUTSIDE the log (they are
+    * rebuildable / consumable artifacts, not table data), so [[vacuum]]
+    * never touches them — this verb does. Deletes every `_manifest/v*`
+    * except the current head's (an old manifest is ALWAYS stale — the
+    * reader refuses it anyway; keeping it is pure garbage) and every
+    * `_changes/v*` at-or-below `head − retainChangeVersions` (a consumer
+    * further behind than the retention horizon must re-baseline from a
+    * snapshot — the same contract as data vacuum: a read past the
+    * horizon fails loudly as missing-feed, never silently serves a
+    * partial window). Returns the deleted dir names. */
+  def vacuumDerived(s: SparkSession, table: String,
+      retainChangeVersions: Int = 16): Seq[String] = {
+    require(retainChangeVersions >= 0,
+      s"negative retention $retainChangeVersions")
+    val head = currentVersion(s, table).getOrElse(
+      throw new IllegalArgumentException(s"$table: empty table"))
+    val f = fsOf(s, new Path(table))
+    val doomed = Seq.newBuilder[String]
+    val mdir = new Path(table, "_manifest")
+    if (f.exists(mdir))
+      f.listStatus(mdir).map(_.getPath.getName).sorted.foreach { n =>
+        if (n != f"v$head%010d") { doomed += s"_manifest/$n" }
+      }
+    val cdir = new Path(table, "_changes")
+    val horizon = head - retainChangeVersions
+    if (f.exists(cdir))
+      f.listStatus(cdir).map(_.getPath.getName).sorted.foreach { n =>
+        val v = n.stripPrefix("v").toLongOption
+        if (v.exists(_ <= horizon)) { doomed += s"_changes/$n" }
+      }
+    val out = doomed.result()
+    out.foreach(d => f.delete(new Path(table, d), true))
+    out
+  }
+
   private val VacuumFile = "_vacuum"
 
   private def vacuumHorizon(s: SparkSession, table: String): Long = {

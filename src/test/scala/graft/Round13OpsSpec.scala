@@ -591,6 +591,39 @@ class Round13OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(TxLog.currentVersion(spark, t).contains(12L))
   }
 
+  test("vacuumDerived: stale manifests and out-of-retention change " +
+      "feeds are reclaimed; the survivors keep serving, the reclaimed " +
+      "read as loud missing state") {
+    import graft.sources.TxLogMerge
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = freshTable()
+    (0L until 3L).map(x => (x, x)).toDF("x", "y")
+      .coalesce(1).write.parquet(s"$t/init")
+    assert(TxLog.tryCommit(spark, t, 0L, Seq("init"), Nil))
+    TxLog.writeManifest(spark, t) // v0 manifest, soon stale
+    (1 to 3).foreach { i =>
+      assert(TxLogMerge.merge(spark, t, xySchema,
+        Seq((i.toLong, i * 100L)).toDF("x", "y"), Seq("x"),
+        updateSet = Map("y" -> col(s"${TxLogMerge.Src}y")),
+        insertWhen = Some(lit(true)), nBuckets = 2,
+        changeFeed = true) == i.toLong)
+    }
+    TxLog.writeManifest(spark, t) // v3 — the live one
+    val deleted = TxLog.vacuumDerived(spark, t, retainChangeVersions = 1)
+    assert(deleted.sorted == Seq("_changes/v0000000001", "_changes/v0000000002",
+      "_manifest/v0000000000"))
+    // the live manifest and the retained feeds keep serving
+    assert(TxLog.readViaManifest(spark, t, xySchema, Nil).count() == 4L)
+    assert(TxLogMerge.readChangeFeed(spark, t, xySchema, 3L).count() == 1L,
+      "v3 is the insert of key 3 — one change row")
+    // the reclaimed feed reads as loud missing state
+    val e = intercept[IllegalArgumentException](
+      TxLogMerge.readChangeFeed(spark, t, xySchema, 1L))
+    assert(e.getMessage.contains("change feed"))
+    // idempotent re-run deletes nothing further
+    assert(TxLog.vacuumDerived(spark, t, 1).isEmpty)
+  }
+
   private def downXs(down: String): Seq[Long] =
     TxLog.read(spark, down, xySchema).collect().map(_.getLong(0)).sorted.toSeq
 
