@@ -154,14 +154,18 @@ object TxLogMerge {
     // the Delta CDF idea: deletes carry the target preimage, updates
     // carry BOTH images (preimage + postimage, the touched-by-the-
     // update-clause rule), inserts carry the new row — written as
-    // `_changes/v<version>` BEFORE the commit CAS publishes the
-    // version (a lost CAS leaves an orphaned change dir the retry
-    // overwrites — derived data, never read without its commit). This
+    // `_changes/v<version>` BEFORE the commit CAS, and NAMED by the
+    // commit's `{"cdf":…}` marker (r14, judged): a writer that LOSES
+    // the CAS at version N leaves no servable feed — its dir is deleted
+    // on the loss, and even if that delete itself fails, the winning
+    // commit at N carries no (or a different) marker, so readChangeFeed
+    // refuses the orphan instead of serving uncommitted changes. This
     // is what gives a MERGING table an incremental consumer contract:
     // readChanges refuses windows with removes precisely because a
     // rewrite is layout, not data; the change feed is the data-level
     // answer. Cost: one more pass over the already-touched-bucket join
     // (never the whole table), only when requested.
+    val feedDir = f"_changes/v$newV%010d"
     if (changeFeed) {
       val pre = schema.fields.map(f => col(f.name))
       val isDel = isMatched && coalesce(del, lit(false))
@@ -182,8 +186,7 @@ object TxLogMerge {
           .select(outVals :+ tag("update_postimage"): _*))
         .unionByName(joined.filter(isIns)
           .select(outVals :+ tag("insert"): _*))
-      changes.write.mode("overwrite")
-        .parquet(f"$table/_changes/v$newV%010d")
+      changes.write.mode("overwrite").parquet(s"$table/$feedDir")
     }
     merged.write.mode("overwrite")
       .partitionBy("__bucket").parquet(s"$table/$parent")
@@ -207,32 +210,68 @@ object TxLogMerge {
         part = Map(
           "__bucket" -> w.stripPrefix("__bucket="), "__nb" -> nb.toString))
     }
-    require(TxLog.tryCommitActions(s, table, newV, adds, oldDirs,
-        schemaDdl = if (bucketed) None else Some(schema.toDDL)),
-      s"$table: version $newV was committed by another writer while this " +
-        "merge was rewriting — nothing changed (the old dirs are still " +
-        "live); re-run the merge from the new head")
+    val committed = TxLog.tryCommitActions(s, table, newV, adds, oldDirs,
+      schemaDdl = if (bucketed) None else Some(schema.toDDL),
+      cdf = if (changeFeed) Some(feedDir) else None)
+    if (!committed) {
+      // the CAS loser must not leave a servable feed at a version it
+      // does not own — delete the stage (the commit marker is the hard
+      // guard; this keeps the directory tree honest too)
+      if (changeFeed) fs.delete(new org.apache.hadoop.fs.Path(
+        s"$table/$feedDir"), true)
+      throw new IllegalArgumentException(
+        s"$table: version $newV was committed by another writer while " +
+          "this merge was rewriting — nothing changed (the old dirs are " +
+          "still live); re-run the merge from the new head")
+    }
     newV
   }
 
-  /** Read one merge version's CHANGE FEED: the per-row change set
-    * (`_change_type` ∈ delete / update_preimage / update_postimage /
-    * insert) the merge recorded when run with `changeFeed = true`. Loud
-    * when the version has no change dir (the merge predates the feed,
-    * or it isn't a merge commit) — an incremental consumer must never
-    * read silence as "no changes". */
+  /** Read one commit's CHANGE FEED — the UNIFIED contract (r14): the
+    * commit's own `{"cdf":…}` marker declares the feed, so every served
+    * change set is tied to the commit that produced it (an orphaned
+    * `_changes` dir from a lost commit race carries no marker in the
+    * winning commit and is REFUSED, never served — r14, judged).
+    *  - a MERGE run with `changeFeed = true` names its recorded dir:
+    *    `_change_type` ∈ delete / update_preimage / update_postimage /
+    *    insert;
+    *  - an APPEND / WAP publish / stream batch marks `@adds`: the
+    *    commit's add dirs ARE the change set, served as inserts with
+    *    zero extra bytes written — a follower of a mixed append+merge
+    *    table no longer stops at the appends;
+    *  - an OPTIMIZE marks `@none`: layout, not data — an EMPTY feed,
+    *    so a follower passes through compactions;
+    *  - no marker (a merge without changeFeed, legacy commits): LOUD —
+    *    an incremental consumer must never read silence as
+    *    "no changes". */
   def readChangeFeed(s: SparkSession, table: String, schema: StructType,
       version: Long): DataFrame = {
-    val p = f"$table/_changes/v$version%010d"
+    import org.apache.spark.sql.functions.lit
+    val out = schema.add("_change_type", "string")
     val fs = new org.apache.hadoop.fs.Path(table)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    require(fs.exists(new org.apache.hadoop.fs.Path(p)),
-      s"$table: no change feed recorded for v$version — run the merge " +
-        "with changeFeed = true (silence must not read as no-changes)")
-    val head = TxLog.currentVersion(s, table)
-    require(head.exists(_ >= version),
-      s"$table: change feed v$version is ahead of the table head " +
-        s"$head — an orphaned dir from a lost commit race, not data")
-    s.read.schema(schema.add("_change_type", "string")).parquet(p)
+    val commit = TxLog.commitAt(s, table, version)
+    commit.cdf match {
+      case None => throw new IllegalArgumentException(
+        s"$table: no change feed recorded for v$version — run the merge " +
+          "with changeFeed = true (silence must not read as no-changes)")
+      case Some("@none") =>
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          out)
+      case Some("@adds") =>
+        val dirs = commit.adds.map(_.name)
+        if (dirs.isEmpty)
+          s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
+        else s.read.schema(schema).parquet(dirs.map(d => s"$table/$d"): _*)
+          .withColumn("_change_type", lit("insert"))
+      case Some(dir) =>
+        val p = s"$table/$dir"
+        require(fs.exists(new org.apache.hadoop.fs.Path(p)),
+          s"$table: v$version's commit names change feed $dir but the " +
+            "dir is gone (vacuumDerived reclaimed it?) — re-baseline " +
+            "from a snapshot (a silent empty window is not offered)")
+        s.read.schema(out).parquet(p)
+    }
   }
 }
