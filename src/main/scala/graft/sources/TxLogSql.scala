@@ -1,0 +1,374 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The SQL FRONT DOOR for the TxLog table format (r14 — VERDICT item 1):
+  * a DataSourceV2 `TableProvider` + `TableCatalog` so every TxLog verb
+  * the Scala API offers is reachable from plain SQL / `spark.read`:
+  *
+  *  - `spark.read.format("txlog").load(path)` — the registered short
+  *    name (META-INF/services), with `.option("versionAsOf", v)` time
+  *    travel;
+  *  - `spark.sql.catalog.<name> = graft.sources.TxLogCatalog` +
+  *    `spark.sql.catalog.<name>.root = <dir>` — tables address as
+  *    `<name>.<table>`, `SELECT … FROM t VERSION AS OF 3` resolves
+  *    through `loadTable(ident, version)`, `CREATE TABLE … USING txlog`
+  *    records the schema in a fresh log, `INSERT INTO` routes to the
+  *    [[TxLog.append]] verb (a staged-dir publish with CAS retry);
+  *  - FILTER PUSHDOWN is wired into the format's own skipping machinery
+  *    ([[TxLog.pruneAdds]]): the scan builder translates the query's
+  *    conjuncts into typed [[TxLog.Skip]] bounds (long / string /
+  *    decimal / date envelopes + partition-value membership) and prunes
+  *    data dirs AT PLAN TIME — a selective SQL query opens O(matching
+  *    files), exactly what the Scala path gets. Pruning never replaces
+  *    the filter: every filter is also returned as a residual for Spark
+  *    to re-apply row-level (the conservative contract — the scan may
+  *    only drop files the filter provably rejects entirely), and COLUMN
+  *    PRUNING rides `SupportsPushDownRequiredColumns` into the inner
+  *    parquet scan.
+  *
+  * Execution reuses the battle-tested batch path via the DSv2
+  * `V1Scan` bridge (the JDBC-source migration shape, public API): the
+  * scan plans the pruned multi-dir parquet read with
+  * [[TxLog.read]] — schema-verified against the log, pushdown/codegen
+  * untouched — so the SQL and Scala paths cannot drift. Writes bridge
+  * the same way (`V1Write` → [[TxLog.append]]).
+  *
+  * SQL `MERGE INTO` (DSv2 `SupportsRowLevelOperations`) is NOT wired —
+  * merges run through the Scala [[TxLogMerge.merge]] verb; the SQL
+  * surface covers read/time-travel/create/insert. */
+class TxLogDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "txlog"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pathOf(m: util.Map[String, String]): String = {
+    val p = Option(m.get("path")).orElse(Option(m.get("paths")))
+    p.getOrElse(throw new IllegalArgumentException(
+      "txlog needs a table dir: .load(<path>) or .option(\"path\", …)"))
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val s = SparkSession.active
+    val table = pathOf(options)
+    TxLog.logSchema(s, table,
+        Option(options.get("versionAsOf")).map(_.toLong))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table: no schema recorded in the log — declare one with " +
+          ".schema(…) (reads are verified against it) or commit with a " +
+          "recorded schema"))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new TxLogTable(pathOf(properties), schema,
+      Option(properties.get("versionAsOf")).map(_.toLong))
+}
+
+/** One TxLog table as a DSv2 [[Table]]: batch-readable (with pushdown)
+  * and V1-batch-writable (INSERT INTO → the append verb). `asOf` pins a
+  * snapshot (the `VERSION AS OF` / `versionAsOf` time-travel leg). */
+class TxLogTable(val table: String, tableSchema: StructType,
+    asOf: Option[Long]) extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String =
+    asOf.fold(s"txlog:$table")(v => s"txlog:$table@v$v")
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TxLogScanBuilder(SparkSession.active, table, tableSchema, asOf)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation(): InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              require(!overwrite,
+                s"$table: INSERT OVERWRITE is not offered — the log is " +
+                  "append-only history; use the merge/optimize verbs")
+              require(asOf.isEmpty,
+                s"$table: cannot INSERT into a time-travel snapshot")
+              TxLog.append(data, table,
+                s"ins-${util.UUID.randomUUID().toString.take(12)}")
+              ()
+            }
+          }
+      }
+    }
+}
+
+/** Plan-time file pruning telemetry: the last scan's (pruned, total)
+  * live-dir counts, recorded when a [[TxLogScan]] plans its file list.
+  * This is the observable the plan-lint specs pin — "a pushed filter
+  * reaches the skip machinery" must stay true under refactors, and the
+  * file count is the ground truth the explain string doesn't carry
+  * through the V1 bridge. Driver-side, one tuple — not a hot path. */
+object TxLogScanTelemetry {
+  @volatile var lastPlanned: Option[(Int, Int)] = None
+}
+
+/** Translates the query's pushed conjuncts into [[TxLog.Skip]] bounds.
+  * Every filter is ALSO returned as a residual (Spark re-applies it
+  * row-level): envelope pruning is file-granular, so the scan only ever
+  * drops whole files the filter provably rejects — never rows. */
+class TxLogScanBuilder(s: SparkSession, table: String, full: StructType,
+    asOf: Option[Long]) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+  private var skips: Seq[TxLog.Skip] = Nil
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val translated = filters.map(f => f -> toSkips(f))
+    pushed = translated.collect { case (f, sk) if sk.nonEmpty => f }
+    skips = translated.flatMap(_._2).toSeq
+    filters // all residual: pruning is file-level, rows re-checked above
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  /** One filter → zero or more conjunctive skips. Unsupported shapes
+    * (Or / Not / null-matching / one-sided string bounds) translate to
+    * NOTHING — the file is kept and the residual filter decides. */
+  private def toSkips(f: Filter): Seq[TxLog.Skip] = f match {
+    case And(l, r) => toSkips(l) ++ toSkips(r)
+    case EqualTo(c, v) if v != null => eq(c, v)
+    case EqualNullSafe(c, v) if v != null => eq(c, v)
+    case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
+      // membership prunes partitions directly; the stats envelope gets
+      // the hull [min, max] of the set
+      val hull = (range(c, Some(vs.min(anyOrd(c))), Some(vs.max(anyOrd(c))))
+        ).toSeq
+      TxLog.SkipPartition(c, vs.map(render).toSet) +: hull
+    case GreaterThan(c, v) => range(c, Some(v), None).toSeq
+    case GreaterThanOrEqual(c, v) => range(c, Some(v), None).toSeq
+    case LessThan(c, v) => range(c, None, Some(v)).toSeq
+    case LessThanOrEqual(c, v) => range(c, None, Some(v)).toSeq
+    case _ => Nil
+  }
+
+  private def eq(c: String, v: Any): Seq[TxLog.Skip] =
+    TxLog.SkipPartition(c, Set(render(v))) +: range(c, Some(v), Some(v)).toSeq
+
+  /** Partition values are recorded as plain strings; filters render the
+    * same way the writers did (Long.toString / raw string / BigDecimal
+    * and Date toString). */
+  private def render(v: Any): String = v.toString
+
+  private def anyOrd(c: String): Ordering[Any] =
+    full.fields.find(_.name == c).map(_.dataType) match {
+      case Some(StringType) =>
+        Ordering.by[Any, String](_.asInstanceOf[String])(
+          Ordering.fromLessThan(TxLog.utf8Lt))
+      case Some(LongType | IntegerType | ShortType) =>
+        Ordering.by[Any, Long](x => x.asInstanceOf[Number].longValue())
+      case _ => Ordering.by[Any, java.math.BigDecimal](x =>
+        new java.math.BigDecimal(x.toString))
+    }
+
+  /** A (possibly one-sided) bound on `c`, typed by the table schema.
+    * Missing sides widen to the type's extreme (conservative); strings
+    * have no finite upper extreme in UTF-8 order, so a one-sided string
+    * bound emits nothing. */
+  private def range(c: String, lo: Option[Any],
+      hi: Option[Any]): Option[TxLog.Skip] =
+    full.fields.find(_.name == c).map(_.dataType).flatMap {
+      case LongType | IntegerType | ShortType =>
+        Some(TxLog.SkipRange(c,
+          lo.map(_.asInstanceOf[Number].longValue()).getOrElse(Long.MinValue),
+          hi.map(_.asInstanceOf[Number].longValue()).getOrElse(Long.MaxValue)))
+      case StringType =>
+        if (lo.isDefined && hi.isDefined)
+          Some(TxLog.SkipRangeString(c, lo.get.asInstanceOf[String],
+            hi.get.asInstanceOf[String]))
+        else None
+      case _: DecimalType | DoubleType | FloatType =>
+        Some(TxLog.SkipRangeDecimal(c,
+          lo.map(x => BigDecimal(x.toString))
+            .getOrElse(BigDecimal("-1e38")),
+          hi.map(x => BigDecimal(x.toString)).getOrElse(BigDecimal("1e38"))))
+      case DateType =>
+        def d(x: Any): java.time.LocalDate = x match {
+          case ld: java.time.LocalDate => ld
+          case sd: java.sql.Date => sd.toLocalDate
+          case other => java.time.LocalDate.parse(other.toString)
+        }
+        Some(TxLog.SkipRangeDate(c,
+          lo.map(d).getOrElse(java.time.LocalDate.of(-9999, 1, 1)),
+          hi.map(d).getOrElse(java.time.LocalDate.of(9999, 12, 31))))
+      case _ => None
+    }
+
+  override def build(): Scan =
+    new TxLogScan(s, table, full, required, skips, asOf)
+}
+
+/** The planned scan: file pruning happens HERE, at plan time — the live
+  * add-set is pruned by the pushed skips, telemetry records the
+  * (kept, total) counts, and execution bridges to the batch read of
+  * exactly the surviving dirs via [[V1Scan]]. */
+class TxLogScan(s: SparkSession, table: String, full: StructType,
+    required: StructType, skips: Seq[TxLog.Skip], asOf: Option[Long])
+    extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String = {
+    val (kept, total) = plannedCounts
+    s"txlog:$table prunedDirs=$kept/$total skips=${skips.mkString(",")}"
+  }
+
+  private lazy val plannedCounts: (Int, Int) = {
+    val live = TxLog.liveAdds(s, table, asOf)
+    val kept = TxLog.pruneAdds(live, skips)
+    TxLogScanTelemetry.lastPlanned = Some((kept.size, live.size))
+    (kept.size, live.size)
+  }
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      ctx: SQLContext): T = {
+    plannedCounts // record telemetry at plan time
+    val rel = new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = required
+      override def buildScan(): RDD[Row] = {
+        // the inner read re-prunes with the same skips (idempotent) and
+        // projects the required columns only — parquet footer pushdown
+        // and whole-stage codegen apply inside this plan untouched
+        val base =
+          if (required.fields.nonEmpty)
+            TxLog.read(s, table, required, asOf, skips)
+          else // 0-column scans (COUNT(*)) still need the row count
+            TxLog.read(s, table, StructType(full.fields.take(1)), asOf,
+              skips).select()
+        base.rdd
+      }
+    }
+    rel.asInstanceOf[T]
+  }
+}
+
+/** A [[TableCatalog]] over a ROOT DIRECTORY of TxLog tables:
+  * `spark.sql.catalog.<name> = graft.sources.TxLogCatalog` and
+  * `spark.sql.catalog.<name>.root = <dir>`; table `ns1.ns2.t` lives at
+  * `<dir>/ns1/ns2/t`. Read/time-travel/create/insert/drop are wired;
+  * alter/rename are loudly unsupported (the log records schema
+  * evolution through commits, not catalog mutations). */
+class TxLogCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name: set spark.sql.catalog.$name.root = <dir>"))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): String =
+    (root +: (ident.namespace() :+ ident.name())).mkString("/")
+
+  private def fs(s: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val s = SparkSession.active
+    val dir = (root +: namespace).mkString("/")
+    val f = fs(s, dir)
+    if (!f.exists(new org.apache.hadoop.fs.Path(dir))) Array.empty
+    else f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isDirectory &&
+        f.exists(new org.apache.hadoop.fs.Path(st.getPath, "_log")))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val s = SparkSession.active
+    fs(s, dirOf(ident)).exists(
+      new org.apache.hadoop.fs.Path(dirOf(ident), "_log"))
+  }
+
+  private def load(ident: Identifier, asOf: Option[Long]): Table = {
+    val s = SparkSession.active
+    val dir = dirOf(ident)
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName) ++ ident.namespace() ++ Seq(ident.name()))
+    val schema = TxLog.logSchema(s, dir, asOf).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir: no schema recorded in the log — SQL reads need one " +
+          "(CREATE TABLE … USING txlog records it)"))
+    new TxLogTable(dir, schema, asOf)
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `SELECT … FROM t VERSION AS OF <v>` — the SQL time-travel leg. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toLong))
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      s"${dirOf(ident)}: PARTITIONED BY is not offered — partition " +
+        "values ride add actions (Iceberg-style metadata), not the DDL")
+    val s = SparkSession.active
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          Seq(catalogName) ++ ident.namespace() ++ Seq(ident.name()))
+    // v0: an empty commit that records the schema — the log is born
+    // with its governing DDL, so every later read/insert is verified
+    require(TxLog.tryCommitActions(s, dirOf(ident), 0L, Nil, Nil,
+        schemaDdl = Some(schema.toDDL), cdf = Some("@adds")),
+      s"${dirOf(ident)}: v0 conflicted on a fresh table — a concurrent " +
+        "CREATE of the same name won; re-check and retry")
+    new TxLogTable(dirOf(ident), schema, None)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"${dirOf(ident)}: ALTER TABLE is not offered — schema evolution " +
+        "is recorded by commits (write with the new schema)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val s = SparkSession.active
+    if (!tableExists(ident)) false
+    else fs(s, dirOf(ident)).delete(
+      new org.apache.hadoop.fs.Path(dirOf(ident)), true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"${dirOf(oldIdent)}: RENAME is not offered — table identity is " +
+        "its directory")
+}
