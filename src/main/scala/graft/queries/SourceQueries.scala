@@ -299,6 +299,57 @@ object SourceQueries {
   private val mergeSchema = StructType.fromDDL(
     "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
 
+  /** The merge-on-read table for src_txlog_dv: a bucketizing
+    * copy-on-write merge, then a SPARSE merge run with a deletion-vector
+    * threshold — the head carries vectors (asserted), so the gate's
+    * hash proves the DV read path end-to-end. */
+  private val txlogDvMemo = new graft.operators.SessionMemo[String]
+
+  private def dvDocTable(s: SparkSession, dir: String): String = {
+    import graft.sources.{TxLog, TxLogMerge}
+    txlogDvMemo.get(s, dir) {
+      val tmp = graft.streaming.StreamGate
+        .sessionTempDir("graft-txlog-dv") { td =>
+          val tbl = s"$td/table"
+          val docs = Tables(s, dir, "documents")
+            .select("doc_id", "lang", "source", "n_chars")
+          docs.write.parquet(s"$tbl/init")
+          require(TxLog.tryCommit(s, tbl, 0L, Seq("init"), Nil),
+            "v0 conflicted on a fresh table")
+          // merge 1 (copy-on-write, bucketizing): keys ≡1 mod 4 —
+          // delete German, else n_chars += 5
+          require(TxLogMerge.merge(s, tbl, mergeSchema,
+              docs.filter(pmod(col("doc_id"), lit(4)) === 1),
+              Seq("doc_id"),
+              updateSet = Map("n_chars" -> (col("n_chars") + lit(5L))),
+              deleteWhen = Some(col("lang") <=> "de"),
+              nBuckets = 8, changeFeed = true) == 1L,
+            "merge 1 must commit v1")
+          // merge 2 (MERGE-ON-READ, sparse touch): keys ≡0 mod 97 —
+          // delete French, else ×3; shifted ≡0 mod 89 inserts where
+          // the source row isn't French
+          val off = docs.agg(max("doc_id")).head().getLong(0) + 1L
+          val src2 = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+            .unionByName(docs.filter(pmod(col("doc_id"), lit(89)) === 0)
+              .select((col("doc_id") + off).as("doc_id"), col("lang"),
+                col("source"), col("n_chars")))
+          require(TxLogMerge.merge(s, tbl, mergeSchema, src2,
+              Seq("doc_id"),
+              updateSet = Map("n_chars" -> (col("n_chars") * lit(3L))),
+              deleteWhen = Some(col("lang") <=> "fr"),
+              insertWhen =
+                Some(!(col(s"${TxLogMerge.Src}lang") <=> "fr") &&
+                  col(s"${TxLogMerge.Src}doc_id") >= off),
+              changeFeed = true, dvThreshold = 0.5) == 2L,
+            "merge 2 must commit v2")
+          // the claim IS merge-on-read: vectors must be live at head
+          require(TxLog.liveAdds(s, tbl).exists(_.dv.isDefined),
+            "the sparse merge must take the deletion-vector path")
+        }
+      s"$tmp/table"
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // JSONL — the training-data interchange format: schema-explicit
@@ -842,6 +893,38 @@ object SourceQueries {
         .orderBy("source")
     }),
 
+    // DELETION VECTORS / MERGE-ON-READ (r14 — VERDICT item 2): a merge
+    // whose per-bucket touched-row fraction is at-or-below dvThreshold
+    // writes a DELETION VECTOR (parquet rows naming superseded
+    // (file, position) pairs) plus a small DELTA dir instead of
+    // rewriting buckets copy-on-write — commit cost O(changed rows),
+    // not O(touched buckets); the bucket dirs are RE-ADDED carrying
+    // their superseding vector in the same atomic commit
+    // (remove-then-add replay order), reads anti-join the
+    // broadcast-small vector, OPTIMIZE folds vectors back to pure data
+    // files, vacuumDerived reclaims superseded ones (all spec'd in
+    // TxLogDvSpec, including DV ≡ copy-on-write twin equivalence and
+    // the O(rows)-bytes commit claim). Gate: a bucketizing
+    // copy-on-write merge then a SPARSE merge-on-read merge (vectors
+    // asserted live at head); the head AND the v1 time-travel snapshot
+    // hash against the relational replay of both merges over the
+    // ORIGINAL parquet — a resurrected deleted row, a lost delta, or a
+    // vector over-delete flips the hash.
+    "src_txlog_dv" -> ((s, dir) => {
+      import graft.sources.TxLog
+      val table = dvDocTable(s, dir)
+      def aggAt(leg: String, asOf: Option[Long]) =
+        TxLog.read(s, table, mergeSchema, asOf)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+            sum(rowCheck(concat_ws("|", f(col("doc_id")), f(col("lang")),
+              f(col("n_chars"))))).as("checksum"))
+          .select(lit(leg).as("leg"), col("source"), col("n_docs"),
+            col("sum_chars"), col("checksum"))
+      aggAt("head", None).unionAll(aggAt("v1", Some(1L)))
+        .orderBy("leg", "source")
+    }),
+
     // SQL FRONT DOOR (r14 — VERDICT item 1): the DSv2
     // TableProvider/TableCatalog over the table format — the same
     // tables the Scala verbs built become `spark.sql` citizens:
@@ -1293,6 +1376,47 @@ object SourceQueries {
         |                coalesce(n_chars::VARCHAR, chr(1))), 1, 12))::BIGINT
         |                % 1000000007) AS BIGINT) AS checksum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // both merges replayed relationally over the ORIGINAL parquet —
+    // head after (copy-on-write merge 1) + (merge-on-read merge 2),
+    // and the v1 snapshot after merge 1 alone: the DV read path must
+    // be indistinguishable from the rewrite it replaced
+    "src_txlog_dv" ->
+      """WITH m AS (SELECT max(doc_id) + 1 AS off FROM documents),
+        |t1 AS (
+        |  SELECT d.doc_id, d.lang, d.source,
+        |         CASE WHEN d.doc_id % 4 = 1 THEN d.n_chars + 5
+        |              ELSE d.n_chars END AS n_chars
+        |  FROM documents d
+        |  WHERE NOT (d.doc_id % 4 = 1 AND
+        |             d.lang IS NOT DISTINCT FROM 'de')
+        |),
+        |t2 AS (
+        |  SELECT doc_id, lang, source,
+        |         CASE WHEN doc_id % 97 = 0 THEN n_chars * 3
+        |              ELSE n_chars END AS n_chars
+        |  FROM t1
+        |  WHERE NOT (doc_id % 97 = 0 AND
+        |             lang IS NOT DISTINCT FROM 'fr')
+        |  UNION ALL
+        |  SELECT d.doc_id + m.off, d.lang, d.source, d.n_chars
+        |  FROM documents d, m
+        |  WHERE d.doc_id % 89 = 0
+        |    AND NOT (d.lang IS NOT DISTINCT FROM 'fr')
+        |),
+        |legs AS (
+        |  SELECT 'head' AS leg, * FROM t2
+        |  UNION ALL
+        |  SELECT 'v1' AS leg, * FROM t1
+        |)
+        |SELECT leg, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(('0x' || substr(md5(
+        |                coalesce(doc_id::VARCHAR, chr(1)) || '|' ||
+        |                coalesce(lang, chr(1)) || '|' ||
+        |                coalesce(n_chars::VARCHAR, chr(1))), 1, 12))::BIGINT
+        |                % 1000000007) AS BIGINT) AS checksum
+        |FROM legs GROUP BY leg, source ORDER BY leg, source""".stripMargin,
 
     // the SQL path must be indistinguishable from the relational
     // truth: head_in = first+last event types (the IN filter spanning

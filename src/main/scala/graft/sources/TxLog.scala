@@ -80,10 +80,28 @@ object TxLog {
     * to, so a partition-dimension predicate prunes it BEFORE any stats
     * envelope is even consulted; the partition column itself stays
     * materialized in the data files, keeping the read one plain
-    * multi-dir scan). */
+    * multi-dir scan).
+    *
+    * `dv` (r14 — DELETION VECTORS, the Delta/Iceberg merge-on-read
+    * idea): an optional table-relative path to a parquet DELETION
+    * VECTOR — rows (leaf, pos) naming physical parquet files and
+    * 0-based row positions (`_metadata.row_index`) that are DELETED
+    * from this dir's visible contents. `leaf` is the file's last TWO
+    * path segments (`<parent-dir>/<file>`): the file name alone carries
+    * a per-JOB uuid, so one partitionBy job writes the SAME task-file
+    * name into every partition dir — the parent segment disambiguates
+    * within a job, the uuid across jobs. A merge whose
+    * touched-row fraction is small writes a DV + a small delta dir
+    * instead of rewriting whole buckets — commit cost O(changed rows),
+    * not O(touched buckets); reads anti-join the (broadcast-small) DV;
+    * OPTIMIZE folds DVs away by rewriting through the DV-aware scan.
+    * Stats envelopes are NOT tightened by a DV (they may now cover
+    * deleted rows) — that is the conservative KEEP direction, so
+    * pruning stays correct. */
   final case class AddFile(name: String,
       stats: Map[String, (String, String)] = Map.empty,
-      part: Map[String, String] = Map.empty)
+      part: Map[String, String] = Map.empty,
+      dv: Option[String] = None)
 
   /** A file-pruning predicate the caller's query implies — the
     * data-skipping contract. Pruning drops a file iff the bound is
@@ -161,6 +179,7 @@ object TxLog {
   private val NameRe = """(\d{10})\.json""".r
   private val AddRe =
     ("""\{"add":"((?:[^"\\]|\\.)*)"""" +
+      """(?:,"dv":"((?:[^"\\]|\\.)*)")?""" +
       """(?:,"part":\{([^{}]*)\})?""" +
       """(?:,"stats":\{(.*)\})?\}""").r
   private val StatEntryRe =
@@ -249,6 +268,7 @@ object TxLog {
   /** One add action rendered — shared by commits and checkpoints so the
     * grammar cannot drift. */
   private def addLine(a: AddFile): String = {
+    val dv = a.dv.map(d => s""","dv":"${esc(d)}"""").getOrElse("")
     val part =
       if (a.part.isEmpty) ""
       else a.part.toSeq.sortBy(_._1).map { case (c, v) =>
@@ -259,7 +279,7 @@ object TxLog {
       else a.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
         s""""${esc(c)}":["${esc(lo)}","${esc(hi)}"]"""
       }.mkString(""","stats":{""", ",", "}")
-    s"""{"add":"${esc(a.name)}"$part$stats}"""
+    s"""{"add":"${esc(a.name)}"$dv$part$stats}"""
   }
 
   /** Render + tmp-write + atomic publish — ONE definition serving commits
@@ -652,7 +672,7 @@ object TxLog {
       case SchemaRe(d) => schemaDdl = Some(unesc(d))
       case CdfRe(d) => cdf = Some(unesc(d))
       case TxnRe(app, bv) => txns += (unesc(app) -> bv.toLong)
-      case AddRe(a, partBody, statsBody) =>
+      case AddRe(a, dvBody, partBody, statsBody) =>
         val part = Option(partBody).filter(_.nonEmpty).map { body =>
           val ms = PartEntryRe.findAllMatchIn(body).toSeq
           require(ms.map(_.matched).mkString(",") == body,
@@ -666,7 +686,8 @@ object TxLog {
           ms.map(m => unesc(m.group(1)) ->
             (unesc(m.group(2)), unesc(m.group(3)))).toMap
         }.getOrElse(Map.empty[String, (String, String)])
-        adds += AddFile(unesc(a), stats, part)
+        adds += AddFile(unesc(a), stats, part,
+          Option(dvBody).filter(_.nonEmpty).map(unesc))
       case RemoveRe(r) => removes += unesc(r)
       case other => throw new IllegalArgumentException(
         s"$table v$v: unrecognized action $other")
@@ -739,15 +760,20 @@ object TxLog {
   }
 
   /** Replay `cs` in order, validating add/remove consistency; returns the
-    * live adds (stats preserved) after the last entry, in add order. */
+    * live adds (stats preserved) after the last entry, in add order.
+    * Within ONE commit, removes apply BEFORE adds (r14): a deletion-
+    * vector commit removes a data dir and re-adds the same name
+    * carrying its DV in one atomic action — remove-then-add is the
+    * only order under which that is consistent, and for distinct names
+    * the order is immaterial. */
   private def replay(table: String,
       cs: Seq[CommitEntry]): Seq[AddFile] = {
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     cs.foreach { e =>
-      e.adds.foreach(a => require(live.put(a.name, a).isEmpty,
-        s"$table v${e.version}: add of already-live ${a.name} — corrupted log"))
       e.removes.foreach(p => require(live.remove(p).isDefined,
         s"$table v${e.version}: remove of unknown $p — corrupted log"))
+      e.adds.foreach(a => require(live.put(a.name, a).isEmpty,
+        s"$table v${e.version}: add of already-live ${a.name} — corrupted log"))
     }
     live.values.toSeq
   }
@@ -835,6 +861,59 @@ object TxLog {
     }
   }
 
+  /** Hidden column names the DV anti-join rides on — prefixed so they
+    * cannot collide with user columns. */
+  private[sources] val DvLeaf = "__graft_dv_leaf"
+  private[sources] val DvPos = "__graft_dv_pos"
+
+  /** Plan ONE scan over `adds`, applying DELETION VECTORS: dirs whose
+    * add carries a `dv` anti-join the (broadcast-small) vector on
+    * (leaf file name, row position); dirs without ride a plain
+    * multi-dir scan. `withMeta = true` keeps the ([[DvLeaf]], [[DvPos]])
+    * columns on EVERY row (the merge path needs them to build the next
+    * DV); otherwise the output is exactly `schema`.
+    *
+    * Scale shape: the DV is O(deleted-but-not-yet-compacted rows) by
+    * construction (merges write DVs only under the small-touch
+    * threshold, and OPTIMIZE folds them), so the anti-join broadcasts;
+    * the data side stays one parquet scan with pushdown/codegen
+    * untouched. */
+  private[sources] def scanAdds(s: SparkSession, table: String,
+      schema: StructType, adds: Seq[AddFile],
+      withMeta: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, concat_ws, element_at, split}
+    def scan(names: Seq[String], meta: Boolean): DataFrame = {
+      val base = s.read.schema(schema).parquet(names.map(n => s"$table/$n"): _*)
+      if (!meta) base
+      else base
+        .withColumn(DvLeaf, concat_ws("/",
+          element_at(split(col("_metadata.file_path"), "/"), -2),
+          element_at(split(col("_metadata.file_path"), "/"), -1)))
+        .withColumn(DvPos, col("_metadata.row_index"))
+    }
+    def empty(meta: Boolean): DataFrame = {
+      val sch = if (!meta) schema
+        else schema.add(DvLeaf, "string").add(DvPos, "long")
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], sch)
+    }
+    val (dvAdds, plain) = adds.partition(_.dv.isDefined)
+    if (adds.isEmpty) empty(withMeta)
+    else if (dvAdds.isEmpty) scan(plain.map(_.name), withMeta)
+    else {
+      val dvPaths = dvAdds.flatMap(_.dv).distinct
+      val dv = s.read.parquet(dvPaths.map(p => s"$table/$p"): _*)
+        .select(col("leaf"), col("pos"))
+      val masked = scan(dvAdds.map(_.name), meta = true)
+        .join(broadcast(dv),
+          col(DvLeaf) === col("leaf") && col(DvPos) === col("pos"),
+          "left_anti")
+      val maskedOut = if (withMeta) masked
+        else masked.drop(DvLeaf, DvPos)
+      if (plain.isEmpty) maskedOut
+      else maskedOut.unionByName(scan(plain.map(_.name), withMeta))
+    }
+  }
+
   /** Commit history as (version, n_adds, n_removes) — the DESCRIBE
     * HISTORY surface; shares [[commits]]' contiguity and strict-parse
     * loudness (a torn log must not read as healthy here either). */
@@ -874,12 +953,14 @@ object TxLog {
     val keep = scala.collection.mutable.HashSet.empty[String]
     val everAdded = scala.collection.mutable.HashSet.empty[String]
     cs.foreach { e =>
+      // removes before adds within a commit (the DV re-add order —
+      // mirrors replay())
+      e.removes.foreach(p => require(live.remove(p),
+        s"$table v${e.version}: remove of unknown $p"))
       e.adds.foreach { a =>
         require(live.add(a.name), s"$table v${e.version}: add of already-live ${a.name}")
         everAdded += a.name
       }
-      e.removes.foreach(p => require(live.remove(p),
-        s"$table v${e.version}: remove of unknown $p"))
       if (e.version >= horizon) keep ++= live
     }
     require(currentVersion(s, table).contains(head),
@@ -939,6 +1020,26 @@ object TxLog {
         val v = n.stripPrefix("v").toLongOption
         if (v.exists(_ <= horizon)) { doomed += s"_changes/$n" }
       }
+    // DELETION VECTORS (r14): a DV superseded by a later merge (its add
+    // now points at a newer vector) or folded by OPTIMIZE is garbage —
+    // reclaim vector dirs that are out of the retention window AND not
+    // referenced by the head's live adds. A time-travel read older than
+    // the horizon that needed a reclaimed vector fails loudly on the
+    // missing path (the data-vacuum contract), never reads silently
+    // un-deleted rows.
+    val dvdir = new Path(table, "_dv")
+    if (f.exists(dvdir)) {
+      val referenced = liveAdds(s, table).flatMap(_.dv).toSet
+      f.listStatus(dvdir).map(_.getPath.getName).sorted.foreach { vd =>
+        val v = vd.stripPrefix("v").toLongOption
+        if (v.exists(_ <= horizon)) {
+          val subs = f.listStatus(new Path(dvdir, vd))
+            .map(_.getPath.getName).sorted
+          val keep = subs.exists(bd => referenced.contains(s"_dv/$vd/$bd"))
+          if (!keep) { doomed += s"_dv/$vd" }
+        }
+      }
+    }
     val out = doomed.result()
     out.foreach(d => f.delete(new Path(table, d), true))
     out
@@ -987,7 +1088,10 @@ object TxLog {
     val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val newV = head + 1
     val name = f"opt$newV%010d"
-    s.read.schema(sch).parquet(live.map(a => s"$table/${a.name}"): _*)
+    // DV-aware rewrite: deleted rows are dropped here, so the packed
+    // dir carries NO deletion vectors — OPTIMIZE is what FOLDS a
+    // merge-on-read table back to pure data files
+    scanAdds(s, table, sch, live)
       .repartition(parts)
       .write.mode("overwrite").parquet(s"$table/$name")
     val statsCols = live.flatMap(_.stats.keys).distinct
@@ -1028,7 +1132,7 @@ object TxLog {
     if (live.isEmpty) return None
     val newV = head + 1
     val parent = f"zopt$newV%010d"
-    val df = s.read.schema(schema).parquet(live.map(a => s"$table/${a.name}"): _*)
+    val df = scanAdds(s, table, schema, live) // DV-aware: clustering folds DVs
     val aggs = clusterCols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"lo_$c"),
       max(col(c).cast("double")).as(s"hi_$c")))
@@ -1175,10 +1279,9 @@ object TxLog {
               "drifted read")
         }
     }
-    val files = pruneAdds(boundedLive(s, table, governed), skip).map(_.name)
-    if (files.isEmpty)
-      s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-    else s.read.schema(schema).parquet(files.map(p => s"$table/$p"): _*)
+    // DV-aware: dirs whose add carries a deletion vector anti-join it
+    scanAdds(s, table, schema,
+      pruneAdds(boundedLive(s, table, governed), skip))
   }
 
   /** DISTRIBUTED MANIFEST (r13 — the scale half of "checkpoint at
@@ -1201,7 +1304,8 @@ object TxLog {
         s"$table has nothing to manifest — no commits"))
     val live = liveAdds(s, table)
     import s.implicits._
-    live.map(a => (a.name, a.part, a.stats)).toDF("name", "part", "stats")
+    live.map(a => (a.name, a.part, a.stats, a.dv))
+      .toDF("name", "part", "stats", "dv")
       .repartition(math.max(1, live.size / 100000))
       .write.mode("overwrite").parquet(f"$table/_manifest/v$head%010d")
     head
@@ -1262,11 +1366,11 @@ object TxLog {
             lit(java.sql.Date.valueOf(hi))), lit(true))
     }
     val kept = preds.foldLeft(m)((d, p) => d.filter(p))
-    // the O(matching) pull — the point of the manifest path
-    val files = kept.select("name").collect().map(_.getString(0)).toSeq
-    if (files.isEmpty)
-      s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-    else s.read.schema(schema).parquet(files.map(p => s"$table/$p"): _*)
+    // the O(matching) pull — the point of the manifest path; dv rides
+    // along so merge-on-read tables read correctly through it
+    val files = kept.select("name", "dv").collect()
+      .map(r => AddFile(r.getString(0), dv = Option(r.getString(1)))).toSeq
+    scanAdds(s, table, schema, files)
   }
 
   /** Read with the LOG's recorded schema for the snapshot — the

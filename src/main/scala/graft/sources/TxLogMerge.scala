@@ -66,7 +66,8 @@ object TxLogMerge {
       deleteWhen: Option[Column] = None,
       insertWhen: Option[Column] = None,
       nBuckets: Int = 16,
-      changeFeed: Boolean = false): Long = {
+      changeFeed: Boolean = false,
+      dvThreshold: Double = 0.0): Long = {
     require(keyCols.nonEmpty, "merge needs key columns")
     require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
     keyCols.foreach(k => require(!updateSet.contains(k),
@@ -110,17 +111,29 @@ object TxLogMerge {
     // touched buckets: bounded O(nb) driver pull
     val touched = source.select(bucketOf(keyCols, nb).as("b"))
       .distinct().collect().map(_.getLong(0)).sorted.toSeq
-    val oldDirs =
+    val oldAdds =
       if (bucketed)
-        touched.flatMap(b => st.liveAdds.collect {
-          case a if a.part.get("__bucket").contains(b.toString) => a.name
-        })
-      else liveNames // establishing the layout: one-time full rewrite
-    val oldState =
-      if (oldDirs.isEmpty)
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          schema)
-      else s.read.schema(schema).parquet(oldDirs.map(d => s"$table/$d"): _*)
+        touched.flatMap(b => st.liveAdds.filter(
+          _.part.get("__bucket").contains(b.toString)))
+      else st.liveAdds // establishing the layout: one-time full rewrite
+    val oldDirs = oldAdds.map(_.name)
+    // DELETION-VECTOR mode (r14 — VERDICT item 2, the Delta/Iceberg
+    // merge-on-read idea): with dvThreshold > 0 on a bucketed table,
+    // each touched bucket whose touched-row fraction is at-or-below the
+    // threshold is NOT rewritten — the merge writes a small DELETION
+    // VECTOR naming the superseded rows (leaf file + row position) and
+    // a small DELTA dir holding postimages + inserts, committing
+    // O(changed rows) bytes instead of O(touched buckets). Reads
+    // anti-join the broadcast-small vector (TxLog.scanAdds); OPTIMIZE
+    // folds vectors back into pure data files. Buckets ABOVE the
+    // threshold still rewrite copy-on-write (the amortization point:
+    // heavy touches are cheaper rewritten).
+    val dvMode = dvThreshold > 0.0 && bucketed
+    // the old state read is DV-AWARE (a second merge on a vectored
+    // bucket must not resurrect deleted rows); in DV mode it also
+    // carries (leaf, pos) so the next vector can name its rows
+    val oldState = TxLog.scanAdds(s, table, schema, oldAdds,
+      withMeta = dvMode)
 
     val srcProjected = source.select(fieldNames.map(f =>
       col(f).as(s"$Src$f")): _*)
@@ -146,6 +159,16 @@ object TxLogMerge {
     }
     val merged = joined.filter(keepRow).select(outCols.toSeq: _*)
       .withColumn("__bucket", bucketOf(keyCols, nb))
+    // the change classes, shared by the feed, the DV builder, and the
+    // per-bucket mode decision
+    val isDel = isMatched && coalesce(del, lit(false))
+    val isUpd = isMatched && !coalesce(del, lit(false)) &&
+      coalesce(upd, lit(false))
+    val isIns = col("__t").isNull && coalesce(ins, lit(false))
+    // a joined row's bucket (matched/target rows via the target key,
+    // source-only rows via the source key — same hash either way)
+    val jb = pmod(xxhash64(keyCols.map(k =>
+      coalesce(col(k), col(s"$Src$k"))): _*), lit(nb.toLong))
 
     val newV = head + 1
     val parent = f"mrg$newV%010d"
@@ -168,10 +191,6 @@ object TxLogMerge {
     val feedDir = f"_changes/v$newV%010d"
     if (changeFeed) {
       val pre = schema.fields.map(f => col(f.name))
-      val isDel = isMatched && coalesce(del, lit(false))
-      val isUpd = isMatched && !coalesce(del, lit(false)) &&
-        coalesce(upd, lit(false))
-      val isIns = col("__t").isNull && coalesce(ins, lit(false))
       val tag = lit(_: String).as("_change_type")
       val outVals = schema.fields.map { f =>
         val updated = updateSet.getOrElse(f.name, col(f.name))
@@ -188,8 +207,70 @@ object TxLogMerge {
           .select(outVals :+ tag("insert"): _*))
       changes.write.mode("overwrite").parquet(s"$table/$feedDir")
     }
-    merged.write.mode("overwrite")
+    // ---- per-bucket mode decision (DV mode only): one bounded O(nb)
+    // aggregate over the already-built join ----
+    val (dvBuckets, rewriteBuckets) =
+      if (!dvMode) (Set.empty[Long], touched.toSet)
+      else {
+        val bstats = joined.withColumn("__b", jb).groupBy("__b").agg(
+          sum(when(col("__t").isNotNull, 1L).otherwise(0L)).as("total"),
+          sum(when(isDel || isUpd, 1L).otherwise(0L)).as("touch"),
+          sum(when(isIns, 1L).otherwise(0L)).as("ins")).collect()
+        val dv = scala.collection.mutable.Set.empty[Long]
+        val rw = scala.collection.mutable.Set.empty[Long]
+        bstats.foreach { r =>
+          val (b, total, touch, ins) =
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+          if (touch + ins > 0) {
+            if (total == 0 || touch.toDouble / total <= dvThreshold) dv += b
+            else rw += b
+          } // else: nothing fired in this bucket — leave it untouched
+        }
+        (dv.toSet, rw.toSet)
+      }
+    def inSet(c: Column, bs: Set[Long]): Column =
+      if (bs.isEmpty) lit(false) else c.isin(bs.toSeq: _*)
+
+    // rows that must be MATERIALIZED: full merged state of rewrite
+    // buckets + (postimages ∪ inserts) of DV buckets — one write job,
+    // one parent dir, same bucket layout either way
+    val materialized =
+      if (!dvMode) merged
+      else merged.filter(inSet(col("__bucket"), rewriteBuckets))
+        .unionByName(joined.filter((isUpd || isIns) && inSet(jb, dvBuckets))
+          .select(outCols.toSeq: _*)
+          .withColumn("__bucket", bucketOf(keyCols, nb)))
+    materialized.write.mode("overwrite")
       .partitionBy("__bucket").parquet(s"$table/$parent")
+
+    // ---- deletion vectors for the DV buckets: (leaf, pos) of every
+    // deleted-or-updated row, UNIONED with the buckets' existing
+    // vectors (the re-added add points at ONE superseding vector) ----
+    val dvParent = f"_dv/v$newV%010d"
+    val dvTouched: Set[Long] =
+      if (!dvMode) Set.empty
+      else {
+        val newRows = joined.withColumn("__b", jb)
+          .filter((isDel || isUpd) && inSet(col("__b"), dvBuckets))
+          .select(col(TxLog.DvLeaf).as("leaf"), col(TxLog.DvPos).as("pos"),
+            col("__b"))
+        val prev = oldAdds.filter(a => a.dv.isDefined &&
+          a.part.get("__bucket").exists(b => dvBuckets.contains(b.toLong)))
+          .groupBy(a => (a.part("__bucket").toLong, a.dv.get)).keys.toSeq
+          .map { case (b, p) =>
+            s.read.parquet(s"$table/$p").select(col("leaf"), col("pos"))
+              .withColumn("__b", lit(b)) }
+        val all = (newRows +: prev).reduce(_ unionByName _)
+        // bounded O(nb) pull: which buckets actually vectored rows —
+        // only those re-add their dirs (insert-only buckets don't)
+        val bs = all.select("__b").distinct().collect()
+          .map(_.getLong(0)).toSet
+        if (bs.nonEmpty)
+          all.write.mode("overwrite").partitionBy("__b")
+            .parquet(s"$table/$dvParent")
+        bs
+      }
+
     val fs = new org.apache.hadoop.fs.Path(table)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val written = fs.listStatus(new org.apache.hadoop.fs.Path(s"$table/$parent"))
@@ -210,7 +291,20 @@ object TxLogMerge {
         part = Map(
           "__bucket" -> w.stripPrefix("__bucket="), "__nb" -> nb.toString))
     }
-    val committed = TxLog.tryCommitActions(s, table, newV, adds, oldDirs,
+    // DV buckets: remove + re-add each live dir with its superseding
+    // vector — same name, same stats (envelopes may now cover deleted
+    // rows: the conservative KEEP direction), same partition values
+    val reAdds = oldAdds.filter(a =>
+      a.part.get("__bucket").exists(b => dvTouched.contains(b.toLong)))
+    val removes =
+      if (!dvMode) oldDirs
+      else oldAdds.filter(a => a.part.get("__bucket").exists(b =>
+        rewriteBuckets.contains(b.toLong))).map(_.name) ++
+        reAdds.map(_.name)
+    val committed = TxLog.tryCommitActions(s, table, newV,
+      adds ++ reAdds.map(a => a.copy(dv =
+        Some(s"$dvParent/__b=${a.part("__bucket")}"))),
+      removes,
       schemaDdl = if (bucketed) None else Some(schema.toDDL),
       cdf = if (changeFeed) Some(feedDir) else None)
     if (!committed) {
