@@ -113,35 +113,37 @@ class Round14OpsSpec extends AnyFunSuite with SparkTestBase {
     try {
       (1 to 8).foreach { i =>
         val name = s"n$i"
-        // a same-name race can end three ways, all SAFE: (a) one
-        // publishes, the other gets the pick-a-fresh-name loudness
-        // (pre-check or the NEW in-loop re-check); (b) the concurrent
-        // staging writes collide in the committer's _temporary dir and
-        // one/both crash loudly before any commit. What must NEVER
-        // happen is the r13 wedge: both committing, so every later
-        // replay throws add-of-already-live.
+        // private staging + atomic name claim: exactly ONE publish of a
+        // name succeeds, the loser is loud ("claimed"/"LIVE"), and the
+        // winner's bytes are never mixed with the loser's. The r13
+        // wedge — both committing so every later replay throws
+        // add-of-already-live — and the r14-found byte interleave are
+        // both impossible by construction.
         def attempt(x: Long): Boolean =
           try { TxLog.append(Seq((x, x)).toDF("x", "y").coalesce(1),
             t, name); true }
-          catch { case _: Throwable => false }
+          catch { case e: IllegalArgumentException =>
+            assert(e.getMessage.contains("claimed") ||
+              e.getMessage.contains("LIVE")); false }
         val other = ex.submit(new java.util.concurrent.Callable[Boolean] {
           def call(): Boolean = attempt(100L + i)
         })
         val mine = attempt(200L + i)
         val theirs = other.get(120, java.util.concurrent.TimeUnit.SECONDS)
-        assert(!(mine && theirs),
-          s"round $i: both publishes of '$name' claim success — the " +
-            "in-loop liveness re-check is gone")
-        if (mine || theirs) wins += 1
-        // the table must never wedge: replay stays valid (liveAdds
-        // would throw add-of-already-live on a double commit), the
-        // name is live at most once, and reads keep working
-        val live = TxLog.liveAdds(spark, t).map(_.name)
-        assert(live.count(_ == name) <= 1, s"round $i: $name live once")
+        assert(mine ^ theirs,
+          s"round $i: exactly one publish of '$name' must win " +
+            s"(mine=$mine theirs=$theirs)")
+        wins += 1
+        // the winner's bytes landed intact: one row, the winner's marker
+        val winnerX = if (mine) 200L + i else 100L + i
+        val rows = TxLog.read(spark, t, xySchema)
+          .filter(col("x").isin(100L + i, 200L + i))
+          .collect().map(_.getLong(0)).toSeq
+        assert(rows == Seq(winnerX),
+          s"round $i: the published dir must hold exactly the winner's row")
+        assert(TxLog.liveAdds(spark, t).map(_.name).count(_ == name) == 1)
         assert(TxLog.read(spark, t, xySchema).count() == 1L + wins)
       }
-      assert(wins >= 1, "every round crashed before a single commit — " +
-        "the race harness is broken")
     } finally ex.shutdown()
   }
 
