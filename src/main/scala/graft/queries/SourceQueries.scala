@@ -157,6 +157,61 @@ object SourceQueries {
     * (full manifest), q2+q3 at v1 (INCREMENTAL manifest update). */
   private val txlogMincMemo = new graft.operators.SessionMemo[String]
 
+  /** The mixed-history table for src_txlog_cdf_unified (append → merge
+    * → append → OPTIMIZE → DV merge, every commit feed-marked) and the
+    * collected follower emission over it. */
+  private val txlogUnifiedMemo = new graft.operators.SessionMemo[String]
+  private val unifiedFollowMemo = new graft.operators.SessionMemo[DataFrame]
+
+  private def unifiedCdfTable(s: SparkSession, dir: String): String = {
+    import graft.sources.{TxLog, TxLogMerge}
+    txlogUnifiedMemo.get(s, dir) {
+      val tmp = graft.streaming.StreamGate
+        .sessionTempDir("graft-txlog-unified") { td =>
+          val tbl = s"$td/table"
+          val docs = Tables(s, dir, "documents")
+            .select("doc_id", "lang", "source", "n_chars")
+          // v0: plain APPEND (feed = @adds, all-insert)
+          require(TxLog.append(docs, tbl, "seed") == 0L,
+            "v0 seed append must publish")
+          // v1: APPEND of shifted new rows (keys ≡0 mod 11) — also
+          // @adds, so the follower sees both appends as inserts
+          val off = docs.agg(max("doc_id")).head().getLong(0) + 1L
+          require(TxLog.append(
+              docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+                .select((col("doc_id") + off).as("doc_id"), col("lang"),
+                  col("source"), col("n_chars")),
+              tbl, "late") == 1L, "v1 append must publish")
+          // v2: OPTIMIZE — layout only, EMPTY feed (@none): the
+          // follower passes through compactions
+          require(TxLog.optimize(s, tbl, Some(mergeSchema)).contains(2L),
+            "optimize must commit v2")
+          // v3: bucketizing MERGE — ORIGINAL keys ≡1 mod 4: delete
+          // German, else n_chars += 5 (recorded feed)
+          require(TxLogMerge.merge(s, tbl, mergeSchema,
+              docs.filter(pmod(col("doc_id"), lit(4)) === 1),
+              Seq("doc_id"),
+              updateSet = Map("n_chars" -> (col("n_chars") + lit(5L))),
+              deleteWhen = Some(col("lang") <=> "de"),
+              nBuckets = 8, changeFeed = true) == 3L,
+            "merge 1 must commit v3")
+          // v4: sparse MERGE-ON-READ — original keys ≡0 mod 97: delete
+          // French, else ×3 (recorded feed; vectors live at head, so
+          // the follower also proves CDF-from-a-DV-merge)
+          require(TxLogMerge.merge(s, tbl, mergeSchema,
+              docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+              Seq("doc_id"),
+              updateSet = Map("n_chars" -> (col("n_chars") * lit(3L))),
+              deleteWhen = Some(col("lang") <=> "fr"),
+              changeFeed = true, dvThreshold = 0.9) == 4L,
+            "merge 2 must commit v4")
+          require(TxLog.liveAdds(s, tbl).exists(_.dv.isDefined),
+            "the sparse merge must take the deletion-vector path")
+        }
+      s"$tmp/table"
+    }
+  }
+
   /** The schema-evolution TxLog table for src_txlog_evolution — v0
     * records a 3-column schema, v1 adds `source` and records the wider
     * one. */
@@ -1103,6 +1158,48 @@ object SourceQueries {
         .orderBy("source")
     }),
 
+    // UNIFIED CHANGE FEED over a MIXED history (r14 — VERDICT item 5):
+    // every commit kind now declares its feed via the log's {"cdf":…}
+    // marker — appends serve their add dirs as all-INSERT (zero extra
+    // bytes), OPTIMIZE serves an EMPTY feed (layout, not data), merges
+    // serve their recorded image sets, unmarked commits stay loud — so
+    // ONE follower tracks a real table's whole life instead of
+    // stopping at the first non-merge commit. Gate: the CDF streaming
+    // source follows an append → append → OPTIMIZE → merge → DV-merge
+    // history from startVersion −1 (one commit per trigger) and the
+    // consumer applies the feeds ALONE — no snapshot seed — so the
+    // reconstruction hashes against the full relational replay over
+    // the ORIGINAL parquet: a dropped append row, a compaction row
+    // leaking as a change, or a mis-ordered image flips the hash.
+    "src_txlog_cdf_unified" -> ((s, dir) => {
+      val table = unifiedCdfTable(s, dir)
+      val changes = unifiedFollowMemo.get(s, dir) {
+        val stream = s.readStream
+          .format(classOf[graft.sources.TxLogStreamSourceProvider].getName)
+          .schema(mergeSchema)
+          .option("path", table).option("feed", "cdf")
+          .option("startVersion", "-1")
+          .option("maxVersionsPerTrigger", "1").load()
+        graft.streaming.StreamGate.run(s, stream, "cdf_unified",
+            org.apache.spark.sql.streaming.OutputMode.Append()) { sink =>
+          graft.operators.Checkpointing.cut(sink)
+        }
+      }
+      changes.filter(col("_change_type") =!= "update_preimage")
+        .groupBy("doc_id")
+        .agg(expr(
+          "max_by(struct(lang, source, n_chars, _change_type), _version)")
+          .as("c"))
+        .filter(col("c._change_type") =!= "delete")
+        .select(col("doc_id"), col("c.lang").as("lang"),
+          col("c.source").as("source"), col("c.n_chars").as("n_chars"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum(rowCheck(concat_ws("|", f(col("doc_id")), f(col("lang")),
+            f(col("n_chars"))))).as("checksum"))
+        .orderBy("source")
+    }),
+
     // SCHEMA EVOLUTION (r12 — VERDICT item 3): commits record the write
     // schema in the log ({"schema": DDL} — the Avro header-verify
     // posture brought to the table format); reads verify their declared
@@ -1625,6 +1722,44 @@ object SourceQueries {
         |FROM e, b
         |WHERE ts_us >= lo + span AND ts_us <= lo + 2 * span + span // 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // feeds ALONE rebuild the head: both appends (as inserts), the
+    // empty OPTIMIZE feed, then both merges' image sets replayed
+    // relationally over the ORIGINAL parquet — merge conditions only
+    // ever matched ORIGINAL ids (doc_id < off), the shifted append
+    // rows carry through untouched
+    "src_txlog_cdf_unified" ->
+      """WITH m AS (SELECT max(doc_id) + 1 AS off FROM documents),
+        |t0 AS (
+        |  SELECT doc_id, lang, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT d.doc_id + m.off, d.lang, d.source, d.n_chars
+        |  FROM documents d, m WHERE d.doc_id % 11 = 0
+        |),
+        |t1 AS (
+        |  SELECT t.doc_id, t.lang, t.source,
+        |         CASE WHEN t.doc_id < m.off AND t.doc_id % 4 = 1
+        |              THEN t.n_chars + 5 ELSE t.n_chars END AS n_chars
+        |  FROM t0 t, m
+        |  WHERE NOT (t.doc_id < m.off AND t.doc_id % 4 = 1 AND
+        |             t.lang IS NOT DISTINCT FROM 'de')
+        |),
+        |t2 AS (
+        |  SELECT t.doc_id, t.lang, t.source,
+        |         CASE WHEN t.doc_id < m.off AND t.doc_id % 97 = 0
+        |              THEN t.n_chars * 3 ELSE t.n_chars END AS n_chars
+        |  FROM t1 t, m
+        |  WHERE NOT (t.doc_id < m.off AND t.doc_id % 97 = 0 AND
+        |             t.lang IS NOT DISTINCT FROM 'fr')
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(('0x' || substr(md5(
+        |                coalesce(doc_id::VARCHAR, chr(1)) || '|' ||
+        |                coalesce(lang, chr(1)) || '|' ||
+        |                coalesce(n_chars::VARCHAR, chr(1))), 1, 12))::BIGINT
+        |                % 1000000007) AS BIGINT) AS checksum
+        |FROM t2 GROUP BY source ORDER BY source""".stripMargin,
 
     // the same window replay — the incrementally-maintained manifest
     // must serve results identical to a full rebuild's

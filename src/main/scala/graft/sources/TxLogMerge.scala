@@ -349,14 +349,17 @@ object TxLogMerge {
       case None => throw new IllegalArgumentException(
         s"$table: no change feed recorded for v$version — run the merge " +
           "with changeFeed = true (silence must not read as no-changes)")
+      // empty feeds build on a LocalRelation (createDataFrame over a
+      // java List), NOT an RDD leaf — the streaming source re-tags
+      // batch plans as streaming, and only relation leaves can be
       case Some("@none") =>
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          out)
+        s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), out)
       case Some("@adds") =>
         val dirs = commit.adds.map(_.name)
         if (dirs.isEmpty)
           s.createDataFrame(
-            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), out)
         else s.read.schema(schema).parquet(dirs.map(d => s"$table/$d"): _*)
           .withColumn("_change_type", lit("insert"))
       case Some(dir) =>
