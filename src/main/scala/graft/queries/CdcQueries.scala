@@ -134,6 +134,59 @@ object CdcQueries {
     s"$tmp/lake"
   }
 
+  /** Lake dir written by the KAFKA-WIRE capture run (r14): the same v1
+    * frame feed shipped as CRC32C'd magic-v2 record batches (key =
+    * 8-byte lsn, value = frame) over the public Kafka protocol from the
+    * in-process broker, captured by the durable consumer loop with a
+    * hard mid-stream disconnect. Relation frames ride the topic HEAD as
+    * records 0..k−1 at lsn 1..k (below the ×100 data grid — the
+    * inline-schema convention; a log transport has no per-session
+    * re-send, the log IS the session), so one capture registers them
+    * once and the decode sees the same relation context as the socket
+    * path. */
+  private val kafkaLakeMemo = new graft.operators.SessionMemo[String]
+
+  private def kafkaCapturedLakeDir(s: SparkSession, dir: String): String =
+    kafkaLakeMemo.get(s, dir) {
+      val tmp = graft.streaming.StreamGate
+        .sessionTempDir("graft-kafka-capture") { t =>
+          PgOutput.framesFromEvents(s, Tables(s, dir, "events"))
+            .filter(col("lsn") >= 0)
+            .select(((col("lsn") + 1) * 100).as("lsn"), col("data"))
+            .repartitionByRange(8, col("lsn")).sortWithinPartitions("lsn")
+            .write.parquet(s"$t/feed")
+          val nData = s.read.parquet(s"$t/feed").count()
+          val rels = captureRelations.zipWithIndex.map { case (b, i) =>
+            ((i + 1).toLong, b) }
+          def feedIter() = {
+            import scala.jdk.CollectionConverters._
+            rels.iterator ++
+              s.read.parquet(s"$t/feed").orderBy("lsn").toLocalIterator()
+                .asScala.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+          }
+          val total = rels.size + nData
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(s"$t/lake"))
+          val broker = new graft.streaming.LoopbackKafkaBroker(
+            "graft.wal", () => feedIter(), total,
+            dropAfterRecords = math.max(1L, total / 2),
+            recordsPerBatch = 1024).start()
+          val slots = new SlotStore(s"$t/slots")
+          slots.setSlot("graft_kafka")
+          val stats = new graft.streaming.KafkaCapture(
+            "127.0.0.1", broker.port, "graft.wal", "graft_kafka",
+            slots, s, s"$t/lake", flushEvery = 32768).run()
+          broker.stop()
+          require(broker.failure.isEmpty,
+            s"broker failed: ${broker.failure}")
+          require(stats.reconnects >= 1,
+            "the mid-stream disconnect must have fired (and been survived)")
+          require(stats.watermark == total,
+            s"capture incomplete: $stats vs $total records")
+        }
+      s"$tmp/lake"
+    }
+
   private def capturedLakeDir(s: SparkSession, dir: String): String =
     captureLakeMemo.get(s, dir) {
       // the data frames framesFromEvents encodes (relation frames — lsn < 0
@@ -198,6 +251,26 @@ object CdcQueries {
     "cdc_capture_loopback" -> ((s, dir) =>
       PgOutput.toCanonicalFeed(PgOutput.decodeFeed(s,
           s.read.parquet(capturedLakeDir(s, dir))))
+        .select("lsn", "table_name", "op", "pk", "ts_us", "value")
+        .orderBy("lsn")),
+
+    // KAFKA-WIRE TRANSPORT (r14 — VERDICT item 4): the OTHER production
+    // CDC transport — the same pgoutput frame feed shipped as magic-v2
+    // RECORD BATCHES over the PUBLIC Kafka wire protocol
+    // (ApiVersions/Metadata/Fetch, streaming.KafkaWire) from an
+    // in-process broker (streaming.LoopbackKafkaBroker — the
+    // LoopbackPgServer pattern), captured by the durable consumer loop
+    // (streaming.KafkaCapture: fetch from the flushed watermark,
+    // CRC32C-verified batches, flush-then-ack, a HARD mid-stream
+    // disconnect survived by resuming from the watermark — the
+    // cdc_capture_loopback posture). The decode of the Kafka-captured
+    // lake must hash-equal the replication-socket capture's oracle:
+    // the TRANSPORT must be invisible to the feed. Wire-level framing
+    // (varint records, CRC refusal, batch-boundary replay dedup,
+    // reconnect) is spec'd in KafkaWireSpec.
+    "cdc_kafka_loopback" -> ((s, dir) =>
+      PgOutput.toCanonicalFeed(PgOutput.decodeFeed(s,
+          s.read.parquet(kafkaCapturedLakeDir(s, dir))))
         .select("lsn", "table_name", "op", "pk", "ts_us", "value")
         .orderBy("lsn")),
 
@@ -917,6 +990,14 @@ object CdcQueries {
     // decode back to, byte for byte, through the wire +
     // disconnect/reconnect + flush-dedup path
     "cdc_capture_loopback" ->
+      s"""$cte
+         |SELECT (lsn + 1) * 100 AS lsn, table_name, op, pk, ts_us, value FROM feed
+         |ORDER BY lsn""".stripMargin,
+
+    // deliberately cdc_capture_loopback's oracle VERBATIM: the claim is
+    // that the TRANSPORT (Kafka wire vs replication socket) is
+    // invisible to the decoded feed
+    "cdc_kafka_loopback" ->
       s"""$cte
          |SELECT (lsn + 1) * 100 AS lsn, table_name, op, pk, ts_us, value FROM feed
          |ORDER BY lsn""".stripMargin,

@@ -1,0 +1,165 @@
+package graft.streaming
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket}
+
+import scala.collection.mutable.ArrayBuffer
+
+import KafkaWire._
+
+/** In-process broker: a TCP server speaking the CDC-transport subset of
+  * the PUBLIC Kafka wire protocol — the [[LoopbackPgServer]] pattern
+  * applied to the OTHER production CDC transport (r14 — VERDICT item 4:
+  * CDC feeds overwhelmingly transit Kafka; this gates a real
+  * socket-transported feed end-to-end without a broker install).
+  * Serves, with non-flexible api versions (fixed-width framing):
+  *
+  *  - ApiVersions v0 — the handshake every client opens with;
+  *  - Metadata v1 — one broker (itself), one topic, one partition,
+  *    leader 0: the discovery round-trip;
+  *  - Fetch v4 — magic-v2 record batches (CRC32C'd), served from the
+  *    requested offset, paced `recordsPerBatch` per response; the
+  *    response's high watermark tells the consumer where the log ends.
+  *
+  * The feed is an ITERATOR FACTORY ordered by offset — the broker holds
+  * O(batch) records in memory (a real broker serves from its log
+  * segments, it does not load them); a session's fetches advance a
+  * cursor, an out-of-order (reconnect) fetch below the cursor restarts
+  * the iterator — O(feed) per session, never O(feed²) across fetches.
+  *
+  * `dropAfterRecords`: the FIRST session hard-closes the socket after
+  * serving that many records — the mid-stream disconnect every durable
+  * consumer must survive (resume from its flushed watermark, re-fetch
+  * only what died in its buffer). */
+final class LoopbackKafkaBroker(
+    topic: String,
+    feed: () => Iterator[(Long, Array[Byte])],
+    total: Long,
+    dropAfterRecords: Long,
+    recordsPerBatch: Int = 1024) {
+
+  val sessions = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile var failure: Option[Throwable] = None
+  @volatile private var stopped = false
+
+  private val server = new ServerSocket(0)
+  def port: Int = server.getLocalPort
+
+  private def body(write: DataOutputStream => Unit): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    write(out); out.flush(); bos.toByteArray
+  }
+
+  private def serveSession(sock: Socket, firstSession: Boolean): Unit = {
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(
+      new BufferedOutputStream(sock.getOutputStream))
+    var it = feed()
+    var pos = 0L
+    var served = 0L
+    var open = true
+    while (open) KafkaWire.readRequest(in) match {
+      case None => open = false // client closed
+      case Some((h, reqBody)) => h.apiKey match {
+        case ApiVersionsKey =>
+          writeResponse(out, h.correlationId, body { o =>
+            o.writeShort(0) // error_code
+            o.writeInt(3) // api_keys
+            Seq((ApiVersionsKey, 0, 0), (MetadataKey, 1, 1), (FetchKey, 4, 4))
+              .foreach { case (k, lo, hi) =>
+                o.writeShort(k); o.writeShort(lo); o.writeShort(hi) }
+          })
+        case MetadataKey =>
+          require(h.apiVersion == 1, s"metadata v${h.apiVersion} not served")
+          writeResponse(out, h.correlationId, body { o =>
+            o.writeInt(1) // brokers
+            o.writeInt(0); writeString(o, "127.0.0.1")
+            o.writeInt(port); o.writeShort(-1) // rack null
+            o.writeInt(0) // controller_id
+            o.writeInt(1) // topics
+            o.writeShort(0); writeString(o, topic)
+            o.writeBoolean(false) // is_internal
+            o.writeInt(1) // partitions
+            o.writeShort(0); o.writeInt(0) // error, index
+            o.writeInt(0) // leader
+            o.writeInt(1); o.writeInt(0) // replicas [0]
+            o.writeInt(1); o.writeInt(0) // isr [0]
+          })
+        case FetchKey =>
+          require(h.apiVersion == 4, s"fetch v${h.apiVersion} not served")
+          val req = new DataInputStream(
+            new java.io.ByteArrayInputStream(reqBody))
+          req.readInt(); req.readInt(); req.readInt() // replica/maxWait/minBytes
+          req.readInt(); req.readByte() // maxBytes, isolation
+          val nTopics = req.readInt()
+          require(nTopics == 1, s"one-topic broker, got $nTopics")
+          val reqTopic = readString(req)
+          require(reqTopic == topic, s"unknown topic $reqTopic")
+          val nParts = req.readInt()
+          require(nParts == 1, s"one-partition topic, got $nParts")
+          val partition = req.readInt()
+          require(partition == 0, s"unknown partition $partition")
+          val fetchOffset = req.readLong()
+          req.readInt() // partition_max_bytes (recordsPerBatch paces)
+          if (fetchOffset < pos) { it = feed(); pos = 0L } // re-fetch
+          while (pos < fetchOffset && it.hasNext) { it.next(); pos += 1 }
+          val recs = ArrayBuffer.empty[WireRecord]
+          while (recs.size < recordsPerBatch && it.hasNext) {
+            val (lsn, frame) = it.next()
+            val key = java.nio.ByteBuffer.allocate(8).putLong(lsn).array()
+            recs += WireRecord(pos, lsn, key, frame)
+            pos += 1
+          }
+          served += recs.size
+          if (firstSession && dropAfterRecords > 0 &&
+              served > dropAfterRecords) {
+            sock.close() // hard mid-stream disconnect, no response
+            open = false
+          } else {
+            val recordSet =
+              if (recs.isEmpty) Array.empty[Byte]
+              else encodeBatch(recs.toSeq)
+            writeResponse(out, h.correlationId, body { o =>
+              o.writeInt(0) // throttle_time
+              o.writeInt(1); writeString(o, topic)
+              o.writeInt(1) // partitions
+              o.writeInt(0); o.writeShort(0) // index, error
+              o.writeLong(total) // high_watermark
+              o.writeLong(total) // last_stable_offset
+              o.writeInt(0) // aborted txns
+              o.writeInt(recordSet.length); o.write(recordSet)
+            })
+          }
+        case other =>
+          throw new IllegalArgumentException(s"api key $other not served")
+      }
+    }
+    if (!sock.isClosed) sock.close()
+  }
+
+  def start(): LoopbackKafkaBroker = {
+    val t = new Thread(() => {
+      var accepting = true
+      while (accepting && !stopped) {
+        val sock =
+          try Some(server.accept())
+          catch { case _: java.net.SocketException => accepting = false; None }
+        sock.foreach { sk =>
+          val first = sessions.getAndIncrement() == 0
+          try serveSession(sk, first)
+          catch {
+            case _: java.net.SocketException => () // client side dropped
+            case _: java.io.EOFException => () // client side dropped
+            case e: Throwable => failure = Some(e)
+          }
+        }
+      }
+    }, "loopback-kafka-broker")
+    t.setDaemon(true)
+    t.start()
+    this
+  }
+
+  def stop(): Unit = { stopped = true; server.close() }
+}
