@@ -204,6 +204,85 @@ object VectorQueries {
   private def nndRefined(s: SparkSession, dir: String): DataFrame =
     nndServe(s, dir).filter(col("rk") <= 3)
 
+  /** knn_graph_extend's artifacts: (extended graph edges, cosine evals
+    * the extension paid, in-cell pair mass a full rebuild would pay) —
+    * one build per (session, lake). Base graph = in-cell top-3 among
+    * base vectors (the stored artifact); extension probes + touched
+    * adoption are the ONLY new cosine work. */
+  private val graphExtendMemo =
+    new graft.operators.SessionMemo[(DataFrame, Long, Long)]
+
+  private def graphExtend(s: SparkSession,
+      dir: String): (DataFrame, Long, Long) =
+    graphExtendMemo.get(s, dir) {
+      import graft.operators.Checkpointing
+      val idx = ivfIndex(s, dir)._2.select("vec_id", "embedding", "cluster")
+        .transform(Checkpointing.cut)
+      val isNew = pmod(col("vec_id"), lit(13)) === 7
+      val base = idx.filter(!isNew)
+      val nw = idx.filter(isNew)
+      def cosC(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        round(graft.plans.CosineSim.cosine(s, a, b), 4)
+      // the STORED base graph: in-cell top-3 among base vectors
+      val bm = base.select(col("cluster").as("cl2"),
+        col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      val bPairs = base.join(bm,
+          col("cluster") === col("cl2") &&
+            col("vec_id") =!= col("neighbor_id"))
+        .select(col("vec_id"), col("neighbor_id"),
+          cosC(col("embedding"), col("n_emb")).as("cos"))
+      val baseGraph = Relational
+        .topKByScore(bPairs, "vec_id", "cos", "neighbor_id", 3)
+        .select("vec_id", "neighbor_id", "cos")
+        .transform(Checkpointing.cut)
+      // EXTENSION: each new vector's candidates = in-cell base vectors
+      // ∪ their stored neighbors (one hop) — O(batch × cell × degree)
+      val probe = nw.select(col("vec_id").as("q"), col("cluster"),
+          col("embedding").as("q_emb"))
+        .join(base.select(col("cluster"), col("vec_id").as("cand")),
+          Seq("cluster"))
+        .select("q", "q_emb", "cand")
+      val hop = probe.select(col("q"), col("q_emb"), col("cand").as("mid"))
+        .join(baseGraph.select(col("vec_id").as("mid"),
+          col("neighbor_id").as("cand")), Seq("mid"))
+        .select("q", "q_emb", "cand")
+      val nCand = probe.unionByName(hop).dropDuplicates("q", "cand")
+      val nScored = nCand
+        .join(base.select(col("vec_id").as("cand"),
+          col("embedding").as("c_emb")), Seq("cand"))
+        .select(col("q").as("vec_id"), col("cand").as("neighbor_id"),
+          cosC(col("q_emb"), col("c_emb")).as("cos"))
+        .transform(Checkpointing.cut)
+      val newEdges = Relational
+        .topKByScore(nScored, "vec_id", "cos", "neighbor_id", 3)
+        .select("vec_id", "neighbor_id", "cos")
+      // TOUCHED-NEIGHBORHOOD ADOPTION: base vectors score ONLY their
+      // in-cell new vectors; stored edges merge by their stored cosine
+      val adopt = base.select(col("vec_id"), col("cluster"),
+          col("embedding"))
+        .join(nw.select(col("cluster"), col("vec_id").as("neighbor_id"),
+          col("embedding").as("n_emb")), Seq("cluster"))
+        .select(col("vec_id"), col("neighbor_id"),
+          cosC(col("embedding"), col("n_emb")).as("cos"))
+        .transform(Checkpointing.cut)
+      val touched = adopt.select("vec_id").distinct()
+      val refined = Relational.topKByScore(
+          baseGraph.join(touched, Seq("vec_id"), "left_semi")
+            .unionByName(adopt),
+          "vec_id", "cos", "neighbor_id", 3)
+        .select("vec_id", "neighbor_id", "cos")
+      val extended = baseGraph.join(touched, Seq("vec_id"), "left_anti")
+        .unionByName(refined).unionByName(newEdges)
+        .transform(Checkpointing.cut)
+      val nScoredExtend = nScored.count() + adopt.count()
+      val im = idx.select(col("cluster").as("cl2"),
+        col("vec_id").as("neighbor_id"))
+      val nRebuildPairs = idx.join(im,
+        col("cluster") === col("cl2") &&
+          col("vec_id") =!= col("neighbor_id")).count()
+      (extended, nScoredExtend, nRebuildPairs)
+    }
+
   /** Shared corpus-scaled quantizer build: k = max(kMin, ⌈N/perCell⌉),
     * reusing the shared k=16 knn_ivf index when the rule resolves there. */
   private def scaledIndex(s: SparkSession, dir: String,
@@ -503,6 +582,40 @@ object VectorQueries {
     // here, so graph recall is ≥ the in-cell graph's by construction.
     "emb_nndescent" -> ((s, dir) =>
       nndRefined(s, dir).orderBy("vec_id", "rk")),
+
+    // INCREMENTAL GRAPH MAINTENANCE (r14 — VERDICT item 6): a 100 TB
+    // vector lake cannot rebuild its serving graph per ingest wave —
+    // this key gates the EXTEND verb, the dedup_incremental posture
+    // applied to the graph: a NEW batch (vec_id ≡ 7 mod 13, ~7.7%)
+    // probes the quantizer + the STORED base graph (in-cell base
+    // vectors ∪ one hop through their stored edges), exact-rerank
+    // top-3; base vectors in TOUCHED cells adopt in-cell new vectors
+    // by merging freshly-scored pairs with their STORED edge cosines
+    // (no re-scoring of old pairs); untouched base rows carry
+    // UNCHANGED. Cost is O(batch × cell + touched), never O(corpus²/k)
+    // — the gate's own columns carry the receipt (n_scored_extend vs
+    // n_rebuild_pairs, the pair mass a full rebuild pays) and the
+    // overlap vs the full rebuild (the recall envelope, floor-spec'd
+    // in AnnSpec). Every stage is deterministic (4dp cosine,
+    // (cos DESC, id) ties), so the oracle replays build + extension +
+    // accounting exactly.
+    "knn_graph_extend" -> ((s, dir) => {
+      val (extended, nScoredExtend, nRebuildPairs) = graphExtend(s, dir)
+      val full = knnGraphOver(s, ivfIndex(s, dir)._2)
+        .select("vec_id", "neighbor_id")
+      val nNew = ivfIndex(s, dir)._2
+        .filter(pmod(col("vec_id"), lit(13)) === 7).count()
+      val nEdges = extended.count()
+      val nMatch = extended.select("vec_id", "neighbor_id")
+        .join(full, Seq("vec_id", "neighbor_id"), "left_semi").count()
+      import s.implicits._
+      // floor-quantized ratio (exact integer math on both engines — the
+      // round() half-boundary rule from the text tier)
+      Seq((nNew, nEdges, nMatch, (10000L * nMatch / nEdges) / 10000.0,
+          nScoredExtend, nRebuildPairs))
+        .toDF("n_new", "n_edges", "n_match", "overlap",
+          "n_scored_extend", "n_rebuild_pairs")
+    }),
 
     // Radius (range) search: every neighbor within cosine ≥ 0.25 of each
     // sampled query — the fixed-threshold dual of top-k. Map-only at any
@@ -1558,6 +1671,87 @@ object VectorQueries {
          |$nndRefineCtes
          |SELECT vec_id, rk, neighbor_id, cos FROM rr WHERE rk <= 3
          |ORDER BY vec_id, rk""".stripMargin,
+
+    // the FULL extend replay: base-only in-cell graph, batch probes
+    // (in-cell ∪ one stored hop), touched adoption merging stored
+    // cosines with freshly-scored new pairs, then the overlap + cost
+    // accounting against the full-rebuild graph (knnGraphBodyCtes'
+    // ranked) — floor-quantized ratio, exact integer math
+    "knn_graph_extend" ->
+      s"""WITH $ivfBuildCtes,
+         |$knnGraphBodyCtes,
+         |tag AS (SELECT i.vec_id, i.cluster,
+         |               (i.vec_id % 13 = 7) AS nw FROM idx i),
+         |gb AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(sa.v, sb.v), 4) AS cos
+         |  FROM tag a JOIN tag b ON a.cluster = b.cluster
+         |    AND a.vec_id <> b.vec_id AND NOT a.nw AND NOT b.nw
+         |  JOIN sv sa ON sa.vec_id = a.vec_id
+         |  JOIN sv sb ON sb.vec_id = b.vec_id),
+         |basegraph AS (
+         |  SELECT vec_id, neighbor_id, cos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |               ORDER BY cos DESC, neighbor_id) AS rk
+         |    FROM gb) WHERE rk <= 3),
+         |ncand AS (
+         |  SELECT n.vec_id AS q, c.vec_id AS cand
+         |  FROM tag n JOIN tag c ON c.cluster = n.cluster AND NOT c.nw
+         |  WHERE n.nw
+         |  UNION
+         |  SELECT n.vec_id, g2.neighbor_id
+         |  FROM tag n JOIN tag c ON c.cluster = n.cluster AND NOT c.nw
+         |  JOIN basegraph g2 ON g2.vec_id = c.vec_id
+         |  WHERE n.nw),
+         |nsc AS (
+         |  SELECT nc.q AS vec_id, nc.cand AS neighbor_id,
+         |         round(list_cosine_similarity(sq.v, sc2.v), 4) AS cos
+         |  FROM ncand nc
+         |  JOIN sv sq ON sq.vec_id = nc.q
+         |  JOIN sv sc2 ON sc2.vec_id = nc.cand),
+         |newedges AS (
+         |  SELECT vec_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |               ORDER BY cos DESC, neighbor_id) AS rk
+         |    FROM nsc) WHERE rk <= 3),
+         |adopt AS (
+         |  SELECT b.vec_id, n.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(sb.v, sn.v), 4) AS cos
+         |  FROM tag b JOIN tag n ON n.cluster = b.cluster AND n.nw
+         |  JOIN sv sb ON sb.vec_id = b.vec_id
+         |  JOIN sv sn ON sn.vec_id = n.vec_id
+         |  WHERE NOT b.nw),
+         |touched AS (SELECT DISTINCT vec_id FROM adopt),
+         |refined AS (
+         |  SELECT vec_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |               ORDER BY cos DESC, neighbor_id) AS rk
+         |    FROM (SELECT g3.vec_id, g3.neighbor_id, g3.cos
+         |          FROM basegraph g3 JOIN touched t USING (vec_id)
+         |          UNION ALL SELECT vec_id, neighbor_id, cos FROM adopt))
+         |  WHERE rk <= 3),
+         |ext AS (
+         |  SELECT vec_id, neighbor_id FROM basegraph
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM touched)
+         |  UNION ALL SELECT vec_id, neighbor_id FROM refined
+         |  UNION ALL SELECT vec_id, neighbor_id FROM newedges),
+         |fullg AS (SELECT vec_id, neighbor_id FROM ranked WHERE rk <= 3),
+         |stats AS (
+         |  SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM tag WHERE nw) AS n_new,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ext) AS n_edges,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ext e
+         |       JOIN fullg f ON e.vec_id = f.vec_id
+         |        AND e.neighbor_id = f.neighbor_id) AS n_match,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM nsc) +
+         |      (SELECT CAST(count(*) AS BIGINT) FROM adopt)
+         |        AS n_scored_extend,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_rebuild_pairs)
+         |SELECT n_new, n_edges, n_match,
+         |       CAST((10000 * n_match) // n_edges AS DOUBLE) / 10000
+         |         AS overlap,
+         |       n_scored_extend, n_rebuild_pairs
+         |FROM stats""".stripMargin,
 
     // the full graph-serving replay: refined graph, quantizer-routed seed,
     // 3 beam hops, recall audit — every stage in SQL

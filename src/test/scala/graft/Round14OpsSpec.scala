@@ -148,6 +148,26 @@ class Round14OpsSpec extends AnyFunSuite with SparkTestBase {
   }
 
   // --------------------------------------------------------------------
+  // VERDICT 6: incremental ANN graph maintenance — the recall envelope
+  // and the O(batch) cost receipt
+  // --------------------------------------------------------------------
+
+  test("knn_graph_extend: the extended graph overlaps the full rebuild " +
+      "above the envelope floor, at a small fraction of the rebuild's " +
+      "pair mass") {
+    val row = graft.queries.VectorQueries
+      .queries("knn_graph_extend")(spark, sf).head()
+    assert(row.getAs[Double]("overlap") >= 0.95,
+      s"recall envelope: overlap ${row.getAs[Double]("overlap")} < 0.95")
+    val scored = row.getAs[Long]("n_scored_extend")
+    val rebuild = row.getAs[Long]("n_rebuild_pairs")
+    assert(scored * 3 < rebuild,
+      s"O(batch) receipt: extension scored $scored pairs, a rebuild " +
+        s"pays $rebuild — the extend verb must be several times cheaper")
+    assert(row.getAs[Long]("n_new") > 0 && row.getAs[Long]("n_edges") > 0)
+  }
+
+  // --------------------------------------------------------------------
   // ADVICE 4: rewrite-dir heuristic matches the actual rewrite grammars
   // --------------------------------------------------------------------
 
