@@ -93,12 +93,17 @@ object BehaviorQueries {
         "ts_us", chunks = 4, prefix = s"graft-ssjskew-$et")
     }
 
-  /** The replayable hot-side admission rule: keep a hot-user view iff its
-    * 48-bit md5 residue mod 8 is 0 — content-deterministic (arrival order
-    * can't change the kept set) and exact in DuckDB. */
-  private def hotThin(idCol: org.apache.spark.sql.Column) =
+  /** The replayable hot-side admission rule: keep a hot-user row iff its
+    * 48-bit md5 residue mod `m` is 0 — content-deterministic (arrival
+    * order can't change the kept set) and exact in DuckDB. The gate runs
+    * the view-side 1/8 stratum; the STRESS knob (r14 — VERDICT item 7)
+    * is the same rule at m = 64 on BOTH sides, cutting hot pair mass
+    * ~64² = 4096× — gated at the densified hot key in SkewStressSpec
+    * with the pair counts recorded (SCALING.md addendum 33). */
+  private[graft] def hotThin(idCol: org.apache.spark.sql.Column,
+      m: Long = 8L) =
     pmod(conv(substring(md5(idCol.cast("string")), 1, 12), 16, 10)
-      .cast("long"), lit(8L)) === 0L
+      .cast("long"), lit(m)) === 0L
 
   /** Triplicated feed for the exactly-once gate: every event rides THREE
     * byte-identical copies in three mtime-ordered files (copy ordinal =
