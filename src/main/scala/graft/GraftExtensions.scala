@@ -15,11 +15,21 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.plans.NativeFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
+    // SQL MERGE INTO over TxLog tables: a resolved MergeIntoTable whose
+    // target is a TxLogTable rewrites onto the gated Scala merge verb
+    // (the Delta-style interception — see sources/TxLogMergeSql.scala)
+    // injected into the RESOLUTION fixed point (not post-hoc): Spark's
+    // own RewriteMergeIntoTable throws table-operation-unsupported for
+    // non-row-level tables as soon as the merge is resolved, so the
+    // interception must win inside the same fixed point
+    ext.injectResolutionRule(s =>
+      new graft.sources.TxLogMergeSqlRule(s))
+  }
 }

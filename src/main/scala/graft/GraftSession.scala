@@ -18,6 +18,10 @@ object GraftSession {
 
   def tune(b: SparkSession.Builder, cores: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", cores.toString)
+      // the library's SQL surface (native functions + the MERGE INTO
+      // interception for TxLog tables) — a static conf, so it must ride
+      // the builder that creates the context
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -157,6 +157,64 @@ object SourceQueries {
     * (full manifest), q2+q3 at v1 (INCREMENTAL manifest update). */
   private val txlogMincMemo = new graft.operators.SessionMemo[String]
 
+  /** The SQL-merged twin of mergedDocTable for src_txlog_merge_sql:
+    * the same two merges issued as spark.sql MERGE INTO statements
+    * through the catalog (holds the table dir). */
+  private val txlogMergeSqlMemo = new graft.operators.SessionMemo[String]
+
+  private def sqlMergedDocTable(s: SparkSession, dir: String): String = {
+    import graft.sources.TxLog
+    txlogMergeSqlMemo.get(s, dir) {
+      val tmp = graft.streaming.StreamGate
+        .sessionTempDir("graft-txlog-mergesql") { td =>
+          val docs = Tables(s, dir, "documents")
+            .select("doc_id", "lang", "source", "n_chars")
+          val tbl = s"$td/t"
+          docs.write.parquet(s"$tbl/init")
+          require(TxLog.tryCommitActions(s, tbl, 0L,
+            Seq(TxLog.AddFile("init")), Nil,
+            schemaDdl = Some(mergeSchema.toDDL), cdf = Some("@adds")),
+            "v0 conflicted on a fresh table")
+          val cat = s"graftmsql_${math.abs(td.hashCode).toString}"
+          s.conf.set(s"spark.sql.catalog.$cat",
+            classOf[graft.sources.TxLogCatalog].getName)
+          s.conf.set(s"spark.sql.catalog.$cat.root", td)
+          // merge 1 — keys ≡0 mod 3: DELETE German targets, else
+          // n_chars += 1 (the src_txlog_merge spec, via pure SQL)
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+            .createOrReplaceTempView("graft_msql_src1")
+          s.conf.set("graft.txlog.merge.nBuckets", "8")
+          try {
+            s.sql(
+              s"""MERGE INTO $cat.t AS t USING graft_msql_src1 AS s
+                 |ON t.doc_id = s.doc_id
+                 |WHEN MATCHED AND t.lang <=> 'de' THEN DELETE
+                 |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + 1
+                 |""".stripMargin)
+            // merge 2 — keys ≡0 mod 7 double n_chars; shifted ≡0 mod 5
+            // inserts where the source row isn't German
+            val off = docs.agg(max("doc_id")).head().getLong(0) + 1L
+            docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+              .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+                .select((col("doc_id") + off).as("doc_id"), col("lang"),
+                  col("source"), col("n_chars")))
+              .createOrReplaceTempView("graft_msql_src2")
+            s.sql(
+              s"""MERGE INTO $cat.t AS t USING graft_msql_src2 AS s
+                 |ON t.doc_id = s.doc_id
+                 |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars * 2
+                 |WHEN NOT MATCHED AND NOT (s.lang <=> 'de') THEN
+                 |  INSERT (doc_id, lang, source, n_chars)
+                 |  VALUES (s.doc_id, s.lang, s.source, s.n_chars)
+                 |""".stripMargin)
+          } finally s.conf.unset("graft.txlog.merge.nBuckets")
+          require(TxLog.currentVersion(s, tbl).contains(2L),
+            "both SQL merges must have committed")
+        }
+      s"$tmp/t"
+    }
+  }
+
   /** The mixed-history table for src_txlog_cdf_unified (append → merge
     * → append → OPTIMIZE → DV merge, every commit feed-marked) and the
     * collected follower emission over it. */
@@ -1008,6 +1066,30 @@ object SourceQueries {
         .orderBy("source")
     }),
 
+    // SQL MERGE INTO (r14 — the front door's last leg): a resolved
+    // MergeIntoTable over a TxLog catalog table rewrites onto the GATED
+    // Scala merge verb through a resolution rule (GraftExtensions →
+    // TxLogMergeSqlRule — the Delta-style interception; sources/
+    // TxLogMergeSql.scala), translating ON-clause equi-keys, matched
+    // DELETE/UPDATE in LISTED order (an update listed first shields the
+    // delete — compiled into the conditions), conditional identity
+    // INSERT, and the session-conf knobs (nBuckets / dvThreshold /
+    // changeFeed); unsupported shapes are loud with the Scala-verb
+    // remedy (spec'd in TxLogMergeSqlSpec, incl. a DV-path SQL merge).
+    // Gate: the SAME two merges as src_txlog_merge issued as pure SQL
+    // MERGE INTO statements, hashed against src_txlog_merge's oracle
+    // VERBATIM — the SQL route must be indistinguishable from the
+    // Scala verb it compiles onto.
+    "src_txlog_merge_sql" -> ((s, dir) => {
+      import graft.sources.TxLog
+      TxLog.read(s, sqlMergedDocTable(s, dir), mergeSchema)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum(rowCheck(concat_ws("|", f(col("doc_id")), f(col("lang")),
+            f(col("n_chars"))))).as("checksum"))
+        .orderBy("source")
+    }),
+
     // DELETION VECTORS / MERGE-ON-READ (r14 — VERDICT item 2): a merge
     // whose per-bucket touched-row fraction is at-or-below dvThreshold
     // writes a DELETION VECTOR (parquet rows naming superseded
@@ -1417,7 +1499,13 @@ object SourceQueries {
       }.reduce(_ unionAll _).orderBy("segment", "event_type")
     }))
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = oraclesBase +
+    // deliberately src_txlog_merge's oracle VERBATIM: the SQL MERGE
+    // route must be indistinguishable from the Scala verb it compiles
+    // onto
+    ("src_txlog_merge_sql" -> oraclesBase("src_txlog_merge"))
+
+  private def oraclesBase: Map[String, String] = Map(
     "src_jsonl_roundtrip" ->
       (statsSql + "\nGROUP BY source ORDER BY source"),
     "src_csv_roundtrip" ->

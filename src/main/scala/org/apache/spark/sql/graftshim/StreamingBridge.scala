@@ -39,6 +39,21 @@ object StreamingBridge {
     ClassicDataset.ofRows(cds.sparkSession, plan)
   }
 
+  /** A batch DataFrame over an analyzed logical plan — the
+    * `Dataset.ofRows` seam the SQL MERGE interception needs (its
+    * command re-plans the resolved USING subquery as the merge
+    * source). */
+  def dfOf(s: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    ClassicDataset.ofRows(s.asInstanceOf[ClassicSparkSession], plan)
+
+  /** A Column over a catalyst Expression — `ExpressionUtils.column` is
+    * private[sql]; the MERGE interception rebuilds action expressions
+    * as Columns over TxLogMerge's joined frame through this seam. */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
   /** An empty STREAMING frame of `schema` — the no-new-data batch. */
   def emptyStreaming(s: SparkSession, schema: StructType): DataFrame =
     ClassicDataset.ofRows(s.asInstanceOf[ClassicSparkSession],
