@@ -10,6 +10,10 @@ object SparkTestBase {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the library's SQL surface (native functions + the TxLog MERGE
+      // INTO interception) — mirrors GraftSession.tune, so gates that
+      // issue SQL MERGE run in the shared test session too
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
