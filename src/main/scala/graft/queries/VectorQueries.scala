@@ -216,7 +216,13 @@ object VectorQueries {
       dir: String): (DataFrame, Long, Long) =
     graphExtendMemo.get(s, dir) {
       import graft.operators.Checkpointing
-      val idx = ivfIndex(s, dir)._2.select("vec_id", "embedding", "cluster")
+      // the CORPUS-SCALED quantizer (k = max(16, ceil(N/1024)) — the
+      // emb_knn_graph rule): a fixed k would make the base-graph pair
+      // mass N²/k, superlinear (measured 47 s at the 30× lake before
+      // this; linear after). At the gate SFs the rule resolves to the
+      // shared k = 16 index, so the oracle's dynamic-k replay is exact
+      // everywhere.
+      val idx = graphIndex(s, dir).select("vec_id", "embedding", "cluster")
         .transform(Checkpointing.cut)
       val isNew = pmod(col("vec_id"), lit(13)) === 7
       val base = idx.filter(!isNew)
@@ -601,9 +607,9 @@ object VectorQueries {
     // accounting exactly.
     "knn_graph_extend" -> ((s, dir) => {
       val (extended, nScoredExtend, nRebuildPairs) = graphExtend(s, dir)
-      val full = knnGraphOver(s, ivfIndex(s, dir)._2)
+      val full = knnGraphOver(s, graphIndex(s, dir))
         .select("vec_id", "neighbor_id")
-      val nNew = ivfIndex(s, dir)._2
+      val nNew = graphIndex(s, dir)
         .filter(pmod(col("vec_id"), lit(13)) === 7).count()
       val nEdges = extended.count()
       val nMatch = extended.select("vec_id", "neighbor_id")
@@ -1678,7 +1684,9 @@ object VectorQueries {
     // accounting against the full-rebuild graph (knnGraphBodyCtes'
     // ranked) — floor-quantized ratio, exact integer math
     "knn_graph_extend" ->
-      s"""WITH $ivfBuildCtes,
+      s"""WITH ${ivfBuildCtesK(
+        "(SELECT GREATEST(16, CAST(ceil(count(*) / 1024.0) AS INT)) " +
+          "FROM embeddings)")},
          |$knnGraphBodyCtes,
          |tag AS (SELECT i.vec_id, i.cluster,
          |               (i.vec_id % 13 = 7) AS nw FROM idx i),
