@@ -47,11 +47,32 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * SQL `MERGE INTO` (DSv2 `SupportsRowLevelOperations`) is NOT wired —
   * merges run through the Scala [[TxLogMerge.merge]] verb; the SQL
   * surface covers read/time-travel/create/insert. */
-class TxLogDataSource extends TableProvider with DataSourceRegister {
+class TxLogDataSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "txlog"
 
   override def supportsExternalMetadata(): Boolean = true
+
+  // `spark.readStream.format("txlog")` — the V1 streaming source
+  // (offsets = commit versions / change feeds) under the same short
+  // name; Spark routes streaming reads through StreamSourceProvider
+  // and batch reads through TableProvider, so one registration serves
+  // both directions of the front door.
+  private val streamProvider = new TxLogStreamSourceProvider
+
+  override def sourceSchema(ctx: org.apache.spark.sql.SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    streamProvider.sourceSchema(ctx, schema, providerName, parameters)
+
+  override def createSource(ctx: org.apache.spark.sql.SQLContext,
+      metadataPath: String, schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    streamProvider.createSource(ctx, metadataPath, schema, providerName,
+      parameters)
 
   private def pathOf(m: util.Map[String, String]): String = {
     val p = Option(m.get("path")).orElse(Option(m.get("paths")))

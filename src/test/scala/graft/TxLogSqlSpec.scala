@@ -70,6 +70,23 @@ class TxLogSqlSpec extends AnyFunSuite with SparkTestBase {
     assert(n == 10L)
   }
 
+  test("readStream.format(\"txlog\") follows a table through the same " +
+      "short name: one commit per trigger, offsets = versions") {
+    val t = skipTable() // 4 dirs in one commit
+    val td = java.nio.file.Files.createTempDirectory("txlogsqlstream")
+      .toString
+    val q = spark.readStream.format("txlog")
+      .schema(xySchema).option("path", t).load()
+      .writeStream.option("checkpointLocation", s"$td/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(s"$td/sink")
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(s"$td/sink").count() == 40L,
+      "the streamed follow must deliver every committed row")
+    graft.operators.Checkpointing.deleteRecursively(td)
+  }
+
   test("versionAsOf option and SQL VERSION AS OF time-travel through " +
       "the catalog; CREATE TABLE records the schema; INSERT INTO " +
       "routes to the append verb") {
