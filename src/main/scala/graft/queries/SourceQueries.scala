@@ -221,6 +221,10 @@ object SourceQueries {
   private val txlogUnifiedMemo = new graft.operators.SessionMemo[String]
   private val unifiedFollowMemo = new graft.operators.SessionMemo[DataFrame]
 
+  /** The Kafka-shipped unified feed's landed lake (one produce →
+    * consume wire trip per (session, lake)). */
+  private val cdfKafkaMemo = new graft.operators.SessionMemo[String]
+
   private def unifiedCdfTable(s: SparkSession, dir: String): String = {
     import graft.sources.{TxLog, TxLogMerge}
     txlogUnifiedMemo.get(s, dir) {
@@ -1282,6 +1286,82 @@ object SourceQueries {
         .orderBy("source")
     }),
 
+    // CHANGE FEED OVER THE KAFKA WIRE (r14 — the transport loop
+    // closed): the unified feed is not just followable, it SHIPS — the
+    // whole append/OPTIMIZE/merge/DV history's change rows (JSON-coded,
+    // keyed by commit version) are PRODUCED to the in-process broker as
+    // CRC32C'd record batches (KafkaProduce: acks=-1, base offsets
+    // verified contiguous — a dropped or replayed batch is loud at the
+    // producer), then CONSUMED by the durable loop (KafkaCapture, with
+    // the mid-stream disconnect fired and survived), and the APPLY of
+    // the landed lake must equal the table head — hashed against
+    // src_txlog_cdf_unified's oracle VERBATIM: producing, the wire,
+    // and consuming must all be invisible to the reconstruction.
+    "src_txlog_cdf_kafka" -> ((s, dir) => {
+      import graft.sources.{TxLog, TxLogMerge}
+      val table = unifiedCdfTable(s, dir)
+      val lake = cdfKafkaMemo.get(s, dir) {
+        val tmp = graft.streaming.StreamGate
+          .sessionTempDir("graft-cdf-kafka") { td =>
+            val head = TxLog.currentVersion(s, table).get
+            val feed = (0L to head).map(v =>
+              TxLogMerge.readChangeFeed(s, table, mergeSchema, v)
+                .withColumn("_version", lit(v)))
+              .reduce(_ unionByName _)
+              .select(col("_version"),
+                to_json(struct(col("doc_id"), col("lang"), col("source"),
+                  col("n_chars"), col("_change_type"), col("_version")))
+                  .as("j"))
+            // driver-streamed produce: toLocalIterator pulls one
+            // partition at a time — the producer holds O(batch) rows
+            import scala.jdk.CollectionConverters._
+            val it = feed.toLocalIterator().asScala.map(r =>
+              (r.getLong(0),
+                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            val broker = new graft.streaming.LoopbackKafkaBroker(
+              "graft.cdf", () => Iterator.empty, 0L,
+              dropAfterRecords = 64, recordsPerBatch = 1024,
+              producible = true).start()
+            val shipped = new graft.streaming.KafkaProduce(
+              "127.0.0.1", broker.port, "graft.cdf").run(it)
+            java.nio.file.Files.createDirectories(
+              java.nio.file.Paths.get(s"$td/lake"))
+            val slots = new graft.cdc.SlotStore(s"$td/slots")
+            slots.setSlot("graft_cdf")
+            val stats = new graft.streaming.KafkaCapture(
+              "127.0.0.1", broker.port, "graft.cdf", "graft_cdf",
+              slots, s, s"$td/lake", flushEvery = 32768).run()
+            broker.stop()
+            require(broker.failure.isEmpty,
+              s"broker failed: ${broker.failure}")
+            require(stats.reconnects >= 1,
+              "the mid-stream disconnect must have fired")
+            require(stats.watermark == shipped,
+              s"consume incomplete: $stats vs $shipped shipped")
+          }
+        s"$tmp/lake"
+      }
+      val rows = s.read.parquet(lake)
+        .select(from_json(col("data").cast("string"),
+          StructType.fromDDL("doc_id BIGINT, lang STRING, source STRING, " +
+            "n_chars BIGINT, _change_type STRING, _version BIGINT"))
+          .as("r"))
+        .select("r.*")
+      rows.filter(col("_change_type") =!= "update_preimage")
+        .groupBy("doc_id")
+        .agg(expr(
+          "max_by(struct(lang, source, n_chars, _change_type), _version)")
+          .as("c"))
+        .filter(col("c._change_type") =!= "delete")
+        .select(col("doc_id"), col("c.lang").as("lang"),
+          col("c.source").as("source"), col("c.n_chars").as("n_chars"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum(rowCheck(concat_ws("|", f(col("doc_id")), f(col("lang")),
+            f(col("n_chars"))))).as("checksum"))
+        .orderBy("source")
+    }),
+
     // SCHEMA EVOLUTION (r12 — VERDICT item 3): commits record the write
     // schema in the log ({"schema": DDL} — the Avro header-verify
     // posture brought to the table format); reads verify their declared
@@ -1503,7 +1583,10 @@ object SourceQueries {
     // deliberately src_txlog_merge's oracle VERBATIM: the SQL MERGE
     // route must be indistinguishable from the Scala verb it compiles
     // onto
-    ("src_txlog_merge_sql" -> oraclesBase("src_txlog_merge"))
+    ("src_txlog_merge_sql" -> oraclesBase("src_txlog_merge")) +
+    // deliberately src_txlog_cdf_unified's oracle VERBATIM: producing,
+    // the Kafka wire, and consuming must be invisible to the feed apply
+    ("src_txlog_cdf_kafka" -> oraclesBase("src_txlog_cdf_unified"))
 
   private def oraclesBase: Map[String, String] = Map(
     "src_jsonl_roundtrip" ->

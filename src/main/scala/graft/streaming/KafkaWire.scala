@@ -30,6 +30,7 @@ object KafkaWire {
   val ApiVersionsKey: Short = 18
   val MetadataKey: Short = 3
   val FetchKey: Short = 1
+  val ProduceKey: Short = 0
 
   // ---- primitive codecs ------------------------------------------------
 

@@ -36,7 +36,34 @@ final class LoopbackKafkaBroker(
     feed: () => Iterator[(Long, Array[Byte])],
     total: Long,
     dropAfterRecords: Long,
-    recordsPerBatch: Int = 1024) {
+    recordsPerBatch: Int = 1024,
+    producible: Boolean = false) {
+
+  /** PRODUCIBLE mode (r14 — the other direction of the transport): the
+    * topic is an in-memory LOG the Produce api appends to (offsets
+    * assigned at append, one batch per request — a real broker's
+    * segment append) and Fetch serves from; `feed`/`total` are ignored.
+    * Synchronized coarsely — the loopback exists to gate wire framing
+    * and the durable consumer contract, not broker throughput. */
+  private val log = scala.collection.mutable.ArrayBuffer
+    .empty[(Long, Array[Byte])]
+
+  private def logSnapshot(): IndexedSeq[(Long, Array[Byte])] =
+    log.synchronized { log.toIndexedSeq }
+
+  /** Producible-log append; returns the batch's base offset. */
+  private def append(recs: Seq[KafkaWire.WireRecord]): Long =
+    log.synchronized {
+      val base = log.size.toLong
+      recs.foreach { r =>
+        val lsn =
+          if (r.key != null && r.key.length == 8)
+            java.nio.ByteBuffer.wrap(r.key).getLong
+          else -1L
+        log += ((lsn, r.value))
+      }
+      base
+    }
 
   val sessions = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile var failure: Option[Throwable] = None
@@ -51,7 +78,18 @@ final class LoopbackKafkaBroker(
     write(out); out.flush(); bos.toByteArray
   }
 
-  private def serveSession(sock: Socket, firstSession: Boolean): Unit = {
+  /** The drop knob targets the first session that FETCHES (a producer
+    * session serves no records, so it must not consume the drop). */
+  private val firstFetcherTaken =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def serveSession(sock: Socket, firstSession0: Boolean): Unit = {
+    var firstFetcher: Option[Boolean] = None
+    def isFirstFetcher: Boolean = {
+      if (firstFetcher.isEmpty)
+        firstFetcher = Some(firstFetcherTaken.compareAndSet(false, true))
+      firstFetcher.get
+    }
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val out = new DataOutputStream(
       new BufferedOutputStream(sock.getOutputStream))
@@ -63,12 +101,41 @@ final class LoopbackKafkaBroker(
       case None => open = false // client closed
       case Some((h, reqBody)) => h.apiKey match {
         case ApiVersionsKey =>
+          val apis = Seq((ApiVersionsKey.toInt, 0, 0),
+            (MetadataKey.toInt, 1, 1), (FetchKey.toInt, 4, 4)) ++
+            (if (producible) Seq((ProduceKey.toInt, 3, 3)) else Nil)
           writeResponse(out, h.correlationId, body { o =>
             o.writeShort(0) // error_code
-            o.writeInt(3) // api_keys
-            Seq((ApiVersionsKey, 0, 0), (MetadataKey, 1, 1), (FetchKey, 4, 4))
-              .foreach { case (k, lo, hi) =>
-                o.writeShort(k); o.writeShort(lo); o.writeShort(hi) }
+            o.writeInt(apis.size)
+            apis.foreach { case (k, lo, hi) =>
+              o.writeShort(k); o.writeShort(lo); o.writeShort(hi) }
+          })
+        case ProduceKey if producible =>
+          require(h.apiVersion == 3, s"produce v${h.apiVersion} not served")
+          val req = new DataInputStream(
+            new java.io.ByteArrayInputStream(reqBody))
+          KafkaWire.readNullableString(req) // transactional_id
+          val acks = req.readShort()
+          req.readInt() // timeout_ms
+          val nTopics = req.readInt()
+          require(nTopics == 1, s"one-topic broker, got $nTopics")
+          val reqTopic = readString(req)
+          require(reqTopic == topic, s"unknown topic $reqTopic")
+          val nParts = req.readInt()
+          require(nParts == 1, s"one-partition topic, got $nParts")
+          require(req.readInt() == 0, "unknown partition")
+          val setLen = req.readInt()
+          val recordSet = new Array[Byte](setLen)
+          req.readFully(recordSet)
+          val recs = KafkaWire.decodeBatches(recordSet) // CRC-verified
+          val baseOffset = append(recs)
+          if (acks != 0) writeResponse(out, h.correlationId, body { o =>
+            o.writeInt(1); writeString(o, topic)
+            o.writeInt(1) // partitions
+            o.writeInt(0); o.writeShort(0) // index, error
+            o.writeLong(baseOffset)
+            o.writeLong(-1L) // log_append_time
+            o.writeInt(0) // throttle_time
           })
         case MetadataKey =>
           require(h.apiVersion == 1, s"metadata v${h.apiVersion} not served")
@@ -102,17 +169,30 @@ final class LoopbackKafkaBroker(
           require(partition == 0, s"unknown partition $partition")
           val fetchOffset = req.readLong()
           req.readInt() // partition_max_bytes (recordsPerBatch paces)
-          if (fetchOffset < pos) { it = feed(); pos = 0L } // re-fetch
-          while (pos < fetchOffset && it.hasNext) { it.next(); pos += 1 }
           val recs = ArrayBuffer.empty[WireRecord]
-          while (recs.size < recordsPerBatch && it.hasNext) {
-            val (lsn, frame) = it.next()
-            val key = java.nio.ByteBuffer.allocate(8).putLong(lsn).array()
-            recs += WireRecord(pos, lsn, key, frame)
-            pos += 1
+          var hwm = total
+          if (producible) {
+            val snap = logSnapshot()
+            hwm = snap.size.toLong
+            var o = fetchOffset
+            while (recs.size < recordsPerBatch && o < snap.size) {
+              val (lsn, frame) = snap(o.toInt)
+              val key = java.nio.ByteBuffer.allocate(8).putLong(lsn).array()
+              recs += WireRecord(o, lsn, key, frame)
+              o += 1
+            }
+          } else {
+            if (fetchOffset < pos) { it = feed(); pos = 0L } // re-fetch
+            while (pos < fetchOffset && it.hasNext) { it.next(); pos += 1 }
+            while (recs.size < recordsPerBatch && it.hasNext) {
+              val (lsn, frame) = it.next()
+              val key = java.nio.ByteBuffer.allocate(8).putLong(lsn).array()
+              recs += WireRecord(pos, lsn, key, frame)
+              pos += 1
+            }
           }
           served += recs.size
-          if (firstSession && dropAfterRecords > 0 &&
+          if (isFirstFetcher && dropAfterRecords > 0 &&
               served > dropAfterRecords) {
             sock.close() // hard mid-stream disconnect, no response
             open = false
@@ -125,8 +205,8 @@ final class LoopbackKafkaBroker(
               o.writeInt(1); writeString(o, topic)
               o.writeInt(1) // partitions
               o.writeInt(0); o.writeShort(0) // index, error
-              o.writeLong(total) // high_watermark
-              o.writeLong(total) // last_stable_offset
+              o.writeLong(hwm) // high_watermark
+              o.writeLong(hwm) // last_stable_offset
               o.writeInt(0) // aborted txns
               o.writeInt(recordSet.length); o.write(recordSet)
             })
