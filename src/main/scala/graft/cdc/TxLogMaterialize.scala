@@ -145,8 +145,9 @@ object TxLogMaterialize {
         s"$touched — merge/write drift")
     val adds = written.map { w =>
       val dir = s"$parent/$w"
-      TxLog.AddFile(dir, TxLog.statsOf(
-        s.read.schema(stateSchema).parquet(s"$table/$dir"), Seq("pk")))
+      val (stats, nRows) = TxLog.statsAndRows(
+        s.read.schema(stateSchema).parquet(s"$table/$dir"), Seq("pk"))
+      TxLog.AddFile(dir, stats, rows = Some(nRows))
     }
     val v = st.head.fold(0L)(_ + 1L)
     require(TxLog.tryCommitActions(s, table, v, adds, oldDirs,

@@ -1126,6 +1126,39 @@ object SourceQueries {
         .orderBy("leg", "source")
     }),
 
+    // METADATA COUNT (r14 — aggregate pushdown): add actions record
+    // their dir's ROW COUNT (the same write-side aggregate that
+    // collects stats), so an unfiltered `SELECT count(*)` is answered
+    // from the LOG — sum of the live adds' counts minus the
+    // deletion-vector rows, zero data files opened (TxLog.countRows;
+    // the SQL route pushes CountStar through
+    // SupportsPushDownAggregates with complete pushdown — telemetry-
+    // asserted in TxLogSqlSpec, with the filtered-count and legacy-add
+    // fallbacks). Gate: the merge-on-read table's HEAD counted through
+    // the SQL front door (metadata-served, asserted) and its v1
+    // snapshot counted via the Scala verb, hashed against the
+    // relational replay — a drifted row count (vector over/under-
+    // subtraction, a lost delta) flips the gate.
+    "src_txlog_count" -> ((s, dir) => {
+      import graft.sources.TxLog
+      val table = dvDocTable(s, dir)
+      val root = table.stripSuffix("/table")
+      val cat = s"graftcnt_${math.abs(root.hashCode).toString}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.TxLogCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      graft.sources.TxLogScanTelemetry.lastCountStar = None
+      val headN = s.sql(s"SELECT count(*) AS n FROM $cat.`table`")
+        .head().getLong(0)
+      require(graft.sources.TxLogScanTelemetry.lastCountStar.isDefined,
+        "the head count must be METADATA-served (CountStar pushdown)")
+      val v1N = TxLog.countRows(s, table, Some(1L)).getOrElse(
+        throw new IllegalStateException(
+          "v1's adds must all record row counts"))
+      import s.implicits._
+      Seq(("head", headN), ("v1", v1N)).toDF("leg", "n").orderBy("leg")
+    }),
+
     // SQL FRONT DOOR (r14 — VERDICT item 1): the DSv2
     // TableProvider/TableCatalog over the table format — the same
     // tables the Scala verbs built become `spark.sql` citizens:
@@ -1704,6 +1737,31 @@ object SourceQueries {
         |                coalesce(n_chars::VARCHAR, chr(1))), 1, 12))::BIGINT
         |                % 1000000007) AS BIGINT) AS checksum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // the counts of the same two merge replays: head after both
+    // merges (metadata-served through the SQL front door), v1 after
+    // merge 1 (the Scala countRows verb)
+    "src_txlog_count" ->
+      """WITH m AS (SELECT max(doc_id) + 1 AS off FROM documents),
+        |t1 AS (
+        |  SELECT d.doc_id, d.lang FROM documents d
+        |  WHERE NOT (d.doc_id % 4 = 1 AND
+        |             d.lang IS NOT DISTINCT FROM 'de')
+        |),
+        |t2 AS (
+        |  SELECT doc_id FROM t1
+        |  WHERE NOT (doc_id % 97 = 0 AND
+        |             lang IS NOT DISTINCT FROM 'fr')
+        |  UNION ALL
+        |  SELECT d.doc_id + m.off FROM documents d, m
+        |  WHERE d.doc_id % 89 = 0
+        |    AND NOT (d.lang IS NOT DISTINCT FROM 'fr')
+        |)
+        |SELECT leg, CAST(n AS BIGINT) AS n FROM (
+        |  SELECT 'head' AS leg, count(*) AS n FROM t2
+        |  UNION ALL
+        |  SELECT 'v1' AS leg, count(*) AS n FROM t1)
+        |ORDER BY leg""".stripMargin,
 
     // both merges replayed relationally over the ORIGINAL parquet —
     // head after (copy-on-write merge 1) + (merge-on-read merge 2),

@@ -97,11 +97,19 @@ object TxLog {
     * OPTIMIZE folds DVs away by rewriting through the DV-aware scan.
     * Stats envelopes are NOT tightened by a DV (they may now cover
     * deleted rows) — that is the conservative KEEP direction, so
-    * pruning stays correct. */
+    * pruning stays correct.
+    *
+    * `rows` (r14): the dir's row count, recorded by the same write-side
+    * aggregate that collects stats — what makes `SELECT count(*)` a
+    * METADATA answer ([[countRows]]): sum the live adds' counts, minus
+    * the deletion-vector rows, zero data files opened. Absent on
+    * legacy/hand-built adds → counting falls back to the scan
+    * (conservative, never wrong). */
   final case class AddFile(name: String,
       stats: Map[String, (String, String)] = Map.empty,
       part: Map[String, String] = Map.empty,
-      dv: Option[String] = None)
+      dv: Option[String] = None,
+      rows: Option[Long] = None)
 
   /** A file-pruning predicate the caller's query implies — the
     * data-skipping contract. Pruning drops a file iff the bound is
@@ -179,6 +187,7 @@ object TxLog {
   private val NameRe = """(\d{10})\.json""".r
   private val AddRe =
     ("""\{"add":"((?:[^"\\]|\\.)*)"""" +
+      """(?:,"rows":(\d+))?""" +
       """(?:,"dv":"((?:[^"\\]|\\.)*)")?""" +
       """(?:,"part":\{([^{}]*)\})?""" +
       """(?:,"stats":\{(.*)\})?\}""").r
@@ -268,6 +277,7 @@ object TxLog {
   /** One add action rendered — shared by commits and checkpoints so the
     * grammar cannot drift. */
   private def addLine(a: AddFile): String = {
+    val rows = a.rows.map(n => s""","rows":$n""").getOrElse("")
     val dv = a.dv.map(d => s""","dv":"${esc(d)}"""").getOrElse("")
     val part =
       if (a.part.isEmpty) ""
@@ -279,7 +289,7 @@ object TxLog {
       else a.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
         s""""${esc(c)}":["${esc(lo)}","${esc(hi)}"]"""
       }.mkString(""","stats":{""", ",", "}")
-    s"""{"add":"${esc(a.name)}"$dv$part$stats}"""
+    s"""{"add":"${esc(a.name)}"$rows$dv$part$stats}"""
   }
 
   /** Render + tmp-write + atomic publish — ONE definition serving commits
@@ -539,9 +549,11 @@ object TxLog {
             "foreign producer shares the naming; refusing to overwrite " +
             "live data")
         batch.write.mode("overwrite").parquet(s"$table/$name")
-        val stats = statsOf(s.read.parquet(s"$table/$name"), statsCols)
+        val (stats, nRows) =
+          statsAndRows(s.read.parquet(s"$table/$name"), statsCols)
         val v = st.head.fold(0L)(_ + 1L)
-        require(tryCommitActions(s, table, v, Seq(AddFile(name, stats)), Nil,
+        require(tryCommitActions(s, table, v,
+            Seq(AddFile(name, stats, rows = Some(nRows))), Nil,
             txns = Seq(appId -> batchId), cdf = Some("@adds")),
           s"$table: version $v was committed by another writer while this " +
             "batch wrote its data — two writers share one sink table; " +
@@ -607,7 +619,7 @@ object TxLog {
             "nothing was published, the table is unchanged")
       }
     }
-    val stats = statsOf(staged, statsCols)
+    val (stats, nRows) = statsAndRows(staged, statsCols)
     val claimed = {
       val src = new Path(table, stageName)
       val dst = new Path(table, name)
@@ -644,7 +656,8 @@ object TxLog {
           "retrying its commit — a concurrent publish of the same name " +
           "won; pick a fresh name (nothing was committed by this call)")
       val v = st.head.fold(0L)(_ + 1L)
-      if (tryCommitActions(s, table, v, Seq(AddFile(name, stats)), Nil,
+      if (tryCommitActions(s, table, v,
+          Seq(AddFile(name, stats, rows = Some(nRows))), Nil,
           cdf = Some("@adds")))
         return v
       attempts += 1
@@ -677,6 +690,45 @@ object TxLog {
       }.toMap
     }
 
+  /** [[statsOf]] plus the dir's ROW COUNT — the same single aggregate
+    * pass (footer-cheap on parquet), so recording counts costs nothing
+    * extra at write time. */
+  def statsAndRows(df: DataFrame,
+      cols: Seq[String]): (Map[String, (String, String)], Long) = {
+    import org.apache.spark.sql.functions.{count, lit, max, min, col}
+    val aggs = count(lit(1)) +:
+      cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val stats = cols.zipWithIndex.flatMap { case (c, i) =>
+      if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
+      else Some(c -> (r.get(1 + 2 * i).toString, r.get(2 + 2 * i).toString))
+    }.toMap
+    (stats, r.getLong(0))
+  }
+
+  /** `SELECT count(*)` from METADATA (r14): the sum of the live adds'
+    * recorded row counts minus the deletion-vector rows (each distinct
+    * vector file counted once — a bucket's adds share their superseding
+    * vector, and a live-referenced vector only ever names rows of
+    * live-add files, the bucket-granular merge invariant). None when
+    * any live add predates row recording — the caller falls back to a
+    * scan count (never wrong, just not free). Cost: O(live adds) driver
+    * metadata plus one footer-count job over the vector files; zero
+    * data files opened. */
+  def countRows(s: SparkSession, table: String,
+      asOf: Option[Long] = None): Option[Long] = {
+    val live = liveAdds(s, table, asOf)
+    if (live.isEmpty) Some(0L)
+    else if (live.exists(_.rows.isEmpty)) None
+    else {
+      val dvPaths = live.flatMap(_.dv).distinct
+      val deleted =
+        if (dvPaths.isEmpty) 0L
+        else s.read.parquet(dvPaths.map(p => s"$table/$p"): _*).count()
+      Some(live.flatMap(_.rows).sum - deleted)
+    }
+  }
+
   /** Highest committed version, None for a table with no log yet. */
   def currentVersion(s: SparkSession, table: String): Option[Long] = {
     val ld = new Path(table, LogDirName)
@@ -705,7 +757,7 @@ object TxLog {
       case SchemaRe(d) => schemaDdl = Some(unesc(d))
       case CdfRe(d) => cdf = Some(unesc(d))
       case TxnRe(app, bv) => txns += (unesc(app) -> bv.toLong)
-      case AddRe(a, dvBody, partBody, statsBody) =>
+      case AddRe(a, rowsBody, dvBody, partBody, statsBody) =>
         val part = Option(partBody).filter(_.nonEmpty).map { body =>
           val ms = PartEntryRe.findAllMatchIn(body).toSeq
           require(ms.map(_.matched).mkString(",") == body,
@@ -720,7 +772,8 @@ object TxLog {
             (unesc(m.group(2)), unesc(m.group(3)))).toMap
         }.getOrElse(Map.empty[String, (String, String)])
         adds += AddFile(unesc(a), stats, part,
-          Option(dvBody).filter(_.nonEmpty).map(unesc))
+          Option(dvBody).filter(_.nonEmpty).map(unesc),
+          Option(rowsBody).map(_.toLong))
       case RemoveRe(r) => removes += unesc(r)
       case other => throw new IllegalArgumentException(
         s"$table v$v: unrecognized action $other")
@@ -1128,8 +1181,10 @@ object TxLog {
       .repartition(parts)
       .write.mode("overwrite").parquet(s"$table/$name")
     val statsCols = live.flatMap(_.stats.keys).distinct
-    val stats = statsOf(s.read.parquet(s"$table/$name"), statsCols)
-    require(tryCommitActions(s, table, newV, Seq(AddFile(name, stats)),
+    val (stats, nRows) =
+      statsAndRows(s.read.parquet(s"$table/$name"), statsCols)
+    require(tryCommitActions(s, table, newV,
+        Seq(AddFile(name, stats, rows = Some(nRows))),
         live.map(_.name), cdf = Some("@none")),
       s"$table: a writer committed v$newV while optimize was packing — " +
         "nothing was changed; re-run optimize from the new head")
@@ -1190,8 +1245,9 @@ object TxLog {
     val statsCols = (clusterCols ++ priorStats).distinct
     val adds = written.map { w =>
       val dir = s"$parent/$w"
-      AddFile(dir, statsOf(s.read.schema(schema).parquet(s"$table/$dir"),
-        statsCols))
+      val (st, nRows) = statsAndRows(
+        s.read.schema(schema).parquet(s"$table/$dir"), statsCols)
+      AddFile(dir, st, rows = Some(nRows))
     }
     require(tryCommitActions(s, table, newV, adds, live.map(_.name),
         cdf = Some("@none")),

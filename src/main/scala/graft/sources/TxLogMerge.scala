@@ -286,10 +286,12 @@ object TxLogMerge {
         s"${expected.toSeq.sorted} — merge/write drift")
     val adds = written.map { w =>
       val dir = s"$parent/$w"
-      TxLog.AddFile(dir,
-        TxLog.statsOf(s.read.schema(schema).parquet(s"$table/$dir"), keyCols),
+      val (st, nRows) = TxLog.statsAndRows(
+        s.read.schema(schema).parquet(s"$table/$dir"), keyCols)
+      TxLog.AddFile(dir, st,
         part = Map(
-          "__bucket" -> w.stripPrefix("__bucket="), "__nb" -> nb.toString))
+          "__bucket" -> w.stripPrefix("__bucket="), "__nb" -> nb.toString),
+        rows = Some(nRows))
     }
     // DV buckets: remove + re-add each live dir with its superseding
     // vector — same name, same stats (envelopes may now cover deleted

@@ -143,6 +143,8 @@ class TxLogTable(val table: String, tableSchema: StructType,
   * through the V1 bridge. Driver-side, one tuple — not a hot path. */
 object TxLogScanTelemetry {
   @volatile var lastPlanned: Option[(Int, Int)] = None
+  /** Set when a COUNT(*) was answered from metadata (no scan planned). */
+  @volatile var lastCountStar: Option[Long] = None
 }
 
 /** Translates the query's pushed conjuncts into [[TxLog.Skip]] bounds.
@@ -151,11 +153,45 @@ object TxLogScanTelemetry {
   * drops whole files the filter provably rejects — never rows. */
 class TxLogScanBuilder(s: SparkSession, table: String, full: StructType,
     asOf: Option[Long]) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var skips: Seq[TxLog.Skip] = Nil
+  private var pushedCount: Option[Long] = None
+
+  // METADATA COUNT (r14): an unfiltered `SELECT count(*)` is answered
+  // from the log — the sum of the live adds' recorded row counts minus
+  // the deletion-vector rows (TxLog.countRows), zero data files opened.
+  // Complete pushdown, so Spark uses the one-row scan result directly.
+  // Only when NO filter reached the scan (any pushed skip means rows
+  // must be checked) and every live add records its count (legacy adds
+  // fall back to the ordinary scan, never a wrong answer).
+  private lazy val metaCount: Option[Long] =
+    try TxLog.countRows(s, table, asOf)
+    catch { case _: IllegalArgumentException => None } // e.g. empty table
+
+  private def countStarOnly(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[
+        org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    countStarOnly(agg) && pushed.isEmpty && skips.isEmpty &&
+      metaCount.isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (!supportCompletePushDown(agg)) false
+    else { pushedCount = metaCount; true }
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -241,8 +277,34 @@ class TxLogScanBuilder(s: SparkSession, table: String, full: StructType,
       case _ => None
     }
 
-  override def build(): Scan =
-    new TxLogScan(s, table, full, required, skips, asOf)
+  override def build(): Scan = pushedCount match {
+    case Some(n) => new TxLogCountScan(table, n)
+    case None => new TxLogScan(s, table, full, required, skips, asOf)
+  }
+}
+
+/** The metadata-answered COUNT(*): one row, zero data files opened. */
+class TxLogCountScan(table: String, n: Long) extends V1Scan {
+  private val schema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("count_star",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def readSchema(): StructType = schema
+
+  override def description(): String =
+    s"txlog:$table metadataCount=$n"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      ctx: SQLContext): T = {
+    TxLogScanTelemetry.lastCountStar = Some(n)
+    val rel = new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = readSchema()
+      override def buildScan(): RDD[Row] =
+        ctx.sparkSession.sparkContext.parallelize(Seq(Row(n)), 1)
+    }
+    rel.asInstanceOf[T]
+  }
 }
 
 /** The planned scan: file pruning happens HERE, at plan time — the live

@@ -87,6 +87,54 @@ class TxLogSqlSpec extends AnyFunSuite with SparkTestBase {
     graft.operators.Checkpointing.deleteRecursively(td)
   }
 
+  test("metadata COUNT(*): an unfiltered count is answered from the " +
+      "log (rows minus deletion-vector rows, zero data files opened); " +
+      "filters and legacy adds fall back to the scan — never wrong") {
+    import graft.sources.TxLogMerge
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append((0L until 300L).map(x => (x, x)).toDF("x", "y"), t, "a")
+    TxLog.append((300L until 400L).map(x => (x, x)).toDF("x", "y"), t, "b")
+    assert(TxLog.countRows(spark, t).contains(400L))
+    // a DV merge: delete 3, update 2 — counts subtract the vector
+    assert(TxLogMerge.merge(spark, t, xySchema,
+      Seq((5L, 0L), (6L, 0L), (7L, 0L), (8L, 88L), (9L, 99L))
+        .toDF("x", "y"), Seq("x"),
+      updateSet = Map("y" -> col(s"${TxLogMerge.Src}y")),
+      deleteWhen = Some(col("x") <= 7L),
+      nBuckets = 2, dvThreshold = 0.9) > 0L)
+    assert(TxLog.countRows(spark, t).contains(397L),
+      "sum(rows) - vector rows must equal the visible count")
+    assert(TxLog.read(spark, t, xySchema).count() == 397L)
+    // the SQL front door answers from metadata (schema from a commit)
+    assert(TxLog.tryCommitActions(spark, t,
+      TxLog.currentVersion(spark, t).get + 1, Nil, Nil,
+      schemaDdl = Some(xySchema.toDDL), cdf = Some("@none")))
+    graft.sources.TxLogScanTelemetry.lastCountStar = None
+    assert(spark.read.format("txlog").load(t)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1))).head().getLong(0) == 397L)
+    assert(graft.sources.TxLogScanTelemetry.lastCountStar.contains(397L),
+      "the unfiltered COUNT(*) must be metadata-served")
+    // a WHERE blocks the pushdown (rows must be checked) — still exact
+    graft.sources.TxLogScanTelemetry.lastCountStar = None
+    assert(spark.read.format("txlog").load(t)
+      .filter(col("x") < 100L).count() == 97L)
+    assert(graft.sources.TxLogScanTelemetry.lastCountStar.isEmpty,
+      "a filtered count must run the scan, not the metadata answer")
+    // a legacy add (no recorded rows) disables the metadata path
+    val t2 = freshTable()
+    Seq((1L, 1L)).toDF("x", "y").coalesce(1).write.parquet(s"$t2/legacy")
+    assert(TxLog.tryCommitActions(spark, t2, 0L,
+      Seq(TxLog.AddFile("legacy")), Nil,
+      schemaDdl = Some(xySchema.toDDL)))
+    assert(TxLog.countRows(spark, t2).isEmpty)
+    graft.sources.TxLogScanTelemetry.lastCountStar = None
+    assert(spark.read.format("txlog").load(t2).count() == 1L)
+    assert(graft.sources.TxLogScanTelemetry.lastCountStar.isEmpty,
+      "legacy adds must fall back to the scan count")
+  }
+
   test("versionAsOf option and SQL VERSION AS OF time-travel through " +
       "the catalog; CREATE TABLE records the schema; INSERT INTO " +
       "routes to the append verb") {
