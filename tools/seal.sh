@@ -21,15 +21,18 @@ echo "=== [2/5] sbt test ==="
 sbt -batch test > /tmp/seal_test.log 2>&1 && echo "sbt test: PASS" || { echo "sbt test: FAIL"; tail -30 /tmp/seal_test.log; exit 1; }
 grep -E "Tests: " /tmp/seal_test.log | tail -1
 
-echo "=== [3/5] waiting for idle (load1 < 1.0) ==="
-for i in $(seq 1 60); do
-  load=$(cut -d' ' -f1 /proc/loadavg)
-  ok=$(python3 -c "print(1 if $load < 1.0 else 0)")
+echo "=== [3/5] waiting for idle (load1 < 0.6 AND load5 < 1.5) ==="
+# BOTH averages gate (r14, measured): a load1-only gate sealed 240.4 s,
+# a residual-5-min-load sample read 260.8 s, the dual gate read 215.6 s
+# on identical plans — the 1-min average alone under-gates.
+for i in $(seq 1 90); do
+  l1=$(cut -d' ' -f1 /proc/loadavg); l5=$(cut -d' ' -f2 /proc/loadavg)
+  ok=$(python3 -c "print(1 if $l1 < 0.6 and $l5 < 1.5 else 0)")
   [ "$ok" = "1" ] && break
-  echo "  load1=$load — waiting (${i}0s)"
+  echo "  load=$l1/$l5 — waiting (${i}0s)"
   sleep 10
 done
-echo "  load1=$(cut -d' ' -f1 /proc/loadavg) — sealing"
+echo "  load=$(cut -d' ' -f1-2 /proc/loadavg) — sealing"
 
 echo "=== [4/5] solo 3-pass Bench sf0.1 (SEAL) ==="
 SPARK_GRAFT_SEAL=1 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
