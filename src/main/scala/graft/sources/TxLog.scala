@@ -630,7 +630,24 @@ object TxLog {
             java.nio.file.Paths.get(dst.toUri.getPath))
           true
         } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      else !f.exists(dst) && f.rename(src, dst)
+      else
+        // non-local FS (r15, advised): `!exists(dst) && rename` was a
+        // check-then-act TOCTOU — on HDFS, rename INTO an existing
+        // directory nests src under dst and returns true, so two
+        // same-name publishers could both believe they claimed.
+        // FileContext.rename with Options.Rename.NONE is the atomic
+        // no-overwrite primitive (NameNode-side dst-must-not-exist).
+        try {
+          org.apache.hadoop.fs.FileContext.getFileContext(
+            dst.toUri, s.sparkContext.hadoopConfiguration)
+            .rename(src, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException
+              if e.getMessage != null &&
+                e.getMessage.contains("already exists") => false
+        }
     }
     if (!claimed) {
       f.delete(new Path(table, stageName), true)
@@ -987,11 +1004,17 @@ object TxLog {
     else if (dvAdds.isEmpty) scan(plain.map(_.name), withMeta)
     else {
       val dvPaths = dvAdds.flatMap(_.dv).distinct
+      // the vector side rides PREFIXED aliases (r15, advised): a user
+      // table whose schema itself contains a `leaf` or `pos` column made
+      // the unqualified join condition ambiguous (AnalysisException),
+      // breaking every read of a DV-carrying table
       val dv = s.read.parquet(dvPaths.map(p => s"$table/$p"): _*)
-        .select(col("leaf"), col("pos"))
+        .select(col("leaf").as(s"${DvLeaf}_key"),
+          col("pos").as(s"${DvPos}_key"))
       val masked = scan(dvAdds.map(_.name), meta = true)
         .join(broadcast(dv),
-          col(DvLeaf) === col("leaf") && col(DvPos) === col("pos"),
+          col(DvLeaf) === col(s"${DvLeaf}_key") &&
+            col(DvPos) === col(s"${DvPos}_key"),
           "left_anti")
       val maskedOut = if (withMeta) masked
         else masked.drop(DvLeaf, DvPos)
@@ -1109,13 +1132,28 @@ object TxLog {
     // DELETION VECTORS (r14): a DV superseded by a later merge (its add
     // now points at a newer vector) or folded by OPTIMIZE is garbage —
     // reclaim vector dirs that are out of the retention window AND not
-    // referenced by the head's live adds. A time-travel read older than
-    // the horizon that needed a reclaimed vector fails loudly on the
-    // missing path (the data-vacuum contract), never reads silently
-    // un-deleted rows.
+    // referenced by the live add-set at ANY retained version (r15,
+    // advised: head-only reference collection deleted vectors that a
+    // time-travel snapshot at version >= horizon — which data vacuum
+    // explicitly preserves — still needed, failing those in-window
+    // reads on a missing DV path; this mirrors the data-vacuum
+    // keep-at-any-retained-version walk, one log pass). A time-travel
+    // read OLDER than the horizon that needed a reclaimed vector fails
+    // loudly on the missing path (the data-vacuum contract), never
+    // reads silently un-deleted rows.
     val dvdir = new Path(table, "_dv")
     if (f.exists(dvdir)) {
-      val referenced = liveAdds(s, table).flatMap(_.dv).toSet
+      val referenced = {
+        val live =
+          scala.collection.mutable.LinkedHashMap.empty[String, Option[String]]
+        val refs = scala.collection.mutable.HashSet.empty[String]
+        commits(s, table).foreach { e =>
+          e.removes.foreach(live.remove)
+          e.adds.foreach(a => live(a.name) = a.dv)
+          if (e.version >= horizon) refs ++= live.values.flatten
+        }
+        refs.toSet
+      }
       f.listStatus(dvdir).map(_.getPath.getName).sorted.foreach { vd =>
         val v = vd.stripPrefix("v").toLongOption
         if (v.exists(_ <= horizon)) {

@@ -206,18 +206,22 @@ class TxLogScanBuilder(s: SparkSession, table: String, full: StructType,
   override def pushedFilters(): Array[Filter] = pushed
 
   /** One filter → zero or more conjunctive skips. Unsupported shapes
-    * (Or / Not / null-matching / one-sided string bounds) translate to
-    * NOTHING — the file is kept and the residual filter decides. */
+    * (Or / Not / null-matching / one-sided string bounds / types with no
+    * stable ordering or rendering) translate to NOTHING — the file is
+    * kept and the residual filter decides. */
   private def toSkips(f: Filter): Seq[TxLog.Skip] = f match {
     case And(l, r) => toSkips(l) ++ toSkips(r)
     case EqualTo(c, v) if v != null => eq(c, v)
     case EqualNullSafe(c, v) if v != null => eq(c, v)
     case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
-      // membership prunes partitions directly; the stats envelope gets
-      // the hull [min, max] of the set
-      val hull = (range(c, Some(vs.min(anyOrd(c))), Some(vs.max(anyOrd(c))))
-        ).toSeq
-      TxLog.SkipPartition(c, vs.map(render).toSet) +: hull
+      // membership prunes partitions directly (canonical-render types
+      // only); the stats envelope gets the hull [min, max] of the set —
+      // only for types with a well-defined ordering here (r15, advised:
+      // the old BigDecimal-of-toString fallback THREW at plan time for
+      // date/timestamp/boolean IN-lists)
+      val hull = anyOrd(c).toSeq.flatMap(ord =>
+        range(c, Some(vs.min(ord)), Some(vs.max(ord))))
+      partitionSkip(c, vs.toSet) ++ hull
     case GreaterThan(c, v) => range(c, Some(v), None).toSeq
     case GreaterThanOrEqual(c, v) => range(c, Some(v), None).toSeq
     case LessThan(c, v) => range(c, None, Some(v)).toSeq
@@ -226,22 +230,45 @@ class TxLogScanBuilder(s: SparkSession, table: String, full: StructType,
   }
 
   private def eq(c: String, v: Any): Seq[TxLog.Skip] =
-    TxLog.SkipPartition(c, Set(render(v))) +: range(c, Some(v), Some(v)).toSeq
+    partitionSkip(c, Set(v)) ++ range(c, Some(v), Some(v)).toSeq
 
-  /** Partition values are recorded as plain strings; filters render the
-    * same way the writers did (Long.toString / raw string / BigDecimal
-    * and Date toString). */
-  private def render(v: Any): String = v.toString
-
-  private def anyOrd(c: String): Ordering[Any] =
+  /** Partition values are recorded as plain strings; a SkipPartition is
+    * emitted ONLY for types whose filter-side rendering provably equals
+    * the writer's recorded rendering — raw strings and integral
+    * Long.toString. Fractional/date/boolean renderings can drift (a
+    * double recorded "1.0" vs a pushed long 1 → "1" — r15, advised:
+    * that mismatch silently pruned files whose rows match), so those
+    * types rely on the typed stats envelope plus the residual filter. */
+  private def partitionSkip(c: String, vs: Set[Any]): Seq[TxLog.Skip] =
     full.fields.find(_.name == c).map(_.dataType) match {
       case Some(StringType) =>
-        Ordering.by[Any, String](_.asInstanceOf[String])(
-          Ordering.fromLessThan(TxLog.utf8Lt))
+        Seq(TxLog.SkipPartition(c, vs.map(_.asInstanceOf[String])))
       case Some(LongType | IntegerType | ShortType) =>
-        Ordering.by[Any, Long](x => x.asInstanceOf[Number].longValue())
-      case _ => Ordering.by[Any, java.math.BigDecimal](x =>
-        new java.math.BigDecimal(x.toString))
+        Seq(TxLog.SkipPartition(c,
+          vs.map(_.asInstanceOf[Number].longValue().toString)))
+      case _ => Nil
+    }
+
+  /** The ordering an IN-list hull is computed under — None for types
+    * the stats envelope can't bound anyway (boolean, timestamp, …):
+    * emitting no hull keeps the files, never a plan-time throw. */
+  private def anyOrd(c: String): Option[Ordering[Any]] =
+    full.fields.find(_.name == c).map(_.dataType) match {
+      case Some(StringType) =>
+        Some(Ordering.by[Any, String](_.asInstanceOf[String])(
+          Ordering.fromLessThan(TxLog.utf8Lt)))
+      case Some(LongType | IntegerType | ShortType) =>
+        Some(Ordering.by[Any, Long](x => x.asInstanceOf[Number].longValue()))
+      case Some(_: DecimalType | DoubleType | FloatType) =>
+        Some(Ordering.by[Any, java.math.BigDecimal](x =>
+          new java.math.BigDecimal(x.toString)))
+      case Some(DateType) =>
+        Some(Ordering.by[Any, java.time.LocalDate] {
+          case ld: java.time.LocalDate => ld
+          case sd: java.sql.Date => sd.toLocalDate
+          case other => java.time.LocalDate.parse(other.toString)
+        })
+      case _ => None
     }
 
   /** A (possibly one-sided) bound on `c`, typed by the table schema.

@@ -131,8 +131,12 @@ class TxLogDvSpec extends AnyFunSuite with SparkTestBase {
     assert(state(t) == before, "folding must not change contents")
     assert(TxLog.liveAdds(spark, t).forall(_.dv.isEmpty),
       "the packed dir carries no vectors")
-    // the orphaned vector dir reclaims once out of the retention window
-    val deleted = TxLog.vacuumDerived(spark, t, retainChangeVersions = 1)
+    // the orphaned vector dir reclaims once out of the retention
+    // window — retention 0 puts the horizon AT the head (v3, folded,
+    // no vector references); at retention 1 the v2 snapshot would be
+    // RETAINED and its vector must survive for in-window time travel
+    // (r15, advised — pinned in Round15OpsSpec)
+    val deleted = TxLog.vacuumDerived(spark, t, retainChangeVersions = 0)
     assert(deleted.contains("_dv/v0000000002"),
       s"the superseded vector must be reclaimed (got $deleted)")
     assert(state(t) == before, "reclaim must not touch the head read")
