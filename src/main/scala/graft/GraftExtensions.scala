@@ -31,5 +31,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // interception must win inside the same fixed point
     ext.injectResolutionRule(s =>
       new graft.sources.TxLogMergeSqlRule(s))
+    // SQL UPDATE / DELETE over TxLog tables (r15): the same interception
+    // shape, compiling both statements onto the gated merge verb (a
+    // DELETE is a merge of the filtered target keys with a delete
+    // clause; an UPDATE the same with the SET list) — see
+    // sources/TxLogDmlSql.scala
+    ext.injectResolutionRule(s =>
+      new graft.sources.TxLogDmlSqlRule(s))
   }
 }

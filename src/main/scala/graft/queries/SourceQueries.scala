@@ -215,6 +215,63 @@ object SourceQueries {
     }
   }
 
+  /** The SQL-DML'd table for src_txlog_dml_sql: a DELETE statement
+    * (bucketizing, keys from the session conf) then a sparse UPDATE
+    * statement (keys recovered from the layout's `__keys` record,
+    * merge-on-read + change feed via the knob confs). */
+  private val txlogDmlMemo = new graft.operators.SessionMemo[String]
+
+  private def dmlDocTable(s: SparkSession, dir: String): String = {
+    import graft.sources.TxLog
+    txlogDmlMemo.get(s, dir) {
+      val tmp = graft.streaming.StreamGate
+        .sessionTempDir("graft-txlog-dmlsql") { td =>
+          val docs = Tables(s, dir, "documents")
+            .select("doc_id", "lang", "source", "n_chars")
+          val tbl = s"$td/t"
+          docs.write.parquet(s"$tbl/init")
+          require(TxLog.tryCommitActions(s, tbl, 0L,
+            Seq(TxLog.AddFile("init")), Nil,
+            schemaDdl = Some(mergeSchema.toDDL), cdf = Some("@adds")),
+            "v0 conflicted on a fresh table")
+          val cat = s"graftdml_${math.abs(td.hashCode).toString}"
+          s.conf.set(s"spark.sql.catalog.$cat",
+            classOf[graft.sources.TxLogCatalog].getName)
+          s.conf.set(s"spark.sql.catalog.$cat.root", td)
+          // v1: DELETE — German docs with ≡0-mod-3 keys; the FIRST
+          // statement needs the identity conf (fresh table, no layout)
+          s.conf.set("graft.txlog.dml.keys", "doc_id")
+          s.conf.set("graft.txlog.merge.nBuckets", "8")
+          try s.sql(s"DELETE FROM $cat.t WHERE doc_id % 3 = 0 " +
+            "AND lang <=> 'de'")
+          finally {
+            s.conf.unset("graft.txlog.dml.keys")
+            s.conf.unset("graft.txlog.merge.nBuckets")
+          }
+          // v2: sparse UPDATE — keys recovered from the layout record
+          // alone; the DV-threshold and change-feed knobs must ride SQL
+          // DML exactly as they ride the Scala verb
+          s.conf.set("graft.txlog.merge.dvThreshold", "0.9")
+          s.conf.set("graft.txlog.merge.changeFeed", "true")
+          try s.sql(
+            s"UPDATE $cat.t SET n_chars = n_chars * 2 + 1 " +
+              "WHERE doc_id % 97 = 0")
+          finally {
+            s.conf.unset("graft.txlog.merge.dvThreshold")
+            s.conf.unset("graft.txlog.merge.changeFeed")
+          }
+          require(TxLog.currentVersion(s, tbl).contains(2L),
+            "both DML statements must have committed")
+          require(TxLog.liveAdds(s, tbl).exists(_.dv.isDefined),
+            "the sparse UPDATE must take the deletion-vector path")
+          require(TxLog.commitAt(s, tbl, 2L).cdf.exists(c =>
+            c != "@adds" && c != "@none"),
+            "the UPDATE must record its change feed")
+        }
+      s"$tmp/t"
+    }
+  }
+
   /** The mixed-history table for src_txlog_cdf_unified (append → merge
     * → append → OPTIMIZE → DV merge, every commit feed-marked) and the
     * collected follower emission over it. */
@@ -1094,6 +1151,34 @@ object SourceQueries {
         .orderBy("source")
     }),
 
+    // SQL UPDATE / DELETE (r15 — VERDICT item 1, the front door's DML
+    // statements): resolved DeleteFromTable / UpdateTable plans over a
+    // TxLog target are intercepted at resolution and compiled onto the
+    // gated TxLogMerge verb — a DELETE is a merge of the filtered
+    // target keys with a delete clause, an UPDATE the same with the SET
+    // list — so SQL DML and the Scala verb cannot drift, and both
+    // inherit deletion vectors + the change feed via the knob confs
+    // (asserted in the builder: the sparse UPDATE must vector, must
+    // record a feed). Row identity comes from the bucket layout's
+    // __keys record (written by every merge since r15; the first
+    // statement takes graft.txlog.dml.keys). Gate: DELETE then UPDATE
+    // issued as pure SQL, head AND the v1 snapshot hashed against the
+    // relational replay over the ORIGINAL parquet.
+    "src_txlog_dml_sql" -> ((s, dir) => {
+      import graft.sources.TxLog
+      val table = dmlDocTable(s, dir)
+      def aggAt(leg: String, asOf: Option[Long]) =
+        TxLog.read(s, table, mergeSchema, asOf)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+            sum(rowCheck(concat_ws("|", f(col("doc_id")), f(col("lang")),
+              f(col("n_chars"))))).as("checksum"))
+          .select(lit(leg).as("leg"), col("source"), col("n_docs"),
+            col("sum_chars"), col("checksum"))
+      aggAt("head", None).unionAll(aggAt("v1", Some(1L)))
+        .orderBy("leg", "source")
+    }),
+
     // DELETION VECTORS / MERGE-ON-READ (r14 — VERDICT item 2): a merge
     // whose per-bucket touched-row fraction is at-or-below dvThreshold
     // writes a DELETION VECTOR (parquet rows naming superseded
@@ -1762,6 +1847,36 @@ object SourceQueries {
         |  UNION ALL
         |  SELECT 'v1' AS leg, count(*) AS n FROM t1)
         |ORDER BY leg""".stripMargin,
+
+    // both DML statements replayed relationally over the ORIGINAL
+    // parquet — head after DELETE + sparse UPDATE, and the v1 snapshot
+    // after the DELETE alone: SQL DML must be indistinguishable from
+    // the merge verb it compiles onto
+    "src_txlog_dml_sql" ->
+      """WITH t1 AS (
+        |  SELECT doc_id, lang, source, n_chars FROM documents d
+        |  WHERE NOT (d.doc_id % 3 = 0 AND
+        |             d.lang IS NOT DISTINCT FROM 'de')
+        |),
+        |t2 AS (
+        |  SELECT doc_id, lang, source,
+        |         CASE WHEN doc_id % 97 = 0 THEN n_chars * 2 + 1
+        |              ELSE n_chars END AS n_chars
+        |  FROM t1
+        |),
+        |legs AS (
+        |  SELECT 'head' AS leg, * FROM t2
+        |  UNION ALL
+        |  SELECT 'v1' AS leg, * FROM t1
+        |)
+        |SELECT leg, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(('0x' || substr(md5(
+        |                coalesce(doc_id::VARCHAR, chr(1)) || '|' ||
+        |                coalesce(lang, chr(1)) || '|' ||
+        |                coalesce(n_chars::VARCHAR, chr(1))), 1, 12))::BIGINT
+        |                % 1000000007) AS BIGINT) AS checksum
+        |FROM legs GROUP BY leg, source ORDER BY leg, source""".stripMargin,
 
     // both merges replayed relationally over the ORIGINAL parquet —
     // head after (copy-on-write merge 1) + (merge-on-read merge 2),

@@ -108,6 +108,24 @@ object TxLogMerge {
             "layouts; re-bucketize by merging on a fresh table")
         nbs.head.toInt
       }
+    // KEY-LAYOUT consistency (r15): the bucket layout hashes a SPECIFIC
+    // ordered key list; a later merge keyed differently would compute
+    // touched buckets under the WRONG hash — matching target rows in
+    // unselected buckets would read as not-matched and duplicate on
+    // insert. The layout records its keys (`__keys`); a mismatch is
+    // loud, never a silent wrong merge. Legacy layouts without the
+    // record keep the caller-trusts contract.
+    if (bucketed) {
+      val recorded = st.liveAdds.flatMap(_.part.get("__keys")).distinct
+      require(recorded.size <= 1,
+        s"$table: live dirs disagree on layout keys ($recorded) — mixed " +
+          "layouts; re-bucketize by merging on a fresh table")
+      recorded.headOption.foreach(k => require(k == keyCols.mkString(","),
+        s"$table: the bucket layout is keyed on ($k) but this merge keys " +
+          s"on (${keyCols.mkString(",")}) — touched-bucket pruning would " +
+          "be wrong; merge with the layout keys (order included) or " +
+          "rebuild the table to re-key"))
+    }
     // touched buckets: bounded O(nb) driver pull
     val touched = source.select(bucketOf(keyCols, nb).as("b"))
       .distinct().collect().map(_.getLong(0)).sorted.toSeq
@@ -290,7 +308,8 @@ object TxLogMerge {
         s.read.schema(schema).parquet(s"$table/$dir"), keyCols)
       TxLog.AddFile(dir, st,
         part = Map(
-          "__bucket" -> w.stripPrefix("__bucket="), "__nb" -> nb.toString),
+          "__bucket" -> w.stripPrefix("__bucket="), "__nb" -> nb.toString,
+          "__keys" -> keyCols.mkString(",")),
         rows = Some(nRows))
     }
     // DV buckets: remove + re-add each live dir with its superseding
