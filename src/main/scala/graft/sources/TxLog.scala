@@ -1098,6 +1098,76 @@ object TxLog {
     doomed
   }
 
+  /** What a TIME-BASED vacuum would (or did) reclaim — the dry-run
+    * report a production operator reads before committing to a delete:
+    * the resolved version horizon, the data dirs, their total bytes,
+    * and the versions whose time travel the delete forecloses. */
+  final case class VacuumReport(horizon: Long, dirs: Seq[String],
+      bytes: Long, versionsAffected: Seq[Long], dryRun: Boolean)
+
+  /** TIME-BASED VACUUM (r15 — VERDICT item 7): `vacuum(table,
+    * olderThan = t)` — the Delta `VACUUM … RETAIN` shape. Every version
+    * COMMITTED at-or-after `olderThanMs` (log-file modification time,
+    * the commit's durable timestamp) is retained, plus the head always;
+    * the horizon is the oldest retained version, and the delete set is
+    * exactly [[vacuum]]'s at that horizon (files live at any retained
+    * version are never touched, the recorded horizon stays monotone,
+    * reads older than it fail LOUDLY). `dryRun = true` computes the
+    * full report — dirs, bytes, versions affected — and changes
+    * NOTHING (no delete, no horizon advance): inspect, then re-run
+    * with `dryRun = false`. Commit files already truncated behind a
+    * checkpoint count as older-than-any-cutoff (they are, by
+    * construction — truncation follows checkpointing follows age). */
+  def vacuumOlderThan(s: SparkSession, table: String, olderThanMs: Long,
+      dryRun: Boolean = false): VacuumReport = {
+    val cs = commits(s, table)
+    val head = cs.last.version
+    val ld = new Path(table, LogDirName)
+    val f = fsOf(s, ld)
+    val times: Map[Long, Long] = f.listStatus(ld).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case NameRe(v) => Some(v.toLong -> st.getModificationTime)
+        case _ => None
+      }
+    }.toMap
+    val timeHorizon = cs.map(_.version)
+      .filter(v => times.get(v).exists(_ >= olderThanMs))
+      .minOption.getOrElse(head)
+    val horizon = math.max(vacuumHorizon(s, table),
+      math.min(timeHorizon, head))
+    // one walk, the same live-at-any-retained-version keep as vacuum
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val keep = scala.collection.mutable.HashSet.empty[String]
+    val everAdded = scala.collection.mutable.HashSet.empty[String]
+    cs.foreach { e =>
+      e.removes.foreach(p => require(live.remove(p),
+        s"$table v${e.version}: remove of unknown $p"))
+      e.adds.foreach { a =>
+        require(live.add(a.name),
+          s"$table v${e.version}: add of already-live ${a.name}")
+        everAdded += a.name
+      }
+      if (e.version >= horizon) keep ++= live
+    }
+    val tf = fsOf(s, new Path(table))
+    val doomed = (everAdded -- keep).toSeq.sorted
+      .filter(d => tf.exists(new Path(table, d)))
+    val bytes = doomed.map(d =>
+      tf.getContentSummary(new Path(table, d)).getLength).sum
+    val affected = cs.map(_.version).filter(_ < horizon)
+    if (!dryRun && doomed.nonEmpty) {
+      require(currentVersion(s, table).contains(head),
+        s"$table: a writer advanced the log past v$head during vacuum — " +
+          "aborting before any delete (vacuum is a single-writer " +
+          "operation)")
+      // reuse the versioned verb for the actual delete + horizon
+      // persist so the monotone-horizon and crash-ordering discipline
+      // live in exactly one place
+      vacuum(s, table, retainVersions = (head - horizon).toInt)
+    }
+    VacuumReport(horizon, doomed, bytes, affected, dryRun)
+  }
+
   /** Retention for the DERIVED side-state (r13): the parquet manifests
     * and the merge change-feed dirs live OUTSIDE the log (they are
     * rebuildable / consumable artifacts, not table data), so [[vacuum]]

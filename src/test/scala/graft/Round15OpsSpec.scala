@@ -116,6 +116,52 @@ class Round15OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.filter(col("k") === 7L).head().getString(1) == "leaf7")
   }
 
+  test("time-based vacuum: dry-run reports dirs/bytes/versions and " +
+      "changes NOTHING; the real run deletes exactly the report, " +
+      "time travel past the horizon is loud, retained versions read") {
+    val t = freshTable()
+    val schema = StructType.fromDDL("x BIGINT")
+    // v0..v3: four one-dir commits, then v4 optimizes (supersedes all)
+    (0 to 3).foreach { i =>
+      Seq(i.toLong).toDF("x").coalesce(1).write.parquet(s"$t/d$i")
+      assert(TxLog.tryCommitActions(spark, t, i.toLong,
+        Seq(TxLog.AddFile(s"d$i")), Nil,
+        schemaDdl = if (i == 0) Some(schema.toDDL) else None,
+        cdf = Some("@adds")))
+    }
+    assert(TxLog.optimize(spark, t, Some(schema)).contains(4L))
+    // stamp commit times: v0..v2 at t=1000, v3..v4 at t=2000000000000
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 to 4).foreach { v =>
+      f.setTimes(new org.apache.hadoop.fs.Path(t, f"_log/$v%010d.json"),
+        if (v <= 2) 1000L else 2000000000000L, -1)
+    }
+    val dry = TxLog.vacuumOlderThan(spark, t, olderThanMs = 1000000L,
+      dryRun = true)
+    assert(dry.dryRun && dry.horizon == 3L)
+    assert(dry.versionsAffected == Seq(0L, 1L, 2L))
+    // d0..d2 are not live at any version >= 3 … but v3's live set is
+    // d0..d3, so NOTHING pre-v3 is reclaimable except nothing; the
+    // optimize at v4 superseded d0..d3 — live at v3 keeps them. Only
+    // dirs live at NO retained version go: none here yet.
+    assert(dry.dirs.isEmpty && dry.bytes == 0L)
+    // cutoff ABOVE every commit: only the head is retained — d0..d3 go
+    val dry2 = TxLog.vacuumOlderThan(spark, t,
+      olderThanMs = 3000000000000L, dryRun = true)
+    assert(dry2.horizon == 4L && dry2.dirs == Seq("d0", "d1", "d2", "d3")
+      && dry2.bytes > 0L)
+    // dry-run changed nothing: v0 still reads
+    assert(TxLog.read(spark, t, schema, Some(0L)).count() == 1L)
+    val real = TxLog.vacuumOlderThan(spark, t,
+      olderThanMs = 3000000000000L)
+    assert(!real.dryRun && real.dirs == dry2.dirs)
+    assert(TxLog.read(spark, t, schema).count() == 4L, "head intact")
+    intercept[Exception] { // time travel past the horizon is loud
+      TxLog.read(spark, t, schema, Some(1L)).count()
+    }
+  }
+
   test("vacuumDerived keeps a superseded vector that a RETAINED " +
       "version's live adds still reference — in-window time travel " +
       "reads; a pre-horizon-only vector is reclaimed") {
