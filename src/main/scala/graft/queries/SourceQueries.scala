@@ -272,6 +272,54 @@ object SourceQueries {
     }
   }
 
+  /** The evolved table for src_txlog_column_map: rename → mapped
+    * append → drop → re-add (fresh physical identity) → mapped append,
+    * every snapshot readable under its own map. */
+  private val txlogCmapMemo = new graft.operators.SessionMemo[String]
+
+  private def cmapDocTable(s: SparkSession, dir: String): String = {
+    import graft.sources.TxLog
+    txlogCmapMemo.get(s, dir) {
+      val tmp = graft.streaming.StreamGate
+        .sessionTempDir("graft-txlog-cmap") { td =>
+          val docs = Tables(s, dir, "documents")
+            .select("doc_id", "lang", "source", "n_chars")
+          val tbl = s"$td/t"
+          docs.write.parquet(s"$tbl/init")
+          require(TxLog.tryCommitActions(s, tbl, 0L,
+            Seq(TxLog.AddFile("init")), Nil,
+            schemaDdl = Some(mergeSchema.toDDL), cdf = Some("@adds")),
+            "v0 conflicted on a fresh table")
+          val off = docs.agg(max("doc_id")).head().getLong(0) + 1L
+          // v1: RENAME n_chars → chars (zero rewrite)
+          require(TxLog.renameColumn(s, tbl, "n_chars", "chars") == 1L,
+            "rename must commit v1")
+          // v2: mapped append of shifted ≡0-mod-13 rows under the NEW
+          // logical name — the staged parquet stores physical n_chars
+          require(TxLog.appendMapped(
+              docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+                .select((col("doc_id") + off).as("doc_id"), col("lang"),
+                  col("source"), col("n_chars").as("chars")),
+              tbl, "late13") == 2L, "v2 append must publish")
+          // v3: DROP lang (bytes hidden, zero rewrite)
+          require(TxLog.dropColumn(s, tbl, "lang") == 3L,
+            "drop must commit v3")
+          // v4: re-ADD lang — a FRESH physical identity (lang__v4):
+          // the dropped column's bytes must never read as the reborn one
+          require(TxLog.addColumn(s, tbl, "lang", "STRING") == 4L,
+            "re-add must commit v4")
+          // v5: mapped append of shifted ≡0-mod-17 rows CARRYING the
+          // reborn lang
+          require(TxLog.appendMapped(
+              docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+                .select((col("doc_id") + lit(2L) * off).as("doc_id"),
+                  col("source"), col("n_chars").as("chars"), col("lang")),
+              tbl, "late17") == 5L, "v5 append must publish")
+        }
+      s"$tmp/t"
+    }
+  }
+
   /** The mixed-history table for src_txlog_cdf_unified (append → merge
     * → append → OPTIMIZE → DV merge, every commit feed-marked) and the
     * collected follower emission over it. */
@@ -1151,6 +1199,41 @@ object SourceQueries {
         .orderBy("source")
     }),
 
+    // COLUMN MAPPING (r15 — VERDICT item 4, the rename/drop evolution):
+    // logical names resolve to stable PHYSICAL identities through the
+    // log's colmap record — a RENAME is O(1) metadata (old files read
+    // correctly under the new name, zero rewrite), a DROP hides bytes
+    // without rewrite, a re-ADD of a dropped name mints a FRESH
+    // physical identity (old bytes can never leak into the reborn
+    // column), mapped appends write physical names so the file history
+    // stays coherent, and every snapshot reads under its own map
+    // (readWithLogSchema posture, map-resolved). Spec'd in
+    // TxLogColumnMapSpec (incl. map-aware OPTIMIZE shedding dropped
+    // bytes, checkpointed maps, logical-name skip bounds, loud
+    // boundaries). Gate: rename → mapped append → drop → re-add →
+    // mapped append over documents; the HEAD (reborn lang: null on
+    // pre-rebirth rows, real on the last append), the post-rename v2,
+    // and the post-drop v3 snapshots each hashed against the
+    // relational replay over the ORIGINAL parquet.
+    "src_txlog_column_map" -> ((s, dir) => {
+      import graft.sources.TxLog
+      val table = cmapDocTable(s, dir)
+      def aggOf(leg: String, df: org.apache.spark.sql.DataFrame,
+          langCol: Column) =
+        df.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("chars").as("sum_chars"),
+            sum(rowCheck(concat_ws("|", f(col("doc_id")), f(langCol),
+              f(col("chars"))))).as("checksum"))
+          .select(lit(leg).as("leg"), col("source"), col("n_docs"),
+            col("sum_chars"), col("checksum"))
+      aggOf("head", TxLog.readMapped(s, table), col("lang"))
+        .unionAll(aggOf("v2", TxLog.readMapped(s, table, Some(2L)),
+          col("lang")))
+        .unionAll(aggOf("v3", TxLog.readMapped(s, table, Some(3L)),
+          lit(null).cast("string")))
+        .orderBy("leg", "source")
+    }),
+
     // SQL UPDATE / DELETE (r15 — VERDICT item 1, the front door's DML
     // statements): resolved DeleteFromTable / UpdateTable plans over a
     // TxLog target are intercepted at resolution and compiled onto the
@@ -1847,6 +1930,41 @@ object SourceQueries {
         |  UNION ALL
         |  SELECT 'v1' AS leg, count(*) AS n FROM t1)
         |ORDER BY leg""".stripMargin,
+
+    // the evolution replayed relationally over the ORIGINAL parquet:
+    // v2 = base + 13-append under the renamed column, v3 = v2 without
+    // lang, head = v3 with the REBORN lang (null everywhere except the
+    // 17-append) — a leaked old byte, a lost rename, or a mis-mapped
+    // append flips the checksum
+    "src_txlog_column_map" ->
+      """WITH m AS (SELECT max(doc_id) + 1 AS off FROM documents),
+        |base AS (SELECT doc_id, lang, source, n_chars AS chars
+        |         FROM documents),
+        |a13 AS (SELECT d.doc_id + m.off AS doc_id, d.lang, d.source,
+        |               d.n_chars AS chars
+        |        FROM documents d, m WHERE d.doc_id % 13 = 0),
+        |v2 AS (SELECT * FROM base UNION ALL SELECT * FROM a13),
+        |a17 AS (SELECT d.doc_id + 2 * m.off AS doc_id, d.lang, d.source,
+        |               d.n_chars AS chars
+        |        FROM documents d, m WHERE d.doc_id % 17 = 0),
+        |legs AS (
+        |  SELECT 'head' AS leg, doc_id, NULL AS lang, source, chars
+        |  FROM v2
+        |  UNION ALL
+        |  SELECT 'head', doc_id, lang, source, chars FROM a17
+        |  UNION ALL
+        |  SELECT 'v2', doc_id, lang, source, chars FROM v2
+        |  UNION ALL
+        |  SELECT 'v3', doc_id, NULL, source, chars FROM v2
+        |)
+        |SELECT leg, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(('0x' || substr(md5(
+        |                coalesce(doc_id::VARCHAR, chr(1)) || '|' ||
+        |                coalesce(lang, chr(1)) || '|' ||
+        |                coalesce(chars::VARCHAR, chr(1))), 1, 12))::BIGINT
+        |                % 1000000007) AS BIGINT) AS checksum
+        |FROM legs GROUP BY leg, source ORDER BY leg, source""".stripMargin,
 
     // both DML statements replayed relationally over the ORIGINAL
     // parquet — head after DELETE + sparse UPDATE, and the v1 snapshot

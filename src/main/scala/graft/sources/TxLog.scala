@@ -181,7 +181,8 @@ object TxLog {
   final case class CommitEntry(version: Long, adds: Seq[AddFile],
       removes: Seq[String], schemaDdl: Option[String],
       txns: Seq[(String, Long)] = Nil,
-      cdf: Option[String] = None)
+      cdf: Option[String] = None,
+      colmap: Option[Map[String, String]] = None)
 
   private val LogDirName = "_log"
   private val NameRe = """(\d{10})\.json""".r
@@ -199,6 +200,7 @@ object TxLog {
   private val SchemaRe = """\{"schema":"((?:[^"\\]|\\.)*)"\}""".r
   private val TxnRe = """\{"txn":"((?:[^"\\]|\\.)*)","v":(\d+)\}""".r
   private val CdfRe = """\{"cdf":"((?:[^"\\]|\\.)*)"\}""".r
+  private val ColmapRe = """\{"colmap":\{([^{}]*)\}\}""".r
   private val CkptRe = """_ckpt\.(\d{10})\.json""".r
   /** The ACTUAL rewrite-dir grammars the engine's own compaction/merge
     * verbs emit — `opt<v>` ([[optimize]]), `zopt<v>/__slice=n`
@@ -265,13 +267,14 @@ object TxLog {
       adds: Seq[AddFile], removes: Seq[String],
       schemaDdl: Option[String] = None,
       txns: Seq[(String, Long)] = Nil,
-      cdf: Option[String] = None): Boolean = {
+      cdf: Option[String] = None,
+      colmap: Option[Map[String, String]] = None): Boolean = {
     require(version >= 0, s"negative version $version")
     val ld = new Path(table, LogDirName)
     val f = fsOf(s, ld)
     f.mkdirs(ld)
     writeExclusive(f, ld, f"$version%010d.json", version.toString,
-      schemaDdl, txns, adds, removes, cdf)
+      schemaDdl, txns, adds, removes, cdf, colmap)
   }
 
   /** One add action rendered — shared by commits and checkpoints so the
@@ -298,7 +301,8 @@ object TxLog {
   private def writeExclusive(f: FileSystem, ld: Path, destName: String,
       tag: String, schemaDdl: Option[String], txns: Seq[(String, Long)],
       adds: Seq[AddFile], removes: Seq[String],
-      cdf: Option[String] = None): Boolean = {
+      cdf: Option[String] = None,
+      colmap: Option[Map[String, String]] = None): Boolean = {
     val dest = new Path(ld, destName)
     if (f.exists(dest)) return false // cheap fast-path; the publish re-checks
     val tmp = new Path(ld,
@@ -306,6 +310,9 @@ object TxLog {
     val out = f.create(tmp, true)
     try {
       val body = (schemaDdl.map(d => s"""{"schema":"${esc(d)}"}""").toSeq ++
+        colmap.map(m => m.toSeq.sortBy(_._1).map { case (l, p) =>
+          s""""${esc(l)}":"${esc(p)}""""
+        }.mkString("""{"colmap":{""", ",", "}}")).toSeq ++
         cdf.map(d => s"""{"cdf":"${esc(d)}"}""").toSeq ++
         txns.map { case (app, v) => s"""{"txn":"${esc(app)}","v":$v}""" } ++
         adds.map(addLine) ++ removes.map(r => s"""{"remove":"${esc(r)}"}"""))
@@ -349,10 +356,11 @@ object TxLog {
     val entries = planEntries(s, table, Some(head)) // prior ckpt + suffix
     val live = boundedLive(s, table, entries)
     val ddl = entries.flatMap(_.schemaDdl).lastOption
+    val cmap = entries.flatMap(_.colmap).lastOption
     val marks = entries.flatMap(_.txns).groupBy(_._1).toSeq
       .map { case (a, vs) => a -> vs.map(_._2).max }.sortBy(_._1)
     writeExclusive(f, ld, f"_ckpt.$head%010d.json", s"ckpt$head",
-      ddl, marks, live, Nil)
+      ddl, marks, live, Nil, colmap = cmap)
     head
   }
 
@@ -770,9 +778,16 @@ object TxLog {
     val txns = Seq.newBuilder[(String, Long)]
     var schemaDdl: Option[String] = None
     var cdf: Option[String] = None
+    var colmap: Option[Map[String, String]] = None
     text.split("\n").filter(_.nonEmpty).foreach {
       case SchemaRe(d) => schemaDdl = Some(unesc(d))
       case CdfRe(d) => cdf = Some(unesc(d))
+      case ColmapRe(body) =>
+        val ms = PartEntryRe.findAllMatchIn(body).toSeq
+        require(ms.map(_.matched).mkString(",") == body,
+          s"$table v$v: unparseable colmap body $body")
+        colmap = Some(ms.map(m =>
+          unesc(m.group(1)) -> unesc(m.group(2))).toMap)
       case TxnRe(app, bv) => txns += (unesc(app) -> bv.toLong)
       case AddRe(a, rowsBody, dvBody, partBody, statsBody) =>
         val part = Option(partBody).filter(_.nonEmpty).map { body =>
@@ -796,7 +811,7 @@ object TxLog {
         s"$table v$v: unrecognized action $other")
     }
     CommitEntry(v, adds.result(), removes.result(), schemaDdl,
-      txns.result(), cdf)
+      txns.result(), cdf, colmap)
   }
 
   private def readLogFile(f: FileSystem, ld: Path, v: Long): String = {
@@ -1271,11 +1286,18 @@ object TxLog {
     val head = cs.last.version
     val live = replay(table, cs)
     if (live.size <= 1) return None
-    val sch = schema.orElse(
+    val logicalSch = schema.orElse(
       cs.flatMap(_.schemaDdl).lastOption.map(StructType.fromDDL)).getOrElse(
       throw new IllegalArgumentException(
         s"$table: optimize needs a schema — none recorded in the log and " +
           "none supplied"))
+    // COLUMN-MAPPED tables (r15): the data files store PHYSICAL names —
+    // the rewrite scans and re-writes physical columns, so the map (and
+    // every snapshot's logical view) survives compaction; dropped
+    // columns' bytes are shed here (they are in no map entry)
+    val cmap = cs.flatMap(_.colmap).lastOption
+    val sch = cmap.fold(logicalSch)(m => StructType(logicalSch.fields.map(
+      fl => fl.copy(name = m.getOrElse(fl.name, fl.name)))))
     val f = fsOf(s, new Path(table))
     val bytes = live.map(a =>
       f.getContentSummary(new Path(table, a.name)).getLength).sum
@@ -1323,6 +1345,10 @@ object TxLog {
     require(nDirs >= 1, s"nDirs must be positive, got $nDirs")
     require(clusterCols.nonEmpty, "optimizeClustered needs cluster columns")
     val cs = commits(s, table)
+    require(cs.flatMap(_.colmap).lastOption.isEmpty,
+      s"$table: ZORDER over a column-mapped table is not offered — " +
+        "the caller's schema/cluster columns are logical, the files " +
+        "physical; run plain optimize (map-aware) or rebuild")
     val head = cs.last.version
     val live = replay(table, cs)
     if (live.isEmpty) return None
@@ -1475,6 +1501,18 @@ object TxLog {
               s"recorded schema, requested as ${fld.dataType.sql} — " +
               "drifted read")
         }
+    }
+    // COLUMN-MAPPED tables (r15): a requested column whose physical
+    // name differs from its logical one would scan as all-null here —
+    // refuse loudly, the mapped read path resolves it
+    governed.flatMap(_.colmap).lastOption.foreach { cmap =>
+      schema.fields.foreach { fld =>
+        val p = cmap.getOrElse(fld.name, fld.name)
+        require(p == fld.name,
+          s"$table: column '${fld.name}' is COLUMN-MAPPED to physical " +
+            s"'$p' — read through readMapped (a plain scan would serve " +
+            "nulls)")
+      }
     }
     // DV-aware: dirs whose add carries a deletion vector anti-join it
     scanAdds(s, table, schema,
@@ -1724,5 +1762,167 @@ object TxLog {
         s"$table: no schema recorded in the log (pre-r12 table?) — " +
           "supply one explicitly via read()"))
     read(s, table, sch, asOf, skip)
+  }
+
+  // ======================= COLUMN MAPPING (r15) =======================
+  // The Delta/Iceberg rename-and-drop evolution idea, standalone: the
+  // log's governing schema record may carry a COLUMN MAP
+  // (`{"colmap":{"<logical>":"<physical>",…}}`) resolving each LOGICAL
+  // column (what the user reads/writes) to its stable PHYSICAL name
+  // (what the parquet files store — the column's identity, assigned at
+  // birth and never changed). A RENAME changes only the logical side
+  // (old files read correctly, zero rewrite); a DROP removes the map
+  // entry (the physical bytes stay, invisible — vacuum-able by
+  // OPTIMIZE); re-ADDING a dropped name mints a FRESH physical identity
+  // (`<name>__v<version>`), so the old column's bytes can never leak
+  // into the reborn column. Snapshot-scoped like the schema record:
+  // time travel reads with that version's own map.
+
+  /** The column map governing the snapshot — None on a table that never
+    * evolved (logical ≡ physical). */
+  def logColmap(s: SparkSession, table: String,
+      asOf: Option[Long] = None): Option[Map[String, String]] =
+    planEntries(s, table, asOf).flatMap(_.colmap).lastOption
+
+  private def evolutionState(s: SparkSession,
+      table: String): (Long, StructType, Map[String, String]) = {
+    val head = currentVersion(s, table).getOrElse(
+      throw new IllegalArgumentException(s"$table: empty table"))
+    val sch = logSchema(s, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table: schema evolution needs a recorded schema"))
+    require(liveAdds(s, table).forall(a => !a.part.contains("__nb")),
+      s"$table: column mapping over a merge-bucketed layout is not " +
+        "offered — the bucket hash is keyed on physical columns; " +
+        "evolve before the first merge, or rebuild the table")
+    val cmap = logColmap(s, table)
+      .getOrElse(sch.fields.map(f => f.name -> f.name).toMap)
+    (head, sch, cmap)
+  }
+
+  /** RENAME a column — logical only, O(1) metadata, zero rewrite.
+    * Returns the committed version. */
+  def renameColumn(s: SparkSession, table: String, from: String,
+      to: String): Long = {
+    val (head, sch, cmap) = evolutionState(s, table)
+    require(sch.fields.exists(_.name == from),
+      s"$table: no column '$from' to rename")
+    require(!sch.fields.exists(_.name == to),
+      s"$table: rename target '$to' already exists")
+    val newSch = StructType(sch.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val newMap = cmap - from + (to -> cmap(from))
+    require(tryCommitActions(s, table, head + 1, Nil, Nil,
+        schemaDdl = Some(newSch.toDDL), cdf = Some("@none"),
+        colmap = Some(newMap)),
+      s"$table: a writer committed v${head + 1} during the rename — " +
+        "nothing changed; re-run")
+    head + 1
+  }
+
+  /** DROP a column — the map entry vanishes, the physical bytes stay
+    * (invisible; the next OPTIMIZE rewrite sheds them). Returns the
+    * committed version. */
+  def dropColumn(s: SparkSession, table: String, name: String): Long = {
+    val (head, sch, cmap) = evolutionState(s, table)
+    require(sch.fields.exists(_.name == name),
+      s"$table: no column '$name' to drop")
+    require(sch.fields.length > 1,
+      s"$table: cannot drop the only column")
+    val newSch = StructType(sch.fields.filterNot(_.name == name))
+    require(tryCommitActions(s, table, head + 1, Nil, Nil,
+        schemaDdl = Some(newSch.toDDL), cdf = Some("@none"),
+        colmap = Some(cmap - name)),
+      s"$table: a writer committed v${head + 1} during the drop — " +
+        "nothing changed; re-run")
+    head + 1
+  }
+
+  /** ADD a column. If the logical name was EVER a physical identity in
+    * this table's history (including a previously dropped column of the
+    * same name), the new column mints a fresh physical name — the old
+    * bytes can never read as the reborn column. Returns the committed
+    * version. */
+  def addColumn(s: SparkSession, table: String, name: String,
+      ddlType: String): Long = {
+    val (head, sch, cmap) = evolutionState(s, table)
+    require(!sch.fields.exists(_.name == name),
+      s"$table: column '$name' already exists")
+    val everPhysical: Set[String] = commits(s, table).flatMap { e =>
+      e.colmap.map(_.values.toSeq).getOrElse(
+        e.schemaDdl.map(d =>
+          StructType.fromDDL(d).fields.map(_.name).toSeq).getOrElse(Nil))
+    }.toSet
+    val physical =
+      if (everPhysical.contains(name)) s"${name}__v${head + 1}" else name
+    val newSch = StructType(sch.fields :+
+      org.apache.spark.sql.types.StructField(name,
+        org.apache.spark.sql.types.DataType.fromDDL(ddlType)))
+    require(tryCommitActions(s, table, head + 1, Nil, Nil,
+        schemaDdl = Some(newSch.toDDL), cdf = Some("@none"),
+        colmap = Some(cmap + (name -> physical))),
+      s"$table: a writer committed v${head + 1} during the add — " +
+        "nothing changed; re-run")
+    head + 1
+  }
+
+  private def mapSkip(sk: Skip, phys: String => String): Skip = sk match {
+    case SkipRange(c, lo, hi) => SkipRange(phys(c), lo, hi)
+    case SkipRangeString(c, lo, hi) => SkipRangeString(phys(c), lo, hi)
+    case SkipRangeDecimal(c, lo, hi) => SkipRangeDecimal(phys(c), lo, hi)
+    case SkipRangeDate(c, lo, hi) => SkipRangeDate(phys(c), lo, hi)
+    case SkipPartition(c, vs) => SkipPartition(phys(c), vs)
+  }
+
+  /** Read the snapshot under its COLUMN MAP: scans the physical
+    * columns, serves the logical names — renamed columns read old files
+    * correctly, dropped columns are invisible, a column added after a
+    * file was written reads null there. Skip bounds arrive on LOGICAL
+    * names (the caller's view) and are translated. Falls back to the
+    * plain recorded-schema read on a never-evolved table. */
+  def readMapped(s: SparkSession, table: String,
+      asOf: Option[Long] = None,
+      skip: Seq[Skip] = Nil): DataFrame = {
+    val logical = logSchema(s, table, asOf).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table: no schema recorded in the log — column mapping needs " +
+          "one"))
+    logColmap(s, table, asOf) match {
+      case None => read(s, table, logical, asOf, skip)
+      case Some(cmap) =>
+        def phys(n: String) = cmap.getOrElse(n, n)
+        val horizon = vacuumHorizon(s, table)
+        if (horizon >= 0) asOf.foreach(v => require(v >= horizon,
+          s"$table: v$v was VACUUMED (retention horizon v$horizon) — " +
+            "its data files are gone; a silent partial read is not " +
+            "offered"))
+        val physSchema = StructType(logical.fields.map(f =>
+          f.copy(name = phys(f.name))))
+        val governed = planEntries(s, table, asOf)
+        val df = scanAdds(s, table, physSchema,
+          pruneAdds(boundedLive(s, table, governed),
+            skip.map(mapSkip(_, phys))))
+        df.select(logical.fields.map(f =>
+          col(phys(f.name)).as(f.name)).toSeq: _*)
+    }
+  }
+
+  /** Append under the COLUMN MAP: `df` carries the snapshot's LOGICAL
+    * columns; the staged parquet stores the physical names, so files
+    * written before and after a rename are one coherent physical
+    * history. `statsCols` are logical too. Returns the version. */
+  def appendMapped(df: DataFrame, table: String, name: String,
+      statsCols: Seq[String] = Nil): Long = {
+    val s = df.sparkSession
+    val logical = logSchema(s, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table: no schema recorded in the log — appendMapped needs " +
+          "one"))
+    val cmap = logColmap(s, table)
+      .getOrElse(logical.fields.map(f => f.name -> f.name).toMap)
+    def phys(n: String) = cmap.getOrElse(n, n)
+    val physDf = df.select(logical.fields.map(f =>
+      col(f.name).cast(f.dataType).as(phys(f.name))).toSeq: _*)
+    append(physDf, table, name, statsCols.map(phys))
   }
 }

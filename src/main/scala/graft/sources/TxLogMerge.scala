@@ -94,6 +94,10 @@ object TxLogMerge {
     val head = st.head.getOrElse(throw new IllegalArgumentException(
       s"$table: nothing to merge into — empty table (commit a snapshot " +
         "first, or use the streaming sink)"))
+    require(TxLog.logColmap(s, table).isEmpty,
+      s"$table: MERGE over a column-mapped table is not offered — the " +
+        "merge's schema/keys are logical, the files physical; evolve " +
+        "append-only tables, or rebuild before merging")
     val liveNames = st.liveAdds.map(_.name)
     // recover the bucket layout from the log's partition metadata
     val bucketed = liveNames.nonEmpty &&
