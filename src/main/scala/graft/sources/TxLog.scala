@@ -253,6 +253,36 @@ object TxLog {
     }
   }
 
+  /** CLAIM `dst` by atomically renaming the fully-written `src` into
+    * it, failing (false) iff `dst` already exists — the dir-granular
+    * analogue of [[publishExclusive]] (local: Files.move without
+    * REPLACE; non-local: FileContext.rename NONE — the HDFS-atomic
+    * no-overwrite primitive; a plain exists+rename is a TOCTOU that can
+    * NEST src under an existing dst). Shared by the staged-publish and
+    * merge paths so the claim discipline cannot drift. On failure the
+    * src is left in place (the caller owns its cleanup). */
+  private[sources] def claimExclusive(s: SparkSession, f: FileSystem,
+      src: Path, dst: Path): Boolean =
+    if (f.isInstanceOf[RawLocalFileSystem] || f.isInstanceOf[LocalFileSystem])
+      try {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(src.toUri.getPath),
+          java.nio.file.Paths.get(dst.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    else
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(
+          dst.toUri, s.sparkContext.hadoopConfiguration)
+          .rename(src, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException
+            if e.getMessage != null &&
+              e.getMessage.contains("already exists") => false
+      }
+
   /** Attempt to commit `version` with the given data-dir actions (paths
     * relative to the table dir). Returns false iff another writer already
     * committed this version — re-read the snapshot and retry from there. */
@@ -628,35 +658,10 @@ object TxLog {
       }
     }
     val (stats, nRows) = statsAndRows(staged, statsCols)
-    val claimed = {
-      val src = new Path(table, stageName)
-      val dst = new Path(table, name)
-      if (f.isInstanceOf[RawLocalFileSystem] || f.isInstanceOf[LocalFileSystem])
-        try {
-          java.nio.file.Files.move(
-            java.nio.file.Paths.get(src.toUri.getPath),
-            java.nio.file.Paths.get(dst.toUri.getPath))
-          true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      else
-        // non-local FS (r15, advised): `!exists(dst) && rename` was a
-        // check-then-act TOCTOU — on HDFS, rename INTO an existing
-        // directory nests src under dst and returns true, so two
-        // same-name publishers could both believe they claimed.
-        // FileContext.rename with Options.Rename.NONE is the atomic
-        // no-overwrite primitive (NameNode-side dst-must-not-exist).
-        try {
-          org.apache.hadoop.fs.FileContext.getFileContext(
-            dst.toUri, s.sparkContext.hadoopConfiguration)
-            .rename(src, dst, org.apache.hadoop.fs.Options.Rename.NONE)
-          true
-        } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case e: java.io.IOException
-              if e.getMessage != null &&
-                e.getMessage.contains("already exists") => false
-        }
-    }
+    // the atomic no-overwrite claim (r15, advised: the old non-local
+    // branch was a check-then-act exists+rename TOCTOU)
+    val claimed = claimExclusive(s, f,
+      new Path(table, stageName), new Path(table, name))
     if (!claimed) {
       f.delete(new Path(table, stageName), true)
       throw new IllegalArgumentException(
