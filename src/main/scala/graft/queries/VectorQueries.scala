@@ -212,6 +212,9 @@ object VectorQueries {
   private val graphExtendMemo =
     new graft.operators.SessionMemo[(DataFrame, Long, Long)]
 
+  /** knn_graph_retract's one-row receipt — one build per (session, lake). */
+  private val graphRetractMemo = new graft.operators.SessionMemo[DataFrame]
+
   private def graphExtend(s: SparkSession,
       dir: String): (DataFrame, Long, Long) =
     graphExtendMemo.get(s, dir) {
@@ -621,6 +624,85 @@ object VectorQueries {
           nScoredExtend, nRebuildPairs))
         .toDF("n_new", "n_edges", "n_match", "overlap",
           "n_scored_extend", "n_rebuild_pairs")
+    }),
+
+    // GRAPH RETRACTION (r15 — VERDICT item 5), extend's inverse: a
+    // vector lake also DELETES (takedowns, dedup, retention) and cannot
+    // rebuild the serving graph per drop wave. Tombstone the dropped
+    // vec_ids (≡3 mod 17, ~5.9%), then repair ONLY the survivors whose
+    // STORED edges referenced a dropped id (the stored reverse edges
+    // bound the touched set — no corpus scan to find them): each
+    // touched survivor exact-reranks its in-cell surviving candidates,
+    // untouched survivors carry UNCHANGED. Because dropping only
+    // REMOVES candidates, an untouched neighborhood's stored top-3 IS
+    // its rebuild top-3 — so retract-then-repair equals the full
+    // rebuild-without-dropped EXACTLY (overlap 1.0, asserted ==
+    // rather than the ≥0.95 envelope; spec'd in Round15OpsSpec), at
+    // O(touched × cell) cosine work instead of O(survivors × cell) —
+    // the receipts ride as columns (n_scored_repair vs
+    // n_rebuild_pairs). Deterministic everywhere (4dp cosine,
+    // (cos DESC, id) ties), so the oracle replays build + retraction +
+    // accounting exactly.
+    "knn_graph_retract" -> ((s, dir) => graphRetractMemo.get(s, dir) {
+      import graft.operators.Checkpointing
+      val idx = graphIndex(s, dir).select("vec_id", "embedding", "cluster")
+        .transform(Checkpointing.cut)
+      val isDrop = pmod(col("vec_id"), lit(17)) === 3
+      def cosC(a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) =
+        round(graft.plans.CosineSim.cosine(s, a, b), 4)
+      // the STORED graph: in-cell top-3 over ALL vectors (emb_knn_graph)
+      val stored = knnGraphOver(s, idx)
+        .select("vec_id", "neighbor_id", "cos")
+        .transform(Checkpointing.cut)
+      val dropped = idx.filter(isDrop).select(col("vec_id").as("dropped_id"))
+      val survivors = idx.filter(!isDrop)
+      // touched = survivors with a stored edge INTO the dropped set
+      val touched = stored
+        .join(dropped, col("neighbor_id") === col("dropped_id"),
+          "left_semi")
+        .select("vec_id").distinct()
+        .join(dropped, col("vec_id") === col("dropped_id"), "left_anti")
+        .transform(Checkpointing.cut)
+      // repair: touched × in-cell survivors, exact rerank
+      val repairPairs = survivors
+        .join(touched, Seq("vec_id"), "left_semi")
+        .join(survivors.select(col("cluster").as("cl2"),
+            col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")),
+          col("cluster") === col("cl2") &&
+            col("vec_id") =!= col("neighbor_id"))
+        .select(col("vec_id"), col("neighbor_id"),
+          cosC(col("embedding"), col("n_emb")).as("cos"))
+        .transform(Checkpointing.cut)
+      val repaired = Relational
+        .topKByScore(repairPairs, "vec_id", "cos", "neighbor_id", 3)
+        .select("vec_id", "neighbor_id")
+      val kept = stored
+        .join(dropped, col("vec_id") === col("dropped_id"), "left_anti")
+        .join(touched, Seq("vec_id"), "left_anti")
+        .select("vec_id", "neighbor_id")
+      val retracted = kept.unionByName(repaired)
+        .transform(Checkpointing.cut)
+      // the full rebuild over survivors (same cluster assignment)
+      val rebuild = knnGraphOver(s, survivors)
+        .select("vec_id", "neighbor_id")
+      val nDropped = dropped.count()
+      val nTouched = touched.count()
+      val nEdges = retracted.count()
+      val nMatch = retracted
+        .join(rebuild, Seq("vec_id", "neighbor_id"), "left_semi").count()
+      val nScoredRepair = repairPairs.count()
+      val im = survivors.select(col("cluster").as("cl2"),
+        col("vec_id").as("neighbor_id"))
+      val nRebuildPairs = survivors.join(im,
+        col("cluster") === col("cl2") &&
+          col("vec_id") =!= col("neighbor_id")).count()
+      import s.implicits._
+      Seq((nDropped, nTouched, nEdges, nMatch,
+          (10000L * nMatch / nEdges) / 10000.0, nScoredRepair,
+          nRebuildPairs))
+        .toDF("n_dropped", "n_touched", "n_edges", "n_match", "overlap",
+          "n_scored_repair", "n_rebuild_pairs")
     }),
 
     // Radius (range) search: every neighbor within cosine ≥ 0.25 of each
@@ -1759,6 +1841,74 @@ object VectorQueries {
          |       CAST((10000 * n_match) // n_edges AS DOUBLE) / 10000
          |         AS overlap,
          |       n_scored_extend, n_rebuild_pairs
+         |FROM stats""".stripMargin,
+
+    // the FULL retraction replay: stored in-cell graph, tombstones,
+    // touched set from the stored reverse edges, touched-only in-cell
+    // repair, then the exact-match accounting against the rebuild over
+    // the survivors — floor-quantized ratio, exact integer math
+    "knn_graph_retract" ->
+      s"""WITH ${ivfBuildCtesK(
+        "(SELECT GREATEST(16, CAST(ceil(count(*) / 1024.0) AS INT)) " +
+          "FROM embeddings)")},
+         |$knnGraphBodyCtes,
+         |tag AS (SELECT i.vec_id, i.cluster,
+         |               (i.vec_id % 17 = 3) AS dr FROM idx i),
+         |storedg AS (SELECT vec_id, neighbor_id FROM ranked WHERE rk <= 3),
+         |touched AS (
+         |  SELECT DISTINCT sg.vec_id FROM storedg sg
+         |  JOIN tag d ON d.vec_id = sg.neighbor_id AND d.dr
+         |  JOIN tag o ON o.vec_id = sg.vec_id AND NOT o.dr),
+         |rp AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(sa.v, sb.v), 4) AS cos
+         |  FROM tag a JOIN touched t ON t.vec_id = a.vec_id
+         |  JOIN tag b ON b.cluster = a.cluster
+         |    AND b.vec_id <> a.vec_id AND NOT b.dr
+         |  JOIN sv sa ON sa.vec_id = a.vec_id
+         |  JOIN sv sb ON sb.vec_id = b.vec_id),
+         |repaired AS (
+         |  SELECT vec_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |               ORDER BY cos DESC, neighbor_id) AS rk
+         |    FROM rp) WHERE rk <= 3),
+         |kept AS (
+         |  SELECT sg.vec_id, sg.neighbor_id FROM storedg sg
+         |  JOIN tag a ON a.vec_id = sg.vec_id AND NOT a.dr
+         |  WHERE sg.vec_id NOT IN (SELECT vec_id FROM touched)),
+         |ret AS (
+         |  SELECT vec_id, neighbor_id FROM kept
+         |  UNION ALL SELECT vec_id, neighbor_id FROM repaired),
+         |rbp AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id
+         |  FROM tag a JOIN tag b ON b.cluster = a.cluster
+         |    AND b.vec_id <> a.vec_id AND NOT a.dr AND NOT b.dr),
+         |rebuilt AS (
+         |  SELECT vec_id, neighbor_id FROM (
+         |    SELECT r2.vec_id, r2.neighbor_id,
+         |           row_number() OVER (PARTITION BY r2.vec_id
+         |             ORDER BY round(list_cosine_similarity(sa.v, sb.v), 4)
+         |               DESC, r2.neighbor_id) AS rk
+         |    FROM rbp r2
+         |    JOIN sv sa ON sa.vec_id = r2.vec_id
+         |    JOIN sv sb ON sb.vec_id = r2.neighbor_id)
+         |  WHERE rk <= 3),
+         |stats AS (
+         |  SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM tag WHERE dr)
+         |      AS n_dropped,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM touched) AS n_touched,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ret) AS n_edges,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ret e
+         |       JOIN rebuilt f ON e.vec_id = f.vec_id
+         |        AND e.neighbor_id = f.neighbor_id) AS n_match,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM rp) AS n_scored_repair,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM rbp)
+         |      AS n_rebuild_pairs)
+         |SELECT n_dropped, n_touched, n_edges, n_match,
+         |       CAST((10000 * n_match) // n_edges AS DOUBLE) / 10000
+         |         AS overlap,
+         |       n_scored_repair, n_rebuild_pairs
          |FROM stats""".stripMargin,
 
     // the full graph-serving replay: refined graph, quantizer-routed seed,

@@ -116,6 +116,21 @@ class Round15OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.filter(col("k") === 7L).head().getString(1) == "leaf7")
   }
 
+  test("knn_graph_retract: tombstone + touched-only repair EXACTLY " +
+      "equals the rebuild without the dropped vectors (overlap 1.0 — " +
+      "a mathematical property, not a mirrored formula: dropping only " +
+      "removes candidates, so untouched top-3s are already rebuild " +
+      "top-3s), at repair work strictly under the rebuild's pair mass") {
+    val r = SparkEntry.queries("knn_graph_retract")(spark, sf).head()
+    assert(r.getAs[Long]("n_dropped") > 0 && r.getAs[Long]("n_touched") > 0,
+      "the drop stratum and touched set must be non-empty at sf0.001")
+    assert(r.getAs[Double]("overlap") == 1.0)
+    assert(r.getAs[Long]("n_match") == r.getAs[Long]("n_edges"))
+    assert(r.getAs[Long]("n_scored_repair") <
+      r.getAs[Long]("n_rebuild_pairs"),
+      "repair must cost strictly less cosine work than the rebuild")
+  }
+
   test("time-based vacuum: dry-run reports dirs/bytes/versions and " +
       "changes NOTHING; the real run deletes exactly the report, " +
       "time travel past the horizon is loud, retained versions read") {
