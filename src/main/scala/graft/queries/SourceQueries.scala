@@ -330,6 +330,10 @@ object SourceQueries {
     * consume wire trip per (session, lake)). */
   private val cdfKafkaMemo = new graft.operators.SessionMemo[String]
 
+  /** The 4-partition twin of [[cdfKafkaMemo]] (r15 — partition-routed
+    * produce, partition-parallel capture). */
+  private val cdfKafkaPartsMemo = new graft.operators.SessionMemo[String]
+
   private def unifiedCdfTable(s: SparkSession, dir: String): String = {
     import graft.sources.{TxLog, TxLogMerge}
     txlogUnifiedMemo.get(s, dir) {
@@ -1563,6 +1567,112 @@ object SourceQueries {
         .orderBy("source")
     }),
 
+    // MULTI-PARTITION KAFKA TRANSPORT (r15 — VERDICT item 2): the same
+    // shipped change feed, now over a 4-PARTITION topic keyed by
+    // hash(doc_id) — the production keying (per-key order rides one
+    // partition; cross-key order is irrelevant to the apply, which
+    // folds by max _version per key). The producer routes records by
+    // partition and verifies per-partition offset contiguity
+    // (KafkaProduce.runPartitioned); a RELATION frame rides every
+    // partition HEAD (offset 0, lsn −1 — the inline-schema convention
+    // per partition: a consumer joining any single partition learns
+    // the schema without a side channel, verified landed below); the
+    // consumer owns all four partitions in one session, round-robins
+    // fetches (partition-parallel), keeps a PER-PARTITION durable
+    // watermark, survives the fired mid-stream disconnect by resuming
+    // each partition from its own watermark, and acks the group at the
+    // MINIMUM (KafkaCapture stats). Gate: the partition-parallel
+    // capture's decode + apply hashed against src_txlog_cdf_unified's
+    // oracle VERBATIM — partitioning, the wire, and the disconnect
+    // must all be invisible to the reconstruction. The
+    // one-partition-lags (10× skew) + disconnect leg is spec'd in
+    // KafkaWireSpec.
+    "src_txlog_cdf_kafka_parts" -> ((s, dir) => {
+      import graft.sources.{TxLog, TxLogMerge}
+      val table = unifiedCdfTable(s, dir)
+      val nParts = 4
+      val relDdl = mergeSchema.toDDL
+      val lake = cdfKafkaPartsMemo.get(s, dir) {
+        val tmp = graft.streaming.StreamGate
+          .sessionTempDir("graft-cdf-kafkap") { td =>
+            val head = TxLog.currentVersion(s, table).get
+            val feed = (0L to head).map(v =>
+              TxLogMerge.readChangeFeed(s, table, mergeSchema, v)
+                .withColumn("_version", lit(v)))
+              .reduce(_ unionByName _)
+              .select(
+                pmod(xxhash64(col("doc_id")), lit(nParts.toLong))
+                  .cast("int").as("p"),
+                col("_version"),
+                to_json(struct(col("doc_id"), col("lang"), col("source"),
+                  col("n_chars"), col("_change_type"), col("_version")))
+                  .as("j"))
+            import scala.jdk.CollectionConverters._
+            val relFrames = (0 until nParts).iterator.map(p =>
+              (p, -1L, s"""{"_relation":"${relDdl.replace("\"", "'")}"}"""
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            val dataIt = feed.toLocalIterator().asScala.map(r =>
+              (r.getInt(0), r.getLong(1), r.getString(2)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            val broker = new graft.streaming.LoopbackKafkaBroker(
+              "graft.cdfp", () => Iterator.empty, 0L,
+              dropAfterRecords = 64, recordsPerBatch = 256,
+              producible = true, nPartitions = nParts).start()
+            val shipped = new graft.streaming.KafkaProduce(
+              "127.0.0.1", broker.port, "graft.cdfp",
+              recordsPerBatch = 256).runPartitioned(relFrames ++ dataIt)
+            java.nio.file.Files.createDirectories(
+              java.nio.file.Paths.get(s"$td/lake"))
+            val slots = new graft.cdc.SlotStore(s"$td/slots")
+            (0 until nParts).foreach(p => slots.setSlot(s"graft_cdfp.p$p"))
+            val stats = new graft.streaming.KafkaCapture(
+              "127.0.0.1", broker.port, "graft.cdfp", "graft_cdfp",
+              slots, s, s"$td/lake", flushEvery = 1024,
+              partitions = 0 until nParts).run()
+            broker.stop()
+            require(broker.failure.isEmpty,
+              s"broker failed: ${broker.failure}")
+            require(stats.reconnects >= 1,
+              "the mid-stream disconnect must have fired")
+            require(stats.perPartition.values.sum == shipped,
+              s"consume incomplete: $stats vs $shipped shipped")
+            require(stats.watermark == stats.perPartition.values.min,
+              s"the group ack must be the minimum watermark: $stats")
+            // the inline-schema convention: every partition's HEAD
+            // frame is the relation
+            val heads = s.read.parquet(s"$td/lake")
+              .filter(col("lsn") === -1L)
+              .select(col("partition"), col("data").cast("string"))
+              .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+            require(heads.map(_._1).sorted == (0 until nParts) &&
+                heads.forall(_._2.contains("_relation")),
+              s"every partition must land exactly one relation frame " +
+                s"at its head, got $heads")
+          }
+        s"$tmp/lake"
+      }
+      val rows = s.read.parquet(lake)
+        .filter(col("lsn") >= 0L) // drop the per-partition relation frames
+        .select(from_json(col("data").cast("string"),
+          StructType.fromDDL("doc_id BIGINT, lang STRING, source STRING, " +
+            "n_chars BIGINT, _change_type STRING, _version BIGINT"))
+          .as("r"))
+        .select("r.*")
+      rows.filter(col("_change_type") =!= "update_preimage")
+        .groupBy("doc_id")
+        .agg(expr(
+          "max_by(struct(lang, source, n_chars, _change_type), _version)")
+          .as("c"))
+        .filter(col("c._change_type") =!= "delete")
+        .select(col("doc_id"), col("c.lang").as("lang"),
+          col("c.source").as("source"), col("c.n_chars").as("n_chars"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum(rowCheck(concat_ws("|", f(col("doc_id")), f(col("lang")),
+            f(col("n_chars"))))).as("checksum"))
+        .orderBy("source")
+    }),
+
     // SCHEMA EVOLUTION (r12 — VERDICT item 3): commits record the write
     // schema in the log ({"schema": DDL} — the Avro header-verify
     // posture brought to the table format); reads verify their declared
@@ -1787,7 +1897,9 @@ object SourceQueries {
     ("src_txlog_merge_sql" -> oraclesBase("src_txlog_merge")) +
     // deliberately src_txlog_cdf_unified's oracle VERBATIM: producing,
     // the Kafka wire, and consuming must be invisible to the feed apply
-    ("src_txlog_cdf_kafka" -> oraclesBase("src_txlog_cdf_unified"))
+    ("src_txlog_cdf_kafka" -> oraclesBase("src_txlog_cdf_unified")) +
+    // …and the 4-partition transport must be exactly as invisible
+    ("src_txlog_cdf_kafka_parts" -> oraclesBase("src_txlog_cdf_unified"))
 
   private def oraclesBase: Map[String, String] = Map(
     "src_jsonl_roundtrip" ->

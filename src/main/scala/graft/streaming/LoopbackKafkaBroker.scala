@@ -37,30 +37,40 @@ final class LoopbackKafkaBroker(
     total: Long,
     dropAfterRecords: Long,
     recordsPerBatch: Int = 1024,
-    producible: Boolean = false) {
+    producible: Boolean = false,
+    nPartitions: Int = 1) {
+
+  require(nPartitions >= 1, s"nPartitions must be positive: $nPartitions")
+  // the feed-iterator mode predates partitioning and stays 1-partition;
+  // multi-partition topics are PRODUCIBLE (the log is born partitioned
+  // by the producer's keying — the production shape)
+  require(nPartitions == 1 || producible,
+    "a multi-partition loopback topic must be producible")
 
   /** PRODUCIBLE mode (r14 — the other direction of the transport): the
-    * topic is an in-memory LOG the Produce api appends to (offsets
-    * assigned at append, one batch per request — a real broker's
-    * segment append) and Fetch serves from; `feed`/`total` are ignored.
-    * Synchronized coarsely — the loopback exists to gate wire framing
-    * and the durable consumer contract, not broker throughput. */
-  private val log = scala.collection.mutable.ArrayBuffer
-    .empty[(Long, Array[Byte])]
+    * topic is one in-memory LOG PER PARTITION the Produce api appends
+    * to (offsets assigned at append, partition-local and contiguous —
+    * a real broker's segment append) and Fetch serves from;
+    * `feed`/`total` are ignored. Synchronized coarsely — the loopback
+    * exists to gate wire framing and the durable consumer contract,
+    * not broker throughput. */
+  private val logs = Array.fill(nPartitions)(
+    scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])])
 
-  private def logSnapshot(): IndexedSeq[(Long, Array[Byte])] =
-    log.synchronized { log.toIndexedSeq }
+  private def logSnapshot(p: Int): IndexedSeq[(Long, Array[Byte])] =
+    logs.synchronized { logs(p).toIndexedSeq }
 
-  /** Producible-log append; returns the batch's base offset. */
-  private def append(recs: Seq[KafkaWire.WireRecord]): Long =
-    log.synchronized {
-      val base = log.size.toLong
+  /** Producible-log append; returns the batch's base offset within the
+    * partition. */
+  private def append(p: Int, recs: Seq[KafkaWire.WireRecord]): Long =
+    logs.synchronized {
+      val base = logs(p).size.toLong
       recs.foreach { r =>
         val lsn =
           if (r.key != null && r.key.length == 8)
             java.nio.ByteBuffer.wrap(r.key).getLong
           else -1L
-        log += ((lsn, r.value))
+        logs(p) += ((lsn, r.value))
       }
       base
     }
@@ -122,19 +132,27 @@ final class LoopbackKafkaBroker(
           val reqTopic = readString(req)
           require(reqTopic == topic, s"unknown topic $reqTopic")
           val nParts = req.readInt()
-          require(nParts == 1, s"one-partition topic, got $nParts")
-          require(req.readInt() == 0, "unknown partition")
-          val setLen = req.readInt()
-          val recordSet = new Array[Byte](setLen)
-          req.readFully(recordSet)
-          val recs = KafkaWire.decodeBatches(recordSet) // CRC-verified
-          val baseOffset = append(recs)
+          require(nParts >= 1 && nParts <= nPartitions,
+            s"$nPartitions-partition topic, got $nParts partition sets")
+          // a real producer batches per partition — one request may
+          // carry several partitions' record sets
+          val results = (0 until nParts).map { _ =>
+            val p = req.readInt()
+            require(p >= 0 && p < nPartitions, s"unknown partition $p")
+            val setLen = req.readInt()
+            val recordSet = new Array[Byte](setLen)
+            req.readFully(recordSet)
+            val recs = KafkaWire.decodeBatches(recordSet) // CRC-verified
+            (p, append(p, recs))
+          }
           if (acks != 0) writeResponse(out, h.correlationId, body { o =>
             o.writeInt(1); writeString(o, topic)
-            o.writeInt(1) // partitions
-            o.writeInt(0); o.writeShort(0) // index, error
-            o.writeLong(baseOffset)
-            o.writeLong(-1L) // log_append_time
+            o.writeInt(results.size) // partitions
+            results.foreach { case (p, baseOffset) =>
+              o.writeInt(p); o.writeShort(0) // index, error
+              o.writeLong(baseOffset)
+              o.writeLong(-1L) // log_append_time
+            }
             o.writeInt(0) // throttle_time
           })
         case MetadataKey =>
@@ -147,11 +165,13 @@ final class LoopbackKafkaBroker(
             o.writeInt(1) // topics
             o.writeShort(0); writeString(o, topic)
             o.writeBoolean(false) // is_internal
-            o.writeInt(1) // partitions
-            o.writeShort(0); o.writeInt(0) // error, index
-            o.writeInt(0) // leader
-            o.writeInt(1); o.writeInt(0) // replicas [0]
-            o.writeInt(1); o.writeInt(0) // isr [0]
+            o.writeInt(nPartitions) // partitions
+            (0 until nPartitions).foreach { p =>
+              o.writeShort(0); o.writeInt(p) // error, index
+              o.writeInt(0) // leader
+              o.writeInt(1); o.writeInt(0) // replicas [0]
+              o.writeInt(1); o.writeInt(0) // isr [0]
+            }
           })
         case FetchKey =>
           require(h.apiVersion == 4, s"fetch v${h.apiVersion} not served")
@@ -164,15 +184,19 @@ final class LoopbackKafkaBroker(
           val reqTopic = readString(req)
           require(reqTopic == topic, s"unknown topic $reqTopic")
           val nParts = req.readInt()
-          require(nParts == 1, s"one-partition topic, got $nParts")
+          require(nParts == 1,
+            s"one partition per fetch request, got $nParts — the " +
+              "partition-parallel consumer issues one fetch per " +
+              "partition")
           val partition = req.readInt()
-          require(partition == 0, s"unknown partition $partition")
+          require(partition >= 0 && partition < nPartitions,
+            s"unknown partition $partition")
           val fetchOffset = req.readLong()
           req.readInt() // partition_max_bytes (recordsPerBatch paces)
           val recs = ArrayBuffer.empty[WireRecord]
           var hwm = total
           if (producible) {
-            val snap = logSnapshot()
+            val snap = logSnapshot(partition)
             hwm = snap.size.toLong
             var o = fetchOffset
             while (recs.size < recordsPerBatch && o < snap.size) {
@@ -204,7 +228,7 @@ final class LoopbackKafkaBroker(
               o.writeInt(0) // throttle_time
               o.writeInt(1); writeString(o, topic)
               o.writeInt(1) // partitions
-              o.writeInt(0); o.writeShort(0) // index, error
+              o.writeInt(partition); o.writeShort(0) // index, error
               o.writeLong(hwm) // high_watermark
               o.writeLong(hwm) // last_stable_offset
               o.writeInt(0) // aborted txns

@@ -70,7 +70,8 @@ class KafkaWireSpec extends AnyFunSuite with SparkTestBase {
     assert(broker.failure.isEmpty, s"broker failed: ${broker.failure}")
     assert(stats.reconnects == 1, s"one disconnect expected: $stats")
     assert(stats.watermark == n.toLong)
-    val lake = spark.read.parquet(s"$td/lake").collect()
+    val lake = spark.read.parquet(s"$td/lake")
+      .select("lsn", "data").collect()
       .map(r => (r.getLong(0), new String(r.getAs[Array[Byte]](1), "UTF-8")))
       .sortBy(_._1).toSeq
     assert(lake.size == n, "no duplicates, no losses")
@@ -102,7 +103,8 @@ class KafkaWireSpec extends AnyFunSuite with SparkTestBase {
     broker.stop()
     assert(broker.failure.isEmpty, s"broker failed: ${broker.failure}")
     assert(stats.reconnects >= 1, "the consume-side disconnect must fire")
-    val lake = spark.read.parquet(s"$td/lake").collect()
+    val lake = spark.read.parquet(s"$td/lake")
+      .select("lsn", "data").collect()
       .map(r => (r.getLong(0), new String(r.getAs[Array[Byte]](1), "UTF-8")))
       .sortBy(_._1).toSeq
     assert(lake == frames.map { case (l, b) => (l, new String(b, "UTF-8")) },
@@ -129,6 +131,48 @@ class KafkaWireSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.nonEmpty)
     broker.stop()
+    graft.operators.Checkpointing.deleteRecursively(td)
+  }
+
+  test("multi-partition transport: partition-routed produce, " +
+      "round-robin partition-parallel consume with PER-PARTITION " +
+      "durable watermarks, one partition lagging 10×, a mid-stream " +
+      "disconnect — every partition lands exactly once, the group ack " +
+      "is the minimum watermark") {
+    import graft.streaming.{KafkaCapture, KafkaProduce, LoopbackKafkaBroker}
+    // skewed partition sizes: p2 carries 10× — the lagging partition
+    val sizes = Map(0 -> 120, 1 -> 90, 2 -> 1200)
+    val frames = sizes.toSeq.sortBy(_._1).flatMap { case (p, n) =>
+      (0 until n).map(i => (p, (i + 1).toLong, s"p$p-$i".getBytes("UTF-8")))
+    }
+    val broker = new LoopbackKafkaBroker("mp.wal",
+      () => Iterator.empty, 0L,
+      dropAfterRecords = 200, recordsPerBatch = 64,
+      producible = true, nPartitions = 3).start()
+    val shipped = new KafkaProduce("127.0.0.1", broker.port, "mp.wal",
+      recordsPerBatch = 50).runPartitioned(frames.iterator)
+    assert(shipped == sizes.values.sum.toLong)
+    val td = java.nio.file.Files.createTempDirectory("kafkamp").toString
+    val slots = new graft.cdc.SlotStore(s"$td/slots")
+    (0 to 2).foreach(p => slots.setSlot(s"mp.p$p"))
+    val stats = new KafkaCapture("127.0.0.1", broker.port, "mp.wal", "mp",
+      slots, spark, s"$td/lake", flushEvery = 64,
+      partitions = Seq(0, 1, 2)).run()
+    broker.stop()
+    assert(broker.failure.isEmpty, s"broker failed: ${broker.failure}")
+    assert(stats.reconnects >= 1, "the mid-stream disconnect must fire")
+    assert(stats.perPartition == sizes.map { case (p, n) => p -> n.toLong },
+      s"per-partition watermarks must equal the shipped counts: $stats")
+    assert(stats.watermark == 90L,
+      "the group ack is the MINIMUM per-partition watermark")
+    val lake = spark.read.parquet(s"$td/lake")
+      .select("partition", "lsn", "data").collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        new String(r.getAs[Array[Byte]](2), "UTF-8")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(lake == frames.map { case (p, l, b) =>
+      (p, l, new String(b, "UTF-8")) }.sortBy(t => (t._1, t._2)),
+      "every partition's records exactly once, content intact")
     graft.operators.Checkpointing.deleteRecursively(td)
   }
 }
