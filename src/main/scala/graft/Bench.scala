@@ -88,19 +88,36 @@ object Bench {
     val sealPath = java.nio.file.Paths.get("target/seal.json")
     if (sys.env.get("SPARK_GRAFT_SEAL").contains("1")) try {
       java.nio.file.Files.createDirectories(sealPath.getParent)
+      // PER-KEY SPREAD (r15 — VERDICT item 8): [min, max] across the
+      // seal's passes rides the durable artifact, so a cross-round
+      // per-key claim carries its own noise bar (a "regression" inside
+      // the previous seal's spread is load, not plans) — in seal.json
+      // ONLY, never spliced into the bench line (281 keys × a pair
+      // would overflow the driver's tail-capture window, the
+      // parsed:null failure class).
+      val spread = names.filterNot(errors.contains).map { n =>
+        val v = times(n)
+        s"${jstr(n)}:[${ms(v.min)},${ms(v.max)}]"
+      }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(sealPath,
         s"""{"value":${ms(total)},"runs":$runs,"n_queries":${names.size},""" +
-          s""""n_errors":${errors.size},"sf":${jstr(sfDir)}}""")
+          s""""n_errors":${errors.size},"sf":${jstr(sfDir)},""" +
+          s""""spread":$spread}""")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] seal write failed: ${e.getMessage}")
     }
     val sealCtx = {
-      val shape = ("""\{"value":[0-9.]+,"runs":[0-9]+,"n_queries":[0-9]+,""" +
-        """"n_errors":[0-9]+,"sf":"[^"\\]*"\}""").r
+      // splice ONLY the summary prefix into the bench line — the spread
+      // stays in the file artifact (size, see above); pre-r15 seals
+      // without a spread splice whole
+      val shape = ("""(\{"value":[0-9.]+,"runs":[0-9]+,"n_queries":[0-9]+,""" +
+        """"n_errors":[0-9]+,"sf":"[^"\\]*")(,"spread":\{.*\})?\}""").r
       try {
         if (java.nio.file.Files.exists(sealPath)) {
-          val t = java.nio.file.Files.readString(sealPath).trim
-          if (shape.matches(t)) t else ""
+          java.nio.file.Files.readString(sealPath).trim match {
+            case shape(summary, _) => summary + "}"
+            case _ => ""
+          }
         } else ""
       } catch { case _: Throwable => "" }
     }
