@@ -993,8 +993,14 @@ object SourceQueries {
         val tmp = graft.streaming.StreamGate
           .sessionTempDir("graft-txlog-follow") { td =>
             val dtbl = s"$td/table"
+            // the short name routes the DSv2 MICRO_BATCH_READ path
+            // (r15 — VERDICT item 6): the V2 engine plans per-file
+            // reader partitions over the same changeDirs windows the
+            // V1 source resolves — this gate re-proves the whole
+            // composed loop through V2, hash-identical (the V1
+            // provider-class route stays spec'd in Round13OpsSpec)
             val q = s.readStream
-              .format(classOf[graft.sources.TxLogStreamSourceProvider].getName)
+              .format("txlog")
               .schema(StructType.fromDDL(sinkSchemaDdl))
               .option("path", up)
               .option("maxVersionsPerTrigger", "1").load()

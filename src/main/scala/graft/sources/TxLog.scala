@@ -600,6 +600,101 @@ object TxLog {
     }
   }
 
+  /** [[commitBatch]]'s contract over files ALREADY WRITTEN by executors
+    * (r15 — the DSv2 STREAMING SINK's commit leg): same producer-
+    * transaction idempotence, same foreign-table guards, but the batch
+    * arrives as staged part files (each task wrote its own under the
+    * sink's private dot-dir) instead of a DataFrame to re-write. On a
+    * fresh delivery the staged files are renamed into the producer's
+    * versioned data dir (`b-<appId>-<batchId>`), stats/rows are taken
+    * from a read-back of exactly those bytes, and the commit carries the
+    * txn record + `@adds` feed; the CAS retries against interleaved
+    * FOREIGN commits (OPTIMIZE, a second producer — an append has no
+    * read-set, and the replay watermark re-checked each attempt keeps a
+    * same-appId race loud). A REPLAYED delivery (watermark at-or-above
+    * `batchId`) verifies the recording commit exactly like
+    * [[commitBatch]] and returns false — the caller deletes its staged
+    * bytes. An EMPTY delivery still commits (adds = ∅, txn recorded) so
+    * the watermark advances and a restart can recognize the replay. */
+  private[sources] def commitStagedFiles(s: SparkSession, table: String,
+      stagedFiles: Seq[Path], batchId: Long, appId: String,
+      statsCols: Seq[String], schemaDdl: Option[String]): Boolean = {
+    require(appId.matches("""[A-Za-z0-9._-]+"""),
+      s"appId '$appId' must be a plain path-safe token (it names data dirs)")
+    val name = f"b-$appId-$batchId%010d"
+    var attempts = 0
+    while (true) {
+      val st = planState(s, table) // ONE checkpoint-accelerated walk
+      st.txnWatermarks.get(appId) match {
+        case Some(w) if w >= batchId =>
+          // replay — the same verify ladder as commitBatch
+          st.suffix.find(_.txns.contains(appId -> batchId)) match {
+            case Some(rec) =>
+              val expected = if (rec.adds.isEmpty) Nil else Seq(name)
+              require(rec.adds.map(_.name) == expected,
+                s"$table: '$appId' batch $batchId is recorded at " +
+                  s"v${rec.version} with adds " +
+                  s"[${rec.adds.map(_.name).mkString(",")}], not the " +
+                  s"expected [${expected.mkString(",")}] — this table was " +
+                  "not built by this stream (a fresh checkpoint pointed " +
+                  "at a foreign table under the same appId is a " +
+                  "misconfiguration, not a replay)")
+            case None =>
+              val rewritten = st.liveAdds.exists(a =>
+                RewriteDirRe.matches(a.name))
+              require(rewritten || st.liveAdds.exists(_.name == name),
+                s"$table: '$appId' claims batch $batchId is delivered " +
+                  "(checkpoint-subsumed record) but the snapshot's live " +
+                  s"set carries neither $name nor any compaction rewrite " +
+                  "— a fresh checkpoint was pointed at a foreign table " +
+                  "under the same appId (misconfiguration, not a replay)")
+          }
+          return false
+        case _ =>
+          require(!st.liveAdds.exists(_.name == name),
+            s"$table: data dir $name is already LIVE but '$appId' has no " +
+              s"delivery record for batch $batchId — this table was " +
+              "written by a producer that does not record transactions, " +
+              "or a foreign producer shares the naming; refusing to " +
+              "overwrite live data")
+          val v = st.head.fold(0L)(_ + 1L)
+          val ddl = if (st.schemaDdl.isEmpty) schemaDdl else None
+          val adds =
+            if (stagedFiles.isEmpty) Nil
+            else {
+              val f = fsOf(s, new Path(table))
+              val dst = new Path(table, name)
+              // first attempt moves the bytes; a CAS retry reuses them
+              if (!f.exists(dst)) {
+                require(f.mkdirs(dst), s"$table: cannot create $dst")
+                stagedFiles.foreach(p =>
+                  require(f.rename(p, new Path(dst, p.getName)),
+                    s"$table: cannot move staged $p into $dst"))
+              }
+              val (stats, nRows) =
+                statsAndRows(s.read.parquet(s"$table/$name"), statsCols)
+              Seq(AddFile(name, stats, rows = Some(nRows)))
+            }
+          val committed = tryCommitActions(s, table, v, adds, Nil,
+            schemaDdl = ddl, txns = Seq(appId -> batchId),
+            cdf = Some("@adds"))
+          if (committed) {
+            maybeAutoCheckpoint(s, table, v)
+            return true
+          }
+          attempts += 1
+          require(attempts < 64,
+            s"$table: lost the commit CAS $attempts times delivering " +
+              s"'$appId' batch $batchId — a pathologically hot foreign " +
+              "writer; re-run the batch")
+        // loop: re-plan — the interleaved commit may itself have been
+        // this producer's (a zombie driver); the watermark re-check
+        // above turns that into a verified replay, never a double add
+      }
+    }
+    false // unreachable
+  }
+
   /** WRITE–AUDIT–PUBLISH (r13 — the Iceberg WAP idea): stage `df` as an
     * UNPUBLISHED data dir (the log is the source of truth, so an
     * uncommitted dir is invisible to every reader by construction),
@@ -772,6 +867,43 @@ object TxLog {
       (names.collect { case NameRe(v) => v.toLong } ++
         names.collect { case CkptRe(v) => v.toLong }).maxOption
     }
+  }
+
+  /** TIMESTAMP time travel (r15): resolve a wall-clock instant to the
+    * snapshot version that was CURRENT at that instant — the greatest
+    * surviving commit whose log-file modification time (the commit's
+    * durable timestamp, the same clock [[vacuumOlderThan]] retains by)
+    * is at-or-before `tsMillis`. An instant before the earliest
+    * surviving commit is LOUD with the valid range (the history either
+    * never existed or was checkpoint-truncated — serving the oldest
+    * snapshot would silently misdate it); an instant after the head
+    * reads the head, exactly Delta's `TIMESTAMP AS OF` contract.
+    * Non-monotone mtimes (a clock step between writers) resolve to the
+    * greatest qualifying VERSION, so the answer is always a snapshot
+    * that truly existed at-or-before the instant. */
+  def versionAtTimestamp(s: SparkSession, table: String,
+      tsMillis: Long): Long = {
+    val ld = new Path(table, LogDirName)
+    val f = fsOf(s, ld)
+    require(f.exists(ld), s"$table has no $LogDirName — not a TxLog table")
+    val times: Seq[(Long, Long)] = f.listStatus(ld).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case NameRe(v) => Some(v.toLong -> st.getModificationTime)
+        case _ => None
+      }
+    }
+    require(times.nonEmpty,
+      s"$table: no surviving commit files — the log was fully " +
+        "checkpoint-truncated; timestamp travel needs commit history " +
+        "(read by VERSION at-or-after the checkpoint instead)")
+    val qualifying = times.filter(_._2 <= tsMillis)
+    require(qualifying.nonEmpty, {
+      val (v0, t0) = times.minBy(_._2)
+      s"$table: no commit at-or-before ts=$tsMillis — the earliest " +
+        s"surviving commit is v$v0 at ts=$t0 (earlier history either " +
+        "never existed or is behind a checkpoint truncation)"
+    })
+    qualifying.map(_._1).max
   }
 
   /** Parse one commit body — shared by the full log walk and the
@@ -1406,6 +1538,19 @@ object TxLog {
     * one corruption an incremental consumer can't detect itself. */
   def readChanges(s: SparkSession, table: String, schema: StructType,
       fromVersion: Long, toVersion: Long): DataFrame = {
+    val dirs = changeDirs(s, table, fromVersion, toVersion)
+    if (dirs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    else s.read.schema(schema).parquet(dirs.map(d => s"$table/$d"): _*)
+  }
+
+  /** The data dirs the commits in (`fromVersion`, `toVersion`] added —
+    * [[readChanges]]'s window resolution, shared with the DSv2
+    * micro-batch stream (which plans its own per-file readers over
+    * exactly these dirs, so the V1 and V2 streaming paths CANNOT
+    * drift). */
+  private[sources] def changeDirs(s: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long): Seq[String] = {
     require(fromVersion >= -1L,
       s"$table: fromVersion $fromVersion (use -1 for an initial load)")
     require(fromVersion < toVersion,
@@ -1417,7 +1562,7 @@ object TxLog {
     // reader truncation would strand. planParts validates toVersion ≤
     // head and the suffix's contiguity itself.
     val (base, suffix) = planParts(s, table, Some(toVersion))
-    val dirs: Seq[String] = base match {
+    base match {
       case Some(ck) if fromVersion >= ck.version =>
         // window entirely after the checkpoint: the surviving suffix
         // covers it whether or not older commits were truncated
@@ -1448,9 +1593,6 @@ object TxLog {
       case None =>
         windowAdds(table, suffix, fromVersion, toVersion)
     }
-    if (dirs.isEmpty)
-      s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-    else s.read.schema(schema).parquet(dirs.map(d => s"$table/$d"): _*)
   }
 
   /** The adds of the commits in (from, to], loud on any remove in the

@@ -83,8 +83,14 @@ class TxLogDataSource extends TableProvider with DataSourceRegister
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val s = SparkSession.active
     val table = pathOf(options)
-    TxLog.logSchema(s, table,
-        Option(options.get("versionAsOf")).map(_.toLong))
+    // a table with no log yet has no schema to infer — the STREAMING
+    // SINK's first commit will record the query's schema (r15), so a
+    // not-yet-born target resolves to the empty struct instead of
+    // failing the write before it can create the table; a READ of it
+    // still fails loudly downstream (not a TxLog table)
+    if (TxLog.currentVersion(s, table).isEmpty) new StructType()
+    else TxLog.logSchema(s, table,
+        TxLogDataSource.asOfVersion(s, table, options))
       .getOrElse(throw new IllegalArgumentException(
         s"$table: no schema recorded in the log — declare one with " +
           ".schema(…) (reads are verified against it) or commit with a " +
@@ -92,9 +98,38 @@ class TxLogDataSource extends TableProvider with DataSourceRegister
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new TxLogTable(pathOf(properties), schema,
-      Option(properties.get("versionAsOf")).map(_.toLong))
+      properties: util.Map[String, String]): Table = {
+    val table = pathOf(properties)
+    new TxLogTable(table, schema,
+      TxLogDataSource.asOfVersion(SparkSession.active, table, properties))
+  }
+}
+
+object TxLogDataSource {
+  /** Resolve the read options' time-travel pin to a commit version:
+    * `versionAsOf` is the version itself; `timestampAsOf` (r15 — epoch
+    * millis, or an ISO-8601 instant / `yyyy-MM-dd HH:mm:ss` local
+    * timestamp) resolves through [[TxLog.versionAtTimestamp]] (log-file
+    * mtimes, the same clock time-based vacuum retains by). Setting both
+    * is LOUD — two pins that could disagree must not race. */
+  private[sources] def asOfVersion(s: SparkSession, table: String,
+      options: util.Map[String, String]): Option[Long] = {
+    val v = Option(options.get("versionAsOf"))
+    val t = Option(options.get("timestampAsOf"))
+    require(v.isEmpty || t.isEmpty,
+      s"$table: versionAsOf and timestampAsOf are mutually exclusive — " +
+        "pin the snapshot one way")
+    v.map(_.toLong).orElse(t.map(raw =>
+      TxLog.versionAtTimestamp(s, table, parseTsMillis(raw))))
+  }
+
+  private[sources] def parseTsMillis(raw: String): Long =
+    if (raw.matches("""-?\d+""")) raw.toLong
+    else try java.time.Instant.parse(raw).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        java.sql.Timestamp.valueOf(raw).getTime // yyyy-MM-dd HH:mm:ss
+    }
 }
 
 /** One TxLog table as a DSv2 [[Table]]: batch-readable (with pushdown)
@@ -106,14 +141,20 @@ class TxLogTable(val table: String, tableSchema: StructType,
   override def name(): String =
     asOf.fold(s"txlog:$table")(v => s"txlog:$table@v$v")
 
+  // the streaming progress' sink description is this toString
+  override def toString: String = name()
+
   override def schema(): StructType = tableSchema
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TxLogScanBuilder(SparkSession.active, table, tableSchema, asOf)
+    new TxLogScanBuilder(SparkSession.active, table, tableSchema, asOf,
+      options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -131,6 +172,21 @@ class TxLogTable(val table: String, tableSchema: StructType,
               ()
             }
           }
+
+        /** `writeStream.format("txlog")` (r15) — the exactly-once V2
+          * streaming sink; `appId` defaults to the query's durable id
+          * so one checkpoint = one producer identity. */
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming
+              .StreamingWrite = {
+          require(asOf.isEmpty,
+            s"$table: cannot stream into a time-travel snapshot")
+          val o = info.options()
+          new TxLogStreamingWrite(table, info.schema(),
+            Option(o.get("appId")).getOrElse(s"sw-${info.queryId()}"),
+            Option(o.get("statsCols")).toSeq
+              .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
+        }
       }
     }
 }
@@ -152,7 +208,9 @@ object TxLogScanTelemetry {
   * row-level): envelope pruning is file-granular, so the scan only ever
   * drops whole files the filter provably rejects — never rows. */
 class TxLogScanBuilder(s: SparkSession, table: String, full: StructType,
-    asOf: Option[Long]) extends ScanBuilder
+    asOf: Option[Long],
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
@@ -306,7 +364,8 @@ class TxLogScanBuilder(s: SparkSession, table: String, full: StructType,
 
   override def build(): Scan = pushedCount match {
     case Some(n) => new TxLogCountScan(table, n)
-    case None => new TxLogScan(s, table, full, required, skips, asOf)
+    case None => new TxLogScan(s, table, full, required, skips, asOf,
+      options)
   }
 }
 
@@ -339,10 +398,29 @@ class TxLogCountScan(table: String, n: Long) extends V1Scan {
   * (kept, total) counts, and execution bridges to the batch read of
   * exactly the surviving dirs via [[V1Scan]]. */
 class TxLogScan(s: SparkSession, table: String, full: StructType,
-    required: StructType, skips: Seq[TxLog.Skip], asOf: Option[Long])
+    required: StructType, skips: Seq[TxLog.Skip], asOf: Option[Long],
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends V1Scan {
 
   override def readSchema(): StructType = required
+
+  /** `readStream.format("txlog")` (r15 — VERDICT item 6): the V2
+    * micro-batch engine asks the scan for its stream — offsets =
+    * commit versions over the same changeDirs window resolution as the
+    * V1 source, paced by `maxVersionsPerTrigger`, started at
+    * `startVersion` (default −1: initial load delivers everything). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(asOf.isEmpty,
+      s"$table: cannot stream a time-travel snapshot (versionAsOf)")
+    require(!Option(options.get("feed")).contains("cdf"),
+      s"$table: the cdf feed streams through the V1 source " +
+        "(graft.sources.TxLogStreamSourceProvider) — the V2 path " +
+        "serves the file feed")
+    new TxLogMicroBatchStream(table, full,
+      Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+      Option(options.get("startVersion")).map(_.toLong).getOrElse(-1L))
+  }
 
   override def description(): String = {
     val (kept, total) = plannedCounts
@@ -442,6 +520,16 @@ class TxLogCatalog extends TableCatalog {
   /** `SELECT … FROM t VERSION AS OF <v>` — the SQL time-travel leg. */
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, Some(version.toLong))
+
+  /** `SELECT … FROM t TIMESTAMP AS OF <ts>` (r15) — Spark hands the
+    * instant in MICROseconds since epoch; resolve it to the snapshot
+    * current at that instant via commit-file mtimes
+    * ([[TxLog.versionAtTimestamp]]) and serve that version. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val s = SparkSession.active
+    load(ident, Some(TxLog.versionAtTimestamp(s, dirOf(ident),
+      Math.floorDiv(timestampMicros, 1000L))))
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
