@@ -79,6 +79,11 @@ object SourceQueries {
     * run per (session, lake). */
   private val txlogFollowMemo = new graft.operators.SessionMemo[String]
 
+  /** The downstream table src_txlog_stream_v2 maintains by following
+    * the follow table AGAIN through the native V2 source→sink pair —
+    * one streaming run per (session, lake). */
+  private val txlogV2FollowMemo = new graft.operators.SessionMemo[String]
+
   /** The string/partition-pruned TxLog table for
     * src_txlog_skipping_typed — four event-type-range dirs, adds
     * carrying string envelopes AND partition values. */
@@ -1019,6 +1024,87 @@ object SourceQueries {
           (sum("v4").cast("double") / 10000.0).as("sum_value"),
           sum(pmod(col("event_id"), lit(1000000007L))).as("id_checksum"))
         .orderBy("event_type")
+    }),
+
+    // V2 STREAMING BOTH DIRECTIONS (r15): a THIRD hop of the same feed
+    // — the stream_source follow table is itself followed into another
+    // TxLog table with readStream.format("txlog") →
+    // writeStream.format("txlog"), NO foreachBatch glue anywhere: the
+    // micro-batch source plans per-file readers over commit windows and
+    // the V2 sink's executors encode staged parquet the driver commits
+    // under producer-transaction idempotence (TxLog.commitStagedFiles —
+    // restart replay, zombie files, and interleaved-commit CAS spec'd
+    // in TxLogV2SinkSpec). The oracle is the stream_source oracle
+    // VERBATIM — after three hops (foreachBatch sink → V2 follow → V2
+    // native follow) the table must STILL equal the original events: a
+    // row dropped, duplicated, or corrupted by the native encode/decode
+    // anywhere flips the hash.
+    "src_txlog_stream_v2" -> ((s, dir) => {
+      // depends on the stream_source follow table: run that gate's
+      // builder first (memoized — at most one streaming run per lake)
+      queries("src_txlog_stream_source")(s, dir).collect()
+      val up = txlogFollowMemo.get(s, dir) {
+        throw new IllegalStateException("follow table must be memoized")
+      }
+      val down = txlogV2FollowMemo.get(s, dir) {
+        val tmp = graft.streaming.StreamGate
+          .sessionTempDir("graft-txlog-v2follow") { td =>
+            val dtbl = s"$td/table"
+            val q = s.readStream.format("txlog")
+              .schema(StructType.fromDDL(sinkSchemaDdl))
+              .option("path", up)
+              .option("maxVersionsPerTrigger", "2").load()
+              .writeStream.format("txlog")
+              .option("path", dtbl)
+              .option("statsCols", "ts_us")
+              .option("checkpointLocation", s"$td/ckpt")
+              .start()
+            try q.processAllAvailable() finally q.stop()
+          }
+        s"$tmp/table"
+      }
+      graft.sources.TxLog.read(s, down, StructType.fromDDL(sinkSchemaDdl))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          (sum("v4").cast("double") / 10000.0).as("sum_value"),
+          sum(pmod(col("event_id"), lit(1000000007L))).as("id_checksum"))
+        .orderBy("event_type")
+    }),
+
+    // TIMESTAMP TIME TRAVEL (r15): the same three-snapshot table as
+    // src_txlog_timetravel, read back by INSTANT instead of version —
+    // the gate pins each commit's log-file mtime to a fixed instant
+    // (day 0/1/2 of 2020, the commit's durable timestamp; deterministic
+    // across runs) and reads `timestampAsOf` NOON of each day: noon of
+    // day v resolves to exactly version v (versionAtTimestamp = the
+    // greatest commit at-or-before the instant), so the three
+    // timestamp-pinned reads must hash-equal the three version-pinned
+    // snapshots the oracle replays. Loud boundaries (before-birth
+    // instant, both pins at once) are spec'd in TxLogV2SinkSpec.
+    "src_txlog_timetravel_ts" -> ((s, dir) => {
+      // the same memoized table src_txlog_timetravel builds
+      queries("src_txlog_timetravel")(s, dir).collect()
+      val table = txlogMemo.get(s, dir) {
+        throw new IllegalStateException("doc table must be memoized")
+      }
+      val base = 1577836800000L // 2020-01-01T00:00:00Z
+      val day = 86400000L
+      val f = new org.apache.hadoop.fs.Path(table).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      (0 to 2).foreach(v => f.setTimes(
+        new org.apache.hadoop.fs.Path(f"$table/_log/$v%010d.json"),
+        base + v * day, -1))
+      (0L to 2L).map { v =>
+        val at = base + v * day + day / 2 // noon of day v → version v
+        s.read.format("txlog").schema(docSchema)
+          .option("timestampAsOf", at.toString)
+          .load(table)
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            sum(rowCheck(record)).as("checksum"))
+          .select(lit(v).as("version"), col("n_docs"), col("sum_chars"),
+            col("checksum"))
+      }.reduce(_ unionAll _).orderBy("version")
     }),
 
     // TYPED DATA SKIPPING + PARTITION VALUES (r13 — VERDICT items 2/6):
@@ -2271,6 +2357,38 @@ object SourceQueries {
         |              AS BIGINT) AS DOUBLE) / 10000.0 AS sum_value,
         |       CAST(sum(event_id % 1000000007) AS BIGINT) AS id_checksum
         |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // after the THIRD hop (native V2 source → native V2 sink) the
+    // table must still equal the original events — the stream_source
+    // oracle verbatim, on purpose: the composed loop is the identity
+    "src_txlog_stream_v2" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(CAST(sum(CAST(round(value * 10000) AS BIGINT))
+        |              AS BIGINT) AS DOUBLE) / 10000.0 AS sum_value,
+        |       CAST(sum(event_id % 1000000007) AS BIGINT) AS id_checksum
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // noon of pinned day v must resolve to exactly version v — the
+    // src_txlog_timetravel oracle verbatim: a timestamp-pinned read is
+    // indistinguishable from the version-pinned snapshot it names
+    "src_txlog_timetravel_ts" ->
+      """SELECT CAST(v.version AS BIGINT) AS version,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(('0x' || substr(md5(
+        |                coalesce(doc_id::VARCHAR, chr(1)) || '|' ||
+        |                coalesce(lang, chr(1)) || '|' ||
+        |                coalesce(n_chars::VARCHAR, chr(1)) || '|' ||
+        |                coalesce(text, chr(1))), 1, 12))::BIGINT
+        |                % 1000000007) AS BIGINT) AS checksum
+        |FROM documents d
+        |JOIN (SELECT 0 AS version UNION ALL SELECT 1
+        |      UNION ALL SELECT 2) v
+        |  ON (v.version = 0 AND d.doc_id % 3 = 0)
+        |  OR (v.version = 1 AND d.doc_id % 3 <= 1)
+        |  OR (v.version = 2 AND d.doc_id % 3 >= 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the first-two-types membership replayed over the ORIGINAL events —
