@@ -84,6 +84,12 @@ object SourceQueries {
     * one streaming run per (session, lake). */
   private val txlogV2FollowMemo = new graft.operators.SessionMemo[String]
 
+  /** The restored three-slice table for src_txlog_restore. */
+  private val txlogRestoreMemo = new graft.operators.SessionMemo[String]
+
+  /** The five-verb table src_txlog_history classifies. */
+  private val txlogHistoryMemo = new graft.operators.SessionMemo[String]
+
   /** The string/partition-pruned TxLog table for
     * src_txlog_skipping_typed — four event-type-range dirs, adds
     * carrying string envelopes AND partition values. */
@@ -1105,6 +1111,102 @@ object SourceQueries {
           .select(lit(v).as("version"), col("n_docs"), col("sum_chars"),
             col("checksum"))
       }.reduce(_ unionAll _).orderBy("version")
+    }),
+
+    // RESTORE (r15 — the Delta RESTORE idea): time travel made DURABLE
+    // — a restore commit's live set equals the older snapshot, history
+    // preserved (nothing rewritten; the rolled-back version still
+    // time-travels), appends continue on the restored head. The gate
+    // builds its own three-slice table (v0/v1/v2 = doc_id mod-3 slices,
+    // v2 also compacts v0's dir away — so the restore must both RE-ADD
+    // v1's removed dir and REMOVE v2's), restores to v1, appends slice
+    // 2 again; rows: the restored+appended HEAD (≡ the full corpus —
+    // proving the re-added bytes read back exactly), the PRESERVED v2
+    // snapshot, and each row carries its history-classified operation
+    // (RESTORE from the commit's own recorded op tag; APPEND by shape).
+    // Loud boundaries (restore past vacuum, past head) + stats-envelope
+    // survival are spec'd in TxLogRestoreSpec.
+    "src_txlog_restore" -> ((s, dir) => {
+      import graft.sources.TxLog
+      val table = txlogRestoreMemo.get(s, dir) {
+        val tmp = graft.streaming.StreamGate
+          .sessionTempDir("graft-txlog-restore") { td =>
+            val tbl = s"$td/table"
+            val docs = Tables(s, dir, "documents")
+            def slice(k: Int) =
+              docs.filter(pmod(col("doc_id"), lit(3)) === k)
+            slice(0).write.parquet(s"$tbl/s0")
+            slice(1).write.parquet(s"$tbl/s1")
+            slice(2).write.parquet(s"$tbl/s2")
+            require(TxLog.tryCommit(s, tbl, 0L, Seq("s0"), Nil),
+              "v0 conflicted on a fresh table")
+            require(TxLog.tryCommit(s, tbl, 1L, Seq("s1"), Nil),
+              "v1 conflicted under a single writer")
+            // v2 rewrites s0 away (compaction-shaped) and adds s2: the
+            // restore to v1 must re-add s0 AND remove s2
+            require(TxLog.tryCommit(s, tbl, 2L, Seq("s2"), Seq("s0")),
+              "v2 conflicted under a single writer")
+            require(TxLog.restore(s, tbl, 1L) == 3L,
+              "the restore must commit v3")
+            // life goes on: append slice 2 back on the restored head
+            slice(2).write.parquet(s"$tbl/s2b")
+            require(TxLog.tryCommit(s, tbl, 4L, Seq("s2b"), Nil),
+              "v4 conflicted under a single writer")
+          }
+        s"$tmp/table"
+      }
+      val ops = TxLog.history(s, table)
+        .map(h => h.version -> h.operation).toMap
+      def snap(stage: String, asOf: Option[Long], atV: Long) =
+        TxLog.read(s, table, docSchema, asOf)
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            sum(rowCheck(record)).as("checksum"))
+          .select(lit(stage).as("stage"), lit(ops(atV)).as("operation"),
+            col("n_docs"), col("sum_chars"), col("checksum"))
+      snap("head", None, 4L)
+        .unionAll(snap("v2_preserved", Some(2L), 2L))
+        .orderBy("stage")
+    }),
+
+    // DESCRIBE HISTORY (r15 — the Delta idea): one row per surviving
+    // commit, newest first, operation CLASSIFIED from the commit's own
+    // action shape (rewrite grammars name their verb; restore prefers
+    // the commit's recorded op tag), n_adds/n_removes/rows_added from
+    // the parsed actions — rows_added only when EVERY add recorded
+    // rows. The gate's table walks five verbs (CREATE, append verb,
+    // commitBatch, a delete, restore) and the oracle hand-computes the
+    // expected five rows from the ORIGINAL documents' slice counts —
+    // an engine-side misclassification, a miscounted action, or a
+    // dropped/duplicated history row flips the hash.
+    "src_txlog_history" -> ((s, dir) => {
+      import graft.sources.TxLog
+      val table = txlogHistoryMemo.get(s, dir) {
+        val tmp = graft.streaming.StreamGate
+          .sessionTempDir("graft-txlog-history") { td =>
+            val tbl = s"$td/table"
+            val docs = Tables(s, dir, "documents")
+            def slice(k: Int) =
+              docs.filter(pmod(col("doc_id"), lit(3)) === k)
+            require(TxLog.tryCommitActions(s, tbl, 0L, Nil, Nil,
+              schemaDdl = Some(docSchema.toDDL), cdf = Some("@adds")),
+              "v0 conflicted on a fresh table")
+            require(TxLog.append(slice(0), tbl, "a") == 1L,
+              "the append verb must publish v1")
+            TxLog.commitBatch(slice(1), tbl, 0L) // v2, txn-recorded
+            require(TxLog.tryCommitActions(s, tbl, 3L, Nil, Seq("a"),
+              cdf = None), "v3 conflicted under a single writer")
+            require(TxLog.restore(s, tbl, 2L) == 4L,
+              "the restore must commit v4")
+          }
+        s"$tmp/table"
+      }
+      val sq = s; import sq.implicits._
+      TxLog.history(s, table)
+        .map(h => (h.version, h.operation, h.nAdds, h.nRemoves,
+          h.rowsAdded.getOrElse(0L)))
+        .toDF("version", "operation", "n_adds", "n_removes", "rows_added")
+        .orderBy(col("version").desc)
     }),
 
     // TYPED DATA SKIPPING + PARTITION VALUES (r13 — VERDICT items 2/6):
@@ -2390,6 +2492,50 @@ object SourceQueries {
         |  OR (v.version = 1 AND d.doc_id % 3 <= 1)
         |  OR (v.version = 2 AND d.doc_id % 3 >= 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // head after restore(1)+append(slice 2) ≡ the FULL corpus (the
+    // re-added bytes must read back exactly); the rolled-back v2 ≡
+    // slices 1∪2 (history preserved); each row carries its
+    // history-classified operation (the restore's own recorded tag;
+    // the compaction-shaped v2 classifies as the generic REWRITE)
+    "src_txlog_restore" ->
+      """WITH agg AS (
+        |  SELECT (CASE WHEN m = 0 THEN 'head' ELSE 'v2_preserved' END)
+        |           AS stage,
+        |         (CASE WHEN m = 0 THEN 'APPEND' ELSE 'REWRITE' END)
+        |           AS operation,
+        |         CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |         CAST(sum(('0x' || substr(md5(
+        |                  coalesce(doc_id::VARCHAR, chr(1)) || '|' ||
+        |                  coalesce(lang, chr(1)) || '|' ||
+        |                  coalesce(n_chars::VARCHAR, chr(1)) || '|' ||
+        |                  coalesce(text, chr(1))), 1, 12))::BIGINT
+        |                  % 1000000007) AS BIGINT) AS checksum
+        |  FROM documents d
+        |  JOIN (SELECT 0 AS m UNION ALL SELECT 1) v
+        |    ON (v.m = 0) OR (v.m = 1 AND d.doc_id % 3 >= 1)
+        |  GROUP BY 1, 2)
+        |SELECT * FROM agg ORDER BY stage""".stripMargin,
+
+    // five verbs, five hand-computed rows: rows_added from the
+    // original documents' mod-3 slice counts, operations pinned —
+    // a misclassified verb or miscounted action flips the hash
+    "src_txlog_history" ->
+      """WITH c AS (
+        |  SELECT CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n0,
+        |         CAST(sum(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n1
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT CAST(4 AS BIGINT) AS version, 'RESTORE' AS operation,
+        |         1 AS n_adds, 0 AS n_removes, n0 AS rows_added FROM c
+        |  UNION ALL SELECT 3, 'DELETE', 0, 1, 0 FROM c
+        |  UNION ALL SELECT 2, 'STREAMING_APPEND', 1, 0, n1 FROM c
+        |  UNION ALL SELECT 1, 'APPEND', 1, 0, n0 FROM c
+        |  UNION ALL SELECT 0, 'CREATE', 0, 0, 0 FROM c)
+        |ORDER BY version DESC""".stripMargin,
 
     // the first-two-types membership replayed over the ORIGINAL events —
     // a passing hash proves the partition+string prune dropped only

@@ -182,7 +182,8 @@ object TxLog {
       removes: Seq[String], schemaDdl: Option[String],
       txns: Seq[(String, Long)] = Nil,
       cdf: Option[String] = None,
-      colmap: Option[Map[String, String]] = None)
+      colmap: Option[Map[String, String]] = None,
+      op: Option[String] = None)
 
   private val LogDirName = "_log"
   private val NameRe = """(\d{10})\.json""".r
@@ -201,6 +202,7 @@ object TxLog {
   private val TxnRe = """\{"txn":"((?:[^"\\]|\\.)*)","v":(\d+)\}""".r
   private val CdfRe = """\{"cdf":"((?:[^"\\]|\\.)*)"\}""".r
   private val ColmapRe = """\{"colmap":\{([^{}]*)\}\}""".r
+  private val OpRe = """\{"op":"((?:[^"\\]|\\.)*)"\}""".r
   private val CkptRe = """_ckpt\.(\d{10})\.json""".r
   /** The ACTUAL rewrite-dir grammars the engine's own compaction/merge
     * verbs emit — `opt<v>` ([[optimize]]), `zopt<v>/__slice=n`
@@ -298,13 +300,14 @@ object TxLog {
       schemaDdl: Option[String] = None,
       txns: Seq[(String, Long)] = Nil,
       cdf: Option[String] = None,
-      colmap: Option[Map[String, String]] = None): Boolean = {
+      colmap: Option[Map[String, String]] = None,
+      op: Option[String] = None): Boolean = {
     require(version >= 0, s"negative version $version")
     val ld = new Path(table, LogDirName)
     val f = fsOf(s, ld)
     f.mkdirs(ld)
     writeExclusive(f, ld, f"$version%010d.json", version.toString,
-      schemaDdl, txns, adds, removes, cdf, colmap)
+      schemaDdl, txns, adds, removes, cdf, colmap, op)
   }
 
   /** One add action rendered — shared by commits and checkpoints so the
@@ -332,14 +335,16 @@ object TxLog {
       tag: String, schemaDdl: Option[String], txns: Seq[(String, Long)],
       adds: Seq[AddFile], removes: Seq[String],
       cdf: Option[String] = None,
-      colmap: Option[Map[String, String]] = None): Boolean = {
+      colmap: Option[Map[String, String]] = None,
+      op: Option[String] = None): Boolean = {
     val dest = new Path(ld, destName)
     if (f.exists(dest)) return false // cheap fast-path; the publish re-checks
     val tmp = new Path(ld,
       s".tmp-$tag-${ProcessHandle.current().pid()}-${tmpSeq.incrementAndGet()}")
     val out = f.create(tmp, true)
     try {
-      val body = (schemaDdl.map(d => s"""{"schema":"${esc(d)}"}""").toSeq ++
+      val body = (op.map(o => s"""{"op":"${esc(o)}"}""").toSeq ++
+        schemaDdl.map(d => s"""{"schema":"${esc(d)}"}""").toSeq ++
         colmap.map(m => m.toSeq.sortBy(_._1).map { case (l, p) =>
           s""""${esc(l)}":"${esc(p)}""""
         }.mkString("""{"colmap":{""", ",", "}}")).toSeq ++
@@ -916,9 +921,11 @@ object TxLog {
     var schemaDdl: Option[String] = None
     var cdf: Option[String] = None
     var colmap: Option[Map[String, String]] = None
+    var op: Option[String] = None
     text.split("\n").filter(_.nonEmpty).foreach {
       case SchemaRe(d) => schemaDdl = Some(unesc(d))
       case CdfRe(d) => cdf = Some(unesc(d))
+      case OpRe(o) => op = Some(unesc(o))
       case ColmapRe(body) =>
         val ms = PartEntryRe.findAllMatchIn(body).toSeq
         require(ms.map(_.matched).mkString(",") == body,
@@ -948,7 +955,7 @@ object TxLog {
         s"$table v$v: unrecognized action $other")
     }
     CommitEntry(v, adds.result(), removes.result(), schemaDdl,
-      txns.result(), cdf, colmap)
+      txns.result(), cdf, colmap, op)
   }
 
   private def readLogFile(f: FileSystem, ld: Path, v: Long): String = {
@@ -1175,12 +1182,6 @@ object TxLog {
     }
   }
 
-  /** Commit history as (version, n_adds, n_removes) — the DESCRIBE
-    * HISTORY surface; shares [[commits]]' contiguity and strict-parse
-    * loudness (a torn log must not read as healthy here either). */
-  def history(s: SparkSession, table: String): Seq[(Long, Int, Int)] =
-    commits(s, table).map(e => (e.version, e.adds.size, e.removes.size))
-
   /** The recorded schema governing the snapshot at `asOf` (None = head):
     * the latest `{"schema":…}` record at-or-before it. None on a table
     * whose log never recorded one (pre-r12 tables — caller-supplied
@@ -1318,6 +1319,118 @@ object TxLog {
       vacuum(s, table, retainVersions = (head - horizon).toInt)
     }
     VacuumReport(horizon, doomed, bytes, affected, dryRun)
+  }
+
+  /** RESTORE (r15 — the Delta `RESTORE TABLE … TO VERSION` idea):
+    * commit a NEW version whose live set equals the snapshot at
+    * `toVersion` — time travel made durable, with history PRESERVED
+    * (the rolled-back commits stay readable; nothing is rewritten or
+    * deleted, the restore is itself just one add/remove commit). The
+    * diff is file-level: re-add exactly the target snapshot's dirs that
+    * are no longer live (stats/partition/DV references ride along
+    * unchanged) and remove the current dirs the target lacks. Every
+    * re-added dir must still EXIST — a restore past what vacuum
+    * physically deleted is LOUD with the remedy, never a half-table.
+    * Restoring to the head (or to an identical live set) is a no-op
+    * that commits nothing. The restore commit records NO change feed
+    * (`cdf` None): its row-level change set is a cross-version diff no
+    * marker convention covers, so a feed consumer hits the loud
+    * missing-feed path and re-baselines — correct, never silent.
+    * CAS-retries against concurrent writers (the diff is recomputed
+    * from the new head each attempt). Returns the committed version
+    * (or the head when nothing changed). */
+  def restore(s: SparkSession, table: String, toVersion: Long): Long = {
+    while (true) {
+      val head = currentVersion(s, table).getOrElse(
+        throw new IllegalArgumentException(
+          s"$table: not a TxLog table — nothing to restore"))
+      require(toVersion >= 0 && toVersion <= head,
+        s"$table: restore to v$toVersion but the table head is v$head")
+      if (toVersion == head) return head
+      val target = liveAdds(s, table, Some(toVersion))
+      val cur = liveAdds(s, table, None)
+      val curNames = cur.map(_.name).toSet
+      val tgtNames = target.map(_.name).toSet
+      val adds = target.filterNot(a => curNames(a.name))
+      val removes = cur.map(_.name).filterNot(tgtNames)
+      if (adds.isEmpty && removes.isEmpty) return head
+      val f = fsOf(s, new Path(table))
+      adds.foreach(a => require(f.exists(new Path(table, a.name)),
+        s"$table: restore to v$toVersion needs data dir ${a.name}, " +
+          "which vacuum has physically deleted — that snapshot is gone " +
+          "(restore before vacuuming past it)"))
+      val v = head + 1L
+      if (tryCommitActions(s, table, v, adds, removes,
+        op = Some("RESTORE"))) return v
+      // lost the CAS — recompute the diff from the new head and retry
+    }
+    -1L // unreachable
+  }
+
+  /** One [[history]] row: a surviving commit, classified by its action
+    * shape. `tsMillis` is the log file's modification time (the
+    * commit's durable timestamp — [[versionAtTimestamp]]'s clock). */
+  final case class HistoryRow(version: Long, tsMillis: Long,
+      operation: String, nAdds: Int, nRemoves: Int,
+      rowsAdded: Option[Long], appIds: Seq[String],
+      cdf: Option[String], schemaChange: Boolean)
+
+  /** DESCRIBE HISTORY (r15 — the Delta idea): one row per SURVIVING
+    * commit (checkpoint-truncated history is simply absent — the
+    * checkpoint subsumes it), newest first, with the operation
+    * CLASSIFIED from the commit's own action shape (the log records
+    * actions, not intents — the grammar of the engine's verbs makes the
+    * intent recoverable): rewrite-dir adds name their verb
+    * (OPTIMIZE / ZORDER / MERGE / MATERIALIZE), plain adds are APPEND
+    * (STREAMING_APPEND when a producer-txn record rides along),
+    * add+remove of non-rewrite dirs is a generic REWRITE, removes alone
+    * DELETE, empty commits CREATE / SET_SCHEMA / COLUMN_MAPPING /
+    * STREAMING_EMPTY; a commit carrying its own `{"op":…}` tag (RESTORE
+    * writes one — its shape is ambiguous) reports that tag verbatim.
+    * Driver-side O(surviving commits) metadata — never row data. */
+  def history(s: SparkSession, table: String): Seq[HistoryRow] = {
+    val ld = new Path(table, LogDirName)
+    val f = fsOf(s, ld)
+    require(f.exists(ld), s"$table has no $LogDirName — not a TxLog table")
+    val files = f.listStatus(ld).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case NameRe(v) => Some(v.toLong -> st.getModificationTime)
+        case _ => None
+      }
+    }.sortBy(_._1)
+    require(files.nonEmpty, s"$table: empty $LogDirName")
+    require(files.map(_._1) == (files.head._1 to files.last._1),
+      s"$table: log has a GAP (${files.map(_._1).mkString(",")}) — " +
+        "torn log, refusing to read a partial history")
+    files.map { case (v, ts) =>
+      val e = parseCommit(table, v, readLogFile(f, ld, v))
+      // prefer the commit's own recorded operation tag (restore writes
+      // one — its shape is ambiguous with DELETE/APPEND); classify
+      // legacy/untagged commits from their action shape
+      val op = e.op.getOrElse {
+        if (e.adds.nonEmpty && e.adds.forall(a =>
+            RewriteDirRe.matches(a.name))) {
+          val n = e.adds.head.name
+          if (n.startsWith("zopt")) "ZORDER_OPTIMIZE"
+          else if (n.startsWith("opt")) "OPTIMIZE"
+          else if (n.startsWith("mrg")) "MERGE"
+          else "MATERIALIZE"
+        }
+        else if (e.adds.nonEmpty && e.removes.nonEmpty) "REWRITE"
+        else if (e.adds.nonEmpty)
+          if (e.txns.nonEmpty) "STREAMING_APPEND" else "APPEND"
+        else if (e.removes.nonEmpty) "DELETE"
+        else if (e.colmap.isDefined) "COLUMN_MAPPING"
+        else if (v == 0L && e.schemaDdl.isDefined) "CREATE"
+        else if (e.schemaDdl.isDefined) "SET_SCHEMA"
+        else if (e.txns.nonEmpty) "STREAMING_EMPTY"
+        else "EMPTY"
+      }
+      HistoryRow(v, ts, op, e.adds.size, e.removes.size,
+        Some(e.adds.flatMap(_.rows)).filter(_.size == e.adds.size)
+          .map(_.sum),
+        e.txns.map(_._1).distinct, e.cdf, e.schemaDdl.isDefined)
+    }.reverse
   }
 
   /** Retention for the DERIVED side-state (r13): the parquet manifests

@@ -113,7 +113,9 @@ class TxLogSpec extends AnyFunSuite with SparkTestBase {
     assert(TxLog.tryCommit(spark, t, 0L, Seq("a"), Nil))
     assert(TxLog.tryCommit(spark, t, 1L, Seq("b"), Seq("a")))
     assert(TxLog.tryCommit(spark, t, 2L, Seq("c"), Nil))
-    assert(TxLog.history(spark, t) == Seq((0L, 1, 0), (1L, 1, 1), (2L, 1, 0)))
+    assert(TxLog.history(spark, t).map(h =>
+      (h.version, h.nAdds, h.nRemoves)) ==
+      Seq((2L, 1, 0), (1L, 1, 1), (0L, 1, 0)), "newest first")
     // retain 1 → horizon = v1: "a" (dead at v1 and v2) is deleted;
     // "b"/"c" (live at retained versions) survive
     assert(TxLog.vacuum(spark, t, retainVersions = 1) == Seq("a"))
