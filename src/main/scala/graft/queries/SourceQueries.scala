@@ -84,6 +84,10 @@ object SourceQueries {
     * one streaming run per (session, lake). */
   private val txlogV2FollowMemo = new graft.operators.SessionMemo[String]
 
+  /** The SQL-evolved (rename/drop/re-add) catalog dir for
+    * src_txlog_alter_sql. */
+  private val txlogAlterMemo = new graft.operators.SessionMemo[String]
+
   /** The restored three-slice table for src_txlog_restore. */
   private val txlogRestoreMemo = new graft.operators.SessionMemo[String]
 
@@ -1432,6 +1436,60 @@ object SourceQueries {
         .orderBy("leg", "source")
     }),
 
+    // SQL ALTER TABLE (r15): RENAME / DROP / ADD COLUMN through the
+    // catalog compile onto the column-mapping verbs — rename is O(1)
+    // metadata over stable physical ids (old files read correctly
+    // under the new name, zero rewrite), drop hides bytes, re-adding
+    // a dropped name mints a FRESH physical identity (old bytes can
+    // never leak into the reborn column); INSERT aligns by position
+    // (the SQL contract) then writes PHYSICAL names through the mapped
+    // append, and SELECT / VERSION AS OF route through the mapped read
+    // under each snapshot's OWN map. The gate's whole evolution is pure
+    // SQL: create → insert corpus → rename n_chars→chars → insert
+    // mod-13 echo → drop lang → re-add lang → insert mod-17 echo with
+    // real langs; legs = the head (reborn lang NULL for every
+    // pre-re-add row, real for the last insert) and VERSION AS OF 3
+    // (original langs, renamed chars) vs the relational replay.
+    "src_txlog_alter_sql" -> ((s, dir) => {
+      val tmp = txlogAlterMemo.get(s, dir) {
+        graft.streaming.StreamGate
+          .sessionTempDir("graft-txlog-alter") { td =>
+            val cat = s"graftalter_${math.abs(td.hashCode).toString}"
+            s.conf.set(s"spark.sql.catalog.$cat",
+              classOf[graft.sources.TxLogCatalog].getName)
+            s.conf.set(s"spark.sql.catalog.$cat.root", td)
+            val docs = Tables(s, dir, "documents")
+            val off = docs.agg(max("doc_id")).head().getLong(0) + 1L
+            docs.select("doc_id", "lang", "source", "n_chars")
+              .createOrReplaceTempView("graft_alter_docs")
+            s.sql(s"CREATE TABLE $cat.t (doc_id BIGINT, lang STRING, " +
+              "source STRING, n_chars BIGINT) USING txlog")
+            s.sql(s"INSERT INTO $cat.t SELECT doc_id, lang, source, " +
+              "n_chars FROM graft_alter_docs")
+            s.sql(s"ALTER TABLE $cat.t RENAME COLUMN n_chars TO chars")
+            s.sql(s"INSERT INTO $cat.t SELECT doc_id + $off, lang, " +
+              "source, n_chars FROM graft_alter_docs WHERE doc_id % 13 = 0")
+            s.sql(s"ALTER TABLE $cat.t DROP COLUMN lang")
+            s.sql(s"ALTER TABLE $cat.t ADD COLUMN lang STRING")
+            s.sql(s"INSERT INTO $cat.t SELECT doc_id + ${2 * off}, " +
+              "source, n_chars, lang FROM graft_alter_docs " +
+              "WHERE doc_id % 17 = 0")
+          }
+      }
+      val cat = s"graftalter_${math.abs(tmp.hashCode).toString}"
+      def aggOf(leg: String, df: DataFrame) =
+        df.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("chars").as("sum_chars"),
+            sum(rowCheck(concat_ws("|", f(col("doc_id")), f(col("lang")),
+              f(col("chars"))))).as("checksum"))
+          .select(lit(leg).as("leg"), col("source"), col("n_docs"),
+            col("sum_chars"), col("checksum"))
+      aggOf("head", s.sql(s"SELECT * FROM $cat.t"))
+        .unionAll(aggOf("v3",
+          s.sql(s"SELECT * FROM $cat.t VERSION AS OF 3")))
+        .orderBy("leg", "source")
+    }),
+
     // SQL UPDATE / DELETE (r15 — VERDICT item 1, the front door's DML
     // statements): resolved DeleteFromTable / UpdateTable plans over a
     // TxLog target are intercepted at resolution and compiled onto the
@@ -2492,6 +2550,39 @@ object SourceQueries {
         |  OR (v.version = 1 AND d.doc_id % 3 <= 1)
         |  OR (v.version = 2 AND d.doc_id % 3 >= 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the pure-SQL evolution replayed relationally: head = corpus +
+    // mod-13 echo (reborn lang NULL) + mod-17 echo (real lang);
+    // VERSION AS OF 3 = corpus + mod-13 echo under the ORIGINAL langs
+    // and the renamed chars — wrong bytes under a reborn column, a
+    // mis-mapped rename, or a positional INSERT misalignment all flip
+    // the hash
+    "src_txlog_alter_sql" ->
+      """WITH m AS (SELECT max(doc_id) + 1 AS off FROM documents),
+        |base AS (SELECT doc_id, lang, source, n_chars AS chars
+        |         FROM documents),
+        |a13 AS (SELECT d.doc_id + m.off AS doc_id, d.lang, d.source,
+        |               d.n_chars AS chars
+        |        FROM documents d, m WHERE d.doc_id % 13 = 0),
+        |a17 AS (SELECT d.doc_id + 2 * m.off AS doc_id, d.lang, d.source,
+        |               d.n_chars AS chars
+        |        FROM documents d, m WHERE d.doc_id % 17 = 0),
+        |v3 AS (SELECT * FROM base UNION ALL SELECT * FROM a13),
+        |legs AS (
+        |  SELECT 'head' AS leg, doc_id, NULL AS lang, source, chars
+        |  FROM v3
+        |  UNION ALL
+        |  SELECT 'head', doc_id, lang, source, chars FROM a17
+        |  UNION ALL
+        |  SELECT 'v3', doc_id, lang, source, chars FROM v3)
+        |SELECT leg, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(('0x' || substr(md5(
+        |                coalesce(doc_id::VARCHAR, chr(1)) || '|' ||
+        |                coalesce(lang, chr(1)) || '|' ||
+        |                coalesce(chars::VARCHAR, chr(1))), 1, 12))::BIGINT
+        |                % 1000000007) AS BIGINT) AS checksum
+        |FROM legs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // head after restore(1)+append(slice 2) ≡ the FULL corpus (the
     // re-added bytes must read back exactly); the rolled-back v2 ≡

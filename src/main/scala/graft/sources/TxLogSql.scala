@@ -167,8 +167,23 @@ class TxLogTable(val table: String, tableSchema: StructType,
                   "append-only history; use the merge/optimize verbs")
               require(asOf.isEmpty,
                 s"$table: cannot INSERT into a time-travel snapshot")
-              TxLog.append(data, table,
-                s"ins-${util.UUID.randomUUID().toString.take(12)}")
+              val name = s"ins-${util.UUID.randomUUID().toString.take(12)}"
+              val s = SparkSession.active
+              // SQL INSERT resolves columns BY POSITION — the incoming
+              // frame carries the query's names; align them to the
+              // table's logical schema before any by-name routing
+              val logical = TxLog.logSchema(s, table)
+              val aligned = logical match {
+                case Some(sch) if sch.fields.length == data.columns.length =>
+                  data.toDF(sch.fieldNames.toIndexedSeq: _*)
+                case _ => data
+              }
+              // a COLUMN-MAPPED table stores physical names (r15):
+              // route through the mapped append so files written before
+              // and after a rename share one physical history
+              if (TxLog.logColmap(s, table).isDefined)
+                TxLog.appendMapped(aligned, table, name)
+              else TxLog.append(aligned, table, name)
               ()
             }
           }
@@ -443,9 +458,20 @@ class TxLogScan(s: SparkSession, table: String, full: StructType,
       override def buildScan(): RDD[Row] = {
         // the inner read re-prunes with the same skips (idempotent) and
         // projects the required columns only — parquet footer pushdown
-        // and whole-stage codegen apply inside this plan untouched
+        // and whole-stage codegen apply inside this plan untouched.
+        // COLUMN-MAPPED tables (r15) route through readMapped: the scan
+        // asks for LOGICAL names; the mapped read resolves them to the
+        // files' stable physical identities (a plain read would refuse)
+        val mapped = TxLog.logColmap(s, table, asOf).isDefined
         val base =
-          if (required.fields.nonEmpty)
+          if (mapped) {
+            val all = TxLog.readMapped(s, table, asOf, skips)
+            if (required.fields.nonEmpty)
+              all.select(required.fields.map(f =>
+                org.apache.spark.sql.functions.col(f.name)).toSeq: _*)
+            else all.select()
+          }
+          else if (required.fields.nonEmpty)
             TxLog.read(s, table, required, asOf, skips)
           else // 0-column scans (COUNT(*)) still need the row count
             TxLog.read(s, table, StructType(full.fields.take(1)), asOf,
@@ -551,11 +577,44 @@ class TxLogCatalog extends TableCatalog {
     new TxLogTable(dirOf(ident), schema, None)
   }
 
+  /** `ALTER TABLE … RENAME/DROP/ADD COLUMN` (r15) — compiled onto the
+    * column-mapping verbs: rename is O(1) metadata (old files read
+    * correctly under the new name, zero rewrite), drop hides the bytes
+    * without rewrite, re-adding a dropped name mints a fresh physical
+    * identity so the old bytes can never leak back. Nested fields,
+    * positioned adds, type/nullability changes and property changes
+    * are LOUD — the log records evolution through commits, not
+    * arbitrary catalog mutations. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"${dirOf(ident)}: ALTER TABLE is not offered — schema evolution " +
-        "is recorded by commits (write with the new schema)")
+      changes: TableChange*): Table = {
+    val s = SparkSession.active
+    val dir = dirOf(ident)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          s"$dir: RENAME of a nested field is not offered")
+        TxLog.renameColumn(s, dir, r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          s"$dir: DROP of a nested field is not offered")
+        TxLog.dropColumn(s, dir, d.fieldNames()(0))
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"$dir: ADD of a nested field is not offered")
+        require(a.position() == null,
+          s"$dir: positioned ADD COLUMN (FIRST/AFTER) is not offered — " +
+            "new columns append at the end")
+        require(a.isNullable,
+          s"$dir: ADD COLUMN must be nullable — files written before " +
+            "the evolution read the new column as null")
+        TxLog.addColumn(s, dir, a.fieldNames()(0), a.dataType().sql)
+      case other => throw new UnsupportedOperationException(
+        s"$dir: ALTER TABLE change ${other.getClass.getSimpleName} is " +
+          "not offered — rename/drop/add column are the supported " +
+          "evolutions")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val s = SparkSession.active
