@@ -88,6 +88,10 @@ object SourceQueries {
     * src_txlog_alter_sql. */
   private val txlogAlterMemo = new graft.operators.SessionMemo[String]
 
+  /** The CALL-built (optimize+restore) catalog dir for
+    * src_txlog_proc_sql. */
+  private val txlogProcMemo = new graft.operators.SessionMemo[String]
+
   /** The restored three-slice table for src_txlog_restore. */
   private val txlogRestoreMemo = new graft.operators.SessionMemo[String]
 
@@ -1490,6 +1494,49 @@ object SourceQueries {
         .orderBy("leg", "source")
     }),
 
+    // SQL STORED PROCEDURES (r15 — Spark 4's DSv2 CALL surface, the
+    // Iceberg `CALL catalog.system.…` convention): every maintenance
+    // verb is SQL-callable through the catalog — optimize, vacuum,
+    // vacuum_older_than (dry-run report), restore, checkpoint, history
+    // — each returning its result rows through a driver-local scan.
+    // The gate's WHOLE walk is pure SQL: create → two inserts → CALL
+    // optimize (returns the committed version) → CALL restore back to
+    // v2 (re-adds the two insert dirs, removes the packed one) → CALL
+    // history, whose classified rows the oracle hand-computes from the
+    // documents' slice counts — a wrong version, misclassified verb,
+    // miscounted action, or unrecorded row count flips the hash.
+    "src_txlog_proc_sql" -> ((s, dir) => {
+      val tmp = txlogProcMemo.get(s, dir) {
+        graft.streaming.StreamGate
+          .sessionTempDir("graft-txlog-proc") { td =>
+            val cat = s"graftprocq_${math.abs(td.hashCode).toString}"
+            s.conf.set(s"spark.sql.catalog.$cat",
+              classOf[graft.sources.TxLogCatalog].getName)
+            s.conf.set(s"spark.sql.catalog.$cat.root", td)
+            val docs = Tables(s, dir, "documents")
+              .select("doc_id", "lang", "source", "n_chars")
+            docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+              .createOrReplaceTempView("graft_proc_s0")
+            docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+              .createOrReplaceTempView("graft_proc_s1")
+            s.sql(s"CREATE TABLE $cat.t (doc_id BIGINT, lang STRING, " +
+              "source STRING, n_chars BIGINT) USING txlog")
+            s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_proc_s0")
+            s.sql(s"INSERT INTO $cat.t SELECT * FROM graft_proc_s1")
+            require(s.sql(s"CALL $cat.system.optimize('t')")
+              .head().getLong(0) == 3L, "optimize must commit v3")
+            require(s.sql(s"CALL $cat.system.restore('t', 2)")
+              .head().getLong(1) == 4L, "restore must commit v4")
+          }
+      }
+      val cat = s"graftprocq_${math.abs(tmp.hashCode).toString}"
+      s.sql(s"CALL $cat.system.history('t')")
+        .select(col("version"), col("operation"), col("n_adds"),
+          col("n_removes"),
+          coalesce(col("rows_added"), lit(-1L)).as("rows_added"))
+        .orderBy(col("version").desc)
+    }),
+
     // SQL UPDATE / DELETE (r15 — VERDICT item 1, the front door's DML
     // statements): resolved DeleteFromTable / UpdateTable plans over a
     // TxLog target are intercepted at resolution and compiled onto the
@@ -2550,6 +2597,27 @@ object SourceQueries {
         |  OR (v.version = 1 AND d.doc_id % 3 <= 1)
         |  OR (v.version = 2 AND d.doc_id % 3 >= 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the CALL walk's classified history, hand-computed from the
+    // documents' mod-3 slice counts (the optimize/restore add/remove
+    // shapes are pinned by the verbs' own grammars)
+    "src_txlog_proc_sql" ->
+      """WITH c AS (
+        |  SELECT CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n0,
+        |         CAST(sum(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n1
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT CAST(4 AS BIGINT) AS version, 'RESTORE' AS operation,
+        |         2 AS n_adds, 1 AS n_removes,
+        |         CAST(n0 + n1 AS BIGINT) AS rows_added FROM c
+        |  UNION ALL SELECT 3, 'OPTIMIZE', 1, 2, CAST(n0 + n1 AS BIGINT)
+        |    FROM c
+        |  UNION ALL SELECT 2, 'APPEND', 1, 0, n1 FROM c
+        |  UNION ALL SELECT 1, 'APPEND', 1, 0, n0 FROM c
+        |  UNION ALL SELECT 0, 'CREATE', 0, 0, 0 FROM c)
+        |ORDER BY version DESC""".stripMargin,
 
     // the pure-SQL evolution replayed relationally: head = corpus +
     // mod-13 echo (reborn lang NULL) + mod-17 echo (real lang);

@@ -489,10 +489,25 @@ class TxLogScan(s: SparkSession, table: String, full: StructType,
   * `<dir>/ns1/ns2/t`. Read/time-travel/create/insert/drop are wired;
   * alter/rename are loudly unsupported (the log records schema
   * evolution through commits, not catalog mutations). */
-class TxLogCatalog extends TableCatalog {
+class TxLogCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
+
+  /** `CALL <cat>.system.<proc>(…)` (r15) — the maintenance verbs as
+    * SQL stored procedures (optimize / vacuum / vacuum_older_than /
+    * restore / checkpoint / history); see [[TxLogProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure =
+    TxLogProcedures.load(catalogName, root, ident)
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (!namespace.sameElements(Array("system"))) Array.empty
+    else TxLogProcedures.names
+      .map(n => Identifier.of(Array("system"), n)).toArray
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
