@@ -38,8 +38,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * LOUD with the available names. */
 object TxLogProcedures {
 
-  val names: Seq[String] = Seq("optimize", "vacuum", "vacuum_older_than",
-    "restore", "checkpoint", "history")
+  val names: Seq[String] = Seq("optimize", "zorder", "vacuum",
+    "vacuum_older_than", "vacuum_derived", "restore", "checkpoint",
+    "write_manifest", "history")
 
   def load(catalogName: String, root: String,
       ident: Identifier): UnboundProcedure = {
@@ -57,6 +58,36 @@ object TxLogProcedures {
             TxLog.logSchema(s, dirOf(str(in, 0))))
           Array(row(v.map(Long.box).orNull))
         })
+      case "zorder" => proc("zorder",
+        "rewrite into n z-order-clustered dirs over the given columns " +
+          "(comma-separated) — multi-dimensional data skipping",
+        Seq("table" -> StringType, "columns" -> StringType,
+          "n_dirs" -> IntegerType),
+        StructType(Seq(StructField("committed_version", LongType))),
+        (s, in) => {
+          val t = dirOf(str(in, 0))
+          val sch = TxLog.logSchema(s, t).getOrElse(
+            throw new IllegalArgumentException(
+              s"$t: zorder needs a recorded schema"))
+          val v = TxLog.optimizeClustered(s, t, sch,
+            str(in, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+            in.getInt(2))
+          Array(row(v.map(Long.box).orNull))
+        })
+      case "vacuum_derived" => proc("vacuum_derived",
+        "reclaim stale manifests, consumed change-feed dirs, and " +
+          "superseded deletion vectors",
+        Seq("table" -> StringType, "retain_change_versions" -> IntegerType),
+        StructType(Seq(StructField("deleted", StringType))),
+        (s, in) => TxLog.vacuumDerived(s, dirOf(str(in, 0)), in.getInt(1))
+          .map(d => row(UTF8String.fromString(d))).toArray)
+      case "write_manifest" => proc("write_manifest",
+        "materialize the head's live add-set as the parquet manifest " +
+          "(incremental when one exists)",
+        Seq("table" -> StringType),
+        StructType(Seq(StructField("manifest_version", LongType))),
+        (s, in) => Array(row(Long.box(
+          TxLog.writeManifestIncremental(s, dirOf(str(in, 0)))))))
       case "vacuum" => proc("vacuum",
         "physically delete dirs dead at every retained version",
         Seq("table" -> StringType, "retain_versions" -> IntegerType),

@@ -423,7 +423,10 @@ class TxLogScan(s: SparkSession, table: String, full: StructType,
     * micro-batch engine asks the scan for its stream — offsets =
     * commit versions over the same changeDirs window resolution as the
     * V1 source, paced by `maxVersionsPerTrigger`, started at
-    * `startVersion` (default −1: initial load delivers everything). */
+    * `startVersion` (default −1: initial load delivers everything) or
+    * `startTimestamp` (deliver every commit whose durable instant is
+    * at-or-after it — the Delta startingTimestamp idea, same clock as
+    * timestampAsOf). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(asOf.isEmpty,
@@ -432,9 +435,21 @@ class TxLogScan(s: SparkSession, table: String, full: StructType,
       s"$table: the cdf feed streams through the V1 source " +
         "(graft.sources.TxLogStreamSourceProvider) — the V2 path " +
         "serves the file feed")
+    val startTs = Option(options.get("startTimestamp"))
+      .map(TxLogDataSource.parseTsMillis)
+    require(startTs.isEmpty || options.get("startVersion") == null,
+      s"$table: startVersion and startTimestamp are mutually exclusive")
+    val startVersion = Option(options.get("startVersion")).map(_.toLong)
+      .orElse(startTs.map { ts =>
+        // start offset = the snapshot strictly BEFORE the instant, so
+        // every commit at-or-after it is delivered; an instant before
+        // the whole surviving history starts at −1 (deliver everything)
+        try TxLog.versionAtTimestamp(s, table, ts - 1L)
+        catch { case _: IllegalArgumentException => -1L }
+      }).getOrElse(-1L)
     new TxLogMicroBatchStream(table, full,
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
-      Option(options.get("startVersion")).map(_.toLong).getOrElse(-1L))
+      startVersion)
   }
 
   override def description(): String = {

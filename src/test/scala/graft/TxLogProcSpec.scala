@@ -47,6 +47,28 @@ class TxLogProcSpec extends AnyFunSuite with SparkTestBase {
       1L -> "APPEND", 0L -> "CREATE"), s"got $ops")
   }
 
+  test("CALL zorder clusters, write_manifest materializes the head's " +
+      "manifest, vacuum_derived reclaims the stale one") {
+    val (cat, root) = freshCat()
+    build(cat)
+    val zv = spark.sql(s"CALL $cat.system.zorder('t', 'x,y', 2)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(zv == Seq(3L), s"zorder must commit v3, got $zv")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0)
+      == 15L)
+    val m1 = spark.sql(s"CALL $cat.system.write_manifest('t')")
+      .head().getLong(0)
+    assert(m1 == 3L, "the manifest names the manifested head")
+    Seq((200L, 1L)).toDF("x", "y").createOrReplaceTempView("proc_v3")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM proc_v3")
+    assert(spark.sql(s"CALL $cat.system.write_manifest('t')")
+      .head().getLong(0) == 4L)
+    val gone = spark.sql(s"CALL $cat.system.vacuum_derived('t', 16)")
+      .collect().map(_.getString(0)).toSeq
+    assert(gone.exists(_.contains("_manifest/v0000000003")),
+      s"the stale v3 manifest must be reclaimed, got $gone")
+  }
+
   test("CALL vacuum deletes superseded dirs; vacuum_older_than " +
       "dry-run reports and changes nothing; checkpoint returns the " +
       "head; unknown procedures are loud with the available names") {

@@ -101,6 +101,44 @@ class TxLogV2StreamSpec extends AnyFunSuite with SparkTestBase {
     graft.operators.Checkpointing.deleteRecursively(td)
   }
 
+  test("startTimestamp delivers every commit at-or-after the instant " +
+      "(the Delta startingTimestamp idea); an instant before the " +
+      "history delivers everything; both start pins at once is loud") {
+    val t = freshTable()
+    (0 to 2).foreach(v => commitRange(t, v, v * 10L, v * 10L + 10L))
+    val base = 1577836800000L // 2020-01-01T00:00:00Z
+    (0 to 2).foreach { v =>
+      val p = new org.apache.hadoop.fs.Path(f"$t/_log/$v%010d.json")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .setTimes(p, base + v * 1000L, -1)
+    }
+    def collectFrom(opts: Map[String, String]): Seq[Long] = {
+      val td = java.nio.file.Files.createTempDirectory("v2ts").toString
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var r = spark.readStream.format("txlog")
+        .schema(xySchema).option("path", t)
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load()
+        .writeStream.option("checkpointLocation", s"$td/ckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          got ++= b.collect().map(_.getLong(0)); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      graft.operators.Checkpointing.deleteRecursively(td)
+      got.sorted.toSeq
+    }
+    assert(collectFrom(Map("startTimestamp" -> (base + 1000L).toString))
+      == (10L until 30L), "commits at-or-after the instant: v1 and v2")
+    assert(collectFrom(Map("startTimestamp" -> (base - 5000L).toString))
+      == (0L until 30L), "before the whole history: everything")
+    val e = intercept[Exception] {
+      collectFrom(Map("startTimestamp" -> "0", "startVersion" -> "1"))
+    }
+    assert(e.getMessage.contains("mutually exclusive") ||
+      Option(e.getCause).exists(_.getMessage.contains("mutually exclusive")),
+      s"got $e")
+  }
+
   test("loud boundaries: cdf feed and unsupported column types refuse " +
       "the V2 path with the V1 remedy") {
     val t = freshTable()
