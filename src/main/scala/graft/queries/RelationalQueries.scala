@@ -1478,12 +1478,20 @@ object RelationalQueries {
     // replayable integer rank math verbatim. Exact unioned-row percentile
     // audits ride at gate SF (the q_hll_union audit posture).
     "q_histogram_union" -> ((s, dir) => {
-      val hist = graft.operators.Checkpointing.cut(t(s, dir, "lineitem")
+      // ONE corpus scan (r15, guide §2.3/§2.4 — before this round the
+      // sketch leg and BOTH exact-audit consumers each rescanned lineitem:
+      // 3 corpus scans + 2 pair-replicated joins): the per-(seg, cents)
+      // distinct-value table is built once and lineage-cut; the bucket
+      // histogram, the pair-merged sketch, and the exact audit all derive
+      // from it, so nothing downstream ever touches corpus rows again.
+      val vals = graft.operators.Checkpointing.cut(t(s, dir, "lineitem")
         .select(col("l_returnflag").as("seg"),
           round(col("l_extendedprice") * 100).cast("long").as("vc"))
+        .groupBy("seg", "vc").agg(count(lit(1)).as("c")))
+      val hist = vals
         .groupBy(col("seg"), shiftright(col("vc"), 16).as("b"))
-        .agg(count(lit(1)).as("cnt")))
-      val segs = hist.select("seg").distinct()
+        .agg(sum("c").as("cnt"))
+      val segs = vals.select("seg").distinct()
       val pairs = segs.select(col("seg").as("seg_a"))
         .crossJoin(segs.select(col("seg").as("seg_b")))
         .filter(col("seg_a") < col("seg_b"))
@@ -1492,10 +1500,16 @@ object RelationalQueries {
       val merged = hist.join(broadcast(pairs), "seg")
         .groupBy("seg_a", "seg_b", "b").agg(sum("cnt").as("cnt"))
       val wC = Window.partitionBy("seg_a", "seg_b").orderBy("b")
+      // the pair total n = the LAST cumulative value — a max-window over
+      // the same (seg_a, seg_b) partitioning the cumsum already
+      // established, so it rides the SAME exchange+sort instead of a
+      // second aggregation of `merged` joined back (r15: "2 computations
+      // of merged + 1 join" → "1 computation, 0 joins")
+      val wP = Window.partitionBy("seg_a", "seg_b")
       val cum = merged
         .withColumn("cum", sum("cnt").over(wC))
         .withColumn("cum_before", col("cum") - col("cnt"))
-      val tot = merged.groupBy("seg_a", "seg_b").agg(sum("cnt").as("n"))
+        .withColumn("n", max("cum").over(wP))
       def pick(q20: Int) = {
         val tgt = col("n") * q20
         max(when(col("cum") * 20 >= tgt && col("cum_before") * 20 < tgt,
@@ -1503,7 +1517,7 @@ object RelationalQueries {
             lit(65536.0) * (tgt - col("cum_before") * 20).cast("double") /
               (col("cnt") * 20).cast("double")) / lit(100.0)))
       }
-      val sk = cum.join(tot, Seq("seg_a", "seg_b"))
+      val sk = cum
         .groupBy("seg_a", "seg_b")
         .agg(max("n").as("n_union"), pick(10).as("h50"), pick(19).as("h95"))
       // Exact audit via the SAME replayable integer rank math as the
@@ -1515,15 +1529,17 @@ object RelationalQueries {
       // a distinct-value cumsum (no full sort), and both engines perform
       // the identical integer→double division, so the hash gate never
       // rides on two percentile implementations agreeing to the last ulp.
-      val exv = t(s, dir, "lineitem")
-        .select(col("l_returnflag").as("seg"),
-          round(col("l_extendedprice") * 100).cast("long").as("vc"))
+      // exact audit from the SAME cut distinct-value table (was: a second
+      // and third corpus scan + pair-replicated row joins); the pair total
+      // `en` is again the max-cumulative window on the established
+      // partitioning, not a re-aggregation joined back
+      val exv = vals
         .join(broadcast(pairs), "seg")
-        .groupBy("seg_a", "seg_b", "vc").agg(count(lit(1)).as("c"))
+        .groupBy("seg_a", "seg_b", "vc").agg(sum("c").as("c"))
       val wV = Window.partitionBy("seg_a", "seg_b").orderBy("vc")
       val exCum = exv.withColumn("ecum", sum("c").over(wV))
         .withColumn("ecum_before", col("ecum") - col("c"))
-      val exTot = exv.groupBy("seg_a", "seg_b").agg(sum("c").as("en"))
+        .withColumn("en", max("ecum").over(wP))
       def ostat(rank1: org.apache.spark.sql.Column) =
         max(when(col("ecum_before") < rank1 && col("ecum") >= rank1, col("vc")))
       def exactP(a: Int) = {
@@ -1534,7 +1550,7 @@ object RelationalQueries {
         ((lo * (lit(20) - max(r)) + hi * max(r)) * lit(5L))
           .cast("double") / lit(10000.0)
       }
-      val exact = exCum.join(exTot, Seq("seg_a", "seg_b"))
+      val exact = exCum
         .groupBy("seg_a", "seg_b")
         .agg(exactP(10).as("p50d"), exactP(19).as("p95d"))
       sk.join(exact, Seq("seg_a", "seg_b"))
