@@ -2233,8 +2233,16 @@ object RelationalQueries {
       // is the two-level PrefixSum (range partition + broadcast offsets),
       // never a per-flag window whose 3 reducers would each sort a third
       // of the lake
+      // ONE corpus scan (r15, guide §2.3/§2.4 — the two marginal rank
+      // tables and the joint table each rescanned lineitem, and PrefixSum's
+      // range-partition sampling pass re-executed each marginal aggregate a
+      // second time): the joint (flag, x, y) multiplicity table is built
+      // once and lineage-cut; both marginals and the pair table derive
+      // from it, so everything downstream aggregates the cut artifact.
+      val joint = graft.operators.Checkpointing.cut(
+        base.groupBy("flag", "x", "y").agg(count(lit(1)).as("m")))
       def halfRanks(c: String) = {
-        val cnts = base.groupBy("flag", c).agg(count(lit(1)).as("cnt"))
+        val cnts = joint.groupBy("flag", c).agg(sum("m").as("cnt"))
         graft.operators.PrefixSum
           .cumSum(cnts, "flag", Seq(col(c)), "cnt", "cum")
           // avg rank ×2 = 2·cum_before + cnt + 1 = 2·cum − cnt + 1
@@ -2243,7 +2251,7 @@ object RelationalQueries {
       }
       val rxT = halfRanks("x")
       val ryT = halfRanks("y")
-      val pairs = base.groupBy("flag", "x", "y").agg(count(lit(1)).as("m"))
+      val pairs = joint
         .join(rxT, Seq("flag", "x"))
         .join(ryT, Seq("flag", "y"))
       // exact degeneracy guard WITHOUT the O(n⁴) product n·sxx − sx²

@@ -473,15 +473,24 @@ object VectorQueries {
           .select(col("q_id"), col("neighbor_id").as("vec_id")))
         .filter(col("vec_id") =!= col("q_id"))
         .distinct()
-      val scored = sv.join(broadcast(cand), "vec_id")
-        .join(broadcast(q), "q_id")
-        .select(col("q_id"), col("vec_id"),
-          round(graft.plans.CosineSim.cosine(s, col("q_emb"), col("embedding")), 4)
-            .as("cos"))
+      // the lineage cut moved from the beam to the SCORED pairs (r15,
+      // guide §1.2 — don't compute things twice): the sweep's n_scored
+      // audit re-executed every hop's candidate joins against the vector
+      // store a second time (the cut beam hid the top-k but not the
+      // scoring subtree feeding scoredAll). Cutting `scored` materializes
+      // the O(queries × beam × degree) pair table once per hop; the top-k
+      // that feeds the next hop is a bounded-heap agg over that artifact,
+      // cheap to recompute for its two consumers, and the audit count
+      // reads the SAME artifacts instead of rescanning the store.
+      val scored = graft.operators.Checkpointing.cut(
+        sv.join(broadcast(cand), "vec_id")
+          .join(broadcast(q), "q_id")
+          .select(col("q_id"), col("vec_id"),
+            round(graft.plans.CosineSim.cosine(s, col("q_emb"), col("embedding")), 4)
+              .as("cos")))
       scoredAll = Some(scoredAll.fold(scored)(_.unionByName(scored)))
-      beam = graft.operators.Checkpointing.cut(
-        Relational.topKByScore(scored, "q_id", "cos", "vec_id", beamW)
-          .select("q_id", "vec_id", "cos"))
+      beam = Relational.topKByScore(scored, "q_id", "cos", "vec_id", beamW)
+        .select("q_id", "vec_id", "cos")
     }
     (beam, scoredAll.get)
   }
