@@ -267,6 +267,24 @@ object RelationalQueries {
     * scale they shuffle like any dimension join (never a driver pull). */
   private val triangleEdgeMemo = new graft.operators.SessionMemo[DataFrame]
 
+  /** Undirected co-purchase edge list PRE-PARTITIONED and sorted on `src`
+    * (r15, guide §2.4 — establish the partitioning once): the cut
+    * preserves outputPartitioning/outputOrdering, so every iterative
+    * consumer (q_label_prop's 3 label rounds, q_bfs_reach's 3 frontier
+    * hops) joins on src=node WITHOUT re-exchanging or re-sorting the edge
+    * table each round — only the O(nodes) labels/frontier side moves.
+    * Shared memo: both queries previously rebuilt the same union. */
+  private val undCoEdgeMemo = new graft.operators.SessionMemo[DataFrame]
+
+  private def partCoUndirected(s: SparkSession, dir: String): DataFrame =
+    undCoEdgeMemo.get(s, dir) {
+      val ed = partCoEdges(s, dir)
+      graft.operators.Checkpointing.cut(
+        ed.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(ed.select(col("v").as("src"), col("u").as("dst")))
+          .repartition(col("src")).sortWithinPartitions("src"))
+    }
+
   private def partCoEdges(s: SparkSession, dir: String): DataFrame =
     triangleEdgeMemo.get(s, dir) {
       val li = t(s, dir, "lineitem")
@@ -2139,7 +2157,14 @@ object RelationalQueries {
           .unionAll(e0.select((col("l_suppkey") * 2 + 1).as("src"),
             (col("o_custkey") * 2).as("dst"), col("w")))
         val out = edges.groupBy("src").agg(sum("w").as("outw"))
-        graft.operators.Checkpointing.cut(edges.join(out, "src"))
+        // stored PRE-PARTITIONED and sorted on the iteration join key
+        // (r15, guide §2.4 — establish the partitioning once): the cut
+        // preserves outputPartitioning/outputOrdering, so each of the 3
+        // rank iterations' src=node joins reuses this layout instead of
+        // re-exchanging and re-sorting the edge table every round — only
+        // the O(nodes) rank side moves per iteration
+        graft.operators.Checkpointing.cut(edges.join(out, "src")
+          .repartition(col("src")).sortWithinPartitions("src"))
       }
       var r = eo.select(col("src").as("node")).distinct()
         .withColumn("rank_u", lit(1000000L))
@@ -2843,19 +2868,22 @@ object RelationalQueries {
     // Output: community size histogram (label → members) after round 3.
     "q_label_prop" -> ((s, dir) => {
       val ed = partCoEdges(s, dir)
-      val und = ed.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(ed.select(col("v").as("src"), col("u").as("dst")))
+      val und = partCoUndirected(s, dir)
       var labels: DataFrame = ed.select(col("u").as("node"))
         .unionAll(ed.select(col("v").as("node"))).distinct()
         .select(col("node"), col("node").as("label"))
+      // no per-round lineage cut (r15, guide §1.2): each round's labels
+      // table is consumed exactly ONCE by the next round, so nothing ever
+      // replays — the q_pagerank posture. The 3 rounds chain into a single
+      // action instead of 3 eager localCheckpoint materializations; the
+      // edge side is the shared pre-partitioned cut artifact either way.
       for (_ <- 1 to 3) {
-        labels = graft.operators.Checkpointing.cut(
-          und.join(labels, col("src") === col("node"))
-            .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-            .groupBy(col("dst"))
-            .agg(max_by(col("label"),
-              struct(col("cnt"), (-col("label")).as("nl"))).as("label"))
-            .select(col("dst").as("node"), col("label")))
+        labels = und.join(labels, col("src") === col("node"))
+          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("dst"))
+          .agg(max_by(col("label"),
+            struct(col("cnt"), (-col("label")).as("nl"))).as("label"))
+          .select(col("dst").as("node"), col("label"))
       }
       labels.groupBy(col("label").as("community"))
         .agg(count(lit(1)).as("n_members"),
@@ -2865,8 +2893,7 @@ object RelationalQueries {
 
     "q_bfs_reach" -> ((s, dir) => {
       val ed = partCoEdges(s, dir)
-      val und = ed.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(ed.select(col("v").as("src"), col("u").as("dst")))
+      val und = partCoUndirected(s, dir)
       // every edge has u < v, so min(u) IS the global min node id; an
       // EMPTY graph (no order carries two distinct parts) has no seed —
       // emit the empty report rather than NPE on the null aggregate
