@@ -2613,8 +2613,12 @@ object RelationalQueries {
     // never the corpus).
     "q_link_predict" -> ((s, dir) => {
       val ed = partCoEdges(s, dir)
-      val und = ed.select(col("u").as("c0"), col("v").as("nb"))
-        .unionAll(ed.select(col("v").as("c0"), col("u").as("nb")))
+      // the shared pre-partitioned undirected artifact (r15): both hops
+      // join on c0, which is the artifact's src partitioning key, so
+      // neither join re-exchanges the edge table (alias-aware output
+      // partitioning carries src -> c0 through the rename)
+      val und = partCoUndirected(s, dir)
+        .select(col("src").as("c0"), col("dst").as("nb"))
       val deg = ed.select(col("u").as("nd"), col("du").as("d"))
         .unionAll(ed.select(col("v").as("nd"), col("dv").as("d")))
         .distinct()
