@@ -2051,9 +2051,14 @@ object RelationalQueries {
       // the customer scan + variant explode + hash runs once per LAKE,
       // not once per join side per call
       val idx = fuzzyIdxMemo.get(s, dir) {
+        // stored pre-partitioned and sorted on the blocking hash (r15,
+        // guide §2.4): the banding self-join keys on h, so with the cut
+        // preserving this layout it plans with ZERO exchanges under it —
+        // the artifact was already cut, the layout rides along for free
         graft.operators.Checkpointing.cut(
           c.select(col("c_custkey"), name, explode(variants).as("v"))
-            .select(col("c_custkey"), name, xxhash64(col("v")).as("h")))
+            .select(col("c_custkey"), name, xxhash64(col("v")).as("h"))
+            .repartition(col("h")).sortWithinPartitions("h"))
       }
       val cand = idx.as("a").join(idx.as("b"),
           col("a.h") === col("b.h") && col("a.c_custkey") < col("b.c_custkey"))
