@@ -3114,8 +3114,17 @@ object RelationalQueries {
         floor(col("est")).cast("long").as("hll_union"))
     if (!audit) est.orderBy("seg_a", "seg_b")
     else {
-      // exact union audit: the one consumer that genuinely needs raw keys
-      val exact = pairs.join(h, col("seg") === col("seg_a") || col("seg") === col("seg_b"))
+      // exact union audit: the one consumer that genuinely needs raw keys.
+      // r15 (guide §2.3/§3): dedup to per-seg DISTINCT keys FIRST (map-side
+      // combined — the md5 projection is not recomputed here, raw keys
+      // suffice), then attach pairs through an exploded EQUI-join instead
+      // of the former OR-condition nested-loop over corpus rows — the
+      // countDistinct exchange carries the distinct key set, not raw rows
+      val pairsE = pairs.select(col("seg_a"), col("seg_b"),
+        explode(array(col("seg_a"), col("seg_b"))).as("seg"))
+      val exact = rows
+        .select(col(segCol).as("seg"), col(keyCol).as("key")).distinct()
+        .join(broadcast(pairsE), "seg")
         .groupBy("seg_a", "seg_b")
         .agg(countDistinct("key").as("exact_union"))
       est.join(exact, Seq("seg_a", "seg_b"))
