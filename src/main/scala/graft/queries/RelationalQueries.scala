@@ -58,12 +58,14 @@ object RelationalQueries {
     * histogram's value units, p50/p95 in dollars assuming cents units. */
   private def pctStatsFromHist(hist: DataFrame, valCol: String = "vc"): DataFrame = {
     val wC = Window.partitionBy("l_returnflag").orderBy(valCol)
+    // group total n = the LAST cumulative value: a max-window over the
+    // SAME l_returnflag partitioning the cumsum already established, so it
+    // rides the same exchange+sort (r15, guide §2.4) — `hist` is consumed
+    // ONCE per call instead of twice (the former tot aggregate + broadcast
+    // join re-executed the histogram subtree when it wasn't cut)
     val cum = hist.withColumn("cum", sum("cnt").over(wC))
-    // explicit broadcast: tot is O(groups) but sits on stats-less lineage
-    // (an aggregate over the cut artifact), so Spark would sort-merge the
-    // histogram against it
-    val tot = broadcast(hist.groupBy("l_returnflag").agg(sum("cnt").as("n")))
-    cum.join(tot, "l_returnflag")
+      .withColumn("n", max("cum").over(Window.partitionBy("l_returnflag")))
+    cum
       .groupBy("l_returnflag")
       .agg(max("n").as("n"),
         min(when(expr("cum > (n - 1) div 2"), col(valCol))).as("lo50"),
@@ -564,11 +566,14 @@ object RelationalQueries {
           .select(col("l_returnflag"),
             expr("lo50 * (2 - (n - 1) % 2) + coalesce(hi50, 0L) * ((n - 1) % 2)")
               .as("med2")))
-      val dev = graft.operators.Checkpointing.cut(
-        hist.join(broadcast(med), "l_returnflag")
-          .select(col("l_returnflag"),
-            abs(col("vc") * 2 - col("med2")).as("vc"), col("cnt"))
-          .groupBy("l_returnflag", "vc").agg(sum("cnt").as("cnt")))
+      // no cut on the deviation histogram (r15): with pctStatsFromHist now
+      // consuming its input ONCE (totals via the max-cum window), dev has a
+      // single consumer — the eager localCheckpoint materialization of an
+      // O(distinct deviations) table bought nothing
+      val dev = hist.join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"),
+          abs(col("vc") * 2 - col("med2")).as("vc"), col("cnt"))
+        .groupBy("l_returnflag", "vc").agg(sum("cnt").as("cnt"))
       pctStatsFromHist(dev)
         .join(broadcast(med), "l_returnflag")
         .select(col("l_returnflag"), col("n"),
