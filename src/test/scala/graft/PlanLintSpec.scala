@@ -76,6 +76,13 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
     case proj: Project => unwrapsToCutArtifact(proj.child)
     case f: Filter => unwrapsToCutArtifact(f.child)
     case srt: Sort => unwrapsToCutArtifact(srt.child)
+    // a Window is row-shape-preserving too (adds columns, never rows):
+    // since r15 the rank-math percentiles stack a max-cum total window on
+    // the SAME partitioning as the cumsum window (guide §2.4 — ride one
+    // exchange instead of re-aggregating + joining back), so the second
+    // window's direct input is Window-over-cut-artifact — still exactly
+    // the audited bounded shape the exemption was added for
+    case w: LWindow => unwrapsToCutArtifact(w.child)
     case _ => false
   }
 
