@@ -42,9 +42,9 @@ object RelationalQueries {
   /** `rows(l_returnflag, vc)` → lineage-cut cents histogram
     * (l_returnflag, vc, cnt): the O(groups × distinct prices) table every
     * rank-math stage below runs over (map-side combined — at 100 TB this
-    * is the price domain, not the row count; the cut is the
-    * q_weighted_percentile branch rule: the hist feeds a window AND a
-    * totals aggregate). */
+    * is the price domain, not the row count; the cut earns its keep
+    * because the MEMOIZED artifact is shared across several percentile
+    * consumers in one session — q_mad reads it twice itself). */
   private def centsHist(rows: DataFrame): DataFrame =
     graft.operators.Checkpointing.cut(
       rows.groupBy("l_returnflag", "vc").agg(count(lit(1)).as("cnt")))
@@ -526,21 +526,26 @@ object RelationalQueries {
     // left-continuous weighted quantile) — a total, float-free rule both
     // engines replay identically.
     "q_weighted_percentile" -> ((s, dir) => {
-      // lineage-cut: the distinct-price table feeds the cumulative window
-      // AND the totals aggregate — uncut, each branch replays the scan
-      val hist = graft.operators.Checkpointing.cut(t(s, dir, "lineitem")
+      // single consumer since r15 (guide §2.4): the group totals ride
+      // max-cum / count windows on the SAME l_returnflag partitioning the
+      // cumsum window established (weights are non-negative, so the max
+      // cumulative IS the total) instead of a totals aggregate joined
+      // back — so the distinct-price table needs no lineage cut and the
+      // windows run straight over the map-side-combined aggregate
+      val hist = t(s, dir, "lineitem")
         .select(col("l_returnflag"),
           round(col("l_extendedprice") * 100).cast("long").as("pc"),
           round(col("l_quantity") * 100).cast("long").as("qc"))
         .groupBy("l_returnflag", "pc")
-        .agg(sum("qc").as("w")))
+        .agg(sum("qc").as("w"))
       val wC = Window.partitionBy("l_returnflag").orderBy("pc")
+      val wAll = Window.partitionBy("l_returnflag")
       val cum = hist.withColumn("cum", sum("w").over(wC))
-      val tot = hist.groupBy("l_returnflag")
-        .agg(sum("w").as("tot"), count(lit(1)).as("n_prices"))
+        .withColumn("tot", max("cum").over(wAll))
+        .withColumn("n_prices", count(lit(1)).over(wAll))
       def pick(num: Int, den: Int) =
         min(when(col("cum") * den >= col("tot") * num, col("pc")))
-      cum.join(tot, "l_returnflag")
+      cum
         .groupBy("l_returnflag")
         .agg(max("tot").as("total_weight"), max("n_prices").as("n_prices"),
           pick(1, 2).as("wp50c"), pick(9, 10).as("wp90c"))
@@ -746,19 +751,23 @@ object RelationalQueries {
     // TRUE — the r7 spec envelope promoted into the hash gate.
     "q_approx_percentiles" -> ((s, dir) => {
       val W = 65536L
-      // lineage-cut: the O(groups × buckets) table feeds the cumulative
-      // window AND the totals aggregate (the quality_drift branch rule)
-      val hist = graft.operators.Checkpointing.cut(t(s, dir, "lineitem")
+      // single consumer since r15 (guide §2.4): totals ride max-cum /
+      // count windows on the cumsum window's own l_returnflag
+      // partitioning (counts are positive ⇒ max cumulative = total)
+      // instead of a totals aggregate joined back, so the O(groups ×
+      // buckets) table needs no lineage cut
+      val hist = t(s, dir, "lineitem")
         .select(col("l_returnflag"),
           round(col("l_extendedprice") * 100).cast("long").as("vc"))
         .groupBy(col("l_returnflag"), shiftright(col("vc"), 16).as("b"))
-        .agg(count(lit(1)).as("cnt")))
+        .agg(count(lit(1)).as("cnt"))
       val wC = Window.partitionBy("l_returnflag").orderBy("b")
+      val wAll = Window.partitionBy("l_returnflag")
       val cum = hist
         .withColumn("cum", sum("cnt").over(wC))
         .withColumn("cum_before", col("cum") - col("cnt"))
-      val tot = hist.groupBy("l_returnflag")
-        .agg(sum("cnt").as("n"), count(lit(1)).as("n_buckets"))
+        .withColumn("n", max("cum").over(wAll))
+        .withColumn("n_buckets", count(lit(1)).over(wAll))
       // the single crossing bucket for rank target t = q·20·n: 20·cum ≥ t
       // and 20·cum_before < t — exactly one row per group, picked by the
       // null-skipping max
@@ -769,7 +778,7 @@ object RelationalQueries {
             lit(65536.0) * (tgt - col("cum_before") * 20).cast("double") /
               (col("cnt") * 20).cast("double")) / lit(100.0)))
       }
-      val sk = cum.join(tot, "l_returnflag")
+      val sk = cum
         .groupBy("l_returnflag")
         .agg(max("n").as("n"), max("n_buckets").as("n_buckets"),
           pick(10).as("h50"), pick(19).as("h95"))
@@ -1588,23 +1597,37 @@ object RelationalQueries {
     // MARKET-BASKET association mining (the Apriori/FP-growth first step,
     // and the transactional twin of text_collocations): which part pairs
     // co-occur in the same order more than their popularities predict.
-    // Basket semantics first (presence, not multiplicity — (order, part)
-    // dedups before anything), then the pair stream is a SELF-EQUI-JOIN
-    // on the order key with pa < pb — pair mass is Σ basket² with basket
-    // size capped by order shape (≤ ~13 items here), i.e. LINEAR in
-    // orders at any corpus size, map-side combined to the observed-pair
-    // table. lift(a,b) = (n_ab · B) / (n_a · n_b) is an exact rational on
+    // Basket semantics first (presence, not multiplicity — parts dedup
+    // into a per-order SET before anything), then the pair stream is a
+    // map-side double explode of the basket array with pa < pb — pair
+    // mass is Σ basket² with basket size capped by order shape (≤ ~13
+    // items here), i.e. LINEAR in orders at any corpus size, map-side
+    // combined to the observed-pair table. lift(a,b) = (n_ab · B) / (n_a · n_b) is an exact rational on
     // integer counts (one double division, floor-quantized); top-20 by
     // (support, lift, pair) — support first, so the smallest lake still
     // reports its strongest co-purchases instead of an empty frame.
     "q_market_basket" -> ((s, dir) => {
-      val items = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val nA = items.groupBy("pk").agg(count(lit(1)).as("n_p"))
-      val b = items.agg(countDistinct("ok").cast("decimal(38,0)").as("bk"))
-      val pairs = items.select(col("ok"), col("pk").as("pa"))
-        .join(items.select(col("ok"), col("pk").as("pb")), "ok")
+      // ONE corpus pass (r15, guide §2.3/§2.4): the per-order basket SET
+      // is built with a single ok-keyed exchange and lineage-cut; the
+      // pair stream, per-part basket counts, and basket total all derive
+      // from that O(orders) artifact instead of four independent rebuilds
+      // of the distinct (order, part) set (two self-join sides + n_a + B,
+      // each a corpus scan + distinct exchange + the join's ok
+      // re-exchange). Pair expansion becomes a map-side double explode
+      // over the cut — the same Σ basket² pair mass as the old
+      // self-join (basket size stays capped by order shape), but zero
+      // join, zero extra exchange: pairs cost one map-side-combined
+      // partials exchange.
+      val baskets = graft.operators.Checkpointing.cut(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .groupBy("ok").agg(collect_set("pk").as("ps")))
+      val nA = baskets.select(explode(col("ps")).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("n_p"))
+      val b = baskets.agg(count(lit(1)).cast("decimal(38,0)").as("bk"))
+      val pairs = baskets
+        .select(explode(col("ps")).as("pa"), col("ps"))
+        .select(col("pa"), explode(col("ps")).as("pb"))
         .filter(col("pa") < col("pb"))
         .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")

@@ -60,9 +60,12 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
     * structural rule — like `dedup_source_sigs` for the loop-join rule.
     * Both tables are O(groups × distinct-values/buckets), not corpus rows. */
   private val cutAggWindows =
-    Set("q_approx_percentiles", "q_weighted_percentile", "q_skyline",
+    Set("q_skyline",
       // r11 integer-cents rank-math percentiles: every cumulative window
       // runs directly over the cut O(groups × distinct prices) histogram
+      // (q_approx_percentiles / q_weighted_percentile left this set in
+      // r15: single-consumer since the max-cum totals change, their
+      // histograms are plain uncut Aggregates the structural rule sees)
       "q_percentiles", "q_sampled_percentiles", "q_mad")
 
   /** True when `p` IS a lineage-cut artifact modulo row-shape-preserving
