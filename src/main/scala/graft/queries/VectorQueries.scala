@@ -978,47 +978,70 @@ object VectorQueries {
     // — bounded by the serving request, never the corpus; each step is
     // one tiny join + argmax, lineage-cut.
     "knn_mmr_rerank" -> ((s, dir) => {
-      val cand = graft.operators.Checkpointing.cut(bruteTopK(s, dir)
+      // r15 (guide §5): retrieval (bruteTopK) and the pair cosines stay
+      // distributed; the greedy itself runs IN THE SERVING PROCESS over
+      // the two request-bounded artifacts — cand = O(queries × k) = 50
+      // rows, pairs = O(queries × k²) = 450 rows, independent of corpus
+      // size (the ceiling-guarded bounded-pull class, like the codebook
+      // and 1-row-bounds pulls). The former unrolled-iteration lattice
+      // (4 per-step lineage cuts + anti-join + argmax joins) spent ~15
+      // tiny cluster jobs reranking 50 rows — the greedy is the same
+      // exact integer math (rel4 − max sim4, ties → lowest id), so the
+      // SQL oracle replays it unchanged.
+      val cand = bruteTopK(s, dir)
         .select(col("q_id"), col("neighbor_id"),
-          round(col("cos") * 10000).cast("long").as("rel4")))
+          round(col("cos") * 10000).cast("long").as("rel4"))
       val sv = emb(s, dir).select(col("vec_id"), col("embedding"))
       val ce = cand.join(sv, col("neighbor_id") === col("vec_id"))
         .select(col("q_id"), col("neighbor_id"), col("embedding"))
-      val pairs = graft.operators.Checkpointing.cut(
-        ce.as("x").join(ce.as("y"),
-            col("x.q_id") === col("y.q_id") &&
-              col("x.neighbor_id") =!= col("y.neighbor_id"))
-          .select(col("x.q_id").as("q_id"),
-            col("x.neighbor_id").as("cid"), col("y.neighbor_id").as("sid"),
-            round(round(graft.plans.CosineSim.cosine(s,
-              col("x.embedding"), col("y.embedding")), 4) * 10000)
-              .cast("long").as("sim4")))
-      val s1 = Relational.topKPerGroup(cand, Seq("q_id"),
-          Seq(col("rel4").desc, col("neighbor_id")), 1)
-        .select(col("q_id"), col("neighbor_id"), col("rel4"),
-          lit(null).cast("long").as("ms4"))
-      var picks = Seq(s1)
-      for (_ <- 2 to 5) {
-        val selIds = picks.map(_.select("q_id", "neighbor_id"))
-          .reduce(_ unionAll _)
-        val ms = pairs.join(
-            selIds.withColumnRenamed("neighbor_id", "sid"), Seq("q_id", "sid"))
-          .groupBy(col("q_id"), col("cid")).agg(max("sim4").as("ms4"))
-        val rem = cand.join(selIds, Seq("q_id", "neighbor_id"), "left_anti")
-        val scored = rem.join(ms,
-            rem("q_id") === ms("q_id") && col("neighbor_id") === col("cid"))
-          .select(rem("q_id"), col("neighbor_id"), col("rel4"), col("ms4"))
-          .withColumn("score2", col("rel4") - col("ms4"))
-        picks = picks :+ graft.operators.Checkpointing.cut(
-          Relational.topKPerGroup(scored, Seq("q_id"),
-              Seq(col("score2").desc, col("neighbor_id")), 1)
-            .select(col("q_id"), col("neighbor_id"), col("rel4"), col("ms4")))
+      val pairs = ce.as("x").join(ce.as("y"),
+          col("x.q_id") === col("y.q_id") &&
+            col("x.neighbor_id") =!= col("y.neighbor_id"))
+        .select(col("x.q_id").as("q_id"),
+          col("x.neighbor_id").as("cid"), col("y.neighbor_id").as("sid"),
+          round(round(graft.plans.CosineSim.cosine(s,
+            col("x.embedding"), col("y.embedding")), 4) * 10000)
+            .cast("long").as("sim4"))
+      val candR = cand.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      require(candR.length <= 4096,
+        s"knn_mmr_rerank: candidate pull of ${candR.length} rows exceeds " +
+          "the serving-request ceiling — the query sample is supposed to " +
+          "bound this at queries × k")
+      val simR = pairs.collect()
+        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+        .toMap
+      val rows = candR.groupBy(_._1).toSeq.flatMap { case (q, cs) =>
+        val rel = cs.map(c => c._2 -> c._3).toMap
+        // step 1: pure relevance, ties → lowest id; steps 2..5: argmax of
+        // rel4 − max(sim4 to selected), ties → lowest id — bit-identical
+        // to the former per-step topKPerGroup((score2 desc, neighbor_id))
+        var selected = Vector.empty[(Long, Long, Option[Long])]
+        var remaining = rel.keySet
+        val first = remaining.toSeq.map(id => (rel(id), id))
+          .sortBy { case (r, id) => (-r, id) }.head._2
+        selected :+= ((first, rel(first), None))
+        remaining -= first
+        for (_ <- 2 to 5 if remaining.nonEmpty) {
+          val scored = remaining.toSeq.map { id =>
+            val ms = selected.map(sel => simR((q, id, sel._1))).max
+            (id, rel(id) - ms, ms)
+          }
+          val (id, _, ms) = scored
+            .sortBy { case (cid, s2, _) => (-s2, cid) }.head
+          selected :+= ((id, rel(id), Some(ms)))
+          remaining -= id
+        }
+        selected.zipWithIndex.map { case ((id, r4, ms4), i) =>
+          (q, (i + 1).toLong, id, r4, ms4)
+        }
       }
-      picks.zipWithIndex.map { case (p, i) =>
-        p.select(col("q_id"), lit(i + 1L).as("rk"), col("neighbor_id"),
+      import s.implicits._
+      rows.toDF("q_id", "rk", "neighbor_id", "rel4", "ms4")
+        .select(col("q_id"), col("rk"), col("neighbor_id"),
           (col("rel4").cast("double") / 10000.0).as("rel"),
           (col("ms4").cast("double") / 10000.0).as("max_sim_sel"))
-      }.reduce(_ unionAll _).orderBy("q_id", "rk")
+        .orderBy("q_id", "rk")
     }),
 
     "knn_graph_search" -> ((s, dir) => {
