@@ -2802,13 +2802,23 @@ object RelationalQueries {
         col("o_orderstatus").as("st"),
         round(col("o_totalprice") * 100).cast("long").as("v"),
         col("o_orderpriority").as("g"))
-      val m = graft.operators.Checkpointing.cut(
-        base.groupBy("st", "v", "g").agg(count(lit(1)).as("c")))
-      val mv = m.groupBy("st", "v").agg(sum("c").as("cnt"))
+      // the per-(st, v) row CARRIES its per-group breakdown as a bounded
+      // array (≤ |priority groups| entries — the g domain, not rows), so
+      // the midrank attach after the cumulative count is a map-side
+      // explode instead of the former (st, v)-keyed shuffle join of two
+      // tables derived from a lineage-cut multiplicity table (r15, guide
+      // §2.4: the join's two exchanges and the cut job are gone; the
+      // aggregate feeds PrefixSum once, whose internal lease already
+      // covers its two internal readers)
+      val m = base.groupBy("st", "v", "g").agg(count(lit(1)).as("c"))
+      val mv = m.groupBy("st", "v").agg(sum("c").as("cnt"),
+        collect_list(struct(col("g"), col("c"))).as("gs"))
       val cum = graft.operators.PrefixSum.cumSums(mv, "st", Seq(col("v")),
         Seq("cnt" -> "cc"))
-      val r2 = m.join(cum, Seq("st", "v"))
+      val r2 = cum
         .withColumn("r2", col("cc") * 2 - col("cnt") + 1)
+        .select(col("st"), col("r2"), explode(col("gs")).as("gc"))
+        .select(col("st"), col("r2"), col("gc.g").as("g"), col("gc.c").as("c"))
       val perG = r2.groupBy("st", "g").agg(
         sum("c").as("ng"), sum(dec(col("r2")) * col("c")).as("rs2"))
       // R2_g ≥ 0 always (ranks are positive), so the non-negative-domain
@@ -2824,7 +2834,11 @@ object RelationalQueries {
             "decomposition - shard the strata or widen the math"))
             .cast("decimal(38,0)"))
           .otherwise(sq4Div(dec(col("rs2")), dec(col("ng")))))
-      val tieT = mv.groupBy("st").agg(
+      // tie term off the PrefixSum OUTPUT, not `mv` — a second direct
+      // consumption of mv would replay the corpus aggregate, while the
+      // cumsum output's second reader hits PrefixSum's internal cache
+      // lease of the range-partitioned table
+      val tieT = cum.groupBy("st").agg(
         sum(dec(col("cnt")) * dec(col("cnt")) * dec(col("cnt"))
           - dec(col("cnt"))).as("tt"))
       val perSt = guarded.groupBy("st").agg(
