@@ -2307,7 +2307,20 @@ object RelationalQueries {
           .select(col("flag"), col(c),
             (col("cum") * 2 - col("cnt") + 1).as(s"r$c"))
       }
-      val rxT = halfRanks("x")
+      // the x marginal (quantity) is DOMAIN-bounded — O(flags × ~50
+      // distinct values) at any corpus size — so its cumsum is a plain
+      // window over the aggregated table (the lint's over-aggregate
+      // shape; r15, guide §1.2): the two-level PrefixSum machinery
+      // (range exchange + partials + lease, ~4 jobs) bought nothing on a
+      // 150-row table. y (price) is near-unique/corpus-sized and keeps
+      // the two-level form.
+      val rxT = {
+        val cnts = joint.groupBy("flag", "x").agg(sum("m").as("cnt"))
+        val w = Window.partitionBy("flag").orderBy("x")
+        cnts.withColumn("cum", sum("cnt").over(w))
+          .select(col("flag"), col("x"),
+            (col("cum") * 2 - col("cnt") + 1).as("rx"))
+      }
       val ryT = halfRanks("y")
       val pairs = joint
         .join(rxT, Seq("flag", "x"))
